@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is timed over a full execution (plan + run + collect-count via
+a cheap ``count()`` action on the result, so sinks aren't simulated but
+the whole pipeline materializes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan+agg, join chain, window,
+# spatial join, LSH dedup, similarity, text. Keep this list stable so
+# BENCH_r{N}.json is comparable across rounds.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "block_aggregate",
+    "resolution_top1",
+    "sessionize",
+    "nearest_join_asof",
+    "weighted_resample",
+    "sza_filter",
+    "valid_fraction_filter",
+    "minhash_signatures",
+    "simhash",
+    "embedding_topk",
+    "text_quality",
+    "token_count",
+    "dedup_exact",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from trollflow2_spark.queries import QUERIES
+    from trollflow2_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers so per-query times measure the query,
+    # not session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,128 @@
+"""Tests for the training-data extension operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trollflow2_spark.extensions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from trollflow2_spark.extensions.multimodal import (
+    attach_fake_media,
+    decode_media,
+    media_metadata,
+)
+from trollflow2_spark.extensions.similarity import (
+    ann_bucketed_topk,
+    brute_force_topk,
+)
+from trollflow2_spark.extensions.text import lang_id, quality_features
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup
+        (3, "the quick brown fox leaps over the lazy dog", "en", "s1"),  # near dup
+        (4, "der schnelle braune fuchs springt und springt", "de", "s1"),
+        (5, "completely different text about spark engines", "en", "s2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    assert out.count() == 4  # 5 docs, one exact pair
+    dup = [r for r in out.collect() if r["n_copies"] == 2][0]
+    assert dup["canonical_id"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, shingle_words=2, num_hashes=8)
+    assert sigs.count() == 5
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+    # near-dup (1,3) should collide in at least one band with high prob;
+    # unrelated (4,5) must not share all bands
+    assert (4, 5) not in got or (1, 3) in got
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_words=2, threshold=0.5, block_cols=["lang", "source"]
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got  # 6/10 shared 2-grams
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_simhash_similar_docs_close(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[1] == out[2]  # identical text -> identical fingerprint
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    ham15 = bin(out[1] ^ out[5]).count("1")
+    assert ham13 < ham15  # near-dup closer than unrelated
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(df, q, k=2)
+    got = [(r["vec_id"], r["rank"]) for r in out.collect()]
+    assert got[0] == (1, 1)  # most similar first
+    assert len(got) == 2
+
+
+def test_ann_restricts_to_cell(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 0.9, 1.0, 1.0]),
+        (2, [-1.0, 1.0, 1.0, 1.0]),  # different sign cell
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_bucketed_topk(df, q, k=5, n_bits=4)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {1}  # vec 2 is outside the query's cell
+
+
+def test_quality_and_lang(docs):
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] > 0
+    lang = {r["doc_id"]: r["predicted_lang"] for r in lang_id(docs).collect()}
+    assert lang[1] == "en"
+    assert lang[4] == "de"
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_media(docs)
+    meta = {r["doc_id"]: r for r in media_metadata(media).collect()}
+    assert meta[1]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog".encode()
+    )
+    assert 16 <= meta[1]["width"] < 1040
+    # fake decoder exercises the real mapInPandas path
+    feats = {r["doc_id"]: r for r in decode_media(media, fake=True).collect()}
+    assert feats[1]["n_bytes"] == meta[1]["n_bytes"]
+    assert 0 < feats[1]["mean_byte"] < 255
+    # the non-fake path is a clearly-marked stub
+    with pytest.raises(Exception):
+        decode_media(media, fake=False).collect()

@@ -1,0 +1,85 @@
+"""Transform / window / resample operator tests on hand-built data
+(golden cases from the reference: 2x2 block aggregate of a 10x10 arange
+scene, nearest-neighbor with radius misses, top-1 preference)."""
+
+from pyspark.sql import functions as F
+
+from trollflow2_spark.operators.resample import (
+    nearest_join_1d,
+    weighted_resample_1d,
+)
+from trollflow2_spark.operators.transforms import (
+    block_aggregate,
+    compose_pattern,
+)
+from trollflow2_spark.operators.windows import top1_per_group, topk_per_group
+
+
+def test_block_aggregate_2x2(spark):
+    """10x10 scene with value = y*10 + x, 2x2 blocks -> block mean
+    (golden case ≙ reference fake_scene tests/test_trollflow2.py:682-698,
+    aggregate test :904-939)."""
+    rows = [(y, x, float(y * 10 + x)) for y in range(10) for x in range(10)]
+    df = spark.createDataFrame(rows, ["y", "x", "value"])
+    out = block_aggregate(df, {"y": 2, "x": 2}, ["value"])
+    got = {
+        (r["y_block"], r["x_block"]): (r["value_avg"], r["n_rows"])
+        for r in out.collect()
+    }
+    assert len(got) == 25
+    # block (0,0): values 0,1,10,11 -> mean 5.5
+    assert got[(0, 0)] == (5.5, 4)
+    # block (4,4): values 88,89,98,99 -> mean 93.5
+    assert got[(4, 4)] == (93.5, 4)
+
+
+def test_compose_pattern(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("sat1", datetime.datetime(2022, 2, 2, 11, 22), "eurol", "overview", "tif")],
+        ["platform_name", "start_time", "areaname", "productname", "format"],
+    )
+    pat = "{platform_name}_{start_time:%Y%m%d_%H%M}_{areaname}_{productname}.{format}"
+    out = df.select(
+        compose_pattern(pat, {"start_time": "timestamp"}).alias("f")
+    ).collect()[0]["f"]
+    # golden filename from reference tests/utils.py:73-93
+    assert out == "sat1_20220202_1122_eurol_overview.tif"
+
+
+def test_top1_and_topk(spark):
+    df = spark.createDataFrame(
+        [("p", 500, "a"), ("p", 1000, "b"), ("q", 250, "c")],
+        ["product", "resolution", "tag"],
+    )
+    best = top1_per_group(
+        df, ["product"], [F.col("resolution").asc(), F.col("tag")]
+    )
+    got = {r["product"]: r["tag"] for r in best.collect()}
+    assert got == {"p": "a", "q": "c"}  # finest resolution preferred
+    k2 = topk_per_group(df, ["product"], [F.col("resolution")], 2)
+    assert k2.count() == 3
+
+
+def test_nearest_join_radius_miss(spark):
+    """Targets with no source within radius keep NULL neighbors
+    (radius_of_influence miss -> fill, plugins/__init__.py:149-156)."""
+    target = spark.createDataFrame([(1, 0.0), (2, 100.0)], ["t_id", "pos"])
+    source = spark.createDataFrame([(10, 1.5), (11, 3.0)], ["s_id", "spos"])
+    out = nearest_join_1d(target, source, "pos", "spos", radius=5.0)
+    got = {r["t_id"]: r["src_s_id"] for r in out.collect()}
+    assert got == {1: 10, 2: None}
+    assert out.count() == 2  # every target exactly once
+
+
+def test_weighted_resample(spark):
+    target = spark.createDataFrame([(1, 10.0)], ["t_id", "pos"])
+    source = spark.createDataFrame(
+        [(9.0, 100.0), (11.0, 200.0)], ["spos", "sval"]
+    )
+    out = weighted_resample_1d(target, source, "pos", "spos", "sval", 5.0).collect()
+    assert len(out) == 1
+    # equidistant -> plain mean
+    assert abs(out[0]["sval_resampled"] - 150.0) < 1e-6
+    assert out[0]["n_neighbors"] == 2

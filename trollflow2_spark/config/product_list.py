@@ -1,0 +1,84 @@
+"""Product-list (the engine's "query") loader.
+
+A product list is a hierarchical YAML config:
+
+    product_list:
+      output_dir: /tmp/out
+      areas:
+        euron1:
+          areaname: euron1
+          products:
+            overview:
+              productname: overview
+              formats:
+                - format: tif
+                  writer: geotiff
+
+Semantics reproduced from the reference (cited for parity, not copied):
+
+- YAML anchors/aliases must become *independent* nodes after load, so a
+  per-leaf mutation can't leak through a shared alias
+  (``/root/reference/trollflow2/launcher.py:331-341``; independence
+  asserted in ``tests/test_launcher.py:199-204``).
+- A ``!tuple`` tag turns a YAML list into a tuple product key — several
+  channels written to one output file
+  (``/root/reference/trollflow2/launcher.py:63-77``).
+- A literal ``null`` mapping key is dropped (the reference's workaround
+  for YAML's ``null:`` quirk, ``launcher.py:460-480``).
+
+Unlike the reference we never use an unsafe loader: pipelines reference
+registered stage names instead of arbitrary ``!!python/name`` callables
+(a deliberate safety improvement over ``launcher.py:404``).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+import yaml
+
+
+def tuple_constructor(loader: yaml.Loader, node: yaml.Node) -> tuple:
+    """``!tuple [a, b]`` or ``!tuple ("a", "b")`` -> ``("a", "b")``."""
+    if isinstance(node, yaml.SequenceNode):
+        return tuple(loader.construct_sequence(node))
+    # scalar form: "(a, b)" — strip parens, split on commas
+    raw = loader.construct_scalar(node)
+    inner = raw.strip().strip("()")
+    return tuple(part.strip().strip("'\"") for part in inner.split(",") if part.strip())
+
+
+class _ProductListLoader(yaml.SafeLoader):
+    """SafeLoader + !tuple. Never UnsafeLoader."""
+
+
+_ProductListLoader.add_constructor("!tuple", tuple_constructor)
+
+
+def expand_aliases(obj: Any) -> Any:
+    """Deep-copy shared (anchor/alias) nodes so every node is independent."""
+    if isinstance(obj, dict):
+        return {k: expand_aliases(copy.deepcopy(v)) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [expand_aliases(copy.deepcopy(v)) for v in obj]
+    return obj
+
+
+def _remove_null_keys(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _remove_null_keys(v) for k, v in obj.items() if k is not None}
+    if isinstance(obj, list):
+        return [_remove_null_keys(v) for v in obj]
+    return obj
+
+
+def read_product_list(fname: str | None = None, raw_string: str | None = None) -> dict:
+    """Load a product-list YAML from a path or a raw string."""
+    if raw_string is not None:
+        text = raw_string
+    else:
+        with open(fname, "r", encoding="utf-8") as fh:
+            text = fh.read()
+    cfg = yaml.load(text, Loader=_ProductListLoader)
+    return expand_aliases(_remove_null_keys(cfg))

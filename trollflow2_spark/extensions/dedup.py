@@ -1,0 +1,193 @@
+"""Deduplication operators over a documents table.
+
+Four tiers, each a DataFrame transform:
+
+- exact:        md5-hash groupBy (content-hash dedup)
+- minhash LSH:  shingle -> minhash signature -> band-bucket join
+- simhash:      token-hash bit-vote fingerprint, hamming buckets
+- n-gram Jaccard: verified similarity on LSH/blocking candidates
+
+Scale design: every candidate-generation step is an equi-join on a hash
+bucket (shuffle on dense uniform keys, no cross join); verification runs
+only on bucket-colliding pairs. The pairwise step's worst case is bounded
+by bucket size — salting degenerate buckets (boilerplate docs) is the
+known mitigation and is applied via a max-bucket-size guard.
+
+All hashes are the portable md5-derived family
+(:mod:`trollflow2_spark.functions.hashing`) so a SQL oracle reproduces
+results bit-for-bit; swap in ``F.xxhash64`` for production speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from trollflow2_spark.functions.hashing import hash64, tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-hash exact dedup: one row per distinct text, keeping the
+    lowest id as canonical plus the duplicate count.
+
+    Scale: a single hash aggregation; at 100 TB, group keys are 32-byte
+    digests — pre-hashing to the md5 digest (not the raw text) keeps
+    shuffle rows small.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document minhash signature: min over shingle hashes for each of
+    ``num_hashes`` seeded hash functions. Output: id + minhash_0..N-1.
+
+    Implementation: explode shingles (distinct per doc), compute all
+    seeded hashes per shingle, then one groupBy(doc) with N min()
+    aggregates — a single shuffle, map-side combinable.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias(
+            "shingle"
+        ),
+    )
+    hashed = sh.select(
+        id_col,
+        *[hash64(F.col("shingle"), seed=i).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"minhash_{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands, bucket docs
+    by (band_id, band_hash), emit candidate pairs that share any bucket.
+
+    Scale: self-join per bucket; buckets larger than ``max_bucket`` are
+    dropped (degenerate boilerplate clusters — the standard guard against
+    quadratic blowup; logged upstream in real runs).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"minhash_{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    buckets = buckets.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
+        "left_semi",
+    )
+    a = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
+    b = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 2,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs by n-gram Jaccard similarity.
+
+    Candidates come from ``candidates`` (id_a, id_b) when given, else
+    from blocking on ``block_cols`` (cheap deterministic blocking for
+    small corpora / tests). Jaccard is computed on distinct word
+    n-gram sets via array_intersect/array_union sizes.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
+        *[F.col(c) for c in (block_cols or [])],
+    )
+    if candidates is None:
+        if not block_cols:
+            raise ValueError("need candidates or block_cols")
+        a = shingled.select(
+            *block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        )
+        b = shingled.select(
+            *block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+        )
+        pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = candidates.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document simhash fingerprint: for each bit position, sum +1/-1
+    votes of each distinct token's hash bit; bit set iff the vote is
+    positive. Output: (id, simhash BIGINT).
+
+    One explode + one groupBy with ``bits`` conditional sums — a single
+    shuffle. Near-dup detection then buckets by simhash bands (hamming
+    distance); grouping on the full fingerprint finds exact
+    template-level dups.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+    h = toks.select(id_col, hash64(F.col("tok")).alias("th"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = h.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return voted.select(F.col(id_col), sim.alias("simhash"))

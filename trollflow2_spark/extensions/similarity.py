@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: exact baseline; one pass over the table per
+  query batch, dot products as JVM-side higher-order functions
+  (``aggregate``/``zip_with``) — no Python in the loop.
+- LSH/IVF-bucketed ANN: sign-bit coarse quantization restricts the scan
+  to the query's cell (+ optional neighbor probes) — the 100 TB path:
+  the bucket id is a uniform small key, so candidate generation is a
+  broadcast-able equi-join instead of a cross join.
+
+Determinism: cosine is float math; scores are rounded before ranking and
+ties broken by id so results are stable across partitionings and match
+the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from trollflow2_spark.operators.windows import topk_per_group
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    ``queries``: (query_id, embedding). The query set is broadcast (it is
+    small by construction); the base table is scanned once — the correct
+    shape at scale, since the 100 TB side never shuffles.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = df.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_digits).alias("cosine_sim"),
+    )
+    # exclude self-matches when query ids come from the same table
+    scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.col("cosine_sim").desc(), F.col(id_col).asc()],
+        k,
+    ).select(query_id_col, id_col, "cosine_sim", "rank")
+
+
+def signbit_cell(vec: Column, n_bits: int = 4) -> Column:
+    """Coarse IVF-style cell id from the sign bits of the first
+    ``n_bits`` dimensions (a fixed axis-aligned hyperplane LSH)."""
+    cell = F.lit(0)
+    for i in range(n_bits):
+        cell = cell + F.when(
+            F.element_at(vec, i + 1).cast("double") >= 0, F.lit(2 ** i)
+        ).otherwise(F.lit(0))
+    return cell
+
+
+def ann_bucketed_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's sign-bit cell are
+    scored. Recall improves with multi-probe (neighbor cells); this is
+    the single-probe baseline.
+
+    Scale: the equi-join on ``cell`` prunes ~(1 - 2^-n_bits) of the scan;
+    with a real IVF (k-means coarse centroids) the cells are balanced by
+    construction — the sign-bit variant keeps everything closed-form.
+    """
+    base = df.withColumn("__cell", signbit_cell(F.col(vec_col), n_bits))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+        ).withColumn("__cell", signbit_cell(F.col("__qvec"), n_bits))
+    )
+    scored = base.join(q, "__cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_digits).alias("cosine_sim"),
+    )
+    scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.col("cosine_sim").desc(), F.col(id_col).asc()],
+        k,
+    ).select(query_id_col, id_col, "cosine_sim", "rank")

@@ -1,0 +1,136 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (marker-n-gram heuristic), quality scoring (length / token /
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (sampled n-gram hashes, winnowing-style).
+
+All pure Column algebra: string/regex/array builtins, no UDFs — at
+100 TB these run inside whole-stage codegen and scan-pushdown keeps only
+the text column in flight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from trollflow2_spark.functions.hashing import hash64, tokens, word_shingles
+
+# Tiny marker lexicons per language; counting marker hits with the
+# length-difference trick keeps the same semantics in any SQL dialect.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " los "],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+# words, numbers, or single non-space symbols — a BPE-ish pre-tokenizer
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def substr_count(text: Column, sub: str) -> Column:
+    """Occurrences of ``sub`` in ``text`` via the length-difference trick
+    (portable to every SQL dialect, unlike regexp_count)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit(""))))
+        / F.lit(len(sub))
+    ).cast("int")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality metrics: token count, mean token length,
+    stopword ratio, alpha ratio, and a blended quality score in [0, 1].
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_chars = F.length(t)
+    mean_tok_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    # blended score: length sweet spot + stopword presence + alphabetic mass
+    len_score = F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
+    score = F.round(
+        len_score * 0.4 + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2 + alpha_ratio * 0.4,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-based language guess: count per-language marker hits in the
+    (space-padded, lowercased) text; argmax with deterministic order
+    (score desc, then language code asc); 'und' when nothing matched.
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum((substr_count(padded, m) for m in markers), F.lit(0).cast("int"))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best_score = F.greatest(*scores.values())
+    # among max-score languages pick the alphabetically-smallest code
+    # (array_min skips the NULLs of non-winning languages)
+    pick = F.array_min(
+        F.array(
+            *[F.when(s == best_score, F.lit(lang)) for lang, s in scores.items()]
+        )
+    )
+    predicted = F.when(best_score > 0, pick).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        predicted.alias("predicted_lang"),
+        best_score.alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 4,
+    mod: int = 8,
+) -> DataFrame:
+    """Winnowing-style fingerprint: hash all word n-grams, keep hashes
+    ≡ 0 (mod ``mod``) — the standard mod-p sampled fingerprint (0-mod-p
+    selection is position-independent, robust to insertions). Output:
+    (id, n_fingerprints, min_fingerprint).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("s"),
+    )
+    hashed = sh.select(id_col, hash64(F.col("s")).alias("h")).filter(
+        F.col("h") % mod == 0
+    )
+    return (
+        df.select(id_col)
+        .join(hashed, id_col, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("h")).alias("n_fingerprints"),
+            F.min("h").alias("min_fingerprint"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Portable deterministic hashing.
+
+Engines disagree on their native hash functions (Spark's xxhash64 !=
+DuckDB's hash), so every hash that must be oracle-reproducible is built
+from md5 — identical everywhere — truncated to 60 bits (15 hex chars,
+always fits a signed 64-bit int).
+
+Spark:   CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)
+DuckDB:  CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+
+Seeded variants hash ``x || ':' || seed`` so one expression family yields
+an arbitrary number of independent hash functions (minhash banding).
+
+Scale note: md5 is ~3-5x slower than xxhash64 but still JVM-side and
+codegen'd; for pure-Spark paths (no oracle) swap `hash64` for
+``F.xxhash64`` — the operators below take the hash expression as an
+injectable so production can use the fast one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def hash64(col: Column | str, seed: int | None = None) -> Column:
+    """60-bit portable hash of a string column (md5-derived, seedable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(c, F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def HASH64_SQL(expr: str, seed: int | None = None) -> str:
+    """The same hash as :func:`hash64`, as DuckDB SQL text."""
+    if seed is not None:
+        expr = f"({expr} || ':{seed}')"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties removed (portable: DuckDB
+    ``list_filter(regexp_split_to_array(trim(x), '\\s+'), t -> t <> '')``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def TOKENS_SQL(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t <> '')"
+    )
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """Word n-gram shingles as an array of strings (space-joined).
+
+    Docs shorter than ``n`` words yield a single shingle of all their
+    words, so no document hashes to an empty set.
+    """
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def WORD_SHINGLES_SQL(expr: str, n: int) -> str:
+    """DuckDB equivalent of :func:`word_shingles` (1-based list slicing)."""
+    toks = TOKENS_SQL(expr)
+    return (
+        f"list_transform(range(greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' '))"
+    )

@@ -1,0 +1,157 @@
+"""Resampling = the engine's join family.
+
+The reference's only join-shaped operator is spatial resampling: map each
+target-grid pixel to source pixels (nearest within a radius, or k
+weighted neighbors) — ``/root/reference/trollflow2/plugins/__init__.py:
+133-201``. Spark-first formulation (SURVEY §2.5):
+
+- bucket both grids into cells of size ``radius`` (so any neighbor within
+  the radius is in the 3x3 cell neighborhood),
+- equi-join on cell id (target cells exploded to their neighborhood —
+  this is the standard "spatial join as equi-join" trick; 9x row fanout
+  on the *small* side only),
+- filter by true distance <= radius (``radius_of_influence``),
+- nearest: window top-1 per target pixel; weighted (bilinear/EWA-like):
+  groupBy target pixel with sum(w*v)/sum(w).
+
+Scale: the shuffle key is the cell id, which is dense and uniform for
+regular grids (no skew); for a *fixed* grid->grid pair the mapping table
+is computed once and broadcast-joined (``reduce_data: True``'s bbox crop
+≙ a pushed-down filter on the source cells).
+
+This module is written for generic (x, y[, value]) point tables — the
+1-D "as-of nearest in time" variant is the same algebra with time as the
+single coordinate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from trollflow2_spark.operators import register_stage
+
+
+def _with_cell(df: DataFrame, coord: str, cell_size: float, name: str) -> DataFrame:
+    return df.withColumn(name, F.floor(F.col(coord) / F.lit(float(cell_size))).cast("long"))
+
+
+@register_stage("nearest_join_1d")
+def nearest_join_1d(
+    target: DataFrame,
+    source: DataFrame,
+    target_coord: str,
+    source_coord: str,
+    radius: float,
+    tie_breaker: Column | None = None,
+) -> DataFrame:
+    """For each target row, attach the nearest source row whose coordinate
+    is within ``radius`` (absolute distance); targets with no neighbor in
+    range are kept with NULL source columns (fill behavior ≙
+    ``radius_of_influence`` miss -> fill value, ``plugins/__init__.py:
+    149-156``).
+
+    Columns of ``source`` are prefixed ``src_`` in the output.
+    """
+    src = source.select(
+        *[F.col(c).alias(f"src_{c}") for c in source.columns]
+    )
+    tgt = _with_cell(target, target_coord, radius, "__cell")
+    src = _with_cell(src, f"src_{source_coord}", radius, "__scell")
+
+    # explode each target to its 3-cell neighborhood; any source within
+    # `radius` lives in one of these cells
+    tgt = tgt.withColumn(
+        "__probe", F.explode(F.array(F.col("__cell") - 1, F.col("__cell"), F.col("__cell") + 1))
+    )
+    joined = tgt.join(src, tgt["__probe"] == src["__scell"], "left")
+    dist = F.abs(F.col(target_coord).cast("double") - F.col(f"src_{source_coord}").cast("double"))
+    joined = joined.withColumn("__dist", dist).filter(
+        F.col("__dist").isNull() | (F.col("__dist") <= F.lit(float(radius)))
+    )
+    order = [F.col("__dist").asc_nulls_last()]
+    if tie_breaker is not None:
+        order.append(tie_breaker)
+    w = Window.partitionBy(*[target[c] for c in target.columns]).orderBy(*order)
+    out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return out.drop("__rn", "__cell", "__scell", "__probe")
+
+
+@register_stage("nearest_join_2d")
+def nearest_join_2d(
+    target: DataFrame,
+    source: DataFrame,
+    coords: tuple[str, str] = ("x", "y"),
+    radius: float = 1.0,
+    tie_breakers: list[Column] | None = None,
+) -> DataFrame:
+    """2-D nearest-neighbor resample: bucketed equi-join on (cx, cy) cell
+    pairs + window top-1 per target pixel (SURVEY §2.5 mapping for the
+    default 'nearest' resampler, ``plugins/__init__.py:159-201``)."""
+    cx, cy = coords
+    src = source.select(*[F.col(c).alias(f"src_{c}") for c in source.columns])
+    tgt = _with_cell(_with_cell(target, cx, radius, "__cx"), cy, radius, "__cy")
+    src = _with_cell(_with_cell(src, f"src_{cx}", radius, "__scx"), f"src_{cy}", radius, "__scy")
+
+    tgt = tgt.withColumn(
+        "__px", F.explode(F.array(F.col("__cx") - 1, F.col("__cx"), F.col("__cx") + 1))
+    ).withColumn(
+        "__py", F.explode(F.array(F.col("__cy") - 1, F.col("__cy"), F.col("__cy") + 1))
+    )
+    joined = tgt.join(
+        src, (tgt["__px"] == src["__scx"]) & (tgt["__py"] == src["__scy"]), "left"
+    )
+    dist = F.sqrt(
+        F.pow(F.col(cx).cast("double") - F.col(f"src_{cx}").cast("double"), 2)
+        + F.pow(F.col(cy).cast("double") - F.col(f"src_{cy}").cast("double"), 2)
+    )
+    joined = joined.withColumn("__dist", dist).filter(
+        F.col("__dist").isNull() | (F.col("__dist") <= F.lit(float(radius)))
+    )
+    order = [F.col("__dist").asc_nulls_last()]
+    for tb in tie_breakers or []:
+        order.append(tb)
+    w = Window.partitionBy(*[target[c] for c in target.columns]).orderBy(*order)
+    out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return out.drop("__rn", "__cx", "__cy", "__scx", "__scy", "__px", "__py")
+
+
+@register_stage("weighted_resample_1d")
+def weighted_resample_1d(
+    target: DataFrame,
+    source: DataFrame,
+    target_coord: str,
+    source_coord: str,
+    source_value: str,
+    radius: float,
+) -> DataFrame:
+    """Weighted (bilinear/EWA-like) variant: join every source within the
+    radius and aggregate sum(w*v)/sum(w) per target row, with inverse-
+    distance weights (``RESAMPLER_DEFAULT_OPTIONS['ewa']``-style kernels
+    reduce to a weight expression — ``plugins/__init__.py:133-148``).
+
+    Determinism note: weighted sums are floating-point and order-
+    sensitive; callers comparing against an oracle should round.
+    """
+    src = source.select(
+        F.col(source_coord).alias("__sc"), F.col(source_value).alias("__sv")
+    )
+    tgt = _with_cell(target, target_coord, radius, "__cell")
+    src = _with_cell(src, "__sc", radius, "__scell")
+    tgt = tgt.withColumn(
+        "__probe", F.explode(F.array(F.col("__cell") - 1, F.col("__cell"), F.col("__cell") + 1))
+    )
+    joined = tgt.join(src, F.col("__probe") == F.col("__scell"), "inner")
+    dist = F.abs(F.col(target_coord).cast("double") - F.col("__sc"))
+    joined = joined.filter(dist <= F.lit(float(radius))).withColumn(
+        "__w", 1.0 / (dist + F.lit(1e-9))
+    )
+    group_cols = [c for c in target.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            (F.sum(F.col("__w") * F.col("__sv")) / F.sum("__w")).alias(
+                f"{source_value}_resampled"
+            ),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+    )

@@ -1,0 +1,467 @@
+"""DuckDB oracle SQL for every query in :mod:`trollflow2_spark.queries`.
+
+Each statement runs against the driver's pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings) and must produce the *identical* rows (names, types, values)
+as the Spark query. Shared thresholds come from :mod:`qconst`; shared
+expression builders (portable hash, shingles, SZA) come from the same
+modules the Spark side uses, so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from trollflow2_spark import qconst as C
+from trollflow2_spark.extensions.text import BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS
+from trollflow2_spark.functions.geometry import SZA_SQL
+from trollflow2_spark.functions.hashing import HASH64_SQL, TOKENS_SQL, WORD_SHINGLES_SQL
+
+
+def _dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+ORACLES: dict[str, str] = {}
+
+# --- relational core -------------------------------------------------------
+
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_quantity')} AS sum_qty,
+  {_dsum('l_extendedprice')} AS sum_base_price,
+  {_dsum('l_extendedprice*(1-l_discount)', 6)} AS sum_disc_price,
+  {_dsum('l_extendedprice*(1-l_discount)*(1+l_tax)', 6)} AS sum_charge,
+  count(*) AS count_order,
+  {_dsum('l_quantity')}/count(*) AS avg_qty,
+  {_dsum('l_extendedprice')}/count(*) AS avg_price,
+  {_dsum('l_discount', 6)}/count(*) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{C.Q1_SHIPDATE_MAX}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping_priority"] = f"""
+SELECT l_orderkey,
+  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate,
+  o_orderpriority,
+  {_dsum('l_extendedprice*(1-l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{C.Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{C.Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{C.Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT {C.Q3_LIMIT}
+"""
+
+ORACLES["q5_local_supplier"] = f"""
+SELECT n_name, {_dsum('l_extendedprice*(1-l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{C.Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{C.Q5_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{C.Q5_DATE_HI}'
+GROUP BY n_name
+"""
+
+ORACLES["q6_forecast_revenue"] = f"""
+SELECT {_dsum('l_extendedprice*l_discount', 6)} AS revenue, count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{C.Q6_YEAR_LO}'
+  AND l_shipdate < TIMESTAMP '{C.Q6_YEAR_HI}'
+  AND l_discount >= {C.Q6_DISC_LO} AND l_discount <= {C.Q6_DISC_HI}
+  AND l_quantity < {C.Q6_QTY}
+"""
+
+# --- config expansion: golden rows ----------------------------------------
+
+_GLOBAL_PAT = "{start_time:%Y%m%d_%H%M}_{areaname}_{productname}.{format}"
+_GERM_PAT = "{productname}_germ.{format}"
+
+ORACLES["work_items_flatten"] = f"""
+SELECT area, areaname, CAST(priority AS INTEGER) AS priority, product,
+       productname, CAST(resolution AS INTEGER) AS resolution, format, writer,
+       fname_pattern, CAST(min_coverage AS DOUBLE) AS min_coverage,
+       CAST(fill_value AS DOUBLE) AS fill_value,
+       CAST(sunzen_minimum_angle AS DOUBLE) AS sunzen_minimum_angle,
+       output_dir, publish_topic
+FROM (VALUES
+  ('euron1','euron1',1,'cloud_top_height','cloud_top_height',NULL,'tif','geotiff','{_GLOBAL_PAT}',20.0,NULL,NULL,'/data/out','/raster'),
+  ('euron1','euron1',1,'cloud_top_height','cloud_top_height',NULL,'nc','cf','{_GLOBAL_PAT}',20.0,0.0,NULL,'/data/out','/raster'),
+  ('euron1','euron1',1,'overview','overview',1000,'png','simple_image','{_GLOBAL_PAT}',20.0,NULL,NULL,'/data/out','/raster'),
+  ('germ','germ',NULL,'ch1,ch2','double_channels',NULL,'png','simple_image','{_GERM_PAT}',5.0,NULL,NULL,'/data/out','/raster'),
+  ('germ','germ',NULL,'night_fog','night_fog',NULL,'png','simple_image','{_GERM_PAT}',5.0,NULL,90.0,'/data/out','/raster'),
+  ('omerc_bb','omerc',NULL,'natural_color','natural_color',NULL,'tif','geotiff','{_GLOBAL_PAT}',5.0,NULL,NULL,'/data/out','/raster')
+) AS t(area, areaname, priority, product, productname, resolution, format,
+       writer, fname_pattern, min_coverage, fill_value, sunzen_minimum_angle,
+       output_dir, publish_topic)
+"""
+
+# --- filters ---------------------------------------------------------------
+
+_ALLOWED = ", ".join(f"'{v}'" for v in C.EVENT_TYPES_ALLOWED)
+ORACLES["check_metadata_categorical"] = f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE event_type IS NULL OR event_type IN ({_ALLOWED})
+"""
+
+ORACLES["check_metadata_age"] = f"""
+SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+WHERE ts IS NULL
+   OR ts >= TIMESTAMP '{C.AGE_NOW}' - INTERVAL {int(C.AGE_MAX_MINUTES)} MINUTES
+"""
+
+_ALIAS_CASE = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in C.ALIASES.items())
+ORACLES["metadata_alias"] = f"""
+SELECT event_id,
+  CASE event_type {_ALIAS_CASE} ELSE event_type END AS event_type
+FROM events
+"""
+
+ORACLES["coverage_filter"] = f"""
+SELECT event_id, event_type,
+  CAST((event_id * 37) % 101 AS DOUBLE) AS area_coverage_percent
+FROM events
+WHERE CAST((event_id * 37) % 101 AS DOUBLE) >= coalesce(
+  CASE WHEN event_type = 'error' THEN NULL
+       ELSE CAST({C.COVERAGE_MIN_PCT} AS DOUBLE) END,
+  CAST(0.0 AS DOUBLE))
+"""
+
+_SZA = SZA_SQL(
+    "CAST(ts AS TIMESTAMP)",
+    "CAST(user_id % 360 - 180 AS DOUBLE)",
+    "CAST(user_id % 180 - 90 AS DOUBLE)",
+)
+ORACLES["sza_filter"] = f"""
+SELECT event_id, sza FROM (
+  SELECT event_id, round({_SZA}, 4) AS sza FROM events
+) WHERE sza <= {C.SZA_MAX_DEG}
+"""
+
+ORACLES["valid_fraction_filter"] = f"""
+WITH fr AS (
+  SELECT event_type,
+    (count(CASE WHEN value >= {C.VALID_MIN_VALUE} AND NOT isnan(value) THEN 1 END)
+     / count(*)) / 1.0 AS rel_valid
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type FROM events
+WHERE event_type IN (
+  SELECT event_type FROM fr
+  WHERE rel_valid >= {C.VALID_MIN_FRACTION} AND rel_valid >= 0.0 AND rel_valid < 1.05)
+"""
+
+# --- projection / aggregation ---------------------------------------------
+
+ORACLES["priority_batches"] = f"""
+SELECT coalesce(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER), 999) AS priority,
+  count(*) AS n_orders,
+  {_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY 1
+"""
+
+ORACLES["block_aggregate"] = f"""
+SELECT CAST(floor(event_id / {C.BLOCK_FACTOR}) AS BIGINT) AS event_id_block,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) AS value_avg,
+  count(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+ORACLES["resolution_top1"] = """
+SELECT o_custkey, o_orderkey,
+  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) = 1
+"""
+
+ORACLES["composite_union_distinct"] = "SELECT DISTINCT lang, source FROM documents"
+
+ORACLES["filename_compose"] = """
+SELECT o_orderkey,
+  'order_' || o_orderpriority || '_'
+   || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y%m%d_%H%M')
+   || '_k' || CAST(o_orderkey AS VARCHAR) || '.tif' AS filename
+FROM orders
+"""
+
+ORACLES["json_extract_props"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+ORACLES["sessionize"] = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL {C.SESSION_GAP_MIN} MINUTES
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM y GROUP BY user_id
+"""
+
+# --- joins / spatial -------------------------------------------------------
+
+_EPOCH = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS DOUBLE)"
+
+ORACLES["nearest_join_asof"] = f"""
+WITH e AS (SELECT event_id, event_type, {_EPOCH} AS epoch FROM events),
+t AS (SELECT event_id AS t_id, epoch AS t_epoch FROM e WHERE event_type = 'error'),
+s AS (SELECT event_id AS s_id, epoch AS s_epoch FROM e WHERE event_type = 'click'),
+j AS (
+  SELECT t.t_id, t.t_epoch, s.s_id, abs(t.t_epoch - s.s_epoch) AS dist
+  FROM t LEFT JOIN s ON abs(t.t_epoch - s.s_epoch) <= {C.NEAREST_RADIUS_SEC}
+)
+SELECT t_id, s_id AS nearest_click_id, CAST(dist AS BIGINT) AS dist_sec
+FROM j
+QUALIFY row_number() OVER (
+  PARTITION BY t_id, t_epoch ORDER BY dist ASC NULLS LAST, s_id ASC) = 1
+"""
+
+ORACLES["weighted_resample"] = f"""
+WITH e AS (SELECT event_id, event_type, value, {_EPOCH} AS epoch FROM events),
+t AS (SELECT event_id AS t_id, epoch AS t_epoch FROM e WHERE event_type = 'error'),
+s AS (SELECT epoch AS s_epoch, value AS s_value FROM e WHERE event_type = 'click'),
+j AS (
+  SELECT t.t_id, t.t_epoch, s.s_value, abs(t.t_epoch - s.s_epoch) AS dist
+  FROM t JOIN s ON abs(t.t_epoch - s.s_epoch) <= {C.NEAREST_RADIUS_SEC}
+)
+SELECT t_id,
+  round(SUM((1.0/(dist + 1e-9)) * s_value) / SUM(1.0/(dist + 1e-9)), 4) AS resampled_value,
+  count(*) AS n_neighbors
+FROM j GROUP BY t_id, t_epoch
+"""
+
+# --- sinks -----------------------------------------------------------------
+
+ORACLES["manifest_check"] = """
+SELECT source, count(*) AS n_files,
+  count(CASE WHEN n_chars = 0 THEN 1 END) AS n_empty,
+  min(n_chars) AS min_size, max(n_chars) AS max_size
+FROM documents GROUP BY source
+"""
+
+ORACLES["publisher_messages"] = f"""
+SELECT doc_id,
+  printf('{C.PUBLISH_PATTERN}',
+    'file:///out/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt',
+    doc_id, n_chars, source) AS message
+FROM documents
+"""
+
+# --- dedup -----------------------------------------------------------------
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES_MH = WORD_SHINGLES_SQL("text", C.MINHASH_SHINGLE_WORDS)
+_MINHASH_COLS = ",\n  ".join(
+    f"min({HASH64_SQL('shingle', seed=i)}) AS minhash_{i}"
+    for i in range(C.MINHASH_NUM_HASHES)
+)
+ORACLES["minhash_signatures"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
+)
+SELECT doc_id,
+  {_MINHASH_COLS}
+FROM sh GROUP BY doc_id
+"""
+
+_TOKS = TOKENS_SQL("text")
+_SIMHASH_VOTES = ",\n  ".join(
+    f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(C.SIMHASH_BITS)
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+    for i in range(C.SIMHASH_BITS)
+)
+ORACLES["simhash"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {HASH64_SQL('tok')} AS th FROM t
+), v AS (
+  SELECT doc_id,
+  {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM v
+"""
+
+_SHINGLES_J = WORD_SHINGLES_SQL("text", C.JACCARD_SHINGLE_WORDS)
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH s AS (
+  SELECT doc_id, lang, source, list_distinct({_SHINGLES_J}) AS sh FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(
+      CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+        ELSE 0.0 END, 6) AS jaccard
+  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {C.JACCARD_THRESHOLD}
+"""
+
+_SHINGLES_FP = WORD_SHINGLES_SQL("text", C.FINGERPRINT_SHINGLE_WORDS)
+ORACLES["doc_fingerprint"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_FP})) AS s FROM documents
+), h AS (
+  SELECT doc_id, {HASH64_SQL('s')} AS h FROM sh
+), f AS (
+  SELECT doc_id, h FROM h WHERE h % {C.FINGERPRINT_MOD} = 0
+)
+SELECT d.doc_id, count(f.h) AS n_fingerprints, min(f.h) AS min_fingerprint
+FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+GROUP BY d.doc_id
+"""
+
+# --- similarity ------------------------------------------------------------
+
+
+def _cosine_sql(e_vec: str, q_vec: str) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(len({a})), "
+            f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+        )
+
+    return (
+        f"{dot(e_vec, q_vec)} / "
+        f"(sqrt({dot(e_vec, e_vec)}) * sqrt({dot(q_vec, q_vec)}))"
+    )
+
+
+ORACLES["embedding_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {C.TOPK_N_QUERIES}
+), sc AS (
+  SELECT q.query_id, e.vec_id,
+    round({_cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+  CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {C.TOPK_K}
+"""
+
+_CELL = " + ".join(
+    f"(CASE WHEN CAST(embedding[{i+1}] AS DOUBLE) >= 0 THEN {2**i} ELSE 0 END)"
+    for i in range(C.ANN_BITS)
+)
+ORACLES["embedding_ann"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_CELL} AS cell FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM b
+  WHERE vec_id < {C.TOPK_N_QUERIES}
+), sc AS (
+  SELECT q.query_id, b.vec_id,
+    round({_cosine_sql('b.embedding', 'q.qv')}, 6) AS cosine_sim
+  FROM b JOIN q ON b.cell = q.cell
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+  CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {C.ANN_K}
+"""
+
+# --- text analysis ---------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+_NTOK = f"len({_TOKS})"
+_NCHARS = "length(text)"
+_STOPHITS = f"len(list_filter({_TOKS}, x -> lower(x) IN ({_STOP_LIST})))"
+_NALPHA = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+_MEANTOK = f"CASE WHEN {_NTOK} > 0 THEN CAST({_NCHARS} AS DOUBLE) / {_NTOK} ELSE 0.0 END"
+_STOPRATIO = f"CASE WHEN {_NTOK} > 0 THEN CAST({_STOPHITS} AS DOUBLE) / {_NTOK} ELSE 0.0 END"
+_ALPHARATIO = f"CASE WHEN {_NCHARS} > 0 THEN CAST({_NALPHA} AS DOUBLE) / {_NCHARS} ELSE 0.0 END"
+_LENSCORE = f"least(CAST({_NTOK} AS DOUBLE) / 20.0, 1.0)"
+ORACLES["text_quality"] = f"""
+SELECT doc_id,
+  CAST({_NTOK} AS BIGINT) AS n_tokens,
+  round({_MEANTOK}, 6) AS mean_token_len,
+  round({_STOPRATIO}, 6) AS stopword_ratio,
+  round({_ALPHARATIO}, 6) AS alpha_ratio,
+  round({_LENSCORE} * 0.4 + least({_STOPRATIO} * 5.0, 1.0) * 0.2
+        + {_ALPHARATIO} * 0.4, 6) AS quality_score
+FROM documents
+"""
+
+
+def _marker_count(sub: str) -> str:
+    p = "(' ' || lower(text) || ' ')"
+    esc = sub.replace("'", "''")
+    return f"CAST((length({p}) - length(replace({p}, '{esc}', ''))) / {len(sub)} AS INTEGER)"
+
+
+_LANG_SCORES = {
+    lang: " + ".join(_marker_count(m) for m in markers)
+    for lang, markers in sorted(LANG_MARKERS.items())
+}
+_SCORE_COLS = ",\n  ".join(f"({expr}) AS s_{lang}" for lang, expr in _LANG_SCORES.items())
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
+_PICK = "CASE " + " ".join(
+    f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+) + " END"
+ORACLES["lang_id"] = f"""
+WITH sc AS (
+  SELECT doc_id,
+  {_SCORE_COLS}
+  FROM documents
+), b AS (
+  SELECT doc_id, {_BEST} AS best, * FROM sc
+)
+SELECT doc_id,
+  CASE WHEN best > 0 THEN {_PICK} ELSE 'und' END AS predicted_lang,
+  best AS marker_hits
+FROM b
+"""
+
+ORACLES["token_count"] = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+# --- multimodal ------------------------------------------------------------
+
+ORACLES["multimodal_meta"] = """
+SELECT doc_id,
+  'image/fake' AS media_type,
+  CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1024 + 16 AS INTEGER) AS width,
+  CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1024 + 16 AS INTEGER) AS height,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""

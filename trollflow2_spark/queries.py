@@ -1,0 +1,622 @@
+"""The engine's query suite: one entry per implemented operator
+(SURVEY.md §2 + the training-data extensions).
+
+Each ``q_*`` takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching DuckDB SQL lives in :mod:`trollflow2_spark.oracles`. Every
+computed column is aliased identically on both sides, floats are either
+decimal-exact or rounded, and orderings carry unique tie-breakers, so
+results hash-match the oracle bit-for-bit regardless of partitioning.
+
+Determinism conventions:
+- big sums -> exact DECIMAL(38,s) accumulation, cast to DOUBLE at the end
+  (float sums are order-sensitive; decimal sums are associative);
+- small float math (trig, cosine) -> both sides compute the identical
+  expression tree and round before any filter/rank on the value;
+- top-k -> unique tie-breaker columns in the ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from trollflow2_spark import qconst as C
+from trollflow2_spark.config.work_items import work_items_df
+from trollflow2_spark.extensions.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from trollflow2_spark.extensions.multimodal import attach_fake_media, media_metadata
+from trollflow2_spark.extensions.similarity import ann_bucketed_topk, brute_force_topk
+from trollflow2_spark.extensions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from trollflow2_spark.functions.geometry import (
+    pseudo_coverage_percent,
+    sun_zenith_angle_deg,
+)
+from trollflow2_spark.operators.checks import (
+    check_metadata_age,
+    check_metadata_categorical,
+    covers_filter,
+    metadata_alias,
+    sza_check,
+    valid_fraction_filter,
+)
+from trollflow2_spark.operators.resample import nearest_join_1d, weighted_resample_1d
+from trollflow2_spark.operators.transforms import block_aggregate, compose_pattern
+from trollflow2_spark.operators.windows import top1_per_group, topk_per_group
+from trollflow2_spark.tables import load_table
+
+
+def _ntz(lit: str) -> Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-insensitive exact sum of a double column via decimal."""
+    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-shaped anchors for agg/join/window plans)
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 2-key hash agg with 8 aggregates.
+
+    Plan check: filter and column pruning push to the parquet scan;
+    partial aggregation map-side; no join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= _ntz(C.Q1_SHIPDATE_MAX))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dsum(F.col("l_discount"), 6) / F.count(F.lit(1))).alias("avg_disc"),
+        )
+    )
+    return out
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-N."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == C.Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ntz(C.Q3_DATE)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ntz(C.Q3_DATE)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    out = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(C.Q3_LIMIT)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+    return out
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims + single-key agg."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == C.Q5_REGION)
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(C.Q5_DATE_LO))
+        & (F.col("o_orderdate") < _ntz(C.Q5_DATE_HI))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(dsum(revenue, 6).alias("revenue"))
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar agg (pushdown check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= _ntz(C.Q6_YEAR_LO))
+        & (F.col("l_shipdate") < _ntz(C.Q6_YEAR_HI))
+        & (F.col("l_discount") >= C.Q6_DISC_LO)
+        & (F.col("l_discount") <= C.Q6_DISC_HI)
+        & (F.col("l_quantity") < C.Q6_QTY)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Config expansion (the reference's logical planning)
+
+CANONICAL_PRODUCT_LIST: dict = {
+    "product_list": {
+        "output_dir": "/data/out",
+        "publish_topic": "/raster",
+        "fname_pattern": "{start_time:%Y%m%d_%H%M}_{areaname}_{productname}.{format}",
+        "min_coverage": 5.0,
+        "formats": [{"format": "png", "writer": "simple_image"}],
+        "areas": {
+            "euron1": {
+                "areaname": "euron1",
+                "min_coverage": 20.0,
+                "priority": 1,
+                "products": {
+                    "cloud_top_height": {
+                        "productname": "cloud_top_height",
+                        "formats": [
+                            {"format": "tif", "writer": "geotiff"},
+                            {"format": "nc", "writer": "cf", "fill_value": 0.0},
+                        ],
+                    },
+                    "overview": {"productname": "overview", "resolution": 1000},
+                },
+            },
+            "germ": {
+                "areaname": "germ",
+                "fname_pattern": "{productname}_germ.{format}",
+                "products": {
+                    ("ch1", "ch2"): {"productname": "double_channels"},
+                    "night_fog": {
+                        "productname": "night_fog",
+                        "sunzen_minimum_angle": 90.0,
+                    },
+                },
+            },
+            "omerc_bb": {
+                "areaname": "omerc",
+                "priority": None,
+                "products": {
+                    "natural_color": {
+                        "productname": "natural_color",
+                        "formats": [{"format": "tif"}],
+                    },
+                },
+            },
+        },
+    },
+    "common": {"sensor": "avhrr"},
+}
+
+
+def q_work_items_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-list -> work-items flattening with inheritance resolution
+    (``plist_iter``/``get_config_value`` semantics; oracle = hand-computed
+    golden rows). Independent of sf_dir (config, not data)."""
+    wi = work_items_df(spark, CANONICAL_PRODUCT_LIST)
+    return wi.select(
+        "area",
+        "areaname",
+        "priority",
+        F.array_join("product", ",").alias("product"),
+        "productname",
+        "resolution",
+        "format",
+        "writer",
+        "fname_pattern",
+        "min_coverage",
+        "fill_value",
+        "sunzen_minimum_angle",
+        "output_dir",
+        "publish_topic",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter / pruning operators (work-list WHERE clauses)
+
+
+def q_check_metadata_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = check_metadata_categorical(ev, "event_type", C.EVENT_TYPES_ALLOWED)
+    return out.select("event_id", "event_type", "user_id")
+
+
+def q_check_metadata_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = check_metadata_age(
+        ev, "ts", max_age_minutes=C.AGE_MAX_MINUTES, now=_ntz(C.AGE_NOW)
+    )
+    return out.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+    )
+
+
+def q_metadata_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = metadata_alias(ev, "event_type", C.ALIASES)
+    return out.select("event_id", "event_type")
+
+
+def q_coverage_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`covers` semantics with the deterministic pseudo-coverage stand-in
+    (the real ephemeris hook degrades gracefully when geo libs are
+    absent, matching the reference)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "area_coverage_percent", pseudo_coverage_percent(F.col("event_id"))
+    ).withColumn(
+        "min_coverage",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+            F.lit(C.COVERAGE_MIN_PCT)
+        ),
+    )
+    out = covers_filter(ev)
+    return out.select("event_id", "event_type", "area_coverage_percent")
+
+
+def q_sza_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sun-zenith-angle day gate as pure Column trig (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    lon = (F.col("user_id") % 360 - 180).cast("double")
+    lat = (F.col("user_id") % 180 - 90).cast("double")
+    ev = ev.withColumn(
+        "sza", F.round(sun_zenith_angle_deg(F.col("ts"), lon, lat), 4)
+    ).withColumn("sunzen_minimum_angle", F.lit(None).cast("double")).withColumn(
+        "sunzen_maximum_angle", F.lit(C.SZA_MAX_DEG)
+    )
+    out = sza_check(ev)
+    return out.select("event_id", "sza")
+
+
+def q_valid_fraction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dependent pruning: keep rows of event types whose valid-value
+    fraction is at or above the threshold (NaN/NULL-aware agg + semi-join
+    back)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "valid_value",
+        F.when(F.col("value") >= C.VALID_MIN_VALUE, F.col("value")),
+    )
+    out = valid_fraction_filter(
+        ev, ["event_type"], "valid_value", C.VALID_MIN_FRACTION
+    )
+    return out.select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Projection / derivation / aggregation
+
+
+def q_priority_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority grouping (`get_area_priorities`): parse priority, NULL ->
+    999 default, batch counts + exact totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    prio = F.coalesce(
+        F.split(F.col("o_orderpriority"), "-").getItem(0).cast("int"), F.lit(999)
+    )
+    return (
+        orders.withColumn("priority", prio)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+def q_block_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block mean (the `aggregate` plugin): hash agg on floor-divided keys."""
+    ev = load_table(spark, sf_dir, "events")
+    return block_aggregate(ev, {"event_id": C.BLOCK_FACTOR}, ["value"], agg="avg")
+
+
+def q_resolution_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-resolution-first preference as window top-1: latest order
+    per customer, deterministic tie-break by orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = top1_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+def q_composite_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-needed-composites as distinct set op."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("lang", "source").distinct()
+
+
+def q_filename_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trollsift-style pattern composition as JVM string functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    fname = compose_pattern(C.FNAME_PATTERN, {"o_orderdate": "timestamp"})
+    return orders.select("o_orderkey", fname.alias("filename"))
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-metadata JSON extraction (fsspec/message payloads)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap-flag + running sum — the batch analog of
+    the streaming session window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp_ntz") - F.lag("ts").over(w)
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.make_dt_interval(mins=F.lit(C.SESSION_GAP_MIN))),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / spatial (resample family)
+
+
+def q_nearest_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resample in 1-D (time): for each 'error' event the
+    nearest 'click' within the radius — bucketed equi-join + window top-1.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double")
+    )
+    target = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("t_id"), F.col("epoch").alias("t_epoch")
+    )
+    source = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("s_id"), F.col("epoch").alias("s_epoch")
+    )
+    out = nearest_join_1d(
+        target,
+        source,
+        "t_epoch",
+        "s_epoch",
+        C.NEAREST_RADIUS_SEC,
+        tie_breaker=F.col("src_s_id").asc(),
+    )
+    return out.select(
+        "t_id",
+        F.col("src_s_id").alias("nearest_click_id"),
+        F.col("__dist").cast("long").alias("dist_sec"),
+    )
+
+
+def q_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (EWA-style) resample: inverse-distance-weighted click
+    values at error-event timestamps."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double")
+    )
+    target = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("t_id"), F.col("epoch").alias("t_epoch")
+    )
+    source = ev.filter(F.col("event_type") == "click").select(
+        F.col("epoch").alias("s_epoch"), F.col("value").alias("s_value")
+    )
+    out = weighted_resample_1d(
+        target, source, "t_epoch", "s_epoch", "s_value", C.NEAREST_RADIUS_SEC
+    )
+    return out.select(
+        "t_id",
+        F.round(F.col("s_value_resampled"), 4).alias("resampled_value"),
+        "n_neighbors",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks: manifest audit + publisher
+
+
+def q_manifest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`check_results` audit over an output manifest: file counts, empty
+    files, size extrema per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.select(
+        "source",
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".txt")).alias(
+            "filename"
+        ),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return manifest.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.count(F.when(F.col("size_bytes") == 0, 1)).alias("n_empty"),
+        F.min("size_bytes").alias("min_size"),
+        F.max("size_bytes").alias("max_size"),
+    )
+
+
+def q_publisher_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilePublisher: one JSON message per produced file with a composed
+    topic (Kafka-sink row shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("file:///out/"), F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".txt"))
+    msg = F.format_string(
+        C.PUBLISH_PATTERN, uri, F.col("doc_id"), F.col("n_chars"), F.col("source")
+    )
+    return docs.select(F.col("doc_id"), msg.alias("message"))
+
+
+# ---------------------------------------------------------------------------
+# Extensions: dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(
+        docs,
+        shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=C.SIMHASH_BITS)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs,
+        shingle_words=C.JACCARD_SHINGLE_WORDS,
+        threshold=C.JACCARD_THRESHOLD,
+        block_cols=["lang", "source"],
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(
+        docs,
+        shingle_words=C.FINGERPRINT_SHINGLE_WORDS,
+        mod=C.FINGERPRINT_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: similarity search
+
+
+def _query_vectors(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("vec_id") < C.TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vectors(emb), k=C.TOPK_K)
+
+
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_bucketed_topk(
+        emb, _query_vectors(emb), k=C.ANN_K, n_bits=C.ANN_BITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: text analysis
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_features(docs)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: multimodal
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return media_metadata(attach_fake_media(docs))
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_local_supplier": q_q5_local_supplier,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "work_items_flatten": q_work_items_flatten,
+    "check_metadata_categorical": q_check_metadata_categorical,
+    "check_metadata_age": q_check_metadata_age,
+    "metadata_alias": q_metadata_alias,
+    "coverage_filter": q_coverage_filter,
+    "sza_filter": q_sza_filter,
+    "valid_fraction_filter": q_valid_fraction_filter,
+    "priority_batches": q_priority_batches,
+    "block_aggregate": q_block_aggregate,
+    "resolution_top1": q_resolution_top1,
+    "composite_union_distinct": q_composite_union_distinct,
+    "filename_compose": q_filename_compose,
+    "json_extract_props": q_json_extract_props,
+    "sessionize": q_sessionize,
+    "nearest_join_asof": q_nearest_join_asof,
+    "weighted_resample": q_weighted_resample,
+    "manifest_check": q_manifest_check,
+    "publisher_messages": q_publisher_messages,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann": q_embedding_ann,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "multimodal_meta": q_multimodal_meta,
+}
