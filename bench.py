@@ -57,13 +57,23 @@ def main() -> int:
     # not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # best-of-2 per query: the first run pays Catalyst analysis + codegen
+    # and absorbs host-noise spikes; the min is the reproducible number a
+    # warmed cluster would see.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
+        print(
+            f"# {name}: {times[name]:.3f}s (runs {[round(r, 3) for r in runs]},"
+            f" {n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     print(

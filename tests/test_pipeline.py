@@ -1,0 +1,263 @@
+"""End-to-end pipeline runtime tests: message -> jobs -> scene -> sinks
+-> manifest -> publisher (the reference's golden-path CLI test shape,
+mirrored: a real input file, a full run, asserts on produced outputs)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trollflow2_spark.config.product_list import read_product_list
+from trollflow2_spark.plans.pipeline import (
+    AbortProcessing,
+    message_to_jobs,
+    process_message,
+    run_product_list,
+)
+from trollflow2_spark.operators.transforms import register_composite
+from trollflow2_spark.sinks.save import SaveResult, check_results, compose_filename
+from trollflow2_spark.sources.scene import create_scene, extract_filenames
+
+
+@pytest.fixture(scope="module")
+def input_file(spark, sf_dir, tmp_path_factory):
+    """A real parquet input: a small slice of events as the 'scene'."""
+    path = str(tmp_path_factory.mktemp("input") / "scene.parquet")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .limit(200)
+        .withColumn("ch1", F.col("value"))
+        .withColumn("ch2", F.col("value") * 2)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+PL_YAML = """
+product_list:
+  output_dir: "{out_dir}"
+  fname_pattern: "{{platform_name}}_{{areaname}}_{{productname}}.{{format}}"
+  formats:
+    - format: parquet
+      writer: parquet
+  areas:
+    euron1:
+      areaname: euron1
+      priority: 1
+      products:
+        ch1:
+          productname: channel_1
+          formats:
+            - format: parquet
+              writer: parquet
+            - format: csv
+              writer: csv
+    germ:
+      areaname: germ
+      products:
+        night_fog:
+          productname: night_fog
+          sunzen_minimum_angle: 90.0
+        ch2:
+          productname: channel_2
+"""
+
+
+def _message(input_file):
+    return {
+        "type": "file",
+        "platform_name": "TEST-1",
+        "sensor": "avhrr",
+        "start_time": "2024-01-15T12:00:00",
+        "dataset": [{"uri": input_file, "uid": os.path.basename(input_file)}],
+    }
+
+
+def test_extract_filenames_prefers_uri(input_file):
+    msg = _message(input_file)
+    assert extract_filenames(msg) == [input_file]
+    # nested collection form + path fallback
+    msg2 = {"collection": [{"dataset": [{"path": "/a"}, {"path": "/b"}]}]}
+    assert extract_filenames(msg2) == ["/a", "/b"]
+
+
+def test_create_scene_reads_parquet(spark, input_file):
+    scene = create_scene(spark, [input_file], reader="parquet")
+    assert scene.count() == 200
+    assert "ch1" in scene.columns
+
+
+def test_message_to_jobs_priority_batches(spark, input_file, tmp_path):
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    jobs = message_to_jobs(spark, _message(input_file), plist)
+    assert list(jobs) == [1, 999]  # explicit prio first, default 999 after
+    # euron1/ch1 has 2 formats -> 2 leaves in priority 1
+    assert len(jobs[1]["work_items"]) == 2
+    assert len(jobs[999]["work_items"]) == 2
+
+
+def test_full_pipeline_run(spark, input_file, tmp_path):
+    out_dir = str(tmp_path / "out")
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=out_dir))
+    summary = process_message(spark, _message(input_file), plist)
+
+    assert summary["status"] == "nominal"
+    produced = summary["result"].produced
+    # euron1/ch1: parquet + csv; germ: night_fog dropped by sza at noon
+    # (sza@(0,0) ~ 23 deg < min 90), ch2 written with global format.
+    names = sorted(os.path.basename(p["filename"]) for p in produced)
+    assert names == [
+        "TEST-1_euron1_channel_1.csv",
+        "TEST-1_euron1_channel_1.parquet",
+        "TEST-1_germ_channel_2.parquet",
+    ]
+    for p in produced:
+        assert os.path.exists(p["filename"]), p
+        assert p["size_bytes"] > 0
+        assert p["staged_filename"] is None  # atomically renamed
+    # no leftover tmp staging dirs
+    assert not [f for f in os.listdir(out_dir) if ".tmp" in f]
+    # written parquet is the selected product column only
+    pq = [p for p in produced if p["filename"].endswith("channel_1.parquet")][0]
+    df = spark.read.parquet(pq["filename"])
+    assert df.columns == ["ch1"]
+    assert df.count() == 200
+
+
+def test_abort_on_bad_metadata(spark, input_file, tmp_path):
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    workers = [
+        {"fun": "check_metadata", "platform_name": ["OTHER-SAT"]},
+        {"fun": "create_scene"},
+        {"fun": "save_datasets"},
+    ]
+    summary = process_message(spark, _message(input_file), plist, workers)
+    assert summary["status"] == "aborted"
+    assert summary["result"].produced == []
+    assert set(summary["aborted_priorities"]) == {1, 999}
+
+
+def test_abort_on_unreadable_input(spark, tmp_path):
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    msg = {"type": "file", "platform_name": "TEST-1",
+           "start_time": "2024-01-15T12:00:00",
+           "dataset": [{"uri": str(tmp_path / "nope.parquet")}]}
+    summary = process_message(spark, msg, plist)
+    assert summary["status"] == "aborted"
+
+
+def test_ignored_message_type(spark, input_file, tmp_path):
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    msg = {**_message(input_file), "type": "beat"}
+    summary = process_message(spark, msg, plist)
+    assert summary["status"] == "ignored"
+
+
+def test_composites_and_valid_fraction(spark, input_file, tmp_path):
+    @register_composite("bright")
+    def _bright(df):
+        return (F.col("ch1") + F.col("ch2")) / 2.0
+
+    out_dir = str(tmp_path / "out")
+    yaml_text = """
+product_list:
+  output_dir: "{out}"
+  fname_pattern: "{{productname}}.{{format}}"
+  areas:
+    a1:
+      areaname: a1
+      products:
+        bright:
+          productname: bright
+          formats: [{{format: parquet, writer: parquet}}]
+""".format(out=out_dir)
+    plist = read_product_list(raw_string=yaml_text)
+    workers = [
+        {"fun": "create_scene"},
+        {"fun": "load_composites"},
+        {"fun": "check_valid_data_fraction", "min_valid_data_fraction": 10.0},
+        {"fun": "save_datasets"},
+    ]
+    summary = process_message(spark, _message(input_file), plist, workers)
+    assert summary["status"] == "nominal"
+    df = spark.read.parquet(summary["result"].produced[0]["filename"])
+    assert df.columns == ["bright"]
+
+
+def test_run_product_list_batch_entry(spark, input_file, tmp_path):
+    out_dir = str(tmp_path / "out")
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=out_dir))
+    summary = run_product_list(
+        spark,
+        [input_file],
+        {"platform_name": "TEST-1", "start_time": "2024-01-15T12:00:00"},
+        plist,
+    )
+    assert summary["status"] == "nominal"
+    assert len(summary["result"].produced) == 3
+
+
+def test_publisher_messages(spark, input_file, tmp_path):
+    out_dir = str(tmp_path / "out")
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=out_dir))
+    workers = [
+        {"fun": "create_scene"},
+        {"fun": "sza_check"},
+        {"fun": "save_datasets"},
+        {"fun": "publish", "topic_pattern": "/{format}/{area}", "out_dir": out_dir},
+    ]
+    summary = process_message(spark, _message(input_file), plist, workers)
+    assert summary["status"] == "nominal"
+    pub_dir = os.path.join(out_dir, "published_messages")
+    rows = spark.read.json(pub_dir).collect()
+    assert len(rows) == 3
+    payload = json.loads(rows[0]["message"])
+    assert payload["platform_name"] == "TEST-1"
+    assert payload["uri"].startswith(out_dir)
+    topics = {r["topic"] for r in rows}
+    assert topics == {"/parquet/euron1", "/csv/euron1", "/parquet/germ"}
+
+
+def test_check_results_empty_detection():
+    r = SaveResult()
+    r.produced = [
+        {"filename": "a", "size_bytes": 10},
+        {"filename": "b", "size_bytes": 0},
+    ]
+    audit = check_results(r)
+    assert audit["status"] == "empty_files"
+    assert audit["empty_files"] == ["b"]
+    r2 = SaveResult()
+    r2.produced = [{"filename": "a", "size_bytes": 10}]
+    assert check_results(r2, expected=2)["status"] == "missing_files"
+    assert check_results(r2, expected=1)["status"] == "nominal"
+
+
+def test_compose_filename_strftime():
+    out = compose_filename(
+        "{platform_name}_{start_time:%Y%m%d_%H%M}_{areaname}.{format}",
+        {
+            "platform_name": "TEST-1",
+            "start_time": "2024-01-15T12:34:00",
+            "areaname": "euron1",
+            "format": "tif",
+        },
+    )
+    assert out == "TEST-1_20240115_1234_euron1.tif"
+
+
+def test_worker_timeout(spark, input_file, tmp_path):
+    from trollflow2_spark.plans.pipeline import register_plugin
+
+    @register_plugin("sleepy")
+    def _sleepy(job):
+        import time
+
+        time.sleep(5)
+
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    workers = [{"fun": "sleepy", "timeout": 0.5}]
+    with pytest.raises(TimeoutError):
+        process_message(spark, _message(input_file), plist, workers)

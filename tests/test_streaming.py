@@ -1,0 +1,96 @@
+"""Streaming runner tests: message files -> foreachBatch pipeline ->
+outputs, using availableNow to drain deterministically."""
+
+import json
+import os
+
+from trollflow2_spark.config.product_list import read_product_list
+from trollflow2_spark.streaming.runner import run_streaming
+
+
+PL_YAML = """
+product_list:
+  output_dir: "{out_dir}"
+  fname_pattern: "{{platform_name}}_{{productname}}.{{format}}"
+  areas:
+    a1:
+      areaname: a1
+      products:
+        ch1:
+          productname: p1
+          formats: [{{format: parquet, writer: parquet}}]
+"""
+
+
+def _write_message(msg_dir, name, input_file, mtype="file", platform="SAT-A"):
+    os.makedirs(msg_dir, exist_ok=True)
+    msg = {
+        "type": mtype,
+        "platform_name": platform,
+        "start_time": "2024-01-15T12:00:00",
+        "dataset": [{"uri": input_file, "uid": os.path.basename(input_file)}],
+    }
+    with open(os.path.join(msg_dir, name), "w") as fh:
+        json.dump(msg, fh)
+
+
+def test_streaming_drains_messages(spark, sf_dir, tmp_path):
+    input_file = str(tmp_path / "scene.parquet")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .limit(50)
+        .withColumnRenamed("value", "ch1")
+        .write.parquet(input_file)
+    )
+    msg_dir = str(tmp_path / "messages")
+    out_dir = str(tmp_path / "out")
+    _write_message(msg_dir, "m1.json", input_file, platform="SAT-A")
+    _write_message(msg_dir, "m2.json", input_file, platform="SAT-B")
+    _write_message(msg_dir, "m3.json", input_file, mtype="beat", platform="SAT-C")
+
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=out_dir))
+    results = []
+    query = run_streaming(
+        spark,
+        msg_dir,
+        plist,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_result=lambda msg, summary: results.append((msg["platform_name"], summary["status"])),
+        available_now=True,
+    )
+    query.awaitTermination(120)
+    assert not query.isActive
+
+    # two accepted messages processed; 'beat' filtered out by type
+    assert sorted(results) == [("SAT-A", "nominal"), ("SAT-B", "nominal")]
+    produced = sorted(os.listdir(out_dir))
+    assert produced == ["SAT-A_p1.parquet", "SAT-B_p1.parquet"]
+    assert spark.read.parquet(os.path.join(out_dir, "SAT-A_p1.parquet")).count() == 50
+
+
+def test_streaming_crash_handler(spark, tmp_path):
+    msg_dir = str(tmp_path / "messages")
+    out_dir = str(tmp_path / "out")
+    _write_message(msg_dir, "bad.json", str(tmp_path / "missing.parquet"))
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=out_dir))
+
+    crashes = []
+
+    def boom(job, **kwargs):
+        raise RuntimeError("kaboom")
+
+    from trollflow2_spark.plans.pipeline import register_plugin
+
+    register_plugin("boom")(boom)
+
+    query = run_streaming(
+        spark,
+        msg_dir,
+        plist,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        workers=[{"fun": "boom"}],
+        on_crash=lambda msg, exc: crashes.append(str(exc)),
+        available_now=True,
+    )
+    query.awaitTermination(120)
+    assert crashes == ["kaboom"]

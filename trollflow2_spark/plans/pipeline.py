@@ -1,0 +1,464 @@
+"""The pipeline runner: (message × product list) -> jobs -> manifest.
+
+This is the engine's query lifecycle (≙ ``process_files`` →
+``message_to_jobs`` → ``process_jobs`` in
+``/root/reference/trollflow2/launcher.py:269-457``), re-expressed so a
+*job* carries lazy DataFrames instead of dask graphs:
+
+    job = {
+      "spark":            SparkSession,
+      "input_filenames":  [uri, ...],
+      "input_mda":        {message metadata},
+      "product_list":     {raw config dict},
+      "work_items":       [flat leaf dicts for this priority batch],
+      "scene":            DataFrame (set by create_scene),
+      "resampled_scenes": {area: DataFrame},
+      "produced_files":   SaveResult (set by save_datasets),
+    }
+
+Worker plugins are ``fn(job, **kwargs)`` callables resolved from
+:data:`PLUGIN_REGISTRY` by *name* (safe-YAML pipelines; no code-exec
+tags). ``AbortProcessing`` skips the rest of the current priority batch
+(≙ ``plugins/__init__.py:82-83``, caught at ``launcher.py:456-457``).
+Per-worker ``timeout`` cancels the batch's Spark jobs via job-group
+cancellation — the cluster-side replacement for the reference's
+SIGALRM-based timers (``launcher.py:441-455``).
+
+Scale notes: per-message work is one Spark job-group on the shared
+session; the work-item loop is config-sized; data-path operations stay
+declarative inside the registered stages. Executor-side isolation +
+task retry replace the reference's process-per-message model
+(``launcher.py:23-26``).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import threading
+import time
+import uuid
+from collections import OrderedDict
+from datetime import datetime
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trollflow2_spark.config.work_items import (
+    DEFAULT_PRIORITY,
+    flatten_product_list,
+)
+from trollflow2_spark.operators.transforms import (
+    COMPOSITE_REGISTRY,
+    block_aggregate,
+)
+from trollflow2_spark.sinks.save import SaveResult, check_results, save_datasets
+from trollflow2_spark.sinks.publish import publish_messages_df, publish_to_json_dir
+from trollflow2_spark.sources.scene import (
+    SceneCreationError,
+    create_scene,
+    extract_filenames,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class AbortProcessing(Exception):
+    """Abort the current priority batch (≙ ``plugins/__init__.py:82-83``)."""
+
+
+# ---------------------------------------------------------------------------
+# job building
+
+
+def message_to_jobs(
+    spark: SparkSession, message: dict, product_list: dict
+) -> "OrderedDict[int, dict]":
+    """(message × product list) -> jobs grouped by ascending priority
+    (≙ ``message_to_jobs``/``get_area_priorities``,
+    ``launcher.py:253-300``; NULL priority -> 999)."""
+    leaves = list(flatten_product_list(product_list, base_mda=None))
+    by_prio: dict[int, list[dict]] = {}
+    for leaf in leaves:
+        prio = leaf.get("priority")
+        prio = DEFAULT_PRIORITY if prio is None else int(prio)
+        by_prio.setdefault(prio, []).append(leaf)
+
+    jobs: "OrderedDict[int, dict]" = OrderedDict()
+    for prio in sorted(by_prio):
+        jobs[prio] = {
+            "spark": spark,
+            "input_filenames": extract_filenames(message),
+            "input_mda": dict(message),
+            "product_list": product_list,
+            "work_items": by_prio[prio],
+            "scene": None,
+            "resampled_scenes": {},
+            "produced_files": SaveResult(),
+            "processing_priority": prio,
+        }
+    return jobs
+
+
+# ---------------------------------------------------------------------------
+# worker plugins (job-level; each wraps the DataFrame operators)
+
+PLUGIN_REGISTRY: dict[str, Callable[..., None]] = {}
+
+
+def register_plugin(name: str):
+    def deco(fn):
+        PLUGIN_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_plugin("create_scene")
+def create_scene_plugin(
+    job: dict, reader: str = "parquet", reader_kwargs: dict | None = None
+) -> None:
+    """Open the job's input files (≙ ``plugins/__init__.py:86-99``)."""
+    try:
+        job["scene"] = create_scene(
+            job["spark"], job["input_filenames"], reader, reader_kwargs
+        )
+    except SceneCreationError as exc:
+        raise AbortProcessing(str(exc)) from exc
+
+
+@register_plugin("check_metadata")
+def check_metadata_plugin(job: dict, **criteria: Any) -> None:
+    """Scene-level metadata gate on the *message* metadata
+    (≙ ``plugins/__init__.py:687-714``): list criterion = categorical
+    membership; numeric criterion on a ``*_time`` key = max age in
+    minutes (negative = "not older than"). Missing key: warn & pass."""
+    mda = job["input_mda"]
+    for key, want in criteria.items():
+        if key not in mda:
+            logger.warning("check_metadata: %r not in message metadata, passing", key)
+            continue
+        val = mda[key]
+        if isinstance(want, (list, tuple, set)):
+            if val not in want:
+                raise AbortProcessing(
+                    f"metadata {key}={val!r} not in allowed {sorted(map(str, want))}"
+                )
+        elif isinstance(want, (int, float)):
+            ts = datetime.fromisoformat(val) if isinstance(val, str) else val
+            age_min = (datetime.utcnow().replace(tzinfo=None) - ts.replace(tzinfo=None)).total_seconds() / 60.0
+            if age_min > abs(float(want)):
+                raise AbortProcessing(
+                    f"metadata {key} age {age_min:.1f} min exceeds {abs(want)} min"
+                )
+        else:
+            if val != want:
+                raise AbortProcessing(f"metadata {key}={val!r} != {want!r}")
+
+
+@register_plugin("metadata_alias")
+def metadata_alias_plugin(job: dict, **aliases: dict) -> None:
+    """Rewrite message metadata values through per-key alias maps
+    (≙ ``plugins/__init__.py:717-736``); list/tuple values element-wise."""
+    mda = job["input_mda"]
+    for key, amap in aliases.items():
+        if key not in mda:
+            continue
+        val = mda[key]
+        if isinstance(val, (list, tuple)):
+            mda[key] = type(val)(amap.get(v, v) for v in val)
+        else:
+            mda[key] = amap.get(val, val)
+
+
+@register_plugin("load_composites")
+def load_composites_plugin(job: dict, composites: Sequence[str] | None = None) -> None:
+    """Derive requested composite columns on the scene
+    (≙ ``plugins/__init__.py:102-121``). ``composites=None`` derives the
+    union of all products named by the work items that exist in the
+    registry — unknown names are assumed to be raw channels."""
+    scene = job["scene"]
+    if composites is None:
+        wanted: list[str] = []
+        for item in job["work_items"]:
+            for p in item.get("product") or []:
+                if p in COMPOSITE_REGISTRY and p not in wanted:
+                    wanted.append(p)
+        composites = wanted
+    for name in composites:
+        scene = scene.withColumn(name, COMPOSITE_REGISTRY[name](scene))
+    job["scene"] = scene
+
+
+@register_plugin("aggregate")
+def aggregate_plugin(job: dict, value_cols: Sequence[str] | None = None, **factors: int) -> None:
+    """Block-aggregate the scene by integer factors
+    (≙ ``plugins/__init__.py:124-130``)."""
+    scene = job["scene"]
+    if value_cols is None:
+        keyed = set(factors)
+        value_cols = [
+            c for c, t in scene.dtypes
+            if c not in keyed and t in ("double", "float", "int", "bigint")
+        ]
+    job["scene"] = block_aggregate(scene, factors, value_cols, agg="avg")
+
+
+def _sun_zenith_angle_py(ts: datetime, lon: float, lat: float) -> float:
+    """Driver-side twin of functions.geometry.sun_zenith_angle_deg."""
+    doy = ts.timetuple().tm_yday
+    decl = -23.44 * math.cos(2.0 * math.pi / 365.0 * (doy + 10.0))
+    hour = ts.hour + ts.minute / 60.0 + ts.second / 3600.0
+    ha = 15.0 * (hour - 12.0) + lon
+    cosz = (
+        math.sin(math.radians(lat)) * math.sin(math.radians(decl))
+        + math.cos(math.radians(lat))
+        * math.cos(math.radians(decl))
+        * math.cos(math.radians(ha))
+    )
+    return math.degrees(math.acos(max(-1.0, min(1.0, cosz))))
+
+
+@register_plugin("sza_check")
+def sza_check_plugin(job: dict) -> None:
+    """Prune work items by sun-zenith angle at their configured
+    (lon, lat) and the message start time (≙ ``plugins/__init__.py:
+    739-783``). Items without SZA config pass untouched."""
+    start = job["input_mda"].get("start_time")
+    if start is None:
+        logger.warning("sza_check: no start_time in message, skipping")
+        return
+    ts = datetime.fromisoformat(start) if isinstance(start, str) else start
+    kept = []
+    for item in job["work_items"]:
+        lo, hi = item.get("sunzen_minimum_angle"), item.get("sunzen_maximum_angle")
+        if lo is None and hi is None:
+            kept.append(item)
+            continue
+        lon = item.get("sunzen_check_lon", 0.0) or 0.0
+        lat = item.get("sunzen_check_lat", 0.0) or 0.0
+        sza = _sun_zenith_angle_py(ts.replace(tzinfo=None), float(lon), float(lat))
+        if (lo is None or sza >= float(lo)) and (hi is None or sza <= float(hi)):
+            kept.append(item)
+        else:
+            logger.info(
+                "sza_check: dropping %s/%s (sza=%.1f)",
+                item.get("area"), item.get("product"), sza,
+            )
+    job["work_items"] = kept
+
+
+@register_plugin("covers")
+def covers_plugin(job: dict, coverage_fn: Callable[[dict, dict], float] | None = None) -> None:
+    """Prune work items whose pass/area coverage is below their
+    ``min_coverage`` (≙ ``plugins/__init__.py:582-684``). Without a real
+    ephemeris stack (``coverage_fn=None``) the check degrades to a no-op
+    with a warning — the reference's graceful degradation
+    (``plugins/__init__.py:588-591``)."""
+    if coverage_fn is None:
+        logger.warning("covers: no ephemeris backend available, skipping check")
+        return
+    kept = []
+    for item in job["work_items"]:
+        min_cov = item.get("min_coverage")
+        if min_cov is None:
+            kept.append(item)
+            continue
+        cov = coverage_fn(job["input_mda"], item)
+        item["area_coverage_percent"] = cov
+        if cov >= float(min_cov):
+            kept.append(item)
+        else:
+            logger.info(
+                "covers: dropping %s (coverage %.1f%% < %.1f%%)",
+                item.get("area"), cov, min_cov,
+            )
+    job["work_items"] = kept
+
+
+@register_plugin("check_valid_data_fraction")
+def check_valid_data_fraction_plugin(job: dict, min_valid_data_fraction: float = 10.0) -> None:
+    """Prune work items whose product column has too little valid
+    (non-NULL, non-NaN) data (≙ ``plugins/__init__.py:955-1079``).
+
+    One aggregation pass computes every product's fraction at once over
+    the persisted scene (≙ the batched ``dask.persist`` at ``:1014-1032``
+    — same compute-once motivation)."""
+    scene = job["scene"]
+    prods = sorted(
+        {p for item in job["work_items"] for p in (item.get("product") or []) if p in scene.columns}
+    )
+    if not prods:
+        return
+    aggs = []
+    for p in prods:
+        c = F.col(p)
+        valid = F.count(F.when(c.isNotNull() & ~F.isnan(c.cast("double")), F.lit(1)))
+        aggs.append((valid / F.count(F.lit(1))).alias(p))
+    fractions = scene.agg(*aggs).collect()[0].asDict()
+    thresh = float(min_valid_data_fraction) / 100.0
+    kept = []
+    for item in job["work_items"]:
+        named = [p for p in (item.get("product") or []) if p in fractions]
+        if not named:
+            kept.append(item)
+            continue
+        rel = min(float(fractions[p] or 0.0) for p in named)
+        # sanity band 0 <= rel < 1.05 then threshold (plugins/__init__.py:1069-1072)
+        if thresh <= rel < 1.05:
+            kept.append(item)
+        else:
+            logger.info("valid_fraction: dropping %s (%.2f)", item.get("product"), rel)
+    job["work_items"] = kept
+
+
+@register_plugin("save_datasets")
+def save_datasets_plugin(job: dict, **kwargs: Any) -> None:
+    """Write every work-item leaf (≙ ``plugins/__init__.py:330-395``)."""
+    if job.get("scene") is None:
+        raise AbortProcessing("save_datasets: no scene loaded")
+    result = save_datasets(
+        job["spark"],
+        job["scene"],
+        job["work_items"],
+        base_mda={
+            k: v for k, v in job["input_mda"].items() if not isinstance(v, (dict, list))
+        },
+        job=job,
+        **kwargs,
+    )
+    job["produced_files"].produced.extend(result.produced)
+
+
+@register_plugin("publish")
+def publish_plugin(
+    job: dict,
+    topic_pattern: str = "/{format}/{area}",
+    out_dir: str | None = None,
+    dispatch_targets: Sequence[str] | None = None,
+) -> None:
+    """Emit one message per produced file (≙ FilePublisher,
+    ``plugins/__init__.py:476-579``); JSON-dir sink locally, Kafka in
+    production."""
+    msgs = publish_messages_df(
+        job["spark"],
+        job["produced_files"],
+        base_mda=job["input_mda"],
+        topic_pattern=topic_pattern,
+        dispatch_targets=dispatch_targets,
+    )
+    target = out_dir
+    if target is None:
+        target = job["work_items"][0].get("output_dir", ".") if job["work_items"] else "."
+    job["published_to"] = publish_to_json_dir(msgs, target)
+
+
+# ---------------------------------------------------------------------------
+# the runner
+
+DEFAULT_WORKERS: list[dict] = [
+    {"fun": "check_metadata"},
+    {"fun": "create_scene"},
+    {"fun": "load_composites"},
+    {"fun": "covers"},
+    {"fun": "sza_check"},
+    {"fun": "save_datasets"},
+]
+
+
+def _run_with_timeout(
+    spark: SparkSession, fn: Callable[[], None], timeout: float | None, group: str
+) -> None:
+    """Run a worker; on timeout cancel its Spark job group and fail the
+    batch (cluster-side analog of the SIGALRM timer at
+    ``launcher.py:441-455``)."""
+    if not timeout:
+        fn()
+        return
+    err: list[BaseException] = []
+
+    def body() -> None:
+        try:
+            fn()
+        except BaseException as exc:  # noqa: BLE001 - reported below
+            err.append(exc)
+
+    t = threading.Thread(target=body, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        raise TimeoutError(f"worker exceeded {timeout}s; job group {group} cancelled")
+    if err:
+        raise err[0]
+
+
+def process_message(
+    spark: SparkSession,
+    message: dict,
+    product_list: dict,
+    workers: Sequence[dict] | None = None,
+) -> dict:
+    """Run the full plugin chain for one message, priority batch by
+    priority batch (≙ ``process_jobs``, ``launcher.py:432-457``).
+
+    ``workers``: list of ``{"fun": name, ...kwargs}`` dicts (the safe
+    analog of the reference's ``workers:`` YAML). Returns a summary with
+    the merged :class:`SaveResult` and a ``check_results`` audit.
+    """
+    mtype = message.get("type")
+    if mtype is not None and mtype not in ("file", "dataset", "collection"):
+        return {"status": "ignored", "reason": f"message type {mtype!r}"}
+
+    workers = list(workers or DEFAULT_WORKERS)
+    t0 = time.time()
+    merged = SaveResult()
+    aborted: dict[int, str] = {}
+    jobs = message_to_jobs(spark, message, product_list)
+    for prio, job in jobs.items():
+        group = f"tf2-{uuid.uuid4().hex[:8]}-p{prio}"
+        spark.sparkContext.setJobGroup(group, f"priority batch {prio}", True)
+        try:
+            for wrk in workers:
+                conf = dict(wrk)
+                name = conf.pop("fun")
+                timeout = conf.pop("timeout", None)
+                plugin = PLUGIN_REGISTRY.get(name)
+                if plugin is None:
+                    raise ValueError(
+                        f"unknown worker {name!r}; registered: {sorted(PLUGIN_REGISTRY)}"
+                    )
+                _run_with_timeout(
+                    spark, lambda: plugin(job, **conf), timeout, group
+                )
+                if not job["work_items"]:
+                    logger.info("priority %s: all work items pruned", prio)
+                    break
+        except AbortProcessing as exc:
+            logger.warning("priority %s aborted: %s", prio, exc)
+            aborted[prio] = str(exc)
+        finally:
+            spark.sparkContext.setJobGroup("", "", False)
+        merged.produced.extend(job["produced_files"].produced)
+
+    audit = check_results(merged, start_time=t0)
+    return {
+        "status": audit["status"] if not aborted else "aborted",
+        "aborted_priorities": aborted,
+        "result": merged,
+        "audit": audit,
+    }
+
+
+def run_product_list(
+    spark: SparkSession,
+    input_files: Sequence[str],
+    metadata: dict,
+    product_list: dict,
+    workers: Sequence[dict] | None = None,
+) -> dict:
+    """Batch one-shot entry point (≙ the ``satpy_cli`` path,
+    ``/root/reference/trollflow2/cli.py:46-65``): files + metadata in,
+    manifest summary out."""
+    message = {**metadata, "type": "file", "dataset": [{"uri": f} for f in input_files]}
+    return process_message(spark, message, product_list, workers)

@@ -1,0 +1,155 @@
+"""Sources: messages -> input files -> scene DataFrame.
+
+The reference's scan path is ``create_scene`` (open input files with a
+named reader, ``/root/reference/trollflow2/plugins/__init__.py:86-99``)
+fed by filenames pulled out of a posttroll message
+(``launcher.py:303-317``). Here:
+
+- a *message* is a plain dict (one row of the message stream; schema in
+  :data:`MESSAGE_SCHEMA`),
+- a *reader* is a registered ``(spark, paths, **kwargs) -> DataFrame``
+  loader (≙ the satpy reader registry; ours maps to Spark datasources),
+- the scene is a DataFrame: lazy, columnar, schema known after load.
+
+Scale notes: readers go straight to ``spark.read.<format>`` so the scan
+keeps predicate/projection pushdown; a 1000-file message becomes one
+multi-path scan (parallelism = files × row-groups), never a driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# One row of the message stream (shape from the reference's example
+# payloads, tests/test_trollflow2.py:271-282).
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("platform_name", T.StringType()),
+        T.StructField("sensor", T.StringType()),
+        T.StructField("orbit_number", T.LongType()),
+        T.StructField("start_time", T.StringType()),
+        T.StructField("end_time", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("uid", T.StringType()),
+        T.StructField(
+            "dataset",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("uri", T.StringType()),
+                        T.StructField("uid", T.StringType()),
+                        T.StructField("path", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("filesystem", T.StringType()),  # fsspec-style JSON spec
+    ]
+)
+
+#: message types the runner consumes (``launcher.py:60``)
+ACCEPTED_MESSAGE_TYPES = ("file", "dataset", "collection")
+
+
+class SceneCreationError(RuntimeError):
+    """Input files could not be opened (≙ AbortProcessing trigger at
+    ``plugins/__init__.py:97-99``)."""
+
+
+def gen_dict_extract(var: Any, key: str) -> Iterator[Any]:
+    """Yield every value of ``key`` anywhere in a nested dict/list
+    structure (≙ ``dict_tools.py:65-77``, reimplemented)."""
+    if isinstance(var, dict):
+        for k, v in var.items():
+            if k == key:
+                yield v
+            elif isinstance(v, (dict, list)):
+                yield from gen_dict_extract(v, key)
+    elif isinstance(var, list):
+        for item in var:
+            yield from gen_dict_extract(item, key)
+
+
+def extract_filenames(message: dict) -> list[str]:
+    """Pull input URIs out of a message payload: prefer ``uri``, fall back
+    to ``path`` then ``uid``; recurse through ``dataset``/``collection``
+    nesting (≙ ``launcher.py:303-317``)."""
+    found: list[str] = []
+    for key in ("uri", "path", "uid"):
+        for val in gen_dict_extract(message, key):
+            if isinstance(val, str) and val:
+                found.append(val)
+        if found:
+            break
+    # de-dup, preserve order
+    seen: set[str] = set()
+    return [f for f in found if not (f in seen or seen.add(f))]
+
+
+def read_message_file(path: str) -> dict:
+    """One-shot batch source: a saved message JSON file instead of the
+    stream (≙ test-message mode, ``launcher.py:80-87,206-215``)."""
+    with open(path, "r", encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+# ---------------------------------------------------------------------------
+# Reader registry (≙ satpy's named readers; ours are Spark datasources)
+
+READER_REGISTRY: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_reader(name: str):
+    def deco(fn):
+        READER_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_reader("parquet")
+def _read_parquet(spark: SparkSession, paths: list[str], **kwargs) -> DataFrame:
+    return spark.read.options(**kwargs).parquet(*paths)
+
+
+@register_reader("csv")
+def _read_csv(spark: SparkSession, paths: list[str], **kwargs) -> DataFrame:
+    kwargs.setdefault("header", "true")
+    kwargs.setdefault("inferSchema", "true")
+    return spark.read.options(**kwargs).csv(paths)
+
+
+@register_reader("json")
+def _read_json(spark: SparkSession, paths: list[str], **kwargs) -> DataFrame:
+    return spark.read.options(**kwargs).json(paths)
+
+
+def create_scene(
+    spark: SparkSession,
+    filenames: list[str],
+    reader: str = "parquet",
+    reader_kwargs: dict | None = None,
+) -> DataFrame:
+    """Open the input files with the named reader -> scene DataFrame.
+
+    Parity: ``create_scene`` (``plugins/__init__.py:86-99``): unknown
+    reader or unreadable files raise :class:`SceneCreationError`, which
+    the pipeline runner converts to an aborted job.
+    """
+    if not filenames:
+        raise SceneCreationError("no input files in message")
+    loader = READER_REGISTRY.get(reader)
+    if loader is None:
+        raise SceneCreationError(
+            f"unknown reader {reader!r}; registered: {sorted(READER_REGISTRY)}"
+        )
+    try:
+        return loader(spark, list(filenames), **(reader_kwargs or {}))
+    except Exception as exc:  # noqa: BLE001 - any read failure aborts the job
+        raise SceneCreationError(f"could not open {filenames}: {exc}") from exc

@@ -1,0 +1,4 @@
+from trollflow2_spark.streaming.runner import (  # noqa: F401
+    message_stream,
+    run_streaming,
+)

@@ -1,0 +1,118 @@
+"""Streaming runner: unbounded message source -> per-message pipeline.
+
+Maps the reference's daemon loop (posttroll/ZMQ listener →
+per-message subprocess → plugin chain;
+``/root/reference/trollflow2/launcher.py:146-250``) to Structured
+Streaming:
+
+- the message stream is a ``readStream`` source (file/JSON locally; the
+  same code takes Kafka by swapping the reader) filtered to the accepted
+  message types (``launcher.py:60``);
+- each micro-batch runs the batch pipeline per message row via
+  ``foreachBatch`` (≙ the per-message spawned subprocess at
+  ``launcher.py:237-250`` — executor isolation + task retry replace
+  process isolation);
+- the stale-message age gate (``check_metadata`` ``start_time: -N``,
+  ``plugins/__init__.py:705-711``) maps to an event-time filter /
+  watermark;
+- graceful shutdown = ``query.stop()`` after the in-flight batch
+  (≙ SIGTERM drain, ``launcher.py:151-157``);
+- crash handlers = a listener/callback invoked on batch failure
+  (≙ ``crash_handlers`` config, ``launcher.py:410-416,483-497``).
+
+Scale notes: messages are tiny control rows — the heavy data is opened
+*inside* the per-message pipeline as a normal distributed scan, so the
+streaming layer itself never shuffles anything big. Checkpointing makes
+the message intake exactly-once per micro-batch.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trollflow2_spark.plans.pipeline import process_message
+from trollflow2_spark.sources.scene import ACCEPTED_MESSAGE_TYPES, MESSAGE_SCHEMA
+
+logger = logging.getLogger(__name__)
+
+
+def message_stream(
+    spark: SparkSession,
+    message_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """The unbounded message source: JSON message files appearing in a
+    directory (the local stand-in for the ZMQ subscription; production
+    swaps in ``spark.readStream.format("kafka")`` — same downstream
+    code). One file per trigger ≙ the reference's one-message-at-a-time
+    loop."""
+    reader = spark.readStream.schema(MESSAGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.json(message_dir)
+    return stream.filter(F.col("type").isin(*ACCEPTED_MESSAGE_TYPES))
+
+
+def run_streaming(
+    spark: SparkSession,
+    message_dir: str,
+    product_list: dict,
+    checkpoint_dir: str,
+    workers: Sequence[dict] | None = None,
+    max_age_minutes: float | None = None,
+    on_result: Callable[[dict, dict], None] | None = None,
+    on_crash: Callable[[dict, BaseException], None] | None = None,
+    available_now: bool = False,
+):
+    """Start the daemon: for every incoming message run the batch
+    pipeline (≙ ``Runner.run``, ``launcher.py:197-250``).
+
+    ``max_age_minutes`` drops stale messages by ``start_time`` before any
+    work happens (the watermark analog of ``check_metadata: start_time:
+    -N``). ``available_now=True`` drains what is present and stops — the
+    test-message/batch mode (``launcher.py:206-215``).
+
+    Returns the StreamingQuery; callers stop it with ``query.stop()``
+    (graceful: the in-flight batch completes — SIGTERM semantics).
+    """
+    stream = message_stream(spark, message_dir)
+    if max_age_minutes is not None:
+        cutoff = F.current_timestamp() - F.make_dt_interval(
+            mins=F.lit(float(max_age_minutes))
+        )
+        stream = stream.filter(
+            F.col("start_time").isNull()
+            | (F.to_timestamp("start_time") >= cutoff)
+        )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Messages are control rows: collecting them is O(messages), never
+        # O(data). The data tables are scanned inside process_message.
+        for row in batch_df.collect():
+            message = {k: v for k, v in row.asDict(recursive=True).items() if v is not None}
+            try:
+                summary = process_message(spark, message, product_list, workers)
+                logger.info(
+                    "batch %d message %s: %s",
+                    batch_id, message.get("uid"), summary["status"],
+                )
+                if on_result is not None:
+                    on_result(message, summary)
+            except BaseException as exc:  # noqa: BLE001 - crash handler hook
+                logger.exception("message processing crashed")
+                if on_crash is not None:
+                    on_crash(message, exc)
+                else:
+                    raise
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("trollflow2_spark_runner")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
