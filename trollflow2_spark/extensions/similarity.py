@@ -88,6 +88,47 @@ def signbit_cell(vec: Column, n_bits: int = 4) -> Column:
     return cell
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the sign-bit
+    LSH cell self-join, verified by cosine >= ``threshold``.
+
+    This is the embedding tier of the dedup family (exact / minhash /
+    simhash / Jaccard / cosine): candidate generation is an equi-join on
+    the cell id, so the all-pairs O(n^2) never materializes — at 100 TB
+    the cell key is what keeps the shuffle bounded; more bits (or a
+    k-means IVF) shrink cells at the cost of recall, and multi-probe
+    wins it back.
+    """
+    base = df.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("__cell", signbit_cell(F.col(vec_col), n_bits))
+    a = base.select(
+        F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = base.select(
+        F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return pairs.filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+
+
 def ann_bucketed_topk(
     df: DataFrame,
     queries: DataFrame,

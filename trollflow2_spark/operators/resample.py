@@ -83,10 +83,18 @@ def nearest_join_2d(
     coords: tuple[str, str] = ("x", "y"),
     radius: float = 1.0,
     tie_breakers: list[Column] | None = None,
+    how: str = "left",
 ) -> DataFrame:
     """2-D nearest-neighbor resample: bucketed equi-join on (cx, cy) cell
     pairs + window top-1 per target pixel (SURVEY §2.5 mapping for the
-    default 'nearest' resampler, ``plugins/__init__.py:159-201``)."""
+    default 'nearest' resampler, ``plugins/__init__.py:159-201``).
+
+    ``how='inner'`` keeps only targets with a source within the radius
+    (miss -> fill value is the caller's choice, ≙ ``plugins/__init__.py:
+    149-156``); ``'left'`` keeps all targets but a target whose probe
+    cells contain only out-of-range sources is dropped by the distance
+    filter — use 'inner' when exact miss semantics matter.
+    """
     cx, cy = coords
     src = source.select(*[F.col(c).alias(f"src_{c}") for c in source.columns])
     tgt = _with_cell(_with_cell(target, cx, radius, "__cx"), cy, radius, "__cy")
@@ -98,7 +106,7 @@ def nearest_join_2d(
         "__py", F.explode(F.array(F.col("__cy") - 1, F.col("__cy"), F.col("__cy") + 1))
     )
     joined = tgt.join(
-        src, (tgt["__px"] == src["__scx"]) & (tgt["__py"] == src["__scy"]), "left"
+        src, (tgt["__px"] == src["__scx"]) & (tgt["__py"] == src["__scy"]), how
     )
     dist = F.sqrt(
         F.pow(F.col(cx).cast("double") - F.col(f"src_{cx}").cast("double"), 2)

@@ -465,3 +465,116 @@ SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
 """
+
+# --- spatial / raster additions -------------------------------------------
+
+_XY_T = (
+    f"SELECT event_id AS t_id, CAST(user_id % {C.R2D_XMOD} AS DOUBLE) AS x,"
+    f" CAST(event_id % {C.R2D_YMOD} AS DOUBLE) AS y"
+    " FROM events WHERE event_type = 'purchase'"
+)
+_XY_S = (
+    f"SELECT event_id AS s_id, CAST(user_id % {C.R2D_XMOD} AS DOUBLE) AS x,"
+    f" CAST(event_id % {C.R2D_YMOD} AS DOUBLE) AS y"
+    " FROM events WHERE event_type = 'click'"
+)
+ORACLES["resample_2d_nearest"] = f"""
+WITH t AS ({_XY_T}), s AS ({_XY_S}), j AS (
+  SELECT t.t_id, s.s_id,
+    sqrt(power(t.x - s.x, 2) + power(t.y - s.y, 2)) AS d
+  FROM t JOIN s
+    ON abs(t.x - s.x) <= {C.R2D_RADIUS} AND abs(t.y - s.y) <= {C.R2D_RADIUS}
+  WHERE sqrt(power(t.x - s.x, 2) + power(t.y - s.y, 2)) <= {C.R2D_RADIUS}
+)
+SELECT t_id, s_id AS nearest_id, round(d, 6) AS dist FROM j
+QUALIFY row_number() OVER (PARTITION BY t_id ORDER BY d ASC, s_id ASC) = 1
+"""
+
+_SZA_EV = SZA_SQL(
+    "ts",
+    "CAST(user_id % 360 - 180 AS DOUBLE)",
+    "CAST(user_id % 180 - 90 AS DOUBLE)",
+)
+ORACLES["sunlight_coverage"] = f"""
+WITH s AS (
+  SELECT event_type,
+    CASE WHEN round({_SZA_EV}, 4) < 90.0 THEN 1 ELSE 0 END AS lit_flag
+  FROM events
+)
+SELECT event_type, round(avg(lit_flag) * 100.0, 4) AS sunlight_pct,
+       count(*) AS n_points
+FROM s GROUP BY event_type
+HAVING sunlight_pct >= {C.SUNLIGHT_MIN_PCT} AND sunlight_pct <= {C.SUNLIGHT_MAX_PCT}
+"""
+
+
+def _pyramid_level_sql(factor: int) -> str:
+    return f"""
+SELECT {factor} AS level, CAST(FLOOR(event_id / {factor}) AS BIGINT) AS block,
+  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value), 6)
+    AS value_avg,
+  count(*) AS n_rows
+FROM events GROUP BY 2"""
+
+
+ORACLES["overview_pyramid"] = "\nUNION ALL\n".join(
+    _pyramid_level_sql(f) for f in C.PYRAMID_FACTORS
+)
+
+ORACLES["native_upsample"] = f"""
+WITH a AS (
+  SELECT CAST(FLOOR(event_id / 64) AS BIGINT) AS block,
+    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value), 6)
+      AS value
+  FROM events GROUP BY 1
+)
+SELECT a.block * {C.UPSAMPLE_FACTOR} + o.off AS up_id, a.block,
+       CAST(o.off AS INTEGER) AS offset, a.value
+FROM a CROSS JOIN (SELECT unnest(range({C.UPSAMPLE_FACTOR})) AS off) o
+"""
+
+# --- dedup / similarity additions -----------------------------------------
+
+_NEARDUP_CELL = " + ".join(
+    f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(C.NEARDUP_BITS)
+)
+ORACLES["embedding_neardup"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding, ({_NEARDUP_CELL}) AS cell FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= {C.NEARDUP_THRESHOLD}
+"""
+
+_ROWS_PER_BAND = C.MINHASH_NUM_HASHES // C.MINHASH_BANDS
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sigs".format(
+        b=b,
+        concat=" || '|' || ".join(
+            f"CAST(minhash_{i} AS VARCHAR)"
+            for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        ),
+    )
+    for b in range(C.MINHASH_BANDS)
+)
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
+), sigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{_BAND_SELECTS}
+), sized AS (
+  SELECT band, bh FROM bk GROUP BY band, bh HAVING count(*) <= 1000
+), fb AS (
+  SELECT bk.doc_id, bk.band, bk.bh FROM bk JOIN sized USING (band, bh)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""

@@ -45,3 +45,14 @@ TOPK_N_QUERIES = 3  # vec_id < 3 are the query vectors
 TOPK_K = 10
 ANN_BITS = 4
 ANN_K = 5
+NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are near-random; max cos ~0.5
+NEARDUP_BITS = 4
+
+# --- spatial / raster ------------------------------------------------------
+R2D_RADIUS = 3.0  # 2-D nearest-neighbor radius (grid units)
+R2D_XMOD = 97  # deterministic synthetic point coords from event ids
+R2D_YMOD = 89
+SUNLIGHT_MIN_PCT = 20.0
+SUNLIGHT_MAX_PCT = 80.0
+PYRAMID_FACTORS = (16, 64, 256)  # overview levels (block sizes)
+UPSAMPLE_FACTOR = 8  # 'native' mode integer upsampling

@@ -25,12 +25,17 @@ from trollflow2_spark import qconst as C
 from trollflow2_spark.config.work_items import work_items_df
 from trollflow2_spark.extensions.dedup import (
     exact_dedup,
+    lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
 )
 from trollflow2_spark.extensions.multimodal import attach_fake_media, media_metadata
-from trollflow2_spark.extensions.similarity import ann_bucketed_topk, brute_force_topk
+from trollflow2_spark.extensions.similarity import (
+    ann_bucketed_topk,
+    brute_force_topk,
+    embedding_neardup_pairs,
+)
 from trollflow2_spark.extensions.text import (
     bpe_ish_token_count,
     doc_fingerprint,
@@ -50,7 +55,11 @@ from trollflow2_spark.operators.checks import (
     sza_check,
     valid_fraction_filter,
 )
-from trollflow2_spark.operators.resample import nearest_join_1d, weighted_resample_1d
+from trollflow2_spark.operators.resample import (
+    nearest_join_1d,
+    nearest_join_2d,
+    weighted_resample_1d,
+)
 from trollflow2_spark.operators.transforms import block_aggregate, compose_pattern
 from trollflow2_spark.operators.windows import top1_per_group, topk_per_group
 from trollflow2_spark.tables import load_table
@@ -452,6 +461,185 @@ def q_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xy_points(ev: DataFrame, etype: str, id_alias: str) -> DataFrame:
+    """Deterministic synthetic 2-D points from event ids (both engines
+    derive identical coordinates)."""
+    return ev.filter(F.col("event_type") == etype).select(
+        F.col("event_id").alias(id_alias),
+        (F.col("user_id") % C.R2D_XMOD).cast("double").alias("x"),
+        (F.col("event_id") % C.R2D_YMOD).cast("double").alias("y"),
+    )
+
+
+def q_resample_2d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D grid nearest-neighbor resample (the default 'nearest'
+    resampler): purchase points resampled onto click points via the
+    cell-bucketed equi-join + window top-1. Targets with no source within
+    the radius are dropped (miss -> fill handled by the caller)."""
+    ev = load_table(spark, sf_dir, "events")
+    target = _xy_points(ev, "purchase", "t_id")
+    source = _xy_points(ev, "click", "s_id")
+    out = nearest_join_2d(
+        target,
+        source,
+        coords=("x", "y"),
+        radius=C.R2D_RADIUS,
+        tie_breakers=[F.col("src_s_id").asc()],
+        how="inner",
+    )
+    return out.select(
+        "t_id",
+        F.col("src_s_id").alias("nearest_id"),
+        F.round(F.col("__dist"), 6).alias("dist"),
+    )
+
+
+def q_sunlight_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_sunlight_coverage semantics: per group ("area"), the percent
+    of its sample points inside the sunlit hemisphere (SZA < 90 deg);
+    keep groups within the configured [min, max] band. The per-area
+    cached coverage of the reference becomes one aggregate row per group
+    that downstream joins broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    lon = (F.col("user_id") % 360 - 180).cast("double")
+    lat = (F.col("user_id") % 180 - 90).cast("double")
+    sza = F.round(sun_zenith_angle_deg(F.col("ts"), lon, lat), 4)
+    cov = (
+        ev.withColumn("lit_flag", F.when(sza < 90.0, 1).otherwise(0))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("lit_flag") * 100.0, 4).alias("sunlight_pct"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    return cov.filter(
+        (F.col("sunlight_pct") >= C.SUNLIGHT_MIN_PCT)
+        & (F.col("sunlight_pct") <= C.SUNLIGHT_MAX_PCT)
+    )
+
+
+def q_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_overviews analog: multi-level overview pyramid as a union of
+    block aggregations at growing factors (each level is a map-side
+    combinable hash agg; levels are independent so they parallelize)."""
+    ev = load_table(spark, sf_dir, "events")
+    levels = []
+    for f in C.PYRAMID_FACTORS:
+        lvl = block_aggregate(ev, {"event_id": f}, ["value"], agg="avg").select(
+            F.lit(int(f)).alias("level"),
+            F.col("event_id_block").alias("block"),
+            F.round(F.col("value_avg"), 6).alias("value_avg"),
+            "n_rows",
+        )
+        levels.append(lvl)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionAll(lvl)
+    return out
+
+
+def q_native_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'native' resampler integer upsampling: each aggregated block is
+    replicated factor x (explode over a generated offset sequence — the
+    inverse of block_aggregate, no shuffle beyond the agg itself)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = C.UPSAMPLE_FACTOR
+    agg = block_aggregate(ev, {"event_id": 64}, ["value"], agg="avg")
+    return agg.select(
+        F.col("event_id_block").alias("block"),
+        F.explode(F.sequence(F.lit(0), F.lit(f - 1))).alias("offset"),
+        F.round(F.col("value_avg"), 6).alias("value"),
+    ).select(
+        (F.col("block") * f + F.col("offset")).alias("up_id"),
+        "block",
+        "offset",
+        "value",
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, threshold=C.NEARDUP_THRESHOLD, n_bits=C.NEARDUP_BITS
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs off the minhash signatures (the
+    candidate-generation half of minhash dedup; ngram_jaccard then
+    verifies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs,
+        shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+    return lsh_candidate_pairs(
+        sigs, num_hashes=C.MINHASH_NUM_HASHES, bands=C.MINHASH_BANDS
+    )
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline smoke as a query: message -> jobs -> scene -> sinks
+    -> manifest rows. Not SQL-expressible (writes files); the driver
+    records a rows-only check."""
+    import shutil
+    import tempfile
+
+    from trollflow2_spark.plans.pipeline import run_product_list
+
+    out_dir = tempfile.mkdtemp(prefix="tf2_e2e_")
+    try:
+        plist = {
+            "product_list": {
+                "output_dir": out_dir,
+                "fname_pattern": "{platform_name}_{areaname}_{productname}.{format}",
+                "areas": {
+                    "areaA": {
+                        "areaname": "areaA",
+                        "products": {
+                            "value": {
+                                "productname": "val",
+                                "formats": [
+                                    {"format": "parquet", "writer": "parquet"},
+                                    {"format": "csv", "writer": "csv"},
+                                ],
+                            },
+                            "user_id": {"productname": "uid"},
+                        },
+                    }
+                },
+            }
+        }
+        summary = run_product_list(
+            spark,
+            [f"{sf_dir}/events.parquet"],
+            {"platform_name": "SAT-1", "start_time": "2024-01-15T12:00:00"},
+            plist,
+            workers=[{"fun": "create_scene"}, {"fun": "save_datasets"}],
+        )
+        import os
+
+        rows = [
+            (
+                os.path.basename(p["filename"]),
+                p["area"],
+                p["product"],
+                p["format"],
+                p["writer"],
+                bool(p["size_bytes"] > 0),
+            )
+            for p in summary["result"].produced
+        ]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "filename string, area string, product string, format string,"
+        " writer string, nonempty boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks: manifest audit + publisher
 
@@ -606,6 +794,10 @@ QUERIES = {
     "sessionize": q_sessionize,
     "nearest_join_asof": q_nearest_join_asof,
     "weighted_resample": q_weighted_resample,
+    "resample_2d_nearest": q_resample_2d_nearest,
+    "sunlight_coverage": q_sunlight_coverage,
+    "overview_pyramid": q_overview_pyramid,
+    "native_upsample": q_native_upsample,
     "manifest_check": q_manifest_check,
     "publisher_messages": q_publisher_messages,
     "dedup_exact": q_dedup_exact,
@@ -615,8 +807,11 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
+    "embedding_neardup": q_embedding_neardup,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "multimodal_meta": q_multimodal_meta,
+    "pipeline_e2e": q_pipeline_e2e,
 }
