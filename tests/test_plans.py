@@ -1,0 +1,113 @@
+"""Plan-quality regression tests: the physical plans that make these
+operators scale are asserted, not hoped for.
+
+Each assertion pins a property that matters at 100 TB: filters reaching
+the parquet scan, projection pruning, broadcast joins for small sides,
+no accidental cartesian products, map-side partial aggregation.
+"""
+
+import re
+
+import pytest
+
+from trollflow2_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_q1_pushdown_and_pruning(spark, sf):
+    plan = plan_of(spark, "q1_pricing_summary", sf)
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    read = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "l_comment" not in read  # projection pruned
+    assert "l_quantity" in read
+    # partial (map-side) + final aggregation, exactly one shuffle
+    assert plan.count("HashAggregate") >= 2
+    # the whole aggregation pipeline compiles into whole-stage codegen
+    df = QUERIES["q1_pricing_summary"](spark, sf)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    assert "WholeStageCodegen" in qe.explainString(mode)
+
+
+def test_q6_range_pushdown(spark, sf):
+    plan = plan_of(spark, "q6_forecast_revenue", sf)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    read = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert set(re.findall(r"(l_\w+):", read)) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q3_broadcasts_dimension(spark, sf):
+    plan = plan_of(spark, "q3_shipping_priority", sf)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the customer filter is pushed before the join
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_no_cartesian_all_filters_pushed(spark, sf):
+    plan = plan_of(spark, "q5_local_supplier", sf)
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_spatial_join_is_equi_join(spark, sf):
+    """The resample family must never degrade to a cartesian product —
+    the cell bucketing turns it into an equi-join."""
+    for name in ("nearest_join_asof", "resample_2d_nearest", "weighted_resample"):
+        plan = plan_of(spark, name, sf)
+        assert "CartesianProduct" not in plan, name
+        assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), name
+
+
+def test_topk_broadcasts_query_side(spark, sf):
+    """Brute-force similarity deliberately broadcasts the tiny query set;
+    the 100 TB base table is scanned once and never shuffled for the
+    join."""
+    plan = plan_of(spark, "embedding_topk", sf)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_prunes_with_equi_join(spark, sf):
+    """The LSH-bucketed ANN variant upgrades the cross join to a cell
+    equi-join (hash join on __cell)."""
+    plan = plan_of(spark, "embedding_ann", sf)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_valid_fraction_broadcast_semi_join(spark, sf):
+    plan = plan_of(spark, "valid_fraction_filter", sf)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf):
+    """Exact dedup is one hash aggregation: partial + final, one
+    exchange; shuffle rows are (digest, id), never the raw text."""
+    plan = plan_of(spark, "dedup_exact", sf)
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read)
+    read = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "text" in read and "lang" not in read
+
+
+def test_minhash_single_shuffle(spark, sf):
+    """Minhash signatures: explode + hash happen map-side; the only
+    shuffle is the per-doc min() aggregation."""
+    plan = plan_of(spark, "minhash_signatures", sf)
+    assert plan.count("Exchange") <= 2
