@@ -33,11 +33,15 @@ HEADLINE = [
     "sessionize",
     "nearest_join_asof",
     "weighted_resample",
+    "resample_2d_nearest",
+    "overview_pyramid",
     "sza_filter",
     "valid_fraction_filter",
     "minhash_signatures",
     "simhash",
     "embedding_topk",
+    "embedding_neardup",
+    "minhash_lsh_pairs",
     "text_quality",
     "token_count",
     "dedup_exact",

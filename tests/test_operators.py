@@ -83,3 +83,37 @@ def test_weighted_resample(spark):
     # equidistant -> plain mean
     assert abs(out[0]["sval_resampled"] - 150.0) < 1e-6
     assert out[0]["n_neighbors"] == 2
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    """Salted two-stage aggregation must be value-identical to the plain
+    groupBy (counts/min/max are decomposable)."""
+    import os
+    from pyspark.sql import functions as F
+    from trollflow2_spark.operators.skew import salted_agg
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    hashed = docs.select(F.md5("text").alias("h"), "doc_id")
+    salted = salted_agg(
+        hashed,
+        ["h"],
+        {"n_copies": ("count", "doc_id"), "canonical_id": ("min", "doc_id")},
+        n_salts=8,
+    )
+    plain = hashed.groupBy("h").agg(
+        F.count("doc_id").alias("n_copies"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # and it actually has two aggregation exchanges (the salting stage)
+    qe = salted._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    assert qe.explainString(mode).count("Exchange") >= 2
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    import pytest as _pytest
+    from trollflow2_spark.operators.skew import salted_agg
+
+    with _pytest.raises(ValueError):
+        salted_agg(spark.range(5), ["id"], {"a": ("avg", "id")})

@@ -261,3 +261,47 @@ def test_worker_timeout(spark, input_file, tmp_path):
     workers = [{"fun": "sleepy", "timeout": 0.5}]
     with pytest.raises(TimeoutError):
         process_message(spark, _message(input_file), plist, workers)
+
+
+def test_cache_and_overviews(spark, input_file, tmp_path):
+    out_dir = str(tmp_path / "out")
+    yaml_text = """
+product_list:
+  output_dir: "{out}"
+  fname_pattern: "{{productname}}.{{format}}"
+  areas:
+    a1:
+      areaname: a1
+      products:
+        ch1:
+          productname: p1
+          formats: [{{format: parquet, writer: parquet}}]
+""".format(out=out_dir)
+    plist = read_product_list(raw_string=yaml_text)
+    workers = [
+        {"fun": "create_scene"},
+        {"fun": "cache_scene"},
+        {"fun": "save_datasets"},
+        {"fun": "add_overviews", "factors": [4]},
+        {"fun": "clear_cache"},
+    ]
+    summary = process_message(spark, _message(input_file), plist, workers)
+    assert summary["status"] == "nominal"
+    p = summary["result"].produced[0]
+    assert p["overview_levels"] == [4]
+    lvl = spark.read.parquet(p["filename"] + ".overviews/level=4")
+    assert lvl.count() > 0
+    assert "ch1_avg" in lvl.columns
+
+
+def test_metadata_alias_plugin_list_values(spark, input_file, tmp_path):
+    from trollflow2_spark.plans.pipeline import PLUGIN_REGISTRY
+
+    job = {"input_mda": {"sensor": ["avhrr/3", "mhs"], "platform_name": "noaa15"}}
+    PLUGIN_REGISTRY["metadata_alias"](
+        job,
+        sensor={"avhrr/3": "avhrr-3"},
+        platform_name={"noaa15": "NOAA-15"},
+    )
+    assert job["input_mda"]["sensor"] == ["avhrr-3", "mhs"]
+    assert job["input_mda"]["platform_name"] == "NOAA-15"

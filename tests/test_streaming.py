@@ -94,3 +94,67 @@ def test_streaming_crash_handler(spark, tmp_path):
     )
     query.awaitTermination(120)
     assert crashes == ["kaboom"]
+
+
+def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
+    """Event-time tumbling windows over a file stream, drained with
+    availableNow into a memory sink."""
+    import os
+    from pyspark.sql import functions as F
+    from trollflow2_spark.streaming.windows import windowed_counts
+
+    from trollflow2_spark.tables import load_table
+
+    src_dir = str(tmp_path / "stream_in")
+    (
+        load_table(spark, sf_dir, "events")
+        .limit(500)
+        .select("event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .write.json(src_dir)
+    )
+    schema = "event_id bigint, event_type string, ts timestamp"
+    stream = spark.readStream.schema(schema).json(src_dir)
+    out = windowed_counts(stream, "ts", ["event_type"], window="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_counts").collect()
+    assert rows, "no windows produced"
+    assert sum(r["n_events"] for r in rows) == 500
+    assert {c for c in out.columns} == {
+        "window_start", "window_end", "event_type", "n_events",
+    }
+
+
+def test_sessionized_counts_stream(spark, sf_dir, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    from trollflow2_spark.streaming.windows import sessionized_counts
+
+    from trollflow2_spark.tables import load_table
+
+    src_dir = str(tmp_path / "sess_in")
+    (
+        load_table(spark, sf_dir, "events")
+        .limit(300)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .write.json(src_dir)
+    )
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").json(src_dir)
+    out = sessionized_counts(stream, "ts", ["user_id"], gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_counts").collect()
+    assert rows
+    assert sum(r["n_events"] for r in rows) == 300

@@ -22,4 +22,4 @@ def register_stage(name: str):
     return deco
 
 
-from trollflow2_spark.operators import checks, transforms, resample, windows  # noqa: F401,E402
+from trollflow2_spark.operators import checks, transforms, resample, skew, windows  # noqa: F401,E402

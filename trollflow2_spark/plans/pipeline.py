@@ -312,6 +312,49 @@ def check_valid_data_fraction_plugin(job: dict, min_valid_data_fraction: float =
     job["work_items"] = kept
 
 
+@register_plugin("cache_scene")
+def cache_scene_plugin(job: dict) -> None:
+    """Persist the scene across the downstream multi-consumer stages
+    (≙ ``use_fsspec_cache``, ``plugins/__init__.py:1141-1158`` — input
+    caching; under Spark the useful cache level is the parsed columnar
+    scene, not raw bytes)."""
+    if job.get("scene") is not None:
+        job["scene"] = job["scene"].persist()
+
+
+@register_plugin("clear_cache")
+def clear_cache_plugin(job: dict) -> None:
+    """Drop the cached scene after the job (≙ ``clear_fsspec_cache``,
+    ``plugins/__init__.py:1161-1167``)."""
+    if job.get("scene") is not None:
+        job["scene"].unpersist()
+
+
+@register_plugin("add_overviews")
+def add_overviews_plugin(job: dict, factors: Sequence[int] = (4, 16)) -> None:
+    """Post-write hook: attach multi-scale overview levels next to each
+    produced dataset (≙ ``add_overviews`` embedding GeoTIFF pyramids,
+    ``plugins/__init__.py:928-944``). Each level is a block mean over the
+    first numeric column, written as ``<output>.overviews/level=F``."""
+    spark = job["spark"]
+    for p in job["produced_files"].produced:
+        if p.get("writer") not in ("parquet", "geotiff"):
+            continue
+        df = spark.read.parquet(p["filename"])
+        numeric = [c for c, t in df.dtypes if t in ("double", "float", "bigint", "int")]
+        if not numeric:
+            continue
+        base = df.select(
+            F.monotonically_increasing_id().alias("__idx"), F.col(numeric[0])
+        )
+        for f in factors:
+            lvl = block_aggregate(base, {"__idx": int(f)}, [numeric[0]], agg="avg")
+            lvl.write.mode("overwrite").parquet(
+                p["filename"] + f".overviews/level={int(f)}"
+            )
+        p["overview_levels"] = list(factors)
+
+
 @register_plugin("save_datasets")
 def save_datasets_plugin(job: dict, **kwargs: Any) -> None:
     """Write every work-item leaf (≙ ``plugins/__init__.py:330-395``)."""
