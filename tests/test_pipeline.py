@@ -305,3 +305,85 @@ def test_metadata_alias_plugin_list_values(spark, input_file, tmp_path):
     )
     assert job["input_mda"]["sensor"] == ["avhrr-3", "mhs"]
     assert job["input_mda"]["platform_name"] == "NOAA-15"
+
+
+def test_resample_plugin_native_and_crop(spark, input_file, tmp_path):
+    out_dir = str(tmp_path / "out")
+    yaml_text = """
+product_list:
+  output_dir: "{out}"
+  fname_pattern: "{{productname}}.{{format}}"
+  areas:
+    a1:
+      areaname: a1
+      products:
+        value_avg:
+          productname: resampled
+          formats: [{{format: parquet, writer: parquet}}]
+""".format(out=out_dir)
+    plist = read_product_list(raw_string=yaml_text)
+    workers = [
+        {"fun": "create_scene"},
+        {"fun": "resample", "resampler": "native",
+         "aggregate_factors": {"event_id": 4},
+         "reduce_data": True, "bbox": None},
+        {"fun": "save_datasets"},
+    ]
+    summary = process_message(spark, _message(input_file), plist, workers)
+    assert summary["status"] == "nominal"
+    df = spark.read.parquet(summary["result"].produced[0]["filename"])
+    assert df.columns == ["value_avg"]
+    assert 0 < df.count() <= 200
+
+
+def test_resample_plugin_nearest_grid(spark, input_file, tmp_path):
+    from pyspark.sql import functions as F
+    from trollflow2_spark.plans.pipeline import message_to_jobs, PLUGIN_REGISTRY
+
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    job = list(message_to_jobs(spark, _message(input_file), plist).values())[0]
+    PLUGIN_REGISTRY["create_scene"](job)
+    scene = job["scene"].withColumn("x", (F.col("event_id") % 10).cast("double")) \
+                        .withColumn("y", (F.col("user_id") % 10).cast("double"))
+    job["scene"] = scene
+    job["target_grid"] = spark.createDataFrame(
+        [(float(i), float(j)) for i in range(5) for j in range(5)], "x double, y double"
+    )
+    PLUGIN_REGISTRY["resample"](job, resampler="nearest", radius_of_influence=2.0)
+    out = job["scene"]
+    assert out.count() > 0
+    assert "src_ch1" in out.columns  # scene columns attached to grid points
+
+
+def test_format_decoration_plugin(spark, input_file, tmp_path):
+    from trollflow2_spark.plans.pipeline import message_to_jobs, PLUGIN_REGISTRY
+
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    job = list(message_to_jobs(spark, _message(input_file), plist).values())[0]
+    PLUGIN_REGISTRY["format_decoration"](
+        job, text="Time {start_time:%Y-%m-%d %H:%M} sat {platform_name}"
+    )
+    assert job["decoration_text"] == "Time 2024-01-15 12:00 sat TEST-1"
+    assert job["work_items"][0]["decoration_text"] == job["decoration_text"]
+
+
+def test_resolve_filesystem_paths():
+    from trollflow2_spark.sources.scene import (
+        SceneCreationError,
+        resolve_filesystem_paths,
+    )
+    import pytest as _pytest
+
+    msg = {
+        "dataset": [{"uri": "/bucket/key/file.parquet"}],
+        "filesystem": '{"cls": "s3fs.core.S3FileSystem", "protocol": "s3"}',
+    }
+    assert resolve_filesystem_paths(msg) == ["s3a://bucket/key/file.parquet"]
+    # already-qualified URIs pass through
+    msg2 = {"dataset": [{"uri": "file:///x.parquet"}], "filesystem": '{"protocol": "file"}'}
+    assert resolve_filesystem_paths(msg2) == ["file:///x.parquet"]
+    # archive protocols are rejected with guidance
+    with _pytest.raises(SceneCreationError):
+        resolve_filesystem_paths(
+            {"dataset": [{"uri": "/a.zip"}], "filesystem": '{"protocol": "zip"}'}
+        )

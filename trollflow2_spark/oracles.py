@@ -407,15 +407,30 @@ _MEANTOK = f"CASE WHEN {_NTOK} > 0 THEN CAST({_NCHARS} AS DOUBLE) / {_NTOK} ELSE
 _STOPRATIO = f"CASE WHEN {_NTOK} > 0 THEN CAST({_STOPHITS} AS DOUBLE) / {_NTOK} ELSE 0.0 END"
 _ALPHARATIO = f"CASE WHEN {_NCHARS} > 0 THEN CAST({_NALPHA} AS DOUBLE) / {_NCHARS} ELSE 0.0 END"
 _LENSCORE = f"least(CAST({_NTOK} AS DOUBLE) / 20.0, 1.0)"
+# token array / counts computed once per row (CTE), not re-split per metric
+_C_NTOK = "len(toks)"
+_C_STOPHITS = f"len(list_filter(toks, x -> lower(x) IN ({_STOP_LIST})))"
+_C_MEANTOK = f"CASE WHEN {_C_NTOK} > 0 THEN CAST({_NCHARS} AS DOUBLE) / {_C_NTOK} ELSE 0.0 END"
+_C_STOPRATIO = f"CASE WHEN {_C_NTOK} > 0 THEN CAST({_C_STOPHITS} AS DOUBLE) / {_C_NTOK} ELSE 0.0 END"
+_C_LENSCORE = f"least(CAST({_C_NTOK} AS DOUBLE) / 20.0, 1.0)"
 ORACLES["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+    {_C_NTOK} AS n_tok, {_C_MEANTOK} AS mean_tok,
+    {_C_STOPRATIO} AS stop_ratio, {_ALPHARATIO} AS alpha_ratio,
+    {_C_LENSCORE} AS len_score
+  FROM t
+)
 SELECT doc_id,
-  CAST({_NTOK} AS BIGINT) AS n_tokens,
-  round({_MEANTOK}, 6) AS mean_token_len,
-  round({_STOPRATIO}, 6) AS stopword_ratio,
-  round({_ALPHARATIO}, 6) AS alpha_ratio,
-  round({_LENSCORE} * 0.4 + least({_STOPRATIO} * 5.0, 1.0) * 0.2
-        + {_ALPHARATIO} * 0.4, 6) AS quality_score
-FROM documents
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  round(mean_tok, 6) AS mean_token_len,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(alpha_ratio, 6) AS alpha_ratio,
+  round(len_score * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.2
+        + alpha_ratio * 0.4, 6) AS quality_score
+FROM m
 """
 
 

@@ -57,7 +57,7 @@ from trollflow2_spark.sinks.publish import publish_messages_df, publish_to_json_
 from trollflow2_spark.sources.scene import (
     SceneCreationError,
     create_scene,
-    extract_filenames,
+    resolve_filesystem_paths,
 )
 
 logger = logging.getLogger(__name__)
@@ -88,7 +88,7 @@ def message_to_jobs(
     for prio in sorted(by_prio):
         jobs[prio] = {
             "spark": spark,
-            "input_filenames": extract_filenames(message),
+            "input_filenames": resolve_filesystem_paths(message),
             "input_mda": dict(message),
             "product_list": product_list,
             "work_items": by_prio[prio],
@@ -312,6 +312,85 @@ def check_valid_data_fraction_plugin(job: dict, min_valid_data_fraction: float =
     job["work_items"] = kept
 
 
+@register_plugin("resample")
+def resample_plugin(
+    job: dict,
+    resampler: str = "null",
+    coords: tuple[str, str] = ("x", "y"),
+    radius_of_influence: float = 1.0,
+    reduce_data: bool = True,
+    aggregate_factors: dict | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> None:
+    """Resample the scene per the configured kernel
+    (≙ ``resample``, ``plugins/__init__.py:159-201``):
+
+    - ``"null"`` (passthrough): keep the native grid — the reference's
+      null-area mode;
+    - ``"native"``: integer block aggregation by ``aggregate_factors``
+      (e.g. ``{"x": 2, "y": 2}``);
+    - ``"nearest"``: map scene points onto the target grid found in
+      ``job["target_grid"]`` (a DataFrame of target coordinates) via the
+      cell-bucketed equi-join + top-1.
+
+    ``reduce_data`` + ``bbox`` crops the source to the target bounding
+    box *before* the join — the pushed-down-filter form of the
+    reference's ``reduce_data: True`` default (``plugins/__init__.py:
+    149-156``). Results land in ``job["resampled_scenes"]`` keyed by
+    area (and replace ``job["scene"]`` for the downstream chain).
+    """
+    scene = job["scene"]
+    if scene is None:
+        raise AbortProcessing("resample: no scene loaded")
+    if reduce_data and bbox is not None:
+        x, y = coords
+        xmin, ymin, xmax, ymax = bbox
+        scene = scene.filter(
+            (F.col(x) >= xmin) & (F.col(x) <= xmax)
+            & (F.col(y) >= ymin) & (F.col(y) <= ymax)
+        )
+    if resampler == "null":
+        resampled = scene
+    elif resampler == "native":
+        factors = aggregate_factors or {coords[0]: 2, coords[1]: 2}
+        value_cols = [
+            c for c, t in scene.dtypes
+            if c not in factors and t in ("double", "float", "int", "bigint")
+        ]
+        resampled = block_aggregate(scene, factors, value_cols, agg="avg")
+    elif resampler == "nearest":
+        target = job.get("target_grid")
+        if target is None:
+            raise AbortProcessing("resample: nearest needs job['target_grid']")
+        from trollflow2_spark.operators.resample import nearest_join_2d
+
+        resampled = nearest_join_2d(
+            target, scene, coords=coords, radius=radius_of_influence, how="inner"
+        )
+    else:
+        raise AbortProcessing(f"unknown resampler {resampler!r}")
+    for item in job["work_items"]:
+        job["resampled_scenes"][item.get("area")] = resampled
+    job["scene"] = resampled
+
+
+@register_plugin("format_decoration")
+def format_decoration_plugin(
+    job: dict, text: str = "", out_key: str = "decoration_text"
+) -> None:
+    """Render a decoration template from message metadata
+    (≙ ``format_decoration``/``_format_decoration_text``,
+    ``plugins/__init__.py:258-274``): the rendered text is stored on the
+    job and substituted into every work item's metadata for writers that
+    stamp overlays."""
+    from trollflow2_spark.sinks.save import compose_filename
+
+    rendered = compose_filename(text, job["input_mda"])
+    job[out_key] = rendered
+    for item in job["work_items"]:
+        item[out_key] = rendered
+
+
 @register_plugin("cache_scene")
 def cache_scene_plugin(job: dict) -> None:
     """Persist the scene across the downstream multi-consumer stages
@@ -457,7 +536,17 @@ def process_message(
     t0 = time.time()
     merged = SaveResult()
     aborted: dict[int, str] = {}
-    jobs = message_to_jobs(spark, message, product_list)
+    try:
+        jobs = message_to_jobs(spark, message, product_list)
+    except SceneCreationError as exc:
+        logger.warning("message rejected: %s", exc)
+        return {
+            "status": "aborted",
+            "aborted_priorities": {},
+            "reason": str(exc),
+            "result": merged,
+            "audit": check_results(merged, start_time=t0),
+        }
     for prio, job in jobs.items():
         group = f"tf2-{uuid.uuid4().hex[:8]}-p{prio}"
         spark.sparkContext.setJobGroup(group, f"priority batch {prio}", True)

@@ -92,6 +92,37 @@ def extract_filenames(message: dict) -> list[str]:
     return [f for f in found if not (f in seen or seen.add(f))]
 
 
+def resolve_filesystem_paths(message: dict) -> list[str]:
+    """Resolve input URIs through an optional fsspec-style ``filesystem``
+    spec (≙ ``_create_fs_files``, ``launcher.py:320-328``): a spec like
+    ``{"cls": "s3fs...", "protocol": "s3"}`` rewrites bare paths to
+    protocol URIs Spark's Hadoop FS layer reads natively (s3 -> s3a).
+    Archive protocols (zip/tar) have no Hadoop FS equivalent — those
+    raise, matching the "pre-list or unpack upstream" design note in
+    SURVEY §2.1."""
+    filenames = extract_filenames(message)
+    spec = message.get("filesystem")
+    if not spec:
+        return filenames
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    protocol = spec.get("protocol") or ""
+    if protocol in ("zip", "tar", "libarchive"):
+        raise SceneCreationError(
+            f"archive filesystem {protocol!r} is not scannable by Spark; "
+            "unpack or pre-list upstream"
+        )
+    rewrite = {"s3": "s3a", "gs": "gs", "abfs": "abfs", "file": "file"}
+    protocol = rewrite.get(protocol, protocol)
+    out = []
+    for f in filenames:
+        if "://" in f or not protocol:
+            out.append(f)
+        else:
+            out.append(f"{protocol}://{f.lstrip('/') if protocol == 's3a' else f}")
+    return out
+
+
 def read_message_file(path: str) -> dict:
     """One-shot batch source: a saved message JSON file instead of the
     stream (≙ test-message mode, ``launcher.py:80-87,206-215``)."""
