@@ -99,20 +99,32 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
-    buckets = buckets.join(
-        sizes.filter(F.col("n") <= max_bucket).select("band", "bh"),
-        ["band", "bh"],
-        "left_semi",
+    # One aggregation computes each bucket's membership AND applies the
+    # size guard; pairs are generated in-bucket from the sorted id array
+    # (i<j upper triangle). The upstream signature pipeline is thus
+    # evaluated exactly once — the naive sizes-join + self-join shape
+    # re-executes it ~5x and at 100 TB that is 5 full corpus passes.
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
-    b = buckets.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 def ngram_jaccard_pairs(
