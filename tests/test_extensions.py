@@ -126,3 +126,45 @@ def test_multimodal_plumbing(spark, docs):
     # the non-fake path is a clearly-marked stub
     with pytest.raises(Exception):
         decode_media(media, fake=False).collect()
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    import os
+    from pyspark.sql import functions as F
+    from trollflow2_spark.extensions.multimodal import (
+        attach_fake_media,
+        decode_media,
+        frame_sample,
+        resize_media,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(20)
+    media = attach_fake_media(docs)
+
+    resized = resize_media(media, target=(32, 32), fake=True)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r["media_meta"]["width"] == 32 for r in rows)
+    assert all(r["media_meta"]["n_bytes"] == len(r["media"]) for r in rows)
+
+    frames = frame_sample(media, every_n_bytes=50, fake=True)
+    fdf = frames.groupBy("doc_id").count()
+    assert fdf.count() == 20  # every doc produced >=1 frame row
+    # fan-out shape: at least one doc yields multiple frames
+    assert fdf.agg(F.max("count")).collect()[0][0] >= 2
+
+    decoded = decode_media(media, fake=True).collect()
+    assert len(decoded) == 20
+    assert all(0 <= r["mean_byte"] <= 255 for r in decoded)
+
+
+def test_multimodal_stub_raises_without_fake(spark, sf_dir):
+    import os
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+    from trollflow2_spark.extensions.multimodal import attach_fake_media, resize_media
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(2)
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        resize_media(attach_fake_media(docs), fake=False).collect()

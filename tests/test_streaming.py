@@ -158,3 +158,46 @@ def test_sessionized_counts_stream(spark, sf_dir, tmp_path):
     rows = spark.sql("select * from sess_counts").collect()
     assert rows
     assert sum(r["n_events"] for r in rows) == 300
+
+
+def test_stateful_running_counts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: counts accumulate across micro-batches."""
+    import json as _json
+    import os
+    from trollflow2_spark.streaming.stateful import running_counts
+
+    src_dir = str(tmp_path / "state_in")
+    os.makedirs(src_dir)
+    # two files -> (with maxFilesPerTrigger=1) two micro-batches
+    with open(os.path.join(src_dir, "b1.json"), "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"k": f"u{i % 2}"}) + "\n")
+    with open(os.path.join(src_dir, "b2.json"), "w") as fh:
+        for i in range(6):
+            fh.write(_json.dumps({"k": "u0"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    out = running_counts(stream, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from running_counts").collect()
+    # update mode emits one row per key per batch; the LAST row per key
+    # carries the accumulated state
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["n_batches"] > final[r["key"]]["n_batches"]:
+            final[r["key"]] = r
+    totals = {k: r["n_events"] for k, r in final.items()}
+    assert totals == {"u0": 11, "u1": 5}
+    assert final["u0"]["n_batches"] == 2  # state carried across batches

@@ -104,6 +104,100 @@ def decode_media(
     return df.select(id_col, media_col).mapInPandas(kernel, out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize kernel over mapInPandas (STUB: no image lib here).
+
+    With ``fake=True`` the deterministic stand-in rescales the metadata
+    and re-emits the payload truncated/padded to a size proportional to
+    the pixel-count change — exercising the real contract: binary in,
+    binary out, metadata struct updated, Arrow-batched.
+    """
+    tw, th = int(target[0]), int(target[1])
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "resize requires an image library not present in this "
+                    "environment; pass fake=True for the metadata-only stub"
+                )
+            metas = []
+            blobs = []
+            for blob, meta in zip(pdf[media_col], pdf[meta_col]):
+                w, h = meta["width"], meta["height"]
+                scale = (tw * th) / max(w * h, 1)
+                n = max(1, int(len(blob) * min(scale, 1.0)))
+                blobs.append(bytes(blob)[:n])
+                metas.append(
+                    {"media_type": meta["media_type"], "width": tw, "height": th,
+                     "n_bytes": n}
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "media": blobs, "media_meta": metas}
+            )
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(kernel, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Frame-sampling kernel (video -> every Nth frame) over mapInPandas.
+
+    STUB decoder; ``fake=True`` samples every ``every_n_bytes``-th byte
+    of the payload as a stand-in "frame", emitting one row per sample —
+    the fan-out row shape (one media row -> many frame rows) is the part
+    that matters for partition sizing downstream.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_byte", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires a video library not present in "
+                    "this environment; pass fake=True for the byte sampler"
+                )
+            ids, idxs, vals = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(blob)
+                for k, pos in enumerate(range(0, len(b), every_n_bytes)):
+                    ids.append(rid)
+                    idxs.append(k)
+                    vals.append(b[pos])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_byte": vals})
+
+    return df.select(id_col, media_col).mapInPandas(kernel, out_schema)
+
+
 def media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Project the typed metadata struct into flat columns (pure Column
     ops — the oracle-checkable part of the multimodal surface)."""

@@ -30,7 +30,11 @@ from trollflow2_spark.extensions.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from trollflow2_spark.extensions.multimodal import attach_fake_media, media_metadata
+from trollflow2_spark.extensions.multimodal import (
+    attach_fake_media,
+    decode_media,
+    media_metadata,
+)
 from trollflow2_spark.extensions.similarity import (
     ann_bucketed_topk,
     brute_force_topk,
@@ -771,6 +775,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(attach_fake_media(docs))
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    byte-statistics stand-in (real decoders stubbed — no media libs
+    here). Python-side kernel => no SQL oracle; rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media(attach_fake_media(docs), fake=True)
+    return out.select(
+        "doc_id", "n_bytes", F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -813,5 +829,6 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
     "pipeline_e2e": q_pipeline_e2e,
 }

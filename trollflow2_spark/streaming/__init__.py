@@ -6,3 +6,4 @@ from trollflow2_spark.streaming.windows import (  # noqa: F401
     sessionized_counts,
     windowed_counts,
 )
+from trollflow2_spark.streaming.stateful import running_counts  # noqa: F401
