@@ -126,9 +126,17 @@ product_list:
     assert cfg["product_list"]["areas"]["a2"]["areaname"] == "x"
 
 
-def test_null_key_removed():
-    cfg = read_product_list(raw_string="product_list:\n  areas:\n    null: {}\n    a: {}\n")
+def test_null_area_key_becomes_string_none():
+    """A null area key means "keep native projection"; it must survive as
+    the addressable string key "None" (reference: launcher.py:460-480,
+    null-area lookup tests/test_dict_tools.py:237-243)."""
+    cfg = read_product_list(
+        raw_string="product_list:\n  areas:\n    null:\n      products:\n        p1: {}\n    a: {}\n"
+    )
     assert None not in cfg["product_list"]["areas"]
+    assert "None" in cfg["product_list"]["areas"]
+    leaves = list(flatten_product_list(cfg))
+    assert any(lf["area"] == "None" for lf in leaves)
 
 
 def test_work_items_df(spark):

@@ -23,8 +23,11 @@ Semantics reproduced from the reference (cited for parity, not copied):
 - A ``!tuple`` tag turns a YAML list into a tuple product key — several
   channels written to one output file
   (``/root/reference/trollflow2/launcher.py:63-77``).
-- A literal ``null`` mapping key is dropped (the reference's workaround
-  for YAML's ``null:`` quirk, ``launcher.py:460-480``).
+- A literal ``null:`` mapping key is rewritten to the *string* key
+  ``"None"`` before parsing — the reference's workaround so a null area
+  (= keep native projection, no resampling) survives as a named area
+  (``launcher.py:460-480``, null-area lookup
+  ``tests/test_dict_tools.py:237-243``).
 
 Unlike the reference we never use an unsafe loader: pipelines reference
 registered stage names instead of arbitrary ``!!python/name`` callables
@@ -65,12 +68,10 @@ def expand_aliases(obj: Any) -> Any:
     return obj
 
 
-def _remove_null_keys(obj: Any) -> Any:
-    if isinstance(obj, dict):
-        return {k: _remove_null_keys(v) for k, v in obj.items() if k is not None}
-    if isinstance(obj, list):
-        return [_remove_null_keys(v) for v in obj]
-    return obj
+def _rewrite_null_keys(raw: str) -> str:
+    """``null:`` mapping keys -> string ``None:`` keys (raw-text rewrite,
+    matching the reference so the null area stays addressable)."""
+    return raw.replace("null:", "None:")
 
 
 def read_product_list(fname: str | None = None, raw_string: str | None = None) -> dict:
@@ -80,5 +81,5 @@ def read_product_list(fname: str | None = None, raw_string: str | None = None) -
     else:
         with open(fname, "r", encoding="utf-8") as fh:
             text = fh.read()
-    cfg = yaml.load(text, Loader=_ProductListLoader)
-    return expand_aliases(_remove_null_keys(cfg))
+    cfg = yaml.load(_rewrite_null_keys(text), Loader=_ProductListLoader)
+    return expand_aliases(cfg)
