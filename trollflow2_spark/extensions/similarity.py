@@ -106,24 +106,30 @@ def embedding_neardup_pairs(
     k-means IVF) shrink cells at the cost of recall, and multi-probe
     wins it back.
     """
+    # norms are per-vector: compute them once before the self-join instead
+    # of twice per candidate pair (the pair count is quadratic in cell
+    # size; the norm cost must stay linear in rows).
     base = df.select(
-        F.col(id_col), F.col(vec_col)
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n"),
     ).withColumn("__cell", signbit_cell(F.col(vec_col), n_bits))
     a = base.select(
-        F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col("__cell"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"), F.col("__n").alias("__na"),
     )
     b = base.select(
-        F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        F.col("__cell"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"),
     )
+    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     pairs = (
         a.join(b, "__cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits).alias(
-                "cosine_sim"
-            ),
+            F.round(sim, round_digits).alias("cosine_sim"),
         )
     )
     return pairs.filter(F.col("cosine_sim") >= F.lit(float(threshold)))
