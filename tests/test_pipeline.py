@@ -387,3 +387,23 @@ def test_resolve_filesystem_paths():
         resolve_filesystem_paths(
             {"dataset": [{"uri": "/a.zip"}], "filesystem": '{"protocol": "zip"}'}
         )
+
+
+def test_check_sunlight_coverage_plugin(spark, input_file, tmp_path):
+    """Noon at (0,0): fully lit -> a night-only band [0, 20] drops the
+    item; a day band [50, 100] keeps it."""
+    from trollflow2_spark.plans.pipeline import message_to_jobs, PLUGIN_REGISTRY
+
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
+    job = list(message_to_jobs(spark, _message(input_file), plist).values())[0]
+    job["work_items"] = [
+        {"area": "day", "product": ["p"], "sunlight_min": 50.0, "sunlight_max": 100.0,
+         "sunzen_check_lon": 0.0, "sunzen_check_lat": 0.0},
+        {"area": "night", "product": ["p"], "sunlight_min": 0.0, "sunlight_max": 20.0,
+         "sunzen_check_lon": 0.0, "sunzen_check_lat": 0.0},
+        {"area": "nocheck", "product": ["p"]},
+    ]
+    PLUGIN_REGISTRY["check_sunlight_coverage"](job)
+    areas = [i["area"] for i in job["work_items"]]
+    assert areas == ["day", "nocheck"]
+    assert job["work_items"][0]["area_sunlight_coverage_percent"] >= 50.0

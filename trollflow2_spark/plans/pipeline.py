@@ -248,6 +248,61 @@ def sza_check_plugin(job: dict) -> None:
     job["work_items"] = kept
 
 
+@register_plugin("check_sunlight_coverage")
+def check_sunlight_coverage_plugin(job: dict, grid_step_deg: float = 10.0) -> None:
+    """Prune work items whose area has a sunlit fraction outside their
+    ``[sunlight_min, sunlight_max]`` band at the message start time
+    (≙ ``check_sunlight_coverage``, ``plugins/__init__.py:786-902``).
+
+    The sunlit fraction is the share of sample points around the item's
+    check coordinates whose SZA < 90 deg (twilight boundary), sampled on
+    a coarse lat/lon grid — the closed-form stand-in for the reference's
+    spherical polygon intersection. Coverage is cached per (lon, lat)
+    so areas sharing a grid compute once (≙ the per-area cache at
+    ``:829,853-856``)."""
+    start = job["input_mda"].get("start_time")
+    if start is None:
+        logger.warning("check_sunlight_coverage: no start_time, skipping")
+        return
+    ts = datetime.fromisoformat(start) if isinstance(start, str) else start
+    ts = ts.replace(tzinfo=None)
+    cache: dict[tuple, float] = {}
+
+    def lit_fraction(lon0: float, lat0: float) -> float:
+        key = (lon0, lat0)
+        if key not in cache:
+            pts = [
+                (lon0 + dx, max(-89.0, min(89.0, lat0 + dy)))
+                for dx in (-grid_step_deg, 0.0, grid_step_deg)
+                for dy in (-grid_step_deg, 0.0, grid_step_deg)
+            ]
+            lit = sum(
+                1 for lon, lat in pts if _sun_zenith_angle_py(ts, lon, lat) < 90.0
+            )
+            cache[key] = 100.0 * lit / len(pts)
+        return cache[key]
+
+    kept = []
+    for item in job["work_items"]:
+        lo, hi = item.get("sunlight_min"), item.get("sunlight_max")
+        if lo is None and hi is None:
+            kept.append(item)
+            continue
+        pct = lit_fraction(
+            float(item.get("sunzen_check_lon") or 0.0),
+            float(item.get("sunzen_check_lat") or 0.0),
+        )
+        item["area_sunlight_coverage_percent"] = pct
+        if (lo is None or pct >= float(lo)) and (hi is None or pct <= float(hi)):
+            kept.append(item)
+        else:
+            logger.info(
+                "sunlight: dropping %s/%s (%.0f%% lit)",
+                item.get("area"), item.get("product"), pct,
+            )
+    job["work_items"] = kept
+
+
 @register_plugin("covers")
 def covers_plugin(job: dict, coverage_fn: Callable[[dict, dict], float] | None = None) -> None:
     """Prune work items whose pass/area coverage is below their
