@@ -407,3 +407,27 @@ def test_check_sunlight_coverage_plugin(spark, input_file, tmp_path):
     areas = [i["area"] for i in job["work_items"]]
     assert areas == ["day", "nocheck"]
     assert job["work_items"][0]["area_sunlight_coverage_percent"] >= 50.0
+
+
+def test_staging_zone_and_eager_writing(spark, input_file, tmp_path):
+    """Outputs stage in a separate zone and move to the final dir on
+    commit; eager_writing skips the persist but produces the same files."""
+    from trollflow2_spark.sinks.save import save_datasets
+    from trollflow2_spark.sources.scene import create_scene
+
+    scene = create_scene(spark, [input_file])
+    out_dir = str(tmp_path / "final")
+    staging = str(tmp_path / "staging")
+    items = [
+        {"area": "a1", "product": ["ch1"], "productname": "p1",
+         "format": "parquet", "writer": "parquet",
+         "fname_pattern": "{productname}.{format}", "output_dir": out_dir},
+    ]
+    r = save_datasets(spark, scene, items, staging_zone=staging)
+    assert [os.path.basename(p["filename"]) for p in r.produced] == ["p1.parquet"]
+    assert os.path.exists(os.path.join(out_dir, "p1.parquet"))
+    assert os.listdir(staging) == []  # staged dataset moved out
+
+    r2 = save_datasets(spark, scene, items, eager_writing=True, use_tmp_file=False)
+    assert r2.produced[0]["size_bytes"] > 0
+    assert r2.produced[0]["staged_filename"] is None
