@@ -472,7 +472,15 @@ def add_overviews_plugin(job: dict, factors: Sequence[int] = (4, 16)) -> None:
     first numeric column, written as ``<output>.overviews/level=F``."""
     spark = job["spark"]
     for p in job["produced_files"].produced:
-        if p.get("writer") not in ("parquet", "geotiff"):
+        if p.get("writer") in ("geotiff", "ninjotiff", "ninjogeotiff"):
+            # real TIFF: append reduced-resolution pages in-file (the
+            # standard GeoTIFF pyramid layout, plugins/__init__.py:928-944)
+            from trollflow2_spark.sinks.imagery import add_tiff_overviews
+
+            add_tiff_overviews(p["filename"], [int(f) for f in factors])
+            p["overview_levels"] = list(factors)
+            continue
+        if p.get("writer") != "parquet":
             continue
         df = spark.read.parquet(p["filename"])
         numeric = [c for c, t in df.dtypes if t in ("double", "float", "bigint", "int")]

@@ -84,16 +84,99 @@ def _write_json(df: DataFrame, path: str, kwargs: dict) -> None:
     df.write.options(**_strip_engine_kwargs(kwargs)).mode("overwrite").json(path)
 
 
+def _gather_grid(df: DataFrame, kwargs: dict):
+    """Collect one product's bounded raster to the driver as a 2-D array.
+
+    The grid is area-definition-sized (config-bounded), so the gather is
+    one Arrow toPandas per output image — see the scale note in
+    :mod:`trollflow2_spark.sinks.imagery`.
+    """
+    from trollflow2_spark.sinks import imagery
+
+    x_col = kwargs.get("x_col", "x")
+    y_col = kwargs.get("y_col", "y")
+    coord = {x_col, y_col}
+    value_col = kwargs.get("value_col") or next(
+        (c for c in df.columns if c not in coord), df.columns[0]
+    )
+    cols = [c for c in (y_col, x_col) if c in df.columns] + [value_col]
+    pdf = df.select(*cols).toPandas()
+    return imagery.grid_from_pandas(pdf, value_col, x_col=x_col, y_col=y_col)
+
+
+def _float_opt(kwargs: dict, key: str):
+    v = kwargs.get(key)
+    return None if v is None else float(v)
+
+
+def _write_simple_image(df: DataFrame, path: str, kwargs: dict) -> None:
+    """Real single-file PNG (≙ satpy ``simple_image`` writer dispatch at
+    ``plugins/__init__.py:277-310``): min-max stretch to uint8 + stdlib
+    PNG encoding."""
+    from trollflow2_spark.sinks import imagery
+
+    grid = _gather_grid(df, kwargs)
+    stretched = imagery.stretch_to_uint8(
+        grid,
+        vmin=_float_opt(kwargs, "vmin"),
+        vmax=_float_opt(kwargs, "vmax"),
+        fill_value=int(kwargs.get("fill_value", 0)),
+    )
+    with open(path, "wb") as fh:
+        fh.write(imagery.encode_png(stretched))
+
+
+_write_simple_image.needs_coords = True
+
+
+def _geotiff_writer(ninjo: bool):
+    def writer(df: DataFrame, path: str, kwargs: dict) -> None:
+        from trollflow2_spark.sinks import imagery
+
+        grid = _gather_grid(df, kwargs)
+        if str(kwargs.get("dtype", "uint8")).startswith("float"):
+            arr = grid.astype("float32")
+        else:
+            arr = imagery.stretch_to_uint8(
+                grid,
+                vmin=_float_opt(kwargs, "vmin"),
+                vmax=_float_opt(kwargs, "vmax"),
+                fill_value=int(kwargs.get("fill_value", 0)),
+            )
+        desc = imagery.ninjo_description(kwargs) if ninjo else None
+        scale = kwargs.get("pixel_scale")
+        tp = kwargs.get("tiepoint")
+        blob = imagery.encode_geotiff(
+            arr,
+            pixel_scale=tuple(scale) if scale else None,
+            tiepoint=tuple(tp) if tp else None,
+            epsg=int(kwargs.get("epsg", 4326)),
+            description=desc,
+            compress=str(kwargs.get("compress", "NONE")),
+        )
+        with open(path, "wb") as fh:
+            fh.write(blob)
+
+    writer.needs_coords = True
+    return writer
+
+
+WRITER_REGISTRY["simple_image"] = _write_simple_image
+WRITER_REGISTRY["geotiff"] = _geotiff_writer(ninjo=False)
+WRITER_REGISTRY["ninjotiff"] = _geotiff_writer(ninjo=True)
+WRITER_REGISTRY["ninjogeotiff"] = _geotiff_writer(ninjo=True)
+
+
 def _stub_image_writer(media_format: str):
     def writer(df: DataFrame, path: str, kwargs: dict) -> None:
-        # STUB: rasterio/netCDF4/PIL are not in this container. The data
-        # lands as parquet; the sidecar records what a real deployment
-        # would encode. Swap this writer in production.
+        # STUB: netCDF4 is not in this container. The data lands as
+        # parquet; the sidecar records what a real deployment would
+        # encode. Swap this writer in production.
         df.write.mode("overwrite").parquet(path)
         sidecar = {
             "intended_format": media_format,
             "writer_kwargs": _strip_engine_kwargs(kwargs),
-            "stub": "image/netcdf encoder not available in this environment",
+            "stub": "netcdf encoder not available in this environment",
         }
         with open(path + ".meta.json", "w", encoding="utf-8") as fh:
             json.dump(sidecar, fh, sort_keys=True)
@@ -101,14 +184,7 @@ def _stub_image_writer(media_format: str):
     return writer
 
 
-for _name, _fmt in [
-    ("geotiff", "tif"),
-    ("simple_image", "png"),
-    ("cf", "nc"),
-    ("ninjotiff", "tif"),
-    ("ninjogeotiff", "tif"),
-]:
-    WRITER_REGISTRY[_name] = _stub_image_writer(_fmt)
+WRITER_REGISTRY["cf"] = _stub_image_writer("nc")
 
 
 # ---------------------------------------------------------------------------
@@ -296,6 +372,14 @@ def save_datasets(
                     "product %s missing from scene, skipping", item.get("product")
                 )
                 continue
+            if getattr(writer, "needs_coords", False):
+                # image writers pivot on the grid coordinates
+                coord_cols = [
+                    c
+                    for c in (mda.get("y_col", "y"), mda.get("x_col", "x"))
+                    if c in shared.columns and c not in prod_cols
+                ]
+                prod_cols = coord_cols + prod_cols
             to_write = shared.select(*prod_cols) if prod_cols else shared
 
             t0 = time.time()
