@@ -73,6 +73,43 @@ def test_nearest_join_radius_miss(spark):
     assert out.count() == 2  # every target exactly once
 
 
+def test_nearest_join_left_in_cell_but_out_of_range(spark):
+    """A target whose probe cells contain ONLY out-of-range sources must
+    still be kept with NULL src columns in left mode (the round-1 defect:
+    the radius predicate was a post-join filter and dropped it)."""
+    target = spark.createDataFrame([(1, 0.0)], ["t_id", "pos"])
+    # source at 1.2 * radius: inside the 3-cell probe neighborhood,
+    # outside the radius
+    source = spark.createDataFrame([(10, 1.2)], ["s_id", "spos"])
+    out = nearest_join_1d(target, source, "pos", "spos", radius=1.0).collect()
+    assert len(out) == 1
+    assert out[0]["src_s_id"] is None
+
+
+def test_nearest_join_2d_left_miss_and_inner(spark):
+    from trollflow2_spark.operators.resample import nearest_join_2d
+
+    target = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, 50.0)], ["t_id", "x", "y"]
+    )
+    source = spark.createDataFrame([(10, 0.5, 0.5), (11, 1.3, 0.0)], ["s_id", "x", "y"])
+    left = nearest_join_2d(target, source, radius=1.0, how="left", target_id="t_id")
+    got = {r["t_id"]: r["src_s_id"] for r in left.collect()}
+    assert got == {1: 10, 2: None}
+    inner = nearest_join_2d(target, source, radius=1.0, how="inner", target_id="t_id")
+    assert [r["t_id"] for r in inner.collect()] == [1]
+
+
+def test_nearest_join_duplicate_targets_stay_distinct(spark):
+    """Two identical target rows must yield two output rows (round-1
+    defect: the window partitioned by every target column and collapsed
+    duplicates)."""
+    target = spark.createDataFrame([(0.0,), (0.0,)], ["pos"])
+    source = spark.createDataFrame([(10, 0.5)], ["s_id", "spos"])
+    out = nearest_join_1d(target, source, "pos", "spos", radius=1.0)
+    assert out.count() == 2
+
+
 def test_weighted_resample(spark):
     target = spark.createDataFrame([(1, 10.0)], ["t_id", "pos"])
     source = spark.createDataFrame(

@@ -43,19 +43,32 @@ def nearest_join_1d(
     source_coord: str,
     radius: float,
     tie_breaker: Column | None = None,
+    how: str = "left",
+    target_id: str | None = None,
 ) -> DataFrame:
     """For each target row, attach the nearest source row whose coordinate
-    is within ``radius`` (absolute distance); targets with no neighbor in
-    range are kept with NULL source columns (fill behavior ≙
-    ``radius_of_influence`` miss -> fill value, ``plugins/__init__.py:
-    149-156``).
+    is within ``radius`` (absolute distance); with ``how='left'`` targets
+    with no neighbor in range are kept with NULL source columns (fill
+    behavior ≙ ``radius_of_influence`` miss -> fill value,
+    ``plugins/__init__.py:149-156``); ``'inner'`` drops them.
+
+    The radius predicate lives *in the join condition* (not a post-join
+    filter), so left-mode misses survive; the top-1 window partitions on
+    a unique per-target id — ``target_id`` if the caller has one, else a
+    generated ``monotonically_increasing_id`` — never on payload columns
+    (duplicate target rows stay distinct, and wide columns stay out of
+    the shuffle key).
 
     Columns of ``source`` are prefixed ``src_`` in the output.
     """
     src = source.select(
         *[F.col(c).alias(f"src_{c}") for c in source.columns]
     )
-    tgt = _with_cell(target, target_coord, radius, "__cell")
+    tgt = target if target_id else target.withColumn(
+        "__tid", F.monotonically_increasing_id()
+    )
+    tid = target_id or "__tid"
+    tgt = _with_cell(tgt, target_coord, radius, "__cell")
     src = _with_cell(src, f"src_{source_coord}", radius, "__scell")
 
     # explode each target to its 3-cell neighborhood; any source within
@@ -63,17 +76,27 @@ def nearest_join_1d(
     tgt = tgt.withColumn(
         "__probe", F.explode(F.array(F.col("__cell") - 1, F.col("__cell"), F.col("__cell") + 1))
     )
-    joined = tgt.join(src, tgt["__probe"] == src["__scell"], "left")
-    dist = F.abs(F.col(target_coord).cast("double") - F.col(f"src_{source_coord}").cast("double"))
-    joined = joined.withColumn("__dist", dist).filter(
-        F.col("__dist").isNull() | (F.col("__dist") <= F.lit(float(radius)))
+    dist = F.abs(
+        tgt[target_coord].cast("double") - src[f"src_{source_coord}"].cast("double")
+    )
+    joined = tgt.join(
+        src,
+        (tgt["__probe"] == src["__scell"]) & (dist <= F.lit(float(radius))),
+        how,
+    )
+    joined = joined.withColumn(
+        "__dist",
+        F.abs(
+            F.col(target_coord).cast("double")
+            - F.col(f"src_{source_coord}").cast("double")
+        ),
     )
     order = [F.col("__dist").asc_nulls_last()]
     if tie_breaker is not None:
         order.append(tie_breaker)
-    w = Window.partitionBy(*[target[c] for c in target.columns]).orderBy(*order)
+    w = Window.partitionBy(tid).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    return out.drop("__rn", "__cell", "__scell", "__probe")
+    return out.drop("__rn", "__cell", "__scell", "__probe", "__tid")
 
 
 @register_stage("nearest_join_2d")
@@ -84,20 +107,29 @@ def nearest_join_2d(
     radius: float = 1.0,
     tie_breakers: list[Column] | None = None,
     how: str = "left",
+    target_id: str | None = None,
 ) -> DataFrame:
     """2-D nearest-neighbor resample: bucketed equi-join on (cx, cy) cell
     pairs + window top-1 per target pixel (SURVEY §2.5 mapping for the
     default 'nearest' resampler, ``plugins/__init__.py:159-201``).
 
-    ``how='inner'`` keeps only targets with a source within the radius
-    (miss -> fill value is the caller's choice, ≙ ``plugins/__init__.py:
-    149-156``); ``'left'`` keeps all targets but a target whose probe
-    cells contain only out-of-range sources is dropped by the distance
-    filter — use 'inner' when exact miss semantics matter.
+    ``how='left'`` (default) keeps every target: the radius predicate is
+    part of the join condition, so a target whose probe cells contain
+    only out-of-range sources comes back with NULL ``src_*`` columns
+    (miss -> fill value, ≙ ``plugins/__init__.py:149-156``);
+    ``'inner'`` keeps only targets with an in-range source.
+
+    The top-1 window partitions on a unique per-target id (``target_id``
+    or a generated ``monotonically_increasing_id``) — duplicate target
+    rows stay distinct and payload columns stay out of the shuffle key.
     """
     cx, cy = coords
     src = source.select(*[F.col(c).alias(f"src_{c}") for c in source.columns])
-    tgt = _with_cell(_with_cell(target, cx, radius, "__cx"), cy, radius, "__cy")
+    tgt = target if target_id else target.withColumn(
+        "__tid", F.monotonically_increasing_id()
+    )
+    tid = target_id or "__tid"
+    tgt = _with_cell(_with_cell(tgt, cx, radius, "__cx"), cy, radius, "__cy")
     src = _with_cell(_with_cell(src, f"src_{cx}", radius, "__scx"), f"src_{cy}", radius, "__scy")
 
     tgt = tgt.withColumn(
@@ -105,22 +137,30 @@ def nearest_join_2d(
     ).withColumn(
         "__py", F.explode(F.array(F.col("__cy") - 1, F.col("__cy"), F.col("__cy") + 1))
     )
-    joined = tgt.join(
-        src, (tgt["__px"] == src["__scx"]) & (tgt["__py"] == src["__scy"]), how
-    )
     dist = F.sqrt(
-        F.pow(F.col(cx).cast("double") - F.col(f"src_{cx}").cast("double"), 2)
-        + F.pow(F.col(cy).cast("double") - F.col(f"src_{cy}").cast("double"), 2)
+        F.pow(tgt[cx].cast("double") - src[f"src_{cx}"].cast("double"), 2)
+        + F.pow(tgt[cy].cast("double") - src[f"src_{cy}"].cast("double"), 2)
     )
-    joined = joined.withColumn("__dist", dist).filter(
-        F.col("__dist").isNull() | (F.col("__dist") <= F.lit(float(radius)))
+    joined = tgt.join(
+        src,
+        (tgt["__px"] == src["__scx"])
+        & (tgt["__py"] == src["__scy"])
+        & (dist <= F.lit(float(radius))),
+        how,
+    )
+    joined = joined.withColumn(
+        "__dist",
+        F.sqrt(
+            F.pow(F.col(cx).cast("double") - F.col(f"src_{cx}").cast("double"), 2)
+            + F.pow(F.col(cy).cast("double") - F.col(f"src_{cy}").cast("double"), 2)
+        ),
     )
     order = [F.col("__dist").asc_nulls_last()]
     for tb in tie_breakers or []:
         order.append(tb)
-    w = Window.partitionBy(*[target[c] for c in target.columns]).orderBy(*order)
+    w = Window.partitionBy(tid).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    return out.drop("__rn", "__cx", "__cy", "__scx", "__scy", "__px", "__py")
+    return out.drop("__rn", "__cx", "__cy", "__scx", "__scy", "__px", "__py", "__tid")
 
 
 @register_stage("weighted_resample_1d")

@@ -505,6 +505,20 @@ SELECT t_id, s_id AS nearest_id, round(d, 6) AS dist FROM j
 QUALIFY row_number() OVER (PARTITION BY t_id ORDER BY d ASC, s_id ASC) = 1
 """
 
+ORACLES["resample_2d_nearest_left"] = f"""
+WITH t AS ({_XY_T}), s AS ({_XY_S}), j AS (
+  SELECT t.t_id, s.s_id,
+    sqrt(power(t.x - s.x, 2) + power(t.y - s.y, 2)) AS d
+  FROM t LEFT JOIN s
+    ON abs(t.x - s.x) <= {C.R2D_RADIUS_LEFT}
+   AND abs(t.y - s.y) <= {C.R2D_RADIUS_LEFT}
+   AND sqrt(power(t.x - s.x, 2) + power(t.y - s.y, 2)) <= {C.R2D_RADIUS_LEFT}
+)
+SELECT t_id, s_id AS nearest_id, round(d, 6) AS dist FROM j
+QUALIFY row_number() OVER (
+  PARTITION BY t_id ORDER BY d ASC NULLS LAST, s_id ASC NULLS LAST) = 1
+"""
+
 _SZA_EV = SZA_SQL(
     "ts",
     "CAST(user_id % 360 - 180 AS DOUBLE)",

@@ -50,6 +50,7 @@ NEARDUP_BITS = 4
 
 # --- spatial / raster ------------------------------------------------------
 R2D_RADIUS = 3.0  # 2-D nearest-neighbor radius (grid units)
+R2D_RADIUS_LEFT = 1.0  # small radius so the left-mode query has real misses
 R2D_XMOD = 97  # deterministic synthetic point coords from event ids
 R2D_YMOD = 89
 SUNLIGHT_MIN_PCT = 20.0

@@ -498,6 +498,32 @@ def q_resample_2d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_2d_nearest_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-mode 2-D nearest resample: every target pixel is kept; a
+    target with no source within the (deliberately small) radius gets
+    NULL nearest_id/dist — the miss -> fill-value semantics of the
+    reference's ``radius_of_influence`` (``plugins/__init__.py:149-156``).
+    Also exercises the caller-supplied unique ``target_id`` window key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    target = _xy_points(ev, "purchase", "t_id")
+    source = _xy_points(ev, "click", "s_id")
+    out = nearest_join_2d(
+        target,
+        source,
+        coords=("x", "y"),
+        radius=C.R2D_RADIUS_LEFT,
+        tie_breakers=[F.col("src_s_id").asc_nulls_last()],
+        how="left",
+        target_id="t_id",
+    )
+    return out.select(
+        "t_id",
+        F.col("src_s_id").alias("nearest_id"),
+        F.round(F.col("__dist"), 6).alias("dist"),
+    )
+
+
 def q_sunlight_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """check_sunlight_coverage semantics: per group ("area"), the percent
     of its sample points inside the sunlit hemisphere (SZA < 90 deg);
@@ -811,6 +837,7 @@ QUERIES = {
     "nearest_join_asof": q_nearest_join_asof,
     "weighted_resample": q_weighted_resample,
     "resample_2d_nearest": q_resample_2d_nearest,
+    "resample_2d_nearest_left": q_resample_2d_nearest_left,
     "sunlight_coverage": q_sunlight_coverage,
     "overview_pyramid": q_overview_pyramid,
     "native_upsample": q_native_upsample,
