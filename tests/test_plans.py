@@ -74,6 +74,16 @@ def test_spatial_join_is_equi_join(spark, sf):
         assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), name
 
 
+def test_mapped_resample_broadcasts_no_explode(spark, sf):
+    """The precomputed grid->grid mapping path must be one broadcast
+    equi-join on the source pixel index: no probe-cell explode, no
+    cartesian, no shuffle of the source side."""
+    plan = plan_of(spark, "resample_grid_mapped", sf)
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan  # no explode anywhere in the mapped path
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_broadcasts_query_side(spark, sf):
     """Brute-force similarity deliberately broadcasts the tiny query set;
     the 100 TB base table is scanned once and never shuffled for the

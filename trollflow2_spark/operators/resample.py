@@ -26,7 +26,9 @@ single coordinate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from trollflow2_spark.operators import register_stage
 
@@ -161,6 +163,103 @@ def nearest_join_2d(
     w = Window.partitionBy(tid).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return out.drop("__rn", "__cx", "__cy", "__scx", "__scy", "__px", "__py", "__tid")
+
+
+@dataclass(frozen=True)
+class GridArea:
+    """A regular grid area definition (≙ a pyresample AreaDefinition as
+    consumed by ``resample``, ``plugins/__init__.py:159-201``): origin,
+    pixel size, extent. Pixel centers are at
+    ``origin + (index + 0.5) * step``. Config-sized: a GridArea is a few
+    scalars; its pixel *count* (width x height) bounds every derived
+    mapping table."""
+
+    name: str
+    width: int
+    height: int
+    x0: float = 0.0
+    y0: float = 0.0
+    dx: float = 1.0
+    dy: float = 1.0
+
+    def center_x(self, col):  # numpy-friendly
+        return self.x0 + (col + 0.5) * self.dx
+
+    def center_y(self, row):
+        return self.y0 + (row + 0.5) * self.dy
+
+
+def grid_to_grid_mapping(
+    spark: SparkSession,
+    target: GridArea,
+    source: GridArea,
+    radius: float,
+) -> DataFrame:
+    """Precompute the (target pixel -> nearest source pixel) table for a
+    *fixed* grid pair — the scale-safe path SCALE.md promises for
+    repeated area-to-area resampling (SURVEY §2.5;
+    ``plugins/__init__.py:159-201``'s cached resamplers).
+
+    Closed form, driver-side numpy: for every target pixel center the
+    nearest source pixel index is ``clip(round((c - o)/step - 0.5))``;
+    pixels whose nearest source center is farther than ``radius`` are
+    dropped (miss -> fill). The result is bounded by the *target area
+    size* (config-sized), so it broadcasts: at 100 TB the big source
+    table never shuffles and never explodes — one BroadcastHashJoin on
+    (s_row, s_col) replaces the 9x probe-cell explode of
+    :func:`nearest_join_2d`.
+    """
+    import numpy as np
+
+    cols = np.arange(target.width, dtype=np.int64)
+    rows = np.arange(target.height, dtype=np.int64)
+    tx = target.center_x(cols)
+    ty = target.center_y(rows)
+    scol = np.clip(
+        np.rint((tx - source.x0) / source.dx - 0.5).astype(np.int64),
+        0,
+        source.width - 1,
+    )
+    srow = np.clip(
+        np.rint((ty - source.y0) / source.dy - 0.5).astype(np.int64),
+        0,
+        source.height - 1,
+    )
+    dx2 = (source.center_x(scol) - tx) ** 2
+    dy2 = (source.center_y(srow) - ty) ** 2
+    # cross the two 1-D mappings (regular grids factorize per axis)
+    tc, tr = np.meshgrid(cols, rows)
+    keep = (dx2[tc] + dy2[tr]) <= float(radius) ** 2
+    kr, kc = tr[keep].ravel(), tc[keep].ravel()
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "t_row": kr.astype("int32"),
+            "t_col": kc.astype("int32"),
+            "s_row": srow[kr].astype("int32"),
+            "s_col": scol[kc].astype("int32"),
+        }
+    )
+    return spark.createDataFrame(pdf, "t_row int, t_col int, s_row int, s_col int")
+
+
+@register_stage("resample_nearest_mapped")
+def resample_nearest_mapped(
+    source: DataFrame,
+    mapping: DataFrame,
+    key_cols: tuple[str, str] = ("s_row", "s_col"),
+    how: str = "inner",
+) -> DataFrame:
+    """Resample a gridded source through a precomputed mapping table:
+    one broadcast equi-join on the source pixel index — no explode, no
+    shuffle of the source side (the mapping is target-area-sized).
+
+    ``source`` must carry the key columns (derive them map-side via
+    ``floor((coord - origin)/step)`` when starting from x/y points).
+    """
+    return source.join(F.broadcast(mapping), list(key_cols), how)
 
 
 @register_stage("weighted_resample_1d")

@@ -505,6 +505,27 @@ SELECT t_id, s_id AS nearest_id, round(d, 6) AS dist FROM j
 QUALIFY row_number() OVER (PARTITION BY t_id ORDER BY d ASC, s_id ASC) = 1
 """
 
+ORACLES["resample_grid_mapped"] = f"""
+WITH src AS (
+  SELECT CAST(event_id % {C.GRID_SRC_H} AS INT) AS s_row,
+         CAST(user_id % {C.GRID_SRC_W} AS INT) AS s_col,
+         {_dsum('value')} AS value_sum,
+         count(*) AS n_points
+  FROM events GROUP BY 1, 2
+),
+map AS (
+  -- target 32x24 grid at 2x pixel size, origin 0.3: the nearest source
+  -- pixel of target (r, c) is (2r+1, 2c+1) in closed form
+  SELECT CAST(i.range % {C.GRID_TGT_W} AS INT) AS t_col,
+         CAST(i.range // {C.GRID_TGT_W} AS INT) AS t_row,
+         CAST(2 * (i.range % {C.GRID_TGT_W}) + 1 AS INT) AS s_col,
+         CAST(2 * (i.range // {C.GRID_TGT_W}) + 1 AS INT) AS s_row
+  FROM range(0, {C.GRID_TGT_W * C.GRID_TGT_H}) i
+)
+SELECT m.t_row, m.t_col, s.value_sum, s.n_points
+FROM map m JOIN src s ON m.s_row = s.s_row AND m.s_col = s.s_col
+"""
+
 ORACLES["resample_2d_nearest_left"] = f"""
 WITH t AS ({_XY_T}), s AS ({_XY_S}), j AS (
   SELECT t.t_id, s.s_id,

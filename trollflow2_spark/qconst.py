@@ -51,6 +51,10 @@ NEARDUP_BITS = 4
 # --- spatial / raster ------------------------------------------------------
 R2D_RADIUS = 3.0  # 2-D nearest-neighbor radius (grid units)
 R2D_RADIUS_LEFT = 1.0  # small radius so the left-mode query has real misses
+GRID_SRC_W = 64  # mapped-resample source grid (unit pixels, origin 0)
+GRID_SRC_H = 48
+GRID_TGT_W = 32  # target grid: 2x pixels, origin 0.3 -> nearest src px = 2t+1
+GRID_TGT_H = 24
 R2D_XMOD = 97  # deterministic synthetic point coords from event ids
 R2D_YMOD = 89
 SUNLIGHT_MIN_PCT = 20.0

@@ -498,6 +498,40 @@ def q_resample_2d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_grid_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid->grid nearest resample through the precomputed broadcast
+    mapping table (the 100 TB path: one BroadcastHashJoin on the source
+    pixel index, no explode, no shuffle of the source side).
+
+    Source grid: events aggregated onto a 64x48 unit grid. Target grid:
+    32x24 at 2x pixel size with origin 0.3 (offset avoids ties), whose
+    nearest source pixel is (2*t+1) per axis — the oracle states that
+    closed form directly.
+    """
+    from trollflow2_spark.operators.resample import (
+        GridArea,
+        grid_to_grid_mapping,
+        resample_nearest_mapped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.groupBy(
+        (F.col("event_id") % C.GRID_SRC_H).cast("int").alias("s_row"),
+        (F.col("user_id") % C.GRID_SRC_W).cast("int").alias("s_col"),
+    ).agg(
+        dsum(F.col("value")).alias("value_sum"),  # decimal-exact, order-free
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    mapping = grid_to_grid_mapping(
+        spark,
+        target=GridArea("tgt", C.GRID_TGT_W, C.GRID_TGT_H, 0.3, 0.3, 2.0, 2.0),
+        source=GridArea("src", C.GRID_SRC_W, C.GRID_SRC_H, 0.0, 0.0, 1.0, 1.0),
+        radius=2.0,
+    )
+    out = resample_nearest_mapped(src, mapping)
+    return out.select("t_row", "t_col", "value_sum", "n_points")
+
+
 def q_resample_2d_nearest_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-mode 2-D nearest resample: every target pixel is kept; a
     target with no source within the (deliberately small) radius gets
@@ -838,6 +872,7 @@ QUERIES = {
     "weighted_resample": q_weighted_resample,
     "resample_2d_nearest": q_resample_2d_nearest,
     "resample_2d_nearest_left": q_resample_2d_nearest_left,
+    "resample_grid_mapped": q_resample_grid_mapped,
     "sunlight_coverage": q_sunlight_coverage,
     "overview_pyramid": q_overview_pyramid,
     "native_upsample": q_native_upsample,
