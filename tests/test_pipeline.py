@@ -355,6 +355,94 @@ def test_resample_plugin_nearest_grid(spark, input_file, tmp_path):
     assert "src_ch1" in out.columns  # scene columns attached to grid points
 
 
+def _multires_scene(spark):
+    """Two bands on nested grids: fine (res=1) 4x4 integer pixels, coarse
+    (res=2) 2x2 pixels at half-integer centers."""
+    rows = [
+        (float(x), float(y), 1, float(x + 10 * y))
+        for y in range(4)
+        for x in range(4)
+    ] + [
+        (x, y, 2, 100.0 + x + y)
+        for y in (0.5, 2.5)
+        for x in (0.5, 2.5)
+    ]
+    return spark.createDataFrame(rows, "x double, y double, resolution int, value double")
+
+
+def test_resample_plugin_coarsest_area(spark):
+    """use_coarsest_area picks the max-resolution band's grid and
+    resamples everything onto it (≙ scn.coarsest_area(),
+    tests/test_trollflow2.py:1022-1055)."""
+    from trollflow2_spark.plans.pipeline import resample_plugin
+
+    job = {
+        "spark": spark,
+        "scene": _multires_scene(spark),
+        "work_items": [{"area": "None"}],
+        "resampled_scenes": {},
+    }
+    resample_plugin(job, use_coarsest_area=True)
+    out = job["resampled_scenes"]["None"].collect()
+    assert len(out) == 4  # the coarse 2x2 grid
+    # each coarse pixel keeps its own value (distance 0 beats any fine pixel)
+    got = {(r["x"], r["y"]): r["value"] for r in out}
+    assert got[(0.5, 0.5)] == 101.0
+    assert got[(2.5, 2.5)] == 105.0
+
+
+def test_resample_plugin_finest_area(spark):
+    from trollflow2_spark.plans.pipeline import resample_plugin
+
+    job = {
+        "spark": spark,
+        "scene": _multires_scene(spark),
+        "work_items": [{"area": "None"}],
+        "resampled_scenes": {},
+    }
+    resample_plugin(job, use_max_area=True)  # alias for use_finest_area
+    out = job["resampled_scenes"]["None"].collect()
+    assert len(out) == 16  # the fine 4x4 grid
+    got = {(r["x"], r["y"]): r["value"] for r in out}
+    assert got[(3.0, 3.0)] == 33.0
+
+
+def test_resampler_default_options_merge():
+    from trollflow2_spark.plans.pipeline import resolve_resampler_options
+
+    ewa = resolve_resampler_options("ewa", {})
+    assert ewa["weight_min"] == 0.01 and ewa["kernel"] == "gaussian"
+    over = resolve_resampler_options("ewa", {"weight_min": 0.5, "reduce_data": None})
+    assert over["weight_min"] == 0.5
+    assert over["reduce_data"] is True  # None never overrides a default
+    other = resolve_resampler_options("nearest", {"radius_of_influence": 9.0})
+    assert other["radius_of_influence"] == 9.0 and "epsilon" in other
+
+
+def test_resample_plugin_ewa_kernel(spark):
+    """The ewa/bilinear path resolves kernel defaults and aggregates
+    weighted neighbors onto the target grid."""
+    from trollflow2_spark.plans.pipeline import resample_plugin
+
+    scene = spark.createDataFrame(
+        [(0.0, 0.0, 10.0), (1.0, 0.0, 20.0)], "x double, y double, value double"
+    )
+    target = spark.createDataFrame([(0.5, 0.0)], "x double, y double")
+    job = {
+        "spark": spark,
+        "scene": scene,
+        "work_items": [{"area": "a"}],
+        "resampled_scenes": {},
+        "target_grid": target,
+    }
+    resample_plugin(job, resampler="bilinear", radius_of_influence=2.0)
+    out = job["resampled_scenes"]["a"].collect()
+    assert len(out) == 1
+    # equidistant inverse-distance weights -> plain mean
+    assert abs(out[0]["value_resampled"] - 15.0) < 1e-6
+    assert out[0]["n_neighbors"] == 2
+
+
 def test_format_decoration_plugin(spark, input_file, tmp_path):
     from trollflow2_spark.plans.pipeline import message_to_jobs, PLUGIN_REGISTRY
 

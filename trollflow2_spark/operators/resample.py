@@ -262,6 +262,81 @@ def resample_nearest_mapped(
     return source.join(F.broadcast(mapping), list(key_cols), how)
 
 
+@register_stage("weighted_resample_2d")
+def weighted_resample_2d(
+    target: DataFrame,
+    source: DataFrame,
+    coords: tuple[str, str] = ("x", "y"),
+    value_cols: list[str] | None = None,
+    radius: float = 1.0,
+    kernel: str = "inverse",
+    sigma: float | None = None,
+    weight_min: float = 0.0,
+    target_id: str | None = None,
+) -> DataFrame:
+    """2-D weighted (bilinear/EWA-like) resample: every in-radius source
+    contributes ``sum(w*v)/sum(w)`` per target pixel
+    (≙ the ``ewa``/``bilinear`` resamplers and their weight options,
+    ``RESAMPLER_DEFAULT_OPTIONS``, ``plugins/__init__.py:133-148``).
+
+    Kernels: ``"inverse"`` -> ``1/(d + 1e-9)``; ``"gaussian"`` (EWA-like)
+    -> ``exp(-d^2 / sigma^2)`` with ``sigma`` defaulting to ``radius/2``.
+    ``weight_min`` drops negligible contributions
+    (≙ ``weight_min``/``weight_distance_max``). Same bucketed cell
+    equi-join shape as :func:`nearest_join_2d`; the aggregation replaces
+    the top-1 window, so partial (map-side) aggregation applies.
+    """
+    cx, cy = coords
+    if value_cols is None:
+        value_cols = [
+            c for c, t in source.dtypes
+            if c not in coords and t in ("double", "float", "int", "bigint")
+        ]
+    src = source.select(*[F.col(c).alias(f"src_{c}") for c in source.columns])
+    tgt = target if target_id else target.withColumn(
+        "__tid", F.monotonically_increasing_id()
+    )
+    tid = target_id or "__tid"
+    tgt = _with_cell(_with_cell(tgt, cx, radius, "__cx"), cy, radius, "__cy")
+    src = _with_cell(_with_cell(src, f"src_{cx}", radius, "__scx"), f"src_{cy}", radius, "__scy")
+    tgt = tgt.withColumn(
+        "__px", F.explode(F.array(F.col("__cx") - 1, F.col("__cx"), F.col("__cx") + 1))
+    ).withColumn(
+        "__py", F.explode(F.array(F.col("__cy") - 1, F.col("__cy"), F.col("__cy") + 1))
+    )
+    dist = F.sqrt(
+        F.pow(tgt[cx].cast("double") - src[f"src_{cx}"].cast("double"), 2)
+        + F.pow(tgt[cy].cast("double") - src[f"src_{cy}"].cast("double"), 2)
+    )
+    joined = tgt.join(
+        src,
+        (tgt["__px"] == src["__scx"])
+        & (tgt["__py"] == src["__scy"])
+        & (dist <= F.lit(float(radius))),
+        "inner",
+    )
+    d = F.sqrt(
+        F.pow(F.col(cx).cast("double") - F.col(f"src_{cx}").cast("double"), 2)
+        + F.pow(F.col(cy).cast("double") - F.col(f"src_{cy}").cast("double"), 2)
+    )
+    if kernel == "gaussian":
+        s = float(sigma) if sigma is not None else float(radius) / 2.0
+        w = F.exp(-(d * d) / F.lit(s * s))
+    elif kernel == "inverse":
+        w = 1.0 / (d + F.lit(1e-9))
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    joined = joined.withColumn("__w", w)
+    if weight_min:
+        joined = joined.filter(F.col("__w") >= F.lit(float(weight_min)))
+    group_cols = [tid] + [c for c in target.columns if c != tid]
+    aggs = [
+        (F.sum(F.col("__w") * F.col(f"src_{v}")) / F.sum("__w")).alias(f"{v}_resampled")
+        for v in value_cols
+    ] + [F.count(F.lit(1)).alias("n_neighbors")]
+    return joined.groupBy(*group_cols).agg(*aggs).drop("__tid")
+
+
 @register_stage("weighted_resample_1d")
 def weighted_resample_1d(
     target: DataFrame,

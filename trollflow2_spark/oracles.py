@@ -526,6 +526,46 @@ SELECT m.t_row, m.t_col, s.value_sum, s.n_points
 FROM map m JOIN src s ON m.s_row = s.s_row AND m.s_col = s.s_col
 """
 
+ORACLES["resample_coarsest"] = f"""
+WITH pts AS (
+  SELECT event_type AS band,
+    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 ELSE 4 END AS res,
+    CAST(user_id % {C.R2D_XMOD} AS DOUBLE) AS x,
+    CAST(event_id % {C.R2D_YMOD} AS DOUBLE) AS y,
+    value
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+r AS (SELECT max(res) AS target_res FROM pts)
+SELECT band,
+  CAST(floor(y / r.target_res) AS INT) AS t_row,
+  CAST(floor(x / r.target_res) AS INT) AS t_col,
+  {_dsum('value')} AS value_sum,
+  count(*) AS n_points
+FROM pts, r
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["weighted_resample_2d"] = f"""
+WITH t AS ({_XY_T}),
+s AS (
+  SELECT CAST(user_id % {C.R2D_XMOD} AS DOUBLE) AS x,
+         CAST(event_id % {C.R2D_YMOD} AS DOUBLE) AS y,
+         value
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT t.t_id, s.value,
+    sqrt(power(t.x - s.x, 2) + power(t.y - s.y, 2)) AS d
+  FROM t JOIN s
+    ON abs(t.x - s.x) <= {C.R2D_RADIUS} AND abs(t.y - s.y) <= {C.R2D_RADIUS}
+  WHERE sqrt(power(t.x - s.x, 2) + power(t.y - s.y, 2)) <= {C.R2D_RADIUS}
+)
+SELECT t_id,
+  round(SUM(value * (1.0/(d + 1e-9))) / SUM(1.0/(d + 1e-9)), 4) AS resampled_value,
+  count(*) AS n_neighbors
+FROM j GROUP BY t_id
+"""
+
 ORACLES["resample_2d_nearest_left"] = f"""
 WITH t AS ({_XY_T}), s AS ({_XY_S}), j AS (
   SELECT t.t_id, s.s_id,

@@ -367,15 +367,56 @@ def check_valid_data_fraction_plugin(job: dict, min_valid_data_fraction: float =
     job["work_items"] = kept
 
 
+# Per-resampler default option sets (≙ RESAMPLER_DEFAULT_OPTIONS /
+# GLOBAL_RESAMPLER_DEFAULTS, plugins/__init__.py:133-156). Keys the Spark
+# engine has no analog for (dask chunking, on-disk caches) are accepted
+# and ignored so reference configs load unchanged.
+RESAMPLER_DEFAULT_OPTIONS: dict[str, dict] = {
+    "ewa": {
+        "radius_of_influence": 1.0,
+        "reduce_data": True,
+        "kernel": "gaussian",
+        "weight_min": 0.01,
+        "weight_distance_max": 1.0,
+        "weight_sum_min": -1.0,
+    },
+    "bilinear": {
+        "radius_of_influence": 1.0,
+        "reduce_data": True,
+        "kernel": "inverse",
+        "weight_min": 0.0,
+    },
+}
+GLOBAL_RESAMPLER_DEFAULTS: dict[str, Any] = {
+    "radius_of_influence": 1.0,
+    "reduce_data": True,
+    "epsilon": 0.0,
+}
+
+
+def resolve_resampler_options(resampler: str, overrides: dict) -> dict:
+    """Per-resampler defaults overlaid with explicit config
+    (≙ ``_get_plugin_conf`` over ``RESAMPLER_DEFAULT_OPTIONS``,
+    ``plugins/__init__.py:159-165``)."""
+    defaults = RESAMPLER_DEFAULT_OPTIONS.get(resampler, GLOBAL_RESAMPLER_DEFAULTS)
+    return {**defaults, **{k: v for k, v in overrides.items() if v is not None}}
+
+
 @register_plugin("resample")
 def resample_plugin(
     job: dict,
     resampler: str = "null",
     coords: tuple[str, str] = ("x", "y"),
-    radius_of_influence: float = 1.0,
-    reduce_data: bool = True,
+    radius_of_influence: float | None = None,
+    reduce_data: bool | None = None,
     aggregate_factors: dict | None = None,
     bbox: tuple[float, float, float, float] | None = None,
+    use_coarsest_area: bool = False,
+    use_finest_area: bool = False,
+    use_min_area: bool = False,
+    use_max_area: bool = False,
+    resolution_col: str = "resolution",
+    **resampler_options: Any,
 ) -> None:
     """Resample the scene per the configured kernel
     (≙ ``resample``, ``plugins/__init__.py:159-201``):
@@ -386,7 +427,17 @@ def resample_plugin(
       (e.g. ``{"x": 2, "y": 2}``);
     - ``"nearest"``: map scene points onto the target grid found in
       ``job["target_grid"]`` (a DataFrame of target coordinates) via the
-      cell-bucketed equi-join + top-1.
+      cell-bucketed equi-join + top-1;
+    - ``"ewa"`` / ``"bilinear"``: weighted kernels over the same cell
+      join (per-resampler defaults from ``RESAMPLER_DEFAULT_OPTIONS``).
+
+    ``use_coarsest_area`` (alias ``use_min_area``) / ``use_finest_area``
+    (``use_max_area``) pick the target grid from the scene itself: the
+    pixels of the band with the max/min ``resolution_col`` value become
+    the target grid and every band is nearest-resampled onto it
+    (≙ ``scn.coarsest_area()`` / ``scn.finest_area()``,
+    ``plugins/__init__.py:171-198``, tested at
+    ``tests/test_trollflow2.py:1022-1055``).
 
     ``reduce_data`` + ``bbox`` crops the source to the target bounding
     box *before* the join — the pushed-down-filter form of the
@@ -397,14 +448,59 @@ def resample_plugin(
     scene = job["scene"]
     if scene is None:
         raise AbortProcessing("resample: no scene loaded")
-    if reduce_data and bbox is not None:
+    opts = resolve_resampler_options(
+        resampler,
+        {
+            "radius_of_influence": radius_of_influence,
+            "reduce_data": reduce_data,
+            **resampler_options,
+        },
+    )
+    radius = float(opts.get("radius_of_influence") or 1.0)
+    if opts.get("reduce_data", True) and bbox is not None:
         x, y = coords
         xmin, ymin, xmax, ymax = bbox
         scene = scene.filter(
             (F.col(x) >= xmin) & (F.col(x) <= xmax)
             & (F.col(y) >= ymin) & (F.col(y) <= ymax)
         )
-    if resampler == "null":
+
+    coarsest = use_coarsest_area or use_min_area
+    finest = use_finest_area or use_max_area
+    if coarsest or finest:
+        from trollflow2_spark.operators.resample import nearest_join_2d
+
+        if resolution_col not in scene.columns:
+            raise AbortProcessing(
+                f"coarsest/finest area needs a {resolution_col!r} column"
+            )
+        pick = F.max if coarsest else F.min
+        # control-row agg: one scalar, not a data collect
+        target_res = scene.agg(pick(F.col(resolution_col))).collect()[0][0]
+        if target_res is None:
+            raise AbortProcessing("coarsest/finest: no resolution values")
+        x, y = coords
+        target = (
+            scene.filter(F.col(resolution_col) == target_res)
+            .select(x, y)
+            .distinct()
+        )
+        value_cols = [
+            c for c, t in scene.dtypes
+            if c not in (x, y, resolution_col)
+            and t in ("double", "float", "int", "bigint")
+        ]
+        joined = nearest_join_2d(
+            target,
+            scene,
+            coords=coords,
+            radius=float(target_res) if radius <= 1.0 else radius,
+            how="inner",
+        )
+        resampled = joined.select(
+            x, y, *[F.col(f"src_{c}").alias(c) for c in value_cols]
+        )
+    elif resampler == "null":
         resampled = scene
     elif resampler == "native":
         factors = aggregate_factors or {coords[0]: 2, coords[1]: 2}
@@ -420,7 +516,21 @@ def resample_plugin(
         from trollflow2_spark.operators.resample import nearest_join_2d
 
         resampled = nearest_join_2d(
-            target, scene, coords=coords, radius=radius_of_influence, how="inner"
+            target, scene, coords=coords, radius=radius, how="inner"
+        )
+    elif resampler in ("ewa", "bilinear"):
+        target = job.get("target_grid")
+        if target is None:
+            raise AbortProcessing(f"resample: {resampler} needs job['target_grid']")
+        from trollflow2_spark.operators.resample import weighted_resample_2d
+
+        resampled = weighted_resample_2d(
+            target,
+            scene,
+            coords=coords,
+            radius=float(opts.get("weight_distance_max") or radius),
+            kernel=str(opts.get("kernel", "inverse")),
+            weight_min=float(opts.get("weight_min") or 0.0),
         )
     else:
         raise AbortProcessing(f"unknown resampler {resampler!r}")

@@ -498,6 +498,75 @@ def q_resample_2d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_coarsest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """use_coarsest_area semantics as a query: bands (event types) carry
+    per-band resolution metadata (click=1, view=2, purchase=4); the
+    target grid resolution is picked by an agg over that metadata
+    (max -> coarsest, ≙ ``scn.coarsest_area()``,
+    ``plugins/__init__.py:171-198``) and every band's pixels roll up
+    onto the chosen grid. The scalar is a 1-row broadcast, never a
+    driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    res = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .otherwise(4)
+        .cast("int")
+    )
+    pts = ev.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        F.col("event_type").alias("band"),
+        res.alias("res"),
+        (F.col("user_id") % C.R2D_XMOD).cast("double").alias("x"),
+        (F.col("event_id") % C.R2D_YMOD).cast("double").alias("y"),
+        "value",
+    )
+    target_res = pts.agg(F.max("res").alias("target_res"))
+    return (
+        pts.crossJoin(F.broadcast(target_res))
+        .groupBy(
+            "band",
+            F.floor(F.col("y") / F.col("target_res")).cast("int").alias("t_row"),
+            F.floor(F.col("x") / F.col("target_res")).cast("int").alias("t_col"),
+        )
+        .agg(
+            dsum(F.col("value")).alias("value_sum"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def q_weighted_resample_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D weighted (bilinear-style inverse-distance) resample: click
+    values aggregated onto purchase points with 1/d weights over the
+    bucketed cell join (``RESAMPLER_DEFAULT_OPTIONS`` kernels,
+    ``plugins/__init__.py:133-148``)."""
+    from trollflow2_spark.operators.resample import weighted_resample_2d
+
+    ev = load_table(spark, sf_dir, "events")
+    target = _xy_points(ev, "purchase", "t_id")
+    source = ev.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % C.R2D_XMOD).cast("double").alias("x"),
+        (F.col("event_id") % C.R2D_YMOD).cast("double").alias("y"),
+        "value",
+    )
+    out = weighted_resample_2d(
+        target,
+        source,
+        coords=("x", "y"),
+        value_cols=["value"],
+        radius=C.R2D_RADIUS,
+        kernel="inverse",
+        target_id="t_id",
+    )
+    return out.select(
+        "t_id",
+        F.round(F.col("value_resampled"), 4).alias("resampled_value"),
+        "n_neighbors",
+    )
+
+
 def q_resample_grid_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid->grid nearest resample through the precomputed broadcast
     mapping table (the 100 TB path: one BroadcastHashJoin on the source
@@ -873,6 +942,8 @@ QUERIES = {
     "resample_2d_nearest": q_resample_2d_nearest,
     "resample_2d_nearest_left": q_resample_2d_nearest_left,
     "resample_grid_mapped": q_resample_grid_mapped,
+    "resample_coarsest": q_resample_coarsest,
+    "weighted_resample_2d": q_weighted_resample_2d,
     "sunlight_coverage": q_sunlight_coverage,
     "overview_pyramid": q_overview_pyramid,
     "native_upsample": q_native_upsample,
