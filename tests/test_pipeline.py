@@ -355,6 +355,45 @@ def test_resample_plugin_nearest_grid(spark, input_file, tmp_path):
     assert "src_ch1" in out.columns  # scene columns attached to grid points
 
 
+def test_covers_plugin_real_swath_model(spark):
+    """The closed-form orbit swath model prunes areas the pass misses
+    (≙ covers + Pass.area_coverage, plugins/__init__.py:582-684) while
+    items without geometry pass with a warning (graceful degradation)."""
+    from trollflow2_spark.plans.pipeline import covers_plugin
+
+    job = {
+        "input_mda": {
+            "platform_name": "SAT-1",
+            "start_time": "2024-01-15T12:00:00",
+            "end_time": "2024-01-15T12:15:00",
+        },
+        "work_items": [
+            # on-track: ascending node at lon 10, track sweeps ~lat 0..50
+            {"area": "near", "min_coverage": 30.0, "area_extent": (0.0, 0.0, 20.0, 30.0)},
+            # opposite side of the planet
+            {"area": "far", "min_coverage": 50.0, "area_extent": (150.0, -40.0, 170.0, -10.0)},
+            # no geometry -> graceful keep
+            {"area": "nogeo", "min_coverage": 50.0},
+            # no threshold -> keep untouched
+            {"area": "nocheck"},
+        ],
+    }
+    covers_plugin(job)
+    kept = [i["area"] for i in job["work_items"]]
+    assert kept == ["near", "nogeo", "nocheck"]
+    near = job["work_items"][0]
+    assert near["area_coverage_percent"] >= 30.0
+
+
+def test_swath_coverage_function_bounds():
+    from trollflow2_spark.functions.geometry import swath_coverage_percent
+
+    full = swath_coverage_percent(900.0, (5.0, 0.0, 15.0, 10.0))
+    none = swath_coverage_percent(900.0, (150.0, -40.0, 170.0, -10.0))
+    assert 0.0 <= none < full <= 100.0
+    assert none == 0.0
+
+
 def _multires_scene(spark):
     """Two bands on nested grids: fine (res=1) 4x4 integer pixels, coarse
     (res=2) 2x2 pixels at half-integer centers."""

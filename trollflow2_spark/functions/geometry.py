@@ -73,19 +73,102 @@ def pseudo_coverage_percent(key: Column) -> Column:
     return ((key * F.lit(37)) % F.lit(101)).cast("double")
 
 
+def ground_track_point(t_sec: float, node_lon: float) -> tuple[float, float]:
+    """(lon, lat) of the sub-satellite point ``t_sec`` seconds after the
+    ascending-node crossing at longitude ``node_lon``.
+
+    Closed-form circular sun-synchronous orbit (public orbital
+    mechanics): argument of latitude ``u = n*t``; ``lat = asin(sin i
+    sin u)``; ``lon = node + atan2(cos i sin u, cos u) - ω_E t``.
+    """
+    from trollflow2_spark import qconst as C
+
+    u = C.ORBIT_MEAN_MOTION * t_sec
+    lat = math.degrees(math.asin(C.COV_SIN_INCL * math.sin(u)))
+    lon = (
+        node_lon
+        + math.degrees(math.atan2(C.COV_COS_INCL * math.sin(u), math.cos(u)))
+        - C.EARTH_ROT_DEG_S * t_sec
+    )
+    return lon, lat
+
+
+def swath_coverage_percent(
+    duration_sec: float,
+    area_extent: tuple[float, float, float, float],
+    node_lon: float | None = None,
+    n_track: int | None = None,
+    grid_n: int | None = None,
+) -> float:
+    """Pass-swath ∩ area coverage percent via the closed-form orbit
+    model — the deterministic, dependency-free replacement for the
+    reference's trollsched ``Pass.area_coverage``
+    (``plugins/__init__.py:676-684``).
+
+    The area (lonmin, latmin, lonmax, latmax) is sampled on a
+    ``grid_n`` x ``grid_n`` grid; a sample is covered when its central
+    angle to any of ``n_track`` sub-satellite points is within the half
+    swath. Driver-side and config-sized (grid x track samples), like the
+    reference's own per-area polygon math.
+    """
+    from trollflow2_spark import qconst as C
+
+    node = C.COV_NODE_LON if node_lon is None else float(node_lon)
+    nt = n_track or C.COV_TRACK_N
+    g = grid_n or C.COV_GRID_N
+    lonmin, latmin, lonmax, latmax = (float(v) for v in area_extent)
+    track = [
+        ground_track_point(k * duration_sec / max(nt - 1, 1), node)
+        for k in range(nt)
+    ]
+    covered = 0
+    for j in range(g):
+        lat_g = math.radians(latmin + (j + 0.5) * (latmax - latmin) / g)
+        for i in range(g):
+            lon_g = lonmin + (i + 0.5) * (lonmax - lonmin) / g
+            for lon_s, lat_s in track:
+                cosang = (
+                    math.sin(lat_g) * math.sin(math.radians(lat_s))
+                    + math.cos(lat_g)
+                    * math.cos(math.radians(lat_s))
+                    * math.cos(math.radians(lon_g - lon_s))
+                )
+                ang = math.acos(max(-1.0, min(1.0, cosang)))
+                if round(ang, 6) <= C.COV_HALF_SWATH_RAD:
+                    covered += 1
+                    break
+    return round(100.0 * covered / (g * g), 4)
+
+
 def coverage_percent_udf():
     """Real spherical-geometry coverage hook.
 
-    Returns a pandas UDF ``(platform, start, end, sensor, area) ->
-    coverage_pct`` when an ephemeris stack is importable; otherwise
-    ``None`` — callers then either skip the check (the reference's
-    graceful degradation, ``plugins/__init__.py:588-591``) or use
-    :func:`pseudo_coverage_percent` in test mode.
-    """
-    try:  # pragma: no cover - geo stack not in this environment
-        import pyorbital  # noqa: F401
-    except ImportError:
-        return None
-    raise NotImplementedError(
-        "ephemeris-backed coverage not wired yet; env lacks geo stack"
-    )
+    Returns a callable ``(mda, item) -> coverage_pct`` backed by the
+    closed-form orbit model when the work item carries an
+    ``area_extent``; the caller (``covers_plugin``) falls back to
+    warn-and-skip for items without geometry — the reference's graceful
+    degradation (``plugins/__init__.py:588-591``)."""
+
+    def cov(mda: dict, item: dict) -> float | None:
+        extent = item.get("area_extent")
+        if extent is None:
+            return None
+        import datetime as _dtm
+
+        start = mda.get("start_time")
+        end = mda.get("end_time")
+        if isinstance(start, str):
+            start = _dtm.datetime.fromisoformat(start)
+        if isinstance(end, str):
+            end = _dtm.datetime.fromisoformat(end)
+        if start is not None and end is not None:
+            duration = (end - start).total_seconds()
+        else:
+            from trollflow2_spark import qconst as C
+
+            duration = C.COV_TRACK_STEP_S * (C.COV_TRACK_N - 1)
+        return swath_coverage_percent(
+            duration, tuple(extent), node_lon=mda.get("node_lon")
+        )
+
+    return cov

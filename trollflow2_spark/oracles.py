@@ -526,6 +526,43 @@ SELECT m.t_row, m.t_col, s.value_sum, s.n_points
 FROM map m JOIN src s ON m.s_row = s.s_row AND m.s_col = s.s_col
 """
 
+ORACLES["coverage_real"] = f"""
+WITH track AS (
+  SELECT
+    degrees(asin({C.COV_SIN_INCL} * sin({C.COV_U_STEP} * CAST(k.range AS DOUBLE)))) AS lat_s,
+    {C.COV_NODE_LON} + degrees(atan2(
+        {C.COV_COS_INCL} * sin({C.COV_U_STEP} * CAST(k.range AS DOUBLE)),
+        cos({C.COV_U_STEP} * CAST(k.range AS DOUBLE))))
+      - {C.COV_DRIFT_STEP} * CAST(k.range AS DOUBLE) AS lon_s
+  FROM range(0, {C.COV_TRACK_N}) k
+),
+grid AS (
+  SELECT g.range % {C.COV_GRID_N} AS gi, g.range // {C.COV_GRID_N} AS gj
+  FROM range(0, {C.COV_GRID_N * C.COV_GRID_N}) g
+),
+pts AS (
+  SELECT r.r_name, gi, gj,
+    (r.r_regionkey * 60 - 150) + (gi + 0.5) * 40.0 / {float(C.COV_GRID_N)} AS lon_g,
+    (r.r_regionkey * 25 - 60) + (gj + 0.5) * 30.0 / {float(C.COV_GRID_N)} AS lat_g
+  FROM region r, grid
+),
+cov AS (
+  SELECT r_name, gi, gj,
+    max(CASE WHEN round(acos(greatest(-1.0, least(1.0,
+        sin(radians(lat_g)) * sin(radians(lat_s))
+        + cos(radians(lat_g)) * cos(radians(lat_s))
+          * cos(radians(lon_g - lon_s))))), 6) <= {C.COV_HALF_SWATH_RAD}
+      THEN 1 ELSE 0 END) AS covered
+  FROM pts, track
+  GROUP BY 1, 2, 3
+)
+SELECT r_name,
+  round(100.0 * SUM(covered) / {C.COV_GRID_N * C.COV_GRID_N}, 4) AS coverage_pct,
+  round(100.0 * SUM(covered) / {C.COV_GRID_N * C.COV_GRID_N}, 4)
+    >= {C.COVERAGE_MIN_PCT} AS kept
+FROM cov GROUP BY r_name
+"""
+
 ORACLES["resample_coarsest"] = f"""
 WITH pts AS (
   SELECT event_type AS band,

@@ -306,13 +306,19 @@ def check_sunlight_coverage_plugin(job: dict, grid_step_deg: float = 10.0) -> No
 @register_plugin("covers")
 def covers_plugin(job: dict, coverage_fn: Callable[[dict, dict], float] | None = None) -> None:
     """Prune work items whose pass/area coverage is below their
-    ``min_coverage`` (≙ ``plugins/__init__.py:582-684``). Without a real
-    ephemeris stack (``coverage_fn=None``) the check degrades to a no-op
-    with a warning — the reference's graceful degradation
+    ``min_coverage`` (≙ ``plugins/__init__.py:582-684``).
+
+    The default backend is the closed-form circular-orbit swath model
+    (:func:`~trollflow2_spark.functions.geometry.swath_coverage_percent`
+    — the dependency-free stand-in for trollsched's
+    ``Pass.area_coverage``). Items without an ``area_extent`` (no
+    geometry to intersect) pass with a warning — the reference's
+    graceful degradation when its geo stack is missing
     (``plugins/__init__.py:588-591``)."""
     if coverage_fn is None:
-        logger.warning("covers: no ephemeris backend available, skipping check")
-        return
+        from trollflow2_spark.functions.geometry import coverage_percent_udf
+
+        coverage_fn = coverage_percent_udf()
     kept = []
     for item in job["work_items"]:
         min_cov = item.get("min_coverage")
@@ -320,6 +326,12 @@ def covers_plugin(job: dict, coverage_fn: Callable[[dict, dict], float] | None =
             kept.append(item)
             continue
         cov = coverage_fn(job["input_mda"], item)
+        if cov is None:
+            logger.warning(
+                "covers: no geometry for %s, keeping item", item.get("area")
+            )
+            kept.append(item)
+            continue
         item["area_coverage_percent"] = cov
         if cov >= float(min_cov):
             kept.append(item)

@@ -61,3 +61,28 @@ SUNLIGHT_MIN_PCT = 20.0
 SUNLIGHT_MAX_PCT = 80.0
 PYRAMID_FACTORS = (16, 64, 256)  # overview levels (block sizes)
 UPSAMPLE_FACTOR = 8  # 'native' mode integer upsampling
+
+# --- closed-form ephemeris (circular sun-synchronous orbit) ----------------
+# All scalars precomputed HERE so the Spark and DuckDB expressions use the
+# exact same double literals; only per-row trig runs engine-side.
+import math as _math
+
+ORBIT_ALTITUDE_KM = 833.0  # NOAA/Metop-class LEO
+ORBIT_INCL_DEG = 98.7
+ORBIT_SWATH_KM = 2900.0  # AVHRR-class swath width
+EARTH_RADIUS_KM = 6371.0
+_MU = 3.986004418e14  # m^3/s^2
+ORBIT_PERIOD_S = 2.0 * _math.pi * _math.sqrt(
+    ((EARTH_RADIUS_KM + ORBIT_ALTITUDE_KM) * 1000.0) ** 3 / _MU
+)
+ORBIT_MEAN_MOTION = 2.0 * _math.pi / ORBIT_PERIOD_S  # rad/s
+EARTH_ROT_DEG_S = 360.0 / 86164.0  # sidereal day
+COV_SIN_INCL = _math.sin(_math.radians(ORBIT_INCL_DEG))
+COV_COS_INCL = _math.cos(_math.radians(ORBIT_INCL_DEG))
+COV_HALF_SWATH_RAD = ORBIT_SWATH_KM / 2.0 / EARTH_RADIUS_KM
+COV_NODE_LON = 10.0  # ascending-node longitude at scene start
+COV_TRACK_STEP_S = 60.0  # one track sample per minute of the pass
+COV_TRACK_N = 16  # 15-minute pass
+COV_U_STEP = ORBIT_MEAN_MOTION * COV_TRACK_STEP_S  # rad per sample
+COV_DRIFT_STEP = EARTH_ROT_DEG_S * COV_TRACK_STEP_S  # deg per sample
+COV_GRID_N = 12  # per-area sampling grid (12x12)

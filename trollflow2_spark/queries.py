@@ -498,6 +498,67 @@ def q_resample_2d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coverage_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ephemeris-backed pass/area coverage: the closed-form circular
+    sun-synchronous orbit's ground track (16 one-minute samples) swept
+    against a 12x12 sample grid per region-keyed area box; a box is kept
+    when the swath covers >= COVERAGE_MIN_PCT of it
+    (≙ trollsched ``Pass.area_coverage`` in ``covers``,
+    ``plugins/__init__.py:582-684``). All orbit scalars are precomputed
+    Python constants shared with the oracle, so only per-row trig runs
+    engine-side; the row count is track x grid x areas (config-sized
+    broadcasts, no data shuffle)."""
+    G = C.COV_GRID_N
+    k = F.col("id").cast("double")
+    u = F.lit(C.COV_U_STEP) * k
+    track = spark.range(C.COV_TRACK_N).select(
+        F.degrees(F.asin(F.lit(C.COV_SIN_INCL) * F.sin(u))).alias("lat_s"),
+        (
+            F.lit(C.COV_NODE_LON)
+            + F.degrees(F.atan2(F.lit(C.COV_COS_INCL) * F.sin(u), F.cos(u)))
+            - F.lit(C.COV_DRIFT_STEP) * k
+        ).alias("lon_s"),
+    )
+    grid = spark.range(G * G).select(
+        (F.col("id") % G).alias("gi"), F.floor(F.col("id") / G).alias("gj")
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    pts = reg.crossJoin(F.broadcast(grid)).select(
+        "r_name",
+        "gi",
+        "gj",
+        (
+            (F.col("r_regionkey") * 60 - 150)
+            + (F.col("gi") + F.lit(0.5)) * F.lit(40.0) / F.lit(float(G))
+        ).alias("lon_g"),
+        (
+            (F.col("r_regionkey") * 25 - 60)
+            + (F.col("gj") + F.lit(0.5)) * F.lit(30.0) / F.lit(float(G))
+        ).alias("lat_g"),
+    )
+    cosang = (
+        F.sin(F.radians(F.col("lat_g"))) * F.sin(F.radians(F.col("lat_s")))
+        + F.cos(F.radians(F.col("lat_g")))
+        * F.cos(F.radians(F.col("lat_s")))
+        * F.cos(F.radians(F.col("lon_g") - F.col("lon_s")))
+    )
+    ang = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cosang)))
+    covered = F.when(
+        F.round(ang, 6) <= F.lit(C.COV_HALF_SWATH_RAD), F.lit(1)
+    ).otherwise(F.lit(0))
+    per_point = (
+        pts.crossJoin(F.broadcast(track))
+        .groupBy("r_name", "gi", "gj")
+        .agg(F.max(covered).alias("covered"))
+    )
+    pct = F.round(F.lit(100.0) * F.sum("covered") / F.lit(G * G), 4)
+    return (
+        per_point.groupBy("r_name")
+        .agg(pct.alias("coverage_pct"))
+        .withColumn("kept", F.col("coverage_pct") >= F.lit(C.COVERAGE_MIN_PCT))
+    )
+
+
 def q_resample_coarsest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """use_coarsest_area semantics as a query: bands (event types) carry
     per-band resolution metadata (click=1, view=2, purchase=4); the
@@ -943,6 +1004,7 @@ QUERIES = {
     "resample_2d_nearest_left": q_resample_2d_nearest_left,
     "resample_grid_mapped": q_resample_grid_mapped,
     "resample_coarsest": q_resample_coarsest,
+    "coverage_real": q_coverage_real,
     "weighted_resample_2d": q_weighted_resample_2d,
     "sunlight_coverage": q_sunlight_coverage,
     "overview_pyramid": q_overview_pyramid,
