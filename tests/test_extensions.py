@@ -53,6 +53,55 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (4, 5) not in got or (1, 3) in got
 
 
+def test_lsh_salted_degenerate_bucket(spark):
+    """A hot template bucket (600 identical docs) is salted into bounded
+    sub-buckets: pair generation happens per sub-bucket (so no single
+    quadratic task), cross-sub-bucket pairs are the accepted recall
+    loss, and the plan shows the round-robin redistribution."""
+    n, t = 600, 256
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, shingle_words=2, num_hashes=8)
+    pairs = lsh_candidate_pairs(
+        sigs, num_hashes=8, bands=4, salt_threshold=t
+    )
+    # identical docs -> identical signatures -> every band has the same
+    # membership; chunks are 256+256+88 by sorted id
+    chunks = [256, 256, 88]
+    expected = sum(c * (c - 1) // 2 for c in chunks)
+    assert pairs.count() == expected
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+
+    from trollflow2_spark.extensions.dedup import lsh_bucket_stats
+
+    stats = lsh_bucket_stats(sigs, num_hashes=8, bands=4, salt_threshold=t).collect()[0]
+    assert stats["n_salted"] == 4  # one oversized bucket per band
+    assert stats["n_dropped"] == 0
+    assert stats["max_bucket_size"] == n
+
+
+def test_lsh_small_buckets_unchanged_by_salting(docs):
+    """Salting must be a no-op below the threshold: same pairs as the
+    plain guard path."""
+    sigs = minhash_signatures(docs, shingle_words=2, num_hashes=8)
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, num_hashes=8, bands=4, salt_threshold=1000
+        ).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, num_hashes=8, bands=4, salt_threshold=2
+        ).collect()
+    }
+    assert salted <= plain
+
+
 def test_ngram_jaccard(docs):
     pairs = ngram_jaccard_pairs(
         docs, shingle_words=2, threshold=0.5, block_cols=["lang", "source"]

@@ -74,20 +74,10 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 8,
-    bands: int = 4,
-    max_bucket: int = 1000,
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Banded LSH: split the signature into ``bands`` bands, bucket docs
-    by (band_id, band_hash), emit candidate pairs that share any bucket.
-
-    Scale: self-join per bucket; buckets larger than ``max_bucket`` are
-    dropped (degenerate boilerplate clusters — the standard guard against
-    quadratic blowup; logged upstream in real runs).
-    """
+    """(id, band, band_hash) membership rows for banded LSH."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -95,21 +85,15 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
         )
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    # One aggregation computes each bucket's membership AND applies the
-    # size guard; pairs are generated in-bucket from the sorted id array
-    # (i<j upper triangle). The upstream signature pipeline is thus
-    # evaluated exactly once — the naive sizes-join + self-join shape
-    # re-executes it ~5x and at 100 TB that is 5 full corpus passes.
-    grouped = (
-        buckets.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    pairs = grouped.select(
+
+def _pair_explode(df: DataFrame) -> DataFrame:
+    """Upper-triangle (id_a < id_b) pairs from each row's sorted ``ids``
+    array."""
+    return df.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -123,8 +107,91 @@ def lsh_candidate_pairs(
                 )
             )
         ).alias("p")
+    ).select(F.col("p.id_a"), F.col("p.id_b"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 100_000,
+    salt_threshold: int = 256,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands, bucket docs
+    by (band_id, band_hash), emit candidate pairs that share any bucket.
+
+    Scale guards, in order:
+
+    - buckets larger than ``max_bucket`` are dropped outright
+      (pathological boilerplate clusters; count them with
+      :func:`lsh_bucket_stats` so the recall loss is visible);
+    - buckets larger than ``salt_threshold`` are *salted*: the sorted
+      member array is split into contiguous sub-buckets of at most
+      ``salt_threshold`` ids, sub-buckets are redistributed round-robin
+      (one small shuffle of id arrays), and pairs are generated within
+      each sub-bucket. A hot template bucket therefore costs many
+      ~``salt_threshold²/2``-pair tasks instead of one quadratic task,
+      at the explicit price of missing cross-sub-bucket pairs;
+    - small buckets take the direct single-pass path (the upstream
+      signature pipeline is evaluated exactly once — a sizes-join +
+      self-join shape would re-execute it ~5x).
+    """
+    t = int(salt_threshold)
+    grouped = (
+        _band_buckets(signatures, id_col, num_hashes, bands)
+        .groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
+    small = grouped.filter(F.size("ids") <= t)
+    big = grouped.filter(F.size("ids") > t)
+    n_chunks = F.ceil(F.size("ids") / F.lit(t)).cast("int")
+    big_chunks = (
+        big.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda c: F.slice(F.col("ids"), c * t + 1, t),
+                )
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    shuffle_parts = int(
+        signatures.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # round-robin: sub-buckets of one hot bucket spread across tasks
+    big_chunks = big_chunks.repartition(shuffle_parts)
+    pairs = _pair_explode(small).unionByName(_pair_explode(big_chunks))
+    return pairs.distinct()
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 100_000,
+    salt_threshold: int = 256,
+) -> DataFrame:
+    """One-row visibility audit for the LSH guards: how many pairable
+    buckets exist, how many get salted, how many are dropped (recall
+    loss must be observable, not silent)."""
+    sizes = (
+        _band_buckets(signatures, id_col, num_hashes, bands)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when((F.col("n") > salt_threshold) & (F.col("n") <= max_bucket), 1).otherwise(0)
+        ).alias("n_salted"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_dropped"),
+        F.max("n").alias("max_bucket_size"),
+    )
 
 
 def ngram_jaccard_pairs(

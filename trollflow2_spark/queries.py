@@ -768,8 +768,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_words=C.MINHASH_SHINGLE_WORDS,
         num_hashes=C.MINHASH_NUM_HASHES,
     )
+    # the oracle states the plain drop-guard semantics (no salting):
+    # salt_threshold == max_bucket == 1000 reproduces it exactly; salted
+    # sub-bucketing is pinned by tests/test_extensions.py instead
     return lsh_candidate_pairs(
-        sigs, num_hashes=C.MINHASH_NUM_HASHES, bands=C.MINHASH_BANDS
+        sigs,
+        num_hashes=C.MINHASH_NUM_HASHES,
+        bands=C.MINHASH_BANDS,
+        max_bucket=1000,
+        salt_threshold=1000,
     )
 
 
