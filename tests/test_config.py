@@ -139,6 +139,27 @@ def test_null_area_key_becomes_string_none():
     assert any(lf["area"] == "None" for lf in leaves)
 
 
+def test_null_key_rewrite_is_line_anchored():
+    """Keys merely ending in 'null' and string values containing 'null:'
+    must survive the null-key rewrite untouched (round-1 defect: a blind
+    str.replace corrupted both)."""
+    from trollflow2_spark.config.product_list import read_product_list
+
+    raw = (
+        "product_list:\n"
+        "  mynull: keepme\n"
+        "  note: 'contains null: inside a value'\n"
+        "  areas:\n"
+        "    null:\n"
+        "      products: {}\n"
+    )
+    cfg = read_product_list(raw_string=raw)
+    pl = cfg["product_list"]
+    assert pl["mynull"] == "keepme"
+    assert pl["note"] == "contains null: inside a value"
+    assert "None" in pl["areas"] and None not in pl["areas"]
+
+
 def test_work_items_df(spark):
     from trollflow2_spark.queries import CANONICAL_PRODUCT_LIST, q_work_items_flatten
 

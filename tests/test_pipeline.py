@@ -139,6 +139,23 @@ def test_abort_on_bad_metadata(spark, input_file, tmp_path):
     assert set(summary["aborted_priorities"]) == {1, 999}
 
 
+def test_check_metadata_numeric_non_time_key(spark):
+    """A numeric criterion on a non-time key is an equality check, not an
+    age check (round-1 defect: any numeric criterion hit the age branch
+    and crashed on ts.replace)."""
+    from trollflow2_spark.plans.pipeline import AbortProcessing, PLUGIN_REGISTRY
+    import pytest as _pytest
+
+    check = PLUGIN_REGISTRY["check_metadata"]
+    job = {"input_mda": {"orbit_number": 42, "start_time": "2024-01-15T12:00:00"}}
+    check(job, orbit_number=42)  # equality pass, no crash
+    with _pytest.raises(AbortProcessing):
+        check(job, orbit_number=43)
+    with _pytest.raises(AbortProcessing):
+        # very old start_time fails a 10-minute age gate
+        check(job, start_time=10)
+
+
 def test_abort_on_unreadable_input(spark, tmp_path):
     plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
     msg = {"type": "file", "platform_name": "TEST-1",

@@ -37,6 +37,7 @@ registered stage names instead of arbitrary ``!!python/name`` callables
 from __future__ import annotations
 
 import copy
+import re
 from typing import Any
 
 import yaml
@@ -68,10 +69,18 @@ def expand_aliases(obj: Any) -> Any:
     return obj
 
 
+_NULL_KEY_RE = re.compile(r"^(\s*(?:-\s+)?)null:", flags=re.MULTILINE)
+
+
 def _rewrite_null_keys(raw: str) -> str:
-    """``null:`` mapping keys -> string ``None:`` keys (raw-text rewrite,
-    matching the reference so the null area stays addressable)."""
-    return raw.replace("null:", "None:")
+    """``null:`` mapping keys -> string ``None:`` keys so the null
+    ("satellite projection") area stays addressable (≙ the reference's
+    ``_remove_null_keys`` quirk in ``launcher.py``).
+
+    Line-anchored: only a key that IS ``null`` at the start of a line is
+    rewritten — keys merely *ending* in ``null`` (``mynull:``) and string
+    *values* containing ``"null:"`` pass through untouched."""
+    return _NULL_KEY_RE.sub(r"\1None:", raw)
 
 
 def read_product_list(fname: str | None = None, raw_string: str | None = None) -> dict:

@@ -39,7 +39,7 @@ import threading
 import time
 import uuid
 from collections import OrderedDict
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -144,9 +144,16 @@ def check_metadata_plugin(job: dict, **criteria: Any) -> None:
                 raise AbortProcessing(
                     f"metadata {key}={val!r} not in allowed {sorted(map(str, want))}"
                 )
-        elif isinstance(want, (int, float)):
+        elif isinstance(want, (int, float)) and not isinstance(want, bool) and (
+            key == "start_time" or key.endswith("_time")
+        ):
+            # age gate applies only to *_time keys (the reference limits
+            # the numeric criterion to start_time); tz-aware "now"
             ts = datetime.fromisoformat(val) if isinstance(val, str) else val
-            age_min = (datetime.utcnow().replace(tzinfo=None) - ts.replace(tzinfo=None)).total_seconds() / 60.0
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            now = datetime.now(timezone.utc)
+            age_min = (now - ts).total_seconds() / 60.0
             if age_min > abs(float(want)):
                 raise AbortProcessing(
                     f"metadata {key} age {age_min:.1f} min exceeds {abs(want)} min"
