@@ -32,7 +32,7 @@ DEFAULT_FORMAT = {"format": "tif", "writer": "geotiff"}
 DEFAULT_PRIORITY = 999
 
 # Keys that define the hierarchy rather than inheritable settings.
-_STRUCTURAL = {"areas", "products", "formats"}
+_STRUCTURAL = {"areas", "products", "formats", "workers", "crash_handlers"}
 
 # The pinned work-item schema (FIXTURES.md §2). Open-world extras ride in
 # an `extra` map column.

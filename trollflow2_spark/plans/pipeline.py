@@ -724,7 +724,11 @@ def process_message(
     if mtype is not None and mtype not in ("file", "dataset", "collection"):
         return {"status": "ignored", "reason": f"message type {mtype!r}"}
 
-    workers = list(workers or DEFAULT_WORKERS)
+    # workers default: explicit arg > product list's own `workers:` section
+    # (≙ the reference reading the chain from config, launcher.py:404-416)
+    # > built-in chain
+    config_workers = (product_list.get("product_list") or {}).get("workers")
+    workers = list(workers or config_workers or DEFAULT_WORKERS)
     t0 = time.time()
     merged = SaveResult()
     aborted: dict[int, str] = {}

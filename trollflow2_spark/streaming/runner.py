@@ -39,6 +39,77 @@ from trollflow2_spark.sources.scene import ACCEPTED_MESSAGE_TYPES, MESSAGE_SCHEM
 logger = logging.getLogger(__name__)
 
 
+# ---------------------------------------------------------------------------
+# Named crash handlers (≙ the YAML-configured ``crash_handlers`` section,
+# ``launcher.py:410-416,483-499``): resolvable by name so pipelines stay
+# safe-YAML (no code-exec tags).
+
+CRASH_HANDLER_REGISTRY: dict[str, Callable[[dict, BaseException], None]] = {}
+
+
+def register_crash_handler(name: str):
+    def deco(fn):
+        CRASH_HANDLER_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_crash_handler("log")
+def crash_log(message: dict, exc: BaseException) -> None:
+    """Log-and-continue (the default daemon behavior)."""
+    logger.error("message %s crashed: %s", message.get("uid"), exc)
+
+
+@register_crash_handler("reraise")
+def crash_reraise(message: dict, exc: BaseException) -> None:
+    """Fail the stream (crash-fast deployments)."""
+    raise exc
+
+
+def sendmail_crash_handler(config: dict) -> Callable[[dict, BaseException], None]:
+    """Email-on-crash handler bound to its YAML config
+    (≙ ``sendmail``, ``launcher.py:483-499``): pipes a MIME message with
+    the traceback into a sendmail-compatible binary."""
+
+    def handler(message: dict, exc: BaseException) -> None:
+        import subprocess
+        import traceback
+        from email.mime.text import MIMEText
+
+        settings = config["sendmail"]
+        trace = "".join(traceback.format_exception(type(exc), exc, exc.__traceback__))
+        body = f"{settings['header']}\n\nmessage uid: {message.get('uid')}\n\n{trace}"
+        msg = MIMEText(body)
+        msg["From"] = settings["from"]
+        msg["To"] = settings["to"]
+        msg["Subject"] = settings["subject"]
+        binary = settings.get("sendmail", "/usr/bin/sendmail")
+        proc = subprocess.Popen([binary, "-t", "-oi"], stdin=subprocess.PIPE)
+        proc.communicate(msg.as_bytes())
+        proc.terminate()
+
+    return handler
+
+
+def resolve_crash_handler(
+    spec: str | dict | Callable[[dict, BaseException], None] | None,
+) -> Callable[[dict, BaseException], None] | None:
+    """Name / YAML-dict / callable -> crash handler. A dict spec names
+    the handler and carries its config, e.g.
+    ``{"name": "sendmail", "sendmail": {"from": ..., "to": ...}}``."""
+    if spec is None or callable(spec):
+        return spec
+    if isinstance(spec, str):
+        return CRASH_HANDLER_REGISTRY[spec]
+    if isinstance(spec, dict):
+        name = spec.get("name")
+        if name == "sendmail":
+            return sendmail_crash_handler(spec)
+        return CRASH_HANDLER_REGISTRY[name]
+    raise TypeError(f"bad crash handler spec: {spec!r}")
+
+
 def message_stream(
     spark: SparkSession,
     message_dir: str,
@@ -78,6 +149,7 @@ def run_streaming(
     Returns the StreamingQuery; callers stop it with ``query.stop()``
     (graceful: the in-flight batch completes — SIGTERM semantics).
     """
+    on_crash = resolve_crash_handler(on_crash)
     stream = message_stream(spark, message_dir)
     if max_age_minutes is not None:
         cutoff = F.current_timestamp() - F.make_dt_interval(
