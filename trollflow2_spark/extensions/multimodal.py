@@ -78,6 +78,7 @@ def decode_media(
     )
 
     def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -88,16 +89,27 @@ def decode_media(
                     "byte-statistics decoder"
                 )
             payload = pdf[media_col]
+            # vectorized byte statistics: one frombuffer over the whole
+            # batch + segmented reduceat — no per-row Python byte loops
+            lens = np.fromiter(
+                (len(b) for b in payload), dtype=np.int64, count=len(payload)
+            )
+            allb = np.frombuffer(b"".join(payload), dtype=np.uint8)
+            starts = np.cumsum(lens) - lens
+            nonzero = lens > 0
+            sums = np.zeros(len(lens), dtype=np.int64)
+            maxs = np.zeros(len(lens), dtype=np.int64)
+            if allb.size:
+                idx = starts[nonzero]
+                sums[nonzero] = np.add.reduceat(allb.astype(np.int64), idx)
+                maxs[nonzero] = np.maximum.reduceat(allb, idx)
+            means = np.where(nonzero, sums / np.maximum(lens, 1), 0.0)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_bytes": payload.map(len).astype("int64"),
-                    "mean_byte": payload.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                    ),
-                    "max_byte": payload.map(
-                        lambda b: int(max(b)) if len(b) else 0
-                    ).astype("int32"),
+                    "n_bytes": lens,
+                    "mean_byte": means,
+                    "max_byte": maxs.astype("int32"),
                 }
             )
 
@@ -129,6 +141,7 @@ def resize_media(
     )
 
     def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -137,17 +150,25 @@ def resize_media(
                     "resize requires an image library not present in this "
                     "environment; pass fake=True for the metadata-only stub"
                 )
-            metas = []
-            blobs = []
-            for blob, meta in zip(pdf[media_col], pdf[meta_col]):
-                w, h = meta["width"], meta["height"]
-                scale = (tw * th) / max(w * h, 1)
-                n = max(1, int(len(blob) * min(scale, 1.0)))
-                blobs.append(bytes(blob)[:n])
-                metas.append(
-                    {"media_type": meta["media_type"], "width": tw, "height": th,
-                     "n_bytes": n}
-                )
+            metas_in = pdf[meta_col]
+            # vectorized scale arithmetic; only the variable-length blob
+            # slicing stays per-row (it must — ragged output)
+            w = np.fromiter((m["width"] for m in metas_in), dtype=np.int64,
+                            count=len(metas_in))
+            h = np.fromiter((m["height"] for m in metas_in), dtype=np.int64,
+                            count=len(metas_in))
+            lens = np.fromiter((len(b) for b in pdf[media_col]), dtype=np.int64,
+                               count=len(pdf))
+            scale = np.minimum((tw * th) / np.maximum(w * h, 1), 1.0)
+            n = np.maximum(1, (lens * scale).astype(np.int64))
+            blobs = [
+                bytes(blob)[:k] for blob, k in zip(pdf[media_col], n)
+            ]
+            metas = [
+                {"media_type": m["media_type"], "width": tw, "height": th,
+                 "n_bytes": int(k)}
+                for m, k in zip(metas_in, n)
+            ]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "media": blobs, "media_meta": metas}
             )
@@ -178,6 +199,7 @@ def frame_sample(
     )
 
     def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -186,14 +208,25 @@ def frame_sample(
                     "frame sampling requires a video library not present in "
                     "this environment; pass fake=True for the byte sampler"
                 )
-            ids, idxs, vals = [], [], []
-            for rid, blob in zip(pdf[id_col], pdf[media_col]):
-                b = bytes(blob)
-                for k, pos in enumerate(range(0, len(b), every_n_bytes)):
-                    ids.append(rid)
-                    idxs.append(k)
-                    vals.append(b[pos])
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_byte": vals})
+            # vectorized fan-out: one frombuffer + repeat/arange index
+            # algebra, no per-row Python frame loops
+            payload = pdf[media_col]
+            lens = np.fromiter(
+                (len(b) for b in payload), dtype=np.int64, count=len(payload)
+            )
+            allb = np.frombuffer(b"".join(payload), dtype=np.uint8)
+            starts = np.cumsum(lens) - lens
+            nf = (lens + every_n_bytes - 1) // every_n_bytes
+            total = int(nf.sum())
+            frame_idx = np.arange(total) - np.repeat(np.cumsum(nf) - nf, nf)
+            byte_pos = np.repeat(starts, nf) + frame_idx * every_n_bytes
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nf),
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_byte": allb[byte_pos].astype("int32"),
+                }
+            )
 
     return df.select(id_col, media_col).mapInPandas(kernel, out_schema)
 

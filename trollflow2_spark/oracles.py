@@ -493,6 +493,33 @@ _XY_S = (
     f" CAST(event_id % {C.R2D_YMOD} AS DOUBLE) AS y"
     " FROM events WHERE event_type = 'click'"
 )
+# Fake media payload == UTF-8 text bytes, and the corpus is pure ASCII
+# (byte == codepoint), so the byte-statistics decoder and the frame
+# sampler are exactly expressible with ascii()/generate_series.
+ORACLES["multimodal_decode"] = """
+WITH chars AS (
+  SELECT doc_id,
+    ascii(text[CAST(unnest(generate_series(1, length(text))) AS INT)]) AS b
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, count(*) AS n_bytes,
+  round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS mean_byte,
+  max(b) AS max_byte
+FROM chars GROUP BY doc_id
+"""
+
+ORACLES["frame_sample"] = """
+WITH fr AS (
+  SELECT doc_id, text,
+    CAST(unnest(generate_series(0,
+      CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS INT) AS frame_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, frame_idx,
+  ascii(text[frame_idx * 64 + 1]) AS frame_byte
+FROM fr
+"""
+
 ORACLES["resample_2d_nearest"] = f"""
 WITH t AS ({_XY_T}), s AS ({_XY_S}), j AS (
   SELECT t.t_id, s.s_id,

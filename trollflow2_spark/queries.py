@@ -973,14 +973,42 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    """Arrow-batched mapInPandas decode with the deterministic
     byte-statistics stand-in (real decoders stubbed — no media libs
-    here). Python-side kernel => no SQL oracle; rows-only check."""
+    here). The fake media payload is the UTF-8 text bytes, so the byte
+    statistics ARE SQL-expressible: oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     out = decode_media(attach_fake_media(docs), fake=True)
     return out.select(
         "doc_id", "n_bytes", F.round(F.col("mean_byte"), 6).alias("mean_byte"),
         "max_byte",
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (video -> every Nth frame analog): one
+    media row becomes one row per sampled byte via the vectorized
+    mapInPandas kernel. Oracle: every 64th byte of the UTF-8 payload."""
+    from trollflow2_spark.extensions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_fake_media(docs), every_n_bytes=64, fake=True)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (binary in, binary out, metadata rescaled) with
+    the deterministic stand-in kernel. Binary output column => rows-only
+    check; the metadata columns are projected for visibility."""
+    from trollflow2_spark.extensions.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_media(attach_fake_media(docs), target=(64, 64), fake=True)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.length("media").alias("payload_bytes"),
     )
 
 
@@ -1032,5 +1060,7 @@ QUERIES = {
     "token_count": q_token_count,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
 }
