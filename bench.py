@@ -34,6 +34,14 @@ HEADLINE = [
     "nearest_join_asof",
     "weighted_resample",
     "resample_2d_nearest",
+    # round 2 additions (new operator families)
+    "resample_2d_nearest_left",
+    "resample_grid_mapped",
+    "resample_coarsest",
+    "weighted_resample_2d",
+    "coverage_real",
+    "multimodal_decode",
+    "frame_sample",
     "overview_pyramid",
     "sza_filter",
     "valid_fraction_filter",
