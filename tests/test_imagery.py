@@ -179,6 +179,40 @@ def test_add_overviews_on_real_tiff(spark, tmp_path, golden_scene):
     assert res.produced[0]["overview_levels"] == [2, 5]
 
 
+def test_netcdf_roundtrip():
+    from trollflow2_spark.sinks import netcdf
+
+    a = np.arange(12, dtype="float64").reshape(3, 4)
+    b = a * 2.5
+    blob = netcdf.encode_netcdf(
+        {"band_a": a, "band_b": b}, {"Conventions": "CF-1.7", "orbit": 42, "scale": 0.5}
+    )
+    assert blob[:4] == b"CDF\x01"
+    variables, attrs = netcdf.decode_netcdf(blob)
+    np.testing.assert_array_equal(variables["band_a"], a)
+    np.testing.assert_array_equal(variables["band_b"], b)
+    assert attrs == {"Conventions": "CF-1.7", "orbit": 42, "scale": 0.5}
+
+
+def test_cf_writer_end_to_end(spark, tmp_path, golden_scene):
+    """The cf writer emits a real classic NetCDF file with the product
+    as an NC_DOUBLE variable and CF attributes (closing the last writer
+    stub; ≙ the reference's cf writer, plugins/__init__.py:277-310)."""
+    from trollflow2_spark.sinks import netcdf
+    from trollflow2_spark.sinks.save import save_datasets
+
+    items = _items(tmp_path, [("cf", "nc")])
+    items[0]["platform_name"] = "SAT-1"
+    res = save_datasets(spark, golden_scene, items)
+    path = res.produced[0]["filename"]
+    assert path.endswith("dragon_top_height-cf.nc")
+    with open(path, "rb") as fh:
+        variables, attrs = netcdf.decode_netcdf(fh.read())
+    assert variables["dragon_top_height"][5, 5] == 55.0
+    assert attrs["platform_name"] == "SAT-1"
+    assert attrs["Conventions"] == "CF-1.7"
+
+
 def test_geotiff_float_dtype_passthrough(spark, tmp_path, golden_scene):
     from trollflow2_spark.sinks.save import save_datasets
 

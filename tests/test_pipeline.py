@@ -526,11 +526,46 @@ def test_resolve_filesystem_paths():
     # already-qualified URIs pass through
     msg2 = {"dataset": [{"uri": "file:///x.parquet"}], "filesystem": '{"protocol": "file"}'}
     assert resolve_filesystem_paths(msg2) == ["file:///x.parquet"]
-    # archive protocols are rejected with guidance
+    # tar archives are rejected with guidance
     with _pytest.raises(SceneCreationError):
         resolve_filesystem_paths(
-            {"dataset": [{"uri": "/a.zip"}], "filesystem": '{"protocol": "zip"}'}
+            {"dataset": [{"uri": "/a.tar"}], "filesystem": '{"protocol": "tar"}'}
         )
+    # zip without a target is an error
+    with _pytest.raises(SceneCreationError):
+        resolve_filesystem_paths(
+            {"dataset": [{"uri": "zip://x.parquet"}], "filesystem": '{"protocol": "zip"}'}
+        )
+
+
+def test_zip_filesystem_roundtrip(spark, sf_dir, tmp_path):
+    """A zip fsspec spec (per-dataset-entry, as posttroll emits it) is
+    unpacked driver-side and the scene reads the extracted file
+    (≙ tests/test_launcher.py:205-246 real-fsspec round-trip)."""
+    import zipfile
+
+    from trollflow2_spark.sources.scene import resolve_filesystem_paths
+
+    inner = "somedir/events.parquet"
+    zpath = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(os.path.join(sf_dir, "events.parquet"), arcname=inner)
+    fs = {
+        "cls": "fsspec.implementations.zip:ZipFileSystem",
+        "protocol": "zip",
+        "target_protocol": "file",
+        "fo": str(zpath),
+    }
+    msg = {
+        "type": "file",
+        "dataset": [{"uri": "zip://" + inner, "filesystem": fs}],
+    }
+    paths = resolve_filesystem_paths(msg)
+    assert len(paths) == 1 and paths[0].endswith("somedir/events.parquet")
+    assert os.path.exists(paths[0])
+    # and the scene actually loads from the extracted member
+    df = spark.read.parquet(paths[0])
+    assert df.count() > 0
 
 
 def test_check_sunlight_coverage_plugin(spark, input_file, tmp_path):

@@ -167,24 +167,32 @@ WRITER_REGISTRY["ninjotiff"] = _geotiff_writer(ninjo=True)
 WRITER_REGISTRY["ninjogeotiff"] = _geotiff_writer(ninjo=True)
 
 
-def _stub_image_writer(media_format: str):
-    def writer(df: DataFrame, path: str, kwargs: dict) -> None:
-        # STUB: netCDF4 is not in this container. The data lands as
-        # parquet; the sidecar records what a real deployment would
-        # encode. Swap this writer in production.
-        df.write.mode("overwrite").parquet(path)
-        sidecar = {
-            "intended_format": media_format,
-            "writer_kwargs": _strip_engine_kwargs(kwargs),
-            "stub": "netcdf encoder not available in this environment",
-        }
-        with open(path + ".meta.json", "w", encoding="utf-8") as fh:
-            json.dump(sidecar, fh, sort_keys=True)
+def _write_cf(df: DataFrame, path: str, kwargs: dict) -> None:
+    """Real single-file CF NetCDF (classic/CDF-1 encoded from the public
+    spec — no netCDF4 in this container): every product column becomes
+    an NC_DOUBLE variable on the shared (y, x) grid, with CF-ish global
+    attributes from the work-item metadata."""
+    from trollflow2_spark.sinks import imagery, netcdf
 
-    return writer
+    x_col = kwargs.get("x_col", "x")
+    y_col = kwargs.get("y_col", "y")
+    coord = {x_col, y_col}
+    pdf = df.toPandas()
+    value_cols = [c for c in pdf.columns if c not in coord]
+    grids = {
+        c: imagery.grid_from_pandas(pdf, c, x_col=x_col, y_col=y_col)
+        for c in value_cols
+    }
+    attrs = {"Conventions": "CF-1.7"}
+    for k in ("platform_name", "sensor", "start_time", "area", "productname"):
+        if kwargs.get(k) is not None:
+            attrs[k] = str(kwargs[k])
+    with open(path, "wb") as fh:
+        fh.write(netcdf.encode_netcdf(grids, attrs))
 
 
-WRITER_REGISTRY["cf"] = _stub_image_writer("nc")
+_write_cf.needs_coords = True
+WRITER_REGISTRY["cf"] = _write_cf
 
 
 # ---------------------------------------------------------------------------

@@ -92,34 +92,96 @@ def extract_filenames(message: dict) -> list[str]:
     return [f for f in found if not (f in seen or seen.add(f))]
 
 
-def resolve_filesystem_paths(message: dict) -> list[str]:
-    """Resolve input URIs through an optional fsspec-style ``filesystem``
-    spec (≙ ``_create_fs_files``, ``launcher.py:320-328``): a spec like
-    ``{"cls": "s3fs...", "protocol": "s3"}`` rewrites bare paths to
-    protocol URIs Spark's Hadoop FS layer reads natively (s3 -> s3a).
-    Archive protocols (zip/tar) have no Hadoop FS equivalent — those
-    raise, matching the "pre-list or unpack upstream" design note in
-    SURVEY §2.1."""
-    filenames = extract_filenames(message)
-    spec = message.get("filesystem")
-    if not spec:
-        return filenames
-    if isinstance(spec, str):
-        spec = json.loads(spec)
-    protocol = spec.get("protocol") or ""
-    if protocol in ("zip", "tar", "libarchive"):
-        raise SceneCreationError(
-            f"archive filesystem {protocol!r} is not scannable by Spark; "
-            "unpack or pre-list upstream"
-        )
-    rewrite = {"s3": "s3a", "gs": "gs", "abfs": "abfs", "file": "file"}
-    protocol = rewrite.get(protocol, protocol)
+def _extract_zip_members(
+    zip_path: str, members: list[str], workdir: str | None = None
+) -> list[str]:
+    """Driver-side unpack of the *listed* zip members into a temp dir.
+
+    Message-sized by construction: the member list is the message's file
+    list, never a data scan — Spark then reads the extracted local files
+    natively (zip has no Hadoop FS layer, ≙ the fsspec ZipFileSystem
+    round-trip in ``tests/test_launcher.py:205-246``)."""
+    import tempfile
+    import zipfile
+
+    out_dir = workdir or tempfile.mkdtemp(prefix="tf2_zip_")
     out = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for m in members:
+            out.append(zf.extract(m, out_dir))
+    return out
+
+
+def _parse_spec(spec) -> dict | None:
+    if not spec:
+        return None
+    return json.loads(spec) if isinstance(spec, str) else dict(spec)
+
+
+def resolve_filesystem_paths(message: dict) -> list[str]:
+    """Resolve input URIs through optional fsspec-style ``filesystem``
+    specs (≙ ``_create_fs_files``, ``launcher.py:320-328``):
+
+    - object stores: a spec like ``{"cls": "s3fs...", "protocol": "s3"}``
+      rewrites bare paths to protocol URIs Spark's Hadoop FS layer reads
+      natively (s3 -> s3a);
+    - ``zip`` archives (message-level spec or per-dataset-entry specs,
+      both appear in the wild): the named members are extracted
+      driver-side and replaced by local paths — archives have no Hadoop
+      FS equivalent, and the member list is message-sized;
+    - ``tar``/``libarchive`` remain unsupported and raise.
+    """
+    filenames = extract_filenames(message)
+    msg_spec = _parse_spec(message.get("filesystem"))
+    entry_specs: dict[str, dict] = {}
+    for entry in message.get("dataset") or []:
+        if isinstance(entry, dict) and entry.get("filesystem"):
+            spec = _parse_spec(entry["filesystem"])
+            for key in ("uri", "path", "uid"):
+                if isinstance(entry.get(key), str):
+                    entry_specs[entry[key]] = spec
+
+    out: list[str] = []
+    zip_groups: dict[str, list[str]] = {}
+    zip_slots: list[tuple[int, str, str]] = []  # (position, fo, member)
     for f in filenames:
-        if "://" in f or not protocol:
+        spec = entry_specs.get(f) or msg_spec
+        protocol = (spec or {}).get("protocol") or ""
+        if not spec or not protocol:
+            out.append(f)
+            continue
+        if protocol == "zip":
+            fo = spec.get("fo") or spec.get("target")
+            if not fo:
+                raise SceneCreationError(f"zip spec for {f!r} lacks 'fo' target")
+            member = f[len("zip://"):] if f.startswith("zip://") else f.lstrip("/")
+            zip_groups.setdefault(fo, []).append(member)
+            zip_slots.append((len(out), fo, member))
+            out.append(None)  # placeholder, filled after extraction
+            continue
+        if protocol in ("tar", "libarchive"):
+            raise SceneCreationError(
+                f"archive filesystem {protocol!r} is not scannable by Spark; "
+                "unpack or pre-list upstream"
+            )
+        rewrite = {"s3": "s3a", "gs": "gs", "abfs": "abfs", "file": "file"}
+        protocol = rewrite.get(protocol, protocol)
+        if "://" in f:
             out.append(f)
         else:
             out.append(f"{protocol}://{f.lstrip('/') if protocol == 's3a' else f}")
+
+    if zip_groups:
+        extracted: dict[tuple[str, str], str] = {}
+        for fo, members in zip_groups.items():
+            try:
+                paths = _extract_zip_members(fo, members)
+            except (OSError, KeyError) as exc:
+                raise SceneCreationError(f"cannot unpack {fo!r}: {exc}") from exc
+            for m, p in zip(members, paths):
+                extracted[(fo, m)] = p
+        for pos, fo, member in zip_slots:
+            out[pos] = extracted[(fo, member)]
     return out
 
 
