@@ -804,6 +804,10 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "formats": [
                                     {"format": "parquet", "writer": "parquet"},
                                     {"format": "csv", "writer": "csv"},
+                                    # real single-file writers (round 2)
+                                    {"format": "tif", "writer": "geotiff"},
+                                    {"format": "png", "writer": "simple_image"},
+                                    {"format": "nc", "writer": "cf"},
                                 ],
                             },
                             "user_id": {"productname": "uid"},
