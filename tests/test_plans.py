@@ -74,6 +74,38 @@ def test_spatial_join_is_equi_join(spark, sf):
         assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan), name
 
 
+def test_bucketed_join_has_no_exchange(spark, sf):
+    """Co-bucketed fact tables join with NO shuffle on either side — the
+    SCALE.md (Joins) path for recurring lineitem×orders-class joins."""
+    import os
+
+    from trollflow2_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    write_bucketed(orders, "tf2_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "tf2_lineitem_b", ["o_orderkey"], 8, ["o_orderkey"],
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "tf2_orders_b", "tf2_lineitem_b", ["o_orderkey"])
+        qe = j._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = qe.explainString(mode)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed the shuffle
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS tf2_orders_b")
+        spark.sql("DROP TABLE IF EXISTS tf2_lineitem_b")
+
+
 def test_mapped_resample_broadcasts_no_explode(spark, sf):
     """The precomputed grid->grid mapping path must be one broadcast
     equi-join on the source pixel index: no probe-cell explode, no
