@@ -102,6 +102,47 @@ def test_lsh_small_buckets_unchanged_by_salting(docs):
     assert salted <= plain
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    """The k-means IVF path must recover most of the exact top-k while
+    scanning only the probed cells (candidate join is an equi-join on
+    the cluster id)."""
+    import os
+
+    from trollflow2_spark.extensions.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    k = 10
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    approx_df = ivf_topk(emb, queries, k=k, n_probe=4, n_clusters=8)
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # candidate generation is an equi-join on the cell id, no cartesian
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_deterministic(spark, sf_dir):
+    import os
+
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    c1 = kmeans_centroids(emb, k=4, n_iter=3)
+    c2 = kmeans_centroids(emb, k=4, n_iter=3)
+    np.testing.assert_array_equal(c1, c2)
+    # unit-norm centroids
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
+
+
 def test_ngram_jaccard(docs):
     pairs = ngram_jaccard_pairs(
         docs, shingle_words=2, threshold=0.5, block_cols=["lang", "source"]

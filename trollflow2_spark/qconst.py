@@ -45,6 +45,8 @@ TOPK_N_QUERIES = 3  # vec_id < 3 are the query vectors
 TOPK_K = 10
 ANN_BITS = 4
 ANN_K = 5
+IVF_N_CLUSTERS = 8  # k-means IVF coarse cells
+IVF_N_PROBE = 3
 NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are near-random; max cos ~0.5
 NEARDUP_BITS = 4
 

@@ -943,6 +943,24 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse cells) approximate top-k — the production
+    upgrade over the sign-bit ANN. The k-means training loop is a
+    Python/numpy kernel, not SQL-expressible: rows-only check; the
+    recall-vs-brute-force contract is pinned in
+    tests/test_extensions.py::test_ivf_topk_recall."""
+    from trollflow2_spark.extensions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        _query_vectors(emb),
+        k=C.ANN_K,
+        n_probe=C.IVF_N_PROBE,
+        n_clusters=C.IVF_N_CLUSTERS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions: text analysis
 
@@ -1057,6 +1075,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
+    "embedding_ivf": q_embedding_ivf,
     "embedding_neardup": q_embedding_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "text_quality": q_text_quality,
