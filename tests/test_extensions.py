@@ -258,3 +258,21 @@ def test_multimodal_stub_raises_without_fake(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(2)
     with _pytest.raises((PythonException, Py4JJavaError)):
         resize_media(attach_fake_media(docs), fake=False).collect()
+
+
+def test_fast_hash_mode_same_dups_no_md5(docs):
+    """The injectable xxhash64 path must find the same exact-dup
+    collisions as the portable hash and keep md5 out of the plan."""
+    from trollflow2_spark.functions.hashing import fast_hash64
+
+    sigs = minhash_signatures(docs, shingle_words=2, num_hashes=8, hash_fn=fast_hash64)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4, hash_fn=fast_hash64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs collide under any hash family
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert "md5" not in plan and "xxhash64" in plan
+
+    sim = simhash(docs, hash_fn=fast_hash64)
+    assert sim.count() == 5
+    rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert rows[1] == rows[2]  # identical text -> identical fingerprint

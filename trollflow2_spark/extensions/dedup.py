@@ -13,16 +13,22 @@ only on bucket-colliding pairs. The pairwise step's worst case is bounded
 by bucket size — salting degenerate buckets (boilerplate docs) is the
 known mitigation and is applied via a max-bucket-size guard.
 
-All hashes are the portable md5-derived family
+All hashes default to the portable md5-derived family
 (:mod:`trollflow2_spark.functions.hashing`) so a SQL oracle reproduces
-results bit-for-bit; swap in ``F.xxhash64`` for production speed.
+results bit-for-bit; every operator takes ``hash_fn=`` so production
+pipelines can inject :func:`~trollflow2_spark.functions.hashing.fast_hash64`
+(xxhash64, ~3-5x cheaper, no oracle) without touching the plan shape.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-from trollflow2_spark.functions.hashing import hash64, tokens, word_shingles
+from trollflow2_spark.functions.hashing import fast_hash64, hash64, tokens, word_shingles
+
+HashFn = Callable[..., Column]
 
 
 def exact_dedup(
@@ -51,6 +57,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingle_words: int = 3,
     num_hashes: int = 8,
+    hash_fn: HashFn = hash64,
 ) -> DataFrame:
     """Per-document minhash signature: min over shingle hashes for each of
     ``num_hashes`` seeded hash functions. Output: id + minhash_0..N-1.
@@ -58,6 +65,9 @@ def minhash_signatures(
     Implementation: explode shingles (distinct per doc), compute all
     seeded hashes per shingle, then one groupBy(doc) with N min()
     aggregates — a single shuffle, map-side combinable.
+
+    ``hash_fn`` defaults to the portable oracle-reproducible hash; pass
+    :func:`~trollflow2_spark.functions.hashing.fast_hash64` in production.
     """
     sh = df.select(
         F.col(id_col),
@@ -67,7 +77,7 @@ def minhash_signatures(
     )
     hashed = sh.select(
         id_col,
-        *[hash64(F.col("shingle"), seed=i).alias(f"h{i}") for i in range(num_hashes)],
+        *[hash_fn(F.col("shingle"), seed=i).alias(f"h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"minhash_{i}") for i in range(num_hashes)]
@@ -75,16 +85,25 @@ def minhash_signatures(
 
 
 def _band_buckets(
-    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_fn: HashFn | None = None,
 ) -> DataFrame:
-    """(id, band, band_hash) membership rows for banded LSH."""
+    """(id, band, band_hash) membership rows for banded LSH.
+
+    Default band hash is the oracle-matched md5 hex digest; with a
+    ``hash_fn`` the band hash is that function over the joined members
+    (bigint — cheaper to shuffle than a 32-char digest, no oracle).
+    """
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         members = [F.col(f"minhash_{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bh"))
-        )
+        joined = F.concat_ws("|", *members)
+        bh = F.md5(joined) if hash_fn is None else hash_fn(joined).cast("string")
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     return signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
@@ -117,9 +136,14 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int = 100_000,
     salt_threshold: int = 256,
+    hash_fn: HashFn | None = None,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands, bucket docs
     by (band_id, band_hash), emit candidate pairs that share any bucket.
+
+    ``hash_fn=None`` keeps the oracle-matched md5 band hash; pass
+    :func:`~trollflow2_spark.functions.hashing.fast_hash64` for the
+    production band hash (bigint buckets, one xxhash64 call).
 
     Scale guards, in order:
 
@@ -139,7 +163,7 @@ def lsh_candidate_pairs(
     """
     t = int(salt_threshold)
     grouped = (
-        _band_buckets(signatures, id_col, num_hashes, bands)
+        _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn)
         .groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
@@ -174,12 +198,13 @@ def lsh_bucket_stats(
     bands: int = 4,
     max_bucket: int = 100_000,
     salt_threshold: int = 256,
+    hash_fn: HashFn | None = None,
 ) -> DataFrame:
     """One-row visibility audit for the LSH guards: how many pairable
     buckets exist, how many get salted, how many are dropped (recall
     loss must be observable, not silent)."""
     sizes = (
-        _band_buckets(signatures, id_col, num_hashes, bands)
+        _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn)
         .groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
@@ -244,6 +269,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    hash_fn: HashFn = hash64,
 ) -> DataFrame:
     """Per-document simhash fingerprint: for each bit position, sum +1/-1
     votes of each distinct token's hash bit; bit set iff the vote is
@@ -257,7 +283,7 @@ def simhash(
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
-    h = toks.select(id_col, hash64(F.col("tok")).alias("th"))
+    h = toks.select(id_col, hash_fn(F.col("tok")).alias("th"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -11,9 +11,13 @@ the text column in flight.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from trollflow2_spark.functions.hashing import hash64, tokens, word_shingles
+
+HashFn = Callable[..., Column]
 
 # Tiny marker lexicons per language; counting marker hits with the
 # length-difference trick keeps the same semantics in any SQL dialect.
@@ -112,6 +116,7 @@ def doc_fingerprint(
     id_col: str = "doc_id",
     shingle_words: int = 4,
     mod: int = 8,
+    hash_fn: HashFn = hash64,
 ) -> DataFrame:
     """Winnowing-style fingerprint: hash all word n-grams, keep hashes
     ≡ 0 (mod ``mod``) — the standard mod-p sampled fingerprint (0-mod-p
@@ -122,7 +127,7 @@ def doc_fingerprint(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("s"),
     )
-    hashed = sh.select(id_col, hash64(F.col("s")).alias("h")).filter(
+    hashed = sh.select(id_col, hash_fn(F.col("s")).alias("h")).filter(
         F.col("h") % mod == 0
     )
     return (
