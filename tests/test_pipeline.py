@@ -526,16 +526,18 @@ def test_resolve_filesystem_paths():
     # already-qualified URIs pass through
     msg2 = {"dataset": [{"uri": "file:///x.parquet"}], "filesystem": '{"protocol": "file"}'}
     assert resolve_filesystem_paths(msg2) == ["file:///x.parquet"]
-    # tar archives are rejected with guidance
+    # libarchive filesystems are rejected with guidance
     with _pytest.raises(SceneCreationError):
         resolve_filesystem_paths(
-            {"dataset": [{"uri": "/a.tar"}], "filesystem": '{"protocol": "tar"}'}
+            {"dataset": [{"uri": "/a.7z"}], "filesystem": '{"protocol": "libarchive"}'}
         )
-    # zip without a target is an error
-    with _pytest.raises(SceneCreationError):
-        resolve_filesystem_paths(
-            {"dataset": [{"uri": "zip://x.parquet"}], "filesystem": '{"protocol": "zip"}'}
-        )
+    # zip/tar without a target is an error
+    for proto in ("zip", "tar"):
+        with _pytest.raises(SceneCreationError):
+            resolve_filesystem_paths(
+                {"dataset": [{"uri": f"{proto}://x.parquet"}],
+                 "filesystem": '{"protocol": "%s"}' % proto}
+            )
 
 
 def test_zip_filesystem_roundtrip(spark, sf_dir, tmp_path):
@@ -566,6 +568,29 @@ def test_zip_filesystem_roundtrip(spark, sf_dir, tmp_path):
     # and the scene actually loads from the extracted member
     df = spark.read.parquet(paths[0])
     assert df.count() > 0
+
+
+def test_tar_filesystem_roundtrip(spark, sf_dir, tmp_path):
+    """A tar.gz fsspec spec unpacks driver-side like zip (stdlib
+    tarfile, compression auto-detected) and the member is readable."""
+    import tarfile as _tarfile
+
+    from trollflow2_spark.sources.scene import resolve_filesystem_paths
+
+    inner = "somedir/region.parquet"
+    tpath = tmp_path / "bundle.tar.gz"
+    with _tarfile.open(tpath, "w:gz") as tf:
+        tf.add(os.path.join(sf_dir, "region.parquet"), arcname=inner)
+    fs = {
+        "cls": "fsspec.implementations.tar.TarFileSystem",
+        "protocol": "tar",
+        "target_protocol": "file",
+        "fo": str(tpath),
+    }
+    msg = {"type": "file", "dataset": [{"uri": "tar://" + inner, "filesystem": fs}]}
+    paths = resolve_filesystem_paths(msg)
+    assert len(paths) == 1 and os.path.exists(paths[0])
+    assert spark.read.parquet(paths[0]).count() > 0
 
 
 def test_check_sunlight_coverage_plugin(spark, input_file, tmp_path):

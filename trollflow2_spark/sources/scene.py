@@ -19,6 +19,8 @@ multi-path scan (parallelism = files × row-groups), never a driver loop.
 from __future__ import annotations
 
 import json
+import os
+import tarfile
 from typing import Any, Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,23 +94,35 @@ def extract_filenames(message: dict) -> list[str]:
     return [f for f in found if not (f in seen or seen.add(f))]
 
 
-def _extract_zip_members(
-    zip_path: str, members: list[str], workdir: str | None = None
+def _extract_archive_members(
+    archive_path: str,
+    members: list[str],
+    workdir: str | None = None,
+    kind: str = "zip",
 ) -> list[str]:
-    """Driver-side unpack of the *listed* zip members into a temp dir.
+    """Driver-side unpack of the *listed* archive members into a temp dir.
 
     Message-sized by construction: the member list is the message's file
     list, never a data scan — Spark then reads the extracted local files
-    natively (zip has no Hadoop FS layer, ≙ the fsspec ZipFileSystem
-    round-trip in ``tests/test_launcher.py:205-246``)."""
+    natively (archives have no Hadoop FS layer, ≙ the fsspec
+    ZipFileSystem round-trip in ``tests/test_launcher.py:205-246``).
+    ``kind`` is ``zip`` or ``tar`` (stdlib-only; tar auto-detects
+    gz/bz2/xz compression)."""
     import tempfile
     import zipfile
 
-    out_dir = workdir or tempfile.mkdtemp(prefix="tf2_zip_")
+    out_dir = workdir or tempfile.mkdtemp(prefix=f"tf2_{kind}_")
     out = []
-    with zipfile.ZipFile(zip_path) as zf:
-        for m in members:
-            out.append(zf.extract(m, out_dir))
+    if kind == "zip":
+        with zipfile.ZipFile(archive_path) as zf:
+            for m in members:
+                out.append(zf.extract(m, out_dir))
+    else:
+        with tarfile.open(archive_path, "r:*") as tf:
+            for m in members:
+                name = m.lstrip("/")
+                tf.extract(name, out_dir, filter="data")
+                out.append(os.path.join(out_dir, name))
     return out
 
 
@@ -125,11 +139,11 @@ def resolve_filesystem_paths(message: dict) -> list[str]:
     - object stores: a spec like ``{"cls": "s3fs...", "protocol": "s3"}``
       rewrites bare paths to protocol URIs Spark's Hadoop FS layer reads
       natively (s3 -> s3a);
-    - ``zip`` archives (message-level spec or per-dataset-entry specs,
-      both appear in the wild): the named members are extracted
+    - ``zip``/``tar`` archives (message-level spec or per-dataset-entry
+      specs, both appear in the wild): the named members are extracted
       driver-side and replaced by local paths — archives have no Hadoop
       FS equivalent, and the member list is message-sized;
-    - ``tar``/``libarchive`` remain unsupported and raise.
+    - ``libarchive`` remains unsupported and raises.
     """
     filenames = extract_filenames(message)
     msg_spec = _parse_spec(message.get("filesystem"))
@@ -142,24 +156,25 @@ def resolve_filesystem_paths(message: dict) -> list[str]:
                     entry_specs[entry[key]] = spec
 
     out: list[str] = []
-    zip_groups: dict[str, list[str]] = {}
-    zip_slots: list[tuple[int, str, str]] = []  # (position, fo, member)
+    arc_groups: dict[tuple[str, str], list[str]] = {}
+    arc_slots: list[tuple[int, str, str]] = []  # (position, fo, member)
     for f in filenames:
         spec = entry_specs.get(f) or msg_spec
         protocol = (spec or {}).get("protocol") or ""
         if not spec or not protocol:
             out.append(f)
             continue
-        if protocol == "zip":
+        if protocol in ("zip", "tar"):
             fo = spec.get("fo") or spec.get("target")
             if not fo:
-                raise SceneCreationError(f"zip spec for {f!r} lacks 'fo' target")
-            member = f[len("zip://"):] if f.startswith("zip://") else f.lstrip("/")
-            zip_groups.setdefault(fo, []).append(member)
-            zip_slots.append((len(out), fo, member))
+                raise SceneCreationError(f"{protocol} spec for {f!r} lacks 'fo' target")
+            prefix = f"{protocol}://"
+            member = f[len(prefix):] if f.startswith(prefix) else f.lstrip("/")
+            arc_groups.setdefault((protocol, fo), []).append(member)
+            arc_slots.append((len(out), fo, member))
             out.append(None)  # placeholder, filled after extraction
             continue
-        if protocol in ("tar", "libarchive"):
+        if protocol == "libarchive":
             raise SceneCreationError(
                 f"archive filesystem {protocol!r} is not scannable by Spark; "
                 "unpack or pre-list upstream"
@@ -171,16 +186,16 @@ def resolve_filesystem_paths(message: dict) -> list[str]:
         else:
             out.append(f"{protocol}://{f.lstrip('/') if protocol == 's3a' else f}")
 
-    if zip_groups:
+    if arc_groups:
         extracted: dict[tuple[str, str], str] = {}
-        for fo, members in zip_groups.items():
+        for (kind, fo), members in arc_groups.items():
             try:
-                paths = _extract_zip_members(fo, members)
-            except (OSError, KeyError) as exc:
+                paths = _extract_archive_members(fo, members, kind=kind)
+            except (OSError, KeyError, tarfile.TarError) as exc:
                 raise SceneCreationError(f"cannot unpack {fo!r}: {exc}") from exc
             for m, p in zip(members, paths):
                 extracted[(fo, m)] = p
-        for pos, fo, member in zip_slots:
+        for pos, fo, member in arc_slots:
             out[pos] = extracted[(fo, member)]
     return out
 
