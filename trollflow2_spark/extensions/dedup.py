@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from trollflow2_spark.functions.hashing import fast_hash64, hash64, tokens, word_shingles
 
@@ -296,3 +296,91 @@ def simhash(
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = bit if sim is None else sim + bit
     return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate pairs (``id_a``/``id_b``) by
+    iterative min-label propagation: every node's label converges to the
+    smallest id reachable in its component. Output: (id, cluster_id).
+
+    This is the cluster-resolution step of near-dup dedup (LSH/simhash
+    pairs -> duplicate clusters -> one canonical doc per cluster), the
+    reference point being the standard "large-star/small-star" family
+    (Kiveris et al.); plain min-propagation is O(diameter) rounds, and
+    near-dup graphs are shallow (dup clusters are dense cliques), so it
+    converges in a handful of rounds.
+
+    Scale design: each round is one equi-join (edges x labels, both keyed
+    by node id) plus a map-side-combinable min() agg — no cross joins,
+    no driver-side graph. Lineage is truncated with an eager
+    ``localCheckpoint`` per round (iterative plans otherwise grow
+    exponentially), and convergence is detected from ``sum(label)``,
+    which strictly decreases until fixpoint (labels only ever shrink),
+    so the check is a one-row aggregate instead of a self-join diff.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters over the full
+    corpus: every document gets a ``cluster_id`` (the smallest doc id in
+    its component; singletons cluster with themselves), an
+    ``is_canonical`` flag (the doc to keep), and the ``cluster_size``.
+    Filtering to ``is_canonical = 1`` yields the deduplicated corpus.
+
+    The broadcast-ability of the label table is corpus-dependent: labels
+    cover only docs that appear in >=1 pair, which after LSH is a small
+    fraction of the corpus, so the final join is usually broadcast; the
+    cluster_size window shuffles only (id, cluster_id) pairs.
+    """
+    labels = connected_components(pairs, max_iter=max_iter)
+    lab = labels.withColumnRenamed("id", id_col)
+    out = (
+        documents.select(id_col)
+        .join(F.broadcast(lab), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.when(F.col(id_col) == F.col("cluster_id"), 1).otherwise(0).alias(
+            "is_canonical"
+        ),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
