@@ -80,6 +80,17 @@ def test_stretch_nan_fill():
     assert out[1, 1] == 255
 
 
+def test_stretch_all_nan_writes_fill():
+    """A fully-invalid product (left-join resample missing everywhere)
+    must encode to a fill-valued image, not crash on nanmin of empty."""
+    arr = np.full((4, 4), np.nan)
+    out = imagery.stretch_to_uint8(arr, fill_value=9)
+    assert out.dtype == np.uint8 and (out == 9).all()
+    # and the PNG writer end-to-end survives it
+    blob = imagery.encode_png(out)
+    assert imagery.decode_png(blob).max() == 9
+
+
 def test_block_mean_partial_blocks():
     arr = np.arange(25, dtype="float64").reshape(5, 5)
     out = imagery.block_mean_2d(arr, 2)

@@ -463,6 +463,107 @@ def test_resample_plugin_finest_area(spark):
     assert got[(3.0, 3.0)] == 33.0
 
 
+def test_resample_plugin_coarsest_keeps_every_band(spark):
+    """With a band column the coarsest-area resample keeps every band
+    (≙ scn.resample(coarsest_area()) resampling each dataset, not
+    collapsing them) and ties resolve deterministically."""
+    from trollflow2_spark.plans.pipeline import resample_plugin
+
+    rows = [
+        ("ir", float(x) + 0.5, float(y) + 0.5, 1, float(10 * y + x))
+        for y in range(4)
+        for x in range(4)
+    ] + [
+        ("vis", x, y, 2, 100.0 + x + y)
+        for y in (0.5, 2.5)
+        for x in (0.5, 2.5)
+    ]
+    scene = spark.createDataFrame(
+        rows, "band string, x double, y double, resolution int, value double"
+    )
+    job = {
+        "spark": spark,
+        "scene": scene,
+        "work_items": [{"area": "None"}],
+        "resampled_scenes": {},
+    }
+    resample_plugin(job, use_coarsest_area=True)
+    out = job["resampled_scenes"]["None"].collect()
+    # 2x2 coarse grid x 2 bands: every band survives on the shared grid
+    assert len(out) == 8
+    got = {(r["band"], r["x"], r["y"]): r["value"] for r in out}
+    assert got[("vis", 0.5, 0.5)] == 101.0  # own pixel, distance 0
+    assert got[("ir", 0.5, 0.5)] == 0.0  # ir's own (0.5, 0.5) pixel
+    assert got[("vis", 2.5, 2.5)] == 105.0
+
+
+def test_resample_plugin_mapped_path_broadcasts(spark):
+    """resample_plugin reaches the precomputed grid->grid broadcast
+    mapping when source and target areas resolve to GridArea definitions:
+    the plugin-built plan must broadcast-join and never explode."""
+    from trollflow2_spark.operators.resample import GridArea, register_area
+    from trollflow2_spark.plans.pipeline import resample_plugin
+
+    register_area(GridArea("src9", width=8, height=8, dx=1.0, dy=1.0))
+    register_area(GridArea("tgt9", width=4, height=4, dx=2.0, dy=2.0))
+    rows = [
+        (x + 0.5, y + 0.5, float(10 * y + x)) for y in range(8) for x in range(8)
+    ]
+    scene = spark.createDataFrame(rows, "x double, y double, value double")
+    job = {
+        "spark": spark,
+        "scene": scene,
+        "input_mda": {"source_area": "src9"},
+        "work_items": [{"area": "tgt9"}],
+        "resampled_scenes": {},
+    }
+    resample_plugin(job, resampler="nearest", radius_of_influence=2.0)
+    out_df = job["resampled_scenes"]["tgt9"]
+    qe = out_df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan  # no probe-cell explode
+    out = out_df.collect()
+    assert len(out) == 16  # the 4x4 target grid, every pixel hit
+    got = {(r["x"], r["y"]): r["value"] for r in out}
+    # target center (1.0, 1.0) -> nearest source pixel center (0.5, 0.5)
+    assert got[(1.0, 1.0)] == 0.0
+
+
+def test_resample_plugin_ewa_radius_precedence(spark):
+    """An explicit radius_of_influence must not be silently beaten by the
+    *default* weight_distance_max=1.0; an explicit weight_distance_max
+    still narrows the join."""
+    from trollflow2_spark.plans.pipeline import resample_plugin
+
+    target = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+    # single source at distance 2: only reachable when radius 3 survives
+    source = spark.createDataFrame([(2.0, 0.0, 7.0)], "x double, y double, value double")
+    job = {
+        "spark": spark,
+        "scene": source,
+        "target_grid": target,
+        "work_items": [{"area": "None"}],
+        "resampled_scenes": {},
+    }
+    resample_plugin(job, resampler="ewa", radius_of_influence=3.0)
+    assert job["resampled_scenes"]["None"].count() == 1
+    job2 = {
+        "spark": spark,
+        "scene": source,
+        "target_grid": target,
+        "work_items": [{"area": "None"}],
+        "resampled_scenes": {},
+    }
+    resample_plugin(
+        job2, resampler="ewa", radius_of_influence=3.0, weight_distance_max=1.0
+    )
+    assert job2["resampled_scenes"]["None"].count() == 0
+
+
 def test_resampler_default_options_merge():
     from trollflow2_spark.plans.pipeline import resolve_resampler_options
 

@@ -364,15 +364,18 @@ def duplicate_clusters(
     Filtering to ``is_canonical = 1`` yields the deduplicated corpus.
 
     The broadcast-ability of the label table is corpus-dependent: labels
-    cover only docs that appear in >=1 pair, which after LSH is a small
-    fraction of the corpus, so the final join is usually broadcast; the
+    cover only docs that appear in >=1 pair, which after LSH is usually a
+    small fraction of the corpus — but a heavily duplicated corpus can
+    label most of it, so the join is left to AQE (which broadcasts when
+    the runtime size is under the threshold) instead of a hard
+    ``F.broadcast`` hint that could OOM the driver at 100 TB; the
     cluster_size window shuffles only (id, cluster_id) pairs.
     """
     labels = connected_components(pairs, max_iter=max_iter)
     lab = labels.withColumnRenamed("id", id_col)
     out = (
         documents.select(id_col)
-        .join(F.broadcast(lab), id_col, "left")
+        .join(lab, id_col, "left")
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
     )
     w = Window.partitionBy("cluster_id")

@@ -110,6 +110,7 @@ def nearest_join_2d(
     tie_breakers: list[Column] | None = None,
     how: str = "left",
     target_id: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """2-D nearest-neighbor resample: bucketed equi-join on (cx, cy) cell
     pairs + window top-1 per target pixel (SURVEY §2.5 mapping for the
@@ -124,6 +125,13 @@ def nearest_join_2d(
     The top-1 window partitions on a unique per-target id (``target_id``
     or a generated ``monotonically_increasing_id``) — duplicate target
     rows stay distinct and payload columns stay out of the shuffle key.
+
+    ``partition_cols``: columns present on *both* sides that must match
+    (e.g. a band/dataset id) — added to the equi-join keys, so each
+    partition value is resampled independently in one join (≙ the
+    reference resampling every dataset of the scene, not collapsing them,
+    ``plugins/__init__.py:171-198``). The matching ``src_<col>``
+    duplicates are dropped from the output.
     """
     cx, cy = coords
     src = source.select(*[F.col(c).alias(f"src_{c}") for c in source.columns])
@@ -143,13 +151,14 @@ def nearest_join_2d(
         F.pow(tgt[cx].cast("double") - src[f"src_{cx}"].cast("double"), 2)
         + F.pow(tgt[cy].cast("double") - src[f"src_{cy}"].cast("double"), 2)
     )
-    joined = tgt.join(
-        src,
+    cond = (
         (tgt["__px"] == src["__scx"])
         & (tgt["__py"] == src["__scy"])
-        & (dist <= F.lit(float(radius))),
-        how,
+        & (dist <= F.lit(float(radius)))
     )
+    for pc in partition_cols or []:
+        cond = cond & (tgt[pc] == src[f"src_{pc}"])
+    joined = tgt.join(src, cond, how)
     joined = joined.withColumn(
         "__dist",
         F.sqrt(
@@ -162,7 +171,10 @@ def nearest_join_2d(
         order.append(tb)
     w = Window.partitionBy(tid).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    return out.drop("__rn", "__cx", "__cy", "__scx", "__scy", "__px", "__py", "__tid")
+    return out.drop(
+        "__rn", "__cx", "__cy", "__scx", "__scy", "__px", "__py", "__tid",
+        *[f"src_{pc}" for pc in partition_cols or []],
+    )
 
 
 @dataclass(frozen=True)
@@ -187,6 +199,32 @@ class GridArea:
 
     def center_y(self, row):
         return self.y0 + (row + 0.5) * self.dy
+
+
+#: Named area definitions (≙ the areas.yaml registry pyresample loads for
+#: the reference's ``area:`` keys). Product lists name areas by string;
+#: registering a GridArea here makes that name resolvable by the
+#: resample plugin's scale-safe mapped path.
+AREA_REGISTRY: dict[str, GridArea] = {}
+
+
+def register_area(area: GridArea) -> GridArea:
+    AREA_REGISTRY[area.name] = area
+    return area
+
+
+def resolve_area(spec) -> GridArea | None:
+    """GridArea | registered name | kwargs-dict -> GridArea (else None)."""
+    if isinstance(spec, GridArea):
+        return spec
+    if isinstance(spec, str):
+        return AREA_REGISTRY.get(spec)
+    if isinstance(spec, dict):
+        try:
+            return GridArea(**spec)
+        except TypeError:
+            return None
+    return None
 
 
 def grid_to_grid_mapping(
@@ -329,12 +367,20 @@ def weighted_resample_2d(
     joined = joined.withColumn("__w", w)
     if weight_min:
         joined = joined.filter(F.col("__w") >= F.lit(float(weight_min)))
-    group_cols = [tid] + [c for c in target.columns if c != tid]
-    aggs = [
-        (F.sum(F.col("__w") * F.col(f"src_{v}")) / F.sum("__w")).alias(f"{v}_resampled")
-        for v in value_cols
-    ] + [F.count(F.lit(1)).alias("n_neighbors")]
-    return joined.groupBy(*group_cols).agg(*aggs).drop("__tid")
+    # group on the unique target id alone (payload columns stay out of the
+    # aggregation shuffle key); re-attach payload via first() — exact,
+    # since tid is unique per target row
+    aggs = (
+        [F.first(F.col(c)).alias(c) for c in target.columns if c != tid]
+        + [
+            (F.sum(F.col("__w") * F.col(f"src_{v}")) / F.sum("__w")).alias(
+                f"{v}_resampled"
+            )
+            for v in value_cols
+        ]
+        + [F.count(F.lit(1)).alias("n_neighbors")]
+    )
+    return joined.groupBy(tid).agg(*aggs).drop("__tid")
 
 
 @register_stage("weighted_resample_1d")

@@ -421,6 +421,55 @@ def resolve_resampler_options(resampler: str, overrides: dict) -> dict:
     return {**defaults, **{k: v for k, v in overrides.items() if v is not None}}
 
 
+# (application id, source GridArea, target GridArea, radius) -> persisted
+# mapping DataFrame. GridArea is a frozen dataclass, so the key hashes;
+# the cache makes repeated messages onto the same area pair reuse one
+# broadcast table (≙ the reference's per-area resampler cache).
+_MAPPING_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _resample_mapped(
+    spark: SparkSession,
+    scene: DataFrame,
+    src_area,
+    tgt_area,
+    radius: float,
+    coords: tuple[str, str],
+) -> DataFrame:
+    """Fixed grid-pair nearest resample through the precomputed broadcast
+    mapping table (``operators/resample.py:grid_to_grid_mapping``): the
+    big source side gets its pixel index map-side and broadcast-joins the
+    target-area-sized mapping — no explode, no source shuffle."""
+    from trollflow2_spark.operators.resample import (
+        grid_to_grid_mapping,
+        resample_nearest_mapped,
+    )
+
+    key = (spark.sparkContext.applicationId, src_area, tgt_area, float(radius))
+    mapping = _MAPPING_CACHE.get(key)
+    if mapping is None:
+        mapping = grid_to_grid_mapping(spark, tgt_area, src_area, radius).persist()
+        _MAPPING_CACHE[key] = mapping
+    x, y = coords
+    value_cols = [
+        c for c, t in scene.dtypes
+        if c not in (x, y) and t in ("double", "float", "int", "bigint")
+    ]
+    keyed = scene.withColumn(
+        "s_col",
+        F.floor((F.col(x) - F.lit(src_area.x0)) / F.lit(src_area.dx)).cast("int"),
+    ).withColumn(
+        "s_row",
+        F.floor((F.col(y) - F.lit(src_area.y0)) / F.lit(src_area.dy)).cast("int"),
+    )
+    out = resample_nearest_mapped(keyed, mapping, key_cols=("s_row", "s_col"))
+    return out.select(
+        (F.lit(tgt_area.x0) + (F.col("t_col") + 0.5) * F.lit(tgt_area.dx)).alias(x),
+        (F.lit(tgt_area.y0) + (F.col("t_row") + 0.5) * F.lit(tgt_area.dy)).alias(y),
+        *value_cols,
+    )
+
+
 @register_plugin("resample")
 def resample_plugin(
     job: dict,
@@ -435,6 +484,7 @@ def resample_plugin(
     use_min_area: bool = False,
     use_max_area: bool = False,
     resolution_col: str = "resolution",
+    band_col: str | None = "band",
     **resampler_options: Any,
 ) -> None:
     """Resample the scene per the configured kernel
@@ -499,26 +549,53 @@ def resample_plugin(
         if target_res is None:
             raise AbortProcessing("coarsest/finest: no resolution values")
         x, y = coords
-        target = (
+        band = band_col if band_col and band_col in scene.columns else None
+        target_xy = (
             scene.filter(F.col(resolution_col) == target_res)
             .select(x, y)
             .distinct()
         )
+        skip = {x, y, resolution_col} | ({band} if band else set())
         value_cols = [
             c for c, t in scene.dtypes
-            if c not in (x, y, resolution_col)
-            and t in ("double", "float", "int", "bigint")
+            if c not in skip and t in ("double", "float", "int", "bigint")
         ]
-        joined = nearest_join_2d(
-            target,
-            scene,
-            coords=coords,
-            radius=float(target_res) if radius <= 1.0 else radius,
-            how="inner",
-        )
-        resampled = joined.select(
-            x, y, *[F.col(f"src_{c}").alias(c) for c in value_cols]
-        )
+        # deterministic tie-breakers: equidistant sources resolve by
+        # (resolution, coords, values) ordering, never row_number chance
+        ties = [
+            F.col(f"src_{c}").asc_nulls_last()
+            for c in [resolution_col, x, y] + value_cols
+        ]
+        eff_radius = float(target_res) if radius <= 1.0 else radius
+        if band:
+            # keep every band (≙ scn.resample(coarsest_area()) keeping
+            # every dataset): one join partitioned per band, target grid
+            # replicated over the control-sized band list
+            bands = scene.select(band).distinct()
+            joined = nearest_join_2d(
+                target_xy.crossJoin(F.broadcast(bands)),
+                scene,
+                coords=coords,
+                radius=eff_radius,
+                tie_breakers=ties,
+                how="inner",
+                partition_cols=[band],
+            )
+            resampled = joined.select(
+                band, x, y, *[F.col(f"src_{c}").alias(c) for c in value_cols]
+            )
+        else:
+            joined = nearest_join_2d(
+                target_xy,
+                scene,
+                coords=coords,
+                radius=eff_radius,
+                tie_breakers=ties,
+                how="inner",
+            )
+            resampled = joined.select(
+                x, y, *[F.col(f"src_{c}").alias(c) for c in value_cols]
+            )
     elif resampler == "null":
         resampled = scene
     elif resampler == "native":
@@ -529,25 +606,50 @@ def resample_plugin(
         ]
         resampled = block_aggregate(scene, factors, value_cols, agg="avg")
     elif resampler == "nearest":
-        target = job.get("target_grid")
-        if target is None:
-            raise AbortProcessing("resample: nearest needs job['target_grid']")
-        from trollflow2_spark.operators.resample import nearest_join_2d
+        from trollflow2_spark.operators.resample import nearest_join_2d, resolve_area
 
-        resampled = nearest_join_2d(
-            target, scene, coords=coords, radius=radius, how="inner"
+        # scale-safe mapped path: when both the work item's target area
+        # and the scene's source area resolve to GridArea definitions,
+        # the (target px -> source px) mapping is computed once per
+        # (source, target) pair, cached, and broadcast-joined — no 9x
+        # probe explode of the target side per message (the reference's
+        # cached resamplers, plugins/__init__.py:159-201)
+        tgt_area = resolve_area(
+            job.get("target_area")
+            or (job["work_items"][0].get("area") if job["work_items"] else None)
         )
+        src_area = resolve_area(
+            job.get("source_area") or job["input_mda"].get("source_area")
+        )
+        if tgt_area is not None and src_area is not None:
+            resampled = _resample_mapped(
+                job["spark"], scene, src_area, tgt_area, radius, coords
+            )
+        else:
+            target = job.get("target_grid")
+            if target is None:
+                raise AbortProcessing(
+                    "resample: nearest needs job['target_grid'] or resolvable "
+                    "source/target GridArea definitions"
+                )
+            resampled = nearest_join_2d(
+                target, scene, coords=coords, radius=radius, how="inner"
+            )
     elif resampler in ("ewa", "bilinear"):
         target = job.get("target_grid")
         if target is None:
             raise AbortProcessing(f"resample: {resampler} needs job['target_grid']")
         from trollflow2_spark.operators.resample import weighted_resample_2d
 
+        # weight_distance_max narrows the join radius only when the user
+        # set it explicitly — the merged defaults always contain 1.0,
+        # which must not silently beat an explicit radius_of_influence
+        wdm = resampler_options.get("weight_distance_max")
         resampled = weighted_resample_2d(
             target,
             scene,
             coords=coords,
-            radius=float(opts.get("weight_distance_max") or radius),
+            radius=float(wdm) if wdm is not None else radius,
             kernel=str(opts.get("kernel", "inverse")),
             weight_min=float(opts.get("weight_min") or 0.0),
         )

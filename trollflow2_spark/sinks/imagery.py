@@ -49,6 +49,10 @@ def stretch_to_uint8(
     """
     a = np.asarray(arr, dtype="float64")
     mask = ~np.isfinite(a)
+    if mask.all():
+        # fully-invalid product (e.g. a left-join resample that missed
+        # everywhere): emit a fill-valued image instead of crashing
+        return np.full(a.shape, int(fill_value), dtype=np.uint8)
     lo = float(np.nanmin(a[~mask])) if vmin is None else float(vmin)
     hi = float(np.nanmax(a[~mask])) if vmax is None else float(vmax)
     span = hi - lo if hi > lo else 1.0

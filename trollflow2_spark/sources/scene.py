@@ -121,7 +121,16 @@ def _extract_archive_members(
         with tarfile.open(archive_path, "r:*") as tf:
             for m in members:
                 name = m.lstrip("/")
-                tf.extract(name, out_dir, filter="data")
+                if hasattr(tarfile, "data_filter"):
+                    tf.extract(name, out_dir, filter="data")
+                else:  # pre-3.12-backport stdlib: sanitize by hand
+                    info = tf.getmember(name)
+                    parts = info.name.split("/")
+                    if info.name.startswith("/") or ".." in parts or not (
+                        info.isfile() or info.isdir()
+                    ):
+                        raise tarfile.TarError(f"unsafe tar member {info.name!r}")
+                    tf.extract(info, out_dir)
                 out.append(os.path.join(out_dir, name))
     return out
 
