@@ -89,6 +89,76 @@ def test_create_scene_reads_parquet(spark, input_file):
     assert "ch1" in scene.columns
 
 
+def test_netcdf_reader_roundtrip(spark, tmp_path):
+    """The engine reads back the NetCDF it writes: variables -> long-form
+    (product, y, x, value) rows, decoded executor-side."""
+    import numpy as np
+
+    from trollflow2_spark.sinks import netcdf
+
+    arr = np.arange(12, dtype="float64").reshape(3, 4)
+    path = str(tmp_path / "scene.nc")
+    with open(path, "wb") as fh:
+        fh.write(netcdf.encode_netcdf({"t": arr, "u": arr * 2.0}, {"sensor": "x"}))
+    scene = create_scene(spark, [path], reader="netcdf")
+    rows = scene.collect()
+    assert len(rows) == 24  # 2 variables x 12 pixels
+    got = {(r["product"], r["y"], r["x"]): r["value"] for r in rows}
+    assert got[("t", 1, 2)] == 6.0
+    assert got[("u", 2, 3)] == 22.0
+
+
+def test_png_and_geotiff_readers_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from trollflow2_spark.sinks import imagery
+
+    gray = np.arange(100, dtype="float64").reshape(10, 10)
+    png_path = str(tmp_path / "img.png")
+    with open(png_path, "wb") as fh:
+        fh.write(imagery.encode_png(gray.astype(np.uint8)))
+    png_scene = create_scene(spark, [png_path], reader="png")
+    got = {(r["y"], r["x"]): r["value"] for r in png_scene.collect()}
+    assert got[(5, 5)] == 55.0
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[:, :, 1] = 200
+    tif_path = str(tmp_path / "img.tif")
+    with open(tif_path, "wb") as fh:
+        fh.write(imagery.encode_geotiff(rgb, compress="DEFLATE"))
+    tif_scene = create_scene(spark, [tif_path], reader="geotiff")
+    rows = tif_scene.collect()
+    assert {r["product"] for r in rows} == {"band_0", "band_1", "band_2"}
+    band1 = [r for r in rows if r["product"] == "band_1"]
+    assert len(band1) == 16 and all(r["value"] == 200.0 for r in band1)
+
+
+def test_raster_reader_rejects_wrong_magic(spark, tmp_path):
+    from trollflow2_spark.sources.scene import SceneCreationError
+
+    path = str(tmp_path / "notnc.nc")
+    with open(path, "wb") as fh:
+        fh.write(b"not a netcdf file")
+    with pytest.raises(SceneCreationError):
+        create_scene(spark, [path], reader="netcdf")
+
+
+def test_scene_long_to_wide_pivot(spark, tmp_path):
+    import numpy as np
+
+    from trollflow2_spark.sinks import netcdf
+    from trollflow2_spark.sources.scene import scene_long_to_wide
+
+    arr = np.arange(6, dtype="float64").reshape(2, 3)
+    path = str(tmp_path / "wide.nc")
+    with open(path, "wb") as fh:
+        fh.write(netcdf.encode_netcdf({"a": arr, "b": arr + 10.0}))
+    wide = scene_long_to_wide(create_scene(spark, [path], reader="netcdf"))
+    assert set(wide.columns) == {"y", "x", "a", "b"}
+    row = {(r["y"], r["x"]): (r["a"], r["b"]) for r in wide.collect()}
+    assert row[(1, 2)] == (5.0, 15.0)
+
+
 def test_message_to_jobs_priority_batches(spark, input_file, tmp_path):
     plist = read_product_list(raw_string=PL_YAML.format(out_dir=tmp_path))
     jobs = message_to_jobs(spark, _message(input_file), plist)

@@ -250,6 +250,20 @@ FROM j GROUP BY t_id, t_epoch
 
 # --- sinks -----------------------------------------------------------------
 
+ORACLES["pipeline_roundtrip"] = f"""
+WITH g AS (
+  SELECT CAST(event_id % {C.RT_YMOD} AS INT) AS yv,
+         CAST(user_id % {C.RT_XMOD} AS INT) AS xv,
+         {_dsum('value')} AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT 'value' AS product,
+  CAST(dense_rank() OVER (ORDER BY yv) - 1 AS INT) AS y,
+  CAST(dense_rank() OVER (ORDER BY xv) - 1 AS INT) AS x,
+  value
+FROM g
+"""
+
 ORACLES["manifest_check"] = """
 SELECT source, count(*) AS n_files,
   count(CASE WHEN n_chars = 0 THEN 1 END) AS n_empty,

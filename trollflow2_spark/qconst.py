@@ -61,6 +61,8 @@ R2D_XMOD = 97  # deterministic synthetic point coords from event ids
 R2D_YMOD = 89
 SUNLIGHT_MIN_PCT = 20.0
 SUNLIGHT_MAX_PCT = 80.0
+RT_YMOD = 12  # write->read NetCDF round-trip grid shape
+RT_XMOD = 16
 PYRAMID_FACTORS = (16, 64, 256)  # overview levels (block sizes)
 UPSAMPLE_FACTOR = 8  # 'native' mode integer upsampling
 

@@ -845,6 +845,62 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write->read loop on a real single-file NetCDF: events aggregated
+    onto a small grid, written through the pipeline sink (save_datasets:
+    writer dispatch, atomic tmp commit), then read back with
+    ``create_scene(reader="netcdf")`` — the engine's primary input mode
+    (≙ satpy NetCDF readers at ``plugins/__init__.py:86-99``; the
+    reference's golden e2e reads NetCDF, ``tests/test_cli.py:154-191``).
+
+    Fully oracle-checkable: the grid cells are deterministic decimal sums
+    stored as exact float64; pixel indices are positions in the sorted
+    unique coordinate values (``grid_from_pandas``), which the oracle
+    reproduces with dense_rank. The file round-trip happens inside the
+    query; only the recovered pixels come back."""
+    import os
+    import shutil
+    import tempfile
+
+    from trollflow2_spark.sinks.save import save_datasets
+    from trollflow2_spark.sources.scene import create_scene
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        (F.col("event_id") % C.RT_YMOD).cast("int").alias("y"),
+        (F.col("user_id") % C.RT_XMOD).cast("int").alias("x"),
+    ).agg(dsum(F.col("value")).alias("value"))
+    out_dir = tempfile.mkdtemp(prefix="tf2_rt_")
+    try:
+        save_datasets(
+            spark,
+            grid,
+            [
+                {
+                    "area": "rt",
+                    "product": ["value"],
+                    "writer": "cf",
+                    "format": "nc",
+                    "output_dir": out_dir,
+                    "fname_pattern": "roundtrip.nc",
+                }
+            ],
+        )
+        scene = create_scene(
+            spark, [os.path.join(out_dir, "roundtrip.nc")], reader="netcdf"
+        )
+        # materialize before the temp file is deleted (the scan is lazy)
+        rows = [
+            (r["product"], r["y"], r["x"], r["value"])
+            for r in scene.select("product", "y", "x", "value").collect()
+        ]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "product string, y int, x int, value double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks: manifest audit + publisher
 
@@ -1086,4 +1142,5 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
+    "pipeline_roundtrip": q_pipeline_roundtrip,
 }

@@ -247,6 +247,143 @@ def _read_json(spark: SparkSession, paths: list[str], **kwargs) -> DataFrame:
     return spark.read.options(**kwargs).json(paths)
 
 
+# ---------------------------------------------------------------------------
+# Raster readers: the reference's *primary* input is satellite data files
+# opened by a named satpy reader (``plugins/__init__.py:86-99``; the
+# golden e2e test reads a real NetCDF input,
+# ``tests/test_cli.py:154-191``). These close the write/read loop with
+# the repo's own stdlib decoders (sinks/netcdf.py, sinks/imagery.py):
+# every registered *writer* format is now also a registered *reader*.
+#
+# Output is the long-form scene table (file, product, y, x, value):
+# one row per pixel per variable/band, y/x being row/col indices
+# (row 0 = top). Scale shape: the message's file list becomes a
+# DataFrame of paths and the decode runs executor-side via mapInPandas
+# (one task per file — a 1000-granule message decodes with 1000-way
+# parallelism, nothing lands on the driver). Non-finite pixels are
+# dropped (miss -> fill round-trips as absent cells).
+
+SCENE_LONG_SCHEMA = (
+    "file string, product string, y int, x int, value double"
+)
+
+#: magic bytes checked driver-side so unreadable inputs fail at
+#: create_scene time (≙ the reference aborting on unopenable files),
+#: not lazily at first action
+_RASTER_MAGIC = {
+    "netcdf": (b"CDF\x01",),
+    "png": (b"\x89PNG",),
+    "geotiff": (b"II*\x00",),
+}
+
+
+def _check_raster_magic(paths: list[str], kind: str) -> None:
+    sigs = _RASTER_MAGIC[kind]
+    for p in paths:
+        try:
+            with open(p, "rb") as fh:
+                head = fh.read(8)
+        except OSError as exc:
+            raise SceneCreationError(f"cannot open {p!r}: {exc}") from exc
+        if not any(head.startswith(s) for s in sigs):
+            raise SceneCreationError(
+                f"{p!r} is not a {kind} file (magic {head[:4]!r})"
+            )
+
+
+def _band_products(arr) -> list[tuple[str, "object"]]:
+    """(product name, 2-D plane) pairs for a decoded raster: gray ->
+    one ``image`` product, multi-channel -> ``band_0..N``."""
+    if arr.ndim == 2:
+        return [("image", arr)]
+    return [(f"band_{i}", arr[:, :, i]) for i in range(arr.shape[2])]
+
+
+def _raster_reader(kind: str, decode_products):
+    """Build a registered reader from a ``bytes -> [(product, 2-D
+    array)]`` decoder. ``decode_products`` must be importable on
+    executors (module-level in sinks/)."""
+
+    def loader(spark: SparkSession, paths: list[str], **kwargs) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        _check_raster_magic(paths, kind)
+
+        def decode(batches):
+            for pdf in batches:
+                for path in pdf["path"]:
+                    with open(path, "rb") as fh:
+                        data = fh.read()
+                    for product, plane in decode_products(data):
+                        a = np.asarray(plane, dtype="float64")
+                        h, w = a.shape
+                        yy, xx = np.divmod(np.arange(h * w), w)
+                        v = a.ravel()
+                        keep = np.isfinite(v)
+                        yield pd.DataFrame(
+                            {
+                                "file": path,
+                                "product": product,
+                                "y": yy[keep].astype("int32"),
+                                "x": xx[keep].astype("int32"),
+                                "value": v[keep],
+                            }
+                        )
+
+        files = spark.createDataFrame([(p,) for p in paths], "path string")
+        if len(paths) > 1:
+            files = files.repartition(min(len(paths), 1024))
+        return files.mapInPandas(decode, schema=SCENE_LONG_SCHEMA)
+
+    loader.__name__ = f"_read_{kind}"
+    return loader
+
+
+def _decode_netcdf_products(data: bytes):
+    from trollflow2_spark.sinks.netcdf import decode_netcdf
+
+    variables, _attrs = decode_netcdf(data)
+    return [(name, arr) for name, arr in variables.items()]
+
+
+def _decode_png_products(data: bytes):
+    from trollflow2_spark.sinks.imagery import decode_png
+
+    return _band_products(decode_png(data))
+
+
+def _decode_geotiff_products(data: bytes):
+    from trollflow2_spark.sinks.imagery import decode_geotiff
+
+    pages, _tags = decode_geotiff(data)
+    # page 0 is the full-resolution image; later pages are overview
+    # pyramid levels (NewSubfileType=1), not data
+    return _band_products(pages[0])
+
+
+READER_REGISTRY["netcdf"] = _raster_reader("netcdf", _decode_netcdf_products)
+READER_REGISTRY["cf"] = READER_REGISTRY["netcdf"]  # writer-name alias
+READER_REGISTRY["png"] = _raster_reader("png", _decode_png_products)
+READER_REGISTRY["simple_image"] = READER_REGISTRY["png"]
+READER_REGISTRY["geotiff"] = _raster_reader("geotiff", _decode_geotiff_products)
+
+
+def scene_long_to_wide(scene: DataFrame) -> DataFrame:
+    """Pivot the long-form raster scene to the wide (y, x, product
+    columns...) shape the pipeline operators consume. One shuffle on the
+    pixel key; product names are read from the data (config-sized
+    distinct)."""
+    from pyspark.sql import functions as F
+
+    products = [r[0] for r in scene.select("product").distinct().collect()]
+    return (
+        scene.groupBy("y", "x")
+        .pivot("product", sorted(products))
+        .agg(F.first("value"))
+    )
+
+
 def create_scene(
     spark: SparkSession,
     filenames: list[str],
