@@ -52,6 +52,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    # data-dependent oracles (IVF centroid literals) must be generated
+    # for the sf under test; the driver's default is sf0.01
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import duckdb
 
     from trollflow2_spark.oracles import ORACLES

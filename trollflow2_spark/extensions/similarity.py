@@ -162,6 +162,14 @@ def kmeans_centroids(
         .toPandas()
     )
     X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    return kmeans_centroids_np(X, k=k, n_iter=n_iter)
+
+
+def kmeans_centroids_np(X, k: int = 16, n_iter: int = 5):
+    """Numpy core of :func:`kmeans_centroids` on the raw sample matrix —
+    shared with the oracle generator (oracles.py) so the centroid
+    literals in the DuckDB SQL are bit-identical to the Spark path."""
+    X = np.asarray(X, dtype="float64").copy()
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[: int(k)].copy()
     for _ in range(int(n_iter)):
@@ -202,11 +210,14 @@ def ivf_topk(
         )
     C = np.asarray(centroids, dtype="float64")
 
+    # dots are rounded to 6 before argmax/argsort (ties -> lowest cell,
+    # stable) so the cell choice is reproducible across engines — the
+    # DuckDB oracle replicates the same rounded comparison
     @F.pandas_udf("int")
     def assign_cell(vecs: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype("float64")
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
+        return pd.Series(np.argmax(np.round(X @ C.T, 6), axis=1).astype("int32"))
 
     probe = int(n_probe)
 
@@ -214,7 +225,8 @@ def ivf_topk(
     def probe_cells(vecs: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype("float64")
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(X @ C.T), axis=1)[:, :probe].astype("int32")
+        d = np.round(X @ C.T, 6)
+        order = np.argsort(-d, axis=1, kind="stable")[:, :probe].astype("int32")
         return pd.Series(list(order))
 
     base = df.withColumn("__cell", assign_cell(F.col(vec_col)))

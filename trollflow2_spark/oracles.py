@@ -250,6 +250,21 @@ FROM j GROUP BY t_id, t_epoch
 
 # --- sinks -----------------------------------------------------------------
 
+# The e2e manifest's deterministic fields are config-derived (filename
+# composition, writer dispatch, nonempty commits), independent of the
+# data scale — pinned as literals. Pixel values of the written files are
+# value-checked by pipeline_roundtrip instead.
+ORACLES["pipeline_e2e"] = """
+SELECT * FROM (VALUES
+  ('SAT-1_areaA_val.parquet', 'areaA', 'value', 'parquet', 'parquet', TRUE),
+  ('SAT-1_areaA_val.csv', 'areaA', 'value', 'csv', 'csv', TRUE),
+  ('SAT-1_areaA_val.tif', 'areaA', 'value', 'tif', 'geotiff', TRUE),
+  ('SAT-1_areaA_val.png', 'areaA', 'value', 'png', 'simple_image', TRUE),
+  ('SAT-1_areaA_val.nc', 'areaA', 'value', 'nc', 'cf', TRUE),
+  ('SAT-1_areaA_uid.tif', 'areaA', 'user_id', 'tif', 'geotiff', TRUE)
+) AS t(filename, area, product, format, writer, nonempty)
+"""
+
 ORACLES["pipeline_roundtrip"] = f"""
 WITH g AS (
   SELECT CAST(event_id % {C.RT_YMOD} AS INT) AS yv,
@@ -386,6 +401,87 @@ SELECT query_id, vec_id, cosine_sim,
 FROM sc
 QUALIFY rank <= {C.TOPK_K}
 """
+
+def _ivf_oracle_sql() -> str | None:
+    """IVF oracle with *literal* centroid vectors.
+
+    The centroids are deterministic (fixed 2048-lowest-id sample, fixed
+    first-k init, fixed iteration count) but data-dependent, so they are
+    computed here at import time — by the SAME numpy routine the Spark
+    query uses (``kmeans_centroids_np``) — from the parquet named by
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` (default sf0.01, the driver's gate
+    scale), and embedded as full-precision DOUBLE literals. Cell
+    assignment/probing replicates the query's rounded-argmax exactly:
+    round(dot(normalized vec, centroid), 6), ties to the lowest cell.
+    """
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import kmeans_centroids_np
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype="float64")
+    cents = kmeans_centroids_np(X, k=C.IVF_N_CLUSTERS, n_iter=5)
+    values = ",\n  ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(v)) for v in cents[j]))
+        for j in range(len(cents))
+    )
+    ndot = (
+        "round(list_sum(list_transform(range(len(e.embedding)), "
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * c.cv[i+1])) / "
+        "GREATEST(sqrt(list_sum(list_transform(range(len(e.embedding)), "
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)"
+        "))), 1e-12), 6)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+ed AS (
+  SELECT e.vec_id, c.cell, {ndot} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM ed
+  WHERE vec_id < {C.TOPK_N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC)
+    <= {C.IVF_N_PROBE}
+),
+sc AS (
+  SELECT p.query_id, a.vec_id,
+    round({{cos}}, 6) AS cosine_sim
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+  CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {C.ANN_K}
+""".replace("{cos}", _cosine_sql("e.embedding", "q.embedding"))
+
+
+_ivf_sql = _ivf_oracle_sql()
+if _ivf_sql is not None:
+    ORACLES["embedding_ivf"] = _ivf_sql
+
 
 _CELL = " + ".join(
     f"(CASE WHEN CAST(embedding[{i+1}] AS DOUBLE) >= 0 THEN {2**i} ELSE 0 END)"
@@ -532,6 +628,32 @@ WITH fr AS (
 SELECT doc_id, frame_idx,
   ascii(text[frame_idx * 64 + 1]) AS frame_byte
 FROM fr
+"""
+
+# Resize stand-in: n = max(1, floor(len * min(64*64 / max(w*h, 1), 1)));
+# the scale arithmetic is exact IEEE double on both engines, so floor is
+# safe. Payload is the blob truncated to n bytes.
+ORACLES["multimodal_resize"] = """
+WITH m AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1024 + 16 AS BIGINT) AS w,
+    CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 1024 + 16 AS BIGINT) AS h,
+    CAST(octet_length(encode(text)) AS BIGINT) AS len
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+    GREATEST(CAST(1 AS BIGINT),
+      CAST(floor(len * LEAST(4096.0 / GREATEST(w * h, 1), 1.0)) AS BIGINT)
+    ) AS n_bytes
+  FROM m
+)
+SELECT doc_id,
+  CAST(64 AS INTEGER) AS width,
+  CAST(64 AS INTEGER) AS height,
+  n_bytes,
+  CAST(n_bytes AS INTEGER) AS payload_bytes
+FROM n
 """
 
 ORACLES["resample_2d_nearest"] = f"""

@@ -782,8 +782,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline smoke as a query: message -> jobs -> scene -> sinks
-    -> manifest rows. Not SQL-expressible (writes files); the driver
-    records a rows-only check."""
+    -> manifest rows. The manifest's deterministic fields (composed
+    filename, area, product, format, writer, nonempty) are data-
+    independent, so the oracle pins them as literals — the write path
+    itself is value-checked by ``pipeline_roundtrip``, which reads the
+    produced NetCDF back and hash-compares every pixel."""
     import shutil
     import tempfile
 
