@@ -53,6 +53,11 @@ HEADLINE = [
     "text_quality",
     "token_count",
     "dedup_exact",
+    # round 3 additions
+    "q3_bucketed",  # zero-Exchange fact join (vs q3_shipping_priority)
+    "embedding_ivf",
+    "multimodal_decode_png",
+    "pipeline_roundtrip",
 ]
 
 

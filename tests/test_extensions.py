@@ -213,9 +213,44 @@ def test_multimodal_plumbing(spark, docs):
     feats = {r["doc_id"]: r for r in decode_media(media, fake=True).collect()}
     assert feats[1]["n_bytes"] == meta[1]["n_bytes"]
     assert 0 < feats[1]["mean_byte"] < 255
-    # the non-fake path is a clearly-marked stub
+    # the non-fake path is a clearly-marked stub for non-PNG types
     with pytest.raises(Exception):
         decode_media(media, fake=False).collect()
+
+
+def test_decode_media_real_png_route(spark):
+    """image/png rows are REALLY decoded (repo's stdlib decoder) while
+    other types fall back to byte stats in the same batch."""
+    import numpy as np
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.imagery import encode_png
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4) * 10
+    png = encode_png(px)
+    rows = [
+        (1, bytearray(png), {"media_type": "image/png", "width": 4,
+                             "height": 3, "n_bytes": len(png)}),
+        (2, bytearray(b"abc"), {"media_type": "audio/fake", "width": 0,
+                                "height": 0, "n_bytes": 3}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df, fake=True).collect()}
+    assert got[1]["width"] == 4 and got[1]["height"] == 3
+    assert got[1]["n_channels"] == 1
+    assert got[1]["n_bytes"] == 12  # decoded pixel count, not blob size
+    assert got[1]["max_byte"] == 110
+    assert got[1]["mean_byte"] == pytest.approx(float(px.mean()))
+    # fake row: byte statistics, NULL dimensions
+    assert got[2]["n_bytes"] == 3 and got[2]["width"] is None
+    # all-PNG input works without fake=True (real decoder, no stub hit)
+    real = decode_media(df.filter("doc_id = 1"), fake=False).collect()
+    assert real[0]["max_byte"] == 110
 
 
 def test_multimodal_resize_and_frame_sample(spark, sf_dir):

@@ -106,6 +106,24 @@ def test_bucketed_join_has_no_exchange(spark, sf):
         spark.sql("DROP TABLE IF EXISTS tf2_lineitem_b")
 
 
+def test_q3_bucketed_zero_fact_exchange(spark, sf):
+    """The bucketed Q3 variant plans the lineitem×orders join AND the
+    order-key aggregation with no hash exchange at all — proof of the
+    bucketing win on the headline join query (the broadcast dim is the
+    only exchange left)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "q3_bucketed", sf)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS tf2b_orders_sf0_001")
+        spark.sql("DROP TABLE IF EXISTS tf2b_lineitem_sf0_001")
+
+
 def test_mapped_resample_broadcasts_no_explode(spark, sf):
     """The precomputed grid->grid mapping path must be one broadcast
     equi-join on the source pixel index: no probe-cell explode, no

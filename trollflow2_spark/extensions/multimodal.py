@@ -50,22 +50,28 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_media(
     df: DataFrame,
     media_col: str = "media",
+    meta_col: str = "media_meta",
     id_col: str = "doc_id",
     fake: bool = False,
     batch_rows_hint: int = 64,
 ) -> DataFrame:
-    """Decode the binary column into per-item features via mapInPandas.
+    """Decode the binary column into per-item features via mapInPandas,
+    routed by ``media_meta.media_type``:
 
-    Real decoders (PIL/librosa/av) are not in this container — with
-    ``fake=False`` the kernel raises ``NotImplementedError`` (clearly
-    marked stub). With ``fake=True`` a deterministic byte-statistics
-    "decoder" exercises the identical plumbing: Arrow batches in,
-    feature rows out, schema pinned below.
+    - ``image/png``: REAL decode through the repo's own stdlib PNG
+      decoder (:func:`trollflow2_spark.sinks.imagery.decode_png`) —
+      statistics over the actual decoded pixels, plus width / height /
+      channel count;
+    - any other type with ``fake=True``: the deterministic
+      byte-statistics stand-in (dimension columns NULL);
+    - any other type with ``fake=False``: ``NotImplementedError`` —
+      audio/video decoders aren't in this container (clearly marked
+      stub; the Arrow plumbing is identical either way).
 
     Scale notes: mapInPandas streams Arrow record batches, so executor
-    memory is bounded by batch size, not partition size; set
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (driver config) to
-    keep media batches small — decoded frames are much larger than their
+    memory is bounded by batch size, not partition size; the session
+    default ``spark.sql.execution.arrow.maxRecordsPerBatch`` keeps media
+    batches small — decoded frames are much larger than their
     compressed bytes.
     """
     out_schema = T.StructType(
@@ -74,6 +80,9 @@ def decode_media(
             T.StructField("n_bytes", T.LongType()),
             T.StructField("mean_byte", T.DoubleType()),
             T.StructField("max_byte", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
         ]
     )
 
@@ -81,39 +90,75 @@ def decode_media(
         import numpy as np
         import pandas as pd
 
+        from trollflow2_spark.sinks.imagery import decode_png
+
         for pdf in batches:
-            if not fake:
+            n = len(pdf)
+            mtypes = [
+                (m or {}).get("media_type") if not isinstance(m, str) else m
+                for m in pdf[meta_col]
+            ]
+            is_png = np.array([t == "image/png" for t in mtypes])
+            if not fake and not is_png.all():
                 raise NotImplementedError(
-                    "media decode requires an image/audio library not present "
-                    "in this environment; pass fake=True for the deterministic "
-                    "byte-statistics decoder"
+                    "media decode beyond image/png requires an image/audio "
+                    "library not present in this environment; pass fake=True "
+                    "for the deterministic byte-statistics decoder"
                 )
-            payload = pdf[media_col]
-            # vectorized byte statistics: one frombuffer over the whole
-            # batch + segmented reduceat — no per-row Python byte loops
-            lens = np.fromiter(
-                (len(b) for b in payload), dtype=np.int64, count=len(payload)
-            )
-            allb = np.frombuffer(b"".join(payload), dtype=np.uint8)
-            starts = np.cumsum(lens) - lens
-            nonzero = lens > 0
-            sums = np.zeros(len(lens), dtype=np.int64)
-            maxs = np.zeros(len(lens), dtype=np.int64)
-            if allb.size:
-                idx = starts[nonzero]
-                sums[nonzero] = np.add.reduceat(allb.astype(np.int64), idx)
-                maxs[nonzero] = np.maximum.reduceat(allb, idx)
-            means = np.where(nonzero, sums / np.maximum(lens, 1), 0.0)
-            yield pd.DataFrame(
+            lens = np.zeros(n, dtype=np.int64)
+            means = np.zeros(n, dtype=np.float64)
+            maxs = np.zeros(n, dtype=np.int64)
+            width = np.full(n, -1, dtype=np.int64)
+            height = np.full(n, -1, dtype=np.int64)
+            chans = np.full(n, -1, dtype=np.int64)
+            payload = pdf[media_col].to_numpy()
+
+            # real path: per-item PNG decode (inherently per-image), stats
+            # over the decoded pixel array
+            for i in np.flatnonzero(is_png):
+                arr = decode_png(bytes(payload[i]))
+                lens[i] = arr.size
+                means[i] = float(arr.mean()) if arr.size else 0.0
+                maxs[i] = int(arr.max()) if arr.size else 0
+                height[i], width[i] = arr.shape[:2]
+                chans[i] = 1 if arr.ndim == 2 else arr.shape[2]
+
+            # fake path: vectorized byte statistics — one frombuffer over
+            # the remaining payloads + segmented reduceat, no per-row loops
+            rest = np.flatnonzero(~is_png)
+            if rest.size:
+                blobs = [bytes(payload[i]) for i in rest]
+                rl = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                                 count=len(blobs))
+                allb = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+                starts = np.cumsum(rl) - rl
+                nz = rl > 0
+                rsum = np.zeros(len(rl), dtype=np.int64)
+                rmax = np.zeros(len(rl), dtype=np.int64)
+                if allb.size:
+                    idx = starts[nz]
+                    rsum[nz] = np.add.reduceat(allb.astype(np.int64), idx)
+                    rmax[nz] = np.maximum.reduceat(allb, idx)
+                lens[rest] = rl
+                means[rest] = np.where(nz, rsum / np.maximum(rl, 1), 0.0)
+                maxs[rest] = rmax
+
+            out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": lens,
                     "mean_byte": means,
                     "max_byte": maxs.astype("int32"),
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "n_channels": chans.astype("int32"),
                 }
             )
+            for c in ("width", "height", "n_channels"):
+                out[c] = out[c].where(is_png, other=pd.NA).astype("Int32")
+            yield out
 
-    return df.select(id_col, media_col).mapInPandas(kernel, out_schema)
+    return df.select(id_col, media_col, meta_col).mapInPandas(kernel, out_schema)
 
 
 def resize_media(

@@ -55,6 +55,10 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT {C.Q3_LIMIT}
 """
 
+# identical result contract; the Spark side differs only in physical
+# layout (pre-bucketed fact tables, zero-Exchange join)
+ORACLES["q3_bucketed"] = ORACLES["q3_shipping_priority"]
+
 ORACLES["q5_local_supplier"] = f"""
 SELECT n_name, {_dsum('l_extendedprice*(1-l_discount)', 6)} AS revenue
 FROM lineitem
@@ -616,6 +620,31 @@ SELECT doc_id, count(*) AS n_bytes,
   round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS mean_byte,
   max(b) AS max_byte
 FROM chars GROUP BY doc_id
+"""
+
+# Real PNG decode: the encoded pixel ramp is (doc_id + k) % 256 over a
+# (doc_id%5+2) x (doc_id%3+2) gray image; integer sums are exact in
+# float64, so the mean matches numpy bit-for-bit.
+ORACLES["multimodal_decode_png"] = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(doc_id % 5 + 2 AS BIGINT) AS w,
+    CAST(doc_id % 3 + 2 AS BIGINT) AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, w, h,
+    (doc_id + unnest(generate_series(0, w * h - 1))) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+  count(*) AS n_bytes,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(any_value(w) AS INTEGER) AS width,
+  CAST(any_value(h) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_channels
+FROM vals GROUP BY doc_id
 """
 
 ORACLES["frame_sample"] = """

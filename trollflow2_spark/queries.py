@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 
 from trollflow2_spark import qconst as C
 from trollflow2_spark.config.work_items import work_items_df
@@ -136,6 +137,55 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def q_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over pre-bucketed fact tables: orders and lineitem are written
+    bucketed+sorted on the order key (``operators/bucketing.py``), so
+    the fact-fact join needs NO exchange and the subsequent group-by on
+    the order key reuses the same clustering — the named 100 TB fix for
+    recurring fact-fact joins. Results identical to
+    ``q3_shipping_priority`` (same oracle); the zero-Exchange plan is
+    pinned by tests/test_plans.py. Table creation is once per scale
+    factor (first bench run pays it, best-of-2 reads the steady state).
+    """
+    import re as _re2
+
+    from trollflow2_spark.operators.bucketing import write_bucketed
+
+    tag = _re2.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    ot, lt = f"tf2b_orders_{tag}", f"tf2b_lineitem_{tag}"
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), ot, ["o_orderkey"], 16,
+            sort_cols=["o_orderkey"],
+        )
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), lt, ["l_orderkey"], 16,
+            sort_cols=["l_orderkey"],
+        )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == C.Q3_SEGMENT
+    )
+    orders = spark.table(ot).filter(F.col("o_orderdate") < _ntz(C.Q3_DATE))
+    li = spark.table(lt).filter(F.col("l_shipdate") > _ntz(C.Q3_DATE))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(C.Q3_LIMIT)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
 
 
 def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1116,70 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: deterministic gray PNGs are encoded with the
+    repo's stdlib encoder executor-side (mapInPandas), then
+    ``decode_media`` routes ``image/png`` through the real stdlib
+    decoder — pixel statistics and dimensions are oracle-checked (the
+    pixel ramp ``(doc_id + k) % 256`` is SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("media_type", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def make_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.imagery import encode_png
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 5 + 2, d % 3 + 2
+                px = ((d + np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
+                blob = encode_png(px)
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/png",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_png, media_schema)
+    out = decode_media(media)  # fake=False: the real image/png route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (video -> every Nth frame analog): one
     media row becomes one row per sampled byte via the vectorized
@@ -1098,6 +1212,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
+    "q3_bucketed": q_q3_bucketed,
     "q5_local_supplier": q_q5_local_supplier,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "work_items_flatten": q_work_items_flatten,
@@ -1142,6 +1257,7 @@ QUERIES = {
     "token_count": q_token_count,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_png": q_multimodal_decode_png,
     "frame_sample": q_frame_sample,
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,

@@ -22,6 +22,12 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Naive timestamps + UTC rendering keeps date_format() deterministic.
     "spark.sql.session.timeZone": "UTC",
+    # Media-column OOM guard (SCALE.md, Multimodal): decoded frames are
+    # much larger than their compressed bytes, so pandas-UDF batches must
+    # stay small — executor memory is bounded by batch size, not
+    # partition size. 1024 rows/batch keeps a 1 MB-per-item media column
+    # around ~1 GB decoded per in-flight batch.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
 }
 
 
