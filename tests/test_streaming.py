@@ -68,6 +68,73 @@ def test_streaming_drains_messages(spark, sf_dir, tmp_path):
     assert spark.read.parquet(os.path.join(out_dir, "SAT-A_p1.parquet")).count() == 50
 
 
+def test_socket_message_stream_drains(spark, sf_dir, tmp_path):
+    """Network daemon mode: messages arrive as JSON lines over a TCP
+    socket (≙ the posttroll/ZMQ listener, launcher.py:146-171) and run
+    the same per-message pipeline."""
+    import socket
+    import threading
+    import time
+
+    input_file = str(tmp_path / "scene.parquet")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .limit(20)
+        .withColumnRenamed("value", "ch1")
+        .write.parquet(input_file)
+    )
+    out_dir = str(tmp_path / "out")
+    messages = [
+        {
+            "type": "file",
+            "platform_name": "SAT-S",
+            "start_time": "2024-01-15T12:00:00",
+            "uid": "sock1",
+            "dataset": [{"uri": input_file}],
+        },
+        {"type": "beat", "platform_name": "SAT-X", "uid": "hb"},  # filtered
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        for m in messages:
+            conn.sendall((json.dumps(m) + "\n").encode())
+        done.wait(120)  # keep the connection open until the test is done
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=out_dir))
+    results = []
+    query = run_streaming(
+        spark,
+        f"socket://127.0.0.1:{port}",
+        plist,
+        checkpoint_dir=str(tmp_path / "ckpt_sock"),
+        on_result=lambda msg, summary: results.append(
+            (msg["platform_name"], summary["status"])
+        ),
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and not results:
+            time.sleep(0.5)
+    finally:
+        done.set()
+        query.stop()
+        query.awaitTermination(60)
+    assert results == [("SAT-S", "nominal")]
+    assert "SAT-S_p1.parquet" in os.listdir(out_dir)
+
+
 def test_streaming_crash_handler(spark, tmp_path):
     msg_dir = str(tmp_path / "messages")
     out_dir = str(tmp_path / "out")

@@ -127,6 +127,32 @@ def message_stream(
     return stream.filter(F.col("type").isin(*ACCEPTED_MESSAGE_TYPES))
 
 
+def message_stream_socket(
+    spark: SparkSession, host: str = "localhost", port: int = 40000
+) -> DataFrame:
+    """Network message source: newline-delimited JSON messages over a TCP
+    socket — the shape of the reference's posttroll/ZMQ subscription
+    (``launcher.py:146-171``: a network listener delivering one message
+    per line). Spark's built-in ``socket`` source yields the lines; the
+    payload parses against :data:`MESSAGE_SCHEMA` and filters to the
+    accepted types, identical to the file/Kafka variants downstream.
+
+    Production note: the socket source is at-most-once (no replay); for
+    exactly-once intake swap Kafka in — same downstream code. That
+    matches the reference: a missed ZMQ message is simply gone.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", int(port))
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), MESSAGE_SCHEMA).alias("m")
+    ).select("m.*")
+    return parsed.filter(F.col("type").isin(*ACCEPTED_MESSAGE_TYPES))
+
+
 def run_streaming(
     spark: SparkSession,
     message_dir: str,
@@ -148,9 +174,18 @@ def run_streaming(
 
     Returns the StreamingQuery; callers stop it with ``query.stop()``
     (graceful: the in-flight batch completes — SIGTERM semantics).
+
+    ``message_dir`` may be a directory path (file source) or a
+    ``socket://host:port`` URI (network listener, ≙ the daemon's ZMQ
+    subscription).
     """
     on_crash = resolve_crash_handler(on_crash)
-    stream = message_stream(spark, message_dir)
+    if message_dir.startswith("socket://"):
+        hostport = message_dir[len("socket://"):]
+        host, _, port = hostport.partition(":")
+        stream = message_stream_socket(spark, host or "localhost", int(port))
+    else:
+        stream = message_stream(spark, message_dir)
     if max_age_minutes is not None:
         cutoff = F.current_timestamp() - F.make_dt_interval(
             mins=F.lit(float(max_age_minutes))
