@@ -63,6 +63,57 @@ def test_full_chain_cli_is_creating_output_file(tmp_path, data_file):
     assert summary["files"] == [str(expected)]
 
 
+NC_PL_YAML = """
+product_list:
+  output_dir: "{out}"
+  fname_pattern: "{{platform_name}}_{{productname}}.{{format}}"
+  workers:
+    - fun: create_scene
+      reader: netcdf
+    - fun: scene_to_wide
+    - fun: save_datasets
+  areas:
+    area1:
+      areaname: area1
+      products:
+        chan5:
+          productname: chan5
+          formats:
+            - format: png
+              writer: simple_image
+"""
+
+
+def test_full_chain_cli_netcdf_input_to_png(tmp_path):
+    """The reference's primary lifecycle, end-to-end through the CLI:
+    satellite NetCDF in (named reader), image file out — with the golden
+    pixel value from the reference's own save test
+    (arange(100).reshape(10,10) -> stretched [5,5] == 142;
+    ≙ tests/test_cli.py:154-191 + test_trollflow2.py:701-768)."""
+    import numpy as np
+
+    from trollflow2_spark.sinks import netcdf
+    from trollflow2_spark.sinks.imagery import decode_png
+
+    nc_path = str(tmp_path / "input.nc")
+    arr = np.arange(100, dtype="float64").reshape(10, 10)
+    with open(nc_path, "wb") as fh:
+        fh.write(netcdf.encode_netcdf({"chan5": arr}, {"sensor": "nose"}))
+
+    out_dir = tmp_path / "out"
+    plist_path = tmp_path / "pl.yaml"
+    plist_path.write_text(NC_PL_YAML.format(out=out_dir))
+    attrs = {"start_time": "2022-02-02T11:22:00", "platform_name": "sat1"}
+    summary = cli(["-p", str(plist_path), "-m", json.dumps(attrs), nc_path])
+    assert summary["status"] == "nominal"
+    out_file = out_dir / "sat1_chan5.png"
+    assert out_file.exists()
+    with open(out_file, "rb") as fh:
+        img = decode_png(fh.read())
+    assert img.shape == (10, 10)
+    assert img[5, 5] == 142  # the reference's golden stretched pixel
+
+
 def test_cli_metadata_gate_aborts(tmp_path, data_file):
     out_dir = tmp_path / "out"
     plist_path = tmp_path / "pl.yaml"

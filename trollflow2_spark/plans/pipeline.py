@@ -127,6 +127,24 @@ def create_scene_plugin(
         raise AbortProcessing(str(exc)) from exc
 
 
+@register_plugin("scene_to_wide")
+def scene_to_wide_plugin(job: dict) -> None:
+    """Pivot a long-form raster scene (file, product, y, x, value — what
+    the netcdf/png/geotiff readers emit) into the wide (y, x, product
+    columns) shape the downstream operators consume. No-op for scenes
+    already wide. This is the bridge that makes the reference's primary
+    lifecycle (satellite file in -> named reader -> per-dataset columns,
+    ``plugins/__init__.py:86-121``) a two-stage YAML chain here:
+    ``create_scene(reader=netcdf) -> scene_to_wide``."""
+    scene = job.get("scene")
+    if scene is None:
+        raise AbortProcessing("scene_to_wide: no scene loaded")
+    if {"product", "y", "x", "value"} <= set(scene.columns):
+        from trollflow2_spark.sources.scene import scene_long_to_wide
+
+        job["scene"] = scene_long_to_wide(scene)
+
+
 @register_plugin("check_metadata")
 def check_metadata_plugin(job: dict, **criteria: Any) -> None:
     """Scene-level metadata gate on the *message* metadata
