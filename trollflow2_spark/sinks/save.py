@@ -27,6 +27,7 @@ the end to return executor memory.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -84,46 +85,142 @@ def _write_json(df: DataFrame, path: str, kwargs: dict) -> None:
     df.write.options(**_strip_engine_kwargs(kwargs)).mode("overwrite").json(path)
 
 
-def _gather_grid(df: DataFrame, kwargs: dict):
-    """Collect one product's bounded raster to the driver as a 2-D array.
-
-    The grid is area-definition-sized (config-bounded), so the gather is
-    one Arrow toPandas per output image — see the scale note in
-    :mod:`trollflow2_spark.sinks.imagery`.
-    """
-    from trollflow2_spark.sinks import imagery
-
-    x_col = kwargs.get("x_col", "x")
-    y_col = kwargs.get("y_col", "y")
-    coord = {x_col, y_col}
-    value_col = kwargs.get("value_col") or next(
-        (c for c in df.columns if c not in coord), df.columns[0]
-    )
-    cols = [c for c in (y_col, x_col) if c in df.columns] + [value_col]
-    pdf = df.select(*cols).toPandas()
-    return imagery.grid_from_pandas(pdf, value_col, x_col=x_col, y_col=y_col)
-
-
 def _float_opt(kwargs: dict, key: str):
     v = kwargs.get(key)
     return None if v is None else float(v)
 
 
-def _write_simple_image(df: DataFrame, path: str, kwargs: dict) -> None:
-    """Real single-file PNG (≙ satpy ``simple_image`` writer dispatch at
-    ``plugins/__init__.py:277-310``): min-max stretch to uint8 + stdlib
-    PNG encoding."""
+# --- blob builders: (pandas frame of (y, x, value...), kwargs) -> bytes.
+# Module-level so both encode paths can use them: the default driver
+# gather AND the executor-side single-task encode (pickled into the
+# kernel closure for very large areas).
+
+
+def _png_blob(pdf, kwargs: dict) -> bytes:
     from trollflow2_spark.sinks import imagery
 
-    grid = _gather_grid(df, kwargs)
+    x_col = kwargs.get("x_col", "x")
+    y_col = kwargs.get("y_col", "y")
+    value_col = kwargs.get("value_col") or next(
+        (c for c in pdf.columns if c not in (x_col, y_col)), pdf.columns[0]
+    )
+    grid = imagery.grid_from_pandas(pdf, value_col, x_col=x_col, y_col=y_col)
     stretched = imagery.stretch_to_uint8(
         grid,
         vmin=_float_opt(kwargs, "vmin"),
         vmax=_float_opt(kwargs, "vmax"),
         fill_value=int(kwargs.get("fill_value", 0)),
     )
-    with open(path, "wb") as fh:
-        fh.write(imagery.encode_png(stretched))
+    return imagery.encode_png(stretched)
+
+
+def _geotiff_blob(pdf, kwargs: dict, ninjo: bool = False) -> bytes:
+    from trollflow2_spark.sinks import imagery
+
+    x_col = kwargs.get("x_col", "x")
+    y_col = kwargs.get("y_col", "y")
+    value_col = kwargs.get("value_col") or next(
+        (c for c in pdf.columns if c not in (x_col, y_col)), pdf.columns[0]
+    )
+    grid = imagery.grid_from_pandas(pdf, value_col, x_col=x_col, y_col=y_col)
+    if str(kwargs.get("dtype", "uint8")).startswith("float"):
+        arr = grid.astype("float32")
+    else:
+        arr = imagery.stretch_to_uint8(
+            grid,
+            vmin=_float_opt(kwargs, "vmin"),
+            vmax=_float_opt(kwargs, "vmax"),
+            fill_value=int(kwargs.get("fill_value", 0)),
+        )
+    desc = imagery.ninjo_description(kwargs) if ninjo else None
+    scale = kwargs.get("pixel_scale")
+    tp = kwargs.get("tiepoint")
+    return imagery.encode_geotiff(
+        arr,
+        pixel_scale=tuple(scale) if scale else None,
+        tiepoint=tuple(tp) if tp else None,
+        epsg=int(kwargs.get("epsg", 4326)),
+        description=desc,
+        compress=str(kwargs.get("compress", "NONE")),
+    )
+
+
+def _cf_blob(pdf, kwargs: dict) -> bytes:
+    from trollflow2_spark.sinks import imagery, netcdf
+
+    x_col = kwargs.get("x_col", "x")
+    y_col = kwargs.get("y_col", "y")
+    coord = {x_col, y_col}
+    value_cols = [c for c in pdf.columns if c not in coord]
+    grids = {
+        c: imagery.grid_from_pandas(pdf, c, x_col=x_col, y_col=y_col)
+        for c in value_cols
+    }
+    attrs = {"Conventions": "CF-1.7"}
+    for k in ("platform_name", "sensor", "start_time", "area", "productname"):
+        if kwargs.get(k) is not None:
+            attrs[k] = str(kwargs[k])
+    return netcdf.encode_netcdf(grids, attrs)
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes", "on")
+
+
+def _write_single_file(df: DataFrame, path: str, kwargs: dict, blob_fn) -> None:
+    """Encode one bounded raster to a single file.
+
+    Default: one Arrow ``toPandas`` gather (the grid is area-definition-
+    sized, config-bounded — see the scale note in
+    :mod:`trollflow2_spark.sinks.imagery`). With
+    ``encode_on_executor: true`` the grid instead coalesces into ONE
+    executor task that assembles, encodes, and writes the file itself —
+    the driver never holds the pixels (the upgrade for very large areas,
+    e.g. a 10k×10k float grid ~800 MB; the output path must then be a
+    shared filesystem, which local mode and any DFS mount satisfy)."""
+    x_col = kwargs.get("x_col", "x")
+    y_col = kwargs.get("y_col", "y")
+    cols = [c for c in (y_col, x_col) if c in df.columns]
+    value_col = kwargs.get("value_col")
+    if value_col:
+        cols.append(value_col)
+    else:
+        cols += [c for c in df.columns if c not in cols]
+    sel = df.select(*cols)
+    if not _truthy(kwargs.get("encode_on_executor")):
+        with open(path, "wb") as fh:
+            fh.write(blob_fn(sel.toPandas(), kwargs))
+        return
+
+    kw = {
+        k: v
+        for k, v in kwargs.items()
+        if isinstance(v, (str, int, float, bool, list, tuple, type(None)))
+    }
+
+    def kernel(batches):
+        import pandas as pd
+
+        frames = list(batches)
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=cols)
+        )
+        blob = blob_fn(pdf, kw)
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        yield pd.DataFrame({"path": [path], "n_bytes": [len(blob)]})
+
+    written = sel.coalesce(1).mapInPandas(kernel, "path string, n_bytes long")
+    written.collect()  # one control row; triggers the single encode task
+
+
+def _write_simple_image(df: DataFrame, path: str, kwargs: dict) -> None:
+    """Real single-file PNG (≙ satpy ``simple_image`` writer dispatch at
+    ``plugins/__init__.py:277-310``): min-max stretch to uint8 + stdlib
+    PNG encoding."""
+    _write_single_file(df, path, kwargs, _png_blob)
 
 
 _write_simple_image.needs_coords = True
@@ -131,31 +228,9 @@ _write_simple_image.needs_coords = True
 
 def _geotiff_writer(ninjo: bool):
     def writer(df: DataFrame, path: str, kwargs: dict) -> None:
-        from trollflow2_spark.sinks import imagery
-
-        grid = _gather_grid(df, kwargs)
-        if str(kwargs.get("dtype", "uint8")).startswith("float"):
-            arr = grid.astype("float32")
-        else:
-            arr = imagery.stretch_to_uint8(
-                grid,
-                vmin=_float_opt(kwargs, "vmin"),
-                vmax=_float_opt(kwargs, "vmax"),
-                fill_value=int(kwargs.get("fill_value", 0)),
-            )
-        desc = imagery.ninjo_description(kwargs) if ninjo else None
-        scale = kwargs.get("pixel_scale")
-        tp = kwargs.get("tiepoint")
-        blob = imagery.encode_geotiff(
-            arr,
-            pixel_scale=tuple(scale) if scale else None,
-            tiepoint=tuple(tp) if tp else None,
-            epsg=int(kwargs.get("epsg", 4326)),
-            description=desc,
-            compress=str(kwargs.get("compress", "NONE")),
+        _write_single_file(
+            df, path, kwargs, functools.partial(_geotiff_blob, ninjo=ninjo)
         )
-        with open(path, "wb") as fh:
-            fh.write(blob)
 
     writer.needs_coords = True
     return writer
@@ -172,23 +247,7 @@ def _write_cf(df: DataFrame, path: str, kwargs: dict) -> None:
     spec — no netCDF4 in this container): every product column becomes
     an NC_DOUBLE variable on the shared (y, x) grid, with CF-ish global
     attributes from the work-item metadata."""
-    from trollflow2_spark.sinks import imagery, netcdf
-
-    x_col = kwargs.get("x_col", "x")
-    y_col = kwargs.get("y_col", "y")
-    coord = {x_col, y_col}
-    pdf = df.toPandas()
-    value_cols = [c for c in pdf.columns if c not in coord]
-    grids = {
-        c: imagery.grid_from_pandas(pdf, c, x_col=x_col, y_col=y_col)
-        for c in value_cols
-    }
-    attrs = {"Conventions": "CF-1.7"}
-    for k in ("platform_name", "sensor", "start_time", "area", "productname"):
-        if kwargs.get(k) is not None:
-            attrs[k] = str(kwargs[k])
-    with open(path, "wb") as fh:
-        fh.write(netcdf.encode_netcdf(grids, attrs))
+    _write_single_file(df, path, kwargs, _cf_blob)
 
 
 _write_cf.needs_coords = True
