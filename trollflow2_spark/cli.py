@@ -47,16 +47,35 @@ def datetime_decoder(obj: Any) -> Any:
     return obj
 
 
-def _logging_on(log_config_path: str | None) -> None:
-    if log_config_path:
-        from logging import config as _logging_config
+def _logging_on(log_config_path: str | None, queued: bool = False):
+    """Apply the ``-c`` YAML logging config (≙ ``logging_on``). With
+    ``queued=True`` the configured handlers move into a QueueListener and
+    the root logger gets a non-blocking queue handler — the daemon-mode
+    analog of the reference's cross-process queued logging
+    (``logging.py:120-162``). Returns the QueuedLogging to stop, or
+    None."""
+    from trollflow2_spark.logging_utils import (
+        QueuedLogging,
+        attach_queue_handler,
+        setup_logging,
+    )
 
+    config = None
+    if log_config_path:
         import yaml
 
         with open(log_config_path, "r", encoding="utf-8") as fh:
-            _logging_config.dictConfig(yaml.safe_load(fh))
-    else:
-        logging.basicConfig(level=logging.INFO)
+            config = yaml.safe_load(fh)
+    setup_logging(config)
+    if not queued:
+        return None
+    root = logging.getLogger()
+    real = root.handlers[:]
+    for h in real:
+        root.removeHandler(h)
+    qlog = QueuedLogging(real or None)
+    attach_queue_handler(qlog.start())
+    return qlog
 
 
 def parse_args(args: list[str] | None = None) -> argparse.Namespace:
@@ -169,7 +188,9 @@ def launch(args_in: list[str] | None = None):
     daemon keeps running until interrupted.
     """
     args = parse_launcher_args(args_in)
-    _logging_on(args.pop("log_config"))
+    # daemon mode funnels plugin-thread/callback logs through one queued
+    # listener (≙ the reference's cross-process queued logging)
+    qlog = _logging_on(args.pop("log_config"), queued=True)
 
     from trollflow2_spark.config.product_list import read_product_list
     from trollflow2_spark.session import get_spark
@@ -207,16 +228,20 @@ def launch(args_in: list[str] | None = None):
         on_crash=on_crash,
         available_now=drain,
     )
-    if drain:
-        query.awaitTermination()
-        print(json.dumps({"processed": results}, sort_keys=True))
+    try:
+        if drain:
+            query.awaitTermination()
+            print(json.dumps({"processed": results}, sort_keys=True))
+            return results
+        try:  # pragma: no cover - interactive daemon loop
+            query.awaitTermination()
+        except KeyboardInterrupt:
+            logger.info("stopping (graceful: in-flight batch completes)")
+            query.stop()
         return results
-    try:  # pragma: no cover - interactive daemon loop
-        query.awaitTermination()
-    except KeyboardInterrupt:
-        logger.info("stopping (graceful: in-flight batch completes)")
-        query.stop()
-    return results
+    finally:
+        if qlog is not None:
+            qlog.stop()  # drain queued records before exit
 
 
 if __name__ == "__main__":  # pragma: no cover
