@@ -58,6 +58,8 @@ HEADLINE = [
     "embedding_ivf",
     "multimodal_decode_png",
     "pipeline_roundtrip",
+    "dataset_split",
+    "pack_sequences",
 ]
 
 

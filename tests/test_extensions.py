@@ -311,3 +311,59 @@ def test_fast_hash_mode_same_dups_no_md5(docs):
     assert sim.count() == 5
     rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
     assert rows[1] == rows[2]  # identical text -> identical fingerprint
+
+
+def test_deterministic_split_fractions_and_stability(spark):
+    from trollflow2_spark.extensions.sampling import deterministic_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = deterministic_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03  # exact-in-expectation
+    # stability: same ids -> same assignment, independent of partitioning
+    again = deterministic_split(
+        df.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+
+
+def test_stratified_sample_rates(spark):
+    from trollflow2_spark.extensions.sampling import stratified_sample
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"))
+    )
+    out = stratified_sample(df, {"a": 0.25, "b": 0.0}, default_rate=1.0)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert "b" not in counts  # rate 0 drops the stratum entirely
+    assert abs(counts["a"] / 2000 - 0.25) < 0.05
+
+
+def test_pack_sequences_budget_property(spark):
+    from trollflow2_spark.extensions.sampling import pack_sequences
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", (F.col("doc_id") % 90 + 10).cast("bigint"))
+    )
+    out = pack_sequences(df, budget=500, n_shards=4).collect()
+    assert len(out) == 1000
+    # every bin's token total stays under budget + max doc size (spill
+    # semantics), and bins are dense per shard starting at 0
+    from collections import defaultdict
+
+    bins = defaultdict(int)
+    for r in out:
+        bins[(r["shard"], r["bin"])] += r["n_tokens"]
+    assert all(total < 500 + 99 for total in bins.values())
+    for shard in {r["shard"] for r in out}:
+        ids = sorted(b for s, b in bins if s == shard)
+        assert ids[0] == 0 and ids == list(range(len(ids)))

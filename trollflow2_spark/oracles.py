@@ -584,6 +584,57 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- sampling / splitting / packing ----------------------------------------
+
+def _rate_bucket_sql(seed: int) -> str:
+    return f"({HASH64_SQL('CAST(doc_id AS VARCHAR)', seed)} % 10000)"
+
+
+def _split_case_sql() -> str:
+    cases = []
+    cum = 0.0
+    for name, frac in C.SPLIT_FRACS[:-1]:
+        cum += frac
+        cases.append(
+            f"WHEN {_rate_bucket_sql(C.SPLIT_SEED)} < {int(round(cum * 10000))} "
+            f"THEN '{name}'"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE '{C.SPLIT_FRACS[-1][0]}' END"
+
+
+ORACLES["dataset_split"] = f"""
+SELECT doc_id, source, {_split_case_sql()} AS split FROM documents
+"""
+
+_RATE_CASE = "CASE source " + " ".join(
+    f"WHEN '{v}' THEN {r}" for v, r in sorted(C.SAMPLE_RATES)
+) + f" ELSE {C.SAMPLE_DEFAULT_RATE} END"
+ORACLES["stratified_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_rate_bucket_sql(C.SAMPLE_SEED)}
+  < CAST(round(({_RATE_CASE}) * 10000, 0) AS INT)
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(({HASH64_SQL('CAST(doc_id AS VARCHAR)', C.PACK_SEED)}
+      % {C.PACK_SHARDS}) AS INT) AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+    ) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+  CAST(floor((cum_tokens - n_tokens) / {float(C.PACK_BUDGET)}) AS INT) AS bin,
+  cum_tokens
+FROM c
+"""
+
 # --- multimodal ------------------------------------------------------------
 
 ORACLES["multimodal_meta"] = """

@@ -632,9 +632,11 @@ def resample_plugin(
         # (source, target) pair, cached, and broadcast-joined — no 9x
         # probe explode of the target side per message (the reference's
         # cached resamplers, plugins/__init__.py:159-201)
+        item0 = job["work_items"][0] if job["work_items"] else {}
         tgt_area = resolve_area(
             job.get("target_area")
-            or (job["work_items"][0].get("area") if job["work_items"] else None)
+            or item0.get("area_def")  # inline grid definition in the YAML
+            or item0.get("area")  # registered name
         )
         src_area = resolve_area(
             job.get("source_area") or job["input_mda"].get("source_area")

@@ -63,6 +63,16 @@ SUNLIGHT_MIN_PCT = 20.0
 SUNLIGHT_MAX_PCT = 80.0
 RT_YMOD = 12  # write->read NetCDF round-trip grid shape
 RT_XMOD = 16
+
+# --- sampling / splitting / packing (training-data corpus building) --------
+SPLIT_SEED = 7
+SPLIT_FRACS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+SAMPLE_SEED = 11
+SAMPLE_RATES = (("src0", 0.2), ("src1", 0.5), ("src2", 0.0))  # others: default
+SAMPLE_DEFAULT_RATE = 1.0
+PACK_SEED = 13
+PACK_BUDGET = 512  # tokens per packed sequence bin
+PACK_SHARDS = 8
 PYRAMID_FACTORS = (16, 64, 256)  # overview levels (block sizes)
 UPSAMPLE_FACTOR = 8  # 'native' mode integer upsampling
 

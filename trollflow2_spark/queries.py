@@ -1216,6 +1216,53 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by portable id-hash —
+    reproducible across engines, runs, and cluster sizes (the property
+    randomSplit cannot give). Map-side only; no shuffle."""
+    from trollflow2_spark.extensions.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_split(
+        docs, dict(C.SPLIT_FRACS), seed=C.SPLIT_SEED
+    ).select("doc_id", "source", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep rates (mixture weighting): downsample some strata,
+    drop others, keep the rest — a pure Column predicate evaluated
+    map-side in the scan stage (no shuffle)."""
+    from trollflow2_spark.extensions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs,
+        dict(C.SAMPLE_RATES),
+        default_rate=C.SAMPLE_DEFAULT_RATE,
+        seed=C.SAMPLE_SEED,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per-shard window cumsum assigns
+    each doc a bin targeting PACK_BUDGET tokens (concat-then-chunk
+    semantics). Shards keep the window partitioned — nothing global."""
+    from trollflow2_spark.extensions.sampling import pack_sequences
+    from trollflow2_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    out = pack_sequences(
+        docs,
+        budget=C.PACK_BUDGET,
+        token_col="n_tokens",
+        n_shards=C.PACK_SHARDS,
+        seed=C.PACK_SEED,
+    )
+    return out.select("doc_id", "n_tokens", "shard", "bin", "cum_tokens")
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1256,6 +1303,9 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_fingerprint": q_doc_fingerprint,
+    "dataset_split": q_dataset_split,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
