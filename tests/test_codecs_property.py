@@ -1,0 +1,93 @@
+"""Property-based round-trip tests for the stdlib raster codecs.
+
+The PNG/TIFF/NetCDF encoders are from-scratch implementations of public
+format specs; hypothesis drives shape/dtype/content edge cases the
+golden-pixel tests don't reach (1-pixel images, extreme values, NaN
+patterns, multi-channel layouts)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from trollflow2_spark.sinks import imagery, netcdf
+
+dims = st.integers(min_value=1, max_value=17)
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1))
+def test_png_gray_roundtrip(h, w, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(imagery.decode_png(imagery.encode_png(arr)), arr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=dims, w=dims, ch=st.sampled_from([3, 4]), seed=st.integers(0, 2**31 - 1))
+def test_png_color_roundtrip(h, w, ch, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert np.array_equal(imagery.decode_png(imagery.encode_png(arr)), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=dims,
+    w=dims,
+    seed=st.integers(0, 2**31 - 1),
+    deflate=st.booleans(),
+    dtype=st.sampled_from(["uint8", "float32", "float64"]),
+)
+def test_geotiff_roundtrip(h, w, seed, deflate, dtype):
+    rng = np.random.RandomState(seed)
+    if dtype == "uint8":
+        arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    else:
+        arr = (rng.randn(h, w) * 1e6).astype(dtype)
+    blob = imagery.encode_geotiff(
+        arr, compress="DEFLATE" if deflate else "NONE", pixel_scale=(0.5, 0.25),
+        tiepoint=(-10.0, 60.0),
+    )
+    pages, tags = imagery.decode_geotiff(blob)
+    assert len(pages) == 1
+    np.testing.assert_array_equal(pages[0], arr)
+    assert tags[imagery.TAG_MODEL_PIXEL_SCALE][:2] == [0.5, 0.25]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=dims,
+    w=dims,
+    n_vars=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    with_nan=st.booleans(),
+)
+def test_netcdf_roundtrip(h, w, n_vars, seed, with_nan):
+    rng = np.random.RandomState(seed)
+    variables = {}
+    for i in range(n_vars):
+        a = rng.randn(h, w) * 10 ** rng.randint(-3, 6)
+        if with_nan:
+            a[rng.rand(h, w) < 0.3] = np.nan
+        variables[f"var_{i}"] = a
+    attrs = {"sensor": "x", "count": 3, "scale": 0.125}
+    blob = netcdf.encode_netcdf(variables, attrs)
+    out_vars, out_attrs = netcdf.decode_netcdf(blob)
+    assert set(out_vars) == set(variables)
+    for k, a in variables.items():
+        np.testing.assert_array_equal(out_vars[k], a)  # NaN-exact (bitwise IEEE)
+    assert out_attrs == attrs
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1))
+def test_stretch_never_crashes_and_bounds(h, w, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randn(h, w) * 10 ** rng.randint(-2, 8)
+    arr[rng.rand(h, w) < 0.4] = np.nan
+    out = imagery.stretch_to_uint8(arr, fill_value=5)
+    assert out.dtype == np.uint8 and out.shape == (h, w)
+    assert np.isnan(arr).sum() == (out == 5).sum() or not np.isnan(arr).any() or (
+        # fill value may coincide with stretched values; the guarantee is
+        # only that every NaN cell carries the fill value
+        (out[np.isnan(arr)] == 5).all()
+    )
