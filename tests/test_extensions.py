@@ -367,3 +367,45 @@ def test_pack_sequences_budget_property(spark):
     for shard in {r["shard"] for r in out}:
         ids = sorted(b for s, b in bins if s == shard)
         assert ids[0] == 0 and ids == list(range(len(ids)))
+
+
+def test_contamination_detects_planted_leak(spark):
+    from trollflow2_spark.extensions.contamination import (
+        contamination_scores,
+        exact_overlap,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),  # verbatim copy of held-out doc 101
+            (2, "totally unrelated words about engines and turbines and parquet"),
+        ],
+        ["doc_id", "text"],
+    )
+    held = spark.createDataFrame(
+        [
+            (101, "  ALPHA bravo charlie delta echo foxtrot golf hotel india "
+                  "juliet kilo lima mike november oscar papa "),  # ws/case noise
+            (102, "clean evaluation text nothing shared with the training set "
+                  "at all in any shingle of eight words"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = exact_overlap(corpus, held).collect()
+    assert [r["doc_id"] for r in exact] == [101]  # normalization catches it
+
+    scores = {
+        r["doc_id"]: r["contamination"]
+        for r in contamination_scores(corpus, held, shingle_words=8).collect()
+    }
+    assert scores[102] == 0.0
+    # doc 101 differs only in case/whitespace; shingles are case-sensitive
+    # by design (exact_overlap handles normalization), so plant an exact
+    # shingle match too
+    held2 = spark.createDataFrame([(201, base + " quebec romeo")], ["doc_id", "text"])
+    s2 = contamination_scores(corpus, held2, shingle_words=8).collect()[0]
+    assert s2["n_matched"] > 0 and 0.0 < s2["contamination"] <= 1.0

@@ -635,6 +635,43 @@ SELECT doc_id, n_tokens, shard,
 FROM c
 """
 
+# --- contamination ---------------------------------------------------------
+
+_CONTAM_SH = WORD_SHINGLES_SQL("text", C.CONTAM_SHINGLE_WORDS)
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+ORACLES["contamination_check"] = f"""
+WITH corp AS (
+  SELECT DISTINCT {HASH64_SQL('sh')} AS h FROM (
+    SELECT unnest({_CONTAM_SH}) AS sh
+    FROM documents WHERE doc_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+  )
+),
+held AS (
+  SELECT DISTINCT doc_id, {HASH64_SQL('sh')} AS h FROM (
+    SELECT doc_id, unnest({_CONTAM_SH}) AS sh
+    FROM documents WHERE doc_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
+  )
+)
+SELECT held.doc_id,
+  count(*) AS n_shingles,
+  count(corp.h) AS n_matched,
+  round(CAST(count(corp.h) AS DOUBLE) / count(*), 6) AS contamination
+FROM held LEFT JOIN corp ON held.h = corp.h
+GROUP BY held.doc_id
+"""
+
+ORACLES["contamination_exact"] = f"""
+WITH corp AS (
+  SELECT DISTINCT {HASH64_SQL(_NORM_TEXT)} AS text_hash
+  FROM documents WHERE doc_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+)
+SELECT doc_id, {HASH64_SQL(_NORM_TEXT)} AS text_hash
+FROM documents
+WHERE doc_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
+  AND {HASH64_SQL(_NORM_TEXT)} IN (SELECT text_hash FROM corp)
+"""
+
 # --- multimodal ------------------------------------------------------------
 
 ORACLES["multimodal_meta"] = """

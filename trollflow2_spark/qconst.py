@@ -73,6 +73,9 @@ SAMPLE_DEFAULT_RATE = 1.0
 PACK_SEED = 13
 PACK_BUDGET = 512  # tokens per packed sequence bin
 PACK_SHARDS = 8
+CONTAM_MOD = 7  # held-out split: doc_id % CONTAM_MOD == CONTAM_RESIDUE
+CONTAM_RESIDUE = 3
+CONTAM_SHINGLE_WORDS = 8
 PYRAMID_FACTORS = (16, 64, 256)  # overview levels (block sizes)
 UPSAMPLE_FACTOR = 8  # 'native' mode integer upsampling
 

@@ -1263,6 +1263,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "shard", "bin", "cum_tokens")
 
 
+def _contam_parts(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    held = docs.filter(F.col("doc_id") % C.CONTAM_MOD == C.CONTAM_RESIDUE)
+    corpus = docs.filter(F.col("doc_id") % C.CONTAM_MOD != C.CONTAM_RESIDUE)
+    return corpus, held
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: per held-out doc, the fraction of its
+    word 8-gram shingles occurring anywhere in the training corpus. The
+    corpus collapses to a distinct shingle-hash set map-side before any
+    join — 100 TB of text reduces to hashes first."""
+    from trollflow2_spark.extensions.contamination import contamination_scores
+
+    corpus, held = _contam_parts(spark, sf_dir)
+    return contamination_scores(
+        corpus, held, shingle_words=C.CONTAM_SHINGLE_WORDS
+    )
+
+
+def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim leakage: held-out docs whose normalized text appears
+    exactly in the corpus (digest equi-join; raw text never shuffles)."""
+    from trollflow2_spark.extensions.contamination import exact_overlap
+
+    corpus, held = _contam_parts(spark, sf_dir)
+    return exact_overlap(corpus, held)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -1306,6 +1335,8 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "contamination_check": q_contamination_check,
+    "contamination_exact": q_contamination_exact,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
