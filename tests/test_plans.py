@@ -124,6 +124,15 @@ def test_q3_bucketed_zero_fact_exchange(spark, sf):
         spark.sql("DROP TABLE IF EXISTS tf2b_lineitem_sf0_001")
 
 
+def test_contamination_broadcasts_held_set(spark, sf):
+    """The corpus side must filter map-side against the broadcast
+    held-out shingle set — the corpus never materializes a global
+    distinct-shingle shuffle."""
+    plan = plan_of(spark, "contamination_check", sf)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mapped_resample_broadcasts_no_explode(spark, sf):
     """The precomputed grid->grid mapping path must be one broadcast
     equi-join on the source pixel index: no probe-cell explode, no

@@ -7,11 +7,16 @@ set leaks into it. Two tiers, mirroring the dedup family's design:
   verbatim in the corpus (hash equi-join on the text digest; the raw
   text never shuffles).
 - :func:`contamination_scores` — per held-out doc, the fraction of its
-  word n-gram shingles that occur ANYWHERE in the corpus. The corpus
-  side collapses to a distinct shingle-hash set first (map-side explode
-  + one distinct — 100 TB of text reduces to hashes before any join),
-  then the held-out shingles left-join it; score = matched / total.
-  A doc quoted wholesale scores ~1; topical overlap scores low.
+  word n-gram shingles that occur ANYWHERE in the corpus; score =
+  matched / total. A doc quoted wholesale scores ~1; topical overlap
+  scores low.
+
+100 TB shape: the held-out set is an *eval set* — small by definition —
+so its shingle-hash set broadcasts, and the corpus's exploded shingles
+are filtered MAP-SIDE against it (broadcast semi-join inside the scan
+stage). Only the surviving matches (bounded by the held-out set size)
+ever shuffle, for one distinct. The corpus never materializes a global
+distinct-shingle set.
 
 Portable ``hash64`` keeps both oracle-checkable in DuckDB.
 """
@@ -42,11 +47,18 @@ def exact_overlap(
     digest = lambda df: df.select(  # noqa: E731
         F.col(id_col), hash_fn(_norm_text(F.col(text_col))).alias("text_hash")
     )
-    corpus_hashes = digest(corpus).select("text_hash").distinct()
-    return (
-        digest(held_out)
-        .join(corpus_hashes, "text_hash", "left_semi")
-        .select(id_col, "text_hash")
+    held = digest(held_out)
+    # broadcast the small held-out digest set; the corpus filters
+    # map-side and only its (tiny) matching digests reach the distinct
+    held_set = F.broadcast(held.select("text_hash").distinct())
+    matched = (
+        digest(corpus)
+        .select("text_hash")
+        .join(held_set, "text_hash", "left_semi")
+        .distinct()
+    )
+    return held.join(F.broadcast(matched), "text_hash", "left_semi").select(
+        id_col, "text_hash"
     )
 
 
@@ -71,10 +83,20 @@ def contamination_scores(
         )
         return sh.select(*cols, hash_fn(F.col("__sh")).alias("__h")).distinct()
 
-    corpus_set = shingle_hashes(corpus, keep_id=False)
     held = shingle_hashes(held_out, keep_id=True)
+    held_set = F.broadcast(held.select("__h").distinct())
+    # corpus shingles filter map-side against the broadcast held set;
+    # only hashes the eval set actually contains survive to the distinct
+    corpus_matched = (
+        corpus.select(
+            F.explode(word_shingles(F.col(text_col), shingle_words)).alias("__sh")
+        )
+        .select(hash_fn(F.col("__sh")).alias("__h"))
+        .join(held_set, "__h", "left_semi")
+        .distinct()
+    )
     matched = held.join(
-        corpus_set.withColumn("__m", F.lit(1)), "__h", "left"
+        F.broadcast(corpus_matched.withColumn("__m", F.lit(1))), "__h", "left"
     )
     return (
         matched.groupBy(id_col)
