@@ -409,3 +409,20 @@ def test_contamination_detects_planted_leak(spark):
     held2 = spark.createDataFrame([(201, base + " quebec romeo")], ["doc_id", "text"])
     s2 = contamination_scores(corpus, held2, shingle_words=8).collect()[0]
     assert s2["n_matched"] > 0 and 0.0 < s2["contamination"] <= 1.0
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    from trollflow2_spark.extensions.text import repetition_features
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nlimited offer"),  # 3/4 dup lines
+        (2, "each line here\nis totally different\nfrom the others"),
+        (3, "spam spam spam spam spam spam"),  # one bigram dominates
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 1.0  # every bigram is "spam spam"
+    assert got[2]["top_bigram_frac"] < 0.5

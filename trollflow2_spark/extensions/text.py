@@ -139,3 +139,51 @@ def doc_fingerprint(
             F.min("h").alias("min_fingerprint"),
         )
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Intra-document repetition signals (Gopher/RefinedWeb-style
+    quality filters): boilerplate and template spam repeat lines and
+    n-grams within a single document.
+
+    - ``dup_line_frac``: fraction of non-blank lines that are repeats of
+      an earlier line — pure array algebra per row (codegen'd, no
+      shuffle).
+    - ``top_bigram_frac``: share of the document's word bigrams taken by
+      its single most frequent bigram. Counted via explode + two-level
+      aggregation (one shuffle on (id, gram)) — linear in document
+      length, unlike per-row quadratic array scans.
+
+    Output: (id, n_lines, dup_line_frac, top_bigram_frac).
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda s: F.trim(s) != ""
+    )
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+            round_digits,
+        ),
+    ).otherwise(0.0)
+    base = df.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), 2)).alias("g")
+    )
+    counts = grams.groupBy(id_col, "g").count()
+    top = counts.groupBy(id_col).agg(
+        F.round(F.max("count").cast("double") / F.sum("count"), round_digits).alias(
+            "top_bigram_frac"
+        )
+    )
+    return base.join(top, id_col)

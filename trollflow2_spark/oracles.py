@@ -635,6 +635,32 @@ SELECT doc_id, n_tokens, shard,
 FROM c
 """
 
+ORACLES["text_repetition"] = f"""
+WITH lines AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\n'), s -> trim(s) <> '') AS L
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(L) AS INTEGER) AS n_lines,
+    CASE WHEN len(L) > 0
+      THEN round(1.0 - CAST(len(list_distinct(L)) AS DOUBLE) / len(L), 6)
+      ELSE 0.0 END AS dup_line_frac
+  FROM lines
+),
+g AS (
+  SELECT doc_id, unnest({WORD_SHINGLES_SQL('text', 2)}) AS g FROM documents
+),
+c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2),
+t AS (
+  SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bigram_frac
+  FROM c GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_lines, base.dup_line_frac, t.top_bigram_frac
+FROM base JOIN t ON base.doc_id = t.doc_id
+"""
+
 # --- contamination ---------------------------------------------------------
 
 _CONTAM_SH = WORD_SHINGLES_SQL("text", C.CONTAM_SHINGLE_WORDS)

@@ -1270,6 +1270,15 @@ def _contam_parts(spark: SparkSession, sf_dir: str):
     return corpus, held
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (duplicate-line fraction,
+    top-bigram share) — the boilerplate/template-spam quality filters."""
+    from trollflow2_spark.extensions.text import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: per held-out doc, the fraction of its
     word 8-gram shingles occurring anywhere in the training corpus. The
@@ -1337,6 +1346,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "contamination_check": q_contamination_check,
     "contamination_exact": q_contamination_exact,
+    "text_repetition": q_text_repetition,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
