@@ -426,3 +426,41 @@ def test_repetition_features_flags_boilerplate(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[3]["top_bigram_frac"] == 1.0  # every bigram is "spam spam"
     assert got[2]["top_bigram_frac"] < 0.5
+
+
+def test_decode_media_real_wav_route(spark):
+    """audio/wav rows decode through the stdlib wave module — sample
+    stats, rate/frames/channels — alongside png and fake rows in one
+    batch."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+
+    samples = np.array([-100, 0, 100, 50], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(samples.tobytes())  # 2 frames x 2 channels
+    rows = [
+        (1, bytearray(buf.getvalue()),
+         {"media_type": "audio/wav", "width": 0, "height": 0, "n_bytes": 0}),
+        (2, bytearray(b"xyz"),
+         {"media_type": "video/fake", "width": 0, "height": 0, "n_bytes": 3}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df, fake=True).collect()}
+    wav = got[1]
+    assert wav["n_bytes"] == 4  # total samples across channels
+    assert wav["max_byte"] == 100
+    assert wav["mean_byte"] == pytest.approx(12.5)
+    assert wav["width"] == 16000 and wav["height"] == 2 and wav["n_channels"] == 2
+    assert got[2]["width"] is None  # fake stays dimension-less

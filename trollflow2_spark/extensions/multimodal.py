@@ -62,11 +62,15 @@ def decode_media(
       decoder (:func:`trollflow2_spark.sinks.imagery.decode_png`) —
       statistics over the actual decoded pixels, plus width / height /
       channel count;
+    - ``audio/wav``: REAL decode through the stdlib ``wave`` module —
+      statistics over the decoded PCM samples; the dimension columns
+      carry ``width=sample_rate``, ``height=frames per channel``,
+      ``n_channels=channels``;
     - any other type with ``fake=True``: the deterministic
       byte-statistics stand-in (dimension columns NULL);
     - any other type with ``fake=False``: ``NotImplementedError`` —
-      audio/video decoders aren't in this container (clearly marked
-      stub; the Arrow plumbing is identical either way).
+      video/image-codec decoders aren't in this container (clearly
+      marked stub; the Arrow plumbing is identical either way).
 
     Scale notes: mapInPandas streams Arrow record batches, so executor
     memory is bounded by batch size, not partition size; the session
@@ -99,11 +103,12 @@ def decode_media(
                 for m in pdf[meta_col]
             ]
             is_png = np.array([t == "image/png" for t in mtypes])
-            if not fake and not is_png.all():
+            is_wav = np.array([t == "audio/wav" for t in mtypes])
+            if not fake and not (is_png | is_wav).all():
                 raise NotImplementedError(
-                    "media decode beyond image/png requires an image/audio "
-                    "library not present in this environment; pass fake=True "
-                    "for the deterministic byte-statistics decoder"
+                    "media decode beyond image/png and audio/wav requires a "
+                    "codec library not present in this environment; pass "
+                    "fake=True for the deterministic byte-statistics decoder"
                 )
             lens = np.zeros(n, dtype=np.int64)
             means = np.zeros(n, dtype=np.float64)
@@ -123,9 +128,30 @@ def decode_media(
                 height[i], width[i] = arr.shape[:2]
                 chans[i] = 1 if arr.ndim == 2 else arr.shape[2]
 
+            # real path: stdlib WAV decode — stats over the PCM samples
+            if is_wav.any():
+                import io
+                import wave
+
+                for i in np.flatnonzero(is_wav):
+                    with wave.open(io.BytesIO(bytes(payload[i])), "rb") as wf:
+                        nch = wf.getnchannels()
+                        rate = wf.getframerate()
+                        nframes = wf.getnframes()
+                        sw = wf.getsampwidth()
+                        raw = wf.readframes(nframes)
+                    dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
+                    samples = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+                    lens[i] = samples.size
+                    means[i] = float(samples.mean()) if samples.size else 0.0
+                    maxs[i] = int(samples.max()) if samples.size else 0
+                    width[i] = rate
+                    height[i] = nframes
+                    chans[i] = nch
+
             # fake path: vectorized byte statistics — one frombuffer over
             # the remaining payloads + segmented reduceat, no per-row loops
-            rest = np.flatnonzero(~is_png)
+            rest = np.flatnonzero(~is_png & ~is_wav)
             if rest.size:
                 blobs = [bytes(payload[i]) for i in rest]
                 rl = np.fromiter((len(b) for b in blobs), dtype=np.int64,
@@ -154,8 +180,9 @@ def decode_media(
                     "n_channels": chans.astype("int32"),
                 }
             )
+            real = is_png | is_wav
             for c in ("width", "height", "n_channels"):
-                out[c] = out[c].where(is_png, other=pd.NA).astype("Int32")
+                out[c] = out[c].where(real, other=pd.NA).astype("Int32")
             yield out
 
     return df.select(id_col, media_col, meta_col).mapInPandas(kernel, out_schema)

@@ -761,6 +761,27 @@ SELECT doc_id,
 FROM vals GROUP BY doc_id
 """
 
+# Real WAV decode: 16-bit mono PCM ramp ((doc_id*7 + i) % 201) - 100 over
+# (doc_id % 50 + 10) frames at 8 kHz; integer sums exact in float64.
+ORACLES["multimodal_decode_wav"] = """
+WITH spec AS (
+  SELECT doc_id, CAST(doc_id % 50 + 10 AS BIGINT) AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+    (doc_id * 7 + unnest(generate_series(0, n - 1))) % 201 - 100 AS v
+  FROM spec
+)
+SELECT doc_id,
+  count(*) AS n_bytes,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(8000 AS INTEGER) AS width,
+  CAST(any_value(n) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_channels
+FROM s GROUP BY doc_id
+"""
+
 ORACLES["frame_sample"] = """
 WITH fr AS (
   SELECT doc_id, text,

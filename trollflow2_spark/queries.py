@@ -1189,6 +1189,77 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: deterministic 16-bit PCM WAV files are written
+    with the stdlib ``wave`` module executor-side, then ``decode_media``
+    routes ``audio/wav`` through the real stdlib decoder — sample
+    statistics and (rate, frames, channels) oracle-checked (the PCM ramp
+    ``(doc_id*7 + i) % 201 - 100`` is SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("media_type", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def make_wav(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 50 + 10
+                samples = (((d * 7 + np.arange(n)) % 201) - 100).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(samples.tobytes())
+                blob = buf.getvalue()
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "audio/wav",
+                        "width": 8000,
+                        "height": n,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_wav, media_schema)
+    out = decode_media(media)  # fake=False: the real audio/wav route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (video -> every Nth frame analog): one
     media row becomes one row per sampled byte via the vectorized
@@ -1358,6 +1429,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
