@@ -253,6 +253,44 @@ def test_decode_media_real_png_route(spark):
     assert real[0]["max_byte"] == 110
 
 
+def test_resize_media_real_png_route(spark):
+    """image/png rows are REALLY resized (decode -> nearest-neighbor
+    sample -> re-encode) while other types keep the metadata-only stub
+    in the same batch."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import resize_media
+    from trollflow2_spark.sinks.imagery import decode_png, encode_png
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    png = encode_png(px)
+    rows = [
+        (1, bytearray(png), {"media_type": "image/png", "width": 8,
+                             "height": 8, "n_bytes": len(png)}),
+        (2, bytearray(b"abcdefgh"), {"media_type": "audio/fake", "width": 4,
+                                     "height": 4, "n_bytes": 8}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in resize_media(df, target=(4, 4), fake=True).collect()}
+    out = decode_png(bytes(got[1]["media"]))
+    # nearest-neighbor index sampling: rows/cols 0,2,4,6 of the source
+    expected = px[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])]
+    assert out.shape == (4, 4)
+    assert (out == expected).all()
+    assert got[1]["media_meta"]["width"] == 4
+    assert got[1]["media_meta"]["n_bytes"] == len(bytes(got[1]["media"]))
+    # non-PNG row keeps the deterministic truncation stub
+    assert got[2]["media_meta"]["media_type"] == "audio/fake"
+    assert len(bytes(got[2]["media"])) == got[2]["media_meta"]["n_bytes"]
+    # all-PNG input works without fake=True (real path, no stub hit)
+    real = resize_media(df.filter("doc_id = 1"), target=(2, 2), fake=False).collect()
+    assert decode_png(bytes(real[0]["media"])).shape == (2, 2)
+
+
 def test_multimodal_resize_and_frame_sample(spark, sf_dir):
     import os
     from pyspark.sql import functions as F

@@ -196,12 +196,16 @@ def resize_media(
     id_col: str = "doc_id",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize kernel over mapInPandas (STUB: no image lib here).
+    """Resize kernel over mapInPandas.
 
-    With ``fake=True`` the deterministic stand-in rescales the metadata
-    and re-emits the payload truncated/padded to a size proportional to
-    the pixel-count change — exercising the real contract: binary in,
-    binary out, metadata struct updated, Arrow-batched.
+    ``image/png`` resizes FOR REAL: decode with the repo's stdlib PNG
+    decoder, nearest-neighbor index-sample to the target size, re-encode
+    — binary in, binary out, deterministic. Other media types are
+    environment-stubbed: with ``fake=True`` the deterministic stand-in
+    rescales the metadata and re-emits the payload truncated to a size
+    proportional to the pixel-count change — exercising the identical
+    contract (binary in, binary out, metadata struct updated,
+    Arrow-batched); with ``fake=False`` they raise.
     """
     tw, th = int(target[0]), int(target[1])
     out_schema = T.StructType(
@@ -216,31 +220,58 @@ def resize_media(
         import numpy as np
         import pandas as pd
 
+        from trollflow2_spark.sinks.imagery import decode_png, encode_png
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "resize requires an image library not present in this "
-                    "environment; pass fake=True for the metadata-only stub"
-                )
             metas_in = pdf[meta_col]
-            # vectorized scale arithmetic; only the variable-length blob
-            # slicing stays per-row (it must — ragged output)
-            w = np.fromiter((m["width"] for m in metas_in), dtype=np.int64,
-                            count=len(metas_in))
-            h = np.fromiter((m["height"] for m in metas_in), dtype=np.int64,
-                            count=len(metas_in))
-            lens = np.fromiter((len(b) for b in pdf[media_col]), dtype=np.int64,
-                               count=len(pdf))
-            scale = np.minimum((tw * th) / np.maximum(w * h, 1), 1.0)
-            n = np.maximum(1, (lens * scale).astype(np.int64))
-            blobs = [
-                bytes(blob)[:k] for blob, k in zip(pdf[media_col], n)
+            mtypes = [
+                (m or {}).get("media_type") if not isinstance(m, str) else m
+                for m in metas_in
             ]
-            metas = [
-                {"media_type": m["media_type"], "width": tw, "height": th,
-                 "n_bytes": int(k)}
-                for m, k in zip(metas_in, n)
-            ]
+            is_png = np.array([t == "image/png" for t in mtypes])
+            if not fake and not is_png.all():
+                raise NotImplementedError(
+                    "resize beyond image/png requires an image library not "
+                    "present in this environment; pass fake=True for the "
+                    "metadata-only stub"
+                )
+            payload = pdf[media_col].to_numpy()
+            blobs = [None] * len(pdf)
+            metas = [None] * len(pdf)
+
+            # real path: decode -> nearest-neighbor index-sample -> encode
+            # (per-image, inherently; all pixel math is numpy fancy-index)
+            for i in np.flatnonzero(is_png):
+                arr = decode_png(bytes(payload[i]))
+                sh, sw = arr.shape[:2]
+                ys = np.minimum((np.arange(th) * sh) // th, sh - 1)
+                xs = np.minimum((np.arange(tw) * sw) // tw, sw - 1)
+                out_arr = arr[np.ix_(ys, xs)]
+                blob = encode_png(out_arr)
+                blobs[i] = blob
+                metas[i] = {
+                    "media_type": "image/png", "width": tw, "height": th,
+                    "n_bytes": len(blob),
+                }
+
+            # fake path: vectorized scale arithmetic; only the
+            # variable-length blob slicing stays per-row (ragged output)
+            rest = np.flatnonzero(~is_png)
+            if rest.size:
+                w = np.fromiter((metas_in[i]["width"] for i in rest),
+                                dtype=np.int64, count=rest.size)
+                h = np.fromiter((metas_in[i]["height"] for i in rest),
+                                dtype=np.int64, count=rest.size)
+                lens = np.fromiter((len(payload[i]) for i in rest),
+                                   dtype=np.int64, count=rest.size)
+                scale = np.minimum((tw * th) / np.maximum(w * h, 1), 1.0)
+                n = np.maximum(1, (lens * scale).astype(np.int64))
+                for i, k in zip(rest, n):
+                    blobs[i] = bytes(payload[i])[:k]
+                    metas[i] = {
+                        "media_type": metas_in[i]["media_type"],
+                        "width": tw, "height": th, "n_bytes": int(k),
+                    }
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "media": blobs, "media_meta": metas}
             )
