@@ -691,6 +691,11 @@ ORACLES["contamination_exact"] = f"""
 WITH corp AS (
   SELECT DISTINCT {HASH64_SQL(_NORM_TEXT)} AS text_hash
   FROM documents WHERE doc_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+  UNION
+  -- planted leak: a deterministic subset of the held-out docs re-injected
+  SELECT DISTINCT {HASH64_SQL(_NORM_TEXT)} AS text_hash
+  FROM documents WHERE doc_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
+    AND (doc_id // {C.CONTAM_MOD}) % {C.CONTAM_PLANT_MOD} = 0
 )
 SELECT doc_id, {HASH64_SQL(_NORM_TEXT)} AS text_hash
 FROM documents

@@ -76,6 +76,8 @@ PACK_SHARDS = 8
 CONTAM_MOD = 7  # held-out split: doc_id % CONTAM_MOD == CONTAM_RESIDUE
 CONTAM_RESIDUE = 3
 CONTAM_SHINGLE_WORDS = 8
+CONTAM_PLANT_MOD = 5  # held docs with (doc_id/CONTAM_MOD) % PLANT_MOD == 0 are
+CONTAM_PLANT_ID_SHIFT = 10_000_000  # re-injected into the corpus (planted leak)
 PYRAMID_FACTORS = (16, 64, 256)  # overview levels (block sizes)
 UPSAMPLE_FACTOR = 8  # 'native' mode integer upsampling
 

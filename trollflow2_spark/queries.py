@@ -1334,10 +1334,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "shard", "bin", "cum_tokens")
 
 
-def _contam_parts(spark: SparkSession, sf_dir: str):
+def _contam_parts(spark: SparkSession, sf_dir: str, plant: bool = False):
+    """Held-out / corpus split of `documents`. With ``plant=True`` a
+    deterministic subset of the held-out docs is re-injected into the
+    corpus under shifted ids — a known-leak fixture so the contamination
+    contract queries return non-empty, value-checkable results (the
+    synthetic corpus has no organic verbatim overlap)."""
     docs = load_table(spark, sf_dir, "documents")
     held = docs.filter(F.col("doc_id") % C.CONTAM_MOD == C.CONTAM_RESIDUE)
     corpus = docs.filter(F.col("doc_id") % C.CONTAM_MOD != C.CONTAM_RESIDUE)
+    if plant:
+        leak = held.filter(
+            (F.col("doc_id") / C.CONTAM_MOD).cast("long") % C.CONTAM_PLANT_MOD
+            == 0
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(C.CONTAM_PLANT_ID_SHIFT))
+        corpus = corpus.unionByName(leak)
     return corpus, held
 
 
@@ -1365,10 +1376,12 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim leakage: held-out docs whose normalized text appears
-    exactly in the corpus (digest equi-join; raw text never shuffles)."""
+    exactly in the corpus (digest equi-join; raw text never shuffles).
+    Runs against the planted-leak fixture so the result is a non-empty,
+    value-checked set of exactly the planted doc ids."""
     from trollflow2_spark.extensions.contamination import exact_overlap
 
-    corpus, held = _contam_parts(spark, sf_dir)
+    corpus, held = _contam_parts(spark, sf_dir, plant=True)
     return exact_overlap(corpus, held)
 
 
