@@ -1037,3 +1037,43 @@ WITH sh AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """
+
+# The iterative min-label connected-components operator, replayed in SQL
+# as a recursive transitive closure: min reachable id == converged label.
+ORACLES["duplicate_clusters"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
+), sigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{_BAND_SELECTS}
+), sized AS (
+  SELECT band, bh FROM bk GROUP BY band, bh HAVING count(*) <= 1000
+), fb AS (
+  SELECT bk.doc_id, bk.band, bk.bh FROM bk JOIN sized USING (band, bh)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst <> r.src
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), clustered AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM clustered
+"""

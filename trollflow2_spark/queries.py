@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 from trollflow2_spark import qconst as C
 from trollflow2_spark.config.work_items import work_items_df
 from trollflow2_spark.extensions.dedup import (
+    duplicate_clusters,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -839,6 +840,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs resolved into duplicate clusters by iterative
+    min-label connected components: every doc gets (cluster_id,
+    is_canonical, cluster_size). The oracle replays the closure as a
+    DuckDB recursive CTE (transitive reachability -> min reachable id),
+    value-checking the iterative Spark algorithm end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return duplicate_clusters(docs, pairs)
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline smoke as a query: message -> jobs -> scene -> sinks
     -> manifest rows. The manifest's deterministic fields (composed
@@ -1436,6 +1448,7 @@ QUERIES = {
     "embedding_ivf": q_embedding_ivf,
     "embedding_neardup": q_embedding_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "duplicate_clusters": q_duplicate_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
