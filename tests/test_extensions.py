@@ -202,6 +202,30 @@ def test_quality_and_lang(docs):
     assert lang[4] == "de"
 
 
+def test_pii_scrub(spark):
+    from trollflow2_spark.extensions.text import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+99@corp.example.org now"),
+        (2, "server at 192.168.001.042 port open"),
+        (3, "dial 555-0142 or 020 7946 for help"),
+        (4, "clean text no pii here"),
+        (5, "x@y.io and 10.0.0.1 and 555-0100"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["scrubbed"] == "mail [EMAIL] now"
+    # dotted digits are IPs, not phones — staged counts don't double-count
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_phone"] == 0
+    assert got[2]["scrubbed"] == "server at [IP] port open"
+    assert got[3]["n_phone"] == 2
+    assert got[3]["scrubbed"] == "dial [PHONE] or [PHONE] for help"
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[4]["scrubbed"] == "clean text no pii here"
+    assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_phone"]) == (1, 1, 1)
+    assert got[5]["scrubbed"] == "[EMAIL] and [IP] and [PHONE]"
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_fake_media(docs)
     meta = {r["doc_id"]: r for r in media_metadata(media).collect()}

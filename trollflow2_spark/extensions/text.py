@@ -141,6 +141,45 @@ def doc_fingerprint(
     )
 
 
+# PII redaction rules, applied IN ORDER (earlier redactions change what
+# later patterns can match — ordering is part of the contract). Patterns
+# stay in the Java-regex / RE2 common subset so the DuckDB oracle can run
+# the identical expressions: no backreferences, no lookaround.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-. ]\d{3,4}\b", "[PHONE]"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4s, phone-like digit runs)
+    before training: per doc, the match count per rule plus the scrubbed
+    text with each span replaced by its ``[TOKEN]``.
+
+    Pure Column algebra (``regexp_count`` + chained ``regexp_replace``)
+    — codegen'd, no shuffle, scan reads only (id, text). Rules apply in
+    :data:`PII_RULES` order: emails first (their local parts contain
+    digits), then IPs (dotted digits would otherwise feed the looser
+    phone pattern), then phones.
+
+    Output: (id, n_email, n_ipv4, n_phone, scrubbed).
+    """
+    # counts are taken on the progressively-scrubbed text so each one is
+    # exactly the number of replacements that rule performed (a digit run
+    # inside an already-redacted email/IP is not double-counted)
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_RULES:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
 def repetition_features(
     df: DataFrame,
     text_col: str = "text",

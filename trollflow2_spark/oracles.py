@@ -661,6 +661,46 @@ SELECT base.doc_id, base.n_lines, base.dup_line_frac, t.top_bigram_frac
 FROM base JOIN t ON base.doc_id = t.doc_id
 """
 
+# --- PII scrub -------------------------------------------------------------
+
+# Generated from the SAME rule table the Spark operator uses, so the
+# patterns / token order cannot drift between engines.
+def _pii_scrub_sql() -> str:
+    from trollflow2_spark.extensions.text import PII_RULES
+
+    def q(pat: str) -> str:
+        # DuckDB single-quoted literals take backslashes verbatim
+        return "'" + pat.replace("'", "''") + "'"
+
+    plant = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.1 call 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    )
+    ctes = [
+        "planted AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        f"{plant} ELSE text END AS t0 FROM documents)"
+    ]
+    counts = []
+    for i, (name, pat, token) in enumerate(PII_RULES):
+        counts.append(
+            f"CAST(len(regexp_extract_all(t{i}, {q(pat)})) AS INT) AS n_{name}"
+        )
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, regexp_replace(t{i}, {q(pat)}, "
+            f"'{token}', 'g') AS t{i + 1} FROM "
+            f"{'planted' if i == 0 else f's{i}'})"
+        )
+    last = len(PII_RULES)
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, "
+        + ", ".join(counts)
+        + f", t{last} AS scrubbed FROM s{last}"
+    )
+
+
+ORACLES["pii_scrub"] = _pii_scrub_sql()
+
 # --- contamination ---------------------------------------------------------
 
 _CONTAM_SH = WORD_SHINGLES_SQL("text", C.CONTAM_SHINGLE_WORDS)

@@ -1373,6 +1373,28 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The synthetic documents carry no
+    digits at all, so the contract query plants deterministic PII
+    (email + IPv4 + phone derived from doc_id) on every third doc before
+    scrubbing — the oracle replays the plant and the staged redaction,
+    value-checking counts and the scrubbed text itself."""
+    from trollflow2_spark.extensions.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1 call 555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    planted = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, pii).otherwise(F.col("text"))
+    )
+    return pii_scrub(planted)
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: per held-out doc, the fraction of its
     word 8-gram shingles occurring anywhere in the training corpus. The
@@ -1443,6 +1465,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "contamination_exact": q_contamination_exact,
     "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
