@@ -202,6 +202,48 @@ def test_quality_and_lang(docs):
     assert lang[4] == "de"
 
 
+def test_global_shuffle_matches_global_ordinal(spark, sf_dir):
+    """The bucketed parallel ordinal must equal the plain global
+    row_number over (hash, id) — and be a permutation of 1..N."""
+    import os
+    from pyspark.sql import Window
+    from trollflow2_spark.extensions.sampling import ORD_HASH_MOD, global_shuffle
+    from trollflow2_spark.functions.hashing import hash64
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    got = global_shuffle(docs, seed=17, n_buckets=7)
+    h = F.pmod(hash64(F.col("doc_id").cast("string"), seed=17), F.lit(ORD_HASH_MOD))
+    want = docs.withColumn(
+        "want_pos", F.row_number().over(Window.orderBy(h, F.col("doc_id")))
+    )
+    diff = got.join(want, "doc_id").filter("shuffle_pos <> want_pos")
+    assert diff.count() == 0
+    n = docs.count()
+    agg = got.agg(F.min("shuffle_pos"), F.max("shuffle_pos"),
+                  F.countDistinct("shuffle_pos")).collect()[0]
+    assert tuple(agg) == (1, n, n)
+
+
+def test_interleave_sources_stride(spark):
+    """Weight-2 source contributes ~2x the weight-1 source in any
+    mixture prefix; weight-0 sources are dropped."""
+    from trollflow2_spark.extensions.sampling import interleave_sources
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 80 else "c"))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = interleave_sources(df, {"a": 2.0, "b": 1.0, "c": 0.0})
+    rows = out.orderBy("mix_key", "source", "doc_id").collect()
+    assert all(r["source"] != "c" for r in rows)
+    prefix = [r["source"] for r in rows[:30]]
+    assert 18 <= prefix.count("a") <= 22  # ~2/3 of any prefix
+    # per-source ranks are dense 1..n in hash order
+    a_ranks = sorted(r["src_rank"] for r in rows if r["source"] == "a")
+    assert a_ranks == list(range(1, 41))
+
+
 def test_pii_scrub(spark):
     from trollflow2_spark.extensions.text import pii_scrub
 

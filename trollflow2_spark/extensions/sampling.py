@@ -88,6 +88,111 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+#: hash range for ordinal ordering (2^31 — coarse buckets are a prefix
+#: of this order, so bucketed ordinals equal the global hash order)
+ORD_HASH_MOD = 1 << 31
+
+
+def _bucketed_ordinal(
+    df: DataFrame,
+    id_col: str,
+    partition_cols: list[str],
+    seed: int | None,
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """1-based ordinal of every row in the deterministic hash order
+    ``(h, id)``, per partition group — WITHOUT a global window.
+
+    The scale trick: a global ``row_number()`` funnels all data through
+    one task. Instead the hash range splits into ``n_buckets`` coarse
+    buckets (a prefix of the sort order), ranks are taken per bucket
+    (parallel windows), and each bucket's start offset is the cumulative
+    count of earlier buckets — computed on the tiny (groups x buckets)
+    count table and broadcast back. Two narrow aggs + one broadcast join
+    instead of a single-task sort of the corpus.
+    """
+    h = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(ORD_HASH_MOD))
+    width = -(-ORD_HASH_MOD // n_buckets)  # ceil div
+    out = df.withColumn("_h", h).withColumn(
+        "_bucket", F.floor(F.col("_h") / F.lit(width)).cast("int")
+    )
+    pcols = [F.col(c) for c in partition_cols]
+    counts = out.groupBy(*pcols, F.col("_bucket")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_off = (
+        Window.partitionBy(*pcols).orderBy("_bucket")
+        if partition_cols
+        else Window.orderBy("_bucket")
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off) - F.col("_n"), F.lit(0))
+    ).drop("_n")
+    joined = out.join(F.broadcast(offsets), partition_cols + ["_bucket"])
+    w_rank = Window.partitionBy(*(pcols + [F.col("_bucket")])).orderBy(
+        F.col("_h"), F.col(id_col)
+    )
+    return (
+        joined.withColumn(
+            out_col, (F.col("_offset") + F.row_number().over(w_rank)).cast("bigint")
+        )
+        .drop("_h", "_bucket", "_offset")
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int | None = 17,
+    n_buckets: int = 4096,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every row gets a
+    1-based position in the portable-hash order of its id — the same
+    permutation on any engine, any partitioning, any run (what
+    ``orderBy(rand())`` cannot give). Positions come from
+    :func:`_bucketed_ordinal`, so nothing funnels through one task; the
+    consumer range-partitions on ``shuffle_pos`` to materialize shards
+    in shuffle order.
+    """
+    return _bucketed_ordinal(df, id_col, [], seed, n_buckets, out_col)
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int | None = 17,
+    default_weight: float = 1.0,
+    n_buckets: int = 4096,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic weighted interleave of sources (mixture ordering):
+    each source's rows are ranked in hash order, and row *k* of a
+    weight-*w* source gets stride-scheduling key ``(k - 0.5) / w`` —
+    sorting by ``mix_key`` yields the classic weighted-fair interleave
+    (a weight-2 source contributes twice as often as a weight-1 source,
+    evenly spread, no RNG). Sources with weight <= 0 are dropped.
+
+    Adds ``src_rank`` and ``mix_key``; the consumer range-sorts by
+    ``(mix_key, source, id)`` — kept as a sort key rather than a global
+    ordinal so the operator stays fully map-parallel at 100 TB.
+    """
+    rate: Column = F.lit(float(default_weight))
+    for value, wt in sorted(weights.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(rate)
+    kept = df.withColumn("_w", rate).filter(F.col("_w") > 0)
+    ranked = _bucketed_ordinal(
+        kept, id_col, [strata_col], seed, n_buckets, "src_rank"
+    )
+    return ranked.withColumn(
+        "mix_key",
+        F.round((F.col("src_rank") - 0.5) / F.col("_w"), round_digits),
+    ).drop("_w")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

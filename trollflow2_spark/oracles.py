@@ -615,6 +615,33 @@ WHERE {_rate_bucket_sql(C.SAMPLE_SEED)}
   < CAST(round(({_RATE_CASE}) * 10000, 0) AS INT)
 """
 
+_SHUF_H = (
+    f"({HASH64_SQL('CAST(doc_id AS VARCHAR)', C.SHUFFLE_SEED)}"
+    f" % {1 << 31})"
+)
+ORACLES["global_shuffle"] = f"""
+SELECT doc_id,
+  row_number() OVER (ORDER BY {_SHUF_H}, doc_id) AS shuffle_pos
+FROM documents
+"""
+
+_MIX_W = "CASE source " + " ".join(
+    f"WHEN '{v}' THEN {w}" for v, w in sorted(C.MIX_WEIGHTS)
+) + f" ELSE {C.MIX_DEFAULT_WEIGHT} END"
+ORACLES["interleave_mixture"] = f"""
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY {_SHUF_H}, doc_id)
+      AS src_rank,
+    ({_MIX_W}) AS w
+  FROM documents
+  WHERE ({_MIX_W}) > 0
+)
+SELECT doc_id, source, src_rank,
+  round((src_rank - 0.5) / w, 6) AS mix_key
+FROM r
+"""
+
 ORACLES["pack_sequences"] = f"""
 WITH d AS (
   SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,

@@ -1326,6 +1326,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle position for every doc — computed
+    with bucketed parallel windows (no global row_number funnel); the
+    oracle replays it as the plain global ordinal it equals."""
+    from trollflow2_spark.extensions.sampling import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, seed=C.SHUFFLE_SEED).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+def q_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-fair interleave of sources (stride scheduling): per-source
+    hash rank -> mixture sort key. Weight-0 sources drop out."""
+    from trollflow2_spark.extensions.sampling import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_sources(
+        docs, dict(C.MIX_WEIGHTS), seed=C.SHUFFLE_SEED,
+        default_weight=C.MIX_DEFAULT_WEIGHT,
+    ).select("doc_id", "source", "src_rank", "mix_key")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: per-shard window cumsum assigns
     each doc a bin targeting PACK_BUDGET tokens (concat-then-chunk
@@ -1460,6 +1484,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "dataset_split": q_dataset_split,
+    "global_shuffle": q_global_shuffle,
+    "interleave_mixture": q_interleave_mixture,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "contamination_check": q_contamination_check,
