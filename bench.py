@@ -60,6 +60,11 @@ HEADLINE = [
     "pipeline_roundtrip",
     "dataset_split",
     "pack_sequences",
+    "global_shuffle",
+    "interleave_mixture",
+    "duplicate_clusters",
+    "pii_scrub",
+    "contamination_check",
 ]
 
 
