@@ -226,6 +226,39 @@ def test_global_shuffle_matches_global_ordinal(spark, sf_dir):
     assert tuple(agg) == (1, n, n)
 
 
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Shards are contiguous, non-overlapping slices of the shuffle
+    order, internally sorted, and lossless."""
+    import os
+    from trollflow2_spark.extensions.sampling import (
+        global_shuffle,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    shuffled = global_shuffle(docs)
+    n = docs.count()
+    manifest = write_training_shards(
+        shuffled, str(tmp_path / "shards"), n_shards=4
+    ).collect()
+    assert sum(r["n_rows"] for r in manifest) == n
+    spans = sorted((r["min_pos"], r["max_pos"]) for r in manifest)
+    assert spans[0][0] == 1 and spans[-1][1] == n
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert lo_a <= hi_a < lo_b  # non-overlapping, ordered ranges
+    # each shard file is internally sorted by position (pyarrow reads
+    # preserve physical row order, unlike a Spark scan)
+    import glob
+    import pyarrow.parquet as pq
+    files = glob.glob(str(tmp_path / "shards" / "part-*.parquet"))
+    assert len(files) == 4
+    for f in files:
+        pos = pq.read_table(f, columns=["shuffle_pos"])["shuffle_pos"].to_pylist()
+        assert pos == sorted(pos)
+
+
 def test_interleave_sources_stride(spark):
     """Weight-2 source contributes ~2x the weight-1 source in any
     mixture prefix; weight-0 sources are dropped."""

@@ -193,6 +193,42 @@ def interleave_sources(
     ).drop("_w")
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_col: str = "shuffle_pos",
+    format: str = "parquet",
+) -> DataFrame:
+    """Materialize a corpus as ``n_shards`` shard files in deterministic
+    order: range-partition on the order column (each output task owns a
+    contiguous slice of the global order — boundaries come from Spark's
+    range sampler) and sort within partitions, so every shard file is
+    internally ordered and shard ranges never overlap. With
+    ``order_col=shuffle_pos`` from :func:`global_shuffle` this is the
+    standard "shuffle once, stream shards sequentially" training layout.
+
+    Returns the read-back manifest (one row per shard file: rows,
+    min/max position) — the audit the trainer checks before a run.
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .format(format)
+        .save(path)
+    )
+    back = df.sparkSession.read.format(format).load(path)
+    return (
+        back.groupBy(F.input_file_name().alias("shard_file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(order_col).alias("min_pos"),
+            F.max(order_col).alias("max_pos"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
