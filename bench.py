@@ -65,6 +65,8 @@ HEADLINE = [
     "duplicate_clusters",
     "pii_scrub",
     "contamination_check",
+    "quality_filter",
+    "corpus_stats",
 ]
 
 

@@ -141,6 +141,74 @@ def doc_fingerprint(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.03,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The filter chain a corpus actually ships through: every doc gets
+    ``keep`` plus the FIRST rule that rejected it (``reject_reason``,
+    NULL when kept) — the audit trail that tells you *why* 40% of a
+    crawl vanished, not just that it did.
+
+    Rules apply in order over :func:`quality_features` (rounded values,
+    so thresholds compare identically in any engine): token floor,
+    stopword floor (word-soup/boilerplate gate), blended-quality floor.
+    Map-side Column algebra; filtering to ``keep = 1`` is the shipped
+    corpus.
+    """
+    feats = quality_features(df, text_col=text_col, id_col=id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_few_tokens")
+        .when(F.col("stopword_ratio") < min_stopword_ratio, "low_stopword_ratio")
+        .when(F.col("quality_score") < min_quality, "low_quality_score")
+    )
+    return feats.select(
+        F.col(id_col),
+        F.when(reason.isNull(), 1).otherwise(0).alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    strata_col: str = "source",
+    size_col: str = "n_chars",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-stratum corpus profile: doc count, total/mean size, and exact
+    p50/p90/p99 size percentiles — the first thing you compute on a new
+    crawl dump.
+
+    Exact ``percentile`` shuffles every size value to its group (fine:
+    one bigint per doc); at 100 TB swap in ``approx_percentile``, which
+    merges t-digest sketches map-side — same call shape, no exact
+    oracle. One shuffle either way.
+    """
+    pcts = F.percentile(F.col(size_col), F.lit([0.5, 0.9, 0.99]))
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).alias("total_size"),
+            F.round(F.avg(size_col), round_digits).alias("mean_size"),
+            pcts.alias("_p"),
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "total_size",
+            "mean_size",
+            F.round(F.col("_p")[0], round_digits).alias("p50_size"),
+            F.round(F.col("_p")[1], round_digits).alias("p90_size"),
+            F.round(F.col("_p")[2], round_digits).alias("p99_size"),
+        )
+    )
+
+
 # PII redaction rules, applied IN ORDER (earlier redactions change what
 # later patterns can match — ordering is part of the contract). Patterns
 # stay in the Java-regex / RE2 common subset so the DuckDB oracle can run

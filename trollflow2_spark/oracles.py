@@ -548,6 +548,44 @@ FROM m
 """
 
 
+# quality_filter applies its thresholds to the SAME rounded metrics the
+# text_quality oracle computes, so the rule CASE reuses those fragments
+_QF_NTOK = f"CAST({_C_NTOK} AS BIGINT)"
+_QF_STOP = f"round({_C_STOPRATIO}, 6)"
+_QF_SCORE = (
+    f"round({_C_LENSCORE} * 0.4 + least(({_C_STOPRATIO}) * 5.0, 1.0) * 0.2"
+    f" + {_ALPHARATIO} * 0.4, 6)"
+)
+ORACLES["quality_filter"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE WHEN {_QF_NTOK} < 20 THEN 'too_few_tokens'
+         WHEN {_QF_STOP} < 0.03 THEN 'low_stopword_ratio'
+         WHEN {_QF_SCORE} < 0.5 THEN 'low_quality_score'
+    END AS reject_reason
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS keep,
+  reject_reason
+FROM r
+"""
+
+ORACLES["corpus_stats"] = """
+SELECT source,
+  count(*) AS n_docs,
+  sum(n_chars) AS total_size,
+  round(avg(n_chars), 6) AS mean_size,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50_size,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90_size,
+  round(quantile_cont(n_chars, 0.99), 6) AS p99_size
+FROM documents
+GROUP BY source
+"""
+
+
 def _marker_count(sub: str) -> str:
     p = "(' ' || lower(text) || ' ')"
     esc = sub.replace("'", "''")

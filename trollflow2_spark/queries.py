@@ -1397,6 +1397,24 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered quality filter chain with per-doc reject reasons (the
+    corpus-shipping audit trail)."""
+    from trollflow2_spark.extensions.text import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: counts, total/mean size, exact
+    p50/p90/p99 size percentiles."""
+    from trollflow2_spark.extensions.text import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(docs)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus. The synthetic documents carry no
     digits at all, so the contract query plants deterministic PII
@@ -1492,6 +1510,8 @@ QUERIES = {
     "contamination_exact": q_contamination_exact,
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
+    "quality_filter": q_quality_filter,
+    "corpus_stats": q_corpus_stats,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
