@@ -180,3 +180,31 @@ def test_minhash_single_shuffle(spark, sf):
     shuffle is the per-doc min() aggregation."""
     plan = plan_of(spark, "minhash_signatures", sf)
     assert plan.count("Exchange") <= 2
+
+
+def test_pii_scrub_is_pure_map_work(spark, sf):
+    """PII redaction is chained regexp Column algebra: no shuffle at
+    all, and the scan reads only (doc_id, text)."""
+    plan = plan_of(spark, "pii_scrub", sf)
+    assert "Exchange" not in plan
+    read = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "text" in read and "lang" not in read and "source" not in read
+
+
+def test_global_shuffle_no_single_task_sort(spark, sf):
+    """The global ordinal must come from bucketed parallel windows +
+    a broadcast offset join — never a global sort/window funnel."""
+    plan = plan_of(spark, "global_shuffle", sf)
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchange feeds the tiny bucket-count
+    # offsets table, never the corpus: the corpus side's window
+    # partitions by bucket (hashpartitioning on _bucket)
+    assert "hashpartitioning(_bucket" in plan
+
+
+def test_quality_filter_single_pass(spark, sf):
+    """The filter chain evaluates every rule in one map pass over the
+    scan — no shuffle, no join between rules."""
+    plan = plan_of(spark, "quality_filter", sf)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
