@@ -227,6 +227,44 @@ def test_sessionized_counts_stream(spark, sf_dir, tmp_path):
     assert sum(r["n_events"] for r in rows) == 300
 
 
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Exact streaming dedup: a digest seen in batch 1 is dropped when
+    it reappears in batch 2 (state store carries the seen set)."""
+    import json as _json
+    import os
+    from trollflow2_spark.streaming.stateful import streaming_dedup
+
+    src_dir = str(tmp_path / "dedup_in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "b1.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": "alpha beta gamma"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": "delta epsilon"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 3, "text": "Alpha  beta GAMMA"}) + "\n")
+    with open(os.path.join(src_dir, "b2.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 4, "text": "alpha beta gamma"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 5, "text": "zeta eta"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    out = streaming_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stream_dedup").collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    # doc 3 is a normalized dup of 1 (same batch); doc 4 a cross-batch dup
+    assert kept == [1, 2, 5]
+
+
 def test_stateful_running_counts(spark, sf_dir, tmp_path):
     """applyInPandasWithState: counts accumulate across micro-batches."""
     import json as _json

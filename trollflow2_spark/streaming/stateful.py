@@ -39,6 +39,40 @@ RUNNING_COUNT_STATE = T.StructType(
 )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    hash_fn=None,
+) -> DataFrame:
+    """First-seen filter over a document stream: exact dedup as data
+    arrives, so a re-crawled page never reaches the corpus twice.
+
+    Spark-first: the digest of the normalized text becomes a key column
+    and the built-in streaming ``dropDuplicates`` family keeps the seen
+    set in the state store — partitioned by digest across executors,
+    fault-tolerant via checkpoint, no custom kernel. With ``ts_col``
+    set, state is BOUNDED: ``dropDuplicatesWithinWatermark`` expires
+    digests older than the watermark (the 100 TB hygiene — an unbounded
+    seen-set is a slow OOM; re-crawl windows are what the watermark
+    models). Without ``ts_col`` the seen-set grows forever — batch
+    backfills only.
+    """
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.functions.hashing import hash64
+
+    fn = hash_fn or hash64
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = stream.withColumn("digest", fn(norm))
+    if ts_col is None:
+        return d.dropDuplicates(["digest"])
+    return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
+
+
 def _running_count_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
