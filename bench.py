@@ -67,6 +67,7 @@ HEADLINE = [
     "contamination_check",
     "quality_filter",
     "corpus_stats",
+    "vocab_topk",
 ]
 
 

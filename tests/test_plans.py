@@ -202,6 +202,13 @@ def test_global_shuffle_no_single_task_sort(spark, sf):
     assert "hashpartitioning(_bucket" in plan
 
 
+def test_vocab_topk_no_global_sort(spark, sf):
+    """Top-k vocabulary plans TakeOrderedAndProject (per-partition
+    top-k, merged) — not a full Sort of the vocabulary."""
+    plan = plan_of(spark, "vocab_topk", sf)
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_quality_filter_single_pass(spark, sf):
     """The filter chain evaluates every rule in one map pass over the
     scan — no shuffle, no join between rules."""

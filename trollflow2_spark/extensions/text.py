@@ -141,6 +141,42 @@ def doc_fingerprint(
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens
+    (lowercased), with doc frequency — the first tokenizer-design
+    artifact you derive from a new corpus.
+
+    One explode + one hash agg (map-side partial combine collapses each
+    partition to its distinct tokens before the shuffle, so the shuffle
+    volume is vocabulary-sized, not corpus-sized). The top-k is
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k, merged), so even a 10^8-token vocabulary never
+    funnels through a global sort; ranks are then numbered on the k
+    surviving rows. Ties break on the token itself, deterministically.
+
+    Output: (rank, token, n_occurrences, n_docs).
+    """
+    tok = df.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("tk")
+    ).select("doc_id", F.lower(F.col("tk")).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).filter(F.col("n_occurrences") >= min_count)
+    top = counts.orderBy(F.desc("n_occurrences"), F.col("token")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "n_occurrences", "n_docs"
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -548,6 +548,21 @@ FROM m
 """
 
 
+ORACLES["vocab_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY token
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT)
+    AS rank, token, n_occurrences, n_docs
+  FROM counts
+)
+SELECT rank, token, n_occurrences, n_docs FROM ranked
+WHERE rank <= {C.VOCAB_TOPK}
+"""
+
 # quality_filter applies its thresholds to the SAME rounded metrics the
 # text_quality oracle computes, so the rule CASE reuses those fragments
 _QF_NTOK = f"CAST({_C_NTOK} AS BIGINT)"

@@ -1397,6 +1397,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus vocabulary with term and doc frequencies
+    (TakeOrderedAndProject — no global sort)."""
+    from trollflow2_spark.extensions.text import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=C.VOCAB_TOPK)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered quality filter chain with per-doc reject reasons (the
     corpus-shipping audit trail)."""
@@ -1511,6 +1520,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
+    "vocab_topk": q_vocab_topk,
     "corpus_stats": q_corpus_stats,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
