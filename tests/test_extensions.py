@@ -202,6 +202,37 @@ def test_quality_and_lang(docs):
     assert lang[4] == "de"
 
 
+def test_read_corpus_jsonl_csv_with_quarantine(spark, sf_dir, tmp_path):
+    """JSONL/CSV ingestion: explicit schema, corrupt lines quarantined
+    into the rejects side instead of killing the read."""
+    import os
+    from trollflow2_spark.sources.corpus import read_corpus
+
+    ref = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .limit(50)
+        .cache()
+    )
+    jl = str(tmp_path / "dump.jsonl")
+    ref.coalesce(1).write.json(jl)
+    # a malformed shard arrives alongside the good ones
+    with open(os.path.join(jl, "part-bad.json"), "w") as fh:
+        fh.write('{"doc_id": broken\n')
+    docs, rejects = read_corpus(spark, jl, format="jsonl")
+    assert docs.count() == 50
+    assert rejects.count() == 1
+    got = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {r["doc_id"]: r["text"] for r in ref.collect()}
+    assert got == want
+
+    cs = str(tmp_path / "dump.csv")
+    ref.select("doc_id", "text", "lang", "source", "n_chars").coalesce(1) \
+        .write.option("header", "true").csv(cs)
+    docs2, rejects2 = read_corpus(spark, cs, format="csv")
+    assert docs2.count() == 50 and rejects2.count() == 0
+    assert {r["doc_id"]: r["text"] for r in docs2.collect()} == want
+
+
 def test_global_shuffle_matches_global_ordinal(spark, sf_dir):
     """The bucketed parallel ordinal must equal the plain global
     row_number over (hash, id) — and be a permutation of 1..N."""
