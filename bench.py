@@ -68,6 +68,7 @@ HEADLINE = [
     "quality_filter",
     "corpus_stats",
     "vocab_topk",
+    "tfidf_top_terms",
 ]
 
 

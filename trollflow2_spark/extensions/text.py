@@ -177,6 +177,54 @@ def vocab_topk(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by tf-idf
+    (``tf * ln(N / df)``, natural log, no smoothing) — the classic
+    keyword/topic signal for corpus exploration and near-dup triage.
+
+    Two hash aggs — (doc, term) counts, then doc frequency — plus one
+    join keyed on the term. The df table is vocabulary-sized (tiny next
+    to the corpus), so the join broadcasts; the per-doc top-n window
+    partitions by doc id — dense, never skewed. Ties break on the term
+    string, so ranks are deterministic.
+
+    Output: (id, term, tf, tfidf, term_rank).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
+    ).select(id_col, F.lower(F.col("tk")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size joins in as a broadcast 1-row aggregate, not a separate
+    # driver-side count() pass over the scan
+    n = df.agg(F.countDistinct(id_col).cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")),
+                    round_digits),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select(id_col, "term", "tf", "tfidf", "term_rank")
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -548,6 +548,29 @@ FROM m
 """
 
 
+ORACLES["tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+    CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, term_rank FROM ranked
+WHERE term_rank <= {C.TFIDF_TOP_N}
+"""
+
 ORACLES["vocab_topk"] = f"""
 WITH tok AS (
   SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents

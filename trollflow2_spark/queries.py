@@ -1397,6 +1397,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc characteristic terms by tf-idf (two hash aggs + broadcast
+    df join + per-doc top-n window, deterministic term ties)."""
+    from trollflow2_spark.extensions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=C.TFIDF_TOP_N)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k corpus vocabulary with term and doc frequencies
     (TakeOrderedAndProject — no global sort)."""
@@ -1521,6 +1530,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
     "vocab_topk": q_vocab_topk,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_stats": q_corpus_stats,
     "embedding_topk": q_embedding_topk,
     "embedding_ann": q_embedding_ann,
