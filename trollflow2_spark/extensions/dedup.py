@@ -264,6 +264,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 2,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: per candidate pair, the containment of each
+    side's shingle set in the intersection (``|A∩B| / |A|`` and
+    ``/ |B|``). Jaccard misses one-sided duplication — a tweet quoted
+    inside a news article scores ~0 Jaccard but ~1 containment on the
+    tweet side; this is the quote/subset-duplication detector. A pair
+    survives if EITHER side's containment reaches ``threshold``.
+
+    Same candidate/blocking contract and join shape as
+    :func:`ngram_jaccard_pairs` (candidates from LSH at scale; shingle
+    arrays ride the candidate join, all set math JVM-side).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
+        *[F.col(c) for c in (block_cols or [])],
+    )
+    if candidates is None:
+        if not block_cols:
+            raise ValueError("need candidates or block_cols")
+        a = shingled.select(
+            *block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        )
+        b = shingled.select(
+            *block_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+        )
+        pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = candidates.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont = lambda side: F.round(  # noqa: E731
+        F.when(F.size(side) > 0, inter / F.size(side)).otherwise(0.0), 6
+    )
+    return (
+        pairs.withColumn("containment_a", cont(F.col("sh_a")))
+        .withColumn("containment_b", cont(F.col("sh_b")))
+        .filter(
+            (F.col("containment_a") >= float(threshold))
+            | (F.col("containment_b") >= float(threshold))
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

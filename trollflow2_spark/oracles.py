@@ -359,6 +359,25 @@ WITH s AS (
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {C.JACCARD_THRESHOLD}
 """
 
+ORACLES["ngram_containment_pairs"] = f"""
+WITH s AS (
+  SELECT doc_id, lang, source, list_distinct({_SHINGLES_J}) AS sh FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(CASE WHEN len(a.sh) > 0
+      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+      ELSE 0.0 END, 6) AS containment_a,
+    round(CASE WHEN len(b.sh) > 0
+      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+      ELSE 0.0 END, 6) AS containment_b
+  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, containment_a, containment_b FROM p
+WHERE containment_a >= {C.CONTAINMENT_THRESHOLD}
+   OR containment_b >= {C.CONTAINMENT_THRESHOLD}
+"""
+
 _SHINGLES_FP = WORD_SHINGLES_SQL("text", C.FINGERPRINT_SHINGLE_WORDS)
 ORACLES["doc_fingerprint"] = f"""
 WITH sh AS (

@@ -38,6 +38,7 @@ MINHASH_NUM_HASHES = 8
 MINHASH_BANDS = 4
 JACCARD_SHINGLE_WORDS = 2
 JACCARD_THRESHOLD = 0.2
+CONTAINMENT_THRESHOLD = 0.25  # one-sided (quote/subset) duplication gate
 SIMHASH_BITS = 32
 FINGERPRINT_SHINGLE_WORDS = 4
 FINGERPRINT_MOD = 8

@@ -1042,6 +1042,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (one-sided) near-dup: shingle containment per side —
+    the quote/subset-duplication detector Jaccard misses."""
+    from trollflow2_spark.extensions.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs,
+        shingle_words=C.JACCARD_SHINGLE_WORDS,
+        threshold=C.CONTAINMENT_THRESHOLD,
+        block_cols=["lang", "source"],
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprint(
@@ -1518,6 +1532,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "dataset_split": q_dataset_split,
     "global_shuffle": q_global_shuffle,
