@@ -69,6 +69,8 @@ HEADLINE = [
     "corpus_stats",
     "vocab_topk",
     "tfidf_top_terms",
+    "ngram_containment_pairs",
+    "embedding_centroids",
 ]
 
 

@@ -137,6 +137,42 @@ def embedding_neardup_pairs(
     return pairs.filter(F.col("cosine_sim") >= F.lit(float(threshold)))
 
 
+def label_centroids(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label embedding centroids, long-form: (label, n_vectors, dim,
+    centroid) — the class-prototype / cluster-drift profile of an
+    embedded corpus.
+
+    Shape note: NOT posexplode-then-group (that inflates the corpus
+    ``dim``× before the shuffle). Instead one hash agg with ``dim``
+    ``avg`` buffers — element access is JVM codegen, map-side combine
+    collapses each partition to one row per label, and the shuffle
+    carries labels × dim doubles total. The tiny result then unpivots to
+    long form for consumers/oracles.
+    """
+    aggs = [
+        F.avg(F.col(vec_col)[i]).alias(f"_d{i}") for i in range(int(dim))
+    ]
+    cent = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"), *aggs)
+    return cent.select(
+        F.col(label_col),
+        F.col("n_vectors"),
+        F.posexplode(F.array(*[F.col(f"_d{i}") for i in range(int(dim))])).alias(
+            "dim", "_v"
+        ),
+    ).select(
+        label_col,
+        "n_vectors",
+        "dim",
+        F.round(F.col("_v"), round_digits).alias("centroid"),
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -394,6 +394,16 @@ GROUP BY d.doc_id
 
 # --- similarity ------------------------------------------------------------
 
+ORACLES["embedding_centroids"] = f"""
+WITH dims AS (SELECT CAST(unnest(range({C.EMB_DIM})) AS INT) AS dim)
+SELECT label,
+  count(*) AS n_vectors,
+  dim,
+  round(avg(embedding[dim + 1]), 6) AS centroid
+FROM embeddings CROSS JOIN dims
+GROUP BY label, dim
+"""
+
 
 def _cosine_sql(e_vec: str, q_vec: str) -> str:
     def dot(a: str, b: str) -> str:

@@ -42,6 +42,7 @@ CONTAINMENT_THRESHOLD = 0.25  # one-sided (quote/subset) duplication gate
 SIMHASH_BITS = 32
 FINGERPRINT_SHINGLE_WORDS = 4
 FINGERPRINT_MOD = 8
+EMB_DIM = 64  # synthetic embeddings dimensionality
 TOPK_N_QUERIES = 3  # vec_id < 3 are the query vectors
 TOPK_K = 10
 ANN_BITS = 4

@@ -1075,6 +1075,15 @@ def _query_vectors(df: DataFrame) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (dim avg buffers in ONE hash agg —
+    no posexplode inflation before the shuffle)."""
+    from trollflow2_spark.extensions.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, dim=C.EMB_DIM)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, _query_vectors(emb), k=C.TOPK_K)
@@ -1548,6 +1557,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_stats": q_corpus_stats,
     "embedding_topk": q_embedding_topk,
+    "embedding_centroids": q_embedding_centroids,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
     "embedding_neardup": q_embedding_neardup,
