@@ -1212,7 +1212,8 @@ FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 
 # The iterative min-label connected-components operator, replayed in SQL
 # as a recursive transitive closure: min reachable id == converged label.
-ORACLES["duplicate_clusters"] = f"""
+# The CTE chain is shared between duplicate_clusters and dedup_corpus.
+_CC_CTES = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
 ), sigs AS (
@@ -1244,8 +1245,23 @@ WITH RECURSIVE sh AS (
   SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN labels l USING (doc_id)
 )
+"""
+
+ORACLES["duplicate_clusters"] = _CC_CTES + """
 SELECT doc_id, cluster_id,
   CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical,
   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM clustered
+"""
+
+# end-to-end dedup: only the canonical doc of each cluster survives
+ORACLES["dedup_corpus"] = _CC_CTES + """
+, cl_sized AS (
+  SELECT doc_id, cluster_id,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM clustered
+)
+SELECT s.doc_id, s.cluster_size, d.n_chars
+FROM cl_sized s JOIN documents d USING (doc_id)
+WHERE s.doc_id = s.cluster_id
 """

@@ -851,6 +851,20 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(docs, pairs)
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline end-to-end: LSH candidates -> connected
+    components -> keep only each cluster's canonical doc. The shipped
+    corpus, with cluster sizes as the audit column."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    clusters = duplicate_clusters(docs, pairs)
+    return (
+        clusters.filter(F.col("is_canonical") == 1)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "cluster_size", "n_chars")
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline smoke as a query: message -> jobs -> scene -> sinks
     -> manifest rows. The manifest's deterministic fields (composed
@@ -1563,6 +1577,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "duplicate_clusters": q_duplicate_clusters,
+    "dedup_corpus": q_dedup_corpus,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
