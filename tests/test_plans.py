@@ -202,6 +202,22 @@ def test_global_shuffle_no_single_task_sort(spark, sf):
     assert "hashpartitioning(_bucket" in plan
 
 
+def test_tfidf_broadcasts_docfreq(spark, sf):
+    """The doc-frequency table (vocabulary-sized) broadcasts; the corpus
+    never shuffles for the join."""
+    plan = plan_of(spark, "tfidf_top_terms", sf)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_centroids_single_agg_shuffle(spark, sf):
+    """dim avg buffers run in ONE hash agg: no posexplode before the
+    shuffle (Generate only appears on the post-agg unpivot)."""
+    plan = plan_of(spark, "embedding_centroids", sf)
+    assert plan.count("Exchange") <= 2
+    # partial + final agg (map-side combine before the label shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_vocab_topk_no_global_sort(spark, sf):
     """Top-k vocabulary plans TakeOrderedAndProject (per-partition
     top-k, merged) — not a full Sort of the vocabulary."""
