@@ -421,6 +421,39 @@ def test_resize_media_real_png_route(spark):
     assert decode_png(bytes(real[0]["media"])).shape == (2, 2)
 
 
+def test_decode_media_quarantines_corrupt_blobs(spark):
+    """on_error='null': a corrupt PNG yields a NULL-feature row instead
+    of killing the job; on_error='raise' still fails fast."""
+    import numpy as np
+    import pytest as _pytest
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.imagery import encode_png
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    good = encode_png(px)
+    bad = good[:20]  # truncated mid-header
+    rows = [
+        (1, bytearray(good), {"media_type": "image/png", "width": 4,
+                              "height": 3, "n_bytes": len(good)}),
+        (2, bytearray(bad), {"media_type": "image/png", "width": 4,
+                             "height": 3, "n_bytes": len(bad)}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df, on_error="null").collect()}
+    assert got[1]["n_bytes"] == 12 and got[1]["width"] == 4
+    assert got[2]["n_bytes"] is None and got[2]["mean_byte"] is None
+    assert got[2]["width"] is None
+    with _pytest.raises(Exception):
+        decode_media(df, on_error="raise").collect()
+    with _pytest.raises(ValueError):
+        decode_media(df, on_error="typo")
+
+
 def test_multimodal_resize_and_frame_sample(spark, sf_dir):
     import os
     from pyspark.sql import functions as F

@@ -54,6 +54,7 @@ def decode_media(
     id_col: str = "doc_id",
     fake: bool = False,
     batch_rows_hint: int = 64,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode the binary column into per-item features via mapInPandas,
     routed by ``media_meta.media_type``:
@@ -77,7 +78,15 @@ def decode_media(
     default ``spark.sql.execution.arrow.maxRecordsPerBatch`` keeps media
     batches small — decoded frames are much larger than their
     compressed bytes.
+
+    ``on_error``: a crawl's media columns contain corrupt blobs;
+    ``"raise"`` (default, the contract-query mode) fails fast, while
+    ``"null"`` quarantines per-item decode failures as rows with NULL
+    feature columns instead of killing a 6-hour job at blob 10^9 —
+    filter ``n_bytes IS NULL`` for the reject audit.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -118,10 +127,18 @@ def decode_media(
             chans = np.full(n, -1, dtype=np.int64)
             payload = pdf[media_col].to_numpy()
 
+            failed = np.zeros(n, dtype=bool)
+
             # real path: per-item PNG decode (inherently per-image), stats
             # over the decoded pixel array
             for i in np.flatnonzero(is_png):
-                arr = decode_png(bytes(payload[i]))
+                try:
+                    arr = decode_png(bytes(payload[i]))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    failed[i] = True
+                    continue
                 lens[i] = arr.size
                 means[i] = float(arr.mean()) if arr.size else 0.0
                 maxs[i] = int(arr.max()) if arr.size else 0
@@ -134,14 +151,20 @@ def decode_media(
                 import wave
 
                 for i in np.flatnonzero(is_wav):
-                    with wave.open(io.BytesIO(bytes(payload[i])), "rb") as wf:
-                        nch = wf.getnchannels()
-                        rate = wf.getframerate()
-                        nframes = wf.getnframes()
-                        sw = wf.getsampwidth()
-                        raw = wf.readframes(nframes)
-                    dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
-                    samples = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+                    try:
+                        with wave.open(io.BytesIO(bytes(payload[i])), "rb") as wf:
+                            nch = wf.getnchannels()
+                            rate = wf.getframerate()
+                            nframes = wf.getnframes()
+                            sw = wf.getsampwidth()
+                            raw = wf.readframes(nframes)
+                        dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}[sw]
+                        samples = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        failed[i] = True
+                        continue
                     lens[i] = samples.size
                     means[i] = float(samples.mean()) if samples.size else 0.0
                     maxs[i] = int(samples.max()) if samples.size else 0
@@ -183,6 +206,16 @@ def decode_media(
             real = is_png | is_wav
             for c in ("width", "height", "n_channels"):
                 out[c] = out[c].where(real, other=pd.NA).astype("Int32")
+            if failed.any():
+                # quarantined rows: every feature column NULL, id kept
+                keep = ~failed
+                out["n_bytes"] = out["n_bytes"].where(keep, pd.NA).astype("Int64")
+                out["mean_byte"] = (
+                    out["mean_byte"].where(keep, pd.NA).astype("Float64")
+                )
+                out["max_byte"] = out["max_byte"].where(keep, pd.NA).astype("Int32")
+                for c in ("width", "height", "n_channels"):
+                    out[c] = out[c].where(keep, pd.NA)
             yield out
 
     return df.select(id_col, media_col, meta_col).mapInPandas(kernel, out_schema)
