@@ -71,6 +71,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "ngram_containment_pairs",
     "embedding_centroids",
+    "source_quality",
 ]
 
 

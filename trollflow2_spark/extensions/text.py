@@ -52,10 +52,15 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document quality metrics: token count, mean token length,
     stopword ratio, alpha ratio, and a blended quality score in [0, 1].
+    ``extra_cols`` pass through untouched (for downstream grouping
+    without a re-join).
     """
     t = F.col(text_col)
     toks = tokens(t)
@@ -74,6 +79,7 @@ def quality_features(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
         n_tok.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -254,6 +260,46 @@ def quality_filter(
         F.col(id_col),
         F.when(reason.isNull(), 1).otherwise(0).alias("keep"),
         reason.alias("reject_reason"),
+    )
+
+
+def source_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.03,
+    min_quality: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source quality rollup: doc count, mean quality score, and the
+    filter-chain keep rate — the table you read before assigning
+    :func:`~trollflow2_spark.extensions.sampling.stratified_sample`
+    rates or :func:`~trollflow2_spark.extensions.sampling.interleave_sources`
+    weights to each source.
+
+    One map pass computing features + the rule verdict, one hash agg on
+    the stratum — no joins (the filter chain re-evaluates inline rather
+    than joining :func:`quality_filter` back, so the corpus is scanned
+    once).
+    """
+    feats = quality_features(
+        df, text_col=text_col, id_col=id_col, extra_cols=[strata_col]
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("quality_score") >= min_quality)
+    ).cast("int")
+    return (
+        feats.withColumn("_keep", keep)
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), round_digits).alias("mean_quality"),
+            F.round(F.avg("_keep"), round_digits).alias("keep_rate"),
+        )
     )
 
 

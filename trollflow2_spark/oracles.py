@@ -640,6 +640,23 @@ SELECT doc_id,
 FROM r
 """
 
+ORACLES["source_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id, source,
+    {_QF_NTOK} AS n_tokens, {_QF_STOP} AS stop_ratio, {_QF_SCORE} AS score
+  FROM t
+)
+SELECT source,
+  count(*) AS n_docs,
+  round(avg(score), 6) AS mean_quality,
+  round(avg(CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.03
+                  AND score >= 0.5 THEN 1 ELSE 0 END), 6) AS keep_rate
+FROM m
+GROUP BY source
+"""
+
 ORACLES["corpus_stats"] = """
 SELECT source,
   count(*) AS n_docs,

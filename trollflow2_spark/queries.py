@@ -1461,6 +1461,15 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup (mean score + filter keep rate) — the
+    input for choosing stratified-sampling rates / mixture weights."""
+    from trollflow2_spark.extensions.text import source_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_quality(docs)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: counts, total/mean size, exact
     p50/p90/p99 size percentiles."""
@@ -1570,6 +1579,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_stats": q_corpus_stats,
+    "source_quality": q_source_quality,
     "embedding_topk": q_embedding_topk,
     "embedding_centroids": q_embedding_centroids,
     "embedding_ann": q_embedding_ann,
