@@ -72,6 +72,8 @@ HEADLINE = [
     "ngram_containment_pairs",
     "embedding_centroids",
     "source_quality",
+    "funnel_conversion",
+    "event_counts_salted",
 ]
 
 

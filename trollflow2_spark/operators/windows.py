@@ -48,3 +48,60 @@ def topk_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+@register_stage("funnel_stages")
+def funnel_stages(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: per user, how deep into ``steps`` the
+    event stream advances — step *i* only counts after step *i-1* has
+    occurred (strictly sequential, the semantics a conditional-min-per-
+    step chain cannot express without N join passes).
+
+    Single-shuffle shape: one groupBy(user) collects the (ts, type)
+    events, sorts the array, and a higher-order ``aggregate`` walks it
+    with a one-int state machine — order-dependent logic WITHOUT N
+    self-joins or a per-user Python UDF. Per-user arrays are bounded by
+    per-user event counts (sessions, not corpora); a pathological power
+    user is one fat row, not a hot shuffle partition. Ties at the same
+    timestamp resolve by the type string (struct sort order) —
+    deterministic on any engine.
+
+    Output: (user, funnel_stage, converted).
+    """
+    steps = list(steps)
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("ty")).alias("e"),
+    )
+    seq = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("e")).alias("seq")
+    )
+    step_no = F.transform(
+        F.col("seq"),
+        lambda s: F.coalesce(
+            *[
+                F.when(s["ty"] == step, F.lit(i + 1))
+                for i, step in enumerate(steps)
+            ]
+        ),
+    )
+
+    def advance(acc: Column, x: Column) -> Column:
+        expr = None
+        for i in range(1, len(steps) + 1):
+            cond = (acc == i - 1) & (x == i)
+            expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+        return expr.otherwise(acc)
+
+    stage = F.aggregate(step_no, F.lit(0), advance)
+    return seq.select(
+        F.col(user_col),
+        stage.alias("funnel_stage"),
+        (stage == len(steps)).cast("int").alias("converted"),
+    )

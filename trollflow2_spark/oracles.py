@@ -220,6 +220,44 @@ SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
 FROM y GROUP BY user_id
 """
 
+_FUNNEL_IN = ", ".join(f"'{s}'" for s in C.FUNNEL_STEPS)
+_FUNNEL_STEPNO = "CASE " + " ".join(
+    f"WHEN s.ty = '{step}' THEN {i + 1}" for i, step in enumerate(C.FUNNEL_STEPS)
+) + " END"
+_FUNNEL_ADVANCE = "CASE " + " ".join(
+    f"WHEN acc = {i - 1} AND x = {i} THEN {i}"
+    for i in range(1, len(C.FUNNEL_STEPS) + 1)
+) + " ELSE acc END"
+ORACLES["funnel_conversion"] = f"""
+WITH e AS (
+  SELECT user_id, struct_pack(ts := ts, ty := event_type) AS e
+  FROM events WHERE event_type IN ({_FUNNEL_IN})
+    AND ts < TIMESTAMP '{C.FUNNEL_TS_MAX}'
+), seq AS (
+  SELECT user_id,
+    list_transform(list_sort(list(e)), s -> {_FUNNEL_STEPNO}) AS steps
+  FROM e GROUP BY user_id
+), st AS (
+  SELECT user_id,
+    list_reduce(list_prepend(0, steps), (acc, x) -> {_FUNNEL_ADVANCE})
+      AS funnel_stage
+  FROM seq
+)
+SELECT user_id, CAST(funnel_stage AS INT) AS funnel_stage,
+  CAST(CASE WHEN funnel_stage = {len(C.FUNNEL_STEPS)} THEN 1 ELSE 0 END AS INT)
+    AS converted
+FROM st
+"""
+
+ORACLES["event_counts_salted"] = """
+SELECT event_type,
+  count(event_id) AS n_events,
+  min(event_id) AS first_event,
+  max(event_id) AS last_event
+FROM events
+GROUP BY event_type
+"""
+
 # --- joins / spatial -------------------------------------------------------
 
 _EPOCH = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS DOUBLE)"

@@ -30,6 +30,8 @@ SZA_MAX_DEG = 85.0  # day-product gate
 COVERAGE_MIN_PCT = 30.0
 NEAREST_RADIUS_SEC = 600.0
 SESSION_GAP_MIN = 30
+FUNNEL_STEPS = ("click", "view", "purchase")  # ordered conversion funnel
+FUNNEL_TS_MAX = "2024-01-04 00:00:00"  # first-3-days window (stages spread 0-3)
 PUBLISH_PATTERN = '{"uri":"%s","uid":"doc%d","size":%d,"topic":"/files/%s"}'
 
 # --- extensions ------------------------------------------------------------

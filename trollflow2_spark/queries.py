@@ -471,6 +471,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (click -> view -> purchase) per user over the
+    first-days window: one shuffle, sorted-array state-machine scan —
+    no N-pass self-joins. (Unwindowed, every synthetic user converts;
+    the cutoff spreads users across stages 0-3.)"""
+    from trollflow2_spark.operators.windows import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(C.FUNNEL_TS_MAX).cast("timestamp_ntz")
+    )
+    return funnel_stages(ev, steps=list(C.FUNNEL_STEPS))
+
+
+def q_event_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: event_type has 3 hot keys owning the
+    whole table; the salted two-stage agg spreads each over 16 tasks.
+    The oracle is the plain GROUP BY (salting is semantics-preserving)."""
+    from trollflow2_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev.select("event_type", "event_id"),
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "first_event": ("min", "event_id"),
+            "last_event": ("max", "event_id"),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins / spatial (resample family)
 
@@ -1547,6 +1578,8 @@ QUERIES = {
     "filename_compose": q_filename_compose,
     "json_extract_props": q_json_extract_props,
     "sessionize": q_sessionize,
+    "funnel_conversion": q_funnel_conversion,
+    "event_counts_salted": q_event_counts_salted,
     "nearest_join_asof": q_nearest_join_asof,
     "weighted_resample": q_weighted_resample,
     "resample_2d_nearest": q_resample_2d_nearest,
