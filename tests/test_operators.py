@@ -122,6 +122,32 @@ def test_weighted_resample(spark):
     assert out[0]["n_neighbors"] == 2
 
 
+def test_funnel_stages_strict_order(spark):
+    """Steps only count after the previous one: a view BEFORE the first
+    click is ignored; ties at one timestamp resolve by type string."""
+    from datetime import datetime
+    from trollflow2_spark.operators.windows import funnel_stages
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), "click"), (1, t(2), "view"), (1, t(3), "purchase"),
+        # u2: view before any click -> that view must not count
+        (2, t(1), "view"), (2, t(2), "click"), (2, t(3), "purchase"),
+        # u3: click only
+        (3, t(5), "click"),
+        # u4: purchase first, never clicks
+        (4, t(1), "purchase"), (4, t(2), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: (r["funnel_stage"], r["converted"])
+           for r in funnel_stages(df, ["click", "view", "purchase"]).collect()}
+    assert got[1] == (3, 1)
+    assert got[2] == (1, 0)  # click seen, but no view AFTER it
+    assert got[3] == (1, 0)
+    assert got[4] == (0, 0)
+
+
 def test_salted_agg_matches_plain_groupby(spark, sf_dir):
     """Salted two-stage aggregation must be value-identical to the plain
     groupBy (counts/min/max are decomposable)."""
