@@ -1265,6 +1265,27 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """
 
+ORACLES["lsh_bucket_stats"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
+), sigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{_BAND_SELECTS}
+), sizes AS (
+  SELECT band, bh, count(*) AS n FROM bk GROUP BY band, bh
+  HAVING count(*) >= 2
+)
+SELECT count(*) AS n_buckets,
+  CAST(sum(CASE WHEN n > {C.LSH_STATS_SALT_THRESHOLD} AND n <= 100000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_salted,
+  CAST(sum(CASE WHEN n > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  max(n) AS max_bucket_size
+FROM sizes
+"""
+
 # The iterative min-label connected-components operator, replayed in SQL
 # as a recursive transitive closure: min reachable id == converged label.
 # The CTE chain is shared between duplicate_clusters and dedup_corpus.

@@ -38,6 +38,7 @@ PUBLISH_PATTERN = '{"uri":"%s","uid":"doc%d","size":%d,"topic":"/files/%s"}'
 MINHASH_SHINGLE_WORDS = 3
 MINHASH_NUM_HASHES = 8
 MINHASH_BANDS = 4
+LSH_STATS_SALT_THRESHOLD = 2  # low so the sf0.01 contract query has n_salted > 0
 JACCARD_SHINGLE_WORDS = 2
 JACCARD_THRESHOLD = 0.2
 CONTAINMENT_THRESHOLD = 0.25  # one-sided (quote/subset) duplication gate

@@ -871,6 +871,25 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH guard audit (pairable/salted/dropped bucket counts) —
+    recall loss must be observable, and now value-checked."""
+    from trollflow2_spark.extensions.dedup import lsh_bucket_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs,
+        shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+    return lsh_bucket_stats(
+        sigs,
+        num_hashes=C.MINHASH_NUM_HASHES,
+        bands=C.MINHASH_BANDS,
+        salt_threshold=C.LSH_STATS_SALT_THRESHOLD,
+    )
+
+
 def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs resolved into duplicate clusters by iterative
     min-label connected components: every doc gets (cluster_id,
@@ -1619,6 +1638,7 @@ QUERIES = {
     "embedding_ivf": q_embedding_ivf,
     "embedding_neardup": q_embedding_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicate_clusters": q_duplicate_clusters,
     "dedup_corpus": q_dedup_corpus,
     "text_quality": q_text_quality,
