@@ -419,6 +419,14 @@ def test_resize_media_real_png_route(spark):
     # all-PNG input works without fake=True (real path, no stub hit)
     real = resize_media(df.filter("doc_id = 1"), target=(2, 2), fake=False).collect()
     assert decode_png(bytes(real[0]["media"])).shape == (2, 2)
+    # corrupt PNG: on_error='null' quarantines as a NULL media row
+    broken = spark.createDataFrame(
+        [(9, bytearray(png[:20]), {"media_type": "image/png", "width": 8,
+                                   "height": 8, "n_bytes": 20})],
+        df.schema,
+    )
+    q = resize_media(broken, target=(2, 2), on_error="null").collect()
+    assert q[0]["media"] is None and q[0]["media_meta"] is None
 
 
 def test_decode_media_quarantines_corrupt_blobs(spark):

@@ -228,6 +228,7 @@ def resize_media(
     meta_col: str = "media_meta",
     id_col: str = "doc_id",
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Resize kernel over mapInPandas.
 
@@ -239,7 +240,13 @@ def resize_media(
     proportional to the pixel-count change — exercising the identical
     contract (binary in, binary out, metadata struct updated,
     Arrow-batched); with ``fake=False`` they raise.
+
+    ``on_error="null"`` quarantines per-item decode/encode failures as
+    NULL media/meta rows (same hygiene as :func:`decode_media`) instead
+    of failing the job on one corrupt blob.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     tw, th = int(target[0]), int(target[1])
     out_schema = T.StructType(
         [
@@ -275,7 +282,12 @@ def resize_media(
             # real path: decode -> nearest-neighbor index-sample -> encode
             # (per-image, inherently; all pixel math is numpy fancy-index)
             for i in np.flatnonzero(is_png):
-                arr = decode_png(bytes(payload[i]))
+                try:
+                    arr = decode_png(bytes(payload[i]))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue  # blobs[i]/metas[i] stay None -> NULL row
                 sh, sw = arr.shape[:2]
                 ys = np.minimum((np.arange(th) * sh) // th, sh - 1)
                 xs = np.minimum((np.arange(tw) * sw) // tw, sw - 1)
