@@ -332,6 +332,41 @@ def test_pii_scrub(spark):
     assert got[5]["scrubbed"] == "[EMAIL] and [IP] and [PHONE]"
 
 
+def test_pii_scrub_matches_python_re(spark):
+    """Java-regex (Spark) and python-re replays of PII_RULES agree on
+    adversarial inputs — the patterns stay in the dialect-portable
+    subset."""
+    import re as _re
+
+    from trollflow2_spark.extensions.text import PII_RULES, pii_scrub
+
+    cases = [
+        "a+b.c_d%e@sub.domain.co.uk trailing",
+        "no-tld a@b stays",
+        "999.999.999.999 still ip-shaped",
+        "1.2.3.4.5 five octets",
+        "v1.2.3.4 version-prefixed",
+        "555-0142x 555 0142 555.0142",
+        "email@ip 1.2.3.4@host.com mix",
+        "dots..everywhere..5..6",
+        "",
+        "ip 10.0.0.1.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    for i, text in enumerate(cases):
+        s = text
+        counts = {}
+        for name, pat, token in PII_RULES:
+            counts[name] = len(_re.findall(pat, s))
+            s = _re.sub(pat, lambda _m, t=token: t, s)
+        assert got[i]["scrubbed"] == s, (text, got[i]["scrubbed"], s)
+        for name, _, _ in PII_RULES:
+            assert got[i][f"n_{name}"] == counts[name], (text, name)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_fake_media(docs)
     meta = {r["doc_id"]: r for r in media_metadata(media).collect()}
