@@ -233,6 +233,26 @@ def test_read_corpus_jsonl_csv_with_quarantine(spark, sf_dir, tmp_path):
     assert {r["doc_id"]: r["text"] for r in docs2.collect()} == want
 
 
+def test_read_corpus_gzip_jsonl(spark, tmp_path):
+    """Compressed crawl shards read transparently through the codec
+    (gzip: one task per file — shards, not one big dump)."""
+    import gzip
+    import json as _json
+    import os
+
+    from trollflow2_spark.sources.corpus import read_corpus
+
+    d = str(tmp_path / "gz")
+    os.makedirs(d)
+    with gzip.open(os.path.join(d, "shard-0.json.gz"), "wt") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"doc_id": i, "text": f"doc {i}", "lang": "en",
+                                  "source": "s", "n_chars": 5}) + "\n")
+    docs, rejects = read_corpus(spark, d, format="jsonl")
+    assert docs.count() == 10 and rejects.count() == 0
+    assert docs.filter("doc_id = 3").collect()[0]["text"] == "doc 3"
+
+
 def test_global_shuffle_matches_global_ordinal(spark, sf_dir):
     """The bucketed parallel ordinal must equal the plain global
     row_number over (hash, id) — and be a permutation of 1..N."""
