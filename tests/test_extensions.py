@@ -728,3 +728,23 @@ def test_decode_media_real_wav_route(spark):
     assert wav["mean_byte"] == pytest.approx(12.5)
     assert wav["width"] == 16000 and wav["height"] == 2 and wav["n_channels"] == 2
     assert got[2]["width"] is None  # fake stays dimension-less
+
+
+def test_ngram_contract_queries_use_lsh_candidates(spark, sf_dir):
+    """Plan pin: the benched n-gram verify contract queries must consume
+    LSH candidate pairs, never the quadratic within-block (lang, source)
+    self-join — no Join node in either plan may key on the block
+    columns, and the candidate equi-join on (id_a, id_b) must appear."""
+    from trollflow2_spark.queries import (
+        q_ngram_containment_pairs,
+        q_ngram_jaccard_pairs,
+    )
+
+    for q in (q_ngram_jaccard_pairs, q_ngram_containment_pairs):
+        plan = q(spark, sf_dir)._jdf.queryExecution().toString()
+        join_lines = [l for l in plan.splitlines() if "Join" in l]
+        assert join_lines, "expected joins in the verify plan"
+        assert not any("lang" in l or "source" in l for l in join_lines), (
+            "blocking self-join leaked back into the contract plan"
+        )
+        assert any("id_a" in l for l in join_lines)

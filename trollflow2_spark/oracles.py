@@ -381,40 +381,8 @@ SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM v
 """
 
 _SHINGLES_J = WORD_SHINGLES_SQL("text", C.JACCARD_SHINGLE_WORDS)
-ORACLES["ngram_jaccard_pairs"] = f"""
-WITH s AS (
-  SELECT doc_id, lang, source, list_distinct({_SHINGLES_J}) AS sh FROM documents
-), p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    round(
-      CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
-        THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-        ELSE 0.0 END, 6) AS jaccard
-  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
-                   AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {C.JACCARD_THRESHOLD}
-"""
-
-ORACLES["ngram_containment_pairs"] = f"""
-WITH s AS (
-  SELECT doc_id, lang, source, list_distinct({_SHINGLES_J}) AS sh FROM documents
-), p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    round(CASE WHEN len(a.sh) > 0
-      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-      ELSE 0.0 END, 6) AS containment_a,
-    round(CASE WHEN len(b.sh) > 0
-      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
-      ELSE 0.0 END, 6) AS containment_b
-  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
-                   AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, containment_a, containment_b FROM p
-WHERE containment_a >= {C.CONTAINMENT_THRESHOLD}
-   OR containment_b >= {C.CONTAINMENT_THRESHOLD}
-"""
+# ngram_jaccard_pairs / ngram_containment_pairs are defined after the
+# minhash LSH section below — the verify tier consumes LSH candidates.
 
 _SHINGLES_FP = WORD_SHINGLES_SQL("text", C.FINGERPRINT_SHINGLE_WORDS)
 ORACLES["doc_fingerprint"] = f"""
@@ -1263,6 +1231,59 @@ WITH sh AS (
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+# LSH candidate chain + n-gram verify tier: the contract (and scale)
+# form of the jaccard/containment queries — candidates come from banded
+# minhash LSH, never from a within-block self-join.
+_LSH_VERIFY_CTES = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
+), sigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{_BAND_SELECTS}
+), sized AS (
+  SELECT band, bh FROM bk GROUP BY band, bh HAVING count(*) <= 1000
+), fb AS (
+  SELECT bk.doc_id, bk.band, bk.bh FROM bk JOIN sized USING (band, bh)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), s AS (
+  SELECT doc_id, list_distinct({_SHINGLES_J}) AS sh2 FROM documents
+)
+"""
+
+ORACLES["ngram_jaccard_pairs"] = _LSH_VERIFY_CTES + f"""
+, p AS (
+  SELECT c.id_a, c.id_b,
+    round(
+      CASE WHEN len(list_distinct(list_concat(a.sh2, b.sh2))) > 0
+        THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh2, b.sh2))) AS DOUBLE)
+        ELSE 0.0 END, 6) AS jaccard
+  FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {C.JACCARD_THRESHOLD}
+"""
+
+ORACLES["ngram_containment_pairs"] = _LSH_VERIFY_CTES + f"""
+, p AS (
+  SELECT c.id_a, c.id_b,
+    round(CASE WHEN len(a.sh2) > 0
+      THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE) / len(a.sh2)
+      ELSE 0.0 END, 6) AS containment_a,
+    round(CASE WHEN len(b.sh2) > 0
+      THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE) / len(b.sh2)
+      ELSE 0.0 END, 6) AS containment_b
+  FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, containment_a, containment_b FROM p
+WHERE containment_a >= {C.CONTAINMENT_THRESHOLD}
+   OR containment_b >= {C.CONTAINMENT_THRESHOLD}
 """
 
 ORACLES["lsh_bucket_stats"] = f"""

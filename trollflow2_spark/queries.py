@@ -1097,26 +1097,33 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs: LSH candidate pairs (banded minhash) fed
+    into the n-gram Jaccard verifier via ``candidates=``. The scale
+    path — candidate volume is bounded by LSH bucket sizes, never
+    quadratic in corpus/block size (``block_cols`` blocking remains an
+    explicit small-corpus option on the operator)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs,
+        candidates=q_minhash_lsh_pairs(spark, sf_dir),
         shingle_words=C.JACCARD_SHINGLE_WORDS,
         threshold=C.JACCARD_THRESHOLD,
-        block_cols=["lang", "source"],
     )
 
 
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric (one-sided) near-dup: shingle containment per side —
-    the quote/subset-duplication detector Jaccard misses."""
+    the quote/subset-duplication detector Jaccard misses. Candidates
+    come from banded LSH (same feed as ``q_ngram_jaccard_pairs``), so
+    the verify tier scales with bucket collisions, not block sizes."""
     from trollflow2_spark.extensions.dedup import ngram_containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(
         docs,
+        candidates=q_minhash_lsh_pairs(spark, sf_dir),
         shingle_words=C.JACCARD_SHINGLE_WORDS,
         threshold=C.CONTAINMENT_THRESHOLD,
-        block_cols=["lang", "source"],
     )
 
 
