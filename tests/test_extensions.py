@@ -748,3 +748,46 @@ def test_ngram_contract_queries_use_lsh_candidates(spark, sf_dir):
             "blocking self-join leaked back into the contract plan"
         )
         assert any("id_a" in l for l in join_lines)
+
+
+def test_simhash_pairs_hamming_bands(spark):
+    """Identical docs pair at hamming 0; a one-word edit stays within
+    the banding's guaranteed-recall zone; unrelated text does not pair
+    at a tight hamming gate."""
+    from trollflow2_spark.extensions.dedup import simhash, simhash_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (4, "completely unrelated prose discussing distributed query engines"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = simhash(docs, bits=32)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(fp, bits=32, bands=4, max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 0  # exact dup: zero hamming distance
+    assert (1, 3) in got and got[(1, 3)] > 0  # one appended word: near dup
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_simhash_pairs_salted_hot_bucket(spark):
+    """The shared bucket guards apply to the simhash tier too: a hot
+    template bucket is salted into sub-buckets (pairs bounded per task,
+    cross-sub-bucket recall loss accepted), and oversized buckets drop."""
+    from trollflow2_spark.extensions.dedup import simhash_pairs
+
+    fp = spark.createDataFrame(
+        [(i, 0) for i in range(40)] + [(100, 7), (101, 7)],
+        ["doc_id", "simhash"],
+    )
+    salted = simhash_pairs(fp, bands=4, max_hamming=32, salt_threshold=10)
+    got = {(r["id_a"], r["id_b"]) for r in salted.collect()}
+    assert (100, 101) in got  # small bucket unaffected
+    n_hot = len([p for p in got if p[0] < 100])
+    assert 0 < n_hot < 40 * 39 // 2  # salted: fewer than all-pairs
+    dropped = simhash_pairs(fp, bands=4, max_hamming=32, max_bucket=10)
+    got_d = {(r["id_a"], r["id_b"]) for r in dropped.collect()}
+    assert (100, 101) in got_d and not any(p[0] < 100 for p in got_d)

@@ -161,10 +161,30 @@ def lsh_candidate_pairs(
       signature pipeline is evaluated exactly once — a sizes-join +
       self-join shape would re-execute it ~5x).
     """
+    return _bucketed_pairs(
+        _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn),
+        id_col,
+        ["band", "bh"],
+        max_bucket=max_bucket,
+        salt_threshold=salt_threshold,
+    )
+
+
+def _bucketed_pairs(
+    members: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int,
+    salt_threshold: int,
+) -> DataFrame:
+    """Candidate pairs from bucket membership rows (id + bucket key),
+    with the shared scale guards: oversized buckets dropped, hot buckets
+    salted into round-robin-redistributed sub-buckets (see
+    :func:`lsh_candidate_pairs` for the semantics). Used by both the
+    minhash-band and simhash-band candidate generators."""
     t = int(salt_threshold)
     grouped = (
-        _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn)
-        .groupBy("band", "bh")
+        members.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
@@ -183,7 +203,7 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     shuffle_parts = int(
-        signatures.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        members.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     # round-robin: sub-buckets of one hot bucket spread across tasks
     big_chunks = big_chunks.repartition(shuffle_parts)
@@ -350,6 +370,76 @@ def simhash(
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = bit if sim is None else sim + bit
     return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+    max_bucket: int = 100_000,
+    salt_threshold: int = 256,
+) -> DataFrame:
+    """Hamming-band near-dup pairs over simhash fingerprints: split the
+    ``bits``-bit fingerprint into ``bands`` contiguous segments, bucket
+    docs by (band, segment value), and keep bucket-colliding pairs whose
+    full-fingerprint hamming distance is at most ``max_hamming``.
+    Output: (id_a, id_b, hamming).
+
+    By pigeonhole, any pair within hamming distance ``bands - 1`` is
+    guaranteed to share an unchanged segment and therefore a bucket;
+    pairs between ``bands`` and ``max_hamming`` bits apart are found
+    only when the flipped bits cluster outside some band (the standard
+    simhash-banding recall trade, mirroring minhash LSH).
+
+    Scale: candidate generation is the same guarded bucket equi-join as
+    :func:`lsh_candidate_pairs` (drop + salt guards, round-robin
+    sub-bucket redistribution); verification joins the two fingerprint
+    columns back and computes one ``bit_count(xor)`` per candidate —
+    never an all-pairs comparison.
+    """
+    seg_bits = bits // bands
+    mask = (1 << seg_bits) - 1
+    membership = fingerprints.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * seg_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("seg"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.seg").alias("seg"))
+    pairs = _bucketed_pairs(
+        membership,
+        id_col,
+        ["band", "seg"],
+        max_bucket=max_bucket,
+        salt_threshold=salt_threshold,
+    )
+    fp_a = fingerprints.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    fp_b = fingerprints.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        pairs.join(fp_a, "id_a")
+        .join(fp_b, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def connected_components(

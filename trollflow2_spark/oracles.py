@@ -380,6 +380,36 @@ WITH t AS (
 SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM v
 """
 
+# simhash hamming-band pair generation: band the fingerprint into
+# contiguous segments, bucket on (band, segment), verify bucket
+# collisions with a full-fingerprint bit_count(xor) gate.
+_SIMHASH_SEG_BITS = C.SIMHASH_BITS // C.SIMHASH_BANDS
+_SIMHASH_SEG_MASK = (1 << _SIMHASH_SEG_BITS) - 1
+ORACLES["simhash_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {HASH64_SQL('tok')} AS th FROM t
+), v AS (
+  SELECT doc_id,
+  {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id
+), f AS (
+  SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM v
+), m AS (
+  SELECT doc_id, band, (simhash >> (band * {_SIMHASH_SEG_BITS})) & {_SIMHASH_SEG_MASK} AS seg
+  FROM f CROSS JOIN (SELECT CAST(unnest(range({C.SIMHASH_BANDS})) AS INT) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM m a JOIN m b ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+), p AS (
+  SELECT c.id_a, c.id_b,
+    CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+  FROM cand c JOIN f fa ON c.id_a = fa.doc_id JOIN f fb ON c.id_b = fb.doc_id
+)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= {C.SIMHASH_MAX_HAMMING}
+"""
+
 _SHINGLES_J = WORD_SHINGLES_SQL("text", C.JACCARD_SHINGLE_WORDS)
 # ngram_jaccard_pairs / ngram_containment_pairs are defined after the
 # minhash LSH section below — the verify tier consumes LSH candidates.

@@ -43,6 +43,10 @@ JACCARD_SHINGLE_WORDS = 2
 JACCARD_THRESHOLD = 0.2
 CONTAINMENT_THRESHOLD = 0.25  # one-sided (quote/subset) duplication gate
 SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # hamming-band LSH: pairs <= BANDS-1 bits apart guaranteed
+SIMHASH_MAX_HAMMING = 2  # verify gate on bucket-colliding pairs (within the
+# bands-1 guaranteed-recall zone; the synthetic corpus is template-heavy, so
+# looser gates admit a large fraction of all pairs and stop meaning "near-dup")
 FINGERPRINT_SHINGLE_WORDS = 4
 FINGERPRINT_MOD = 8
 EMB_DIM = 64  # synthetic embeddings dimensionality

@@ -1096,6 +1096,26 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=C.SIMHASH_BITS)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-band simhash near-dup pairs: the candidate-generation +
+    verify half of the simhash tier (mirrors minhash_lsh_pairs ->
+    ngram verify on the minhash side). Guards are disabled to match the
+    plain oracle semantics; salting is pinned by the shared
+    _bucketed_pairs tests."""
+    from trollflow2_spark.extensions.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs, bits=C.SIMHASH_BITS)
+    return simhash_pairs(
+        fp,
+        bits=C.SIMHASH_BITS,
+        bands=C.SIMHASH_BANDS,
+        max_hamming=C.SIMHASH_MAX_HAMMING,
+        max_bucket=1_000_000,
+        salt_threshold=1_000_000,
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs: LSH candidate pairs (banded minhash) fed
     into the n-gram Jaccard verifier via ``candidates=``. The scale
@@ -1644,6 +1664,7 @@ QUERIES = {
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "simhash_pairs": q_simhash_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicate_clusters": q_duplicate_clusters,
