@@ -791,3 +791,64 @@ def test_simhash_pairs_salted_hot_bucket(spark):
     dropped = simhash_pairs(fp, bands=4, max_hamming=32, max_bucket=10)
     got_d = {(r["id_a"], r["id_b"]) for r in dropped.collect()}
     assert (100, 101) in got_d and not any(p[0] < 100 for p in got_d)
+
+
+def test_decode_media_real_tiff_route(spark):
+    """image/tiff decodes through the repo's stdlib GeoTIFF codec: pixel
+    stats come from the actual inflated page-0 strips (deflate), and
+    overview pages do not contaminate the statistics."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.imagery import block_mean_2d, encode_geotiff
+
+    base = np.arange(48, dtype=np.uint8).reshape(6, 8) * 5
+    with_ov = encode_geotiff(
+        base, compress="DEFLATE", overviews=[block_mean_2d(base, 2)]
+    )
+    plain = encode_geotiff(np.full((3, 4), 7, dtype=np.uint8))
+    rows = [
+        (1, bytearray(with_ov),
+         {"media_type": "image/tiff", "width": 8, "height": 6,
+          "n_bytes": len(with_ov)}),
+        (2, bytearray(plain),
+         {"media_type": "image/tiff", "width": 4, "height": 3,
+          "n_bytes": len(plain)}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert got[1]["n_bytes"] == 48  # page 0 only, not page 0 + overview
+    assert got[1]["mean_byte"] == pytest.approx(float(base.mean()))
+    assert got[1]["max_byte"] == int(base.max())
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (8, 6, 1)
+    assert got[2]["mean_byte"] == 7.0 and got[2]["width"] == 4
+
+
+def test_resize_media_real_tiff_route(spark):
+    """image/tiff resizes for real: decode -> nearest-sample -> re-encode
+    as a single-page TIFF that round-trips through the codec."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import resize_media
+    from trollflow2_spark.sinks.imagery import decode_geotiff, encode_geotiff
+
+    base = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_geotiff(base, compress="DEFLATE")
+    df = spark.createDataFrame(
+        [(1, bytearray(blob),
+          {"media_type": "image/tiff", "width": 8, "height": 8,
+           "n_bytes": len(blob)})],
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    row = resize_media(df, target=(4, 4)).collect()[0]
+    assert row["media_meta"]["media_type"] == "image/tiff"
+    assert (row["media_meta"]["width"], row["media_meta"]["height"]) == (4, 4)
+    pages, _tags = decode_geotiff(bytes(row["media"]))
+    assert len(pages) == 1 and pages[0].shape == (4, 4)
+    # nearest-neighbor sample: rows/cols 0,2,4,6 of the 8x8 ramp
+    assert (pages[0] == base[::2, ::2]).all()

@@ -63,6 +63,10 @@ def decode_media(
       decoder (:func:`trollflow2_spark.sinks.imagery.decode_png`) —
       statistics over the actual decoded pixels, plus width / height /
       channel count;
+    - ``image/tiff``: REAL decode through the repo's own stdlib
+      (Geo)TIFF decoder (:func:`trollflow2_spark.sinks.imagery.
+      decode_geotiff`) — page-0 pixel statistics and dimensions
+      (overview pages ignored; deflate strips supported);
     - ``audio/wav``: REAL decode through the stdlib ``wave`` module —
       statistics over the decoded PCM samples; the dimension columns
       carry ``width=sample_rate``, ``height=frames per channel``,
@@ -103,7 +107,7 @@ def decode_media(
         import numpy as np
         import pandas as pd
 
-        from trollflow2_spark.sinks.imagery import decode_png
+        from trollflow2_spark.sinks.imagery import decode_geotiff, decode_png
 
         for pdf in batches:
             n = len(pdf)
@@ -112,12 +116,14 @@ def decode_media(
                 for m in pdf[meta_col]
             ]
             is_png = np.array([t == "image/png" for t in mtypes])
+            is_tif = np.array([t == "image/tiff" for t in mtypes])
             is_wav = np.array([t == "audio/wav" for t in mtypes])
-            if not fake and not (is_png | is_wav).all():
+            if not fake and not (is_png | is_tif | is_wav).all():
                 raise NotImplementedError(
-                    "media decode beyond image/png and audio/wav requires a "
-                    "codec library not present in this environment; pass "
-                    "fake=True for the deterministic byte-statistics decoder"
+                    "media decode beyond image/png, image/tiff and audio/wav "
+                    "requires a codec library not present in this "
+                    "environment; pass fake=True for the deterministic "
+                    "byte-statistics decoder"
                 )
             lens = np.zeros(n, dtype=np.int64)
             means = np.zeros(n, dtype=np.float64)
@@ -129,11 +135,15 @@ def decode_media(
 
             failed = np.zeros(n, dtype=bool)
 
-            # real path: per-item PNG decode (inherently per-image), stats
-            # over the decoded pixel array
-            for i in np.flatnonzero(is_png):
+            # real path: per-item image decode (inherently per-image),
+            # stats over the decoded pixel array; TIFF stats use page 0
+            # (the full-resolution page — overviews are derived data)
+            for i in np.flatnonzero(is_png | is_tif):
                 try:
-                    arr = decode_png(bytes(payload[i]))
+                    if is_png[i]:
+                        arr = decode_png(bytes(payload[i]))
+                    else:
+                        arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -174,7 +184,7 @@ def decode_media(
 
             # fake path: vectorized byte statistics — one frombuffer over
             # the remaining payloads + segmented reduceat, no per-row loops
-            rest = np.flatnonzero(~is_png & ~is_wav)
+            rest = np.flatnonzero(~is_png & ~is_tif & ~is_wav)
             if rest.size:
                 blobs = [bytes(payload[i]) for i in rest]
                 rl = np.fromiter((len(b) for b in blobs), dtype=np.int64,
@@ -203,7 +213,7 @@ def decode_media(
                     "n_channels": chans.astype("int32"),
                 }
             )
-            real = is_png | is_wav
+            real = is_png | is_tif | is_wav
             for c in ("width", "height", "n_channels"):
                 out[c] = out[c].where(real, other=pd.NA).astype("Int32")
             if failed.any():
@@ -232,14 +242,16 @@ def resize_media(
 ) -> DataFrame:
     """Resize kernel over mapInPandas.
 
-    ``image/png`` resizes FOR REAL: decode with the repo's stdlib PNG
-    decoder, nearest-neighbor index-sample to the target size, re-encode
-    — binary in, binary out, deterministic. Other media types are
-    environment-stubbed: with ``fake=True`` the deterministic stand-in
-    rescales the metadata and re-emits the payload truncated to a size
-    proportional to the pixel-count change — exercising the identical
-    contract (binary in, binary out, metadata struct updated,
-    Arrow-batched); with ``fake=False`` they raise.
+    ``image/png`` and ``image/tiff`` resize FOR REAL: decode with the
+    repo's stdlib codecs, nearest-neighbor index-sample to the target
+    size, re-encode (TIFF re-encodes page 0 only — overview pages are
+    derived data and stale after a resize) — binary in, binary out,
+    deterministic. Other media types are environment-stubbed: with
+    ``fake=True`` the deterministic stand-in rescales the metadata and
+    re-emits the payload truncated to a size proportional to the
+    pixel-count change — exercising the identical contract (binary in,
+    binary out, metadata struct updated, Arrow-batched); with
+    ``fake=False`` they raise.
 
     ``on_error="null"`` quarantines per-item decode/encode failures as
     NULL media/meta rows (same hygiene as :func:`decode_media`) instead
@@ -260,7 +272,12 @@ def resize_media(
         import numpy as np
         import pandas as pd
 
-        from trollflow2_spark.sinks.imagery import decode_png, encode_png
+        from trollflow2_spark.sinks.imagery import (
+            decode_geotiff,
+            decode_png,
+            encode_geotiff,
+            encode_png,
+        )
 
         for pdf in batches:
             metas_in = pdf[meta_col]
@@ -269,11 +286,12 @@ def resize_media(
                 for m in metas_in
             ]
             is_png = np.array([t == "image/png" for t in mtypes])
-            if not fake and not is_png.all():
+            is_tif = np.array([t == "image/tiff" for t in mtypes])
+            if not fake and not (is_png | is_tif).all():
                 raise NotImplementedError(
-                    "resize beyond image/png requires an image library not "
-                    "present in this environment; pass fake=True for the "
-                    "metadata-only stub"
+                    "resize beyond image/png and image/tiff requires an "
+                    "image library not present in this environment; pass "
+                    "fake=True for the metadata-only stub"
                 )
             payload = pdf[media_col].to_numpy()
             blobs = [None] * len(pdf)
@@ -281,9 +299,12 @@ def resize_media(
 
             # real path: decode -> nearest-neighbor index-sample -> encode
             # (per-image, inherently; all pixel math is numpy fancy-index)
-            for i in np.flatnonzero(is_png):
+            for i in np.flatnonzero(is_png | is_tif):
                 try:
-                    arr = decode_png(bytes(payload[i]))
+                    if is_png[i]:
+                        arr = decode_png(bytes(payload[i]))
+                    else:
+                        arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -292,16 +313,19 @@ def resize_media(
                 ys = np.minimum((np.arange(th) * sh) // th, sh - 1)
                 xs = np.minimum((np.arange(tw) * sw) // tw, sw - 1)
                 out_arr = arr[np.ix_(ys, xs)]
-                blob = encode_png(out_arr)
+                if is_png[i]:
+                    blob = encode_png(out_arr)
+                else:
+                    blob = encode_geotiff(out_arr)
                 blobs[i] = blob
                 metas[i] = {
-                    "media_type": "image/png", "width": tw, "height": th,
+                    "media_type": mtypes[i], "width": tw, "height": th,
                     "n_bytes": len(blob),
                 }
 
             # fake path: vectorized scale arithmetic; only the
             # variable-length blob slicing stays per-row (ragged output)
-            rest = np.flatnonzero(~is_png)
+            rest = np.flatnonzero(~is_png & ~is_tif)
             if rest.size:
                 w = np.fromiter((metas_in[i]["width"] for i in rest),
                                 dtype=np.int64, count=rest.size)

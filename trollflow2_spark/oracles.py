@@ -991,6 +991,30 @@ SELECT doc_id,
 FROM vals GROUP BY doc_id
 """
 
+# Real TIFF decode: page-0 gray pixel ramp (doc_id*3 + k) % 256 over a
+# (doc_id%4+2) x (doc_id%6+2) deflate-compressed GeoTIFF.
+ORACLES["multimodal_decode_tiff"] = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+    CAST(doc_id % 4 + 2 AS BIGINT) AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, w, h,
+    (doc_id * 3 + unnest(generate_series(0, w * h - 1))) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+  count(*) AS n_bytes,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(any_value(w) AS INTEGER) AS width,
+  CAST(any_value(h) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_channels
+FROM vals GROUP BY doc_id
+"""
+
 # Real WAV decode: 16-bit mono PCM ramp ((doc_id*7 + i) % 201) - 100 over
 # (doc_id % 50 + 10) frames at 8 kHz; integer sums exact in float64.
 ORACLES["multimodal_decode_wav"] = """

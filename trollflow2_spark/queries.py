@@ -33,6 +33,7 @@ from trollflow2_spark.extensions.dedup import (
     simhash,
 )
 from trollflow2_spark.extensions.multimodal import (
+    MEDIA_META_SCHEMA,
     attach_fake_media,
     decode_media,
     media_metadata,
@@ -1315,6 +1316,60 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode: deterministic gray deflate-compressed GeoTIFFs
+    are encoded with the repo's stdlib encoder executor-side, then
+    ``decode_media`` routes ``image/tiff`` through the real stdlib
+    decoder (page-0 strips inflated, pixel statistics + dimensions) —
+    the pixel ramp ``(doc_id*3 + k) % 256`` is SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def make_tiff(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.imagery import encode_geotiff
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 6 + 2, d % 4 + 2
+                px = ((d * 3 + np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
+                blob = encode_geotiff(px, compress="DEFLATE")
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/tiff",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_tiff, media_schema)
+    out = decode_media(media)  # fake=False: the real image/tiff route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: deterministic 16-bit PCM WAV files are written
     with the stdlib ``wave`` module executor-side, then ``decode_media``
@@ -1675,6 +1730,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
     "multimodal_resize": q_multimodal_resize,
