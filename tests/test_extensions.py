@@ -291,9 +291,14 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     )
     shuffled = global_shuffle(docs)
     n = docs.count()
-    manifest = write_training_shards(
+    manifest_df = write_training_shards(
         shuffled, str(tmp_path / "shards"), n_shards=4
-    ).collect()
+    )
+    # manifest comes from footer metadata only: its plan must be a local
+    # relation, never a scan over the shard files' data pages
+    plan = manifest_df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "parquet" not in plan.lower()
+    manifest = manifest_df.collect()
     assert sum(r["n_rows"] for r in manifest) == n
     spans = sorted((r["min_pos"], r["max_pos"]) for r in manifest)
     assert spans[0][0] == 1 and spans[-1][1] == n
@@ -852,3 +857,29 @@ def test_resize_media_real_tiff_route(spark):
     assert len(pages) == 1 and pages[0].shape == (4, 4)
     # nearest-neighbor sample: rows/cols 0,2,4,6 of the 8x8 ramp
     assert (pages[0] == base[::2, ::2]).all()
+
+
+def test_corpus_stats_approx_default_close_to_exact(spark, sf_dir):
+    """The default percentile mode is the approx sketch (100 TB form);
+    at high accuracy it must sit within a tight tolerance of the exact
+    percentiles, and the non-percentile columns must match exactly."""
+    import os
+
+    from trollflow2_spark.extensions.text import corpus_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    exact = {r["source"]: r for r in corpus_stats(docs, percentile_mode="exact").collect()}
+    approx = {r["source"]: r for r in corpus_stats(docs).collect()}
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        assert (a["n_docs"], a["total_size"], a["mean_size"]) == (
+            e["n_docs"], e["total_size"], e["mean_size"],
+        )
+        for col in ("p50_size", "p90_size", "p99_size"):
+            # approx_percentile returns a true corpus value near the rank;
+            # allow 5% relative slack
+            assert abs(a[col] - e[col]) <= 0.05 * max(e[col], 1.0), (src, col)
+
+    with pytest.raises(ValueError):
+        corpus_stats(docs, percentile_mode="median-ish")

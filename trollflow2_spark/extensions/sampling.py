@@ -208,8 +208,14 @@ def write_training_shards(
     ``order_col=shuffle_pos`` from :func:`global_shuffle` this is the
     standard "shuffle once, stream shards sequentially" training layout.
 
-    Returns the read-back manifest (one row per shard file: rows,
-    min/max position) — the audit the trainer checks before a run.
+    Returns the manifest (one row per shard file: rows, min/max
+    position) — the audit the trainer checks before a run. For parquet
+    output the manifest comes from the shard files' FOOTER metadata
+    (row counts + per-row-group min/max statistics of the order
+    column): footers are a few KB per file, so the audit never re-reads
+    data pages — a second full corpus scan per materialization would be
+    real money at 100 TB. Non-parquet formats (no footer statistics)
+    fall back to the read-back aggregation.
     """
     (
         df.repartitionByRange(n_shards, F.col(order_col))
@@ -218,6 +224,8 @@ def write_training_shards(
         .format(format)
         .save(path)
     )
+    if format == "parquet":
+        return _parquet_footer_manifest(df.sparkSession, path, order_col)
     back = df.sparkSession.read.format(format).load(path)
     return (
         back.groupBy(F.input_file_name().alias("shard_file"))
@@ -226,6 +234,38 @@ def write_training_shards(
             F.min(order_col).alias("min_pos"),
             F.max(order_col).alias("max_pos"),
         )
+    )
+
+
+def _parquet_footer_manifest(spark, path: str, order_col: str) -> DataFrame:
+    """Shard manifest from parquet footer metadata only (no data-page
+    reads): per file, ``num_rows`` from the footer and min/max of
+    ``order_col`` folded over the row-group column statistics. The loop
+    is O(n_shards) footers — control-sized driver work, same class as
+    collecting the manifest itself."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index(order_col)
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"shard {f} row-group {rg} lacks {order_col} statistics; "
+                    "cannot build a footer-only manifest"
+                )
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        rows.append((f"file://{os.path.abspath(f)}", int(md.num_rows), mn, mx))
+    return spark.createDataFrame(
+        rows, "shard_file string, n_rows bigint, min_pos bigint, max_pos bigint"
     )
 
 

@@ -308,17 +308,30 @@ def corpus_stats(
     strata_col: str = "source",
     size_col: str = "n_chars",
     round_digits: int = 6,
+    percentile_mode: str = "approx",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
-    """Per-stratum corpus profile: doc count, total/mean size, and exact
+    """Per-stratum corpus profile: doc count, total/mean size, and
     p50/p90/p99 size percentiles — the first thing you compute on a new
     crawl dump.
 
-    Exact ``percentile`` shuffles every size value to its group (fine:
-    one bigint per doc); at 100 TB swap in ``approx_percentile``, which
-    merges t-digest sketches map-side — same call shape, no exact
-    oracle. One shuffle either way.
+    ``percentile_mode="approx"`` (the default — the 100 TB form) uses
+    ``approx_percentile``, whose sketches merge map-side so only
+    fixed-size digests shuffle; ``"exact"`` uses ``percentile``, which
+    shuffles every size value to its group — the oracle-reproducible
+    mode the contract query pins (approx results are
+    accuracy-parameterized, not bit-stable across engines). One shuffle
+    either way.
     """
-    pcts = F.percentile(F.col(size_col), F.lit([0.5, 0.9, 0.99]))
+    if percentile_mode not in ("approx", "exact"):
+        raise ValueError(
+            f"percentile_mode must be 'approx' or 'exact', got {percentile_mode!r}"
+        )
+    qs = F.lit([0.5, 0.9, 0.99])
+    if percentile_mode == "approx":
+        pcts = F.approx_percentile(F.col(size_col), qs, F.lit(approx_accuracy))
+    else:
+        pcts = F.percentile(F.col(size_col), qs)
     return (
         df.groupBy(strata_col)
         .agg(

@@ -1603,12 +1603,14 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus profile: counts, total/mean size, exact
-    p50/p90/p99 size percentiles."""
+    """Per-source corpus profile: counts, total/mean size, p50/p90/p99
+    size percentiles. The contract pins percentile_mode="exact" (oracle
+    bit-parity); the operator's default is the approx-sketch 100 TB
+    form, tolerance-tested in tests/test_extensions.py."""
     from trollflow2_spark.extensions.text import corpus_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    return corpus_stats(docs)
+    return corpus_stats(docs, percentile_mode="exact")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
