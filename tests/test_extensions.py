@@ -883,3 +883,33 @@ def test_corpus_stats_approx_default_close_to_exact(spark, sf_dir):
 
     with pytest.raises(ValueError):
         corpus_stats(docs, percentile_mode="median-ish")
+
+
+def test_lsh_salted_recovery_rounds(spark):
+    """A >256-member template cluster loses cross-sub-bucket pairs to
+    salting; a rotated recovery round buys a measurable fraction back
+    (never exceeding all-pairs, never losing already-found pairs), and
+    lsh_bucket_stats reports the recovered count."""
+    from trollflow2_spark.extensions.dedup import lsh_bucket_stats
+
+    n, t = 600, 256
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, shingle_words=2, num_hashes=8)
+    base = lsh_candidate_pairs(sigs, num_hashes=8, bands=4, salt_threshold=t)
+    rec = lsh_candidate_pairs(
+        sigs, num_hashes=8, bands=4, salt_threshold=t, recover_rounds=1
+    )
+    base_pairs = {(r["id_a"], r["id_b"]) for r in base.collect()}
+    rec_pairs = {(r["id_a"], r["id_b"]) for r in rec.collect()}
+    assert base_pairs < rec_pairs  # strictly more recall, nothing lost
+    assert len(rec_pairs) <= n * (n - 1) // 2
+    stats = lsh_bucket_stats(
+        sigs, num_hashes=8, bands=4, salt_threshold=t
+    ).collect()[0]
+    assert stats["n_salted"] == 4
+    # one rotation round over the salted buckets finds exactly the
+    # pairs the recovery path added
+    assert stats["n_recovered"] == len(rec_pairs) - len(base_pairs)

@@ -137,6 +137,8 @@ def lsh_candidate_pairs(
     max_bucket: int = 100_000,
     salt_threshold: int = 256,
     hash_fn: HashFn | None = None,
+    recover_rounds: int = 0,
+    rot_seed: int = 91,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands, bucket docs
     by (band_id, band_hash), emit candidate pairs that share any bucket.
@@ -159,7 +161,14 @@ def lsh_candidate_pairs(
       at the explicit price of missing cross-sub-bucket pairs;
     - small buckets take the direct single-pass path (the upstream
       signature pipeline is evaluated exactly once — a sizes-join +
-      self-join shape would re-execute it ~5x).
+      self-join shape would re-execute it ~5x);
+    - ``recover_rounds`` > 0 runs extra passes over the *salted* buckets
+      only, re-chunking their members in rotated hash orders
+      (``hash64(id, seed=rot_seed + round)``) and unioning the pair
+      sets: a pair split across id-order sub-buckets gets another
+      chance to land in one rotated sub-bucket, recovering part of the
+      salting recall loss at the cost of one extra bounded pass per
+      round (:func:`lsh_bucket_stats` reports ``n_recovered``).
     """
     return _bucketed_pairs(
         _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn),
@@ -167,7 +176,23 @@ def lsh_candidate_pairs(
         ["band", "bh"],
         max_bucket=max_bucket,
         salt_threshold=salt_threshold,
+        recover_rounds=recover_rounds,
+        rot_seed=rot_seed,
     )
+
+
+def _chunk_arrays(df: DataFrame, t: int) -> DataFrame:
+    """Split each row's ``ids`` array into contiguous chunks of at most
+    ``t`` elements (one output row per chunk, singletons dropped)."""
+    n_chunks = F.ceil(F.size("ids") / F.lit(t)).cast("int")
+    return df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.slice(F.col("ids"), c * t + 1, t),
+            )
+        ).alias("ids")
+    ).filter(F.size("ids") >= 2)
 
 
 def _bucketed_pairs(
@@ -176,12 +201,19 @@ def _bucketed_pairs(
     bucket_cols: list[str],
     max_bucket: int,
     salt_threshold: int,
+    recover_rounds: int = 0,
+    rot_seed: int = 91,
 ) -> DataFrame:
     """Candidate pairs from bucket membership rows (id + bucket key),
     with the shared scale guards: oversized buckets dropped, hot buckets
     salted into round-robin-redistributed sub-buckets (see
     :func:`lsh_candidate_pairs` for the semantics). Used by both the
-    minhash-band and simhash-band candidate generators."""
+    minhash-band and simhash-band candidate generators.
+
+    ``recover_rounds`` re-chunks the salted buckets' members in rotated
+    hash orders and unions the resulting pair sets (bounded extra
+    passes, partial recovery of cross-sub-bucket pairs).
+    """
     t = int(salt_threshold)
     grouped = (
         members.groupBy(*bucket_cols)
@@ -190,24 +222,30 @@ def _bucketed_pairs(
     )
     small = grouped.filter(F.size("ids") <= t)
     big = grouped.filter(F.size("ids") > t)
-    n_chunks = F.ceil(F.size("ids") / F.lit(t)).cast("int")
-    big_chunks = (
-        big.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda c: F.slice(F.col("ids"), c * t + 1, t),
-                )
-            ).alias("ids")
-        )
-        .filter(F.size("ids") >= 2)
-    )
     shuffle_parts = int(
         members.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     # round-robin: sub-buckets of one hot bucket spread across tasks
-    big_chunks = big_chunks.repartition(shuffle_parts)
-    pairs = _pair_explode(small).unionByName(_pair_explode(big_chunks))
+    chunk_sets = [_chunk_arrays(big, t).repartition(shuffle_parts)]
+    for r in range(int(recover_rounds)):
+        rot = hash64(F.col("_rid").cast("string"), seed=rot_seed + r)
+        rotated = (
+            big.select(*bucket_cols, F.explode("ids").alias("_rid"))
+            .withColumn("_rh", rot)
+            .groupBy(*bucket_cols)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_rh").alias("h"), F.col("_rid").alias("i"))
+                    )
+                ).alias("s")
+            )
+            .select(F.transform("s", lambda x: x["i"]).alias("ids"))
+        )
+        chunk_sets.append(_chunk_arrays(rotated, t).repartition(shuffle_parts))
+    pairs = _pair_explode(small)
+    for chunks in chunk_sets:
+        pairs = pairs.unionByName(_pair_explode(chunks))
     return pairs.distinct()
 
 
@@ -219,17 +257,23 @@ def lsh_bucket_stats(
     max_bucket: int = 100_000,
     salt_threshold: int = 256,
     hash_fn: HashFn | None = None,
+    rot_seed: int = 91,
 ) -> DataFrame:
     """One-row visibility audit for the LSH guards: how many pairable
-    buckets exist, how many get salted, how many are dropped (recall
-    loss must be observable, not silent)."""
+    buckets exist, how many get salted, how many are dropped, and how
+    many extra pairs ONE rotated recovery round would add over the
+    salted buckets (``n_recovered``) — recall loss, and how much of it
+    ``recover_rounds=1`` buys back, must be observable, not silent.
+
+    The recovery audit runs only over salted buckets' members (bounded:
+    the same rows a recovery round itself would touch)."""
+    bk = _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn)
     sizes = (
-        _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn)
-        .groupBy("band", "bh")
+        bk.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
-    return sizes.agg(
+    base = sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(
             F.when((F.col("n") > salt_threshold) & (F.col("n") <= max_bucket), 1).otherwise(0)
@@ -237,6 +281,32 @@ def lsh_bucket_stats(
         F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_dropped"),
         F.max("n").alias("max_bucket_size"),
     )
+    t = int(salt_threshold)
+    salted = sizes.filter((F.col("n") > t) & (F.col("n") <= max_bucket)).select(
+        "band", "bh"
+    )
+    mem = bk.join(salted, ["band", "bh"]).withColumn(
+        "_rh", hash64(F.col(id_col).cast("string"), seed=rot_seed)
+    )
+    g = mem.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids_id"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_rh").alias("h"), F.col(id_col).alias("i")))
+        ).alias("s_rot"),
+    )
+    pairs_id = _pair_explode(
+        _chunk_arrays(g.select(F.col("ids_id").alias("ids")), t)
+    ).distinct()
+    pairs_rot = _pair_explode(
+        _chunk_arrays(
+            g.select(F.transform("s_rot", lambda x: x["i"]).alias("ids")), t
+        )
+    ).distinct()
+    n_rec = (
+        pairs_rot.join(pairs_id, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_recovered"))
+    )
+    return base.crossJoin(n_rec)
 
 
 def ngram_jaccard_pairs(

@@ -1340,6 +1340,11 @@ WHERE containment_a >= {C.CONTAINMENT_THRESHOLD}
    OR containment_b >= {C.CONTAINMENT_THRESHOLD}
 """
 
+# the recovery audit replays the salted chunking twice: chunks in id
+# order (what salting actually emits) vs chunks in rotated-hash order
+# (what one recovery round emits); n_recovered = rotated-only pairs.
+_LSH_T = C.LSH_STATS_SALT_THRESHOLD
+_LSH_ROT = HASH64_SQL("CAST(bk.doc_id AS VARCHAR)", seed=C.LSH_ROT_SEED)
 ORACLES["lsh_bucket_stats"] = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
@@ -1352,12 +1357,38 @@ WITH sh AS (
 ), sizes AS (
   SELECT band, bh, count(*) AS n FROM bk GROUP BY band, bh
   HAVING count(*) >= 2
+), salted AS (
+  SELECT band, bh FROM sizes WHERE n > {_LSH_T} AND n <= 100000
+), mem AS (
+  SELECT bk.doc_id, bk.band, bk.bh, {_LSH_ROT} AS rh
+  FROM bk JOIN salted USING (band, bh)
+), ranked AS (
+  SELECT doc_id, band, bh,
+    CAST(floor((row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) - 1)
+               / {_LSH_T}) AS BIGINT) AS c_id,
+    CAST(floor((row_number() OVER (PARTITION BY band, bh ORDER BY rh, doc_id) - 1)
+               / {_LSH_T}) AS BIGINT) AS c_rot
+  FROM mem
+), p_id AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.bh = b.bh AND a.c_id = b.c_id
+   AND a.doc_id < b.doc_id
+), p_rot AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.bh = b.bh AND a.c_rot = b.c_rot
+   AND a.doc_id < b.doc_id
+), rec AS (
+  SELECT count(*) AS n_recovered
+  FROM (SELECT id_a, id_b FROM p_rot EXCEPT SELECT id_a, id_b FROM p_id)
 )
 SELECT count(*) AS n_buckets,
-  CAST(sum(CASE WHEN n > {C.LSH_STATS_SALT_THRESHOLD} AND n <= 100000
+  CAST(sum(CASE WHEN n > {_LSH_T} AND n <= 100000
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_salted,
   CAST(sum(CASE WHEN n > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-  max(n) AS max_bucket_size
+  max(n) AS max_bucket_size,
+  (SELECT n_recovered FROM rec) AS n_recovered
 FROM sizes
 """
 

@@ -39,6 +39,7 @@ MINHASH_SHINGLE_WORDS = 3
 MINHASH_NUM_HASHES = 8
 MINHASH_BANDS = 4
 LSH_STATS_SALT_THRESHOLD = 2  # low so the sf0.01 contract query has n_salted > 0
+LSH_ROT_SEED = 91  # rotation-hash seed for salted-bucket recall recovery
 JACCARD_SHINGLE_WORDS = 2
 JACCARD_THRESHOLD = 0.2
 CONTAINMENT_THRESHOLD = 0.25  # one-sided (quote/subset) duplication gate

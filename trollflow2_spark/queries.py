@@ -888,6 +888,7 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=C.MINHASH_NUM_HASHES,
         bands=C.MINHASH_BANDS,
         salt_threshold=C.LSH_STATS_SALT_THRESHOLD,
+        rot_seed=C.LSH_ROT_SEED,
     )
 
 
