@@ -306,3 +306,49 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path):
     totals = {k: r["n_events"] for k, r in final.items()}
     assert totals == {"u0": 11, "u1": 5}
     assert final["u0"]["n_batches"] == 2  # state carried across batches
+
+
+def test_kafka_source_sink_shape(spark):
+    """Kafka source/sink registration is shape-pinned without a broker:
+    URI routing, constructed reader options, and the sink's
+    (topic, value[, key]) row contract."""
+    from trollflow2_spark.sinks.publish import kafka_sink_options, to_kafka_rows
+    from trollflow2_spark.streaming.runner import (
+        kafka_source_options,
+        parse_message_source_uri,
+    )
+
+    fmt, opts = kafka_source_options("b1:9092,b2:9092", "tf2-messages")
+    assert fmt == "kafka"
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "tf2-messages"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+
+    assert parse_message_source_uri("kafka://b1:9092/msgs") == (
+        "kafka", {"bootstrap_servers": "b1:9092", "topic": "msgs"},
+    )
+    assert parse_message_source_uri("socket://h:1234") == (
+        "socket", {"host": "h", "port": 1234},
+    )
+    assert parse_message_source_uri("/tmp/messages") == (
+        "file", {"message_dir": "/tmp/messages"},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_message_source_uri("kafka://only-servers")
+
+    fmt, opts = kafka_sink_options("b1:9092")
+    assert (fmt, opts) == ("kafka", {"kafka.bootstrap.servers": "b1:9092"})
+    msgs = spark.createDataFrame(
+        [("/png/areaA", '{"uri":"f.png"}', "areaA")],
+        ["topic", "message", "area"],
+    )
+    rows = to_kafka_rows(msgs)
+    assert rows.columns == ["topic", "value"]
+    keyed = to_kafka_rows(msgs, key_col="area")
+    assert keyed.columns == ["topic", "value", "key"]
+    got = keyed.collect()[0]
+    assert got["topic"] == "/png/areaA" and got["key"] == "areaA"
+    assert json.loads(got["value"])["uri"] == "f.png"

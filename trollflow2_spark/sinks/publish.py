@@ -94,3 +94,35 @@ def publish_to_json_dir(messages: DataFrame, out_dir: str) -> str:
     path = os.path.join(out_dir, "published_messages")
     messages.write.mode("append").json(path)
     return path
+
+
+def kafka_sink_options(bootstrap_servers: str) -> tuple[str, dict[str, str]]:
+    """(format, options) for the Kafka publisher sink. A pure builder so
+    the constructed options are testable without the connector jar or a
+    broker (the wire path needs a real deployment)."""
+    return "kafka", {"kafka.bootstrap.servers": bootstrap_servers}
+
+
+def to_kafka_rows(messages: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Shape publisher messages into the Kafka sink's expected columns:
+    ``topic`` (per-row routing — the composed ``/{format}/{area}`` topic
+    rides along, matching the reference's per-file topic composition),
+    ``value`` (the JSON payload), and optionally ``key`` (for partition
+    affinity, e.g. by area so one area's files stay ordered)."""
+    cols = [
+        F.col("topic").cast("string").alias("topic"),
+        F.col("message").cast("string").alias("value"),
+    ]
+    if key_col is not None:
+        cols.append(F.col(key_col).cast("string").alias("key"))
+    return messages.select(*cols)
+
+
+def publish_to_kafka(
+    messages: DataFrame, bootstrap_servers: str, key_col: str | None = None
+) -> None:
+    """Publish messages to Kafka (one record per produced file, per-row
+    topic routing). Requires the ``spark-sql-kafka`` connector on the
+    classpath — absent here; shape pinned by tests."""
+    fmt, opts = kafka_sink_options(bootstrap_servers)
+    to_kafka_rows(messages, key_col=key_col).write.format(fmt).options(**opts).save()
