@@ -74,6 +74,12 @@ HEADLINE = [
     "source_quality",
     "funnel_conversion",
     "event_counts_salted",
+    # round 5 additions
+    "ngram_jaccard_pairs",  # now LSH-candidate-fed (was quadratic blocking)
+    "simhash_pairs",
+    "multimodal_decode_tiff",
+    "skew_seq_plain",  # hot-key baseline: one task owns 50% of rows
+    "skew_seq_salted",  # salted two-stage twin — must beat the baseline
 ]
 
 

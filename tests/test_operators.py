@@ -180,3 +180,25 @@ def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         salted_agg(spark.range(5), ["id"], {"a": ("avg", "id")})
+
+
+def test_sequence_fingerprint_salted_equals_plain(spark):
+    """The salted two-stage sequence fingerprint is order-preserving:
+    identical hashes/counts to the single-stage form on a skewed key,
+    with the hot key spread over contiguous order buckets in stage 1."""
+    from trollflow2_spark.operators.skew import sequence_fingerprint
+
+    rows = [(i, -1 if i % 2 == 0 else i % 5, f"e{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["seq_id", "key", "val"])
+    plain = {
+        r["key"]: (r["seq_hash"], r["n_events"])
+        for r in sequence_fingerprint(df, "key", "seq_id", "val").collect()
+    }
+    salted = {
+        r["key"]: (r["seq_hash"], r["n_events"])
+        for r in sequence_fingerprint(
+            df, "key", "seq_id", "val", bucket_width=100
+        ).collect()
+    }
+    assert plain == salted
+    assert plain[-1][1] == 500  # the hot key owns half the rows

@@ -74,3 +74,70 @@ def salted_agg(
         ]
     )
     return stage2
+
+
+@register_stage("sequence_fingerprint")
+def sequence_fingerprint(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    bucket_width: int | None = None,
+    sep: str = "|",
+) -> DataFrame:
+    """Per-key fingerprint of the ordered value sequence:
+    ``md5(value_1 | value_2 | ...)`` in ``order_col`` order, plus the
+    event count — the session-replay / funnel-sequence shape where skew
+    actually hurts Spark: ``collect_list`` has no map-side reduction, so
+    a hot key ships ALL its rows to one reduce task and sorts one giant
+    array there (unlike count/min/max, whose partial aggregation makes
+    plain groupBy skew-immune).
+
+    ``bucket_width=None`` is that plain single-stage shape (the oracle
+    twin). With a ``bucket_width``, the salted two-stage form: stage 1
+    fingerprints contiguous ``order_col`` ranges per (key, bucket) —
+    spreading a hot key over ``range/width`` tasks — and stage 2
+    concatenates the bucket substrings in bucket order, which equals the
+    global order because buckets are contiguous ranges. Exactly
+    order-preserving, so both forms hash identically; only the shuffle
+    layout differs.
+    """
+    k, o, v = F.col(key_col), F.col(order_col), F.col(value_col)
+    if bucket_width is None:
+        seq = F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))),
+                lambda x: x["v"],
+            ),
+            sep,
+        )
+        return df.groupBy(k.alias(key_col)).agg(
+            F.md5(seq).alias("seq_hash"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    bucket = F.floor(o / F.lit(int(bucket_width))).cast("bigint")
+    part = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))),
+            lambda x: x["v"],
+        ),
+        sep,
+    )
+    stage1 = df.groupBy(k.alias(key_col), bucket.alias("__bucket")).agg(
+        part.alias("__part"), F.count(F.lit(1)).alias("__n")
+    )
+    merged = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__bucket").alias("b"), F.col("__part").alias("s"))
+                )
+            ),
+            lambda x: x["s"],
+        ),
+        sep,
+    )
+    return stage1.groupBy(key_col).agg(
+        F.md5(merged).alias("seq_hash"),
+        F.sum("__n").alias("n_events"),
+    )

@@ -258,6 +258,26 @@ FROM events
 GROUP BY event_type
 """
 
+# skew stress fixture: replicated events with a hot key owning 50% of
+# rows; the ordered-sequence fingerprint is the skew-sensitive agg
+# (collect_list has no map-side reduction). Plain and salted Spark
+# forms are order-preserving by construction, so ONE oracle serves both.
+_SKEW_SEQ_SQL = f"""
+WITH rep AS (
+  SELECT e.event_id * {C.SKEW_REPLICATE} + r.r AS seq_id,
+         CASE WHEN e.event_id % 2 = 0 THEN -1 ELSE e.user_id END AS skew_user,
+         e.event_type
+  FROM events e
+  CROSS JOIN (SELECT unnest(range({C.SKEW_REPLICATE})) AS r) r
+)
+SELECT skew_user,
+  md5(string_agg(event_type, '|' ORDER BY seq_id)) AS seq_hash,
+  count(*) AS n_events
+FROM rep GROUP BY skew_user
+"""
+ORACLES["skew_seq_plain"] = _SKEW_SEQ_SQL
+ORACLES["skew_seq_salted"] = _SKEW_SEQ_SQL
+
 # --- joins / spatial -------------------------------------------------------
 
 _EPOCH = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS DOUBLE)"

@@ -60,6 +60,10 @@ IVF_N_PROBE = 3
 NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are near-random; max cos ~0.5
 NEARDUP_BITS = 4
 
+# --- skew stress fixture ---------------------------------------------------
+SKEW_REPLICATE = 64  # events replicated 64x -> 6.4M rows at sf0.1
+SKEW_BUCKET_WIDTH = 100_000  # contiguous seq_id range per salted stage-1 task
+
 # --- spatial / raster ------------------------------------------------------
 R2D_RADIUS = 3.0  # 2-D nearest-neighbor radius (grid units)
 R2D_RADIUS_LEFT = 1.0  # small radius so the left-mode query has real misses

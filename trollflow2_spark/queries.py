@@ -503,6 +503,55 @@ def q_event_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew stress fixture: events replicated ``SKEW_REPLICATE``x with a
+    synthetic hot key owning 50% of all rows (every even event_id maps
+    to user -1). ``seq_id`` is the unique global order column."""
+    ev = load_table(spark, sf_dir, "events")
+    rep = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(C.SKEW_REPLICATE - 1))).alias("r"),
+    )
+    return rep.select(
+        (F.col("event_id") * C.SKEW_REPLICATE + F.col("r")).alias("seq_id"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("skew_user"),
+        "event_type",
+    )
+
+
+def q_skew_seq_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence fingerprint per user on the hot-key
+    fixture, single-stage groupBy: collect_list has no map-side
+    reduction, so the hot key's full history lands in ONE reduce task —
+    the benched skew baseline the salted twin must beat."""
+    from trollflow2_spark.operators.skew import sequence_fingerprint
+
+    return sequence_fingerprint(
+        _skewed_events(spark, sf_dir), "skew_user", "seq_id", "event_type"
+    )
+
+
+def q_skew_seq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-stage twin of ``skew_seq_plain``: stage 1
+    fingerprints contiguous seq_id ranges per (user, bucket) — the hot
+    key spreads over range/width tasks — and stage 2 concatenates bucket
+    substrings in bucket order (= global order, buckets are contiguous).
+    Same oracle as the plain form: salting is semantics-preserving."""
+    from trollflow2_spark.operators.skew import sequence_fingerprint
+
+    return sequence_fingerprint(
+        _skewed_events(spark, sf_dir),
+        "skew_user",
+        "seq_id",
+        "event_type",
+        bucket_width=C.SKEW_BUCKET_WIDTH,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins / spatial (resample family)
 
@@ -1684,6 +1733,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "funnel_conversion": q_funnel_conversion,
     "event_counts_salted": q_event_counts_salted,
+    "skew_seq_plain": q_skew_seq_plain,
+    "skew_seq_salted": q_skew_seq_salted,
     "nearest_join_asof": q_nearest_join_asof,
     "weighted_resample": q_weighted_resample,
     "resample_2d_nearest": q_resample_2d_nearest,
