@@ -1,0 +1,141 @@
+"""Property-based tests for the sampling algebra.
+
+deterministic_split / stratified_sample / global_shuffle / pack_sequences
+are pure hash arithmetic over the portable md5-derived ``hash64``, so an
+exact Python model predicts every assignment — hypothesis drives ids,
+fractions, and rates through edge cases (tiny corpora, extreme
+fractions, duplicate-free random id sets) and asserts the Spark result
+matches the model bit-for-bit, mirroring the codec property tests."""
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from trollflow2_spark.extensions.sampling import (
+    ORD_HASH_MOD,
+    RATE_BUCKETS,
+    deterministic_split,
+    global_shuffle,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def _h64(value, seed=None) -> int:
+    """Python model of functions.hashing.hash64 (md5, first 15 hex)."""
+    s = str(value) if seed is None else f"{value}:{seed}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+ids_strategy = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60, unique=True
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=ids_strategy,
+    fracs=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=4),
+    seed=st.integers(0, 1000),
+)
+def test_split_total_exact_and_model_predicted(spark, ids, fracs, seed):
+    """Every row lands in exactly one split, and the assignment is the
+    hash-bucket model's (id-only, order-free): bucket < cumulative
+    threshold in declaration order, remainder to the last split."""
+    total = sum(fracs)
+    fractions = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(df, fractions, seed=seed).collect()
+    }
+    assert set(got) == set(ids)  # total: every id assigned once
+
+    names = list(fractions)
+    thresholds = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        thresholds.append((name, int(round(cum * RATE_BUCKETS))))
+    for i in ids:
+        bucket = _h64(i, seed=seed) % RATE_BUCKETS
+        expect = names[-1]
+        for name, t in thresholds:
+            if bucket < t:
+                expect = name
+                break
+        assert got[i] == expect, (i, bucket)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=ids_strategy,
+    rate=st.floats(0.0, 1.0),
+    seed=st.integers(0, 1000),
+)
+def test_stratified_sample_model_predicted(spark, ids, rate, seed):
+    """The kept set is exactly the model's bucket-threshold set; rate 0
+    keeps nothing, rate 1 keeps everything."""
+    df = spark.createDataFrame([(i, "s") for i in ids], ["doc_id", "source"])
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"s": rate}, seed=seed).collect()
+    }
+    threshold = int(round(rate * RATE_BUCKETS))
+    expect = {i for i in ids if _h64(i, seed=seed) % RATE_BUCKETS < threshold}
+    assert kept == expect
+    if rate == 0.0:
+        assert kept == set()
+    if rate == 1.0:
+        assert kept == set(ids)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=ids_strategy,
+    seed=st.integers(0, 1000),
+    n_buckets=st.sampled_from([1, 7, 4096]),
+)
+def test_global_shuffle_ordinal_bijective(spark, ids, seed, n_buckets):
+    """shuffle_pos is a bijection onto 1..n whose order is exactly the
+    (hash, id) sort of the model — for ANY bucket count (coarse buckets
+    are a prefix of the hash order, so bucketing never reorders)."""
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in global_shuffle(df, seed=seed, n_buckets=n_buckets).collect()
+    }
+    assert sorted(got.values()) == list(range(1, len(ids) + 1))  # bijection
+    order = sorted(ids, key=lambda i: (_h64(i, seed=seed) % ORD_HASH_MOD, i))
+    assert [got[i] for i in order] == list(range(1, len(ids) + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 300), min_size=1, max_size=40),
+    budget=st.integers(1, 400),
+    n_shards=st.sampled_from([1, 3]),
+)
+def test_pack_sequences_cumsum_invariants(spark, sizes, budget, n_shards):
+    """Packing is the per-shard cumulative-sum model: cum_tokens is the
+    running total in id order within the shard, and every document's bin
+    is floor((cum - n_tokens) / budget) — bins start at 0 and never skip
+    backwards along the shard order."""
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(df, budget, n_shards=n_shards).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == len(sizes)
+    toks = dict(rows)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_bin = 0
+        for r in shard_rows:
+            cum += toks[r["doc_id"]]
+            assert r["cum_tokens"] == cum
+            assert r["bin"] == (cum - toks[r["doc_id"]]) // budget
+            assert r["bin"] >= prev_bin >= 0
+            prev_bin = r["bin"]
