@@ -80,6 +80,7 @@ HEADLINE = [
     "multimodal_decode_tiff",
     "skew_seq_plain",  # hot-key baseline: one task owns 50% of rows
     "skew_seq_salted",  # salted two-stage twin — must beat the baseline
+    "minhash_lsh_pairs_fast",  # xxhash64 production path vs the md5 oracle hash
 ]
 
 

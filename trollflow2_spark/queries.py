@@ -50,6 +50,7 @@ from trollflow2_spark.extensions.text import (
     quality_features,
     token_count,
 )
+from trollflow2_spark.functions.hashing import fast_hash64
 from trollflow2_spark.functions.geometry import (
     pseudo_coverage_percent,
     sun_zenith_angle_deg,
@@ -921,6 +922,32 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup candidate path: same plan shape as
+    ``minhash_lsh_pairs`` but with the injectable ``fast_hash64``
+    (JVM-native xxhash64 — one codegen'd call per shingle-hash instead
+    of the md5 family, and bigint band buckets instead of 32-char
+    digests). No DuckDB twin exists for xxhash64, so this is a
+    rows-only/bench entry quantifying what the portable oracle hash
+    costs; recall equivalence of the two hash families is pinned by
+    tests/test_extensions.py::test_fast_hash_mode_same_dups_no_md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs,
+        shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+        hash_fn=fast_hash64,
+    )
+    return lsh_candidate_pairs(
+        sigs,
+        num_hashes=C.MINHASH_NUM_HASHES,
+        bands=C.MINHASH_BANDS,
+        max_bucket=1000,
+        salt_threshold=1000,
+        hash_fn=fast_hash64,
+    )
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH guard audit (pairable/salted/dropped bucket counts) —
     recall loss must be observable, and now value-checked."""
@@ -1775,6 +1802,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "simhash_pairs": q_simhash_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicate_clusters": q_duplicate_clusters,
     "dedup_corpus": q_dedup_corpus,
