@@ -913,3 +913,31 @@ def test_lsh_salted_recovery_rounds(spark):
     # one rotation round over the salted buckets finds exactly the
     # pairs the recovery path added
     assert stats["n_recovered"] == len(rec_pairs) - len(base_pairs)
+
+
+def test_frame_sample_real_paged_tiff(spark):
+    """frame_sample decodes paged-TIFF containers for real: every Nth
+    page is one sampled frame with its max pixel; non-TIFF payloads
+    still raise without fake=True."""
+    import numpy as np
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from trollflow2_spark.extensions.multimodal import frame_sample
+    from trollflow2_spark.sinks.imagery import encode_geotiff
+
+    pages = [np.full((2, 3), 10 * (f + 1), dtype=np.uint8) for f in range(5)]
+    blob = encode_geotiff(pages[0], overviews=pages[1:])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, media binary"
+    )
+    got = {
+        r["frame_idx"]: r["frame_byte"]
+        for r in frame_sample(df, every_n_frames=2).collect()
+    }
+    assert got == {0: 10, 2: 30, 4: 50}  # pages 0, 2, 4 sampled
+
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not-a-container"))], "doc_id long, media binary"
+    )
+    with pytest.raises(PythonException):
+        frame_sample(bad).collect()

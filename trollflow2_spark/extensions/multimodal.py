@@ -354,13 +354,22 @@ def frame_sample(
     media_col: str = "media",
     id_col: str = "doc_id",
     fake: bool = False,
+    every_n_frames: int = 2,
 ) -> DataFrame:
-    """Frame-sampling kernel (video -> every Nth frame) over mapInPandas.
+    """Frame-sampling kernel (video -> every Nth frame) over mapInPandas,
+    emitting one row per sampled frame: (id, frame_idx, frame_byte).
 
-    STUB decoder; ``fake=True`` samples every ``every_n_bytes``-th byte
-    of the payload as a stand-in "frame", emitting one row per sample —
-    the fan-out row shape (one media row -> many frame rows) is the part
-    that matters for partition sizing downstream.
+    REAL route (``fake=False``): paged-TIFF containers (motion-TIFF —
+    each page is one frame; magic ``II*\\0``) decode through the repo's
+    stdlib TIFF codec; every ``every_n_frames``-th page is sampled and
+    ``frame_byte`` carries that frame's max pixel value. General video
+    codecs (H.264 etc.) need a decoder not present in this environment
+    and raise ``NotImplementedError``.
+
+    FAKE route (``fake=True``): samples every ``every_n_bytes``-th byte
+    of the raw payload as a stand-in "frame" — the fan-out row shape
+    (one media row -> many frame rows) is the part that matters for
+    partition sizing downstream.
     """
     out_schema = T.StructType(
         [
@@ -374,14 +383,36 @@ def frame_sample(
         import numpy as np
         import pandas as pd
 
+        from trollflow2_spark.sinks.imagery import decode_geotiff
+
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires a video library not present in "
-                    "this environment; pass fake=True for the byte sampler"
+                # real path: per-container page decode (inherently
+                # per-item); every Nth page is one sampled frame
+                ids, idxs, vals = [], [], []
+                for d, blob in zip(pdf[id_col], pdf[media_col]):
+                    blob = bytes(blob)
+                    if blob[:4] != b"II*\x00":
+                        raise NotImplementedError(
+                            "frame sampling beyond paged-TIFF containers "
+                            "requires a video codec not present in this "
+                            "environment; pass fake=True for the byte sampler"
+                        )
+                    pages, _tags = decode_geotiff(blob)
+                    for fi in range(0, len(pages), every_n_frames):
+                        ids.append(int(d))
+                        idxs.append(fi)
+                        vals.append(int(pages[fi].max()))
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame_byte": pd.Series(vals, dtype="int32"),
+                    }
                 )
-            # vectorized fan-out: one frombuffer + repeat/arange index
-            # algebra, no per-row Python frame loops
+                continue
+            # fake path — vectorized fan-out: one frombuffer +
+            # repeat/arange index algebra, no per-row Python frame loops
             payload = pdf[media_col]
             lens = np.fromiter(
                 (len(b) for b in payload), dtype=np.int64, count=len(payload)

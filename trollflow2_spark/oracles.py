@@ -1035,6 +1035,25 @@ SELECT doc_id,
 FROM vals GROUP BY doc_id
 """
 
+# Real paged-TIFF frame sampling: every 2nd page of a (doc_id%6+2)-frame
+# container; frame_byte = max of the 4x5 page ramp (doc_id*5 + f*7 + k) % 256.
+ORACLES["frame_sample_tiff"] = """
+WITH spec AS (
+  SELECT doc_id, CAST(doc_id % 6 + 2 AS BIGINT) AS nf FROM documents
+), frames AS (
+  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM spec
+), sampled AS (
+  SELECT doc_id, f FROM frames WHERE f % 2 = 0
+), px AS (
+  SELECT doc_id, f,
+    (doc_id * 5 + f * 7 + unnest(generate_series(0, 19))) % 256 AS v
+  FROM sampled
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+  CAST(max(v) AS INTEGER) AS frame_byte
+FROM px GROUP BY doc_id, f
+"""
+
 # Real WAV decode: 16-bit mono PCM ramp ((doc_id*7 + i) % 201) - 100 over
 # (doc_id % 50 + 10) frames at 8 kHz; integer sums exact in float64.
 ORACLES["multimodal_decode_wav"] = """

@@ -1528,6 +1528,46 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_fake_media(docs), every_n_bytes=64, fake=True)
 
 
+def q_frame_sample_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling: deterministic paged-TIFF containers (one
+    page per frame — the motion-TIFF stand-in for video) are encoded
+    executor-side, then ``frame_sample`` decodes every 2nd page through
+    the stdlib TIFF codec and reports its max pixel; the per-frame ramp
+    ``(doc_id*5 + f*7 + k) % 256`` is SQL-expressible."""
+    from trollflow2_spark.extensions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def make_paged_tiff(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.imagery import encode_geotiff
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = d % 6 + 2
+                pages = [
+                    ((d * 5 + f * 7 + np.arange(20)) % 256)
+                    .astype(np.uint8)
+                    .reshape(4, 5)
+                    for f in range(n_frames)
+                ]
+                blobs.append(encode_geotiff(pages[0], overviews=pages[1:]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.mapInPandas(make_paged_tiff, media_schema)
+    return frame_sample(media, every_n_frames=2)  # fake=False: real decode
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (binary in, binary out, metadata rescaled) with
     the deterministic stand-in kernel. Binary output column => rows-only
@@ -1815,6 +1855,7 @@ QUERIES = {
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
+    "frame_sample_tiff": q_frame_sample_tiff,
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
     "pipeline_roundtrip": q_pipeline_roundtrip,
