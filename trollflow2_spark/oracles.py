@@ -405,6 +405,10 @@ SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM v
 # collisions with a full-fingerprint bit_count(xor) gate.
 _SIMHASH_SEG_BITS = C.SIMHASH_BITS // C.SIMHASH_BANDS
 _SIMHASH_SEG_MASK = (1 << _SIMHASH_SEG_BITS) - 1
+# Candidate generation replays the guarded bucket semantics exactly:
+# small buckets (2..t members) emit all pairs; salted buckets (>t, up
+# to the drop guard) emit pairs only within contiguous id-order chunks
+# of t members (what _bucketed_pairs' array slicing produces).
 ORACLES["simhash_pairs"] = f"""
 WITH t AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
@@ -419,9 +423,19 @@ WITH t AS (
 ), m AS (
   SELECT doc_id, band, (simhash >> (band * {_SIMHASH_SEG_BITS})) & {_SIMHASH_SEG_MASK} AS seg
   FROM f CROSS JOIN (SELECT CAST(unnest(range({C.SIMHASH_BANDS})) AS INT) AS band) b
+), sized AS (
+  SELECT band, seg, count(*) AS n FROM m GROUP BY band, seg
+  HAVING count(*) >= 2 AND count(*) <= 100000
+), ranked AS (
+  SELECT m.doc_id, m.band, m.seg, sized.n,
+    CAST(floor((row_number() OVER (PARTITION BY m.band, m.seg ORDER BY m.doc_id)
+                - 1) / {C.SIMHASH_SALT_THRESHOLD}) AS BIGINT) AS c
+  FROM m JOIN sized USING (band, seg)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM m a JOIN m b ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+   AND (a.n <= {C.SIMHASH_SALT_THRESHOLD} OR a.c = b.c)
 ), p AS (
   SELECT c.id_a, c.id_b,
     CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming

@@ -45,6 +45,10 @@ JACCARD_THRESHOLD = 0.2
 CONTAINMENT_THRESHOLD = 0.25  # one-sided (quote/subset) duplication gate
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # hamming-band LSH: pairs <= BANDS-1 bits apart guaranteed
+SIMHASH_SALT_THRESHOLD = 128  # hot-bucket salting (the production guard —
+# the contract query keeps it ON; the oracle replays id-order chunking.
+# 128 because an 8-bit segment space concentrates the template-heavy
+# corpus hard: benched 1.8s/167k pairs vs 3.7s/318k at 256, 10.9s raw)
 SIMHASH_MAX_HAMMING = 2  # verify gate on bucket-colliding pairs (within the
 # bands-1 guaranteed-recall zone; the synthetic corpus is template-heavy, so
 # looser gates admit a large fraction of all pairs and stop meaning "near-dup")

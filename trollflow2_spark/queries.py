@@ -1177,9 +1177,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-band simhash near-dup pairs: the candidate-generation +
     verify half of the simhash tier (mirrors minhash_lsh_pairs ->
-    ngram verify on the minhash side). Guards are disabled to match the
-    plain oracle semantics; salting is pinned by the shared
-    _bucketed_pairs tests."""
+    ngram verify on the minhash side). Runs WITH the production salt
+    guard: the synthetic corpus is template-heavy and an 8-bit segment
+    space concentrates those templates into hot buckets, so unguarded
+    pair generation is quadratic in template-family size (benched 10.9s
+    vs ~1s guarded at sf0.1). The oracle replays the deterministic
+    id-order chunking exactly (row_number windows)."""
     from trollflow2_spark.extensions.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1189,8 +1192,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=C.SIMHASH_BITS,
         bands=C.SIMHASH_BANDS,
         max_hamming=C.SIMHASH_MAX_HAMMING,
-        max_bucket=1_000_000,
-        salt_threshold=1_000_000,
+        salt_threshold=C.SIMHASH_SALT_THRESHOLD,
     )
 
 
