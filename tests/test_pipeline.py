@@ -697,7 +697,7 @@ def test_resolve_filesystem_paths():
     # already-qualified URIs pass through
     msg2 = {"dataset": [{"uri": "file:///x.parquet"}], "filesystem": '{"protocol": "file"}'}
     assert resolve_filesystem_paths(msg2) == ["file:///x.parquet"]
-    # libarchive filesystems are rejected with guidance
+    # libarchive without a target is an error like zip/tar
     with _pytest.raises(SceneCreationError):
         resolve_filesystem_paths(
             {"dataset": [{"uri": "/a.7z"}], "filesystem": '{"protocol": "libarchive"}'}
@@ -806,3 +806,55 @@ def test_staging_zone_and_eager_writing(spark, input_file, tmp_path):
     r2 = save_datasets(spark, scene, items, eager_writing=True, use_tmp_file=False)
     assert r2.produced[0]["size_bytes"] > 0
     assert r2.produced[0]["staged_filename"] is None
+
+
+def test_libarchive_spec_dispatches_by_magic(sf_dir, tmp_path):
+    """libarchive specs round-trip generically: zip and tar.xz targets
+    dispatch to the stdlib unpackers by magic bytes, a bare gzip file
+    decompresses as a single member, and genuinely exotic formats raise
+    with guidance."""
+    import gzip
+    import tarfile as _tarfile
+    import zipfile
+
+    from trollflow2_spark.sources.scene import (
+        SceneCreationError,
+        resolve_filesystem_paths,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def msg_for(fo, uri):
+        fs = {"cls": "fsspec.implementations.libarchive:LibArchiveFileSystem",
+              "protocol": "libarchive", "fo": str(fo)}
+        return {"type": "file", "dataset": [{"uri": uri, "filesystem": fs}]}
+
+    # tar.xz target
+    txz = tmp_path / "bundle.tar.xz"
+    with _tarfile.open(txz, "w:xz") as tf:
+        tf.add(src, arcname="inner/events.parquet")
+    paths = resolve_filesystem_paths(msg_for(txz, "inner/events.parquet"))
+    assert os.path.exists(paths[0]) and paths[0].endswith("inner/events.parquet")
+
+    # zip target through the same libarchive protocol
+    zpath = tmp_path / "bundle2.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(src, arcname="z/events.parquet")
+    paths = resolve_filesystem_paths(msg_for(zpath, "z/events.parquet"))
+    assert os.path.exists(paths[0]) and paths[0].endswith("z/events.parquet")
+
+    # bare gzip single member (not a tar)
+    gz = tmp_path / "events.parquet.gz"
+    with open(src, "rb") as fh, gzip.open(gz, "wb") as out:
+        out.write(fh.read())
+    paths = resolve_filesystem_paths(msg_for(gz, "events.parquet"))
+    assert os.path.exists(paths[0])
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(paths[0]).num_rows > 0  # decompressed intact
+
+    # exotic format: 7z magic raises with guidance
+    seven = tmp_path / "x.7z"
+    seven.write_bytes(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 64)
+    with pytest.raises(SceneCreationError):
+        resolve_filesystem_paths(msg_for(seven, "whatever"))

@@ -118,21 +118,71 @@ def _extract_archive_members(
             for m in members:
                 out.append(zf.extract(m, out_dir))
     else:
-        with tarfile.open(archive_path, "r:*") as tf:
-            for m in members:
-                name = m.lstrip("/")
-                if hasattr(tarfile, "data_filter"):
-                    tf.extract(name, out_dir, filter="data")
-                else:  # pre-3.12-backport stdlib: sanitize by hand
-                    info = tf.getmember(name)
-                    parts = info.name.split("/")
-                    if info.name.startswith("/") or ".." in parts or not (
-                        info.isfile() or info.isdir()
-                    ):
-                        raise tarfile.TarError(f"unsafe tar member {info.name!r}")
-                    tf.extract(info, out_dir)
-                out.append(os.path.join(out_dir, name))
+        try:
+            with tarfile.open(archive_path, "r:*") as tf:
+                for m in members:
+                    name = m.lstrip("/")
+                    if hasattr(tarfile, "data_filter"):
+                        tf.extract(name, out_dir, filter="data")
+                    else:  # pre-3.12-backport stdlib: sanitize by hand
+                        info = tf.getmember(name)
+                        parts = info.name.split("/")
+                        if info.name.startswith("/") or ".." in parts or not (
+                            info.isfile() or info.isdir()
+                        ):
+                            raise tarfile.TarError(f"unsafe tar member {info.name!r}")
+                        tf.extract(info, out_dir)
+                    out.append(os.path.join(out_dir, name))
+        except tarfile.ReadError:
+            # a bare gz/bz2/xz file (no tar inside): single-member spec
+            return _decompress_single_member(archive_path, members, out_dir)
     return out
+
+
+def _sniff_archive_kind(archive_path: str) -> str:
+    """Identify an archive by magic bytes (what libarchive does before
+    dispatching): ``zip``, ``tar`` (plain ustar), ``compressed``
+    (gz/bz2/xz — a tar.* or a single compressed member; stdlib
+    ``tarfile``/decompressors disambiguate), else raise."""
+    with open(archive_path, "rb") as fh:
+        head = fh.read(512)
+    if head[:4] == b"PK\x03\x04":
+        return "zip"
+    if head[:2] == b"\x1f\x8b" or head[:3] == b"BZh" or head[:6] == b"\xfd7zXZ\x00":
+        return "compressed"
+    if len(head) >= 262 and head[257:262] == b"ustar":
+        return "tar"
+    raise SceneCreationError(
+        f"unrecognized archive format at {archive_path!r} (supported: zip, "
+        "tar, tar.gz/bz2/xz, single gz/bz2/xz members); unpack upstream"
+    )
+
+
+def _decompress_single_member(
+    archive_path: str, members: list[str], workdir: str | None = None
+) -> list[str]:
+    """A bare gz/bz2/xz file holds exactly one member: decompress it
+    driver-side (stdlib) and return its local path for every requested
+    member name (they all denote the same payload)."""
+    import bz2
+    import gzip
+    import lzma
+    import shutil
+    import tempfile
+
+    with open(archive_path, "rb") as fh:
+        head = fh.read(6)
+    opener = (
+        gzip.open
+        if head[:2] == b"\x1f\x8b"
+        else bz2.open if head[:3] == b"BZh" else lzma.open
+    )
+    out_dir = workdir or tempfile.mkdtemp(prefix="tf2_gz_")
+    name = os.path.basename(members[0]) if members else "member"
+    target = os.path.join(out_dir, name or "member")
+    with opener(archive_path, "rb") as src, open(target, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    return [target for _ in members] or [target]
 
 
 def _parse_spec(spec) -> dict | None:
@@ -152,7 +202,11 @@ def resolve_filesystem_paths(message: dict) -> list[str]:
       specs, both appear in the wild): the named members are extracted
       driver-side and replaced by local paths — archives have no Hadoop
       FS equivalent, and the member list is message-sized;
-    - ``libarchive`` remains unsupported and raises.
+    - ``libarchive`` specs are dispatched by magic bytes the way
+      libarchive itself would: zip and (optionally gz/bz2/xz-compressed)
+      tar targets route through the stdlib unpackers, bare gz/bz2/xz
+      single-member files are decompressed driver-side; genuinely
+      exotic formats (7z, rar, iso) raise with guidance.
     """
     filenames = extract_filenames(message)
     msg_spec = _parse_spec(message.get("filesystem"))
@@ -173,21 +227,20 @@ def resolve_filesystem_paths(message: dict) -> list[str]:
         if not spec or not protocol:
             out.append(f)
             continue
-        if protocol in ("zip", "tar"):
+        if protocol in ("zip", "tar", "libarchive"):
             fo = spec.get("fo") or spec.get("target")
             if not fo:
                 raise SceneCreationError(f"{protocol} spec for {f!r} lacks 'fo' target")
+            if protocol == "libarchive":
+                # dispatch by magic the way libarchive itself would
+                kind = _sniff_archive_kind(fo)
+                protocol = "zip" if kind == "zip" else "tar"
             prefix = f"{protocol}://"
             member = f[len(prefix):] if f.startswith(prefix) else f.lstrip("/")
             arc_groups.setdefault((protocol, fo), []).append(member)
             arc_slots.append((len(out), fo, member))
             out.append(None)  # placeholder, filled after extraction
             continue
-        if protocol == "libarchive":
-            raise SceneCreationError(
-                f"archive filesystem {protocol!r} is not scannable by Spark; "
-                "unpack or pre-list upstream"
-            )
         rewrite = {"s3": "s3a", "gs": "gs", "abfs": "abfs", "file": "file"}
         protocol = rewrite.get(protocol, protocol)
         if "://" in f:
