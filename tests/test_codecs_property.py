@@ -91,3 +91,48 @@ def test_stretch_never_crashes_and_bounds(h, w, seed):
         # only that every NaN cell carries the fill value
         (out[np.isnan(arr)] == 5).all()
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=dims, w=dims, v=st.integers(0, 127))
+def test_jpeg_constant_even_blocks_exact(h, w, v):
+    """Constant even-valued images survive baseline JPEG losslessly:
+    DC-only blocks whose quantized coefficient divides exactly."""
+    from trollflow2_spark.sinks import jpeg
+
+    arr = np.full((h, w), v * 2, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(arr, quality=50))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1),
+       quality=st.integers(70, 95))
+def test_jpeg_lossy_roundtrip_tolerance(h, w, seed, quality):
+    """Arbitrary images round-trip within a lossy-compression tolerance
+    that tightens with quality (worst-case random noise stays bounded)."""
+    from trollflow2_spark.sinks import jpeg
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(arr, quality=quality))
+    assert out.shape == arr.shape
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.max() <= 40  # q>=70 random-noise bound, generous
+    assert err.mean() <= 12
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_jpeg_smooth_images_high_fidelity(seed):
+    """Smooth gradients (what JPEG is built for) reconstruct closely."""
+    from trollflow2_spark.sinks import jpeg
+
+    rng = np.random.RandomState(seed)
+    fx, fy = rng.uniform(4, 15, size=2)
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    arr = ((np.sin(x / fx) + np.cos(y / fy)) * 55 + 128).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(arr, quality=85))
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.max() <= 12

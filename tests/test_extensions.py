@@ -941,3 +941,30 @@ def test_frame_sample_real_paged_tiff(spark):
     )
     with pytest.raises(PythonException):
         frame_sample(bad).collect()
+
+
+def test_decode_and_resize_media_real_jpeg_route(spark):
+    """image/jpeg decodes and resizes through the repo's baseline JPEG
+    codec: constant blocks give exact stats; resize re-encodes a valid
+    JPEG at the target size."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import decode_media, resize_media
+    from trollflow2_spark.sinks.jpeg import decode_jpeg, encode_jpeg_gray
+
+    blob = encode_jpeg_gray(np.full((16, 8), 200, dtype=np.uint8), quality=50)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob),
+          {"media_type": "image/jpeg", "width": 8, "height": 16,
+           "n_bytes": len(blob)})],
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = decode_media(df).collect()[0]
+    assert got["mean_byte"] == 200.0 and got["max_byte"] == 200
+    assert (got["width"], got["height"], got["n_channels"]) == (8, 16, 1)
+
+    resized = resize_media(df, target=(8, 8)).collect()[0]
+    assert resized["media_meta"]["media_type"] == "image/jpeg"
+    arr = decode_jpeg(bytes(resized["media"]))
+    assert arr.shape == (8, 8) and (arr == 200).all()

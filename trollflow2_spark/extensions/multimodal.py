@@ -67,6 +67,9 @@ def decode_media(
       (Geo)TIFF decoder (:func:`trollflow2_spark.sinks.imagery.
       decode_geotiff`) — page-0 pixel statistics and dimensions
       (overview pages ignored; deflate strips supported);
+    - ``image/jpeg``: REAL decode through the repo's baseline JPEG
+      codec (:func:`trollflow2_spark.sinks.jpeg.decode_jpeg` —
+      grayscale baseline; color/progressive streams raise);
     - ``audio/wav``: REAL decode through the stdlib ``wave`` module —
       statistics over the decoded PCM samples; the dimension columns
       carry ``width=sample_rate``, ``height=frames per channel``,
@@ -108,6 +111,7 @@ def decode_media(
         import pandas as pd
 
         from trollflow2_spark.sinks.imagery import decode_geotiff, decode_png
+        from trollflow2_spark.sinks.jpeg import decode_jpeg
 
         for pdf in batches:
             n = len(pdf)
@@ -117,12 +121,14 @@ def decode_media(
             ]
             is_png = np.array([t == "image/png" for t in mtypes])
             is_tif = np.array([t == "image/tiff" for t in mtypes])
+            is_jpg = np.array([t == "image/jpeg" for t in mtypes])
             is_wav = np.array([t == "audio/wav" for t in mtypes])
-            if not fake and not (is_png | is_tif | is_wav).all():
+            is_img = is_png | is_tif | is_jpg
+            if not fake and not (is_img | is_wav).all():
                 raise NotImplementedError(
-                    "media decode beyond image/png, image/tiff and audio/wav "
-                    "requires a codec library not present in this "
-                    "environment; pass fake=True for the deterministic "
+                    "media decode beyond image/png, image/tiff, image/jpeg "
+                    "and audio/wav requires a codec library not present in "
+                    "this environment; pass fake=True for the deterministic "
                     "byte-statistics decoder"
                 )
             lens = np.zeros(n, dtype=np.int64)
@@ -138,10 +144,12 @@ def decode_media(
             # real path: per-item image decode (inherently per-image),
             # stats over the decoded pixel array; TIFF stats use page 0
             # (the full-resolution page — overviews are derived data)
-            for i in np.flatnonzero(is_png | is_tif):
+            for i in np.flatnonzero(is_img):
                 try:
                     if is_png[i]:
                         arr = decode_png(bytes(payload[i]))
+                    elif is_jpg[i]:
+                        arr = decode_jpeg(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -184,7 +192,7 @@ def decode_media(
 
             # fake path: vectorized byte statistics — one frombuffer over
             # the remaining payloads + segmented reduceat, no per-row loops
-            rest = np.flatnonzero(~is_png & ~is_tif & ~is_wav)
+            rest = np.flatnonzero(~is_img & ~is_wav)
             if rest.size:
                 blobs = [bytes(payload[i]) for i in rest]
                 rl = np.fromiter((len(b) for b in blobs), dtype=np.int64,
@@ -213,7 +221,7 @@ def decode_media(
                     "n_channels": chans.astype("int32"),
                 }
             )
-            real = is_png | is_tif | is_wav
+            real = is_img | is_wav
             for c in ("width", "height", "n_channels"):
                 out[c] = out[c].where(real, other=pd.NA).astype("Int32")
             if failed.any():
@@ -242,10 +250,11 @@ def resize_media(
 ) -> DataFrame:
     """Resize kernel over mapInPandas.
 
-    ``image/png`` and ``image/tiff`` resize FOR REAL: decode with the
-    repo's stdlib codecs, nearest-neighbor index-sample to the target
-    size, re-encode (TIFF re-encodes page 0 only — overview pages are
-    derived data and stale after a resize) — binary in, binary out,
+    ``image/png``, ``image/tiff`` and ``image/jpeg`` resize FOR REAL:
+    decode with the repo's stdlib codecs, nearest-neighbor index-sample
+    to the target size, re-encode (TIFF re-encodes page 0 only —
+    overview pages are derived data and stale after a resize; JPEG
+    re-encoding is lossy by nature) — binary in, binary out,
     deterministic. Other media types are environment-stubbed: with
     ``fake=True`` the deterministic stand-in rescales the metadata and
     re-emits the payload truncated to a size proportional to the
@@ -278,6 +287,7 @@ def resize_media(
             encode_geotiff,
             encode_png,
         )
+        from trollflow2_spark.sinks.jpeg import decode_jpeg, encode_jpeg_gray
 
         for pdf in batches:
             metas_in = pdf[meta_col]
@@ -287,11 +297,13 @@ def resize_media(
             ]
             is_png = np.array([t == "image/png" for t in mtypes])
             is_tif = np.array([t == "image/tiff" for t in mtypes])
-            if not fake and not (is_png | is_tif).all():
+            is_jpg = np.array([t == "image/jpeg" for t in mtypes])
+            is_img = is_png | is_tif | is_jpg
+            if not fake and not is_img.all():
                 raise NotImplementedError(
-                    "resize beyond image/png and image/tiff requires an "
-                    "image library not present in this environment; pass "
-                    "fake=True for the metadata-only stub"
+                    "resize beyond image/png, image/tiff and image/jpeg "
+                    "requires an image library not present in this "
+                    "environment; pass fake=True for the metadata-only stub"
                 )
             payload = pdf[media_col].to_numpy()
             blobs = [None] * len(pdf)
@@ -299,10 +311,12 @@ def resize_media(
 
             # real path: decode -> nearest-neighbor index-sample -> encode
             # (per-image, inherently; all pixel math is numpy fancy-index)
-            for i in np.flatnonzero(is_png | is_tif):
+            for i in np.flatnonzero(is_img):
                 try:
                     if is_png[i]:
                         arr = decode_png(bytes(payload[i]))
+                    elif is_jpg[i]:
+                        arr = decode_jpeg(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -315,6 +329,8 @@ def resize_media(
                 out_arr = arr[np.ix_(ys, xs)]
                 if is_png[i]:
                     blob = encode_png(out_arr)
+                elif is_jpg[i]:
+                    blob = encode_jpeg_gray(out_arr)
                 else:
                     blob = encode_geotiff(out_arr)
                 blobs[i] = blob
@@ -325,7 +341,7 @@ def resize_media(
 
             # fake path: vectorized scale arithmetic; only the
             # variable-length blob slicing stays per-row (ragged output)
-            rest = np.flatnonzero(~is_png & ~is_tif)
+            rest = np.flatnonzero(~is_img)
             if rest.size:
                 w = np.fromiter((metas_in[i]["width"] for i in rest),
                                 dtype=np.int64, count=rest.size)

@@ -1068,6 +1068,20 @@ SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
 FROM px GROUP BY doc_id, f
 """
 
+# Real baseline-JPEG decode: constant even-valued gray images quantize
+# losslessly (DC-only blocks, Annex-K Q[0,0]=16 | 8*(v-128) for even v),
+# so the decoded stats are the constant itself — closed-form oracle.
+ORACLES["multimodal_decode_jpeg"] = """
+SELECT doc_id,
+  CAST(8 * (doc_id % 3 + 1) * 8 * (doc_id % 2 + 1) AS BIGINT) AS n_bytes,
+  round(CAST((doc_id * 2) % 256 AS DOUBLE), 6) AS mean_byte,
+  CAST((doc_id * 2) % 256 AS INTEGER) AS max_byte,
+  CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+  CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_channels
+FROM documents
+"""
+
 # Real WAV decode: 16-bit mono PCM ramp ((doc_id*7 + i) % 201) - 100 over
 # (doc_id % 50 + 10) frames at 8 kHz; integer sums exact in float64.
 ORACLES["multimodal_decode_wav"] = """

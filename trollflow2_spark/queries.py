@@ -1449,6 +1449,63 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode through the repo's from-scratch baseline codec
+    (sinks/jpeg.py — DCT, Annex-K tables, Huffman entropy coding). JPEG
+    is lossy, so the fixture uses constant EVEN-valued images, which
+    quantize losslessly (only the DC coefficient survives and Annex-K
+    Q[0,0]=16 divides 8*(v-128) exactly for even v): the decoded pixels
+    equal the constant exactly and the oracle is closed-form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (d % 3 + 1), 8 * (d % 2 + 1)
+                v = (d * 2) % 256
+                blob = encode_jpeg_gray(
+                    np.full((h, w), v, dtype=np.uint8), quality=50
+                )
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_jpeg, media_schema)
+    out = decode_media(media)  # fake=False: the real image/jpeg route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: deterministic 16-bit PCM WAV files are written
     with the stdlib ``wave`` module executor-side, then ``decode_media``
@@ -1855,6 +1912,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
     "frame_sample_tiff": q_frame_sample_tiff,
