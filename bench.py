@@ -78,6 +78,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",  # now LSH-candidate-fed (was quadratic blocking)
     "simhash_pairs",
     "multimodal_decode_tiff",
+    "multimodal_decode_jpeg",
+    "frame_sample_tiff",
     "skew_seq_plain",  # hot-key baseline: one task owns 50% of rows
     "skew_seq_salted",  # salted two-stage twin — must beat the baseline
     "minhash_lsh_pairs_fast",  # xxhash64 production path vs the md5 oracle hash

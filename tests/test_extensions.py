@@ -968,3 +968,26 @@ def test_decode_and_resize_media_real_jpeg_route(spark):
     assert resized["media_meta"]["media_type"] == "image/jpeg"
     arr = decode_jpeg(bytes(resized["media"]))
     assert arr.shape == (8, 8) and (arr == 200).all()
+
+
+def test_decode_media_color_jpeg_channels(spark):
+    """A 4:2:0 color JPEG decodes to 3-channel stats through the real
+    route (n_channels=3, pixel count = w*h*3)."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.jpeg import encode_jpeg
+
+    blob = encode_jpeg(
+        np.full((16, 32, 3), 100, dtype=np.uint8), quality=50, subsample="420"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob),
+          {"media_type": "image/jpeg", "width": 32, "height": 16,
+           "n_bytes": len(blob)})],
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = decode_media(df).collect()[0]
+    assert got["n_channels"] == 3 and got["n_bytes"] == 16 * 32 * 3
+    assert got["mean_byte"] == 100.0 and got["max_byte"] == 100

@@ -287,7 +287,7 @@ def resize_media(
             encode_geotiff,
             encode_png,
         )
-        from trollflow2_spark.sinks.jpeg import decode_jpeg, encode_jpeg_gray
+        from trollflow2_spark.sinks.jpeg import decode_jpeg, encode_jpeg
 
         for pdf in batches:
             metas_in = pdf[meta_col]
@@ -330,7 +330,7 @@ def resize_media(
                 if is_png[i]:
                     blob = encode_png(out_arr)
                 elif is_jpg[i]:
-                    blob = encode_jpeg_gray(out_arr)
+                    blob = encode_jpeg(out_arr)  # gray or RGB
                 else:
                     blob = encode_geotiff(out_arr)
                 blobs[i] = blob

@@ -1082,6 +1082,20 @@ SELECT doc_id,
 FROM documents
 """
 
+# Real color-JPEG decode (4:2:0 YCbCr): constant gray-RGB images are
+# exact (zero chroma coefficients + lossless even-luma DC), stats over
+# the (H, W, 3) pixel array.
+ORACLES["multimodal_decode_jpeg_color"] = """
+SELECT doc_id,
+  CAST(16 * (doc_id % 2 + 1) * 16 * 3 AS BIGINT) AS n_bytes,
+  round(CAST((doc_id * 2) % 256 AS DOUBLE), 6) AS mean_byte,
+  CAST((doc_id * 2) % 256 AS INTEGER) AS max_byte,
+  CAST(16 * (doc_id % 2 + 1) AS INTEGER) AS width,
+  CAST(16 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels
+FROM documents
+"""
+
 # Real WAV decode: 16-bit mono PCM ramp ((doc_id*7 + i) % 201) - 100 over
 # (doc_id % 50 + 10) frames at 8 kHz; integer sums exact in float64.
 ORACLES["multimodal_decode_wav"] = """

@@ -1506,6 +1506,63 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color JPEG decode: constant gray-RGB images through the
+    4:2:0-subsampled YCbCr path (constant chroma 128 => all-zero chroma
+    coefficients; constant even luma quantizes losslessly), so the
+    decoded (H, W, 3) statistics are closed-form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.jpeg import encode_jpeg
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (d % 2 + 1), 16
+                v = (d * 2) % 256
+                blob = encode_jpeg(
+                    np.full((h, w, 3), v, dtype=np.uint8),
+                    quality=50,
+                    subsample="420",
+                )
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_jpeg, media_schema)
+    out = decode_media(media)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: deterministic 16-bit PCM WAV files are written
     with the stdlib ``wave`` module executor-side, then ``decode_media``
@@ -1913,6 +1970,7 @@ QUERIES = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
     "frame_sample_tiff": q_frame_sample_tiff,

@@ -1,18 +1,22 @@
-"""Baseline JPEG (ITU-T T.81) grayscale codec, stdlib + numpy only.
+"""Baseline JPEG (ITU-T T.81) codec, stdlib + numpy only.
 
 From-scratch implementation of the public spec (like the PNG/TIFF/NetCDF
 codecs in :mod:`trollflow2_spark.sinks.imagery`): 8x8 orthonormal DCT,
-Annex-K luminance quantization and Huffman tables, zigzag run-length
-entropy coding, JFIF container markers. Grayscale single-component
-baseline only — enough to make ``image/jpeg`` a REAL decode route in
-:func:`trollflow2_spark.extensions.multimodal.decode_media`; color /
-progressive streams raise with guidance.
+Annex-K quantization tables, canonical Huffman entropy coding with byte
+stuffing, JFIF container markers. Supports grayscale and YCbCr color
+(4:4:4 and 4:2:0 chroma subsampling) baseline sequential streams — the
+shapes real camera/crawl JPEGs take — making ``image/jpeg`` a REAL
+decode route in
+:func:`trollflow2_spark.extensions.multimodal.decode_media`.
+Progressive/arithmetic/12-bit/restart-interval streams raise with
+guidance.
 
 JPEG is lossy, so round-trips are tolerance-tested (property tests) —
 but constant-valued 8x8 blocks with even values quantize losslessly
 (only the DC coefficient survives, and Annex-K Q[0,0]=16 divides
-8*(v-128) exactly when v is even), which is what the exact-value oracle
-contract query exploits.
+8*(v-128) exactly when v is even; constant chroma 128 likewise yields
+all-zero coefficients), which is what the exact-value oracle contract
+queries exploit.
 """
 
 from __future__ import annotations
@@ -33,6 +37,20 @@ QUANT_LUMA = np.array(
         [24, 35, 55, 64, 81, 104, 113, 92],
         [49, 64, 78, 87, 103, 121, 120, 101],
         [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
     ],
     dtype=np.int32,
 )
@@ -133,74 +151,151 @@ def _amplitude_bits(v: int, size: int) -> int:
     return v & ((1 << size) - 1) if v >= 0 else (v - 1) & ((1 << size) - 1)
 
 
-def encode_jpeg_gray(arr: np.ndarray, quality: int = 75) -> bytes:
-    """Encode an (H, W) uint8 array as a baseline grayscale JFIF JPEG."""
-    a = np.asarray(arr)
-    if a.ndim != 2 or a.dtype != np.uint8:
-        raise ValueError("encode_jpeg_gray wants an (H, W) uint8 array")
-    h, w = a.shape
-    if not (1 <= h <= 65535 and 1 <= w <= 65535):
-        raise ValueError("bad JPEG dimensions")
-
-    # quality-scaled Annex-K table (the IJG mapping, public)
+def _scaled_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """Quality-scaled Annex-K table (the IJG mapping, public)."""
     q = max(1, min(100, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    qt = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255).astype(np.int32)
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
-    ph, pw = -h % 8, -w % 8
-    padded = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, prev_dc: int) -> int:
+    """DCT + quantize + entropy-code one level-shifted 8x8 block; returns
+    the new DC predictor. All components share the luma Huffman tables
+    (spec-legal: any table may serve any component)."""
+    coefs = _C @ block @ _C.T
+    quant = np.rint(coefs / qt).astype(np.int64)
+    zz = quant.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    code, length = DC_CODES[size]
+    bw.write(code, length)
+    if size:
+        bw.write(_amplitude_bits(diff, size), size)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = nz[-1] + 1 if nz.size else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = AC_CODES[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = AC_CODES[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(_amplitude_bits(v, size), size)
+        run = 0
+    if last < 63:
+        code, length = AC_CODES[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _pad_to(a: np.ndarray, my: int, mx: int) -> np.ndarray:
+    return np.pad(a, ((0, -a.shape[0] % my), (0, -a.shape[1] % mx)), mode="edge")
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 75, subsample: str = "420"
+) -> bytes:
+    """Encode a uint8 array as a baseline JFIF JPEG: (H, W) grayscale,
+    or (H, W, 3) RGB as YCbCr with ``subsample`` ``"420"`` (2x2 chroma,
+    what cameras emit) or ``"444"`` (full-resolution chroma)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
+        a.ndim == 3 and a.shape[2] != 3
+    ):
+        raise ValueError("encode_jpeg wants (H, W) or (H, W, 3) uint8")
+    h, w = a.shape[:2]
+    if not (1 <= h <= 65535 and 1 <= w <= 65535):
+        raise ValueError("bad JPEG dimensions")
+    if subsample not in ("420", "444"):
+        raise ValueError("subsample must be '420' or '444'")
+    qt0 = _scaled_table(QUANT_LUMA, quality)
+    qt1 = _scaled_table(QUANT_CHROMA, quality)
+
+    if a.ndim == 2:
+        planes = [a.astype(np.float64) - 128.0]
+        samplings = [(1, 1)]
+        qts = [qt0]
+        tqs = [0]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            cb2 = _pad_to(cb, 2, 2)
+            cr2 = _pad_to(cr, 2, 2)
+            cb = cb2.reshape(cb2.shape[0] // 2, 2, cb2.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            cr = cr2.reshape(cr2.shape[0] // 2, 2, cr2.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samplings = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [qt0, qt1, qt1]
+        tqs = [0, 1, 1]
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        _pad_to(p, 8 * mcuy * vi, 8 * mcux * hi)[: 8 * mcuy * vi, : 8 * mcux * hi]
+        for p, (hi, vi) in zip(planes, samplings)
+    ]
 
     bw = _BitWriter()
-    prev_dc = 0
-    for by in range(0, h + ph, 8):
-        for bx in range(0, w + pw, 8):
-            block = padded[by : by + 8, bx : bx + 8]
-            coefs = _C @ block @ _C.T
-            quant = np.rint(coefs / qt).astype(np.int64)
-            zz = quant.reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _category(diff)
-            code, length = DC_CODES[size]
-            bw.write(code, length)
-            if size:
-                bw.write(_amplitude_bits(diff, size), size)
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = nz[-1] + 1 if nz.size else 0
-            for i in range(1, last + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = AC_CODES[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size = _category(v)
-                code, length = AC_CODES[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(_amplitude_bits(v, size), size)
-                run = 0
-            if last < 63:
-                code, length = AC_CODES[0x00]  # EOB
-                bw.write(code, length)
+    prev = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hi, vi), plane) in enumerate(zip(samplings, padded)):
+                for vy in range(vi):
+                    for vx in range(hi):
+                        by = (my * vi + vy) * 8
+                        bx = (mx * hi + vx) * 8
+                        prev[ci] = _encode_block(
+                            bw, plane[by : by + 8, bx : bx + 8], qts[ci], prev[ci]
+                        )
     scan = bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
         ">HH", 1, 1
     ) + b"\x00\x00"
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
-    out += bytes(int(x) for x in qt.reshape(64)[ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    for tq, qt in ((0, qt0),) if a.ndim == 2 else ((0, qt0), (1, qt1)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in qt.reshape(64)[ZIGZAG])
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, ((hi, vi), tq) in enumerate(zip(samplings, tqs)):
+        out += bytes([ci + 1, (hi << 4) | vi, tq])
     for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
         payload = bytes([cls << 4 | 0]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])  # luma Huffman tables for every comp
+    out += b"\x00\x3f\x00"
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_gray(arr: np.ndarray, quality: int = 75) -> bytes:
+    """Encode an (H, W) uint8 array as a baseline grayscale JFIF JPEG."""
+    a = np.asarray(arr)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_gray wants an (H, W) uint8 array")
+    return encode_jpeg(a, quality=quality)
 
 
 class _BitReader:
@@ -271,20 +366,46 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JFIF JPEG to an (H, W) uint8 array.
+def _decode_block(br: _BitReader, dc_table, ac_table, prev_dc: int) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block's zigzag coefficients; returns (zz, dc)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(br, dc_table)
+    diff = _extend(br.read_bits(size), size) if size else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _read_symbol(br, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i >= 64:
+            raise ValueError("AC index overflow")
+        zz[i] = _extend(br.read_bits(size), size)
+        i += 1
+    return zz, prev_dc
 
-    Supports single-component baseline streams (what
-    :func:`encode_jpeg_gray` writes, and any other grayscale baseline
-    encoder); color or progressive JPEG raises ``ValueError``."""
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JFIF JPEG: grayscale streams to (H, W) uint8,
+    YCbCr color streams (any sampling factors up to 2x2 — 4:4:4, 4:2:2,
+    4:2:0) to (H, W, 3) uint8 RGB. Progressive / arithmetic / 12-bit /
+    restart-interval / CMYK streams raise ``ValueError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, Tq)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (Td, Ta)
+    scan_order: list[int] = []
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -308,20 +429,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 table[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
                 qtables[tq] = table.reshape(8, 8)
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", seg, 0)[0] != 0:
+                raise ValueError("restart intervals unsupported")
         elif marker == 0xC0:
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
-            if ncomp != 1:
-                raise ValueError(
-                    "only grayscale baseline JPEG is supported (color needs "
-                    "chroma upsampling not implemented here)"
-                )
-            if seg[7] != 0x11:
-                raise ValueError("subsampled grayscale is nonsensical")
-            comp_q = seg[8]
+            if ncomp not in (1, 3):
+                raise ValueError("only grayscale or YCbCr JPEG supported")
+            comps = []
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * ci]))
+            if any(hi not in (1, 2) or vi not in (1, 2) for _, hi, vi, _ in comps):
+                raise ValueError("sampling factors beyond 2x2 unsupported")
         elif marker == 0xC4:
             p = 0
             while p < len(seg):
@@ -332,46 +457,57 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = _decode_tables(bits, vals)
                 p += 17 + n
         elif marker == 0xDA:
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            ns = seg[0]
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans unsupported")
+            for si in range(ns):
+                cid = seg[1 + 2 * si]
+                tt = seg[2 + 2 * si]
+                scan_tables[cid] = (tt >> 4, tt & 0xF)
+                scan_order.append(cid)
             scan_start = pos + seglen
             break
         pos += seglen
-    if scan_start is None or h == 0:
+    if scan_start is None or h == 0 or not comps:
         raise ValueError("truncated JPEG (no scan)")
-    qt = qtables[comp_q]
-    dc_table = htables[(0, dc_id)]
-    ac_table = htables[(1, ac_id)]
 
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _ in comps
+    }
     br = _BitReader(data[scan_start:])
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            size = _read_symbol(br, dc_table)
-            diff = _extend(br.read_bits(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _read_symbol(br, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i >= 64:
-                    raise ValueError("AC index overflow")
-                zz[i] = _extend(br.read_bits(size), size)
-                i += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[ZIGZAG] = zz
-            coefs = block.reshape(8, 8) * qt
-            pix = _C.T @ coefs @ _C
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    return np.clip(np.rint(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    prev = {cid: 0 for cid, *_ in comps}
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, tq in comps:
+                dc_table = htables[(0, scan_tables[cid][0])]
+                ac_table = htables[(1, scan_tables[cid][1])]
+                qt = qtables[tq]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        zz, prev[cid] = _decode_block(
+                            br, dc_table, ac_table, prev[cid]
+                        )
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz
+                        pix = _C.T @ (block.reshape(8, 8) * qt) @ _C
+                        y0 = (my * vi + vy) * 8
+                        x0 = (mx * hi + vx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    full = []
+    for cid, hi, vi, _ in comps:
+        p = np.repeat(np.repeat(planes[cid], vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
