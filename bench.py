@@ -79,7 +79,9 @@ HEADLINE = [
     "simhash_pairs",
     "multimodal_decode_tiff",
     "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg_color",
     "frame_sample_tiff",
+    "frame_sample_mjpeg",
     "skew_seq_plain",  # hot-key baseline: one task owns 50% of rows
     "skew_seq_salted",  # salted two-stage twin — must beat the baseline
     "minhash_lsh_pairs_fast",  # xxhash64 production path vs the md5 oracle hash

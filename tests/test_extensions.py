@@ -991,3 +991,54 @@ def test_decode_media_color_jpeg_channels(spark):
     got = decode_media(df).collect()[0]
     assert got["n_channels"] == 3 and got["n_bytes"] == 16 * 32 * 3
     assert got["mean_byte"] == 100.0 and got["max_byte"] == 100
+
+
+def test_frame_sample_real_mjpeg(spark):
+    """frame_sample splits MJPEG streams on SOI markers and decodes each
+    sampled frame through the repo's JPEG codec."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import frame_sample
+    from trollflow2_spark.sinks.jpeg import encode_jpeg_gray
+
+    frames = [np.full((8, 8), 20 * (f + 1), dtype=np.uint8) for f in range(5)]
+    blob = b"".join(encode_jpeg_gray(f, quality=50) for f in frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, media binary"
+    )
+    got = {
+        r["frame_idx"]: r["frame_byte"]
+        for r in frame_sample(df, every_n_frames=2).collect()
+    }
+    assert got == {0: 20, 2: 60, 4: 100}
+
+
+def test_decode_media_quarantines_corrupt_tiff_and_jpeg(spark):
+    """on_error='null' quarantines corrupt blobs on the TIFF and JPEG
+    routes too, keeping the good rows intact."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.imagery import encode_geotiff
+    from trollflow2_spark.sinks.jpeg import encode_jpeg_gray
+
+    tif = encode_geotiff(np.full((3, 4), 9, dtype=np.uint8))
+    jpg = encode_jpeg_gray(np.full((8, 8), 50, dtype=np.uint8), quality=50)
+    rows = [
+        (1, bytearray(tif), {"media_type": "image/tiff", "width": 4,
+                             "height": 3, "n_bytes": len(tif)}),
+        (2, bytearray(tif[:10]), {"media_type": "image/tiff", "width": 4,
+                                  "height": 3, "n_bytes": 10}),
+        (3, bytearray(jpg), {"media_type": "image/jpeg", "width": 8,
+                             "height": 8, "n_bytes": len(jpg)}),
+        (4, bytearray(b"\x00" * 30), {"media_type": "image/jpeg", "width": 8,
+                                      "height": 8, "n_bytes": 30}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df, on_error="null").collect()}
+    assert got[1]["mean_byte"] == 9.0 and got[3]["mean_byte"] == 50.0
+    assert got[2]["n_bytes"] is None and got[4]["n_bytes"] is None

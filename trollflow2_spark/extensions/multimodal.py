@@ -375,10 +375,17 @@ def frame_sample(
     """Frame-sampling kernel (video -> every Nth frame) over mapInPandas,
     emitting one row per sampled frame: (id, frame_idx, frame_byte).
 
-    REAL route (``fake=False``): paged-TIFF containers (motion-TIFF —
-    each page is one frame; magic ``II*\\0``) decode through the repo's
-    stdlib TIFF codec; every ``every_n_frames``-th page is sampled and
-    ``frame_byte`` carries that frame's max pixel value. General video
+    REAL routes (``fake=False``), dispatched by magic bytes:
+
+    - paged-TIFF containers (motion-TIFF — each page is one frame;
+      magic ``II*\\0``) decode through the repo's stdlib TIFF codec;
+    - MJPEG streams (concatenated baseline JPEG frames; magic
+      ``\\xff\\xd8``) split on SOI markers — safe because byte stuffing
+      guarantees ``\\xff\\xd8\\xff`` never occurs inside entropy data —
+      and decode through the repo's own T.81 codec.
+
+    Every ``every_n_frames``-th frame is sampled and ``frame_byte``
+    carries that frame's max pixel value. Inter-frame-predicted video
     codecs (H.264 etc.) need a decoder not present in this environment
     and raise ``NotImplementedError``.
 
@@ -400,25 +407,42 @@ def frame_sample(
         import pandas as pd
 
         from trollflow2_spark.sinks.imagery import decode_geotiff
+        from trollflow2_spark.sinks.jpeg import decode_jpeg
 
         for pdf in batches:
             if not fake:
-                # real path: per-container page decode (inherently
-                # per-item); every Nth page is one sampled frame
+                # real path: per-container frame decode (inherently
+                # per-item); every Nth frame is one sampled row
                 ids, idxs, vals = [], [], []
                 for d, blob in zip(pdf[id_col], pdf[media_col]):
                     blob = bytes(blob)
-                    if blob[:4] != b"II*\x00":
+                    if blob[:4] == b"II*\x00":
+                        frames = decode_geotiff(blob)[0]
+                    elif blob[:2] == b"\xff\xd8":
+                        # MJPEG: split on SOI-followed-by-marker; byte
+                        # stuffing makes \xff\xd8\xff unambiguous
+                        starts = [0] + [
+                            i
+                            for i in range(2, len(blob) - 2)
+                            if blob[i : i + 2] == b"\xff\xd8"
+                            and blob[i + 2] == 0xFF
+                        ]
+                        bounds = starts + [len(blob)]
+                        frames = [
+                            decode_jpeg(blob[a:b])
+                            for a, b in zip(bounds, bounds[1:])
+                        ]
+                    else:
                         raise NotImplementedError(
-                            "frame sampling beyond paged-TIFF containers "
-                            "requires a video codec not present in this "
-                            "environment; pass fake=True for the byte sampler"
+                            "frame sampling beyond paged-TIFF and MJPEG "
+                            "containers requires a video codec not present "
+                            "in this environment; pass fake=True for the "
+                            "byte sampler"
                         )
-                    pages, _tags = decode_geotiff(blob)
-                    for fi in range(0, len(pages), every_n_frames):
+                    for fi in range(0, len(frames), every_n_frames):
                         ids.append(int(d))
                         idxs.append(fi)
-                        vals.append(int(pages[fi].max()))
+                        vals.append(int(frames[fi].max()))
                 yield pd.DataFrame(
                     {
                         id_col: pd.Series(ids, dtype="int64"),

@@ -1684,6 +1684,47 @@ def q_frame_sample_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n_frames=2)  # fake=False: real decode
 
 
+def q_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG frame sampling: concatenated baseline-JPEG frames
+    (the motion-JPEG container) split on SOI markers and decoded through
+    the repo's own T.81 codec. Constant even-valued frames decode
+    losslessly, so each sampled frame's max pixel is closed-form."""
+    from trollflow2_spark.extensions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def make_mjpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = d % 6 + 2
+                blobs.append(
+                    b"".join(
+                        encode_jpeg_gray(
+                            np.full((8, 8), (d * 2 + f * 4) % 256, dtype=np.uint8),
+                            quality=50,
+                        )
+                        for f in range(n_frames)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.mapInPandas(make_mjpeg, media_schema)
+    return frame_sample(media, every_n_frames=2)  # fake=False: real decode
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (binary in, binary out, metadata rescaled) with
     the deterministic stand-in kernel. Binary output column => rows-only
@@ -1974,6 +2015,7 @@ QUERIES = {
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
     "frame_sample_tiff": q_frame_sample_tiff,
+    "frame_sample_mjpeg": q_frame_sample_mjpeg,
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
     "pipeline_roundtrip": q_pipeline_roundtrip,
