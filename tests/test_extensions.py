@@ -1042,3 +1042,39 @@ def test_decode_media_quarantines_corrupt_tiff_and_jpeg(spark):
     got = {r["doc_id"]: r for r in decode_media(df, on_error="null").collect()}
     assert got[1]["mean_byte"] == 9.0 and got[3]["mean_byte"] == 50.0
     assert got[2]["n_bytes"] is None and got[4]["n_bytes"] is None
+
+
+def test_incremental_dedup_and_lsh_matches(spark):
+    """Daily-increment dedup: batch docs flag against corpus digests
+    first, then earlier batch occurrences; the LSH tier broadcasts the
+    batch bands so the corpus side never shuffles."""
+    from trollflow2_spark.extensions.dedup import (
+        incremental_exact_dedup,
+        incremental_lsh_matches,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),   # dup of corpus 1
+            (11, "totally new content here"),  # new
+            (12, "totally new content here"),  # dup of batch 11
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in incremental_exact_dedup(corpus, batch).collect()}
+    assert got[10]["is_new"] == 0 and got[10]["dup_of"] == 1
+    assert got[11]["is_new"] == 1 and got[11]["dup_of"] is None
+    assert got[12]["is_new"] == 0 and got[12]["dup_of"] == 11
+
+    cs = minhash_signatures(corpus, shingle_words=2, num_hashes=8)
+    bs = minhash_signatures(batch, shingle_words=2, num_hashes=8)
+    matches = incremental_lsh_matches(cs, bs, num_hashes=8, bands=4)
+    pairs = {(r["batch_id"], r["corpus_id"]) for r in matches.collect()}
+    assert (10, 1) in pairs  # identical docs collide in every band
+    # the batch side is the broadcast side: no shuffle of corpus bands
+    plan = matches._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -512,6 +512,74 @@ def simhash_pairs(
     )
 
 
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an existing (already-deduped)
+    corpus — the daily-increment path: every batch doc gets ``is_new``
+    (1 iff it duplicates neither a corpus doc nor an earlier batch doc)
+    and ``dup_of`` (the canonical id it duplicates: corpus id first,
+    else the batch's first occurrence, else NULL).
+
+    Scale: only md5 digests shuffle; the corpus side reduces to one
+    digest-min aggregation (precomputable/persistable in production) and
+    the join keys are 32-byte digests. The increment is typically
+    orders of magnitude smaller than the corpus, so AQE broadcasts the
+    batch side — the 100 TB corpus never re-shuffles per increment.
+    """
+    c = (
+        corpus.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("corpus_id"))
+    )
+    b = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    b = b.withColumn("batch_first", F.min(id_col).over(Window.partitionBy("h")))
+    out = b.join(c, "h", "left")
+    dup_of = F.coalesce(
+        F.col("corpus_id"),
+        F.when(F.col("batch_first") < F.col(id_col), F.col("batch_first")),
+    )
+    is_new = (
+        F.col("corpus_id").isNull() & (F.col("batch_first") == F.col(id_col))
+    ).cast("int")
+    return out.select(F.col(id_col), dup_of.alias("dup_of"), is_new.alias("is_new"))
+
+
+def incremental_lsh_matches(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    hash_fn: HashFn | None = None,
+) -> DataFrame:
+    """Near-dup candidate matches of a NEW batch against an existing
+    corpus: (batch_id, corpus_id) pairs whose minhash signatures share a
+    band bucket — feed them to the n-gram verify tier via
+    ``candidates=`` exactly like the self-join LSH pairs.
+
+    Scale: the batch band table is the SMALL side and is broadcast, so
+    the corpus band table never shuffles — a daily increment against a
+    100 TB corpus is one map-side equi-join over the (precomputable)
+    corpus bands. This is the asymmetric twin of
+    :func:`lsh_candidate_pairs`.
+    """
+    cb = _band_buckets(
+        corpus_sigs, id_col, num_hashes, bands, hash_fn=hash_fn
+    ).withColumnRenamed(id_col, "corpus_id")
+    bb = _band_buckets(
+        batch_sigs, id_col, num_hashes, bands, hash_fn=hash_fn
+    ).withColumnRenamed(id_col, "batch_id")
+    return (
+        cb.join(F.broadcast(bb), ["band", "bh"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,

@@ -1382,6 +1382,53 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """
 
+# Incremental (daily-increment) dedup: batch = every 10th doc, corpus =
+# the rest. Exact tier flags batch docs against corpus digests + earlier
+# batch occurrences; LSH tier emits (batch, corpus) band-bucket matches.
+ORACLES["incremental_dedup"] = """
+WITH c AS (
+  SELECT md5(text) AS h, min(doc_id) AS corpus_id
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+), b AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+), b2 AS (
+  SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS batch_first FROM b
+)
+SELECT b2.doc_id,
+  coalesce(c.corpus_id,
+           CASE WHEN b2.batch_first < b2.doc_id THEN b2.batch_first END)
+    AS dup_of,
+  CAST(CASE WHEN c.corpus_id IS NULL AND b2.batch_first = b2.doc_id
+       THEN 1 ELSE 0 END AS INTEGER) AS is_new
+FROM b2 LEFT JOIN c USING (h)
+"""
+
+_BAND_SELECTS_CORPUS = _BAND_SELECTS.replace("FROM sigs", "FROM csigs")
+_BAND_SELECTS_BATCH = _BAND_SELECTS.replace("FROM sigs", "FROM bsigs")
+ORACLES["incremental_lsh_matches"] = f"""
+WITH csh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle
+  FROM documents WHERE doc_id % 10 <> 0
+), csigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM csh GROUP BY doc_id
+), bsh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle
+  FROM documents WHERE doc_id % 10 = 0
+), bsigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM bsh GROUP BY doc_id
+), cbk AS (
+{_BAND_SELECTS_CORPUS}
+), bbk AS (
+{_BAND_SELECTS_BATCH}
+)
+SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+FROM cbk c JOIN bbk b ON c.band = b.band AND c.bh = b.bh
+"""
+
 # LSH candidate chain + n-gram verify tier: the contract (and scale)
 # form of the jaccard/containment queries — candidates come from banded
 # minhash LSH, never from a within-block self-join.

@@ -948,6 +948,45 @@ def q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_batch_split(spark: SparkSession, sf_dir: str):
+    """Incremental-dedup fixture: every 10th doc is the 'new batch', the
+    rest are the existing corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment exact dedup: new-batch docs flagged against the
+    existing corpus (and each other) with the canonical id they
+    duplicate — digest-only join, batch side broadcastable."""
+    from trollflow2_spark.extensions.dedup import incremental_exact_dedup
+
+    corpus, batch = _corpus_batch_split(spark, sf_dir)
+    return incremental_exact_dedup(corpus, batch)
+
+
+def q_incremental_lsh_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment near-dup candidates: batch minhash bands broadcast
+    against corpus bands — the corpus never shuffles per increment."""
+    from trollflow2_spark.extensions.dedup import incremental_lsh_matches
+
+    corpus, batch = _corpus_batch_split(spark, sf_dir)
+    mk = lambda df: minhash_signatures(  # noqa: E731
+        df,
+        shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+    return incremental_lsh_matches(
+        mk(corpus),
+        mk(batch),
+        num_hashes=C.MINHASH_NUM_HASHES,
+        bands=C.MINHASH_BANDS,
+    )
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH guard audit (pairable/salted/dropped bucket counts) —
     recall loss must be observable, and now value-checked."""
@@ -2000,6 +2039,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
+    "incremental_dedup": q_incremental_dedup,
+    "incremental_lsh_matches": q_incremental_lsh_matches,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicate_clusters": q_duplicate_clusters,
     "dedup_corpus": q_dedup_corpus,
