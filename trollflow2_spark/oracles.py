@@ -266,12 +266,12 @@ _SKEW_SEQ_SQL = f"""
 WITH rep AS (
   SELECT e.event_id * {C.SKEW_REPLICATE} + r.r AS seq_id,
          CASE WHEN e.event_id % 2 = 0 THEN -1 ELSE e.user_id END AS skew_user,
-         e.event_type
+         concat_ws('@', e.event_type, e.props) AS payload
   FROM events e
   CROSS JOIN (SELECT unnest(range({C.SKEW_REPLICATE})) AS r) r
 )
 SELECT skew_user,
-  md5(string_agg(event_type, '|' ORDER BY seq_id)) AS seq_hash,
+  md5(string_agg(payload, '|' ORDER BY seq_id)) AS seq_hash,
   count(*) AS n_events
 FROM rep GROUP BY skew_user
 """

@@ -513,14 +513,18 @@ def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
+        "props",
         F.explode(F.sequence(F.lit(0), F.lit(C.SKEW_REPLICATE - 1))).alias("r"),
     )
+    # the fingerprint rides the full event payload (type@props), not just
+    # the type tag — the realistic session-replay row, and heavy enough
+    # that the hot key's single-task cost dominates the shared scan
     return rep.select(
         (F.col("event_id") * C.SKEW_REPLICATE + F.col("r")).alias("seq_id"),
         F.when(F.col("event_id") % 2 == 0, F.lit(-1))
         .otherwise(F.col("user_id"))
         .alias("skew_user"),
-        "event_type",
+        F.concat_ws("@", "event_type", "props").alias("payload"),
     )
 
 
@@ -531,9 +535,14 @@ def q_skew_seq_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benched skew baseline the salted twin must beat."""
     from trollflow2_spark.operators.skew import sequence_fingerprint
 
-    return sequence_fingerprint(
-        _skewed_events(spark, sf_dir), "skew_user", "seq_id", "event_type"
+    out = sequence_fingerprint(
+        _skewed_events(spark, sf_dir), "skew_user", "seq_id", "payload"
     )
+    # the length gate is a tautology (md5 is always 32 hex chars) but it
+    # anchors seq_hash in the plan: under a bare count() Catalyst would
+    # otherwise prune the whole fingerprint computation and the bench
+    # would measure an empty aggregate
+    return out.filter(F.length("seq_hash") == 32)
 
 
 def q_skew_seq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,13 +553,14 @@ def q_skew_seq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same oracle as the plain form: salting is semantics-preserving."""
     from trollflow2_spark.operators.skew import sequence_fingerprint
 
-    return sequence_fingerprint(
+    out = sequence_fingerprint(
         _skewed_events(spark, sf_dir),
         "skew_user",
         "seq_id",
-        "event_type",
+        "payload",
         bucket_width=C.SKEW_BUCKET_WIDTH,
     )
+    return out.filter(F.length("seq_hash") == 32)  # anti-pruning anchor
 
 
 # ---------------------------------------------------------------------------
