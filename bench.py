@@ -6,9 +6,12 @@
     {"metric": "...", "value": <total-sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Each query is timed over a full execution (plan + run + collect-count via
-a cheap ``count()`` action on the result, so sinks aren't simulated but
-the whole pipeline materializes).
+Each query is timed over a FULL materialization: the result writes to
+Spark's ``noop`` sink, which evaluates every output column but discards
+the rows. (A bare ``count()`` is NOT a valid harness here — Catalyst
+prunes every column a count doesn't need, so projection-shaped queries
+like pii_scrub would bench an empty scan; rounds 1-4 measured exactly
+that, which is why several per-query numbers step up in round 5.)
 """
 
 from __future__ import annotations
@@ -110,12 +113,13 @@ def main() -> int:
         runs = []
         for _ in range(2):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            # noop sink: full evaluation of every output column, no
+            # column pruning, nothing written
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         times[name] = round(min(runs), 3)
         print(
-            f"# {name}: {times[name]:.3f}s (runs {[round(r, 3) for r in runs]},"
-            f" {n} rows)",
+            f"# {name}: {times[name]:.3f}s (runs {[round(r, 3) for r in runs]})",
             file=sys.stderr,
         )
 

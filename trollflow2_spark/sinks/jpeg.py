@@ -299,6 +299,10 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 75) -> bytes:
 
 
 class _BitReader:
+    """MSB-first bit reader with JPEG unstuffing (0xFF00 -> 0xFF) and a
+    16-bit peek window — symbol decoding peeks once and skips, instead
+    of paying a Python call per bit."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
@@ -325,17 +329,21 @@ class _BitReader:
             self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFF
             self.n += 8
 
-    def read_bit(self) -> int:
-        if self.n == 0:
+    def peek16(self) -> int:
+        if self.n < 16:
             self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.n -= k
 
     def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
 
 def _decode_tables(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
@@ -353,11 +361,12 @@ def _decode_tables(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
 
 
 def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
+    window = br.peek16()
+    get = table.get
     for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+        sym = get((length, window >> (16 - length)))
         if sym is not None:
+            br.skip(length)
             return sym
     raise ValueError("bad Huffman stream")
 
