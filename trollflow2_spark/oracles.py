@@ -1589,3 +1589,61 @@ SELECT s.doc_id, s.cluster_size, d.n_chars
 FROM cl_sized s JOIN documents d USING (doc_id)
 WHERE s.doc_id = s.cluster_id
 """
+
+# production end-to-end dedup: the n-gram Jaccard VERIFY tier sits
+# between LSH candidates and the recursive-closure clustering, so only
+# confirmed near-dup edges link documents.
+_CC_CTES_VERIFIED = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM documents
+), sigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{_BAND_SELECTS}
+), sized AS (
+  SELECT band, bh FROM bk GROUP BY band, bh HAVING count(*) <= 1000
+), fb AS (
+  SELECT bk.doc_id, bk.band, bk.bh FROM bk JOIN sized USING (band, bh)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), s2 AS (
+  SELECT doc_id, list_distinct({_SHINGLES_J}) AS sh2 FROM documents
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN s2 a ON c.id_a = a.doc_id JOIN s2 b ON c.id_b = b.doc_id
+  WHERE round(
+      CASE WHEN len(list_distinct(list_concat(a.sh2, b.sh2))) > 0
+        THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh2, b.sh2))) AS DOUBLE)
+        ELSE 0.0 END, 6) >= {C.JACCARD_THRESHOLD}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst <> r.src
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), clustered AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+)
+"""
+
+ORACLES["dedup_corpus_verified"] = _CC_CTES_VERIFIED + """
+, cl_sized AS (
+  SELECT doc_id, cluster_id,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM clustered
+)
+SELECT s.doc_id, s.cluster_size, d.n_chars
+FROM cl_sized s JOIN documents d USING (doc_id)
+WHERE s.doc_id = s.cluster_id
+"""

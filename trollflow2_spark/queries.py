@@ -1042,6 +1042,30 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup pipeline end-to-end: LSH candidates ->
+    n-gram Jaccard VERIFY -> connected components -> canonical corpus.
+    Unlike ``dedup_corpus`` (which clusters raw LSH candidates — the
+    recall-heavy variant), this one only links pairs the verify tier
+    confirms, so false LSH collisions cannot glue unrelated documents
+    into one cluster. The oracle replays the whole chain, recursive
+    closure included."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    verified = ngram_jaccard_pairs(
+        docs,
+        candidates=cand,
+        shingle_words=C.JACCARD_SHINGLE_WORDS,
+        threshold=C.JACCARD_THRESHOLD,
+    ).select("id_a", "id_b")
+    clusters = duplicate_clusters(docs, verified)
+    return (
+        clusters.filter(F.col("is_canonical") == 1)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "cluster_size", "n_chars")
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline smoke as a query: message -> jobs -> scene -> sinks
     -> manifest rows. The manifest's deterministic fields (composed
@@ -2054,6 +2078,7 @@ QUERIES = {
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicate_clusters": q_duplicate_clusters,
     "dedup_corpus": q_dedup_corpus,
+    "dedup_corpus_verified": q_dedup_corpus_verified,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
