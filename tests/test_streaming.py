@@ -352,3 +352,41 @@ def test_kafka_source_sink_shape(spark):
     got = keyed.collect()[0]
     assert got["topic"] == "/png/areaA" and got["key"] == "areaA"
     assert json.loads(got["value"])["uri"] == "f.png"
+
+
+def test_streaming_simhash_dedup(spark, tmp_path):
+    """Near-dup streaming filter: identical token sets fingerprint
+    identically (whitespace/order-insensitive), so template re-renders
+    drop across batches while genuinely different docs pass."""
+    import json as _json
+
+    from trollflow2_spark.streaming.stateful import streaming_simhash_dedup
+
+    src_dir = str(tmp_path / "shdedup_in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "b1.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": "alpha beta gamma"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": "delta epsilon zeta"}) + "\n")
+    with open(os.path.join(src_dir, "b2.json"), "w") as fh:
+        # same tokens, different order/spacing -> same fingerprint
+        fh.write(_json.dumps({"doc_id": 3, "text": "gamma  alpha beta"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 4, "text": "totally different words"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    out = streaming_simhash_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_shdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "shdedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stream_shdedup").collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert kept == [1, 2, 4]  # doc 3 is a token-set dup of doc 1

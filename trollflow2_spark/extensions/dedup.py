@@ -408,6 +408,47 @@ def ngram_containment_pairs(
     )
 
 
+def simhash_column(
+    text_col: Column | str,
+    bits: int = 32,
+    hash_fn: HashFn = hash64,
+) -> Column:
+    """Simhash fingerprint as a PURE Column expression: for each bit
+    position, a bit is set iff more than half of the distinct tokens'
+    hashes have that bit set (equivalent to the classic +1/-1 vote sum
+    being positive). NULL for token-less input (parity with the
+    aggregation form, which emits no row for them).
+
+    Scale: no explode, no shuffle — the fingerprint computes inside the
+    scan stage via higher-order functions (one hash per distinct token,
+    bound once through a single-element ``transform`` so the 32 bit
+    filters never re-hash), which also makes it usable per-row in
+    Structured Streaming (:func:`trollflow2_spark.streaming.stateful.
+    streaming_simhash_dedup`).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    hashes = F.transform(F.array_distinct(tokens(c)), lambda t: hash_fn(t))
+
+    def fingerprint(hs: Column) -> Column:
+        n = F.size(hs)
+        total = None
+        for i in range(bits):
+            n_set = F.size(
+                F.filter(
+                    hs,
+                    lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            bit = (
+                F.when(n_set * 2 > n, F.lit(2 ** i).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            )
+            total = bit if total is None else total + bit
+        return F.when(n > 0, total)
+
+    return F.get(F.transform(F.array(hashes), fingerprint), 0)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -419,27 +460,19 @@ def simhash(
     votes of each distinct token's hash bit; bit set iff the vote is
     positive. Output: (id, simhash BIGINT).
 
-    One explode + one groupBy with ``bits`` conditional sums — a single
-    shuffle. Near-dup detection then buckets by simhash bands (hamming
-    distance); grouping on the full fingerprint finds exact
-    template-level dups.
+    Built on :func:`simhash_column`, so the whole computation is
+    map-side Column algebra — NO shuffle (the earlier explode+groupBy
+    form shuffled one row per token). Near-dup detection then buckets by
+    simhash bands (:func:`simhash_pairs`); grouping on the full
+    fingerprint finds exact template-level dups.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    out = df.select(
+        F.col(id_col),
+        simhash_column(F.col(text_col), bits=bits, hash_fn=hash_fn).alias("simhash"),
     )
-    h = toks.select(id_col, hash_fn(F.col("tok")).alias("th"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    voted = h.groupBy(id_col).agg(*votes)
-    sim = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sim = bit if sim is None else sim + bit
-    return voted.select(F.col(id_col), sim.alias("simhash"))
+    # token-less docs produce no fingerprint row (parity with the
+    # aggregation form: groupBy over zero exploded rows emits nothing)
+    return out.filter(F.col("simhash").isNotNull())
 
 
 def simhash_pairs(

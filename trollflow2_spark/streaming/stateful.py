@@ -73,6 +73,37 @@ def streaming_dedup(
     )
 
 
+def streaming_simhash_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    bits: int = 32,
+) -> DataFrame:
+    """Template-level near-dup filter over a document stream: the first
+    document of each simhash fingerprint passes, later template
+    re-renders (whitespace/token-order-insensitive at the fingerprint
+    level) are dropped as they arrive.
+
+    Only possible because :func:`~trollflow2_spark.extensions.dedup.
+    simhash_column` is a pure per-row Column expression (no groupBy):
+    the fingerprint computes inside the streaming scan and the built-in
+    ``dropDuplicates[WithinWatermark]`` state store does the seen-set,
+    watermark-BOUNDED when ``ts_col`` is set — same hygiene contract as
+    :func:`streaming_dedup`, one tier fuzzier.
+    """
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.dedup import simhash_column
+
+    d = stream.withColumn("simhash", simhash_column(F.col(text_col), bits=bits))
+    if ts_col is None:
+        return d.dropDuplicates(["simhash"])
+    return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )
+
+
 def _running_count_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
