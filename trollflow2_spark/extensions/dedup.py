@@ -62,26 +62,36 @@ def minhash_signatures(
     """Per-document minhash signature: min over shingle hashes for each of
     ``num_hashes`` seeded hash functions. Output: id + minhash_0..N-1.
 
-    Implementation: explode shingles (distinct per doc), compute all
-    seeded hashes per shingle, then one groupBy(doc) with N min()
-    aggregates — a single shuffle, map-side combinable.
+    Implementation: pure Column algebra — ``array_min`` over a
+    higher-order ``transform`` of the distinct-shingle array, once per
+    seed, with the shingle array bound through a single-element
+    ``transform`` so it is built exactly once per row. ZERO shuffle:
+    signatures compute inside the scan stage (the earlier
+    explode+groupBy form paid an Exchange plus an aggregation hash
+    table), which shortens every downstream dedup plan (banding starts
+    from an un-shuffled projection).
 
     ``hash_fn`` defaults to the portable oracle-reproducible hash; pass
     :func:`~trollflow2_spark.functions.hashing.fast_hash64` in production.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias(
-            "shingle"
-        ),
-    )
-    hashed = sh.select(
-        id_col,
-        *[hash_fn(F.col("shingle"), seed=i).alias(f"h{i}") for i in range(num_hashes)],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"minhash_{i}") for i in range(num_hashes)]
-    )
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+
+    def seeded(i: int):
+        # NOT `lambda s, i=i`: a second parameter (even defaulted) makes
+        # PySpark pass the array INDEX as its value, silently replacing
+        # the seed
+        return lambda s: hash_fn(s, seed=i)
+
+    def signature(sh: Column) -> Column:
+        return F.struct(
+            *[
+                F.array_min(F.transform(sh, seeded(i))).alias(f"minhash_{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    packed = F.get(F.transform(F.array(shingles), signature), 0)
+    return df.select(F.col(id_col), packed.alias("_sig")).select(id_col, "_sig.*")
 
 
 def _band_buckets(
