@@ -128,22 +128,20 @@ def doc_fingerprint(
     ≡ 0 (mod ``mod``) — the standard mod-p sampled fingerprint (0-mod-p
     selection is position-independent, robust to insertions). Output:
     (id, n_fingerprints, min_fingerprint).
+
+    Pure Column algebra (hash + filter + size/array_min over the
+    shingle array): ZERO shuffle — the earlier explode + left-join +
+    groupBy form paid two Exchanges for what is a per-row computation.
     """
-    sh = df.select(
+    hashes = F.transform(
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)),
+        lambda s: hash_fn(s),
+    )
+    kept = F.filter(hashes, lambda h: h % mod == 0)
+    return df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("s"),
-    )
-    hashed = sh.select(id_col, hash_fn(F.col("s")).alias("h")).filter(
-        F.col("h") % mod == 0
-    )
-    return (
-        df.select(id_col)
-        .join(hashed, id_col, "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.col("h")).alias("n_fingerprints"),
-            F.min("h").alias("min_fingerprint"),
-        )
+        F.size(kept).cast("bigint").alias("n_fingerprints"),
+        F.array_min(kept).alias("min_fingerprint"),
     )
 
 
