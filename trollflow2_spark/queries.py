@@ -1410,7 +1410,11 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decode_media`` routes ``image/png`` through the real stdlib
     decoder — pixel statistics and dimensions are oracle-checked (the
     pixel ramp ``(doc_id + k) % 256`` is SQL-expressible)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1474,7 +1478,11 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decode_media`` routes ``image/tiff`` through the real stdlib
     decoder (page-0 strips inflated, pixel statistics + dimensions) —
     the pixel ramp ``(doc_id*3 + k) % 256`` is SQL-expressible."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1529,7 +1537,11 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize losslessly (only the DC coefficient survives and Annex-K
     Q[0,0]=16 divides 8*(v-128) exactly for even v): the decoded pixels
     equal the constant exactly and the oracle is closed-form."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1584,7 +1596,11 @@ def q_multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFram
     4:2:0-subsampled YCbCr path (constant chroma 128 => all-zero chroma
     coefficients; constant even luma quantizes losslessly), so the
     decoded (H, W, 3) statistics are closed-form."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1642,7 +1658,11 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     routes ``audio/wav`` through the real stdlib decoder — sample
     statistics and (rate, frames, channels) oracle-checked (the PCM ramp
     ``(doc_id*7 + i) % 201 - 100`` is SQL-expressible)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1725,7 +1745,11 @@ def q_frame_sample_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id*5 + f*7 + k) % 256`` is SQL-expressible."""
     from trollflow2_spark.extensions.multimodal import frame_sample
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1764,7 +1788,11 @@ def q_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     losslessly, so each sampled frame's max pixel is closed-form."""
     from trollflow2_spark.extensions.multimodal import frame_sample
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1848,7 +1876,11 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it as the plain global ordinal it equals."""
     from trollflow2_spark.extensions.sampling import global_shuffle
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return global_shuffle(docs, seed=C.SHUFFLE_SEED).select(
         "doc_id", "shuffle_pos"
     )
