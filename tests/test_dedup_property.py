@@ -73,3 +73,40 @@ def test_simhash_matches_python_model(spark, docs):
         if t in by_text:
             assert got[i] == by_text[t]  # determinism across rows
         by_text[t] = got[i]
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(texts, min_size=2, max_size=8, unique=True))
+def test_lsh_candidate_pairs_match_python_model(spark, docs):
+    """Banded LSH candidates equal the Python model exactly: docs pair
+    iff some band's md5-of-joined-minhashes collides (no guards at
+    these sizes)."""
+    from trollflow2_spark.extensions.dedup import lsh_candidate_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df, shingle_words=2, num_hashes=4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, num_hashes=4, bands=2).collect()
+    }
+
+    def sig(t):
+        sh = _shingles(t, 2)
+        return [min(_h64(s, seed=k) for s in sh) for k in range(4)]
+
+    def bands(t):
+        s = sig(t)
+        return [
+            hashlib.md5("|".join(str(v) for v in s[b * 2 : b * 2 + 2]).encode())
+            .hexdigest()
+            for b in range(2)
+        ]
+
+    expect = set()
+    bmap = {i: bands(t) for i, t in rows}
+    for i, _ in rows:
+        for j, _ in rows:
+            if i < j and any(a == b for a, b in zip(bmap[i], bmap[j])):
+                expect.add((i, j))
+    assert got == expect
