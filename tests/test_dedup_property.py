@@ -21,6 +21,13 @@ def _h64(s: str, seed=None) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
+def _h64_lane(s: str, seed: int, lane: int) -> int:
+    """Model of hash64_lane: hex chars [lane*16, lane*16+15) of the
+    seeded digest (1-based substr(1|17, 15) in the engines)."""
+    digest = hashlib.md5(f"{s}:{seed}".encode()).hexdigest()
+    return int(digest[lane * 16 : lane * 16 + 15], 16)
+
+
 def _shingles(text: str, n: int) -> set[str]:
     toks = text.split()
     if len(toks) <= n:
@@ -49,7 +56,10 @@ def test_minhash_signatures_match_python_model(spark, docs, n):
     }
     for i, t in rows:
         sh = _shingles(t, n)
-        expect = [min(_h64(s, seed=k) for s in sh) for k in range(4)]
+        expect = [
+            min(_h64_lane(s, seed=k // 2, lane=k % 2) for s in sh)
+            for k in range(4)
+        ]
         assert got[i] == expect, (t, n)
 
 
@@ -93,7 +103,10 @@ def test_lsh_candidate_pairs_match_python_model(spark, docs):
 
     def sig(t):
         sh = _shingles(t, 2)
-        return [min(_h64(s, seed=k) for s in sh) for k in range(4)]
+        return [
+            min(_h64_lane(s, seed=k // 2, lane=k % 2) for s in sh)
+            for k in range(4)
+        ]
 
     def bands(t):
         s = sig(t)

@@ -26,7 +26,13 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from trollflow2_spark.functions.hashing import fast_hash64, hash64, tokens, word_shingles
+from trollflow2_spark.functions.hashing import (
+    fast_hash64,
+    hash64,
+    hash64_lane,
+    tokens,
+    word_shingles,
+)
 
 HashFn = Callable[..., Column]
 
@@ -71,8 +77,14 @@ def minhash_signatures(
     table), which shortens every downstream dedup plan (banding starts
     from an un-shuffled projection).
 
-    ``hash_fn`` defaults to the portable oracle-reproducible hash; pass
-    :func:`~trollflow2_spark.functions.hashing.fast_hash64` in production.
+    ``hash_fn`` defaults to the portable oracle-reproducible hash, in
+    which case hashes come in LANE PAIRS — two independent 60-bit
+    values sliced from each seeded md5 digest
+    (:func:`~trollflow2_spark.functions.hashing.hash64_lane`), so
+    ``num_hashes`` functions cost ``num_hashes / 2`` md5 calls per
+    shingle. Pass :func:`~trollflow2_spark.functions.hashing.
+    fast_hash64` in production (per-seed xxhash64 — already one cheap
+    call per hash).
     """
     shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_words))
 
@@ -82,13 +94,49 @@ def minhash_signatures(
         # the seed
         return lambda s: hash_fn(s, seed=i)
 
-    def signature(sh: Column) -> Column:
-        return F.struct(
-            *[
-                F.array_min(F.transform(sh, seeded(i))).alias(f"minhash_{i}")
-                for i in range(num_hashes)
-            ]
-        )
+    def lane_extract(lane: int):
+        off = 1 + lane * 16
+        return lambda d: F.conv(F.substring(d, off, 15), 16, 10).cast("bigint")
+
+    if hash_fn is hash64:
+        # portable path: one md5 DIGEST ARRAY per seed pair, bound once
+        # (expressions are trees, not DAGs — two lane columns that each
+        # call md5 would evaluate it twice; slicing a bound digest array
+        # really does halve the md5 work)
+        def seeded_digest(k: int):
+            # factory, NOT `lambda s, k=k` (second param would become the
+            # array index — see the seeded() note above)
+            return lambda s: F.md5(F.concat(s, F.lit(f":{k}")))
+
+        def digests(sh: Column) -> Column:
+            return F.struct(
+                *[
+                    F.transform(sh, seeded_digest(k)).alias(f"d{k}")
+                    for k in range(0, (num_hashes + 1) // 2)
+                ]
+            )
+
+        def mins(d: Column) -> Column:
+            return F.struct(
+                *[
+                    F.array_min(
+                        F.transform(d[f"d{i // 2}"], lane_extract(i % 2))
+                    ).alias(f"minhash_{i}")
+                    for i in range(num_hashes)
+                ]
+            )
+
+        def signature(sh: Column) -> Column:
+            return F.get(F.transform(F.array(digests(sh)), mins), 0)
+    else:
+
+        def signature(sh: Column) -> Column:
+            return F.struct(
+                *[
+                    F.array_min(F.transform(sh, seeded(i))).alias(f"minhash_{i}")
+                    for i in range(num_hashes)
+                ]
+            )
 
     packed = F.get(F.transform(F.array(shingles), signature), 0)
     return df.select(F.col(id_col), packed.alias("_sig")).select(id_col, "_sig.*")

@@ -49,6 +49,26 @@ def HASH64_SQL(expr: str, seed: int | None = None) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def hash64_lane(col: Column | str, seed: int, lane: int) -> Column:
+    """Two independent 60-bit hashes per md5 digest: lane 0 reads hex
+    chars 1-15, lane 1 chars 17-31 of ``md5(x || ':' || seed)``. A
+    32-hex digest carries 128 bits, so one seeded md5 call funds two
+    hash functions — the minhash signature family needs half the md5
+    work of the one-seed-per-hash form, at identical portability (the
+    SQL twin slices the same substring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.concat(c, F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(c), 1 + lane * 16, 15), 16, 10).cast("bigint")
+
+
+def HASH64_LANE_SQL(expr: str, seed: int, lane: int) -> str:
+    """The same hash as :func:`hash64_lane`, as DuckDB SQL text."""
+    return (
+        f"CAST(('0x' || substr(md5(({expr} || ':{seed}')), {1 + lane * 16}, 15))"
+        " AS BIGINT)"
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties removed (portable: DuckDB
     ``list_filter(regexp_split_to_array(trim(x), '\\s+'), t -> t <> '')``)."""

@@ -13,7 +13,12 @@ from __future__ import annotations
 from trollflow2_spark import qconst as C
 from trollflow2_spark.extensions.text import BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS
 from trollflow2_spark.functions.geometry import SZA_SQL
-from trollflow2_spark.functions.hashing import HASH64_SQL, TOKENS_SQL, WORD_SHINGLES_SQL
+from trollflow2_spark.functions.hashing import (
+    HASH64_LANE_SQL,
+    HASH64_SQL,
+    TOKENS_SQL,
+    WORD_SHINGLES_SQL,
+)
 
 
 def _dsum(expr: str, scale: int = 4) -> str:
@@ -365,8 +370,10 @@ FROM documents GROUP BY md5(text)
 """
 
 _SHINGLES_MH = WORD_SHINGLES_SQL("text", C.MINHASH_SHINGLE_WORDS)
+# lane pairs: two independent 60-bit hashes per seeded md5 digest, so
+# num_hashes functions cost num_hashes/2 md5 calls (matches hash64_lane)
 _MINHASH_COLS = ",\n  ".join(
-    f"min({HASH64_SQL('shingle', seed=i)}) AS minhash_{i}"
+    f"min({HASH64_LANE_SQL('shingle', seed=i // 2, lane=i % 2)}) AS minhash_{i}"
     for i in range(C.MINHASH_NUM_HASHES)
 )
 ORACLES["minhash_signatures"] = f"""
