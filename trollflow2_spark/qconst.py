@@ -65,9 +65,9 @@ NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are near-random; max cos ~0.5
 NEARDUP_BITS = 4
 
 # --- skew stress fixture ---------------------------------------------------
-SKEW_REPLICATE = 64  # events replicated 64x -> 6.4M rows at sf0.1; the hot
-# key owns ~3.2M payload rows — enough that the single-task collect+sort+md5
-# tail dominates the shared scan and the salted win is reliable
+SKEW_REPLICATE = 96  # events replicated 96x -> 9.6M rows at sf0.1; the hot
+# key owns ~4.8M payload rows — enough that the single-task collect+sort+md5
+# tail dominates the shared scan and the salted win survives host noise
 SKEW_BUCKET_WIDTH = 100_000  # contiguous seq_id range per salted stage-1 task
 
 # --- spatial / raster ------------------------------------------------------
