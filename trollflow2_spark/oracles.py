@@ -1436,6 +1436,43 @@ SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
 FROM cbk c JOIN bbk b ON c.band = b.band AND c.bh = b.bh
 """
 
+ORACLES["incremental_neardup"] = f"""
+WITH csh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle
+  FROM documents WHERE doc_id % 10 <> 0
+), csigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM csh GROUP BY doc_id
+), bsh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle
+  FROM documents WHERE doc_id % 10 = 0
+), bsigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM bsh GROUP BY doc_id
+), cbk AS (
+{_BAND_SELECTS_CORPUS}
+), bbk AS (
+{_BAND_SELECTS_BATCH}
+), cand AS (
+  SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+  FROM cbk c JOIN bbk b ON c.band = b.band AND c.bh = b.bh
+), s AS (
+  SELECT doc_id, list_distinct({_SHINGLES_J}) AS sh2 FROM documents
+), p AS (
+  SELECT c.id_a, c.id_b,
+    round(
+      CASE WHEN len(list_distinct(list_concat(a.sh2, b.sh2))) > 0
+        THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh2, b.sh2))) AS DOUBLE)
+        ELSE 0.0 END, 6) AS jaccard
+  FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id
+)
+SELECT id_a AS batch_id, id_b AS corpus_id, jaccard FROM p
+WHERE jaccard >= {C.JACCARD_THRESHOLD}
+"""
+
 # LSH candidate chain + n-gram verify tier: the contract (and scale)
 # form of the jaccard/containment queries — candidates come from banded
 # minhash LSH, never from a within-block self-join.

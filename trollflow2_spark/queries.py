@@ -997,6 +997,31 @@ def q_incremental_lsh_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental near-dup path: batch-vs-corpus LSH candidate
+    matches fed through the n-gram Jaccard verify tier — which batch
+    docs are confirmed near-dups of which corpus docs, before any
+    increment is admitted. Same broadcast-batch shape as the candidate
+    stage; the verify join rides (id_a, id_b) like every other consumer."""
+    cand = q_incremental_lsh_matches(spark, sf_dir).select(
+        F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(
+            docs,
+            candidates=cand,
+            shingle_words=C.JACCARD_SHINGLE_WORDS,
+            threshold=C.JACCARD_THRESHOLD,
+        )
+        .select(
+            F.col("id_a").alias("batch_id"),
+            F.col("id_b").alias("corpus_id"),
+            "jaccard",
+        )
+    )
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH guard audit (pairable/salted/dropped bucket counts) —
     recall loss must be observable, and now value-checked."""
@@ -2107,6 +2132,7 @@ QUERIES = {
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
+    "incremental_neardup": q_incremental_neardup,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "duplicate_clusters": q_duplicate_clusters,
     "dedup_corpus": q_dedup_corpus,
