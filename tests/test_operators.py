@@ -182,10 +182,56 @@ def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
         salted_agg(spark.range(5), ["id"], {"a": ("avg", "id")})
 
 
-def test_sequence_fingerprint_salted_equals_plain(spark):
-    """The salted two-stage sequence fingerprint is order-preserving:
-    identical hashes/counts to the single-stage form on a skewed key,
-    with the hot key spread over contiguous order buckets in stage 1."""
+def test_salted_agg_deterministic_salt(spark):
+    """With ``salt_col`` the salt is a pure function of row data, so
+    stage-1 partials are identical across re-runs and re-partitionings
+    (a task retry re-salts rows the same way); final results still
+    match the plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.operators.skew import salted_agg
+
+    rows = [(i, "hot" if i % 3 else f"k{i % 11}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["rid", "key"])
+
+    def stage1_partials(d):
+        salted = d.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("rid")), F.lit(16))
+        )
+        return sorted(
+            (r["key"], r["__salt"], r["n"])
+            for r in salted.groupBy("key", "__salt")
+            .agg(F.count("rid").alias("n"))
+            .collect()
+        )
+
+    p1 = stage1_partials(df.repartition(1))
+    p8 = stage1_partials(df.repartition(8, "key"))
+    assert p1 == p8
+    got = {
+        r["key"]: (r["n"], r["lo"])
+        for r in salted_agg(
+            df, ["key"], {"n": ("count", "rid"), "lo": ("min", "rid")},
+            salt_col="rid",
+        ).collect()
+    }
+    want = {
+        r["key"]: (r["n"], r["lo"])
+        for r in df.groupBy("key")
+        .agg(F.count("rid").alias("n"), F.min("rid").alias("lo"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sequence_fingerprint_salted_digest_chain(spark):
+    """The salted two-stage sequence fingerprint is the digest chain:
+    per contiguous order-bucket md5 in stage 1, md5 of the ordered
+    bucket digests in stage 2.  Verified against a Python replay of the
+    chain; counts match the plain form exactly."""
+    import hashlib
+    from collections import defaultdict
+
     from trollflow2_spark.operators.skew import sequence_fingerprint
 
     rows = [(i, -1 if i % 2 == 0 else i % 5, f"e{i % 7}") for i in range(1000)]
@@ -200,5 +246,23 @@ def test_sequence_fingerprint_salted_equals_plain(spark):
             df, "key", "seq_id", "val", bucket_width=100
         ).collect()
     }
-    assert plain == salted
+    # python replay of the digest chain
+    by_key_bucket = defaultdict(list)
+    for seq_id, key, val in rows:
+        by_key_bucket[(key, seq_id // 100)].append((seq_id, val))
+    digests = defaultdict(list)
+    for (key, bucket), vals in by_key_bucket.items():
+        part = "|".join(v for _, v in sorted(vals))
+        digests[key].append((bucket, hashlib.md5(part.encode()).hexdigest()))
+    expected = {
+        key: hashlib.md5(
+            "|".join(d for _, d in sorted(ds)).encode()
+        ).hexdigest()
+        for key, ds in digests.items()
+    }
+    assert {k: v[0] for k, v in salted.items()} == expected
+    # counts are identical between the two forms; hashes differ by design
+    assert {k: v[1] for k, v in salted.items()} == {
+        k: v[1] for k, v in plain.items()
+    }
     assert plain[-1][1] == 500  # the hot key owns half the rows

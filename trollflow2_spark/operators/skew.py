@@ -35,6 +35,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-stage aggregation over possibly-skewed ``keys``.
 
@@ -44,23 +45,32 @@ def salted_agg(
         salted_agg(docs.select(F.md5("text").alias("h"), "doc_id"),
                    ["h"],
                    {"n_copies": ("count", "doc_id"),
-                    "canonical_id": ("min", "doc_id")})
+                    "canonical_id": ("min", "doc_id")},
+                   salt_col="doc_id")
 
-    Stage 1 groups by (keys..., salt) with salt = crc32(random-free
-    deterministic spread over a row component is wrong — salt must be
-    data-independent per row), here ``pmod(monotonically_increasing_id,
-    n_salts)``; stage 2 merges partials per key. Only decomposable
-    aggregates are supported — avg must be expressed as sum+count by the
-    caller (exactly how Spark's own partial aggregation does it).
+    Stage 1 groups by (keys..., salt); stage 2 merges partials per key.
+    When the caller names a ``salt_col`` (any column whose values spread
+    the hot key — typically a row id), the salt is
+    ``pmod(xxhash64(salt_col), n_salts)``: a pure function of row data,
+    so a task retry or different input partitioning re-salts every row
+    identically and stage-1 partials are reproducible. Without one we
+    fall back to ``pmod(monotonically_increasing_id, n_salts)``, which
+    spreads rows evenly but is partitioning-dependent (still correct —
+    the aggregates are decomposable — just not replay-stable). Only
+    decomposable aggregates are supported — avg must be expressed as
+    sum+count by the caller (exactly how Spark's own partial
+    aggregation does it).
     """
     for name, (fn, _col) in aggs.items():
         if fn not in _MERGE:
             raise ValueError(
                 f"{name}: {fn!r} is not decomposable; use sum+count instead"
             )
-    salted = df.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(int(n_salts)))
-    )
+    if salt_col is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(int(n_salts)))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(int(n_salts)))
+    salted = df.withColumn("__salt", salt)
     stage1 = salted.groupBy(*keys, "__salt").agg(
         *[
             getattr(F, fn)(F.col(col)).alias(f"__p_{name}")
@@ -94,13 +104,19 @@ def sequence_fingerprint(
     plain groupBy skew-immune).
 
     ``bucket_width=None`` is that plain single-stage shape (the oracle
-    twin). With a ``bucket_width``, the salted two-stage form: stage 1
-    fingerprints contiguous ``order_col`` ranges per (key, bucket) —
-    spreading a hot key over ``range/width`` tasks — and stage 2
-    concatenates the bucket substrings in bucket order, which equals the
-    global order because buckets are contiguous ranges. Exactly
-    order-preserving, so both forms hash identically; only the shuffle
-    layout differs.
+    twin). With a ``bucket_width``, the salted two-stage *digest-chain*
+    form: stage 1 hashes each contiguous ``order_col`` range per
+    (key, bucket) down to a 32-char md5 — spreading a hot key over
+    ``range/width`` tasks — and stage 2 hashes the concatenation of the
+    bucket digests in bucket order (= global order; buckets are
+    contiguous ranges). Stage 2's payload per key is O(n_buckets x 32)
+    bytes, NOT the key's full byte volume: at 100 TB the hot key's
+    reduce task carries kilobytes of digests instead of its entire
+    payload, so neither stage re-concentrates the data. The chained
+    hash ``md5(d_1 | d_2 | ...)`` is a different (equally
+    deterministic) fingerprint from the plain form's
+    ``md5(v_1 | v_2 | ...)``; a SQL oracle replays it exactly as
+    md5-of-md5s.
     """
     k, o, v = F.col(key_col), F.col(order_col), F.col(value_col)
     if bucket_width is None:
@@ -124,16 +140,18 @@ def sequence_fingerprint(
         sep,
     )
     stage1 = df.groupBy(k.alias(key_col), bucket.alias("__bucket")).agg(
-        part.alias("__part"), F.count(F.lit(1)).alias("__n")
+        F.md5(part).alias("__digest"), F.count(F.lit(1)).alias("__n")
     )
     merged = F.array_join(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct(F.col("__bucket").alias("b"), F.col("__part").alias("s"))
+                    F.struct(
+                        F.col("__bucket").alias("b"), F.col("__digest").alias("d")
+                    )
                 )
             ),
-            lambda x: x["s"],
+            lambda x: x["d"],
         ),
         sep,
     )

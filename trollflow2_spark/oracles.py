@@ -265,23 +265,37 @@ GROUP BY event_type
 
 # skew stress fixture: replicated events with a hot key owning 50% of
 # rows; the ordered-sequence fingerprint is the skew-sensitive agg
-# (collect_list has no map-side reduction). Plain and salted Spark
-# forms are order-preserving by construction, so ONE oracle serves both.
-_SKEW_SEQ_SQL = f"""
+# (collect_list has no map-side reduction). The plain form hashes the
+# full ordered payload; the salted form is the digest chain — per
+# (key, contiguous bucket) md5 in stage 1, md5 of the ordered bucket
+# digests in stage 2 — so its oracle replays md5-of-md5s exactly.
+_SKEW_REP_CTE = f"""
 WITH rep AS (
   SELECT e.event_id * {C.SKEW_REPLICATE} + r.r AS seq_id,
          CASE WHEN e.event_id % 2 = 0 THEN -1 ELSE e.user_id END AS skew_user,
          concat_ws('@', e.event_type, e.props) AS payload
   FROM events e
   CROSS JOIN (SELECT unnest(range({C.SKEW_REPLICATE})) AS r) r
-)
+)"""
+ORACLES["skew_seq_plain"] = f"""{_SKEW_REP_CTE}
 SELECT skew_user,
   md5(string_agg(payload, '|' ORDER BY seq_id)) AS seq_hash,
   count(*) AS n_events
 FROM rep GROUP BY skew_user
 """
-ORACLES["skew_seq_plain"] = _SKEW_SEQ_SQL
-ORACLES["skew_seq_salted"] = _SKEW_SEQ_SQL
+ORACLES["skew_seq_salted"] = f"""{_SKEW_REP_CTE},
+buckets AS (
+  SELECT skew_user,
+         seq_id // {C.SKEW_BUCKET_WIDTH} AS bucket,
+         md5(string_agg(payload, '|' ORDER BY seq_id)) AS digest,
+         count(*) AS n
+  FROM rep GROUP BY skew_user, seq_id // {C.SKEW_BUCKET_WIDTH}
+)
+SELECT skew_user,
+  md5(string_agg(digest, '|' ORDER BY bucket)) AS seq_hash,
+  CAST(sum(n) AS BIGINT) AS n_events
+FROM buckets GROUP BY skew_user
+"""
 
 # --- joins / spatial -------------------------------------------------------
 

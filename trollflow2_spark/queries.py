@@ -501,6 +501,7 @@ def q_event_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_event": ("min", "event_id"),
             "last_event": ("max", "event_id"),
         },
+        salt_col="event_id",
     )
 
 
@@ -546,11 +547,13 @@ def q_skew_seq_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_skew_seq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The salted two-stage twin of ``skew_seq_plain``: stage 1
-    fingerprints contiguous seq_id ranges per (user, bucket) — the hot
-    key spreads over range/width tasks — and stage 2 concatenates bucket
-    substrings in bucket order (= global order, buckets are contiguous).
-    Same oracle as the plain form: salting is semantics-preserving."""
+    """The salted two-stage twin of ``skew_seq_plain``, digest-chained:
+    stage 1 md5-fingerprints contiguous seq_id ranges per (user, bucket)
+    — the hot key spreads over range/width tasks — and stage 2 hashes
+    the 32-char bucket digests in bucket order (= global order, buckets
+    are contiguous). Stage 2 carries O(n_buckets x 32) bytes per key,
+    never the key's full payload, so no task re-concentrates the hot
+    key at any scale. Oracle: DuckDB replays the md5-of-md5s chain."""
     from trollflow2_spark.operators.skew import sequence_fingerprint
 
     out = sequence_fingerprint(
