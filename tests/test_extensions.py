@@ -315,6 +315,38 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
         assert pos == sorted(pos)
 
 
+def test_footer_manifest_uri_and_empty_path(spark, tmp_path):
+    """The footer manifest lists shards through pyarrow.fs, so file://
+    URIs (and by the same code path s3/s3a/hdfs) work; an empty or
+    nonexistent path raises instead of silently emitting an empty
+    manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from trollflow2_spark.extensions.sampling import _parquet_footer_manifest
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"shuffle_pos": pa.array([1, 2, 3], type=pa.int64())}),
+        d / "part-0.parquet",
+    )
+    for path in [str(d), f"file://{d}"]:
+        rows = _parquet_footer_manifest(spark, path, "shuffle_pos").collect()
+        assert len(rows) == 1
+        assert (rows[0]["n_rows"], rows[0]["min_pos"], rows[0]["max_pos"]) == (
+            3, 1, 3,
+        )
+        assert rows[0]["shard_file"].startswith("file://")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError):
+        _parquet_footer_manifest(spark, str(empty), "shuffle_pos")
+    with _pytest.raises(FileNotFoundError):
+        _parquet_footer_manifest(spark, str(tmp_path / "missing"), "shuffle_pos")
+
+
 def test_interleave_sources_stride(spark):
     """Weight-2 source contributes ~2x the weight-1 source in any
     mixture prefix; weight-0 sources are dropped."""

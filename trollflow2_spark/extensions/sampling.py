@@ -237,20 +237,59 @@ def write_training_shards(
     )
 
 
+def _manifest_filesystem(path: str):
+    """Resolve ``path`` to a ``(pyarrow FileSystem, root, uri_prefix)``
+    triple. Handles local paths (absolute or relative), ``file://``,
+    and object-store / HDFS URIs via ``pyarrow.fs.FileSystem.from_uri``
+    (Hadoop's ``s3a://``/``s3n://`` spellings are normalized to the
+    ``s3://`` scheme pyarrow understands). ``uri_prefix`` restores the
+    caller's original scheme in emitted shard paths."""
+    import os
+
+    import pyarrow.fs as pafs
+
+    if "://" not in path:
+        return pafs.LocalFileSystem(), os.path.abspath(path), "file://"
+    scheme, rest = path.split("://", 1)
+    lookup_scheme = {"s3a": "s3", "s3n": "s3"}.get(scheme, scheme)
+    fs, root = pafs.FileSystem.from_uri(f"{lookup_scheme}://{rest}")
+    return fs, root, f"{scheme}://"
+
+
 def _parquet_footer_manifest(spark, path: str, order_col: str) -> DataFrame:
     """Shard manifest from parquet footer metadata only (no data-page
     reads): per file, ``num_rows`` from the footer and min/max of
     ``order_col`` folded over the row-group column statistics. The loop
     is O(n_shards) footers — control-sized driver work, same class as
-    collecting the manifest itself."""
-    import glob
-    import os
+    collecting the manifest itself.
 
+    Listing goes through ``pyarrow.fs`` so the audit works wherever the
+    shards were written — local disk, s3/s3a, hdfs — not just the local
+    filesystem; at 100 TB the write target is an object store, and a
+    manifest that silently came back empty there would defeat the audit
+    it exists to provide. An empty listing is therefore an error, never
+    an empty manifest."""
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
+    fs, root, prefix = _manifest_filesystem(path)
+    infos = fs.get_file_info(
+        pafs.FileSelector(root, recursive=False, allow_not_found=True)
+    )
+    files = sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no shard .parquet files under {path!r}; refusing to emit an "
+            "empty manifest (the write failed or the path is wrong)"
+        )
     rows = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
+    for f in files:
+        with fs.open_input_file(f) as fh:
+            md = pq.ParquetFile(fh).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         idx = names.index(order_col)
         mn = mx = None
@@ -263,7 +302,7 @@ def _parquet_footer_manifest(spark, path: str, order_col: str) -> DataFrame:
                 )
             mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
-        rows.append((f"file://{os.path.abspath(f)}", int(md.num_rows), mn, mx))
+        rows.append((f"{prefix}{f}", int(md.num_rows), mn, mx))
     return spark.createDataFrame(
         rows, "shard_file string, n_rows bigint, min_pos bigint, max_pos bigint"
     )
