@@ -3,8 +3,9 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "...", "value": <total-sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": <sf>}
+    {"metric": "...", "value": <operators-total-sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "stress": {...}, "stress_total": N,
+     "sf": <sf>}
 
 Each query is timed over a FULL materialization: the result writes to
 Spark's ``noop`` sink, which evaluates every output column but discards
@@ -12,6 +13,15 @@ the rows. (A bare ``count()`` is NOT a valid harness here — Catalyst
 prunes every column a count doesn't need, so projection-shaped queries
 like pii_scrub would bench an empty scan; rounds 1-4 measured exactly
 that, which is why several per-query numbers step up in round 5.)
+
+The suite is split in two sections. ``queries``/``value`` cover the
+OPERATOR set — one entry per operator family, sized by the engine, the
+number to track round-over-round. ``stress`` covers deliberately-
+pathological fixtures (a hot key owning 50% of a 9.6M-row table) whose
+cost is a fixture choice, not an engine property: the skew baselines
+and their mitigated twins, plus the same skewed join run with AQE
+skew-splitting off vs on. Keeping them out of the headline total stops
+a fixture resize from masquerading as an engine regression.
 """
 
 from __future__ import annotations
@@ -23,10 +33,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: one per operator family — scan+agg, join chain, window,
+# Operator set: one per operator family — scan+agg, join chain, window,
 # spatial join, LSH dedup, similarity, text. Keep this list stable so
 # BENCH_r{N}.json is comparable across rounds.
-HEADLINE = [
+OPERATORS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -85,10 +95,47 @@ HEADLINE = [
     "multimodal_decode_jpeg_color",
     "frame_sample_tiff",
     "frame_sample_mjpeg",
-    "skew_seq_plain",  # hot-key baseline: one task owns 50% of rows
-    "skew_seq_salted",  # salted two-stage twin — must beat the baseline
     "minhash_lsh_pairs_fast",  # xxhash64 production path vs the md5 oracle hash
+    # round 6 additions: the daily-increment dedup path (batch broadcast,
+    # corpus never shuffles) — the production shape of dedup at 100 TB —
+    # and the progressive-JPEG decode route
+    "incremental_dedup",
+    "incremental_lsh_matches",
+    "incremental_neardup",
+    "multimodal_decode_jpeg_progressive",
 ]
+
+# Stress set: hot-key fixtures. Reported separately — see module docstring.
+STRESS = [
+    "skew_seq_plain",  # hot-key baseline: one task owns 50% of rows
+    "skew_seq_salted",  # digest-chained two-stage twin — must beat the baseline
+]
+
+# The skewed-join AQE pair runs this contract query twice with
+# spark.sql.adaptive.skewJoin.enabled toggled. The thresholds are scaled
+# to the sf0.1 fixture (hot partition ~190 MB of map output); production
+# defaults (256m) correspond at full scale. The adaptive broadcast
+# threshold is disabled so AQE cannot demote the hinted sort-merge join
+# to broadcast and skip the very path being measured (at 100 TB the dim
+# side of such joins routinely exceeds any broadcast budget).
+_SKEW_JOIN_QUERY = "skew_join_profile"
+_SKEW_JOIN_CONF = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bench_one(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, list]:
+    """Best-of-N full materialization to the noop sink: the first run
+    pays Catalyst analysis + codegen and absorbs host-noise spikes; the
+    min is the reproducible number a warmed cluster would see."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    return round(min(samples), 3), [round(r, 3) for r in samples]
 
 
 def main() -> int:
@@ -104,33 +151,50 @@ def main() -> int:
     # not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # best-of-2 per query: the first run pays Catalyst analysis + codegen
-    # and absorbs host-noise spikes; the min is the reproducible number a
-    # warmed cluster would see.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            # noop sink: full evaluation of every output column, no
-            # column pruning, nothing written
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        times[name] = round(min(runs), 3)
-        print(
-            f"# {name}: {times[name]:.3f}s (runs {[round(r, 3) for r in runs]})",
-            file=sys.stderr,
-        )
+    for name in OPERATORS:
+        times[name], samples = _bench_one(spark, QUERIES[name], sf_dir)
+        print(f"# {name}: {times[name]:.3f}s (runs {samples})", file=sys.stderr)
+
+    stress: dict[str, float] = {}
+    for name in STRESS:
+        stress[name], samples = _bench_one(spark, QUERIES[name], sf_dir)
+        print(f"# stress {name}: {stress[name]:.3f}s (runs {samples})",
+              file=sys.stderr)
+
+    # AQE skew-join split demo: same query, skew-splitting off vs on
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_JOIN_CONF}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", "true"
+    )
+    try:
+        for k, v in _SKEW_JOIN_CONF.items():
+            spark.conf.set(k, v)
+        for label, enabled in [("skew_join_aqe_off", "false"),
+                               ("skew_join_aqe_on", "true")]:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            stress[label], samples = _bench_one(
+                spark, QUERIES[_SKEW_JOIN_QUERY], sf_dir
+            )
+            print(f"# stress {label}: {stress[label]:.3f}s (runs {samples})",
+                  file=sys.stderr)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall clock",
+                "metric": "headline-suite wall clock (operators)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "stress": stress,
+                "stress_total": round(sum(stress.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

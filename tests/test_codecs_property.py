@@ -170,3 +170,37 @@ def test_jpeg_color_roundtrip_tolerance(h, w, seed, subsample):
     # random-color noise is the pathological case for chroma
     # subsampling (tiny images especially) — sanity bounds only
     assert err.mean() <= (65 if subsample == "420" else 25)
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1),
+       color=st.booleans(), subsample=st.sampled_from(["444", "420"]))
+def test_jpeg_progressive_equals_baseline(h, w, seed, color, subsample):
+    """The progressive encoder carries the exact same quantized
+    coefficients as the baseline one, so decoding its stream must
+    reproduce the baseline decode PIXEL-EXACTLY — a far stronger
+    property than a lossy tolerance: any error in the four progressive
+    scan codecs (DC/AC x first/refine) breaks exact equality."""
+    from trollflow2_spark.sinks import jpeg
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if color else (h, w)
+    arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=75, subsample=subsample))
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(arr, quality=75, subsample=subsample)
+    )
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=dims, w=dims, v=st.integers(0, 127))
+def test_jpeg_progressive_constant_even_exact(h, w, v):
+    """Constant even-valued images survive the progressive path
+    losslessly, like baseline — the contract-query oracle's premise."""
+    from trollflow2_spark.sinks import jpeg
+
+    arr = np.full((h, w), v * 2, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr, quality=50))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)

@@ -1110,3 +1110,35 @@ def test_incremental_dedup_and_lsh_matches(spark):
     # the batch side is the broadcast side: no shuffle of corpus bands
     plan = matches._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_exact_dedup_never_shuffles_corpus(spark, sf_dir):
+    """Both joins in the incremental exact-dedup plan are broadcast —
+    batch digests broadcast into the corpus scan (semi-filter), the
+    tiny match table broadcasts back onto the batch — so the corpus
+    never hash-partitions: a daily increment against a 100 TB corpus
+    must not pay a corpus-wide shuffle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.dedup import incremental_exact_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    out = incremental_exact_dedup(corpus, batch)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # every hash exchange is batch- or match-bounded: the batch window,
+    # the batch digest distinct, and the groupBy over corpus rows that
+    # SURVIVED the broadcast semi-filter (at most one row per batch
+    # digest) — never a partitioning of the raw corpus stream
+    import re
+
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(hash_exchanges) <= 3

@@ -182,6 +182,41 @@ def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
         salted_agg(spark.range(5), ["id"], {"a": ("avg", "id")})
 
 
+def test_skew_join_profile_aqe_split(spark, sf_dir):
+    """AQE skew-join splitting engages on the skewed fact-to-dim join:
+    with fixture-scaled thresholds the hot partition splits
+    (SortMergeJoin is marked skew=true in the final adaptive plan).
+    Guards two silent disablers found the hard way: a single-mapper
+    fact side (splits happen along MAPPER boundaries) and AQE demoting
+    the hinted merge join to broadcast."""
+    from trollflow2_spark.queries import QUERIES
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # sf0.001-scale thresholds: the hot partition is ~2 MB there
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        df = QUERIES["skew_join_profile"](spark, sf_dir)
+        # collect() so the inspected queryExecution is the one that ran
+        # (a noop write would execute a separate copy of the plan)
+        assert len(df.collect()) > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_agg_deterministic_salt(spark):
     """With ``salt_col`` the salt is a pure function of row data, so
     stage-1 partials are identical across re-runs and re-partitionings

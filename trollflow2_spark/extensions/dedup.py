@@ -615,20 +615,23 @@ def incremental_exact_dedup(
     and ``dup_of`` (the canonical id it duplicates: corpus id first,
     else the batch's first occurrence, else NULL).
 
-    Scale: only md5 digests shuffle; the corpus side reduces to one
-    digest-min aggregation (precomputable/persistable in production) and
-    the join keys are 32-byte digests. The increment is typically
-    orders of magnitude smaller than the corpus, so AQE broadcasts the
-    batch side — the 100 TB corpus never re-shuffles per increment.
+    Scale: the corpus NEVER shuffles. A left join can only broadcast
+    its right side, so joining batch-LEFT-JOIN-corpus directly would
+    shuffle the full corpus digest aggregation every increment; instead
+    the batch's distinct digests broadcast INTO the corpus scan (map-
+    side inner join — the Bloom/semi-filter shape), the surviving hits
+    (at most one per batch digest, a control-sized set) aggregate to
+    their min corpus id, and that tiny match table broadcasts back onto
+    the batch for the left join. Both joins are BroadcastHashJoin; the
+    only exchanges touch batch-sized data.
     """
-    c = (
-        corpus.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
-        .groupBy("h")
-        .agg(F.min(id_col).alias("corpus_id"))
-    )
     b = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
     b = b.withColumn("batch_first", F.min(id_col).over(Window.partitionBy("h")))
-    out = b.join(c, "h", "left")
+    hits = corpus.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col)).join(
+        F.broadcast(b.select("h").distinct()), "h"
+    )
+    c = hits.groupBy("h").agg(F.min(id_col).alias("corpus_id"))
+    out = b.join(F.broadcast(c), "h", "left")
     dup_of = F.coalesce(
         F.col("corpus_id"),
         F.when(F.col("batch_first") < F.col(id_col), F.col("batch_first")),

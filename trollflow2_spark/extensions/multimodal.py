@@ -67,9 +67,10 @@ def decode_media(
       (Geo)TIFF decoder (:func:`trollflow2_spark.sinks.imagery.
       decode_geotiff`) — page-0 pixel statistics and dimensions
       (overview pages ignored; deflate strips supported);
-    - ``image/jpeg``: REAL decode through the repo's baseline JPEG
+    - ``image/jpeg``: REAL decode through the repo's from-scratch JPEG
       codec (:func:`trollflow2_spark.sinks.jpeg.decode_jpeg` —
-      grayscale baseline; color/progressive streams raise);
+      grayscale + YCbCr color, baseline sequential AND progressive
+      (SOF2, spectral selection + successive approximation) streams);
     - ``audio/wav``: REAL decode through the stdlib ``wave`` module —
       statistics over the decoded PCM samples; the dimension columns
       carry ``width=sample_rate``, ``height=frames per channel``,

@@ -297,6 +297,26 @@ SELECT skew_user,
 FROM buckets GROUP BY skew_user
 """
 
+ORACLES["skew_join_profile"] = f"""{_SKEW_REP_CTE},
+rep2 AS (
+  SELECT skew_user,
+         concat_ws('#', payload, md5(CAST(seq_id AS VARCHAR))) AS payload
+  FROM rep
+),
+profile AS (
+  SELECT c_custkey AS skew_user FROM customer
+  UNION ALL SELECT CAST(-1 AS BIGINT)
+),
+pw AS (
+  SELECT skew_user, (skew_user + 1000003) % 7 + 1 AS w FROM profile
+)
+SELECT w,
+  CAST(sum(length(payload)) AS BIGINT) AS payload_bytes,
+  count(*) AS n_events
+FROM rep2 JOIN pw USING (skew_user)
+GROUP BY w
+"""
+
 # --- joins / spatial -------------------------------------------------------
 
 _EPOCH = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS DOUBLE)"
@@ -1116,6 +1136,13 @@ SELECT doc_id,
   CAST(1 AS INTEGER) AS n_channels
 FROM documents
 """
+
+# Progressive JPEG carries the same quantized coefficients as baseline
+# (only the scan layout differs), so the constant even-valued fixture
+# shares the baseline closed-form oracle.
+ORACLES["multimodal_decode_jpeg_progressive"] = ORACLES[
+    "multimodal_decode_jpeg"
+]
 
 # Real color-JPEG decode (4:2:0 YCbCr): constant gray-RGB images are
 # exact (zero chroma coefficients + lossless even-luma DC), stats over

@@ -508,8 +508,19 @@ def q_event_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew stress fixture: events replicated ``SKEW_REPLICATE``x with a
     synthetic hot key owning 50% of all rows (every even event_id maps
-    to user -1). ``seq_id`` is the unique global order column."""
-    ev = load_table(spark, sf_dir, "events")
+    to user -1). ``seq_id`` is the unique global order column.
+
+    The base scan is repartitioned across the cluster before the
+    explode for two reasons: (a) generating 9.6M rows from a
+    single-file scan would otherwise serialize in 1-2 tasks, and (b)
+    AQE's skew-join splitting divides a skewed reduce partition along
+    MAPPER boundaries — with one mapper there is nothing to split, so a
+    single-task map side silently disables the mitigation downstream
+    queries demonstrate (true on any cluster whose source collapses to
+    few splits)."""
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     rep = ev.select(
         "event_id",
         "user_id",
@@ -564,6 +575,50 @@ def q_skew_seq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=C.SKEW_BUCKET_WIDTH,
     )
     return out.filter(F.length("seq_hash") == 32)  # anti-pruning anchor
+
+
+def q_skew_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-to-dim join: the hot key owns 50% of the fact side;
+    the dim is hinted ``merge`` so the join actually shuffles (the
+    broadcast fast-path would hide the very skew this query stresses —
+    at 100 TB the dim side of such a join is often too big to
+    broadcast). With AQE skew-join splitting ON the hot partition
+    splits into advisory-sized sub-tasks; OFF, one task sorts and joins
+    half the fixture. ``bench.py`` runs this query under both settings
+    as a stress pair. The trailing groupBy rides a fresh key (``w``) so
+    the skew split never needs to be coalesced back for the
+    aggregation. Oracle: plain SQL join + GROUP BY — AQE skew handling
+    is semantics-preserving.
+
+    The fact payload carries a per-row md5 suffix on purpose: AQE
+    detects skew from COMPRESSED map-output sizes, and the replicated
+    fixture's repetitive payload compresses ~100:1, hiding the hot
+    partition from the detector (a real finding — replication-heavy
+    fixtures under-report skew). The incompressible suffix restores
+    the realistic byte profile of unique event payloads."""
+    sk = _skewed_events(spark, sf_dir).withColumn(
+        "payload",
+        F.concat_ws("#", F.col("payload"), F.md5(F.col("seq_id").cast("string"))),
+    )
+    # the dim: every customer key (events.user_id's domain) plus the
+    # synthetic hot key. Built WITHOUT an aggregation on purpose: AQE's
+    # OptimizeSkewedJoin only matches a sort-merge join whose children
+    # are both sort-over-shuffle-stage; a distinct's trailing
+    # HashAggregate under the Sort would silently disable the very skew
+    # split this query stresses (a scan-shaped dim is also the
+    # realistic 100 TB shape — profiles are tables, not derived aggs).
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_user")
+    )
+    hot = spark.range(1).select(F.lit(-1).cast("bigint").alias("skew_user"))
+    profile = cust.unionAll(hot).withColumn(
+        "w", F.pmod(F.col("skew_user") + F.lit(1000003), F.lit(7)) + 1
+    )
+    joined = sk.join(profile.hint("merge"), "skew_user")
+    return joined.groupBy("w").agg(
+        F.sum(F.length("payload")).alias("payload_bytes"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1680,6 +1735,69 @@ def q_multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive-JPEG decode (SOF2, T.81 Annex G: successive
+    approximation + spectral selection, the significant-minority shape
+    of real crawl JPEGs). The progressive encoder produces the exact
+    same quantized coefficients as the baseline one, so the constant
+    even-valued fixture decodes exactly and shares the baseline
+    closed-form oracle; only the entropy-coded scan layout differs."""
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def make_progressive(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.jpeg import encode_jpeg_progressive
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (d % 3 + 1), 8 * (d % 2 + 1)
+                v = (d * 2) % 256
+                blob = encode_jpeg_progressive(
+                    np.full((h, w), v, dtype=np.uint8), quality=50
+                )
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_progressive, media_schema)
+    out = decode_media(media)  # the same real image/jpeg route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: deterministic 16-bit PCM WAV files are written
     with the stdlib ``wave`` module executor-side, then ``decode_media``
@@ -2092,6 +2210,7 @@ QUERIES = {
     "event_counts_salted": q_event_counts_salted,
     "skew_seq_plain": q_skew_seq_plain,
     "skew_seq_salted": q_skew_seq_salted,
+    "skew_join_profile": q_skew_join_profile,
     "nearest_join_asof": q_nearest_join_asof,
     "weighted_resample": q_weighted_resample,
     "resample_2d_nearest": q_resample_2d_nearest,
@@ -2149,6 +2268,7 @@ QUERIES = {
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
+    "multimodal_decode_jpeg_progressive": q_multimodal_decode_jpeg_progressive,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
     "frame_sample_tiff": q_frame_sample_tiff,

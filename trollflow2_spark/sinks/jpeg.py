@@ -1,15 +1,19 @@
-"""Baseline JPEG (ITU-T T.81) codec, stdlib + numpy only.
+"""JPEG (ITU-T T.81) codec, stdlib + numpy only.
 
 From-scratch implementation of the public spec (like the PNG/TIFF/NetCDF
 codecs in :mod:`trollflow2_spark.sinks.imagery`): 8x8 orthonormal DCT,
 Annex-K quantization tables, canonical Huffman entropy coding with byte
-stuffing, JFIF container markers. Supports grayscale and YCbCr color
-(4:4:4 and 4:2:0 chroma subsampling) baseline sequential streams — the
-shapes real camera/crawl JPEGs take — making ``image/jpeg`` a REAL
-decode route in
-:func:`trollflow2_spark.extensions.multimodal.decode_media`.
-Progressive/arithmetic/12-bit/restart-interval streams raise with
-guidance.
+stuffing, JFIF container markers. Decodes grayscale and YCbCr color
+(4:4:4, 4:2:2 and 4:2:0 chroma subsampling) in BOTH baseline sequential
+(SOF0) and progressive (SOF2, Annex G — spectral selection + successive
+approximation, multi-scan) forms — the shapes real camera/crawl JPEGs
+take — making ``image/jpeg`` a REAL decode route in
+:func:`trollflow2_spark.extensions.multimodal.decode_media`. Encoders
+exist for both forms (:func:`encode_jpeg`,
+:func:`encode_jpeg_progressive`) and produce identical quantized
+coefficients, so progressive-vs-baseline decode equality is testable
+pixel-exactly. Lossless/arithmetic/12-bit/restart-interval streams
+raise with guidance.
 
 JPEG is lossy, so round-trips are tolerance-tested (property tests) —
 but constant-valued 8x8 blocks with even values quantize losslessly
@@ -198,12 +202,10 @@ def _pad_to(a: np.ndarray, my: int, mx: int) -> np.ndarray:
     return np.pad(a, ((0, -a.shape[0] % my), (0, -a.shape[1] % mx)), mode="edge")
 
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 75, subsample: str = "420"
-) -> bytes:
-    """Encode a uint8 array as a baseline JFIF JPEG: (H, W) grayscale,
-    or (H, W, 3) RGB as YCbCr with ``subsample`` ``"420"`` (2x2 chroma,
-    what cameras emit) or ``"444"`` (full-resolution chroma)."""
+def _prepare_planes(arr: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: validate, colorspace-convert,
+    subsample, pad to whole MCUs. Returns
+    (h, w, padded level-shifted planes, samplings, qts, tqs, mcux, mcuy)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
         a.ndim == 3 and a.shape[2] != 3
@@ -252,9 +254,47 @@ def encode_jpeg(
         _pad_to(p, 8 * mcuy * vi, 8 * mcux * hi)[: 8 * mcuy * vi, : 8 * mcux * hi]
         for p, (hi, vi) in zip(planes, samplings)
     ]
+    return h, w, padded, samplings, qts, tqs, mcux, mcuy
+
+
+def _frame_headers(
+    h: int, w: int, samplings, qts, tqs, sof_marker: bytes
+) -> bytearray:
+    """SOI + APP0 + DQT + SOF (baseline 0xC0 or progressive 0xC2) + DHT
+    marker segments shared by both encoders."""
+    ncomp = len(samplings)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    seen = []
+    for tq, qt in zip(tqs, qts):
+        if tq in seen:
+            continue
+        seen.append(tq)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in qt.reshape(64)[ZIGZAG])
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, ((hi, vi), tq) in enumerate(zip(samplings, tqs)):
+        out += bytes([ci + 1, (hi << 4) | vi, tq])
+    for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
+        payload = bytes([cls << 4 | 0]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 75, subsample: str = "420"
+) -> bytes:
+    """Encode a uint8 array as a baseline JFIF JPEG: (H, W) grayscale,
+    or (H, W, 3) RGB as YCbCr with ``subsample`` ``"420"`` (2x2 chroma,
+    what cameras emit) or ``"444"`` (full-resolution chroma)."""
+    h, w, padded, samplings, qts, tqs, mcux, mcuy = _prepare_planes(
+        arr, quality, subsample
+    )
 
     bw = _BitWriter()
-    prev = [0] * len(planes)
+    prev = [0] * len(padded)
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, ((hi, vi), plane) in enumerate(zip(samplings, padded)):
@@ -267,20 +307,8 @@ def encode_jpeg(
                         )
     scan = bw.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HH", 1, 1
-    ) + b"\x00\x00"
-    for tq, qt in ((0, qt0),) if a.ndim == 2 else ((0, qt0), (1, qt1)):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
-        out += bytes(int(x) for x in qt.reshape(64)[ZIGZAG])
-    ncomp = len(planes)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci, ((hi, vi), tq) in enumerate(zip(samplings, tqs)):
-        out += bytes([ci + 1, (hi << 4) | vi, tq])
-    for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
-        payload = bytes([cls << 4 | 0]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    ncomp = len(padded)
+    out = _frame_headers(h, w, samplings, qts, tqs, b"\xff\xc0")
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00])  # luma Huffman tables for every comp
@@ -296,6 +324,195 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 75) -> bytes:
     if a.ndim != 2:
         raise ValueError("encode_jpeg_gray wants an (H, W) uint8 array")
     return encode_jpeg(a, quality=quality)
+
+
+# --- progressive encoding (T.81 Annex G) -----------------------------------
+
+
+def _quantize_all(padded, samplings, qts, mcux: int, mcuy: int) -> list[np.ndarray]:
+    """Forward DCT + quantization of every block of every component in
+    one vectorized shot: per component an int64 array of shape
+    (blocks_y, blocks_x, 64) holding zigzag-ordered coefficients."""
+    out = []
+    for (hi, vi), plane, qt in zip(samplings, padded, qts):
+        bh, bw_ = mcuy * vi, mcux * hi
+        blocks = plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+        quant = np.rint(coefs / qt).astype(np.int64)
+        out.append(quant.reshape(bh, bw_, 64)[..., ZIGZAG])
+    return out
+
+
+def _real_block_dims(h, w, hi, vi, hmax, vmax) -> tuple[int, int]:
+    """A non-interleaved scan covers only the component's REAL blocks
+    (ceil of its scaled dimensions), not the MCU-padded grid."""
+    ch = -(-(h * vi) // vmax)
+    cw = -(-(w * hi) // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _sos(scan_comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    """SOS marker segment; every component references DC table 0 / AC
+    table 0 (the Annex-K pair this encoder ships)."""
+    payload = bytearray([len(scan_comp_ids)])
+    for cid in scan_comp_ids:
+        payload += bytes([cid, 0x00])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(payload) + 2) + bytes(payload)
+
+
+def _encode_dc_first(coef, samplings, mcux, mcuy, al: int) -> bytes:
+    """First DC scan (interleaved, point transform ``>> al``): the same
+    diff + magnitude-category coding as baseline, on shifted values."""
+    bw = _BitWriter()
+    prev = [0] * len(coef)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hi, vi), cf) in enumerate(zip(samplings, coef)):
+                for vy in range(vi):
+                    for vx in range(hi):
+                        v = int(cf[my * vi + vy, mx * hi + vx, 0]) >> al
+                        diff = v - prev[ci]
+                        prev[ci] = v
+                        size = _category(diff)
+                        c, ln = DC_CODES[size]
+                        bw.write(c, ln)
+                        if size:
+                            bw.write(_amplitude_bits(diff, size), size)
+    return bw.flush()
+
+
+def _encode_dc_refine(coef, samplings, mcux, mcuy, al: int) -> bytes:
+    """DC refinement scan: one raw bit per block (bit ``al`` of the
+    coefficient), no entropy coding — T.81 G.1.2.1."""
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for (hi, vi), cf in zip(samplings, coef):
+                for vy in range(vi):
+                    for vx in range(hi):
+                        bw.write((int(cf[my * vi + vy, mx * hi + vx, 0]) >> al) & 1, 1)
+    return bw.flush()
+
+
+def _encode_ac_first(cf, bh_r, bw_r, ss, se, al: int) -> bytes:
+    """First AC scan of one component (non-interleaved): zero-run /
+    magnitude coding of the point-transformed band, with end-of-block
+    runs capped at EOB0 — the Annex-K AC table has no EOBn>0 symbols
+    (libjpeg generates custom tables for longer runs; a run of EOB0s is
+    spec-identical, just a few bits larger)."""
+    bw = _BitWriter()
+    for by in range(bh_r):
+        for bx in range(bw_r):
+            zz = cf[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                c0 = int(zz[k])
+                mag = abs(c0) >> al
+                if mag == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = AC_CODES[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                v = mag if c0 >= 0 else -mag
+                size = _category(v)
+                c, ln = AC_CODES[(run << 4) | size]
+                bw.write(c, ln)
+                bw.write(_amplitude_bits(v, size), size)
+                run = 0
+            if run > 0:
+                c, ln = AC_CODES[0x00]  # EOB0
+                bw.write(c, ln)
+    return bw.flush()
+
+
+def _encode_ac_refine(cf, bh_r, bw_r, ss, se, al: int) -> bytes:
+    """AC refinement scan (T.81 G.1.2.3, the libjpeg structure): newly
+    visible coefficients (magnitude 1 at this approximation) are coded
+    as runs over zero-history positions followed by a sign bit;
+    already-visible coefficients contribute one buffered correction bit
+    each, appended after the next coded symbol. End-of-block uses EOB0
+    (see :func:`_encode_ac_first`) followed by the block-tail correction
+    bits the decoder reads during its EOB processing."""
+    bw = _BitWriter()
+    for by in range(bh_r):
+        for bx in range(bw_r):
+            zz = cf[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob_idx = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob_idx = k
+            run = 0
+            pend: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_idx:
+                    c, ln = AC_CODES[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                    for b in pend:
+                        bw.write(b, 1)
+                    pend = []
+                if t > 1:
+                    pend.append(t & 1)
+                    continue
+                c, ln = AC_CODES[(run << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+                for b in pend:
+                    bw.write(b, 1)
+                pend = []
+                run = 0
+            if run > 0 or pend:
+                c, ln = AC_CODES[0x00]  # EOB0 covering this block
+                bw.write(c, ln)
+                for b in pend:
+                    bw.write(b, 1)
+    return bw.flush()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 75, subsample: str = "420"
+) -> bytes:
+    """Encode a uint8 array as a PROGRESSIVE JFIF JPEG (SOF2, T.81
+    Annex G) exercising both progressive mechanisms: successive
+    approximation (first scans send coefficients at ``Al=1``, refinement
+    scans add the low bit) and spectral selection (DC and AC bands in
+    separate scans, AC non-interleaved per component). Quantized
+    coefficients are identical to :func:`encode_jpeg` at the same
+    quality — only the entropy-coding layout differs — so a decoder
+    must reconstruct the exact same pixels."""
+    h, w, padded, samplings, qts, tqs, mcux, mcuy = _prepare_planes(
+        arr, quality, subsample
+    )
+    coef = _quantize_all(padded, samplings, qts, mcux, mcuy)
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+
+    out = _frame_headers(h, w, samplings, qts, tqs, b"\xff\xc2")
+    all_ids = [ci + 1 for ci in range(len(coef))]
+    # scan script: DC first (Al=1) -> per-comp AC first (Al=1)
+    #              -> DC refine (Al=0) -> per-comp AC refine (Al=0)
+    out += _sos(all_ids, 0, 0, 0, 1)
+    out += _encode_dc_first(coef, samplings, mcux, mcuy, 1)
+    for ci, ((hi, vi), cf) in enumerate(zip(samplings, coef)):
+        bh_r, bw_r = _real_block_dims(h, w, hi, vi, hmax, vmax)
+        out += _sos([ci + 1], 1, 63, 0, 1)
+        out += _encode_ac_first(cf, bh_r, bw_r, 1, 63, 1)
+    out += _sos(all_ids, 0, 0, 1, 0)
+    out += _encode_dc_refine(coef, samplings, mcux, mcuy, 0)
+    for ci, ((hi, vi), cf) in enumerate(zip(samplings, coef)):
+        bh_r, bw_r = _real_block_dims(h, w, hi, vi, hmax, vmax)
+        out += _sos([ci + 1], 1, 63, 1, 0)
+        out += _encode_ac_refine(cf, bh_r, bw_r, 1, 63, 0)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 class _BitReader:
@@ -375,13 +592,13 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _decode_block(br: _BitReader, dc_table, ac_table, prev_dc: int) -> tuple[np.ndarray, int]:
-    """Entropy-decode one block's zigzag coefficients; returns (zz, dc)."""
-    zz = np.zeros(64, dtype=np.int64)
+def _decode_baseline_block(br, dc_table, ac_table, zz, pred: int) -> int:
+    """Entropy-decode one full baseline block into ``zz`` (zigzag
+    coefficient view); returns the new DC predictor."""
     size = _read_symbol(br, dc_table)
     diff = _extend(br.read_bits(size), size) if size else 0
-    prev_dc += diff
-    zz[0] = prev_dc
+    pred += diff
+    zz[0] = pred
     i = 1
     while i < 64:
         sym = _read_symbol(br, ac_table)
@@ -398,13 +615,162 @@ def _decode_block(br: _BitReader, dc_table, ac_table, prev_dc: int) -> tuple[np.
             raise ValueError("AC index overflow")
         zz[i] = _extend(br.read_bits(size), size)
         i += 1
-    return zz, prev_dc
+    return pred
+
+
+def _decode_ac_first_block(br, ac_table, zz, ss, se, al, eobrun: int) -> int:
+    """First AC scan of one block (T.81 G.2): zero-run/magnitude pairs
+    with end-of-band runs; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, ac_table)
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eb = (1 << run) + (br.read_bits(run) if run else 0)
+            return eb - 1  # the run covers THIS block too
+        k += run
+        if k > se:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine_block(br, ac_table, zz, ss, se, al, eobrun: int) -> int:
+    """AC refinement scan of one block (T.81 G.2 / the libjpeg
+    structure): newly visible coefficients arrive as run+sign, every
+    already-nonzero coefficient traversed contributes one correction
+    bit; during an EOB run only correction bits are read."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, ac_table)
+            run, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = (1 << run) + (br.read_bits(run) if run else 0)
+                    break
+                # ZRL: traverse 16 zero-history positions below
+            else:
+                if size != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if br.read_bits(1) else -p1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read_bits(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if br.read_bits(1) and (c & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _find_scan_end(data: bytes, start: int) -> int:
+    """First position at/after ``start`` holding a marker that ends the
+    entropy-coded segment (0xFF followed by anything but 0x00 stuffing
+    or RST0-7). Vectorized over the 0xFF positions only."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ffs = np.flatnonzero(buf[start:-1] == 0xFF)
+    nxt = buf[start + 1 :][ffs]
+    real = ffs[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))]
+    return start + int(real[0]) if real.size else len(data)
+
+
+def _decode_scan(
+    data, scan_start, scan_end, scan_comps, ss, se, ah, al,
+    comps, htables, coef, h, w, hmax, vmax, mcux, mcuy, eobruns,
+) -> None:
+    """Decode one entropy-coded scan into the per-component coefficient
+    arrays. Handles all five scan shapes: full baseline, progressive DC
+    first/refine (interleaved or single-component) and progressive AC
+    first/refine (single-component, real-block raster). ``eobruns``
+    carries the end-of-band run between blocks (local to a scan — a
+    fresh dict is passed per scan)."""
+    br = _BitReader(data[scan_start:scan_end])
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    if ss == 0:
+        # DC-containing scan (progressive DC, se=0, or full baseline,
+        # se=63): interleaved over MCUs; a single-component scan is the
+        # same loop with 1x1 "MCUs" over that component's real blocks
+        if len(scan_comps) == 1:
+            cid = scan_comps[0][0]
+            hi, vi, _ = by_id[cid]
+            geo = {cid: (1, 1)}
+            iter_mcuy, iter_mcux = _real_block_dims(h, w, hi, vi, hmax, vmax)
+        else:
+            iter_mcux, iter_mcuy = mcux, mcuy
+            geo = {cid: by_id[cid][:2] for cid, _, _ in scan_comps}
+        for my in range(iter_mcuy):
+            for mx in range(iter_mcux):
+                for cid, td, ta in scan_comps:
+                    gh, gv = geo[cid]
+                    for vy in range(gv):
+                        for vx in range(gh):
+                            zz = coef[cid][my * gv + vy, mx * gh + vx]
+                            if se == 63:  # full baseline block
+                                pred[cid] = _decode_baseline_block(
+                                    br,
+                                    htables[(0, td)],
+                                    htables[(1, ta)],
+                                    zz,
+                                    pred[cid],
+                                )
+                            elif ah == 0:  # DC first
+                                size = _read_symbol(br, htables[(0, td)])
+                                diff = (
+                                    _extend(br.read_bits(size), size)
+                                    if size
+                                    else 0
+                                )
+                                pred[cid] += diff
+                                zz[0] = pred[cid] << al
+                            else:  # DC refine: one raw bit
+                                if br.read_bits(1):
+                                    zz[0] = int(zz[0]) | (1 << al)
+    else:
+        # AC scans are always single-component, real-block raster
+        if len(scan_comps) != 1:
+            raise ValueError("interleaved AC scan is not legal JPEG")
+        cid, _td, ta = scan_comps[0]
+        hi, vi, _ = by_id[cid]
+        bh_r, bw_r = _real_block_dims(h, w, hi, vi, hmax, vmax)
+        ac_table = htables[(1, ta)]
+        decode = _decode_ac_first_block if ah == 0 else _decode_ac_refine_block
+        eob = eobruns.get(cid, 0)
+        for by in range(bh_r):
+            for bx in range(bw_r):
+                eob = decode(br, ac_table, coef[cid][by, bx], ss, se, al, eob)
+        eobruns[cid] = eob
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JFIF JPEG: grayscale streams to (H, W) uint8,
-    YCbCr color streams (any sampling factors up to 2x2 — 4:4:4, 4:2:2,
-    4:2:0) to (H, W, 3) uint8 RGB. Progressive / arithmetic / 12-bit /
+    """Decode a JFIF JPEG — baseline sequential (SOF0) or progressive
+    (SOF2, spectral selection + successive approximation per T.81 Annex
+    G): grayscale streams to (H, W) uint8, YCbCr color streams (any
+    sampling factors up to 2x2 — 4:4:4, 4:2:2, 4:2:0) to (H, W, 3)
+    uint8 RGB. Lossless / arithmetic / hierarchical / 12-bit /
     restart-interval / CMYK streams raise ``ValueError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -413,10 +779,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, Tq)
-    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (Td, Ta)
-    scan_order: list[int] = []
-    scan_start = None
-    while pos < len(data):
+    coef: dict[int, np.ndarray] = {}
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -438,12 +804,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 table[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
                 qtables[tq] = table.reshape(8, 8)
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline-sequential or progressive JPEG is supported"
+            )
         elif marker == 0xDD:
             if struct.unpack_from(">H", seg, 0)[0] != 0:
                 raise ValueError("restart intervals unsupported")
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -456,6 +824,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * ci]))
             if any(hi not in (1, 2) or vi not in (1, 2) for _, hi, vi, _ in comps):
                 raise ValueError("sampling factors beyond 2x2 unsupported")
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coef = {
+                cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                for cid, hi, vi, _ in comps
+            }
         elif marker == 0xC4:
             p = 0
             while p < len(seg):
@@ -466,52 +842,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = _decode_tables(bits, vals)
                 p += 17 + n
         elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
-                raise ValueError("non-interleaved scans unsupported")
+            scan_comps = []
             for si in range(ns):
                 cid = seg[1 + 2 * si]
                 tt = seg[2 + 2 * si]
-                scan_tables[cid] = (tt >> 4, tt & 0xF)
-                scan_order.append(cid)
+                scan_comps.append((cid, tt >> 4, tt & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             scan_start = pos + seglen
-            break
+            scan_end = _find_scan_end(data, scan_start)
+            _decode_scan(
+                data, scan_start, scan_end, scan_comps, ss, se,
+                ahal >> 4, ahal & 0xF, comps, htables, coef,
+                h, w, hmax, vmax, mcux, mcuy, {},
+            )
+            saw_scan = True
+            pos = scan_end
+            continue
         pos += seglen
-    if scan_start is None or h == 0 or not comps:
+    if not saw_scan or h == 0 or not comps:
         raise ValueError("truncated JPEG (no scan)")
 
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for cid, hi, vi, _ in comps
-    }
-    br = _BitReader(data[scan_start:])
-    prev = {cid: 0 for cid, *_ in comps}
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid, hi, vi, tq in comps:
-                dc_table = htables[(0, scan_tables[cid][0])]
-                ac_table = htables[(1, scan_tables[cid][1])]
-                qt = qtables[tq]
-                for vy in range(vi):
-                    for vx in range(hi):
-                        zz, prev[cid] = _decode_block(
-                            br, dc_table, ac_table, prev[cid]
-                        )
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = zz
-                        pix = _C.T @ (block.reshape(8, 8) * qt) @ _C
-                        y0 = (my * vi + vy) * 8
-                        x0 = (mx * hi + vx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
-
     full = []
-    for cid, hi, vi, _ in comps:
-        p = np.repeat(np.repeat(planes[cid], vmax // vi, axis=0), hmax // hi, axis=1)
+    for cid, hi, vi, tq in comps:
+        zz = coef[cid]
+        bh, bw_ = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz
+        deq = nat.reshape(bh, bw_, 8, 8).astype(np.float64) * qtables[tq]
+        pix = np.einsum("ji,abjk,kl->abil", _C, deq, _C)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        p = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w] + 128.0)
     if len(full) == 1:
         return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
