@@ -103,6 +103,7 @@ OPERATORS = [
     "incremental_lsh_matches",
     "incremental_neardup",
     "multimodal_decode_jpeg_progressive",
+    "multimodal_decode_flac",
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -204,3 +204,137 @@ def test_jpeg_progressive_constant_even_exact(h, w, v):
     out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr, quality=50))
     assert out.shape == arr.shape
     assert np.array_equal(out, arr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 700),
+    ch=st.integers(1, 3),
+    bps=st.sampled_from([8, 12, 16, 24]),
+    seed=st.integers(0, 2**31 - 1),
+    strategy=st.sampled_from(["fixed", "verbatim"]),
+    block=st.sampled_from([32, 256, 4096]),
+)
+def test_flac_roundtrip_exact(n, ch, bps, seed, strategy, block):
+    """FLAC is lossless: any signal round-trips EXACTLY through both
+    encoder strategies, at every supported bit depth, across frame
+    boundaries (block < n) and partial tail frames."""
+    from trollflow2_spark.sinks import flac
+
+    rng = np.random.RandomState(seed)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    s = rng.randint(lo, hi + 1, size=(n, ch)).astype(np.int64)
+    blob = flac.encode_flac(
+        s, 22050, bits_per_sample=bps, block_size=block, subframe=strategy
+    )
+    out, rate, obps = flac.decode_flac(blob)
+    assert (rate, obps) == (22050, bps)
+    assert np.array_equal(out, s)
+
+
+def _flac_stream_with_frame(frame: bytes, n: int, n_ch: int) -> bytes:
+    """fLaC header + STREAMINFO (borrowed from the encoder) + one
+    hand-crafted frame — lets tests drive decoder paths the encoder
+    never emits (LPC subframes, stereo decorrelation modes)."""
+    from trollflow2_spark.sinks import flac
+
+    tmpl = flac.encode_flac(
+        np.zeros((n, n_ch), dtype=np.int64), 8000, 16, block_size=max(n, 16)
+    )
+    return tmpl[: 4 + 4 + 34] + frame
+
+
+def _frame_header(n: int, ch_code: int) -> bytearray:
+    from trollflow2_spark.sinks import flac
+
+    bw = flac._BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)  # reserved + fixed blocking
+    bw.write(0b0111, 4)  # 16-bit blocksize at end
+    bw.write(0b0000, 4)  # rate from STREAMINFO
+    bw.write(ch_code, 4)
+    bw.write(0b100, 3)  # 16 bps
+    bw.write(0, 1)
+    bw.align()
+    hdr = bytearray(bw.bytes())
+    hdr += flac._utf8_number(0)
+    hdr += (n - 1).to_bytes(2, "big")
+    hdr.append(flac._crc8(bytes(hdr)))
+    return hdr
+
+
+def _finish_frame(hdr: bytearray, body) -> bytes:
+    from trollflow2_spark.sinks import flac
+
+    body.align()
+    frame = bytes(hdr) + body.bytes()
+    return frame + flac._crc16(frame).to_bytes(2, "big")
+
+
+def test_flac_decodes_handcrafted_lpc_subframe():
+    """LPC subframes (which the fixed-predictor encoder never emits)
+    decode correctly: order-2 coefficients [2, -1] at shift 0 replicate
+    the fixed-2 predictor, so a linear ramp has all-zero residuals."""
+    from trollflow2_spark.sinks import flac
+
+    n = 12
+    ramp = np.arange(40, 40 + n, dtype=np.int64)
+    hdr = _frame_header(n, ch_code=0)  # 1 channel
+    body = flac._BitWriter()
+    body.write(0, 1)
+    body.write(0b100001, 6)  # LPC, order 2
+    body.write(0, 1)  # no wasted bits
+    body.write(int(ramp[0]), 16)
+    body.write(int(ramp[1]), 16)
+    body.write(3, 4)  # precision 4
+    body.write(0, 5)  # shift 0
+    body.write(2, 4)  # coef 2
+    body.write(-1, 4)  # coef -1
+    body.write(0b00, 2)  # rice method
+    body.write(0, 4)  # partition order 0
+    body.write(0, 4)  # rice param 0
+    for _ in range(n - 2):
+        body.write(1, 1)  # zero residual: unary 0 -> single 1-bit
+    blob = _flac_stream_with_frame(_finish_frame(hdr, body), n, 1)
+    out, rate, bps = flac.decode_flac(blob)
+    assert np.array_equal(out[:, 0], ramp)
+
+
+def test_flac_decodes_stereo_decorrelation_modes():
+    """left/side, right/side and mid/side channel assignments (never
+    emitted by the independent-channels encoder) reconstruct the
+    original stereo pair; the side channel carries its extra bit."""
+    from trollflow2_spark.sinks import flac
+
+    n = 8
+    left, right = 1000, -25
+    side = left - right
+    for ch_code, subvals in [
+        (0b1000, [(16, left), (17, side)]),  # left/side
+        (0b1001, [(17, side), (16, right)]),  # right/side
+        (0b1010, [(16, (left + right) >> 1), (17, side)]),  # mid/side
+    ]:
+        hdr = _frame_header(n, ch_code=ch_code)
+        body = flac._BitWriter()
+        for bits, val in subvals:
+            body.write(0, 1)
+            body.write(0b000000, 6)  # CONSTANT
+            body.write(0, 1)
+            body.write(int(val), bits)
+        blob = _flac_stream_with_frame(_finish_frame(hdr, body), n, 2)
+        out, _rate, _bps = flac.decode_flac(blob)
+        assert np.array_equal(out[:, 0], np.full(n, left)), bin(ch_code)
+        assert np.array_equal(out[:, 1], np.full(n, right)), bin(ch_code)
+
+
+def test_flac_rejects_corrupt_crc():
+    """A flipped bit in the frame payload fails the CRC-16 check."""
+    import pytest as _pytest
+
+    from trollflow2_spark.sinks import flac
+
+    s = np.arange(0, 200, dtype=np.int64)
+    blob = bytearray(flac.encode_flac(s, 8000, 16, block_size=256))
+    blob[-5] ^= 0x10  # inside the last frame's payload
+    with _pytest.raises(ValueError):
+        flac.decode_flac(bytes(blob))

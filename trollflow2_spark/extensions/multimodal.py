@@ -75,6 +75,11 @@ def decode_media(
       statistics over the decoded PCM samples; the dimension columns
       carry ``width=sample_rate``, ``height=frames per channel``,
       ``n_channels=channels``;
+    - ``audio/flac``: REAL decode through the repo's from-scratch FLAC
+      codec (:func:`trollflow2_spark.sinks.flac.decode_flac` — fixed +
+      LPC predictors, Rice partitions, all stereo decorrelation modes);
+      lossless, so the statistics are exact functions of the original
+      samples — same dimension-column convention as WAV;
     - any other type with ``fake=True``: the deterministic
       byte-statistics stand-in (dimension columns NULL);
     - any other type with ``fake=False``: ``NotImplementedError`` —
@@ -124,13 +129,15 @@ def decode_media(
             is_tif = np.array([t == "image/tiff" for t in mtypes])
             is_jpg = np.array([t == "image/jpeg" for t in mtypes])
             is_wav = np.array([t == "audio/wav" for t in mtypes])
+            is_flac = np.array([t == "audio/flac" for t in mtypes])
             is_img = is_png | is_tif | is_jpg
-            if not fake and not (is_img | is_wav).all():
+            is_audio = is_wav | is_flac
+            if not fake and not (is_img | is_audio).all():
                 raise NotImplementedError(
-                    "media decode beyond image/png, image/tiff, image/jpeg "
-                    "and audio/wav requires a codec library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "byte-statistics decoder"
+                    "media decode beyond image/png, image/tiff, image/jpeg, "
+                    "audio/wav and audio/flac requires a codec library not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic byte-statistics decoder"
                 )
             lens = np.zeros(n, dtype=np.int64)
             means = np.zeros(n, dtype=np.float64)
@@ -191,9 +198,29 @@ def decode_media(
                     height[i] = nframes
                     chans[i] = nch
 
+            # real path: the repo's from-scratch FLAC decoder — lossless,
+            # so the stats are exact functions of the original samples
+            if is_flac.any():
+                from trollflow2_spark.sinks.flac import decode_flac
+
+                for i in np.flatnonzero(is_flac):
+                    try:
+                        samples, rate, _bps = decode_flac(bytes(payload[i]))
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        failed[i] = True
+                        continue
+                    lens[i] = samples.size
+                    means[i] = float(samples.mean()) if samples.size else 0.0
+                    maxs[i] = int(samples.max()) if samples.size else 0
+                    width[i] = rate
+                    height[i] = samples.shape[0]
+                    chans[i] = samples.shape[1]
+
             # fake path: vectorized byte statistics — one frombuffer over
             # the remaining payloads + segmented reduceat, no per-row loops
-            rest = np.flatnonzero(~is_img & ~is_wav)
+            rest = np.flatnonzero(~is_img & ~is_audio)
             if rest.size:
                 blobs = [bytes(payload[i]) for i in rest]
                 rl = np.fromiter((len(b) for b in blobs), dtype=np.int64,
@@ -222,7 +249,7 @@ def decode_media(
                     "n_channels": chans.astype("int32"),
                 }
             )
-            real = is_img | is_wav
+            real = is_img | is_audio
             for c in ("width", "height", "n_channels"):
                 out[c] = out[c].where(real, other=pd.NA).astype("Int32")
             if failed.any():

@@ -1144,6 +1144,30 @@ ORACLES["multimodal_decode_jpeg_progressive"] = ORACLES[
     "multimodal_decode_jpeg"
 ]
 
+# FLAC is lossless: the deterministic ramp fixture (base..base+n-1 per
+# channel, channel c offset by 100c) decodes exactly, so every statistic
+# is a closed form of doc_id. n = 100 + (doc_id%7)*10 frames,
+# ch = 1 + doc_id%2 channels, base = doc_id%50.
+ORACLES["multimodal_decode_flac"] = """
+WITH p AS (
+  SELECT doc_id,
+    doc_id % 50 AS base,
+    100 + (doc_id % 7) * 10 AS n,
+    1 + doc_id % 2 AS ch
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n * ch AS BIGINT) AS n_bytes,
+  round(base + (n - 1) / 2.0 + CASE WHEN ch = 2 THEN 50 ELSE 0 END, 6)
+    AS mean_byte,
+  CAST(base + n - 1 + CASE WHEN ch = 2 THEN 100 ELSE 0 END AS INTEGER)
+    AS max_byte,
+  CAST(8000 AS INTEGER) AS width,
+  CAST(n AS INTEGER) AS height,
+  CAST(ch AS INTEGER) AS n_channels
+FROM p
+"""
+
 # Real color-JPEG decode (4:2:0 YCbCr): constant gray-RGB images are
 # exact (zero chroma coefficients + lossless even-luma DC), stats over
 # the (H, W, 3) pixel array.

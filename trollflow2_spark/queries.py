@@ -1798,6 +1798,72 @@ def q_multimodal_decode_jpeg_progressive(
     )
 
 
+def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode through the repo's from-scratch codec
+    (sinks/flac.py — fixed predictors, Rice residuals, CRC-verified
+    frames). FLAC is LOSSLESS, so unlike the JPEG fixtures no
+    even-value trickery is needed: deterministic ramp signals decode to
+    exactly the encoded samples and every statistic is closed-form."""
+    # media kernels are per-item Python work: spread the single-file scan
+    # over the cluster's cores or mapInPandas runs on 1-2 input splits
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def make_flac(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.flac import encode_flac
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = d % 50
+                n = 100 + (d % 7) * 10
+                ch = 1 + d % 2
+                ramp = base + np.arange(n, dtype=np.int64)
+                samples = np.stack(
+                    [ramp + 100 * c for c in range(ch)], axis=1
+                )
+                blob = encode_flac(
+                    samples, sample_rate=8000, bits_per_sample=16,
+                    block_size=64, subframe="fixed",
+                )
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "audio/flac",
+                        "width": 8000,
+                        "height": n,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_flac, media_schema)
+    out = decode_media(media)  # the real audio/flac route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: deterministic 16-bit PCM WAV files are written
     with the stdlib ``wave`` module executor-side, then ``decode_media``
@@ -2269,6 +2335,7 @@ QUERIES = {
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
     "multimodal_decode_jpeg_progressive": q_multimodal_decode_jpeg_progressive,
+    "multimodal_decode_flac": q_multimodal_decode_flac,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "frame_sample": q_frame_sample,
     "frame_sample_tiff": q_frame_sample_tiff,
