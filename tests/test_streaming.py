@@ -308,6 +308,119 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path):
     assert final["u0"]["n_batches"] == 2  # state carried across batches
 
 
+class FakeKafkaBroker:
+    """Embedded in-memory stand-in for a Kafka broker, speaking the two
+    DataFrame contracts the engine's Kafka integration uses: the READER
+    contract (records exposed with Spark's Kafka wire schema —
+    key/value binary, topic, partition, offset, timestamp) and the
+    WRITER contract (consuming a DataFrame with topic/value[/key]
+    columns, the shape ``to_kafka_rows`` produces). Lets the
+    message→jobs→files→publish path run end-to-end through the very
+    same parse/shape code the real connector would drive."""
+
+    def __init__(self):
+        from collections import defaultdict
+
+        self.topics = defaultdict(list)  # topic -> [(key, value), ...]
+
+    def produce(self, topic, value, key=None):
+        self.topics[topic].append((key, value))
+
+    def records_df(self, spark, topic):
+        """Reader side: the topic's records with the Kafka wire schema."""
+        import datetime
+
+        from trollflow2_spark.streaming.runner import KAFKA_WIRE_SCHEMA
+
+        ts = datetime.datetime(2024, 1, 15, 12, 0, 0)
+        rows = [
+            (
+                k.encode() if isinstance(k, str) else k,
+                v.encode() if isinstance(v, str) else v,
+                topic, 0, off, ts, 0,
+            )
+            for off, (k, v) in enumerate(self.topics[topic])
+        ]
+        return spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+
+    def consume(self, kafka_rows_df):
+        """Writer side: accept a (topic, value[, key]) DataFrame —
+        exactly what ``df.write.format('kafka')`` would serialize."""
+        has_key = "key" in kafka_rows_df.columns
+        for r in kafka_rows_df.collect():
+            self.produce(r["topic"], r["value"], r["key"] if has_key else None)
+
+
+def test_kafka_e2e_through_fake_broker(spark, sf_dir, tmp_path):
+    """End-to-end over the Kafka-shaped source/sink pair: JSON messages
+    produced into the fake broker's in-topic flow through the SAME
+    record parse the connector source uses (parse_kafka_records), drive
+    the batch pipeline to real output files, and the publisher messages
+    — shaped by to_kafka_rows with area keying — land in the broker's
+    per-file out-topics. Closes the 'shape-tested only' gap left when
+    no broker exists in the sandbox."""
+    from trollflow2_spark.sinks.publish import publish_messages_df, to_kafka_rows
+    from trollflow2_spark.plans.pipeline import process_message
+    from trollflow2_spark.streaming.runner import parse_kafka_records
+
+    input_file = str(tmp_path / "scene.parquet")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .limit(20)
+        .withColumnRenamed("value", "ch1")
+        .write.parquet(input_file)
+    )
+    broker = FakeKafkaBroker()
+    for platform, mtype in [("SAT-A", "file"), ("SAT-B", "file"), ("SAT-C", "beat")]:
+        broker.produce(
+            "tf2-messages",
+            json.dumps(
+                {
+                    "type": mtype,
+                    "platform_name": platform,
+                    "start_time": "2024-01-15T12:00:00",
+                    "dataset": [
+                        {"uri": input_file, "uid": os.path.basename(input_file)}
+                    ],
+                }
+            ),
+            key=platform,
+        )
+
+    out_dir = str(tmp_path / "out")
+    plist = read_product_list(raw_string=PL_YAML.format(out_dir=out_dir))
+    raw = broker.records_df(spark, "tf2-messages")
+    messages = [
+        {k: v for k, v in r.asDict(recursive=True).items() if v is not None}
+        for r in parse_kafka_records(raw).collect()
+    ]
+    # the 'beat' record is filtered by the shared parse, like file/socket
+    assert sorted(m["platform_name"] for m in messages) == ["SAT-A", "SAT-B"]
+
+    for message in messages:
+        summary = process_message(spark, message, plist)
+        assert summary["status"] == "nominal"
+        msgs = publish_messages_df(
+            spark, summary["result"], base_mda=message
+        )
+        from pyspark.sql import functions as F
+
+        keyed = msgs.withColumn(
+            "area", F.get_json_object(F.col("message"), "$.area")
+        )
+        broker.consume(to_kafka_rows(keyed, key_col="area"))
+
+    assert sorted(os.listdir(out_dir)) == ["SAT-A_p1.parquet", "SAT-B_p1.parquet"]
+    published = broker.topics["/parquet/a1"]
+    assert len(published) == 2
+    for key, value in published:
+        assert key == "a1"  # partition affinity by area
+        payload = json.loads(value)
+        assert payload["area"] == "a1" and payload["format"] == "parquet"
+        assert payload["uri"].endswith(".parquet")
+        assert payload["platform_name"] in ("SAT-A", "SAT-B")
+
+
 def test_kafka_source_sink_shape(spark):
     """Kafka source/sink registration is shape-pinned without a broker:
     URI routing, constructed reader options, and the sink's

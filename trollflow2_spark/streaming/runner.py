@@ -172,28 +172,48 @@ def kafka_source_options(
     }
 
 
+#: The column layout Spark's Kafka reader produces (spark-sql-kafka
+#: docs). The embedded fake broker used in tests builds DataFrames with
+#: exactly this schema, so :func:`parse_kafka_records` is exercised
+#: end-to-end without the connector jar.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long,"
+    " timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_records(raw: DataFrame) -> DataFrame:
+    """Kafka wire records -> accepted messages: each record's ``value``
+    is one JSON message (the same payload the file/socket sources
+    carry), parsed against :data:`MESSAGE_SCHEMA` and filtered to
+    accepted types. Shared verbatim by the real connector source and
+    the embedded-fake e2e tests — what the tests pin IS the production
+    parse."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), MESSAGE_SCHEMA).alias("m")
+    ).select("m.*")
+    return parsed.filter(F.col("type").isin(*ACCEPTED_MESSAGE_TYPES))
+
+
 def message_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """Kafka message source: each record's ``value`` is one JSON message
-    (the same payload the file/socket sources carry), parsed against
-    :data:`MESSAGE_SCHEMA` and filtered to accepted types — identical
-    downstream code. Requires the ``spark-sql-kafka`` connector on the
-    classpath (not bundled in this container; the option shape is pinned
-    by tests, the wire path needs a real deployment).
+    """Kafka message source — identical downstream code to the
+    file/socket listeners (see :func:`parse_kafka_records`). Requires
+    the ``spark-sql-kafka`` connector on the classpath (not bundled in
+    this container; the option shape and the record parse are pinned by
+    tests against an embedded fake, the wire path needs a real
+    deployment).
 
     Unlike the socket source, Kafka offsets + checkpointing give
     exactly-once intake per micro-batch.
     """
     fmt, opts = kafka_source_options(bootstrap_servers, topic, starting_offsets)
     raw = spark.readStream.format(fmt).options(**opts).load()
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), MESSAGE_SCHEMA).alias("m")
-    ).select("m.*")
-    return parsed.filter(F.col("type").isin(*ACCEPTED_MESSAGE_TYPES))
+    return parse_kafka_records(raw)
 
 
 def parse_message_source_uri(uri: str) -> tuple[str, dict]:
