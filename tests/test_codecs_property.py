@@ -207,6 +207,27 @@ def test_jpeg_progressive_constant_even_exact(h, w, v):
 
 
 @settings(max_examples=20, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1),
+       color=st.booleans(), ri=st.integers(1, 9))
+def test_jpeg_restart_interval_equals_plain(h, w, seed, color, ri):
+    """Restart markers are a pure entropy-layout feature: a stream
+    encoded with any DRI decodes pixel-identically to the plain stream
+    (same quantized coefficients; predictors reset at each RSTn).
+    Exercises byte-pad + marker consumption and the modulo-8 marker
+    cycle across arbitrary MCU counts."""
+    from trollflow2_spark.sinks import jpeg
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if color else (h, w)
+    arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=80))
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(arr, quality=80, restart_interval=ri)
+    )
+    assert np.array_equal(plain, rst)
+
+
+@settings(max_examples=20, deadline=None)
 @given(
     n=st.integers(1, 700),
     ch=st.integers(1, 3),

@@ -12,8 +12,10 @@ take — making ``image/jpeg`` a REAL decode route in
 exist for both forms (:func:`encode_jpeg`,
 :func:`encode_jpeg_progressive`) and produce identical quantized
 coefficients, so progressive-vs-baseline decode equality is testable
-pixel-exactly. Lossless/arithmetic/12-bit/restart-interval streams
-raise with guidance.
+pixel-exactly. Restart intervals (DRI/RSTn) are supported on both
+sides: the encoder can emit them, the decoder consumes them in every
+scan type (predictor/EOB-run reset at each boundary).
+Lossless/arithmetic/12-bit streams raise with guidance.
 
 JPEG is lossy, so round-trips are tolerance-tested (property tests) —
 but constant-valued 8x8 blocks with even values quantize losslessly
@@ -162,13 +164,14 @@ def _scaled_table(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, prev_dc: int) -> int:
-    """DCT + quantize + entropy-code one level-shifted 8x8 block; returns
-    the new DC predictor. All components share the luma Huffman tables
-    (spec-legal: any table may serve any component)."""
-    coefs = _C @ block @ _C.T
-    quant = np.rint(coefs / qt).astype(np.int64)
-    zz = quant.reshape(64)[ZIGZAG]
+def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
+    """Entropy-code one already-quantized block (zigzag coefficient
+    order); returns the new DC predictor. All components share the luma
+    Huffman tables (spec-legal: any table may serve any component).
+    Quantization happens centrally in :func:`_quantize_all` so the
+    baseline and progressive encoders produce BIT-IDENTICAL coefficients
+    — two numerically-different DCT paths can round an exact .5
+    quantization tie to different integers."""
     diff = int(zz[0]) - prev_dc
     size = _category(diff)
     code, length = DC_CODES[size]
@@ -284,31 +287,50 @@ def _frame_headers(
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 75, subsample: str = "420"
+    arr: np.ndarray,
+    quality: int = 75,
+    subsample: str = "420",
+    restart_interval: int | None = None,
 ) -> bytes:
     """Encode a uint8 array as a baseline JFIF JPEG: (H, W) grayscale,
     or (H, W, 3) RGB as YCbCr with ``subsample`` ``"420"`` (2x2 chroma,
-    what cameras emit) or ``"444"`` (full-resolution chroma)."""
+    what cameras emit) or ``"444"`` (full-resolution chroma).
+    ``restart_interval`` emits a DRI segment and an RSTn marker every
+    that many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience layout most camera JPEGs use."""
     h, w, padded, samplings, qts, tqs, mcux, mcuy = _prepare_planes(
         arr, quality, subsample
     )
+    if restart_interval is not None and restart_interval <= 0:
+        raise ValueError("restart_interval must be positive")
 
+    coef = _quantize_all(padded, samplings, qts, mcux, mcuy)
+    scan = bytearray()
     bw = _BitWriter()
     prev = [0] * len(padded)
+    mcu_no = 0
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, ((hi, vi), plane) in enumerate(zip(samplings, padded)):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                scan += bw.flush()
+                scan += bytes(
+                    [0xFF, 0xD0 + (mcu_no // restart_interval - 1) % 8]
+                )
+                bw = _BitWriter()
+                prev = [0] * len(padded)
+            mcu_no += 1
+            for ci, ((hi, vi), cf) in enumerate(zip(samplings, coef)):
                 for vy in range(vi):
                     for vx in range(hi):
-                        by = (my * vi + vy) * 8
-                        bx = (mx * hi + vx) * 8
                         prev[ci] = _encode_block(
-                            bw, plane[by : by + 8, bx : bx + 8], qts[ci], prev[ci]
+                            bw, cf[my * vi + vy, mx * hi + vx], prev[ci]
                         )
-    scan = bw.flush()
+    scan += bw.flush()
 
     ncomp = len(padded)
     out = _frame_headers(h, w, samplings, qts, tqs, b"\xff\xc0")
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00])  # luma Huffman tables for every comp
@@ -551,6 +573,23 @@ class _BitReader:
             self._fill()
         return (self.acc >> (self.n - 16)) & 0xFFFF
 
+    def consume_restart(self) -> int:
+        """At a restart boundary: discard the entropy segment's byte-pad
+        bits (plus any zero-fill the reader buffered at the marker),
+        consume the RSTn marker, return n. The caller resets DC
+        predictors / EOB runs — marker semantics live in the scan loop."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected RST marker at restart interval")
+        m = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return m
+
     def skip(self, k: int) -> None:
         self.n -= k
 
@@ -700,13 +739,17 @@ def _find_scan_end(data: bytes, start: int) -> int:
 def _decode_scan(
     data, scan_start, scan_end, scan_comps, ss, se, ah, al,
     comps, htables, coef, h, w, hmax, vmax, mcux, mcuy, eobruns,
+    dri: int = 0,
 ) -> None:
     """Decode one entropy-coded scan into the per-component coefficient
     arrays. Handles all five scan shapes: full baseline, progressive DC
     first/refine (interleaved or single-component) and progressive AC
     first/refine (single-component, real-block raster). ``eobruns``
     carries the end-of-band run between blocks (local to a scan — a
-    fresh dict is passed per scan)."""
+    fresh dict is passed per scan). ``dri`` is the restart interval in
+    restart units (MCUs for interleaved scans, blocks for
+    non-interleaved): at each boundary the byte-pad + RSTn marker is
+    consumed and DC predictors / EOB runs reset."""
     br = _BitReader(data[scan_start:scan_end])
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
     pred = {cid: 0 for cid, _, _ in scan_comps}
@@ -722,8 +765,13 @@ def _decode_scan(
         else:
             iter_mcux, iter_mcuy = mcux, mcuy
             geo = {cid: by_id[cid][:2] for cid, _, _ in scan_comps}
+        units = 0
         for my in range(iter_mcuy):
             for mx in range(iter_mcux):
+                if dri and units and units % dri == 0:
+                    br.consume_restart()
+                    pred = {cid: 0 for cid, _, _ in scan_comps}
+                units += 1
                 for cid, td, ta in scan_comps:
                     gh, gv = geo[cid]
                     for vy in range(gv):
@@ -759,8 +807,13 @@ def _decode_scan(
         ac_table = htables[(1, ta)]
         decode = _decode_ac_first_block if ah == 0 else _decode_ac_refine_block
         eob = eobruns.get(cid, 0)
+        units = 0
         for by in range(bh_r):
             for bx in range(bw_r):
+                if dri and units and units % dri == 0:
+                    br.consume_restart()
+                    eob = 0
+                units += 1
                 eob = decode(br, ac_table, coef[cid][by, bx], ss, se, al, eob)
         eobruns[cid] = eob
 
@@ -770,8 +823,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (SOF2, spectral selection + successive approximation per T.81 Annex
     G): grayscale streams to (H, W) uint8, YCbCr color streams (any
     sampling factors up to 2x2 — 4:4:4, 4:2:2, 4:2:0) to (H, W, 3)
-    uint8 RGB. Lossless / arithmetic / hierarchical / 12-bit /
-    restart-interval / CMYK streams raise ``ValueError``."""
+    uint8 RGB. Restart intervals are handled in all scan types.
+    Lossless / arithmetic / hierarchical / 12-bit / CMYK streams raise
+    ``ValueError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -781,6 +835,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, Tq)
     coef: dict[int, np.ndarray] = {}
     hmax = vmax = mcux = mcuy = 0
+    dri = 0
     saw_scan = False
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -809,8 +864,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "only baseline-sequential or progressive JPEG is supported"
             )
         elif marker == 0xDD:
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise ValueError("restart intervals unsupported")
+            dri = struct.unpack_from(">H", seg, 0)[0]
         elif marker in (0xC0, 0xC2):
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
@@ -856,7 +910,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             _decode_scan(
                 data, scan_start, scan_end, scan_comps, ss, se,
                 ahal >> 4, ahal & 0xF, comps, htables, coef,
-                h, w, hmax, vmax, mcux, mcuy, {},
+                h, w, hmax, vmax, mcux, mcuy, {}, dri,
             )
             saw_scan = True
             pos = scan_end
