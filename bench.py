@@ -104,6 +104,7 @@ OPERATORS = [
     "incremental_neardup",
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_flac",
+    "unigram_logprob",  # perplexity-style LM quality score, broadcast model
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1076,6 +1076,31 @@ def test_decode_media_quarantines_corrupt_tiff_and_jpeg(spark):
     assert got[2]["n_bytes"] is None and got[4]["n_bytes"] is None
 
 
+def test_unigram_logprob_model_math(spark):
+    """The smoothed LM math checked by hand on a 2-doc corpus: token
+    counts a:3 b:1 c:1 (N=5, V=3), vocab_k=2 keeps {a, b} (tie b-vs-c
+    broken on the token string), c falls to the OOV mass. Denominator
+    = N + alpha*(V+1) = 7."""
+    import math
+
+    from trollflow2_spark.extensions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_logprob(docs, vocab_k=2, alpha=0.5).collect()
+    }
+    lp_a = math.log(3.5 / 7)
+    lp_b = math.log(1.5 / 7)
+    lp_oov = math.log(0.5 / 7)
+    assert got[1]["n_tokens"] == 3 and got[1]["n_oov"] == 0
+    assert got[1]["mean_logprob"] == round((2 * lp_a + lp_b) / 3, 6)
+    assert got[2]["n_tokens"] == 2 and got[2]["n_oov"] == 1
+    assert got[2]["mean_logprob"] == round((lp_a + lp_oov) / 2, 6)
+
+
 def test_incremental_dedup_and_lsh_matches(spark):
     """Daily-increment dedup: batch docs flag against corpus digests
     first, then earlier batch occurrences; the LSH tier broadcasts the

@@ -225,6 +225,17 @@ def test_vocab_topk_no_global_sort(spark, sf):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_unigram_logprob_broadcast_model(spark, sf):
+    """The LM scoring join is a broadcast over the top-k model (and the
+    1-row N/V stats) — the corpus-sized token stream never shuffles for
+    scoring; the model build uses TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "unigram_logprob", sf)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_quality_filter_single_pass(spark, sf):
     """The filter chain evaluates every rule in one map pass over the
     scan — no shuffle, no join between rules."""

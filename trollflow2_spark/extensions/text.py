@@ -181,6 +181,63 @@ def vocab_topk(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 5000,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under an
+    additive-smoothed language model fit on the corpus itself — the
+    classic perplexity-style quality signal: gibberish, boilerplate-free
+    noise and wrong-language text score far below typical prose, so the
+    score is the standard pretraining-corpus filter threshold input
+    (KenLM-filtering's cheap unigram cousin).
+
+    Model: the top-``vocab_k`` tokens by frequency, each with
+    ``ln((c + alpha) / (N + alpha * (V + 1)))``; everything else gets
+    the single OOV mass ``ln(alpha / (N + alpha * (V + 1)))``, where N
+    is total token count and V the full vocabulary size.
+
+    Scale: one explode + one vocabulary-sized hash agg (map-side
+    combine ⇒ shuffle volume is vocab-sized, not corpus-sized); the
+    top-k model is TakeOrdered (no global sort) and BROADCASTS to the
+    scoring join, so scoring is map-side over the token stream; N/V
+    ride a broadcast 1-row aggregate. The per-doc reduce groups on the
+    id while a doc's exploded tokens are still partition-local, so
+    partial aggregation collapses them before the final shuffle.
+    Output: (id, n_tokens, n_oov, mean_logprob).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
+    ).select(id_col, F.lower(F.col("tk")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    model = counts.orderBy(F.desc("c"), F.col("token")).limit(int(vocab_k))
+    scored = (
+        tok.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("n") + F.lit(float(alpha)) * (F.col("v") + 1))
+            ),
+        )
+        .withColumn("oov", F.col("c").isNull().cast("int"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.round(F.avg("logp"), round_digits).alias("mean_logprob"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -711,6 +711,34 @@ SELECT doc_id, term, tf, tfidf, term_rank FROM ranked
 WHERE term_rank <= {C.TFIDF_TOP_N}
 """
 
+# unigram LM quality score: the model (top-k vocab + OOV mass) and the
+# per-doc mean logprob are fully replayable in SQL; top-k ties break on
+# the token string in both engines, and the score rounds to 6 so
+# cross-engine float-summation-order noise (~1e-13) cannot flip a hash.
+ORACLES["unigram_logprob"] = f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), stats AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM counts
+), model AS (
+  SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {C.UNIGRAM_VOCAB_K}
+), scored AS (
+  SELECT t.doc_id,
+    CASE WHEN m.token IS NULL THEN 1 ELSE 0 END AS oov,
+    ln((coalesce(m.c, 0) + {C.UNIGRAM_ALPHA})
+       / (s.n + {C.UNIGRAM_ALPHA} * (s.v + 1))) AS logp
+  FROM tok t LEFT JOIN model m USING (token) CROSS JOIN stats s
+)
+SELECT doc_id,
+  count(*) AS n_tokens,
+  CAST(sum(oov) AS BIGINT) AS n_oov,
+  round(avg(logp), 6) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
 ORACLES["vocab_topk"] = f"""
 WITH tok AS (
   SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents

@@ -2175,6 +2175,20 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, k=C.VOCAB_TOPK)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score: per-doc mean unigram
+    log-probability under a corpus-fit additive-smoothed LM with a
+    top-k vocabulary and a single OOV mass — the cheap cousin of KenLM
+    filtering every pretraining pipeline runs. Broadcast model,
+    map-side scoring; only vocabulary-sized data ever shuffles."""
+    from trollflow2_spark.extensions.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(
+        docs, vocab_k=C.UNIGRAM_VOCAB_K, alpha=C.UNIGRAM_ALPHA
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered quality filter chain with per-doc reject reasons (the
     corpus-shipping audit trail)."""
@@ -2307,6 +2321,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
     "vocab_topk": q_vocab_topk,
+    "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_stats": q_corpus_stats,
     "source_quality": q_source_quality,
