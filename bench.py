@@ -105,6 +105,7 @@ OPERATORS = [
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_flac",
     "unigram_logprob",  # perplexity-style LM quality score, broadcast model
+    "embedding_topk_quantized",  # int8 store (4x smaller), scales cancel in cosine
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

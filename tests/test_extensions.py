@@ -1076,6 +1076,52 @@ def test_decode_media_quarantines_corrupt_tiff_and_jpeg(spark):
     assert got[2]["n_bytes"] is None and got[4]["n_bytes"] is None
 
 
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """int8 quantization is near-lossless for cosine ranking: the
+    quantized top-k overlaps the float top-k >= 80% per query on the
+    fixture, and quantized cosine equals cosine of the int arrays
+    exactly (scales cancel — checked against a numpy replay)."""
+    import os
+
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    quant = quantized_topk(emb, queries, k=10).collect()
+    by_q_exact = {}
+    by_q_quant = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid, ex in by_q_exact.items():
+        overlap = len(ex & by_q_quant[qid]) / len(ex)
+        assert overlap >= 0.8, (qid, overlap)
+
+    # numpy replay of one quantized cosine
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < 5).collect()}
+    def qz(v):
+        m = np.abs(v).max()
+        s = m / 127.0 if m > 0 else 1.0
+        return np.round(v / s)
+    got = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in quant}
+    for (qid, vid), sim in got.items():
+        if qid in rows and vid in rows:
+            a, b = qz(rows[qid]), qz(rows[vid])
+            want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(sim - round(want, 6)) <= 1e-6
+
+
 def test_unigram_logprob_model_math(spark):
     """The smoothed LM math checked by hand on a 2-doc corpus: token
     counts a:3 b:1 c:1 (N=5, V=3), vocab_k=2 keeps {a, b} (tie b-vs-c

@@ -79,6 +79,63 @@ def brute_force_topk(
     ).select(query_id_col, id_col, "cosine_sim", "rank")
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = round(v_i / scale)`` — the standard 4× compression for
+    embedding stores (a 100 TB float32 embedding table becomes 25 TB of
+    int8 + one float scale per row; scan, shuffle and cache traffic all
+    shrink with it). Zero vectors keep scale 1 so dequantization is
+    well-defined. Pure Column algebra in the scan stage — zero shuffle.
+
+    Output: (id, q_embedding array<int>, q_scale double). Dequantize as
+    ``q_i * q_scale``; for COSINE similarity the scales cancel, so
+    quantized cosine needs only the int arrays (see
+    :func:`quantized_topk`).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return df.select(
+        F.col(id_col), q.alias("q_embedding"), scale.alias("q_scale")
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors over int8-QUANTIZED vectors — the memory/
+    IO-bound scale path. Since cosine normalizes per vector, the
+    per-vector dequantization scales cancel exactly:
+    ``cos(q_a * s_a, q_b * s_b) = cos(q_a, q_b)`` — so the search runs
+    entirely on the int arrays and never materializes dequantized
+    floats. Same broadcast-queries / scan-once shape as
+    :func:`brute_force_topk`; recall vs the float baseline is pinned in
+    tests (int8 is near-lossless for cosine ranking).
+    """
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    qd = quantize_embeddings(df, vec_col, id_col).select(
+        F.col(id_col), as_double(F.col("q_embedding")).alias(vec_col)
+    )
+    qq = quantize_embeddings(queries, vec_col, query_id_col).select(
+        F.col(query_id_col), as_double(F.col("q_embedding")).alias(vec_col)
+    )
+    return brute_force_topk(
+        qd, qq, k=k, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, round_digits=round_digits,
+    )
+
+
 def signbit_cell(vec: Column, n_bits: int = 4) -> Column:
     """Coarse IVF-style cell id from the sign bits of the first
     ``n_bits`` dimensions (a fixed axis-aligned hyperplane LSH)."""

@@ -546,6 +546,38 @@ FROM sc
 QUALIFY rank <= {C.TOPK_K}
 """
 
+# int8 quantization replayed in SQL: per-vector scale = max|v|/127,
+# q_i = round(v_i/scale) (both engines round half away from zero);
+# cosine over the int arrays — the dequant scales cancel in cosine.
+_QUANT_CTE = """
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> round(CAST(x AS DOUBLE) / (CASE WHEN m > 0 THEN m / 127.0
+                                           ELSE 1.0 END))) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+    FROM embeddings
+  )
+"""
+ORACLES["embedding_topk_quantized"] = f"""
+WITH qz AS ({_QUANT_CTE}),
+q AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < {C.TOPK_N_QUERIES}
+), sc AS (
+  SELECT q.query_id, e.vec_id,
+    round({_cosine_sql('e.qv', 'q.qqv')}, 6) AS cosine_sim
+  FROM qz e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+  CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {C.TOPK_K}
+"""
+
+
 def _ivf_oracle_sql() -> str | None:
     """IVF oracle with *literal* centroid vectors.
 

@@ -1416,6 +1416,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vectors(emb), k=C.TOPK_K)
 
 
+def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8-quantized embeddings (4x smaller store;
+    scales cancel in cosine so the search runs on int arrays). Oracle:
+    DuckDB replays the quantization and the quantized cosine exactly."""
+    from trollflow2_spark.extensions.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, _query_vectors(emb), k=C.TOPK_K)
+
+
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_bucketed_topk(
@@ -2326,6 +2336,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "source_quality": q_source_quality,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_quantized": q_embedding_topk_quantized,
     "embedding_centroids": q_embedding_centroids,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
