@@ -106,6 +106,7 @@ OPERATORS = [
     "multimodal_decode_flac",
     "unigram_logprob",  # perplexity-style LM quality score, broadcast model
     "embedding_topk_quantized",  # int8 store (4x smaller), scales cancel in cosine
+    "repeated_ngram_spans",  # exact-substring span dedup (Lee et al. shape)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1076,6 +1076,31 @@ def test_decode_media_quarantines_corrupt_tiff_and_jpeg(spark):
     assert got[2]["n_bytes"] is None and got[4]["n_bytes"] is None
 
 
+def test_repeated_ngram_spans_merging(spark):
+    """Hand-checked span algebra: two docs share the 6-token run
+    'one two three four five six' — with n=3 the shared shingles sit at
+    positions 0..3, overlapping into ONE merged span [0, 5] in each
+    doc; the unique tails produce no spans. A doc with no cross-doc
+    shingle yields nothing."""
+    from trollflow2_spark.extensions.dedup import repeated_ngram_spans
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " apple banana cherry"),
+            (2, shared + " dog elephant fox goat"),
+            (3, "totally different words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = repeated_ngram_spans(docs, n=3, min_docs=2).collect()
+    got = {(r["doc_id"]): (r["span_start"], r["span_end"], r["span_tokens"])
+           for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1] == (0, 5, 6)
+    assert got[2] == (0, 5, 6)
+
+
 def test_quantized_topk_recall_vs_float(spark, sf_dir):
     """int8 quantization is near-lossless for cosine ranking: the
     quantized top-k overlaps the float top-k >= 80% per query on the

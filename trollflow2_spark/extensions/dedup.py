@@ -603,6 +603,74 @@ def simhash_pairs(
     )
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication spans: for every document, the merged
+    token ranges covered by word ``n``-grams that also occur in at least
+    ``min_docs`` distinct documents — the per-span form of
+    exact-substring dedup (train-set boilerplate/quotation scrubbing cuts
+    these RANGES out of documents rather than dropping whole docs; the
+    suffix-array method in Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", computes the same spans — this is its
+    shingle-table formulation, which distributes as plain joins/aggs).
+
+    Scale: positions ride ``posexplode`` over the shingle array (token
+    locality preserved — no shuffle to build them); the repeated-shingle
+    table is one map-side-combinable agg keyed by the shingle hash; the
+    hit join is a hash equi-join whose right side is one row per
+    repeated shingle (a boilerplate shingle occurring in millions of
+    docs skews the LEFT occurrences only — AQE skew split applies, the
+    join output stays one row per occurrence). Span merging is the
+    gaps-and-islands window per (doc, position order) — partitioned by
+    doc id, never global.
+
+    Output: (id, span_start, span_end, span_tokens) in token indices,
+    end-inclusive.
+    """
+    toks_arr = tokens(F.col(text_col))
+    sh = df.select(
+        F.col(id_col),
+        F.size(toks_arr).alias("__ntok"),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "shingle"),
+    ).withColumn("h", F.md5(F.col("shingle")))
+    multi = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("h")
+    )
+    hits = sh.join(multi, "h").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.least(
+            F.col("pos") + F.lit(n - 1), F.col("__ntok") - 1
+        ).alias("end"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = hits.groupBy(id_col, "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        F.max("end").cast("bigint").alias("span_end"),
+    )
+    return spans.select(
+        F.col(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
 def incremental_exact_dedup(
     corpus: DataFrame,
     batch: DataFrame,

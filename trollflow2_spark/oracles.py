@@ -489,6 +489,48 @@ _SHINGLES_J = WORD_SHINGLES_SQL("text", C.JACCARD_SHINGLE_WORDS)
 # ngram_jaccard_pairs / ngram_containment_pairs are defined after the
 # minhash LSH section below — the verify tier consumes LSH candidates.
 
+# exact-substring spans: positional shingles -> repeated-shingle set ->
+# gaps-and-islands merge, all replayable with windows. Positions ride a
+# struct-list unnest (DuckDB's WITH-ORDINALITY analog).
+_SHINGLES_RS = WORD_SHINGLES_SQL("text", C.REPEAT_NGRAM_N)
+ORACLES["repeated_ngram_spans"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SHINGLES_RS} AS s, len({TOKENS_SQL("text")}) AS ntok
+  FROM documents
+), sh AS (
+  SELECT doc_id, ntok, (u).pos AS pos, md5((u).sh) AS h FROM (
+    SELECT doc_id, ntok,
+      unnest(list_transform(range(len(s)),
+        i -> struct_pack(pos := i, sh := s[i+1]))) AS u
+    FROM base
+  )
+), multi AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h
+  ) WHERE nd >= {C.REPEAT_MIN_DOCS}
+), hits AS (
+  SELECT s.doc_id, s.pos, least(s.pos + {C.REPEAT_NGRAM_N - 1}, s.ntok - 1) AS e
+  FROM sh s JOIN multi USING (h)
+), isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w + 1
+         THEN 1 ELSE 0 END AS ni
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT doc_id, pos, e,
+    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id,
+  CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(e) AS BIGINT) AS span_end,
+  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+
 _SHINGLES_FP = WORD_SHINGLES_SQL("text", C.FINGERPRINT_SHINGLE_WORDS)
 ORACLES["doc_fingerprint"] = f"""
 WITH sh AS (

@@ -98,6 +98,8 @@ VOCAB_TOPK = 50
 TFIDF_TOP_N = 3
 UNIGRAM_VOCAB_K = 400  # model vocabulary for the unigram LM quality score
 UNIGRAM_ALPHA = 0.5  # additive smoothing mass
+REPEAT_NGRAM_N = 4  # word n-gram width for exact-substring span detection
+REPEAT_MIN_DOCS = 2  # shingle must appear in >= this many distinct docs
 MIX_WEIGHTS = (("src0", 4.0), ("src1", 2.0), ("src2", 0.0))  # others: default
 MIX_DEFAULT_WEIGHT = 1.0
 CONTAM_MOD = 7  # held-out split: doc_id % CONTAM_MOD == CONTAM_RESIDUE

@@ -1026,6 +1026,19 @@ def _corpus_batch_split(spark: SparkSession, sf_dir: str):
     )
 
 
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (the Lee-et-al. scrub shape):
+    per doc, merged token ranges covered by word n-grams repeated
+    across >= REPEAT_MIN_DOCS documents — what a span-level dedup cuts
+    OUT of training text instead of dropping whole documents."""
+    from trollflow2_spark.extensions.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(
+        docs, n=C.REPEAT_NGRAM_N, min_docs=C.REPEAT_MIN_DOCS
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment exact dedup: new-batch docs flagged against the
     existing corpus (and each other) with the canonical id they
@@ -2344,6 +2357,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
+    "repeated_ngram_spans": q_repeated_ngram_spans,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
