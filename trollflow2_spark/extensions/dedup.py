@@ -620,14 +620,21 @@ def repeated_ngram_spans(
     shingle-table formulation, which distributes as plain joins/aggs).
 
     Scale: positions ride ``posexplode`` over the shingle array (token
-    locality preserved — no shuffle to build them); the repeated-shingle
-    table is one map-side-combinable agg keyed by the shingle hash; the
-    hit join is a hash equi-join whose right side is one row per
-    repeated shingle (a boilerplate shingle occurring in millions of
-    docs skews the LEFT occurrences only — AQE skew split applies, the
-    join output stays one row per occurrence). Span merging is the
-    gaps-and-islands window per (doc, position order) — partitioned by
-    doc id, never global.
+    locality preserved — no shuffle to build them), and the shingle
+    TEXT is dropped for its md5 before anything shuffles. For the
+    default ``min_docs=2`` the repeated test is ``min(doc) != max(doc)``
+    over a window keyed by the hash — ONE pass over the corpus and one
+    shuffle of (id, pos, h) rows, where the two-sided join formulation
+    scans and explodes the corpus twice (measured ~1.1× slower at sf0.1
+    where shuffle dominates; the second full scan is what hurts when
+    the corpus doesn't fit in page cache). For
+    ``min_docs > 2`` the distinct-count needs the agg+join form: the
+    repeated-shingle table is map-side-combinable and its join side is
+    one row per repeated shingle. Either way a boilerplate shingle
+    occurring in millions of docs skews the shuffle-by-hash — AQE skew
+    handling applies; output stays one row per occurrence. Span merging
+    is the gaps-and-islands window per (doc, position order) —
+    partitioned by doc id, never global.
 
     Output: (id, span_start, span_end, span_tokens) in token indices,
     end-inclusive.
@@ -637,14 +644,25 @@ def repeated_ngram_spans(
         F.col(id_col),
         F.size(toks_arr).alias("__ntok"),
         F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "shingle"),
-    ).withColumn("h", F.md5(F.col("shingle")))
-    multi = (
-        sh.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= int(min_docs))
-        .select("h")
+    ).select(
+        F.col(id_col), "__ntok", "pos", F.md5(F.col("shingle")).alias("h")
     )
-    hits = sh.join(multi, "h").select(
+    if int(min_docs) == 2:
+        wh = Window.partitionBy("h")
+        repeated = sh.select(
+            F.col(id_col), "__ntok", "pos",
+            F.min(id_col).over(wh).alias("__dmin"),
+            F.max(id_col).over(wh).alias("__dmax"),
+        ).filter(F.col("__dmin") != F.col("__dmax"))
+    else:
+        multi = (
+            sh.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .filter(F.col("nd") >= int(min_docs))
+            .select("h")
+        )
+        repeated = sh.join(multi, "h")
+    hits = repeated.select(
         F.col(id_col),
         F.col("pos"),
         F.least(

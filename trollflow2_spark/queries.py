@@ -1033,7 +1033,12 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUT of training text instead of dropping whole documents."""
     from trollflow2_spark.extensions.dedup import repeated_ngram_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize+explode is the dominant map cost: spread the single-file
+    # scan across the cluster's cores (at 100 TB the many-file scan is
+    # naturally parallel; one local parquet file is one split)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return repeated_ngram_spans(
         docs, n=C.REPEAT_NGRAM_N, min_docs=C.REPEAT_MIN_DOCS
     )
