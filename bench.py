@@ -107,6 +107,7 @@ OPERATORS = [
     "unigram_logprob",  # perplexity-style LM quality score, broadcast model
     "embedding_topk_quantized",  # int8 store (4x smaller), scales cancel in cosine
     "repeated_ngram_spans",  # exact-substring span dedup (Lee et al. shape)
+    "warc_ingest",  # Common-Crawl-shaped intake: gzip members + HTML->text
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

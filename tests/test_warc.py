@@ -1,0 +1,96 @@
+"""WARC ingestion tests: multi-member gzip parsing, the binaryFile ->
+mapInPandas file route, truncation quarantine, and the HTML->text
+Column chain."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from trollflow2_spark.sources.warc import (
+    gunzip_members,
+    html_to_text,
+    parse_warc_bytes,
+    read_warc,
+)
+
+
+def _record(wtype: bytes, body: bytes, uri: bytes = b"http://x/1") -> bytes:
+    return (
+        b"WARC/1.0\r\nWARC-Type: " + wtype
+        + b"\r\nWARC-Target-URI: " + uri
+        + b"\r\nWARC-Date: 2024-01-15T12:00:00Z"
+        + b"\r\nWARC-Record-ID: <urn:uuid:1>"
+        + b"\r\nContent-Length: " + str(len(body)).encode()
+        + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+
+
+def _http(body: bytes, status: int = 200, ctype: bytes = b"text/html") -> bytes:
+    return (
+        b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
+        b"content-type: " + ctype + b"\r\n\r\n" + body
+    )
+
+
+def test_parse_warc_multi_member_gzip():
+    """One gzip member per record — the real crawl layout; a naive
+    single-member gunzip would silently drop record two."""
+    recs = [
+        _record(b"request", b"GET / HTTP/1.1"),
+        _record(b"response", _http(b"<p>hello</p>")),
+    ]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    assert gunzip_members(blob) == b"".join(recs)
+    parsed = parse_warc_bytes(blob, "f.warc.gz")
+    assert [r["warc_type"] for r in parsed] == ["request", "response"]
+    resp = parsed[1]
+    assert resp["http_status"] == 200
+    assert resp["content_type"] == "text/html"
+    assert resp["payload"] == b"<p>hello</p>"
+    assert resp["warc_target_uri"] == "http://x/1"
+
+
+def test_parse_warc_plain_and_non_http_payload():
+    meta = _record(b"warcinfo", b"software: test")
+    parsed = parse_warc_bytes(meta, "plain.warc")
+    assert parsed[0]["http_status"] is None
+    assert parsed[0]["payload"] == b"software: test"
+
+
+def test_parse_warc_truncation_raises():
+    rec = _record(b"response", _http(b"abc"))
+    with pytest.raises(ValueError):
+        parse_warc_bytes(rec[:-12], "trunc.warc")  # payload cut short
+    with pytest.raises(ValueError):
+        parse_warc_bytes(b"NOTWARC/1.0\r\n\r\n", "junk.warc")
+
+
+def test_read_warc_files(spark, tmp_path):
+    """The binaryFile route: two files, one gzipped and one plain, each
+    becoming rows with their own warc_file attribution."""
+    (tmp_path / "a.warc.gz").write_bytes(
+        gzip.compress(_record(b"response", _http(b"<b>A</b>")))
+    )
+    (tmp_path / "b.warc").write_bytes(
+        _record(b"response", _http(b"<b>B</b>"), uri=b"http://x/2")
+    )
+    rows = read_warc(spark, str(tmp_path)).collect()
+    by_uri = {r["warc_target_uri"]: r for r in rows}
+    assert set(by_uri) == {"http://x/1", "http://x/2"}
+    assert bytes(by_uri["http://x/1"]["payload"]) == b"<b>A</b>"
+    assert by_uri["http://x/2"]["warc_file"].endswith("b.warc")
+    assert all(r["payload_length"] == 8 for r in rows)
+
+
+def test_html_to_text_chain(spark):
+    """script/style/comment blocks drop wholesale, tags strip, the
+    documented entity subset decodes, whitespace collapses."""
+    html = (
+        "<html><head><script>var x = '<p>'</script><style>p {c}</style>"
+        "</head><body>\n<h1>T&amp;C</h1><!-- no -->"
+        "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39;&nbsp;e</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], ["raw"])
+    got = df.select(html_to_text(F.col("raw")).alias("t")).collect()[0]["t"]
+    assert got == "T&C a <b> \"c\" 'd' e"

@@ -489,6 +489,20 @@ _SHINGLES_J = WORD_SHINGLES_SQL("text", C.JACCARD_SHINGLE_WORDS)
 # ngram_jaccard_pairs / ngram_containment_pairs are defined after the
 # minhash LSH section below — the verify tier consumes LSH candidates.
 
+# WARC ingestion: the fixture WARC bytes are deterministic per doc_id
+# (request+response gzip members, HTTP envelope, known HTML), so every
+# parsed field and the extracted text are closed forms.
+ORACLES["warc_ingest"] = """
+SELECT doc_id,
+  CAST(2 AS INTEGER) AS n_records,
+  CAST(200 AS INTEGER) AS http_status,
+  'text/html' AS content_type,
+  'Doc ' || doc_id || ' alpha & beta ' || (doc_id % 7) AS text,
+  CAST(length('Doc ' || doc_id || ' alpha & beta ' || (doc_id % 7))
+       AS INTEGER) AS text_len
+FROM documents
+"""
+
 # exact-substring spans: positional shingles -> repeated-shingle set ->
 # gaps-and-islands merge, all replayable with windows. Positions ride a
 # struct-list unnest (DuckDB's WITH-ORDINALITY analog).

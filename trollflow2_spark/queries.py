@@ -1026,6 +1026,88 @@ def _corpus_batch_split(spark: SparkSession, sf_dir: str):
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (Common Crawl shape) ingestion + HTML->text: deterministic
+    per-doc WARC files — gzip members, request+response records, HTTP
+    envelopes — parsed executor-side, response payloads stripped to
+    text by the JVM-side regexp chain. The oracle knows the extracted
+    text closed-form."""
+    from trollflow2_spark.sources.warc import html_to_text, parse_warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_records", T.IntegerType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def make_and_parse(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                html = (
+                    "<html><head><script>skip();</script>"
+                    "<style>p{}</style></head>"
+                    f"<body><!-- c --><h1>Doc {d}</h1>"
+                    f"<p>alpha &amp; beta {d % 7}</p></body></html>"
+                ).encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n"
+                    + html
+                )
+                recs = []
+                for wtype, body in [(b"request", b"GET / HTTP/1.1"), (b"response", http)]:
+                    recs.append(
+                        b"WARC/1.0\r\nWARC-Type: " + wtype
+                        + f"\r\nWARC-Target-URI: http://x/{d}".encode()
+                        + b"\r\nWARC-Date: 2024-01-15T12:00:00Z"
+                        + f"\r\nContent-Length: {len(body)}".encode()
+                        + b"\r\n\r\n" + body + b"\r\n\r\n"
+                    )
+                # one gzip member per record, the real crawl layout
+                blob = b"".join(gzip.compress(r) for r in recs)
+                parsed = parse_warc_bytes(blob, f"doc{d}.warc.gz")
+                resp = [r for r in parsed if r["warc_type"] == "response"]
+                rows.append(
+                    (
+                        d,
+                        len(parsed),
+                        resp[0]["http_status"],
+                        resp[0]["content_type"],
+                        resp[0]["payload"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "http_status", "content_type",
+                    "payload",
+                ],
+            )
+
+    parsed = docs.mapInPandas(make_and_parse, out_schema)
+    text = html_to_text(F.col("payload").cast("string"))
+    return parsed.select(
+        "doc_id",
+        "n_records",
+        "http_status",
+        "content_type",
+        text.alias("text"),
+        F.length(text).alias("text_len"),
+    )
+
+
 def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans (the Lee-et-al. scrub shape):
     per doc, merged token ranges covered by word n-grams repeated
@@ -2363,6 +2445,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "repeated_ngram_spans": q_repeated_ngram_spans,
+    "warc_ingest": q_warc_ingest,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,

@@ -1,0 +1,194 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the Common Crawl shape.
+
+Large-scale text corpora arrive as WARC files: concatenated records
+(request/response/metadata), each with WARC headers, an optional HTTP
+envelope, and a payload; files are usually stored as concatenated gzip
+members (one member per record) so they stay splittable-ish and
+streamable. The reference pipeline ingests satellite granules through
+fsspec/satpy (``/root/reference/trollflow2/plugins/__init__.py:86-99``);
+this module is the analogous intake for web-crawl corpora, stdlib-only
+(``zlib`` handles multi-member gzip).
+
+Spark shape: WARC files are NOT line-splittable, so each file is one
+work unit — ``spark.read.format("binaryFile")`` + ``mapInPandas``
+parses one file per task (a crawl ships tens of thousands of ~1 GB
+WARCs, so file-level parallelism saturates any cluster; this is the
+same executor-side whole-file kernel pattern as the raster readers in
+``sources/scene.py``). Record parsing never touches the driver.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("warc_target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("warc_record_id", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_length", T.LongType()),
+    ]
+)
+
+
+def gunzip_members(blob: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; plain bytes
+    pass through. WARC gzip files are one member per record, so a naive
+    single-member gunzip silently drops everything after record one."""
+    if blob[:2] != b"\x1f\x8b":
+        return blob
+    out = bytearray()
+    data = blob
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(data)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC stream")
+        data = d.unused_data
+    return bytes(out)
+
+
+def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an HTTP response envelope: (status, content-type, body).
+    Non-HTTP payloads come back as (None, None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, payload
+    head, body = payload[:sep], payload[sep + 4 :]
+    lines = head.split(b"\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for ln in lines[1:]:
+        if ln.lower().startswith(b"content-type:"):
+            ctype = ln.split(b":", 1)[1].strip().decode("latin-1")
+            break
+    return status, ctype, body
+
+
+def parse_warc_bytes(blob: bytes, source_name: str = "") -> list[dict]:
+    """Parse one WARC file's bytes (gzip members or plain) into record
+    dicts matching :data:`WARC_RECORD_SCHEMA`. Malformed trailing bytes
+    raise — a truncated crawl file should quarantine loudly, not pass a
+    partial record as complete."""
+    raw = gunzip_members(blob)
+    records = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip the inter-record CRLF CRLF separator
+        while pos < n and raw[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            break
+        if not raw[pos:].startswith(b"WARC/"):
+            raise ValueError(
+                f"bad WARC record header at offset {pos} in {source_name!r}"
+            )
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"truncated WARC header in {source_name!r}")
+        header_block = raw[pos:hdr_end].decode("utf-8", "replace")
+        headers: dict[str, str] = {}
+        for line in header_block.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError(
+                f"WARC record without Content-Length in {source_name!r}"
+            ) from exc
+        body_start = hdr_end + 4
+        payload = raw[body_start : body_start + length]
+        if len(payload) != length:
+            raise ValueError(f"truncated WARC payload in {source_name!r}")
+        status, http_ctype, http_body = _parse_http(payload)
+        records.append(
+            {
+                "warc_file": source_name,
+                "record_offset": pos,
+                "warc_type": headers.get("warc-type"),
+                "warc_target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "warc_record_id": headers.get("warc-record-id"),
+                "http_status": status,
+                "content_type": http_ctype or headers.get("content-type"),
+                "payload": http_body,
+                "payload_length": len(http_body),
+            }
+        )
+        pos = body_start + length
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files -> one DataFrame row per record. One file per task
+    (``binaryFile`` source); the parse kernel runs executor-side via
+    ``mapInPandas``, so a 10k-file crawl parses with 10k-way
+    parallelism and the driver only plans the scan."""
+    import pandas as pd  # noqa: F401 (executor import parity)
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(bytes(content), path_))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(kernel, WARC_RECORD_SCHEMA)
+
+
+# --- HTML -> text -----------------------------------------------------------
+
+#: entity subset handled by the Column-side extractor (kept small and
+#: documented so the SQL oracle replays it verbatim; full numeric-entity
+#: handling needs html.unescape, i.e. a Python kernel — the wrong tradeoff
+#: for a scrub that runs inside the 100 TB scan stage)
+HTML_ENTITIES = (
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+)
+
+
+def html_to_text(col):
+    """Crude-but-standard HTML -> text Column: drop script/style blocks
+    and comments, strip tags, decode the common entities, collapse
+    whitespace. Pure ``regexp_replace`` chain — JVM-side codegen inside
+    the scan stage, zero Python, zero shuffle (the baseline extraction
+    every crawl pipeline starts from before reaching for trafilatura-
+    class extractors)."""
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
