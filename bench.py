@@ -108,6 +108,7 @@ OPERATORS = [
     "embedding_topk_quantized",  # int8 store (4x smaller), scales cancel in cosine
     "repeated_ngram_spans",  # exact-substring span dedup (Lee et al. shape)
     "warc_ingest",  # Common-Crawl-shaped intake: gzip members + HTML->text
+    "url_canonicalize",  # tracking-param/port/fragment URL normalization
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -83,6 +83,30 @@ def test_read_warc_files(spark, tmp_path):
     assert all(r["payload_length"] == 8 for r in rows)
 
 
+def test_canonicalize_url_edges(spark):
+    """Edge cases beyond the contract fixture: non-default ports kept,
+    path case preserved, all-tracking query drops the '?', fragments
+    stripped even without a query, already-canonical input is a fixed
+    point."""
+    from trollflow2_spark.sources.warc import canonicalize_url
+
+    cases = [
+        ("http://Example.com:8080/A/B?b=2&a=1",
+         "http://example.com:8080/A/B?a=1&b=2"),
+        ("https://X.IO/?utm_source=a&utm_medium=b&fbclid=1",
+         "https://x.io/"),
+        ("HTTP://a.b:80#frag", "http://a.b/"),
+        ("https://a.b/Path#x", "https://a.b/Path"),
+        ("https://a.b/p?a=1", "https://a.b/p?a=1"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    rows = df.select(
+        "want", canonicalize_url(df.url).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+
+
 def test_html_to_text_chain(spark):
     """script/style/comment blocks drop wholesale, tags strip, the
     documented entity subset decodes, whitespace collapses."""

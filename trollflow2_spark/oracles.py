@@ -503,6 +503,25 @@ SELECT doc_id,
 FROM documents
 """
 
+# URL canonicalization: the Spark side runs the real canonicalizer on
+# the messy fixture; the oracle states both forms closed-form (lowercase
+# scheme/host, default port and fragment stripped, tracking params
+# dropped, surviving params sorted: a=<d%3> then z=2, empty path -> /).
+ORACLES["url_canonicalize"] = """
+SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 1 THEN 'HTTPS://' ELSE 'HTTP://' END)
+    || 'WWW.Site' || (doc_id % 20) || '.COM'
+    || (CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE ':80' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/p/' || doc_id END)
+    || '?utm_source=tw&z=2&a=' || (doc_id % 3)
+    || '&fbclid=xyz#sec' || doc_id AS url,
+  (CASE WHEN doc_id % 2 = 1 THEN 'https://' ELSE 'http://' END)
+    || 'www.site' || (doc_id % 20) || '.com'
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '/p/' || doc_id END)
+    || '?a=' || (doc_id % 3) || '&z=2' AS canonical_url
+FROM documents
+"""
+
 # exact-substring spans: positional shingles -> repeated-shingle set ->
 # gaps-and-islands merge, all replayable with windows. Positions ride a
 # struct-list unnest (DuckDB's WITH-ORDINALITY analog).

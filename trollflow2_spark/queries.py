@@ -1108,6 +1108,35 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic messy fixtures (mixed
+    case, default ports, tracking params, fragments, unsorted query
+    params, empty paths): the canonicalizer is the real Column chain
+    on the messy string; the oracle states the clean form closed-form.
+    The fixture construction itself is Column concat — the whole query
+    is JVM-side, zero Python."""
+    from trollflow2_spark.sources.warc import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 2 == 1, F.lit("HTTPS://")).otherwise(F.lit("HTTP://")),
+        F.lit("WWW.Site"), (d % 20).cast("string"), F.lit(".COM"),
+        F.when(d % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        F.when(d % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), d.cast("string"))
+        ),
+        F.lit("?utm_source=tw&z=2&a="), (d % 3).cast("string"),
+        F.lit("&fbclid=xyz#sec"), d.cast("string"),
+    )
+    out = docs.select(d.alias("doc_id"), messy.alias("url"))
+    return out.select(
+        "doc_id",
+        "url",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+    )
+
+
 def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans (the Lee-et-al. scrub shape):
     per doc, merged token ranges covered by word n-grams repeated
@@ -2446,6 +2475,7 @@ QUERIES = {
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "warc_ingest": q_warc_ingest,
+    "url_canonicalize": q_url_canonicalize,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,

@@ -177,6 +177,45 @@ HTML_ENTITIES = (
 )
 
 
+#: query parameters dropped during URL canonicalization — pure tracking
+#: noise that splits one logical page into millions of "distinct" URLs
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)(=|$)"
+
+
+def canonicalize_url(col):
+    """Canonical URL Column: lowercase scheme+host, strip default ports
+    (http:80 / https:443) and fragments, drop tracking parameters
+    (``utm_*``, ``fbclid``, ...), sort the surviving query parameters,
+    normalize the empty path to ``/``. URL-level dedup without this
+    undercounts duplicates badly — crawls reach the same page through
+    endless tracking-param variants. Pure Column algebra (regexp +
+    array ops), JVM-side in the scan stage, zero shuffle; exact dedup /
+    host rollups group on the result."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    nofrag = F.regexp_replace(rest, r"#.*$", "")
+    host = F.lower(F.regexp_extract(nofrag, r"^([^/?]*)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    pathq = F.regexp_replace(nofrag, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qstr = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qstr)
+
+
 def html_to_text(col):
     """Crude-but-standard HTML -> text Column: drop script/style blocks
     and comments, strip tags, decode the common entities, collapse
