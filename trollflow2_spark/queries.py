@@ -1016,14 +1016,33 @@ def q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_batch_split(spark: SparkSession, sf_dir: str):
+def _corpus_batch_split(spark: SparkSession, sf_dir: str, spread: bool = False):
     """Incremental-dedup fixture: every 10th doc is the 'new batch', the
-    rest are the existing corpus."""
+    rest are the existing corpus. ``spread=True`` spreads an under-split
+    scan — worth it only for the minhash-signature consumers, whose
+    shingling dominates; the exact-dedup md5 path is too cheap to repay
+    a repartition."""
     docs = load_table(spark, sf_dir, "documents")
+    if spread:
+        docs = _spread(docs)
     return (
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan under-splits the cluster — the
+    single-local-file case here, or a handful of huge unsplittable
+    files in production (where post-read repartition is the standard
+    fix). When a many-file scan already saturates the cluster this is
+    a no-op: no shuffle is added at full scale, so map-heavy pipelines
+    keep their scan-stage locality."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,12 +1163,10 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUT of training text instead of dropping whole documents."""
     from trollflow2_spark.extensions.dedup import repeated_ngram_spans
 
-    # tokenize+explode is the dominant map cost: spread the single-file
-    # scan across the cluster's cores (at 100 TB the many-file scan is
-    # naturally parallel; one local parquet file is one split)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # tokenize+explode is the dominant map cost: spread an under-split
+    # scan across the cluster's cores (no-op when the many-file
+    # production scan already saturates — see _spread)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return repeated_ngram_spans(
         docs, n=C.REPEAT_NGRAM_N, min_docs=C.REPEAT_MIN_DOCS
     )
@@ -1170,7 +1187,7 @@ def q_incremental_lsh_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     against corpus bands — the corpus never shuffles per increment."""
     from trollflow2_spark.extensions.dedup import incremental_lsh_matches
 
-    corpus, batch = _corpus_batch_split(spark, sf_dir)
+    corpus, batch = _corpus_batch_split(spark, sf_dir, spread=True)
     mk = lambda df: minhash_signatures(  # noqa: E731
         df,
         shingle_words=C.MINHASH_SHINGLE_WORDS,
