@@ -348,6 +348,59 @@ def test_flac_decodes_stereo_decorrelation_modes():
         assert np.array_equal(out[:, 1], np.full(n, right)), bin(ch_code)
 
 
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), size=st.integers(0, 400),
+       codec=st.sampled_from(["jpeg", "flac", "warc"]))
+def test_decoders_reject_garbage_without_hanging(seed, size, codec):
+    """Random bytes behind a valid magic prefix must raise cleanly
+    (ValueError/struct errors), never hang or segfault — these decoders
+    run inside executor quarantine loops where an infinite loop stalls
+    a whole task. Any exception is acceptable; termination is the
+    property."""
+    rng = np.random.RandomState(seed)
+    junk = rng.randint(0, 256, size=size, dtype=np.uint8).tobytes()
+    if codec == "jpeg":
+        from trollflow2_spark.sinks.jpeg import decode_jpeg
+
+        blob = b"\xff\xd8" + junk
+        decode = decode_jpeg
+    elif codec == "flac":
+        from trollflow2_spark.sinks.flac import decode_flac
+
+        blob = b"fLaC" + junk
+        decode = decode_flac
+    else:
+        from trollflow2_spark.sources.warc import parse_warc_bytes
+
+        blob = b"WARC/1.0\r\n" + junk
+        decode = lambda b: parse_warc_bytes(b, "fuzz")  # noqa: E731
+    try:
+        decode(blob)
+    except Exception:
+        pass  # raising is the expected outcome; hanging is the failure
+
+
+def test_corrupt_flac_quarantines_in_decode_media(spark):
+    """A corrupt FLAC blob rides the audio route's NULL quarantine
+    (on_error='null'): id kept, every feature column NULL, good rows
+    unaffected."""
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.flac import encode_flac
+
+    good = encode_flac(np.arange(100, dtype=np.int64), 8000, 16)
+    bad = good[:40] + b"\x00" * 10
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good), {"media_type": "audio/flac"}),
+            (2, bytearray(bad), {"media_type": "audio/flac"}),
+        ],
+        "doc_id long, media binary, media_meta map<string,string>",
+    )
+    rows = {r["doc_id"]: r for r in decode_media(df, on_error="null").collect()}
+    assert rows[1]["n_bytes"] == 100 and rows[1]["width"] == 8000
+    assert rows[2]["n_bytes"] is None and rows[2]["mean_byte"] is None
+
+
 def test_flac_rejects_corrupt_crc():
     """A flipped bit in the frame payload fails the CRC-16 check."""
     import pytest as _pytest
