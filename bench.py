@@ -109,6 +109,8 @@ OPERATORS = [
     "repeated_ngram_spans",  # exact-substring span dedup (Lee et al. shape)
     "warc_ingest",  # Common-Crawl-shaped intake: gzip members + HTML->text
     "url_canonicalize",  # tracking-param/port/fragment URL normalization
+    "domain_rollup",  # eTLD+1 per-site corpus rollup (one hash agg)
+    "semantic_dedup",  # SemDeDup: k-means cells -> cosine edges -> clusters
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1238,3 +1238,43 @@ def test_incremental_exact_dedup_never_shuffles_corpus(spark, sf_dir):
         if re.search(r"\bExchange hashpartitioning", ln)
     ]
     assert len(hash_exchanges) <= 3
+
+
+def test_semantic_dedup_clusters_planted(spark):
+    """Planted semantic near-dups (same direction, scaled/noised) must
+    cluster to the min-id canonical; orthogonal vectors stay
+    singletons. Centroids are passed explicitly so the test pins the
+    clustering semantics, not the k-means sample."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import (
+        semantic_dedup_clusters,
+    )
+
+    rng_free = [
+        [1.0, 0.0, 0.0, 0.0],   # 0: canonical of {0,1,2}
+        [2.0, 0.02, 0.0, 0.0],  # 1: same direction, scaled
+        [0.99, -0.01, 0.0, 0.0],  # 2: near-dup of 0
+        [0.0, 1.0, 0.0, 0.0],   # 3: singleton
+        [0.0, 0.0, 1.0, 0.0],   # 4: singleton
+        [0.0, 0.0, 0.98, 0.2],  # 5: near-dup of 4
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng_free)],
+        ["vec_id", "embedding"],
+    )
+    cents = np.eye(4)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_clusters(
+            df, centroids=cents, threshold=0.9
+        ).collect()
+    }
+    assert {out[i]["cluster_id"] for i in (0, 1, 2)} == {0}
+    assert out[0]["is_canonical"] == 1
+    assert out[1]["is_canonical"] == 0 and out[2]["cluster_size"] == 3
+    assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+    assert out[4]["cluster_id"] == 4 and out[5]["cluster_id"] == 4
+    # the kept corpus is exactly the canonical set
+    kept = sorted(k for k, r in out.items() if r["is_canonical"] == 1)
+    assert kept == [0, 3, 4]

@@ -107,6 +107,38 @@ def test_canonicalize_url_edges(spark):
         assert r["got"] == r["want"]
 
 
+def test_registrable_domain_edges(spark):
+    """PSL-aware eTLD+1: two-label default, three labels under co.uk-
+    style suffixes, deep subdomains collapse, ports stripped, single
+    labels pass through, a bare two-label public suffix stays itself
+    (no fourth label to promote)."""
+    from trollflow2_spark.sources.warc import host_of_url, registrable_domain
+
+    cases = [
+        ("www.site3.com", "site3.com"),
+        ("site3.com", "site3.com"),
+        ("a.b.c.news.portal1.co.uk", "portal1.co.uk"),
+        ("portal1.co.uk", "portal1.co.uk"),
+        ("co.uk", "co.uk"),
+        ("Blog7.ORG:8080", "blog7.org"),
+        ("localhost", "localhost"),
+        ("cdn.app2.io", "app2.io"),
+    ]
+    df = spark.createDataFrame(cases, ["host", "want"])
+    for r in df.select(
+        "want", registrable_domain(df.host).alias("got")
+    ).collect():
+        assert r["got"] == r["want"], r
+
+    urls = [
+        ("https://User@WWW.Site.COM:8443/p?q=1#f", "www.site.com"),
+        ("http://a.b/", "a.b"),
+    ]
+    du = spark.createDataFrame(urls, ["url", "want"])
+    for r in du.select("want", host_of_url(du.url).alias("got")).collect():
+        assert r["got"] == r["want"], r
+
+
 def test_html_to_text_chain(spark):
     """script/style/comment blocks drop wholesale, tags strip, the
     documented entity subset decodes, whitespace collapses."""

@@ -344,6 +344,80 @@ def ivf_topk(
     ).select(query_id_col, id_col, "cosine_sim", "rank")
 
 
+def semantic_dedup_clusters(
+    df: DataFrame,
+    centroids=None,
+    threshold: float = 0.3,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means coarse cells bound the candidate space,
+    within-cell pairs whose cosine clears ``threshold`` become edges,
+    connected components resolve duplicate clusters, and the min-id
+    member of each cluster is canonical. Output per vector:
+    (id, cluster_id, is_canonical, cluster_size) — filter
+    ``is_canonical = 1`` for the semantically deduplicated corpus.
+
+    This is the embedding-space sibling of the minhash/simhash dedup
+    chain: where those catch lexical near-dups, this catches *semantic*
+    ones (same content re-written, translated boilerplate, templated
+    paraphrases) that no shingle tier can see.
+
+    Scale shape: centroid training reads a fixed config-sized sample
+    (never shuffles the corpus); assignment is one Arrow-batched matmul
+    map over the scan; candidates come from a cell equi-join, so the
+    all-pairs O(n^2) never materializes (k-means balances cells where
+    sign bits can't — the cell key IS the skew guard); clustering is the
+    same per-round equi-join + min-agg label propagation as the lexical
+    tiers. Everything after assignment shuffles only (id, cell) and
+    (id_a, id_b) pairs, never the vectors.
+
+    Determinism: same rounded-argmax assignment as :func:`ivf_topk`
+    (ties to the lowest cell), cosine rounded before the threshold —
+    the DuckDB oracle replays centroid literals from the shared
+    :func:`kmeans_centroids_np` bit-for-bit.
+    """
+    from trollflow2_spark.extensions.dedup import duplicate_clusters
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, vec_col=vec_col, id_col=id_col, k=n_clusters
+        )
+    Cm = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(np.round(X @ Cm.T, 6), axis=1).astype("int32"))
+
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n"),
+    ).withColumn("__cell", assign_cell(F.col(vec_col)))
+    a = base.select(
+        "__cell", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        "__cell", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, round_digits).alias("__cos"))
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    return duplicate_clusters(df.select(F.col(id_col)), pairs, id_col=id_col)
+
+
 def ann_bucketed_topk(
     df: DataFrame,
     queries: DataFrame,

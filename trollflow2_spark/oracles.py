@@ -522,6 +522,45 @@ SELECT doc_id,
 FROM documents
 """
 
+# per-registrable-domain rollup: the oracle states host / eTLD+1 /
+# canonical URL closed-form for the four fixture shapes (the Spark side
+# derives them through the real canonicalize/host/PSL Column machinery,
+# so a wrong suffix rule shows up as a hash mismatch here)
+ORACLES["domain_rollup"] = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS text_len,
+    CASE doc_id % 4
+      WHEN 0 THEN (CASE WHEN doc_id % 8 = 0 THEN 'www.' ELSE '' END)
+        || 'site' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.com'
+      WHEN 1 THEN (CASE WHEN doc_id % 8 = 1 THEN 'news.' ELSE '' END)
+        || 'portal' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.co.uk'
+      WHEN 2 THEN 'blog' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.org'
+      ELSE (CASE WHEN doc_id % 8 = 3 THEN 'cdn.' ELSE 'img.' END)
+        || 'app' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.io'
+    END AS host,
+    CASE doc_id % 4
+      WHEN 0 THEN 'site' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.com'
+      WHEN 1 THEN 'portal' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.co.uk'
+      WHEN 2 THEN 'blog' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.org'
+      ELSE 'app' || (doc_id % {C.DOMAIN_SITE_MOD}) || '.io'
+    END AS domain,
+    '/a/' || doc_id || '?id=' || (doc_id % 3) AS pq
+  FROM documents
+), u AS (
+  SELECT domain, host, text_len,
+    (CASE WHEN doc_id % 2 = 1 THEN 'https://' ELSE 'http://' END)
+      || host || pq AS curl
+  FROM d
+)
+SELECT domain,
+  count(*) AS n_docs,
+  count(DISTINCT host) AS n_hosts,
+  count(DISTINCT curl) AS n_urls,
+  CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+  round(CAST(sum(text_len) AS DOUBLE) / count(*), 6) AS avg_text_len
+FROM u GROUP BY domain
+"""
+
 # exact-substring spans: positional shingles -> repeated-shingle set ->
 # gaps-and-islands merge, all replayable with windows. Positions ride a
 # struct-list unnest (DuckDB's WITH-ORDINALITY analog).
@@ -653,17 +692,16 @@ QUALIFY rank <= {C.TOPK_K}
 """
 
 
-def _ivf_oracle_sql() -> str | None:
-    """IVF oracle with *literal* centroid vectors.
+def _centroid_values_sql() -> str | None:
+    """Centroid VALUES literals shared by the IVF and semantic-dedup
+    oracles.
 
     The centroids are deterministic (fixed 2048-lowest-id sample, fixed
     first-k init, fixed iteration count) but data-dependent, so they are
     computed here at import time — by the SAME numpy routine the Spark
-    query uses (``kmeans_centroids_np``) — from the parquet named by
+    queries use (``kmeans_centroids_np``) — from the parquet named by
     ``SPARK_GRAFT_ORACLE_SF_DIR`` (default sf0.01, the driver's gate
-    scale), and embedded as full-precision DOUBLE literals. Cell
-    assignment/probing replicates the query's rounded-argmax exactly:
-    round(dot(normalized vec, centroid), 6), ties to the lowest cell.
+    scale), and embedded as full-precision DOUBLE literals.
     """
     import os
 
@@ -681,17 +719,32 @@ def _ivf_oracle_sql() -> str | None:
     ).fetchall()
     X = np.array([r[0] for r in rows], dtype="float64")
     cents = kmeans_centroids_np(X, k=C.IVF_N_CLUSTERS, n_iter=5)
-    values = ",\n  ".join(
+    return ",\n  ".join(
         "({}, [{}])".format(j, ", ".join(repr(float(v)) for v in cents[j]))
         for j in range(len(cents))
     )
-    ndot = (
-        "round(list_sum(list_transform(range(len(e.embedding)), "
-        "i -> CAST(e.embedding[i+1] AS DOUBLE) * c.cv[i+1])) / "
-        "GREATEST(sqrt(list_sum(list_transform(range(len(e.embedding)), "
-        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)"
-        "))), 1e-12), 6)"
-    )
+
+
+# rounded normalized-dot to a centroid literal: replicates the Spark
+# queries' rounded-argmax cell assignment exactly (round(dot, 6), ties
+# to the lowest cell via the ORDER BY cell ASC tiebreak)
+_CENT_NDOT = (
+    "round(list_sum(list_transform(range(len(e.embedding)), "
+    "i -> CAST(e.embedding[i+1] AS DOUBLE) * c.cv[i+1])) / "
+    "GREATEST(sqrt(list_sum(list_transform(range(len(e.embedding)), "
+    "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)"
+    "))), 1e-12), 6)"
+)
+
+
+def _ivf_oracle_sql() -> str | None:
+    """IVF oracle with literal centroid vectors (see
+    :func:`_centroid_values_sql`). Cell assignment/probing replicates
+    the query's rounded-argmax exactly."""
+    values = _centroid_values_sql()
+    if values is None:
+        return None
+    ndot = _CENT_NDOT
     return f"""
 WITH cents AS (
   SELECT * FROM (VALUES
@@ -732,6 +785,70 @@ QUALIFY rank <= {C.ANN_K}
 _ivf_sql = _ivf_oracle_sql()
 if _ivf_sql is not None:
     ORACLES["embedding_ivf"] = _ivf_sql
+
+
+def _semantic_dedup_oracle_sql() -> str | None:
+    """Semantic-dedup oracle: the same centroid literals and rounded-
+    argmax assignment as the IVF oracle, within-cell cosine edges at
+    ``SEMDEDUP_THRESHOLD``, then the connected-components closure as a
+    recursive CTE (least reachable id = cluster id), singletons
+    self-clustered via the left join — the exact replay of
+    ``semantic_dedup_clusters``."""
+    values = _centroid_values_sql()
+    if values is None:
+        return None
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+ed AS (
+  SELECT e.vec_id, c.cell, {_CENT_NDOT} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+pr AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM assign x
+  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+  WHERE round({cos}, 6) >= {C.SEMDEDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr
+),
+reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst <> r.src
+),
+labels AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+clustered AS (
+  SELECT v.vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id
+  FROM embeddings v LEFT JOIN labels l USING (vec_id)
+)
+SELECT vec_id, cluster_id,
+  CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS is_canonical,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM clustered
+"""
+
+
+_semdedup_sql = _semantic_dedup_oracle_sql()
+if _semdedup_sql is not None:
+    ORACLES["semantic_dedup"] = _semdedup_sql
 
 
 _CELL = " + ".join(

@@ -64,6 +64,15 @@ IVF_N_PROBE = 3
 NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are near-random; max cos ~0.5
 NEARDUP_BITS = 4
 
+# --- crawl / domain rollup -------------------------------------------------
+PSL_2LD = (  # public-suffix subset: two-label suffixes under which the
+    "co.uk", "org.uk", "ac.uk", "gov.uk",  # registrable domain is eTLD+1
+    "com.au", "co.jp", "com.br", "co.in",  # = THREE labels, not two
+)
+DOMAIN_SITE_MOD = 20  # messy-URL fixture: sites per host shape
+SEMDEDUP_THRESHOLD = 0.3  # cosine edge gate for embedding-cluster dedup
+# (synthetic embeddings are near-random; 0.3 admits the planted near-dups)
+
 # --- skew stress fixture ---------------------------------------------------
 SKEW_REPLICATE = 96  # events replicated 96x -> 9.6M rows at sf0.1; the hot
 # key owns ~4.8M payload rows — enough that the single-task collect+sort+md5

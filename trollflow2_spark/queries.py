@@ -1156,6 +1156,89 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus rollup: canonical URL -> host ->
+    eTLD+1 (public-suffix-aware, so news.portal3.co.uk rolls up to
+    portal3.co.uk, not co.uk), then one hash agg per domain — doc count,
+    distinct hosts/URLs, text-length stats. The domain key is what
+    politeness budgets, per-site quality priors, and crawl sampling
+    weights hang off; the fixture covers all four host shapes (www/
+    bare/subdomain x .com/.org/.io/.co.uk). The whole chain is Column
+    algebra in the scan stage + one groupBy — the only shuffle carries
+    (domain, partial aggs)."""
+    from trollflow2_spark.sources.warc import (
+        canonicalize_url,
+        host_of_url,
+        registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    d = F.col("doc_id")
+    site = (d % C.DOMAIN_SITE_MOD).cast("string")
+    # subdomain variants make several hosts roll up to one domain —
+    # the merge the eTLD+1 key exists to perform
+    sub0 = F.when(d % 8 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    sub1 = F.when(d % 8 == 1, F.lit("news.")).otherwise(F.lit(""))
+    sub3 = F.when(d % 8 == 3, F.lit("cdn.")).otherwise(F.lit("img."))
+    host = (
+        F.when(d % 4 == 0, F.concat(sub0, F.lit("Site"), site, F.lit(".COM")))
+        .when(d % 4 == 1, F.concat(sub1, F.lit("Portal"), site, F.lit(".CO.UK")))
+        .when(d % 4 == 2, F.concat(F.lit("Blog"), site, F.lit(".ORG")))
+        .otherwise(F.concat(sub3, F.lit("App"), site, F.lit(".IO")))
+    )
+    messy = F.concat(
+        F.when(d % 2 == 1, F.lit("HTTPS://")).otherwise(F.lit("HTTP://")),
+        host,
+        F.when(d % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        F.lit("/a/"), d.cast("string"),
+        F.lit("?utm_campaign=x&id="), (d % 3).cast("string"),
+    )
+    curl = canonicalize_url(messy)
+    rolled = (
+        docs.select(
+            "text_len",
+            curl.alias("curl"),
+            host_of_url(curl).alias("host"),
+        )
+        .withColumn("domain", registrable_domain(F.col("host")))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("curl").alias("n_urls"),
+            F.sum("text_len").alias("sum_text_len"),
+        )
+    )
+    return rolled.select(
+        "domain",
+        "n_docs",
+        "n_hosts",
+        "n_urls",
+        "sum_text_len",
+        F.round(F.col("sum_text_len") / F.col("n_docs"), 6).alias(
+            "avg_text_len"
+        ),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup shape: k-means
+    cells -> within-cell cosine edges -> connected components ->
+    canonical min-id per cluster. The oracle replays the shared-numpy
+    centroid literals, the rounded-argmax assignment, and the closure
+    as a recursive CTE."""
+    from trollflow2_spark.extensions.similarity import semantic_dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_clusters(
+        emb,
+        threshold=C.SEMDEDUP_THRESHOLD,
+        n_clusters=C.IVF_N_CLUSTERS,
+    )
+
+
 def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans (the Lee-et-al. scrub shape):
     per doc, merged token ranges covered by word n-grams repeated
@@ -2493,6 +2576,8 @@ QUERIES = {
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "warc_ingest": q_warc_ingest,
     "url_canonicalize": q_url_canonicalize,
+    "domain_rollup": q_domain_rollup,
+    "semantic_dedup": q_semantic_dedup,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,

@@ -216,6 +216,47 @@ def canonicalize_url(col):
     return F.concat(scheme, F.lit("://"), host, path, qstr)
 
 
+def host_of_url(col):
+    """Host (authority minus userinfo/port) of a URL Column, lowercased.
+    Pure Column algebra — zero shuffle."""
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def registrable_domain(col):
+    """Registrable domain ("eTLD+1") of a host Column: the unit crawl
+    pipelines group on for per-site statistics, politeness budgets, and
+    domain-level quality priors (a crawl's quality signal is strongly
+    domain-correlated, so the rollup feeds sampling weights).
+
+    Uses the two-label heuristic plus the common second-level public
+    suffixes (``qconst.PSL_2LD`` — co.uk-style), under which the
+    registrable domain is three labels. A full public-suffix list is a
+    ~9k-row broadcast join in production; the compact suffix set keeps
+    this a pure Column expression — JVM-side in the scan stage, zero
+    shuffle, zero Python.
+    """
+    from trollflow2_spark import qconst as C
+
+    host = F.regexp_replace(F.lower(col), r":\d+$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    use3 = last2.isin(*C.PSL_2LD) & (n >= 3)
+    return (
+        F.when(n <= 1, host)
+        .when(
+            use3,
+            F.concat_ws(".", F.element_at(labels, -3), last2),
+        )
+        .otherwise(last2)
+    )
+
+
 def html_to_text(col):
     """Crude-but-standard HTML -> text Column: drop script/style blocks
     and comments, strip tags, decode the common entities, collapse
