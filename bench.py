@@ -111,6 +111,7 @@ OPERATORS = [
     "url_canonicalize",  # tracking-param/port/fragment URL normalization
     "domain_rollup",  # eTLD+1 per-site corpus rollup (one hash agg)
     "semantic_dedup",  # SemDeDup: k-means cells -> cosine edges -> clusters
+    "multimodal_decode_webp",  # from-scratch VP8L decode (real pixels)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1278,3 +1278,66 @@ def test_semantic_dedup_clusters_planted(spark):
     # the kept corpus is exactly the canonical set
     kept = sorted(k for k, r in out.items() if r["is_canonical"] == 1)
     assert kept == [0, 3, 4]
+
+
+def test_decode_media_real_webp_route_and_quarantine(spark):
+    """image/webp routes through the from-scratch VP8L decoder (RGB
+    stats of the gray ramp), corrupt webp blobs quarantine under
+    on_error='null', and lossy VP8 is a decode failure (quarantined
+    too, never silently mis-decoded)."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.webp import encode_webp_lossless
+
+    good = encode_webp_lossless(np.full((3, 4), 7, dtype=np.uint8))
+    lossy = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
+    )
+    rows = [
+        (1, bytearray(good), {"media_type": "image/webp", "width": 4,
+                              "height": 3, "n_bytes": len(good)}),
+        (2, bytearray(good[: len(good) // 2]),
+         {"media_type": "image/webp", "width": 4, "height": 3,
+          "n_bytes": len(good) // 2}),
+        (3, bytearray(lossy), {"media_type": "image/webp", "width": 4,
+                               "height": 3, "n_bytes": len(lossy)}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df, on_error="null").collect()}
+    assert got[1]["mean_byte"] == 7.0
+    assert got[1]["n_channels"] == 3 and got[1]["n_bytes"] == 3 * 4 * 3
+    assert got[1]["width"] == 4 and got[1]["height"] == 3
+    assert got[2]["n_bytes"] is None
+    assert got[3]["n_bytes"] is None
+
+
+def test_resize_media_real_webp_route(spark):
+    """image/webp resizes for real: VP8L decode -> nearest-neighbor
+    sample -> VP8L re-encode; the output blob decodes to the sampled
+    pixels exactly (lossless)."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.multimodal import resize_media
+    from trollflow2_spark.sinks.webp import decode_webp, encode_webp_lossless
+
+    src = (np.arange(6 * 8) % 256).astype(np.uint8).reshape(6, 8)
+    blob = encode_webp_lossless(src)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), {"media_type": "image/webp", "width": 8,
+                               "height": 6, "n_bytes": len(blob)})],
+        "doc_id long, media binary, media_meta struct<media_type:string,"
+        "width:int,height:int,n_bytes:bigint>",
+    )
+    row = resize_media(df, target=(4, 3)).collect()[0]
+    assert row["media_meta"]["width"] == 4
+    out = decode_webp(bytes(row["media"]))
+    ys = np.minimum((np.arange(3) * 6) // 3, 5)
+    xs = np.minimum((np.arange(4) * 8) // 4, 7)
+    want = np.stack([src[np.ix_(ys, xs)]] * 3, axis=-1)
+    assert out.shape == (3, 4, 3) and (out == want).all()

@@ -71,6 +71,12 @@ def decode_media(
       codec (:func:`trollflow2_spark.sinks.jpeg.decode_jpeg` —
       grayscale + YCbCr color, baseline sequential AND progressive
       (SOF2, spectral selection + successive approximation) streams);
+    - ``image/webp``: REAL decode through the repo's from-scratch
+      WebP-lossless codec (:func:`trollflow2_spark.sinks.webp.
+      decode_webp` — full VP8L: all four transforms, meta prefix
+      codes, color cache, LZ77 plane-coded distances; conformance
+      pinned against libwebp in tests); lossy VP8 raises with
+      guidance;
     - ``audio/wav``: REAL decode through the stdlib ``wave`` module —
       statistics over the decoded PCM samples; the dimension columns
       carry ``width=sample_rate``, ``height=frames per channel``,
@@ -128,16 +134,17 @@ def decode_media(
             is_png = np.array([t == "image/png" for t in mtypes])
             is_tif = np.array([t == "image/tiff" for t in mtypes])
             is_jpg = np.array([t == "image/jpeg" for t in mtypes])
+            is_webp = np.array([t == "image/webp" for t in mtypes])
             is_wav = np.array([t == "audio/wav" for t in mtypes])
             is_flac = np.array([t == "audio/flac" for t in mtypes])
-            is_img = is_png | is_tif | is_jpg
+            is_img = is_png | is_tif | is_jpg | is_webp
             is_audio = is_wav | is_flac
             if not fake and not (is_img | is_audio).all():
                 raise NotImplementedError(
                     "media decode beyond image/png, image/tiff, image/jpeg, "
-                    "audio/wav and audio/flac requires a codec library not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic byte-statistics decoder"
+                    "image/webp (lossless), audio/wav and audio/flac requires "
+                    "a codec library not present in this environment; pass "
+                    "fake=True for the deterministic byte-statistics decoder"
                 )
             lens = np.zeros(n, dtype=np.int64)
             means = np.zeros(n, dtype=np.float64)
@@ -158,6 +165,10 @@ def decode_media(
                         arr = decode_png(bytes(payload[i]))
                     elif is_jpg[i]:
                         arr = decode_jpeg(bytes(payload[i]))
+                    elif is_webp[i]:
+                        from trollflow2_spark.sinks.webp import decode_webp
+
+                        arr = decode_webp(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -278,7 +289,8 @@ def resize_media(
 ) -> DataFrame:
     """Resize kernel over mapInPandas.
 
-    ``image/png``, ``image/tiff`` and ``image/jpeg`` resize FOR REAL:
+    ``image/png``, ``image/tiff``, ``image/jpeg`` and ``image/webp``
+    (lossless) resize FOR REAL:
     decode with the repo's stdlib codecs, nearest-neighbor index-sample
     to the target size, re-encode (TIFF re-encodes page 0 only —
     overview pages are derived data and stale after a resize; JPEG
@@ -326,12 +338,14 @@ def resize_media(
             is_png = np.array([t == "image/png" for t in mtypes])
             is_tif = np.array([t == "image/tiff" for t in mtypes])
             is_jpg = np.array([t == "image/jpeg" for t in mtypes])
-            is_img = is_png | is_tif | is_jpg
+            is_webp = np.array([t == "image/webp" for t in mtypes])
+            is_img = is_png | is_tif | is_jpg | is_webp
             if not fake and not is_img.all():
                 raise NotImplementedError(
-                    "resize beyond image/png, image/tiff and image/jpeg "
-                    "requires an image library not present in this "
-                    "environment; pass fake=True for the metadata-only stub"
+                    "resize beyond image/png, image/tiff, image/jpeg and "
+                    "image/webp requires an image library not present in "
+                    "this environment; pass fake=True for the metadata-only "
+                    "stub"
                 )
             payload = pdf[media_col].to_numpy()
             blobs = [None] * len(pdf)
@@ -345,6 +359,10 @@ def resize_media(
                         arr = decode_png(bytes(payload[i]))
                     elif is_jpg[i]:
                         arr = decode_jpeg(bytes(payload[i]))
+                    elif is_webp[i]:
+                        from trollflow2_spark.sinks.webp import decode_webp
+
+                        arr = decode_webp(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -359,6 +377,12 @@ def resize_media(
                     blob = encode_png(out_arr)
                 elif is_jpg[i]:
                     blob = encode_jpeg(out_arr)  # gray or RGB
+                elif is_webp[i]:
+                    from trollflow2_spark.sinks.webp import (
+                        encode_webp_lossless,
+                    )
+
+                    blob = encode_webp_lossless(out_arr)
                 else:
                     blob = encode_geotiff(out_arr)
                 blobs[i] = blob

@@ -1318,6 +1318,31 @@ SELECT doc_id,
 FROM vals GROUP BY doc_id
 """
 
+# Real WebP-lossless decode: same ramp as the PNG route, but gray
+# encodes as RGB so every stat runs over 3 replicated channels (sum
+# and count triple; mean and max are unchanged).
+ORACLES["multimodal_decode_webp"] = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(doc_id % 5 + 2 AS BIGINT) AS w,
+    CAST(doc_id % 3 + 2 AS BIGINT) AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, w, h,
+    (doc_id + unnest(generate_series(0, w * h - 1))) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+  count(*) * 3 AS n_bytes,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(any_value(w) AS INTEGER) AS width,
+  CAST(any_value(h) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels
+FROM vals GROUP BY doc_id
+"""
+
 # Real TIFF decode: page-0 gray pixel ramp (doc_id*3 + k) % 256 over a
 # (doc_id%4+2) x (doc_id%6+2) deflate-compressed GeoTIFF.
 ORACLES["multimodal_decode_tiff"] = """

@@ -1794,6 +1794,88 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode: deterministic gray images (the same
+    pixel ramp as the PNG route, ``(doc_id + k) % 256``) are encoded
+    with the repo's from-scratch VP8L encoder executor-side, cycling
+    through the encoder's feature grid by doc_id — default
+    (subtract-green + LZ77), per-block predictor + color cache,
+    palette (color-indexing with sub-byte bundling), and cache without
+    subtract-green — then ``decode_media`` routes ``image/webp``
+    through the from-scratch VP8L decoder. Gray input encodes as RGB,
+    so the stats are the ramp's over 3 replicated channels."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("media_type", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def make_webp(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.webp import encode_webp_lossless
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 5 + 2, d % 3 + 2
+                px = ((d + np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
+                variant = d % 4
+                if variant == 0:
+                    blob = encode_webp_lossless(px)
+                elif variant == 1:
+                    blob = encode_webp_lossless(
+                        px, predictor_mode=d % 14, cache_bits=d % 6
+                    )
+                elif variant == 2:
+                    blob = encode_webp_lossless(px, use_palette=True)
+                else:
+                    blob = encode_webp_lossless(
+                        px, use_subtract_green=False, cache_bits=4
+                    )
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/webp",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_webp, media_schema)
+    out = decode_media(media)  # fake=False: the real image/webp route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF decode: deterministic gray deflate-compressed GeoTIFFs
     are encoded with the repo's stdlib encoder executor-side, then
@@ -2591,6 +2673,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_webp": q_multimodal_decode_webp,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
