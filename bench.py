@@ -112,6 +112,8 @@ OPERATORS = [
     "domain_rollup",  # eTLD+1 per-site corpus rollup (one hash agg)
     "semantic_dedup",  # SemDeDup: k-means cells -> cosine edges -> clusters
     "multimodal_decode_webp",  # from-scratch VP8L decode (real pixels)
+    "text_normalize",  # NFC + control/whitespace hygiene (Arrow UDF + regex)
+    "contamination_bloom",  # bloom-prefiltered held-set check, exact result
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1341,3 +1341,60 @@ def test_resize_media_real_webp_route(spark):
     xs = np.minimum((np.arange(4) * 8) // 4, 7)
     want = np.stack([src[np.ix_(ys, xs)]] * 3, axis=-1)
     assert out.shape == (3, 4, 3) and (out == want).all()
+
+
+def test_contamination_bloom_prunes_and_matches_exact(spark, sf_dir):
+    """The bloom prefilter must (a) return byte-identical results to the
+    broadcast-set tier — false positives die in the verify join — and
+    (b) actually prune: corpus shingles surviving the map-side bloom
+    test are a small fraction of the total (the whole point at 100 TB)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.contamination import (
+        bloom_might_contain,
+        build_hash_bloom,
+        contamination_scores,
+        contamination_scores_bloom,
+    )
+    from trollflow2_spark.functions.hashing import hash64, word_shingles
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    held = docs.filter(F.col("doc_id") % 7 == 3)
+
+    exact = {
+        r["doc_id"]: r
+        for r in contamination_scores(corpus, held, shingle_words=8).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in contamination_scores_bloom(
+            corpus, held, shingle_words=8
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert got[k]["n_shingles"] == exact[k]["n_shingles"]
+        assert got[k]["n_matched"] == exact[k]["n_matched"]
+        assert got[k]["contamination"] == exact[k]["contamination"]
+
+    held_hashes = (
+        held.select(F.explode(word_shingles(F.col("text"), 8)).alias("__s"))
+        .select(hash64(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    bloom = build_hash_bloom(held_hashes, "__h")
+    test = bloom_might_contain(spark, bloom)
+    corpus_hashes = corpus.select(
+        F.explode(word_shingles(F.col("text"), 8)).alias("__s")
+    ).select(hash64(F.col("__s")).alias("__h"))
+    total = corpus_hashes.count()
+    survived = corpus_hashes.filter(test(F.col("__h"))).count()
+    # held is ~1/7 of docs; with a 2^20-bit bloom the FP rate is tiny,
+    # so survivors track the true overlap, far below the full scan
+    assert survived < total * 0.5
+    # no false negatives ever: every held hash tests positive
+    n_held = held_hashes.count()
+    assert held_hashes.filter(test(F.col("__h"))).count() == n_held

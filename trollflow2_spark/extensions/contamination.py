@@ -23,6 +23,7 @@ Portable ``hash64`` keeps both oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from trollflow2_spark.functions.hashing import hash64, word_shingles
@@ -97,6 +98,157 @@ def contamination_scores(
     )
     matched = held.join(
         F.broadcast(corpus_matched.withColumn("__m", F.lit(1))), "__h", "left"
+    )
+    return (
+        matched.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__m").alias("n_matched"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_shingles"),
+                round_digits,
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered tier: when the held-out set is NOT small (a full
+# eval harness can carry 10^7-10^8 shingles), broadcasting its distinct
+# hash set as a join side costs GBs per executor. A Bloom bitmap is the
+# classic fix: fixed-size (m bits for any set size), built distributed,
+# broadcast once, tested map-side. False positives are harmless here —
+# the final left join against the true held set removes them — so the
+# result is EXACT; the bloom only bounds how much corpus data survives
+# the scan stage.
+
+_BLOOM_DEFAULT_BITS = 1 << 20
+
+
+def _bloom_probes_cols(h: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions for a 64-bit hash Column via double hashing:
+    pos_i = (h_hi + i * h_lo|1) mod m — pure Column algebra, replicated
+    bit-for-bit by the numpy test kernel."""
+    h1 = F.shiftrightunsigned(h, 32)
+    h2 = h.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def build_hash_bloom(
+    df: DataFrame,
+    hash_col: str = "__h",
+    m_bits: int = _BLOOM_DEFAULT_BITS,
+    k: int = 4,
+):
+    """Distributed Bloom build over a hash column: k probe positions per
+    hash (Column algebra), grouped into 64-bit words with ``bit_or`` —
+    the shuffle carries at most m/64 rows regardless of input size —
+    then assembled into a numpy uint64 bitmap on the driver.
+
+    Returns ``(bitmap, m_bits, k)``; pass to :func:`bloom_might_contain`.
+    """
+    import numpy as np
+
+    pos = df.select(
+        F.explode(
+            F.array(*_bloom_probes_cols(F.col(hash_col), m_bits, k))
+        ).alias("__pos")
+    )
+    words = (
+        pos.select(
+            (F.col("__pos") / 64).cast("long").alias("__w"),
+            # shiftleft's bit count must be a literal in the Python API;
+            # the SQL form takes a column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[int(r["__w"])] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap, m_bits, k
+
+
+def bloom_might_contain(spark, bloom) -> "function":
+    """Vectorized membership-test pandas UDF for a bloom built by
+    :func:`build_hash_bloom`. The bitmap rides a SparkContext broadcast
+    (shipped once per executor, not per task)."""
+    import numpy as np
+
+    bitmap, m_bits, k = bloom
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        bm = bc.value
+        hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = hv >> np.uint64(32)
+        h2 = (hv & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            word = bm[(pos >> np.uint64(6)).astype(np.int64)]
+            bit = np.uint64(1) << (pos & np.uint64(63))
+            ok &= (word & bit) != 0
+        return pd.Series(ok)
+
+    return might_contain
+
+
+def contamination_scores_bloom(
+    corpus: DataFrame,
+    held_out: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 8,
+    hash_fn=hash64,
+    m_bits: int = _BLOOM_DEFAULT_BITS,
+    k: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Same result as :func:`contamination_scores`, different 100 TB
+    plan: the corpus's exploded shingle hashes are prefiltered map-side
+    by a fixed-size Bloom bitmap of the held-out set (instead of a
+    broadcast hash-set join), and the final left join against the true
+    held hashes removes bloom false positives — so the output is
+    byte-identical to the exact tier (shared oracle) while the
+    executor-resident held-set footprint drops from O(set) to m bits.
+    """
+    def shingle_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        sh = df.select(
+            *cols,
+            F.explode(word_shingles(F.col(text_col), shingle_words)).alias(
+                "__sh"
+            ),
+        )
+        return sh.select(*cols, hash_fn(F.col("__sh")).alias("__h")).distinct()
+
+    spark = corpus.sparkSession
+    held = shingle_hashes(held_out, keep_id=True)
+    bloom = build_hash_bloom(
+        held.select("__h").distinct(), "__h", m_bits=m_bits, k=k
+    )
+    test = bloom_might_contain(spark, bloom)
+    corpus_matched = (
+        corpus.select(
+            F.explode(word_shingles(F.col(text_col), shingle_words)).alias(
+                "__sh"
+            )
+        )
+        .select(hash_fn(F.col("__sh")).alias("__h"))
+        .filter(test(F.col("__h")))
+        .distinct()
+    )
+    matched = held.join(
+        corpus_matched.withColumn("__m", F.lit(1)), "__h", "left"
     )
     return (
         matched.groupBy(id_col)

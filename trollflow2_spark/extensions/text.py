@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from trollflow2_spark.functions.hashing import hash64, tokens, word_shingles
@@ -492,3 +493,39 @@ def repetition_features(
         )
     )
     return base.join(top, id_col)
+
+
+def normalize_text(col: Column) -> Column:
+    """Unicode-normalize a text Column for corpus hygiene: NFC
+    composition (decomposed "e + combining accent" sequences become the
+    precomposed codepoint, so dedup/fingerprint keys stop splitting on
+    byte-identical-looking text), C0/C1 control characters stripped,
+    non-breaking-space variants mapped to plain space, whitespace runs
+    collapsed, ends trimmed.
+
+    The NFC step is the one thing Spark SQL cannot express — it runs as
+    an Arrow-batched pandas UDF (``unicodedata.normalize`` over the
+    batch); everything after it is JVM-side Column regex, so the Python
+    surface is exactly one string pass. At 100 TB this is a map-only
+    stage: no shuffle, text column in flight only.
+
+    The DuckDB oracle replays it with ``nfc_normalize`` + the same
+    regex chain (ASCII ``\\s`` on both engines; NBSP handled
+    explicitly so dialect character-class differences cannot bite).
+    """
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    out = _nfc(col)
+    out = F.regexp_replace(out, "[\u00a0\u2007\u202f]", " ")
+    out = F.regexp_replace(
+        out, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+    )
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

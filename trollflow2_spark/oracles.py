@@ -522,6 +522,30 @@ SELECT doc_id,
 FROM documents
 """
 
+# unicode normalization: DuckDB's nfc_normalize is the independent NFC
+# implementation; the regex chain mirrors the Spark Column cleanup
+# (explicit NBSP class + ASCII \s so dialect differences cannot bite)
+ORACLES["text_normalize"] = r"""
+WITH m AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END)
+    || (CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END)
+    || chr(160) || chr(9) || ' ' || text AS messy
+  FROM documents
+), n AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(nfc_normalize(messy),
+                       '[\x{00a0}\x{2007}\x{202f}]', ' ', 'g'),
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      '\s+', ' ', 'g')) AS norm_text
+  FROM m
+)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS n_chars
+FROM n
+"""
+
 # per-registrable-domain rollup: the oracle states host / eTLD+1 /
 # canonical URL closed-form for the four fixture shapes (the Spark side
 # derives them through the real canonicalize/host/PSL Column machinery,
@@ -1238,6 +1262,10 @@ SELECT held.doc_id,
 FROM held LEFT JOIN corp ON held.h = corp.h
 GROUP BY held.doc_id
 """
+
+# bloom-prefiltered tier: same semantics, different plan - the
+# bloom only bounds scan-stage survivors; FPs die in the verify join
+ORACLES["contamination_bloom"] = ORACLES["contamination_check"]
 
 ORACLES["contamination_exact"] = f"""
 WITH corp AS (

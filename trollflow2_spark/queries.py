@@ -1156,6 +1156,31 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode corpus hygiene: deterministic messy fixtures (decomposed
+    vs precomposed accents, C0 control bytes, NBSP variants, tab runs)
+    prepended to each document, then the real ``normalize_text`` chain
+    (NFC pandas UDF + JVM regex cleanup). The oracle replays NFC with
+    DuckDB's ``nfc_normalize`` and the identical regex chain — an
+    independent NFC implementation checking ours."""
+    from trollflow2_spark.extensions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 2 == 0, F.lit("e\u0301")).otherwise(F.lit("\u00e9")),
+        F.when(d % 3 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        F.lit("\u00a0\t "),
+        F.col("text"),
+    )
+    norm = normalize_text(messy)
+    return docs.select(
+        d.alias("doc_id"),
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars"),
+    )
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain corpus rollup: canonical URL -> host ->
     eTLD+1 (public-suffix-aware, so news.portal3.co.uk rolls up to
@@ -2574,6 +2599,23 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered contamination: identical output to
+    ``contamination_check`` (shared oracle) via a different 100 TB
+    plan — the held-out set becomes a fixed-size Bloom bitmap tested
+    map-side over the corpus scan (O(m bits) per executor instead of a
+    broadcast hash set), and the verify join removes false positives,
+    keeping the result exact."""
+    from trollflow2_spark.extensions.contamination import (
+        contamination_scores_bloom,
+    )
+
+    corpus, held = _contam_parts(spark, sf_dir)
+    return contamination_scores_bloom(
+        corpus, held, shingle_words=C.CONTAM_SHINGLE_WORDS
+    )
+
+
 def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim leakage: held-out docs whose normalized text appears
     exactly in the corpus (digest equi-join; raw text never shuffles).
@@ -2660,6 +2702,8 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "domain_rollup": q_domain_rollup,
     "semantic_dedup": q_semantic_dedup,
+    "text_normalize": q_text_normalize,
+    "contamination_bloom": q_contamination_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
