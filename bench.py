@@ -114,6 +114,7 @@ OPERATORS = [
     "multimodal_decode_webp",  # from-scratch VP8L decode (real pixels)
     "text_normalize",  # NFC + control/whitespace hygiene (Arrow UDF + regex)
     "contamination_bloom",  # bloom-prefiltered held-set check, exact result
+    "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1398,3 +1398,46 @@ def test_contamination_bloom_prunes_and_matches_exact(spark, sf_dir):
     # no false negatives ever: every held hash tests positive
     n_held = held_hashes.count()
     assert held_hashes.filter(test(F.col("__h"))).count() == n_held
+
+
+def test_bpe_train_and_greedy_encode_semantics():
+    """Known tiny corpus: merge learning picks the most frequent pair
+    (ties lexicographic), greedy encode takes the longest vocab prefix,
+    unknown characters emit <unk> and advance one char."""
+    from trollflow2_spark.extensions.tokenizer import (
+        greedy_encode_word,
+        train_bpe_vocab,
+    )
+
+    vocab = train_bpe_vocab(["abab", "abab", "abc"], n_merges=2)
+    # pair counts round 1: (a,b)x5, (b,a)x2, (b,c)x1 -> merge "ab";
+    # round 2: (ab,ab)x2, (ab,c)x1 -> merge "abab"
+    assert "ab" in vocab and "abab" in vocab
+    vs = set(vocab)
+    ml = max(len(v) for v in vs)
+    assert greedy_encode_word("abab", vs, ml) == ["abab"]
+    assert greedy_encode_word("ababc", vs, ml) == ["abab", "c"]
+    # 'z' never seen -> unk, then the known suffix still matches
+    assert greedy_encode_word("zab", vs, ml) == ["<unk>", "ab"]
+    # determinism: retraining yields the identical vocabulary
+    assert train_bpe_vocab(["abab", "abab", "abc"], n_merges=2) == vocab
+
+
+def test_tokenize_greedy_is_map_only(spark, sf_dir):
+    """Encoding is a scan-stage map: the plan has no Exchange — at
+    100 TB the token stream is produced without shuffling anything."""
+    import os
+
+    from trollflow2_spark.extensions.tokenizer import (
+        sample_vocab,
+        tokenize_greedy,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vocab = sample_vocab(docs, sample_n=32, n_merges=20)
+    out = tokenize_greedy(docs, vocab)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.limit(5).collect()
+    assert all(r["n_tokens"] >= 1 for r in rows)
+    assert all(r["n_unk"] <= r["n_tokens"] for r in rows)

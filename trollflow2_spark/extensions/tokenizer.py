@@ -1,0 +1,181 @@
+"""Subword tokenization for training-data pipelines: a BPE-trained
+vocabulary with greedy longest-match encoding.
+
+Two pieces, mirroring the IVF design (train small, apply wide):
+
+- :func:`train_bpe_vocab` — classic byte-pair-merge learning (Sennrich
+  et al. 2016) on a fixed, config-sized document sample, driver-side
+  pure Python. Deterministic: fixed sample (lowest ids), most-frequent
+  pair per round with lexicographic tie-break. Returns the vocabulary
+  (all single characters seen + every merged token), NOT the merge
+  order — encoding is greedy longest-match (the WordPiece convention),
+  which a SQL oracle can replay exactly where merge-order application
+  cannot reasonably be.
+- :func:`tokenize_greedy` — Arrow-batched pandas UDF applying the
+  broadcast vocabulary: per word, repeatedly take the longest vocab
+  token prefixing the remainder; a character outside the vocabulary
+  emits ``<unk>`` and advances one char.
+
+100 TB shape: training touches ``sample_n`` rows once (no corpus
+shuffle); the learned vocab is a tiny broadcast; encoding is a map-only
+stage over the scan — no shuffle anywhere. The DuckDB oracle embeds the
+identical vocabulary (shared training routine, literal VALUES) and
+replays the greedy match as a recursive CTE, so the token stream is
+value-checked end to end.
+
+The reference has no tokenizer (it processes satellite rasters); this
+belongs to the LLM-pipeline extension family, next to token_count's
+BPE-ish regex estimator (`extensions/text.py`) which it upgrades from
+"count shaped like tokens" to "the actual token stream".
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from trollflow2_spark import qconst as C
+
+
+def normalize_for_bpe(text: str) -> list[str]:
+    """Shared normalization (python side): lowercase, non-alphanumerics
+    to space, split, truncate words. The Spark Column and DuckDB SQL
+    forms replicate this exactly."""
+    t = re.sub(r"[^a-z0-9 ]", " ", text.lower().replace("\t", " "))
+    t = re.sub(r"\s+", " ", t)
+    return [w[: C.BPE_WORD_MAX] for w in t.split(" ") if w]
+
+
+def train_bpe_vocab(words, n_merges: int = C.BPE_MERGES) -> list[str]:
+    """Learn a BPE vocabulary from an iterable of (already normalized)
+    words. Returns the sorted vocabulary: every single character seen
+    plus one token per merge. Pure Python and fully deterministic, so
+    the oracle generator imports THIS function and embeds identical
+    literals."""
+    wfreq = Counter(words)
+    seqs = {w: list(w) for w in wfreq}
+    vocab = {ch for w in wfreq for ch in w}
+    for _ in range(int(n_merges)):
+        pairs: Counter = Counter()
+        for w, f in wfreq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        # deterministic: highest count, ties to the lexicographically
+        # smallest pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = best[0] + best[1]
+        vocab.add(merged)
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if (
+                    i + 1 < len(s)
+                    and s[i] == best[0]
+                    and s[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return sorted(vocab)
+
+
+def sample_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_n: int = C.BPE_SAMPLE_N,
+    n_merges: int = C.BPE_MERGES,
+) -> list[str]:
+    """Train on the ``sample_n`` lowest-id documents (deterministic
+    across engines and partitionings, same convention as the k-means
+    centroids)."""
+    rows = (
+        df.select(id_col, text_col).orderBy(id_col).limit(int(sample_n))
+        .collect()
+    )
+    words: list[str] = []
+    for r in rows:
+        words.extend(normalize_for_bpe(r[text_col] or ""))
+    return train_bpe_vocab(words, n_merges=n_merges)
+
+
+def greedy_encode_word(word: str, vocab: set, max_len: int) -> list[str]:
+    """Greedy longest-match; the oracle's recursive CTE replays this
+    loop exactly (longest vocab prefix, else <unk> + advance 1)."""
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        tok = None
+        for ln in range(min(max_len, n - i), 0, -1):
+            cand = word[i:i + ln]
+            if cand in vocab:
+                tok = cand
+                break
+        if tok is None:
+            out.append(C.BPE_UNK)
+            i += 1
+        else:
+            out.append(tok)
+            i += len(tok)
+    return out
+
+
+def tokenize_greedy(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy longest-match subword encoding against a trained vocab.
+
+    Output: (id, tokens_str, n_tokens, n_unk) — ``tokens_str`` is the
+    full token stream space-joined (value-checkable), the counts are
+    derived Column-side from it so both engines share one derivation.
+
+    The vocab set rides a SparkContext broadcast; encoding is one
+    Arrow-batched UDF pass (map-only, zero shuffle).
+    """
+    spark = df.sparkSession
+    vset = set(vocab)
+    max_len = max((len(v) for v in vset), default=1)
+    bc = spark.sparkContext.broadcast((vset, max_len))
+
+    @F.pandas_udf("string")
+    def encode(texts: pd.Series) -> pd.Series:
+        vs, ml = bc.value
+
+        def enc(t):
+            if t is None:
+                return ""
+            toks: list[str] = []
+            for w in normalize_for_bpe(t):
+                toks.extend(greedy_encode_word(w, vs, ml))
+            return " ".join(toks)
+
+        return texts.map(enc)
+
+    out = df.select(
+        F.col(id_col), encode(F.col(text_col)).alias("tokens_str")
+    )
+    unk = C.BPE_UNK
+    n_unk = (
+        (F.length("tokens_str")
+         - F.length(F.replace(F.col("tokens_str"), F.lit(unk), F.lit(""))))
+        / len(unk)
+    ).cast("int")
+    return out.select(
+        id_col,
+        "tokens_str",
+        F.size(F.split("tokens_str", " ")).alias("n_tokens"),
+        n_unk.alias("n_unk"),
+    )

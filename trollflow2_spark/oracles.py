@@ -811,6 +811,99 @@ if _ivf_sql is not None:
     ORACLES["embedding_ivf"] = _ivf_sql
 
 
+def _bpe_oracle_sql() -> str | None:
+    """Subword-tokenizer oracle: the vocabulary literals come from the
+    SAME training routine the Spark query uses (lowest-id sample, BPE
+    merges, lexicographic tie-break), and the greedy longest-match
+    encode is replayed as a per-character recursive CTE — each step
+    strips the longest vocab prefix (scalar correlated subquery over
+    the vocab VALUES, longest-then-lexicographic order) or emits the
+    <unk> token and advances one character."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from trollflow2_spark.extensions.tokenizer import (
+        normalize_for_bpe,
+        train_bpe_vocab,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{path}' ORDER BY doc_id LIMIT {C.BPE_SAMPLE_N}"
+    ).fetchall()
+    words: list = []
+    for (t,) in rows:
+        words.extend(normalize_for_bpe(t or ""))
+    vocab = train_bpe_vocab(words, n_merges=C.BPE_MERGES)
+    values = ",".join("('{}')".format(v.replace("'", "''")) for v in vocab)
+    unk = C.BPE_UNK
+    return f"""
+WITH RECURSIVE vocab(tok) AS (
+  SELECT * FROM (VALUES {values}) v(t)
+),
+norm AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g') AS t
+  FROM documents WHERE doc_id % {C.BPE_DOC_MOD} = 0
+),
+words AS (
+  SELECT doc_id, (u).pos AS wpos,
+    substring((u).w, 1, {C.BPE_WORD_MAX}) AS word
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(len(ws)),
+        i -> struct_pack(pos := i, w := ws[i+1]))) AS u
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split(t, ' '), x -> x <> '') AS ws
+      FROM norm
+    )
+  )
+),
+step (doc_id, wpos, rest, toks) AS (
+  SELECT doc_id, wpos, word, '' FROM words
+  UNION ALL
+  SELECT doc_id, wpos,
+    CASE WHEN best IS NULL THEN substring(rest, 2)
+         ELSE substring(rest, length(best) + 1) END,
+    toks || CASE WHEN toks = '' THEN '' ELSE ' ' END
+         || coalesce(best, '{unk}')
+  FROM (
+    SELECT s.doc_id, s.wpos, s.rest, s.toks,
+      (SELECT v.tok FROM vocab v
+       WHERE starts_with(s.rest, v.tok)
+       ORDER BY length(v.tok) DESC, v.tok LIMIT 1) AS best
+    FROM step s WHERE s.rest <> ''
+  )
+),
+done AS (
+  SELECT doc_id, wpos, toks FROM step WHERE rest = ''
+),
+agg AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY wpos) AS tokens_str
+  FROM done GROUP BY doc_id
+)
+SELECT doc_id, tokens_str,
+  CAST(len(string_split(tokens_str, ' ')) AS INTEGER) AS n_tokens,
+  CAST((length(tokens_str) -
+        length(replace(tokens_str, '{unk}', ''))) / {len(unk)}
+       AS INTEGER) AS n_unk
+FROM agg
+"""
+
+
+_bpe_sql = _bpe_oracle_sql()
+if _bpe_sql is not None:
+    ORACLES["bpe_tokenize"] = _bpe_sql
+
+
 def _semantic_dedup_oracle_sql() -> str | None:
     """Semantic-dedup oracle: the same centroid literals and rounded-
     argmax assignment as the IVF oracle, within-cell cosine edges at

@@ -73,6 +73,14 @@ DOMAIN_SITE_MOD = 20  # messy-URL fixture: sites per host shape
 SEMDEDUP_THRESHOLD = 0.3  # cosine edge gate for embedding-cluster dedup
 # (synthetic embeddings are near-random; 0.3 admits the planted near-dups)
 
+# --- subword tokenizer -----------------------------------------------------
+BPE_SAMPLE_N = 256  # lowest-id docs used to train the merge vocabulary
+BPE_MERGES = 120  # merge operations learned (vocab = chars + merges)
+BPE_WORD_MAX = 20  # words truncated before encoding (bounds recursion)
+BPE_DOC_MOD = 5  # contract query encodes doc_id % MOD == 0 (oracle is a
+# per-character recursive CTE; the subset keeps the replay fast)
+BPE_UNK = "<unk>"  # cannot collide: normalized text is [a-z0-9 ] only
+
 # --- skew stress fixture ---------------------------------------------------
 SKEW_REPLICATE = 96  # events replicated 96x -> 9.6M rows at sf0.1; the hot
 # key owns ~4.8M payload rows — enough that the single-task collect+sort+md5

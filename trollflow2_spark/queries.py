@@ -1156,6 +1156,25 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword tokenization: a BPE vocabulary trained on the
+    lowest-id document sample (deterministic, driver-side — the k-means
+    convention), then greedy longest-match encoding as one Arrow UDF
+    pass over a doc subset. The oracle embeds the identical vocab
+    (shared training routine) and replays the greedy match as a
+    per-character recursive CTE — the full token stream is
+    value-checked, not just counts."""
+    from trollflow2_spark.extensions.tokenizer import (
+        sample_vocab,
+        tokenize_greedy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = sample_vocab(docs)
+    subset = docs.filter(F.col("doc_id") % C.BPE_DOC_MOD == 0)
+    return tokenize_greedy(subset, vocab)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode corpus hygiene: deterministic messy fixtures (decomposed
     vs precomposed accents, C0 control bytes, NBSP variants, tab runs)
@@ -2704,6 +2723,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "text_normalize": q_text_normalize,
     "contamination_bloom": q_contamination_bloom,
+    "bpe_tokenize": q_bpe_tokenize,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
