@@ -115,6 +115,7 @@ OPERATORS = [
     "text_normalize",  # NFC + control/whitespace hygiene (Arrow UDF + regex)
     "contamination_bloom",  # bloom-prefiltered held-set check, exact result
     "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)
+    "url_dedup_latest",  # keep-newest-capture per canonical URL (one window)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

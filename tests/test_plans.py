@@ -9,6 +9,7 @@ no accidental cartesian products, map-side partial aggregation.
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from trollflow2_spark.queries import QUERIES
 
@@ -242,3 +243,79 @@ def test_quality_filter_single_pass(spark, sf):
     plan = plan_of(spark, "quality_filter", sf)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf, tmp_path):
+    """Hive-style partitioned layout: writing events partitioned by
+    event_type and reading with a partition predicate must prune at
+    PLANNING time (PartitionFilters on the scan, only the matching
+    directory read) — at 100 TB partition pruning is the difference
+    between scanning one day and scanning the lake."""
+    import os
+
+    out = str(tmp_path / "events_parted")
+    events = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    events.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    got = spark.read.parquet(out).filter("event_type = 'click'")
+    qe = got._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
+    n_click = events.filter("event_type = 'click'").count()
+    assert got.count() == n_click
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, sf, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key joined to a FILTERED dim must plan a dynamicpruning subquery on
+    the fact scan — the dim filter prunes fact partitions at runtime,
+    the star-schema pattern every 100 TB warehouse lives on."""
+    import os
+
+    out = str(tmp_path / "orders_parted")
+    orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    orders.withColumn(
+        "prio", F.col("o_orderpriority")
+    ).write.partitionBy("prio").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    # the dim filter must be on a NON-join column: a literal filter on
+    # the join key itself would transfer to the fact statically
+    # (constraint propagation) and no DYNAMIC pruning would be needed
+    raw = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    dim = (
+        raw.select(
+            F.col("o_orderpriority").alias("prio"),
+            F.substring("o_orderpriority", 1, 1).alias("lead"),
+        )
+        .distinct()
+        .filter(F.col("lead").isin("1", "2"))
+    )
+    prev = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
+        joined = fact.join(dim.select("prio"), "prio").groupBy("prio").count()
+        qe = joined._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = qe.explainString(mode)
+        assert "dynamicpruning" in plan.lower()
+        rows = {r["prio"]: r["count"] for r in joined.collect()}
+        want = {
+            r["o_orderpriority"]: r["count"]
+            for r in raw.filter(
+                "o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'"
+            ).groupBy("o_orderpriority").count().collect()
+        }
+        assert rows == want
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )

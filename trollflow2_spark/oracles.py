@@ -522,6 +522,26 @@ SELECT doc_id,
 FROM documents
 """
 
+# crawl-level URL dedup: newest capture per canonical URL (ties to the
+# lowest doc_id); the canonical form is stated closed-form, the window
+# replayed identically
+ORACLES["url_dedup_latest"] = """
+WITH b AS (
+  SELECT doc_id,
+    'http://site' || (doc_id % 125) || '.com/p/' || (doc_id % 250)
+      || '?v=' || (doc_id % 2) AS canonical_url,
+    CAST(doc_id * 37 % 1000 AS BIGINT) AS fetch_ts
+  FROM documents
+)
+SELECT canonical_url, doc_id, fetch_ts, n_captures FROM (
+  SELECT canonical_url, doc_id, fetch_ts,
+    row_number() OVER (PARTITION BY canonical_url
+                       ORDER BY fetch_ts DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY canonical_url) AS n_captures
+  FROM b
+) WHERE rn = 1
+"""
+
 # unicode normalization: DuckDB's nfc_normalize is the independent NFC
 # implementation; the regex chain mirrors the Spark Column cleanup
 # (explicit NBSP class + ASCII \s so dialect differences cannot bite)

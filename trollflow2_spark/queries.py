@@ -1283,6 +1283,47 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup: keep the NEWEST capture of each canonical
+    URL (recrawls reach the same page repeatedly; the freshest capture
+    wins, ties to the lowest doc_id for determinism). One window over
+    (canonical_url) ordered by (fetch_ts DESC, doc_id ASC) — the
+    standard keep-latest shape; at 100 TB the shuffle key is the
+    canonical URL, whose cardinality tracks unique pages, so the
+    window partitions stay tiny (captures per page)."""
+    from trollflow2_spark.sources.warc import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    # every 4 doc_ids alias to one page via d % (n/4)-style folding;
+    # fetch order deliberately disagrees with doc order for some rows
+    messy = F.concat(
+        F.lit("HTTP://Site"), ((d % 125)).cast("string"),
+        F.lit(".COM:80/p/"), ((d % 250)).cast("string"),
+        F.lit("?utm_source=x&v="), (d % 2).cast("string"),
+    )
+    fetch_ts = (d * 37 % 1000).cast("long")
+    base = docs.select(
+        d.alias("doc_id"),
+        canonicalize_url(messy).alias("canonical_url"),
+        fetch_ts.alias("fetch_ts"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("fetch_ts").desc(), F.col("doc_id").asc()
+    )
+    # n_captures counts BEFORE the keep-latest filter; both windows
+    # share one partitioning, so this is a single shuffle
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_captures",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_url")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("canonical_url", "doc_id", "fetch_ts", "n_captures")
+    )
+
+
 def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans (the Lee-et-al. scrub shape):
     per doc, merged token ranges covered by word n-grams repeated
@@ -2724,6 +2765,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
+    "url_dedup_latest": q_url_dedup_latest,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
