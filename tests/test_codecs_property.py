@@ -350,7 +350,7 @@ def test_flac_decodes_stereo_decorrelation_modes():
 
 @settings(max_examples=40, deadline=None)
 @given(seed=st.integers(0, 2**31 - 1), size=st.integers(0, 400),
-       codec=st.sampled_from(["jpeg", "flac", "warc"]))
+       codec=st.sampled_from(["jpeg", "flac", "warc", "webp"]))
 def test_decoders_reject_garbage_without_hanging(seed, size, codec):
     """Random bytes behind a valid magic prefix must raise cleanly
     (ValueError/struct errors), never hang or segfault — these decoders
@@ -369,6 +369,12 @@ def test_decoders_reject_garbage_without_hanging(seed, size, codec):
 
         blob = b"fLaC" + junk
         decode = decode_flac
+    elif codec == "webp":
+        from trollflow2_spark.sinks.webp import decode_webp
+
+        blob = (b"RIFF" + (len(junk) + 10).to_bytes(4, "little") + b"WEBP"
+                + b"VP8L" + len(junk).to_bytes(4, "little") + b"\x2f" + junk)
+        decode = decode_webp
     else:
         from trollflow2_spark.sources.warc import parse_warc_bytes
 
@@ -412,3 +418,24 @@ def test_flac_rejects_corrupt_crc():
     blob[-5] ^= 0x10  # inside the last frame's payload
     with _pytest.raises(ValueError):
         flac.decode_flac(bytes(blob))
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), h=st.integers(1, 12),
+       w=st.integers(1, 12), nflip=st.integers(1, 6))
+def test_webp_bitflip_terminates(seed, h, w, nflip):
+    """Byte corruption inside a valid VP8L stream must terminate —
+    raise, or decode to wrong pixels with in-range dimensions — never
+    hang (the executor-quarantine property)."""
+    from trollflow2_spark.sinks.webp import decode_webp, encode_webp_lossless
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3), np.uint8)
+    blob = bytearray(encode_webp_lossless(arr, cache_bits=seed % 6))
+    for _ in range(nflip):
+        blob[rng.randint(20, len(blob))] ^= 1 << rng.randint(0, 8)
+    try:
+        out = decode_webp(bytes(blob))
+        assert out.shape[0] <= 1 << 14 and out.shape[1] <= 1 << 14
+    except Exception:
+        pass  # raising is fine; hanging is the failure

@@ -139,3 +139,35 @@ def test_pack_sequences_cumsum_invariants(spark, sizes, budget, n_shards):
             assert r["bin"] == (cum - toks[r["doc_id"]]) // budget
             assert r["bin"] >= prev_bin >= 0
             prev_bin = r["bin"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef012", min_size=1, max_size=12), min_size=1,
+        max_size=30,
+    ),
+    n_merges=st.integers(0, 30),
+)
+def test_bpe_greedy_encode_is_lossless_over_vocab_chars(words, n_merges):
+    """For any trained vocab, greedy encoding of a word whose characters
+    all appear in training concatenates back to the word exactly (no
+    <unk>, no loss); characters never seen emit <unk> and consume
+    exactly one position."""
+    from trollflow2_spark import qconst as C
+    from trollflow2_spark.extensions.tokenizer import (
+        greedy_encode_word,
+        train_bpe_vocab,
+    )
+
+    vocab = set(train_bpe_vocab(words, n_merges=n_merges))
+    ml = max(len(v) for v in vocab)
+    for w in words:
+        toks = greedy_encode_word(w, vocab, ml)
+        assert "".join(toks) == w
+        assert C.BPE_UNK not in toks
+    # unseen characters: 'z' is outside the training alphabet
+    toks = greedy_encode_word("z" + words[0], vocab, ml)
+    assert toks[0] == C.BPE_UNK and "".join(toks[1:]) == words[0]
+    # determinism across retraining
+    assert set(train_bpe_vocab(words, n_merges=n_merges)) == vocab
