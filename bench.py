@@ -116,6 +116,7 @@ OPERATORS = [
     "contamination_bloom",  # bloom-prefiltered held-set check, exact result
     "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)
     "url_dedup_latest",  # keep-newest-capture per canonical URL (one window)
+    "nb_lang_classifier",  # multinomial NB train->score, all-broadcast model
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

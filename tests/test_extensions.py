@@ -1441,3 +1441,30 @@ def test_tokenize_greedy_is_map_only(spark, sf_dir):
     rows = out.limit(5).collect()
     assert all(r["n_tokens"] >= 1 for r in rows)
     assert all(r["n_unk"] <= r["n_tokens"] for r in rows)
+
+
+def test_nb_classifier_trains_and_scores_distributed(spark, sf_dir):
+    """NB train->score: the model joins are all broadcast (no
+    sort-merge of the token stream against the model), every scored doc
+    gets exactly one prediction, scores are finite, and accuracy beats
+    uniform-random guessing over the 5 language classes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.classify import nb_train_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    score = docs.filter(F.col("doc_id") % 3 == 0)
+    out = nb_train_score(train, score)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rows = out.collect()
+    n_score = score.filter(F.length(F.trim("text")) > 0).count()
+    assert len(rows) == n_score  # one prediction per scored doc
+    assert all(r["score"] < 0 for r in rows)  # log-likelihoods
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert all(r["pred_lang"] in langs for r in rows)
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    assert acc > 1.0 / len(langs)  # better than uniform chance

@@ -1100,6 +1100,56 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id
 """
 
+# multinomial NB language classifier: train AND score replayed — the
+# per-token likelihood is the identical double expression, per-class
+# sums rounded to 6 before the argmax, ties to the class name
+ORACLES["nb_lang_classifier"] = f"""
+WITH tok_t AS (
+  SELECT lang, lower(unnest({_TOKS})) AS token FROM documents
+  WHERE doc_id % {C.NB_SPLIT_MOD} <> 0
+), ctc AS (
+  SELECT lang, token, count(*) AS c FROM tok_t GROUP BY lang, token
+), totals AS (
+  SELECT lang, CAST(sum(c) AS DOUBLE) AS total_c FROM ctc GROUP BY lang
+), nd AS (
+  SELECT lang, count(*) AS ndc FROM documents
+  WHERE doc_id % {C.NB_SPLIT_MOD} <> 0 GROUP BY lang
+), n_all AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+  WHERE doc_id % {C.NB_SPLIT_MOD} <> 0
+), vstat AS (
+  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM tok_t
+), classes AS (
+  SELECT nd.lang, ln(nd.ndc / n_all.n) AS prior, totals.total_c
+  FROM nd CROSS JOIN n_all JOIN totals ON totals.lang = nd.lang
+), tok_s AS (
+  SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents
+  WHERE doc_id % {C.NB_SPLIT_MOD} = 0
+), scored AS (
+  SELECT t.doc_id, cl.lang, cl.prior,
+    ln((coalesce(m.c, 0) + {C.NB_ALPHA})
+       / (cl.total_c + {C.NB_ALPHA} * (vstat.v + 1))) AS logp
+  FROM tok_s t
+  CROSS JOIN classes cl
+  LEFT JOIN ctc m ON m.token = t.token AND m.lang = cl.lang
+  CROSS JOIN vstat
+), per AS (
+  SELECT doc_id, lang,
+    round(any_value(prior) + sum(logp), 6) AS score,
+    count(*) AS n_tokens
+  FROM scored GROUP BY doc_id, lang
+), win AS (
+  SELECT doc_id, lang AS pred_lang, score, n_tokens,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, lang ASC) AS rn
+  FROM per
+)
+SELECT w.doc_id, d.lang, w.pred_lang, w.score, w.n_tokens,
+  CASE WHEN w.pred_lang = d.lang THEN 1 ELSE 0 END AS correct
+FROM win w JOIN documents d USING (doc_id)
+WHERE w.rn = 1
+"""
+
 ORACLES["vocab_topk"] = f"""
 WITH tok AS (
   SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents

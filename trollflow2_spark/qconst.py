@@ -73,6 +73,10 @@ DOMAIN_SITE_MOD = 20  # messy-URL fixture: sites per host shape
 SEMDEDUP_THRESHOLD = 0.3  # cosine edge gate for embedding-cluster dedup
 # (synthetic embeddings are near-random; 0.3 admits the planted near-dups)
 
+# --- naive-bayes classifier ------------------------------------------------
+NB_ALPHA = 0.5  # additive smoothing
+NB_SPLIT_MOD = 3  # train on doc_id % MOD != 0, score doc_id % MOD == 0
+
 # --- subword tokenizer -----------------------------------------------------
 BPE_SAMPLE_N = 256  # lowest-id docs used to train the merge vocabulary
 BPE_MERGES = 120  # merge operations learned (vocab = chars + merges)

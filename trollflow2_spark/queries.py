@@ -1156,6 +1156,21 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier: fit on 2/3 of the
+    corpus (per-class token counts — pure aggregation, no iteration),
+    classify the held-out third. Training and scoring are BOTH exactly
+    SQL-replayable, so the oracle value-checks the full train->score
+    round trip: per-doc winning class, rounded joint log-likelihood,
+    and the correctness flag against the true label."""
+    from trollflow2_spark.extensions.classify import nb_train_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % C.NB_SPLIT_MOD != 0)
+    score = docs.filter(F.col("doc_id") % C.NB_SPLIT_MOD == 0)
+    return nb_train_score(train, score, alpha=C.NB_ALPHA)
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real subword tokenization: a BPE vocabulary trained on the
     lowest-id document sample (deterministic, driver-side — the k-means
@@ -2766,6 +2781,7 @@ QUERIES = {
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
     "url_dedup_latest": q_url_dedup_latest,
+    "nb_lang_classifier": q_nb_lang_classifier,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
