@@ -117,6 +117,8 @@ OPERATORS = [
     "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)
     "url_dedup_latest",  # keep-newest-capture per canonical URL (one window)
     "nb_lang_classifier",  # multinomial NB train->score, all-broadcast model
+    "embedding_cluster_stats",  # per-k-means-cell quality/drift profile
+    "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from trollflow2_spark.operators.windows import topk_per_group
 
@@ -416,6 +416,63 @@ def semantic_dedup_clusters(
         .select("id_a", "id_b")
     )
     return duplicate_clusters(df.select(F.col(id_col)), pairs, id_col=id_col)
+
+
+def kmeans_cluster_stats(
+    df: DataFrame,
+    centroids=None,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-k-means-cell corpus profile: member count, mean/min cosine
+    to the assigned centroid, corpus share — the cluster-quality /
+    drift dashboard behind IVF indexes and SemDeDup (a cell with low
+    mean cosine is a bad quantizer cell; a cell holding half the corpus
+    is a skew risk for every downstream cell-keyed join).
+
+    Scale: assignment is the same Arrow matmul map as :func:`ivf_topk`;
+    the rollup is ONE hash agg keyed on the cell id (k rows out). The
+    corpus total rides a window over the k-row result, not a second
+    scan."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, vec_col=vec_col, id_col=id_col, k=n_clusters
+        )
+    Cm = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf("struct<cell:int,cos:double>")
+    def assign_and_cos(vecs: pd.Series) -> pd.DataFrame:
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        d = np.round(X @ Cm.T, 6)
+        cell = np.argmax(d, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype("int32"),
+                "cos": d[np.arange(len(cell)), cell],
+            }
+        )
+
+    base = df.select(assign_and_cos(F.col(vec_col)).alias("ac")).select(
+        F.col("ac.cell").alias("cell"), F.col("ac.cos").alias("cos")
+    )
+    agg = base.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cos"), round_digits).alias("mean_cos"),
+        F.round(F.min("cos"), round_digits).alias("min_cos"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "cell",
+        "n_vectors",
+        "mean_cos",
+        "min_cos",
+        F.round(
+            F.col("n_vectors") / F.sum("n_vectors").over(total), round_digits
+        ).alias("share"),
+    )
 
 
 def ann_bucketed_topk(

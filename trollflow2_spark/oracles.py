@@ -522,6 +522,43 @@ SELECT doc_id,
 FROM documents
 """
 
+# the full crawl-preprocessing chain: every stage replayed closed-form
+# (extracted text, canonical URL, capture winner, text-dedup canonical,
+# length gate) — grouping on the text is equivalent to the engine's
+# md5-digest grouping
+ORACLES["crawl_pipeline"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 100 AS pid, doc_id % 250 AS uid,
+    CAST(doc_id * 37 % 1000 AS BIGINT) AS fetch_ts
+  FROM documents
+), ext AS (
+  SELECT doc_id, fetch_ts,
+    'http://site' || (uid % 25) || '.com/p/' || uid
+      || '?k=' || (uid % 3) AS canonical_url,
+    CASE WHEN pid % 10 = 0 THEN 'x'
+         ELSE 'Doc ' || pid || ' alpha & beta ' || (pid % 7) END AS text
+  FROM base
+), latest AS (
+  SELECT doc_id, canonical_url, text, n_captures FROM (
+    SELECT doc_id, canonical_url, text,
+      row_number() OVER (PARTITION BY canonical_url
+                         ORDER BY fetch_ts DESC, doc_id ASC) AS rn,
+      count(*) OVER (PARTITION BY canonical_url) AS n_captures
+    FROM ext
+  ) WHERE rn = 1
+), ded AS (
+  SELECT doc_id, canonical_url, text, n_captures, group_size FROM (
+    SELECT doc_id, canonical_url, text, n_captures,
+      count(*) OVER (PARTITION BY text) AS group_size,
+      min(doc_id) OVER (PARTITION BY text) AS keep_id
+    FROM latest
+  ) WHERE doc_id = keep_id
+)
+SELECT doc_id, canonical_url, text,
+  CAST(length(text) AS INTEGER) AS text_len, n_captures, group_size
+FROM ded WHERE length(text) >= 10
+"""
+
 # crawl-level URL dedup: newest capture per canonical URL (ties to the
 # lowest doc_id); the canonical form is stated closed-form, the window
 # replayed identically
@@ -986,6 +1023,44 @@ FROM clustered
 _semdedup_sql = _semantic_dedup_oracle_sql()
 if _semdedup_sql is not None:
     ORACLES["semantic_dedup"] = _semdedup_sql
+
+
+def _cluster_stats_oracle_sql() -> str | None:
+    """Per-cell profile oracle: same centroid literals + rounded-argmax
+    assignment; the per-vector cosine IS the winning rounded dot (unit
+    centroids), so the stats replay exactly."""
+    values = _centroid_values_sql()
+    if values is None:
+        return None
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+ed AS (
+  SELECT e.vec_id, c.cell, {_CENT_NDOT} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell, d FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+agg AS (
+  SELECT cell, count(*) AS n_vectors,
+    round(avg(d), 6) AS mean_cos,
+    round(min(d), 6) AS min_cos
+  FROM assign GROUP BY cell
+)
+SELECT cell, n_vectors, mean_cos, min_cos,
+  round(CAST(n_vectors AS DOUBLE) / sum(n_vectors) OVER (), 6) AS share
+FROM agg
+"""
+
+
+_cstats_sql = _cluster_stats_oracle_sql()
+if _cstats_sql is not None:
+    ORACLES["embedding_cluster_stats"] = _cstats_sql
 
 
 _CELL = " + ".join(

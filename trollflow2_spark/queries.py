@@ -1156,6 +1156,17 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-k-means-cell corpus profile (count, mean/min cosine to the
+    centroid, share) — the cluster-quality dashboard behind IVF and
+    SemDeDup. The oracle replays the shared centroid literals and the
+    rounded-argmax assignment."""
+    from trollflow2_spark.extensions.similarity import kmeans_cluster_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_stats(emb, n_clusters=C.IVF_N_CLUSTERS)
+
+
 def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier: fit on 2/3 of the
     corpus (per-class token counts — pure aggregation, no iteration),
@@ -1295,6 +1306,120 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         threshold=C.SEMDEDUP_THRESHOLD,
         n_clusters=C.IVF_N_CLUSTERS,
+    )
+
+
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-preprocessing chain in ONE DataFrame plan — what
+    a user of this engine actually runs over Common Crawl: WARC
+    ingestion (gzip members, HTTP envelopes, executor-side) ->
+    HTML->text extraction -> URL canonicalization -> keep-newest
+    capture per canonical URL -> exact text dedup (digest groupBy,
+    min-id canonical) -> quality gate (minimum extracted length).
+    The fixture plants every hazard the chain exists to remove:
+    tracking-param URL variants (2 captures per page), cross-URL
+    exact-duplicate content (2-3 URLs per text), and junk-short pages;
+    the oracle replays every stage closed-form.
+
+    Scale: one mapInPandas parse (file-per-task in production), Column
+    regex extraction in the scan stage, one window shuffle keyed on
+    canonical_url, one digest agg — the text itself shuffles once, as
+    (digest, id)."""
+    from trollflow2_spark.sources.warc import (
+        canonicalize_url,
+        html_to_text,
+        parse_warc_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def make_and_parse(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pid = d % 100  # content key: same pid -> same page text
+                uid = d % 250  # url key: 2 captures per url at sf0.01
+                if pid % 10 == 0:
+                    body = "<p>x</p>"  # junk-short page
+                else:
+                    body = (
+                        f"<h1>Doc {pid}</h1>"
+                        f"<p>alpha &amp; beta {pid % 7}</p>"
+                    )
+                html = f"<html><body>{body}</body></html>".encode()
+                url = (
+                    f"HTTP://Site{uid % 25}.COM:80/p/{uid}"
+                    f"?utm_source=t&k={uid % 3}"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n"
+                    + html
+                )
+                rec = (
+                    b"WARC/1.0\r\nWARC-Type: response"
+                    + f"\r\nWARC-Target-URI: {url}".encode()
+                    + b"\r\nWARC-Date: 2024-01-15T12:00:00Z"
+                    + f"\r\nContent-Length: {len(http)}".encode()
+                    + b"\r\n\r\n" + http + b"\r\n\r\n"
+                )
+                parsed = parse_warc_bytes(
+                    gzip.compress(rec), f"doc{d}.warc.gz"
+                )
+                rows.append((d, parsed[0]["warc_target_uri"],
+                             parsed[0]["payload"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "payload"])
+
+    parsed = docs.mapInPandas(make_and_parse, out_schema)
+    d = F.col("doc_id")
+    extracted = parsed.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        html_to_text(F.col("payload").cast("string")).alias("text"),
+        (d * 37 % 1000).cast("long").alias("fetch_ts"),
+    )
+    # stage: newest capture per canonical URL
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("fetch_ts").desc(), F.col("doc_id").asc()
+    )
+    latest = (
+        extracted.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_captures",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_url")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fetch_ts")
+    )
+    # stage: exact text dedup over the survivors (digest keyed)
+    wd = Window.partitionBy(F.md5("text"))
+    deduped = (
+        latest.withColumn("group_size", F.count(F.lit(1)).over(wd))
+        .withColumn("keep_id", F.min("doc_id").over(wd))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    # stage: quality gate on extracted length
+    return deduped.filter(F.length("text") >= 10).select(
+        "doc_id",
+        "canonical_url",
+        "text",
+        F.length("text").alias("text_len"),
+        "n_captures",
+        "group_size",
     )
 
 
@@ -2782,6 +2907,8 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "url_dedup_latest": q_url_dedup_latest,
     "nb_lang_classifier": q_nb_lang_classifier,
+    "embedding_cluster_stats": q_embedding_cluster_stats,
+    "crawl_pipeline": q_crawl_pipeline,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
