@@ -119,6 +119,7 @@ OPERATORS = [
     "nb_lang_classifier",  # multinomial NB train->score, all-broadcast model
     "embedding_cluster_stats",  # per-k-means-cell quality/drift profile
     "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan
+    "split_leakage_audit",  # eval-vs-train near-dup leakage gate
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

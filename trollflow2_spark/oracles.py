@@ -2081,6 +2081,55 @@ SELECT id_a AS batch_id, id_b AS corpus_id, jaccard FROM p
 WHERE jaccard >= {C.JACCARD_THRESHOLD}
 """
 
+# train/eval leakage audit: split CASE + the incremental LSH chain with
+# the split as the partitioner + jaccard verify, rolled up per eval doc
+ORACLES["split_leakage_audit"] = f"""
+WITH sp AS (
+  SELECT doc_id, {_split_case_sql()} AS split FROM documents
+), csh AS (
+  SELECT d.doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle
+  FROM documents d JOIN sp USING (doc_id) WHERE sp.split = 'train'
+), csigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM csh GROUP BY doc_id
+), bsh AS (
+  SELECT d.doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle
+  FROM documents d JOIN sp USING (doc_id) WHERE sp.split <> 'train'
+), bsigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM bsh GROUP BY doc_id
+), cbk AS (
+{_BAND_SELECTS_CORPUS}
+), bbk AS (
+{_BAND_SELECTS_BATCH}
+), cand AS (
+  SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+  FROM cbk c JOIN bbk b ON c.band = b.band AND c.bh = b.bh
+), s AS (
+  SELECT doc_id, list_distinct({_SHINGLES_J}) AS sh2 FROM documents
+), p AS (
+  SELECT c.id_a, c.id_b,
+    round(
+      CASE WHEN len(list_distinct(list_concat(a.sh2, b.sh2))) > 0
+        THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh2, b.sh2))) AS DOUBLE)
+        ELSE 0.0 END, 6) AS jaccard
+  FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id
+), per AS (
+  SELECT id_a AS doc_id,
+    count(*) AS n_candidates,
+    CAST(sum(CASE WHEN jaccard >= {C.JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_leaks,
+    max(CASE WHEN jaccard >= {C.JACCARD_THRESHOLD} THEN jaccard END)
+      AS max_jaccard
+  FROM p GROUP BY id_a
+)
+SELECT per.doc_id, sp.split, per.n_candidates, per.n_leaks, per.max_jaccard
+FROM per JOIN sp USING (doc_id)
+"""
+
 # LSH candidate chain + n-gram verify tier: the contract (and scale)
 # form of the jaccard/containment queries — candidates come from banded
 # minhash LSH, never from a within-block self-join.

@@ -1309,6 +1309,66 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: deterministic split -> minhash
+    signatures per side -> banded LSH candidates of eval docs against
+    the TRAIN side (train bands never re-shuffle; eval side broadcasts,
+    the incremental-dedup shape) -> n-gram Jaccard verify -> per eval
+    doc: candidate count, verified leak count, worst (max) Jaccard.
+    This is the pre-training gate that catches val/test examples whose
+    near-duplicates sit in train — contamination's within-corpus twin.
+    Output rows: eval docs with >= 1 LSH candidate."""
+    from trollflow2_spark.extensions.dedup import (
+        incremental_lsh_matches,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from trollflow2_spark.extensions.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = deterministic_split(
+        docs, dict(C.SPLIT_FRACS), seed=C.SPLIT_SEED
+    )
+    train = split.filter(F.col("split") == "train")
+    evald = split.filter(F.col("split") != "train")
+    tsig = minhash_signatures(
+        train, shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+    esig = minhash_signatures(
+        evald, shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+    cand = incremental_lsh_matches(
+        tsig, esig, num_hashes=C.MINHASH_NUM_HASHES, bands=C.MINHASH_BANDS
+    ).select(
+        F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    verified = ngram_jaccard_pairs(
+        docs,
+        candidates=cand,
+        shingle_words=C.JACCARD_SHINGLE_WORDS,
+        threshold=C.JACCARD_THRESHOLD,
+    )
+    per_eval = (
+        cand.join(
+            verified.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"],
+            "left",
+        )
+        .groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("jaccard").alias("n_leaks"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return per_eval.join(
+        split.select("doc_id", "split"), "doc_id"
+    ).select(
+        "doc_id", "split", "n_candidates", "n_leaks", "max_jaccard"
+    )
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl-preprocessing chain in ONE DataFrame plan — what
     a user of this engine actually runs over Common Crawl: WARC
@@ -2909,6 +2969,7 @@ QUERIES = {
     "nb_lang_classifier": q_nb_lang_classifier,
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "crawl_pipeline": q_crawl_pipeline,
+    "split_leakage_audit": q_split_leakage_audit,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
