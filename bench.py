@@ -120,6 +120,7 @@ OPERATORS = [
     "embedding_cluster_stats",  # per-k-means-cell quality/drift profile
     "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan
     "split_leakage_audit",  # eval-vs-train near-dup leakage gate
+    "embedding_ivf_quantized",  # IVF cells + int8 store: the serving plan
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1468,3 +1468,35 @@ def test_nb_classifier_trains_and_scores_distributed(spark, sf_dir):
     assert all(r["pred_lang"] in langs for r in rows)
     acc = sum(r["correct"] for r in rows) / len(rows)
     assert acc > 1.0 / len(langs)  # better than uniform chance
+
+
+def test_ivf_quantized_recall_vs_float_ivf(spark, sf_dir):
+    """int8 serving must not wreck ranking: top-k overlap with the
+    float IVF at identical centroids/probes stays high (cosine is
+    near-lossless under symmetric int8)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.similarity import (
+        ivf_topk,
+        ivf_topk_quantized,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=5, n_probe=3, n_clusters=8).collect()
+    }
+    quant = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk_quantized(
+            emb, q, k=5, n_probe=3, n_clusters=8
+        ).collect()
+    }
+    assert len(quant) == len(base)
+    overlap = len(base & quant) / len(base)
+    assert overlap >= 0.8

@@ -136,6 +136,43 @@ def quantized_topk(
     )
 
 
+def ivf_topk_quantized(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The full production ANN stack: k-means IVF cells bound WHICH
+    vectors are scored, int8 quantization bounds HOW BIG each scored
+    vector is. Centroids are trained on the full-precision sample (the
+    quantizer is fit once at index-build time); the stored/served
+    vectors are int8, and since the per-vector dequantization scales
+    cancel in cosine, assignment and scoring both run on the raw int
+    arrays — floats never materialize on the serving path. At 100 TB:
+    the scan reads a 4× smaller store AND touches only n_probe/k of it.
+    """
+    centroids = kmeans_centroids(
+        df, vec_col=vec_col, id_col=id_col, k=n_clusters
+    )
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    qd = quantize_embeddings(df, vec_col, id_col).select(
+        F.col(id_col), as_double(F.col("q_embedding")).alias(vec_col)
+    )
+    qq = quantize_embeddings(queries, vec_col, query_id_col).select(
+        F.col(query_id_col), as_double(F.col("q_embedding")).alias(vec_col)
+    )
+    return ivf_topk(
+        qd, qq, centroids=centroids, k=k, n_probe=n_probe,
+        n_clusters=n_clusters, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, round_digits=round_digits,
+    )
+
+
 def signbit_cell(vec: Column, n_bits: int = 4) -> Column:
     """Coarse IVF-style cell id from the sign bits of the first
     ``n_bits`` dimensions (a fixed axis-aligned hyperplane LSH)."""

@@ -1063,6 +1063,62 @@ if _cstats_sql is not None:
     ORACLES["embedding_cluster_stats"] = _cstats_sql
 
 
+def _ivf_quantized_oracle_sql() -> str | None:
+    """Quantized-IVF oracle: the SAME full-precision centroid literals
+    as ``embedding_ivf``, but assignment/probing/scoring replayed over
+    the int8-quantized vectors (the SQL quantization CTE, scales
+    cancelling in cosine exactly as on the Spark side)."""
+    values = _centroid_values_sql()
+    if values is None:
+        return None
+    # _CENT_NDOT/_cosine_sql address e.embedding — expose qv under that
+    # name via a wrapper CTE
+    return f"""
+WITH qz0 AS ({_QUANT_CTE}),
+qz AS (
+  SELECT vec_id, qv AS embedding FROM qz0
+),
+cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+ed AS (
+  SELECT e.vec_id, c.cell, {_CENT_NDOT} AS d
+  FROM qz e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM ed
+  WHERE vec_id < {C.TOPK_N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC)
+    <= {C.IVF_N_PROBE}
+),
+sc AS (
+  SELECT p.query_id, a.vec_id,
+    round({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS cosine_sim
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN qz e ON e.vec_id = a.vec_id
+  JOIN qz q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+  CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {C.ANN_K}
+"""
+
+
+_ivfq_sql = _ivf_quantized_oracle_sql()
+if _ivfq_sql is not None:
+    ORACLES["embedding_ivf_quantized"] = _ivfq_sql
+
+
 _CELL = " + ".join(
     f"(CASE WHEN CAST(embedding[{i+1}] AS DOUBLE) >= 0 THEN {2**i} ELSE 0 END)"
     for i in range(C.ANN_BITS)

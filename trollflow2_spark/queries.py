@@ -1156,6 +1156,23 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cells + int8 store combined — the production ANN serving
+    plan (scan 4x smaller, touch n_probe/k of it). Centroids come from
+    the full-precision training sample (shared with ``embedding_ivf``'s
+    oracle literals); assignment and scoring run on the int arrays."""
+    from trollflow2_spark.extensions.similarity import ivf_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_quantized(
+        emb,
+        _query_vectors(emb),
+        k=C.ANN_K,
+        n_probe=C.IVF_N_PROBE,
+        n_clusters=C.IVF_N_CLUSTERS,
+    )
+
+
 def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-k-means-cell corpus profile (count, mean/min cosine to the
     centroid, share) — the cluster-quality dashboard behind IVF and
@@ -2970,6 +2987,7 @@ QUERIES = {
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "crawl_pipeline": q_crawl_pipeline,
     "split_leakage_audit": q_split_leakage_audit,
+    "embedding_ivf_quantized": q_embedding_ivf_quantized,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
