@@ -121,6 +121,7 @@ OPERATORS = [
     "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan
     "split_leakage_audit",  # eval-vs-train near-dup leakage gate
     "embedding_ivf_quantized",  # IVF cells + int8 store: the serving plan
+    "host_pagerank",  # link extraction + iterative power method (3 rounds)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

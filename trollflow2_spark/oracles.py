@@ -522,6 +522,44 @@ SELECT doc_id,
 FROM documents
 """
 
+# host-level PageRank: closed-form edges (two outlinks per host class;
+# distinct folds the h=7,17 coincidence into outdeg 1), 3 power
+# iterations unrolled as chained CTEs; per-iteration round(8) keeps the
+# float accumulation bit-stable across engines
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT hosts.host,
+    round(0.15 / n.n + 0.85 * coalesce(s.in_sum, 0.0), 8) AS rank
+  FROM hosts CROSS JOIN n LEFT JOIN (
+    SELECT e.dst AS host, sum(r.rank / od.outdeg) AS in_sum
+    FROM edges e JOIN {prev} r ON r.host = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) s ON s.host = hosts.host
+)"""
+
+
+ORACLES["host_pagerank"] = f"""
+WITH hs AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+e0 AS (
+  SELECT h AS s, (h + 1) % 20 AS t FROM hs
+  UNION
+  SELECT h, (h * 3 + 7) % 20 FROM hs
+),
+edges AS (
+  SELECT 'site' || s || '.com' AS src, 'site' || t || '.com' AS dst
+  FROM e0
+),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+       FROM edges GROUP BY src),
+r0 AS (SELECT host, 1.0 / n.n AS rank FROM hosts CROSS JOIN n),
+{_pagerank_iter_sql("r0", "r1")},
+{_pagerank_iter_sql("r1", "r2")},
+{_pagerank_iter_sql("r2", "r3")}
+SELECT host, round(rank, 6) AS pagerank FROM r3
+"""
+
 # the full crawl-preprocessing chain: every stage replayed closed-form
 # (extracted text, canonical URL, capture winner, text-dedup canonical,
 # length gate) — grouping on the text is equivalent to the engine's

@@ -1326,6 +1326,98 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link graph + PageRank: deterministic per-doc HTML carries
+    two outlinks (closed-form targets), hrefs are extracted with
+    ``regexp_extract_all`` in the scan stage, host-level edges dedup,
+    and 3 power iterations of PageRank (d=0.85, dangling-free fixture)
+    run as iterative join+agg rounds — the engine's iterative-algorithm
+    shape (same per-round equi-join + agg + bounded lineage as
+    connected components). Ranks round to 8 per iteration so the
+    replay is bit-stable; output rounds to 6.
+
+    Scale: edges shuffle once per iteration keyed on the target host;
+    out-degrees broadcast (host-cardinality table); the rank table is
+    host-sized, not page-sized — the standard web-graph rollup."""
+    from trollflow2_spark.sources.warc import host_of_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 20).cast("long")
+    t1 = ((h + 1) % 20).cast("string")
+    t2 = ((h * 3 + 7) % 20).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="http://site'), t1,
+        F.lit('.com/a">x</a> <a HREF="https://site'), t2,
+        F.lit('.com/b?utm_source=z">y</a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".com")).alias(
+            "src_host"
+        ),
+        html.alias("html"),
+    ).select(
+        "src_host",
+        F.expr(
+            r"regexp_extract_all(html, '(?i)href=\"([^\"]+)\"', 1)"
+        ).alias("hrefs"),
+    )
+    # the host-level edge table is graph-sized (hosts x outlinks), tiny
+    # next to the page scan that produced it: checkpoint it once so the
+    # power iterations never re-run the extraction
+    edges = (
+        pages.select(
+            "src_host", F.explode("hrefs").alias("href")
+        )
+        .select(
+            "src_host", host_of_url(F.col("href")).alias("dst_host")
+        )
+        .filter(F.col("dst_host") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    n_hosts = hosts.count()  # control-sized: host cardinality
+    outdeg = edges.groupBy("src_host").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    damping = 0.85
+    base = (1.0 - damping) / n_hosts
+    ranks = hosts.withColumn("rank", F.lit(1.0 / n_hosts))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("host", "src_host"), "src_host"
+            )
+            .join(F.broadcast(outdeg), "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            hosts.join(contrib, "host", "left")
+            .select(
+                "host",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "host", F.round("rank", 6).alias("pagerank")
+    )
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval leakage audit: deterministic split -> minhash
     signatures per side -> banded LSH candidates of eval docs against
@@ -2988,6 +3080,7 @@ QUERIES = {
     "crawl_pipeline": q_crawl_pipeline,
     "split_leakage_audit": q_split_leakage_audit,
     "embedding_ivf_quantized": q_embedding_ivf_quantized,
+    "host_pagerank": q_host_pagerank,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
