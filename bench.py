@@ -122,6 +122,7 @@ OPERATORS = [
     "split_leakage_audit",  # eval-vs-train near-dup leakage gate
     "embedding_ivf_quantized",  # IVF cells + int8 store: the serving plan
     "host_pagerank",  # link extraction + iterative power method (3 rounds)
+    "temperature_mixture",  # p^alpha language rebalancing, one-scan sample
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1500,3 +1500,42 @@ def test_ivf_quantized_recall_vs_float_ivf(spark, sf_dir):
     assert len(quant) == len(base)
     overlap = len(base & quant) / len(base)
     assert overlap >= 0.8
+
+
+def test_temperature_sample_rebalances_toward_flat(spark, sf_dir):
+    """Temperature sampling must flatten the mixture: the dominant
+    stratum's share shrinks vs the input, rare strata's shares grow,
+    sample size lands near target, and alpha=1 is a no-op mixture
+    (rates equal for every stratum: target_frac everywhere)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "lang")
+    n = docs.count()
+    in_share = {
+        r["lang"]: r["c"] / n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    out = temperature_sample(docs, alpha=0.5, target_frac=0.6)
+    rows = out.collect()
+    m = len(rows)
+    assert 0.4 * n < m < 0.8 * n  # near target (hash granularity)
+    out_share = {}
+    for r in rows:
+        out_share[r["lang"]] = out_share.get(r["lang"], 0) + 1 / m
+    top = max(in_share, key=in_share.get)
+    rare = min(in_share, key=in_share.get)
+    assert out_share[top] < in_share[top]
+    assert out_share.get(rare, 0) >= in_share[rare]
+    # alpha=1: q == p, so every stratum's rate is exactly target_frac
+    counts = {k: int(v * n) for k, v in in_share.items()}
+    rates = temperature_rates(counts, alpha=1.0, target_frac=0.3)
+    assert all(abs(v - 0.3) < 1e-9 for v in rates.values())

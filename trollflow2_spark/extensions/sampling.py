@@ -343,3 +343,56 @@ def pack_sequences(
         "bin",
         F.floor((F.col("cum_tokens") - tok) / F.lit(int(budget))).cast("int"),
     )
+
+
+def temperature_rates(
+    counts: dict, alpha: float, target_frac: float
+) -> dict:
+    """Per-stratum keep rates for temperature-balanced mixing (the
+    XLM-R / mT5 rebalancing scheme): stratum probability p_l = n_l / N
+    is flattened to q_l = p_l^alpha / sum(p^alpha), and the keep rate
+    r_l = min(1, target * q_l / n_l) makes the SAMPLED corpus follow q
+    while holding its total near ``target_frac * N``. Low-resource
+    strata are upsampled relative to their share; dominant strata
+    downsampled — the standard fix for head-language dominance.
+
+    Driver-side pure Python on the stratum-count table (k rows — the
+    mixture weights are config-sized, like every production mixture);
+    the SAME routine feeds the oracle generator, so the thresholds are
+    literal-identical across engines.
+    """
+    n_total = float(sum(counts.values()))
+    if n_total <= 0:
+        return {}
+    pw = {k: (v / n_total) ** float(alpha) for k, v in counts.items()}
+    z = sum(pw.values())
+    target = float(target_frac) * n_total
+    return {
+        k: min(1.0, target * (pw[k] / z) / counts[k])
+        for k in sorted(counts)
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    seed: int | None = 19,
+) -> DataFrame:
+    """Temperature-balanced corpus sample: stratum counts (one k-row
+    agg), driver-computed keep rates (:func:`temperature_rates`), then
+    the same map-side portable-hash predicate as
+    :func:`stratified_sample` — one scan, no shuffle beyond the count."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    rates = temperature_rates(counts, alpha, target_frac)
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col,
+        default_rate=0.0, seed=seed,
+    )

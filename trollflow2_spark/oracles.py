@@ -1456,6 +1456,52 @@ WHERE {_rate_bucket_sql(C.SAMPLE_SEED)}
   < CAST(round(({_RATE_CASE}) * 10000, 0) AS INT)
 """
 
+def _temperature_oracle_sql() -> str | None:
+    """Temperature-mixture oracle: the per-lang keep rates come from
+    the SAME driver-side routine the Spark query uses
+    (``temperature_rates``) on the same count table, embedded as
+    full-precision literals; the bucket predicate mirrors the
+    stratified-sample oracle exactly."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from trollflow2_spark.extensions.sampling import temperature_rates
+
+    counts = dict(
+        duckdb.sql(
+            f"SELECT lang, count(*) FROM '{path}' GROUP BY lang"
+        ).fetchall()
+    )
+    rates = temperature_rates(counts, C.TEMP_ALPHA, C.TEMP_TARGET_FRAC)
+    # CAST each literal to DOUBLE: DuckDB would otherwise parse the
+    # full-precision literals as wide DECIMALs and overflow the *10000
+    case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{k}' THEN CAST({rates[k]!r} AS DOUBLE)"
+            for k in sorted(rates)
+        )
+        + " ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_rate_bucket_sql(C.TEMP_SEED)}
+  < CAST(round(({case}) * 10000, 0) AS INT)
+"""
+
+
+_temp_sql = _temperature_oracle_sql()
+if _temp_sql is not None:
+    ORACLES["temperature_mixture"] = _temp_sql
+
+
 _SHUF_H = (
     f"({HASH64_SQL('CAST(doc_id AS VARCHAR)', C.SHUFFLE_SEED)}"
     f" % {1 << 31})"

@@ -1326,6 +1326,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language mixture (p^alpha rebalancing, the
+    XLM-R / mT5 scheme): per-lang keep rates computed driver-side from
+    the k-row count table by the shared ``temperature_rates`` routine
+    — the oracle generator runs the SAME routine on the same counts, so
+    thresholds are literal-identical — then one map-side hash predicate
+    samples the corpus in a single scan."""
+    from trollflow2_spark.extensions.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs.select("doc_id", "lang"),
+        strata_col="lang",
+        alpha=C.TEMP_ALPHA,
+        target_frac=C.TEMP_TARGET_FRAC,
+        seed=C.TEMP_SEED,
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl link graph + PageRank: deterministic per-doc HTML carries
     two outlinks (closed-form targets), hrefs are extracted with
@@ -3081,6 +3100,7 @@ QUERIES = {
     "split_leakage_audit": q_split_leakage_audit,
     "embedding_ivf_quantized": q_embedding_ivf_quantized,
     "host_pagerank": q_host_pagerank,
+    "temperature_mixture": q_temperature_mixture,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
