@@ -319,3 +319,24 @@ def test_dynamic_partition_pruning_on_fact_join(spark, sf, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_crawl_pipeline_exactly_two_shuffles(spark, sf):
+    """The end-to-end crawl chain pays exactly two hash exchanges: one
+    for the canonical-url capture window, one for the text-digest dedup
+    windows (digest materialized so count+min share the partitioning).
+    Everything else — parse, extraction, canonicalization, quality
+    gate — stays in the scan stage."""
+    df = QUERIES["crawl_pipeline"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_leakage_audit_no_sort_merge(spark, sf):
+    """Every join in the leakage audit is broadcast (eval bands into
+    train bands, candidate-bounded verify results, audit rows back to
+    the split) — the train side never sort-merges."""
+    df = QUERIES["split_leakage_audit"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan

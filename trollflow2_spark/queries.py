@@ -1478,9 +1478,12 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_words=C.JACCARD_SHINGLE_WORDS,
         threshold=C.JACCARD_THRESHOLD,
     )
+    # verified is a filtered subset of cand — candidate-bounded, so it
+    # broadcasts; without the hint Catalyst sort-merges two tiny tables
     per_eval = (
         cand.join(
-            verified.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"],
+            F.broadcast(verified.select("id_a", "id_b", "jaccard")),
+            ["id_a", "id_b"],
             "left",
         )
         .groupBy(F.col("id_a").alias("doc_id"))
@@ -1592,13 +1595,17 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "fetch_ts")
     )
-    # stage: exact text dedup over the survivors (digest keyed)
-    wd = Window.partitionBy(F.md5("text"))
+    # stage: exact text dedup over the survivors (digest keyed). The
+    # digest is materialized as a column so BOTH windows partition on
+    # the same attribute — expression-partitioned windows would each
+    # get their own projected key and pay two exchanges
+    wd = Window.partitionBy("__digest")
     deduped = (
-        latest.withColumn("group_size", F.count(F.lit(1)).over(wd))
+        latest.withColumn("__digest", F.md5("text"))
+        .withColumn("group_size", F.count(F.lit(1)).over(wd))
         .withColumn("keep_id", F.min("doc_id").over(wd))
         .filter(F.col("doc_id") == F.col("keep_id"))
-        .drop("keep_id")
+        .drop("keep_id", "__digest")
     )
     # stage: quality gate on extracted length
     return deduped.filter(F.length("text") >= 10).select(
