@@ -123,6 +123,7 @@ OPERATORS = [
     "embedding_ivf_quantized",  # IVF cells + int8 store: the serving plan
     "host_pagerank",  # link extraction + iterative power method (3 rounds)
     "temperature_mixture",  # p^alpha language rebalancing, one-scan sample
+    "frame_sample_webp",  # animated WebP (VP8X/ANMF) real frame decode
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -245,3 +245,33 @@ def struct_error_types():
     import struct
 
     return struct.error
+
+
+def test_animated_webp_roundtrip_and_container_shape():
+    """VP8X+ANIM/ANMF container: frames round-trip losslessly, the
+    container walk yields them in order, and a still image decodes as a
+    single frame through the same API."""
+    from trollflow2_spark.sinks.webp import (
+        decode_webp_frames,
+        encode_webp_animation,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (7, 5, 3), np.uint8) for _ in range(4)]
+    out = decode_webp_frames(encode_webp_animation(frames))
+    assert len(out) == 4
+    for f, o in zip(frames, out):
+        assert (o == f).all()
+    one = decode_webp_frames(encode_webp_lossless(frames[0]))
+    assert len(one) == 1 and (one[0] == frames[0]).all()
+
+
+def test_animated_webp_rejects_mismatched_frames():
+    from trollflow2_spark.sinks.webp import encode_webp_animation
+
+    a = np.zeros((4, 4), np.uint8)
+    b = np.zeros((5, 4), np.uint8)
+    with pytest.raises(ValueError):
+        encode_webp_animation([a, b])
+    with pytest.raises(ValueError):
+        encode_webp_animation([])

@@ -470,6 +470,15 @@ def frame_sample(
                     blob = bytes(blob)
                     if blob[:4] == b"II*\x00":
                         frames = decode_geotiff(blob)[0]
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+                        from trollflow2_spark.sinks.webp import (
+                            decode_webp_frames,
+                        )
+
+                        frames = [
+                            f[:, :, 0] if f.ndim == 3 else f
+                            for f in decode_webp_frames(blob)
+                        ]
                     elif blob[:2] == b"\xff\xd8":
                         # MJPEG: split on SOI-followed-by-marker; byte
                         # stuffing makes \xff\xd8\xff unambiguous

@@ -1795,6 +1795,19 @@ FROM px GROUP BY doc_id, f
 # Real MJPEG frame sampling: every 2nd frame of a (doc_id%6+2)-frame
 # concatenated-JPEG stream; constant even value (doc_id*2 + f*4) % 256
 # per frame decodes losslessly, so frame_byte is the constant itself.
+# animated WebP: lossless VP8L frames, so sampled maxima are the
+# constants the fixture painted
+ORACLES["frame_sample_webp"] = """
+WITH spec AS (
+  SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nf FROM documents
+), frames AS (
+  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM spec
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+  CAST((doc_id * 7 + f * 13) % 256 AS INTEGER) AS frame_byte
+FROM frames WHERE f % 2 = 0
+"""
+
 ORACLES["frame_sample_mjpeg"] = """
 WITH spec AS (
   SELECT doc_id, CAST(doc_id % 6 + 2 AS BIGINT) AS nf FROM documents

@@ -2779,6 +2779,45 @@ def q_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n_frames=2)  # fake=False: real decode
 
 
+def q_frame_sample_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-WebP frame sampling: VP8X+ANMF containers with
+    lossless VP8L frames built executor-side by the repo's own codec,
+    then every 2nd frame decoded back through it — lossless, so each
+    sampled frame's max pixel is closed-form."""
+    from trollflow2_spark.extensions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def make_anim(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.webp import encode_webp_animation
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = d % 5 + 2
+                frames = [
+                    np.full((6, 9), (d * 7 + f * 13) % 256, dtype=np.uint8)
+                    for f in range(n_frames)
+                ]
+                blobs.append(encode_webp_animation(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.mapInPandas(make_anim, media_schema)
+    return frame_sample(media, every_n_frames=2)  # fake=False: real decode
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (binary in, binary out, metadata rescaled) with
     the deterministic stand-in kernel. Binary output column => rows-only
@@ -3131,6 +3170,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "frame_sample_tiff": q_frame_sample_tiff,
     "frame_sample_mjpeg": q_frame_sample_mjpeg,
+    "frame_sample_webp": q_frame_sample_webp,
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
     "pipeline_roundtrip": q_pipeline_roundtrip,

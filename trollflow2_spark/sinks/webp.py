@@ -1102,3 +1102,93 @@ def _encode_entropy_image(
                 bw.write(dev, deb)
         else:
             put(gc, 256 + _NUM_LENGTH_CODES + t[1])
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF containers, lossless frames)
+
+_VP8X_ANIM_FLAG = 0x02
+
+
+def encode_webp_animation(frames, durations_ms=None, **encode_kw) -> bytes:
+    """Encode a list of uint8 frame arrays (equal shapes) as an
+    animated WebP: VP8X (animation flag) + ANIM + one ANMF per frame,
+    each carrying a lossless VP8L payload from
+    :func:`encode_webp_lossless`. Frame offsets are 0 and disposal is
+    "none" — every frame is a full canvas (the deterministic-pipeline
+    choice: sampled frames decode independently)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+    if durations_ms is None:
+        durations_ms = [100] * len(frames)
+    chunks = []
+    vp8x = bytes([_VP8X_ANIM_FLAG, 0, 0, 0]) + struct.pack(
+        "<I", w - 1
+    )[:3] + struct.pack("<I", h - 1)[:3]
+    chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+    anim = struct.pack("<I", 0) + struct.pack("<H", 0)  # bg, loop=inf
+    chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+    for arr, dur in zip(frames, durations_ms):
+        arr = np.asarray(arr)
+        fh, fw = arr.shape[:2]
+        if (fh, fw) != (h, w):
+            raise ValueError("all frames must share the canvas shape")
+        inner = encode_webp_lossless(arr, **encode_kw)
+        # strip the RIFF wrapper down to the VP8L chunk
+        vp8l_chunk = inner[12:]
+        anmf = (
+            b"\x00\x00\x00"  # frame x / 2
+            + b"\x00\x00\x00"  # frame y / 2
+            + struct.pack("<I", fw - 1)[:3]
+            + struct.pack("<I", fh - 1)[:3]
+            + struct.pack("<I", int(dur))[:3]
+            + b"\x00"  # no blend, dispose-none
+            + vp8l_chunk
+        )
+        if len(anmf) & 1:
+            pad = b"\x00"
+        else:
+            pad = b""
+        chunks.append(b"ANMF" + struct.pack("<I", len(anmf)) + anmf + pad)
+    body = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_webp_frames(data: bytes) -> list:
+    """Decode every frame of a WebP blob: a plain lossless still yields
+    one frame; a VP8X animation yields one array per ANMF (lossless
+    payloads only — lossy VP8 frames raise, as in :func:`decode_webp`)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) stream")
+    frames = []
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        payload = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            return [_decode_vp8l(payload)]
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP frames are out of stdlib scope; lossless "
+                "(VP8L) animations decode for real"
+            )
+        if tag == b"ANMF":
+            if len(payload) < 16:
+                raise ValueError("truncated ANMF header")
+            sub = payload[16:]
+            if sub[:4] == b"VP8L":
+                ssize = struct.unpack("<I", sub[4:8])[0]
+                frames.append(_decode_vp8l(sub[8:8 + ssize]))
+            elif sub[:4] == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 animation frames are out of stdlib scope"
+                )
+            else:
+                raise ValueError("ANMF without an image subchunk")
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("WebP container has no decodable frames")
+    return frames
