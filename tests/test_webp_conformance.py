@@ -275,3 +275,14 @@ def test_animated_webp_rejects_mismatched_frames():
         encode_webp_animation([a, b])
     with pytest.raises(ValueError):
         encode_webp_animation([])
+
+
+def test_still_decode_of_animation_yields_first_frame():
+    from trollflow2_spark.sinks.webp import (
+        decode_webp,
+        encode_webp_animation,
+    )
+
+    frames = [np.full((4, 6), v, np.uint8) for v in (9, 77)]
+    out = decode_webp(encode_webp_animation(frames))
+    assert (out[:, :, 0] == 9).all()

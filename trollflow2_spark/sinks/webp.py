@@ -30,8 +30,10 @@ Lossy VP8 streams raise with guidance (a DCT video intra-frame codec
 is out of scope for stdlib+numpy; the JPEG tier covers the equivalent
 photographic use case).
 
-Only the lossless half of the format; VP8X containers are walked to
-find the VP8L chunk.
+Only the lossless half of the format. VP8X containers are walked to
+find the image chunk; animated files (ANIM/ANMF with lossless frames)
+decode frame-by-frame via :func:`decode_webp_frames`, and the still
+API returns the first frame.
 """
 
 from __future__ import annotations
@@ -677,30 +679,40 @@ def _apply_color_indexing(pix, palette, width_bits, w, h, packed_w):
 # top-level decode
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a WebP blob. Lossless (VP8L) streams decode for real;
-    lossy VP8 raises with guidance. Returns (h, w, 3) uint8 when fully
-    opaque, else (h, w, 4)."""
+    """Decode a WebP blob as a still image. Lossless (VP8L) streams
+    decode for real; an ANIMATED lossless file yields its FIRST frame
+    (the still-decode convention for the crawl route — use
+    :func:`decode_webp_frames` for the full sequence); lossy VP8 raises
+    with guidance. Returns (h, w, 3) uint8 when fully opaque, else
+    (h, w, 4)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) stream")
     pos = 12
-    vp8l = None
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         payload = data[pos + 8:pos + 8 + size]
         if tag == b"VP8L":
-            vp8l = payload
-            break
+            return _decode_vp8l(payload)
         if tag == b"VP8 ":
             raise NotImplementedError(
                 "lossy VP8 WebP requires a video-intra-frame codec not "
                 "implementable stdlib-only; lossless (VP8L) WebP decodes "
                 "for real"
             )
+        if tag == b"ANMF":
+            if len(payload) < 16:
+                raise ValueError("truncated ANMF header")
+            sub = payload[16:]
+            if sub[:4] == b"VP8L":
+                ssize = struct.unpack("<I", sub[4:8])[0]
+                return _decode_vp8l(sub[8:8 + ssize])
+            if sub[:4] == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 animation frames are out of stdlib scope"
+                )
         pos += 8 + size + (size & 1)  # chunks are even-padded
-    if vp8l is None:
-        raise ValueError("WebP container has no VP8L chunk")
-    return _decode_vp8l(vp8l)
+    raise ValueError("WebP container has no decodable image chunk")
 
 
 _T_PREDICTOR = 0
