@@ -171,3 +171,42 @@ def test_bpe_greedy_encode_is_lossless_over_vocab_chars(words, n_merges):
     assert toks[0] == C.BPE_UNK and "".join(toks[1:]) == words[0]
     # determinism across retraining
     assert set(train_bpe_vocab(words, n_merges=n_merges)) == vocab
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(1, 100000),
+        min_size=1,
+        max_size=5,
+    ),
+    alpha=st.floats(0.1, 1.0),
+    target=st.floats(0.05, 0.95),
+)
+def test_temperature_rates_properties(counts, alpha, target):
+    """Invariants of the p^alpha rebalancer: rates live in (0, 1];
+    expected sample size never exceeds the target (capping can only
+    shrink it); alpha=1 gives every stratum exactly the target rate;
+    and lowering alpha never lowers a minority stratum's rate relative
+    to the majority's (flattening is monotone in temperature)."""
+    from trollflow2_spark.extensions.sampling import temperature_rates
+
+    rates = temperature_rates(counts, alpha, target)
+    assert set(rates) == set(counts)
+    assert all(0 < r <= 1 for r in rates.values())
+    n = sum(counts.values())
+    expected = sum(rates[k] * counts[k] for k in counts)
+    assert expected <= target * n + 1e-6
+    flat = temperature_rates(counts, 1.0, target)
+    assert all(abs(r - min(1.0, target)) < 1e-9 for r in flat.values())
+    if len(counts) >= 2:
+        lo = min(counts, key=counts.get)
+        hi = max(counts, key=counts.get)
+        if counts[lo] < counts[hi]:
+            r_cold = temperature_rates(counts, max(alpha - 0.05, 0.05), target)
+            # colder (smaller alpha) flattens harder: minority/majority
+            # rate ratio is non-decreasing as alpha drops
+            ratio_a = rates[lo] / rates[hi]
+            ratio_c = r_cold[lo] / r_cold[hi]
+            assert ratio_c >= ratio_a - 1e-9

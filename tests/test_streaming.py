@@ -503,3 +503,52 @@ def test_streaming_simhash_dedup(spark, tmp_path):
     rows = spark.sql("select * from stream_shdedup").collect()
     kept = sorted(r["doc_id"] for r in rows)
     assert kept == [1, 2, 4]  # doc 3 is a token-set dup of doc 1
+
+
+def test_streaming_url_dedup_on_canonical_key(spark, tmp_path):
+    """Crawl-frontier streaming dedup keyed on the CANONICAL URL:
+    tracking-param/case/port variants of one page collapse to a single
+    kept row across micro-batches (the canonicalizer runs in-stream as
+    a Column chain, then dropDuplicates holds the seen set in the state
+    store)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import canonicalize_url
+
+    src_dir = str(tmp_path / "frontier_in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "b1.json"), "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 1, "url": "HTTP://A.com:80/p?utm_source=x&k=1"}) + "\n")
+        fh.write(_json.dumps(
+            {"doc_id": 2, "url": "http://b.com/q"}) + "\n")
+    with open(os.path.join(src_dir, "b2.json"), "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 3, "url": "http://A.COM/p?k=1&fbclid=z"}) + "\n")
+        fh.write(_json.dumps(
+            {"doc_id": 4, "url": "http://c.com/r"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    out = stream.withColumn(
+        "canonical_url", canonicalize_url(F.col("url"))
+    ).dropDuplicates(["canonical_url"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_url_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "frontier_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stream_url_dedup").collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    # doc 3 is the same page as doc 1 after canonicalization
+    assert kept == [1, 2, 4]

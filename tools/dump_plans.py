@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Regenerate PLANS_r6.md: `explain('formatted')` dumps of the flagship
+queries whose physical-plan properties the plan-quality tests pin.
+
+Usage: python tools/dump_plans.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+FLAGSHIP = [
+    ("q1_pricing_summary",
+     "Scan+agg: filters pushed to parquet, pruned ReadSchema, "
+     "partial+final HashAggregate in one whole-stage-codegen span."),
+    ("q3_bucketed",
+     "Bucketed fact join: zero Exchange on the fact side (bucket "
+     "co-location replaces the shuffle)."),
+    ("crawl_pipeline",
+     "End-to-end crawl chain: exactly two hash exchanges (capture "
+     "window, digest window); parse/extract/canonicalize/gate all live "
+     "in the scan stage."),
+    ("incremental_dedup",
+     "Daily increment vs corpus: both joins BroadcastHashJoin; the "
+     "corpus never hash-partitions."),
+    ("semantic_dedup",
+     "SemDeDup: Arrow-matmul cell assignment map-side; only (id, cell) "
+     "and id-pairs shuffle; label propagation rounds with bounded "
+     "lineage."),
+    ("bpe_tokenize",
+     "Subword encode: Exchange-free — broadcast vocab, one Arrow UDF "
+     "pass inside the scan stage."),
+    ("temperature_mixture",
+     "p^alpha mixture sample: zero exchanges — one map-side hash "
+     "predicate over the scan."),
+    ("embedding_ivf_quantized",
+     "Quantized IVF serving: int8 store scanned, cell equi-join bounds "
+     "candidates, broadcast query side."),
+]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "PLANS_r6.md"
+
+    from trollflow2_spark.queries import QUERIES
+    from trollflow2_spark.session import get_spark
+
+    spark = get_spark("plans")
+    out = [
+        "# PLANS — physical plans of flagship queries (round 6, sf0.01)",
+        "",
+        "Generated with `df.explain('formatted')`. These are the plans the",
+        "plan-quality tests in `tests/test_plans.py` pin; regenerate with",
+        "`python tools/dump_plans.py`.",
+        "",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name, note in FLAGSHIP:
+        df = QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines = plan.splitlines()
+        out += [f"## {name}", "", note, "", "```"]
+        out += lines[:120]
+        if len(lines) > 120:
+            out.append(f"... ({len(lines) - 120} detail lines trimmed)")
+        out += ["```", ""]
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print(f"wrote {out_path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
