@@ -124,6 +124,7 @@ OPERATORS = [
     "host_pagerank",  # link extraction + iterative power method (3 rounds)
     "temperature_mixture",  # p^alpha language rebalancing, one-scan sample
     "frame_sample_webp",  # animated WebP (VP8X/ANMF) real frame decode
+    "event_time_windows",  # tumbling event-time buckets (one hash agg)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

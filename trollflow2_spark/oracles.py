@@ -597,6 +597,16 @@ SELECT doc_id, canonical_url, text,
 FROM ded WHERE length(text) >= 10
 """
 
+# tumbling event-time windows: Spark's F.window('1 hour') buckets are
+# epoch-aligned, identical to date_trunc('hour') for hour-divisible
+# widths; the sum accumulates in exact decimal before the double cast
+ORACLES["event_time_windows"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 # crawl-level URL dedup: newest capture per canonical URL (ties to the
 # lowest doc_id); the canonical form is stated closed-form, the window
 # replayed identically

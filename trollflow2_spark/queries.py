@@ -1326,6 +1326,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows as a BATCH contract query: Spark's
+    native ``F.window`` (epoch-aligned 1-hour buckets — the same
+    operator Structured Streaming aggregates on, so the batch oracle
+    also validates the streaming tier's bucketing) with per-(window,
+    type) counts and an exact decimal value sum. One hash agg; the
+    window struct is derived map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("_sv"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("_sv").cast("double").alias("sum_value"),
+    )
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced language mixture (p^alpha rebalancing, the
     XLM-R / mT5 scheme): per-lang keep rates computed driver-side from
@@ -3147,6 +3172,7 @@ QUERIES = {
     "embedding_ivf_quantized": q_embedding_ivf_quantized,
     "host_pagerank": q_host_pagerank,
     "temperature_mixture": q_temperature_mixture,
+    "event_time_windows": q_event_time_windows,
     "incremental_dedup": q_incremental_dedup,
     "incremental_lsh_matches": q_incremental_lsh_matches,
     "incremental_neardup": q_incremental_neardup,
