@@ -853,8 +853,23 @@ def test_libarchive_spec_dispatches_by_magic(sf_dir, tmp_path):
 
     assert pq.read_table(paths[0]).num_rows > 0  # decompressed intact
 
-    # exotic format: 7z magic raises with guidance
+    # corrupt 7z (valid magic, garbage body) raises loudly
     seven = tmp_path / "x.7z"
     seven.write_bytes(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 64)
     with pytest.raises(SceneCreationError):
         resolve_filesystem_paths(msg_for(seven, "whatever"))
+
+    # real 7z archives round-trip through the repo's own parser —
+    # LZMA2 solid with an encoded header, the shape 7-Zip writes
+    from trollflow2_spark.sources.sevenzip import write_7z
+
+    with open(src, "rb") as fh:
+        payload = fh.read()
+    sz = tmp_path / "bundle3.7z"
+    sz.write_bytes(write_7z(
+        [("s/events.parquet", payload), ("s/readme.txt", b"hi")],
+        codec="lzma2", encode_header=True,
+    ))
+    paths = resolve_filesystem_paths(msg_for(sz, "s/events.parquet"))
+    assert os.path.exists(paths[0])
+    assert pq.read_table(paths[0]).num_rows > 0

@@ -106,13 +106,37 @@ def _extract_archive_members(
     list, never a data scan — Spark then reads the extracted local files
     natively (archives have no Hadoop FS layer, ≙ the fsspec
     ZipFileSystem round-trip in ``tests/test_launcher.py:205-246``).
-    ``kind`` is ``zip`` or ``tar`` (stdlib-only; tar auto-detects
-    gz/bz2/xz compression)."""
+    ``kind`` is ``zip``, ``tar`` (stdlib-only; tar auto-detects
+    gz/bz2/xz compression) or ``7z`` (the repo's own stdlib-lzma
+    container parser, `sources/sevenzip.py`)."""
     import tempfile
     import zipfile
 
     out_dir = workdir or tempfile.mkdtemp(prefix=f"tf2_{kind}_")
     out = []
+    if kind == "7z":
+        from trollflow2_spark.sources.sevenzip import parse_7z
+
+        with open(archive_path, "rb") as fh:
+            raw = fh.read()
+        try:
+            entries = dict(parse_7z(raw))
+        except Exception as e:  # corrupt or out-of-scope coder chain
+            raise SceneCreationError(f"unreadable 7z archive: {e}")
+        for m in members:
+            name = m.lstrip("/")
+            if name not in entries:
+                raise SceneCreationError(
+                    f"member {m!r} not present in 7z archive"
+                )
+            if "/" in name and (".." in name.split("/")):
+                raise SceneCreationError(f"unsafe 7z member {m!r}")
+            target = os.path.join(out_dir, name)
+            os.makedirs(os.path.dirname(target) or out_dir, exist_ok=True)
+            with open(target, "wb") as dst:
+                dst.write(entries[name])
+            out.append(target)
+        return out
     if kind == "zip":
         with zipfile.ZipFile(archive_path) as zf:
             for m in members:
@@ -148,13 +172,15 @@ def _sniff_archive_kind(archive_path: str) -> str:
         head = fh.read(512)
     if head[:4] == b"PK\x03\x04":
         return "zip"
+    if head[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"
     if head[:2] == b"\x1f\x8b" or head[:3] == b"BZh" or head[:6] == b"\xfd7zXZ\x00":
         return "compressed"
     if len(head) >= 262 and head[257:262] == b"ustar":
         return "tar"
     raise SceneCreationError(
         f"unrecognized archive format at {archive_path!r} (supported: zip, "
-        "tar, tar.gz/bz2/xz, single gz/bz2/xz members); unpack upstream"
+        "7z, tar, tar.gz/bz2/xz, single gz/bz2/xz members); unpack upstream"
     )
 
 
@@ -232,9 +258,11 @@ def resolve_filesystem_paths(message: dict) -> list[str]:
             if not fo:
                 raise SceneCreationError(f"{protocol} spec for {f!r} lacks 'fo' target")
             if protocol == "libarchive":
-                # dispatch by magic the way libarchive itself would
+                # dispatch by magic the way libarchive itself would;
+                # "compressed" rides the tar opener (it falls back to
+                # the single-member decompressors)
                 kind = _sniff_archive_kind(fo)
-                protocol = "zip" if kind == "zip" else "tar"
+                protocol = kind if kind in ("zip", "7z") else "tar"
             prefix = f"{protocol}://"
             member = f[len(prefix):] if f.startswith(prefix) else f.lstrip("/")
             arc_groups.setdefault((protocol, fo), []).append(member)
