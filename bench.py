@@ -125,6 +125,7 @@ OPERATORS = [
     "temperature_mixture",  # p^alpha language rebalancing, one-scan sample
     "frame_sample_webp",  # animated WebP (VP8X/ANMF) real frame decode
     "event_time_windows",  # tumbling event-time buckets (one hash agg)
+    "robots_filter",  # robots.txt Disallow-prefix gate (array fold, no UDF)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -607,6 +607,24 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# robots politeness gate: the disallow-prefix fold replayed with list
+# ops over the same closed-form per-domain rules
+ORACLES["robots_filter"] = """
+WITH b AS (
+  SELECT doc_id,
+    'site' || (doc_id % 20) || '.com' AS domain,
+    '/p/' || (doc_id % 40) AS path,
+    CASE WHEN (doc_id % 20) % 2 = 0
+         THEN ['/p/1', '/p/2'] ELSE ['/p/1'] END AS rules
+  FROM documents
+)
+SELECT doc_id, domain, path,
+  CAST(len(rules) AS INTEGER) AS n_rules,
+  CASE WHEN len(list_filter(rules,
+        r -> substr(path, 1, len(r)) = r)) > 0 THEN 0 ELSE 1 END AS allowed
+FROM b
+"""
+
 # crawl-level URL dedup: newest capture per canonical URL (ties to the
 # lowest doc_id); the canonical form is stated closed-form, the window
 # replayed identically

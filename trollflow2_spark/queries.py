@@ -1643,6 +1643,54 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt politeness gate: per-domain robots bodies (closed-form
+    fixtures) parse to their ``Disallow:`` prefixes with Column
+    line-splitting, and every URL is allowed iff NO disallow rule
+    prefixes its path (true robots prefix semantics — "/p/1" blocks
+    "/p/10" too). The rules table is domain-cardinality and the match
+    is a higher-order ``exists`` over a small array — at 100 TB this is
+    a broadcast of the rules against the scan, zero Python.
+
+    Documented subset: Disallow-only under ``User-agent: *`` (no
+    Allow-overrides/wildcards — the 80% case; a full matcher slots in
+    as the same per-URL array fold)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    k = (d % 20).cast("long")
+    domain = F.concat(F.lit("site"), k.cast("string"), F.lit(".com"))
+    path = F.concat(F.lit("/p/"), (d % 40).cast("string"))
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /p/1\n"),
+        F.when(k % 2 == 0, F.lit("Disallow: /p/2\n")).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 1\n"),
+    )
+    rules = F.transform(
+        F.filter(
+            F.split(robots, "\n"),
+            lambda ln: ln.startswith("Disallow: "),
+        ),
+        lambda ln: F.substring(ln, 11, 1000),
+    )
+    base = docs.select(
+        d.alias("doc_id"),
+        domain.alias("domain"),
+        path.alias("path"),
+        rules.alias("rules"),
+    )
+    blocked = F.exists(
+        F.col("rules"),
+        lambda r: F.col("path").substr(F.lit(1), F.length(r)) == r,
+    )
+    return base.select(
+        "doc_id",
+        "domain",
+        "path",
+        F.size("rules").alias("n_rules"),
+        F.when(blocked, 0).otherwise(1).alias("allowed"),
+    )
+
+
 def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-level URL dedup: keep the NEWEST capture of each canonical
     URL (recrawls reach the same page repeatedly; the freshest capture
@@ -3165,6 +3213,7 @@ QUERIES = {
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
     "url_dedup_latest": q_url_dedup_latest,
+    "robots_filter": q_robots_filter,
     "nb_lang_classifier": q_nb_lang_classifier,
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "crawl_pipeline": q_crawl_pipeline,
