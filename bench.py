@@ -126,6 +126,7 @@ OPERATORS = [
     "frame_sample_webp",  # animated WebP (VP8X/ANMF) real frame decode
     "event_time_windows",  # tumbling event-time buckets (one hash agg)
     "robots_filter",  # robots.txt Disallow-prefix gate (array fold, no UDF)
+    "hashed_embedding",  # hashing-trick text vectors (model-free, one pass)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

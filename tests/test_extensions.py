@@ -1539,3 +1539,36 @@ def test_temperature_sample_rebalances_toward_flat(spark, sf_dir):
     counts = {k: int(v * n) for k, v in in_share.items()}
     rates = temperature_rates(counts, alpha=1.0, target_frac=0.3)
     assert all(abs(v - 0.3) < 1e-9 for v in rates.values())
+
+
+def test_hashed_embedding_feeds_vector_neardup(spark):
+    """The hashing-trick vectors plug into the embedding near-dup tier:
+    re-worded duplicates of a document land at high cosine, unrelated
+    text does not — a model-free text->vector->dedup path end to end."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.similarity import cosine
+    from trollflow2_spark.extensions.text import hashed_embedding
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river"),
+        (1, "the quick brown fox jumps over the lazy dog near the river "
+            "today"),  # near-dup of 0
+        (2, "completely different subject matter entirely about spark "
+            "plans and shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = hashed_embedding(df, dim=64)
+    a = emb.select(F.col("doc_id").alias("ia"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("doc_id").alias("ib"),
+                   F.col("embedding").alias("eb"))
+    pairs = {
+        (r["ia"], r["ib"]): r["cos"]
+        for r in a.crossJoin(b).filter(F.col("ia") < F.col("ib")).select(
+            "ia", "ib",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos"),
+        ).collect()
+    }
+    assert pairs[(0, 1)] > 0.9
+    assert pairs[(0, 2)] < 0.5 and pairs[(1, 2)] < 0.5

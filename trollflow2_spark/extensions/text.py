@@ -529,3 +529,49 @@ def normalize_text(col: Column) -> Column:
     )
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    embeddings: every token hashes into one of ``dim`` buckets, the
+    per-doc bucket counts L1-normalize into a dense vector — a
+    model-free text embedding that feeds the repo's entire vector tier
+    (cosine near-dup, ANN, k-means cells, SemDeDup) without any
+    external encoder. No vocabulary to build or broadcast: the hash IS
+    the vocabulary, which is what lets it run over 100 TB in one pass.
+
+    Shape: explode -> (id, bucket) hash agg (map-side combined; shuffle
+    carries at most dim rows per doc) -> per-doc map assembly -> dense
+    array via a sequence transform. No UDFs, no shuffle of the text.
+    Output: (id, n_tokens, embedding array<double>).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
+    ).select(
+        id_col,
+        F.pmod(hash64(F.lower(F.col("tk"))), F.lit(int(dim))).alias("b"),
+    )
+    c = tok.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("n")))
+        ).alias("m"),
+        F.sum("n").alias("n_tokens"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda i: F.round(
+            F.coalesce(
+                F.element_at(F.col("m"), i.cast("long")), F.lit(0)
+            ).cast("double")
+            / F.col("n_tokens"),
+            round_digits,
+        ),
+    )
+    return m.select(id_col, "n_tokens", emb.alias("embedding"))

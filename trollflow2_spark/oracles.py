@@ -645,6 +645,28 @@ SELECT canonical_url, doc_id, fetch_ts, n_captures FROM (
 ) WHERE rn = 1
 """
 
+# feature-hashing embeddings: hash -> bucket histogram -> L1 normalize,
+# the dense array assembled with a range transform over the bucket map
+ORACLES["hashed_embedding"] = f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest({TOKENS_SQL('text')})) AS t FROM documents
+), hb AS (
+  SELECT doc_id, {HASH64_SQL('t')} % {C.HASH_EMB_DIM} AS b FROM tok
+), c AS (
+  SELECT doc_id, b, count(*) AS n FROM hb GROUP BY doc_id, b
+), m AS (
+  SELECT doc_id,
+    map_from_entries(list(struct_pack(k := b, v := n))) AS mm,
+    CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  list_transform(range({C.HASH_EMB_DIM}),
+    i -> round(CAST(coalesce(list_extract(map_extract(mm, i), 1), 0)
+               AS DOUBLE) / n_tokens, 6)) AS embedding
+FROM m
+"""
+
 # unicode normalization: DuckDB's nfc_normalize is the independent NFC
 # implementation; the regex chain mirrors the Spark Column cleanup
 # (explicit NBSP class + ASCII \s so dialect differences cannot bite)

@@ -73,6 +73,9 @@ DOMAIN_SITE_MOD = 20  # messy-URL fixture: sites per host shape
 SEMDEDUP_THRESHOLD = 0.3  # cosine edge gate for embedding-cluster dedup
 # (synthetic embeddings are near-random; 0.3 admits the planted near-dups)
 
+# --- feature hashing --------------------------------------------------------
+HASH_EMB_DIM = 64  # hashing-trick embedding dimensionality
+
 # --- temperature-balanced mixture ------------------------------------------
 TEMP_ALPHA = 0.7  # sampling temperature: q_l proportional to p_l^alpha
 TEMP_TARGET_FRAC = 0.5  # sampled corpus size as a fraction of the input

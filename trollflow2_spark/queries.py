@@ -1218,6 +1218,18 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_greedy(subset, vocab)
 
 
+def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (the hashing trick): model-free dense
+    text vectors from token-bucket counts — the entry point that feeds
+    real documents into the vector tier (near-dup, ANN, SemDeDup)
+    without an external encoder. The oracle replays the hash, the
+    bucket histogram and the L1 normalization."""
+    from trollflow2_spark.extensions.text import hashed_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_embedding(docs, dim=C.HASH_EMB_DIM)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode corpus hygiene: deterministic messy fixtures (decomposed
     vs precomposed accents, C0 control bytes, NBSP variants, tab runs)
@@ -3210,6 +3222,7 @@ QUERIES = {
     "domain_rollup": q_domain_rollup,
     "semantic_dedup": q_semantic_dedup,
     "text_normalize": q_text_normalize,
+    "hashed_embedding": q_hashed_embedding,
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
     "url_dedup_latest": q_url_dedup_latest,
