@@ -96,3 +96,37 @@ def test_scene_dispatch_reads_7z(tmp_path):
     )
     with open(out[0], "rb") as fh:
         assert fh.read() == MEMBERS[1][1]
+
+
+def test_payload_crc_verified_on_parse():
+    """The writer emits substream digests and the parser VERIFIES them:
+    a bit flip inside a Copy-codec pack stream (which still 'decodes')
+    is caught by CRC, not passed through silently."""
+    blob = bytearray(write_7z(MEMBERS, codec="copy"))
+    # corrupt the first payload byte (data starts at offset 32)
+    blob[40] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_7z(bytes(blob))
+
+
+def test_selective_member_decode():
+    """members= returns only the requested entries (and at scale skips
+    decompressing folders that hold none of them)."""
+    blob = write_7z(MEMBERS, codec="lzma2")
+    got = parse_7z(blob, members=["dir/b.bin"])
+    assert got == [("dir/b.bin", MEMBERS[1][1])]
+    assert parse_7z(blob, members=["nope"]) == []
+
+
+def test_scene_dispatch_rejects_traversal(tmp_path):
+    from trollflow2_spark.sources.scene import (
+        SceneCreationError,
+        _extract_archive_members,
+    )
+
+    arc = tmp_path / "m.7z"
+    arc.write_bytes(write_7z(MEMBERS))
+    with pytest.raises(SceneCreationError, match="unsafe"):
+        _extract_archive_members(str(arc), [".."], kind="7z")
+    with pytest.raises(SceneCreationError, match="unsafe"):
+        _extract_archive_members(str(arc), ["a/../b"], kind="7z")

@@ -119,18 +119,25 @@ def _extract_archive_members(
 
         with open(archive_path, "rb") as fh:
             raw = fh.read()
+        wanted = [m.lstrip("/") for m in members]
+        for m, name in zip(members, wanted):
+            if ".." in name.split("/"):
+                raise SceneCreationError(f"unsafe 7z member {m!r}")
         try:
-            entries = dict(parse_7z(raw))
+            # selective decode: only folders holding requested members
+            entries = dict(parse_7z(raw, members=wanted))
         except Exception as e:  # corrupt or out-of-scope coder chain
             raise SceneCreationError(f"unreadable 7z archive: {e}")
         for m in members:
             name = m.lstrip("/")
+            if name + "/" in entries:
+                raise SceneCreationError(
+                    f"7z member {m!r} is a directory, not a file"
+                )
             if name not in entries:
                 raise SceneCreationError(
                     f"member {m!r} not present in 7z archive"
                 )
-            if "/" in name and (".." in name.split("/")):
-                raise SceneCreationError(f"unsafe 7z member {m!r}")
             target = os.path.join(out_dir, name)
             os.makedirs(os.path.dirname(target) or out_dir, exist_ok=True)
             with open(target, "wb") as dst:

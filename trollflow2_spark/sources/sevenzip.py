@@ -152,13 +152,17 @@ def _decode_folder(coder_id: bytes, props: bytes, packed: bytes,
 
 def _parse_streams_info(r: _Reader):
     """Parse a StreamsInfo block -> (pack_pos, pack_sizes, folders,
-    substreams) where folders = [(coder_id, props, unpack_size)] and
-    substreams = per-folder list of substream sizes (or None)."""
+    sub_sizes, sub_crcs) where folders = [(coder_id, props,
+    unpack_size)], sub_sizes = per-folder substream sizes, and
+    sub_crcs = per-substream expected CRC32 (or None when the archive
+    carries none) in global stream order."""
     pack_pos = 0
     pack_sizes: list[int] = []
     folders: list[tuple] = []
+    folder_crcs: list = []
     sub_sizes = None
     sub_crcs = None
+    n_per_folder = None
     while True:
         pid = r.number()
         if pid == _K_END:
@@ -209,15 +213,18 @@ def _parse_streams_info(r: _Reader):
                 (cid, props, size)
                 for (cid, props), size in zip(raw_folders, sizes)
             ]
+            folder_crcs = [None] * len(folders)
             while True:
                 p = r.number()
                 if p == _K_END:
                     break
                 if p == _K_CRC:
                     defined = r.bitvector_or_all(len(folders))
-                    for d in defined:
+                    for fi, d in enumerate(defined):
                         if d:
-                            r.bytes(4)
+                            folder_crcs[fi] = struct.unpack(
+                                "<I", r.bytes(4)
+                            )[0]
                 else:
                     raise ValueError(f"7z: unexpected UnpackInfo prop {p}")
         elif pid == _K_SUBSTREAMS:
@@ -236,13 +243,32 @@ def _parse_streams_info(r: _Reader):
                         sizes.append(folders[fi][2] - sum(sizes))
                         sub_sizes.append(sizes)
                 elif p == _K_CRC:
-                    total = sum(n_per_folder)
-                    defined = r.bitvector_or_all(total)
-                    sub_crcs = []
-                    for d in defined:
-                        sub_crcs.append(
-                            struct.unpack("<I", r.bytes(4))[0] if d else None
+                    # spec: digests cover only streams whose CRC is not
+                    # already known — a single-substream folder with a
+                    # defined folder CRC is excluded
+                    known = [
+                        n == 1 and fc is not None
+                        for n, fc in zip(
+                            n_per_folder, folder_crcs or [None] * len(folders)
                         )
+                    ]
+                    n_unknown = sum(
+                        n for n, k in zip(n_per_folder, known) if not k
+                    )
+                    defined = r.bitvector_or_all(n_unknown)
+                    unk_vals = [
+                        struct.unpack("<I", r.bytes(4))[0] if d else None
+                        for d in defined
+                    ]
+                    sub_crcs = []
+                    ui = 0
+                    for fi, n in enumerate(n_per_folder):
+                        if known[fi]:
+                            sub_crcs.append(folder_crcs[fi])
+                        else:
+                            for _ in range(n):
+                                sub_crcs.append(unk_vals[ui])
+                                ui += 1
                 else:
                     raise ValueError(f"7z: unexpected SubStreams prop {p}")
             if sub_sizes is None:
@@ -256,6 +282,14 @@ def _parse_streams_info(r: _Reader):
             raise ValueError(f"7z: unexpected StreamsInfo prop {pid}")
     if sub_sizes is None:
         sub_sizes = [[f[2]] for f in folders]
+    if (
+        sub_crcs is None
+        and any(fc is not None for fc in folder_crcs)
+        and all(len(x) == 1 for x in sub_sizes)
+    ):
+        # no SubStreamsInfo digests, but folder digests exist and every
+        # folder is a single stream — the folder CRC IS the stream CRC
+        sub_crcs = list(folder_crcs)
     return pack_pos, pack_sizes, folders, sub_sizes, sub_crcs
 
 
@@ -269,9 +303,13 @@ def _decode_all_folders(data: bytes, base: int, pack_pos, pack_sizes,
     return out
 
 
-def parse_7z(data: bytes) -> list[tuple[str, bytes]]:
-    """Parse a 7z archive into ``[(name, payload)]`` (empty files and
-    directories yield empty payloads; directories end with '/')."""
+def parse_7z(data: bytes, members=None) -> list[tuple[str, bytes]]:
+    """Parse a 7z archive into ``[(name, payload)]``. Empty files yield
+    empty payloads; directory entries are marked with a trailing '/'.
+    Carried CRC32 digests (folder or substream) are VERIFIED against
+    the decoded payloads. With ``members`` (an iterable of names), only
+    the folders containing a requested member are decompressed — the
+    single-member-from-a-big-archive case never decodes the rest."""
     if data[:6] != _SIGNATURE:
         raise ValueError("not a 7z archive")
     crc_stored = struct.unpack("<I", data[8:12])[0]
@@ -299,20 +337,23 @@ def parse_7z(data: bytes) -> list[tuple[str, bytes]]:
     pack_pos = 0
     pack_sizes: list[int] = []
     sub_sizes = [[0]]
+    sub_crcs = None
     names: list[str] = []
     empty_stream: list[bool] = []
+    empty_file: list[bool] = []
     n_files = 0
     while True:
         pid = r.number()
         if pid == _K_END:
             break
         if pid == _K_MAIN_STREAMS:
-            pack_pos, pack_sizes, folders, sub_sizes, _crcs = (
+            pack_pos, pack_sizes, folders, sub_sizes, sub_crcs = (
                 _parse_streams_info(r)
             )
         elif pid == _K_FILES_INFO:
             n_files = r.number()
             empty_stream = [False] * n_files
+            empty_file = []
             while True:
                 p = r.number()
                 if p == _K_END:
@@ -327,30 +368,91 @@ def parse_7z(data: bytes) -> list[tuple[str, bytes]]:
                     # UTF-16LE names, NUL-terminated back to back
                     u = r.bytes(end - r.i).decode("utf-16-le")
                     names = [part for part in u.split("\x00") if part != ""]
+                elif p == _K_EMPTY_FILE:
+                    n_empty = sum(empty_stream)
+                    empty_file = r.bitvector(n_empty)
                 else:
-                    pass  # mtime/attributes/empty-file: skipped
+                    pass  # mtime/attributes: skipped
                 r.i = end
         else:
             raise ValueError(f"7z: unexpected header prop {pid}")
 
-    payloads = []
-    if folders:
-        decoded = _decode_all_folders(data, 32, pack_pos, pack_sizes, folders)
-        for folder_bytes, sizes in zip(decoded, sub_sizes):
-            off = 0
-            for s in sizes:
-                payloads.append(folder_bytes[off:off + s])
-                off += s
     if not names:
         names = [f"member{i}" for i in range(n_files)]
-    out = []
+    # directory entries: empty stream WITHOUT the empty-file flag
+    ei = 0
+    is_dir = [False] * n_files
+    for fi in range(n_files):
+        if empty_stream[fi]:
+            is_empty_file = empty_file[ei] if ei < len(empty_file) else True
+            is_dir[fi] = not empty_file or not is_empty_file
+            if not empty_file:
+                # no kEmptyFile record at all: 7z convention is that
+                # bare empty streams are directories — but archives our
+                # writer produces carry no directories, and telling the
+                # two apart without the record is impossible; treat as
+                # empty FILES unless attributes say otherwise
+                is_dir[fi] = False
+            ei += 1
+
+    # map each non-empty file to its (folder, offset, size, crc)
+    stream_meta = []  # (folder_idx, offset_in_folder, size, expected_crc)
+    si = 0
+    for fi_, sizes in enumerate(sub_sizes):
+        off = 0
+        for sz in sizes:
+            crc = sub_crcs[si] if sub_crcs else None
+            stream_meta.append((fi_, off, sz, crc))
+            off += sz
+            si += 1
+    file_stream = []  # per file: stream index or None
     pi = 0
     for fi in range(n_files):
         if empty_stream[fi]:
-            out.append((names[fi], b""))
+            file_stream.append(None)
         else:
-            out.append((names[fi], payloads[pi]))
+            file_stream.append(pi)
             pi += 1
+
+    want = None if members is None else {m.rstrip("/") for m in members}
+    needed_folders = set()
+    for fi in range(n_files):
+        st = file_stream[fi]
+        if st is None:
+            continue
+        if want is None or names[fi] in want:
+            needed_folders.add(stream_meta[st][0])
+
+    decoded: dict[int, bytes] = {}
+    if folders and needed_folders:
+        off = 32 + pack_pos
+        offs = []
+        for psize in pack_sizes:
+            offs.append(off)
+            off += psize
+        for fidx in sorted(needed_folders):
+            cid, props, usize = folders[fidx]
+            fb = _decode_folder(
+                cid, props,
+                data[offs[fidx]:offs[fidx] + pack_sizes[fidx]], usize,
+            )
+            decoded[fidx] = fb
+
+    out = []
+    for fi in range(n_files):
+        name = names[fi] + ("/" if is_dir[fi] else "")
+        st = file_stream[fi]
+        if st is None:
+            if want is None or names[fi] in want:
+                out.append((name, b""))
+            continue
+        if want is not None and names[fi] not in want:
+            continue
+        fidx, off_in, sz, crc = stream_meta[st]
+        payload = decoded[fidx][off_in:off_in + sz]
+        if crc is not None and zlib.crc32(payload) != crc:
+            raise ValueError(f"7z: CRC mismatch for member {names[fi]!r}")
+        out.append((name, payload))
     return out
 
 
@@ -420,7 +522,8 @@ def write_7z(
         raise ValueError("codec must be 'copy', 'lzma1' or 'lzma2'")
 
     def streams_info(w: _Writer, pack_pos: int, packed_len: int,
-                     unpack_len: int, sub: list[int] | None) -> None:
+                     unpack_len: int, sub: list[int] | None,
+                     crcs: list[int] | None = None) -> None:
         w.number(_K_PACK_INFO)
         w.number(pack_pos)
         w.number(1)
@@ -440,20 +543,27 @@ def write_7z(
         w.number(_K_UNPACK_SIZES)
         w.number(unpack_len)
         w.number(_K_END)
-        if sub is not None and len(sub) != 1:
+        if sub is not None and (len(sub) != 1 or crcs):
             w.number(_K_SUBSTREAMS)
-            w.number(_K_NUM_UNPACK_STREAM)
-            w.number(len(sub))
-            w.number(_K_SIZE)
-            for s in sub[:-1]:
-                w.number(s)
+            if len(sub) != 1:
+                w.number(_K_NUM_UNPACK_STREAM)
+                w.number(len(sub))
+                w.number(_K_SIZE)
+                for s in sub[:-1]:
+                    w.number(s)
+            if crcs:
+                w.number(_K_CRC)
+                w.byte(1)  # all digests defined
+                for c in crcs:
+                    w.raw(struct.pack("<I", c))
             w.number(_K_END)
         w.number(_K_END)
 
+    crcs = [zlib.crc32(pme) for _n, pme in members]
     hw = _Writer()
     hw.number(_K_HEADER)
     hw.number(_K_MAIN_STREAMS)
-    streams_info(hw, 0, len(packed), len(payload), sizes)
+    streams_info(hw, 0, len(packed), len(payload), sizes, crcs)
     hw.number(_K_FILES_INFO)
     hw.number(len(members))
     names_raw = b"".join(
