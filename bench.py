@@ -127,6 +127,7 @@ OPERATORS = [
     "event_time_windows",  # tumbling event-time buckets (one hash agg)
     "robots_filter",  # robots.txt Disallow-prefix gate (array fold, no UDF)
     "hashed_embedding",  # hashing-trick text vectors (model-free, one pass)
+    "pack_sequences_bpe",  # packing by REAL tokenizer counts (tokenize->pack)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

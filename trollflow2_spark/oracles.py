@@ -988,8 +988,22 @@ def _bpe_oracle_sql() -> str | None:
     vocab = train_bpe_vocab(words, n_merges=C.BPE_MERGES)
     values = ",".join("('{}')".format(v.replace("'", "''")) for v in vocab)
     unk = C.BPE_UNK
+    body = _bpe_cte_body(values, unk)
     return f"""
-WITH RECURSIVE vocab(tok) AS (
+WITH RECURSIVE {body}
+SELECT doc_id, tokens_str,
+  CAST(len(string_split(tokens_str, ' ')) AS INTEGER) AS n_tokens,
+  CAST((length(tokens_str) -
+        length(replace(tokens_str, '{unk}', ''))) / {len(unk)}
+       AS INTEGER) AS n_unk
+FROM agg
+"""
+
+
+def _bpe_cte_body(values: str, unk: str) -> str:
+    """The vocab->words->greedy-step->agg CTE chain, reusable by every
+    oracle that consumes the BPE token stream (tokenize, packing)."""
+    return f"""vocab(tok) AS (
   SELECT * FROM (VALUES {values}) v(t)
 ),
 norm AS (
@@ -1034,19 +1048,67 @@ done AS (
 agg AS (
   SELECT doc_id, string_agg(toks, ' ' ORDER BY wpos) AS tokens_str
   FROM done GROUP BY doc_id
-)
-SELECT doc_id, tokens_str,
-  CAST(len(string_split(tokens_str, ' ')) AS INTEGER) AS n_tokens,
-  CAST((length(tokens_str) -
-        length(replace(tokens_str, '{unk}', ''))) / {len(unk)}
-       AS INTEGER) AS n_unk
-FROM agg
-"""
+)"""
 
 
 _bpe_sql = _bpe_oracle_sql()
 if _bpe_sql is not None:
     ORACLES["bpe_tokenize"] = _bpe_sql
+
+
+def _bpe_pack_oracle_sql() -> str | None:
+    """Packing by REAL tokenizer counts: the BPE CTE chain supplies
+    n_tokens, then the standard shard/cumsum/bin replay."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from trollflow2_spark.extensions.tokenizer import (
+        normalize_for_bpe,
+        train_bpe_vocab,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{path}' ORDER BY doc_id LIMIT {C.BPE_SAMPLE_N}"
+    ).fetchall()
+    words: list = []
+    for (t,) in rows:
+        words.extend(normalize_for_bpe(t or ""))
+    vocab = train_bpe_vocab(words, n_merges=C.BPE_MERGES)
+    values = ",".join("('{}')".format(v.replace("'", "''")) for v in vocab)
+    body = _bpe_cte_body(values, C.BPE_UNK)
+    return f"""
+WITH RECURSIVE {body},
+d AS (
+  SELECT doc_id,
+    CAST(len(string_split(tokens_str, ' ')) AS BIGINT) AS n_tokens,
+    CAST(({HASH64_SQL('CAST(doc_id AS VARCHAR)', C.PACK_SEED)}
+      % {C.PACK_SHARDS}) AS INT) AS shard
+  FROM agg
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+    ) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+  CAST(floor((cum_tokens - n_tokens) / {float(C.PACK_BUDGET)}) AS INT) AS bin,
+  cum_tokens
+FROM c
+"""
+
+
+_bpe_pack_sql = _bpe_pack_oracle_sql()
+if _bpe_pack_sql is not None:
+    ORACLES["pack_sequences_bpe"] = _bpe_pack_sql
 
 
 def _semantic_dedup_oracle_sql() -> str | None:

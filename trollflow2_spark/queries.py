@@ -1230,6 +1230,32 @@ def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_embedding(docs, dim=C.HASH_EMB_DIM)
 
 
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by the REAL tokenizer: the BPE token
+    stream's counts (not the regex estimator) feed the shard/cumsum
+    bin assignment — tokenize -> pack is the training-data endgame,
+    and the whole chain stays map + one sharded window."""
+    from trollflow2_spark.extensions.sampling import pack_sequences
+    from trollflow2_spark.extensions.tokenizer import (
+        sample_vocab,
+        tokenize_greedy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = sample_vocab(docs)
+    subset = docs.filter(F.col("doc_id") % C.BPE_DOC_MOD == 0)
+    counted = tokenize_greedy(subset, vocab).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(
+        counted,
+        budget=C.PACK_BUDGET,
+        token_col="n_tokens",
+        n_shards=C.PACK_SHARDS,
+        seed=C.PACK_SEED,
+    ).select("doc_id", "n_tokens", "shard", "bin", "cum_tokens")
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode corpus hygiene: deterministic messy fixtures (decomposed
     vs precomposed accents, C0 control bytes, NBSP variants, tab runs)
@@ -3223,6 +3249,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "text_normalize": q_text_normalize,
     "hashed_embedding": q_hashed_embedding,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
     "url_dedup_latest": q_url_dedup_latest,
