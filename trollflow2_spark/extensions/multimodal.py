@@ -77,6 +77,10 @@ def decode_media(
       codes, color cache, LZ77 plane-coded distances; conformance
       pinned against libwebp in tests); lossy VP8 raises with
       guidance;
+    - ``image/gif``: REAL decode through the repo's from-scratch GIF
+      codec (:func:`trollflow2_spark.sinks.gif.decode_gif` — LZW,
+      global/local palettes, interlacing, GIF89a transparency) —
+      statistics over the first composited frame;
     - ``audio/wav``: REAL decode through the stdlib ``wave`` module —
       statistics over the decoded PCM samples; the dimension columns
       carry ``width=sample_rate``, ``height=frames per channel``,
@@ -135,16 +139,18 @@ def decode_media(
             is_tif = np.array([t == "image/tiff" for t in mtypes])
             is_jpg = np.array([t == "image/jpeg" for t in mtypes])
             is_webp = np.array([t == "image/webp" for t in mtypes])
+            is_gif = np.array([t == "image/gif" for t in mtypes])
             is_wav = np.array([t == "audio/wav" for t in mtypes])
             is_flac = np.array([t == "audio/flac" for t in mtypes])
-            is_img = is_png | is_tif | is_jpg | is_webp
+            is_img = is_png | is_tif | is_jpg | is_webp | is_gif
             is_audio = is_wav | is_flac
             if not fake and not (is_img | is_audio).all():
                 raise NotImplementedError(
                     "media decode beyond image/png, image/tiff, image/jpeg, "
-                    "image/webp (lossless), audio/wav and audio/flac requires "
-                    "a codec library not present in this environment; pass "
-                    "fake=True for the deterministic byte-statistics decoder"
+                    "image/webp (lossless), image/gif, audio/wav and "
+                    "audio/flac requires a codec library not present in this "
+                    "environment; pass fake=True for the deterministic "
+                    "byte-statistics decoder"
                 )
             lens = np.zeros(n, dtype=np.int64)
             means = np.zeros(n, dtype=np.float64)
@@ -169,6 +175,10 @@ def decode_media(
                         from trollflow2_spark.sinks.webp import decode_webp
 
                         arr = decode_webp(bytes(payload[i]))
+                    elif is_gif[i]:
+                        from trollflow2_spark.sinks.gif import decode_gif
+
+                        arr = decode_gif(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -289,8 +299,8 @@ def resize_media(
 ) -> DataFrame:
     """Resize kernel over mapInPandas.
 
-    ``image/png``, ``image/tiff``, ``image/jpeg`` and ``image/webp``
-    (lossless) resize FOR REAL:
+    ``image/png``, ``image/tiff``, ``image/jpeg``, ``image/webp``
+    (lossless) and ``image/gif`` resize FOR REAL:
     decode with the repo's stdlib codecs, nearest-neighbor index-sample
     to the target size, re-encode (TIFF re-encodes page 0 only —
     overview pages are derived data and stale after a resize; JPEG
@@ -339,13 +349,14 @@ def resize_media(
             is_tif = np.array([t == "image/tiff" for t in mtypes])
             is_jpg = np.array([t == "image/jpeg" for t in mtypes])
             is_webp = np.array([t == "image/webp" for t in mtypes])
-            is_img = is_png | is_tif | is_jpg | is_webp
+            is_gif = np.array([t == "image/gif" for t in mtypes])
+            is_img = is_png | is_tif | is_jpg | is_webp | is_gif
             if not fake and not is_img.all():
                 raise NotImplementedError(
-                    "resize beyond image/png, image/tiff, image/jpeg and "
-                    "image/webp requires an image library not present in "
-                    "this environment; pass fake=True for the metadata-only "
-                    "stub"
+                    "resize beyond image/png, image/tiff, image/jpeg, "
+                    "image/webp and image/gif requires an image library not "
+                    "present in this environment; pass fake=True for the "
+                    "metadata-only stub"
                 )
             payload = pdf[media_col].to_numpy()
             blobs = [None] * len(pdf)
@@ -363,6 +374,10 @@ def resize_media(
                         from trollflow2_spark.sinks.webp import decode_webp
 
                         arr = decode_webp(bytes(payload[i]))
+                    elif is_gif[i]:
+                        from trollflow2_spark.sinks.gif import decode_gif
+
+                        arr = decode_gif(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -383,6 +398,10 @@ def resize_media(
                     )
 
                     blob = encode_webp_lossless(out_arr)
+                elif is_gif[i]:
+                    from trollflow2_spark.sinks.gif import encode_gif
+
+                    blob = encode_gif(out_arr)
                 else:
                     blob = encode_geotiff(out_arr)
                 blobs[i] = blob
@@ -478,6 +497,15 @@ def frame_sample(
                         frames = [
                             f[:, :, 0] if f.ndim == 3 else f
                             for f in decode_webp_frames(blob)
+                        ]
+                    elif blob[:4] == b"GIF8":
+                        from trollflow2_spark.sinks.gif import (
+                            decode_gif_frames,
+                        )
+
+                        frames = [
+                            f[:, :, 0] if f.ndim == 3 else f
+                            for f in decode_gif_frames(blob)
                         ]
                     elif blob[:2] == b"\xff\xd8":
                         # MJPEG: split on SOI-followed-by-marker; byte

@@ -1909,6 +1909,46 @@ FROM px GROUP BY doc_id, f
 # per frame decodes losslessly, so frame_byte is the constant itself.
 # animated WebP: lossless VP8L frames, so sampled maxima are the
 # constants the fixture painted
+# Real GIF decode: identity-gray-palette LZW round-trips exactly, so
+# the stats are the ramp (doc_id*11 + k) % 256 over a
+# (doc_id%7+2) x (doc_id%4+2) image (odd doc_ids interlaced — a row
+# permutation, stats invariant).
+ORACLES["multimodal_decode_gif"] = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(doc_id % 7 + 2 AS BIGINT) AS w,
+    CAST(doc_id % 4 + 2 AS BIGINT) AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, w, h,
+    (doc_id * 11 + unnest(generate_series(0, w * h - 1))) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+  count(*) AS n_bytes,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(any_value(w) AS INTEGER) AS width,
+  CAST(any_value(h) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_channels
+FROM vals GROUP BY doc_id
+"""
+
+# Animated GIF: constant full-canvas frames stored as changed-bbox
+# sub-rectangles (disposal=1); compositing reconstructs each constant
+# canvas exactly, so sampled maxima are the painted constants.
+ORACLES["frame_sample_gif"] = """
+WITH spec AS (
+  SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nf FROM documents
+), frames AS (
+  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM spec
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+  CAST((doc_id * 3 + f * 17) % 256 AS INTEGER) AS frame_byte
+FROM frames WHERE f % 2 = 0
+"""
+
 ORACLES["frame_sample_webp"] = """
 WITH spec AS (
   SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nf FROM documents

@@ -2929,6 +2929,107 @@ def q_frame_sample_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n_frames=2)  # fake=False: real decode
 
 
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode: deterministic gray images (pixel ramp
+    ``(doc_id*11 + k) % 256``) are encoded with the repo's from-scratch
+    GIF89a encoder executor-side — odd doc_ids interlaced (the 8/8/4/2
+    four-pass row order), even doc_ids sequential — then ``decode_media``
+    routes ``image/gif`` through the from-scratch LZW decoder. The
+    identity gray palette makes decode exact, so the stats are
+    closed-form over the ramp."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def make_gif(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.gif import encode_gif
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 7 + 2, d % 4 + 2
+                px = ((d * 11 + np.arange(w * h)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w)
+                blob = encode_gif(px, interlace=bool(d % 2))
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/gif",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_gif, media_schema)
+    out = decode_media(media)  # fake=False: the real image/gif route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
+def q_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling: GIF89a streams with per-frame
+    Graphic Control Extensions and changed-bounding-box sub-rectangle
+    storage (disposal=1) built executor-side by the repo's own encoder,
+    then every 2nd frame composited back through the decoder — the
+    identity gray palette keeps each composited canvas exact, so the
+    sampled maxima are the constants the fixture painted."""
+    from trollflow2_spark.extensions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def make_anim(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.gif import encode_gif_animation
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = d % 5 + 2
+                frames = [
+                    np.full((5, 8), (d * 3 + f * 17) % 256, dtype=np.uint8)
+                    for f in range(n_frames)
+                ]
+                blobs.append(encode_gif_animation(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.mapInPandas(make_anim, media_schema)
+    return frame_sample(media, every_n_frames=2)  # fake=False: real decode
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (binary in, binary out, metadata rescaled) with
     the deterministic stand-in kernel. Binary output column => rows-only
@@ -3276,6 +3377,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_webp": q_multimodal_decode_webp,
+    "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
@@ -3286,6 +3388,7 @@ QUERIES = {
     "frame_sample_tiff": q_frame_sample_tiff,
     "frame_sample_mjpeg": q_frame_sample_mjpeg,
     "frame_sample_webp": q_frame_sample_webp,
+    "frame_sample_gif": q_frame_sample_gif,
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
     "pipeline_roundtrip": q_pipeline_roundtrip,
