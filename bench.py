@@ -107,11 +107,14 @@ OPERATORS = [
     "unigram_logprob",  # perplexity-style LM quality score, broadcast model
     "embedding_topk_quantized",  # int8 store (4x smaller), scales cancel in cosine
     "repeated_ngram_spans",  # exact-substring span dedup (Lee et al. shape)
+    "line_dedup",  # C4-style global first-occurrence line dedup
+    "chunk_documents",  # overlapping token-window RAG chunking
     "warc_ingest",  # Common-Crawl-shaped intake: gzip members + HTML->text
     "url_canonicalize",  # tracking-param/port/fragment URL normalization
     "domain_rollup",  # eTLD+1 per-site corpus rollup (one hash agg)
     "semantic_dedup",  # SemDeDup: k-means cells -> cosine edges -> clusters
     "multimodal_decode_webp",  # from-scratch VP8L decode (real pixels)
+    "multimodal_decode_gif",  # from-scratch GIF/LZW decode (real pixels)
     "text_normalize",  # NFC + control/whitespace hygiene (Arrow UDF + regex)
     "contamination_bloom",  # bloom-prefiltered held-set check, exact result
     "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)
@@ -124,6 +127,7 @@ OPERATORS = [
     "host_pagerank",  # link extraction + iterative power method (3 rounds)
     "temperature_mixture",  # p^alpha language rebalancing, one-scan sample
     "frame_sample_webp",  # animated WebP (VP8X/ANMF) real frame decode
+    "frame_sample_gif",  # animated GIF sub-rect compositing decode
     "event_time_windows",  # tumbling event-time buckets (one hash agg)
     "robots_filter",  # robots.txt Disallow-prefix gate (array fold, no UDF)
     "hashed_embedding",  # hashing-trick text vectors (model-free, one pass)

@@ -1572,3 +1572,73 @@ def test_hashed_embedding_feeds_vector_neardup(spark):
     }
     assert pairs[(0, 1)] > 0.9
     assert pairs[(0, 2)] < 0.5 and pairs[(1, 2)] < 0.5
+
+
+def test_line_dedup_keeps_first_occurrence_and_audits_empty(spark):
+    """A line repeated across docs survives only at its lowest
+    (doc_id, pos); a doc whose every line appeared earlier comes back
+    empty with n_lines_kept = 0."""
+    from trollflow2_spark.extensions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),
+            (3, "alpha\nbeta"),
+            (4, "beta\nbeta"),  # in-doc repeat: only one survives
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert rows[1]["text"] == "alpha\nbeta\ngamma"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_lines_kept"] == 3
+    assert rows[2]["text"] == "delta" and rows[2]["n_lines_kept"] == 1
+    assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
+    assert rows[4]["text"] == "" and rows[4]["n_lines_kept"] == 0
+
+
+def test_line_dedup_no_per_line_window(spark):
+    """The first-occurrence tier must be an aggregation (map-side
+    combinable on the boilerplate hot key), never a per-line window —
+    no Window operator may appear in the plan."""
+    from trollflow2_spark.extensions.dedup import line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """20-token text, chunk=8, overlap=3 -> stride 5: starts 0,5,10,15
+    with the last chunks short; consecutive chunks share 3 tokens."""
+    from trollflow2_spark.extensions.text import chunk_documents
+
+    words = [f"w{i}" for i in range(20)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "only two"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=3)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect())
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    assert d1[0][2] == " ".join(words[0:8])
+    assert d1[1][2] == " ".join(words[5:13])  # 3-token overlap with chunk 0
+    assert d1[3][2] == " ".join(words[15:20])  # short tail kept
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "only two")]
+    assert not [r for r in rows if r[0] == 3]  # zero-token doc: no chunks
+    with __import__("pytest").raises(ValueError):
+        chunk_documents(df, chunk_tokens=5, overlap=5)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Chunking is scan-stage Column algebra: no Exchange in the plan."""
+    from trollflow2_spark.extensions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

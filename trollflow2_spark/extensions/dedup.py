@@ -849,3 +849,71 @@ def duplicate_clusters(
         ),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style global line-level deduplication: every line (``sep``-
+    separated segment) is kept only at its FIRST occurrence across the
+    whole corpus — first = lowest ``(doc_id, line position)`` — and each
+    document is reassembled from its surviving lines in original order.
+    This is the boilerplate killer (nav bars, cookie banners, footers
+    repeated across millions of pages) that document-level dedup cannot
+    touch. Returns ``(id, text, n_lines, n_lines_kept)``; documents that
+    lose every line stay in the output with an empty string (filter
+    ``n_lines_kept = 0`` for the drop audit).
+
+    Scale shape: the first-occurrence table is ONE hash aggregation
+    keyed on ``md5(line)`` — ``min(struct(doc_id, pos))`` combines
+    map-side, so a line repeated on a billion pages arrives at its
+    reducer as one partial per map task, never as a billion rows (the
+    boilerplate hot key is exactly the skew case). Survivors are an
+    equi-join on the 32-byte digest (line text rides only the exploded
+    side), then one groupBy per doc to reassemble. No window over
+    per-line partitions — a ``row_number`` there would re-concentrate
+    every hot line's rows in one task.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("line_key", F.md5(F.col("line")))
+    firsts = lines.groupBy("line_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_at")
+    )
+    kept = lines.join(firsts, "line_key").where(
+        (F.col(id_col) == F.col("first_at")[id_col])
+        & (F.col("pos") == F.col("first_at.pos"))
+    )
+    n_lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit(sep), -1)).alias("n_lines"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        n_lines.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+        )
+    )

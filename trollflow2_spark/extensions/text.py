@@ -575,3 +575,52 @@ def hashed_embedding(
         ),
     )
     return m.select(id_col, "n_tokens", emb.alias("embedding"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the RAG /
+    context-window prep step: chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with ``stride = chunk_tokens
+    - overlap``, so consecutive chunks share ``overlap`` tokens and no
+    token is lost at a boundary. Emits ``(id, chunk_idx, n_chunk_tokens,
+    chunk_text)``; zero-token documents emit no chunks.
+
+    Scale shape: pure Column algebra in the scan stage — ``sequence``
+    over chunk starts + ``slice`` of the token array, exploded map-side.
+    ZERO shuffle; the fan-out (rows multiply by ~n_tokens/stride)
+    happens after the scan, so partition sizing follows output rows via
+    AQE, and no UDF touches the hot path.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_idx"),
+                F.slice(toks, s + 1, chunk_tokens).alias("chunk_toks"),
+            ),
+        ),
+    ).otherwise(F.array())
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size(F.col("c.chunk_toks")).alias("n_chunk_tokens"),
+        F.array_join(F.col("c.chunk_toks"), " ").alias("chunk_text"),
+    )

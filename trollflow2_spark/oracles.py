@@ -734,6 +734,59 @@ FROM u GROUP BY domain
 # gaps-and-islands merge, all replayable with windows. Positions ride a
 # struct-list unnest (DuckDB's WITH-ORDINALITY analog).
 _SHINGLES_RS = WORD_SHINGLES_SQL("text", C.REPEAT_NGRAM_N)
+# C4-style line dedup: 4-line docs over a 40-line vocabulary; a line
+# survives only at its lowest (doc_id, pos); docs reassembled in order.
+# min(doc_id*4 + pos) encodes the same lexicographic first as Spark's
+# min(struct(doc_id, pos)) because pos < 4.
+ORACLES["line_dedup"] = """
+WITH lines AS (
+  SELECT doc_id, j AS pos,
+    'seg ' || CAST((doc_id * 7 + j * 13) % 40 AS VARCHAR) AS line
+  FROM documents, unnest(generate_series(0, 3)) AS t(j)
+),
+firsts AS (
+  SELECT line, min(doc_id * 4 + pos) AS first_ord FROM lines GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN firsts f
+    ON l.line = f.line AND l.doc_id * 4 + l.pos = f.first_ord
+),
+rebuilt AS (
+  SELECT doc_id,
+    string_agg(line, chr(10) ORDER BY pos) AS text,
+    count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(r.text, '') AS text,
+  CAST(4 AS INTEGER) AS n_lines,
+  CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+# Overlapping token-window chunks: starts 0, 15, 30, ... < n_tokens;
+# DuckDB's 1-based inclusive list slice tk[s+1 : s+20] is Spark's
+# slice(toks, s+1, 20).
+ORACLES["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                t -> t <> '') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+    unnest(generate_series(0, len(tk) - 1, 15)) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+  CAST(s / 15 AS INTEGER) AS chunk_idx,
+  CAST(len(tk[s + 1 : s + 20]) AS INTEGER) AS n_chunk_tokens,
+  array_to_string(tk[s + 1 : s + 20], ' ') AS chunk_text
+FROM starts
+"""
+
 ORACLES["repeated_ngram_spans"] = f"""
 WITH base AS (
   SELECT doc_id, {_SHINGLES_RS} AS s, len({TOKENS_SQL("text")}) AS ntok

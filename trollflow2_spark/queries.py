@@ -1786,6 +1786,40 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup: every line survives only at its first
+    corpus occurrence, documents reassembled from surviving lines — the
+    cross-page boilerplate killer. The fixture synthesizes 4-line docs
+    from a 40-line vocabulary (``seg (doc_id*7 + j*13) % 40``), so
+    near-every line is a cross-doc duplicate and most docs shrink."""
+    from trollflow2_spark.extensions.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            *[
+                F.concat(
+                    F.lit("seg "),
+                    ((F.col("doc_id") * 7 + j * 13) % 40).cast("string"),
+                )
+                for j in range(4)
+            ],
+        ).alias("text"),
+    )
+    return line_dedup(docs)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    20-token chunks, 5-token overlap, emitted map-side with zero
+    shuffle."""
+    from trollflow2_spark.extensions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=20, overlap=5)
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment exact dedup: new-batch docs flagged against the
     existing corpus (and each other) with the canonical id they
@@ -3344,6 +3378,8 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "repeated_ngram_spans": q_repeated_ngram_spans,
+    "line_dedup": q_line_dedup,
+    "chunk_documents": q_chunk_documents,
     "warc_ingest": q_warc_ingest,
     "url_canonicalize": q_url_canonicalize,
     "domain_rollup": q_domain_rollup,
