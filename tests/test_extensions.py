@@ -1642,3 +1642,61 @@ def test_chunk_documents_zero_shuffle(spark):
         chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_corpus_diff_statuses(spark):
+    from trollflow2_spark.extensions.snapshot import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # the join must carry digests, not document payloads
+    plan = (
+        corpus_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "md5" in plan
+
+
+def test_dsir_prefers_target_domain(spark):
+    """Docs written in the target domain's vocabulary must weigh higher
+    than off-domain docs, and survive resampling at full rate."""
+    from trollflow2_spark.extensions.text import dsir_resample, dsir_weights
+
+    rows = [(i, "alpha beta gamma alpha beta", "t") for i in range(6)]
+    rows += [(10 + i, "zig zag zog zig zag", "o") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.where("lang = 't'").select("doc_id", "text")
+    w = {
+        r["doc_id"]: r["mean_log_ratio"]
+        for r in dsir_weights(df, target, vocab_k=50).collect()
+    }
+    assert min(w[i] for i in range(6)) > max(w[10 + i] for i in range(6))
+    out = {
+        r["doc_id"]: r
+        for r in dsir_resample(df, target, vocab_k=50).collect()
+    }
+    assert all(out[i]["keep_prob"] == 1.0 and out[i]["kept"] == 1
+               for i in range(6))
+    assert all(out[10 + i]["keep_prob"] < 1.0 for i in range(6))
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """Both unigram models broadcast into the scoring pass — the corpus
+    token stream must never sort-merge."""
+    from trollflow2_spark.extensions.text import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b", "t"), (2, "c d", "o")],
+        "doc_id long, text string, lang string",
+    )
+    target = df.where("lang = 't'").select("doc_id", "text")
+    plan = (
+        dsir_weights(df, target)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan

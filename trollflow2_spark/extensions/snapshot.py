@@ -1,0 +1,58 @@
+"""Corpus snapshot management: diff two crawl/corpus snapshots.
+
+The recurring production question at 100 TB is "what changed between
+snapshot N and snapshot N+1" — which documents were added, removed, or
+edited — because downstream incremental work (dedup, embedding refresh,
+index rebuild) should touch ONLY the delta, never the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document diff of two snapshots keyed on ``id_col``: status is
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (both, content digest differs) or ``unchanged``. Returns
+    ``(id, status)`` — join back to either snapshot for payloads.
+
+    Scale shape: both sides reduce to ``(id, md5(text))`` BEFORE the
+    join, so the shuffle carries 40-byte rows instead of document
+    payloads; the full-outer equi-join on the id is one co-partitioned
+    shuffle each side and AQE handles size imbalance between snapshots.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__old_digest")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__new_digest")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__old_digest").isNull(), "added")
+        .when(F.col("__new_digest").isNull(), "removed")
+        .when(F.col("__old_digest") == F.col("__new_digest"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """4-row rollup of :func:`corpus_diff` — the snapshot health check
+    (one extra hash agg over the digest-only diff rows)."""
+    return (
+        corpus_diff(old, new, id_col=id_col, text_col=text_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -624,3 +624,120 @@ def chunk_documents(
         F.size(F.col("c.chunk_toks")).alias("n_chunk_tokens"),
         F.array_join(F.col("c.chunk_toks"), " ").alias("chunk_text"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 5000,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., *Data Selection for
+    Language Models via Importance Resampling*): score every corpus
+    document by how much more likely its tokens are under a unigram LM
+    fit on a small TARGET-domain sample than under one fit on the raw
+    corpus — ``mean_log_ratio = avg(ln p_target(tok) - ln p_raw(tok))``.
+    Positive means target-like; the weight feeds :func:`dsir_resample`.
+
+    Both models use the same additive-smoothed top-k construction as
+    :func:`unigram_logprob` (top-``vocab_k`` tokens, OOV mass), fit
+    independently on their side's token stream.
+
+    Scale: two vocabulary-sized hash aggs (map-side combine), both
+    models BROADCAST into one pass over the exploded corpus tokens —
+    the 100 TB corpus is read once and never shuffled on tokens; the
+    per-doc reduce collapses partition-locally first. Output:
+    ``(id, n_tokens, mean_log_ratio)``; zero-token docs emit no row.
+    """
+    a = float(alpha)
+
+    def _model(frame: DataFrame, prefix: str):
+        tok = frame.select(
+            F.explode(tokens(F.col(text_col))).alias("tk")
+        ).select(F.lower(F.col("tk")).alias("token"))
+        counts = tok.groupBy("token").agg(
+            F.count(F.lit(1)).alias(f"{prefix}_c")
+        )
+        stats = counts.agg(
+            F.sum(f"{prefix}_c").cast("double").alias(f"{prefix}_n"),
+            F.count(F.lit(1)).cast("double").alias(f"{prefix}_v"),
+        )
+        model = counts.orderBy(
+            F.desc(f"{prefix}_c"), F.col("token")
+        ).limit(int(vocab_k))
+        return model, stats
+
+    t_model, t_stats = _model(target, "t")
+    r_model, r_stats = _model(df, "r")
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
+    ).select(id_col, F.lower(F.col("tk")).alias("token"))
+    scored = (
+        tok.join(F.broadcast(t_model), "token", "left")
+        .join(F.broadcast(r_model), "token", "left")
+        .crossJoin(F.broadcast(t_stats))
+        .crossJoin(F.broadcast(r_stats))
+        .withColumn(
+            "log_ratio",
+            F.log(
+                (F.coalesce(F.col("t_c"), F.lit(0)) + F.lit(a))
+                / (F.col("t_n") + F.lit(a) * (F.col("t_v") + 1))
+            )
+            - F.log(
+                (F.coalesce(F.col("r_c"), F.lit(0)) + F.lit(a))
+                / (F.col("r_n") + F.lit(a) * (F.col("r_v") + 1))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("log_ratio"), round_digits).alias("mean_log_ratio"),
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 1.0,
+    vocab_k: int = 5000,
+    alpha: float = 0.5,
+    seed: int | None = 17,
+) -> DataFrame:
+    """Deterministic importance resampling over :func:`dsir_weights`:
+    keep probability ``min(1, exp(tau * mean_log_ratio))`` (target-like
+    docs survive, off-domain docs are down-sampled proportionally to
+    their likelihood ratio), decided by the same portable-hash bucket
+    predicate the sampling family uses — no RNG state, identical
+    decisions on any engine/partitioning/retry. Output:
+    ``(id, mean_log_ratio, keep_prob, kept)``; filter ``kept = 1`` for
+    the selected corpus. Map-side after the broadcast-scored weights —
+    the resample itself adds zero shuffles.
+    """
+    from trollflow2_spark.extensions.sampling import (
+        RATE_BUCKETS,
+        _rate_bucket,
+    )
+
+    w = dsir_weights(
+        df, target, text_col=text_col, id_col=id_col,
+        vocab_k=vocab_k, alpha=alpha,
+    )
+    keep_prob = F.round(
+        F.least(F.lit(1.0), F.exp(F.lit(float(tau)) * F.col("mean_log_ratio"))),
+        4,
+    )
+    bucket = _rate_bucket(F.col(id_col), seed)
+    kept = (
+        bucket < F.round(keep_prob * RATE_BUCKETS, 0).cast("int")
+    ).cast("int")
+    return w.select(
+        F.col(id_col),
+        F.col("mean_log_ratio"),
+        keep_prob.alias("keep_prob"),
+        kept.alias("kept"),
+    )

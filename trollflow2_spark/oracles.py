@@ -734,6 +734,28 @@ FROM u GROUP BY domain
 # gaps-and-islands merge, all replayable with windows. Positions ride a
 # struct-list unnest (DuckDB's WITH-ORDINALITY analog).
 _SHINGLES_RS = WORD_SHINGLES_SQL("text", C.REPEAT_NGRAM_N)
+# Snapshot diff: old skips %13==3, new skips %11==7 and rewrites %7==0.
+# Status falls out of membership + text equality (no digests needed —
+# md5 equality on both engines reduces to text equality).
+ORACLES["corpus_diff"] = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 3
+),
+new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 7
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE
+    WHEN o.doc_id IS NULL THEN 'added'
+    WHEN n.doc_id IS NULL THEN 'removed'
+    WHEN o.text = n.text THEN 'unchanged'
+    ELSE 'changed'
+  END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
 # C4-style line dedup: 4-line docs over a 40-line vocabulary; a line
 # survives only at its lowest (doc_id, pos); docs reassembled in order.
 # min(doc_id*4 + pos) encodes the same lexicographic first as Spark's
@@ -2706,3 +2728,60 @@ SELECT s.doc_id, s.cluster_size, d.n_chars
 FROM cl_sized s JOIN documents d USING (doc_id)
 WHERE s.doc_id = s.cluster_id
 """
+
+
+# DSIR importance weights: target LM (lang='en' docs) vs raw-corpus LM,
+# both the same smoothed top-k construction as unigram_logprob; the
+# per-token expression is the identical double math on both engines.
+_DSIR_SCORED = f"""
+tok AS (
+  SELECT doc_id, lower(unnest({{toks}})) AS token FROM documents
+), ttok AS (
+  SELECT lower(unnest({{toks}})) AS token FROM documents
+  WHERE lang = '{C.DSIR_TARGET_LANG}'
+), tc AS (
+  SELECT token, count(*) AS c FROM ttok GROUP BY token
+), ts AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tc
+), tm AS (
+  SELECT token, c FROM tc ORDER BY c DESC, token LIMIT {C.DSIR_VOCAB_K}
+), rc AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), rs AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM rc
+), rm AS (
+  SELECT token, c FROM rc ORDER BY c DESC, token LIMIT {C.DSIR_VOCAB_K}
+), scored AS (
+  SELECT t.doc_id,
+    ln((coalesce(tm.c, 0) + {C.DSIR_ALPHA})
+       / (ts.n + {C.DSIR_ALPHA} * (ts.v + 1)))
+    - ln((coalesce(rm.c, 0) + {C.DSIR_ALPHA})
+         / (rs.n + {C.DSIR_ALPHA} * (rs.v + 1))) AS lr
+  FROM tok t
+  LEFT JOIN tm USING (token)
+  LEFT JOIN rm USING (token)
+  CROSS JOIN ts CROSS JOIN rs
+)
+"""
+
+ORACLES["dsir_weights"] = "WITH " + _DSIR_SCORED.format(toks=_TOKS) + """
+SELECT doc_id, count(*) AS n_tokens,
+  round(avg(lr), 6) AS mean_log_ratio
+FROM scored GROUP BY doc_id
+"""
+
+ORACLES["dsir_resample"] = (
+    "WITH " + _DSIR_SCORED.format(toks=_TOKS)
+    + f""",
+w AS (
+  SELECT doc_id, round(avg(lr), 6) AS mean_log_ratio
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, mean_log_ratio,
+  round(least(1.0, exp({C.DSIR_TAU} * mean_log_ratio)), 4) AS keep_prob,
+  CAST({_rate_bucket_sql(C.DSIR_SEED)}
+       < CAST(round(round(least(1.0, exp({C.DSIR_TAU} * mean_log_ratio)),
+                          4) * 10000, 0) AS INT) AS INT) AS kept
+FROM w
+"""
+)

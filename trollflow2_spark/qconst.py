@@ -163,3 +163,10 @@ COV_TRACK_N = 16  # 15-minute pass
 COV_U_STEP = ORBIT_MEAN_MOTION * COV_TRACK_STEP_S  # rad per sample
 COV_DRIFT_STEP = EARTH_ROT_DEG_S * COV_TRACK_STEP_S  # deg per sample
 COV_GRID_N = 12  # per-area sampling grid (12x12)
+
+# DSIR importance resampling (target-domain data selection)
+DSIR_VOCAB_K = 400  # per-side model vocabulary (matches unigram scale)
+DSIR_ALPHA = 0.5  # additive smoothing mass
+DSIR_TAU = 1.0  # ratio -> keep-probability temperature
+DSIR_SEED = 17  # portable-hash seed for the resample decision
+DSIR_TARGET_LANG = "en"  # fixture target domain: English documents

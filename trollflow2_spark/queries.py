@@ -1820,6 +1820,62 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=20, overlap=5)
 
 
+def _dsir_inputs(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    target = docs.where(F.col("lang") == C.DSIR_TARGET_LANG).select(
+        "doc_id", "text"
+    )
+    return docs, target
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc mean log likelihood-ratio under
+    a target-domain (lang='en') unigram LM vs the raw-corpus LM — the
+    domain-selection signal for pretraining-data curation."""
+    from trollflow2_spark.extensions.text import dsir_weights
+
+    docs, target = _dsir_inputs(spark, sf_dir)
+    return dsir_weights(
+        docs, target, vocab_k=C.DSIR_VOCAB_K, alpha=C.DSIR_ALPHA
+    )
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR resampling: keep probability
+    min(1, exp(tau * mean_log_ratio)) decided by the portable-hash
+    bucket — target-like docs survive, off-domain docs down-sample."""
+    from trollflow2_spark.extensions.text import dsir_resample
+
+    docs, target = _dsir_inputs(spark, sf_dir)
+    return dsir_resample(
+        docs, target, tau=C.DSIR_TAU, vocab_k=C.DSIR_VOCAB_K,
+        alpha=C.DSIR_ALPHA, seed=C.DSIR_SEED,
+    )
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: per-doc added / removed /
+    changed / unchanged so incremental passes touch only the delta.
+    Fixture: old skips doc_id%13==3 (those become 'added'), new skips
+    doc_id%11==7 ('removed') and rewrites text when doc_id%7==0
+    ('changed')."""
+    from trollflow2_spark.extensions.snapshot import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 13 != 3)
+    new = docs.where(F.col("doc_id") % 11 != 7).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment exact dedup: new-batch docs flagged against the
     existing corpus (and each other) with the canonical id they
@@ -3379,6 +3435,9 @@ QUERIES = {
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "line_dedup": q_line_dedup,
+    "corpus_diff": q_corpus_diff,
+    "dsir_weights": q_dsir_weights,
+    "dsir_resample": q_dsir_resample,
     "chunk_documents": q_chunk_documents,
     "warc_ingest": q_warc_ingest,
     "url_canonicalize": q_url_canonicalize,
