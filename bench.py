@@ -117,6 +117,7 @@ OPERATORS = [
     "semantic_dedup",  # SemDeDup: k-means cells -> cosine edges -> clusters
     "multimodal_decode_webp",  # from-scratch VP8L decode (real pixels)
     "multimodal_decode_gif",  # from-scratch GIF/LZW decode (real pixels)
+    "multimodal_decode_webp_lossy",  # from-scratch VP8 keyframe decode
     "text_normalize",  # NFC + control/whitespace hygiene (Arrow UDF + regex)
     "contamination_bloom",  # bloom-prefiltered held-set check, exact result
     "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)

@@ -217,12 +217,19 @@ def test_self_roundtrip_without_libwebp_reference():
         assert (got == arr).all()
 
 
-def test_lossy_vp8_raises_with_guidance():
+def test_lossy_vp8_route_decodes_for_real():
+    """Lossy (VP8) stills now decode through the from-scratch VP8
+    decoder (full conformance lives in test_vp8_conformance.py); a
+    truncated VP8 chunk still raises cleanly."""
+    from trollflow2_spark.sinks.vp8 import encode_vp8_i16, wrap_webp
+
+    out = decode_webp(wrap_webp(encode_vp8_i16([3], 1, 1, 16, 16, qi=40)))
+    assert out.shape == (16, 16, 3)
     fake = (
         b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
         + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp(fake)
 
 

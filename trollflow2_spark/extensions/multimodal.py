@@ -72,11 +72,12 @@ def decode_media(
       grayscale + YCbCr color, baseline sequential AND progressive
       (SOF2, spectral selection + successive approximation) streams);
     - ``image/webp``: REAL decode through the repo's from-scratch
-      WebP-lossless codec (:func:`trollflow2_spark.sinks.webp.
-      decode_webp` — full VP8L: all four transforms, meta prefix
-      codes, color cache, LZ77 plane-coded distances; conformance
-      pinned against libwebp in tests); lossy VP8 raises with
-      guidance;
+      WebP codecs (:func:`trollflow2_spark.sinks.webp.decode_webp`) —
+      BOTH halves of the still format: lossless VP8L (all four
+      transforms, meta prefix codes, color cache, LZ77 plane-coded
+      distances) and lossy VP8 keyframes (boolean decoder, token
+      trees, WHT/DCT, intra prediction, loop filter); both
+      conformance-pinned against libwebp in tests;
     - ``image/gif``: REAL decode through the repo's from-scratch GIF
       codec (:func:`trollflow2_spark.sinks.gif.decode_gif` — LZW,
       global/local palettes, interlacing, GIF89a transparency) —
@@ -147,8 +148,8 @@ def decode_media(
             if not fake and not (is_img | is_audio).all():
                 raise NotImplementedError(
                     "media decode beyond image/png, image/tiff, image/jpeg, "
-                    "image/webp (lossless), image/gif, audio/wav and "
-                    "audio/flac requires a codec library not present in this "
+                    "image/webp, image/gif, audio/wav and audio/flac "
+                    "requires a codec library not present in this "
                     "environment; pass fake=True for the deterministic "
                     "byte-statistics decoder"
                 )
@@ -300,7 +301,7 @@ def resize_media(
     """Resize kernel over mapInPandas.
 
     ``image/png``, ``image/tiff``, ``image/jpeg``, ``image/webp``
-    (lossless) and ``image/gif`` resize FOR REAL:
+    (lossless re-encode) and ``image/gif`` resize FOR REAL:
     decode with the repo's stdlib codecs, nearest-neighbor index-sample
     to the target size, re-encode (TIFF re-encodes page 0 only —
     overview pages are derived data and stale after a resize; JPEG

@@ -1984,6 +1984,37 @@ FROM px GROUP BY doc_id, f
 # per frame decodes losslessly, so frame_byte is the constant itself.
 # animated WebP: lossless VP8L frames, so sampled maxima are the
 # constants the fixture painted
+# Real lossy-WebP (VP8) decode: one-macroblock DC-only frames at
+# quantizer index 40 (y2dc = 2*DC_Q[40] = 74) reconstruct in closed
+# form: wht_dc = (level*74 + 3) >> 3, pixel = 128 + ((wht_dc + 4) >> 3),
+# then the BT.601 integer conversion with neutral chroma. floor()
+# divisions replicate arithmetic shifts on negatives.
+ORACLES["multimodal_decode_webp_lossy"] = """
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 9 AS BIGINT) - 4 AS v FROM documents
+), lum AS (
+  SELECT doc_id,
+    least(255, greatest(0,
+      128 + CAST(floor((CAST(floor((v * 74 + 3) / 8.0) AS BIGINT) + 4)
+                       / 8.0) AS BIGINT)
+    )) AS yv
+  FROM base
+), px AS (
+  SELECT doc_id,
+    least(255, greatest(0,
+      CAST(floor((298 * (yv - 16) + 128) / 256.0) AS BIGINT))) AS rgb
+  FROM lum
+)
+SELECT doc_id,
+  CAST(768 AS BIGINT) AS n_bytes,
+  round(CAST(rgb AS DOUBLE), 6) AS mean_byte,
+  CAST(rgb AS INTEGER) AS max_byte,
+  CAST(16 AS INTEGER) AS width,
+  CAST(16 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels
+FROM px
+"""
+
 # Real GIF decode: identity-gray-palette LZW round-trips exactly, so
 # the stats are the ramp (doc_id*11 + k) % 256 over a
 # (doc_id%7+2) x (doc_id%4+2) image (odd doc_ids interlaced — a row

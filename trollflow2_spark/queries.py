@@ -3019,6 +3019,66 @@ def q_frame_sample_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n_frames=2)  # fake=False: real decode
 
 
+def q_multimodal_decode_webp_lossy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL lossy-WebP (VP8 keyframe) decode: single-macroblock streams
+    with one Y2 DC level ``doc_id % 9 - 4`` at quantizer index 40 are
+    built executor-side by the repo's own VP8 encoder, then
+    ``decode_media`` routes ``image/webp`` through the from-scratch VP8
+    decoder (boolean decoder, token trees, WHT/DCT, intra prediction,
+    loop filter — conformance-pinned bit-exact against libwebp's YUV in
+    tests). DC-only constant frames reconstruct in closed form, so the
+    decoded RGB constant is SQL-computable from the quantizer math."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def make_vp8(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sinks.vp8 import encode_vp8_i16, wrap_webp
+
+        for pdf in batches:
+            blobs, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blob = wrap_webp(
+                    encode_vp8_i16([d % 9 - 4], 1, 1, 16, 16, qi=40)
+                )
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "media_type": "image/webp",
+                        "width": 16,
+                        "height": 16,
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    media = docs.mapInPandas(make_vp8, media_schema)
+    out = decode_media(media)  # fake=False: the real image/webp route
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode: deterministic gray images (pixel ramp
     ``(doc_id*11 + k) % 256``) are encoded with the repo's from-scratch
@@ -3473,6 +3533,7 @@ QUERIES = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_webp": q_multimodal_decode_webp,
     "multimodal_decode_gif": q_multimodal_decode_gif,
+    "multimodal_decode_webp_lossy": q_multimodal_decode_webp_lossy,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,

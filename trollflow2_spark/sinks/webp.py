@@ -26,12 +26,9 @@ predictor, and palette (color-indexing, with sub-byte pixel bundling).
 It emits a conservative but spec-valid stream; libwebp must decode it
 bit-exactly (also pinned in the conformance suite).
 
-Lossy VP8 streams raise with guidance (a DCT video intra-frame codec
-is out of scope for stdlib+numpy; the JPEG tier covers the equivalent
-photographic use case).
-
-Only the lossless half of the format. VP8X containers are walked to
-find the image chunk; animated files (ANIM/ANMF with lossless frames)
+Lossy VP8 keyframes decode through sinks/vp8.py (bit-exact YUV vs
+libwebp), so both halves of the still format decode for real. VP8X containers
+are walked to find the image chunk; animated files (ANIM/ANMF with lossless frames)
 decode frame-by-frame via :func:`decode_webp_frames`, and the still
 API returns the first frame.
 """
@@ -695,11 +692,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return _decode_vp8l(payload)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 WebP requires a video-intra-frame codec not "
-                "implementable stdlib-only; lossless (VP8L) WebP decodes "
-                "for real"
-            )
+            return _decode_vp8_rgb(payload)
         if tag == b"ANMF":
             if len(payload) < 16:
                 raise ValueError("truncated ANMF header")
@@ -708,11 +701,33 @@ def decode_webp(data: bytes) -> np.ndarray:
                 ssize = struct.unpack("<I", sub[4:8])[0]
                 return _decode_vp8l(sub[8:8 + ssize])
             if sub[:4] == b"VP8 ":
-                raise NotImplementedError(
-                    "lossy VP8 animation frames are out of stdlib scope"
-                )
+                ssize = struct.unpack("<I", sub[4:8])[0]
+                return _decode_vp8_rgb(sub[8:8 + ssize])
         pos += 8 + size + (size & 1)  # chunks are even-padded
     raise ValueError("WebP container has no decodable image chunk")
+
+
+def _decode_vp8_rgb(payload: bytes) -> np.ndarray:
+    """Lossy VP8 keyframe -> RGB through the repo's from-scratch VP8
+    decoder (:mod:`trollflow2_spark.sinks.vp8`, bit-exact YUV vs
+    libwebp). Chroma upsamples by sample replication and converts with
+    the BT.601 studio-swing integer matrix — deterministic and
+    SQL-replayable, matching libwebp's "simple" (non-fancy) mode in
+    spirit; the YUV planes themselves are the conformance surface.
+    Returns (h, w, 3) uint8."""
+    from trollflow2_spark.sinks.vp8 import decode_vp8
+
+    y, u, v = decode_vp8(payload)
+    h, w = y.shape
+    u2 = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+    v2 = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+    yy = 298 * (y.astype(np.int32) - 16)
+    cu = u2.astype(np.int32) - 128
+    cv = v2.astype(np.int32) - 128
+    r = (yy + 409 * cv + 128) >> 8
+    g = (yy - 100 * cu - 208 * cv + 128) >> 8
+    b = (yy + 516 * cu + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
 _T_PREDICTOR = 0
@@ -1183,10 +1198,7 @@ def decode_webp_frames(data: bytes) -> list:
         if tag == b"VP8L":
             return [_decode_vp8l(payload)]
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 WebP frames are out of stdlib scope; lossless "
-                "(VP8L) animations decode for real"
-            )
+            return [_decode_vp8_rgb(payload)]
         if tag == b"ANMF":
             if len(payload) < 16:
                 raise ValueError("truncated ANMF header")
@@ -1195,9 +1207,8 @@ def decode_webp_frames(data: bytes) -> list:
                 ssize = struct.unpack("<I", sub[4:8])[0]
                 frames.append(_decode_vp8l(sub[8:8 + ssize]))
             elif sub[:4] == b"VP8 ":
-                raise NotImplementedError(
-                    "lossy VP8 animation frames are out of stdlib scope"
-                )
+                ssize = struct.unpack("<I", sub[4:8])[0]
+                frames.append(_decode_vp8_rgb(sub[8:8 + ssize]))
             else:
                 raise ValueError("ANMF without an image subchunk")
         pos += 8 + size + (size & 1)
