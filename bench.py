@@ -89,6 +89,7 @@ OPERATORS = [
     "event_counts_salted",
     # round 5 additions
     "ngram_jaccard_pairs",  # now LSH-candidate-fed (was quadratic blocking)
+    "paragraph_neardup",  # paragraph-grain LSH+verify (boilerplate dedup)
     "simhash_pairs",
     "multimodal_decode_tiff",
     "multimodal_decode_jpeg",

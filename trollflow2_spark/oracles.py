@@ -2578,6 +2578,63 @@ ORACLES["ngram_jaccard_pairs"] = _LSH_VERIFY_CTES + f"""
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {C.JACCARD_THRESHOLD}
 """
 
+# Paragraph-level near-dup: the identical LSH + verify chain over the
+# paragraph-exploded fixture (3 paragraphs per doc over 30 templates,
+# per-doc tail word), keyed doc_id*4 + position.
+_PARA_LSH_CTES = f"""
+WITH pd AS (
+  SELECT doc_id AS d, j FROM documents, unnest(generate_series(0, 2)) AS t(j)
+  WHERE doc_id % 3 = 0
+), paras AS (
+  SELECT d * 4 + j AS doc_id,
+    concat_ws(' ',
+      'w' || CAST((d * 5 + j * 11 + 0) % 30 AS VARCHAR),
+      'w' || CAST((d * 5 + j * 11 + 1) % 30 AS VARCHAR),
+      'w' || CAST((d * 5 + j * 11 + 2) % 30 AS VARCHAR),
+      'w' || CAST((d * 5 + j * 11 + 3) % 30 AS VARCHAR),
+      'w' || CAST((d * 5 + j * 11 + 4) % 30 AS VARCHAR),
+      'w' || CAST((d * 5 + j * 11 + 5) % 30 AS VARCHAR),
+      'w' || CAST((d * 5 + j * 11 + 6) % 30 AS VARCHAR),
+      't' || CAST(d % 6 AS VARCHAR)) AS text
+  FROM pd
+), sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM paras
+), sigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{_BAND_SELECTS}
+), sized AS (
+  SELECT band, bh FROM bk GROUP BY band, bh HAVING count(*) <= 1000
+), fb AS (
+  SELECT bk.doc_id, bk.band, bk.bh FROM bk JOIN sized USING (band, bh)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fb a JOIN fb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), s AS (
+  SELECT doc_id, list_distinct({_SHINGLES_J}) AS sh2 FROM paras
+)
+"""
+
+ORACLES["paragraph_neardup"] = _PARA_LSH_CTES + f"""
+, p AS (
+  SELECT c.id_a, c.id_b,
+    round(
+      CASE WHEN len(list_distinct(list_concat(a.sh2, b.sh2))) > 0
+        THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh2, b.sh2))) AS DOUBLE)
+        ELSE 0.0 END, 6) AS jaccard
+  FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id
+)
+SELECT CAST(id_a // 4 AS BIGINT) AS doc_a,
+  CAST(id_a % 4 AS INTEGER) AS para_a,
+  CAST(id_b // 4 AS BIGINT) AS doc_b,
+  CAST(id_b % 4 AS INTEGER) AS para_b,
+  jaccard
+FROM p WHERE jaccard >= {C.JACCARD_THRESHOLD}
+"""
+
 ORACLES["ngram_containment_pairs"] = _LSH_VERIFY_CTES + f"""
 , p AS (
   SELECT c.id_a, c.id_b,

@@ -2217,6 +2217,86 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level near-dup detection — the granularity document
+    dedup misses (boilerplate paragraphs shared across distinct pages).
+    Documents explode into paragraphs (fixture: 3 paragraphs per doc
+    over a 30-template vocabulary with a per-doc tail word, so
+    same-template paragraphs are ~0.75-Jaccard near-dups), each
+    paragraph becomes a mini-doc keyed ``doc_id*4 + position``, and the
+    standard chain runs at paragraph grain: minhash signatures ->
+    banded LSH candidates -> n-gram Jaccard verify. Output decomposes
+    the keys back to (doc, paragraph) pairs.
+
+    Scale: identical plan shape to the document-level chain — the
+    explode multiplies rows before the signature scan but signatures
+    stay zero-shuffle Column algebra, and candidate volume is bounded
+    by the same bucket guards."""
+    from trollflow2_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)  # sizes the pair volume
+    )
+    para_structs = []
+    for j in range(3):
+        words = [
+            F.concat(
+                F.lit("w"),
+                ((F.col("doc_id") * 5 + F.lit(j * 11 + k)) % 30).cast(
+                    "string"
+                ),
+            )
+            for k in range(7)
+        ]
+        tail = F.concat(F.lit("t"), (F.col("doc_id") % 6).cast("string"))
+        para_structs.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.concat_ws(" ", *words, tail).alias("text"),
+            )
+        )
+    paras = docs.select(
+        F.col("doc_id"), F.explode(F.array(*para_structs)).alias("p")
+    ).select(
+        (F.col("doc_id") * 4 + F.col("p.j")).alias("pid"),
+        F.col("p.text").alias("text"),
+    )
+    sigs = minhash_signatures(
+        paras,
+        id_col="pid",
+        shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+    cands = lsh_candidate_pairs(
+        sigs,
+        id_col="pid",
+        num_hashes=C.MINHASH_NUM_HASHES,
+        bands=C.MINHASH_BANDS,
+        max_bucket=1000,
+        salt_threshold=1000,
+    )
+    pairs = ngram_jaccard_pairs(
+        paras,
+        candidates=cands,
+        id_col="pid",
+        shingle_words=C.JACCARD_SHINGLE_WORDS,
+        threshold=C.JACCARD_THRESHOLD,
+    )
+    return pairs.select(
+        F.expr("id_a DIV 4").alias("doc_a"),
+        (F.col("id_a") % 4).cast("int").alias("para_a"),
+        F.expr("id_b DIV 4").alias("doc_b"),
+        (F.col("id_b") % 4).cast("int").alias("para_b"),
+        "jaccard",
+    )
+
+
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric (one-sided) near-dup: shingle containment per side —
     the quote/subset-duplication detector Jaccard misses. Candidates
@@ -3467,6 +3547,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "paragraph_neardup": q_paragraph_neardup,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "dataset_split": q_dataset_split,
