@@ -136,6 +136,7 @@ OPERATORS = [
     "robots_filter",  # robots.txt Disallow-prefix gate (array fold, no UDF)
     "hashed_embedding",  # hashing-trick text vectors (model-free, one pass)
     "pack_sequences_bpe",  # packing by REAL tokenizer counts (tokenize->pack)
+    "concat_chunks",  # GPT-style concat-then-chunk example span table
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1700,3 +1700,47 @@ def test_dsir_scoring_join_is_broadcast(spark):
         .toString()
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_concat_chunk_spans_semantics(spark):
+    """Docs of 5/3/7 tokens (+1 EOS each) concat to 18 tokens; 8-token
+    examples: spans must tile the stream exactly, crossing boundaries."""
+    from trollflow2_spark.extensions.sampling import concat_chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 7)], "doc_id long, n_tokens int"
+    )
+    rows = sorted(
+        (r["example_id"], r["doc_id"], r["doc_tok_start"], r["n_toks"])
+        for r in concat_chunk_spans(df, 8, shard_size=2).collect()
+    )
+    # stream: doc1 tokens 0..5 (6), doc2 6..9 (4), doc3 10..17 (8)
+    assert rows == [
+        (0, 1, 0, 6), (0, 2, 0, 2),
+        (1, 2, 2, 2), (1, 3, 0, 6),
+        (2, 3, 6, 2),
+    ]
+    # spans per example sum to example_tokens (except the tail)
+    import collections
+    per_ex = collections.Counter()
+    for ex, _d, _s, n in rows:
+        per_ex[ex] += n
+    assert per_ex[0] == 8 and per_ex[1] == 8 and per_ex[2] == 2
+
+
+def test_concat_chunk_spans_no_global_window(spark):
+    """The cumsum must shard: the only unpartitioned window runs over
+    the shard-total aggregate (control-sized), never over the rows."""
+    from trollflow2_spark.extensions.sampling import concat_chunk_spans
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tokens")
+    )
+    plan = (
+        concat_chunk_spans(df, 64, shard_size=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    # every row-level Window must be partitioned by the shard column
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("__shard" in w for w in wins)

@@ -396,3 +396,67 @@ def temperature_sample(
         df, rates, strata_col=strata_col, id_col=id_col,
         default_rate=0.0, seed=seed,
     )
+
+
+def concat_chunk_spans(
+    df: DataFrame,
+    example_tokens: int,
+    token_col: Column | str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_size: int = 1_000_000,
+) -> DataFrame:
+    """GPT-style concat-then-chunk: documents concatenate in id order
+    (each followed by one EOS token) into one virtual token stream that
+    is cut into fixed ``example_tokens`` windows — training examples
+    cross document boundaries, nothing is padded or dropped. Emits one
+    row per (example, document) overlap:
+    ``(example_id, id, doc_tok_start, n_toks)`` where ``doc_tok_start``
+    indexes into the document's own token sequence (EOS is its final
+    token) — the span table a loader joins back to text/token shards.
+
+    Scale shape: the global running offset never runs through one task.
+    Ids shard into CONTIGUOUS ranges (``id DIV shard_size``); each
+    shard cumsums independently under a per-shard window, shard totals
+    (one row per shard — control-sized) turn into shard base offsets
+    via a window over that tiny aggregate, and a broadcast join adds
+    them back. The example fan-out is map-side sequence+explode.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    n = int(example_tokens)
+    toks = (tok + 1).cast("bigint")  # +1: the doc's EOS token
+    out = df.withColumn("__nt", toks).withColumn(
+        "__shard", F.expr(f"{id_col} DIV {int(shard_size)}")
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("__cum", F.sum("__nt").over(w))
+    totals = out.groupBy("__shard").agg(F.sum("__nt").alias("__t"))
+    wo = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__shard",
+        F.coalesce(F.sum("__t").over(wo), F.lit(0)).alias("__base"),
+    )
+    out = out.join(F.broadcast(offsets), "__shard")
+    start = F.col("__base") + F.col("__cum") - F.col("__nt")
+    first_ex = F.floor(start / n)
+    last_ex = F.floor((start + F.col("__nt") - 1) / n)
+    ex = F.explode(F.sequence(first_ex, last_ex)).alias("example_id")
+    e = out.select(F.col(id_col), start.alias("__s"), F.col("__nt"), ex)
+    return e.select(
+        F.col("example_id").cast("bigint"),
+        F.col(id_col),
+        F.greatest(
+            F.lit(0), F.col("example_id") * n - F.col("__s")
+        ).cast("int").alias("doc_tok_start"),
+        (
+            F.least(F.col("__s") + F.col("__nt"),
+                    (F.col("example_id") + 1) * F.lit(n))
+            - F.greatest(F.col("__s"), F.col("example_id") * F.lit(n))
+        ).cast("int").alias("n_toks"),
+    )

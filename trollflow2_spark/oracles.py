@@ -734,6 +734,31 @@ FROM u GROUP BY domain
 # gaps-and-islands merge, all replayable with windows. Positions ride a
 # struct-list unnest (DuckDB's WITH-ORDINALITY analog).
 _SHINGLES_RS = WORD_SHINGLES_SQL("text", C.REPEAT_NGRAM_N)
+# Concat-then-chunk spans: global id-order cumsum (each doc + 1 EOS),
+# 64-token example windows, one row per (example, doc) overlap. The
+# Spark side's sharded cumsum + base offsets equals one global cumsum.
+ORACLES["concat_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) + 1 AS BIGINT) AS nt FROM documents
+), c AS (
+  SELECT doc_id, nt,
+    sum(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+      AS s
+  FROM t
+), e AS (
+  SELECT doc_id, nt, s,
+    unnest(generate_series(CAST(s // 64 AS BIGINT),
+                           CAST((s + nt - 1) // 64 AS BIGINT))) AS ex
+  FROM c
+)
+SELECT CAST(ex AS BIGINT) AS example_id, doc_id,
+  CAST(greatest(0, ex * 64 - s) AS INTEGER) AS doc_tok_start,
+  CAST(least(s + nt, (ex + 1) * 64) - greatest(s, ex * 64) AS INTEGER)
+    AS n_toks
+FROM e
+"""
+
 # Snapshot diff: old skips %13==3, new skips %11==7 and rewrites %7==0.
 # Status falls out of membership + text equality (no digests needed —
 # md5 equality on both engines reduces to text equality).

@@ -1855,6 +1855,20 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk spans: documents concatenate in id
+    order (one EOS each) into a virtual token stream cut into 64-token
+    examples; output is the (example, doc) overlap span table a loader
+    joins back to token shards. Sharded cumsum — no global window."""
+    from trollflow2_spark.extensions.sampling import concat_chunk_spans
+    from trollflow2_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return concat_chunk_spans(docs, example_tokens=64, shard_size=100)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus diff: per-doc added / removed /
     changed / unchanged so incremental passes touch only the delta.
@@ -3577,6 +3591,7 @@ QUERIES = {
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "line_dedup": q_line_dedup,
     "corpus_diff": q_corpus_diff,
+    "concat_chunks": q_concat_chunks,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "chunk_documents": q_chunk_documents,
