@@ -552,3 +552,64 @@ def test_streaming_url_dedup_on_canonical_key(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in rows)
     # doc 3 is the same page as doc 1 after canonicalization
     assert kept == [1, 2, 4]
+
+
+def test_host_rate_limit_token_bucket(spark, tmp_path):
+    """Two micro-batches through the per-host politeness gate: burst
+    capacity admits 4 of 6 first-batch URLs, the refill admits 2 more
+    next batch; decisions are deterministic (sorted order) and the
+    overflow is deferred, not dropped."""
+    import json
+    import time
+
+    from trollflow2_spark.streaming.stateful import host_rate_limit
+
+    src = tmp_path / "frontier"
+    src.mkdir()
+    schema = "host string, url string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = host_rate_limit(stream, capacity=4, refill=2)
+    with open(src / "b1.json", "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"host": "a", "url": f"u{i}"}) + "\n")
+        f.write(json.dumps({"host": "b", "url": "x0"}) + "\n")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_limit")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def rows_now():
+            return spark.sql("select * from rate_limit").collect()
+
+        deadline = time.time() + 120
+        while time.time() < deadline and len(rows_now()) < 7:
+            time.sleep(0.5)
+        rows = {(r["host"], r["url"]): r for r in rows_now()}
+        assert len(rows) == 7
+        a_admitted = sorted(u for (h, u), r in rows.items()
+                            if h == "a" and r["admitted"] == 1)
+        assert a_admitted == ["u0", "u1", "u2", "u3"]  # sorted-order burst
+        assert sorted(u for (h, u), r in rows.items()
+                      if h == "a" and r["admitted"] == 0) == ["u4", "u5"]
+        assert rows[("b", "x0")]["admitted"] == 1
+        # batch 2: the deferred urls re-enqueue; refill admits exactly 2
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"host": "a", "url": "u4"}) + "\n")
+            f.write(json.dumps({"host": "a", "url": "u5"}) + "\n")
+            f.write(json.dumps({"host": "a", "url": "u6"}) + "\n")
+        while time.time() < deadline and len(rows_now()) < 10:
+            time.sleep(0.5)
+        rows2 = rows_now()[7:] if len(rows_now()) >= 10 else []
+        assert len(rows2) == 3, f"expected a second batch, got {rows_now()}"
+        admitted2 = sorted(r["url"] for r in rows2 if r["admitted"] == 1)
+        deferred2 = sorted(r["url"] for r in rows2 if r["admitted"] == 0)
+        assert admitted2 == ["u4", "u5"] and deferred2 == ["u6"]
+    finally:
+        q.stop()

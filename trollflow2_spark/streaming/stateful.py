@@ -144,3 +144,85 @@ def running_counts(
         outputMode="update",
         timeoutConf=mode,
     )
+
+
+RATE_LIMIT_OUTPUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("admitted", T.IntegerType()),
+        T.StructField("tokens_left", T.LongType()),
+    ]
+)
+
+RATE_LIMIT_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.LongType()),
+        T.StructField("n_admitted", T.LongType()),
+    ]
+)
+
+
+def host_rate_limit(
+    stream: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    capacity: int = 4,
+    refill: int = 2,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-host politeness gate for a crawl-frontier stream: a token
+    bucket per host admits at most ``capacity`` URLs as a burst and
+    ``refill`` more per micro-batch thereafter; the overflow is emitted
+    with ``admitted = 0`` (deferred — re-enqueue upstream) instead of
+    silently dropped. Within a batch, URLs admit in sorted order so the
+    decision is deterministic under any partitioning.
+
+    Scale: state is two longs per host — millions of hosts fit any
+    state store; hosts hash across executors, and a
+    ``ProcessingTimeTimeout`` expires idle hosts so the frontier's long
+    tail does not accrete state forever.
+    """
+
+    def kernel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            tokens, admitted_total = state.get
+            tokens = min(capacity, tokens + refill)
+        else:
+            tokens, admitted_total = capacity, 0
+        urls: list[str] = []
+        for pdf in pdfs:
+            urls.extend(pdf["url"].tolist())
+        urls.sort()
+        n_admit = min(len(urls), tokens)
+        tokens -= n_admit
+        admitted_total += n_admit
+        state.update((tokens, admitted_total))
+        if timeout == "ProcessingTimeTimeout":
+            state.setTimeoutDuration(60_000)
+        yield pd.DataFrame(
+            {
+                "host": [key[0]] * len(urls),
+                "url": urls,
+                "admitted": [1] * n_admit + [0] * (len(urls) - n_admit),
+                "tokens_left": [tokens] * len(urls),
+            }
+        )
+
+    mode = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+    }[timeout]
+    keyed = stream.select(
+        stream[host_col].cast("string").alias("host"),
+        stream[url_col].cast("string").alias("url"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        kernel,
+        outputStructType=RATE_LIMIT_OUTPUT,
+        stateStructType=RATE_LIMIT_STATE,
+        outputMode="update",
+        timeoutConf=mode,
+    )
