@@ -2604,23 +2604,22 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {C.JACCARD_THRESHOLD}
 """
 
 # Paragraph-level near-dup: the identical LSH + verify chain over the
-# paragraph-exploded fixture (3 paragraphs per doc over 30 templates,
-# per-doc tail word), keyed doc_id*4 + position.
+# paragraph-exploded fixture (3 paragraphs per doc; sibling docs 2k and
+# 2k+1 share templates up to the tail word), keyed doc_id*4 + position.
 _PARA_LSH_CTES = f"""
 WITH pd AS (
   SELECT doc_id AS d, j FROM documents, unnest(generate_series(0, 2)) AS t(j)
-  WHERE doc_id % 3 = 0
 ), paras AS (
   SELECT d * 4 + j AS doc_id,
     concat_ws(' ',
-      'w' || CAST((d * 5 + j * 11 + 0) % 30 AS VARCHAR),
-      'w' || CAST((d * 5 + j * 11 + 1) % 30 AS VARCHAR),
-      'w' || CAST((d * 5 + j * 11 + 2) % 30 AS VARCHAR),
-      'w' || CAST((d * 5 + j * 11 + 3) % 30 AS VARCHAR),
-      'w' || CAST((d * 5 + j * 11 + 4) % 30 AS VARCHAR),
-      'w' || CAST((d * 5 + j * 11 + 5) % 30 AS VARCHAR),
-      'w' || CAST((d * 5 + j * 11 + 6) % 30 AS VARCHAR),
-      't' || CAST(d % 6 AS VARCHAR)) AS text
+      'w' || CAST((d // 2) * 5 + j * 11 + 0 AS VARCHAR),
+      'w' || CAST((d // 2) * 5 + j * 11 + 1 AS VARCHAR),
+      'w' || CAST((d // 2) * 5 + j * 11 + 2 AS VARCHAR),
+      'w' || CAST((d // 2) * 5 + j * 11 + 3 AS VARCHAR),
+      'w' || CAST((d // 2) * 5 + j * 11 + 4 AS VARCHAR),
+      'w' || CAST((d // 2) * 5 + j * 11 + 5 AS VARCHAR),
+      'w' || CAST((d // 2) * 5 + j * 11 + 6 AS VARCHAR),
+      't' || CAST(d % 2 AS VARCHAR)) AS text
   FROM pd
 ), sh AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle FROM paras

@@ -2235,8 +2235,8 @@ def q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level near-dup detection — the granularity document
     dedup misses (boilerplate paragraphs shared across distinct pages).
     Documents explode into paragraphs (fixture: 3 paragraphs per doc
-    over a 30-template vocabulary with a per-doc tail word, so
-    same-template paragraphs are ~0.75-Jaccard near-dups), each
+    per doc; docs 2k and 2k+1 share each paragraph template up to the
+    tail word, so near-dups are ~0.75-Jaccard sibling pairs), each
     paragraph becomes a mini-doc keyed ``doc_id*4 + position``, and the
     standard chain runs at paragraph grain: minhash signatures ->
     banded LSH candidates -> n-gram Jaccard verify. Output decomposes
@@ -2252,23 +2252,23 @@ def q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .where(F.col("doc_id") % 3 == 0)  # sizes the pair volume
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # template = (doc_id DIV 2, j): docs 2k and 2k+1 share every
+    # paragraph template but differ in the tail word -> near-dup pairs
+    # are LINEAR in corpus size (each LSH bucket holds exactly the two
+    # template members at any scale — no quadratic fixture blowup)
     para_structs = []
     for j in range(3):
         words = [
             F.concat(
                 F.lit("w"),
-                ((F.col("doc_id") * 5 + F.lit(j * 11 + k)) % 30).cast(
-                    "string"
-                ),
+                (
+                    F.expr("doc_id DIV 2") * 5 + F.lit(j * 11 + k)
+                ).cast("string"),
             )
             for k in range(7)
         ]
-        tail = F.concat(F.lit("t"), (F.col("doc_id") % 6).cast("string"))
+        tail = F.concat(F.lit("t"), (F.col("doc_id") % 2).cast("string"))
         para_structs.append(
             F.struct(
                 F.lit(j).alias("j"),
