@@ -125,6 +125,7 @@ OPERATORS = [
     "url_dedup_latest",  # keep-newest-capture per canonical URL (one window)
     "nb_lang_classifier",  # multinomial NB train->score, all-broadcast model
     "embedding_cluster_stats",  # per-k-means-cell quality/drift profile
+    "embedding_pca",  # deterministic PCA projection (zero-shuffle Columns)
     "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan
     "split_leakage_audit",  # eval-vs-train near-dup leakage gate
     "embedding_ivf_quantized",  # IVF cells + int8 store: the serving plan

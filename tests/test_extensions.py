@@ -1744,3 +1744,27 @@ def test_concat_chunk_spans_no_global_window(spark):
     # every row-level Window must be partitioned by the shard column
     wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     assert any("__shard" in w for w in wins)
+
+
+def test_pca_project_zero_shuffle_and_variance_order(spark):
+    """PCA projection is scan-stage Column algebra (no Exchange after
+    the sample fit) and the leading component carries the most
+    variance."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import pca_project
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 6)) @ np.diag([8, 3, 1, 0.2, 0.1, 0.05])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_project(df, n_components=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.collect()
+    var = [float(np.var([r[f"pc{k}"] for r in rows])) for k in range(3)]
+    assert var[0] > var[1] > var[2]
+    # projections are centered (sample == full data here)
+    assert abs(float(np.mean([r["pc0"] for r in rows]))) < 1e-3

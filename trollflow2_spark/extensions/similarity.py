@@ -549,3 +549,80 @@ def ann_bucketed_topk(
         [F.col("cosine_sim").desc(), F.col(id_col).asc()],
         k,
     ).select(query_id_col, id_col, "cosine_sim", "rank")
+
+
+def pca_components_np(X, n_components: int = 4, n_iter: int = 50):
+    """Deterministic power-iteration PCA on the raw sample matrix:
+    center, then per component run ``n_iter`` fixed iterations of
+    ``v <- normalize(Cov v)`` from the deterministic init ``e_j`` (the
+    j-th unit basis vector), deflating the covariance action after each
+    component. No RNG, no LAPACK — every engine reproduces the same
+    components bit-for-bit, which is what lets the DuckDB oracle carry
+    them as literals. Returns ``(mean, components[k][d])``.
+
+    Shared with the oracle generator (oracles.py), mirroring
+    :func:`kmeans_centroids_np`.
+    """
+    X = np.asarray(X, dtype="float64")
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    n, d = Xc.shape
+    comps = []
+    for j in range(int(n_components)):
+        v = np.zeros(d)
+        v[j % d] = 1.0
+        for _ in range(int(n_iter)):
+            w = Xc.T @ (Xc @ v) / n
+            for c in comps:  # deflate prior components
+                w -= (w @ c) * c
+            nv = np.linalg.norm(w)
+            if nv < 1e-12:
+                break
+            v = w / nv
+        # deterministic sign: largest-|coord| entry is positive
+        a = int(np.argmax(np.abs(v)))
+        if v[a] < 0:
+            v = -v
+        comps.append(v)
+    return mu, np.stack(comps)
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_components: int = 4,
+    sample_n: int = 2048,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Project embeddings onto deterministic PCA components — the
+    dimensionality-reduction step before clustering / visualization /
+    cheap ANN. Components fit driver-side on the ``sample_n``-lowest-id
+    sample (config-sized, like the IVF coarse quantizer — training
+    never shuffles the corpus) and fold into pure Column expressions:
+    ``pc_k = dot(x, w_k) - dot(mu, w_k)`` where the second term is a
+    folded literal. ZERO shuffle — projection happens in the scan
+    stage under whole-stage codegen, no UDF.
+    """
+    pdf = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(int(sample_n))
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    mu, W = pca_components_np(X, n_components=n_components)
+    cols = [F.col(id_col)]
+    for k in range(W.shape[0]):
+        w = W[k]
+        lits = F.array(*[F.lit(float(v)) for v in w])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lits,
+                       lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(
+            F.round(dot - F.lit(float(mu @ w)), round_digits).alias(
+                f"pc{k}"
+            )
+        )
+    return df.select(*cols)

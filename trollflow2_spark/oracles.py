@@ -1051,6 +1051,44 @@ QUALIFY rank <= {C.ANN_K}
 """.replace("{cos}", _cosine_sql("e.embedding", "q.embedding"))
 
 
+def _pca_oracle_sql() -> str | None:
+    """PCA oracle with literal component/mean values from the SAME
+    deterministic power-iteration routine the Spark query uses
+    (``pca_components_np``) on the same fixed sample."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import pca_components_np
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype="float64")
+    mu, W = pca_components_np(X, n_components=C.PCA_COMPONENTS)
+    proj_cols = []
+    for k in range(W.shape[0]):
+        wlist = "[" + ", ".join(repr(float(v)) for v in W[k]) + "]"
+        proj_cols.append(
+            f"round(list_sum(list_transform(range(len(embedding)), "
+            f"i -> CAST(embedding[i+1] AS DOUBLE) * {wlist}[i+1])) "
+            f"- {float(mu @ W[k])!r}, 6) AS pc{k}"
+        )
+    return "SELECT vec_id,\n  " + ",\n  ".join(proj_cols) + "\nFROM embeddings"
+
+
+_pca_sql = _pca_oracle_sql()
+if _pca_sql:
+    ORACLES["embedding_pca"] = _pca_sql
+
+
 _ivf_sql = _ivf_oracle_sql()
 if _ivf_sql is not None:
     ORACLES["embedding_ivf"] = _ivf_sql

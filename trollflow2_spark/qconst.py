@@ -170,3 +170,6 @@ DSIR_ALPHA = 0.5  # additive smoothing mass
 DSIR_TAU = 1.0  # ratio -> keep-probability temperature
 DSIR_SEED = 17  # portable-hash seed for the resample decision
 DSIR_TARGET_LANG = "en"  # fixture target domain: English documents
+
+# embedding PCA (deterministic power iteration, broadcast projection)
+PCA_COMPONENTS = 4  # projected dimensionality for the contract query

@@ -1869,6 +1869,18 @@ def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_chunk_spans(docs, example_tokens=64, shard_size=100)
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCA projection of the embedding table — the
+    dimensionality-reduction step before clustering / cheap ANN.
+    Components fit driver-side on the fixed 2048-lowest-id sample
+    (power iteration, no RNG/LAPACK) and fold into pure Column dot
+    products — ZERO shuffle, whole-stage codegen, no UDF."""
+    from trollflow2_spark.extensions.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, n_components=C.PCA_COMPONENTS)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus diff: per-doc added / removed /
     changed / unchanged so incremental passes touch only the delta.
@@ -3590,6 +3602,7 @@ QUERIES = {
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "line_dedup": q_line_dedup,
+    "embedding_pca": q_embedding_pca,
     "corpus_diff": q_corpus_diff,
     "concat_chunks": q_concat_chunks,
     "dsir_weights": q_dsir_weights,
