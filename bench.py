@@ -124,6 +124,7 @@ OPERATORS = [
     "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)
     "url_dedup_latest",  # keep-newest-capture per canonical URL (one window)
     "nb_lang_classifier",  # multinomial NB train->score, all-broadcast model
+    "classifier_quality_filter",  # model-based quality gate (NB on heuristic labels)
     "embedding_cluster_stats",  # per-k-means-cell quality/drift profile
     "embedding_pca",  # deterministic PCA projection (zero-shuffle Columns)
     "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan

@@ -1569,6 +1569,66 @@ FROM win w JOIN documents d USING (doc_id)
 WHERE w.rn = 1
 """
 
+# classifier-bootstrapped quality filter: heuristic labels (the SAME
+# rounded quality-score expression as text_quality) train the NB model,
+# the held-out split filters on the model's prediction — full replay.
+ORACLES["classifier_quality_filter"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), lab AS (
+  SELECT doc_id, text,
+    CASE WHEN round(({_C_LENSCORE}) * 0.4
+                    + least(({_C_STOPRATIO}) * 5.0, 1.0) * 0.2
+                    + ({_ALPHARATIO.replace('text', 't.text')}) * 0.4, 6)
+           >= {C.QFILTER_SCORE_THRESHOLD}
+      THEN 'hi' ELSE 'lo' END AS q_label
+  FROM t
+), tok_t AS (
+  SELECT q_label, lower(unnest({_TOKS})) AS token FROM lab
+  WHERE doc_id % {C.QFILTER_SPLIT_MOD} <> 0
+), ctc AS (
+  SELECT q_label, token, count(*) AS c FROM tok_t GROUP BY q_label, token
+), totals AS (
+  SELECT q_label, CAST(sum(c) AS DOUBLE) AS total_c
+  FROM ctc GROUP BY q_label
+), nd AS (
+  SELECT q_label, count(*) AS ndc FROM lab
+  WHERE doc_id % {C.QFILTER_SPLIT_MOD} <> 0 GROUP BY q_label
+), n_all AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM lab
+  WHERE doc_id % {C.QFILTER_SPLIT_MOD} <> 0
+), vstat AS (
+  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM tok_t
+), classes AS (
+  SELECT nd.q_label, ln(nd.ndc / n_all.n) AS prior, totals.total_c
+  FROM nd CROSS JOIN n_all JOIN totals ON totals.q_label = nd.q_label
+), tok_s AS (
+  SELECT doc_id, lower(unnest({_TOKS})) AS token FROM lab
+  WHERE doc_id % {C.QFILTER_SPLIT_MOD} = 0
+), scored AS (
+  SELECT s.doc_id, cl.q_label, cl.prior,
+    ln((coalesce(m.c, 0) + {C.NB_ALPHA})
+       / (cl.total_c + {C.NB_ALPHA} * (vstat.v + 1))) AS logp
+  FROM tok_s s
+  CROSS JOIN classes cl
+  LEFT JOIN ctc m ON m.token = s.token AND m.q_label = cl.q_label
+  CROSS JOIN vstat
+), per AS (
+  SELECT doc_id, q_label AS cand,
+    round(any_value(prior) + sum(logp), 6) AS score
+  FROM scored GROUP BY doc_id, q_label
+), win AS (
+  SELECT doc_id, cand AS pred_q_label, score,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, cand ASC) AS rn
+  FROM per
+)
+SELECT w.doc_id, l.q_label, w.pred_q_label, w.score,
+  CASE WHEN w.pred_q_label = 'hi' THEN 1 ELSE 0 END AS keep
+FROM win w JOIN lab l USING (doc_id)
+WHERE w.rn = 1
+"""
+
 ORACLES["vocab_topk"] = f"""
 WITH tok AS (
   SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents

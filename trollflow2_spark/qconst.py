@@ -173,3 +173,7 @@ DSIR_TARGET_LANG = "en"  # fixture target domain: English documents
 
 # embedding PCA (deterministic power iteration, broadcast projection)
 PCA_COMPONENTS = 4  # projected dimensionality for the contract query
+
+# classifier-bootstrapped quality filter (heuristic labels -> NB model)
+QFILTER_SPLIT_MOD = 4  # train on % != 0, score/filter % == 0
+QFILTER_SCORE_THRESHOLD = 0.5  # heuristic quality_score -> hi/lo label

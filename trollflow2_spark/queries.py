@@ -1881,6 +1881,40 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, n_components=C.PCA_COMPONENTS)
 
 
+def q_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, bootstrapped the way production
+    pipelines bootstrap it (fastText quality classifiers trained on
+    heuristic/proxy labels): the rule-based quality score labels a
+    training split hi/lo, a multinomial NB model fits on those labels,
+    and the held-out split is admitted by the MODEL's prediction —
+    which generalizes beyond the rules that seeded it. Training is
+    pure aggregation, the model broadcasts, scoring is map-side; the
+    whole train->score->filter chain replays in SQL."""
+    from trollflow2_spark.extensions.classify import nb_train_score
+    from trollflow2_spark.extensions.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = quality_features(docs, extra_cols=["text"]).select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("quality_score") >= C.QFILTER_SCORE_THRESHOLD, "hi"
+        ).otherwise("lo").alias("q_label"),
+    )
+    train = labeled.where(F.col("doc_id") % C.QFILTER_SPLIT_MOD != 0)
+    score = labeled.where(F.col("doc_id") % C.QFILTER_SPLIT_MOD == 0)
+    out = nb_train_score(
+        train, score, label_col="q_label", alpha=C.NB_ALPHA
+    )
+    return out.select(
+        "doc_id",
+        "q_label",
+        "pred_q_label",
+        "score",
+        F.when(F.col("pred_q_label") == "hi", 1).otherwise(0).alias("keep"),
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus diff: per-doc added / removed /
     changed / unchanged so incremental passes touch only the delta.
@@ -3603,6 +3637,7 @@ QUERIES = {
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "line_dedup": q_line_dedup,
     "embedding_pca": q_embedding_pca,
+    "classifier_quality_filter": q_classifier_quality_filter,
     "corpus_diff": q_corpus_diff,
     "concat_chunks": q_concat_chunks,
     "dsir_weights": q_dsir_weights,
