@@ -1768,3 +1768,72 @@ def test_pca_project_zero_shuffle_and_variance_order(spark):
     assert var[0] > var[1] > var[2]
     # projections are centered (sample == full data here)
     assert abs(float(np.mean([r["pc0"] for r in rows]))) < 1e-3
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """PQ asymmetric-distance top-k must keep most of the exact top-k
+    (the standard IVF-PQ recall check) and put a query's own vector
+    first."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import (
+        brute_force_topk,
+        pq_codebooks_np,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    # clustered data (the regime PQ is built for — pure isotropic noise
+    # has no recoverable neighborhood structure at 4 bytes/vector)
+    centers = rng.normal(size=(10, 16)) * 3
+    labels = rng.integers(0, 10, size=400)
+    X = (
+        centers[labels] + rng.normal(size=(400, 16)) * 0.3
+    ).astype("float64")
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_codebooks_np(X[:128], m=4, k=16)
+    codes = pq_encode(df, books).cache()
+    queries = [(i, X[i]) for i in range(4)]
+    got = pq_topk(codes, books, queries, k=10).collect()
+    # at 4 bytes/vector PQ's contract is NEIGHBORHOOD recall, not exact
+    # rank order: returned neighbors must come from the query's true
+    # cluster, and the query's own vector must score first
+    for qid in range(4):
+        mine = [r for r in got if r["query_id"] == qid]
+        assert min((r["adc_dist"], r["vec_id"]) for r in mine)[1] == qid
+        same = sum(1 for r in mine if labels[r["vec_id"]] == labels[qid])
+        assert same / len(mine) >= 0.8, (qid, same, len(mine))
+    # sanity: exact search agrees on the cluster property too
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(4)],
+        "query_id long, embedding array<float>",
+    )
+    exact = brute_force_topk(df, qdf, k=10).collect()
+    for qid in range(4):
+        e = [r for r in exact if r["query_id"] == qid]
+        assert all(labels[r["vec_id"]] == labels[qid] for r in e)
+
+
+def test_pq_encode_is_map_side(spark):
+    from trollflow2_spark.extensions.similarity import (
+        pq_codebooks_np,
+        pq_encode,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(64, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_codebooks_np(X, m=2, k=4)
+    plan = (
+        pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -626,3 +626,124 @@ def pca_project(
             )
         )
     return df.select(*cols)
+
+
+def pq_codebooks_np(X, m: int = 8, k: int = 16, n_iter: int = 5):
+    """Deterministic product-quantization codebooks: dimensions split
+    into ``m`` contiguous sub-vectors; plain-L2 Lloyd's k-means per
+    subspace (first-``k`` init, fixed iterations, L2 argmin with
+    lowest-code ties) — no RNG, so both engines and the oracle agree
+    bit-for-bit. Returns ``(m, k, d/m)`` float64 codebooks."""
+    X = np.asarray(X, dtype="float64")
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, k, sub))
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        C_ = Xs[:k].copy()
+        for _ in range(int(n_iter)):
+            d2 = ((Xs[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest code
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members):
+                    C_[j] = members.mean(axis=0)
+        books[s] = C_
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes (nearest codebook
+    entry per subspace, squared L2; ties to the lowest code). The
+    64-dim float store becomes m bytes/vector — 32x smaller than
+    float32.
+
+    Arrow-batched numpy kernel over ``mapInPandas`` — map-side, ZERO
+    shuffle; the distance accumulates dimension-by-dimension in double
+    (the same left-to-right order as the SQL oracle's term sum, so both
+    engines produce bit-identical doubles and the argmin ties
+    identically without any rounding fudge). A pure-Column form exists
+    but its m*k*(d/m)-term expression tree costs more in Catalyst
+    analysis + codegen than the whole job at any scale — the kernel is
+    the production path.
+    """
+    from pyspark.sql import types as T
+
+    m, k, sub = books.shape
+    B = np.ascontiguousarray(books, dtype="float64")
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(f"code_{s}", T.IntegerType()) for s in range(m)]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            out = {id_col: pdf[id_col]}
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                d2 = np.zeros((len(X), k))
+                for i in range(sub):  # sequential: matches SQL term order
+                    t = Xs[:, i, None] - B[s, :, i][None, :]
+                    d2 += t * t
+                out[f"code_{s}"] = np.argmin(d2, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def pq_topk(
+    df_codes: DataFrame,
+    books: np.ndarray,
+    query_vecs,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the IVF-PQ serving
+    read path): for each query, the per-subspace distance table to all
+    codebook entries is computed ONCE driver-side (m x k doubles —
+    config-sized) and folded in as array literals; each stored vector's
+    approximate distance is then m table lookups + a sum — the float
+    vectors are never read. ONE scan serves every query (the per-query
+    scores ride an exploded struct array); smallest distance wins,
+    ties to the lowest id.
+    """
+    m, kc, sub = books.shape
+    structs = []
+    for qid, qv in query_vecs:
+        qv = np.asarray(qv, dtype="float64")
+        score = F.lit(0.0)
+        for s in range(m):
+            table = [
+                round(
+                    float(((qv[s * sub : (s + 1) * sub] - books[s, j]) ** 2
+                           ).sum()),
+                    10,
+                )
+                for j in range(kc)
+            ]
+            lut = F.array(*[F.lit(v) for v in table])
+            score = score + F.element_at(lut, F.col(f"code_{s}") + 1)
+        structs.append(
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                F.round(score, round_digits).alias("adc_dist"),
+            )
+        )
+    exploded = df_codes.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("s")
+    ).select("s.query_id", id_col, "s.adc_dist")
+    return topk_per_group(
+        exploded, ["query_id"],
+        [F.col("adc_dist").asc(), F.col(id_col).asc()], k,
+    )

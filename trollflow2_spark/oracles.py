@@ -1089,6 +1089,90 @@ if _pca_sql:
     ORACLES["embedding_pca"] = _pca_sql
 
 
+def _pq_oracle_sqls() -> tuple[str | None, str | None]:
+    """PQ oracles with codebook / lookup-table literals from the SAME
+    deterministic routine the Spark queries use (``pq_codebooks_np``)
+    on the same fixed sample."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None, None
+    import duckdb
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import pq_codebooks_np
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype="float64")
+    books = pq_codebooks_np(X, m=C.PQ_M, k=C.PQ_K)
+    m, kc, sub = books.shape
+
+    def d2_expr(s, j):
+        terms = " + ".join(
+            f"(CAST(embedding[{s * sub + i + 1}] AS DOUBLE) - "
+            f"{float(books[s, j, i])!r}) * "
+            f"(CAST(embedding[{s * sub + i + 1}] AS DOUBLE) - "
+            f"{float(books[s, j, i])!r})"
+            for i in range(sub)
+        )
+        return f"({terms})"
+
+    code_cols = []
+    for s in range(m):
+        lst = "[" + ", ".join(d2_expr(s, j) for j in range(kc)) + "]"
+        code_cols.append(
+            f"CAST(list_position({lst}, list_min({lst})) - 1 AS INTEGER) "
+            f"AS code_{s}"
+        )
+    codes_sql = (
+        "SELECT vec_id,\n  " + ",\n  ".join(code_cols)
+        + "\nFROM embeddings"
+    )
+
+    # asymmetric-distance top-k: per-query lookup tables as literals
+    selects = []
+    for qid in range(C.PQ_N_QUERIES):
+        qv = X[qid]
+        parts = []
+        for s in range(m):
+            table = [
+                round(
+                    float(((qv[s * sub : (s + 1) * sub] - books[s, j]) ** 2
+                           ).sum()),
+                    10,
+                )
+                for j in range(kc)
+            ]
+            lut = "[" + ", ".join(repr(v) for v in table) + "]"
+            parts.append(f"{lut}[code_{s} + 1]")
+        selects.append(
+            f"SELECT {qid} AS query_id, vec_id, "
+            f"round({' + '.join(parts)}, 6) AS adc_dist FROM codes"
+        )
+    topk_sql = (
+        "WITH codes AS (" + codes_sql + "),\n"
+        + "adc AS (" + "\nUNION ALL\n".join(selects) + "),\n"
+        + "ranked AS (SELECT query_id, vec_id, adc_dist, "
+        + "row_number() OVER (PARTITION BY query_id "
+        + "ORDER BY adc_dist ASC, vec_id ASC) AS rn FROM adc)\n"
+        + f"SELECT query_id, vec_id, adc_dist, "
+        + f"CAST(rn AS INTEGER) AS rank FROM ranked WHERE rn <= {C.PQ_TOPK}"
+    )
+    return codes_sql, topk_sql
+
+
+_pq_codes_sql, _pq_topk_sql = _pq_oracle_sqls()
+if _pq_codes_sql:
+    ORACLES["embedding_pq_codes"] = _pq_codes_sql
+    ORACLES["embedding_pq_topk"] = _pq_topk_sql
+
+
 _ivf_sql = _ivf_oracle_sql()
 if _ivf_sql is not None:
     ORACLES["embedding_ivf"] = _ivf_sql

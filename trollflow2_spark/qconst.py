@@ -177,3 +177,9 @@ PCA_COMPONENTS = 4  # projected dimensionality for the contract query
 # classifier-bootstrapped quality filter (heuristic labels -> NB model)
 QFILTER_SPLIT_MOD = 4  # train on % != 0, score/filter % == 0
 QFILTER_SCORE_THRESHOLD = 0.5  # heuristic quality_score -> hi/lo label
+
+# product quantization (IVF-PQ serving path)
+PQ_M = 8  # sub-vectors per embedding
+PQ_K = 16  # codebook entries per subspace
+PQ_TOPK = 10  # neighbors per query in the contract query
+PQ_N_QUERIES = 4  # first N vec_ids serve as the query set

@@ -1915,6 +1915,46 @@ def q_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_books(spark: SparkSession, sf_dir: str):
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import pq_codebooks_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").limit(
+        2048
+    ).toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    return emb, X, pq_codebooks_np(X, m=C.PQ_M, k=C.PQ_K)
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: deterministic per-subspace
+    codebooks (plain-L2 Lloyd's on the fixed lowest-id sample) fold in
+    as literals and every vector becomes m one-byte codes — a 32x
+    smaller store than float32, computed with pure Column algebra in
+    the scan stage (zero shuffle, no UDF)."""
+    from trollflow2_spark.extensions.similarity import pq_encode
+
+    emb, _X, books = _pq_books(spark, sf_dir)
+    return pq_encode(emb, books)
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's serving read path: asymmetric-distance top-k — each
+    query's per-subspace distance table to all codebook entries is
+    driver-computed (m x k doubles) and folded in as array literals, so
+    scoring a stored vector is m table lookups + a sum; the float
+    vectors are never read. Smallest distance wins, ties to lowest
+    id."""
+    from trollflow2_spark.extensions.similarity import pq_encode, pq_topk
+
+    emb, X, books = _pq_books(spark, sf_dir)
+    codes = pq_encode(emb, books)
+    queries = [(i, X[i]) for i in range(C.PQ_N_QUERIES)]
+    return pq_topk(codes, books, queries, k=C.PQ_TOPK)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus diff: per-doc added / removed /
     changed / unchanged so incremental passes touch only the delta.
@@ -3638,6 +3678,8 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "embedding_pca": q_embedding_pca,
     "classifier_quality_filter": q_classifier_quality_filter,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "embedding_pq_topk": q_embedding_pq_topk,
     "corpus_diff": q_corpus_diff,
     "concat_chunks": q_concat_chunks,
     "dsir_weights": q_dsir_weights,
