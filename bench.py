@@ -127,6 +127,8 @@ OPERATORS = [
     "classifier_quality_filter",  # model-based quality gate (NB on heuristic labels)
     "embedding_cluster_stats",  # per-k-means-cell quality/drift profile
     "embedding_pca",  # deterministic PCA projection (zero-shuffle Columns)
+    "embedding_pq_codes",  # product-quantization encode (32x smaller store)
+    "embedding_pq_topk",  # PQ asymmetric-distance serving read path
     "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan
     "split_leakage_audit",  # eval-vs-train near-dup leakage gate
     "embedding_ivf_quantized",  # IVF cells + int8 store: the serving plan
