@@ -120,6 +120,7 @@ OPERATORS = [
     "multimodal_decode_gif",  # from-scratch GIF/LZW decode (real pixels)
     "multimodal_decode_webp_lossy",  # from-scratch VP8 keyframe decode
     "text_normalize",  # NFC + control/whitespace hygiene (Arrow UDF + regex)
+    "encoding_quality",  # mojibake/replacement/control-byte audit (scan-stage regex)
     "contamination_bloom",  # bloom-prefiltered held-set check, exact result
     "bpe_tokenize",  # BPE-trained vocab, greedy subword encode (map-only)
     "url_dedup_latest",  # keep-newest-capture per canonical URL (one window)

@@ -741,3 +741,47 @@ def dsir_resample(
         keep_prob.alias("keep_prob"),
         kept.alias("kept"),
     )
+
+
+def encoding_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document encoding-hygiene signals — the crawl reality check
+    (HTML served as latin-1, double-decoded UTF-8, lossy transcodes):
+
+    - ``n_mojibake``: hits of the classic UTF-8-read-as-latin-1
+      signatures (``\u00c3``/``\u00c2``/``\u00e2`` followed by a
+      high character — how ``\u00e9`` becomes ``\u00c3\u00a9`` and a
+      curly quote becomes ``\u00e2\u20ac\u2122``);
+    - ``n_replacement``: U+FFFD replacement characters (a decoder
+      already gave up);
+    - ``n_control``: C0 control characters that survive in text
+      (excluding tab/newline/CR) — binary-in-text leakage;
+    - ``enc_ok``: 1 when all three are zero — the filter predicate.
+
+    Pure Column regex in the scan stage — zero shuffle, no UDF; the
+    identical patterns run in any SQL dialect with regex support.
+    """
+    t = F.col(text_col)
+    moji = F.size(
+        F.regexp_extract_all(
+            t, F.lit("[\u00c3\u00c2\u00e2][\u0080-\u00ff]"), F.lit(0)
+        )
+    )
+    repl = F.size(F.regexp_extract_all(t, F.lit("\ufffd"), F.lit(0)))
+    ctrl = F.size(
+        F.regexp_extract_all(
+            t,
+            F.lit("[\u0000-\u0008\u000b\u000c\u000e-\u001f]"),
+            F.lit(0),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        moji.alias("n_mojibake"),
+        repl.alias("n_replacement"),
+        ctrl.alias("n_control"),
+        F.when((moji == 0) & (repl == 0) & (ctrl == 0), 1)
+        .otherwise(0)
+        .alias("enc_ok"),
+    )

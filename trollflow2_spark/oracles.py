@@ -759,6 +759,36 @@ SELECT CAST(ex AS BIGINT) AS example_id, doc_id,
 FROM e
 """
 
+# encoding hygiene: identical regex patterns; fixture plants one
+# mojibake pair, one U+FFFD and one control byte by doc_id residue
+ORACLES["encoding_quality"] = """
+WITH t AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 9 = 0 THEN ' caf\u00c3\u00a9'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' bad\ufffdchar'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[\u00c3\u00c2\u00e2][\u0080-\u00ff]')) AS n_mojibake,
+    len(regexp_extract_all(text, '\ufffd')) AS n_replacement,
+    len(regexp_extract_all(text,
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_mojibake AS INTEGER) AS n_mojibake,
+  CAST(n_replacement AS INTEGER) AS n_replacement,
+  CAST(n_control AS INTEGER) AS n_control,
+  CAST(CASE WHEN n_mojibake = 0 AND n_replacement = 0 AND n_control = 0
+       THEN 1 ELSE 0 END AS INTEGER) AS enc_ok
+FROM m
+"""
+
 # Snapshot diff: old skips %13==3, new skips %11==7 and rewrites %7==0.
 # Status falls out of membership + text equality (no digests needed —
 # md5 equality on both engines reduces to text equality).

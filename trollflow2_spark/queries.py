@@ -1955,6 +1955,29 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, books, queries, k=C.PQ_TOPK)
 
 
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene audit: mojibake signatures, replacement chars,
+    stray control bytes — planted deterministically into the fixture
+    (doc_id%9==0 gets a mojibake pair, %11==0 a U+FFFD, %13==0 a
+    control byte) so every signal fires and replays in SQL."""
+    from trollflow2_spark.extensions.text import encoding_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0, " caf\u00c3\u00a9"
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0, " bad\ufffdchar"
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, "\u0007").otherwise(""),
+        ).alias("text"),
+    )
+    return encoding_quality(docs)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus diff: per-doc added / removed /
     changed / unchanged so incremental passes touch only the delta.
@@ -3680,6 +3703,7 @@ QUERIES = {
     "classifier_quality_filter": q_classifier_quality_filter,
     "embedding_pq_codes": q_embedding_pq_codes,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "encoding_quality": q_encoding_quality,
     "corpus_diff": q_corpus_diff,
     "concat_chunks": q_concat_chunks,
     "dsir_weights": q_dsir_weights,
