@@ -38,6 +38,22 @@ FLAGSHIP = [
     ("embedding_ivf_quantized",
      "Quantized IVF serving: int8 store scanned, cell equi-join bounds "
      "candidates, broadcast query side."),
+    ("embedding_pq_topk",
+     "PQ asymmetric-distance serving: one scan of the m-byte code "
+     "store serves every query via literal lookup tables; no float "
+     "vectors read, one exchange for the per-query top-k."),
+    ("line_dedup",
+     "C4-style line dedup: first-occurrence tier is a map-side-"
+     "combinable hash agg on the line digest (no per-line window); "
+     "digest equi-join + one per-doc rebuild agg."),
+    ("concat_chunks",
+     "Concat-then-chunk: sharded cumsum windows (partitioned by the "
+     "contiguous id range), broadcast base offsets, map-side example "
+     "fan-out."),
+    ("dsir_resample",
+     "DSIR selection: both unigram models broadcast into one pass "
+     "over the corpus token stream; portable-hash keep decision "
+     "map-side."),
 ]
 
 
