@@ -41,6 +41,9 @@ OPERATORS = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q4_order_priority",  # EXISTS semi-join shape
+    "q16_parts_never_returned",  # NOT EXISTS anti-join shape
+    "q18_big_spenders",  # groupBy-HAVING into dimension join
     "block_aggregate",
     "resolution_top1",
     "sessionize",

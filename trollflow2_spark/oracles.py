@@ -759,6 +759,38 @@ SELECT CAST(ex AS BIGINT) AS example_id, doc_id,
 FROM e
 """
 
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q16_parts_never_returned"] = """
+SELECT p_brand, count(*) AS n_parts
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_returnflag = 'R'
+    AND l.l_quantity > 45
+)
+GROUP BY p_brand
+"""
+
+ORACLES["q18_big_spenders"] = f"""
+WITH big AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+    count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+  HAVING round(sum(o_totalprice), 2) > {C.Q18_SPEND_THRESHOLD}
+)
+SELECT c.c_custkey AS custkey, c.c_name, b.total_spend, b.n_orders
+FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+"""
+
 # encoding hygiene: identical regex patterns; fixture plants one
 # mojibake pair, one U+FFFD and one control byte by doc_id residue
 ORACLES["encoding_quality"] = """

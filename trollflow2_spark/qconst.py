@@ -183,3 +183,6 @@ PQ_M = 8  # sub-vectors per embedding
 PQ_K = 16  # codebook entries per subspace
 PQ_TOPK = 10  # neighbors per query in the contract query
 PQ_N_QUERIES = 4  # first N vec_ids serve as the query set
+
+# TPC-H shape extensions (semi/anti/having operators)
+Q18_SPEND_THRESHOLD = 3_000_000.0  # total-spend HAVING cut

@@ -1978,6 +1978,68 @@ def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_quality(docs)
 
 
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
+    returned lineitem, counted by priority. The LEFT SEMI join is the
+    operator under test: the probe side reduces to a distinct key set
+    and never duplicates order rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders["o_orderkey"] == returned["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_q16_parts_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT EXISTS anti-join — parts with no
+    bulk-quantity return on record, counted by brand. LEFT ANTI is the
+    operator under test."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)
+    ).select("l_partkey")
+    return (
+        part.join(
+            returned, part["p_partkey"] == returned["l_partkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q_q18_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy-HAVING feeding a join — customers whose
+    total order value clears a threshold, with their order counts. The
+    HAVING prunes before the dimension join, so only qualifying keys
+    shuffle into it."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .where(F.col("total_spend") > C.Q18_SPEND_THRESHOLD)
+    )
+    return big.join(
+        cust, big["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        "c_name",
+        "total_spend",
+        "n_orders",
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus diff: per-doc added / removed /
     changed / unchanged so incremental passes touch only the delta.
@@ -3634,6 +3696,9 @@ QUERIES = {
     "q3_bucketed": q_q3_bucketed,
     "q5_local_supplier": q_q5_local_supplier,
     "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q4_order_priority": q_q4_order_priority,
+    "q16_parts_never_returned": q_q16_parts_never_returned,
+    "q18_big_spenders": q_q18_big_spenders,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
