@@ -116,6 +116,7 @@ OPERATORS = [
     "corpus_diff",  # snapshot delta (digest-only full-outer join)
     "dsir_resample",  # DSIR target-domain importance resampling
     "warc_ingest",  # Common-Crawl-shaped intake: gzip members + HTML->text
+    "warc_ingest_zst",  # .warc.zst intake through the from-scratch RFC 8878 decoder
     "url_canonicalize",  # tracking-param/port/fragment URL normalization
     "domain_rollup",  # eTLD+1 per-site corpus rollup (one hash agg)
     "semantic_dedup",  # SemDeDup: k-means cells -> cosine edges -> clusters

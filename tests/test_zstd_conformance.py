@@ -1,0 +1,179 @@
+"""Conformance suite for the from-scratch Zstandard decoder.
+
+The system libzstd (ctypes, test-only) is the reference encoder: its
+output across levels and content shapes — which exercises raw/RLE/
+compressed blocks, Huffman 1- and 4-stream literals, direct and
+FSE-compressed weights, treeless repeats, every sequence table mode and
+the repeat-offset machinery — must decode byte-exact under our decoder.
+Skipped wholesale when libzstd is absent; the production decoder never
+touches it (STORE-mode fixtures are self-made)."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+import pytest
+
+from trollflow2_spark.sources.zstdcodec import (
+    zstd_compress_store,
+    zstd_decompress,
+)
+
+
+def _load_libzstd():
+    for name in ("libzstd.so.1", ctypes.util.find_library("zstd")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        if hasattr(lib, "ZSTD_compress"):
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t, ctypes.c_int,
+            ]
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            return lib
+    return None
+
+
+_LIB = _load_libzstd()
+
+pytestmark = pytest.mark.skipif(
+    _LIB is None, reason="libzstd not available for conformance checks"
+)
+
+
+def _ref_compress(data: bytes, level: int) -> bytes:
+    bound = _LIB.ZSTD_compressBound(len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = _LIB.ZSTD_compress(out, bound, data, len(data), level)
+    assert not _LIB.ZSTD_isError(n)
+    return out.raw[:n]
+
+
+def test_decoder_matches_libzstd_across_levels_and_shapes():
+    for seed in range(24):
+        rng = np.random.default_rng(seed)
+        kind = seed % 6
+        n = int(rng.integers(1, 120_000))
+        if kind == 0:  # incompressible -> raw blocks
+            data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        elif kind == 1:  # text-like -> Huffman literals
+            data = rng.integers(97, 123, size=n, dtype=np.uint8).tobytes()
+        elif kind == 2:  # repetitive -> long matches, repeat offsets
+            unit = rng.integers(
+                0, 256, size=max(1, n // 100), dtype=np.uint8
+            ).tobytes()
+            data = (unit * 120)[:n]
+        elif kind == 3:  # constant -> RLE blocks
+            data = bytes([int(rng.integers(0, 3))]) * n
+        elif kind == 4:  # word soup -> FSE-compressed sequence tables
+            words = [
+                rng.integers(
+                    97, 123, size=int(rng.integers(2, 12)), dtype=np.uint8
+                ).tobytes()
+                for _ in range(50)
+            ]
+            data = b" ".join(
+                words[int(i)] for i in rng.integers(0, 50, size=n // 6 + 1)
+            )[:n]
+        else:  # short runs -> RLE sequence modes
+            data = np.repeat(
+                rng.integers(0, 256, size=n // 50 + 1, dtype=np.uint8), 50
+            ).tobytes()[:n]
+        level = int(rng.choice([1, 3, 6, 9, 12, 17, 19, 22]))
+        blob = _ref_compress(data, level)
+        assert zstd_decompress(blob) == data, (seed, kind, level, n)
+
+
+def test_multiblock_and_treeless_repeats():
+    """A multi-megabyte source forces many blocks in one frame —
+    treeless literal repeats and table-repeat sequence modes."""
+    base = open("/root/repo/trollflow2_spark/queries.py", "rb").read()
+    data = base * 40
+    for level in (1, 3, 9):
+        assert zstd_decompress(_ref_compress(data, level)) == data
+
+
+def test_concatenated_and_skippable_frames():
+    a = _ref_compress(b"first part. ", 3)
+    skip = (
+        bytes.fromhex("502a4d18") + (5).to_bytes(4, "little") + b"dicts"
+    )
+    b = _ref_compress(b"second part.", 19)
+    assert zstd_decompress(a + skip + b) == b"first part. second part."
+
+
+def test_store_mode_roundtrip_and_cross_decode():
+    """STORE-mode frames (the fixture encoder) must decode under BOTH
+    implementations."""
+    lib = _LIB
+    lib.ZSTD_decompress.restype = ctypes.c_size_t
+    lib.ZSTD_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t
+    ]
+    rng = np.random.default_rng(1)
+    for n in (0, 1, 255, 256, 5000, 400_000):
+        payload = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        frame = zstd_compress_store(payload)
+        assert zstd_decompress(frame) == payload
+        out = ctypes.create_string_buffer(max(n, 1))
+        got = lib.ZSTD_decompress(out, max(n, 1), frame, len(frame))
+        assert not lib.ZSTD_isError(got) and out.raw[:got] == payload
+
+
+def test_warc_zst_route():
+    """gunzip_members dispatches zstd frames to the from-scratch
+    decoder, so .warc.zst records parse like .warc.gz ones."""
+    from trollflow2_spark.sources.warc import gunzip_members, parse_warc_bytes
+
+    body = b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n<p>hi</p>"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/1\r\n"
+        + f"Content-Length: {len(body)}".encode()
+        + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    blob = _ref_compress(rec, 9) + zstd_compress_store(rec)
+    assert gunzip_members(blob) == rec + rec
+    parsed = parse_warc_bytes(blob, "x.warc.zst")
+    assert len(parsed) == 2 and parsed[0]["http_status"] == 200
+
+
+def test_zstd_rejects_garbage_without_hanging():
+    rng = np.random.RandomState(0)
+    for size in (0, 4, 40, 400):
+        junk = rng.randint(0, 256, size=size, dtype=np.uint8).tobytes()
+        try:
+            zstd_decompress(b"\x28\xb5\x2f\xfd" + junk)
+        except Exception:
+            pass  # raising is expected; termination is the property
+
+
+def test_zstd_bitflip_terminates():
+    data = (b"the quick brown fox " * 50)
+    blob = bytearray(_ref_compress(data, 9))
+    rng = np.random.RandomState(3)
+    for _ in range(60):
+        b2 = bytearray(blob)
+        i = rng.randint(4, len(b2))
+        b2[i] ^= 1 << rng.randint(0, 8)
+        try:
+            zstd_decompress(bytes(b2), max_output=10_000_000)
+        except Exception:
+            pass
+
+
+def test_dictionary_frames_raise_with_guidance():
+    with pytest.raises(ValueError, match="dictionary"):
+        # frame header declaring a 1-byte dictionary id of 7
+        zstd_decompress(
+            bytes.fromhex("28b52ffd") + bytes([0x01, 0x00, 0x07])
+            + (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
+        )

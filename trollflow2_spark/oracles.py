@@ -503,6 +503,10 @@ SELECT doc_id,
 FROM documents
 """
 
+# .warc.zst intake: identical records to warc_ingest, zstd-framed —
+# the parsed fields share the same closed forms.
+ORACLES["warc_ingest_zst"] = ORACLES["warc_ingest"]
+
 # URL canonicalization: the Spark side runs the real canonicalizer on
 # the messy fixture; the oracle states both forms closed-form (lowercase
 # scheme/host, default port and fragment stripped, tracking params

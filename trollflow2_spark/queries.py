@@ -1127,6 +1127,93 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The .warc.zst intake route (Common Crawl's current distribution
+    format): the same deterministic WARC records as ``warc_ingest``,
+    but containerized as concatenated ZSTD frames and decoded by the
+    repo's from-scratch RFC 8878 decoder inside the parse kernel. The
+    fixture frames are STORE-mode (spec-valid raw blocks — any zstd
+    implementation reads them); REAL compressed-frame decoding is
+    conformance-pinned against libzstd in tests."""
+    from trollflow2_spark.sources.warc import html_to_text, parse_warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_records", T.IntegerType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def make_and_parse(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.zstdcodec import zstd_compress_store
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                html = (
+                    "<html><head><script>skip();</script>"
+                    "<style>p{}</style></head>"
+                    f"<body><!-- c --><h1>Doc {d}</h1>"
+                    f"<p>alpha &amp; beta {d % 7}</p></body></html>"
+                ).encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n"
+                    + html
+                )
+                recs = []
+                for wtype, body in [
+                    (b"request", b"GET / HTTP/1.1"),
+                    (b"response", http),
+                ]:
+                    recs.append(
+                        b"WARC/1.0\r\nWARC-Type: " + wtype
+                        + f"\r\nWARC-Target-URI: http://x/{d}".encode()
+                        + b"\r\nWARC-Date: 2024-01-15T12:00:00Z"
+                        + f"\r\nContent-Length: {len(body)}".encode()
+                        + b"\r\n\r\n" + body + b"\r\n\r\n"
+                    )
+                # one zstd frame per record, the .warc.zst layout
+                blob = b"".join(zstd_compress_store(r) for r in recs)
+                parsed = parse_warc_bytes(blob, f"doc{d}.warc.zst")
+                resp = [r for r in parsed if r["warc_type"] == "response"]
+                rows.append(
+                    (
+                        d,
+                        len(parsed),
+                        resp[0]["http_status"],
+                        resp[0]["content_type"],
+                        resp[0]["payload"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "http_status", "content_type",
+                    "payload",
+                ],
+            )
+
+    parsed = docs.mapInPandas(make_and_parse, out_schema)
+    text = html_to_text(F.col("payload").cast("string"))
+    return parsed.select(
+        "doc_id",
+        "n_records",
+        "http_status",
+        "content_type",
+        text.alias("text"),
+        F.length(text).alias("text_len"),
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministic messy fixtures (mixed
     case, default ports, tracking params, fragments, unsorted query
@@ -3775,6 +3862,7 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "chunk_documents": q_chunk_documents,
     "warc_ingest": q_warc_ingest,
+    "warc_ingest_zst": q_warc_ingest_zst,
     "url_canonicalize": q_url_canonicalize,
     "domain_rollup": q_domain_rollup,
     "semantic_dedup": q_semantic_dedup,

@@ -181,13 +181,15 @@ def _sniff_archive_kind(archive_path: str) -> str:
         return "zip"
     if head[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
-    if head[:2] == b"\x1f\x8b" or head[:3] == b"BZh" or head[:6] == b"\xfd7zXZ\x00":
+    if (head[:2] == b"\x1f\x8b" or head[:3] == b"BZh"
+            or head[:6] == b"\xfd7zXZ\x00"
+            or head[:4] == b"\x28\xb5\x2f\xfd"):
         return "compressed"
     if len(head) >= 262 and head[257:262] == b"ustar":
         return "tar"
     raise SceneCreationError(
         f"unrecognized archive format at {archive_path!r} (supported: zip, "
-        "7z, tar, tar.gz/bz2/xz, single gz/bz2/xz members); unpack upstream"
+        "7z, tar, tar.gz/bz2/xz, single gz/bz2/xz/zst members); unpack upstream"
     )
 
 
@@ -205,14 +207,20 @@ def _decompress_single_member(
 
     with open(archive_path, "rb") as fh:
         head = fh.read(6)
+    out_dir = workdir or tempfile.mkdtemp(prefix="tf2_gz_")
+    name = os.path.basename(members[0]) if members else "member"
+    target = os.path.join(out_dir, name or "member")
+    if head[:4] == b"\x28\xb5\x2f\xfd":
+        from trollflow2_spark.sources.zstdcodec import zstd_decompress
+
+        with open(archive_path, "rb") as src, open(target, "wb") as dst:
+            dst.write(zstd_decompress(src.read()))
+        return [target for _ in members] or [target]
     opener = (
         gzip.open
         if head[:2] == b"\x1f\x8b"
         else bz2.open if head[:3] == b"BZh" else lzma.open
     )
-    out_dir = workdir or tempfile.mkdtemp(prefix="tf2_gz_")
-    name = os.path.basename(members[0]) if members else "member"
-    target = os.path.join(out_dir, name or "member")
     with opener(archive_path, "rb") as src, open(target, "wb") as dst:
         shutil.copyfileobj(src, dst)
     return [target for _ in members] or [target]

@@ -41,9 +41,16 @@ WARC_RECORD_SCHEMA = T.StructType(
 
 
 def gunzip_members(blob: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream; plain bytes
-    pass through. WARC gzip files are one member per record, so a naive
-    single-member gunzip silently drops everything after record one."""
+    """Decompress a WARC container stream: multi-member gzip
+    (``.warc.gz`` — one member per record), concatenated zstd frames
+    (``.warc.zst`` — Common Crawl's current distribution format,
+    decoded by the repo's from-scratch RFC 8878 decoder), or plain
+    bytes. A naive single-member decompress would silently drop
+    everything after record one."""
+    if blob[:4] == b"\x28\xb5\x2f\xfd":
+        from trollflow2_spark.sources.zstdcodec import zstd_decompress
+
+        return zstd_decompress(blob)
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = bytearray()
