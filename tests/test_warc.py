@@ -150,3 +150,38 @@ def test_html_to_text_chain(spark):
     df = spark.createDataFrame([(html,)], ["raw"])
     got = df.select(html_to_text(F.col("raw")).alias("t")).collect()[0]["t"]
     assert got == "T&C a <b> \"c\" 'd' e"
+
+
+def test_http_body_content_encodings_decode():
+    """gzip/deflate/zstd-encoded and chunked HTTP bodies decode inside
+    the envelope parser — the text tier must see text."""
+    import gzip
+    import zlib
+
+    from trollflow2_spark.sources.warc import _parse_http
+    from trollflow2_spark.sources.zstdcodec import zstd_compress_store
+
+    plain = b"<p>hello encoded world</p>"
+    cases = [
+        (b"gzip", gzip.compress(plain)),
+        (b"deflate", zlib.compress(plain)),
+        (b"zstd", zstd_compress_store(plain)),
+    ]
+    for name, enc in cases:
+        payload = (
+            b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n"
+            b"content-encoding: " + name + b"\r\n\r\n" + enc
+        )
+        status, ctype, body = _parse_http(payload)
+        assert (status, body) == (200, plain), name
+    # chunked framing
+    chunked = b"1a\r\n" + plain + b"\r\n0\r\n\r\n"
+    payload = (
+        b"HTTP/1.1 200 OK\r\ntransfer-encoding: chunked\r\n\r\n" + chunked
+    )
+    assert _parse_http(payload)[2] == plain
+    # corrupt encoding keeps the raw body instead of dying
+    payload = (
+        b"HTTP/1.1 200 OK\r\ncontent-encoding: gzip\r\n\r\nnot-gzip"
+    )
+    assert _parse_http(payload)[2] == b"not-gzip"

@@ -80,11 +80,57 @@ def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         status = None
     ctype = None
+    cenc = None
+    chunked = False
     for ln in lines[1:]:
-        if ln.lower().startswith(b"content-type:"):
+        low = ln.lower()
+        if low.startswith(b"content-type:") and ctype is None:
             ctype = ln.split(b":", 1)[1].strip().decode("latin-1")
-            break
+        elif low.startswith(b"content-encoding:"):
+            cenc = low.split(b":", 1)[1].strip()
+        elif low.startswith(b"transfer-encoding:") and b"chunked" in low:
+            chunked = True
+    if chunked:
+        body = _dechunk(body)
+    if cenc in (b"gzip", b"x-gzip", b"deflate"):
+        # crawl reality: servers gzip/deflate bodies; decode so the
+        # text tier sees text (zstd bodies ride the repo decoder too)
+        try:
+            if cenc == b"deflate":
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    body = zlib.decompress(body, wbits=-15)  # raw deflate
+            else:
+                body = gunzip_members(body)
+        except (ValueError, zlib.error):
+            pass  # keep the raw body; downstream hygiene gates flag it
+    elif cenc == b"zstd":
+        from trollflow2_spark.sources.zstdcodec import zstd_decompress
+
+        try:
+            body = zstd_decompress(body)
+        except ValueError:
+            pass
     return status, ctype, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer encoding; malformed framing
+    returns the raw body (hygiene gates flag it downstream)."""
+    out = bytearray()
+    pos = 0
+    try:
+        while True:
+            eol = body.index(b"\r\n", pos)
+            size = int(body[pos:eol].split(b";")[0], 16)
+            pos = eol + 2
+            if size == 0:
+                return bytes(out)
+            out += body[pos : pos + size]
+            pos += size + 2  # trailing CRLF
+    except (ValueError, IndexError):
+        return body
 
 
 def parse_warc_bytes(blob: bytes, source_name: str = "") -> list[dict]:
