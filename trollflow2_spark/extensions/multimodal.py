@@ -524,7 +524,8 @@ def frame_sample(
                         ]
                     else:
                         raise NotImplementedError(
-                            "frame sampling beyond paged-TIFF and MJPEG "
+                            "frame sampling beyond paged-TIFF, MJPEG, animated WebP "
+                            "and animated GIF "
                             "containers requires a video codec not present "
                             "in this environment; pass fake=True for the "
                             "byte sampler"
