@@ -549,8 +549,12 @@ def _decode_block(data: bytes, out: bytearray, ctx: _Ctx,
         if offset > len(out) - window_lo:
             raise ValueError("zstd: match offset beyond window")
         start = len(out) - offset
-        for j in range(match_len):  # overlapping copies are the point
-            out.append(out[start + j])
+        if offset >= match_len:
+            out += out[start : start + match_len]
+        else:
+            # overlapping copy: the repetition IS the semantics
+            for j in range(match_len):
+                out.append(out[start + j])
         if i < n_seq - 1:
             ll_s.update(bb)
             ml_s.update(bb)
