@@ -177,3 +177,36 @@ def test_dictionary_frames_raise_with_guidance():
             bytes.fromhex("28b52ffd") + bytes([0x01, 0x00, 0x07])
             + (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
         )
+
+
+def test_content_checksums_verify_and_reject_corruption():
+    """Frames written with ZSTD_c_checksumFlag verify under the
+    from-scratch XXH64; a flipped checksum byte is rejected."""
+    lib = _LIB
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_createCCtx.argtypes = []
+    lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+    lib.ZSTD_CCtx_setParameter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int
+    ]
+    lib.ZSTD_compress2.restype = ctypes.c_size_t
+    lib.ZSTD_compress2.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    cctx = lib.ZSTD_createCCtx()
+    lib.ZSTD_CCtx_setParameter(cctx, 201, 1)  # ZSTD_c_checksumFlag
+    rng = np.random.default_rng(2)
+    for n in (0, 5, 1000, 50000):
+        data = (rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+                if n else b"")
+        bound = _LIB.ZSTD_compressBound(n)
+        out = ctypes.create_string_buffer(bound)
+        m = lib.ZSTD_compress2(cctx, out, bound, data, n)
+        assert not _LIB.ZSTD_isError(m)
+        blob = out.raw[:m]
+        assert zstd_decompress(blob) == data
+        bad = bytearray(blob)
+        bad[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="checksum"):
+            zstd_decompress(bytes(bad))

@@ -627,7 +627,11 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             if last:
                 break
         if checksum:
-            pos += 4  # xxh64 low bytes; integrity is the caller's CRC tier
+            want = struct.unpack_from("<I", data, pos)[0]
+            got = xxh64(bytes(out[window_lo:])) & 0xFFFFFFFF
+            if want != got:
+                raise ValueError("zstd: content checksum mismatch")
+            pos += 4
     return bytes(out)
 
 
@@ -656,3 +660,65 @@ def zstd_compress_store(data: bytes, block_size: int = 128 * 1024) -> bytes:
         out += (last | (0 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
         out += chunk
     return bytes(out)
+
+# ---------------------------------------------------------------------------
+# XXH64 (the zstd content checksum; also Spark's xxhash64 core)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (public xxHash spec) — verifies zstd content checksums."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while pos + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, pos)
+            v1 = _round(v1, l1)
+            v2 = _round(v2, l2)
+            v3 = _round(v3, l3)
+            v4 = _round(v4, l4)
+            pos += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while pos + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, pos)
+        h = ((_rotl(h ^ _round(0, k), 27) * _P1) + _P4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, pos)
+        h = ((_rotl(h ^ (k * _P1 & _M64), 23) * _P2) + _P3) & _M64
+        pos += 4
+    while pos < n:
+        h = ((_rotl(h ^ (data[pos] * _P5 & _M64), 11)) * _P1) & _M64
+        pos += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
