@@ -716,8 +716,7 @@ def decode_vp8(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                     if blocks is not None:
                         res = _idct4x4(list(blocks["y"][i][0]))
                         add_residual(Y, by, bx, res)
-            for plane, key, stash in ((U, "u", None), (V, "v", None)):
-                pred = _pred_b if False else None
+            for plane, key in ((U, "u"), (V, "v")):
                 p8 = _pred16_or_8(plane, cy0, cx0, 8, mb.uvmode, W >> 1)
                 plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(p8, 0, 255)
                 if blocks is not None:

@@ -532,9 +532,7 @@ def _decode_block(data: bytes, out: bytearray, ctx: _Ctx,
                 offset = reps[0]
             elif idx < 3:
                 offset = reps[idx]
-                reps[2 if idx == 2 else 1] = reps[1 if idx == 2 else 0] \
-                    if False else reps[2 if idx == 2 else 1]
-                # rotate: selected offset moves to front
+                # rotate: the selected offset moves to the front
                 if idx == 1:
                     reps[1], reps[0] = reps[0], reps[1]
                 else:
