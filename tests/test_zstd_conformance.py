@@ -210,3 +210,59 @@ def test_content_checksums_verify_and_reject_corruption():
         bad[-1] ^= 0xFF
         with pytest.raises(ValueError, match="checksum"):
             zstd_decompress(bytes(bad))
+
+
+def test_dictionary_frames_decode_with_trained_dict():
+    """Frames compressed against a ZDICT-trained dictionary decode
+    byte-exact — explicitly via dict_data= and via the Common Crawl
+    layout (dictionary in a 0x184D2A5D skippable frame); a referencing
+    frame without its dictionary raises with guidance."""
+    lib = _LIB
+    lib.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    lib.ZDICT_trainFromBuffer.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_uint,
+    ]
+    lib.ZDICT_isError.restype = ctypes.c_uint
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_createCCtx.argtypes = []
+    lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int,
+    ]
+    rng = np.random.default_rng(0)
+    words = [b"the", b"crawl", b"warc", b"response", b"content", b"http",
+             b"record"]
+    samples = [
+        b" ".join(words[int(i)] for i in rng.integers(0, 7, size=80))
+        for _ in range(200)
+    ]
+    blob = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    buf = ctypes.create_string_buffer(20000)
+    n = lib.ZDICT_trainFromBuffer(buf, 20000, blob, sizes, len(samples))
+    assert not lib.ZDICT_isError(n)
+    zdict = buf.raw[:n]
+    cctx = lib.ZSTD_createCCtx()
+    for seed in range(6):
+        r = np.random.default_rng(seed + 50)
+        sample = b" ".join(
+            words[int(i)] for i in r.integers(0, 7,
+                                              size=int(r.integers(20, 200)))
+        )
+        bound = _LIB.ZSTD_compressBound(len(sample))
+        out = ctypes.create_string_buffer(bound)
+        m = lib.ZSTD_compress_usingDict(
+            cctx, out, bound, sample, len(sample), zdict, len(zdict),
+            int(r.choice([1, 3, 9, 19])),
+        )
+        assert not _LIB.ZSTD_isError(m)
+        frame = out.raw[:m]
+        assert zstd_decompress(frame, dict_data=zdict) == sample
+        cc = (bytes.fromhex("5d2a4d18") + len(zdict).to_bytes(4, "little")
+              + zdict + frame)
+        assert zstd_decompress(cc) == sample
+        with pytest.raises(ValueError, match="dictionary"):
+            zstd_decompress(frame)

@@ -357,15 +357,66 @@ def _huffman_decode_stream(table, max_bits: int, data: bytes, n: int):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# dictionaries (RFC 8878 section 5)
+# ---------------------------------------------------------------------------
+
+DICT_MAGIC = 0xEC30A437
+#: Common Crawl embeds the per-file dictionary in a skippable frame
+#: with this magic (its payload may itself be a zstd frame)
+CC_DICT_SKIPPABLE = 0x184D2A5D
+
+
+class ZstdDictionary:
+    __slots__ = ("dict_id", "huff", "ll", "of", "ml", "reps", "content")
+
+    def __init__(self, dict_id, huff, ll, of, ml, reps, content):
+        self.dict_id = dict_id
+        self.huff = huff
+        self.ll = ll
+        self.of = of
+        self.ml = ml
+        self.reps = reps
+        self.content = content
+
+
+def parse_zstd_dictionary(data: bytes) -> ZstdDictionary:
+    """Parse a zstd dictionary: entropy tables (Huffman literals, then
+    FSE tables for offsets / match lengths / literal lengths), the three
+    initial repeat offsets, and the content prefix. A blob without the
+    dictionary magic is a raw content-only dictionary."""
+    if len(data) < 8 or struct.unpack_from("<I", data, 0)[0] != DICT_MAGIC:
+        return ZstdDictionary(0, None, None, None, None, [1, 4, 8],
+                              bytes(data))
+    dict_id = struct.unpack_from("<I", data, 4)[0]
+    pos = 8
+    huff_table, huff_bits, pos = _parse_huffman(data, pos)
+    tables = []
+    for max_acc, max_sym in ((8, 31), (9, 52), (9, 35)):  # OF, ML, LL
+        fb = _FwdBits(data, pos)
+        acc, probs = _parse_fse_dist(fb, max_acc)
+        if len(probs) - 1 > max_sym:
+            raise ValueError("zstd: dictionary FSE symbol out of range")
+        tables.append((_build_fse_table(acc, probs), acc))
+        pos = fb.byte_align_pos()
+    of_t, ml_t, ll_t = tables
+    reps = list(struct.unpack_from("<III", data, pos))
+    pos += 12
+    if not all(reps):
+        raise ValueError("zstd: dictionary with zero repeat offset")
+    return ZstdDictionary(dict_id, (huff_table, huff_bits), ll_t, of_t,
+                          ml_t, reps, data[pos:])
+
+
 class _Ctx:
     __slots__ = ("huff", "ll", "of", "ml", "reps")
 
-    def __init__(self):
-        self.huff = None  # (table, max_bits)
-        self.ll = None  # (table, accuracy)
-        self.of = None
-        self.ml = None
-        self.reps = [1, 4, 8]
+    def __init__(self, zdict: "ZstdDictionary | None" = None):
+        self.huff = zdict.huff if zdict else None  # (table, max_bits)
+        self.ll = zdict.ll if zdict else None  # (table, accuracy)
+        self.of = zdict.of if zdict else None
+        self.ml = zdict.ml if zdict else None
+        self.reps = list(zdict.reps) if zdict else [1, 4, 8]
 
 
 def _decode_literals(data: bytes, pos: int, ctx: _Ctx):
@@ -560,9 +611,15 @@ def _decode_block(data: bytes, out: bytearray, ctx: _Ctx,
     out += literals[lit_pos:]
 
 
-def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+def zstd_decompress(data: bytes, max_output: int = 1 << 31,
+                    dict_data: bytes | None = None) -> bytes:
     """Decompress a (possibly concatenated) zstd stream; skippable
-    frames are skipped; dictionary references raise."""
+    frames are skipped — except the Common Crawl dictionary frame
+    (magic 0x184D2A5D), whose payload becomes the dictionary for the
+    frames that follow, exactly the .warc.zst layout. An explicit
+    ``dict_data`` (raw content or a full dictionary with entropy
+    tables) serves frames that reference its id."""
+    zdict = parse_zstd_dictionary(dict_data) if dict_data else None
     out = bytearray()
     pos = 0
     n = len(data)
@@ -573,7 +630,13 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
         pos += 4
         if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
             size = struct.unpack_from("<I", data, pos)[0]
+            payload = data[pos + 4 : pos + 4 + size]
             pos += 4 + size
+            if magic == CC_DICT_SKIPPABLE and payload:
+                # the embedded dictionary may itself be zstd-compressed
+                if payload[:4] == b"\x28\xb5\x2f\xfd":
+                    payload = zstd_decompress(payload)
+                zdict = parse_zstd_dictionary(payload)
             continue
         if magic != ZSTD_MAGIC:
             raise ValueError(f"zstd: bad magic 0x{magic:08x}")
@@ -589,15 +652,25 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             did_len = {1: 1, 2: 2, 3: 4}[dict_flag]
             did = int.from_bytes(data[pos : pos + did_len], "little")
             pos += did_len
-            if did:
+            if did and (zdict is None or (zdict.dict_id
+                                          and zdict.dict_id != did)):
                 raise ValueError(
-                    "zstd: dictionary frames are not supported (the "
-                    "Common Crawl path ships self-contained frames)"
+                    f"zstd: frame references dictionary {did} which was "
+                    "not provided (pass dict_data= or embed it in a "
+                    "0x184D2A5D skippable frame, the .warc.zst layout)"
                 )
         fcs_len = {0: 1 if single else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
         pos += fcs_len
-        window_lo = len(out)
-        ctx = _Ctx()
+        # a frame decodes into its own buffer seeded with the dictionary
+        # content so matches can reach the prefix; the prefix is not
+        # emitted
+        use_dict = zdict is not None and dict_flag and (
+            zdict.dict_id == 0 or True
+        )
+        fbuf = bytearray(zdict.content) if use_dict else bytearray()
+        prefix = len(fbuf)
+        window_lo = 0
+        ctx = _Ctx(zdict if use_dict else None)
         while True:
             if n - pos < 3:
                 raise ValueError("zstd: truncated block header")
@@ -607,26 +680,28 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             btype = (bh >> 1) & 3
             bsize = bh >> 3
             if btype == 0:
-                out += data[pos : pos + bsize]
+                fbuf += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:
-                out += bytes([data[pos]]) * bsize
+                fbuf += bytes([data[pos]]) * bsize
                 pos += 1
             elif btype == 2:
                 block = data[pos : pos + bsize]
                 if len(block) < bsize:
                     raise ValueError("zstd: truncated compressed block")
-                _decode_block(block, out, ctx, window_lo)
+                _decode_block(block, fbuf, ctx, window_lo)
                 pos += bsize
             else:
                 raise ValueError("zstd: reserved block type")
-            if len(out) > max_output:
+            if len(out) + len(fbuf) > max_output:
                 raise ValueError("zstd: output exceeds safety cap")
             if last:
                 break
+        frame_out = bytes(fbuf[prefix:])
+        out += frame_out
         if checksum:
             want = struct.unpack_from("<I", data, pos)[0]
-            got = xxh64(bytes(out[window_lo:])) & 0xFFFFFFFF
+            got = xxh64(frame_out) & 0xFFFFFFFF
             if want != got:
                 raise ValueError("zstd: content checksum mismatch")
             pos += 4
