@@ -664,9 +664,10 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31,
         # a frame decodes into its own buffer seeded with the dictionary
         # content so matches can reach the prefix; the prefix is not
         # emitted
-        use_dict = zdict is not None and dict_flag and (
-            zdict.dict_id == 0 or True
-        )
+        # full dictionaries apply to frames that reference them; raw
+        # content-only dictionaries (no id) apply as a window prefix to
+        # every frame, matching ZSTD_decompress_usingDict semantics
+        use_dict = zdict is not None and (dict_flag or zdict.dict_id == 0)
         fbuf = bytearray(zdict.content) if use_dict else bytearray()
         prefix = len(fbuf)
         window_lo = 0
