@@ -109,6 +109,7 @@ OPERATORS = [
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_flac",
     "unigram_logprob",  # perplexity-style LM quality score, broadcast model
+    "bigram_logprob",  # interpolated bigram LM (KenLM-filtering shape)
     "embedding_topk_quantized",  # int8 store (4x smaller), scales cancel in cosine
     "repeated_ngram_spans",  # exact-substring span dedup (Lee et al. shape)
     "line_dedup",  # C4-style global first-occurrence line dedup

@@ -1837,3 +1837,24 @@ def test_pq_encode_is_map_side(spark):
         pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bigram_logprob_penalizes_scrambled_text(spark):
+    """Documents with the corpus's transitions score higher than the
+    same tokens scrambled (word soup) — the signal unigram LMs miss."""
+    from trollflow2_spark.extensions.text import bigram_logprob
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the dog on sat the and rug cat the on sat the"
+    rows = [(i, natural) for i in range(20)]
+    rows.append((100, scrambled))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["mean_bigram_logprob"]
+        for r in bigram_logprob(df, vocab_k=50, bigram_k=100).collect()
+    }
+    assert out[0] > out[100]
+    plan = (
+        bigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan  # both model tables broadcast

@@ -785,3 +785,92 @@ def encoding_quality(
         .otherwise(0)
         .alias("enc_ok"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 5000,
+    bigram_k: int = 2000,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document mean log-probability of token TRANSITIONS under a
+    Jelinek-Mercer-interpolated bigram LM fit on the corpus itself —
+    the KenLM-filtering upgrade over :func:`unigram_logprob`: word soup
+    with plausible unigrams but impossible transitions scores low.
+
+    ``p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * p_uni(w2)`` with the
+    bigram table truncated to the top ``bigram_k`` pairs (absent pairs
+    back off to the unigram term alone) and ``p_uni`` the same
+    smoothed top-``vocab_k`` unigram model as :func:`unigram_logprob`.
+
+    Scale: bigram counts are one hash agg (map-side combinable); the
+    top-k tables are TakeOrdered (no global sort) and BROADCAST, so
+    scoring is one pass over the exploded transition pairs with two
+    broadcast joins and a per-doc reduce. Output:
+    ``(id, n_transitions, mean_bigram_logprob)``; docs with fewer than
+    two tokens emit no row.
+    """
+    a = float(alpha)
+    lo = F.transform(tokens(F.col(text_col)), F.lower)
+    n = F.size(lo)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice(lo, 1, n - 1).alias("w1"),
+                    F.slice(lo, 2, n - 1).alias("w2"),
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    tok = df.select(
+        F.explode(tokens(F.col(text_col))).alias("tk")
+    ).select(F.lower(F.col("tk")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    stats = counts.agg(
+        F.sum("c1").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    uni_model = counts.orderBy(F.desc("c1"), F.col("token")).limit(
+        int(vocab_k)
+    ).select(F.col("token").alias("w2"), F.col("c1").alias("uc"))
+    big_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    big_model = (
+        big_counts.orderBy(F.desc("c12"), "w1", "w2")
+        .limit(int(bigram_k))
+        .join(
+            F.broadcast(counts.select(F.col("token").alias("w1"), "c1")),
+            "w1",
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(big_model), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_model), "w2", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "p_uni",
+            (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(a))
+            / (F.col("n") + F.lit(a) * (F.col("v") + 1)),
+        )
+        .withColumn(
+            "logp",
+            F.log(
+                F.lit(float(lam))
+                * F.coalesce(F.col("c12") / F.col("c1"), F.lit(0.0))
+                + F.lit(1.0 - float(lam)) * F.col("p_uni")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(F.avg("logp"), round_digits).alias("mean_bigram_logprob"),
+    )

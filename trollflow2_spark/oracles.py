@@ -1779,6 +1779,51 @@ FROM win w JOIN lab l USING (doc_id)
 WHERE w.rn = 1
 """
 
+# interpolated bigram LM: transitions from list_zip of the lowered
+# token array; top-k bigram table (ties: count desc, w1, w2) + the same
+# smoothed unigram model; absent pairs back off to the unigram term
+ORACLES["bigram_logprob"] = f"""
+WITH lowered AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> lower(t)) AS tk
+  FROM documents
+), pairs AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM lowered,
+    unnest(list_zip(tk[1 : len(tk) - 1], tk[2 : len(tk)])) AS z(p)
+  WHERE len(tk) >= 2
+), counts AS (
+  SELECT unnest(tk) AS token FROM lowered
+), c1t AS (
+  SELECT token, count(*) AS c1 FROM counts GROUP BY token
+), stats AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM c1t
+), uni AS (
+  SELECT token AS w2, c1 AS uc FROM c1t
+  ORDER BY c1 DESC, token LIMIT {C.UNIGRAM_VOCAB_K}
+), bc AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+), big AS (
+  SELECT bc.w1, bc.w2, bc.c12, c1t.c1
+  FROM (SELECT * FROM bc ORDER BY c12 DESC, w1, w2
+        LIMIT {C.BIGRAM_TOP_K}) bc
+  JOIN c1t ON c1t.token = bc.w1
+), scored AS (
+  SELECT p.doc_id,
+    ln({C.BIGRAM_LAMBDA} * coalesce(CAST(b.c12 AS DOUBLE) / b.c1, 0.0)
+       + {1.0 - C.BIGRAM_LAMBDA}
+         * ((coalesce(u.uc, 0) + {C.UNIGRAM_ALPHA})
+            / (s.n + {C.UNIGRAM_ALPHA} * (s.v + 1)))) AS logp
+  FROM pairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u ON u.w2 = p.w2
+  CROSS JOIN stats s
+)
+SELECT doc_id, count(*) AS n_transitions,
+  round(avg(logp), 6) AS mean_bigram_logprob
+FROM scored GROUP BY doc_id
+"""
+
 ORACLES["vocab_topk"] = f"""
 WITH tok AS (
   SELECT doc_id, lower(unnest({_TOKS})) AS token FROM documents

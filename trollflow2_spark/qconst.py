@@ -186,3 +186,7 @@ PQ_N_QUERIES = 4  # first N vec_ids serve as the query set
 
 # TPC-H shape extensions (semi/anti/having operators)
 Q18_SPEND_THRESHOLD = 3_000_000.0  # total-spend HAVING cut
+
+# bigram LM quality score (Jelinek-Mercer interpolation)
+BIGRAM_TOP_K = 2000  # bigram table size (broadcast model)
+BIGRAM_LAMBDA = 0.7  # bigram weight; (1-lambda) backs off to unigram

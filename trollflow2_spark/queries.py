@@ -2127,6 +2127,20 @@ def q_q18_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (the KenLM-filtering shape): word
+    soup with plausible unigrams but impossible transitions scores
+    low. Both model tables broadcast; scoring is one pass over the
+    exploded transition pairs."""
+    from trollflow2_spark.extensions.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(
+        docs, vocab_k=C.UNIGRAM_VOCAB_K, bigram_k=C.BIGRAM_TOP_K,
+        alpha=C.UNIGRAM_ALPHA, lam=C.BIGRAM_LAMBDA,
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot corpus diff: per-doc added / removed /
     changed / unchanged so incremental passes touch only the delta.
@@ -3856,6 +3870,7 @@ QUERIES = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "embedding_pq_topk": q_embedding_pq_topk,
     "encoding_quality": q_encoding_quality,
+    "bigram_logprob": q_bigram_logprob,
     "corpus_diff": q_corpus_diff,
     "concat_chunks": q_concat_chunks,
     "dsir_weights": q_dsir_weights,
