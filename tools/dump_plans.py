@@ -54,6 +54,12 @@ FLAGSHIP = [
      "DSIR selection: both unigram models broadcast into one pass "
      "over the corpus token stream; portable-hash keep decision "
      "map-side."),
+    ("bigram_logprob",
+     "Interpolated bigram LM: top-k transition table + unigram model "
+     "both broadcast; scoring is one pass over the exploded pairs."),
+    ("warc_ingest_zst",
+     ".warc.zst intake: executor-side frame decode in the parse "
+     "kernel; HTML->text stays a scan-stage regex chain."),
 ]
 
 
