@@ -266,3 +266,120 @@ def test_dictionary_frames_decode_with_trained_dict():
         assert zstd_decompress(cc) == sample
         with pytest.raises(ValueError, match="dictionary"):
             zstd_decompress(frame)
+
+
+def _load_liblz4():
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+    except OSError:
+        return None
+    if not hasattr(lib, "LZ4F_compressFrame"):
+        return None
+    lib.LZ4F_compressFrame.restype = ctypes.c_size_t
+    lib.LZ4F_compressFrame.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_void_p,
+    ]
+    lib.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+    lib.LZ4F_isError.restype = ctypes.c_uint
+    return lib
+
+
+_LZ4 = _load_liblz4()
+
+
+@pytest.mark.skipif(_LZ4 is None, reason="liblz4 not available")
+def test_lz4_decoder_matches_liblz4():
+    """LZ4 frames across content shapes decode byte-exact, and the
+    from-scratch XXH32 matches the known test vectors."""
+    from trollflow2_spark.sources.lz4codec import lz4_decompress, xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+
+    def lz4c(data):
+        bound = _LZ4.LZ4F_compressFrameBound(len(data), None)
+        out = ctypes.create_string_buffer(bound)
+        n = _LZ4.LZ4F_compressFrame(out, bound, data, len(data), None)
+        assert not _LZ4.LZ4F_isError(n)
+        return out.raw[:n]
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        kind = seed % 4
+        n = int(rng.integers(1, 200_000))
+        if kind == 0:
+            data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        elif kind == 1:
+            data = (b"repetitive pattern " * 200)[:n]
+        elif kind == 2:
+            data = bytes([7]) * n
+        else:
+            data = open(
+                "/root/repo/trollflow2_spark/queries.py", "rb"
+            ).read()[:n]
+        assert lz4_decompress(lz4c(data)) == data
+    skip = bytes.fromhex("502a4d18") + (2).to_bytes(4, "little") + b"xy"
+    assert lz4_decompress(lz4c(b"one ") + skip + lz4c(b"two")) == b"one two"
+
+    # frames with block + content checksums (explicit preferences)
+    class _Prefs(ctypes.Structure):
+        _fields_ = [
+            ("blockSizeID", ctypes.c_int),
+            ("blockMode", ctypes.c_int),
+            ("contentChecksumFlag", ctypes.c_int),
+            ("frameType", ctypes.c_int),
+            ("contentSize", ctypes.c_ulonglong),
+            ("dictID", ctypes.c_uint),
+            ("blockChecksumFlag", ctypes.c_int),
+            ("compressionLevel", ctypes.c_int),
+            ("autoFlush", ctypes.c_uint),
+            ("favorDecSpeed", ctypes.c_uint),
+            ("reserved", ctypes.c_uint * 3),
+        ]
+
+    prefs = _Prefs()
+    prefs.contentChecksumFlag = 1
+    prefs.blockChecksumFlag = 1
+    data = b"payload under checksum protection " * 40
+    bound = _LZ4.LZ4F_compressFrameBound(len(data), ctypes.byref(prefs))
+    out = ctypes.create_string_buffer(bound)
+    n = _LZ4.LZ4F_compressFrame(out, bound, data, len(data),
+                                ctypes.byref(prefs))
+    assert not _LZ4.LZ4F_isError(n)
+    blob = out.raw[:n]
+    assert lz4_decompress(blob) == data
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF  # the trailing 4 bytes are the content checksum
+    with pytest.raises(ValueError, match="checksum"):
+        lz4_decompress(bytes(bad))
+    # garbage behind the magic terminates cleanly
+    rng = np.random.RandomState(0)
+    for size in (0, 10, 100):
+        junk = rng.randint(0, 256, size=size, dtype=np.uint8).tobytes()
+        try:
+            lz4_decompress(b"\x04\x22\x4d\x18" + junk)
+        except Exception:
+            pass
+
+
+@pytest.mark.skipif(_LZ4 is None, reason="liblz4 not available")
+def test_lz4_archive_member_route(tmp_path):
+    """A bare .lz4 member decompresses through the scene archive
+    dispatcher."""
+    from trollflow2_spark.sources.scene import (
+        _decompress_single_member,
+        _sniff_archive_kind,
+    )
+
+    def lz4c(data):
+        bound = _LZ4.LZ4F_compressFrameBound(len(data), None)
+        out = ctypes.create_string_buffer(bound)
+        n = _LZ4.LZ4F_compressFrame(out, bound, data, len(data), None)
+        return out.raw[:n]
+
+    p = tmp_path / "scene.dat.lz4"
+    p.write_bytes(lz4c(b"scene payload bytes"))
+    assert _sniff_archive_kind(str(p)) == "compressed"
+    out = _decompress_single_member(str(p), ["scene.dat"])
+    assert open(out[0], "rb").read() == b"scene payload bytes"

@@ -183,13 +183,14 @@ def _sniff_archive_kind(archive_path: str) -> str:
         return "7z"
     if (head[:2] == b"\x1f\x8b" or head[:3] == b"BZh"
             or head[:6] == b"\xfd7zXZ\x00"
-            or head[:4] == b"\x28\xb5\x2f\xfd"):
+            or head[:4] == b"\x28\xb5\x2f\xfd"
+            or head[:4] == b"\x04\x22\x4d\x18"):
         return "compressed"
     if len(head) >= 262 and head[257:262] == b"ustar":
         return "tar"
     raise SceneCreationError(
         f"unrecognized archive format at {archive_path!r} (supported: zip, "
-        "7z, tar, tar.gz/bz2/xz, single gz/bz2/xz/zst members); unpack upstream"
+        "7z, tar, tar.gz/bz2/xz, single gz/bz2/xz/zst/lz4 members); unpack upstream"
     )
 
 
@@ -215,6 +216,12 @@ def _decompress_single_member(
 
         with open(archive_path, "rb") as src, open(target, "wb") as dst:
             dst.write(zstd_decompress(src.read()))
+        return [target for _ in members] or [target]
+    if head[:4] == b"\x04\x22\x4d\x18":
+        from trollflow2_spark.sources.lz4codec import lz4_decompress
+
+        with open(archive_path, "rb") as src, open(target, "wb") as dst:
+            dst.write(lz4_decompress(src.read()))
         return [target for _ in members] or [target]
     opener = (
         gzip.open
