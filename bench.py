@@ -136,6 +136,7 @@ OPERATORS = [
     "embedding_pq_codes",  # product-quantization encode (32x smaller store)
     "embedding_pq_topk",  # PQ asymmetric-distance serving read path
     "crawl_pipeline",  # WARC->text->canonicalize->dedup->quality, one plan
+    "crawl_to_training",  # the capstone: crawl chain -> packed example spans
     "split_leakage_audit",  # eval-vs-train near-dup leakage gate
     "embedding_ivf_quantized",  # IVF cells + int8 store: the serving plan
     "host_pagerank",  # link extraction + iterative power method (3 rounds)

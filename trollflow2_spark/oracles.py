@@ -601,6 +601,56 @@ SELECT doc_id, canonical_url, text,
 FROM ded WHERE length(text) >= 10
 """
 
+# capstone: the crawl survivors' token streams concat in id order and
+# cut into 32-token examples — the crawl CTEs + the concat-chunk cumsum
+ORACLES["crawl_to_training"] = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 100 AS pid, doc_id % 250 AS uid,
+    CAST(doc_id * 37 % 1000 AS BIGINT) AS fetch_ts
+  FROM documents
+), ext AS (
+  SELECT doc_id, fetch_ts,
+    'http://site' || (uid % 25) || '.com/p/' || uid
+      || '?k=' || (uid % 3) AS canonical_url,
+    CASE WHEN pid % 10 = 0 THEN 'x'
+         ELSE 'Doc ' || pid || ' alpha & beta ' || (pid % 7) END AS text
+  FROM base
+), latest AS (
+  SELECT doc_id, canonical_url, text FROM (
+    SELECT doc_id, canonical_url, text,
+      row_number() OVER (PARTITION BY canonical_url
+                         ORDER BY fetch_ts DESC, doc_id ASC) AS rn
+    FROM ext
+  ) WHERE rn = 1
+), ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      min(doc_id) OVER (PARTITION BY text) AS keep_id
+    FROM latest
+  ) WHERE doc_id = keep_id
+), surv AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) + 1 AS BIGINT) AS nt
+  FROM ded WHERE length(text) >= 10
+), c AS (
+  SELECT doc_id, nt,
+    sum(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+      AS s
+  FROM surv
+), e AS (
+  SELECT doc_id, nt, s,
+    unnest(generate_series(CAST(s // 32 AS BIGINT),
+                           CAST((s + nt - 1) // 32 AS BIGINT))) AS ex
+  FROM c
+)
+SELECT CAST(ex AS BIGINT) AS example_id, doc_id,
+  CAST(greatest(0, ex * 32 - s) AS INTEGER) AS doc_tok_start,
+  CAST(least(s + nt, (ex + 1) * 32) - greatest(s, ex * 32) AS INTEGER)
+    AS n_toks
+FROM e
+"""
+
 # tumbling event-time windows: Spark's F.window('1 hour') buckets are
 # epoch-aligned, identical to date_trunc('hour') for hour-divisible
 # widths; the sum accumulates in exact decimal before the double cast

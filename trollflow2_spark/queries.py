@@ -1214,6 +1214,27 @@ def q_warc_ingest_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition — raw crawl to training examples in one
+    DataFrame plan: the full crawl-preprocessing chain
+    (``q_crawl_pipeline``: WARC parse -> HTML->text -> canonicalize ->
+    keep-newest -> exact dedup -> length gate) feeds straight into
+    GPT-style concat-then-chunk packing (``concat_chunk_spans``) — the
+    surviving documents' token streams concatenate in id order and cut
+    into 32-token examples. What lands in the span table is exactly
+    what a trainer loads; every stage replays closed-form in the
+    oracle."""
+    from trollflow2_spark.extensions.sampling import concat_chunk_spans
+    from trollflow2_spark.functions.hashing import tokens
+
+    survivors = q_crawl_pipeline(spark, sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return concat_chunk_spans(
+        survivors, example_tokens=32, shard_size=100
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministic messy fixtures (mixed
     case, default ports, tracking params, fragments, unsorted query
@@ -3891,6 +3912,7 @@ QUERIES = {
     "nb_lang_classifier": q_nb_lang_classifier,
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "crawl_pipeline": q_crawl_pipeline,
+    "crawl_to_training": q_crawl_to_training,
     "split_leakage_audit": q_split_leakage_audit,
     "embedding_ivf_quantized": q_embedding_ivf_quantized,
     "host_pagerank": q_host_pagerank,
