@@ -210,3 +210,47 @@ def test_temperature_rates_properties(counts, alpha, target):
             ratio_a = rates[lo] / rates[hi]
             ratio_c = r_cold[lo] / r_cold[hi]
             assert ratio_c >= ratio_a - 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lengths=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    example_tokens=st.integers(4, 50),
+    shard_size=st.integers(1, 10),
+)
+def test_concat_chunk_spans_tile_exactly(
+    spark, lengths, example_tokens, shard_size
+):
+    """Invariants of the concat-then-chunk span table, any sharding:
+    every document's spans cover exactly its tokens (+1 EOS) in order,
+    every example except the last sums to exactly ``example_tokens``,
+    and example ids are dense from 0."""
+    from trollflow2_spark.extensions.sampling import concat_chunk_spans
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)],
+        "doc_id long, n_tokens int",
+    )
+    rows = concat_chunk_spans(
+        df, example_tokens, shard_size=shard_size
+    ).collect()
+    total = sum(n + 1 for n in lengths)
+    per_doc = {}
+    per_ex = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["doc_tok_start"], r["n_toks"])
+        )
+        per_ex[r["example_id"]] = per_ex.get(r["example_id"], 0) + r["n_toks"]
+    for i, n in enumerate(lengths):
+        spans = sorted(per_doc.get(i, []))
+        got = 0
+        for start, k in spans:
+            assert start == got  # contiguous, in order
+            got += k
+        assert got == n + 1  # every token (+EOS) covered exactly once
+    n_ex = (total + example_tokens - 1) // example_tokens
+    assert set(per_ex) == set(range(n_ex))
+    for e in range(n_ex - 1):
+        assert per_ex[e] == example_tokens
+    assert per_ex[n_ex - 1] == total - (n_ex - 1) * example_tokens
