@@ -241,22 +241,66 @@ def main() -> int:
             else:
                 spark.conf.set(k, v)
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(times.values()), 2)
+
+    # The driver captures only the last ~2000 chars of stdout; a full
+    # per-query map (~110 floats) overflows that window and leaves
+    # BENCH_r{N}.json unparseable (round 6 lost its performance record
+    # this way).  So: the FINAL line is compact — headline totals plus
+    # the top-10 most expensive queries — and the complete per-query /
+    # per-stress map goes to BENCH_DETAIL_r{N}.json in the repo root.
+    round_no = _current_round()
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_DETAIL_r{round_no:02d}.json" if round_no else "BENCH_DETAIL.json",
+    )
+    detail = {
+        "metric": "headline-suite wall clock (operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "stress": {k: round(v, 3) for k, v in stress.items()},
+        "stress_total": round(sum(stress.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
+
+    top10 = dict(
+        sorted(((k, round(v, 2)) for k, v in times.items()),
+               key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline-suite wall clock (operators)",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "stress": stress,
-                "stress_total": round(sum(stress.values()), 3),
+                "n_queries": len(times),
+                "stress_total": round(sum(stress.values()), 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "top10": top10,
+                "detail": os.path.basename(detail_path),
             }
         )
     )
     spark.stop()
     return 0
+
+
+def _current_round() -> int:
+    """Best-effort current round number from the driver's PROGRESS.jsonl
+    (last line's ``round`` field); 0 if unavailable."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "PROGRESS.jsonl")
+    try:
+        with open(path) as fh:
+            lines = [ln for ln in fh if ln.strip()]
+        return int(json.loads(lines[-1]).get("round", 0))
+    except Exception:
+        return 0
 
 
 if __name__ == "__main__":

@@ -214,3 +214,54 @@ def test_gif_resize_real_route(spark):
     ys = np.minimum(np.arange(3) * 6 // 3, 5)
     xs = np.minimum(np.arange(4) * 8 // 4, 7)
     assert np.array_equal(out, arr[np.ix_(ys, xs)])
+
+
+def test_gif_out_of_table_transparent_index_decodes():
+    """Real-world GIFs legally use a transparent index OUTSIDE the color
+    table (those pixels are never palette-looked-up).  The decoder must
+    exempt exactly that index from the palette-bounds corruption check
+    and composite such pixels as background, not raise."""
+    import struct
+
+    import numpy as np
+
+    from trollflow2_spark.sinks.gif import (
+        _encode_frame_block,
+        decode_gif,
+    )
+
+    # 2-entry GCT (black, white); transparent index 2 is out of table.
+    # min LZW code size is 2, so index values up to 3 are encodable even
+    # though the palette holds only 2 entries — exactly the wild layout.
+    indices = np.array([[0, 1], [2, 2]], dtype=np.uint8)
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HH", 2, 2)
+    blob.append(0x80 | (7 << 4) | 0)      # GCT present, size field 0 -> 2
+    blob += b"\x00\x00"                   # bg index 0, no aspect
+    blob += bytes([0, 0, 0, 255, 255, 255])
+    blob += b"\x21\xf9\x04\x01\x00\x00\x02\x00"  # GCE: transparent idx 2
+    blob += _encode_frame_block(indices, 0, 0, None, False, 2)
+    blob.append(0x3B)
+
+    out = decode_gif(bytes(blob))
+    # black/white palette is grayscale -> 2-D gray canvas
+    assert out.shape == (2, 2)
+    assert out[0, 0] == 0      # palette index 0 (black)
+    assert out[0, 1] == 255    # palette index 1 (white)
+    # transparent pixels keep the background (bg index 0 = black)
+    assert out[1, 0] == 0 and out[1, 1] == 0
+
+    # a genuinely-corrupt index (out of table, NOT the transparent one)
+    # must still raise
+    import pytest
+
+    blob2 = bytearray(b"GIF89a")
+    blob2 += struct.pack("<HH", 2, 2)
+    blob2.append(0x80 | (7 << 4) | 0)
+    blob2 += b"\x00\x00"
+    blob2 += bytes([0, 0, 0, 255, 255, 255])
+    blob2 += b"\x21\xf9\x04\x01\x00\x00\x03\x00"  # transparent idx 3 != 2
+    blob2 += _encode_frame_block(indices, 0, 0, None, False, 2)
+    blob2.append(0x3B)
+    with pytest.raises(ValueError, match="outside color table"):
+        decode_gif(bytes(blob2))

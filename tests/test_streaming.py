@@ -613,3 +613,49 @@ def test_host_rate_limit_token_bucket(spark, tmp_path):
         assert admitted2 == ["u4", "u5"] and deferred2 == ["u6"]
     finally:
         q.stop()
+
+
+def test_host_rate_limit_timeout_expires_state():
+    """A timed-out invocation (idle host) must REMOVE the state and
+    emit nothing.  The pre-fix behavior refilled tokens, re-armed the
+    timeout, and yielded a spurious empty row — unbounded state
+    accretion for the crawl frontier's long tail of one-shot hosts."""
+    import pandas as pd
+
+    from trollflow2_spark.streaming.stateful import _rate_limit_kernel
+
+    class FakeState:
+        def __init__(self):
+            self.exists = True
+            self.hasTimedOut = True
+            self.get = (3, 7)
+            self.removed = False
+            self.updated = None
+            self.timeout_rearmed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_rearmed = True
+
+    kernel = _rate_limit_kernel(capacity=4, refill=2,
+                                timeout="ProcessingTimeTimeout")
+    state = FakeState()
+    out = list(kernel(("idle-host",), iter([]), state))
+    assert out == []                    # no spurious empty output row
+    assert state.removed                # state actually expired
+    assert state.updated is None        # no refill on the timeout path
+    assert not state.timeout_rearmed    # and no re-armed timeout
+
+    # sanity: a LIVE invocation still admits and re-arms
+    live = FakeState()
+    live.hasTimedOut = False
+    live.exists = False
+    out = list(kernel(("h",), iter([pd.DataFrame({"url": ["u1", "u0"]})]),
+                      live))
+    assert len(out) == 1 and list(out[0]["url"]) == ["u0", "u1"]
+    assert live.updated == (2, 2) and live.timeout_rearmed

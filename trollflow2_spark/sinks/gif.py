@@ -292,7 +292,13 @@ def _parse_gif(blob: bytes):
             _lzw_decode(data, min_code, fw * fh), dtype=np.uint8
         ).reshape(fh, fw)
         if idx.max(initial=0) >= len(palette):
-            raise ValueError("GIF pixel index outside color table")
+            # Real-world GIFs legally use an out-of-table index as the
+            # transparent index (those pixels are never looked up in
+            # the palette), so exempt exactly that value; any OTHER
+            # out-of-range index is genuine corruption.
+            oob = idx[idx >= len(palette)]
+            if transparent is None or not np.all(oob == transparent):
+                raise ValueError("GIF pixel index outside color table")
         if fpacked & 0x40:
             idx = _deinterlace(idx)
         frames.append(
@@ -343,7 +349,7 @@ def decode_gif_frames(blob: bytes) -> list[np.ndarray]:
         h, w = f["height"], f["width"]
         if t + h > height or l + w > width:
             raise ValueError("GIF frame rectangle outside logical screen")
-        rgb = f["palette"][f["indices"]]  # (h, w, 3)
+        rgb = _palette_map(f)  # (h, w, 3)
         region = canvas[t : t + h, l : l + w]
         if f["transparent"] is not None:
             mask = (f["indices"] == f["transparent"])[:, :, None]
@@ -357,6 +363,17 @@ def decode_gif_frames(blob: bytes) -> list[np.ndarray]:
         elif f["disposal"] == 3:
             canvas = prev_canvas.copy()
     return out
+
+
+def _palette_map(f: dict) -> np.ndarray:
+    """Palette-map a frame's index plane to RGB.  An out-of-table
+    transparent index (legal in the wild; those pixels never hit the
+    palette because the composite mask replaces them) is clamped so the
+    lookup itself cannot fault."""
+    idx = f["indices"]
+    if idx.max(initial=0) >= len(f["palette"]):
+        idx = np.minimum(idx, len(f["palette"]) - 1)
+    return f["palette"][idx]
 
 
 def decode_gif(blob: bytes) -> np.ndarray:
@@ -374,7 +391,7 @@ def decode_gif(blob: bytes) -> np.ndarray:
     t, l, h, w = f["top"], f["left"], f["height"], f["width"]
     if t + h > height or l + w > width:
         raise ValueError("GIF frame rectangle outside logical screen")
-    rgb = f["palette"][f["indices"]]
+    rgb = _palette_map(f)
     if f["transparent"] is not None:
         mask = (f["indices"] == f["transparent"])[:, :, None]
         canvas[t : t + h, l : l + w] = np.where(

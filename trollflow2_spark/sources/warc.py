@@ -19,6 +19,7 @@ same executor-side whole-file kernel pattern as the raster readers in
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Iterator
 
@@ -40,6 +41,15 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 
+# Corruption surface of a wild crawled body: zlib raises zlib.error and
+# the from-scratch zstd/lz4 decoders raise ValueError on every check
+# they make, but raw byte-indexing in a malformed stream can also
+# surface as IndexError or struct.error before a check fires.  A
+# corrupt BODY must never crash the executor task — it stays raw and
+# the downstream hygiene gates flag it.
+_CORRUPT_BODY = (ValueError, zlib.error, IndexError, struct.error)
+
+
 def gunzip_members(blob: bytes) -> bytes:
     """Decompress a WARC container stream: multi-member gzip
     (``.warc.gz`` — one member per record), concatenated zstd frames
@@ -50,7 +60,12 @@ def gunzip_members(blob: bytes) -> bytes:
     if blob[:4] == b"\x28\xb5\x2f\xfd":
         from trollflow2_spark.sources.zstdcodec import zstd_decompress
 
-        return zstd_decompress(blob)
+        try:
+            return zstd_decompress(blob)
+        except (IndexError, struct.error) as exc:
+            # normalize raw byte-indexing faults in a corrupt container
+            # to the documented ValueError contract
+            raise ValueError(f"corrupt zstd WARC container: {exc}") from exc
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = bytearray()
@@ -106,14 +121,14 @@ def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
                     body = zlib.decompress(body, wbits=-15)  # raw deflate
             else:
                 body = gunzip_members(body)
-        except (ValueError, zlib.error):
+        except _CORRUPT_BODY:
             pass  # keep the raw body; downstream hygiene gates flag it
     elif cenc == b"zstd":
         from trollflow2_spark.sources.zstdcodec import zstd_decompress
 
         try:
             body = zstd_decompress(body)
-        except ValueError:
+        except _CORRUPT_BODY:
             pass
     return status, ctype, body
 

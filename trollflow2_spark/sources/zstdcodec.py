@@ -593,6 +593,10 @@ def _decode_block(data: bytes, out: bytearray, ctx: _Ctx,
                 if offset == 0:
                     raise ValueError("zstd: zero repeat offset")
                 reps[0], reps[1], reps[2] = offset, reps[0], reps[1]
+        if lit_len > len(literals) - lit_pos:
+            # a Python slice would silently truncate here and produce
+            # wrong output where libzstd reports corruption
+            raise ValueError("zstd: literal length beyond literals buffer")
         out += literals[lit_pos : lit_pos + lit_len]
         lit_pos += lit_len
         if offset > len(out) - window_lo:

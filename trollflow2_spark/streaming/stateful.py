@@ -163,30 +163,23 @@ RATE_LIMIT_STATE = T.StructType(
 )
 
 
-def host_rate_limit(
-    stream: DataFrame,
-    host_col: str = "host",
-    url_col: str = "url",
-    capacity: int = 4,
-    refill: int = 2,
-    timeout: str = "NoTimeout",
-) -> DataFrame:
-    """Per-host politeness gate for a crawl-frontier stream: a token
-    bucket per host admits at most ``capacity`` URLs as a burst and
-    ``refill`` more per micro-batch thereafter; the overflow is emitted
-    with ``admitted = 0`` (deferred — re-enqueue upstream) instead of
-    silently dropped. Within a batch, URLs admit in sorted order so the
-    decision is deterministic under any partitioning.
-
-    Scale: state is two longs per host — millions of hosts fit any
-    state store; hosts hash across executors, and a
-    ``ProcessingTimeTimeout`` expires idle hosts so the frontier's long
-    tail does not accrete state forever.
-    """
+def _rate_limit_kernel(capacity: int, refill: int, timeout: str):
+    """Build the per-host token-bucket kernel (module-level so the
+    timed-out-invocation contract is unit-testable without a running
+    stream)."""
 
     def kernel(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        # A timed-out invocation (no new data for this host within the
+        # timeout window) must REMOVE the state and emit nothing — the
+        # whole point of the timeout is expiring idle hosts.  Falling
+        # through to the normal path would refill tokens, update state,
+        # and re-arm the timeout, so idle-host state would accrete
+        # forever (plus a spurious empty output row per timeout).
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             tokens, admitted_total = state.get
             tokens = min(capacity, tokens + refill)
@@ -211,6 +204,30 @@ def host_rate_limit(
             }
         )
 
+    return kernel
+
+
+def host_rate_limit(
+    stream: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    capacity: int = 4,
+    refill: int = 2,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-host politeness gate for a crawl-frontier stream: a token
+    bucket per host admits at most ``capacity`` URLs as a burst and
+    ``refill`` more per micro-batch thereafter; the overflow is emitted
+    with ``admitted = 0`` (deferred — re-enqueue upstream) instead of
+    silently dropped. Within a batch, URLs admit in sorted order so the
+    decision is deterministic under any partitioning.
+
+    Scale: state is two longs per host — millions of hosts fit any
+    state store; hosts hash across executors, and a
+    ``ProcessingTimeTimeout`` expires idle hosts so the frontier's long
+    tail does not accrete state forever.
+    """
+    kernel = _rate_limit_kernel(capacity, refill, timeout)
     mode = {
         "NoTimeout": GroupStateTimeout.NoTimeout,
         "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
