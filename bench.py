@@ -154,6 +154,8 @@ OPERATORS = [
 STRESS = [
     "skew_seq_plain",  # hot-key baseline: one task owns 50% of rows
     "skew_seq_salted",  # digest-chained two-stage twin — must beat the baseline
+    "semantic_cells_plain",  # hot k-means cell, unguarded cross-product
+    "semantic_cells_guarded",  # salt/cap guarded twin — must beat the baseline
 ]
 
 # The skewed-join AQE pair runs this contract query twice with

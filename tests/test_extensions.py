@@ -1858,3 +1858,137 @@ def test_bigram_logprob_penalizes_scrambled_text(spark):
         bigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan  # both model tables broadcast
+
+
+def test_semantic_dedup_hot_cell_salted(spark):
+    """A hot k-means cell (one cell holding ~75% of the corpus — the
+    embedding-space twin of the skew_seq fixture) must go through the
+    shared salt/cap guard, not a single quadratic self-join task: with
+    ``salt_threshold=16`` the hot cell's pairs come from bounded
+    contiguous sub-buckets, so a clique that the unguarded path would
+    merge into ONE cluster resolves into ceil(n_hot/16) chunk-cliques —
+    observable proof that no task saw the full cell cross-product. The
+    guard-stats audit reports the salting and the skipped-pair share."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import (
+        semantic_cell_guard_stats,
+        semantic_dedup_clusters,
+    )
+
+    n_hot, n_cold = 300, 100
+    rows = []
+    for i in range(n_hot):  # all in cell 0, pairwise cosine ~1
+        rows.append((i, [1.0, 1e-4 * (i % 7), 0.0, 0.0]))
+    for j in range(n_cold):  # spread across cell 1, pairwise cosine ~1
+        rows.append((n_hot + j, [0.0, 1.0, 1e-4 * (j % 5), 0.0]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        ["vec_id", "embedding"],
+    )
+    cents = np.eye(4)[:2]
+
+    stats = semantic_cell_guard_stats(
+        df, centroids=cents, max_cell=100_000, salt_threshold=16
+    ).collect()[0]
+    assert stats["n_cells"] == 2
+    assert stats["n_salted"] == 2 and stats["n_dropped"] == 0
+    assert stats["max_cell_size"] == n_hot
+    assert 0 < stats["pairs_skipped_share"] < 1
+
+    guarded = semantic_dedup_clusters(
+        df, centroids=cents, threshold=0.9, salt_threshold=16
+    )
+    clusters = {}
+    for r in guarded.collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    hot_clusters = [c for c in clusters.values() if c[0] < n_hot]
+    # sorted-id chunks of 16: 300/16 -> 18 full + 1 remainder = 19
+    assert len(hot_clusters) == -(-n_hot // 16)
+    assert max(len(c) for c in hot_clusters) <= 16
+    # every vector still accounted for exactly once
+    assert sum(len(c) for c in clusters.values()) == n_hot + n_cold
+
+    # the unguarded path (threshold above any cell size) merges each
+    # cell into one clique-cluster — and salting must be a strict
+    # no-op below the threshold
+    plain = semantic_dedup_clusters(
+        df, centroids=cents, threshold=0.9, salt_threshold=1000
+    )
+    plain_clusters = {}
+    for r in plain.collect():
+        plain_clusters.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    assert sorted(len(c) for c in plain_clusters.values()) == [n_cold, n_hot]
+
+
+def test_semantic_dedup_salting_noop_below_threshold(spark, sf_dir):
+    """On the real fixture (balanced cells, all below the default
+    salt threshold) the guarded path must produce byte-identical
+    clustering to an effectively-unguarded run — the oracle-exactness
+    precondition."""
+    from trollflow2_spark.extensions.similarity import semantic_dedup_clusters
+    from trollflow2_spark.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        tuple(r)
+        for r in semantic_dedup_clusters(emb, threshold=0.3).collect()
+    }
+    b = {
+        tuple(r)
+        for r in semantic_dedup_clusters(
+            emb, threshold=0.3, salt_threshold=10**6
+        ).collect()
+    }
+    assert a == b
+
+
+def test_assert_cell_balance_gate(spark):
+    """The pre-flight balance gate aborts with sizing guidance when a
+    cell exceeds max_share, and passes (returning the histogram) on a
+    balanced corpus."""
+    import numpy as np
+    import pytest
+
+    from trollflow2_spark.extensions.similarity import assert_cell_balance
+
+    cents = np.eye(4)[:2]
+    hot = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+        + [(100 + j, [0.0, 1.0, 0.0, 0.0]) for j in range(10)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="max_share"):
+        assert_cell_balance(hot, centroids=cents, max_share=0.5)
+
+    balanced = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+        + [(100 + j, [0.0, 1.0, 0.0, 0.0]) for j in range(20)],
+        ["vec_id", "embedding"],
+    )
+    stats = assert_cell_balance(balanced, centroids=cents, max_share=0.6)
+    assert stats.count() == 2
+
+
+def test_semantic_candidate_pairs_plan_salted(spark):
+    """Plan pin for the SemDeDup guard: with a hot cell above the salt
+    threshold, candidate generation shows the round-robin sub-bucket
+    redistribution (bounded tasks), exactly like the lexical LSH tier —
+    and the pair volume equals the closed-form chunked count, proving
+    the cell cross-product never materialized."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import semantic_candidate_pairs
+
+    n = 100
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    pairs = semantic_candidate_pairs(
+        df, np.eye(4)[:2], threshold=-1.0, salt_threshold=16
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    chunks = [16] * (n // 16) + ([n % 16] if n % 16 else [])
+    assert pairs.count() == sum(c * (c - 1) // 2 for c in chunks)

@@ -389,6 +389,10 @@ def semantic_dedup_clusters(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    max_cell: int = 100_000,
+    salt_threshold: int = 256,
+    recover_rounds: int = 0,
+    max_cell_share: float | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means coarse cells bound the candidate space,
@@ -405,12 +409,27 @@ def semantic_dedup_clusters(
 
     Scale shape: centroid training reads a fixed config-sized sample
     (never shuffles the corpus); assignment is one Arrow-batched matmul
-    map over the scan; candidates come from a cell equi-join, so the
-    all-pairs O(n^2) never materializes (k-means balances cells where
-    sign bits can't — the cell key IS the skew guard); clustering is the
-    same per-round equi-join + min-agg label propagation as the lexical
-    tiers. Everything after assignment shuffles only (id, cell) and
-    (id_a, id_b) pairs, never the vectors.
+    map over the scan; candidate pairs go through the SAME salt/cap/
+    audit machinery as the lexical LSH tier (``_bucketed_pairs``):
+    cells larger than ``max_cell`` are dropped outright, cells larger
+    than ``salt_threshold`` are salted into bounded round-robin
+    sub-buckets (``recover_rounds`` buys back part of the recall loss
+    with rotated re-chunk passes), so a hot k-means cell can NEVER
+    materialize a single O(n_cell²) task — k-means balances cells where
+    sign bits can't, and the guard covers the case where it doesn't.
+    The cosine verify then joins the candidate ids back to the vectors
+    (two hash joins keyed on id), so only (id, cell) and (id_a, id_b)
+    rows ride the candidate shuffles, never the vectors. Clustering is
+    the same per-round equi-join + min-agg label propagation as the
+    lexical tiers.
+
+    Pre-flight: pass ``max_cell_share`` (e.g. ``0.25``) to abort with
+    guidance when any cell holds more than that share of the corpus —
+    :func:`assert_cell_balance` wired in as the skew audit
+    (:func:`kmeans_cluster_stats` is the observable histogram behind
+    it). Defaults keep the guard-free direct path at oracle/test scale
+    (no cell near 256 members), so results stay exactly the within-cell
+    all-pairs closure the DuckDB oracle replays.
 
     Determinism: same rounded-argmax assignment as :func:`ivf_topk`
     (ties to the lowest cell), cosine rounded before the threshold —
@@ -423,6 +442,50 @@ def semantic_dedup_clusters(
         centroids = kmeans_centroids(
             df, vec_col=vec_col, id_col=id_col, k=n_clusters
         )
+    if max_cell_share is not None:
+        assert_cell_balance(
+            df,
+            centroids=centroids,
+            n_clusters=n_clusters,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_share=max_cell_share,
+        )
+    pairs = semantic_candidate_pairs(
+        df,
+        centroids,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_digits=round_digits,
+        max_cell=max_cell,
+        salt_threshold=salt_threshold,
+        recover_rounds=recover_rounds,
+    )
+    return duplicate_clusters(df.select(F.col(id_col)), pairs, id_col=id_col)
+
+
+def semantic_candidate_pairs(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    max_cell: int = 100_000,
+    salt_threshold: int = 256,
+    recover_rounds: int = 0,
+) -> DataFrame:
+    """Cosine-verified within-cell candidate pairs — the SemDeDup edge
+    generator, exposed standalone for API parity with
+    :func:`~trollflow2_spark.extensions.dedup.lsh_candidate_pairs` (and
+    so the guard plan is pinnable by tests). Cell membership rides the
+    shared ``_bucketed_pairs`` salt/cap machinery; the cosine verify
+    joins candidate ids back to the vectors (two hash joins on id), so
+    a hot cell costs many bounded sub-bucket tasks, never one
+    O(n_cell²) task."""
+    from trollflow2_spark.extensions.dedup import _bucketed_pairs
+
     Cm = np.asarray(centroids, dtype="float64")
 
     @F.pandas_udf("int")
@@ -431,28 +494,40 @@ def semantic_dedup_clusters(
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(np.round(X @ Cm.T, 6), axis=1).astype("int32"))
 
-    base = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("__n"),
-    ).withColumn("__cell", assign_cell(F.col(vec_col)))
-    a = base.select(
-        "__cell", F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"), F.col("__n").alias("__na"),
+    members = df.select(
+        F.col(id_col), assign_cell(F.col(vec_col)).alias("__cell")
     )
-    b = base.select(
-        "__cell", F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"),
+    cand = _bucketed_pairs(
+        members,
+        id_col,
+        ["__cell"],
+        max_bucket=max_cell,
+        salt_threshold=salt_threshold,
+        recover_rounds=recover_rounds,
     )
+    # The verify joins need only (id, vector, norm) — NOT the cell — so
+    # they read the raw table and skip re-running the assignment UDF
+    # (which would otherwise re-score the whole corpus twice more).
+    # shuffle_hash: the pair side is bigger than the vector side and
+    # neither needs to be sorted — SMJ's two sorts are pure overhead.
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    ).hint("shuffle_hash")
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    ).hint("shuffle_hash")
     sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-    pairs = (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(sim, round_digits).alias("__cos"))
         .filter(F.col("__cos") >= F.lit(float(threshold)))
         .select("id_a", "id_b")
     )
-    return duplicate_clusters(df.select(F.col(id_col)), pairs, id_col=id_col)
 
 
 def kmeans_cluster_stats(
@@ -509,6 +584,116 @@ def kmeans_cluster_stats(
         F.round(
             F.col("n_vectors") / F.sum("n_vectors").over(total), round_digits
         ).alias("share"),
+    )
+
+
+def assert_cell_balance(
+    df: DataFrame,
+    centroids=None,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_share: float = 0.5,
+) -> DataFrame:
+    """Pre-flight skew audit for every cell-keyed tier (IVF serving,
+    IVF-PQ, SemDeDup): computes :func:`kmeans_cluster_stats` and raises
+    ``ValueError`` with sizing guidance when any k-means cell holds more
+    than ``max_share`` of the corpus — a cell that big turns every
+    downstream cell equi-join into one hot partition, which salting can
+    bound but not make cheap. Returns the stats DataFrame (k rows,
+    already computed) so callers can log the histogram they were gated
+    on.
+
+    Scale: the audit is one Arrow-matmul map + one k-row hash agg —
+    strictly cheaper than any query it gates.
+    """
+    stats = kmeans_cluster_stats(
+        df,
+        centroids=centroids,
+        n_clusters=n_clusters,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    hot = (
+        stats.filter(F.col("share") > float(max_share))
+        .select("cell", "n_vectors", "share")
+        .collect()  # k-row result at most — control-plane sized
+    )
+    if hot:
+        worst = max(hot, key=lambda r: r["share"])
+        raise ValueError(
+            f"k-means cell {worst['cell']} holds {worst['share']:.1%} of the "
+            f"corpus ({worst['n_vectors']} vectors) — exceeds the "
+            f"max_share={max_share:.0%} balance gate. Retrain with a larger "
+            f"k (n_clusters), a bigger training sample, or normalize the "
+            f"embedding space; see kmeans_cluster_stats for the histogram."
+        )
+    return stats
+
+
+def semantic_cell_guard_stats(
+    df: DataFrame,
+    centroids=None,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int = 100_000,
+    salt_threshold: int = 256,
+) -> DataFrame:
+    """One-row visibility audit for the SemDeDup cell guards — the
+    embedding-space sibling of ``lsh_bucket_stats``: how many pairable
+    cells exist, how many would be salted, how many dropped, the
+    largest cell, and the share of within-cell candidate pairs the
+    salt/cap guards would skip (``pairs_skipped_share``). Recall loss
+    from guarding must be observable, not silent.
+
+    Scale: assignment map + one k-row agg; no pair materialization —
+    the pair counts are closed-form n*(n-1)/2 per cell.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, vec_col=vec_col, id_col=id_col, k=n_clusters
+        )
+    Cm = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(np.round(X @ Cm.T, 6), axis=1).astype("int32"))
+
+    t = int(salt_threshold)
+    sizes = (
+        df.select(assign_cell(F.col(vec_col)).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    all_pairs = F.col("n") * (F.col("n") - 1) / 2
+    # salted cells keep ~floor(n/t) full sub-buckets of t(t-1)/2 pairs
+    # each (plus a remainder chunk) — closed-form lower bound on kept
+    kept_salted = (
+        F.floor(F.col("n") / t) * F.lit(t * (t - 1) / 2)
+        + (F.col("n") % t) * (F.col("n") % t - 1) / 2
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(
+            F.when((F.col("n") > t) & (F.col("n") <= max_cell), 1).otherwise(0)
+        ).alias("n_salted"),
+        F.sum(F.when(F.col("n") > max_cell, 1).otherwise(0)).alias("n_dropped"),
+        F.max("n").alias("max_cell_size"),
+        F.round(
+            (
+                F.sum(
+                    F.when(F.col("n") > max_cell, all_pairs)
+                    .when(F.col("n") > t, all_pairs - kept_salted)
+                    .otherwise(F.lit(0))
+                )
+                / F.sum(all_pairs)
+            ),
+            6,
+        ).alias("pairs_skipped_share"),
     )
 
 

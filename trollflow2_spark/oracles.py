@@ -1551,6 +1551,165 @@ if _cstats_sql is not None:
     ORACLES["embedding_cluster_stats"] = _cstats_sql
 
 
+def _cell_guard_stats_oracle_sql() -> str | None:
+    """Guard-stats oracle: same centroid literals + rounded-argmax
+    assignment, then the closed-form salt/cap pair accounting replayed
+    over the per-cell sizes (kept pairs of a salted cell =
+    floor(n/t) full t-sub-buckets plus the remainder chunk)."""
+    values = _centroid_values_sql()
+    if values is None:
+        return None
+    t = C.SEMDEDUP_GUARD_T
+    mx = C.SEMDEDUP_GUARD_MAX
+    full_chunk = t * (t - 1) / 2
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+ed AS (
+  SELECT e.vec_id, c.cell, {_CENT_NDOT} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+sizes AS (
+  SELECT cell, count(*) AS n FROM assign GROUP BY cell HAVING count(*) >= 2
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(CASE WHEN n > {t} AND n <= {mx} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_salted,
+  CAST(sum(CASE WHEN n > {mx} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  max(n) AS max_cell_size,
+  round(
+    sum(CASE
+      WHEN n > {mx} THEN n * (n - 1) / 2.0
+      WHEN n > {t} THEN n * (n - 1) / 2.0
+        - (floor(n / {t}.0) * {full_chunk}
+           + (n % {t}) * ((n % {t}) - 1) / 2.0)
+      ELSE 0 END)
+    / sum(n * (n - 1) / 2.0), 6) AS pairs_skipped_share
+FROM sizes
+"""
+
+
+_cguard_sql = _cell_guard_stats_oracle_sql()
+if _cguard_sql is not None:
+    ORACLES["semantic_cell_guard_stats"] = _cguard_sql
+
+
+def _semskew_fixture_parts() -> tuple[str, str] | None:
+    """(fixture CTE SQL, centroid VALUES literals) for the hot-cell
+    stress pair: the DuckDB replay of ``_hot_cell_embeddings`` (odd
+    replicas overwritten with the float32 hot direction) and the
+    k-means centroids retrained on that fixture — the same
+    lowest-2048-id sample / numpy routine the Spark queries use."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import kmeans_centroids_np
+
+    rep = C.SEMSKEW_REPLICATE
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT {4096 // rep}"
+    ).fetchall()
+    sample = []
+    for orig_id, (vec,) in enumerate(rows):
+        for r in range(rep):
+            nid = orig_id * rep + r
+            if r % 2 == 1:
+                hot = np.zeros(C.EMB_DIM, dtype="float32")
+                hot[0] = 1.0
+                hot[1] = np.float32((nid % C.SEMSKEW_MOD) / 10000.0)
+                sample.append(hot)
+            else:
+                sample.append(np.asarray(vec, dtype="float32"))
+    X = np.stack(sample[:2048]).astype("float64")
+    cents = kmeans_centroids_np(X, k=C.IVF_N_CLUSTERS, n_iter=5)
+    values = ",\n  ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(v)) for v in cents[j]))
+        for j in range(len(cents))
+    )
+    zeros = ", ".join(["CAST(0.0 AS FLOAT)"] * (C.EMB_DIM - 2))
+    fixture = f"""
+fix AS (
+  SELECT e.vec_id * {rep} + r.r AS vec_id,
+    CASE WHEN r.r % 2 = 1 THEN
+      [CAST(1.0 AS FLOAT),
+       CAST(((e.vec_id * {rep} + r.r) % {C.SEMSKEW_MOD}) / 10000.0 AS FLOAT),
+       {zeros}]
+    ELSE e.embedding END AS embedding
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range({rep})) AS r) r
+)"""
+    return fixture, values
+
+
+def _semskew_pairs_oracle_sql(salted: bool) -> str | None:
+    """Hot-cell stress pair oracle: fixture + retrained centroid
+    literals + rounded-argmax assignment, then within-cell pairs —
+    either the full cross-product (plain) or the deterministic
+    sorted-id chunking of the salted path (row_number/chunk-id join:
+    cells at or under the threshold fall in one chunk, i.e. the direct
+    path, so one formula replays both branches)."""
+    parts = _semskew_fixture_parts()
+    if parts is None:
+        return None
+    fixture, values = parts
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    ndot = _CENT_NDOT.replace("e.embedding", "f.embedding")
+    chunk_expr = (
+        "CAST(floor((row_number() OVER (PARTITION BY cell ORDER BY vec_id)"
+        " - 1) / 256) AS BIGINT)"
+        if salted
+        else "CAST(0 AS BIGINT)"
+    )
+    return f"""
+WITH {fixture},
+cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+ed AS (
+  SELECT f.vec_id, c.cell, {ndot} AS d
+  FROM fix f CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+chunked AS (
+  SELECT vec_id, cell, {chunk_expr} AS chunk FROM assign
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b
+FROM chunked x
+JOIN chunked y ON x.cell = y.cell AND x.chunk = y.chunk
+  AND x.vec_id < y.vec_id
+JOIN fix a ON a.vec_id = x.vec_id
+JOIN fix b ON b.vec_id = y.vec_id
+WHERE round({cos}, 6) >= {C.SEMSKEW_THRESHOLD}
+"""
+
+
+_semskew_plain_sql = _semskew_pairs_oracle_sql(salted=False)
+if _semskew_plain_sql is not None:
+    ORACLES["semantic_cells_plain"] = _semskew_plain_sql
+_semskew_salted_sql = _semskew_pairs_oracle_sql(salted=True)
+if _semskew_salted_sql is not None:
+    ORACLES["semantic_cells_guarded"] = _semskew_salted_sql
+
+
 def _ivf_quantized_oracle_sql() -> str | None:
     """Quantized-IVF oracle: the SAME full-precision centroid literals
     as ``embedding_ivf``, but assignment/probing/scoring replayed over

@@ -72,6 +72,17 @@ PSL_2LD = (  # public-suffix subset: two-label suffixes under which the
 DOMAIN_SITE_MOD = 20  # messy-URL fixture: sites per host shape
 SEMDEDUP_THRESHOLD = 0.3  # cosine edge gate for embedding-cluster dedup
 # (synthetic embeddings are near-random; 0.3 admits the planted near-dups)
+SEMDEDUP_GUARD_T = 64  # guard-stats salt threshold: small enough that the
+# sf0.01 fixture's biggest cells (~72) exercise the salted branch, so the
+# oracle validates the closed-form skip accounting, not just zeros
+SEMDEDUP_GUARD_MAX = 100_000  # drop-outright bound for the guard stats
+
+# --- semantic-skew stress fixture ------------------------------------------
+SEMSKEW_REPLICATE = 2  # embeddings replicated 2x; half the rows overwritten
+# to one near-identical direction, so one k-means cell holds >50% of the
+# corpus (the embedding-space twin of the skew_seq hot-key fixture)
+SEMSKEW_MOD = 97  # per-row jitter modulus for the hot direction
+SEMSKEW_THRESHOLD = 0.9  # cosine edge gate for the stress pair queries
 
 # --- feature hashing --------------------------------------------------------
 HASH_EMB_DIM = 64  # hashing-trick embedding dimensionality

@@ -1292,6 +1292,93 @@ def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_stats(emb, n_clusters=C.IVF_N_CLUSTERS)
 
 
+def q_semantic_cell_guard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the SemDeDup cell guards (the embedding-space
+    sibling of ``lsh_bucket_stats``): pairable cells, salted / dropped
+    counts, largest cell, and the closed-form share of within-cell
+    candidate pairs the salt/cap guards skip. The salt threshold is
+    deliberately fixture-sized (``SEMDEDUP_GUARD_T``) so the sf0.01
+    cells exercise the salted branch and the oracle validates the skip
+    accounting with nonzero numbers."""
+    from trollflow2_spark.extensions.similarity import semantic_cell_guard_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_cell_guard_stats(
+        emb,
+        n_clusters=C.IVF_N_CLUSTERS,
+        max_cell=C.SEMDEDUP_GUARD_MAX,
+        salt_threshold=C.SEMDEDUP_GUARD_T,
+    )
+
+
+def _hot_cell_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-skew stress fixture (the embedding-space twin of
+    ``_skewed_events``): embeddings replicated ``SEMSKEW_REPLICATE``x,
+    odd replicas overwritten with one near-identical direction
+    (``[1, jitter, 0, ...]``), so a single k-means cell ends up holding
+    well over half the corpus — the exact shape that turns an unguarded
+    within-cell self-join into one quadratic task. The base scan is
+    repartitioned first so fixture generation itself parallelizes
+    (single-file scans otherwise collapse to 1-2 tasks)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rep = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(C.SEMSKEW_REPLICATE)])
+        ).alias("r"),
+    )
+    nid = F.col("vec_id") * C.SEMSKEW_REPLICATE + F.col("r")
+    hot = F.array(
+        F.lit(1.0),
+        (nid % C.SEMSKEW_MOD).cast("double") / F.lit(10000.0),
+        *[F.lit(0.0)] * (C.EMB_DIM - 2),
+    ).cast("array<float>")
+    return rep.select(
+        nid.alias("vec_id"),
+        F.when(F.col("r") % 2 == 1, hot).otherwise(F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+
+
+def _semskew_pairs(spark: SparkSession, sf_dir: str, salt_threshold: int) -> DataFrame:
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_centroids,
+        semantic_candidate_pairs,
+    )
+
+    emb = _hot_cell_embeddings(spark, sf_dir)
+    cents = kmeans_centroids(emb, k=C.IVF_N_CLUSTERS)
+    return semantic_candidate_pairs(
+        emb,
+        cents,
+        threshold=C.SEMSKEW_THRESHOLD,
+        salt_threshold=salt_threshold,
+    ).select("id_a", "id_b")
+
+
+def q_semantic_cells_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate generation on the hot-cell fixture with the
+    salt guard disabled — the benched anti-pattern baseline: the hot
+    cell's full cross-product (~n_hot²/2 pairs) explodes from ONE array
+    row in ONE task. Oracle: plain within-cell all-pairs SQL."""
+    return _semskew_pairs(spark, sf_dir, salt_threshold=1 << 30)
+
+
+def q_semantic_cells_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guarded twin: default ``salt_threshold=256`` routes the hot
+    cell through bounded contiguous sub-buckets (round-robin across
+    tasks), trading cross-sub-bucket recall (audited by
+    ``semantic_cell_guard_stats``) for bounded per-task pair volume.
+    Oracle: DuckDB replays the deterministic sorted-id chunking with a
+    row_number/chunk-id join — the salted path's exact semantics,
+    value-verified, not just rows-counted."""
+    return _semskew_pairs(spark, sf_dir, salt_threshold=256)
+
+
 def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier: fit on 2/3 of the
     corpus (per-class token counts — pure aggregation, no iteration),
@@ -3911,6 +3998,9 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "nb_lang_classifier": q_nb_lang_classifier,
     "embedding_cluster_stats": q_embedding_cluster_stats,
+    "semantic_cell_guard_stats": q_semantic_cell_guard_stats,
+    "semantic_cells_plain": q_semantic_cells_plain,
+    "semantic_cells_guarded": q_semantic_cells_guarded,
     "crawl_pipeline": q_crawl_pipeline,
     "crawl_to_training": q_crawl_to_training,
     "split_leakage_audit": q_split_leakage_audit,
