@@ -340,3 +340,18 @@ def test_split_leakage_audit_no_sort_merge(spark, sf):
     df = QUERIES["split_leakage_audit"](spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_lm_builders_tokenize_once(spark, sf):
+    """The bigram LM derives its unigram AND bigram count tables from
+    ONE corpus scan (token events + transition events through a single
+    explode/shuffle, persisted vocabulary-sized); scoring is the only
+    other pass — so the formatted plan holds exactly TWO distinct
+    parquet scan nodes, where the naive lineage re-tokenized the corpus
+    five times. The unigram LM gets the same treatment."""
+    for name, scans in [("bigram_logprob", 2), ("unigram_logprob", 2)]:
+        plan = plan_of(spark, name, sf)
+        node_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+        assert len(node_ids) == scans, (name, sorted(node_ids))
+        # model reuses ride the cache, not fresh scans
+        assert "InMemoryTableScan" in plan

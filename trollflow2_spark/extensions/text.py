@@ -214,7 +214,12 @@ def unigram_logprob(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
     ).select(id_col, F.lower(F.col("tk")).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized and persisted: the N/V stats and the top-k model
+    # both derive from it without re-tokenizing the corpus — scoring is
+    # the only other corpus pass (2 scans total)
+    counts = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     stats = counts.agg(
         F.sum("c").cast("double").alias("n"),
         F.count(F.lit(1)).cast("double").alias("v"),
@@ -807,33 +812,58 @@ def bigram_logprob(
     back off to the unigram term alone) and ``p_uni`` the same
     smoothed top-``vocab_k`` unigram model as :func:`unigram_logprob`.
 
-    Scale: bigram counts are one hash agg (map-side combinable); the
-    top-k tables are TakeOrdered (no global sort) and BROADCAST, so
-    scoring is one pass over the exploded transition pairs with two
-    broadcast joins and a per-doc reduce. Output:
+    Scale: the unigram AND bigram count tables derive from ONE corpus
+    scan and ONE map-side-combinable hash agg — each doc emits its
+    token events (``(w, NULL)``) and transition events (``(w1, w2)``)
+    into a single explode, and the grouped result splits into the two
+    tables by the NULL marker. That combined counts table is
+    vocabulary-sized and PERSISTED, so the three model derivations
+    (N/V stats, unigram top-k, bigram top-k + left-count join) reuse it
+    without re-reading the corpus. The top-k tables are TakeOrdered (no
+    global sort) and BROADCAST, so scoring is the only other corpus
+    pass: one explode of transition pairs with two broadcast joins and
+    a per-doc reduce — 2 corpus scans total, where the naive lineage
+    re-tokenized the corpus 5x. Output:
     ``(id, n_transitions, mean_bigram_logprob)``; docs with fewer than
     two tokens emit no row.
     """
     a = float(alpha)
     lo = F.transform(tokens(F.col(text_col)), F.lower)
     n = F.size(lo)
+    transitions = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(lo, 1, n - 1),
+            F.slice(lo, 2, n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pairs = df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                n >= 2,
-                F.arrays_zip(
-                    F.slice(lo, 1, n - 1).alias("w1"),
-                    F.slice(lo, 2, n - 1).alias("w2"),
-                ),
-            ).otherwise(F.array())
-        ).alias("p"),
+        F.col(id_col), F.explode(transitions).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
-    tok = df.select(
-        F.explode(tokens(F.col(text_col))).alias("tk")
-    ).select(F.lower(F.col("tk")).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    # one scan, one shuffle: token events carry a NULL w2 marker,
+    # transition events carry the real pair
+    events = df.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    lo,
+                    lambda t: F.struct(
+                        t.alias("w1"),
+                        F.lit(None).cast("string").alias("w2"),
+                    ),
+                ),
+                transitions,
+            )
+        ).alias("e")
+    ).select(F.col("e.w1").alias("w1"), F.col("e.w2").alias("w2"))
+    counts_all = (
+        events.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    counts = counts_all.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("token"), F.col("c").alias("c1")
+    )
     stats = counts.agg(
         F.sum("c1").cast("double").alias("n"),
         F.count(F.lit(1)).cast("double").alias("v"),
@@ -841,8 +871,8 @@ def bigram_logprob(
     uni_model = counts.orderBy(F.desc("c1"), F.col("token")).limit(
         int(vocab_k)
     ).select(F.col("token").alias("w2"), F.col("c1").alias("uc"))
-    big_counts = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    big_counts = counts_all.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c12")
     )
     big_model = (
         big_counts.orderBy(F.desc("c12"), "w1", "w2")
