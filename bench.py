@@ -118,9 +118,11 @@ OPERATORS = [
     "dsir_resample",  # DSIR target-domain importance resampling
     "warc_ingest",  # Common-Crawl-shaped intake: gzip members + HTML->text
     "warc_ingest_zst",  # .warc.zst intake through the from-scratch RFC 8878 decoder
+    "warc_ingest_br",  # content-encoding: br bodies through the RFC 7932 decoder
     "url_canonicalize",  # tracking-param/port/fragment URL normalization
     "domain_rollup",  # eTLD+1 per-site corpus rollup (one hash agg)
     "semantic_dedup",  # SemDeDup: k-means cells -> cosine edges -> clusters
+    "semantic_cell_guard_stats",  # cell-guard audit: salted/dropped/skip share
     "multimodal_decode_webp",  # from-scratch VP8L decode (real pixels)
     "multimodal_decode_gif",  # from-scratch GIF/LZW decode (real pixels)
     "multimodal_decode_webp_lossy",  # from-scratch VP8 keyframe decode

@@ -507,6 +507,10 @@ FROM documents
 # the parsed fields share the same closed forms.
 ORACLES["warc_ingest_zst"] = ORACLES["warc_ingest"]
 
+# content-encoding: br intake: identical records, brotli-framed response
+# bodies decoded by the from-scratch RFC 7932 decoder — same closed forms.
+ORACLES["warc_ingest_br"] = ORACLES["warc_ingest"]
+
 # URL canonicalization: the Spark side runs the real canonicalizer on
 # the messy fixture; the oracle states both forms closed-form (lowercase
 # scheme/host, default port and fragment stripped, tracking params

@@ -1214,6 +1214,95 @@ def q_warc_ingest_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest_br(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``content-encoding: br`` intake route: the same
+    deterministic WARC records as ``warc_ingest``, but the HTTP
+    response BODY is brotli-compressed and the intake decodes it with
+    the repo's from-scratch RFC 7932 decoder inside the parse kernel
+    (``warc.py:_parse_http``). The fixture streams are store-mode
+    (spec-valid uncompressed meta-blocks — any brotli implementation
+    reads them, cross-checked against libbrotlidec in tests); REAL
+    compressed-stream decoding is conformance-pinned against
+    libbrotlienc across qualities in ``test_brotli_conformance.py``."""
+    from trollflow2_spark.sources.warc import html_to_text, parse_warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_records", T.IntegerType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def make_and_parse(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.brotlicodec import brotli_compress_store
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                html = (
+                    "<html><head><script>skip();</script>"
+                    "<style>p{}</style></head>"
+                    f"<body><!-- c --><h1>Doc {d}</h1>"
+                    f"<p>alpha &amp; beta {d % 7}</p></body></html>"
+                ).encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n"
+                    b"content-encoding: br\r\n\r\n"
+                    + brotli_compress_store(html)
+                )
+                recs = []
+                for wtype, body in [
+                    (b"request", b"GET / HTTP/1.1"),
+                    (b"response", http),
+                ]:
+                    recs.append(
+                        b"WARC/1.0\r\nWARC-Type: " + wtype
+                        + f"\r\nWARC-Target-URI: http://x/{d}".encode()
+                        + b"\r\nWARC-Date: 2024-01-15T12:00:00Z"
+                        + f"\r\nContent-Length: {len(body)}".encode()
+                        + b"\r\n\r\n" + body + b"\r\n\r\n"
+                    )
+                blob = b"".join(recs)
+                parsed = parse_warc_bytes(blob, f"doc{d}.warc")
+                resp = [r for r in parsed if r["warc_type"] == "response"]
+                rows.append(
+                    (
+                        d,
+                        len(parsed),
+                        resp[0]["http_status"],
+                        resp[0]["content_type"],
+                        resp[0]["payload"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "http_status", "content_type",
+                    "payload",
+                ],
+            )
+
+    parsed = docs.mapInPandas(make_and_parse, out_schema)
+    text = html_to_text(F.col("payload").cast("string"))
+    return parsed.select(
+        "doc_id",
+        "n_records",
+        "http_status",
+        "content_type",
+        text.alias("text"),
+        F.length(text).alias("text_len"),
+    )
+
+
 def q_crawl_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE composition — raw crawl to training examples in one
     DataFrame plan: the full crawl-preprocessing chain
@@ -3986,6 +4075,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "warc_ingest": q_warc_ingest,
     "warc_ingest_zst": q_warc_ingest_zst,
+    "warc_ingest_br": q_warc_ingest_br,
     "url_canonicalize": q_url_canonicalize,
     "domain_rollup": q_domain_rollup,
     "semantic_dedup": q_semantic_dedup,

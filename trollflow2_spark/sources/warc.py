@@ -107,10 +107,14 @@ def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
             chunked = True
     if chunked:
         body = _dechunk(body)
-    # content-encoding: br (brotli) stays raw — RFC 7932's static
-    # dictionary + transform machinery is out of from-scratch scope
-    # here; the encoding-hygiene gates flag the undecoded bodies
-    if cenc in (b"gzip", b"x-gzip", b"deflate"):
+    if cenc == b"br":
+        from trollflow2_spark.sources.brotlicodec import brotli_decompress
+
+        try:
+            body = brotli_decompress(body)
+        except _CORRUPT_BODY:
+            pass  # keep the raw body; downstream hygiene gates flag it
+    elif cenc in (b"gzip", b"x-gzip", b"deflate"):
         # crawl reality: servers gzip/deflate bodies; decode so the
         # text tier sees text (zstd bodies ride the repo decoder too)
         try:
