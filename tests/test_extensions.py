@@ -1992,3 +1992,29 @@ def test_semantic_candidate_pairs_plan_salted(spark):
     assert "RoundRobinPartitioning" in plan
     chunks = [16] * (n // 16) + ([n % 16] if n % 16 else [])
     assert pairs.count() == sum(c * (c - 1) // 2 for c in chunks)
+
+
+def test_ivf_topk_balance_gate(spark):
+    """The pre-flight balance gate is reachable from the IVF serving
+    path too: a degenerate corpus (every vector in one cell) aborts
+    with sizing guidance before any probe join runs."""
+    import numpy as np
+    import pytest
+
+    from trollflow2_spark.extensions.similarity import ivf_topk
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1e-4 * (i % 7), 0.0, 0.0]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], ["query_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="max_share"):
+        ivf_topk(
+            df, q, centroids=np.eye(4)[:2], n_clusters=2,
+            max_cell_share=0.8,
+        )
+    # gate off (None) -> the query itself still runs
+    out = ivf_topk(df, q, centroids=np.eye(4)[:2], n_clusters=2, k=3)
+    assert out.count() > 0

@@ -146,6 +146,7 @@ def ivf_topk_quantized(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     round_digits: int = 6,
+    max_cell_share: float | None = None,
 ) -> DataFrame:
     """The full production ANN stack: k-means IVF cells bound WHICH
     vectors are scored, int8 quantization bounds HOW BIG each scored
@@ -170,6 +171,7 @@ def ivf_topk_quantized(
         qd, qq, centroids=centroids, k=k, n_probe=n_probe,
         n_clusters=n_clusters, vec_col=vec_col, id_col=id_col,
         query_id_col=query_id_col, round_digits=round_digits,
+        max_cell_share=max_cell_share,
     )
 
 
@@ -323,6 +325,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     round_digits: int = 6,
+    max_cell_share: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse cells instead of sign bits.
 
@@ -337,6 +340,13 @@ def ivf_topk(
     if centroids is None:
         centroids = kmeans_centroids(
             df, vec_col=vec_col, id_col=id_col, k=n_clusters
+        )
+    if max_cell_share is not None:
+        # pre-flight skew audit: a cell holding more than max_share of
+        # the corpus makes the probe equi-join one hot partition
+        assert_cell_balance(
+            df, centroids=centroids, n_clusters=n_clusters,
+            vec_col=vec_col, id_col=id_col, max_share=max_cell_share,
         )
     C = np.asarray(centroids, dtype="float64")
 
