@@ -125,6 +125,7 @@ OPERATORS = [
     "semantic_cell_guard_stats",  # cell-guard audit: salted/dropped/skip share
     "multimodal_decode_webp",  # from-scratch VP8L decode (real pixels)
     "multimodal_decode_gif",  # from-scratch GIF/LZW decode (real pixels)
+    "media_quarantine_audit",  # intake reject taxonomy rollup (reason column)
     "multimodal_decode_webp_lossy",  # from-scratch VP8 keyframe decode
     "text_normalize",  # NFC + control/whitespace hygiene (Arrow UDF + regex)
     "encoding_quality",  # mojibake/replacement/control-byte audit (scan-stage regex)

@@ -2018,3 +2018,43 @@ def test_ivf_topk_balance_gate(spark):
     # gate off (None) -> the query itself still runs
     out = ivf_topk(df, q, centroids=np.eye(4)[:2], n_clusters=2, k=3)
     assert out.count() > 0
+
+
+def test_decode_media_quarantine_reasons(spark):
+    """In quarantine mode decode_media reports WHY each reject was
+    skipped: corrupt bytes, unsupported codec, or an over-cap blob —
+    and successful rows carry a NULL reason. Raise mode keeps the old
+    schema (no reason column) and still fails fast on unsupported
+    types."""
+    import numpy as np
+    import pytest
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+    from trollflow2_spark.sinks.imagery import encode_png
+
+    png = encode_png(np.full((4, 4), 7, dtype=np.uint8))
+    rows = [
+        (0, bytearray(png), {"media_type": "image/png"}),
+        (1, bytearray(b"\x89PNG garbage"), {"media_type": "image/png"}),
+        (2, bytearray(b"mp4 atoms"), {"media_type": "video/mp4"}),
+        (3, bytearray(b"x" * 5000), {"media_type": "image/png"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, media_meta map<string,string>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_media(df, on_error="null", max_bytes=4096).collect()
+    }
+    assert out[0]["quarantine_reason"] is None
+    assert out[0]["width"] == 4 and out[0]["max_byte"] == 7
+    assert out[1]["quarantine_reason"] == "corrupt"
+    assert out[2]["quarantine_reason"] == "unsupported_codec"
+    assert out[3]["quarantine_reason"] == "oversized"
+    for d in (1, 2, 3):  # features NULL on every reject
+        assert out[d]["n_bytes"] is None and out[d]["width"] is None
+
+    strict = decode_media(df.filter(F.col("doc_id") == 0))
+    assert "quarantine_reason" not in strict.columns
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_media(df.filter(F.col("doc_id") == 2)).collect()

@@ -55,6 +55,7 @@ def decode_media(
     fake: bool = False,
     batch_rows_hint: int = 64,
     on_error: str = "raise",
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """Decode the binary column into per-item features via mapInPandas,
     routed by ``media_meta.media_type``:
@@ -106,22 +107,34 @@ def decode_media(
     ``on_error``: a crawl's media columns contain corrupt blobs;
     ``"raise"`` (default, the contract-query mode) fails fast, while
     ``"null"`` quarantines per-item decode failures as rows with NULL
-    feature columns instead of killing a 6-hour job at blob 10^9 —
-    filter ``n_bytes IS NULL`` for the reject audit.
+    feature columns instead of killing a 6-hour job at blob 10^9. In
+    quarantine mode the output carries an extra ``quarantine_reason``
+    string column — ``corrupt`` (decoder rejected the bytes),
+    ``unsupported_codec`` (no decoder for the media type; in raise mode
+    this is the batch-level ``NotImplementedError``), or ``oversized``
+    (blob above ``max_bytes``, skipped before decode) — so a 100 TB run
+    can report WHAT it skipped, not just how much: group by the reason
+    for the reject audit (see ``media_quarantine_audit``).
+
+    ``max_bytes``: optional per-blob size cap (quarantine mode only) —
+    a single multi-GB blob would otherwise dominate an executor's
+    memory while decoding; cap it and account for it explicitly.
     """
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("n_bytes", T.LongType()),
-            T.StructField("mean_byte", T.DoubleType()),
-            T.StructField("max_byte", T.IntegerType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_channels", T.IntegerType()),
-        ]
-    )
+    quarantine = on_error == "null"
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+    if quarantine:
+        fields.append(T.StructField("quarantine_reason", T.StringType()))
+    out_schema = T.StructType(fields)
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as np
@@ -145,14 +158,19 @@ def decode_media(
             is_flac = np.array([t == "audio/flac" for t in mtypes])
             is_img = is_png | is_tif | is_jpg | is_webp | is_gif
             is_audio = is_wav | is_flac
+            unsupported = np.zeros(n, dtype=bool)
             if not fake and not (is_img | is_audio).all():
-                raise NotImplementedError(
-                    "media decode beyond image/png, image/tiff, image/jpeg, "
-                    "image/webp, image/gif, audio/wav and audio/flac "
-                    "requires a codec library not present in this "
-                    "environment; pass fake=True for the deterministic "
-                    "byte-statistics decoder"
-                )
+                if not quarantine:
+                    raise NotImplementedError(
+                        "media decode beyond image/png, image/tiff, "
+                        "image/jpeg, image/webp, image/gif, audio/wav and "
+                        "audio/flac requires a codec library not present "
+                        "in this environment; pass fake=True for the "
+                        "deterministic byte-statistics decoder"
+                    )
+                # quarantine mode: account per row instead of failing
+                # the batch — the run must report WHAT it skipped
+                unsupported = ~(is_img | is_audio)
             lens = np.zeros(n, dtype=np.int64)
             means = np.zeros(n, dtype=np.float64)
             maxs = np.zeros(n, dtype=np.int64)
@@ -162,6 +180,25 @@ def decode_media(
             payload = pdf[media_col].to_numpy()
 
             failed = np.zeros(n, dtype=bool)
+            oversized = np.zeros(n, dtype=bool)
+            if quarantine and max_bytes is not None:
+                sizes = np.fromiter(
+                    (len(b) if b is not None else 0 for b in payload),
+                    dtype=np.int64, count=n,
+                )
+                oversized = sizes > int(max_bytes)
+                # skip the decode entirely: the cap exists to keep the
+                # blob out of executor memory, not to try-and-fail
+                is_img &= ~oversized
+                is_audio &= ~oversized
+                is_png &= ~oversized
+                is_tif &= ~oversized
+                is_jpg &= ~oversized
+                is_webp &= ~oversized
+                is_gif &= ~oversized
+                is_wav &= ~oversized
+                is_flac &= ~oversized
+                unsupported &= ~oversized
 
             # real path: per-item image decode (inherently per-image),
             # stats over the decoded pixel array; TIFF stats use page 0
@@ -242,7 +279,8 @@ def decode_media(
 
             # fake path: vectorized byte statistics — one frombuffer over
             # the remaining payloads + segmented reduceat, no per-row loops
-            rest = np.flatnonzero(~is_img & ~is_audio)
+            rest = np.flatnonzero(~is_img & ~is_audio & ~unsupported
+                                  & ~oversized)
             if rest.size:
                 blobs = [bytes(payload[i]) for i in rest]
                 rl = np.fromiter((len(b) for b in blobs), dtype=np.int64,
@@ -274,9 +312,10 @@ def decode_media(
             real = is_img | is_audio
             for c in ("width", "height", "n_channels"):
                 out[c] = out[c].where(real, other=pd.NA).astype("Int32")
-            if failed.any():
+            rejected = failed | unsupported | oversized
+            if rejected.any():
                 # quarantined rows: every feature column NULL, id kept
-                keep = ~failed
+                keep = ~rejected
                 out["n_bytes"] = out["n_bytes"].where(keep, pd.NA).astype("Int64")
                 out["mean_byte"] = (
                     out["mean_byte"].where(keep, pd.NA).astype("Float64")
@@ -284,6 +323,13 @@ def decode_media(
                 out["max_byte"] = out["max_byte"].where(keep, pd.NA).astype("Int32")
                 for c in ("width", "height", "n_channels"):
                     out[c] = out[c].where(keep, pd.NA)
+            if quarantine:
+                reason = np.where(
+                    oversized, "oversized",
+                    np.where(unsupported, "unsupported_codec",
+                             np.where(failed, "corrupt", None)),
+                )
+                out["quarantine_reason"] = pd.Series(reason, dtype="object")
             yield out
 
     return df.select(id_col, media_col, meta_col).mapInPandas(kernel, out_schema)

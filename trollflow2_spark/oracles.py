@@ -511,6 +511,19 @@ ORACLES["warc_ingest_zst"] = ORACLES["warc_ingest"]
 # bodies decoded by the from-scratch RFC 7932 decoder — same closed forms.
 ORACLES["warc_ingest_br"] = ORACLES["warc_ingest"]
 
+# intake reject audit: the fixture class is doc_id % 4, so the rollup
+# is a closed form (ok / corrupt / unsupported_codec / oversized)
+ORACLES["media_quarantine_audit"] = """
+SELECT CASE doc_id % 4
+    WHEN 0 THEN 'ok' WHEN 1 THEN 'corrupt'
+    WHEN 2 THEN 'unsupported_codec' ELSE 'oversized' END
+    AS quarantine_reason,
+  count(*) AS n_items,
+  min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+"""
+
 # URL canonicalization: the Spark side runs the real canonicalizer on
 # the messy fixture; the oracle states both forms closed-form (lowercase
 # scheme/host, default port and fragment stripped, tracking params

@@ -3912,6 +3912,69 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quality(docs)
 
 
+def q_media_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The intake reject audit: a fixture corpus mixing valid PNGs,
+    corrupt blobs, unsupported codecs (video/mp4) and oversized blobs
+    runs through ``decode_media(on_error="null", max_bytes=...)``, and
+    the per-item ``quarantine_reason`` column rolls up corpus-stats
+    style — a 100 TB run reports WHAT it skipped (corrupt vs
+    unsupported_codec vs oversized), not just how much. Closed-form
+    oracle: the class is ``doc_id % 4``."""
+    from trollflow2_spark.extensions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType([T.StructField("media_type", T.StringType())]),
+            ),
+        ]
+    )
+
+    def make_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.imagery import encode_png
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cls = d % 4
+                if cls == 0:  # valid gray PNG
+                    arr = np.full((4, 4), d % 256, dtype=np.uint8)
+                    blob, mt = encode_png(arr), "image/png"
+                elif cls == 1:  # corrupt: magic + garbage
+                    blob = b"\x89PNG\r\n\x1a\n" + str(d).encode() * 3
+                    mt = "image/png"
+                elif cls == 2:  # no decoder for this type
+                    blob, mt = b"mp4 atoms " * (d % 3 + 1), "video/mp4"
+                else:  # over the size cap
+                    blob, mt = b"x" * (4096 + 1 + d % 7), "image/png"
+                rows.append((d, blob, {"media_type": mt}))
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])
+
+    media = docs.mapInPandas(make_media, media_schema)
+    decoded = decode_media(media, on_error="null", max_bytes=4096)
+    return (
+        decoded.groupBy(
+            F.coalesce(F.col("quarantine_reason"), F.lit("ok")).alias(
+                "quarantine_reason"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: counts, total/mean size, p50/p90/p99
     size percentiles. The contract pins percentile_mode="exact" (oracle
@@ -4050,6 +4113,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_stats": q_corpus_stats,
+    "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_quantized": q_embedding_topk_quantized,
