@@ -10,9 +10,12 @@ header pointing at an end header that describes pack streams, folders
 
 Scope — the shapes real single-volume archives use:
 
-- coders: Copy (0x00), LZMA1 (0x030101), LZMA2 (0x21); one coder per
-  folder (the default for non-filtered archives). BCJ/delta filter
-  chains and encryption raise with guidance.
+- coders: Copy (0x00), LZMA1 (0x030101), LZMA2 (0x21), Delta (0x03),
+  and x86 BCJ (0x04, plus the legacy 0x03030103 id) — including
+  LINEAR filter chains (multi-coder folders with bind pairs, e.g.
+  BCJ→LZMA2, the layout 7-Zip emits for executables). Non-linear
+  coder graphs (BCJ2's 4-input join) and encryption raise with
+  guidance.
 - multiple files per folder (solid archives) via SubStreamsInfo;
   empty-stream entries (directories / empty files) honored.
 - encoded headers (0x17): the header itself compressed as a one-folder
@@ -34,6 +37,8 @@ from __future__ import annotations
 import lzma
 import struct
 import zlib
+
+import numpy as np
 
 _SIGNATURE = b"7z\xbc\xaf\x27\x1c"
 
@@ -58,6 +63,97 @@ _K_ENCODED_HEADER = 0x17
 _COPY = b"\x00"
 _LZMA1 = b"\x03\x01\x01"
 _LZMA2 = b"\x21"
+_DELTA = b"\x03"
+_BCJ_X86 = b"\x04"
+_BCJ_X86_OLD = b"\x03\x03\x01\x03"
+
+
+# ---------------------------------------------------------------------------
+# branch-convert filters (public specs: 7-Zip Bra86 / xz x86 + delta)
+
+
+def _delta_decode(data: bytes, dist: int) -> bytes:
+    """Delta filter decode: ``out[i] = in[i] + out[i-dist] (mod 256)``
+    — a per-residue-class running sum, vectorized as a column-wise
+    uint8 cumsum (uint8 accumulation wraps mod 256 by definition)."""
+    arr = np.frombuffer(data, np.uint8)
+    pad = (-len(arr)) % dist
+    a = np.concatenate([arr, np.zeros(pad, np.uint8)]).reshape(-1, dist)
+    out = np.cumsum(a, axis=0, dtype=np.uint8).reshape(-1)
+    return out[:len(arr)].tobytes()
+
+
+def _delta_encode(data: bytes, dist: int) -> bytes:
+    arr = np.frombuffer(data, np.uint8)
+    out = arr.copy()
+    out[dist:] = arr[dist:] - arr[:-dist]  # uint8 wraps mod 256
+    return out.tobytes()
+
+
+def _x86_msb(b: int) -> bool:
+    return b == 0x00 or b == 0xFF
+
+
+def _x86_convert(data: bytes, encoding: bool) -> bytes:
+    """x86 BCJ filter (7-Zip ``Bra86.c`` / xz ``x86.c`` algorithm,
+    public spec): rewrites the 32-bit displacement of E8/E9
+    call/jump instructions between relative and absolute form so the
+    compressor sees repeated absolute targets. ``encoding=True`` is
+    the compress-side direction (rel→abs); decode restores the
+    original bytes. Whole-buffer, start ip 0 (the 7z folder case)."""
+    buf = bytearray(data)
+    size = len(buf)
+    if size < 5:
+        return bytes(buf)
+    end = size - 4
+    pos = 0
+    mask = 0
+    while True:
+        p = pos
+        while p < end and (buf[p] & 0xFE) != 0xE8:
+            p += 1
+        d = p - pos
+        pos = p
+        if p >= end:
+            return bytes(buf)
+        if d > 2:
+            mask = 0
+        else:
+            mask >>= d
+            if mask != 0 and (
+                mask > 4 or mask == 3
+                or _x86_msb(buf[p + (mask >> 1) + 1])
+            ):
+                mask = (mask >> 1) | 4
+                pos += 1
+                continue
+        if _x86_msb(buf[p + 4]):
+            v = (
+                (buf[p + 4] << 24) | (buf[p + 3] << 16)
+                | (buf[p + 2] << 8) | buf[p + 1]
+            )
+            cur = (5 + pos) & 0xFFFFFFFF  # ip starts at 0 → ip+5
+            pos += 5
+            if encoding:
+                v = (v + cur) & 0xFFFFFFFF
+            else:
+                v = (v - cur) & 0xFFFFFFFF
+            if mask != 0:
+                sh = (mask & 6) << 2
+                if _x86_msb((v >> sh) & 0xFF):
+                    v ^= (0x100 << sh) - 1
+                    if encoding:
+                        v = (v + cur) & 0xFFFFFFFF
+                    else:
+                        v = (v - cur) & 0xFFFFFFFF
+                mask = 0
+            buf[p + 1] = v & 0xFF
+            buf[p + 2] = (v >> 8) & 0xFF
+            buf[p + 3] = (v >> 16) & 0xFF
+            buf[p + 4] = (-((v >> 24) & 1)) & 0xFF
+        else:
+            mask = (mask >> 1) | 4
+            pos += 1
 
 
 class _Reader:
@@ -140,20 +236,81 @@ def _decode_folder(coder_id: bytes, props: bytes, packed: bytes,
         out = lzma.LZMADecompressor(
             format=lzma.FORMAT_RAW, filters=filt
         ).decompress(packed, unpack_size)
+    elif coder_id == _DELTA:
+        if len(props) != 1:
+            raise ValueError("7z: Delta needs a 1-byte property")
+        out = _delta_decode(packed, props[0] + 1)
+    elif coder_id in (_BCJ_X86, _BCJ_X86_OLD):
+        out = _x86_convert(packed, encoding=False)
     else:
         raise NotImplementedError(
-            f"7z coder {coder_id.hex()} not supported (Copy/LZMA1/LZMA2 "
-            "are; BCJ filter chains and AES need libs outside stdlib)"
+            f"7z coder {coder_id.hex()} not supported (Copy/LZMA1/LZMA2/"
+            "Delta/x86-BCJ are; BCJ2 and AES need non-linear graphs or "
+            "libs outside stdlib)"
         )
     if len(out) != unpack_size:
         raise ValueError("7z: folder decoded to the wrong size")
     return out
 
 
+def _decode_chain(chain, packed: bytes) -> bytes:
+    """Run a linearized coder chain (decode order: packed → … →
+    final) produced by `_linearize_folder`."""
+    data = packed
+    for coder_id, props, out_size in chain:
+        data = _decode_folder(coder_id, props, data, out_size)
+    return data
+
+
+def _linearize_folder(coders, bind_pairs, packed_idx, out_sizes):
+    """Reduce a folder's coder graph to decode order.
+
+    Only SIMPLE coders (1 in / 1 out) in a linear chain are in scope —
+    the layout every filter-chain archive 7-Zip writes (e.g. packed →
+    LZMA2 → BCJ). With one stream per coder, in-stream index i and
+    out-stream index i both belong to coder i, so the chain starts at
+    the coder fed by the single packed stream and follows bind pairs
+    (in ← out) until the unbound output. Non-linear graphs (BCJ2)
+    raise with guidance.
+
+    Returns ``(chain, n_packed, final_size)`` where ``chain`` is
+    ``[(coder_id, props, out_size)]`` in decode order — element [2]
+    keeps the folder's final unpack size so StreamsInfo consumers are
+    unchanged."""
+    if any(c[2] != 1 or c[3] != 1 for c in coders):
+        raise NotImplementedError(
+            "7z: complex coders (BCJ2-style multi-stream) not supported"
+        )
+    if len(packed_idx) != 1:
+        raise NotImplementedError(
+            "7z: folders with multiple pack streams not supported"
+        )
+    out_to_next = {}
+    for in_i, out_j in bind_pairs:
+        if out_j in out_to_next:
+            raise ValueError("7z: output stream bound twice")
+        out_to_next[out_j] = in_i
+    chain = []
+    c = packed_idx[0]
+    seen = set()
+    while True:
+        if c in seen or c >= len(coders):
+            raise ValueError("7z: cyclic or out-of-range coder graph")
+        seen.add(c)
+        chain.append((coders[c][0], coders[c][1], out_sizes[c]))
+        if c not in out_to_next:
+            break
+        c = out_to_next[c]
+    if len(chain) != len(coders):
+        raise NotImplementedError("7z: non-linear coder graph")
+    return (chain, 1, chain[-1][2])
+
+
 def _parse_streams_info(r: _Reader):
     """Parse a StreamsInfo block -> (pack_pos, pack_sizes, folders,
-    sub_sizes, sub_crcs) where folders = [(coder_id, props,
-    unpack_size)], sub_sizes = per-folder substream sizes, and
+    sub_sizes, sub_crcs) where folders = [(decode_chain, n_packed,
+    unpack_size)] (see `_linearize_folder`; element [2] is the final
+    unpack size), sub_sizes = per-folder substream sizes, and
     sub_crcs = per-substream expected CRC32 (or None when the archive
     carries none) in global stream order."""
     pack_pos = 0
@@ -192,27 +349,45 @@ def _parse_streams_info(r: _Reader):
             raw_folders = []
             for _ in range(n_folders):
                 n_coders = r.number()
-                if n_coders != 1:
-                    raise NotImplementedError(
-                        "7z: multi-coder folders (filter chains) not "
-                        "supported"
-                    )
-                flag = r.byte()
-                id_size = flag & 0x0F
-                coder_id = r.bytes(id_size)
-                if flag & 0x10:  # complex coder
-                    raise NotImplementedError("7z: complex coders")
-                props = b""
-                if flag & 0x20:
-                    props = r.bytes(r.number())
-                raw_folders.append((coder_id, props))
+                coders = []
+                total_in = total_out = 0
+                for _c in range(n_coders):
+                    flag = r.byte()
+                    coder_id = r.bytes(flag & 0x0F)
+                    if flag & 0x10:  # complex coder: explicit counts
+                        n_in, n_out = r.number(), r.number()
+                    else:
+                        n_in = n_out = 1
+                    props = b""
+                    if flag & 0x20:
+                        props = r.bytes(r.number())
+                    coders.append((coder_id, props, n_in, n_out))
+                    total_in += n_in
+                    total_out += n_out
+                bind_pairs = [
+                    (r.number(), r.number())
+                    for _ in range(total_out - 1)
+                ]
+                n_packed = total_in - len(bind_pairs)
+                if n_packed == 1:
+                    bound_in = {i for i, _o in bind_pairs}
+                    packed_idx = [
+                        i for i in range(total_in) if i not in bound_in
+                    ]
+                else:
+                    packed_idx = [r.number() for _ in range(n_packed)]
+                raw_folders.append((coders, bind_pairs, packed_idx))
             if r.number() != _K_UNPACK_SIZES:
                 raise ValueError("7z: missing kCodersUnpackSize")
-            sizes = [r.number() for _ in range(len(raw_folders))]
-            folders = [
-                (cid, props, size)
-                for (cid, props), size in zip(raw_folders, sizes)
-            ]
+            folders = []
+            for coders, bind_pairs, packed_idx in raw_folders:
+                n_out = sum(c[3] for c in coders)
+                out_sizes = [r.number() for _ in range(n_out)]
+                folders.append(
+                    _linearize_folder(
+                        coders, bind_pairs, packed_idx, out_sizes
+                    )
+                )
             folder_crcs = [None] * len(folders)
             while True:
                 p = r.number()
@@ -297,8 +472,8 @@ def _decode_all_folders(data: bytes, base: int, pack_pos, pack_sizes,
                         folders) -> list[bytes]:
     out = []
     off = base + pack_pos
-    for (cid, props, usize), psize in zip(folders, pack_sizes):
-        out.append(_decode_folder(cid, props, data[off:off + psize], usize))
+    for (chain, _np, _usize), psize in zip(folders, pack_sizes):
+        out.append(_decode_chain(chain, data[off:off + psize]))
         off += psize
     return out
 
@@ -431,10 +606,9 @@ def parse_7z(data: bytes, members=None) -> list[tuple[str, bytes]]:
             offs.append(off)
             off += psize
         for fidx in sorted(needed_folders):
-            cid, props, usize = folders[fidx]
-            fb = _decode_folder(
-                cid, props,
-                data[offs[fidx]:offs[fidx] + pack_sizes[fidx]], usize,
+            chain, _np, _usize = folders[fidx]
+            fb = _decode_chain(
+                chain, data[offs[fidx]:offs[fidx] + pack_sizes[fidx]]
             )
             decoded[fidx] = fb
 
@@ -489,25 +663,36 @@ class _Writer:
         self.b += v.to_bytes(8, "little")
 
 
+def _lzma2_raw(payload: bytes) -> bytes:
+    return lzma.compress(
+        payload, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}],
+    )
+
+
 def write_7z(
     members: list[tuple[str, bytes]],
     codec: str = "lzma2",
     encode_header: bool = False,
+    delta_dist: int = 4,
 ) -> bytes:
-    """Write a single-folder solid 7z archive. ``codec`` is ``copy`` or
-    ``lzma2``; ``encode_header=True`` compresses the end header itself
-    (the 0x17 path every real 7-Zip archive uses)."""
+    """Write a single-folder solid 7z archive. ``codec`` is ``copy``,
+    ``lzma1``, ``lzma2``, ``bcj+lzma2`` (x86 filter chain) or
+    ``delta+lzma2``; ``encode_header=True`` compresses the end header
+    itself (the 0x17 path every real 7-Zip archive uses). Filter-chain
+    archives carry two coders and a bind pair, exactly the folder
+    grammar 7-Zip emits for executables (BCJ) and audio (Delta)."""
     payload = b"".join(p for _n, p in members)
     sizes = [len(p) for _n, p in members]
+    bind_pairs: list[tuple[int, int]] = []
     if codec == "copy":
-        coder_id, props = _COPY, b""
+        coders = [(_COPY, b"")]
+        out_sizes = [len(payload)]
         packed = payload
     elif codec == "lzma2":
-        coder_id, props = _LZMA2, bytes([22])  # 8 MiB dictionary
-        packed = lzma.compress(
-            payload, format=lzma.FORMAT_RAW,
-            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}],
-        )
+        coders = [(_LZMA2, bytes([22]))]  # 8 MiB dictionary
+        out_sizes = [len(payload)]
+        packed = _lzma2_raw(payload)
     elif codec == "lzma1":
         # FORMAT_ALONE = 5 props bytes + 8-byte size + raw LZMA1 stream;
         # 7z stores exactly those 5 props bytes as the coder property
@@ -516,13 +701,31 @@ def write_7z(
             filters=[{"id": lzma.FILTER_LZMA1, "preset": 6,
                       "dict_size": 1 << 23}],
         )
-        coder_id, props = _LZMA1, alone[:5]
+        coders = [(_LZMA1, alone[:5])]
+        out_sizes = [len(payload)]
         packed = alone[13:]
+    elif codec == "bcj+lzma2":
+        # decode flow packed → LZMA2 → BCJ: coder 0 = LZMA2 (fed by the
+        # pack stream), coder 1 = BCJ, bind pair BCJ.in(1) ← LZMA2.out(0)
+        filtered = _x86_convert(payload, encoding=True)
+        coders = [(_LZMA2, bytes([22])), (_BCJ_X86, b"")]
+        bind_pairs = [(1, 0)]
+        out_sizes = [len(filtered), len(payload)]
+        packed = _lzma2_raw(filtered)
+    elif codec == "delta+lzma2":
+        filtered = _delta_encode(payload, delta_dist)
+        coders = [(_LZMA2, bytes([22])), (_DELTA, bytes([delta_dist - 1]))]
+        bind_pairs = [(1, 0)]
+        out_sizes = [len(filtered), len(payload)]
+        packed = _lzma2_raw(filtered)
     else:
-        raise ValueError("codec must be 'copy', 'lzma1' or 'lzma2'")
+        raise ValueError(
+            "codec must be 'copy', 'lzma1', 'lzma2', 'bcj+lzma2' or "
+            "'delta+lzma2'"
+        )
 
     def streams_info(w: _Writer, pack_pos: int, packed_len: int,
-                     unpack_len: int, sub: list[int] | None,
+                     sub: list[int] | None,
                      crcs: list[int] | None = None) -> None:
         w.number(_K_PACK_INFO)
         w.number(pack_pos)
@@ -534,14 +737,20 @@ def write_7z(
         w.number(_K_FOLDER)
         w.number(1)
         w.byte(0)  # not external
-        w.number(1)  # one coder
-        w.byte(len(coder_id) | (0x20 if props else 0))
-        w.raw(coder_id)
-        if props:
-            w.number(len(props))
-            w.raw(props)
+        w.number(len(coders))
+        for coder_id, props in coders:
+            w.byte(len(coder_id) | (0x20 if props else 0))
+            w.raw(coder_id)
+            if props:
+                w.number(len(props))
+                w.raw(props)
+        for in_i, out_j in bind_pairs:
+            w.number(in_i)
+            w.number(out_j)
+        # n_packed == 1 → the pack-stream index is implicit
         w.number(_K_UNPACK_SIZES)
-        w.number(unpack_len)
+        for s in out_sizes:
+            w.number(s)
         w.number(_K_END)
         if sub is not None and (len(sub) != 1 or crcs):
             w.number(_K_SUBSTREAMS)
@@ -563,7 +772,7 @@ def write_7z(
     hw = _Writer()
     hw.number(_K_HEADER)
     hw.number(_K_MAIN_STREAMS)
-    streams_info(hw, 0, len(packed), len(payload), sizes, crcs)
+    streams_info(hw, 0, len(packed), sizes, crcs)
     hw.number(_K_FILES_INFO)
     hw.number(len(members))
     names_raw = b"".join(
