@@ -151,6 +151,24 @@ OPERATORS = [
     "hashed_embedding",  # hashing-trick text vectors (model-free, one pass)
     "pack_sequences_bpe",  # packing by REAL tokenizer counts (tokenize->pack)
     "concat_chunks",  # GPT-style concat-then-chunk example span table
+    # round 7 additions: the full TPC-H sweep (q2..q22 shapes adapted to
+    # the driver schema; correlated-min, decorrelated EXISTS pairs,
+    # scalar subqueries, disjunctive pushdown)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_part_value_concentration",
+    "q12_shipping_delay",
+    "q13_customer_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

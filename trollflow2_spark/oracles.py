@@ -862,6 +862,277 @@ SELECT c.c_custkey AS custkey, c.c_name, b.total_spend, b.n_orders
 FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
 """
 
+# --- full TPC-H sweep (q2..q22 shapes; adaptations documented in
+# qconst — lineitem (partkey, suppkey) pairs stand in for partsupp,
+# ship latency for commit/receipt gaps) ------------------------------------
+
+ORACLES["q2_min_cost_supplier"] = f"""
+WITH costs AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+    round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = {C.Q2_SIZE} AND p_type = '{C.Q2_TYPE}'
+    AND r_name = '{C.Q2_REGION}'
+  GROUP BY ALL
+), best AS (
+  SELECT p_partkey AS bp, min(unit_cost) AS min_cost
+  FROM costs GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+FROM costs JOIN best ON p_partkey = bp AND unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT {C.Q2_LIMIT}
+"""
+
+ORACLES["q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INTEGER) AS l_year,
+  {_dsum('l_extendedprice*(1-l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{C.Q7_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{C.Q7_DATE_HI}'
+  AND ((n1.n_name = '{C.Q7_NATION_A}' AND n2.n_name = '{C.Q7_NATION_B}')
+    OR (n1.n_name = '{C.Q7_NATION_B}' AND n2.n_name = '{C.Q7_NATION_A}'))
+GROUP BY ALL
+"""
+
+ORACLES["q8_market_share"] = f"""
+SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS o_year,
+  round(
+    CAST(SUM(CASE WHEN ns.n_name = '{C.Q8_NATION}'
+      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))
+      ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+    / {_dsum('l_extendedprice*(1-l_discount)', 6)}, 6) AS mkt_share,
+  {_dsum('l_extendedprice*(1-l_discount)', 6)} AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = '{C.Q8_TYPE}' AND r_name = '{C.Q8_REGION}'
+  AND o_orderdate >= TIMESTAMP '{C.Q8_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{C.Q8_DATE_HI}'
+GROUP BY ALL
+"""
+
+ORACLES["q9_product_profit"] = f"""
+SELECT n_name AS nation,
+  CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS o_year,
+  {_dsum(f'l_extendedprice*(1-l_discount)'
+         f' - {C.Q9_COST_FRACTION}*p_retailprice*l_quantity', 6)}
+    AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{C.Q9_NAME_PATTERN}%'
+GROUP BY ALL
+"""
+
+ORACLES["q10_returned_items"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    {_dsum('l_extendedprice*(1-l_discount)', 6)} AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{C.Q10_DATE_LO}'
+    AND o_orderdate < TIMESTAMP '{C.Q10_DATE_HI}'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT {C.Q10_LIMIT}
+"""
+
+ORACLES["q11_part_value_concentration"] = f"""
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+    {_dsum('l_extendedprice', 2)} AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{C.Q11_NATION}'
+  GROUP BY l_partkey
+), total AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE)
+    AS total_value
+  FROM per_part
+)
+SELECT partkey, value, round(value / total_value, 8) AS share
+FROM per_part, total
+WHERE value > total_value * {C.Q11_FRACTION}
+ORDER BY value DESC, partkey
+"""
+
+ORACLES["q12_shipping_delay"] = f"""
+SELECT CASE
+    WHEN datediff('day', CAST(o_orderdate AS TIMESTAMP),
+                  CAST(l_shipdate AS TIMESTAMP)) >= {C.Q12_LATE_DAYS}
+      THEN 'late'
+    WHEN datediff('day', CAST(o_orderdate AS TIMESTAMP),
+                  CAST(l_shipdate AS TIMESTAMP)) >= {C.Q12_FAST_DAYS}
+      THEN 'medium'
+    ELSE 'fast' END AS delay_bucket,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{C.Q12_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{C.Q12_DATE_HI}'
+GROUP BY ALL
+"""
+
+ORACLES["q13_customer_order_counts"] = f"""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '{C.Q13_PRIORITY_EXCLUDE}'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+ORACLES["q14_promo_revenue"] = f"""
+SELECT round(100.0 *
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))
+      ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+    / {_dsum('l_extendedprice*(1-l_discount)', 6)}, 6)
+    AS promo_revenue_pct,
+  {_dsum('l_extendedprice*(1-l_discount)', 6)} AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{C.Q14_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{C.Q14_DATE_HI}'
+"""
+
+ORACLES["q15_top_supplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    {_dsum('l_extendedprice*(1-l_discount)', 6)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{C.Q15_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{C.Q15_DATE_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+ORACLES["q17_small_qty_revenue"] = f"""
+WITH matched AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{C.Q17_BRAND}' AND p_size <= {C.Q17_SIZE_MAX}
+), means AS (
+  SELECT l_partkey AS mp,
+    {_dsum('l_quantity')} / count(*) AS avg_qty
+  FROM matched GROUP BY l_partkey
+)
+SELECT round({_dsum('l_extendedprice')} / 7.0, 2) AS avg_yearly,
+  count(*) AS n_lines
+FROM matched JOIN means ON l_partkey = mp
+WHERE l_quantity < {C.Q17_QTY_FRACTION} * avg_qty
+"""
+
+_Q19_ORS = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+    f" AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, s, lo, hi in C.Q19_BRANCHES
+)
+ORACLES["q19_disjunctive_revenue"] = f"""
+SELECT {_dsum('l_extendedprice*(1-l_discount)', 6)} AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_Q19_ORS}
+"""
+
+ORACLES["q20_excess_shippers"] = f"""
+WITH heavy AS (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{C.Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{C.Q20_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{C.Q20_DATE_HI}'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {_dsum('l_quantity')} > {C.Q20_QTY_THRESHOLD}
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{C.Q20_NATION}'
+  AND EXISTS (SELECT 1 FROM heavy WHERE l_suppkey = s_suppkey)
+ORDER BY s_suppkey
+"""
+
+ORACLES["q21_waiting_suppliers"] = f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+    datediff('day', CAST(o_orderdate AS TIMESTAMP),
+             CAST(l_shipdate AS TIMESTAMP)) > {C.Q21_LATE_DAYS}
+      AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS ok,
+    count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+      AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+FROM lo
+JOIN per_order ON l_orderkey = ok AND n_supp > 1 AND n_late_supp = 1
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE is_late AND n_name = '{C.Q21_NATION}'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {C.Q21_LIMIT}
+"""
+
+ORACLES["q22_dormant_customers"] = f"""
+WITH avg_bal AS (
+  SELECT {_dsum('c_acctbal', 2)} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name AS nation, count(*) AS numcust,
+  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE), 2)
+    AS totacctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{C.Q22_ORDER_CUTOFF}'
+  )
+GROUP BY n_name
+"""
+
 # encoding hygiene: identical regex patterns; fixture plants one
 # mojibake pair, one U+FFFD and one control byte by doc_id residue
 ORACLES["encoding_quality"] = """

@@ -198,6 +198,59 @@ PQ_N_QUERIES = 4  # first N vec_ids serve as the query set
 # TPC-H shape extensions (semi/anti/having operators)
 Q18_SPEND_THRESHOLD = 3_000_000.0  # total-spend HAVING cut
 
+# full TPC-H sweep (q2..q22 shapes, adapted to the driver schema:
+# no partsupp/shipmode/commitdate columns — lineitem (partkey,
+# suppkey) pairs stand in for partsupp, ship latency for the
+# commit/receipt gap; every adaptation keeps the ORIGINAL query's
+# operator shape: correlated min, decorrelated EXISTS pairs, scalar
+# subqueries, disjunctive pushdown)
+Q2_SIZE = 15
+Q2_TYPE = "SMALL"
+Q2_REGION = "ASIA"
+Q2_LIMIT = 100
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_DATE_LO = "1996-01-01 00:00:00"
+Q7_DATE_HI = "1998-01-01 00:00:00"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_NATION = "NATION_1"
+Q8_DATE_LO = "1996-01-01 00:00:00"
+Q8_DATE_HI = "1998-01-01 00:00:00"
+Q9_NAME_PATTERN = "red"  # p_name substring
+Q9_COST_FRACTION = 0.6  # supply-cost proxy: fraction of retail price
+Q10_DATE_LO = "1996-10-01 00:00:00"
+Q10_DATE_HI = "1997-01-01 00:00:00"
+Q10_LIMIT = 20
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.002  # per-part value must exceed this corpus share
+Q12_DATE_LO = "1997-01-01 00:00:00"
+Q12_DATE_HI = "1998-01-01 00:00:00"
+Q12_FAST_DAYS = 30  # ship latency bucket edges (days)
+Q12_LATE_DAYS = 90
+Q13_PRIORITY_EXCLUDE = "5-LOW"  # the comment-pattern stand-in
+Q14_DATE_LO = "1997-03-01 00:00:00"
+Q14_DATE_HI = "1997-04-01 00:00:00"
+Q15_DATE_LO = "1997-01-01 00:00:00"
+Q15_DATE_HI = "1997-04-01 00:00:00"
+Q17_BRAND = "Brand#3"
+Q17_SIZE_MAX = 10  # container stand-in: compact parts
+Q17_QTY_FRACTION = 0.5  # qty below this fraction of the part's mean
+Q19_BRANCHES = (  # (brand, size_max, qty_lo, qty_hi)
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#15", 15, 20.0, 30.0),
+)
+Q20_NAME_PREFIX = "small"
+Q20_NATION = "NATION_5"
+Q20_DATE_LO = "1997-01-01 00:00:00"
+Q20_DATE_HI = "1998-01-01 00:00:00"
+Q20_QTY_THRESHOLD = 30.0  # shipped-quantity HAVING cut per (supp, part)
+Q21_NATION = "NATION_7"
+Q21_LATE_DAYS = 90  # ship latency that counts as keeping-waiting
+Q21_LIMIT = 100
+Q22_ORDER_CUTOFF = "1999-01-01 00:00:00"  # no orders on/after this date
+
 # bigram LM quality score (Jelinek-Mercer interpolation)
 BIGRAM_TOP_K = 2000  # bigram table size (broadcast model)
 BIGRAM_LAMBDA = 0.7  # bigram weight; (1-lambda) backs off to unigram

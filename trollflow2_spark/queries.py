@@ -2324,6 +2324,532 @@ def q_q18_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Full TPC-H sweep (q2..q22 shapes, adapted to the driver schema — see
+# qconst for the adaptation notes; each keeps the ORIGINAL query's
+# operator pattern so the planner faces the same decorrelation /
+# pushdown / scalar-subquery problems)
+
+
+def _li_revenue() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — for each qualifying
+    part, the region's suppliers achieving the MINIMUM unit cost.
+    partsupp stand-in: observed (partkey, suppkey) unit costs from
+    lineitem. Decorrelated as agg→min→join-back; dims broadcast, so
+    the only shuffle is the (part, supp) cost agg."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == C.Q2_SIZE) & (F.col("p_type") == C.Q2_TYPE)
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == C.Q2_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    best = costs.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            best,
+            (costs.p_partkey == best.bp)
+            & (costs.unit_cost == best.min_cost),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(C.Q2_LIMIT)
+    )
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation bilateral trade — the nation dim
+    joins TWICE (supplier side and customer side) with a symmetric
+    pair filter, grouped by (supp_nation, cust_nation, year)."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(C.Q7_DATE_LO))
+        & (F.col("l_shipdate") < _ntz(C.Q7_DATE_HI))
+    )
+    a, b = C.Q7_NATION_A, C.Q7_NATION_B
+    pair_ok = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair_ok)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(_li_revenue(), 6).alias("revenue"))
+    )
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional-sum ratio
+    per year over a 5-way join; the CASE numerator and the total share
+    the one aggregation."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == C.Q8_REGION
+    )
+    nation_c = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == C.Q8_TYPE
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(C.Q8_DATE_LO))
+        & (F.col("o_orderdate") < _ntz(C.Q8_DATE_HI))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = _li_revenue().cast("decimal(38,6)")
+    national = F.when(
+        F.col("supp_nation") == C.Q8_NATION, volume
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(national).cast("double")
+                / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation and year over a pattern-matched
+    part set. Supply-cost stand-in: Q9_COST_FRACTION of retail price."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(C.Q9_NAME_PATTERN)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(C.Q9_COST_FRACTION)
+        * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, 6).alias("sum_profit"))
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in one
+    quarter, deterministic top-N. Customer joins AFTER the fact-side
+    agg, so only qualifying custkeys reach the dimension join."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(C.Q10_DATE_LO))
+        & (F.col("o_orderdate") < _ntz(C.Q10_DATE_HI))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dsum(_li_revenue(), 6).alias("revenue"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(C.Q10_LIMIT)
+    )
+
+
+def q_q11_part_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a HAVING threshold that is
+    a SCALAR SUBQUERY over the same aggregation (a fraction of total
+    national inventory value). The one-row total broadcasts into the
+    filter — no second scan of the fact table (the per-part agg is
+    computed once and reused for both the total and the filter)."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == C.Q11_NATION
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice"), 2).alias("value"))
+    )
+    total = per_part.agg(
+        F.sum(F.col("value").cast("decimal(38,2)"))
+        .cast("double").alias("total_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") * C.Q11_FRACTION)
+        .select(
+            F.col("l_partkey").alias("partkey"), "value",
+            F.round(F.col("value") / F.col("total_value"), 8)
+            .alias("share"),
+        )
+        .orderBy(F.col("value").desc(), F.col("partkey"))
+    )
+
+
+def q_q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts per category — ship-latency
+    buckets (the shipmode stand-in) × order-priority criticality, one
+    fact join + one agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(C.Q12_DATE_LO))
+        & (F.col("l_shipdate") < _ntz(C.Q12_DATE_HI))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay >= C.Q12_LATE_DAYS, "late")
+        .when(delay >= C.Q12_FAST_DAYS, "medium")
+        .otherwise("fast")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_q13_customer_order_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution — LEFT OUTER join with a
+    join-side predicate (not a WHERE: customers with zero qualifying
+    orders must survive with count 0), then a histogram of the
+    counts (two-level aggregation)."""
+    cust = load_table(spark, sf_dir, "customer")
+    # aggregate BEFORE the outer join: orders shrink to <=1 row per
+    # customer, so the join shuffles key+count pairs instead of every
+    # order row (the scale difference at 100 TB)
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != C.Q13_PRIORITY_EXCLUDE)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    per_cust = cust.join(
+        oc, cust.c_custkey == oc.o_custkey, "left_outer"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio over one month — promo
+    revenue share, single-row output."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(C.Q14_DATE_LO))
+        & (F.col("l_shipdate") < _ntz(C.Q14_DATE_HI))
+    )
+    volume = _li_revenue().cast("decimal(38,6)")
+    promo = F.when(
+        F.col("p_type") == "PROMO", volume
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(volume).cast("double"), 6
+            ).alias("promo_revenue_pct"),
+            F.sum(volume).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + scalar-max subquery — the
+    supplier(s) whose quarter revenue equals the global maximum. The
+    1-row max broadcasts back into the equality filter; its branch
+    re-evaluates the view off the same pushed-filter scan (the
+    canonical decorrelation; the scan is date-bounded so the second
+    pass reads one quarter, not the corpus)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(C.Q15_DATE_LO))
+        & (F.col("l_shipdate") < _ntz(C.Q15_DATE_HI))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_li_revenue(), 6).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(supp),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG subquery — revenue from
+    orders below half the part's mean quantity. Decorrelated: the
+    per-part mean aggregates once and broadcasts back (part-bounded,
+    so the broadcast is dim-sized at any corpus scale)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == C.Q17_BRAND)
+        & (F.col("p_size") <= C.Q17_SIZE_MAX)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # deterministic mean: exact decimal sum / count (a float AVG is
+    # order-sensitive and would make the correlated threshold flap)
+    means = matched.groupBy(F.col("p_partkey").alias("mp")).agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        matched.join(F.broadcast(means), F.col("p_partkey") == F.col("mp"))
+        .filter(F.col("l_quantity") < C.Q17_QTY_FRACTION * F.col("avg_qty"))
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice")) / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd brand/size/quantity branches — the
+    disjunction must still push into the scans (brand+size to part,
+    the quantity envelope to lineitem) instead of forcing a full
+    cartesian check."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = None
+    for brand, size_max, qty_lo, qty_hi in C.Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_max))
+            & (F.col("l_quantity").between(qty_lo, qty_hi))
+        )
+        cond = branch if cond is None else (cond | branch)
+    return j.filter(cond).agg(
+        dsum(_li_revenue(), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who shipped
+    more than a threshold quantity of pattern-matched parts in a year.
+    The (supp, part) agg runs on the fact side; suppliers reduce via
+    LEFT SEMI, then the nation filter applies."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(C.Q20_NAME_PREFIX)
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == C.Q20_NATION
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(C.Q20_DATE_LO))
+        & (F.col("l_shipdate") < _ntz(C.Q20_DATE_HI))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > C.Q20_QTY_THRESHOLD)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS pair, decorrelated —
+    orders a supplier kept waiting (late ship) where OTHER suppliers
+    participated but NONE of them was also late. One order-level
+    conditional agg replaces both correlated subqueries; the late
+    lineitems then equi-join it."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == C.Q21_NATION
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) \
+        > C.Q21_LATE_DAYS
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    # ONE pass over the fact join: per order, the distinct supplier
+    # count plus the SET of late suppliers (bounded by suppliers-per-
+    # order, a handful of keys — never corpus-scale state). A second
+    # fact scan to re-find the late rows is thereby avoided; orders
+    # with exactly one late supplier among several explode that
+    # singleton back out.
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.collect_set(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("late_supps"),
+    )
+    blamed = (
+        per_order.filter(
+            (F.col("n_supp") > 1) & (F.size("late_supps") == 1)
+        )
+        .select(F.explode("late_supps").alias("bad_supp"))
+        .join(F.broadcast(supp), F.col("bad_supp") == F.col("s_suppkey"))
+    )
+    return (
+        blamed.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(C.Q21_LIMIT)
+    )
+
+
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS —
+    above-average-balance customers with no recent orders, aggregated
+    by nation (the phone-prefix stand-in). The 1-row average
+    broadcasts; the anti-join prunes before the final agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ntz(C.Q22_ORDER_CUTOFF)
+    ).select("o_custkey")
+    # deterministic mean: exact decimal sum / count, so the scalar
+    # threshold is bit-identical to the oracle's
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent, cust.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)"))
+                .cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM score (the KenLM-filtering shape): word
     soup with plausible unigrams but impossible transitions scores
@@ -4060,6 +4586,21 @@ QUERIES = {
     "q4_order_priority": q_q4_order_priority,
     "q16_parts_never_returned": q_q16_parts_never_returned,
     "q18_big_spenders": q_q18_big_spenders,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q9_product_profit": q_q9_product_profit,
+    "q10_returned_items": q_q10_returned_items,
+    "q11_part_value_concentration": q_q11_part_value_concentration,
+    "q12_shipping_delay": q_q12_shipping_delay,
+    "q13_customer_order_counts": q_q13_customer_order_counts,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+    "q20_excess_shippers": q_q20_excess_shippers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q22_dormant_customers": q_q22_dormant_customers,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
