@@ -169,6 +169,14 @@ OPERATORS = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    # round 7: OLAP surface (one-pass grouping sets, fixed-taxonomy
+    # pivot, exact-percentile contract, set ops, bucketed range join)
+    "rollup_revenue",
+    "cube_order_stats",
+    "pivot_event_matrix",
+    "percentile_order_value",
+    "active_customers_setops",
+    "interval_join_events",
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -301,3 +301,44 @@ def test_sequence_fingerprint_salted_digest_chain(spark):
         k: v[1] for k, v in plain.items()
     }
     assert plain[-1][1] == 500  # the hot key owns half the rows
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Bucketed interval join: points match intervals they fall in
+    (inclusive bounds), multi-bucket intervals don't duplicate
+    matches, and the physical plan is an equi-join — never the
+    BroadcastNestedLoopJoin a naive inequality join produces."""
+    from datetime import datetime as DT
+
+    from trollflow2_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1, 2, 30)),   # inside w1
+            (2, DT(2024, 1, 1, 4, 0)),    # == w1 end (inclusive)
+            (3, DT(2024, 1, 1, 5, 0)),    # outside
+            (4, DT(2024, 1, 1, 1, 59)),   # just before w1
+            (5, DT(2024, 1, 2, 3, 59)),   # inside w2 (spans 3 buckets)
+        ],
+        ["pid", "ts"],
+    )
+    wins = spark.createDataFrame(
+        [
+            ("w1", DT(2024, 1, 1, 2, 0), DT(2024, 1, 1, 4, 0)),
+            ("w2", DT(2024, 1, 2, 1, 30), DT(2024, 1, 2, 4, 30)),
+        ],
+        ["wid", "w_start", "w_end"],
+    )
+    out = interval_join(pts, wins, "ts", "w_start", "w_end",
+                        bucket_seconds=3600)
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    assert got == [(1, "w1"), (2, "w1"), (5, "w2")]
+    # no duplicate rows even though w2 overlaps 4 hour-buckets
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # semi form: each point at most once
+    semi = interval_join(pts, wins, "ts", "w_start", "w_end",
+                         bucket_seconds=3600, how="left_semi")
+    assert sorted(r["pid"] for r in semi.collect()) == [1, 2, 5]

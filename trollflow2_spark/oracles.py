@@ -1133,6 +1133,96 @@ WHERE c_acctbal > avg_bal
 GROUP BY n_name
 """
 
+# --- OLAP surface: rollup/cube/pivot/percentiles/set-ops/interval ----------
+
+ORACLES["rollup_revenue"] = """
+WITH t AS (
+  SELECT n_name AS nation,
+    CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS o_year,
+    o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation, o_year,
+  CAST(GROUPING(nation, o_year) AS INTEGER) AS gid,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM t
+GROUP BY ROLLUP(nation, o_year)
+"""
+
+ORACLES["cube_order_stats"] = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+  count(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+_PIVOT_COLS = ",\n  ".join(
+    f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS \"{t}\""
+    for t in C.EVENT_TYPES_ALL
+)
+ORACLES["pivot_event_matrix"] = f"""
+SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+    AS day,
+  {_PIVOT_COLS}
+FROM events
+GROUP BY day
+"""
+
+_PCT_COLS = ",\n  ".join(
+    f"round(quantile_cont(o_totalprice, {p}), 4) AS p{int(p * 100)}"
+    for p in C.PERCENTILES
+)
+ORACLES["percentile_order_value"] = f"""
+SELECT o_orderpriority,
+  {_PCT_COLS},
+  count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+ORACLES["active_customers_setops"] = f"""
+WITH a AS (
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{C.SETOPS_YEAR_A_LO}'
+    AND o_orderdate < TIMESTAMP '{C.SETOPS_YEAR_A_HI}'
+), b AS (
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{C.SETOPS_YEAR_B_LO}'
+    AND o_orderdate < TIMESTAMP '{C.SETOPS_YEAR_B_HI}'
+), both_y AS (
+  SELECT custkey FROM a INTERSECT SELECT custkey FROM b
+), low AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  WHERE o_orderpriority = '{C.Q13_PRIORITY_EXCLUDE}'
+)
+SELECT custkey FROM both_y
+EXCEPT
+SELECT custkey FROM low
+ORDER BY custkey
+"""
+
+ORACLES["interval_join_events"] = f"""
+WITH wins AS (
+  SELECT day + INTERVAL {C.MAINT_START_HOUR} HOUR AS w_start,
+    day + INTERVAL {C.MAINT_END_HOUR} HOUR AS w_end,
+    strftime(day, '%Y-%m-%d') AS window_day
+  FROM (
+    SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+    FROM events
+  )
+)
+SELECT window_day, count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users
+FROM events JOIN wins
+  ON ts >= w_start AND ts < w_end
+GROUP BY window_day
+"""
+
 # encoding hygiene: identical regex patterns; fixture plants one
 # mojibake pair, one U+FFFD and one control byte by doc_id residue
 ORACLES["encoding_quality"] = """

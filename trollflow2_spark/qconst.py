@@ -251,6 +251,17 @@ Q21_LATE_DAYS = 90  # ship latency that counts as keeping-waiting
 Q21_LIMIT = 100
 Q22_ORDER_CUTOFF = "1999-01-01 00:00:00"  # no orders on/after this date
 
+# OLAP surface: rollup/cube/pivot/percentiles/set-ops/interval join
+EVENT_TYPES_ALL = ("click", "error", "purchase", "signup", "view")
+PERCENTILES = (0.5, 0.9, 0.99)
+SETOPS_YEAR_A_LO = "1996-01-01 00:00:00"
+SETOPS_YEAR_A_HI = "1997-01-01 00:00:00"
+SETOPS_YEAR_B_LO = "1997-01-01 00:00:00"
+SETOPS_YEAR_B_HI = "1998-01-01 00:00:00"
+MAINT_START_HOUR = 2  # daily maintenance window [02:00, 04:00)
+MAINT_END_HOUR = 4
+INTERVAL_BUCKET_S = 3600  # interval-join bucket width (seconds)
+
 # bigram LM quality score (Jelinek-Mercer interpolation)
 BIGRAM_TOP_K = 2000  # bigram table size (broadcast model)
 BIGRAM_LAMBDA = 0.7  # bigram weight; (1-lambda) backs off to unigram

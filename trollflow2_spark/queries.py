@@ -2850,6 +2850,176 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OLAP surface: multi-level aggregation, pivot, exact percentiles,
+# set operations, interval (range) join
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year): per-nation-per-year revenue plus nation
+    subtotals plus the grand total in ONE aggregation — Spark expands
+    the grouping sets map-side, so the fact table shuffles once, not
+    once per level. ``gid`` disambiguates a NULL group key from a
+    subtotal row (the standard GROUPING_ID contract)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            "o_totalprice",
+        )
+        .rollup("nation", "o_year")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all four grouping-set combinations in
+    one pass — the cross-classified margin table every monitoring
+    rollup needs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type. The pivot
+    values are the FIXED taxonomy (no discovery pre-scan — an
+    unpinned pivot would scan the corpus once just to learn the
+    columns); the physical plan is one hash agg with conditional
+    counts, identical to the SQL CASE expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", list(C.EVENT_TYPES_ALL))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(C.EVENT_TYPES_ALL))
+    )
+
+
+def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) of order value
+    per priority class. NOTE the deliberate scale contract: EXACT
+    percentile buffers each group's values, so it is for
+    bounded-cardinality groups (5 priorities here); corpus-scale
+    distributions go through the sketch path (``corpus_stats`` uses
+    approx_percentile) — this query pins the exact semantics the
+    sketch is judged against."""
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = list(C.PERCENTILES)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.round(
+                    F.percentile("o_totalprice", F.lit(p)), 4
+                ).alias(f"p{int(p * 100)}")
+                for p in pcts
+            ],
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_active_customers_setops(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT + EXCEPT set operators: customers active in BOTH years
+    minus those who ever placed a low-priority order. Spark plans
+    these as semi/anti joins over distinct key sets — no row-level
+    materialization of either year's order list survives the
+    distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= _ntz(lo))
+            & (F.col("o_orderdate") < _ntz(hi))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    both = active(C.SETOPS_YEAR_A_LO, C.SETOPS_YEAR_A_HI).intersect(
+        active(C.SETOPS_YEAR_B_LO, C.SETOPS_YEAR_B_HI)
+    )
+    low = orders.filter(
+        F.col("o_orderpriority") == C.Q13_PRIORITY_EXCLUDE
+    ).select(F.col("o_custkey").alias("custkey"))
+    return both.exceptAll(low.distinct()).orderBy("custkey")
+
+
+def _maintenance_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily maintenance windows derived from the event span: one
+    [02:00, 04:00) interval per observed day — a dimension-sized
+    interval table (one row per day)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("window_day"),
+            (F.col("day") + F.expr(
+                f"INTERVAL {C.MAINT_START_HOUR} HOURS"
+            )).alias("w_start"),
+            (F.col("day") + F.expr(
+                f"INTERVAL {C.MAINT_END_HOUR} HOURS"
+            )).alias("w_end"),
+        )
+    )
+
+
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time bucketing: events landing inside
+    any daily maintenance window, counted per window. The operator
+    (`operators/interval.py`) turns point-in-interval matching into a
+    shuffled equi-join on hour buckets + exact verify — never the
+    BroadcastNestedLoopJoin a naive inequality join plans, so it
+    survives interval tables too big to broadcast."""
+    from trollflow2_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    wins = _maintenance_windows(spark, sf_dir)
+    joined = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        wins,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=C.INTERVAL_BUCKET_S,
+    )
+    # the window end is exclusive in the contract; interval_join is
+    # inclusive-inclusive, so trim the boundary row here
+    return (
+        joined.filter(F.col("ts") < F.col("w_end"))
+        .groupBy("window_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM score (the KenLM-filtering shape): word
     soup with plausible unigrams but impossible transitions scores
@@ -4601,6 +4771,12 @@ QUERIES = {
     "q20_excess_shippers": q_q20_excess_shippers,
     "q21_waiting_suppliers": q_q21_waiting_suppliers,
     "q22_dormant_customers": q_q22_dormant_customers,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_order_stats": q_cube_order_stats,
+    "pivot_event_matrix": q_pivot_event_matrix,
+    "percentile_order_value": q_percentile_order_value,
+    "active_customers_setops": q_active_customers_setops,
+    "interval_join_events": q_interval_join_events,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
