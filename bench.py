@@ -177,6 +177,8 @@ OPERATORS = [
     "percentile_order_value",
     "active_customers_setops",
     "interval_join_events",
+    "rolling_revenue_7d",
+    "customer_spend_deciles",
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Regenerate PLANS_r6.md: `explain('formatted')` dumps of the flagship
+"""Regenerate PLANS_r7.md: `explain('formatted')` dumps of the flagship
 queries whose physical-plan properties the plan-quality tests pin.
 
 Usage: python tools/dump_plans.py [sf_dir] [out_md]
@@ -60,19 +60,36 @@ FLAGSHIP = [
     ("warc_ingest_zst",
      ".warc.zst intake: executor-side frame decode in the parse "
      "kernel; HTML->text stays a scan-stage regex chain."),
+    # round 7 flagships
+    ("q19_disjunctive_revenue",
+     "Disjunctive pushdown: the three OR'd brand/size/quantity "
+     "branches reach BOTH parquet scans as PushedFilters."),
+    ("q21_waiting_suppliers",
+     "EXISTS + NOT-EXISTS decorrelated into ONE fact pass: per-order "
+     "late-supplier sets (bounded by suppliers-per-order) replace the "
+     "second fact scan."),
+    ("q11_part_value_concentration",
+     "Scalar-subquery HAVING: the per-part agg exchange is reused at "
+     "runtime for the 1-row total — the fact table scans once."),
+    ("interval_join_events",
+     "Range join via time buckets: interval explode + shuffled "
+     "equi-join + exact verify; no BroadcastNestedLoopJoin."),
+    ("rollup_revenue",
+     "ROLLUP in one pass: Expand feeds a single partial+final hash "
+     "agg; the fact side shuffles once for all three grouping levels."),
 ]
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "PLANS_r6.md"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "PLANS_r7.md"
 
     from trollflow2_spark.queries import QUERIES
     from trollflow2_spark.session import get_spark
 
     spark = get_spark("plans")
     out = [
-        "# PLANS — physical plans of flagship queries (round 6, sf0.01)",
+        "# PLANS — physical plans of flagship queries (round 7, sf0.01)",
         "",
         "Generated with `df.explain('formatted')`. These are the plans the",
         "plan-quality tests in `tests/test_plans.py` pin; regenerate with",

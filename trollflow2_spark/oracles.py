@@ -1223,6 +1223,38 @@ FROM events JOIN wins
 GROUP BY window_day
 """
 
+ORACLES["rolling_revenue_7d"] = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)),
+      '%Y-%m-%d') AS day,
+    datediff('day', DATE '1970-01-01',
+      date_trunc('day', CAST(o_orderdate AS TIMESTAMP))) AS day_no,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+      AS day_revenue
+  FROM orders GROUP BY ALL
+)
+SELECT day, day_revenue,
+  round(CAST(SUM(CAST(day_revenue AS DECIMAL(38,2))) OVER w AS DOUBLE),
+        2) AS rev_7d,
+  count(*) OVER w AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["customer_spend_deciles"] = """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey AS custkey, n_name AS nation, spend,
+  ntile(10) OVER (PARTITION BY n_name
+                  ORDER BY spend DESC, c_custkey) AS decile
+FROM spend
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
 # encoding hygiene: identical regex patterns; fixture plants one
 # mojibake pair, one U+FFFD and one control byte by doc_id residue
 ORACLES["encoding_quality"] = """

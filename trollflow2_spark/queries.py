@@ -3020,6 +3020,70 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 7-day trailing revenue over the DAILY
+    rollup. Scale contract: the unpartitioned ordered window runs on
+    the date-grain aggregate (one row per day — bounded by the
+    calendar, not the corpus), never on the fact table; the fact
+    table contributes through one map-side-combinable hash agg. The
+    RANGE frame (day-number distance) handles calendar gaps correctly
+    where a ROWS frame would silently span them."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_format(
+                F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("day"),
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"), F.lit("1970-01-01")
+            ).alias("day_no"),
+        )
+        .agg(dsum(F.col("o_totalprice"), 2).alias("day_revenue"))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_revenue",
+        F.round(
+            F.sum(F.col("day_revenue").cast("decimal(38,2)")).over(w)
+            .cast("double"), 2
+        ).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window: per-nation customer spend deciles. Partitioning by
+    nation bounds each window sort to one nation's customers — the
+    scale-safe form (a GLOBAL ntile would funnel every row through a
+    single ordered partition). Ties break on custkey so the decile
+    assignment replays bit-identically."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice"), 2).alias("spend"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    )
+    return (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+            "spend",
+            F.ntile(10).over(w).alias("decile"),
+        )
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM score (the KenLM-filtering shape): word
     soup with plausible unigrams but impossible transitions scores
@@ -4777,6 +4841,8 @@ QUERIES = {
     "percentile_order_value": q_percentile_order_value,
     "active_customers_setops": q_active_customers_setops,
     "interval_join_events": q_interval_join_events,
+    "rolling_revenue_7d": q_rolling_revenue_7d,
+    "customer_spend_deciles": q_customer_spend_deciles,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
