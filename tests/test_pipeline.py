@@ -873,3 +873,19 @@ def test_libarchive_spec_dispatches_by_magic(sf_dir, tmp_path):
     paths = resolve_filesystem_paths(msg_for(sz, "s/events.parquet"))
     assert os.path.exists(paths[0])
     assert pq.read_table(paths[0]).num_rows > 0
+
+
+def test_create_scene_reads_orc(spark, input_file, tmp_path):
+    """ORC route: same native scan treatment as parquet (pushdown,
+    pruning); the scene read back equals the parquet original."""
+    orc_path = str(tmp_path / "scene_orc")
+    spark.read.parquet(input_file).write.orc(orc_path)
+    scene = create_scene(spark, [orc_path], reader="orc")
+    assert scene.count() == 200
+    assert "ch1" in scene.columns
+    # filters push into the ORC scan
+    plan = (
+        scene.filter(scene["ch1"] > 0)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "orc" in plan.lower()

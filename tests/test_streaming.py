@@ -659,3 +659,66 @@ def test_host_rate_limit_timeout_expires_state():
                       live))
     assert len(out) == 1 and list(out[0]["url"]) == ["u0", "u1"]
     assert live.updated == (2, 2) and live.timeout_rearmed
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Watermarked stream-stream join: clicks attribute to the
+    impression they follow within the delay bound; a click outside
+    the bound never matches; left_outer emits the unmatched
+    impression with NULL click columns once the watermark passes."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from trollflow2_spark.streaming.windows import stream_stream_join
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    os.makedirs(imp_dir), os.makedirs(clk_dir)
+    schema = T.StructType(
+        [
+            T.StructField("ad", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("id", T.LongType()),
+        ]
+    )
+
+    def write(d, name, rows):
+        with open(os.path.join(d, name), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    write(imp_dir, "i.json", [
+        {"ad": "a", "ts": "2024-01-01T10:00:00", "id": 1},
+        {"ad": "b", "ts": "2024-01-01T10:01:00", "id": 2},   # never clicked
+        {"ad": "c", "ts": "2024-01-01T10:02:00", "id": 3},   # clicked too late
+        # sentinel far in the future: advances the watermark so the
+        # left-outer NULL rows for ids 2 and 3 actually emit
+        {"ad": "zz", "ts": "2024-01-01T13:00:00", "id": 99},
+    ])
+    write(clk_dir, "c.json", [
+        {"ad": "a", "ts": "2024-01-01T10:05:00", "id": 101},  # within 15 min
+        {"ad": "c", "ts": "2024-01-01T11:30:00", "id": 103},  # outside bound
+        {"ad": "zz", "ts": "2024-01-01T13:00:01", "id": 199},
+    ])
+
+    imps = spark.readStream.schema(schema).json(imp_dir)
+    clks = spark.readStream.schema(schema).json(clk_dir)
+    joined = stream_stream_join(
+        imps, clks, key="ad", left_ts="ts", right_ts="ts",
+        watermark="10 minutes", max_delay="15 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["id"]: r["r_id"] for r in spark.table("attrib").collect()
+    }
+    assert rows[1] == 101      # attributed within the bound
+    assert rows[2] is None     # no click at all -> NULL right side
+    assert rows[3] is None     # click outside max_delay -> unmatched

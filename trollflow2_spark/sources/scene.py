@@ -350,6 +350,16 @@ def _read_json(spark: SparkSession, paths: list[str], **kwargs) -> DataFrame:
     return spark.read.options(**kwargs).json(paths)
 
 
+@register_reader("orc")
+def _read_orc(spark: SparkSession, paths: list[str], **kwargs) -> DataFrame:
+    """ORC scans get the same native treatment as parquet (predicate
+    pushdown, column pruning, vectorized reader). Avro stays
+    unregistered: the spark-avro module is an external jar absent in
+    this environment — registering it here would fail at first read
+    instead of at configuration time."""
+    return spark.read.options(**kwargs).orc(*paths)
+
+
 # ---------------------------------------------------------------------------
 # Raster readers: the reference's *primary* input is satellite data files
 # opened by a named satpy reader (``plugins/__init__.py:86-99``; the

@@ -77,3 +77,51 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "30 minutes",
+    max_delay: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-range bound —
+    the attribution shape (impression joined to the click that follows
+    it within ``max_delay``).
+
+    Both inputs buffer in the state store until a match can be ruled
+    out; the TWO things that keep that state bounded are the
+    watermarks (how late a row may arrive) and the time-range
+    condition (how far apart matching rows may be). Without either,
+    a stream-stream join accumulates state forever — Spark rejects
+    outer variants outright in that case. ``how`` may be ``inner`` or
+    ``left_outer``; left-outer emits the unmatched left row with NULL
+    right columns once the watermark passes its match deadline.
+
+    Right-side columns are prefixed ``r_`` (the join key becomes
+    ``r_<key>``) so the output schema is collision-free.
+
+    Reference parity: the reference has no cross-message correlation
+    at all (`/root/reference/trollflow2/launcher.py` processes each
+    message independently); this is pure added capability on the
+    Structured Streaming engine.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("stream_stream_join supports inner|left_outer")
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark(f"r_{right_ts}", watermark)
+    lw = left.withWatermark(left_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts))
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lw.join(r, cond, how)
