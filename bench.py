@@ -179,6 +179,8 @@ OPERATORS = [
     "interval_join_events",
     "rolling_revenue_7d",
     "customer_spend_deciles",
+    "incremental_corpus_stats",  # state+delta merge == full recompute
+    "zorder_layout",  # Morton key arithmetic (codegen shift/mask chain)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

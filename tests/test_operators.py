@@ -342,3 +342,113 @@ def test_interval_join_semantics_and_plan(spark):
     semi = interval_join(pts, wins, "ts", "w_start", "w_end",
                          bucket_seconds=3600, how="left_semi")
     assert sorted(r["pid"] for r in semi.collect()) == [1, 2, 5]
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """The Column-expression Morton interleave equals a bit-twiddling
+    python reference over adversarial values (0, max, powers of two)."""
+    from trollflow2_spark.functions.zorder import zorder_key
+
+    def ref(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [0, 1, 2, 3, 255, 256, 32767, 65535, 43210, 12345]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=16).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Writing z-ordered makes every output file compact in BOTH
+    dimensions: the sum of per-file bounding-box areas is a small
+    fraction of (n_files x full area) — which is what parquet min/max
+    pruning feeds on. A 1-D sort would leave the second dimension's
+    per-file range at full width."""
+    import numpy as np
+
+    from trollflow2_spark.functions.zorder import zorder_write
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    rows = [
+        (int(x), int(y))
+        for x, y in zip(
+            rng.randint(0, 1 << 16, n), rng.randint(0, 1 << 16, n)
+        )
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    path = str(tmp_path / "zordered")
+    zorder_write(df, path, ["x", "y"], bits=16, n_files=16)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8
+    full_area = float(1 << 32)
+    frac = [
+        ((r["x1"] - r["x0"] + 1) * (r["y1"] - r["y0"] + 1)) / full_area
+        for r in per_file
+    ]
+    # each file covers a compact hyper-rectangle: far below the full
+    # square a 1-D layout would give the unsorted dimension
+    assert max(frac) < 0.5
+    assert sum(frac) / len(frac) < 0.25
+
+
+def test_interval_join_property_vs_bruteforce(spark):
+    """Property: bucketed interval join equals the brute-force
+    containment filter over random points/intervals, across bucket
+    widths (narrower or wider than the intervals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = 1_700_000_000
+    from datetime import datetime as DT, timezone as TZ
+
+    def ts(s):
+        return DT.fromtimestamp(base + int(s), tz=TZ.utc).replace(
+            tzinfo=None
+        )
+
+    pts_s = rng.randint(0, 100_000, 300)
+    ivs_s = [
+        (int(a), int(a + rng.randint(1, 20_000)))
+        for a in rng.randint(0, 100_000, 40)
+    ]
+    pts = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(pts_s)], ["pid", "t"]
+    )
+    ivs = spark.createDataFrame(
+        [(j, ts(a), ts(b)) for j, (a, b) in enumerate(ivs_s)],
+        ["wid", "lo", "hi"],
+    )
+    expected = sorted(
+        (i, j)
+        for i, s in enumerate(pts_s)
+        for j, (a, b) in enumerate(ivs_s)
+        if a <= s <= b
+    )
+    from trollflow2_spark.operators.interval import interval_join
+
+    for width in (600, 3600, 50_000):
+        got = sorted(
+            (r["pid"], r["wid"])
+            for r in interval_join(
+                pts, ivs, "t", "lo", "hi", bucket_seconds=width
+            ).collect()
+        )
+        assert got == expected, f"width={width}"

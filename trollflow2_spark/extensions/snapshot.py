@@ -56,3 +56,38 @@ def corpus_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a prior per-key state
+    table with a new increment's aggregate of the SAME shape — the
+    production form of corpus statistics at 100 TB, where each daily
+    batch contributes one small aggregation and the historical corpus
+    is never re-scanned.
+
+    Both inputs carry ``key_cols`` plus additive measure columns
+    ``add_cols`` (counts, sums; anything linear — averages must be
+    stored as sum+count and derived at read time). The merge is one
+    full-outer equi-join on the keys with null-safe addition, so its
+    cost is O(|state| + |delta|) — state is key-cardinality-sized,
+    delta is batch-sized, and the corpus appears in neither.
+    """
+    d = delta.select(
+        *key_cols, *[F.col(c).alias(f"__d_{c}") for c in add_cols]
+    )
+    merged = state.join(d, key_cols, "full_outer")
+    return merged.select(
+        *key_cols,
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in add_cols
+        ],
+    )

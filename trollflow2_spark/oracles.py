@@ -1241,6 +1241,39 @@ FROM daily
 WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+# incremental view maintenance: merged state must equal full recompute
+ORACLES["incremental_corpus_stats"] = """
+SELECT lang, source, count(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def _zorder_oracle() -> str:
+    from trollflow2_spark.functions.zorder import zorder_sql
+
+    zexpr = zorder_sql(["ub", "tb"], bits=C.ZORDER_BITS)
+    return f"""
+WITH dims AS (
+  SELECT event_id,
+    CAST(user_id % 1024 AS BIGINT) AS ub,
+    CAST(floor(epoch(CAST(ts AS TIMESTAMP)
+      - TIMESTAMP '{C.ZORDER_EPOCH}') / 60) AS BIGINT) AS tb
+  FROM events
+), keyed AS (
+  SELECT event_id, {zexpr} AS zkey FROM dims
+)
+SELECT zkey >> {C.ZORDER_PREFIX_SHIFT} AS zprefix,
+  count(*) AS n_events,
+  min(zkey) AS zkey_min, max(zkey) AS zkey_max
+FROM keyed
+GROUP BY zprefix
+"""
+
+
+ORACLES["zorder_layout"] = _zorder_oracle()
+
 ORACLES["customer_spend_deciles"] = """
 WITH spend AS (
   SELECT o_custkey,

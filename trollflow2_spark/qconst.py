@@ -261,6 +261,9 @@ SETOPS_YEAR_B_HI = "1998-01-01 00:00:00"
 MAINT_START_HOUR = 2  # daily maintenance window [02:00, 04:00)
 MAINT_END_HOUR = 4
 INTERVAL_BUCKET_S = 3600  # interval-join bucket width (seconds)
+ZORDER_EPOCH = "2024-01-01 00:00:00"  # minute-of-month origin
+ZORDER_BITS = 16  # bits per interleaved dimension
+ZORDER_PREFIX_SHIFT = 20  # rollup granularity (top 12 bits of the key)
 
 # bigram LM quality score (Jelinek-Mercer interpolation)
 BIGRAM_TOP_K = 2000  # bigram table size (broadcast model)

@@ -3020,6 +3020,66 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_corpus_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental aggregate maintenance: per-(lang, source) corpus
+    stats kept up to date by MERGING a daily batch's aggregate into
+    the prior state — the historical corpus is never re-scanned.
+    Fixture: docs with doc_id%5==0 arrive as 'today's batch'; the
+    merged state must equal the full recompute (the oracle aggregates
+    the whole table — equality IS the correctness statement of
+    incremental view maintenance)."""
+    from trollflow2_spark.extensions.snapshot import merge_agg_state
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    state = agg(docs.where(F.col("doc_id") % 5 != 0))
+    delta = agg(docs.where(F.col("doc_id") % 5 == 0))
+    return merge_agg_state(
+        state, delta, ["lang", "source"], ["n_docs", "total_chars"]
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: user bucket × minute-of-month
+    interleaved bit-by-bit, rolled up per key prefix. The key is a
+    pure shift/mask Column expression (whole-stage codegen); sorting
+    the write by it gives parquet files compact min/max ranges in
+    BOTH dimensions, so 2-D predicates prune (the Delta OPTIMIZE
+    ZORDER strategy). Locality is pinned behaviorally in
+    `test_zorder_write_clusters_both_dimensions`; this query pins the
+    key arithmetic against the oracle's replay."""
+    from trollflow2_spark.functions.zorder import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    ub = F.pmod(F.col("user_id"), F.lit(1024))
+    tb = F.floor(
+        (F.unix_timestamp("ts") - F.unix_timestamp(_ntz(C.ZORDER_EPOCH)))
+        / 60
+    )
+    keyed = ev.select(
+        F.col("event_id"),
+        zorder_key([ub, tb], bits=C.ZORDER_BITS).alias("zkey"),
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright("zkey", C.ZORDER_PREFIX_SHIFT).alias("zprefix")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("zkey").alias("zkey_min"),
+            F.max("zkey").alias("zkey_max"),
+        )
+    )
+
+
 def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: 7-day trailing revenue over the DAILY
     rollup. Scale contract: the unpartitioned ordered window runs on
@@ -4843,6 +4903,8 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "rolling_revenue_7d": q_rolling_revenue_7d,
     "customer_spend_deciles": q_customer_spend_deciles,
+    "incremental_corpus_stats": q_incremental_corpus_stats,
+    "zorder_layout": q_zorder_layout,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
