@@ -181,6 +181,8 @@ OPERATORS = [
     "customer_spend_deciles",
     "incremental_corpus_stats",  # state+delta merge == full recompute
     "zorder_layout",  # Morton key arithmetic (codegen shift/mask chain)
+    "table_profile",  # one-pass per-column profiler (stack unpivot)
+    "scd2_customers",  # type-2 dimension merge (close/reopen/no-op/new)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1,0 +1,111 @@
+"""Table profiling and dimension-history (SCD2) maintenance.
+
+Two warehouse staples the reference has no analog for (its config is
+static YAML; `/root/reference/trollflow2/launcher.py` never inspects
+data shape):
+
+- :func:`profile_table` — per-column null fraction / distinct count /
+  min / max in ONE aggregation pass, unpivoted to a row per column.
+  The scale knob is ``exact``: exact multi-column COUNT(DISTINCT)
+  expands the input once per counted column (Spark's Expand), which
+  is the right trade for contract-sized audits; corpus-scale profiles
+  set ``exact=False`` and get one-pass HLL sketches
+  (``approx_count_distinct``) instead.
+- :func:`scd2_merge` — type-2 slowly-changing-dimension merge: apply
+  a batch of keyed updates to a history table, closing the current
+  row and opening a new one ONLY where attributes actually changed.
+  One full-outer join on the key (state is key-cardinality-sized,
+  updates are batch-sized); closed history never re-shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: list[str], exact: bool = False
+) -> DataFrame:
+    """Profile ``cols`` -> one row per column:
+    (col_name, n_rows, n_nulls, n_distinct, min_s, max_s) with min/max
+    rendered as strings so heterogeneous column types stack into one
+    result."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            (
+                F.count_distinct(col)
+                if exact
+                else F.approx_count_distinct(col)
+            ).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mi_{c}"),
+            F.max(col).cast("string").alias(f"__ma_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mi_{c}, __ma_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col_name, n_nulls, n_distinct, min_s, max_s)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 SCD merge. ``history`` carries ``(key, attrs...,
+    valid_from, valid_to)`` with NULL ``valid_to`` marking the current
+    row; ``updates`` carries ``(key, attrs..., ts)``. Per update key:
+
+    - attributes unchanged -> no-op (idempotent re-deliveries are
+      absorbed);
+    - attributes changed -> current row closes at the update's ``ts``
+      and a new current row opens;
+    - new key -> a first current row opens.
+
+    Closed history rows pass through untouched (they never join).
+    """
+    closed = history.where(F.col(valid_to).isNotNull())
+    current = history.where(F.col(valid_to).isNull())
+    upd = updates.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"__u_{c}") for c in attr_cols],
+        F.col(ts_col).alias("__u_ts"),
+    )
+    j = current.join(upd, key_col, "full_outer")
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_current = F.col(valid_from).isNotNull()
+    has_update = F.col("__u_ts").isNotNull()
+
+    # current rows: keep open if no update or a no-op update; close at
+    # the update timestamp if attributes changed
+    kept = j.where(has_current).select(
+        key_col,
+        *attr_cols,
+        F.col(valid_from),
+        F.when(has_update & changed, F.col("__u_ts"))
+        .otherwise(F.col(valid_to))
+        .alias(valid_to),
+    )
+    # new current rows: changed attributes or brand-new key
+    opened = j.where(
+        has_update & (~has_current | changed)
+    ).select(
+        key_col,
+        *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
+        F.col("__u_ts").alias(valid_from),
+        F.lit(None).cast(j.schema[valid_to].dataType).alias(valid_to),
+    )
+    return closed.select(kept.columns).unionByName(kept).unionByName(opened)

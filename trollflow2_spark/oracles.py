@@ -1241,6 +1241,59 @@ FROM daily
 WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+_PROFILE_COLS = ["lang", "source", "n_chars"]
+ORACLES["table_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_s,
+  CAST(max({c}) AS VARCHAR) AS max_s
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+# SCD2 merge replay: the same close/reopen/no-op/new-key/passthrough
+# decisions expressed relationally
+ORACLES["scd2_customers"] = """
+WITH cur AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+    round(c_acctbal, 2) AS balance,
+    '2023-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM customer
+), closed AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+    round(c_acctbal - 50.0, 2) AS balance,
+    '2022-01-01' AS valid_from, '2023-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 10 = 0
+), upd AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+    round(c_acctbal + 100.0, 2) AS balance, '2024-06-01' AS ts
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2), '2024-06-01'
+  FROM customer WHERE c_custkey % 3 = 1
+  UNION ALL
+  SELECT c_custkey + 100000, 'NEW', 0.0, '2024-06-01'
+  FROM customer WHERE c_custkey % 500 = 0
+), j AS (
+  SELECT cur.custkey AS ck, cur.segment AS cs, cur.balance AS cb,
+    cur.valid_from AS cvf, upd.custkey AS uk, upd.segment AS us,
+    upd.balance AS ub, upd.ts AS uts,
+    (cur.segment IS DISTINCT FROM upd.segment
+     OR cur.balance IS DISTINCT FROM upd.balance) AS changed
+  FROM cur FULL OUTER JOIN upd ON cur.custkey = upd.custkey
+)
+SELECT custkey, segment, balance, valid_from, valid_to FROM closed
+UNION ALL
+SELECT ck, cs, cb, cvf,
+  CASE WHEN uts IS NOT NULL AND changed THEN uts END AS valid_to
+FROM j WHERE ck IS NOT NULL
+UNION ALL
+SELECT uk, us, ub, uts, CAST(NULL AS VARCHAR)
+FROM j WHERE uts IS NOT NULL AND (ck IS NULL OR changed)
+"""
+
 # incremental view maintenance: merged state must equal full recompute
 ORACLES["incremental_corpus_stats"] = """
 SELECT lang, source, count(*) AS n_docs,

@@ -3080,6 +3080,72 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic column profiler: null count / exact distinct / min /
+    max per column in one aggregation, unpivoted via stack(). The
+    exact=True path (multi-column COUNT DISTINCT -> Expand) is the
+    contract; corpus-scale profiles flip to HLL sketches with the
+    same output shape."""
+    from trollflow2_spark.extensions.profile import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(
+        docs, ["lang", "source", "n_chars"], exact=True
+    )
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: a batch of customer
+    updates folds into the dimension history — changed rows close and
+    re-open, no-op re-deliveries are absorbed, new keys open their
+    first row, and already-closed history passes through untouched.
+    Fixture: custkey%10==0 carries a pre-closed 2022 row; updates at
+    2024-06-01 change the balance for custkey%3==0, re-deliver the
+    unchanged row for %3==1, and introduce new NEW-segment keys for
+    custkey%500==0."""
+    from trollflow2_spark.extensions.profile import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("balance"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    closed = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") - 50.0, 2).alias("balance"),
+        F.lit("2022-01-01").alias("valid_from"),
+        F.lit("2023-01-01").alias("valid_to"),
+    )
+    history = closed.unionByName(current)
+    upd_changed = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("balance"),
+    )
+    upd_noop = cust.where(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+    upd_new = cust.where(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") + 100000).alias("custkey"),
+        F.lit("NEW").alias("segment"),
+        F.lit(0.0).alias("balance"),
+    )
+    updates = (
+        upd_changed.unionByName(upd_noop)
+        .unionByName(upd_new)
+        .withColumn("ts", F.lit("2024-06-01"))
+    )
+    return scd2_merge(
+        history, updates, "custkey", ["segment", "balance"], ts_col="ts"
+    )
+
+
 def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: 7-day trailing revenue over the DAILY
     rollup. Scale contract: the unpartitioned ordered window runs on
@@ -4905,6 +4971,8 @@ QUERIES = {
     "customer_spend_deciles": q_customer_spend_deciles,
     "incremental_corpus_stats": q_incremental_corpus_stats,
     "zorder_layout": q_zorder_layout,
+    "table_profile": q_table_profile,
+    "scd2_customers": q_scd2_customers,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
