@@ -183,6 +183,9 @@ OPERATORS = [
     "zorder_layout",  # Morton key arithmetic (codegen shift/mask chain)
     "table_profile",  # one-pass per-column profiler (stack unpivot)
     "scd2_customers",  # type-2 dimension merge (close/reopen/no-op/new)
+    "fuzzy_name_pairs",  # deletion-neighborhood blocking vs quadratic lev
+    "outlier_mad_filter",  # robust median/MAD outlier gate
+    "value_histogram",  # fixed-width histogram, pure-Column bucketing
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -917,3 +917,60 @@ def line_dedup(
             ),
         )
     )
+
+
+def hamming1_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_len: int = 64,
+) -> DataFrame:
+    """Fuzzy string matching at edit distance 1 (substitution) via
+    DELETION-NEIGHBORHOOD blocking — the entity-resolution primitive
+    (near-identical ids, typo'd titles, off-by-one serials).
+
+    A quadratic ``levenshtein(a, b) <= 1`` theta-join is a cross
+    product; this instead explodes each string into ``len`` variants
+    with one position wildcarded (``abc -> _bc, a_c, ab_``). Two
+    equal-length strings are hamming-distance<=1 (identical strings
+    share every variant) IFF they share a wildcard variant at the same
+    position, so a plain shuffled equi-join on ``(variant, length,
+    pos)`` finds EXACTLY that set — no verification misses, and the
+    blowup is bounded by the string length, never the corpus. For
+    equal-length strings hamming<=1 == levenshtein<=1, which is what
+    the oracle replays with a quadratic reference join.
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. Strings
+    longer than ``max_len`` are skipped (degenerate blow-up guard —
+    fuzzy-matching megabyte blobs is a different problem).
+    """
+    base = df.select(
+        F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
+    ).where(F.length("__fs").between(1, max_len))
+    variants = base.select(
+        "__fid",
+        F.length("__fs").alias("__flen"),
+        F.posexplode(F.split(F.col("__fs"), "")).alias("__pos", "__ch"),
+        "__fs",
+    ).select(
+        "__fid",
+        "__flen",
+        "__pos",
+        F.concat(
+            F.substring(F.col("__fs"), 1, F.col("__pos")),
+            F.lit("\x00"),
+            F.expr("substring(__fs, __pos + 2)"),
+        ).alias("__variant"),
+    )
+    a = variants.select(
+        F.col("__fid").alias("id_a"), "__flen", "__pos", "__variant"
+    )
+    b = variants.select(
+        F.col("__fid").alias("id_b"), "__flen", "__pos", "__variant"
+    )
+    return (
+        a.join(b, ["__variant", "__flen", "__pos"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1241,6 +1241,46 @@ FROM daily
 WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+# the quadratic reference join the deletion-neighborhood blocking
+# avoids — equal-length levenshtein<=1 == hamming<=1
+ORACLES["fuzzy_name_pairs"] = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+  AND length(a.c_name) = length(b.c_name)
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+ORACLES["outlier_mad_filter"] = f"""
+WITH med AS (
+  SELECT event_type AS mt, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT event_type, value, med, abs(value - med) AS adev
+  FROM events JOIN med ON event_type = mt
+), mad AS (
+  SELECT event_type AS at, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT event_type, count(*) AS n_total,
+  CAST(sum(CASE WHEN adev > {C.MAD_K} * mad THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_outliers,
+  round(any_value(med), 6) AS median_value,
+  round(any_value(mad), 6) AS mad_value
+FROM dev JOIN mad ON event_type = at
+GROUP BY event_type
+"""
+
+ORACLES["value_histogram"] = f"""
+SELECT CAST(floor(o_totalprice / {C.HIST_BUCKET_WIDTH}) AS BIGINT)
+    AS bucket,
+  count(*) AS n_orders,
+  round(min(o_totalprice), 2) AS min_price,
+  round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY bucket
+"""
+
 _PROFILE_COLS = ["lang", "source", "n_chars"]
 ORACLES["table_profile"] = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, count(*) AS n_rows,

@@ -261,6 +261,8 @@ SETOPS_YEAR_B_HI = "1998-01-01 00:00:00"
 MAINT_START_HOUR = 2  # daily maintenance window [02:00, 04:00)
 MAINT_END_HOUR = 4
 INTERVAL_BUCKET_S = 3600  # interval-join bucket width (seconds)
+MAD_K = 3.0  # MAD outlier multiplier
+HIST_BUCKET_WIDTH = 50_000.0  # order-value histogram bucket width
 ZORDER_EPOCH = "2024-01-01 00:00:00"  # minute-of-month origin
 ZORDER_BITS = 16  # bits per interleaved dimension
 ZORDER_PREFIX_SHIFT = 20  # rollup granularity (top 12 bits of the key)

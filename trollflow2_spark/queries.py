@@ -3080,6 +3080,77 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: customer-name pairs at edit
+    distance <=1 via deletion-neighborhood blocking (one wildcard
+    variant per character position, equi-join on the variant) — the
+    quadratic levenshtein theta-join the oracle runs is exactly what
+    this plan avoids at scale."""
+    from trollflow2_spark.extensions.dedup import hamming1_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return hamming1_pairs(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+    )
+
+
+def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: per event type, median and MAD (median
+    absolute deviation) flag values beyond k*MAD — the
+    heavy-tail-safe alternative to z-scores. Exact percentiles are
+    bounded-cardinality here (5 types); both medians broadcast back,
+    so the events table scans feed plain joins, no global sort."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy(F.col("event_type").alias("mt")).agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("mt")
+    ).select("event_type", "value", "med",
+             F.abs(F.col("value") - F.col("med")).alias("adev"))
+    mad = dev.groupBy(F.col("event_type").alias("at")).agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(
+        F.broadcast(mad), F.col("event_type") == F.col("at")
+    ).select(
+        "event_type",
+        (F.col("adev") > C.MAD_K * F.col("mad")).alias("is_outlier"),
+        "med", "mad",
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .alias("n_outliers"),
+        F.round(F.first("med"), 6).alias("median_value"),
+        F.round(F.first("mad"), 6).alias("mad_value"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: bucket arithmetic stays
+    a pure Column expression feeding one hash agg — the portable form
+    of width_bucket (no sort, no UDF)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = float(C.HIST_BUCKET_WIDTH)
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / w).cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.min("o_totalprice"), 2
+            ).alias("min_price"),
+            F.round(
+                F.max("o_totalprice"), 2
+            ).alias("max_price"),
+        )
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic column profiler: null count / exact distinct / min /
     max per column in one aggregation, unpivoted via stack(). The
@@ -4973,6 +5044,9 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "table_profile": q_table_profile,
     "scd2_customers": q_scd2_customers,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "outlier_mad_filter": q_outlier_mad_filter,
+    "value_histogram": q_value_histogram,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
