@@ -186,6 +186,8 @@ OPERATORS = [
     "fuzzy_name_pairs",  # deletion-neighborhood blocking vs quadratic lev
     "outlier_mad_filter",  # robust median/MAD outlier gate
     "value_histogram",  # fixed-width histogram, pure-Column bucketing
+    "perceptual_hash",  # dHash over real PNG decode (closed-form oracle)
+    "phash_near_dup",  # image near-dup via the shared hamming-band tier
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

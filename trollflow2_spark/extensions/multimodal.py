@@ -621,3 +621,88 @@ def media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """dHash perceptual fingerprint per image: decode (same codec
+    routing as :func:`decode_media`), collapse to grayscale, nearest-
+    resample to a 9x8 grid, and emit one gradient bit per horizontally
+    adjacent cell pair — 64 bits packed into a signed BIGINT (bit 63
+    wraps negative). Visually-identical images (recompressions,
+    format conversions, small edits) land within a few bits, so
+    near-dup pairs come from the SAME hamming-band machinery as text
+    simhash (:func:`~trollflow2_spark.extensions.dedup.simhash_pairs`
+    over the renamed column) — the image half of the dedup story.
+
+    The resample index map is pure integer arithmetic
+    (``src = (i * dim) // target``), so a closed-form fixture's hash
+    replays exactly in SQL (see the ``perceptual_hash`` oracle).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.imagery import decode_geotiff, decode_png
+        from trollflow2_spark.sinks.jpeg import decode_jpeg
+
+        def decode(blob: bytes, mtype: str):
+            if mtype == "image/png":
+                return decode_png(blob)
+            if mtype == "image/jpeg":
+                return decode_jpeg(blob)
+            if mtype == "image/tiff":
+                return decode_geotiff(blob)[0][0]
+            if mtype == "image/webp":
+                from trollflow2_spark.sinks.webp import decode_webp
+
+                return decode_webp(blob)
+            if mtype == "image/gif":
+                from trollflow2_spark.sinks.gif import decode_gif
+
+                return decode_gif(blob)
+            raise NotImplementedError(
+                f"perceptual_hash: no decoder for {mtype!r}"
+            )
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for i in range(len(pdf)):
+                meta = pdf[meta_col].iloc[i]
+                mtype = (
+                    meta if isinstance(meta, str)
+                    else (meta or {}).get("media_type")
+                )
+                arr = decode(bytes(pdf[media_col].iloc[i]), mtype)
+                g = (
+                    arr.astype(np.float64).mean(axis=2)
+                    if arr.ndim == 3
+                    else arr.astype(np.float64)
+                )
+                h, w = g.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                small = g[np.ix_(ys, xs)]
+                bits = small[:, :-1] < small[:, 1:]  # 8x8 gradient bits
+                k = np.arange(64, dtype=np.uint64)
+                val = np.uint64(0)
+                flat = bits.reshape(-1)
+                val = (flat.astype(np.uint64) << k).sum(dtype=np.uint64)
+                ids.append(int(pdf[id_col].iloc[i]))
+                hashes.append(int(np.int64(val)))  # bit 63 wraps signed
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(
+        kernel, out_schema
+    )

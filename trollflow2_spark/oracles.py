@@ -1241,6 +1241,50 @@ FROM daily
 WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+def _phash_expr() -> str:
+    """Closed-form dHash of the PNG fixture: pixel
+    ``((d%32)*37 + (y*w+x)*11) % 256`` with ``w = d%8+12``,
+    ``h = d%4+10``; 9x8 nearest grid ``src = (i*dim)//target``; bit
+    ``k = y*8+x`` set when the left cell < right cell; bit 63 wraps
+    the sign."""
+    w, h = "(doc_id % 8 + 12)", "(doc_id % 4 + 10)"
+    seed = "((doc_id % 32) * 37)"
+    terms = []
+    for y in range(8):
+        for x in range(8):
+            k = y * 8 + x
+            sy = f"(({y} * {h}) // 8)"
+            sxl = f"(({x} * {w}) // 9)"
+            sxr = f"((({x} + 1) * {w}) // 9)"
+            left = f"(({seed} + ({sy} * {w} + {sxl}) * 11) % 256)"
+            right = f"(({seed} + ({sy} * {w} + {sxr}) * 11) % 256)"
+            bit = f"CASE WHEN {left} < {right} THEN 1 ELSE 0 END"
+            if k == 63:
+                terms.append(
+                    f"(CASE WHEN {left} < {right} "
+                    "THEN -9223372036854775808 ELSE 0 END)"
+                )
+            else:
+                terms.append(f"(CAST({bit} AS BIGINT) * {1 << k})")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLES["perceptual_hash"] = f"""
+SELECT doc_id, {_phash_expr()} AS phash
+FROM documents
+"""
+
+ORACLES["phash_near_dup"] = f"""
+WITH hashes AS (
+  SELECT doc_id, {_phash_expr()} AS phash FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.doc_id < b.doc_id
+  AND bit_count(xor(a.phash, b.phash)) <= {C.PHASH_MAX_HAMMING}
+"""
+
 # the quadratic reference join the deletion-neighborhood blocking
 # avoids — equal-length levenshtein<=1 == hamming<=1
 ORACLES["fuzzy_name_pairs"] = """

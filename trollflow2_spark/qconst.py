@@ -262,6 +262,7 @@ MAINT_START_HOUR = 2  # daily maintenance window [02:00, 04:00)
 MAINT_END_HOUR = 4
 INTERVAL_BUCKET_S = 3600  # interval-join bucket width (seconds)
 MAD_K = 3.0  # MAD outlier multiplier
+PHASH_MAX_HAMMING = 6  # < bands(8): pigeonhole makes banding exact
 HIST_BUCKET_WIDTH = 50_000.0  # order-value histogram bucket width
 ZORDER_EPOCH = "2024-01-01 00:00:00"  # minute-of-month origin
 ZORDER_BITS = 16  # bits per interleaved dimension

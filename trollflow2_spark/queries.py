@@ -3080,6 +3080,78 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic gray PNG per document: ``w = doc_id%8+12``,
+    ``h = doc_id%4+10``, pixel ``((doc_id%32)*37 + (y*w+x)*11) % 256``
+    — encoded with the repo's stdlib PNG encoder executor-side. The
+    multiplicative wrap pattern makes hashes diverse ACROSS the 32
+    residue classes while docs in the same class are pixel-identical
+    (bounded duplicate groups ~n/32 — small enough that the banding
+    guard never sheds them; a global ramp fixture instead collapses
+    every image to the same all-ones gradient and the hot-bucket
+    guard rightly drops the degenerate bucket). All SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", T.StringType()),
+        ]
+    )
+
+    def make_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.imagery import encode_png
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 8 + 12, d % 4 + 10
+                px = (
+                    ((d % 32) * 37 + np.arange(w * h) * 11) % 256
+                ).astype(np.uint8).reshape(h, w)
+                out.append((d, encode_png(px), "image/png"))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media", "media_meta"]
+            )
+
+    return docs.mapInPandas(make_png, media_schema)
+
+
+def q_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash image fingerprints over real PNG decode: encode the ramp
+    fixture executor-side, decode it back through the stdlib codec,
+    grayscale -> 9x8 nearest grid -> 64 gradient bits. The integer
+    resample map makes the whole hash a closed-form function of
+    doc_id, which the oracle evaluates term by term."""
+    from trollflow2_spark.extensions.multimodal import perceptual_hash
+
+    return perceptual_hash(_phash_fixture(spark, sf_dir))
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: dHash fingerprints through the SAME
+    hamming-band machinery as text simhash (64 bits, 8 bands). With
+    max_hamming=6 < bands, pigeonhole guarantees every qualifying
+    pair shares a band — the result is EXACTLY the quadratic
+    reference join the oracle runs, with the plan staying a guarded
+    bucket equi-join."""
+    from trollflow2_spark.extensions.dedup import simhash_pairs
+    from trollflow2_spark.extensions.multimodal import perceptual_hash
+
+    fp = perceptual_hash(_phash_fixture(spark, sf_dir)).select(
+        "doc_id", F.col("phash").alias("simhash")
+    )
+    return simhash_pairs(
+        fp, id_col="doc_id", bits=64, bands=8, max_hamming=C.PHASH_MAX_HAMMING
+    )
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy match: customer-name pairs at edit
     distance <=1 via deletion-neighborhood blocking (one wildcard
@@ -5047,6 +5119,8 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
+    "perceptual_hash": q_perceptual_hash,
+    "phash_near_dup": q_phash_near_dup,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
