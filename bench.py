@@ -188,6 +188,7 @@ OPERATORS = [
     "value_histogram",  # fixed-width histogram, pure-Column bucketing
     "perceptual_hash",  # dHash over real PNG decode (closed-form oracle)
     "phash_near_dup",  # image near-dup via the shared hamming-band tier
+    "unigram_tokenize",  # SentencePiece-style ML segmentation (EM model)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2058,3 +2058,54 @@ def test_decode_media_quarantine_reasons(spark):
     assert "quarantine_reason" not in strict.columns
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         decode_media(df.filter(F.col("doc_id") == 2)).collect()
+
+
+def test_unigram_model_properties():
+    """Unigram training: deterministic, chars never pruned, and the
+    max-likelihood segmentation reconstructs the word exactly."""
+    from trollflow2_spark.extensions.tokenizer import (
+        best_segmentation,
+        train_unigram_model,
+    )
+
+    words = ["thecat", "thedog", "the", "cat", "dog", "dogdog"] * 10
+    model = dict(train_unigram_model(words, vocab_size=50))
+    # deterministic re-train
+    assert dict(train_unigram_model(words, vocab_size=50)) == model
+    # full alphabet always present
+    for ch in "abcdefghijklmnopqrstuvwxyz0123456789":
+        assert ch in model
+    # frequent substrings earn multi-char tokens
+    assert any(len(t) > 1 for t in model)
+    for w in ["thecat", "dogdog", "zzqqxx", "a"]:
+        toks, score = best_segmentation(w, model)
+        assert "".join(toks) == w
+        # score equals the left-to-right sum of token logps
+        s = 0.0
+        for t in toks:
+            s += model[t]
+        assert s == score
+    # ML segmentation never scores below the all-chars baseline
+    toks, score = best_segmentation("thecat", model)
+    chars_score = 0.0
+    for ch in "thecat":
+        chars_score += model[ch]
+    assert score >= chars_score
+
+
+def test_tokenize_unigram_map_only(spark, sf_dir):
+    """Unigram encoding is a zero-shuffle map stage (broadcast model),
+    and n_tokens is consistent with tokens_str."""
+    from trollflow2_spark.extensions.tokenizer import (
+        sample_unigram_model,
+        tokenize_unigram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = sample_unigram_model(docs, sample_n=64)
+    out = tokenize_unigram(docs.limit(40), model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for r in out.collect():
+        n = 0 if r["tokens_str"] == "" else len(r["tokens_str"].split(" "))
+        assert r["n_tokens"] == n

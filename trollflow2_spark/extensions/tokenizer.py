@@ -179,3 +179,187 @@ def tokenize_greedy(
         F.size(F.split("tokens_str", " ")).alias("n_tokens"),
         n_unk.alias("n_unk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the second
+# major subword family next to BPE: tokens carry probabilities and
+# encoding picks the MAX-LIKELIHOOD segmentation instead of greedy
+# longest-match.
+
+
+def train_unigram_model(
+    words,
+    vocab_size: int = C.UNI_VOCAB,
+    n_iter: int = C.UNI_EM_ITERS,
+    max_sub: int = C.UNI_SUB_MAX,
+) -> list[tuple[str, float]]:
+    """Learn a unigram token model from (normalized) words: seed with
+    frequent substrings, run EM (E: best segmentation under current
+    probabilities; M: re-estimate from usage counts), prune to the
+    top ``vocab_size`` tokens. Single characters are never pruned, so
+    every normalized word stays encodable without an <unk> path.
+
+    Deterministic end to end: fixed candidate order, lexicographic
+    tie-breaks, and the returned log10 probabilities ROUNDED to 6
+    decimals — the literals the oracle embeds, so both engines score
+    segmentations with bit-identical doubles.
+    """
+    import math
+
+    wfreq = Counter(w[: C.UNI_WORD_MAX] for w in words)
+    # the FULL normalized alphabet, not just the sample's: every
+    # normalized word anywhere in the corpus must stay segmentable
+    # (otherwise an out-of-sample character would need an <unk> path
+    # the oracle can't replay)
+    chars = sorted(
+        {ch for w in wfreq for ch in w}
+        | set("abcdefghijklmnopqrstuvwxyz0123456789")
+    )
+    cand: Counter = Counter()
+    for w, f in wfreq.items():
+        for i in range(len(w)):
+            for ln in range(2, min(max_sub, len(w) - i) + 1):
+                cand[w[i:i + ln]] += f
+    seeds = sorted(
+        cand.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: vocab_size * 4]
+    counts = Counter(dict(seeds))
+    for ch in chars:
+        counts[ch] = counts.get(ch, 0) + 1
+
+    def to_logp(cnt: Counter) -> dict[str, float]:
+        total = sum(cnt.values())
+        return {
+            t: round(math.log10((c + 1) / (total + len(cnt))), 6)
+            for t, c in cnt.items()
+        }
+
+    model = to_logp(counts)
+    for _ in range(int(n_iter)):
+        usage: Counter = Counter()
+        for w, f in wfreq.items():
+            toks, _score = best_segmentation(w, model)
+            for t in toks:
+                usage[t] += f
+        pruned = Counter()
+        multi = sorted(
+            ((t, c) for t, c in usage.items() if len(t) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: max(0, vocab_size - len(chars))]
+        pruned.update(dict(multi))
+        for ch in chars:
+            pruned[ch] = usage.get(ch, 0) + 1  # chars never pruned
+        model = to_logp(pruned)
+    return sorted(model.items())
+
+
+def best_segmentation(
+    word: str, model: dict[str, float]
+) -> tuple[list[str], float]:
+    """Max-likelihood segmentation with a GLOBAL deterministic
+    tie-break: among equal-score paths, the lexicographically
+    smallest space-joined token string wins. Enumerates every
+    vocab-constrained segmentation — bounded by 2**(UNI_WORD_MAX-1)
+    paths per DISTINCT word (words are truncated before encoding),
+    which is what lets the oracle replay the exact same rule with a
+    recursive path CTE instead of an inexpressible argmax-DP. Scores
+    accumulate left to right, matching the CTE's addition order
+    bit-for-bit."""
+    best: tuple[float, str, list[str]] | None = None
+    stack = [(0, 0.0, [])]
+    n = len(word)
+    while stack:
+        pos, score, toks = stack.pop()
+        if pos == n:
+            key = " ".join(toks)
+            if (
+                best is None
+                or score > best[0]
+                or (score == best[0] and key < best[1])
+            ):
+                best = (score, key, toks)
+            continue
+        for ln in range(1, n - pos + 1):
+            t = word[pos:pos + ln]
+            lp = model.get(t)
+            if lp is not None:
+                stack.append((pos + ln, score + lp, toks + [t]))
+    if best is None:  # char outside the model (non-sample alphabet)
+        return [C.BPE_UNK], 0.0
+    return best[2], best[0]
+
+
+def sample_unigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_n: int = C.BPE_SAMPLE_N,
+) -> list[tuple[str, float]]:
+    """Train on the ``sample_n`` lowest-id documents (the deterministic
+    fixed-sample convention shared with BPE / k-means)."""
+    rows = (
+        df.select(id_col, text_col).orderBy(id_col).limit(int(sample_n))
+        .collect()
+    )
+    words: list[str] = []
+    for r in rows:
+        words.extend(normalize_for_bpe(r[text_col] or ""))
+    return train_unigram_model(words)
+
+
+def tokenize_unigram(
+    df: DataFrame,
+    model: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Max-likelihood unigram encoding. Output (id, tokens_str,
+    n_tokens, score) with the per-doc score = rounded sum of word
+    scores. The model broadcasts; encoding is one Arrow-batched UDF
+    pass with a per-batch distinct-word cache (the expensive
+    enumeration runs once per distinct word, not per occurrence)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(dict(model))
+
+    @F.pandas_udf("struct<tokens_str:string,score:double>")
+    def encode(texts: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        cache: dict[str, tuple[str, float]] = {}
+
+        def enc(t):
+            toks_all: list[str] = []
+            # order-insensitive exact accumulation: each word score is
+            # a float sum of 6-decimal logps (bit-identical to the
+            # oracle's), so its micro-unit rounding is exact and the
+            # doc total is an integer sum — no float-order drift
+            total_micro = 0
+            for w in normalize_for_bpe(t or ""):
+                w = w[: C.UNI_WORD_MAX]
+                if w not in cache:
+                    toks, score = best_segmentation(w, m)
+                    cache[w] = (" ".join(toks), score)
+                s, sc = cache[w]
+                toks_all.append(s)
+                total_micro += int(round(sc * 1e6))
+            return " ".join(toks_all), total_micro / 1e6
+
+        out = texts.map(enc)
+        return pd.DataFrame(
+            {"tokens_str": [o[0] for o in out],
+             "score": [o[1] for o in out]}
+        )
+
+    enc_col = encode(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        enc_col.getField("tokens_str").alias("tokens_str"),
+        enc_col.getField("score").alias("score"),
+    ).select(
+        id_col,
+        "tokens_str",
+        F.when(F.col("tokens_str") == "", 0)
+        .otherwise(F.size(F.split("tokens_str", " ")))
+        .cast("int").alias("n_tokens"),
+        "score",
+    )

@@ -1241,6 +1241,109 @@ FROM daily
 WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+def _unigram_oracle_sql() -> str | None:
+    """Unigram tokenizer oracle: train the model with the SAME routine
+    on the same sample, embed (token, logp) literals, enumerate every
+    vocab-constrained segmentation per DISTINCT word with a recursive
+    CTE (bounded by UNI_WORD_MAX truncation), and pick the max-score /
+    lexicographically-smallest path — the exact rule the UDF applies.
+    Scores add left-to-right in both engines; doc totals sum exact
+    integer micro-units."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from trollflow2_spark.extensions.tokenizer import (
+        normalize_for_bpe,
+        train_unigram_model,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{path}' ORDER BY doc_id LIMIT {C.BPE_SAMPLE_N}"
+    ).fetchall()
+    words: list = []
+    for (t,) in rows:
+        words.extend(normalize_for_bpe(t or ""))
+    model = train_unigram_model(words)
+    values = ",".join(
+        "('{}', {!r})".format(t.replace("'", "''"), lp) for t, lp in model
+    )
+    return f"""
+WITH RECURSIVE model(tok, logp) AS (
+  SELECT * FROM (VALUES {values}) m(t, l)
+),
+norm AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g') AS t
+  FROM documents WHERE doc_id % {C.UNI_DOC_MOD} = 0
+),
+words AS (
+  SELECT doc_id, (u).pos AS wpos,
+    substring((u).w, 1, {C.UNI_WORD_MAX}) AS word
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(len(ws)),
+        i -> struct_pack(pos := i, w := ws[i+1]))) AS u
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split(t, ' '), x -> x <> '') AS ws
+      FROM norm
+    )
+  )
+),
+wd AS (SELECT DISTINCT word FROM words),
+paths (word, rest, toks, score) AS (
+  SELECT word, word, '', CAST(0 AS DOUBLE) FROM wd
+  UNION ALL
+  SELECT p.word, substring(p.rest, length(m.tok) + 1),
+    p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || m.tok,
+    p.score + m.logp
+  FROM paths p JOIN model m ON starts_with(p.rest, m.tok)
+  WHERE p.rest <> ''
+),
+best AS (
+  SELECT word, toks, score FROM (
+    SELECT word, toks, score,
+      row_number() OVER (
+        PARTITION BY word ORDER BY score DESC, toks
+      ) AS rn
+    FROM paths WHERE rest = ''
+  ) WHERE rn = 1
+),
+per_word AS (
+  SELECT w.doc_id, w.wpos, b.toks,
+    CAST(round(b.score * 1000000) AS BIGINT) AS micro
+  FROM words w JOIN best b USING (word)
+),
+agg AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY wpos) AS tokens_str,
+    SUM(micro) AS micro
+  FROM per_word GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.tokens_str, '') AS tokens_str,
+  CASE WHEN coalesce(a.tokens_str, '') = '' THEN 0
+    ELSE CAST(len(string_split(a.tokens_str, ' ')) AS INTEGER)
+  END AS n_tokens,
+  CAST(coalesce(a.micro, 0) AS DOUBLE) / 1000000 AS score
+FROM (
+  SELECT doc_id FROM documents WHERE doc_id % {C.UNI_DOC_MOD} = 0
+) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_uni_sql = _unigram_oracle_sql()
+if _uni_sql is not None:
+    ORACLES["unigram_tokenize"] = _uni_sql
+
+
 def _phash_expr() -> str:
     """Closed-form dHash of the PNG fixture: pixel
     ``((d%32)*37 + (y*w+x)*11) % 256`` with ``w = d%8+12``,

@@ -104,6 +104,13 @@ BPE_DOC_MOD = 5  # contract query encodes doc_id % MOD == 0 (oracle is a
 # per-character recursive CTE; the subset keeps the replay fast)
 BPE_UNK = "<unk>"  # cannot collide: normalized text is [a-z0-9 ] only
 
+# unigram-LM (SentencePiece-style) tokenizer
+UNI_VOCAB = 300  # pruned model size (single chars never pruned)
+UNI_EM_ITERS = 3  # EM rounds
+UNI_SUB_MAX = 5  # seed-candidate substring max length
+UNI_WORD_MAX = 8  # word truncation -> <=2^7 segmentations per word
+UNI_DOC_MOD = 5  # contract query encodes doc_id % MOD == 0
+
 # --- skew stress fixture ---------------------------------------------------
 SKEW_REPLICATE = 96  # events replicated 96x -> 9.6M rows at sf0.1; the hot
 # key owns ~4.8M payload rows — enough that the single-task collect+sort+md5

@@ -3152,6 +3152,26 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword encoding: EM-trained
+    token probabilities on the fixed lowest-id sample, then
+    max-likelihood segmentation per word with a global lexicographic
+    tie-break. Model broadcast, map-only encode with a distinct-word
+    cache; the oracle replays the exact segmentation rule by
+    enumerating vocab-constrained paths in a recursive CTE (bounded
+    by word truncation) and arg-maxing with the same tie-break."""
+    from trollflow2_spark.extensions.tokenizer import (
+        sample_unigram_model,
+        tokenize_unigram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = sample_unigram_model(docs)
+    return tokenize_unigram(
+        docs.where(F.col("doc_id") % C.UNI_DOC_MOD == 0), model
+    )
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy match: customer-name pairs at edit
     distance <=1 via deletion-neighborhood blocking (one wildcard
@@ -5121,6 +5141,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
     "phash_near_dup": q_phash_near_dup,
+    "unigram_tokenize": q_unigram_tokenize,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
