@@ -355,3 +355,48 @@ def test_lm_builders_tokenize_once(spark, sf):
         assert len(node_ids) == scans, (name, sorted(node_ids))
         # model reuses ride the cache, not fresh scans
         assert "InMemoryTableScan" in plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf):
+    """The three OR'd brand/size/quantity branches reach the parquet
+    scans as PushedFilters on BOTH sides of the join — no
+    read-everything-then-filter."""
+    plan = plan_of(spark, "q19_disjunctive_revenue", sf)
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_pass(spark, sf):
+    """The EXISTS + NOT-EXISTS decorrelation makes ONE pass over the
+    fact join: lineitem is scanned exactly once (the per-order
+    late-supplier set replaces the correlated re-probe)."""
+    plan = plan_of(spark, "q21_waiting_suppliers", sf)
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+
+
+def test_q13_aggregates_below_outer_join(spark, sf):
+    """The order counts aggregate BEFORE the left-outer join with
+    customer: the join input on the orders side is the post-agg
+    key+count table, so the HashAggregate on o_custkey sits under the
+    join, not above it."""
+    plan = plan_of(spark, "q13_customer_order_counts", sf)
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    # formatted plans list operators bottom-up in the tree dump; assert
+    # via the numbered tree: the first (innermost) aggregate id exceeds
+    # the join id, i.e. the agg is deeper in the tree
+    import re as _re
+
+    tree = plan.split("\n\n")[0]
+    agg_ids = [int(m) for m in _re.findall(r"HashAggregate \((\d+)\)", tree)]
+    join_ids = [
+        int(m) for m in _re.findall(r"Join[^\(]*\((\d+)\)", tree)
+    ]
+    assert agg_ids and join_ids
+    # the deepest aggregate has a smaller operator id than the outer
+    # join consuming it (formatted trees number leaves first)
+    assert min(agg_ids) < min(join_ids)
