@@ -185,3 +185,59 @@ def test_http_body_content_encodings_decode():
         b"HTTP/1.1 200 OK\r\ncontent-encoding: gzip\r\n\r\nnot-gzip"
     )
     assert _parse_http(payload)[2] == b"not-gzip"
+
+
+def test_warc_python_datasource(spark, tmp_path):
+    """spark.read.format('warc'): the registered Python DataSource
+    yields the same rows as the binaryFile+mapInPandas composition
+    (shared parser), with one input partition per file."""
+    import gzip
+
+    from trollflow2_spark.sources.warc import read_warc
+    from trollflow2_spark.sources.warc_datasource import register_warc
+
+    def rec(uri: bytes, body: bytes) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + uri
+            + b"\r\nContent-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n"
+        )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(
+        gzip.compress(rec(b"http://a/1", b"<p>alpha</p>"))
+    )
+    (d / "b.warc.gz").write_bytes(
+        gzip.compress(
+            rec(b"http://b/1", b"<p>beta</p>")
+            + rec(b"http://b/2", b"<p>gamma</p>")
+        )
+    )
+
+    register_warc(spark)
+    via_ds = spark.read.format("warc").load(str(d))
+    assert via_ds.rdd.getNumPartitions() == 2  # one per file
+    ds_rows = {
+        (r["warc_target_uri"], bytes(r["payload"]))
+        for r in via_ds.collect()
+    }
+    ref_rows = {
+        (r["warc_target_uri"], bytes(r["payload"]))
+        for r in read_warc(spark, str(d)).collect()
+    }
+    assert ds_rows == ref_rows
+    assert ds_rows == {
+        ("http://a/1", b"<p>alpha</p>"),
+        ("http://b/1", b"<p>beta</p>"),
+        ("http://b/2", b"<p>gamma</p>"),
+    }
+    # glob load paths work too
+    assert (
+        spark.read.format("warc").load(str(d / "*.warc.gz")).count() == 3
+    )
