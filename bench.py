@@ -189,6 +189,7 @@ OPERATORS = [
     "perceptual_hash",  # dHash over real PNG decode (closed-form oracle)
     "phash_near_dup",  # image near-dup via the shared hamming-band tier
     "unigram_tokenize",  # SentencePiece-style ML segmentation (EM model)
+    "grouping_sets_customers",  # arbitrary GROUPING SETS, one-pass Expand
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2109,3 +2109,42 @@ def test_tokenize_unigram_map_only(spark, sf_dir):
     for r in out.collect():
         n = 0 if r["tokens_str"] == "" else len(r["tokens_str"].split(" "))
         assert r["n_tokens"] == n
+
+
+def test_distinct_state_merges_incrementally(spark, sf_dir):
+    """Mergeable distinct-count state: three daily batches sketched
+    independently and merged estimate the same distinct-user count as
+    sketching the whole table (HLL union semantics), within sketch
+    tolerance of the exact answer — the property that makes
+    distinct-counts incrementally maintainable at all."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.snapshot import (
+        distinct_state,
+        merge_distinct_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batches = [ev.where(F.dayofmonth("ts") % 3 == i) for i in range(3)]
+    state = distinct_state(batches[0], ["event_type"], "user_id")
+    for b in batches[1:]:
+        state = merge_distinct_state(
+            state, distinct_state(b, ["event_type"], "user_id"),
+            ["event_type"],
+        )
+    est = {
+        r["event_type"]: r["n"]
+        for r in state.select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("n"),
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(3, 0.05 * n), (k, est[k], n)

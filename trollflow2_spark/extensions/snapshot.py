@@ -91,3 +91,43 @@ def merge_agg_state(
             for c in add_cols
         ],
     )
+
+
+def distinct_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-key HLL sketch of distinct ``value_col`` — the MERGEABLE
+    form of a distinct count. A plain count-distinct state table
+    cannot be incrementally maintained (yesterday's count + today's
+    count double-counts returning values); the sketch can, which is
+    why this is the distinct-count sibling of :func:`merge_agg_state`
+    (whose additive columns need no sketch)."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col).alias(sketch_col)
+    )
+
+
+def merge_distinct_state(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge two per-key sketch tables (one full-outer join on the
+    keys; per-key HLL union). O(|state| + |delta|), corpus never
+    re-scanned; read estimates with ``hll_sketch_estimate``."""
+    d = delta.select(
+        *key_cols, F.col(sketch_col).alias("__d_sketch")
+    )
+    merged = state.join(d, key_cols, "full_outer")
+    a, b = F.col(sketch_col), F.col("__d_sketch")
+    return merged.select(
+        *key_cols,
+        F.when(a.isNull(), b)
+        .when(b.isNull(), a)
+        .otherwise(F.hll_union(a, b))
+        .alias(sketch_col),
+    )

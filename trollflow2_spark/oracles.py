@@ -1152,6 +1152,20 @@ FROM t
 GROUP BY ROLLUP(nation, o_year)
 """
 
+ORACLES["grouping_sets_customers"] = """
+WITH t AS (
+  SELECT n_name AS nation, c_mktsegment AS segment, c_acctbal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation, segment,
+  CAST(GROUPING(nation, segment) AS INTEGER) AS gid,
+  count(*) AS n_customers,
+  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE), 2)
+    AS total_balance
+FROM t
+GROUP BY GROUPING SETS ((nation, segment), (segment), ())
+"""
+
 ORACLES["cube_order_stats"] = """
 SELECT o_orderstatus, o_orderpriority,
   CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,

@@ -2900,6 +2900,36 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arbitrary GROUPING SETS (not a rollup/cube prefix lattice):
+    (nation, segment), (segment), () — e.g. skipping the per-nation
+    margin a CUBE would force. One Expand + one hash agg, same
+    one-pass property as ROLLUP."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust.join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+    ).createOrReplaceTempView("tf2_gs_customers")
+    return spark.sql(
+        """
+        SELECT nation, segment,
+          CAST(grouping_id(nation, segment) AS INT) AS gid,
+          count(*) AS n_customers,
+          round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE),
+                2) AS total_balance
+        FROM tf2_gs_customers
+        GROUP BY GROUPING SETS ((nation, segment), (segment), ())
+        """
+    )
+
+
 def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: daily event counts, one column per event type. The pivot
     values are the FIXED taxonomy (no discovery pre-scan — an
@@ -5126,6 +5156,7 @@ QUERIES = {
     "q22_dormant_customers": q_q22_dormant_customers,
     "rollup_revenue": q_rollup_revenue,
     "cube_order_stats": q_cube_order_stats,
+    "grouping_sets_customers": q_grouping_sets_customers,
     "pivot_event_matrix": q_pivot_event_matrix,
     "percentile_order_value": q_percentile_order_value,
     "active_customers_setops": q_active_customers_setops,
