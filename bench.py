@@ -190,6 +190,7 @@ OPERATORS = [
     "phash_near_dup",  # image near-dup via the shared hamming-band tier
     "unigram_tokenize",  # SentencePiece-style ML segmentation (EM model)
     "grouping_sets_customers",  # arbitrary GROUPING SETS, one-pass Expand
+    "variant_extract_props",  # VariantType: parse once, N typed paths
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1152,6 +1152,18 @@ FROM t
 GROUP BY ROLLUP(nation, o_year)
 """
 
+ORACLES["variant_extract_props"] = """
+WITH doc AS (
+  SELECT event_id,
+    '{"meta":' || props || ',"type":"' || event_type || '"}' AS j
+  FROM events
+)
+SELECT event_id,
+  CAST(json_extract(j, '$.meta.k') AS INTEGER) AS k,
+  json_extract_string(j, '$.type') AS etype
+FROM doc
+"""
+
 ORACLES["grouping_sets_customers"] = """
 WITH t AS (
   SELECT n_name AS nation, c_mktsegment AS segment, c_acctbal

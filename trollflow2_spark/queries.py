@@ -452,6 +452,26 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VariantType path (Spark
+    4): build a nested JSON document, ``parse_json`` it into a
+    variant, and pull typed fields back with ``variant_get`` JSON
+    paths. Variant parses once into a binary-encoded tree, so N path
+    extractions cost one parse — the scan-stage answer to schema-less
+    columns (vs per-path re-parsing with get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":'), F.col("props"),
+        F.lit(',"type":"'), F.col("event_type"), F.lit('"}'),
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.meta.k", "int").alias("k"),
+        F.variant_get("v", "$.type", "string").alias("etype"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap-flag + running sum — the batch analog of
     the streaming session window."""
@@ -5157,6 +5177,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_order_stats": q_cube_order_stats,
     "grouping_sets_customers": q_grouping_sets_customers,
+    "variant_extract_props": q_variant_extract_props,
     "pivot_event_matrix": q_pivot_event_matrix,
     "percentile_order_value": q_percentile_order_value,
     "active_customers_setops": q_active_customers_setops,
