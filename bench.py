@@ -191,6 +191,7 @@ OPERATORS = [
     "unigram_tokenize",  # SentencePiece-style ML segmentation (EM model)
     "grouping_sets_customers",  # arbitrary GROUPING SETS, one-pass Expand
     "variant_extract_props",  # VariantType: parse once, N typed paths
+    "phash_dedup_clusters",  # image-dedup capstone: decode->hash->CC
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2148,3 +2148,71 @@ def test_distinct_state_merges_incrementally(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(3, 0.05 * n), (k, est[k], n)
+
+
+def test_scd2_merge_invariants(spark):
+    """SCD2 merge invariants: (1) re-applying the SAME update batch is
+    a no-op — idempotent re-deliveries; (2) history rows are never
+    lost or mutated; (3) exactly one current row per live key."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.profile import scd2_merge
+
+    history = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "2023-01-01", None),
+            (2, "B", 20.0, "2023-01-01", None),
+            (2, "Bold", 15.0, "2022-01-01", "2023-01-01"),  # closed
+        ],
+        ["k", "seg", "bal", "valid_from", "valid_to"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A", 11.0, "2024-06-01"),   # changed bal
+            (2, "B", 20.0, "2024-06-01"),   # no-op
+            (9, "N", 0.0, "2024-06-01"),    # new key
+        ],
+        ["k", "seg", "bal", "ts"],
+    )
+    m1 = scd2_merge(history, updates, "k", ["seg", "bal"], ts_col="ts")
+    m2 = scd2_merge(m1, updates, "k", ["seg", "bal"], ts_col="ts")
+    rows1 = sorted(map(tuple, m1.collect()))
+    rows2 = sorted(map(tuple, m2.collect()))
+    assert rows1 == rows2  # idempotent
+    # closed history passed through untouched
+    assert (2, "Bold", 15.0, "2022-01-01", "2023-01-01") in rows1
+    # key 1: old row closed at ts, new current row opened
+    k1 = [r for r in rows1 if r[0] == 1]
+    assert (1, "A", 10.0, "2023-01-01", "2024-06-01") in k1
+    assert (1, "A", 11.0, "2024-06-01", None) in k1
+    # exactly one current row per key
+    cur = m1.where(F.col("valid_to").isNull()).groupBy("k").count()
+    assert all(r["count"] == 1 for r in cur.collect())
+    assert {r[0] for r in rows1 if r[4] is None} == {1, 2, 9}
+
+
+def test_merge_agg_state_equals_full_recompute(spark, sf_dir):
+    """Incremental state invariant: splitting the corpus into ANY
+    partition of batches and folding each in reproduces the full
+    recompute exactly (associativity of the additive merge)."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.snapshot import merge_agg_state
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def agg(part):
+        return part.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+
+    state = agg(docs.where(F.col("doc_id") % 4 == 0))
+    for i in (1, 2, 3):
+        state = merge_agg_state(
+            state, agg(docs.where(F.col("doc_id") % 4 == i)),
+            ["lang"], ["n", "chars"],
+        )
+    got = {r["lang"]: (r["n"], r["chars"]) for r in state.collect()}
+    ref = {r["lang"]: (r["n"], r["chars"]) for r in agg(docs).collect()}
+    assert got == ref

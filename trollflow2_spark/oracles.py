@@ -1414,6 +1414,38 @@ FROM hashes a JOIN hashes b
   AND bit_count(xor(a.phash, b.phash)) <= {C.PHASH_MAX_HAMMING}
 """
 
+# image-dedup capstone: closed-form hashes -> quadratic bit_count
+# edges -> the same recursive closure as the lexical dedup chain
+ORACLES["phash_dedup_clusters"] = f"""
+WITH RECURSIVE hashes AS (
+  SELECT doc_id, {_phash_expr()} AS phash FROM documents
+), ppairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashes a JOIN hashes b
+    ON a.doc_id < b.doc_id
+    AND bit_count(xor(a.phash, b.phash)) <= {C.PHASH_MAX_HAMMING}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ppairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM ppairs
+), reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst <> r.src
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), clustered AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM clustered
+"""
+
 # the quadratic reference join the deletion-neighborhood blocking
 # avoids — equal-length levenshtein<=1 == hamming<=1
 ORACLES["fuzzy_name_pairs"] = """

@@ -3202,6 +3202,32 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup capstone: decode → dHash → hamming-band pairs →
+    connected components → canonical per cluster, in one plan — the
+    visual twin of the lexical dedup chain, sharing its banding guard
+    AND its label-propagation clustering. The oracle replays the whole
+    chain: closed-form hashes, quadratic bit_count edges, recursive
+    closure."""
+    from trollflow2_spark.extensions.dedup import (
+        duplicate_clusters,
+        simhash_pairs,
+    )
+    from trollflow2_spark.extensions.multimodal import perceptual_hash
+
+    fixture = _phash_fixture(spark, sf_dir)
+    fp = perceptual_hash(fixture).select(
+        "doc_id", F.col("phash").alias("simhash")
+    )
+    pairs = simhash_pairs(
+        fp, id_col="doc_id", bits=64, bands=8,
+        max_hamming=C.PHASH_MAX_HAMMING,
+    ).select("id_a", "id_b")
+    return duplicate_clusters(
+        fixture.select("doc_id"), pairs, id_col="doc_id"
+    )
+
+
 def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) subword encoding: EM-trained
     token probabilities on the fixed lowest-id sample, then
@@ -5194,6 +5220,7 @@ QUERIES = {
     "perceptual_hash": q_perceptual_hash,
     "phash_near_dup": q_phash_near_dup,
     "unigram_tokenize": q_unigram_tokenize,
+    "phash_dedup_clusters": q_phash_dedup_clusters,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
