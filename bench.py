@@ -192,6 +192,7 @@ OPERATORS = [
     "grouping_sets_customers",  # arbitrary GROUPING SETS, one-pass Expand
     "variant_extract_props",  # VariantType: parse once, N typed paths
     "phash_dedup_clusters",  # image-dedup capstone: decode->hash->CC
+    "udtf_sentences",  # Python UDTF surface via LATERAL table function
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -904,3 +904,39 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_transitions"),
         F.round(F.avg("logp"), round_digits).alias("mean_bigram_logprob"),
     )
+
+
+# --- Python UDTF extension surface -----------------------------------------
+
+#: sentence boundary rule shared verbatim with the SQL oracle: mark
+#: terminator+space with a \x01 separator, split, drop empties. RE2-safe
+#: (no lookbehind), so DuckDB replays it with regexp_replace + split.
+SENTENCE_MARK_RE = r"([.!?]) +"
+
+
+def register_sentence_udtf(spark) -> None:
+    """Register ``split_sentences(text)`` — a Python UDTF usable from
+    SQL as a LATERAL table function, yielding (pos, sentence) rows.
+
+    This pins the UDTF extension surface (the table-valued analog of
+    the reference's name-addressed plugin registries). UDTFs are
+    row-at-a-time Python — the EXTENSION path, not the hot path: a
+    corpus-scale sentence explode belongs in the Column/split form
+    this same rule compiles to. Registration is idempotent."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class _SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            marked = _re.sub(SENTENCE_MARK_RE, "\\1\x01", text)
+            pos = 0
+            for part in marked.split("\x01"):
+                if part != "":
+                    yield pos, part
+                    pos += 1
+
+    spark.udtf.register("split_sentences", _SplitSentences)

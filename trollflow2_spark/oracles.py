@@ -1414,6 +1414,28 @@ FROM hashes a JOIN hashes b
   AND bit_count(xor(a.phash, b.phash)) <= {C.PHASH_MAX_HAMMING}
 """
 
+# UDTF replay: mark terminator+space, split, drop empties, enumerate
+ORACLES["udtf_sentences"] = r"""
+WITH marked AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(
+        regexp_replace(text, '([.!?]) +', '\1' || chr(1), 'g'),
+        chr(1)
+      ),
+      x -> x <> ''
+    ) AS parts
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id, CAST((u).pos AS INTEGER) AS pos, (u).s AS sentence
+FROM (
+  SELECT doc_id,
+    unnest(list_transform(range(len(parts)),
+      i -> struct_pack(pos := i, s := parts[i+1]))) AS u
+  FROM marked
+)
+"""
+
 # image-dedup capstone: closed-form hashes -> quadratic bit_count
 # edges -> the same recursive closure as the lexical dedup chain
 ORACLES["phash_dedup_clusters"] = f"""

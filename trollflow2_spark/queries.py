@@ -3202,6 +3202,30 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: ``split_sentences`` registered as a SQL
+    table function and invoked via LATERAL — one (pos, sentence) row
+    per sentence. The boundary rule is RE2-safe and shared verbatim
+    with the oracle's regexp_replace + split replay. UDTFs are the
+    extension path (row-at-a-time Python); the hot-path equivalent of
+    this explode is the Column split the same rule compiles to."""
+    from trollflow2_spark.extensions.text import register_sentence_udtf
+
+    register_sentence_udtf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    docs.select("doc_id", "text").createOrReplaceTempView(
+        "tf2_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, s.pos, s.sentence
+        FROM tf2_udtf_docs, LATERAL split_sentences(text) s
+        """
+    )
+
+
 def q_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-dedup capstone: decode → dHash → hamming-band pairs →
     connected components → canonical per cluster, in one plan — the
@@ -5221,6 +5245,7 @@ QUERIES = {
     "phash_near_dup": q_phash_near_dup,
     "unigram_tokenize": q_unigram_tokenize,
     "phash_dedup_clusters": q_phash_dedup_clusters,
+    "udtf_sentences": q_udtf_sentences,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
