@@ -889,3 +889,23 @@ def test_create_scene_reads_orc(spark, input_file, tmp_path):
         .executedPlan().toString()
     )
     assert "orc" in plan.lower()
+
+
+def test_save_manifest_carries_observed_row_count(spark, tmp_path):
+    """The manifest's n_rows comes from df.observe riding the write
+    action itself — no second count() scan — and a zero-row result
+    flags the audit as empty."""
+    from trollflow2_spark.sinks.save import check_results, save_datasets
+
+    df = spark.range(37).selectExpr("id", "id * 2 AS v")
+    items = [{"area": "a1", "product": None, "format": "parquet",
+              "writer": "parquet", "output_dir": str(tmp_path),
+              "fname_pattern": "out.{format}"}]
+    res = save_datasets(spark, df, items, use_tmp_file=False)
+    assert res.produced[0]["n_rows"] == 37
+    empty = save_datasets(
+        spark, df.where("id < 0"), items, use_tmp_file=False
+    )
+    assert empty.produced[0]["n_rows"] == 0
+    audit = check_results(empty)
+    assert audit["status"] == "empty_files"

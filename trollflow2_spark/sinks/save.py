@@ -450,7 +450,16 @@ def save_datasets(
             to_write = shared.select(*prod_cols) if prod_cols else shared
 
             t0 = time.time()
-            writer(to_write, write_path, dict(mda))
+            # single-pass row audit: df.observe rides the writer's own
+            # action, so the manifest gets a row count WITHOUT the
+            # separate count() scan a 100 TB write could not afford
+            from pyspark.sql import Observation, functions as _F
+
+            obs = Observation()
+            observed = to_write.observe(
+                obs, _F.count(_F.lit(1)).alias("n_rows")
+            )
+            writer(observed, write_path, dict(mda))
             size, nfiles = _dir_size(write_path)
             produced = {
                 "filename": final_path,
@@ -461,6 +470,7 @@ def save_datasets(
                 "writer": writer_name,
                 "size_bytes": size,
                 "n_files": nfiles,
+                "n_rows": int(obs.get.get("n_rows", 0)),
                 "elapsed_sec": round(time.time() - t0, 3),
             }
             for cb in callbacks:
@@ -478,7 +488,11 @@ def check_results(
     """Audit the produced-files manifest: missing/empty/nominal counts
     (≙ ``check_results``, ``launcher.py:90-143``)."""
     n_produced = len(result.produced)
-    empties = [p["filename"] for p in result.produced if p.get("size_bytes", 0) == 0]
+    empties = [
+        p["filename"]
+        for p in result.produced
+        if p.get("size_bytes", 0) == 0 or p.get("n_rows", 1) == 0
+    ]
     missing = [] if expected is None else [None] * max(0, expected - n_produced)
     elapsed = None if start_time is None else round(time.time() - start_time, 3)
     status = "nominal"
