@@ -193,6 +193,8 @@ OPERATORS = [
     "variant_extract_props",  # VariantType: parse once, N typed paths
     "phash_dedup_clusters",  # image-dedup capstone: decode->hash->CC
     "udtf_sentences",  # Python UDTF surface via LATERAL table function
+    "multimodal_decode_bmp",  # real DIB decode (palette + 24-bit)
+    "multimodal_decode_pnm",  # real binary netpbm decode (P5/P6)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

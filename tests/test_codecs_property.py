@@ -439,3 +439,43 @@ def test_webp_bitflip_terminates(seed, h, w, nflip):
         assert out.shape[0] <= 1 << 14 and out.shape[1] <= 1 << 14
     except Exception:
         pass  # raising is fine; hanging is the failure
+
+
+def test_bmp_pnm_roundtrip_properties():
+    """BMP (8-bit palette + 24-bit, padding widths) and binary netpbm
+    (P5/P6, comment-tolerant headers) round-trip exactly; corrupt
+    inputs raise instead of mis-decoding."""
+    import numpy as np
+    import pytest
+
+    from trollflow2_spark.sinks.bmp import (
+        decode_bmp,
+        decode_pnm,
+        encode_bmp,
+        encode_pnm,
+    )
+
+    rng = np.random.RandomState(3)
+    for w in (1, 2, 3, 5, 8):
+        for h in (1, 4, 7):
+            g = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            c = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(g)), g)
+            assert np.array_equal(decode_bmp(encode_bmp(c)), c)
+            assert np.array_equal(decode_pnm(encode_pnm(g)), g)
+            assert np.array_equal(decode_pnm(encode_pnm(c)), c)
+    # header comments and flexible whitespace
+    hdr = b"P5\n# c\n 5 4 \n255\n" + bytes(range(20))
+    assert decode_pnm(hdr).shape == (4, 5)
+    # corruption surfaces as errors
+    blob = bytearray(encode_bmp(rng.randint(0, 256, (4, 4), dtype=np.uint8)))
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(blob[:30]))  # truncated
+    with pytest.raises(ValueError):
+        decode_pnm(b"P6\n4 4\n255\nshort")
+    with pytest.raises(NotImplementedError):
+        # BI_RLE8 compression field
+        rle = bytes(blob[:30]) + b"\x01\x00\x00\x00" + bytes(blob[34:])
+        decode_bmp(rle)
+    with pytest.raises(ValueError):
+        decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII netpbm out of scope

@@ -154,16 +154,24 @@ def decode_media(
             is_jpg = np.array([t == "image/jpeg" for t in mtypes])
             is_webp = np.array([t == "image/webp" for t in mtypes])
             is_gif = np.array([t == "image/gif" for t in mtypes])
+            is_bmp = np.array([t == "image/bmp" for t in mtypes])
+            is_pnm = np.array(
+                [t == "image/x-portable-anymap" for t in mtypes]
+            )
             is_wav = np.array([t == "audio/wav" for t in mtypes])
             is_flac = np.array([t == "audio/flac" for t in mtypes])
-            is_img = is_png | is_tif | is_jpg | is_webp | is_gif
+            is_img = (
+                is_png | is_tif | is_jpg | is_webp | is_gif | is_bmp
+                | is_pnm
+            )
             is_audio = is_wav | is_flac
             unsupported = np.zeros(n, dtype=bool)
             if not fake and not (is_img | is_audio).all():
                 if not quarantine:
                     raise NotImplementedError(
                         "media decode beyond image/png, image/tiff, "
-                        "image/jpeg, image/webp, image/gif, audio/wav and "
+                        "image/jpeg, image/webp, image/gif, image/bmp, "
+                        "image/x-portable-anymap, audio/wav and "
                         "audio/flac requires a codec library not present "
                         "in this environment; pass fake=True for the "
                         "deterministic byte-statistics decoder"
@@ -196,6 +204,8 @@ def decode_media(
                 is_jpg &= ~oversized
                 is_webp &= ~oversized
                 is_gif &= ~oversized
+                is_bmp &= ~oversized
+                is_pnm &= ~oversized
                 is_wav &= ~oversized
                 is_flac &= ~oversized
                 unsupported &= ~oversized
@@ -217,6 +227,14 @@ def decode_media(
                         from trollflow2_spark.sinks.gif import decode_gif
 
                         arr = decode_gif(bytes(payload[i]))
+                    elif is_bmp[i]:
+                        from trollflow2_spark.sinks.bmp import decode_bmp
+
+                        arr = decode_bmp(bytes(payload[i]))
+                    elif is_pnm[i]:
+                        from trollflow2_spark.sinks.bmp import decode_pnm
+
+                        arr = decode_pnm(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -397,13 +415,21 @@ def resize_media(
             is_jpg = np.array([t == "image/jpeg" for t in mtypes])
             is_webp = np.array([t == "image/webp" for t in mtypes])
             is_gif = np.array([t == "image/gif" for t in mtypes])
-            is_img = is_png | is_tif | is_jpg | is_webp | is_gif
+            is_bmp = np.array([t == "image/bmp" for t in mtypes])
+            is_pnm = np.array(
+                [t == "image/x-portable-anymap" for t in mtypes]
+            )
+            is_img = (
+                is_png | is_tif | is_jpg | is_webp | is_gif | is_bmp
+                | is_pnm
+            )
             if not fake and not is_img.all():
                 raise NotImplementedError(
                     "resize beyond image/png, image/tiff, image/jpeg, "
-                    "image/webp and image/gif requires an image library not "
-                    "present in this environment; pass fake=True for the "
-                    "metadata-only stub"
+                    "image/webp, image/gif, image/bmp and "
+                    "image/x-portable-anymap requires an image library "
+                    "not present in this environment; pass fake=True for "
+                    "the metadata-only stub"
                 )
             payload = pdf[media_col].to_numpy()
             blobs = [None] * len(pdf)
@@ -425,6 +451,14 @@ def resize_media(
                         from trollflow2_spark.sinks.gif import decode_gif
 
                         arr = decode_gif(bytes(payload[i]))
+                    elif is_bmp[i]:
+                        from trollflow2_spark.sinks.bmp import decode_bmp
+
+                        arr = decode_bmp(bytes(payload[i]))
+                    elif is_pnm[i]:
+                        from trollflow2_spark.sinks.bmp import decode_pnm
+
+                        arr = decode_pnm(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -449,6 +483,14 @@ def resize_media(
                     from trollflow2_spark.sinks.gif import encode_gif
 
                     blob = encode_gif(out_arr)
+                elif is_bmp[i]:
+                    from trollflow2_spark.sinks.bmp import encode_bmp
+
+                    blob = encode_bmp(out_arr)
+                elif is_pnm[i]:
+                    from trollflow2_spark.sinks.bmp import encode_pnm
+
+                    blob = encode_pnm(out_arr)
                 else:
                     blob = encode_geotiff(out_arr)
                 blobs[i] = blob
@@ -672,6 +714,14 @@ def perceptual_hash(
                 from trollflow2_spark.sinks.gif import decode_gif
 
                 return decode_gif(blob)
+            if mtype == "image/bmp":
+                from trollflow2_spark.sinks.bmp import decode_bmp
+
+                return decode_bmp(blob)
+            if mtype == "image/x-portable-anymap":
+                from trollflow2_spark.sinks.bmp import decode_pnm
+
+                return decode_pnm(blob)
             raise NotImplementedError(
                 f"perceptual_hash: no decoder for {mtype!r}"
             )

@@ -1414,6 +1414,34 @@ FROM hashes a JOIN hashes b
   AND bit_count(xor(a.phash, b.phash)) <= {C.PHASH_MAX_HAMMING}
 """
 
+# BMP / netpbm decode routes: gray for even docs, RGB (3x the values)
+# for odd — same closed-form pixel ramp convention as the PNG route
+_DECODE_FIXTURE_SQL = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+    CAST(doc_id % 4 + 2 AS BIGINT) AS h,
+    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, w, h, ch,
+    (doc_id + unnest(generate_series(0, w * h * ch - 1))) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+  count(*) AS n_bytes,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(any_value(w) AS INTEGER) AS width,
+  CAST(any_value(h) AS INTEGER) AS height,
+  CAST(any_value(ch) AS INTEGER) AS n_channels
+FROM vals GROUP BY doc_id
+"""
+
+ORACLES["multimodal_decode_bmp"] = _DECODE_FIXTURE_SQL
+ORACLES["multimodal_decode_pnm"] = _DECODE_FIXTURE_SQL
+
 # UDTF replay: mark terminator+space, split, drop empties, enumerate
 ORACLES["udtf_sentences"] = r"""
 WITH marked AS (

@@ -4127,6 +4127,88 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decode_fixture_query(
+    spark: SparkSession,
+    sf_dir: str,
+    media_type: str,
+    encode_gray,
+    encode_rgb,
+) -> DataFrame:
+    """Shared fixture for the BMP/netpbm decode routes: even docs get a
+    gray image, odd docs RGB, pixel value ``(doc_id + k) % 256`` over
+    the flattened array, ``w = doc_id%6+2``, ``h = doc_id%4+2`` — all
+    SQL-expressible."""
+    from trollflow2_spark.extensions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", T.StringType()),
+        ]
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 6 + 2, d % 4 + 2
+                if d % 2 == 0:
+                    px = ((d + np.arange(w * h)) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w)
+                    blob = encode_gray(px)
+                else:
+                    px = ((d + np.arange(w * h * 3)) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w, 3)
+                    blob = encode_rgb(px)
+                out.append((d, blob, media_type))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media", "media_meta"]
+            )
+
+    media = docs.mapInPandas(make, media_schema)
+    return decode_media(media).select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
+def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode: 8-bit gray-palette DIBs (even docs) and 24-bit
+    BGR DIBs (odd docs) encoded with the repo's own encoder —
+    bottom-up rows, 4-byte padding, palette resolution all exercised;
+    pixel statistics replay closed-form in SQL."""
+    from trollflow2_spark.sinks.bmp import encode_bmp
+
+    return _decode_fixture_query(
+        spark, sf_dir, "image/bmp", encode_bmp, encode_bmp
+    )
+
+
+def q_multimodal_decode_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL netpbm decode: binary P5 (even docs) and P6 (odd docs)
+    through the whitespace/comment-tolerant header parser."""
+    from trollflow2_spark.sinks.bmp import encode_pnm
+
+    return _decode_fixture_query(
+        spark, sf_dir, "image/x-portable-anymap", encode_pnm, encode_pnm
+    )
+
+
 def q_multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP-lossless decode: deterministic gray images (the same
     pixel ramp as the PNG route, ``(doc_id + k) % 256``) are encoded
@@ -5246,6 +5328,8 @@ QUERIES = {
     "unigram_tokenize": q_unigram_tokenize,
     "phash_dedup_clusters": q_phash_dedup_clusters,
     "udtf_sentences": q_udtf_sentences,
+    "multimodal_decode_bmp": q_multimodal_decode_bmp,
+    "multimodal_decode_pnm": q_multimodal_decode_pnm,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
