@@ -195,6 +195,8 @@ OPERATORS = [
     "udtf_sentences",  # Python UDTF surface via LATERAL table function
     "multimodal_decode_bmp",  # real DIB decode (palette + 24-bit)
     "multimodal_decode_pnm",  # real binary netpbm decode (P5/P6)
+    "frame_sample_pnm",  # concatenated-netpbm raw-video frame split
+    "robots_crawl_delay",  # politeness config tier -> rate limiter
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

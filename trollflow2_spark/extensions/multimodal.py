@@ -610,13 +610,20 @@ def frame_sample(
                             decode_jpeg(blob[a:b])
                             for a, b in zip(bounds, bounds[1:])
                         ]
+                    elif blob[:2] in (b"P5", b"P6"):
+                        # concatenated netpbm (image2pipe raw video)
+                        from trollflow2_spark.sinks.bmp import (
+                            decode_pnm_frames,
+                        )
+
+                        frames = decode_pnm_frames(blob)
                     else:
                         raise NotImplementedError(
-                            "frame sampling beyond paged-TIFF, MJPEG, animated WebP "
-                            "and animated GIF "
-                            "containers requires a video codec not present "
-                            "in this environment; pass fake=True for the "
-                            "byte sampler"
+                            "frame sampling beyond paged-TIFF, MJPEG, "
+                            "animated WebP, animated GIF and concatenated-"
+                            "netpbm containers requires a video codec not "
+                            "present in this environment; pass fake=True "
+                            "for the byte sampler"
                         )
                     for fi in range(0, len(frames), every_n_frames):
                         ids.append(int(d))

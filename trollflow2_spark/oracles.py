@@ -1442,6 +1442,31 @@ FROM vals GROUP BY doc_id
 ORACLES["multimodal_decode_bmp"] = _DECODE_FIXTURE_SQL
 ORACLES["multimodal_decode_pnm"] = _DECODE_FIXTURE_SQL
 
+ORACLES["robots_crawl_delay"] = """
+SELECT DISTINCT
+  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain,
+  CAST(doc_id % 20 % 7 + 1 AS INTEGER) AS crawl_delay_s,
+  round(60.0 / (doc_id % 20 % 7 + 1), 4) AS fetches_per_min
+FROM documents
+"""
+
+ORACLES["frame_sample_pnm"] = """
+WITH spec AS (
+  SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nf FROM documents
+), frames AS (
+  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM spec
+), sampled AS (
+  SELECT doc_id, f FROM frames WHERE f % 2 = 0
+), px AS (
+  SELECT doc_id, f,
+    (doc_id * 3 + f * 11 + unnest(generate_series(0, 11))) % 256 AS v
+  FROM sampled
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+  CAST(max(v) AS INTEGER) AS frame_byte
+FROM px GROUP BY doc_id, f
+"""
+
 # UDTF replay: mark terminator+space, split, drop empties, enumerate
 ORACLES["udtf_sentences"] = r"""
 WITH marked AS (

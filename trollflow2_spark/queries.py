@@ -2033,6 +2033,42 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt Crawl-delay extraction: per-domain delay parsed
+    Column-side from the robots body and converted to the token-bucket
+    refill rate the frontier's `host_rate_limit` consumes — the
+    politeness CONFIG tier feeding the streaming rate limiter. Rules
+    are domain-cardinality: one row per host, broadcastable anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    k = (d % 20).cast("long")
+    domain = F.concat(F.lit("site"), k.cast("string"), F.lit(".com"))
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.lit("Crawl-delay: "), (k % 7 + 1).cast("string"), F.lit("\n"),
+    )
+    delay_line = F.element_at(
+        F.filter(
+            F.split(robots, "\n"),
+            lambda ln: ln.startswith("Crawl-delay: "),
+        ),
+        1,
+    )
+    delay = F.substring(delay_line, 14, 10).cast("int")
+    return (
+        docs.select(
+            domain.alias("domain"), delay.alias("crawl_delay_s")
+        )
+        .distinct()
+        .select(
+            "domain",
+            "crawl_delay_s",
+            F.round(60.0 / F.col("crawl_delay_s"), 4)
+            .alias("fetches_per_min"),
+        )
+    )
+
+
 def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-level URL dedup: keep the NEWEST capture of each canonical
     URL (recrawls reach the same page repeatedly; the freshest capture
@@ -4729,6 +4765,50 @@ def q_frame_sample_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n_frames=2)  # fake=False: real decode
 
 
+def q_frame_sample_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL concatenated-netpbm frame sampling (the ``ffmpeg -f
+    image2pipe`` raw-video shape): back-to-back P5 frames split by
+    header parsing, every 2nd frame sampled; the per-frame ramp
+    ``(doc_id*3 + f*11 + k) % 256`` over 12 pixels is
+    SQL-expressible."""
+    from trollflow2_spark.extensions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def make_stream(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.bmp import encode_pnm
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = d % 5 + 2
+                blobs.append(
+                    b"".join(
+                        encode_pnm(
+                            ((d * 3 + f * 11 + np.arange(12)) % 256)
+                            .astype(np.uint8).reshape(3, 4)
+                        )
+                        for f in range(n_frames)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.mapInPandas(make_stream, media_schema)
+    return frame_sample(media, every_n_frames=2)  # fake=False: real route
+
+
 def q_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MJPEG frame sampling: concatenated baseline-JPEG frames
     (the motion-JPEG container) split on SOI markers and decoded through
@@ -5330,6 +5410,8 @@ QUERIES = {
     "udtf_sentences": q_udtf_sentences,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_pnm": q_multimodal_decode_pnm,
+    "frame_sample_pnm": q_frame_sample_pnm,
+    "robots_crawl_delay": q_robots_crawl_delay,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,

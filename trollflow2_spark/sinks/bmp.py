@@ -134,10 +134,32 @@ def encode_pnm(arr: np.ndarray) -> bytes:
 
 def decode_pnm(data: bytes) -> np.ndarray:
     """Decode binary netpbm (P5 gray / P6 RGB, maxval <= 255)."""
-    if data[:2] not in (b"P5", b"P6"):
+    return _pnm_at(data, 0)[0]
+
+
+def decode_pnm_frames(data: bytes) -> list[np.ndarray]:
+    """Decode a CONCATENATED netpbm stream (back-to-back P5/P6 images
+    — the ``ffmpeg -f image2pipe`` raw-video shape) into frames."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 1].isspace():
+            pos += 1
+        if pos >= n:
+            break
+        arr, pos = _pnm_at(data, pos)
+        frames.append(arr)
+    if not frames:
+        raise ValueError("netpbm stream: no frames")
+    return frames
+
+
+def _pnm_at(data: bytes, pos: int) -> tuple[np.ndarray, int]:
+    if data[pos:pos + 2] not in (b"P5", b"P6"):
         raise ValueError("not a binary netpbm (P5/P6) file")
-    chans = 1 if data[:2] == b"P5" else 3
-    pos = 2
+    chans = 1 if data[pos:pos + 2] == b"P5" else 3
+    pos += 2
     fields: list[int] = []
     while len(fields) < 3:
         while pos < len(data) and data[pos:pos + 1].isspace():
@@ -166,6 +188,7 @@ def decode_pnm(data: bytes) -> np.ndarray:
     if len(raw) != need:
         raise ValueError("netpbm: truncated pixel data")
     a = np.frombuffer(raw, np.uint8)
-    return (
+    arr = (
         a.reshape(h, w) if chans == 1 else a.reshape(h, w, 3)
     ).copy()
+    return arr, pos + need
