@@ -197,6 +197,7 @@ OPERATORS = [
     "multimodal_decode_pnm",  # real binary netpbm decode (P5/P6)
     "frame_sample_pnm",  # concatenated-netpbm raw-video frame split
     "robots_crawl_delay",  # politeness config tier -> rate limiter
+    "locf_gap_fill",  # LOCF gap fill (IGNORE NULLS window)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1442,6 +1442,21 @@ FROM vals GROUP BY doc_id
 ORACLES["multimodal_decode_bmp"] = _DECODE_FIXTURE_SQL
 ORACLES["multimodal_decode_pnm"] = _DECODE_FIXTURE_SQL
 
+ORACLES["locf_gap_fill"] = """
+WITH gappy AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT event_id, user_id,
+  round(last_value(value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 6) AS filled_value,
+  CAST(value IS NULL AS INTEGER) AS was_gap
+FROM gappy
+"""
+
 ORACLES["robots_crawl_delay"] = """
 SELECT DISTINCT
   'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain,

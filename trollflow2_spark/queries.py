@@ -2033,6 +2033,36 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: last-observation-carried-forward via
+    ``last_value(... ignorenulls)`` over a per-user ordered window —
+    sensor dropouts inherit the preceding reading. Partitioned by
+    user, so the window sort is bounded per key; fixture nulls every
+    third event's value to create the gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    gappy = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return gappy.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.last("value", ignorenulls=True).over(w), 6
+        ).alias("filled_value"),
+        F.col("value").isNull().cast("int").alias("was_gap"),
+    )
+
+
 def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots.txt Crawl-delay extraction: per-domain delay parsed
     Column-side from the robots body and converted to the token-bucket
@@ -5412,6 +5442,7 @@ QUERIES = {
     "multimodal_decode_pnm": q_multimodal_decode_pnm,
     "frame_sample_pnm": q_frame_sample_pnm,
     "robots_crawl_delay": q_robots_crawl_delay,
+    "locf_gap_fill": q_locf_gap_fill,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
