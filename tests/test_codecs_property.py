@@ -479,3 +479,37 @@ def test_bmp_pnm_roundtrip_properties():
         decode_bmp(rle)
     with pytest.raises(ValueError):
         decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII netpbm out of scope
+
+
+def test_png_adam7_and_palette_roundtrips():
+    """Wild-crawl PNG surface: Adam7 interlacing (all seven passes,
+    including shapes where passes are empty) and palette images (gray
+    palettes collapse to 2-D, color palettes resolve to RGB) decode
+    back to the original pixels; sequential and interlaced encodings
+    of the same image decode identically."""
+    import numpy as np
+
+    from trollflow2_spark.sinks.imagery import decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for shape in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 10), (13, 5),
+                  (16, 17, 3), (11, 9, 4), (5, 1), (1, 5)]:
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+        assert np.array_equal(
+            decode_png(encode_png(a, interlace=True)), a
+        )
+    idx = rng.randint(0, 16, (6, 7), dtype=np.uint8)
+    gray_pal = np.stack([np.arange(16) * 16] * 3, axis=1).astype(np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(idx, palette=gray_pal)),
+        gray_pal[idx][:, :, 0],
+    )
+    color_pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(idx, palette=color_pal)), color_pal[idx]
+    )
+    assert np.array_equal(
+        decode_png(encode_png(idx, palette=color_pal, interlace=True)),
+        color_pal[idx],
+    )

@@ -4166,7 +4166,19 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 w, h = d % 5 + 2, d % 3 + 2
                 px = ((d + np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
-                blob = encode_png(px)
+                # cycle the decoder's wild-crawl paths by doc residue:
+                # sequential, Adam7-interlaced, identity-gray palette
+                # (pixel VALUES identical in all three, so the stats
+                # oracle is unchanged while every route is exercised)
+                if d % 3 == 1:
+                    blob = encode_png(px, interlace=True)
+                elif d % 3 == 2:
+                    ident = np.stack([np.arange(256)] * 3, axis=1).astype(
+                        np.uint8
+                    )
+                    blob = encode_png(px, palette=ident)
+                else:
+                    blob = encode_png(px)
                 blobs.append(blob)
                 metas.append(
                     {

@@ -97,21 +97,52 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """Encode a uint8 array as PNG: (H, W) gray, (H, W, 3) RGB, (H, W, 4) RGBA."""
+def encode_png(
+    arr: np.ndarray,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Encode a uint8 array as PNG: (H, W) gray, (H, W, 3) RGB,
+    (H, W, 4) RGBA. ``interlace=True`` writes Adam7 passes
+    (filter-0 scanlines per pass); ``palette`` ((N,3) uint8) treats a
+    2-D array as palette indices (color type 3) — both exist so the
+    decoder's wild-crawl paths have first-party fixtures."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
+    if palette is not None:
+        if a.ndim != 2:
+            raise ValueError("palette PNG needs a 2-D index array")
+        color_type = 3
+    elif a.ndim == 2:
         color_type = 0
     elif a.ndim == 3 and a.shape[2] in (3, 4):
         color_type = 2 if a.shape[2] == 3 else 6
     else:
         raise ValueError(f"unsupported PNG shape {a.shape}")
     h, w = a.shape[:2]
-    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    a3 = a.reshape(h, w, -1)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a3[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(
+                b"\x00" + sub[r].tobytes() for r in range(sub.shape[0])
+            )
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + a3[r].tobytes() for r in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+            raise ValueError("palette must be (N<=256, 3) uint8")
+        out += _png_chunk(b"PLTE", pal.tobytes())
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        out
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -125,40 +156,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG produced by any filter-0..4 8-bit encoder (full
-    unfiltering; used by tests and the ``add_overviews`` reader)."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    w = h = color_type = None
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, color_type, _comp, _filt, _ilace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise ValueError("only 8-bit PNG supported")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(idat)
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, p: int, w: int, h: int, nch: int):
+    """Unfilter one (sub-)image of ``h`` scanlines at offset ``p`` in
+    the decompressed stream -> ((h, w*nch) uint8, next offset)."""
     stride = w * nch
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    p = 0
     for r in range(h):
         ftype = raw[p]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).astype(
-            np.int32
-        )
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=p + 1
+        ).astype(np.int32)
         p += 1 + stride
         if ftype == 0:
             cur = line
@@ -183,7 +198,68 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ftype}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w) if nch == 1 else out.reshape(h, w, nch)
+    return out, p
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by any filter-0..4 8-bit encoder: gray /
+    RGB(A) / gray+alpha, PALETTE images (PLTE; gray palettes collapse
+    to 2-D, matching the BMP route), and Adam7 INTERLACING (each of
+    the seven passes unfilters as its own sub-image and scatters into
+    the output grid) — the wild-crawl PNG surface, not just this
+    encoder's own output."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = color_type = None
+    interlace = 0
+    plte = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    if interlace == 0:
+        out, _p = _png_unfilter(raw, 0, w, h, nch)
+        img = out.reshape(h, w) if nch == 1 else out.reshape(h, w, nch)
+    else:  # Adam7
+        grid = np.zeros((h, w, nch), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, p = _png_unfilter(raw, p, pw, ph, nch)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        img = grid[:, :, 0] if nch == 1 else grid
+    if color_type == 3:
+        rgb = plte[img]  # (h, w, 3)
+        if np.all(rgb[:, :, 0] == rgb[:, :, 1]) and np.all(
+            rgb[:, :, 1] == rgb[:, :, 2]
+        ):
+            return np.ascontiguousarray(rgb[:, :, 0])
+        return np.ascontiguousarray(rgb)
+    return np.ascontiguousarray(img)
 
 
 # ---------------------------------------------------------------------------
