@@ -513,3 +513,30 @@ def test_png_adam7_and_palette_roundtrips():
         decode_png(encode_png(idx, palette=color_pal, interlace=True)),
         color_pal[idx],
     )
+
+
+def test_tiff_lzw_and_predictor_roundtrips():
+    """TIFF LZW (MSB-first, 9..12-bit early-change codes, table reset)
+    and the horizontal-differencing predictor round-trip exactly,
+    including streams long enough to cross every width boundary and
+    force a table reset."""
+    import numpy as np
+
+    from trollflow2_spark.sinks.imagery import (
+        decode_geotiff,
+        encode_geotiff,
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rng = np.random.RandomState(9)
+    for n in (0, 1, 10, 1000, 60000):
+        blob = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        assert tiff_lzw_decode(tiff_lzw_encode(blob)) == blob
+        rep = (b"abcabd" * (n // 6 + 1))[:n]
+        assert tiff_lzw_decode(tiff_lzw_encode(rep)) == rep
+    for shape in [(5, 7), (33, 65), (8, 8, 3)]:
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        for mode in ("LZW", "LZW+PRED"):
+            pages, tags = decode_geotiff(encode_geotiff(a, compress=mode))
+            assert np.array_equal(pages[0], a), (shape, mode)

@@ -4400,7 +4400,12 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 w, h = d % 6 + 2, d % 4 + 2
                 px = ((d * 3 + np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
-                blob = encode_geotiff(px, compress="DEFLATE")
+                # cycle all strip codecs by doc residue (deflate, LZW,
+                # LZW + horizontal predictor, uncompressed) — pixel
+                # values identical, so the stats oracle is unchanged
+                # while every decode route is exercised
+                comp = ("DEFLATE", "LZW", "LZW+PRED", "NONE")[d % 4]
+                blob = encode_geotiff(px, compress=comp)
                 blobs.append(blob)
                 metas.append(
                     {

@@ -321,13 +321,31 @@ def encode_geotiff(
     pages = [np.ascontiguousarray(arr)] + [
         np.ascontiguousarray(o) for o in (overviews or [])
     ]
-    deflate = compress.upper() in ("DEFLATE", "ZLIB", "8")
+    mode = compress.upper()
+    deflate = mode in ("DEFLATE", "ZLIB", "8")
+    lzw = mode in ("LZW", "LZW+PRED")
+    predictor = mode == "LZW+PRED"
 
     # page payloads (possibly compressed single strip per page)
     strips = []
     for a in pages:
-        raw = a.tobytes()
-        strips.append(zlib.compress(raw, 6) if deflate else raw)
+        if predictor:
+            if a.dtype != np.uint8:
+                raise ValueError("LZW+PRED needs uint8 samples")
+            d = a.copy()
+            if a.ndim == 2:
+                d[:, 1:] = a[:, 1:] - a[:, :-1]
+            else:
+                d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+            raw = d.tobytes()
+        else:
+            raw = a.tobytes()
+        if deflate:
+            strips.append(zlib.compress(raw, 6))
+        elif lzw:
+            strips.append(tiff_lzw_encode(raw))
+        else:
+            strips.append(raw)
 
     def page_tags(a: np.ndarray, strip_off: int, strip_len: int, is_overview: bool):
         h, w = a.shape[:2]
@@ -337,7 +355,8 @@ def encode_geotiff(
             (TAG_IMAGE_WIDTH, _T_LONG, [w]),
             (TAG_IMAGE_LENGTH, _T_LONG, [h]),
             (TAG_BITS_PER_SAMPLE, _T_SHORT, [bits] * spp),
-            (TAG_COMPRESSION, _T_SHORT, [8 if deflate else 1]),
+            (TAG_COMPRESSION, _T_SHORT,
+             [8 if deflate else (5 if lzw else 1)]),
             (TAG_PHOTOMETRIC, _T_SHORT, [2 if spp >= 3 else 1]),
             (TAG_STRIP_OFFSETS, _T_LONG, [strip_off]),
             (TAG_SAMPLES_PER_PIXEL, _T_SHORT, [spp]),
@@ -345,6 +364,8 @@ def encode_geotiff(
             (TAG_STRIP_BYTE_COUNTS, _T_LONG, [strip_len]),
             (TAG_SAMPLE_FORMAT, _T_SHORT, [sfmt] * spp),
         ]
+        if predictor:
+            tags.append((TAG_PREDICTOR, _T_SHORT, [2]))
         if is_overview:
             tags.append((TAG_NEW_SUBFILE_TYPE, _T_LONG, [1]))
         else:
@@ -429,9 +450,110 @@ def encode_geotiff(
     return bytes(out)
 
 
+TAG_PREDICTOR = 317
+
+
+def tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first code packing, 9→12
+    bit codes with EARLY CHANGE (width bumps at 511/1023/2047, one
+    code before the table actually fills — the libtiff convention
+    every real file follows), ClearCode 256 / EOI 257."""
+    out = bytearray()
+    nbits = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    acc = 0
+    acc_n = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while acc_n < nbits:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate, data is whole
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            acc_n += 8
+        code = (acc >> (acc_n - nbits)) & ((1 << nbits) - 1)
+        acc_n -= nbits
+        if code == 256:  # clear
+            table = []
+            nbits = 9
+            prev = None
+            continue
+        if code == 257:  # end of information
+            return bytes(out)
+        if code < 256:
+            entry = bytes([code])
+        elif code - 258 < len(table):
+            entry = table[code - 258]
+        elif code == 258 + len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"TIFF LZW: invalid code {code}")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # EARLY CHANGE, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (it learns entry k only on
+        # code k+1), so it must widen one code BEFORE the naive
+        # table-full computation says to
+        if 258 + len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Encoder mirror of :func:`tiff_lzw_decode` (fixtures + the
+    ``compress="LZW"`` writer path): emits a leading ClearCode,
+    resets at table 4094, EOI-terminated."""
+    out = bytearray()
+    acc = 0
+    acc_n = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, acc_n
+        acc = (acc << nbits) | code
+        acc_n += nbits
+        while acc_n >= 8:
+            out.append((acc >> (acc_n - 8)) & 0xFF)
+            acc_n -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    nbits = 9
+    emit(256, nbits)
+    w = b""
+    for b in data:
+        k = w + bytes([b])
+        if k in table:
+            w = k
+            continue
+        emit(table[w], nbits)
+        table[k] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1  # early change, mirrored
+        if next_code > 4093:
+            emit(256, nbits)
+            table = fresh()
+            next_code = 258
+            nbits = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], nbits)
+    emit(257, nbits)
+    if acc_n:
+        out.append((acc << (8 - acc_n)) & 0xFF)
+    return bytes(out)
+
+
 def decode_geotiff(data: bytes) -> tuple[list[np.ndarray], dict]:
     """Decode a (Geo)TIFF written by :func:`encode_geotiff` (and any
-    little-endian strip TIFF with compression NONE/deflate). Returns
+    little-endian strip TIFF with compression NONE/deflate/LZW,
+    optionally with the horizontal-differencing predictor). Returns
     (pages, tags-of-page-0)."""
     if data[:4] not in (b"II*\x00",):
         raise ValueError("not a little-endian TIFF")
@@ -465,12 +587,31 @@ def decode_geotiff(data: bytes) -> tuple[list[np.ndarray], dict]:
             (32, 3): np.float32,
             (64, 3): np.float64,
         }[(bits, sfmt)]
+        if comp not in (1, 5, 8):
+            raise NotImplementedError(
+                f"TIFF compression {comp} not supported "
+                "(NONE/LZW/deflate are)"
+            )
         chunks = []
         for off, cnt in zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_BYTE_COUNTS]):
             blob = data[off : off + cnt]
-            chunks.append(zlib.decompress(blob) if comp == 8 else blob)
+            if comp == 8:
+                chunks.append(zlib.decompress(blob))
+            elif comp == 5:
+                chunks.append(tiff_lzw_decode(blob))
+            else:
+                chunks.append(blob)
         arr = np.frombuffer(b"".join(chunks), dtype=dtype)
-        pages.append(arr.reshape((h, w) if spp == 1 else (h, w, spp)))
+        page = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+        if tags.get(TAG_PREDICTOR, [1])[0] == 2:
+            if dtype is not np.uint8:
+                raise NotImplementedError(
+                    "TIFF predictor 2 supported for 8-bit samples only"
+                )
+            # horizontal differencing: undo via per-row running sum
+            # (uint8 cumsum wraps mod 256 by definition)
+            page = np.cumsum(page, axis=1, dtype=np.uint8)
+        pages.append(page)
         (ifd_off,) = struct.unpack_from("<I", data, ifd_off + 2 + 12 * n)
     return pages, first_tags
 
