@@ -198,6 +198,7 @@ OPERATORS = [
     "frame_sample_pnm",  # concatenated-netpbm raw-video frame split
     "robots_crawl_delay",  # politeness config tier -> rate limiter
     "locf_gap_fill",  # LOCF gap fill (IGNORE NULLS window)
+    "multimodal_decode_ico",  # favicon decode (largest entry, ICO DIB)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

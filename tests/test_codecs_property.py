@@ -540,3 +540,35 @@ def test_tiff_lzw_and_predictor_roundtrips():
         for mode in ("LZW", "LZW+PRED"):
             pages, tags = decode_geotiff(encode_geotiff(a, compress=mode))
             assert np.array_equal(pages[0], a), (shape, mode)
+
+
+def test_ico_decode_properties():
+    """ICO favicons: largest-entry selection, DIB payloads (doubled
+    height + AND mask) and embedded-PNG payloads both decode; corrupt
+    containers raise."""
+    import numpy as np
+    import pytest
+
+    from trollflow2_spark.sinks.bmp import decode_ico, encode_ico
+    from trollflow2_spark.sinks.imagery import encode_png
+
+    rng = np.random.RandomState(4)
+    big = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    small = rng.randint(0, 256, (2, 2, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ico(encode_ico([small, big])), big)
+    assert np.array_equal(decode_ico(encode_ico([big])), big)
+    # embedded-PNG payload (modern favicons): splice one in by hand
+    import struct as _struct
+
+    g = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    png = encode_png(g)
+    blob = (
+        b"\x00\x00\x01\x00" + _struct.pack("<H", 1)
+        + _struct.pack("<BBBBHHII", 16, 16, 0, 0, 1, 32, len(png), 22)
+        + png
+    )
+    assert np.array_equal(decode_ico(blob), g)
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x02\x00junk")  # cursor (.cur), not icon
+    with pytest.raises(ValueError):
+        decode_ico(encode_ico([big])[:30])  # truncated directory/payload

@@ -158,11 +158,15 @@ def decode_media(
             is_pnm = np.array(
                 [t == "image/x-portable-anymap" for t in mtypes]
             )
+            is_ico = np.array(
+                [t in ("image/x-icon", "image/vnd.microsoft.icon")
+                 for t in mtypes]
+            )
             is_wav = np.array([t == "audio/wav" for t in mtypes])
             is_flac = np.array([t == "audio/flac" for t in mtypes])
             is_img = (
                 is_png | is_tif | is_jpg | is_webp | is_gif | is_bmp
-                | is_pnm
+                | is_pnm | is_ico
             )
             is_audio = is_wav | is_flac
             unsupported = np.zeros(n, dtype=bool)
@@ -171,7 +175,7 @@ def decode_media(
                     raise NotImplementedError(
                         "media decode beyond image/png, image/tiff, "
                         "image/jpeg, image/webp, image/gif, image/bmp, "
-                        "image/x-portable-anymap, audio/wav and "
+                        "image/x-portable-anymap, image/x-icon, audio/wav and "
                         "audio/flac requires a codec library not present "
                         "in this environment; pass fake=True for the "
                         "deterministic byte-statistics decoder"
@@ -206,6 +210,7 @@ def decode_media(
                 is_gif &= ~oversized
                 is_bmp &= ~oversized
                 is_pnm &= ~oversized
+                is_ico &= ~oversized
                 is_wav &= ~oversized
                 is_flac &= ~oversized
                 unsupported &= ~oversized
@@ -235,6 +240,10 @@ def decode_media(
                         from trollflow2_spark.sinks.bmp import decode_pnm
 
                         arr = decode_pnm(bytes(payload[i]))
+                    elif is_ico[i]:
+                        from trollflow2_spark.sinks.bmp import decode_ico
+
+                        arr = decode_ico(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -419,9 +428,13 @@ def resize_media(
             is_pnm = np.array(
                 [t == "image/x-portable-anymap" for t in mtypes]
             )
+            is_ico = np.array(
+                [t in ("image/x-icon", "image/vnd.microsoft.icon")
+                 for t in mtypes]
+            )
             is_img = (
                 is_png | is_tif | is_jpg | is_webp | is_gif | is_bmp
-                | is_pnm
+                | is_pnm | is_ico
             )
             if not fake and not is_img.all():
                 raise NotImplementedError(
@@ -459,6 +472,10 @@ def resize_media(
                         from trollflow2_spark.sinks.bmp import decode_pnm
 
                         arr = decode_pnm(bytes(payload[i]))
+                    elif is_ico[i]:
+                        from trollflow2_spark.sinks.bmp import decode_ico
+
+                        arr = decode_ico(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:
@@ -491,6 +508,14 @@ def resize_media(
                     from trollflow2_spark.sinks.bmp import encode_pnm
 
                     blob = encode_pnm(out_arr)
+                elif is_ico[i]:
+                    from trollflow2_spark.sinks.bmp import encode_ico
+
+                    rgb = (
+                        out_arr if out_arr.ndim == 3
+                        else np.stack([out_arr] * 3, axis=2)
+                    )
+                    blob = encode_ico([rgb[:, :, :3]])
                 else:
                     blob = encode_geotiff(out_arr)
                 blobs[i] = blob
@@ -729,6 +754,10 @@ def perceptual_hash(
                 from trollflow2_spark.sinks.bmp import decode_pnm
 
                 return decode_pnm(blob)
+            if mtype in ("image/x-icon", "image/vnd.microsoft.icon"):
+                from trollflow2_spark.sinks.bmp import decode_ico
+
+                return decode_ico(blob)
             raise NotImplementedError(
                 f"perceptual_hash: no decoder for {mtype!r}"
             )

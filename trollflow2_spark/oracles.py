@@ -1465,6 +1465,29 @@ SELECT DISTINCT
 FROM documents
 """
 
+# ICO: stats over the LARGEST entry's ramp (the decoy never wins)
+ORACLES["multimodal_decode_ico"] = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(doc_id % 6 + 4 AS BIGINT) AS w,
+    CAST(doc_id % 4 + 4 AS BIGINT) AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, w, h,
+    (doc_id + unnest(generate_series(0, w * h * 3 - 1))) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+  count(*) AS n_bytes,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(any_value(w) AS INTEGER) AS width,
+  CAST(any_value(h) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels
+FROM vals GROUP BY doc_id
+"""
+
 ORACLES["frame_sample_pnm"] = """
 WITH spec AS (
   SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nf FROM documents

@@ -4287,6 +4287,58 @@ def q_multimodal_decode_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ICO (favicon) decode: each fixture carries a 2×2 decoy
+    entry AND the real ramp image, so the largest-entry selection is
+    part of what the oracle checks; payloads are 24-bit ICO DIBs
+    (doubled-height header + AND mask)."""
+    from trollflow2_spark.extensions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", T.StringType()),
+        ]
+    )
+
+    def make_ico(batches):
+        import numpy as np
+        import pandas as pd
+
+        from trollflow2_spark.sinks.bmp import encode_ico
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 6 + 4, d % 4 + 4
+                big = (
+                    (d + np.arange(w * h * 3)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                decoy = np.zeros((2, 2, 3), np.uint8)
+                out.append(
+                    (d, encode_ico([decoy, big]), "image/x-icon")
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media", "media_meta"]
+            )
+
+    media = docs.mapInPandas(make_ico, media_schema)
+    return decode_media(media).select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP-lossless decode: deterministic gray images (the same
     pixel ramp as the PNG route, ``(doc_id + k) % 256``) are encoded
@@ -5458,6 +5510,7 @@ QUERIES = {
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_pnm": q_multimodal_decode_pnm,
     "frame_sample_pnm": q_frame_sample_pnm,
+    "multimodal_decode_ico": q_multimodal_decode_ico,
     "robots_crawl_delay": q_robots_crawl_delay,
     "locf_gap_fill": q_locf_gap_fill,
     "work_items_flatten": q_work_items_flatten,

@@ -23,6 +23,7 @@ import numpy as np
 
 __all__ = [
     "decode_bmp",
+    "decode_ico",
     "decode_pnm",
     "encode_bmp",
     "encode_pnm",
@@ -71,10 +72,22 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("not a BMP file")
     offset = struct.unpack("<I", data[10:14])[0]
+    return _decode_dib(data, 14, pixel_offset=offset)
+
+
+def _decode_dib(
+    data: bytes,
+    info_off: int,
+    pixel_offset: int | None = None,
+    ico: bool = False,
+) -> np.ndarray:
+    """Decode a DIB (BITMAPINFOHEADER + palette + rows) at
+    ``info_off``. ``ico=True`` halves the stored height (ICO DIBs
+    stack the XOR image and the AND mask) and ignores the mask."""
     (
         hdr_size, w, h, _planes, bpp, compression, _img_size,
         _xppm, _yppm, n_colors, _important,
-    ) = struct.unpack("<IiiHHIIiiII", data[14:54])
+    ) = struct.unpack("<IiiHHIIiiII", data[info_off:info_off + 40])
     if hdr_size < 40:
         raise ValueError("BMP: pre-BITMAPINFOHEADER DIBs not supported")
     if compression != 0:
@@ -84,20 +97,29 @@ def decode_bmp(data: bytes) -> np.ndarray:
         )
     top_down = h < 0
     h = abs(h)
+    if ico:
+        h //= 2  # XOR image + AND mask stacked
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
         raise ValueError("BMP: implausible dimensions")
+    pal_base = info_off + hdr_size
     if bpp == 8:
         n_colors = n_colors or 256
-        pal_raw = data[14 + hdr_size:14 + hdr_size + 4 * n_colors]
+        pal_raw = data[pal_base:pal_base + 4 * n_colors]
         if len(pal_raw) < 4 * n_colors:
             raise ValueError("BMP: truncated palette")
         pal = np.frombuffer(pal_raw, np.uint8).reshape(-1, 4)[:, :3][:, ::-1]
         row_bytes = w
+        pal_bytes = 4 * n_colors
     elif bpp in (24, 32):
         pal = None
         row_bytes = w * (bpp // 8)
+        pal_bytes = 0
     else:
         raise NotImplementedError(f"BMP bit depth {bpp} not supported")
+    offset = (
+        pixel_offset if pixel_offset is not None
+        else pal_base + pal_bytes
+    )
     stride = row_bytes + ((-row_bytes) % 4)
     need = offset + stride * h
     if len(data) < need:
@@ -192,3 +214,72 @@ def _pnm_at(data: bytes, pos: int) -> tuple[np.ndarray, int]:
         a.reshape(h, w) if chans == 1 else a.reshape(h, w, 3)
     ).copy()
     return arr, pos + need
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """Decode an ICO (favicon) container: pick the LARGEST directory
+    entry and decode its payload — an embedded PNG (modern favicons)
+    or an ICO DIB (BITMAPINFOHEADER with doubled height stacking the
+    XOR image over the AND transparency mask, which is ignored —
+    pixels decode opaque)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO file")
+    count = struct.unpack("<H", data[4:6])[0]
+    if count == 0 or len(data) < 6 + 16 * count:
+        raise ValueError("ICO: empty or truncated directory")
+    best = None
+    for i in range(count):
+        bw, bh = data[6 + 16 * i], data[7 + 16 * i]
+        size, off = struct.unpack("<II", data[6 + 16 * i + 8:6 + 16 * i + 16])
+        area = (bw or 256) * (bh or 256)
+        if best is None or area > best[0]:
+            best = (area, off, size)
+    _area, off, size = best
+    sub = data[off:off + size]
+    if len(sub) != size:
+        raise ValueError("ICO: truncated image payload")
+    if sub[:8] == b"\x89PNG\r\n\x1a\n":
+        from trollflow2_spark.sinks.imagery import decode_png
+
+        return decode_png(sub)
+    return _decode_dib(sub, 0, ico=True)
+
+
+def encode_ico(images: list[np.ndarray]) -> bytes:
+    """Encode (h, w, 3) uint8 RGB arrays as a multi-entry ICO with
+    24-bit DIB payloads (doubled-height header, zeroed AND mask) —
+    the favicon-fixture writer for :func:`decode_ico`."""
+    dirs = []
+    bodies = []
+    off = 6 + 16 * len(images)
+    for a in images:
+        a = np.asarray(a, dtype=np.uint8)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("encode_ico: need (h, w, 3) RGB entries")
+        h, w = a.shape[:2]
+        if w > 256 or h > 256:
+            raise ValueError("encode_ico: entries are at most 256x256")
+        row_bytes = w * 3
+        pad = (-row_bytes) % 4
+        rows = b"".join(
+            a[y, :, ::-1].tobytes() + b"\x00" * pad
+            for y in range(h - 1, -1, -1)
+        )
+        mask_stride = ((w + 31) // 32) * 4
+        mask = b"\x00" * (mask_stride * h)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0, len(rows), 0, 0, 0, 0
+        )
+        payload = info + rows + mask
+        dirs.append(
+            struct.pack(
+                "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24,
+                len(payload), off,
+            )
+        )
+        bodies.append(payload)
+        off += len(payload)
+    return (
+        b"\x00\x00\x01\x00" + struct.pack("<H", len(images))
+        + b"".join(dirs) + b"".join(bodies)
+    )

@@ -552,28 +552,34 @@ def tiff_lzw_encode(data: bytes) -> bytes:
 
 def decode_geotiff(data: bytes) -> tuple[list[np.ndarray], dict]:
     """Decode a (Geo)TIFF written by :func:`encode_geotiff` (and any
-    little-endian strip TIFF with compression NONE/deflate/LZW,
-    optionally with the horizontal-differencing predictor). Returns
-    (pages, tags-of-page-0)."""
-    if data[:4] not in (b"II*\x00",):
-        raise ValueError("not a little-endian TIFF")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    strip TIFF, little- OR big-endian, with compression
+    NONE/deflate/LZW, optionally with the horizontal-differencing
+    predictor). Returns (pages, tags-of-page-0)."""
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order signature)")
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
     pages = []
     first_tags: dict[int, list] = {}
     while ifd_off:
-        (n,) = struct.unpack_from("<H", data, ifd_off)
+        (n,) = struct.unpack_from(e + "H", data, ifd_off)
         tags: dict[int, list] = {}
         for i in range(n):
-            tag, typ, count = struct.unpack_from("<HHI", data, ifd_off + 2 + 12 * i)
+            tag, typ, count = struct.unpack_from(
+                e + "HHI", data, ifd_off + 2 + 12 * i
+            )
             size = _TYPE_SIZE.get(typ, 1) * count
             vpos = ifd_off + 2 + 12 * i + 8
             if size > 4:
-                (vpos,) = struct.unpack_from("<I", data, vpos)
+                (vpos,) = struct.unpack_from(e + "I", data, vpos)
             if typ == _T_ASCII:
                 tags[tag] = [data[vpos : vpos + count].rstrip(b"\x00").decode()]
             else:
                 fmt = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_RATIONAL: "II"}[typ]
-                tags[tag] = list(struct.unpack_from(f"<{count}{fmt}", data, vpos))
+                tags[tag] = list(struct.unpack_from(f"{e}{count}{fmt}", data, vpos))
         if not pages:
             first_tags = tags
         w = tags[TAG_IMAGE_WIDTH][0]
@@ -583,9 +589,9 @@ def decode_geotiff(data: bytes) -> tuple[list[np.ndarray], dict]:
         sfmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
         comp = tags.get(TAG_COMPRESSION, [1])[0]
         dtype = {
-            (8, 1): np.uint8,
-            (32, 3): np.float32,
-            (64, 3): np.float64,
+            (8, 1): np.dtype(np.uint8),
+            (32, 3): np.dtype(e + "f4"),
+            (64, 3): np.dtype(e + "f8"),
         }[(bits, sfmt)]
         if comp not in (1, 5, 8):
             raise NotImplementedError(
@@ -602,6 +608,8 @@ def decode_geotiff(data: bytes) -> tuple[list[np.ndarray], dict]:
             else:
                 chunks.append(blob)
         arr = np.frombuffer(b"".join(chunks), dtype=dtype)
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
         page = arr.reshape((h, w) if spp == 1 else (h, w, spp))
         if tags.get(TAG_PREDICTOR, [1])[0] == 2:
             if dtype is not np.uint8:
@@ -612,7 +620,7 @@ def decode_geotiff(data: bytes) -> tuple[list[np.ndarray], dict]:
             # (uint8 cumsum wraps mod 256 by definition)
             page = np.cumsum(page, axis=1, dtype=np.uint8)
         pages.append(page)
-        (ifd_off,) = struct.unpack_from("<I", data, ifd_off + 2 + 12 * n)
+        (ifd_off,) = struct.unpack_from(e + "I", data, ifd_off + 2 + 12 * n)
     return pages, first_tags
 
 
