@@ -612,7 +612,7 @@ def decode_geotiff(data: bytes) -> tuple[list[np.ndarray], dict]:
             arr = arr.astype(arr.dtype.newbyteorder("="))
         page = arr.reshape((h, w) if spp == 1 else (h, w, spp))
         if tags.get(TAG_PREDICTOR, [1])[0] == 2:
-            if dtype is not np.uint8:
+            if page.dtype != np.uint8:
                 raise NotImplementedError(
                     "TIFF predictor 2 supported for 8-bit samples only"
                 )
