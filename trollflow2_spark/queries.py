@@ -3313,9 +3313,10 @@ def q_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp, id_col="doc_id", bits=64, bands=8,
         max_hamming=C.PHASH_MAX_HAMMING,
     ).select("id_a", "id_b")
-    return duplicate_clusters(
-        fixture.select("doc_id"), pairs, id_col="doc_id"
-    )
+    # the id universe comes from the RAW table — passing the fixture
+    # here would re-encode every PNG just to list its doc_ids
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return duplicate_clusters(ids, pairs, id_col="doc_id")
 
 
 def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
