@@ -2216,3 +2216,32 @@ def test_merge_agg_state_equals_full_recompute(spark, sf_dir):
     got = {r["lang"]: (r["n"], r["chars"]) for r in state.collect()}
     ref = {r["lang"]: (r["n"], r["chars"]) for r in agg(docs).collect()}
     assert got == ref
+
+
+def test_hamming1_pairs_duplicate_heavy_vs_bruteforce(spark):
+    """Fuzzy matching equals the quadratic reference on a
+    duplicate-HEAVY table (the case that used to blow variant buckets
+    up): candidates generate over DISTINCT strings — alphabet-bounded
+    buckets — and ids re-attach by class."""
+    from trollflow2_spark.extensions.dedup import hamming1_pairs
+
+    strings = ["abc", "abd", "xbc", "abc", "abc", "zzz", "abd", "ab"]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in hamming1_pairs(df, "id", "s").collect()
+    )
+
+    def lev1(a, b):
+        return len(a) == len(b) and sum(
+            x != y for x, y in zip(a, b)
+        ) <= 1
+
+    expected = sorted(
+        (i, j)
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if lev1(strings[i], strings[j])
+    )
+    assert got == expected

@@ -943,17 +943,30 @@ def hamming1_pairs(
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. Strings
     longer than ``max_len`` are skipped (degenerate blow-up guard —
     fuzzy-matching megabyte blobs is a different problem).
+
+    The candidate join runs over DISTINCT strings, which makes every
+    variant bucket ALPHABET-BOUNDED by construction: two distinct
+    strings share a wildcard variant only by resolving the wildcard to
+    different characters, so a bucket holds at most |alphabet| members
+    no matter how skewed the id table is (a million rows of the same
+    template name collapse to one distinct string before any explode).
+    Ids re-attach afterwards: cross-string matches expand by string
+    multiplicity, and identical-id-class pairs (edit distance 0) are
+    generated directly from the class sizes — both proportional to the
+    OUTPUT, never an intermediate blow-up.
     """
     base = df.select(
         F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
     ).where(F.length("__fs").between(1, max_len))
-    variants = base.select(
-        "__fid",
+    dstr = base.groupBy("__fs").agg(
+        F.collect_list("__fid").alias("__ids")
+    )
+    variants = dstr.select(
+        "__fs",
         F.length("__fs").alias("__flen"),
         F.posexplode(F.split(F.col("__fs"), "")).alias("__pos", "__ch"),
-        "__fs",
     ).select(
-        "__fid",
+        "__fs",
         "__flen",
         "__pos",
         F.concat(
@@ -963,14 +976,45 @@ def hamming1_pairs(
         ).alias("__variant"),
     )
     a = variants.select(
-        F.col("__fid").alias("id_a"), "__flen", "__pos", "__variant"
+        F.col("__fs").alias("__sa"), "__flen", "__pos", "__variant"
     )
     b = variants.select(
-        F.col("__fid").alias("id_b"), "__flen", "__pos", "__variant"
+        F.col("__fs").alias("__sb"), "__flen", "__pos", "__variant"
     )
-    return (
+    spairs = (
         a.join(b, ["__variant", "__flen", "__pos"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(F.col("__sa") < F.col("__sb"))
+        .select("__sa", "__sb")
         .distinct()
     )
+    ids_a = dstr.select(
+        F.col("__fs").alias("__sa"), F.col("__ids").alias("__ids_a")
+    )
+    ids_b = dstr.select(
+        F.col("__fs").alias("__sb"), F.col("__ids").alias("__ids_b")
+    )
+    cross = (
+        spairs.join(ids_a, "__sa")
+        .join(ids_b, "__sb")
+        .select(
+            F.explode("__ids_a").alias("__ia"), F.col("__ids_b")
+        )
+        .select(
+            "__ia", F.explode("__ids_b").alias("__ib")
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+        )
+    )
+    # identical strings: every id pair within the class (distance 0)
+    within = (
+        dstr.where(F.size("__ids") > 1)
+        .select(F.explode("__ids").alias("__ia"), "__ids")
+        .select("__ia", F.explode("__ids").alias("__ib"))
+        .where(F.col("__ia") < F.col("__ib"))
+        .select(
+            F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b")
+        )
+    )
+    return cross.unionByName(within).distinct()
