@@ -199,6 +199,8 @@ OPERATORS = [
     "robots_crawl_delay",  # politeness config tier -> rate limiter
     "locf_gap_fill",  # LOCF gap fill (IGNORE NULLS window)
     "multimodal_decode_ico",  # favicon decode (largest entry, ICO DIB)
+    "spend_rank_profile",  # percent_rank + cume_dist windows
+    "chi2_feature_selection",  # exact chi-square term selection
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

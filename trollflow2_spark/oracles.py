@@ -1442,6 +1442,55 @@ FROM vals GROUP BY doc_id
 ORACLES["multimodal_decode_bmp"] = _DECODE_FIXTURE_SQL
 ORACLES["multimodal_decode_pnm"] = _DECODE_FIXTURE_SQL
 
+ORACLES["chi2_feature_selection"] = f"""
+WITH d AS (
+  SELECT doc_id, n_chars >= {C.CHI2_LEN_THRESHOLD} AS hi,
+    {TOKENS_SQL('text')} AS toks
+  FROM documents
+), pres AS (
+  SELECT doc_id, hi, unnest(list_distinct(toks)) AS term FROM d
+), totals AS (
+  SELECT CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n0
+  FROM d
+), per_term AS (
+  SELECT term,
+    CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(sum(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n01
+  FROM pres GROUP BY term
+  HAVING n11 + n01 >= {C.CHI2_MIN_DF}
+)
+SELECT term, n11 AS df_hi, n01 AS df_lo,
+  round(
+    CAST(n1 + n0 AS DOUBLE)
+    * CAST(CAST(n11 * (n0 - n01) - (n1 - n11) * n01 AS DECIMAL(38,0))
+           * CAST(n11 * (n0 - n01) - (n1 - n11) * n01 AS DECIMAL(38,0))
+           AS DOUBLE)
+    / CAST(CAST(n11 + n01 AS DECIMAL(38,0))
+           * CAST((n1 - n11) + (n0 - n01) AS DECIMAL(38,0))
+           * CAST(n1 AS DECIMAL(38,0)) * CAST(n0 AS DECIMAL(38,0))
+           AS DOUBLE),
+    6) AS chi2
+FROM per_term, totals
+ORDER BY chi2 DESC, term
+LIMIT {C.CHI2_TOP_K}
+"""
+
+ORACLES["spend_rank_profile"] = """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey AS custkey, n_name AS nation, spend,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM spend
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY spend DESC, c_custkey)
+"""
+
 ORACLES["locf_gap_fill"] = """
 WITH gappy AS (
   SELECT event_id, user_id, ts,

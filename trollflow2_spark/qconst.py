@@ -269,6 +269,9 @@ MAINT_START_HOUR = 2  # daily maintenance window [02:00, 04:00)
 MAINT_END_HOUR = 4
 INTERVAL_BUCKET_S = 3600  # interval-join bucket width (seconds)
 MAD_K = 3.0  # MAD outlier multiplier
+CHI2_LEN_THRESHOLD = 306  # hi/lo label cut (corpus median n_chars)
+CHI2_MIN_DF = 10  # terms must appear in >= this many docs
+CHI2_TOP_K = 50  # selected features
 PHASH_MAX_HAMMING = 6  # < bands(8): pigeonhole makes banding exact
 HIST_BUCKET_WIDTH = 50_000.0  # order-value histogram bucket width
 ZORDER_EPOCH = "2024-01-01 00:00:00"  # minute-of-month origin

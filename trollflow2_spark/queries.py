@@ -2033,6 +2033,98 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the terms most associated with a
+    document label (here the length heuristic), from one presence
+    aggregation over exploded distinct (doc, token) pairs. The 2x2
+    contingency counts per term come from a single hash agg; the
+    class totals are a broadcast 1-row aggregate; the statistic is
+    exact integer arithmetic divided once at the end, so the oracle
+    replays it bit-for-bit. Top-K by (chi2, term) without a global
+    sort (TakeOrderedAndProject)."""
+    from trollflow2_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") >= C.CHI2_LEN_THRESHOLD).alias("hi"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    pres = docs.select(
+        "doc_id", "hi", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    totals = docs.agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("n0"),
+    )
+    per_term = (
+        pres.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("n11"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("n01"),
+        )
+        .where(F.col("n11") + F.col("n01") >= C.CHI2_MIN_DF)
+    )
+    j = per_term.join(F.broadcast(totals))
+    n10 = F.col("n1") - F.col("n11")
+    n00 = F.col("n0") - F.col("n01")
+    num = (
+        (F.col("n11") * n00 - n10 * F.col("n01"))
+        .cast("decimal(38,0)")
+    )
+    denom = (
+        (F.col("n11") + F.col("n01")).cast("decimal(38,0)")
+        * (n10 + n00).cast("decimal(38,0)")
+        * F.col("n1").cast("decimal(38,0)")
+        * F.col("n0").cast("decimal(38,0)")
+    )
+    chi2 = F.round(
+        (F.col("n1") + F.col("n0")).cast("double")
+        * (num * num).cast("double") / denom.cast("double"),
+        6,
+    )
+    return (
+        j.select(
+            "term",
+            F.col("n11").cast("long").alias("df_hi"),
+            F.col("n01").cast("long").alias("df_lo"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "term")
+        .limit(C.CHI2_TOP_K)
+    )
+
+
+def q_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window surface: percent_rank + cume_dist per
+    nation over customer spend (the other half of the NTILE family) —
+    partitioned windows, deterministic tie-break, both functions
+    replayed verbatim by the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice"), 2).alias("spend")
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    )
+    return (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+            "spend",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
 def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: last-observation-carried-forward via
     ``last_value(... ignorenulls)`` over a per-user ordered window —
@@ -5514,6 +5606,8 @@ QUERIES = {
     "multimodal_decode_ico": q_multimodal_decode_ico,
     "robots_crawl_delay": q_robots_crawl_delay,
     "locf_gap_fill": q_locf_gap_fill,
+    "spend_rank_profile": q_spend_rank_profile,
+    "chi2_feature_selection": q_chi2_feature_selection,
     "work_items_flatten": q_work_items_flatten,
     "check_metadata_categorical": q_check_metadata_categorical,
     "check_metadata_age": q_check_metadata_age,
