@@ -29,6 +29,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query."""
-    from trollflow2_spark.oracles import ORACLES
+    from trollflow2_spark.oracles import all_oracles
 
-    return dict(ORACLES)
+    return all_oracles()

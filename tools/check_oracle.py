@@ -60,8 +60,10 @@ def main() -> int:
 
     import duckdb
 
-    from trollflow2_spark.oracles import ORACLES
+    from trollflow2_spark.oracles import all_oracles
     from trollflow2_spark.queries import QUERIES
+
+    ORACLES = all_oracles(sf_dir)
     from trollflow2_spark.session import get_spark
     from trollflow2_spark.tables import TABLE_NAMES
 
@@ -89,15 +91,26 @@ def main() -> int:
             print(f"SKIP {name}: no oracle ({len(srows)} rows)")
             continue
         try:
-            cur = con.execute(ORACLES[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(ORACLES[name])
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
         dt = time.time() - t0
         problems = []
+        # permanent type audit: DuckDB HUGEINT/UHUGEINT serialize as
+        # float64 in the driver's hash while Spark emits bigint — any
+        # such output column is a latent hash mismatch (see r7 q12).
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t
+        ]
+        if bad_types:
+            problems.append("oracle type audit: " + ", ".join(bad_types))
         if scols != ocols:
             problems.append(f"columns {scols} != {ocols}")
         if len(srows) != len(orows):

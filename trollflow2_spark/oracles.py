@@ -990,10 +990,10 @@ SELECT CASE
                   CAST(l_shipdate AS TIMESTAMP)) >= {C.Q12_FAST_DAYS}
       THEN 'medium'
     ELSE 'fast' END AS delay_bucket,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{C.Q12_DATE_LO}'
@@ -1365,9 +1365,34 @@ FROM (
 """
 
 
-_uni_sql = _unigram_oracle_sql()
-if _uni_sql is not None:
-    ORACLES["unigram_tokenize"] = _uni_sql
+# Expensive (EM-trains the tokenizer on the oracle corpus): resolved
+# lazily via :func:`all_oracles`, never at import time.
+LAZY_ORACLES: dict = {"unigram_tokenize": _unigram_oracle_sql}
+
+
+def all_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """ORACLES plus the lazily built data-dependent entries, trained on
+    ``sf_dir`` (default: ``SPARK_GRAFT_ORACLE_SF_DIR`` or sf0.01 — the
+    driver's gate corpus). Keeps import of this module free of file I/O
+    and model training."""
+    import os
+
+    out = dict(ORACLES)
+    prev = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if sf_dir is not None:
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    try:
+        for name, builder in LAZY_ORACLES.items():
+            sql = builder()
+            if sql is not None:
+                out[name] = sql
+    finally:
+        if sf_dir is not None:
+            if prev is None:
+                os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+            else:
+                os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = prev
+    return out
 
 
 def _phash_expr() -> str:
@@ -2996,7 +3021,7 @@ GROUP BY source
 ORACLES["corpus_stats"] = """
 SELECT source,
   count(*) AS n_docs,
-  sum(n_chars) AS total_size,
+  CAST(sum(n_chars) AS BIGINT) AS total_size,
   round(avg(n_chars), 6) AS mean_size,
   round(quantile_cont(n_chars, 0.5), 6) AS p50_size,
   round(quantile_cont(n_chars, 0.9), 6) AS p90_size,
