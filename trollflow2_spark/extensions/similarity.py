@@ -493,8 +493,25 @@ def semantic_candidate_pairs(
     shared ``_bucketed_pairs`` salt/cap machinery; the cosine verify
     joins candidate ids back to the vectors (two hash joins on id), so
     a hot cell costs many bounded sub-bucket tasks, never one
-    O(n_cell²) task."""
-    from trollflow2_spark.extensions.dedup import _bucketed_pairs
+    O(n_cell²) task.
+
+    Adaptive routing (r8): unlike the lexical LSH tier, the cell-key
+    cardinality here is the *config-bounded* ``n_clusters`` — so a
+    k-row cell histogram is control-plane-cheap, and the guard only
+    needs to be PAID where it is needed.  Membership (id, cell) is
+    persisted (two narrow columns — the assignment matmul runs exactly
+    once), the histogram is collected, and then per-cell routing:
+    balanced cells take the direct within-cell pair closure (one hash
+    agg, no salting union, no pair ``distinct``); only cells above
+    ``salt_threshold`` ride the salt/cap/recover machinery.  When the
+    histogram shows no hot cell at all — the common case after the
+    :func:`assert_cell_balance` pre-flight — the whole salted branch
+    (and its extra aggregation + distinct shuffle) vanishes from the
+    plan."""
+    from trollflow2_spark.extensions.dedup import (
+        _bucketed_pairs,
+        _pair_explode,
+    )
 
     Cm = np.asarray(centroids, dtype="float64")
 
@@ -506,15 +523,37 @@ def semantic_candidate_pairs(
 
     members = df.select(
         F.col(id_col), assign_cell(F.col(vec_col)).alias("__cell")
-    )
-    cand = _bucketed_pairs(
-        members,
-        id_col,
-        ["__cell"],
-        max_bucket=max_cell,
-        salt_threshold=salt_threshold,
-        recover_rounds=recover_rounds,
-    )
+    ).persist()
+    hist = {
+        r["__cell"]: r["n"]
+        for r in members.groupBy("__cell").agg(F.count("*").alias("n")).collect()
+    }
+    hot = [c for c, n in hist.items() if salt_threshold < n <= max_cell]
+    oversized = [c for c, n in hist.items() if n > max_cell]
+
+    def _direct(m: DataFrame) -> DataFrame:
+        return _pair_explode(
+            m.groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+
+    if not hot and not oversized:
+        cand = _direct(members)
+    else:
+        cold = members.filter(~F.col("__cell").isin(hot + oversized))
+        cand = _direct(cold)
+        if hot:
+            cand = cand.unionByName(
+                _bucketed_pairs(
+                    members.filter(F.col("__cell").isin(hot)),
+                    id_col,
+                    ["__cell"],
+                    max_bucket=max_cell,
+                    salt_threshold=salt_threshold,
+                    recover_rounds=recover_rounds,
+                )
+            )
     # The verify joins need only (id, vector, norm) — NOT the cell — so
     # they read the raw table and skip re-running the assignment UDF
     # (which would otherwise re-score the whole corpus twice more).

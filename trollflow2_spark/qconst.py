@@ -78,7 +78,7 @@ SEMDEDUP_GUARD_T = 64  # guard-stats salt threshold: small enough that the
 SEMDEDUP_GUARD_MAX = 100_000  # drop-outright bound for the guard stats
 
 # --- semantic-skew stress fixture ------------------------------------------
-SEMSKEW_REPLICATE = 2  # embeddings replicated 2x; half the rows overwritten
+SEMSKEW_REPLICATE = 4  # embeddings replicated 4x; half the rows overwritten
 # to one near-identical direction, so one k-means cell holds >50% of the
 # corpus (the embedding-space twin of the skew_seq hot-key fixture)
 SEMSKEW_MOD = 97  # per-row jitter modulus for the hot direction
