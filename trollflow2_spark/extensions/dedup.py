@@ -924,6 +924,7 @@ def hamming1_pairs(
     id_col: str,
     str_col: str,
     max_len: int = 64,
+    id_chunk: int = 4096,
 ) -> DataFrame:
     """Fuzzy string matching at edit distance 1 (substitution) via
     DELETION-NEIGHBORHOOD blocking — the entity-resolution primitive
@@ -938,32 +939,82 @@ def hamming1_pairs(
     pos)`` finds EXACTLY that set — no verification misses, and the
     blowup is bounded by the string length, never the corpus. For
     equal-length strings hamming<=1 == levenshtein<=1, which is what
-    the oracle replays with a quadratic reference join.
+    the oracle replays with a quadratic reference join. For TRUE
+    levenshtein<=1 (insertions/deletions across lengths too) see
+    :func:`levenshtein1_pairs`.
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. Strings
     longer than ``max_len`` are skipped (degenerate blow-up guard —
     fuzzy-matching megabyte blobs is a different problem).
+    """
+    return _edit1_pairs(df, id_col, str_col, max_len, id_chunk, indel=False)
 
-    The candidate join runs over DISTINCT strings, which makes every
-    variant bucket ALPHABET-BOUNDED by construction: two distinct
-    strings share a wildcard variant only by resolving the wildcard to
+
+def levenshtein1_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_len: int = 64,
+    id_chunk: int = 4096,
+) -> DataFrame:
+    """TRUE ``levenshtein(a, b) <= 1`` pairs — substitutions AND
+    insertions/deletions — still without any quadratic join.
+
+    Substitutions ride the same same-position wildcard equi-join as
+    :func:`hamming1_pairs`.  Length±1 pairs use the other half of the
+    deletion-neighborhood construction: deleting one character from
+    ``a`` and landing EXACTLY on ``b`` is, by definition, one edit —
+    so an equi-join of each string's one-deletion set against the
+    distinct-string table is both complete (every indel pair is some
+    single deletion) and exact (no verification pass needed).  A
+    deletion-result bucket is alphabet*length-bounded: the strings
+    deleting to ``b`` are ``b`` with one char inserted somewhere, at
+    most ``|alphabet| * (len(b)+1)`` distinct strings.
+    """
+    return _edit1_pairs(df, id_col, str_col, max_len, id_chunk, indel=True)
+
+
+def _edit1_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_len: int,
+    id_chunk: int,
+    indel: bool,
+) -> DataFrame:
+    """Shared edit-distance-1 machinery over DISTINCT strings.
+
+    Blocking runs over distinct strings, which makes every variant
+    bucket ALPHABET-BOUNDED by construction: two distinct strings
+    share a wildcard variant only by resolving the wildcard to
     different characters, so a bucket holds at most |alphabet| members
     no matter how skewed the id table is (a million rows of the same
     template name collapse to one distinct string before any explode).
-    Ids re-attach afterwards: cross-string matches expand by string
-    multiplicity, and identical-id-class pairs (edit distance 0) are
-    generated directly from the class sizes — both proportional to the
-    OUTPUT, never an intermediate blow-up.
+
+    Ids re-attach afterwards, CHUNKED: each string's id class is split
+    into ``id_chunk``-sized chunk rows (chunk = portable hash of the
+    id mod ceil(n/chunk) — no per-class window sort), so a
+    duplicate-heavy table never materializes one unbounded
+    ``collect_list`` array row on a single executor.  Cross-string
+    matches expand chunk-by-chunk; identical-id-class (distance-0)
+    pairs come from a bounded chunk-pair self-join — both proportional
+    to the OUTPUT, never an intermediate blow-up.
     """
     base = df.select(
         F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
     ).where(F.length("__fs").between(1, max_len))
-    dstr = base.groupBy("__fs").agg(
-        F.collect_list("__fid").alias("__ids")
+    counts = base.groupBy("__fs").agg(F.count("*").alias("__n"))
+    n_chunks = F.ceil(F.col("__n") / F.lit(int(id_chunk))).cast("bigint")
+    chunked = (
+        base.join(counts, "__fs")
+        .withColumn("__chunk", F.pmod(F.xxhash64("__fid"), n_chunks))
+        .groupBy("__fs", "__chunk")
+        .agg(F.collect_list("__fid").alias("__ids"))
     )
+    dstr = counts.select("__fs", F.length("__fs").alias("__flen"))
     variants = dstr.select(
         "__fs",
-        F.length("__fs").alias("__flen"),
+        "__flen",
         F.posexplode(F.split(F.col("__fs"), "")).alias("__pos", "__ch"),
     ).select(
         "__fs",
@@ -987,34 +1038,65 @@ def hamming1_pairs(
         .select("__sa", "__sb")
         .distinct()
     )
-    ids_a = dstr.select(
+    if indel:
+        # one-deletion set of every string joined back against the
+        # distinct strings: del(a) == b  <=>  lev(a, b) == 1 exactly
+        # (lengths differ, so the two branches can never overlap)
+        dels = (
+            dstr.where(F.col("__flen") >= 2)
+            .select(
+                F.col("__fs").alias("__sa"),
+                F.posexplode(F.split(F.col("__fs"), "")).alias(
+                    "__pos", "__ch"
+                ),
+            )
+            .select(
+                "__sa",
+                F.concat(
+                    F.substring(F.col("__sa"), 1, F.col("__pos")),
+                    F.expr("substring(__sa, __pos + 2)"),
+                ).alias("__del"),
+            )
+            .distinct()
+        )
+        indel_pairs = dels.join(
+            dstr.select(F.col("__fs").alias("__sb")),
+            F.col("__del") == F.col("__sb"),
+        ).select("__sa", "__sb")
+        spairs = spairs.unionByName(indel_pairs)
+    ids_a = chunked.select(
         F.col("__fs").alias("__sa"), F.col("__ids").alias("__ids_a")
     )
-    ids_b = dstr.select(
+    ids_b = chunked.select(
         F.col("__fs").alias("__sb"), F.col("__ids").alias("__ids_b")
     )
     cross = (
         spairs.join(ids_a, "__sa")
         .join(ids_b, "__sb")
-        .select(
-            F.explode("__ids_a").alias("__ia"), F.col("__ids_b")
-        )
-        .select(
-            "__ia", F.explode("__ids_b").alias("__ib")
-        )
+        .select(F.explode("__ids_a").alias("__ia"), F.col("__ids_b"))
+        .select("__ia", F.explode("__ids_b").alias("__ib"))
         .select(
             F.least("__ia", "__ib").alias("id_a"),
             F.greatest("__ia", "__ib").alias("id_b"),
         )
     )
-    # identical strings: every id pair within the class (distance 0)
+    # identical strings: every id pair within the class (distance 0) —
+    # chunk-pair self-join, each side a bounded array
+    c1 = chunked.select(
+        "__fs", F.col("__chunk").alias("__c1"), F.col("__ids").alias("__ids_a")
+    )
+    c2 = chunked.select(
+        "__fs", F.col("__chunk").alias("__c2"), F.col("__ids").alias("__ids_b")
+    )
     within = (
-        dstr.where(F.size("__ids") > 1)
-        .select(F.explode("__ids").alias("__ia"), "__ids")
-        .select("__ia", F.explode("__ids").alias("__ib"))
-        .where(F.col("__ia") < F.col("__ib"))
+        c1.join(c2, "__fs")
+        .where(F.col("__c1") <= F.col("__c2"))
+        .select(F.explode("__ids_a").alias("__ia"), F.col("__ids_b"))
+        .select("__ia", F.explode("__ids_b").alias("__ib"))
+        .where(F.col("__ia") != F.col("__ib"))
         .select(
-            F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b")
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
         )
     )
     return cross.unionByName(within).distinct()

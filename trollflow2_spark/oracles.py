@@ -1643,6 +1643,23 @@ FROM customer a JOIN customer b
   AND levenshtein(a.c_name, b.c_name) <= 1
 """
 
+# the full quadratic levenshtein theta-join (substitution AND
+# insert/delete) that levenshtein1_pairs' deletion-neighborhood
+# blocking avoids
+ORACLES["fuzzy_lev_pairs"] = f"""
+WITH f AS (
+  SELECT c_custkey,
+    'c' || (c_custkey % {C.FUZZY_MOD}) ||
+    CASE WHEN c_custkey % {C.FUZZY_SUFFIX_MOD} = 0 THEN 'x' ELSE '' END
+      AS nm
+  FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+FROM f a JOIN f b
+  ON a.c_custkey < b.c_custkey
+  AND levenshtein(a.nm, b.nm) <= 1
+"""
+
 ORACLES["outlier_mad_filter"] = f"""
 WITH med AS (
   SELECT event_type AS mt, quantile_cont(value, 0.5) AS med

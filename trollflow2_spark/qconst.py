@@ -281,3 +281,7 @@ ZORDER_PREFIX_SHIFT = 20  # rollup granularity (top 12 bits of the key)
 # bigram LM quality score (Jelinek-Mercer interpolation)
 BIGRAM_TOP_K = 2000  # bigram table size (broadcast model)
 BIGRAM_LAMBDA = 0.7  # bigram weight; (1-lambda) backs off to unigram
+
+# fuzzy levenshtein<=1 fixture (duplicate-heavy, mixed-length classes)
+FUZZY_MOD = 300  # name classes: 'c' || (custkey % 300)
+FUZZY_SUFFIX_MOD = 7  # every 7th custkey appends 'x' (length+1 class)

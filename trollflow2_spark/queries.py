@@ -3446,6 +3446,33 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_lev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE levenshtein<=1 entity resolution over a duplicate-heavy,
+    mixed-length name fixture ('c' || custkey%300, every 7th row with
+    an extra trailing char): substitutions ride the same-position
+    wildcard join, insert/delete pairs the one-deletion equi-join —
+    the oracle replays the full quadratic levenshtein theta-join this
+    plan avoids. Id classes re-attach in bounded chunks (no unbounded
+    per-class array row)."""
+    from trollflow2_spark.extensions.dedup import levenshtein1_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    fix = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("c"),
+            (F.col("c_custkey") % C.FUZZY_MOD).cast("string"),
+            F.when(
+                F.col("c_custkey") % C.FUZZY_SUFFIX_MOD == 0, F.lit("x")
+            ).otherwise(F.lit("")),
+        ).alias("nm"),
+    )
+    return levenshtein1_pairs(fix, "c_custkey", "nm").select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+    )
+
+
 def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier gate: per event type, median and MAD (median
     absolute deviation) flag values beyond k*MAD — the
@@ -5593,6 +5620,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "scd2_customers": q_scd2_customers,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
