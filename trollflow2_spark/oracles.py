@@ -678,6 +678,67 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# stateful-streaming replays: the applyInPandasWithState kernels'
+# semantics in closed form over the deterministic 3-batch fixture
+ORACLES["streaming_running_counts"] = """
+WITH f AS (
+  SELECT CAST(user_id % {kmod} AS VARCHAR) AS key,
+    event_id % {nb} AS b
+  FROM events WHERE event_id % {sub} = 0
+)
+SELECT key, count(*) AS n_events,
+  count(DISTINCT b) AS n_batches
+FROM f GROUP BY key
+""".format(kmod=C.REPLAY_KEY_MOD, nb=C.REPLAY_BATCHES, sub=C.REPLAY_SUB_MOD)
+
+# the token-bucket recurrence (capacity/refill, refill only at invoked
+# batches, fresh bucket when the host first appears) unrolled over the
+# 3 deterministic micro-batches
+_cap, _ref = C.RATE_CAPACITY, C.RATE_REFILL
+ORACLES["streaming_rate_limit"] = f"""
+WITH f AS (
+  SELECT 'h' || CAST((event_id // {C.RATE_SUB_MOD}) % {C.RATE_HOST_MOD}
+      AS VARCHAR) AS host,
+    'u' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS url,
+    (event_id // {C.RATE_SUB_MOD}) % {C.REPLAY_BATCHES} AS b
+  FROM events WHERE event_id % {C.RATE_SUB_MOD} = 0
+), counts AS (
+  SELECT host,
+    count(*) FILTER (WHERE b = 0) AS n0,
+    count(*) FILTER (WHERE b = 1) AS n1,
+    count(*) FILTER (WHERE b = 2) AS n2
+  FROM f GROUP BY host
+), s0 AS (
+  SELECT *, least(n0, {_cap}) AS a0 FROM counts
+), s1 AS (
+  SELECT *,
+    CASE WHEN n1 = 0 THEN NULL
+         WHEN n0 > 0 THEN least({_cap}, ({_cap} - a0) + {_ref})
+         ELSE {_cap} END AS tb1
+  FROM s0
+), s1a AS (
+  SELECT *, CASE WHEN n1 = 0 THEN 0 ELSE least(n1, tb1) END AS a1 FROM s1
+), s2 AS (
+  SELECT *,
+    CASE WHEN n2 = 0 THEN NULL
+         WHEN n0 > 0 OR n1 > 0 THEN least({_cap},
+           (CASE WHEN n1 > 0 THEN tb1 - a1 ELSE {_cap} - a0 END)
+             + {_ref})
+         ELSE {_cap} END AS tb2
+  FROM s1a
+), st AS (
+  SELECT *, CASE WHEN n2 = 0 THEN 0 ELSE least(n2, tb2) END AS a2 FROM s2
+)
+SELECT f.host, f.url,
+  CAST(CASE WHEN row_number() OVER (PARTITION BY f.host, f.b ORDER BY f.url)
+      <= CASE f.b WHEN 0 THEN a0 WHEN 1 THEN a1 ELSE a2 END
+    THEN 1 ELSE 0 END AS INTEGER) AS admitted,
+  CAST(CASE f.b WHEN 0 THEN {_cap} - a0
+       WHEN 1 THEN tb1 - a1
+       ELSE tb2 - a2 END AS BIGINT) AS tokens_left
+FROM f JOIN st USING (host)
+"""
+
 # robots politeness gate: the disallow-prefix fold replayed with list
 # ops over the same closed-form per-domain rules
 ORACLES["robots_filter"] = """

@@ -285,3 +285,13 @@ BIGRAM_LAMBDA = 0.7  # bigram weight; (1-lambda) backs off to unigram
 # fuzzy levenshtein<=1 fixture (duplicate-heavy, mixed-length classes)
 FUZZY_MOD = 300  # name classes: 'c' || (custkey % 300)
 FUZZY_SUFFIX_MOD = 7  # every 7th custkey appends 'x' (length+1 class)
+
+# --- stateful-streaming batch replay (contract queries) ---------------------
+REPLAY_BATCHES = 3  # micro-batches (one file each, oldest-mtime first)
+REPLAY_KEY_MOD = 41  # running-counts keys: user_id % 41 (some keys miss
+# batches at small sf, so n_batches genuinely varies per key)
+REPLAY_SUB_MOD = 5  # running-counts fixture: event_id % 5 == 0
+RATE_SUB_MOD = 50  # rate-limit fixture: event_id % 50 == 0
+RATE_HOST_MOD = 23  # hosts: 'h' || ((event_id/50) % 23)
+RATE_CAPACITY = 2  # token-bucket burst capacity
+RATE_REFILL = 1  # tokens refilled per invoked micro-batch

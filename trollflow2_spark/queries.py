@@ -1668,6 +1668,91 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming contract: running per-key counts
+    (``applyInPandasWithState``) driven through a REAL 3-micro-batch
+    replay of a deterministic events fixture (key = user_id % 41,
+    batch = event_id % 3). The memory sink's update rows reduce to the
+    final state per key (the max-n_batches row); the oracle replays
+    the state semantics as one aggregate: n_events = count, n_batches
+    = count of distinct batches the key appears in (the kernel is
+    invoked only for keys with data in the batch)."""
+    from trollflow2_spark.streaming.stateful import (
+        replay_batches,
+        running_counts,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % C.REPLAY_SUB_MOD == 0)
+        .select(
+            (F.col("user_id") % C.REPLAY_KEY_MOD).cast("string").alias("k"),
+            (F.col("event_id") % C.REPLAY_BATCHES).alias("b"),
+        )
+    )
+    rows = ev.collect()  # config-bounded fixture subset (control plane)
+    batches = [
+        [{"k": r["k"]} for r in rows if r["b"] == i]
+        for i in range(C.REPLAY_BATCHES)
+    ]
+    sunk = replay_batches(
+        spark, batches, "k string", lambda st: running_counts(st, "k")
+    )
+    return (
+        sunk.groupBy("key")
+        .agg(F.max(F.struct("n_batches", "n_events")).alias("s"))
+        .select(
+            "key",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.n_batches").alias("n_batches"),
+        )
+    )
+
+
+def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming contract: the per-host token-bucket
+    politeness gate replayed over 3 deterministic micro-batches
+    (capacity 2, refill 1; host = (event_id/50) % 23, batch =
+    (event_id/50) % 3, urls zero-padded so byte order == numeric
+    order). Every admit/defer decision and tokens_left value is
+    closed-form, so the oracle replays the 3-step bucket recurrence in
+    SQL — including hosts that miss batches (no invocation => no
+    refill, no state)."""
+    from trollflow2_spark.streaming.stateful import (
+        host_rate_limit,
+        replay_batches,
+    )
+
+    j = (F.col("event_id") / C.RATE_SUB_MOD).cast("bigint")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % C.RATE_SUB_MOD == 0)
+        .select(
+            F.concat(F.lit("h"), (j % C.RATE_HOST_MOD).cast("string")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("u"), F.lpad(F.col("event_id").cast("string"), 10, "0")
+            ).alias("url"),
+            (j % C.REPLAY_BATCHES).alias("b"),
+        )
+    )
+    rows = ev.collect()  # config-bounded fixture subset (control plane)
+    batches = [
+        [{"host": r["host"], "url": r["url"]} for r in rows if r["b"] == i]
+        for i in range(C.REPLAY_BATCHES)
+    ]
+    sunk = replay_batches(
+        spark,
+        batches,
+        "host string, url string",
+        lambda st: host_rate_limit(
+            st, capacity=C.RATE_CAPACITY, refill=C.RATE_REFILL
+        ),
+    )
+    return sunk.select("host", "url", "admitted", "tokens_left")
+
+
 def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows as a BATCH contract query: Spark's
     native ``F.window`` (epoch-aligned 1-hour buckets — the same
@@ -5621,6 +5706,8 @@ QUERIES = {
     "scd2_customers": q_scd2_customers,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
+    "streaming_running_counts": q_streaming_running_counts,
+    "streaming_rate_limit": q_streaming_rate_limit,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,

@@ -243,3 +243,53 @@ def host_rate_limit(
         outputMode="update",
         timeoutConf=mode,
     )
+
+
+def replay_batches(spark, batches, schema: str, op, timeout_s: int = 180):
+    """Drive a stateful operator through a REAL micro-batched stream
+    deterministically, batch-by-batch, and return the memory-sink rows
+    as a batch DataFrame — the replay harness behind the stateful
+    tier's contract queries (so the driver can hash
+    ``applyInPandasWithState`` state like any batch query).
+
+    One JSON file is written per batch with strictly increasing mtimes;
+    ``maxFilesPerTrigger=1`` + ``availableNow`` makes the file source
+    process exactly one file per micro-batch, oldest first, so batch
+    order (and therefore every state transition) is closed-form.
+
+    The fixture write is driver-side by design: contract fixtures are
+    config-bounded subsets (the real ingest path streams from object
+    storage), so this is control-plane work like the k-means sample.
+    """
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="tf2_replay_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = os.path.join(src, f"b{i:04d}.json")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = "tf2_replay_" + uuid.uuid4().hex[:12]
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
