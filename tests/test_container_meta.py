@@ -1,0 +1,52 @@
+"""Container-metadata extraction: header-only parses of real
+wav/mp3/mp4/ogg bytes, with corrupt/unknown payloads quarantined as
+container='unknown' rows (never a task failure)."""
+
+from __future__ import annotations
+
+from trollflow2_spark.queries import _container_blob
+
+
+def test_parsers_roundtrip_fixture():
+    from trollflow2_spark.extensions.multimodal import (
+        _parse_bmff,
+        _parse_mp3,
+        _parse_ogg,
+        _parse_wav,
+    )
+
+    w = _parse_wav(_container_blob(0))
+    assert w["codec"] == "pcm" and w["title"] == "doc0"
+    assert w["sample_rate"] == 8000 and w["duration_ms"] == 500 * 1000 // 8000
+
+    m = _parse_mp3(_container_blob(1))
+    assert m["codec"] == "mp3" and m["bit_rate"] == 40_000
+    assert m["sample_rate"] == 48000
+    assert m["duration_ms"] == (4000 + 1) * 8 // 40
+
+    v = _parse_bmff(_container_blob(2))
+    assert v["codec"] == "isom"
+    assert v["duration_ms"] == (3000 + 2) * 1000 // (600 * 3)
+
+    o = _parse_ogg(_container_blob(3))
+    assert o["codec"] == "vorbis" and o["sample_rate"] == 44100
+    assert o["n_channels"] == 2 and o["bit_rate"] == 64000 + 3000
+
+
+def test_unknown_and_corrupt_quarantine(spark):
+    from trollflow2_spark.extensions.multimodal import container_metadata
+
+    rows = [
+        (1, bytearray(b"not a container at all")),
+        (2, bytearray(b"RIFF\xff\xff")),  # truncated RIFF
+        (3, bytearray(b"ID3")),  # truncated ID3
+        (4, None),
+        (5, bytearray(_container_blob(0))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in container_metadata(df).collect()}
+    assert out[1]["container"] == "unknown"
+    assert out[2]["container"] == "unknown"
+    assert out[3]["container"] == "unknown"
+    assert out[4]["container"] == "unknown"
+    assert out[5]["container"] == "wav" and out[5]["codec"] == "pcm"

@@ -792,3 +792,186 @@ def perceptual_hash(
     return df.select(id_col, media_col, meta_col).mapInPandas(
         kernel, out_schema
     )
+
+
+CONTAINER_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("bit_rate", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+# MPEG1 Layer III bitrate table (kbps), 1-indexed by the 4-bit header
+# field; index 0 is "free format" and 15 is invalid
+_MP3_BITRATES = [
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def _parse_wav(b: bytes) -> dict | None:
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    out = {"container": "wav"}
+    pos, byte_rate, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt " and csz >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            out["codec"] = "pcm" if fmt == 1 else f"fmt{fmt}"
+            out["n_channels"] = int.from_bytes(body[2:4], "little")
+            out["sample_rate"] = int.from_bytes(body[4:8], "little")
+            byte_rate = int.from_bytes(body[8:12], "little")
+            out["bit_rate"] = byte_rate * 8
+        elif cid == b"data":
+            data_size = csz
+        elif cid == b"LIST" and body[:4] == b"INFO":
+            # RIFF-INFO sub-chunks; INAM carries the title
+            q = 4
+            while q + 8 <= len(body):
+                sid = body[q : q + 4]
+                ssz = int.from_bytes(body[q + 4 : q + 8], "little")
+                if sid == b"INAM":
+                    out["title"] = (
+                        body[q + 8 : q + 8 + ssz].rstrip(b"\x00").decode(
+                            "ascii", "replace"
+                        )
+                    )
+                q += 8 + ssz + (ssz & 1)
+        pos += 8 + csz + (csz & 1)
+    if byte_rate and data_size is not None:
+        out["duration_ms"] = data_size * 1000 // byte_rate
+    return out
+
+
+def _parse_mp3(b: bytes) -> dict | None:
+    if len(b) < 10 or b[:3] != b"ID3":
+        return None
+    # syncsafe 28-bit tag size (7 bits per byte)
+    sz = 0
+    for x in b[6:10]:
+        sz = (sz << 7) | (x & 0x7F)
+    frame_at = 10 + sz
+    out = {"container": "mp3", "codec": "mp3"}
+    fh = b[frame_at : frame_at + 4]
+    if len(fh) == 4 and fh[0] == 0xFF and (fh[1] & 0xE0) == 0xE0:
+        version = (fh[1] >> 3) & 3  # 3 = MPEG1
+        layer = (fh[1] >> 1) & 3  # 1 = Layer III
+        if version == 3 and layer == 1:
+            kbps = _MP3_BITRATES[fh[2] >> 4]
+            sr_idx = (fh[2] >> 2) & 3
+            if kbps and sr_idx < 3:
+                out["bit_rate"] = kbps * 1000
+                out["sample_rate"] = _MP3_RATES[sr_idx]
+                audio = len(b) - frame_at
+                out["duration_ms"] = audio * 8 // kbps
+    return out
+
+
+def _parse_bmff(b: bytes) -> dict | None:
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    out = {"container": "mp4", "codec": b[8:12].decode("ascii", "replace")}
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            bsz = int.from_bytes(b[pos : pos + 4], "big")
+            btype = b[pos + 4 : pos + 8]
+            if bsz < 8:
+                return
+            if btype == b"moov":
+                walk(pos + 8, pos + bsz)
+            elif btype == b"mvhd" and bsz >= 24:
+                body = b[pos + 8 : pos + bsz]
+                if body[0] == 0:  # version 0: 32-bit fields
+                    ts = int.from_bytes(body[12:16], "big")
+                    dur = int.from_bytes(body[16:20], "big")
+                    if ts:
+                        out["duration_ms"] = dur * 1000 // ts
+            pos += bsz
+
+    walk(0, len(b))
+    return out
+
+
+def _parse_ogg(b: bytes) -> dict | None:
+    if len(b) < 28 or b[:4] != b"OggS":
+        return None
+    nsegs = b[26]
+    payload = b[27 + nsegs :]
+    out = {"container": "ogg"}
+    if payload[:7] == b"\x01vorbis" and len(payload) >= 28:
+        out["codec"] = "vorbis"
+        out["n_channels"] = payload[11]
+        out["sample_rate"] = int.from_bytes(payload[12:16], "little")
+        out["bit_rate"] = int.from_bytes(payload[20:24], "little")
+    elif payload[:8] == b"OpusHead":
+        out["codec"] = "opus"
+        out["n_channels"] = payload[9]
+        out["sample_rate"] = 48000
+    return out
+
+
+def container_metadata(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Container-level metadata from media the pipeline will NOT
+    transcode: ID3v2+MPEG frame header (mp3), RIFF-WAVE fmt/data/INFO
+    (wav), ISO-BMFF ftyp/moov/mvhd (mp4), and the Ogg Vorbis/Opus id
+    header — cheap pure-byte parses that turn would-be
+    ``unsupported_codec`` quarantine rows into (duration, bitrate,
+    codec, title) rows, which is what a 100 TB crawl actually needs
+    from media it keeps as opaque blobs.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, header-only reads (no
+    decode), output a fixed 8-column row per blob. Unrecognized or
+    corrupt payloads report ``container='unknown'`` with NULL fields —
+    never a task failure.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                meta: dict | None = None
+                try:
+                    b = bytes(blob) if blob is not None else b""
+                    meta = (
+                        _parse_wav(b)
+                        or _parse_mp3(b)
+                        or _parse_bmff(b)
+                        or _parse_ogg(b)
+                    )
+                except Exception:
+                    meta = None
+                meta = meta or {"container": "unknown"}
+                rows.append(
+                    (
+                        int(d),
+                        meta.get("container"),
+                        meta.get("codec"),
+                        meta.get("duration_ms"),
+                        meta.get("bit_rate"),
+                        meta.get("sample_rate"),
+                        meta.get("n_channels"),
+                        meta.get("title"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CONTAINER_META_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, CONTAINER_META_SCHEMA
+    )

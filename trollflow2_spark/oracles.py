@@ -678,6 +678,46 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# container-metadata fixture replay: every header field of the
+# wav/mp3/mp4/ogg blobs is closed-form in doc_id, so the oracle states
+# the parsed result per container branch
+ORACLES["media_container_metadata"] = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
+       WHEN 2 THEN 'mp4' ELSE 'ogg' END AS container,
+  CASE doc_id % 4 WHEN 0 THEN 'pcm' WHEN 1 THEN 'mp3'
+       WHEN 2 THEN 'isom' ELSE 'vorbis' END AS codec,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN ((500 + doc_id % 100) * 1000)
+                  // (8000 * (1 + doc_id % 3))
+    WHEN 1 THEN ((4000 + doc_id % 512) * 8)
+                  // list_extract([32, 40, 48, 56, 64, 80, 96, 112,
+                                  128, 160, 192, 224, 256, 320],
+                                 CAST(1 + doc_id % 14 AS INTEGER))
+    WHEN 2 THEN ((3000 + doc_id % 1000) * 1000)
+                  // (600 * (1 + doc_id % 4))
+    ELSE NULL END AS BIGINT) AS duration_ms,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2 * 8
+    WHEN 1 THEN list_extract([32, 40, 48, 56, 64, 80, 96, 112,
+                              128, 160, 192, 224, 256, 320],
+                             CAST(1 + doc_id % 14 AS INTEGER)) * 1000
+    WHEN 2 THEN NULL
+    ELSE 64000 + 1000 * (doc_id % 32) END AS BIGINT) AS bit_rate,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 8000 * (1 + doc_id % 3)
+    WHEN 1 THEN list_extract([44100, 48000, 32000],
+                             CAST(1 + doc_id % 3 AS INTEGER))
+    WHEN 2 THEN NULL
+    ELSE 22050 * (1 + doc_id % 2) END AS INTEGER) AS sample_rate,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 1 + doc_id % 2
+    WHEN 3 THEN 1 + doc_id % 2
+    ELSE NULL END AS INTEGER) AS n_channels,
+  CASE doc_id % 4 WHEN 0 THEN 'doc' || doc_id ELSE NULL END AS title
+FROM documents
+"""
+
 # stateful-streaming replays: the applyInPandasWithState kernels'
 # semantics in closed form over the deterministic 3-batch fixture
 ORACLES["streaming_running_counts"] = """

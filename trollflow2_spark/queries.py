@@ -4312,6 +4312,110 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extensions: multimodal
 
 
+def _container_blob(d: int) -> bytes:
+    """Deterministic container-format fixture blob for doc_id ``d``
+    (cycles wav / mp3 / mp4 / ogg-vorbis); every header field is
+    closed-form in ``d`` so the oracle states the parsed metadata
+    directly."""
+    m = d % 4
+    if m == 0:  # RIFF-WAVE, pcm, with an INFO/INAM title
+        sr = 8000 * (1 + d % 3)
+        ch = 1 + d % 2
+        ns = 500 + d % 100
+        block = ch * 2
+        byte_rate = sr * block
+        title = f"doc{d}".encode()
+        if len(title) % 2:
+            title += b"\x00"
+        inam = b"INAM" + len(title).to_bytes(4, "little") + title
+        info = b"INFO" + inam
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + sr.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+            + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        lst = b"LIST" + len(info).to_bytes(4, "little") + info
+        data = b"data" + (ns * block).to_bytes(4, "little") + bytes(ns * block)
+        body = b"WAVE" + fmt + lst + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+    if m == 1:  # ID3v2.4 tag + MPEG1 Layer III frames
+        t = 100 + d % 50
+        kbps_idx = 1 + d % 14
+        sr_idx = d % 3
+        audio = 4000 + d % 512
+        hdr = b"ID3\x04\x00\x00" + bytes(
+            [(t >> 21) & 0x7F, (t >> 14) & 0x7F, (t >> 7) & 0x7F, t & 0x7F]
+        )
+        fh = bytes([0xFF, 0xFB, (kbps_idx << 4) | (sr_idx << 2), 0])
+        return hdr + bytes(t) + fh + bytes(audio - 4)
+    if m == 2:  # ISO-BMFF: ftyp + moov/mvhd + mdat
+        ts = 600 * (1 + d % 4)
+        dur = 3000 + d % 1000
+        ftyp = (
+            (24).to_bytes(4, "big") + b"ftypisom"
+            + (0).to_bytes(4, "big") + b"isomiso2"
+        )
+        mvhd_body = bytes(12) + ts.to_bytes(4, "big") + dur.to_bytes(4, "big") + bytes(80)
+        mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+        moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+        mdat = (40).to_bytes(4, "big") + b"mdat" + bytes(32)
+        return ftyp + moov + mdat
+    # Ogg page 0 carrying the Vorbis identification header
+    sr = 22050 * (1 + d % 2)
+    ch = 1 + d % 2
+    nominal = 64000 + 1000 * (d % 32)
+    pkt = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([ch])
+        + sr.to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + nominal.to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + bytes([0xB8]) + b"\x01"
+    )
+    page = (
+        b"OggS" + bytes([0, 2]) + bytes(8) + bytes(4) + bytes(4)
+        + bytes(4) + bytes([1, len(pkt)])
+    )
+    return page + pkt
+
+
+def q_media_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata extraction over real wav/mp3/mp4/ogg bytes:
+    the fixture blobs carry genuine RIFF / ID3v2+MPEG / ISO-BMFF / Ogg
+    headers built closed-form from doc_id, and
+    :func:`container_metadata` parses them back header-only (no
+    decode) — duration, bitrate, codec, title: the metadata a crawl
+    keeps for media it will never transcode. The oracle states the
+    same arithmetic per container branch."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import (
+        CONTAINER_META_SCHEMA,
+        container_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [_container_blob(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return container_metadata(media)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return media_metadata(attach_fake_media(docs))
@@ -5708,6 +5812,7 @@ QUERIES = {
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
     "streaming_running_counts": q_streaming_running_counts,
     "streaming_rate_limit": q_streaming_rate_limit,
+    "media_container_metadata": q_media_container_metadata,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
