@@ -201,6 +201,11 @@ OPERATORS = [
     "multimodal_decode_ico",  # favicon decode (largest entry, ICO DIB)
     "spend_rank_profile",  # percent_rank + cume_dist windows
     "chi2_feature_selection",  # exact chi-square term selection
+    # round 8 additions
+    "fuzzy_lev_pairs",  # true levenshtein<=1 incl. indel, chunked classes
+    "streaming_running_counts",  # applyInPandasWithState 3-batch replay
+    "streaming_rate_limit",  # token-bucket politeness gate replay
+    "media_container_metadata",  # wav/mp3/mp4/ogg header-only parse
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.
@@ -323,6 +328,42 @@ def main() -> int:
         json.dump(detail, fh, indent=1)
     print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
 
+    # self-diagnosing round-over-round regression list: queries >1.5x
+    # their previous-round detail time (and >0.3s absolute, so noise on
+    # sub-second queries doesn't alarm) — makes host-stall vs genuine
+    # regressions distinguishable without judge archaeology
+    prev = _previous_detail(detail_path)
+    if prev:
+        prev_q = {**prev.get("queries", {}), **prev.get("stress", {})}
+        now_q = {**detail["queries"], **detail["stress"]}
+        regressions = sorted(
+            (
+                (k, prev_q[k], v)
+                for k, v in now_q.items()
+                if k in prev_q
+                and prev_q[k] > 0
+                and v > 1.5 * prev_q[k]
+                and v - prev_q[k] > 0.3
+            ),
+            key=lambda t: -(t[2] / t[1]),
+        )
+        if regressions:
+            print(
+                "# REGRESSIONS vs "
+                + prev["__file__"]
+                + ": "
+                + ", ".join(
+                    f"{k} {a:.2f}s->{b:.2f}s ({b / a:.1f}x)"
+                    for k, a, b in regressions
+                ),
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"# no >1.5x regressions vs {prev['__file__']}",
+                file=sys.stderr,
+            )
+
     top10 = dict(
         sorted(((k, round(v, 2)) for k, v in times.items()),
                key=lambda kv: -kv[1])[:10]
@@ -343,6 +384,28 @@ def main() -> int:
     )
     spark.stop()
     return 0
+
+
+def _previous_detail(current_path: str) -> dict | None:
+    """Most recent BENCH_DETAIL_r*.json other than the one being
+    written (for the round-over-round regression list)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        p
+        for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+        if os.path.abspath(p) != os.path.abspath(current_path)
+    )
+    for p in reversed(cands):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            d["__file__"] = os.path.basename(p)
+            return d
+        except Exception:
+            continue
+    return None
 
 
 def _current_round() -> int:

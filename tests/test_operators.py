@@ -366,6 +366,39 @@ def test_zorder_key_matches_python_reference(spark):
         assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
 
 
+def test_zorder_time_bucket_wraps_not_aliases(spark):
+    """q_zorder_layout's minute dimension pmods into [0, 2**bits):
+    events far past (or before) the epoch wrap deterministically to
+    the oracle-shared residue instead of silently aliasing on the low
+    bits of an out-of-range value."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark import qconst as C
+
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, epoch + datetime.timedelta(minutes=5)),
+        (2, epoch + datetime.timedelta(minutes=(1 << C.ZORDER_BITS) + 5)),
+        (3, epoch - datetime.timedelta(minutes=7)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    tb = F.pmod(
+        F.floor(
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lit(C.ZORDER_EPOCH).cast("timestamp")))
+            / 60
+        ),
+        F.lit(1 << C.ZORDER_BITS),
+    )
+    got = {r["event_id"]: r["tb"] for r in df.select("event_id", tb.alias("tb")).collect()}
+    m = 1 << C.ZORDER_BITS
+    assert got[1] == 5
+    assert got[2] == 5  # wraps, same residue as event 1
+    assert got[3] == (m - 7)  # negative minutes wrap into range
+
+
 def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     """Writing z-ordered makes every output file compact in BOTH
     dimensions: the sum of per-file bounding-box areas is a small

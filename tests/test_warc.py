@@ -241,3 +241,23 @@ def test_warc_python_datasource(spark, tmp_path):
     assert (
         spark.read.format("warc").load(str(d / "*.warc.gz")).count() == 3
     )
+    # wildcards in NON-terminal components: match one directory level
+    d2 = tmp_path / "multi" / "2024-01"
+    d2.mkdir(parents=True)
+    (d2 / "p.warc.gz").write_bytes(
+        gzip.compress(rec(b"http://m/1", b"<p>m1</p>"))
+    )
+    d3 = tmp_path / "multi" / "2024-02" / "deep"
+    d3.mkdir(parents=True)
+    (d3 / "p.warc.gz").write_bytes(
+        gzip.compress(rec(b"http://m/2", b"<p>m2</p>"))
+    )
+    pat = str(tmp_path / "multi" / "2024-*" / "p.warc.gz")
+    got = spark.read.format("warc").load(pat)
+    # the * spans exactly one level: the deep file does not match
+    assert [r["warc_target_uri"] for r in got.collect()] == ["http://m/1"]
+    # multi-path load: both directories in one scan
+    both = spark.read.format("warc").load(
+        [str(d2), str(tmp_path / "multi" / "2024-02")]
+    )
+    assert both.count() == 2

@@ -1861,8 +1861,10 @@ def _zorder_oracle() -> str:
 WITH dims AS (
   SELECT event_id,
     CAST(user_id % 1024 AS BIGINT) AS ub,
-    CAST(floor(epoch(CAST(ts AS TIMESTAMP)
-      - TIMESTAMP '{C.ZORDER_EPOCH}') / 60) AS BIGINT) AS tb
+    ((CAST(floor(epoch(CAST(ts AS TIMESTAMP)
+        - TIMESTAMP '{C.ZORDER_EPOCH}') / 60) AS BIGINT)
+       % (1 << {C.ZORDER_BITS})) + (1 << {C.ZORDER_BITS}))
+      % (1 << {C.ZORDER_BITS}) AS tb
   FROM events
 ), keyed AS (
   SELECT event_id, {zexpr} AS zkey FROM dims

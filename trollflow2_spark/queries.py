@@ -3353,9 +3353,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ub = F.pmod(F.col("user_id"), F.lit(1024))
-    tb = F.floor(
-        (F.unix_timestamp("ts") - F.unix_timestamp(_ntz(C.ZORDER_EPOCH)))
-        / 60
+    # pmod into the key's bit range: minutes past ~45 days (or before
+    # the epoch) would otherwise alias silently on the low 16 bits —
+    # the wrap is now explicit and shared with the oracle
+    tb = F.pmod(
+        F.floor(
+            (F.unix_timestamp("ts") - F.unix_timestamp(_ntz(C.ZORDER_EPOCH)))
+            / 60
+        ),
+        F.lit(1 << C.ZORDER_BITS),
     )
     keyed = ev.select(
         F.col("event_id"),

@@ -40,59 +40,103 @@ from trollflow2_spark.sources.warc import (
 
 
 class _WarcFilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, src: str) -> None:
         self.path = path
+        self.src = src  # original load uri: executor-side fs re-resolve
+
+
+_GLOB_CHARS = "*?["
+
+
+def _components_match(path: str, pattern: str) -> bool:
+    """Glob match component-by-component, so ``*`` never crosses a
+    ``/`` (``/crawl/2024-*/x.warc.gz`` matches one directory level, not
+    arbitrarily deep trees; ``**`` is not supported)."""
+    import fnmatch
+
+    pc = [c for c in path.split("/") if c]
+    gc = [c for c in pattern.split("/") if c]
+    return len(pc) == len(gc) and all(
+        fnmatch.fnmatch(a, b) for a, b in zip(pc, gc)
+    )
 
 
 class _WarcReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        path = options.get("path")
-        if not path:
-            raise ValueError("warc datasource needs a load path")
-        self._path = path
+        import json
 
-    def partitions(self):
+        paths: list[str] = []
+        multi = options.get("paths")
+        if multi:
+            try:
+                parsed = json.loads(multi)
+            except (TypeError, ValueError):
+                parsed = None
+            if not isinstance(parsed, list) or not all(
+                isinstance(p, str) for p in parsed
+            ):
+                raise ValueError(
+                    "warc datasource: 'paths' must be a JSON list of "
+                    f"strings, got {multi!r}"
+                )
+            paths.extend(parsed)
+        single = options.get("path")
+        if single:
+            paths.append(single)
+        if not paths:
+            raise ValueError("warc datasource needs a load path")
+        self._paths = paths
+
+    @staticmethod
+    def _list_one(src: str) -> list[str]:
         # driver-side listing only — paths, not bytes
         from pyarrow import fs as pafs
 
-        filesystem, root = pafs.FileSystem.from_uri(self._path)
-        if "*" in root or "?" in root:
-            # glob: list the parent and filter by the pattern
-            import fnmatch
-            import posixpath
-
-            parent = posixpath.dirname(root)
-            pattern = posixpath.basename(root)
-            sel = pafs.FileSelector(parent, recursive=False)
-            names = [
+        filesystem, root = pafs.FileSystem.from_uri(src)
+        if any(ch in root for ch in _GLOB_CHARS):
+            # glob anywhere in the path: walk from the deepest
+            # non-glob ancestor and match the full relative path, so
+            # patterns like /crawl/2024-*/part.warc.gz work too
+            parts = root.split("/")
+            base_parts = []
+            for part in parts:
+                if any(ch in part for ch in _GLOB_CHARS):
+                    break
+                base_parts.append(part)
+            base = "/".join(base_parts) or "/"
+            sel = pafs.FileSelector(base, recursive=True)
+            return [
                 info.path
                 for info in filesystem.get_file_info(sel)
-                if info.is_file
-                and fnmatch.fnmatch(posixpath.basename(info.path), pattern)
+                if info.is_file and _components_match(info.path, root)
             ]
-        else:
-            info = filesystem.get_file_info(root)
-            if info.type == pafs.FileType.Directory:
-                sel = pafs.FileSelector(root, recursive=True)
-                names = [
-                    i.path
-                    for i in filesystem.get_file_info(sel)
-                    if i.is_file
-                ]
-            else:
-                names = [root]
-        if not names:
-            raise FileNotFoundError(
-                f"warc datasource: no files match {self._path!r}"
+        info = filesystem.get_file_info(root)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(root, recursive=True)
+            return [
+                i.path for i in filesystem.get_file_info(sel) if i.is_file
+            ]
+        return [root]
+
+    def partitions(self):
+        out = []
+        for src in self._paths:
+            out.extend(
+                _WarcFilePartition(p, src)
+                for p in sorted(self._list_one(src))
             )
-        return [_WarcFilePartition(p) for p in sorted(names)]
+        if not out:
+            raise FileNotFoundError(
+                f"warc datasource: no files match {self._paths!r}"
+            )
+        return out
 
     def read(self, partition):
         from pyarrow import fs as pafs
 
         # re-resolve the filesystem executor-side (partitions must stay
         # picklable; a FileSystem handle is not)
-        filesystem, _ = pafs.FileSystem.from_uri(self._path)
+        filesystem, _ = pafs.FileSystem.from_uri(partition.src)
         with filesystem.open_input_stream(partition.path) as fh:
             blob = fh.read()
         fields = [f.name for f in WARC_RECORD_SCHEMA.fields]
