@@ -689,6 +689,67 @@ def repeated_ngram_spans(
     )
 
 
+def scrub_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): cut
+    the :func:`repeated_ngram_spans` token ranges OUT of each document
+    and return the scrubbed text — span-level dedup keeps the unique
+    prose where doc-level dedup would drop the whole document.
+
+    Scale shape: the spans table is grouped to one bounded array per
+    affected doc (spans are disjoint merged islands, so there are at
+    most n_tokens/n of them), LEFT-joined back to the corpus on the id,
+    and the cut itself is pure nested higher-order Column work
+    (transform-with-index + exists + filter + concat_ws) — whole-stage
+    codegen, no Python, no extra shuffle beyond the span build.
+
+    Output: (id, clean_text, n_tokens, n_removed, n_spans).
+    """
+    spans = repeated_ngram_spans(
+        df, text_col=text_col, id_col=id_col, n=n, min_docs=min_docs
+    )
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            )
+        ).alias("__spans")
+    )
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = df.join(sp, id_col, "left").select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        F.coalesce(F.col("__spans"), empty).alias("__spans"),
+    )
+    kept = F.filter(
+        F.transform(
+            "__toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda p: ~F.exists(
+            "__spans",
+            lambda sp_: (p["i"] >= sp_["s"]) & (p["i"] <= sp_["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: p["t"])
+        ).alias("clean_text"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.size("__spans").cast("bigint").alias("n_spans"),
+    )
+
+
 def incremental_exact_dedup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -1998,8 +1998,9 @@ SELECT doc_id,
 FROM starts
 """
 
-ORACLES["repeated_ngram_spans"] = f"""
-WITH base AS (
+# shared CTE chain ending in a `spans` relation (doc_id, span_start,
+# span_end) — consumed by both repeated_ngram_spans and the scrub query
+_REPEAT_SPAN_CTES = f"""base AS (
   SELECT doc_id, {_SHINGLES_RS} AS s, len({TOKENS_SQL("text")}) AS ntok
   FROM documents
 ), sh AS (
@@ -2028,12 +2029,44 @@ WITH base AS (
     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM isl
+), spans AS (
+  SELECT doc_id,
+    CAST(min(pos) AS BIGINT) AS span_start,
+    CAST(max(e) AS BIGINT) AS span_end
+  FROM isl2 GROUP BY doc_id, island
+)"""
+
+ORACLES["repeated_ngram_spans"] = f"""
+WITH {_REPEAT_SPAN_CTES}
+SELECT doc_id, span_start, span_end,
+  span_end - span_start + 1 AS span_tokens
+FROM spans
+"""
+
+ORACLES["scrub_repeated_spans"] = f"""
+WITH {_REPEAT_SPAN_CTES},
+sp AS (
+  SELECT doc_id,
+    list(struct_pack(s := span_start, e := span_end)) AS spans
+  FROM spans GROUP BY doc_id
+), tk AS (
+  SELECT d.doc_id, {TOKENS_SQL("d.text")} AS toks,
+    coalesce(sp.spans, []) AS spans
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+), cut AS (
+  SELECT doc_id, toks, spans,
+    list_filter(range(len(toks)),
+      i -> len(list_filter(spans,
+             x -> i >= x.s AND i <= x.e)) = 0) AS kept
+  FROM tk
 )
 SELECT doc_id,
-  CAST(min(pos) AS BIGINT) AS span_start,
-  CAST(max(e) AS BIGINT) AS span_end,
-  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
-FROM isl2 GROUP BY doc_id, island
+  coalesce(array_to_string(list_transform(kept, i -> toks[i + 1]),
+                           ' '), '') AS clean_text,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+  CAST(len(spans) AS BIGINT) AS n_spans
+FROM cut
 """
 
 _SHINGLES_FP = WORD_SHINGLES_SQL("text", C.FINGERPRINT_SHINGLE_WORDS)

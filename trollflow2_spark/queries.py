@@ -2317,6 +2317,20 @@ def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup, the removal half (Lee et al.
+    scrub): the repeated_ngram_spans token ranges are cut OUT of each
+    document with nested higher-order Column ops (transform-with-index
+    + exists + filter) — scrubbed text plus removal accounting, no
+    Python in the cut."""
+    from trollflow2_spark.extensions.dedup import scrub_repeated_spans
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return scrub_repeated_spans(
+        docs, n=C.REPEAT_NGRAM_N, min_docs=C.REPEAT_MIN_DOCS
+    )
+
+
 def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans (the Lee-et-al. scrub shape):
     per doc, merged token ranges covered by word n-grams repeated
@@ -5899,6 +5913,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "repeated_ngram_spans": q_repeated_ngram_spans,
+    "scrub_repeated_spans": q_scrub_repeated_spans,
     "line_dedup": q_line_dedup,
     "embedding_pca": q_embedding_pca,
     "classifier_quality_filter": q_classifier_quality_filter,
