@@ -206,6 +206,7 @@ OPERATORS = [
     "streaming_running_counts",  # applyInPandasWithState 3-batch replay
     "streaming_rate_limit",  # token-bucket politeness gate replay
     "media_container_metadata",  # wav/mp3/mp4/ogg header-only parse
+    "scrub_repeated_spans",  # exact-substring span REMOVAL (Lee et al.)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

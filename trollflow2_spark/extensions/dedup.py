@@ -1065,14 +1065,33 @@ def _edit1_pairs(
         F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
     ).where(F.length("__fs").between(1, max_len))
     counts = base.groupBy("__fs").agg(F.count("*").alias("__n"))
-    n_chunks = F.ceil(F.col("__n") / F.lit(int(id_chunk))).cast("bigint")
-    chunked = (
-        base.join(counts, "__fs")
-        .withColumn("__chunk", F.pmod(F.xxhash64("__fid"), n_chunks))
-        .groupBy("__fs", "__chunk")
-        .agg(F.collect_list("__fid").alias("__ids"))
-    )
-    dstr = counts.select("__fs", F.length("__fs").alias("__flen"))
+    # adaptive (r8): the chunk machinery (count join + hash-chunked
+    # re-agg + chunk-pair self-join) costs three extra shuffles, and on
+    # the common distinct-heavy entity table every class is tiny.  One
+    # map-side-combinable count agg + a 1-row max to the driver
+    # (control plane) decides: classes all within id_chunk -> the
+    # direct single-agg path (each collect_list row is <= id_chunk by
+    # the same bound the chunks would enforce); any oversized class ->
+    # every class rides bounded chunk rows.
+    max_class = counts.agg(F.max("__n")).first()[0] or 0
+    if max_class <= int(id_chunk):
+        # ONE aggregation feeds variants AND id re-attachment — the
+        # count scan above is array-free and map-side-combinable, so
+        # the guard never materializes what it is guarding against
+        full = base.groupBy("__fs").agg(
+            F.collect_list("__fid").alias("__ids")
+        )
+        chunked = full.select("__fs", F.lit(0).alias("__chunk"), "__ids")
+        dstr = full.select("__fs", F.length("__fs").alias("__flen"))
+    else:
+        n_chunks = F.ceil(F.col("__n") / F.lit(int(id_chunk))).cast("bigint")
+        chunked = (
+            base.join(counts, "__fs")
+            .withColumn("__chunk", F.pmod(F.xxhash64("__fid"), n_chunks))
+            .groupBy("__fs", "__chunk")
+            .agg(F.collect_list("__fid").alias("__ids"))
+        )
+        dstr = counts.select("__fs", F.length("__fs").alias("__flen"))
     variants = dstr.select(
         "__fs",
         "__flen",
@@ -1141,23 +1160,40 @@ def _edit1_pairs(
             F.greatest("__ia", "__ib").alias("id_b"),
         )
     )
-    # identical strings: every id pair within the class (distance 0) —
-    # chunk-pair self-join, each side a bounded array
-    c1 = chunked.select(
-        "__fs", F.col("__chunk").alias("__c1"), F.col("__ids").alias("__ids_a")
-    )
-    c2 = chunked.select(
-        "__fs", F.col("__chunk").alias("__c2"), F.col("__ids").alias("__ids_b")
-    )
-    within = (
-        c1.join(c2, "__fs")
-        .where(F.col("__c1") <= F.col("__c2"))
-        .select(F.explode("__ids_a").alias("__ia"), F.col("__ids_b"))
-        .select("__ia", F.explode("__ids_b").alias("__ib"))
-        .where(F.col("__ia") != F.col("__ib"))
-        .select(
-            F.least("__ia", "__ib").alias("id_a"),
-            F.greatest("__ia", "__ib").alias("id_b"),
+    # identical strings: every id pair within the class (distance 0).
+    # Fast path: one chunk per class, so the closure explodes straight
+    # out of each class's own array — no join at all.  Chunked path:
+    # chunk-pair self-join, each side a bounded array.
+    if max_class <= int(id_chunk):
+        within = (
+            chunked.where(F.size("__ids") > 1)
+            .select(F.explode("__ids").alias("__ia"), "__ids")
+            .select("__ia", F.explode("__ids").alias("__ib"))
+            .where(F.col("__ia") < F.col("__ib"))
+            .select(
+                F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b")
+            )
         )
-    )
+    else:
+        c1 = chunked.select(
+            "__fs",
+            F.col("__chunk").alias("__c1"),
+            F.col("__ids").alias("__ids_a"),
+        )
+        c2 = chunked.select(
+            "__fs",
+            F.col("__chunk").alias("__c2"),
+            F.col("__ids").alias("__ids_b"),
+        )
+        within = (
+            c1.join(c2, "__fs")
+            .where(F.col("__c1") <= F.col("__c2"))
+            .select(F.explode("__ids_a").alias("__ia"), F.col("__ids_b"))
+            .select("__ia", F.explode("__ids_b").alias("__ib"))
+            .where(F.col("__ia") != F.col("__ib"))
+            .select(
+                F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+            )
+        )
     return cross.unionByName(within).distinct()
