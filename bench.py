@@ -207,6 +207,7 @@ OPERATORS = [
     "streaming_rate_limit",  # token-bucket politeness gate replay
     "media_container_metadata",  # wav/mp3/mp4/ogg header-only parse
     "scrub_repeated_spans",  # exact-substring span REMOVAL (Lee et al.)
+    "bm25_retrieval",  # Okapi BM25 full-text ranking (micro-unit sums)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -292,6 +292,85 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str] | tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores for one query over the corpus — the
+    full-text ranking primitive behind corpus search, RAG candidate
+    retrieval, and query-directed dedup triage (Robertson & Zaragoza,
+    "The Probabilistic Relevance Framework: BM25 and Beyond"; idf in
+    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` form, so scores are
+    never negative).
+
+    Scale shape: ONE (doc, term) count aggregation over the exploded
+    corpus; doc length rides a window over the same keyed rows (no
+    second corpus pass); the query-term df table and the 1-row
+    (N, avgdl) stats broadcast, so the corpus-sized side shuffles
+    exactly twice (term counts, then the per-doc rollup). Per-term
+    contributions go through micro-units (round x 1e6 to BIGINT)
+    before the per-doc sum, so the score is independent of Spark's
+    float summation order.
+
+    Output: (id, n_matched, score) for documents matching >= 1 query
+    term; score = sum of matched-term BM25 contributions, 1e-6
+    granular.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
+    ).select(id_col, F.lower(F.col("tk")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf2 = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+    q = spark.createDataFrame(
+        [(t.lower(),) for t in query_terms], "term string"
+    )
+    dfq = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+    )
+    stats = tf.agg(
+        F.countDistinct(id_col).cast("double").alias("_n"),
+        F.sum("tf").cast("double").alias("_tot"),
+    )
+    m = (
+        tf2.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("dfc") + F.lit(0.5))
+        / (F.col("dfc") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") / (F.col("_tot") / F.col("_n"))
+        )
+    )
+    micro = F.round(idf * tf_part * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        m.select(F.col(id_col), micro.alias("__micro"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            (F.sum("__micro") / F.lit(1_000_000.0)).alias("score"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

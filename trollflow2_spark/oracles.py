@@ -4459,6 +4459,41 @@ tok AS (
 )
 """
 
+# BM25 replay: same tokenization, Lucene idf, micro-unit summation
+_BM25_TERMS_SQL = ", ".join("'%s'" % t for t in C.BM25_TERMS)
+ORACLES["bm25_retrieval"] = f"""
+WITH tok AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), tf2 AS (
+  SELECT doc_id, term, tf,
+    sum(tf) OVER (PARTITION BY doc_id) AS dl
+  FROM tf
+), q AS (
+  SELECT unnest([{_BM25_TERMS_SQL}]) AS term
+), dfq AS (
+  SELECT term, count(*) AS dfc FROM tf JOIN q USING (term) GROUP BY term
+), stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+    CAST(sum(tf) AS DOUBLE) AS tot
+  FROM tf
+), m AS (
+  SELECT t.doc_id,
+    CAST(round(
+      ln(1.0 + (s.n - d.dfc + 0.5) / (d.dfc + 0.5))
+      * (t.tf * {C.BM25_K1 + 1.0})
+      / (t.tf + {C.BM25_K1}
+         * ({1.0 - C.BM25_B} + {C.BM25_B} * t.dl / (s.tot / s.n)))
+      * 1000000.0) AS BIGINT) AS micro
+  FROM tf2 t JOIN q USING (term) JOIN dfq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, count(*) AS n_matched,
+  CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+FROM m GROUP BY doc_id
+"""
+
 ORACLES["dsir_weights"] = "WITH " + _DSIR_SCORED.format(toks=_TOKS) + """
 SELECT doc_id, count(*) AS n_tokens,
   round(avg(lr), 6) AS mean_log_ratio

@@ -295,3 +295,8 @@ RATE_SUB_MOD = 50  # rate-limit fixture: event_id % 50 == 0
 RATE_HOST_MOD = 23  # hosts: 'h' || ((event_id/50) % 23)
 RATE_CAPACITY = 2  # token-bucket burst capacity
 RATE_REFILL = 1  # tokens refilled per invoked micro-batch
+
+# --- BM25 retrieval ---------------------------------------------------------
+BM25_K1 = 1.2  # term-frequency saturation
+BM25_B = 0.75  # length normalization
+BM25_TERMS = ("customer", "vector", "stream")  # contract query terms

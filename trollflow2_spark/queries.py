@@ -5601,6 +5601,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 corpus retrieval for a fixed query (Lucene idf form,
+    micro-unit-summed so float order can't drift the score): the
+    full-text ranking primitive behind RAG candidate retrieval and
+    query-directed triage. One (doc, term) aggregation + window doc
+    length; query df and corpus stats broadcast."""
+    from trollflow2_spark.extensions.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, C.BM25_TERMS, k1=C.BM25_K1, b=C.BM25_B
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc characteristic terms by tf-idf (two hash aggs + broadcast
     df join + per-doc top-n window, deterministic term ties)."""
@@ -5900,6 +5914,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_retrieval": q_bm25_retrieval,
     "corpus_stats": q_corpus_stats,
     "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
