@@ -852,15 +852,33 @@ def _parse_wav(b: bytes) -> dict | None:
     return out
 
 
+def _syncsafe(b: bytes) -> int:
+    sz = 0
+    for x in b:
+        sz = (sz << 7) | (x & 0x7F)
+    return sz
+
+
 def _parse_mp3(b: bytes) -> dict | None:
     if len(b) < 10 or b[:3] != b"ID3":
         return None
     # syncsafe 28-bit tag size (7 bits per byte)
-    sz = 0
-    for x in b[6:10]:
-        sz = (sz << 7) | (x & 0x7F)
+    sz = _syncsafe(b[6:10])
     frame_at = 10 + sz
     out = {"container": "mp3", "codec": "mp3"}
+    # ID3v2 text frames: walk until padding (zero frame id); TIT2
+    # carries the title (encoding byte 0 = latin-1, 3 = utf-8)
+    pos, end = 10, min(frame_at, len(b))
+    while pos + 10 <= end and b[pos] != 0:
+        fid = b[pos : pos + 4]
+        fsz = _syncsafe(b[pos + 4 : pos + 8])
+        body = b[pos + 10 : pos + 10 + fsz]
+        if fid == b"TIT2" and body:
+            enc = "utf-8" if body[0] == 3 else "latin-1"
+            out["title"] = (
+                body[1:].split(b"\x00")[0].decode(enc, "replace")
+            )
+        pos += 10 + fsz
     fh = b[frame_at : frame_at + 4]
     if len(fh) == 4 and fh[0] == 0xFF and (fh[1] & 0xE0) == 0xE0:
         version = (fh[1] >> 3) & 3  # 3 = MPEG1

@@ -714,7 +714,8 @@ SELECT doc_id,
     WHEN 0 THEN 1 + doc_id % 2
     WHEN 3 THEN 1 + doc_id % 2
     ELSE NULL END AS INTEGER) AS n_channels,
-  CASE doc_id % 4 WHEN 0 THEN 'doc' || doc_id ELSE NULL END AS title
+  CASE WHEN doc_id % 4 IN (0, 1) THEN 'doc' || doc_id
+       ELSE NULL END AS title
 FROM documents
 """
 

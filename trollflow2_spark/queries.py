@@ -4359,7 +4359,7 @@ def _container_blob(d: int) -> bytes:
         data = b"data" + (ns * block).to_bytes(4, "little") + bytes(ns * block)
         body = b"WAVE" + fmt + lst + data
         return b"RIFF" + len(body).to_bytes(4, "little") + body
-    if m == 1:  # ID3v2.4 tag + MPEG1 Layer III frames
+    if m == 1:  # ID3v2.4 tag (with a TIT2 title) + MPEG1 Layer III
         t = 100 + d % 50
         kbps_idx = 1 + d % 14
         sr_idx = d % 3
@@ -4367,8 +4367,14 @@ def _container_blob(d: int) -> bytes:
         hdr = b"ID3\x04\x00\x00" + bytes(
             [(t >> 21) & 0x7F, (t >> 14) & 0x7F, (t >> 7) & 0x7F, t & 0x7F]
         )
+        title = f"doc{d}".encode()
+        tit2 = (
+            b"TIT2"
+            + bytes([0, 0, (len(title) + 1) >> 7, (len(title) + 1) & 0x7F])
+            + b"\x00\x00\x03" + title
+        )
         fh = bytes([0xFF, 0xFB, (kbps_idx << 4) | (sr_idx << 2), 0])
-        return hdr + bytes(t) + fh + bytes(audio - 4)
+        return hdr + tit2 + bytes(t - len(tit2)) + fh + bytes(audio - 4)
     if m == 2:  # ISO-BMFF: ftyp + moov/mvhd + mdat
         ts = 600 * (1 + d % 4)
         dur = 3000 + d % 1000
