@@ -400,3 +400,59 @@ def test_q13_aggregates_below_outer_join(spark, sf):
     # the deepest aggregate has a smaller operator id than the outer
     # join consuming it (formatted trees number leaves first)
     assert min(agg_ids) < min(join_ids)
+
+
+def test_fuzzy_adaptive_paths(spark, sf):
+    """Distinct-heavy tables take the direct single-agg id path (no
+    hash-chunk machinery in the plan); a hot duplicate class switches
+    to bounded chunk rows (xxhash64 chunk assignment appears)."""
+    from trollflow2_spark.extensions.dedup import levenshtein1_pairs
+
+    rows = [(i, f"name{i}") for i in range(500)]
+    distinct_df = spark.createDataFrame(rows, "id bigint, s string")
+    fast = levenshtein1_pairs(distinct_df, "id", "s", id_chunk=64)
+    fast_plan = fast._jdf.queryExecution().toString()
+    assert "xxhash64" not in fast_plan
+
+    hot = spark.createDataFrame(
+        [(i, "template") for i in range(500)], "id bigint, s string"
+    )
+    chunked = levenshtein1_pairs(hot, "id", "s", id_chunk=64)
+    chunked_plan = chunked._jdf.queryExecution().toString()
+    assert "xxhash64" in chunked_plan
+
+
+def test_semantic_guard_vanishes_when_cells_balanced(spark, sf):
+    """The SemDeDup salt/cap branch routes per cell: a balanced corpus
+    plans the direct within-cell closure with NO salted union and NO
+    pair distinct; the hot-cell fixture keeps the salted branch."""
+    import numpy as np
+
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_centroids,
+        semantic_candidate_pairs,
+    )
+    from trollflow2_spark.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_centroids(emb, k=8)
+    balanced = semantic_candidate_pairs(emb, cents, salt_threshold=256)
+    plan = balanced._jdf.queryExecution().toString()
+    assert "Union" not in plan
+
+    # one hot cell: every vector identical -> single cell of size n
+    n = 600
+    one = [(i, [1.0] + [0.0] * 63) for i in range(n)]
+    hot = spark.createDataFrame(one, "vec_id bigint, embedding array<float>")
+    cents2 = kmeans_centroids(hot, k=4)
+    guarded = semantic_candidate_pairs(hot, cents2, salt_threshold=256)
+    plan2 = guarded._jdf.queryExecution().toString()
+    assert "Union" in plan2
+
+
+def test_bm25_broadcasts_model_sides(spark, sf):
+    """BM25's query-term and df sides broadcast; the 1-row stats ride a
+    broadcast nested loop; no cartesian product anywhere."""
+    plan = plan_of(spark, "bm25_retrieval", sf)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
