@@ -208,6 +208,7 @@ OPERATORS = [
     "media_container_metadata",  # wav/mp3/mp4/ogg header-only parse
     "scrub_repeated_spans",  # exact-substring span REMOVAL (Lee et al.)
     "bm25_retrieval",  # Okapi BM25 full-text ranking (micro-unit sums)
+    "weighted_sample",  # Efraimidis-Spirakis weighted k-per-stratum draw
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

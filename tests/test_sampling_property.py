@@ -254,3 +254,23 @@ def test_concat_chunk_spans_tile_exactly(
     for e in range(n_ex - 1):
         assert per_ex[e] == example_tokens
     assert per_ex[n_ex - 1] == total - (n_ex - 1) * example_tokens
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Heavier rows win far more often than light ones (E-S keys are a
+    true weight-proportional without-replacement draw), selection is
+    deterministic across calls, and non-positive weights never sample."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.sampling import weighted_sample_topk
+
+    rows = [(i, "s", 100.0 if i % 2 == 0 else 0.01) for i in range(400)]
+    rows += [(1000 + i, "s", -1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
+    out = weighted_sample_topk(df, "w", 50, strata_col="source").collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["doc_id"] % 2 == 0 and r["doc_id"] < 1000)
+    assert heavy >= 48  # ~10^4 weight ratio: light rows almost never win
+    assert all(r["doc_id"] < 1000 for r in out)  # w <= 0 excluded
+    again = weighted_sample_topk(df, "w", 50, strata_col="source").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}

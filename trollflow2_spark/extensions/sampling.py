@@ -93,6 +93,50 @@ def stratified_sample(
 ORD_HASH_MOD = 1 << 31
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int | None = 23,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum,
+    deterministic (Efraimidis & Spirakis, "Weighted random sampling
+    with a reservoir"): each row draws key ``u^(1/w)`` with ``u`` the
+    portable-hash uniform of its id, and the k largest keys per
+    stratum are exactly a weight-proportional without-replacement
+    draw — quality-weighted corpus subsampling with no RNG state, so
+    every engine (and every retry) selects the same rows.
+
+    Scale shape: the key is a pure map-side Column (hash + pow); the
+    only shuffle is the per-stratum top-k window. Keys round to
+    ``round_digits`` BEFORE ranking (ties then break on the id), so a
+    last-ulp ``pow`` difference between engines cannot flip a rank.
+    Rows with non-positive weight never sample.
+
+    Output: input columns + ``rank`` (1-based within stratum).
+    """
+    from trollflow2_spark.operators.windows import topk_per_group
+
+    u = (
+        hash64(F.col(id_col).cast("string"), seed=seed).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")),
+        round_digits,
+    )
+    scored = df.where(F.col(weight_col) > 0).withColumn("__wkey", key)
+    return topk_per_group(
+        scored,
+        [strata_col],
+        [F.col("__wkey").desc(), F.col(id_col).asc()],
+        k,
+    ).drop("__wkey")
+
+
 def _bucketed_ordinal(
     df: DataFrame,
     id_col: str,

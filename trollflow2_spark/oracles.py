@@ -4460,6 +4460,30 @@ tok AS (
 )
 """
 
+# Efraimidis-Spirakis weighted sampling replay: same portable-hash
+# uniform, same pow key, same pre-rank rounding and id tie-break
+_WS_U = (
+    "((" + HASH64_SQL("CAST(doc_id AS VARCHAR)", seed=C.WSAMPLE_SEED)
+    + " + 0.5) / 1152921504606846976.0)"
+)
+ORACLES["weighted_sample"] = f"""
+WITH w AS (
+  SELECT doc_id, source,
+    CAST(doc_id % 10 + 1 AS DOUBLE) AS weight
+  FROM documents
+), s AS (
+  SELECT doc_id, source, weight,
+    round(pow({_WS_U}, 1.0 / weight), {C.WSAMPLE_ROUND}) AS wkey
+  FROM w
+)
+SELECT doc_id, source, weight, rank FROM (
+  SELECT doc_id, source, weight,
+    CAST(row_number() OVER (PARTITION BY source
+      ORDER BY wkey DESC, doc_id) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= {C.WSAMPLE_K}
+"""
+
 # BM25 replay: same tokenization, Lucene idf, micro-unit summation
 _BM25_TERMS_SQL = ", ".join("'%s'" % t for t in C.BM25_TERMS)
 ORACLES["bm25_retrieval"] = f"""

@@ -300,3 +300,8 @@ RATE_REFILL = 1  # tokens refilled per invoked micro-batch
 BM25_K1 = 1.2  # term-frequency saturation
 BM25_B = 0.75  # length normalization
 BM25_TERMS = ("customer", "vector", "stream")  # contract query terms
+
+# --- weighted sampling (Efraimidis-Spirakis) --------------------------------
+WSAMPLE_SEED = 23
+WSAMPLE_K = 5  # survivors per stratum
+WSAMPLE_ROUND = 9  # key rounding before ranking (cross-engine pow ulp)

@@ -5621,6 +5621,29 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted without-replacement sampling, k per source
+    (Efraimidis-Spirakis keys u^(1/w) over the portable hash — no RNG
+    state, every engine/retry selects the same rows). Weight fixture:
+    (doc_id % 10) + 1."""
+    from trollflow2_spark.extensions.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") % 10) + 1).cast("double").alias("weight"),
+    )
+    return weighted_sample_topk(
+        docs,
+        "weight",
+        C.WSAMPLE_K,
+        strata_col="source",
+        id_col="doc_id",
+        seed=C.WSAMPLE_SEED,
+        round_digits=C.WSAMPLE_ROUND,
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc characteristic terms by tf-idf (two hash aggs + broadcast
     df join + per-doc top-n window, deterministic term ties)."""
@@ -5921,6 +5944,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_retrieval": q_bm25_retrieval,
+    "weighted_sample": q_weighted_sample,
     "corpus_stats": q_corpus_stats,
     "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
