@@ -209,6 +209,7 @@ OPERATORS = [
     "scrub_repeated_spans",  # exact-substring span REMOVAL (Lee et al.)
     "bm25_retrieval",  # Okapi BM25 full-text ranking (micro-unit sums)
     "weighted_sample",  # Efraimidis-Spirakis weighted k-per-stratum draw
+    "group_split",  # leakage-safe group-atomic train/val/test assignment
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -3227,20 +3227,32 @@ def _rate_bucket_sql(seed: int) -> str:
     return f"({HASH64_SQL('CAST(doc_id AS VARCHAR)', seed)} % 10000)"
 
 
-def _split_case_sql() -> str:
+def _split_case_over(expr: str, seed: int) -> str:
+    bucket = f"({HASH64_SQL(expr, seed)} % 10000)"
     cases = []
     cum = 0.0
     for name, frac in C.SPLIT_FRACS[:-1]:
         cum += frac
         cases.append(
-            f"WHEN {_rate_bucket_sql(C.SPLIT_SEED)} < {int(round(cum * 10000))} "
-            f"THEN '{name}'"
+            f"WHEN {bucket} < {int(round(cum * 10000))} THEN '{name}'"
         )
     return "CASE " + " ".join(cases) + f" ELSE '{C.SPLIT_FRACS[-1][0]}' END"
 
 
+def _split_case_sql() -> str:
+    return _split_case_over("CAST(doc_id AS VARCHAR)", C.SPLIT_SEED)
+
+
 ORACLES["dataset_split"] = f"""
 SELECT doc_id, source, {_split_case_sql()} AS split FROM documents
+"""
+
+# group-atomic split: the bucket hashes the GROUP key (derived site
+# domain), so a site's documents can never straddle the eval boundary
+ORACLES["group_split"] = f"""
+SELECT doc_id, 'site' || (doc_id % 50) AS domain,
+  {_split_case_over("('site' || (doc_id % 50))", C.SPLIT_SEED)} AS split
+FROM documents
 """
 
 _RATE_CASE = "CASE source " + " ".join(

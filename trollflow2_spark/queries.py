@@ -5621,6 +5621,30 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hashes the
+    GROUP key (here a derived site domain), not the row id, so every
+    document of a site lands in the same split — near-dups within a
+    site can never straddle the eval boundary (the failure mode
+    split_leakage_audit detects after the fact, prevented up front).
+    Same map-side bucket predicate as deterministic_split; zero
+    shuffle."""
+    from trollflow2_spark.extensions.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string")).alias(
+            "domain"
+        ),
+    )
+    return deterministic_split(
+        docs,
+        dict(C.SPLIT_FRACS),
+        id_col="domain",
+        seed=C.SPLIT_SEED,
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted without-replacement sampling, k per source
     (Efraimidis-Spirakis keys u^(1/w) over the portable hash — no RNG
@@ -5945,6 +5969,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_retrieval": q_bm25_retrieval,
     "weighted_sample": q_weighted_sample,
+    "group_split": q_group_split,
     "corpus_stats": q_corpus_stats,
     "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
