@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Regenerate PLANS_r7.md: `explain('formatted')` dumps of the flagship
+"""Regenerate PLANS_r{N}.md: `explain('formatted')` dumps of the flagship
 queries whose physical-plan properties the plan-quality tests pin.
 
 Usage: python tools/dump_plans.py [sf_dir] [out_md]
@@ -77,12 +77,33 @@ FLAGSHIP = [
     ("rollup_revenue",
      "ROLLUP in one pass: Expand feeds a single partial+final hash "
      "agg; the fact side shuffles once for all three grouping levels."),
+    # round 8 flagships
+    ("fuzzy_lev_pairs",
+     "True levenshtein<=1: wildcard same-position join (substitution) "
+     "unioned with the one-deletion equi-join (indel) over DISTINCT "
+     "strings; adaptive id re-attachment — the distinct-heavy fast "
+     "path plans the single-aggregation closure with no chunk "
+     "machinery."),
+    ("bm25_retrieval",
+     "Okapi BM25: one (doc, term) hash agg + window doc length; "
+     "query-term df and 1-row stats broadcast (two BroadcastHashJoin "
+     "+ one 1-row BNLJ); micro-unit sums make scores order-free."),
+    ("scrub_repeated_spans",
+     "Exact-substring span scrub: shared span build, bounded span "
+     "array per affected doc LEFT-joined back, nested higher-order "
+     "cut in whole-stage codegen."),
+    ("weighted_sample",
+     "Efraimidis-Spirakis weighted draw: map-side hash+pow key, one "
+     "per-stratum top-k window — the only exchange."),
+    ("media_container_metadata",
+     "Container metadata: closed-form blob build + header-only parse, "
+     "two chained Arrow mapInPandas stages, zero exchanges."),
 ]
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "PLANS_r7.md"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "PLANS_r8.md"
 
     from trollflow2_spark.queries import QUERIES
     from trollflow2_spark.session import get_spark
