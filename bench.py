@@ -210,6 +210,7 @@ OPERATORS = [
     "bm25_retrieval",  # Okapi BM25 full-text ranking (micro-unit sums)
     "weighted_sample",  # Efraimidis-Spirakis weighted k-per-stratum draw
     "group_split",  # leakage-safe group-atomic train/val/test assignment
+    "c4_line_filter",  # C4-style per-line cleaning + doc-level gate
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

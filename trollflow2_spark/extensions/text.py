@@ -371,6 +371,48 @@ def bm25_scores(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 2,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al., "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2): keep only lines that end in terminal
+    punctuation, carry at least ``min_words`` words, and contain
+    neither "javascript" nor a curly brace (the boilerplate tells);
+    re-join the survivors and flag documents keeping fewer than
+    ``min_kept_lines`` lines for doc-level removal.
+
+    Scale shape: pure higher-order Column work over the line array
+    (filter + nested word-count + concat) — whole-stage codegen inside
+    the scan stage, zero shuffles, zero Python.
+
+    Output: (id, clean_text, n_lines, n_kept, keep_doc).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(ln):
+        words = F.size(F.filter(F.split(ln, " "), lambda t: t != ""))
+        return (
+            ln.rlike('[.!?"]\\s*$')
+            & (words >= min_words)
+            & ~F.lower(ln).contains("javascript")
+            & ~ln.contains("{")
+        )
+
+    kept = F.filter(lines, line_ok)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size(kept) >= min_kept_lines).cast("int").alias("keep_doc"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -4472,6 +4472,43 @@ tok AS (
 )
 """
 
+# C4 line-cleaning replay: identical fixture lining + rule lambda
+_C4_SFX = (
+    "CASE (doc_id + i) % 5 WHEN 0 THEN '.' WHEN 1 THEN '' "
+    "WHEN 2 THEN ' javascript enabled.' WHEN 3 THEN ' {x}.' "
+    "ELSE '!' END"
+)
+_C4_RULE = (
+    "regexp_matches(ln, '[.!?\"]\\s*$') "
+    "AND len(list_filter(string_split(ln, ' '), w -> w <> ''))"
+    f" >= {C.C4_MIN_WORDS} "
+    "AND NOT contains(lower(ln), 'javascript') "
+    "AND NOT contains(ln, '{')"
+)
+ORACLES["c4_line_filter"] = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL("text")} AS toks FROM documents
+), l AS (
+  SELECT doc_id,
+    list_transform(
+      range(CAST(ceil(len(toks) / {C.C4_LINE_TOKENS}.0) AS BIGINT)),
+      i -> array_to_string(
+             toks[i * {C.C4_LINE_TOKENS} + 1 : (i + 1) * {C.C4_LINE_TOKENS}],
+             ' ') || {_C4_SFX}) AS lines
+  FROM t
+), k AS (
+  SELECT doc_id, lines,
+    list_filter(lines, ln -> {_C4_RULE}) AS kept
+  FROM l
+)
+SELECT doc_id,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(len(kept) >= {C.C4_MIN_LINES} AS INT) AS keep_doc
+FROM k
+"""
+
 # Efraimidis-Spirakis weighted sampling replay: same portable-hash
 # uniform, same pow key, same pre-rank rounding and id tie-break
 _WS_U = (

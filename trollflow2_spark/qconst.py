@@ -305,3 +305,8 @@ BM25_TERMS = ("customer", "vector", "stream")  # contract query terms
 WSAMPLE_SEED = 23
 WSAMPLE_K = 5  # survivors per stratum
 WSAMPLE_ROUND = 9  # key rounding before ranking (cross-engine pow ulp)
+
+# --- C4-style line cleaning -------------------------------------------------
+C4_LINE_TOKENS = 8  # fixture: pseudo-lines of 8 tokens from doc text
+C4_MIN_WORDS = 3  # per-line minimum word count
+C4_MIN_LINES = 2  # doc-level minimum surviving lines

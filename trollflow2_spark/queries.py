@@ -5645,6 +5645,50 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning over a line-structured fixture: doc text
+    re-lined into 8-token pseudo-lines whose closed-form suffixes
+    exercise every rule (terminal punct, min words, javascript tell,
+    curly brace); the operator is pure higher-order Column work in the
+    scan stage — zero shuffles, zero Python."""
+    from trollflow2_spark.extensions.text import c4_line_filter
+    from trollflow2_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / C.C4_LINE_TOKENS).cast("bigint")
+
+    def mk_line(i):
+        sfx = (
+            F.when((F.col("doc_id") + i) % 5 == 0, F.lit("."))
+            .when((F.col("doc_id") + i) % 5 == 1, F.lit(""))
+            .when(
+                (F.col("doc_id") + i) % 5 == 2,
+                F.lit(" javascript enabled."),
+            )
+            .when((F.col("doc_id") + i) % 5 == 3, F.lit(" {x}."))
+            .otherwise(F.lit("!"))
+        )
+        return F.concat(
+            F.array_join(
+                F.slice(toks, (i * C.C4_LINE_TOKENS + 1).cast("int"),
+                        C.C4_LINE_TOKENS),
+                " ",
+            ),
+            sfx,
+        )
+
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1), mk_line), "\n"
+        ).alias("text"),
+    )
+    return c4_line_filter(
+        lined, min_words=C.C4_MIN_WORDS, min_kept_lines=C.C4_MIN_LINES
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted without-replacement sampling, k per source
     (Efraimidis-Spirakis keys u^(1/w) over the portable hash — no RNG
@@ -5970,6 +6014,7 @@ QUERIES = {
     "bm25_retrieval": q_bm25_retrieval,
     "weighted_sample": q_weighted_sample,
     "group_split": q_group_split,
+    "c4_line_filter": q_c4_line_filter,
     "corpus_stats": q_corpus_stats,
     "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
