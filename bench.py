@@ -211,6 +211,7 @@ OPERATORS = [
     "weighted_sample",  # Efraimidis-Spirakis weighted k-per-stratum draw
     "group_split",  # leakage-safe group-atomic train/val/test assignment
     "c4_line_filter",  # C4-style per-line cleaning + doc-level gate
+    "streaming_dedup_replay",  # first-seen state-store dedup, 3-batch replay
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -678,6 +678,24 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# streaming first-seen dedup replay: survivor = min-batch doc per
+# content group; digest = the shared portable hash of the normalized
+# text (identical normalization chain on both engines)
+_SDR_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+ORACLES["streaming_dedup_replay"] = f"""
+WITH f AS (
+  SELECT doc_id, 'content ' || (doc_id // 3) AS text, doc_id % 3 AS b
+  FROM documents
+), k AS (
+  SELECT doc_id, text, b,
+    min(b) OVER (PARTITION BY text) AS bmin
+  FROM f
+)
+SELECT doc_id, text,
+  {HASH64_SQL(_SDR_NORM)} AS digest
+FROM k WHERE b = bmin
+"""
+
 # container-metadata fixture replay: every header field of the
 # wav/mp3/mp4/ogg blobs is closed-form in doc_id, so the oracle states
 # the parsed result per container branch

@@ -4404,6 +4404,40 @@ def _container_blob(d: int) -> bytes:
     return page + pkt
 
 
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup driven through the 3-batch replay
+    harness: content 'content k' rides docs {3k, 3k+1, 3k+2} in
+    batches 0/1/2 (unique WITHIN each batch, duplicated only across
+    batches), so the state-store survivor set is closed-form — the
+    min-batch doc of each content group. The digest column is the
+    portable md5 hash the oracle replays."""
+    from trollflow2_spark.streaming.stateful import (
+        replay_batches,
+        streaming_dedup,
+    )
+
+    ev = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("content "), F.floor(F.col("doc_id") / 3).cast("string")
+        ).alias("text"),
+        (F.col("doc_id") % 3).alias("b"),
+    )
+    rows = ev.collect()  # config-bounded fixture subset (control plane)
+    batches = [
+        [{"doc_id": r["doc_id"], "text": r["text"]} for r in rows
+         if r["b"] == i]
+        for i in range(3)
+    ]
+    sunk = replay_batches(
+        spark,
+        batches,
+        "doc_id long, text string",
+        lambda st: streaming_dedup(st, text_col="text"),
+    )
+    return sunk.select("doc_id", "text", "digest")
+
+
 def q_media_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata extraction over real wav/mp3/mp4/ogg bytes:
     the fixture blobs carry genuine RIFF / ID3v2+MPEG / ISO-BMFF / Ogg
@@ -5943,6 +5977,7 @@ QUERIES = {
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
     "streaming_running_counts": q_streaming_running_counts,
     "streaming_rate_limit": q_streaming_rate_limit,
+    "streaming_dedup_replay": q_streaming_dedup_replay,
     "media_container_metadata": q_media_container_metadata,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
