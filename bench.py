@@ -212,6 +212,7 @@ OPERATORS = [
     "group_split",  # leakage-safe group-atomic train/val/test assignment
     "c4_line_filter",  # C4-style per-line cleaning + doc-level gate
     "streaming_dedup_replay",  # first-seen state-store dedup, 3-batch replay
+    "gopher_rules",  # Gopher doc-quality rule audit (per-rule + keep)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

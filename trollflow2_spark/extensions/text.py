@@ -371,6 +371,94 @@ def bm25_scores(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al., "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", Appendix A): word-count bounds, mean-word-length band,
+    symbol-per-word cap, bullet-line and ellipsis-line caps, the
+    alphabetic-word floor, and the required-stop-word presence test —
+    emitted per rule (audit-friendly) plus the conjunctive keep flag.
+
+    Scale shape: every metric is a higher-order Column fold over the
+    token / line arrays — whole-stage codegen inside the scan stage,
+    zero shuffles, zero Python.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    n_stop_hits, keep).
+    """
+    t = F.col(text_col)
+    words = tokens(t)
+    n = F.size(words)
+    nd = n.cast("double")
+    total_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mwl = F.when(n > 0, total_len.cast("double") / nd).otherwise(0.0)
+    symbols = (
+        substr_count(t, "#") + substr_count(t, "...")
+    ).cast("double")
+    sym_ratio = F.when(n > 0, symbols / nd).otherwise(0.0)
+    lines = F.split(t, "\n")
+    nl = F.size(lines).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("\u2022") | F.trim(ln).startswith("- "),
+        )
+    )
+    ellipsis = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n > 0, alpha_words.cast("double") / nd).otherwise(0.0)
+    low = F.transform(words, F.lower)
+    stop_hits = sum(
+        (
+            F.when(F.array_contains(low, sw), 1).otherwise(0)
+            for sw in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    bullet_ratio = bullet.cast("double") / nl
+    ellipsis_ratio = ellipsis.cast("double") / nl
+    keep = (
+        n.between(min_words, max_words)
+        & mwl.between(min_mean_word_len, max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        F.round(mwl, round_digits).alias("mean_word_len"),
+        F.round(sym_ratio, round_digits).alias("symbol_ratio"),
+        F.round(bullet_ratio, round_digits).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, round_digits).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, round_digits).alias("alpha_word_ratio"),
+        stop_hits.cast("bigint").alias("n_stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -4490,6 +4490,54 @@ tok AS (
 )
 """
 
+# Gopher rule replay: identical folds over the token / line lists
+_GOPHER_STOPS = "['the','be','to','of','and','that','have','with']"
+ORACLES["gopher_rules"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_SQL("text")} AS words,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n,
+    CASE WHEN len(words) > 0 THEN
+      CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+        / len(words) ELSE 0.0 END AS mwl,
+    CASE WHEN len(words) > 0 THEN
+      CAST((length(text) - length(replace(text, '#', '')))
+        + (length(text) - length(replace(text, '...', ''))) / 3
+        AS DOUBLE) / len(words) ELSE 0.0 END AS sym,
+    CAST(len(list_filter(lines,
+      ln -> starts_with(ln, chr(8226))
+         OR starts_with(trim(ln), '- '))) AS DOUBLE) / len(lines) AS bul,
+    CAST(len(list_filter(lines, ln -> ends_with(ln, '...'))) AS DOUBLE)
+      / len(lines) AS ell,
+    CASE WHEN len(words) > 0 THEN
+      CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        AS DOUBLE) / len(words) ELSE 0.0 END AS alp,
+    len(list_filter({_GOPHER_STOPS},
+      sw -> list_contains(list_transform(words, w -> lower(w)), sw)))
+      AS stops
+  FROM t
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio,
+  round(bul, 6) AS bullet_line_ratio,
+  round(ell, 6) AS ellipsis_line_ratio,
+  round(alp, 6) AS alpha_word_ratio,
+  CAST(stops AS BIGINT) AS n_stop_hits,
+  CAST(n BETWEEN {C.GOPHER_MIN_WORDS} AND {C.GOPHER_MAX_WORDS}
+    AND mwl BETWEEN {C.GOPHER_MIN_MWL} AND {C.GOPHER_MAX_MWL}
+    AND sym <= {C.GOPHER_MAX_SYMBOL}
+    AND bul <= {C.GOPHER_MAX_BULLET}
+    AND ell <= {C.GOPHER_MAX_ELLIPSIS}
+    AND alp >= {C.GOPHER_MIN_ALPHA}
+    AND stops >= {C.GOPHER_MIN_STOP} AS INT) AS keep
+FROM m
+"""
+
 # C4 line-cleaning replay: identical fixture lining + rule lambda
 _C4_SFX = (
     "CASE (doc_id + i) % 5 WHEN 0 THEN '.' WHEN 1 THEN '' "

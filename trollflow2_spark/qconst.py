@@ -310,3 +310,15 @@ WSAMPLE_ROUND = 9  # key rounding before ranking (cross-engine pow ulp)
 C4_LINE_TOKENS = 8  # fixture: pseudo-lines of 8 tokens from doc text
 C4_MIN_WORDS = 3  # per-line minimum word count
 C4_MIN_LINES = 2  # doc-level minimum surviving lines
+
+# --- Gopher quality rules (contract thresholds, corpus-tuned) ---------------
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0  # mean word length bounds
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL = 0.1  # '#'/'...' per word
+GOPHER_MAX_BULLET = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS = 0.3  # lines ending with an ellipsis
+GOPHER_MIN_ALPHA = 0.8  # words containing an alphabetic char
+GOPHER_MIN_STOP = 1  # distinct required-stop-word hits (synthetic corpus
+# carries only 'the' from the Gopher list; paper default is 2)

@@ -5679,6 +5679,28 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule audit over the raw corpus:
+    per-rule metrics plus the conjunctive keep flag (thresholds
+    corpus-tuned per qconst; the synthetic text carries only 'the'
+    from the required-stop-word list, so min_stop_hits=1)."""
+    from trollflow2_spark.extensions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(
+        docs,
+        min_words=C.GOPHER_MIN_WORDS,
+        max_words=C.GOPHER_MAX_WORDS,
+        min_mean_word_len=C.GOPHER_MIN_MWL,
+        max_mean_word_len=C.GOPHER_MAX_MWL,
+        max_symbol_ratio=C.GOPHER_MAX_SYMBOL,
+        max_bullet_ratio=C.GOPHER_MAX_BULLET,
+        max_ellipsis_ratio=C.GOPHER_MAX_ELLIPSIS,
+        min_alpha_ratio=C.GOPHER_MIN_ALPHA,
+        min_stop_hits=C.GOPHER_MIN_STOP,
+    )
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning over a line-structured fixture: doc text
     re-lined into 8-token pseudo-lines whose closed-form suffixes
@@ -6050,6 +6072,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "group_split": q_group_split,
     "c4_line_filter": q_c4_line_filter,
+    "gopher_rules": q_gopher_rules,
     "corpus_stats": q_corpus_stats,
     "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
