@@ -213,6 +213,7 @@ OPERATORS = [
     "c4_line_filter",  # C4-style per-line cleaning + doc-level gate
     "streaming_dedup_replay",  # first-seen state-store dedup, 3-batch replay
     "gopher_rules",  # Gopher doc-quality rule audit (per-rule + keep)
+    "hybrid_retrieval",  # BM25 + dense cosine fused by reciprocal rank
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

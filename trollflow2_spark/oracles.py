@@ -4601,8 +4601,7 @@ SELECT doc_id, source, weight, rank FROM (
 
 # BM25 replay: same tokenization, Lucene idf, micro-unit summation
 _BM25_TERMS_SQL = ", ".join("'%s'" % t for t in C.BM25_TERMS)
-ORACLES["bm25_retrieval"] = f"""
-WITH tok AS (
+_BM25_CTES = f"""tok AS (
   SELECT doc_id, lower(t) AS term
   FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
 ), tf AS (
@@ -4628,11 +4627,51 @@ WITH tok AS (
          * ({1.0 - C.BM25_B} + {C.BM25_B} * t.dl / (s.tot / s.n)))
       * 1000000.0) AS BIGINT) AS micro
   FROM tf2 t JOIN q USING (term) JOIN dfq d USING (term) CROSS JOIN stats s
-)
-SELECT doc_id, count(*) AS n_matched,
-  CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
-FROM m GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, count(*) AS n_matched,
+    CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+  FROM m GROUP BY doc_id
+)"""
+
+ORACLES["bm25_retrieval"] = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, n_matched, score FROM bm
 """
+
+# hybrid RRF replay: the bm25 CTE chain + a cosine ranking, fused
+def _hybrid_oracle_sql() -> str:
+    cos = _cosine_sql("e.embedding", "q.__q")
+    return f"""
+WITH {_BM25_CTES},
+bmr AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+      AS bm25_rank
+  FROM bm ORDER BY score DESC, doc_id LIMIT {C.RRF_TOPK}
+), qv AS (
+  SELECT embedding AS __q FROM embeddings
+  WHERE vec_id = {C.RRF_QUERY_VEC}
+), csr AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+      AS cos_rank
+  FROM (
+    SELECT e.vec_id AS doc_id, round({cos}, 6) AS cos
+    FROM embeddings e CROSS JOIN qv q
+    WHERE e.vec_id <> {C.RRF_QUERY_VEC}
+  ) ORDER BY cos DESC, doc_id LIMIT {C.RRF_TOPK}
+)
+SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+  bm25_rank, cos_rank,
+  round(coalesce(1.0 / ({C.RRF_K0} + bm25_rank), 0.0)
+      + coalesce(1.0 / ({C.RRF_K0} + cos_rank), 0.0), 6) AS rrf_score
+FROM bmr FULL JOIN csr USING (doc_id)
+"""
+
+
+ORACLES["hybrid_retrieval"] = _hybrid_oracle_sql()
+
 
 ORACLES["dsir_weights"] = "WITH " + _DSIR_SCORED.format(toks=_TOKS) + """
 SELECT doc_id, count(*) AS n_tokens,

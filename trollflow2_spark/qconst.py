@@ -322,3 +322,8 @@ GOPHER_MAX_ELLIPSIS = 0.3  # lines ending with an ellipsis
 GOPHER_MIN_ALPHA = 0.8  # words containing an alphabetic char
 GOPHER_MIN_STOP = 1  # distinct required-stop-word hits (synthetic corpus
 # carries only 'the' from the Gopher list; paper default is 2)
+
+# --- hybrid retrieval (reciprocal-rank fusion) ------------------------------
+RRF_K0 = 60  # RRF damping constant
+RRF_TOPK = 20  # per-ranker candidate depth
+RRF_QUERY_VEC = 0  # vec_id used as the dense query

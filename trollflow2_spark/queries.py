@@ -5679,6 +5679,60 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval capstone: BM25 top-k and
+    embedding-cosine top-k fused by reciprocal-rank fusion
+    (Cormack et al., score = sum 1/(k0 + rank)). Both candidate lists
+    come from DISTRIBUTED top-k (orderBy+limit plans as
+    TakeOrderedAndProject — no single-partition window over the
+    corpus); ranks attach on the k-row results, and the fuse is a
+    full-outer join of two k-row sides."""
+    from trollflow2_spark.extensions.similarity import cosine
+    from trollflow2_spark.extensions.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    k0, k = C.RRF_K0, C.RRF_TOPK
+
+    bm_top = (
+        bm25_scores(docs, C.BM25_TERMS, k1=C.BM25_K1, b=C.BM25_B)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")  # k rows only
+    bm_r = bm_top.select(
+        "doc_id", F.row_number().over(w).alias("bm25_rank")
+    )
+
+    qv = emb.where(F.col("vec_id") == C.RRF_QUERY_VEC).select(
+        F.col("embedding").alias("__q")
+    )
+    cs_top = (
+        emb.where(F.col("vec_id") != C.RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__q")), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(k)
+    )
+    wc = Window.orderBy(F.desc("cos"), "doc_id")
+    cs_r = cs_top.select(
+        "doc_id", F.row_number().over(wc).alias("cos_rank")
+    )
+
+    fused = bm_r.join(cs_r, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("cos_rank")), F.lit(0.0)),
+        6,
+    )
+    return fused.select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_score"))
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rule audit over the raw corpus:
     per-rule metrics plus the conjunctive keep flag (thresholds
@@ -6073,6 +6127,7 @@ QUERIES = {
     "group_split": q_group_split,
     "c4_line_filter": q_c4_line_filter,
     "gopher_rules": q_gopher_rules,
+    "hybrid_retrieval": q_hybrid_retrieval,
     "corpus_stats": q_corpus_stats,
     "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
