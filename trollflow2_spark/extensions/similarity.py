@@ -41,7 +41,31 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """One fused fold instead of three (dot + two norms): a single
+    struct accumulator computes the same per-element ops in the same
+    left-to-right order — bit-identical result, one array traversal,
+    and a third of the codegen (the triple-fold form paid ~seconds of
+    per-invocation compile in the int8 serving plan)."""
+    acc = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.struct(
+                x.cast("double").alias("x"), y.cast("double").alias("y")
+            ),
+        ),
+        F.struct(
+            F.lit(0.0).alias("d"),
+            F.lit(0.0).alias("na"),
+            F.lit(0.0).alias("nb"),
+        ),
+        lambda s, p: F.struct(
+            (s["d"] + p["x"] * p["y"]).alias("d"),
+            (s["na"] + p["x"] * p["x"]).alias("na"),
+            (s["nb"] + p["y"] * p["y"]).alias("nb"),
+        ),
+    )
+    return acc["d"] / (F.sqrt(acc["na"]) * F.sqrt(acc["nb"]))
 
 
 def brute_force_topk(
@@ -123,12 +147,14 @@ def quantized_topk(
     :func:`brute_force_topk`; recall vs the float baseline is pinned in
     tests (int8 is near-lossless for cosine ranking).
     """
-    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    # the int arrays feed the scorer directly: cosine casts per element
+    # inside its fold, so a standalone cast-to-double transform would be
+    # one more full interpreted array traversal for nothing
     qd = quantize_embeddings(df, vec_col, id_col).select(
-        F.col(id_col), as_double(F.col("q_embedding")).alias(vec_col)
+        F.col(id_col), F.col("q_embedding").alias(vec_col)
     )
     qq = quantize_embeddings(queries, vec_col, query_id_col).select(
-        F.col(query_id_col), as_double(F.col("q_embedding")).alias(vec_col)
+        F.col(query_id_col), F.col("q_embedding").alias(vec_col)
     )
     return brute_force_topk(
         qd, qq, k=k, vec_col=vec_col, id_col=id_col,
@@ -160,12 +186,14 @@ def ivf_topk_quantized(
     centroids = kmeans_centroids(
         df, vec_col=vec_col, id_col=id_col, k=n_clusters
     )
-    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    # int arrays feed assignment + scoring directly (the numpy kernels
+    # astype and the cosine fold casts per element) — no extra
+    # interpreted cast traversal
     qd = quantize_embeddings(df, vec_col, id_col).select(
-        F.col(id_col), as_double(F.col("q_embedding")).alias(vec_col)
+        F.col(id_col), F.col("q_embedding").alias(vec_col)
     )
     qq = quantize_embeddings(queries, vec_col, query_id_col).select(
-        F.col(query_id_col), as_double(F.col("q_embedding")).alias(vec_col)
+        F.col(query_id_col), F.col("q_embedding").alias(vec_col)
     )
     return ivf_topk(
         qd, qq, centroids=centroids, k=k, n_probe=n_probe,
