@@ -214,6 +214,8 @@ OPERATORS = [
     "streaming_dedup_replay",  # first-seen state-store dedup, 3-batch replay
     "gopher_rules",  # Gopher doc-quality rule audit (per-rule + keep)
     "hybrid_retrieval",  # BM25 + dense cosine fused by reciprocal rank
+    "json_key_profile",  # schema-on-read JSON key/type profiling
+    "key_skew_audit",  # heaviest-join-key observability (pre-salting)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

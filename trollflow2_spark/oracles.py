@@ -1780,6 +1780,63 @@ FROM f a JOIN f b
   AND levenshtein(a.nm, b.nm) <= 1
 """
 
+# JSON key profile replay: identical fixture construction (DuckDB
+# to_json keeps nulls, so the null-when-absent key filters explicitly)
+# + json_keys explode + the same text-level type regexes
+ORACLES["json_key_profile"] = """
+WITH f AS (
+  SELECT event_id,
+    CASE WHEN event_id % 3 = 0 THEN
+      to_json(struct_pack(v := value, t := event_type,
+                          flag := event_id % 2 = 0, maybe := event_id))
+    ELSE
+      to_json(struct_pack(v := value, t := event_type,
+                          flag := event_id % 2 = 0))
+    END AS js
+  FROM events
+), total AS (SELECT count(*) AS nr FROM events),
+k AS (
+  SELECT js, unnest(json_keys(js)) AS k FROM f
+), typed AS (
+  SELECT k,
+    CASE WHEN regexp_matches(json_extract_string(js, '$.' || k),
+                             '^-?[0-9]+$') THEN 1 ELSE 0 END AS i,
+    CASE WHEN NOT regexp_matches(json_extract_string(js, '$.' || k),
+                                 '^-?[0-9]+$')
+          AND regexp_matches(json_extract_string(js, '$.' || k),
+              '^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$')
+         THEN 1 ELSE 0 END AS fl,
+    CASE WHEN json_extract_string(js, '$.' || k) IN ('true', 'false')
+         THEN 1 ELSE 0 END AS b
+  FROM k
+)
+SELECT k, count(*) AS n_present,
+  CAST(sum(i) AS BIGINT) AS n_int,
+  CAST(sum(fl) AS BIGINT) AS n_float,
+  CAST(sum(b) AS BIGINT) AS n_bool,
+  CAST(count(*) - sum(i) - sum(fl) - sum(b) AS BIGINT) AS n_string,
+  round(count(*) / (SELECT CAST(nr AS DOUBLE) FROM total), 6)
+    AS presence_share
+FROM typed GROUP BY k
+"""
+
+ORACLES["key_skew_audit"] = f"""
+WITH c AS (
+  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+), total AS (SELECT count(*) AS nr FROM orders),
+top AS (
+  SELECT key, n,
+    CAST(row_number() OVER (ORDER BY n DESC, key) AS INTEGER) AS rank
+  FROM c ORDER BY n DESC, key LIMIT {C.SKEW_AUDIT_TOPN}
+)
+SELECT key, n,
+  round(n / (SELECT CAST(nr AS DOUBLE) FROM total), 6) AS share,
+  rank,
+  CAST(round(n / (SELECT CAST(nr AS DOUBLE) FROM total), 6)
+    > {C.SKEW_AUDIT_SHARE} AS INT) AS skewed
+FROM top
+"""
+
 ORACLES["outlier_mad_filter"] = f"""
 WITH med AS (
   SELECT event_type AS mt, quantile_cont(value, 0.5) AS med

@@ -327,3 +327,7 @@ GOPHER_MIN_STOP = 1  # distinct required-stop-word hits (synthetic corpus
 RRF_K0 = 60  # RRF damping constant
 RRF_TOPK = 20  # per-ranker candidate depth
 RRF_QUERY_VEC = 0  # vec_id used as the dense query
+
+# --- observability audits ---------------------------------------------------
+SKEW_AUDIT_TOPN = 10  # heaviest keys reported
+SKEW_AUDIT_SHARE = 0.001  # flag keys above this share of rows

@@ -443,6 +443,80 @@ def q_filename_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", fname.alias("filename"))
 
 
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read profiling of a semi-structured JSON column: per
+    key, presence count/share and the text-level type distribution
+    (int / float / bool / other-string) — what you run BEFORE deciding
+    a from_json schema for 100 TB of crawl metadata. The fixture JSON
+    is built closed-form from events (to_json drops null fields, so
+    key presence genuinely varies); keys explode map-side and the
+    profile is ONE hash agg keyed on the key name (key-cardinality
+    rows out). Type inference is over the extracted JSON text — the
+    documented level for schemaless profiling (a quoted "123" is
+    indistinguishable from 123 at this level)."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.col("value").alias("v"),
+            F.col("event_type").alias("t"),
+            (F.col("event_id") % 2 == 0).alias("flag"),
+            F.when(F.col("event_id") % 3 == 0, F.col("event_id")).alias(
+                "maybe"
+            ),
+        )
+    )
+    n_rows = ev.count()  # control plane: one scalar for the share
+    keyed = ev.select(js.alias("js")).select(
+        "js", F.explode(F.json_object_keys("js")).alias("k")
+    )
+    val = F.expr("get_json_object(js, concat('$.', k))")
+    is_int = val.rlike("^-?[0-9]+$")
+    is_float = val.rlike(r"^-?[0-9]+\.[0-9]+([eE][+-]?[0-9]+)?$")
+    is_bool = val.isin("true", "false")
+    return (
+        keyed.select(
+            "k",
+            is_int.cast("int").alias("__i"),
+            (~is_int & is_float).cast("int").alias("__f"),
+            is_bool.cast("int").alias("__b"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum("__i").alias("n_int"),
+            F.sum("__f").alias("n_float"),
+            F.sum("__b").alias("n_bool"),
+            (F.count(F.lit(1)) - F.sum("__i") - F.sum("__f") - F.sum("__b"))
+            .alias("n_string"),
+            F.round(F.count(F.lit(1)) / F.lit(float(n_rows)), 6).alias(
+                "presence_share"
+            ),
+        )
+    )
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the N heaviest customer keys in orders with
+    their row share and a skew flag — the observability query you run
+    BEFORE choosing salting / AQE thresholds for a fact join. One
+    map-side-combinable count agg; the top-N is a distributed
+    orderBy+limit (TakeOrderedAndProject), never a global window over
+    the key space."""
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()  # control plane: one scalar
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), "o_custkey").limit(C.SKEW_AUDIT_TOPN)
+    w = Window.orderBy(F.desc("n"), "o_custkey")  # N rows only
+    share = F.round(F.col("n") / F.lit(float(total)), 6)
+    return top.select(
+        F.col("o_custkey").alias("key"),
+        "n",
+        share.alias("share"),
+        F.row_number().over(w).alias("rank"),
+        (share > C.SKEW_AUDIT_SHARE).cast("int").alias("skewed"),
+    )
+
+
 def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Message-metadata JSON extraction (fsspec/message payloads)."""
     ev = load_table(spark, sf_dir, "events")
@@ -6083,6 +6157,8 @@ QUERIES = {
     "composite_union_distinct": q_composite_union_distinct,
     "filename_compose": q_filename_compose,
     "json_extract_props": q_json_extract_props,
+    "json_key_profile": q_json_key_profile,
+    "key_skew_audit": q_key_skew_audit,
     "sessionize": q_sessionize,
     "funnel_conversion": q_funnel_conversion,
     "event_counts_salted": q_event_counts_salted,
