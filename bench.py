@@ -216,6 +216,7 @@ OPERATORS = [
     "hybrid_retrieval",  # BM25 + dense cosine fused by reciprocal rank
     "json_key_profile",  # schema-on-read JSON key/type profiling
     "key_skew_audit",  # heaviest-join-key observability (pre-salting)
+    "streaming_late_data",  # watermark late-drop semantics, 3-batch replay
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -681,6 +681,34 @@ FROM events GROUP BY 1, 2
 # streaming first-seen dedup replay: survivor = min-batch doc per
 # content group; digest = the shared portable hash of the normalized
 # text (identical normalization chain on both engines)
+# watermark late-data replay: accepted iff the row's hour-window END
+# clears the watermark in force for its batch. Micro-batch watermark
+# propagation LAGS one batch (the update computed from batch b-1's
+# data takes effect in batch b+1 — the next batch was already planned
+# with the previous value), so the watermark for batch b derives from
+# data through batch b-2; batches 0 and 1 run unfiltered.
+ORACLES["streaming_late_data"] = f"""
+WITH f AS (
+  SELECT ts, event_type, event_id % 3 AS b
+  FROM events WHERE event_id % {C.REPLAY_SUB_MOD} = 0
+), bmax AS (
+  SELECT b, max(ts) AS mx FROM f GROUP BY b
+), wm AS (
+  SELECT b1.b,
+    (SELECT max(mx) FROM bmax b2 WHERE b2.b < b1.b - 1)
+      - INTERVAL 6 HOUR AS w
+  FROM bmax b1
+), acc AS (
+  SELECT f.ts, f.event_type
+  FROM f JOIN wm USING (b)
+  WHERE wm.w IS NULL
+     OR date_trunc('hour', f.ts) + INTERVAL 1 HOUR > wm.w
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n_events
+FROM acc GROUP BY 1, 2
+"""
+
 _SDR_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 ORACLES["streaming_dedup_replay"] = f"""
 WITH f AS (

@@ -4478,6 +4478,54 @@ def _container_blob(d: int) -> bytes:
     return page + pkt
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics proven end-to-end: a windowed event-time
+    count driven through the 3-batch replay with a 6-hour watermark.
+    Batches interleave the month uniformly (batch = event_id % 3), so
+    once the watermark takes effect it sits ~6 hours below the stream
+    maximum and most later rows arrive LATE: Spark drops exactly those
+    whose hour-window end is at or below the watermark in force for
+    their batch. Micro-batch watermark propagation lags one batch (the
+    update from batch b-1's data takes effect in batch b+1), so batch
+    2 is the first filtered batch — the oracle restates the lag-2 rule
+    row-by-row; final counts are the max update per (window, type)
+    from the memory sink."""
+    from trollflow2_spark.streaming.stateful import replay_batches
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % C.REPLAY_SUB_MOD == 0)
+        .select("ts", "event_type", (F.col("event_id") % 3).alias("b"))
+    )
+    rows = ev.collect()  # config-bounded fixture subset (control plane)
+    batches = [
+        [
+            {"ts": r["ts"].isoformat(sep=" "), "event_type": r["event_type"]}
+            for r in rows
+            if r["b"] == i
+        ]
+        for i in range(3)
+    ]
+
+    def op(st):
+        return (
+            st.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "6 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    sunk = replay_batches(
+        spark, batches, "ts string, event_type string", op
+    )
+    return (
+        sunk.groupBy(
+            F.col("window.start").alias("window_start"), "event_type"
+        )
+        .agg(F.max("n").alias("n_events"))
+    )
+
+
 def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup driven through the 3-batch replay
     harness: content 'content k' rides docs {3k, 3k+1, 3k+2} in
@@ -6128,6 +6176,7 @@ QUERIES = {
     "streaming_running_counts": q_streaming_running_counts,
     "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_dedup_replay": q_streaming_dedup_replay,
+    "streaming_late_data": q_streaming_late_data,
     "media_container_metadata": q_media_container_metadata,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
