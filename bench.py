@@ -217,6 +217,7 @@ OPERATORS = [
     "json_key_profile",  # schema-on-read JSON key/type profiling
     "key_skew_audit",  # heaviest-join-key observability (pre-salting)
     "streaming_late_data",  # watermark late-drop semantics, 3-batch replay
+    "exif_metadata",  # header-only JPEG APP1/Exif + SOF parse (II and MM)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -50,3 +50,19 @@ def test_unknown_and_corrupt_quarantine(spark):
     assert out[3]["container"] == "unknown"
     assert out[4]["container"] == "unknown"
     assert out[5]["container"] == "wav" and out[5]["codec"] == "pcm"
+
+
+def test_exif_both_byte_orders():
+    from trollflow2_spark.extensions.multimodal import _parse_jpeg_exif
+    from trollflow2_spark.queries import _exif_blob
+
+    le = _parse_jpeg_exif(_exif_blob(2))  # II
+    be = _parse_jpeg_exif(_exif_blob(1))  # MM
+    assert le["orientation"] == 3 and be["orientation"] == 2
+    assert le["make"] == "cam2" and be["make"] == "cam1"
+    assert le["datetime"].startswith("2024:01:03")
+    assert (le["width"], le["height"]) == (102, 82)
+    # EXIF-less JPEG keeps dimensions; non-JPEG yields nothing
+    noexif = _parse_jpeg_exif(_exif_blob(7))
+    assert "make" not in noexif and noexif["width"] == 107
+    assert _parse_jpeg_exif(_exif_blob(11)) == {}

@@ -993,3 +993,128 @@ def container_metadata(
     return df.select(id_col, media_col).mapInPandas(
         kernel, CONTAINER_META_SCHEMA
     )
+
+
+EXIF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("has_exif", T.IntegerType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _parse_exif_tiff(b: bytes) -> dict:
+    """Parse IFD0 of an Exif TIFF block (both byte orders): Make
+    (0x010F, ASCII), Orientation (0x0112, SHORT), DateTime (0x0132,
+    ASCII)."""
+    out: dict = {}
+    if len(b) < 10 or b[:2] not in (b"II", b"MM"):
+        return out
+    bo = "little" if b[:2] == b"II" else "big"
+
+    def num(lo, n):
+        return int.from_bytes(b[lo : lo + n], bo)
+
+    if num(2, 2) != 42:
+        return out
+    ifd = num(4, 4)
+    if ifd + 2 > len(b):
+        return out
+    n = num(ifd, 2)
+    for i in range(n):
+        e = ifd + 2 + i * 12
+        if e + 12 > len(b):
+            break
+        tag, typ, cnt = num(e, 2), num(e + 2, 2), num(e + 4, 4)
+        if typ == 2:  # ASCII: inline when <=4 bytes, else offset
+            off = e + 8 if cnt <= 4 else num(e + 8, 4)
+            raw = b[off : off + cnt].split(b"\x00")[0]
+            val = raw.decode("ascii", "replace")
+        elif typ == 3:  # SHORT: value left-packed in the 4-byte slot
+            val = num(e + 8, 2)
+        else:
+            continue
+        if tag == 0x010F:
+            out["make"] = val
+        elif tag == 0x0112 and isinstance(val, int):
+            out["orientation"] = val
+        elif tag == 0x0132:
+            out["datetime"] = val
+    return out
+
+
+def _parse_jpeg_exif(b: bytes) -> dict:
+    """Walk JPEG segments header-only: APP1/Exif -> IFD0 fields, SOF0-3
+    -> dimensions. No entropy decode."""
+    out: dict = {}
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return out
+    pos = 2
+    while pos + 4 <= len(b) and b[pos] == 0xFF:
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            out.update(_parse_exif_tiff(body[6:]))
+            out["has_exif"] = 1
+        elif 0xC0 <= marker <= 0xC3:
+            out["height"] = int.from_bytes(body[1:3], "big")
+            out["width"] = int.from_bytes(body[3:5], "big")
+        pos += 2 + seg_len
+    return out
+
+
+def exif_metadata(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """EXIF + dimension metadata from JPEG blobs WITHOUT decoding:
+    APP1/Exif IFD0 fields (orientation, camera make, capture datetime
+    — both TIFF byte orders) and SOF frame dimensions, via a
+    header-only segment walk. The per-image metadata a 100 TB image
+    crawl extracts before deciding what to decode; corrupt or
+    EXIF-less payloads yield NULL fields, never task failures.
+
+    One Arrow ``mapInPandas`` pass; same intake shape as
+    :func:`container_metadata`.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    meta = _parse_jpeg_exif(
+                        bytes(blob) if blob is not None else b""
+                    )
+                except Exception:
+                    meta = {}
+                rows.append(
+                    (
+                        int(d),
+                        meta.get("has_exif", 0),
+                        meta.get("orientation"),
+                        meta.get("make"),
+                        meta.get("datetime"),
+                        meta.get("width"),
+                        meta.get("height"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXIF_META_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, EXIF_META_SCHEMA
+    )

@@ -724,6 +724,25 @@ SELECT doc_id, text,
 FROM k WHERE b = bmin
 """
 
+# EXIF fixture replay: every field closed-form in doc_id
+ORACLES["exif_metadata"] = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN 0 ELSE 1 END
+    AS INTEGER) AS has_exif,
+  CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+       ELSE 1 + doc_id % 8 END AS INTEGER) AS orientation,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+       ELSE 'cam' || (doc_id % 5) END AS make,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+       ELSE '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+            || ' 00:00:00' END AS datetime,
+  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+       ELSE 100 + doc_id % 50 END AS INTEGER) AS width,
+  CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+       ELSE 80 + doc_id % 40 END AS INTEGER) AS height
+FROM documents
+"""
+
 # container-metadata fixture replay: every header field of the
 # wav/mp3/mp4/ogg blobs is closed-form in doc_id, so the oracle states
 # the parsed result per container branch

@@ -4560,6 +4560,78 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.select("doc_id", "text", "digest")
 
 
+def _exif_blob(d: int) -> bytes:
+    """Deterministic JPEG fixture for doc_id ``d``: real segment
+    structure (SOI / APP1-Exif / SOF0 / EOI) with closed-form EXIF
+    fields; byte order alternates II/MM, every 7th doc has no APP1,
+    every 11th is not a JPEG at all."""
+    if d % 11 == 0:
+        return b"notjpeg" + bytes([d % 256])
+    bo = "little" if d % 2 == 0 else "big"
+
+    def b2(v):
+        return v.to_bytes(2, bo)
+
+    def b4(v):
+        return v.to_bytes(4, bo)
+
+    w, h = 100 + d % 50, 80 + d % 40
+    sof = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    if d % 7 == 0:
+        return b"\xff\xd8" + sof + b"\xff\xd9"
+    make = f"cam{d % 5}".encode() + b"\x00"
+    dt = ("2024:01:%02d 00:00:00" % (d % 28 + 1)).encode() + b"\x00"
+    off_make = 50  # header 8 + count 2 + 3*12 + next-IFD 4
+    off_dt = off_make + len(make)
+    header = (b"II" if bo == "little" else b"MM") + b2(42) + b4(8)
+    entries = (
+        b2(0x010F) + b2(2) + b4(len(make)) + b4(off_make)
+        + b2(0x0112) + b2(3) + b4(1) + b2(1 + d % 8) + b2(0)
+        + b2(0x0132) + b2(2) + b4(len(dt)) + b4(off_dt)
+    )
+    tiff = header + b2(3) + entries + b4(0) + make + dt
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(exif) + 2).to_bytes(2, "big") + exif
+    return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
+
+
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction over real JPEG segment structures: closed-form
+    APP1/Exif IFD0 fields in BOTH TIFF byte orders, SOF dimensions,
+    EXIF-less and non-JPEG payloads degrading to NULL fields — the
+    header-only image-metadata pass a crawl runs before deciding what
+    to decode."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import exif_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [_exif_blob(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return exif_metadata(media)
+
+
 def q_media_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata extraction over real wav/mp3/mp4/ogg bytes:
     the fixture blobs carry genuine RIFF / ID3v2+MPEG / ISO-BMFF / Ogg
@@ -6178,6 +6250,7 @@ QUERIES = {
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "streaming_late_data": q_streaming_late_data,
     "media_container_metadata": q_media_container_metadata,
+    "exif_metadata": q_exif_metadata,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
