@@ -218,6 +218,7 @@ OPERATORS = [
     "key_skew_audit",  # heaviest-join-key observability (pre-salting)
     "streaming_late_data",  # watermark late-drop semantics, 3-batch replay
     "exif_metadata",  # header-only JPEG APP1/Exif + SOF parse (II and MM)
+    "streaming_join_replay",  # watermarked stream-stream attribution join
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

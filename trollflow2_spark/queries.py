@@ -4526,6 +4526,67 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join through the 3-batch
+    replay: impressions (even event_ids) joined to clicks (odd) on
+    user bucket within 15 minutes, both sides watermarked 30 minutes.
+    Emitted pairs = condition-satisfying pairs whose rows each cleared
+    the watermark in force for their batch (raw event time here — the
+    aggregate case gates on window end), with the same lag-2 watermark
+    propagation the late-data replay pins. The oracle restates the
+    rule and the time-range join."""
+    from trollflow2_spark.streaming.stateful import replay_batches
+    from trollflow2_spark.streaming.windows import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("k"),
+        "ts",
+        (F.col("event_id") % 2 == 0).alias("is_l"),
+        (F.col("event_id") % 3).alias("b"),
+        "event_id",
+    )
+    rows = ev.collect()  # config-bounded fixture subset (control plane)
+    batches = [
+        [
+            {
+                "k": r["k"],
+                "ts": r["ts"].isoformat(sep=" "),
+                "side": "L" if r["is_l"] else "R",
+                "eid": r["event_id"],
+            }
+            for r in rows
+            if r["b"] == i
+        ]
+        for i in range(3)
+    ]
+
+    def op(st):
+        st = st.withColumn("ts", F.col("ts").cast("timestamp"))
+        left = st.filter(F.col("side") == "L").select(
+            "k", "ts", F.col("eid").alias("l_eid")
+        )
+        right = st.filter(F.col("side") == "R").select(
+            "k", "ts", F.col("eid").alias("r_eid")
+        )
+        return stream_stream_join(
+            left,
+            right,
+            "k",
+            "ts",
+            "ts",
+            watermark="30 minutes",
+            max_delay="15 minutes",
+        ).select("k", "l_eid", F.col("r_r_eid").alias("r_eid"))
+
+    return replay_batches(
+        spark,
+        batches,
+        "k long, ts string, side string, eid long",
+        op,
+        output_mode="append",
+    )
+
+
 def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup driven through the 3-batch replay
     harness: content 'content k' rides docs {3k, 3k+1, 3k+2} in
@@ -6249,6 +6310,7 @@ QUERIES = {
     "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "streaming_late_data": q_streaming_late_data,
+    "streaming_join_replay": q_streaming_join_replay,
     "media_container_metadata": q_media_container_metadata,
     "exif_metadata": q_exif_metadata,
     "outlier_mad_filter": q_outlier_mad_filter,

@@ -245,7 +245,15 @@ def host_rate_limit(
     )
 
 
-def replay_batches(spark, batches, schema: str, op, timeout_s: int = 180):
+def replay_batches(
+    spark,
+    batches,
+    schema: str,
+    op,
+    timeout_s: int = 180,
+    output_mode: str = "update",
+    shuffle_partitions: int | None = 8,
+):
     """Drive a stateful operator through a REAL micro-batched stream
     deterministically, batch-by-batch, and return the memory-sink rows
     as a batch DataFrame — the replay harness behind the stateful
@@ -276,6 +284,13 @@ def replay_batches(spark, batches, schema: str, op, timeout_s: int = 180):
             for r in rows:
                 fh.write(json.dumps(r) + "\n")
         os.utime(path, (t0 + i * 10, t0 + i * 10))
+    # a stateful query's state-store count is pinned to
+    # spark.sql.shuffle.partitions at FIRST start; replay fixtures are
+    # config-bounded, so a small fixed count avoids paying hundreds of
+    # near-empty state tasks per micro-batch (restored after the run)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -286,10 +301,14 @@ def replay_batches(spark, batches, schema: str, op, timeout_s: int = 180):
         op(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", os.path.join(d, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
