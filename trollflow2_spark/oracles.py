@@ -711,11 +711,11 @@ FROM acc GROUP BY 1, 2
 
 # stream-stream join replay: accepted rows (raw ts vs the lag-2
 # watermark) joined under the attribution time-range condition
-ORACLES["streaming_join_replay"] = """
+ORACLES["streaming_join_replay"] = f"""
 WITH f AS (
-  SELECT event_id, user_id % 10 AS k, ts,
-    event_id % 2 = 0 AS is_l, event_id % 3 AS b
-  FROM events
+  SELECT event_id, user_id % 5 AS k, ts,
+    event_id % 2 = 0 AS is_l, (event_id // {C.REPLAY_SUB_MOD}) % 3 AS b
+  FROM events WHERE event_id % {C.REPLAY_SUB_MOD} = 0
 ), bmax AS (
   -- Spark's event-time stats are millisecond-floored, so the
   -- watermark derives from the ms-truncated batch maximum
@@ -723,21 +723,21 @@ WITH f AS (
 ), wm AS (
   SELECT b1.b,
     (SELECT max(mx) FROM bmax b2 WHERE b2.b < b1.b - 1)
-      - INTERVAL 30 MINUTE AS w
+      - INTERVAL 2 HOUR AS w
   FROM bmax b1
 ), acc AS (
-  -- per-side state watermarks derive from the join condition: a left
-  -- row can still match clicks up to 15 minutes after it, so left
-  -- state survives down to wm - 15min; right state only to wm
+  -- state watermarks derive from the join condition: the time-range
+  -- couples the two sides within max_delay, so state on BOTH sides
+  -- survives down to wm - 1h (a left row can still match clicks up
+  -- to 1h after it; a click can still match impressions admitted
+  -- that late)
   SELECT f.* FROM f JOIN wm USING (b)
-  WHERE wm.w IS NULL
-     OR (f.is_l AND f.ts >= wm.w - INTERVAL 15 MINUTE)
-     OR (NOT f.is_l AND f.ts >= wm.w)
+  WHERE wm.w IS NULL OR f.ts >= wm.w - INTERVAL 1 HOUR
 )
 SELECT l.k AS k, l.event_id AS l_eid, r.event_id AS r_eid
 FROM acc l JOIN acc r
   ON l.is_l AND NOT r.is_l AND l.k = r.k
-  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
 """
 
 _SDR_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

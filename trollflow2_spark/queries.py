@@ -4529,7 +4529,7 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream attribution join through the 3-batch
     replay: impressions (even event_ids) joined to clicks (odd) on
-    user bucket within 15 minutes, both sides watermarked 30 minutes.
+    user bucket within 1 hour, both sides watermarked 2 hours.
     Emitted pairs = condition-satisfying pairs whose rows each cleared
     the watermark in force for their batch (raw event time here — the
     aggregate case gates on window end), with the same lag-2 watermark
@@ -4538,12 +4538,18 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trollflow2_spark.streaming.stateful import replay_batches
     from trollflow2_spark.streaming.windows import stream_stream_join
 
-    ev = load_table(spark, sf_dir, "events").select(
-        (F.col("user_id") % 10).alias("k"),
-        "ts",
-        (F.col("event_id") % 2 == 0).alias("is_l"),
-        (F.col("event_id") % 3).alias("b"),
-        "event_id",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % C.REPLAY_SUB_MOD == 0)
+        .select(
+            (F.col("user_id") % 5).alias("k"),
+            "ts",
+            (F.col("event_id") % 2 == 0).alias("is_l"),
+            ((F.col("event_id") / C.REPLAY_SUB_MOD).cast("bigint") % 3).alias(
+                "b"
+            ),
+            "event_id",
+        )
     )
     rows = ev.collect()  # config-bounded fixture subset (control plane)
     batches = [
@@ -4574,8 +4580,8 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "ts",
             "ts",
-            watermark="30 minutes",
-            max_delay="15 minutes",
+            watermark="2 hours",
+            max_delay="1 hour",
         ).select("k", "l_eid", F.col("r_r_eid").alias("r_eid"))
 
     return replay_batches(
