@@ -219,6 +219,7 @@ OPERATORS = [
     "streaming_late_data",  # watermark late-drop semantics, 3-batch replay
     "exif_metadata",  # header-only JPEG APP1/Exif + SOF parse (II and MM)
     "streaming_join_replay",  # watermarked stream-stream attribution join
+    "pdf_text",  # stdlib PDF text extraction (COS parse + FlateDecode)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

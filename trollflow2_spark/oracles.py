@@ -755,6 +755,31 @@ SELECT doc_id, text,
 FROM k WHERE b = bmin
 """
 
+# PDF fixture replay: structure and extracted text closed-form
+ORACLES["pdf_text"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 9 = 0 AS not_pdf,
+    1 + doc_id % 3 AS np, doc_id % 10 = 0 AS cid
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN not_pdf THEN 0 ELSE 1 END AS INTEGER) AS ok,
+  CASE WHEN not_pdf THEN NULL ELSE '1.4' END AS version,
+  CAST(CASE WHEN not_pdf THEN NULL ELSE np END AS INTEGER) AS n_pages,
+  CAST(CASE WHEN not_pdf THEN NULL
+       ELSE 3 + 2 * np + CASE WHEN cid THEN 1 ELSE 0 END
+       END AS INTEGER) AS n_objects,
+  CAST(CASE WHEN not_pdf THEN NULL WHEN cid THEN 1 ELSE 0 END
+    AS INTEGER) AS has_cid,
+  CASE WHEN not_pdf THEN NULL ELSE 'gen' || (doc_id % 7) END AS producer,
+  CASE WHEN not_pdf THEN NULL ELSE
+    array_to_string(list_transform(range(np),
+      p -> 'Doc ' || doc_id || ' pa(ren) pg' || p || ' hex* AB'),
+      chr(10))
+  END AS text
+FROM base
+"""
+
 # EXIF fixture replay: every field closed-form in doc_id
 ORACLES["exif_metadata"] = """
 SELECT doc_id,

@@ -4666,6 +4666,92 @@ def _exif_blob(d: int) -> bytes:
     return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
 
 
+def _pdf_blob(d: int) -> bytes:
+    """Closed-form PDF fixture: 1 + d%3 pages; each page's content
+    stream exercises literal strings with escapes, TJ arrays with
+    kerning, hex strings and octal escapes; streams Flate-compressed
+    for even d; every 9th doc is not a PDF, every 10th carries a CID
+    (Type0) font marker."""
+    import zlib
+
+    if d % 9 == 0:
+        return b"%NOTAPDF" + bytes([d % 256])
+    n_pages = 1 + d % 3
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * p} 0 R" for p in range(n_pages))
+    objs.append(
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+    )
+    objs.append(
+        f"2 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> "
+        "endobj\n".encode()
+    )
+    for p in range(n_pages):
+        content = (
+            f"BT /F1 12 Tf (Doc {d}) Tj (pa\\(ren\\)) Tj "
+            f"[(pg) -120 ({p})] TJ <6865782A> Tj (\\101\\102) Tj ET"
+        ).encode()
+        filt = b""
+        if d % 2 == 0:
+            content = zlib.compress(content)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            f"{3 + 2 * p} 0 obj << /Type /Page /Parent 2 0 R "
+            f"/Contents {4 + 2 * p} 0 R >> endobj\n".encode()
+        )
+        objs.append(
+            (
+                f"{4 + 2 * p} 0 obj << {filt.decode()}/Length "
+                f"{len(content)} >> stream\n"
+            ).encode()
+            + content
+            + b"\nendstream endobj\n"
+        )
+    info = f"{3 + 2 * n_pages} 0 obj << /Producer (gen{d % 7}) >> endobj\n"
+    objs.append(info.encode())
+    if d % 10 == 0:
+        objs.append(
+            f"{4 + 2 * n_pages} 0 obj << /Subtype /Type0 /BaseFont "
+            "/Fake-Identity-H >> endobj\n".encode()
+        )
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF"
+
+
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction over real COS structures: sequential object
+    parse (no xref needed — robust to the truncated files crawls see),
+    zlib-inflated FlateDecode content streams, and the text-showing
+    operator set (Tj / TJ arrays with kerning / hex strings / octal
+    and delimiter escapes). Non-PDFs degrade to ok=0 rows; Type0/CID
+    fonts are flagged. Every field of the fixture is closed-form in
+    doc_id, so the oracle states the extracted text verbatim."""
+    import pandas as pd
+
+    from trollflow2_spark.sources.pdftext import pdf_text_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [_pdf_blob(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return pdf_text_table(media)
+
+
 def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF extraction over real JPEG segment structures: closed-form
     APP1/Exif IFD0 fields in BOTH TIFF byte orders, SOF dimensions,
@@ -6319,6 +6405,7 @@ QUERIES = {
     "streaming_join_replay": q_streaming_join_replay,
     "media_container_metadata": q_media_container_metadata,
     "exif_metadata": q_exif_metadata,
+    "pdf_text": q_pdf_text,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
