@@ -220,6 +220,7 @@ OPERATORS = [
     "exif_metadata",  # header-only JPEG APP1/Exif + SOF parse (II and MM)
     "streaming_join_replay",  # watermarked stream-stream attribution join
     "pdf_text",  # stdlib PDF text extraction (COS parse + FlateDecode)
+    "json_schema_drift",  # snapshot-over-snapshot key drift audit
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

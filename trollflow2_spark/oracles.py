@@ -1923,6 +1923,43 @@ SELECT k, count(*) AS n_present,
 FROM typed GROUP BY k
 """
 
+# snapshot schema drift: the same fixture JSON per snapshot, two
+# key profiles full-outer-joined (DuckDB to_json keeps nulls, so the
+# conditional keys filter explicitly)
+ORACLES["json_schema_drift"] = """
+WITH f AS (
+  SELECT event_id, event_id % 2 = 1 AS is_new,
+    CASE
+      WHEN event_id % 3 = 0 AND event_id % 2 = 1 AND event_id % 4 = 1
+        THEN ['v', 't', 'maybe', 'v2']
+      WHEN event_id % 3 = 0 THEN ['v', 't', 'maybe']
+      WHEN event_id % 2 = 1 AND event_id % 4 = 1 THEN ['v', 't', 'v2']
+      ELSE ['v', 't'] END AS ks
+  FROM events
+), totals AS (
+  SELECT
+    count(*) FILTER (WHERE NOT is_new) AS n_old,
+    count(*) FILTER (WHERE is_new) AS n_new
+  FROM f
+), k AS (
+  SELECT is_new, unnest(ks) AS k FROM f
+), po AS (
+  SELECT k, round(count(*) / (SELECT CAST(n_old AS DOUBLE) FROM totals),
+                  6) AS share_old
+  FROM k WHERE NOT is_new GROUP BY k
+), pn AS (
+  SELECT k, round(count(*) / (SELECT CAST(n_new AS DOUBLE) FROM totals),
+                  6) AS share_new
+  FROM k WHERE is_new GROUP BY k
+)
+SELECT coalesce(po.k, pn.k) AS k, share_old, share_new,
+  CASE WHEN share_old IS NULL THEN 'added'
+       WHEN share_new IS NULL THEN 'dropped'
+       WHEN abs(share_new - share_old) > 0.1 THEN 'drifted'
+       ELSE 'stable' END AS status
+FROM po FULL JOIN pn USING (k)
+"""
+
 ORACLES["key_skew_audit"] = f"""
 WITH c AS (
   SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey

@@ -495,6 +495,63 @@ def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift between two snapshots of a semi-structured feed:
+    per key, presence share in each snapshot and a status
+    (added / dropped / drifted / stable by a 10% share delta). The
+    fixture derives 'old' (even event_ids) and 'new' (odd) snapshots
+    whose JSON genuinely differs: the new snapshot adds a 'v2' key for
+    half its rows and emits 'maybe' twice as often. Two key-cardinality
+    profiles full-outer-joined on the key name — snapshot-sized scans,
+    key-sized everything else."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(df, n_rows):
+        js = F.to_json(
+            F.struct(
+                F.col("value").alias("v"),
+                F.col("event_type").alias("t"),
+                F.when(F.col("event_id") % 3 == 0, F.col("event_id")).alias(
+                    "maybe"
+                ),
+                F.when(
+                    (F.col("event_id") % 2 == 1)
+                    & (F.col("event_id") % 4 == 1),
+                    F.lit("x"),
+                ).alias("v2"),
+            )
+        )
+        return (
+            df.select(F.explode(F.json_object_keys(js)).alias("k"))
+            .groupBy("k")
+            .agg(
+                F.round(F.count(F.lit(1)) / F.lit(float(n_rows)), 6).alias(
+                    "share"
+                )
+            )
+        )
+
+    old_df = ev.where(F.col("event_id") % 2 == 0)
+    new_df = ev.where(F.col("event_id") % 2 == 1)
+    po = profile(old_df, old_df.count()).withColumnRenamed("share", "share_old")
+    pn = profile(new_df, new_df.count()).withColumnRenamed("share", "share_new")
+    j = po.join(pn, "k", "full")
+    status = (
+        F.when(F.col("share_old").isNull(), "added")
+        .when(F.col("share_new").isNull(), "dropped")
+        .when(
+            F.abs(F.col("share_new") - F.col("share_old")) > 0.1, "drifted"
+        )
+        .otherwise("stable")
+    )
+    return j.select(
+        "k",
+        "share_old",
+        "share_new",
+        status.alias("status"),
+    )
+
+
 def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew audit: the N heaviest customer keys in orders with
     their row share and a skew flag — the observability query you run
@@ -6436,6 +6493,7 @@ QUERIES = {
     "json_extract_props": q_json_extract_props,
     "json_key_profile": q_json_key_profile,
     "key_skew_audit": q_key_skew_audit,
+    "json_schema_drift": q_json_schema_drift,
     "sessionize": q_sessionize,
     "funnel_conversion": q_funnel_conversion,
     "event_counts_salted": q_event_counts_salted,
