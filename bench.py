@@ -221,6 +221,7 @@ OPERATORS = [
     "streaming_join_replay",  # watermarked stream-stream attribution join
     "pdf_text",  # stdlib PDF text extraction (COS parse + FlateDecode)
     "json_schema_drift",  # snapshot-over-snapshot key drift audit
+    "corpus_recipe",  # config-driven 4-stage corpus pipeline capstone
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1,0 +1,53 @@
+"""Config-driven corpus recipes: name-addressed stage registry, YAML
+loading, fail-fast on unknown stages."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_recipe_runs_and_filters(spark):
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.recipe import run_recipe
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "the quick brown fox jumps over the lazy dog " * 3),  # dup
+        (3, "tiny"),  # fails the token floor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_recipe(
+        docs,
+        [
+            {"stage": "quality_filter", "min_tokens": 10},
+            {"stage": "exact_dedup"},
+            {"stage": "split", "fractions": {"train": 0.8, "val": 0.2}},
+        ],
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]  # dup 2 dropped, 3 filtered
+    assert out[0]["split"] in ("train", "val")
+
+
+def test_recipe_yaml_roundtrip(tmp_path):
+    from trollflow2_spark.extensions.recipe import read_recipe
+
+    p = tmp_path / "recipe.yaml"
+    p.write_text(
+        "- stage: quality_filter\n"
+        "- stage: exact_dedup\n"
+        "- stage: split\n  fractions:\n    train: 0.9\n    val: 0.1\n"
+    )
+    recipe = read_recipe(str(p))
+    assert [r["stage"] for r in recipe] == [
+        "quality_filter", "exact_dedup", "split",
+    ]
+    assert recipe[2]["fractions"] == {"train": 0.9, "val": 0.1}
+
+
+def test_unknown_stage_fails_fast(spark):
+    from trollflow2_spark.extensions.recipe import run_recipe
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown stage 'nope'"):
+        run_recipe(docs, [{"stage": "nope"}])

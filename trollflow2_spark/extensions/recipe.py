@@ -1,0 +1,144 @@
+"""Config-driven corpus pipelines: the reference's name-addressed
+stage model (`/root/reference/trollflow2/launcher.py` resolves each
+product-list ``fun:`` through a registry — no code execution from
+config) applied to the training-data tier.
+
+A recipe is a YAML/JSON list of ``{stage: <name>, <param>: <value>}``
+items; every stage is a registered function ``(docs DataFrame,
+**params) -> DataFrame`` over the conventional corpus schema
+(``doc_id``, ``text``, extra columns pass through). Stages resolve by
+NAME ONLY — config can never execute code — and unknown names or
+parameters fail fast with the available choices, mirroring
+``plans/pipeline.py``'s stage registry semantics.
+
+Scale: the runner is a driver-side fold over a config-sized list; each
+stage contributes its own documented plan (semi-joins on the id for
+filters, digest windows for dedup, map-side predicates for splits), so
+the composed job is exactly the union of the stages' plans — no extra
+shuffles from the orchestration itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+CORPUS_STAGES: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_corpus_stage(name: str):
+    def deco(fn: Callable[..., DataFrame]):
+        CORPUS_STAGES[name] = fn
+        return fn
+
+    return deco
+
+
+@register_corpus_stage("quality_filter")
+def _stage_quality_filter(df: DataFrame, **params) -> DataFrame:
+    """Keep docs passing the ordered quality rule chain (token floor,
+    stopword floor, blended score); left-semi join on the id so every
+    input column passes through."""
+    from trollflow2_spark.extensions.text import quality_filter
+
+    kept = (
+        quality_filter(df, **params).where(F.col("keep") == 1).select("doc_id")
+    )
+    return df.join(kept, "doc_id", "left_semi")
+
+
+@register_corpus_stage("gopher_rules")
+def _stage_gopher(df: DataFrame, **params) -> DataFrame:
+    """Keep docs passing the Gopher rule set."""
+    from trollflow2_spark.extensions.text import gopher_rules
+
+    kept = (
+        gopher_rules(df, **params).where(F.col("keep") == 1).select("doc_id")
+    )
+    return df.join(kept, "doc_id", "left_semi")
+
+
+@register_corpus_stage("scrub_repeated_spans")
+def _stage_scrub(df: DataFrame, **params) -> DataFrame:
+    """Cut cross-document repeated spans out of the text (Lee et al.
+    removal half); ``text`` is replaced by the scrubbed text."""
+    from trollflow2_spark.extensions.dedup import scrub_repeated_spans
+
+    scrubbed = scrub_repeated_spans(df, **params).select(
+        "doc_id", F.col("clean_text")
+    )
+    return (
+        df.drop("text")
+        .join(scrubbed, "doc_id")
+        .withColumnRenamed("clean_text", "text")
+    )
+
+
+@register_corpus_stage("exact_dedup")
+def _stage_exact_dedup(df: DataFrame, **params) -> DataFrame:
+    """Keep the lowest-id document of every exact content class (the
+    digest window form, so non-canonical duplicates drop with all
+    columns preserved)."""
+    w = Window.partitionBy(F.md5(F.col(params.get("text_col", "text"))))
+    return (
+        df.withColumn("__keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__keep_id"))
+        .drop("__keep_id")
+    )
+
+
+@register_corpus_stage("split")
+def _stage_split(df: DataFrame, **params) -> DataFrame:
+    """Assign the deterministic train/val/test split column."""
+    from trollflow2_spark.extensions.sampling import deterministic_split
+
+    fractions = params.pop("fractions")
+    if isinstance(fractions, list):  # YAML pairs
+        fractions = dict(fractions)
+    return deterministic_split(df, fractions, **params)
+
+
+@register_corpus_stage("c4_line_filter")
+def _stage_c4(df: DataFrame, **params) -> DataFrame:
+    """Apply C4 line cleaning; text becomes the cleaned text and docs
+    below the surviving-line floor drop."""
+    from trollflow2_spark.extensions.text import c4_line_filter
+
+    cleaned = c4_line_filter(df, **params)
+    return (
+        df.drop("text")
+        .join(
+            cleaned.where(F.col("keep_doc") == 1).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+    )
+
+
+def run_recipe(df: DataFrame, recipe: list[dict[str, Any]]) -> DataFrame:
+    """Fold the recipe's stages over the corpus, by name."""
+    out = df
+    for i, item in enumerate(recipe):
+        item = dict(item)
+        name = item.pop("stage", None)
+        if not name or name not in CORPUS_STAGES:
+            raise ValueError(
+                f"recipe[{i}]: unknown stage {name!r}; available: "
+                + ", ".join(sorted(CORPUS_STAGES))
+            )
+        out = CORPUS_STAGES[name](out, **item)
+    return out
+
+
+def read_recipe(path: str) -> list[dict[str, Any]]:
+    """Load a recipe list from YAML (SafeLoader only — name-addressed
+    stages, never code)."""
+    import yaml
+
+    with open(path) as fh:
+        recipe = yaml.safe_load(fh)
+    if not isinstance(recipe, list):
+        raise ValueError("recipe file must contain a list of stages")
+    return recipe

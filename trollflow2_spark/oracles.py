@@ -2215,10 +2215,15 @@ FROM starts
 """
 
 # shared CTE chain ending in a `spans` relation (doc_id, span_start,
-# span_end) — consumed by both repeated_ngram_spans and the scrub query
-_REPEAT_SPAN_CTES = f"""base AS (
+# span_end) — consumed by repeated_ngram_spans, the scrub query, and
+# (parameterized over the source relation) the corpus-recipe oracle
+def _repeat_span_ctes(src: str = "documents") -> str:
+    return _REPEAT_SPAN_TMPL.replace("__SRC__", src)
+
+
+_REPEAT_SPAN_TMPL = f"""base AS (
   SELECT doc_id, {_SHINGLES_RS} AS s, len({TOKENS_SQL("text")}) AS ntok
-  FROM documents
+  FROM __SRC__
 ), sh AS (
   SELECT doc_id, ntok, (u).pos AS pos, md5((u).sh) AS h FROM (
     SELECT doc_id, ntok,
@@ -2253,14 +2258,14 @@ _REPEAT_SPAN_CTES = f"""base AS (
 )"""
 
 ORACLES["repeated_ngram_spans"] = f"""
-WITH {_REPEAT_SPAN_CTES}
+WITH {_repeat_span_ctes()}
 SELECT doc_id, span_start, span_end,
   span_end - span_start + 1 AS span_tokens
 FROM spans
 """
 
 ORACLES["scrub_repeated_spans"] = f"""
-WITH {_REPEAT_SPAN_CTES},
+WITH {_repeat_span_ctes()},
 sp AS (
   SELECT doc_id,
     list(struct_pack(s := span_start, e := span_end)) AS spans
@@ -3397,6 +3402,52 @@ SELECT source,
   round(quantile_cont(n_chars, 0.99), 6) AS p99_size
 FROM documents
 GROUP BY source
+"""
+
+
+# corpus-recipe capstone: the composed chain replayed — quality CASE
+# over documents, span scrub over the SURVIVORS (span statistics are
+# recomputed within the filtered corpus, exactly as the staged Spark
+# plan does), digest-window exact dedup, split CASE
+def _corpus_recipe_oracle() -> str:
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), kept AS (
+  SELECT doc_id, text FROM t0
+  WHERE NOT ({_QF_NTOK} < 20)
+    AND NOT ({_QF_STOP} < 0.03)
+    AND NOT ({_QF_SCORE} < 0.5)
+), {_repeat_span_ctes("kept")},
+sp AS (
+  SELECT doc_id,
+    list(struct_pack(s := span_start, e := span_end)) AS spans
+  FROM spans GROUP BY doc_id
+), tk AS (
+  SELECT d.doc_id, {TOKENS_SQL("d.text")} AS toks,
+    coalesce(sp.spans, []) AS spans
+  FROM kept d LEFT JOIN sp ON d.doc_id = sp.doc_id
+), cut AS (
+  SELECT doc_id, toks, spans,
+    list_filter(range(len(toks)),
+      i -> len(list_filter(spans,
+             x -> i >= x.s AND i <= x.e)) = 0) AS kept_idx
+  FROM tk
+), scrubbed AS (
+  SELECT doc_id,
+    coalesce(array_to_string(
+      list_transform(kept_idx, i -> toks[i + 1]), ' '), '') AS text
+  FROM cut
+), ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      min(doc_id) OVER (PARTITION BY md5(text)) AS kid
+    FROM scrubbed
+  ) WHERE doc_id = kid
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+  {_split_case_sql()} AS split
+FROM ded
 """
 
 
@@ -4891,3 +4942,5 @@ SELECT doc_id, mean_log_ratio,
 FROM w
 """
 )
+
+ORACLES["corpus_recipe"] = _corpus_recipe_oracle()

@@ -2448,6 +2448,39 @@ def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config-driven corpus pipeline capstone: a name-addressed
+    recipe (quality gate -> repeated-span scrub -> exact dedup ->
+    deterministic split) folded over the corpus by the stage registry
+    — the reference's product-list extension model applied to the
+    training-data tier. The oracle replays the full composed chain
+    (quality CASE -> span CTEs over the survivors -> digest window ->
+    split CASE)."""
+    from trollflow2_spark.extensions.recipe import run_recipe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recipe = [
+        {"stage": "quality_filter"},
+        {
+            "stage": "scrub_repeated_spans",
+            "n": C.REPEAT_NGRAM_N,
+            "min_docs": C.REPEAT_MIN_DOCS,
+        },
+        {"stage": "exact_dedup"},
+        {
+            "stage": "split",
+            "fractions": dict(C.SPLIT_FRACS),
+            "seed": C.SPLIT_SEED,
+        },
+    ]
+    out = run_recipe(docs, recipe)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "split",
+    )
+
+
 def q_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup, the removal half (Lee et al.
     scrub): the repeated_ngram_spans token ranges are cut OUT of each
@@ -6553,6 +6586,7 @@ QUERIES = {
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "scrub_repeated_spans": q_scrub_repeated_spans,
+    "corpus_recipe": q_corpus_recipe,
     "line_dedup": q_line_dedup,
     "embedding_pca": q_embedding_pca,
     "classifier_quality_filter": q_classifier_quality_filter,
