@@ -118,17 +118,30 @@ def _stage_c4(df: DataFrame, **params) -> DataFrame:
 
 
 def run_recipe(df: DataFrame, recipe: list[dict[str, Any]]) -> DataFrame:
-    """Fold the recipe's stages over the corpus, by name."""
+    """Fold the recipe's stages over the corpus, by name.
+
+    Per-stage ``cache: true`` persists that stage's OUTPUT
+    (MEMORY_AND_DISK) — the knob for stages whose result is consumed
+    more than once downstream (e.g. the span scrub reads its input
+    twice: span detection + the cut join-back). Without it Spark
+    re-derives the full upstream chain per consumer — fine when the
+    upstream is one cheap scan, wasteful after a filter stack; with one
+    cache on the quality gate the composed contract recipe reads the
+    raw source twice and the cached survivors three times (3
+    InMemoryTableScans) instead of six full source replays."""
     out = df
     for i, item in enumerate(recipe):
         item = dict(item)
         name = item.pop("stage", None)
+        cache = bool(item.pop("cache", False))
         if not name or name not in CORPUS_STAGES:
             raise ValueError(
                 f"recipe[{i}]: unknown stage {name!r}; available: "
                 + ", ".join(sorted(CORPUS_STAGES))
             )
         out = CORPUS_STAGES[name](out, **item)
+        if cache:
+            out = out.persist()
     return out
 
 

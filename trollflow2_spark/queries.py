@@ -2460,7 +2460,7 @@ def q_corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     recipe = [
-        {"stage": "quality_filter"},
+        {"stage": "quality_filter", "cache": True},
         {
             "stage": "scrub_repeated_spans",
             "n": C.REPEAT_NGRAM_N,
