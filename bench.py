@@ -222,6 +222,7 @@ OPERATORS = [
     "pdf_text",  # stdlib PDF text extraction (COS parse + FlateDecode)
     "json_schema_drift",  # snapshot-over-snapshot key drift audit
     "corpus_recipe",  # config-driven 4-stage corpus pipeline capstone
+    "html_markdown",  # structure-preserving HTML -> markdown extraction
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -261,3 +261,22 @@ def test_warc_python_datasource(spark, tmp_path):
         [str(d2), str(tmp_path / "multi" / "2024-02")]
     )
     assert both.count() == 2
+
+
+def test_html_to_markdown_structures(spark):
+    """Headings, links, lists, emphasis and noise removal in one page;
+    nested inline tags inside a link keep their markers."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import html_to_markdown
+
+    html = (
+        "<h2>Sub</h2><p>a<br>b</p>"
+        '<ol><li>one</li><li><a href="u">two</a></li></ol>'
+        "<p><strong>s</strong><i>i</i> &lt;tag&gt; &#39;q&#39;</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, h string")
+    md = df.select(html_to_markdown(F.col("h")).alias("md")).first()["md"]
+    assert md == (
+        "## Sub\n\na\n\nb\n\n- one\n- [two](u)\n\n**s***i* <tag> 'q'"
+    )

@@ -755,6 +755,22 @@ SELECT doc_id, text,
 FROM k WHERE b = bmin
 """
 
+# HTML->markdown fixture replay: the converted markdown verbatim
+ORACLES["html_markdown"] = """
+SELECT doc_id,
+  '# Title ' || doc_id || chr(10) || chr(10)
+    || 'Intro & more' || chr(10) || chr(10)
+    || '- item0' || chr(10) || '- item ' || (doc_id % 5)
+    || chr(10) || chr(10)
+    || 'See [link ' || doc_id || '](http://s' || (doc_id % 9)
+    || '.com/p) now.' || chr(10) || chr(10)
+    || '**bold** and *it*' AS markdown,
+  CAST(1 AS INTEGER) AS n_links,
+  CAST(1 AS INTEGER) AS n_headings,
+  CAST(2 AS INTEGER) AS n_items
+FROM documents
+"""
+
 # PDF fixture replay: structure and extracted text closed-form
 ORACLES["pdf_text"] = """
 WITH base AS (

@@ -4807,6 +4807,43 @@ def _pdf_blob(d: int) -> bytes:
     return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF"
 
 
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-preserving HTML -> markdown extraction over a
+    closed-form page fixture (headings, entity text, lists, links,
+    bold/italic, script/style noise): the modern crawl default —
+    markdown keeps the structure LLM training wants where flat text
+    loses headings and link targets. Pure regexp chain in the scan
+    stage; the oracle states the converted markdown verbatim."""
+    from trollflow2_spark.sources.warc import html_to_markdown
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var x=1;</script><style>p{}</style>"
+            "</head><body><h1>Title "
+        ),
+        d,
+        F.lit("</h1><p>Intro &amp; more</p><ul><li>item0</li><li>item "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('</li></ul><p>See <a href="http://s'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('.com/p">link '),
+        d,
+        F.lit("</a> now.</p><p><b>bold</b> and <em>it</em></p></body></html>"),
+    )
+    md = html_to_markdown(html)
+    return docs.select(
+        "doc_id",
+        md.alias("markdown"),
+        F.regexp_count(md, F.lit(r"\]\(")).cast("int").alias("n_links"),
+        F.regexp_count(md, F.lit("(?m)^#{1,6} "))
+        .cast("int")
+        .alias("n_headings"),
+        F.regexp_count(md, F.lit("(?m)^- ")).cast("int").alias("n_items"),
+    )
+
+
 def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction over real COS structures: sequential object
     parse (no xref needed — robust to the truncated files crawls see),
@@ -6496,6 +6533,7 @@ QUERIES = {
     "media_container_metadata": q_media_container_metadata,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
+    "html_markdown": q_html_markdown,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,

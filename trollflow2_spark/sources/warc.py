@@ -332,6 +332,48 @@ def registrable_domain(col):
     )
 
 
+def html_to_markdown(col):
+    """Structure-PRESERVING HTML extraction: headings become ``#``
+    prefixes, links ``[text](url)``, list items ``- `` bullets,
+    bold/italic their markdown markers, block tags paragraph breaks —
+    the modern crawl default (markdown keeps the document structure
+    LLM training wants, where flat text loses headings and link
+    targets). Same engineering shape as :func:`html_to_text`: a pure
+    ``regexp_replace`` chain, JVM codegen inside the scan stage, zero
+    Python, zero shuffle.
+
+    Whitespace canonicalization makes the output closed-form: runs of
+    spaces collapse, spaces around newlines drop, 3+ newlines become a
+    paragraph break, ends trim.
+    """
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    for lvl in range(1, 7):
+        out = F.regexp_replace(
+            out, f"(?i)<h{lvl}[^>]*>", "\n\n" + "#" * lvl + " "
+        )
+        out = F.regexp_replace(out, f"(?i)</h{lvl}>", "\n\n")
+    out = F.regexp_replace(
+        out, r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', "[$2]($1)"
+    )
+    out = F.regexp_replace(out, r"(?i)</?(b|strong)>", "**")
+    out = F.regexp_replace(out, r"(?i)</?(i|em)>", "*")
+    out = F.regexp_replace(out, r"(?i)<li[^>]*>", "\n- ")
+    out = F.regexp_replace(out, r"(?i)</li>", "")
+    out = F.regexp_replace(
+        out, r"(?i)</?(p|div|ul|ol|br|table|tr|td|th)[^>]*>", "\n\n"
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
+    # trim() strips spaces only; markdown needs newline-trimmed ends
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
 def html_to_text(col):
     """Crude-but-standard HTML -> text Column: drop script/style blocks
     and comments, strip tags, decode the common entities, collapse
