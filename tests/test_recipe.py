@@ -51,3 +51,31 @@ def test_unknown_stage_fails_fast(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unknown stage 'nope'"):
         run_recipe(docs, [{"stage": "nope"}])
+
+
+def test_extended_stages(spark):
+    """near_dedup keeps one doc per near-duplicate class; lang_filter
+    gates on the marker guess; pii_scrub rewrites the text column."""
+    from trollflow2_spark.extensions.recipe import run_recipe
+
+    base = "the quick brown fox jumps over the lazy dog and runs on"
+    rows = [
+        (1, base + " fields"),
+        (2, base + " fields"),  # exact near-dup of 1
+        (3, "le chat et le chien sont dans la maison avec les enfants"),
+        (4, "the contact email is bob@example.com for all questions here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_recipe(
+        docs,
+        [
+            {"stage": "lang_filter", "allowed": ["en"]},
+            {"stage": "near_dedup", "threshold": 0.2},
+            {"stage": "pii_scrub"},
+        ],
+    ).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 3 not in ids  # french dropped
+    assert not (1 in ids and 2 in ids)  # near-dup class collapsed
+    scrubbed = {r["doc_id"]: r["text"] for r in out}
+    assert "[EMAIL]" in scrubbed[4] and "bob@" not in scrubbed[4]

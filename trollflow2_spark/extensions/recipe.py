@@ -117,6 +117,58 @@ def _stage_c4(df: DataFrame, **params) -> DataFrame:
     )
 
 
+@register_corpus_stage("near_dedup")
+def _stage_near_dedup(df: DataFrame, **params) -> DataFrame:
+    """Keep each near-duplicate cluster's canonical doc: minhash-LSH
+    candidates -> n-gram Jaccard verify -> connected components ->
+    is_canonical survivors (the production dedup chain as one stage)."""
+    from trollflow2_spark.extensions.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    threshold = params.pop("threshold", 0.2)
+    sigs = minhash_signatures(df)
+    cand = lsh_candidate_pairs(sigs, **params)
+    verified = ngram_jaccard_pairs(
+        df, candidates=cand, threshold=threshold
+    ).select("id_a", "id_b")
+    clusters = duplicate_clusters(df.select("doc_id"), verified)
+    kept = clusters.where(F.col("is_canonical") == 1).select("doc_id")
+    return df.join(kept, "doc_id", "left_semi")
+
+
+@register_corpus_stage("lang_filter")
+def _stage_lang_filter(df: DataFrame, **params) -> DataFrame:
+    """Keep docs whose marker-based language guess is in the allowed
+    set (default: English)."""
+    from trollflow2_spark.extensions.text import lang_id
+
+    allowed = params.pop("allowed", ["en"])
+    kept = (
+        lang_id(df, **params)
+        .where(F.col("predicted_lang").isin(list(allowed)))
+        .select("doc_id")
+    )
+    return df.join(kept, "doc_id", "left_semi")
+
+
+@register_corpus_stage("pii_scrub")
+def _stage_pii_scrub(df: DataFrame, **params) -> DataFrame:
+    """Replace PII-shaped spans with their [TOKEN]s; ``text`` becomes
+    the scrubbed text."""
+    from trollflow2_spark.extensions.text import pii_scrub
+
+    scrubbed = pii_scrub(df, **params).select("doc_id", F.col("scrubbed"))
+    return (
+        df.drop("text")
+        .join(scrubbed, "doc_id")
+        .withColumnRenamed("scrubbed", "text")
+    )
+
+
 def run_recipe(df: DataFrame, recipe: list[dict[str, Any]]) -> DataFrame:
     """Fold the recipe's stages over the corpus, by name.
 
