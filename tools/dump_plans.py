@@ -98,6 +98,16 @@ FLAGSHIP = [
     ("media_container_metadata",
      "Container metadata: closed-form blob build + header-only parse, "
      "two chained Arrow mapInPandas stages, zero exchanges."),
+    ("corpus_recipe",
+     "Config-driven 4-stage recipe: quality semi-join (cached once) -> "
+     "span scrub -> digest-window dedup -> map-side split; the "
+     "orchestration adds no shuffles of its own."),
+    ("pdf_text",
+     "PDF intake: closed-form blob build + COS parse/FlateDecode, two "
+     "chained Arrow mapInPandas stages, zero exchanges."),
+    ("html_markdown",
+     "HTML -> markdown: one pure regexp-chain projection inside the "
+     "scan stage, zero exchanges, zero Python."),
 ]
 
 
