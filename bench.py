@@ -223,6 +223,7 @@ OPERATORS = [
     "json_schema_drift",  # snapshot-over-snapshot key drift audit
     "corpus_recipe",  # config-driven 4-stage corpus pipeline capstone
     "html_markdown",  # structure-preserving HTML -> markdown extraction
+    "fuzzy_lev2_pairs",  # levenshtein<=2 via FastSS deletion neighborhoods
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -14,6 +14,18 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 ALPHABET = "abcx0"  # small alphabet -> dense near-match space
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
 def _lev_le1(a: str, b: str, indel: bool) -> bool:
     if a == b:
         return True
@@ -59,3 +71,27 @@ def test_edit1_pairs_match_brute_force(spark, corpus, indel):
         for r in fn(df, "id", "s", id_chunk=3).collect()
     }
     assert got == _brute(rows, indel)
+
+
+@given(corpus=corpora)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lev2_pairs_match_brute_force(spark, corpus):
+    from trollflow2_spark.extensions.dedup import levenshtein_pairs
+
+    rows = list(enumerate(corpus))
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in levenshtein_pairs(df, "id", "s", max_dist=2,
+                                   id_chunk=3).collect()
+    }
+    want = {
+        (min(i, j), max(i, j))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want

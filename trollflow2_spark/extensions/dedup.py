@@ -1035,6 +1035,33 @@ def levenshtein1_pairs(
     return _edit1_pairs(df, id_col, str_col, max_len, id_chunk, indel=True)
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    max_len: int = 32,
+    id_chunk: int = 4096,
+) -> DataFrame:
+    """General ``levenshtein(a, b) <= max_dist`` pairs (currently
+    max_dist in {1, 2}) — distance 1 via the exact wildcard +
+    one-deletion constructions (:func:`levenshtein1_pairs`), distance 2
+    via FastSS deletion neighborhoods (Bocek et al., "Fast Similarity
+    Search in Large Dictionaries"): candidates share a <=2-deletion
+    variant and verify with the exact JVM ``levenshtein`` before id
+    expansion. Still no quadratic join anywhere; the id classes
+    re-attach through the same adaptive chunked machinery."""
+    if max_dist == 1:
+        return levenshtein1_pairs(
+            df, id_col, str_col, max_len=max_len, id_chunk=id_chunk
+        )
+    if max_dist != 2:
+        raise ValueError("levenshtein_pairs supports max_dist 1 or 2")
+    return _edit1_pairs(
+        df, id_col, str_col, max_len, id_chunk, indel=True, max_dist=2
+    )
+
+
 def _edit1_pairs(
     df: DataFrame,
     id_col: str,
@@ -1042,6 +1069,7 @@ def _edit1_pairs(
     max_len: int,
     id_chunk: int,
     indel: bool,
+    max_dist: int = 1,
 ) -> DataFrame:
     """Shared edit-distance-1 machinery over DISTINCT strings.
 
@@ -1092,6 +1120,9 @@ def _edit1_pairs(
             .agg(F.collect_list("__fid").alias("__ids"))
         )
         dstr = counts.select("__fs", F.length("__fs").alias("__flen"))
+    if max_dist == 2:
+        spairs = _lev2_string_pairs(dstr)
+        return _attach_ids_to_pairs(spairs, chunked, max_class, id_chunk)
     variants = dstr.select(
         "__fs",
         "__flen",
@@ -1144,6 +1175,71 @@ def _edit1_pairs(
             F.col("__del") == F.col("__sb"),
         ).select("__sa", "__sb")
         spairs = spairs.unionByName(indel_pairs)
+    return _attach_ids_to_pairs(spairs, chunked, max_class, id_chunk)
+
+
+def _lev2_string_pairs(dstr: DataFrame) -> DataFrame:
+    """FastSS at distance 2: candidates are DISTINCT strings sharing a
+    <=2-deletion variant (complete by the deletion-alignment argument);
+    unlike the exact distance-1 constructions this admits false
+    positives, so candidates verify with the exact JVM ``levenshtein``
+    before id expansion. Variant fan-out is ~L^2/2 per distinct string
+    and buckets stay (alphabet x length)^2-bounded."""
+
+    def del1(fs, i):
+        return F.concat(
+            F.substring(fs, F.lit(1), i),
+            F.substring(fs, i + F.lit(2), F.lit(1 << 20)),
+        )
+
+    def del2(fs, i, j):
+        return F.concat(
+            F.substring(fs, F.lit(1), i),
+            F.substring(fs, i + F.lit(2), j - i - F.lit(1)),
+            F.substring(fs, j + F.lit(2), F.lit(1 << 20)),
+        )
+
+    fs = F.col("__fs")
+    idx = F.sequence(F.lit(0), F.col("__flen") - 1)
+    d1 = F.transform(idx, lambda i: del1(fs, i))
+    d2 = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.filter(idx, lambda j: j > i), lambda j: del2(fs, i, j)
+            ),
+        )
+    )
+    variants = F.array_distinct(
+        F.concat(F.array(fs), d1, d2)
+    )
+    dels = dstr.select(
+        "__fs", "__flen", F.explode(variants).alias("__v")
+    )
+    a = dels.select(
+        F.col("__fs").alias("__sa"), F.col("__flen").alias("__la"), "__v"
+    )
+    b = dels.select(
+        F.col("__fs").alias("__sb"), F.col("__flen").alias("__lb"), "__v"
+    )
+    return (
+        a.join(b, "__v")
+        .where(
+            (F.col("__sa") < F.col("__sb"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= 2)
+        )
+        .select("__sa", "__sb")
+        .distinct()
+        .where(F.levenshtein("__sa", "__sb") <= 2)
+    )
+
+
+def _attach_ids_to_pairs(
+    spairs: DataFrame, chunked: DataFrame, max_class: int, id_chunk: int
+) -> DataFrame:
+    """Expand string-level pairs to id-level pairs through the chunked
+    class table, plus the within-class distance-0 closure (fast path:
+    join-free explode when every class fit one chunk)."""
     ids_a = chunked.select(
         F.col("__fs").alias("__sa"), F.col("__ids").alias("__ids_a")
     )

@@ -1993,6 +1993,20 @@ SELECT key, n,
 FROM top
 """
 
+ORACLES["fuzzy_lev2_pairs"] = f"""
+WITH f AS (
+  SELECT c_custkey,
+    'c' || (c_custkey % {C.FUZZY_MOD}) ||
+    CASE WHEN c_custkey % {C.FUZZY_SUFFIX_MOD} = 0 THEN 'x' ELSE '' END
+      AS nm
+  FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+FROM f a JOIN f b
+  ON a.c_custkey < b.c_custkey
+  AND levenshtein(a.nm, b.nm) <= 2
+"""
+
 ORACLES["outlier_mad_filter"] = f"""
 WITH med AS (
   SELECT event_type AS mt, quantile_cont(value, 0.5) AS med

@@ -3742,6 +3742,31 @@ def q_fuzzy_lev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_lev2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein<=2 entity resolution over the duplicate-heavy
+    mixed-length name fixture: FastSS <=2-deletion neighborhoods block
+    the candidates, exact JVM levenshtein verifies, ids expand through
+    the adaptive chunked classes — vs the oracle's full quadratic
+    theta-join at threshold 2."""
+    from trollflow2_spark.extensions.dedup import levenshtein_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    fix = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("c"),
+            (F.col("c_custkey") % C.FUZZY_MOD).cast("string"),
+            F.when(
+                F.col("c_custkey") % C.FUZZY_SUFFIX_MOD == 0, F.lit("x")
+            ).otherwise(F.lit("")),
+        ).alias("nm"),
+    )
+    return levenshtein_pairs(fix, "c_custkey", "nm", max_dist=2).select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+    )
+
+
 def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier gate: per event type, median and MAD (median
     absolute deviation) flag values beyond k*MAD — the
@@ -6525,6 +6550,7 @@ QUERIES = {
     "scd2_customers": q_scd2_customers,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
+    "fuzzy_lev2_pairs": q_fuzzy_lev2_pairs,
     "streaming_running_counts": q_streaming_running_counts,
     "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_dedup_replay": q_streaming_dedup_replay,
