@@ -1999,7 +1999,7 @@ WITH f AS (
     'c' || (c_custkey % {C.FUZZY_MOD}) ||
     CASE WHEN c_custkey % {C.FUZZY_SUFFIX_MOD} = 0 THEN 'x' ELSE '' END
       AS nm
-  FROM customer
+  FROM customer WHERE c_custkey % 10 = 0
 )
 SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
 FROM f a JOIN f b
