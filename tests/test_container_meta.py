@@ -33,6 +33,20 @@ def test_parsers_roundtrip_fixture():
     assert o["n_channels"] == 2 and o["bit_rate"] == 64000 + 3000
 
 
+def test_id3v23_plain_frame_sizes():
+    from trollflow2_spark.extensions.multimodal import _parse_mp3
+
+    # d % 8 == 5 plants an ID3v2.3 tag: a 131-byte TXXX frame whose
+    # plain-BE size byte (0x83) would misparse as 3 under a syncsafe
+    # read, landing the walk mid-frame and losing the TIT2 title
+    m = _parse_mp3(_container_blob(5))
+    assert m["title"] == "doc5"
+    assert m["codec"] == "mp3" and "bit_rate" in m
+    # and the v2.4 path still reads syncsafe sizes
+    m4 = _parse_mp3(_container_blob(9))
+    assert m4["title"] == "doc9"
+
+
 def test_unknown_and_corrupt_quarantine(spark):
     from trollflow2_spark.extensions.multimodal import container_metadata
 

@@ -43,6 +43,81 @@ def test_flate_stream_and_nested_parens():
     assert out["text"] == "(nested (deep)) ok"
 
 
+def test_content_dict_quote_op_and_bad_hex():
+    from trollflow2_spark.sources.pdftext import _content_text
+
+    # a <<...>> marked-content dict must not be parsed as a hex
+    # string; the '"' show op must flush pending; an unterminated hex
+    # run is skipped without degrading the rest of the stream
+    s = b'BT /F1 1 Tf /MC <</MCID <3>/N <</X 1>>>> BDC (Hello) Tj (tail) " <4142 ET'
+    assert _content_text(s) == ["Hello", "tail"]
+
+
+def _cid_pdf(codes: list[int], with_cmap: bool = True) -> bytes:
+    hexstr = "".join(f"{c:04X}" for c in codes).encode()
+    content = b"BT /F7 12 Tf <" + hexstr + b"> Tj ET"
+    cmap = (
+        b"begincmap\n"
+        b"1 beginbfchar\n<0001> <0044>\nendbfchar\n"
+        b"2 beginbfrange\n<0005> <0006> [<006F> <0063>]\n"
+        b"<0010> <0019> <0030>\nendbfrange\nendcmap"
+    )
+    font = (
+        b"5 0 obj << /Subtype /Type0 /Encoding /Identity-H"
+        + (b" /ToUnicode 6 0 R" if with_cmap else b"")
+        + b" >> endobj\n"
+    )
+    tou = (
+        b"6 0 obj << /Length " + str(len(cmap)).encode()
+        + b" >> stream\n" + cmap + b"\nendstream endobj\n"
+        if with_cmap
+        else b""
+    )
+    return (
+        b"%PDF-1.7\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F7 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode()
+        + b" >> stream\n" + content + b"\nendstream endobj\n"
+        + font + tou + b"%%EOF"
+    )
+
+
+def test_cid_tounicode_decode():
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    # bfchar 'D', array-bfrange 'o'/'c', continuous bfrange digits
+    codes = [1, 5, 6, 0x10 + 4, 0x10 + 2]  # D o c 4 2
+    out = extract_pdf_text(_cid_pdf(codes))
+    assert out["has_cid"] == 1
+    assert out["text"] == "Doc42"
+    # unmapped CIDs are skipped, not garbled
+    out2 = extract_pdf_text(_cid_pdf([1, 0x0FFF, 5]))
+    assert out2["text"] == "Do"
+
+
+def test_cid_without_cmap_suppressed():
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    out = extract_pdf_text(_cid_pdf([1, 5, 6], with_cmap=False))
+    # no ToUnicode: nothing to decode with — text suppressed (never
+    # emitted as raw latin-1 CID bytes), document stays flagged
+    assert out["has_cid"] == 1
+    assert out["text"] == ""
+
+
+def test_tounicode_utf16_surrogates_and_multiunit():
+    from trollflow2_spark.sources.pdftext import parse_tounicode
+
+    cm = parse_tounicode(
+        b"beginbfchar\n<0001> <D83DDE00>\n<0002> <00660066>\nendbfchar"
+    )
+    assert cm[1] == "\U0001f600"  # surrogate pair -> one codepoint
+    assert cm[2] == "ff"  # multi-code-unit destination
+
+
 def test_cid_flag_and_non_pdf():
     from trollflow2_spark.sources.pdftext import extract_pdf_text
 

@@ -867,11 +867,20 @@ def _parse_mp3(b: bytes) -> dict | None:
     frame_at = 10 + sz
     out = {"container": "mp3", "codec": "mp3"}
     # ID3v2 text frames: walk until padding (zero frame id); TIT2
-    # carries the title (encoding byte 0 = latin-1, 3 = utf-8)
+    # carries the title (encoding byte 0 = latin-1, 3 = utf-8).
+    # Frame sizes are syncsafe ONLY in v2.4; v2.3 — the majority of
+    # legacy MP3s — uses plain 32-bit big-endian (the tag-header size
+    # at b[6:10] is syncsafe in both versions).
+    major = b[3]
     pos, end = 10, min(frame_at, len(b))
     while pos + 10 <= end and b[pos] != 0:
         fid = b[pos : pos + 4]
-        fsz = _syncsafe(b[pos + 4 : pos + 8])
+        raw_sz = b[pos + 4 : pos + 8]
+        fsz = (
+            _syncsafe(raw_sz)
+            if major >= 4
+            else int.from_bytes(raw_sz, "big")
+        )
         body = b[pos + 10 : pos + 10 + fsz]
         if fid == b"TIT2" and body:
             enc = "utf-8" if body[0] == 3 else "latin-1"

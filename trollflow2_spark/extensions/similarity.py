@@ -549,9 +549,15 @@ def semantic_candidate_pairs(
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(np.round(X @ Cm.T, 6), axis=1).astype("int32"))
 
+    # localCheckpoint, not persist(): the (id, cell) table is
+    # materialized exactly once (eager) for the histogram AND the
+    # downstream routing, but its blocks are released by the
+    # ContextCleaner when the plan is garbage-collected — a plain
+    # .persist() here stayed pinned for the session's lifetime, one
+    # leaked cached table per invocation across a 175-query sweep.
     members = df.select(
         F.col(id_col), assign_cell(F.col(vec_col)).alias("__cell")
-    ).persist()
+    ).localCheckpoint(eager=True)
     hist = {
         r["__cell"]: r["n"]
         for r in members.groupBy("__cell").agg(F.count("*").alias("n")).collect()

@@ -796,6 +796,23 @@ SELECT doc_id,
 FROM base
 """
 
+# CID/Type0 PDF fixture replay: one page, text decoded through the
+# embedded ToUnicode CMap ('Doc ' || doc_id); every 5th doc ships no
+# CMap, so its text is suppressed (empty page join) while has_cid
+# stays flagged; the no-CMap branch also has one fewer object
+ORACLES["pdf_text_cid"] = """
+SELECT doc_id,
+  CAST(1 AS INTEGER) AS ok,
+  '1.4' AS version,
+  CAST(1 AS INTEGER) AS n_pages,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 6 END AS INTEGER)
+    AS n_objects,
+  CAST(1 AS INTEGER) AS has_cid,
+  CAST(NULL AS VARCHAR) AS producer,
+  CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'Doc ' || doc_id END AS text
+FROM documents
+"""
+
 # EXIF fixture replay: every field closed-form in doc_id
 ORACLES["exif_metadata"] = """
 SELECT doc_id,

@@ -4554,22 +4554,43 @@ def _container_blob(d: int) -> bytes:
         data = b"data" + (ns * block).to_bytes(4, "little") + bytes(ns * block)
         body = b"WAVE" + fmt + lst + data
         return b"RIFF" + len(body).to_bytes(4, "little") + body
-    if m == 1:  # ID3v2.4 tag (with a TIT2 title) + MPEG1 Layer III
+    if m == 1:  # ID3v2 tag (with a TIT2 title) + MPEG1 Layer III.
+        # d % 8 == 5 plants an ID3v2.3 tag — plain 32-bit BE frame
+        # sizes, led by a 131-byte TXXX frame whose size byte 0x83
+        # would misparse under a syncsafe read (v2.4-only semantics):
+        # the majority-legacy class the container parser must branch on.
         t = 100 + d % 50
         kbps_idx = 1 + d % 14
         sr_idx = d % 3
         audio = 4000 + d % 512
-        hdr = b"ID3\x04\x00\x00" + bytes(
+        title = f"doc{d}".encode()
+        if d % 8 == 5:
+            t += 160
+            txxx = (
+                b"TXXX" + (131).to_bytes(4, "big") + b"\x00\x00"
+                + b"\x00" + bytes(130)
+            )
+            tit2 = (
+                b"TIT2" + (len(title) + 1).to_bytes(4, "big")
+                + b"\x00\x00\x00" + title
+            )
+            frames = txxx + tit2
+            ver = 3
+        else:
+            tit2 = (
+                b"TIT2"
+                + bytes(
+                    [0, 0, (len(title) + 1) >> 7, (len(title) + 1) & 0x7F]
+                )
+                + b"\x00\x00\x03" + title
+            )
+            frames = tit2
+            ver = 4
+        hdr = b"ID3" + bytes([ver, 0, 0]) + bytes(
             [(t >> 21) & 0x7F, (t >> 14) & 0x7F, (t >> 7) & 0x7F, t & 0x7F]
         )
-        title = f"doc{d}".encode()
-        tit2 = (
-            b"TIT2"
-            + bytes([0, 0, (len(title) + 1) >> 7, (len(title) + 1) & 0x7F])
-            + b"\x00\x00\x03" + title
-        )
         fh = bytes([0xFF, 0xFB, (kbps_idx << 4) | (sr_idx << 2), 0])
-        return hdr + tit2 + bytes(t - len(tit2)) + fh + bytes(audio - 4)
+        return hdr + frames + bytes(t - len(frames)) + fh + bytes(audio - 4)
     if m == 2:  # ISO-BMFF: ftyp + moov/mvhd + mdat
         ts = 600 * (1 + d % 4)
         dur = 3000 + d % 1000
@@ -4895,6 +4916,99 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media": [_pdf_blob(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return pdf_text_table(media)
+
+
+def _pdf_cid_blob(d: int) -> bytes:
+    """Closed-form Type0/CID PDF fixture: one page whose content shows
+    a single 2-byte-CID hex string spelling ``Doc {d}``; the /F7 font
+    is Type0 (Identity-H) with an embedded ToUnicode CMap exercising
+    bfchar singles, the array-destination bfrange form AND a
+    continuous bfrange span (digits). Every 5th doc omits the
+    ToUnicode stream — text must be suppressed (not garbled) and
+    ``has_cid`` stays 1. Streams Flate-compressed for even d."""
+    import zlib
+
+    cid = {"D": 1, "o": 5, "c": 6, " ": 4}
+    codes = [cid["D"], cid["o"], cid["c"], cid[" "]] + [
+        0x10 + int(ch) for ch in str(d)
+    ]
+    hexstr = "".join(f"{c:04X}" for c in codes)
+    content = f"BT /F7 12 Tf <{hexstr}> Tj ET".encode()
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"2 beginbfchar\n<0001> <0044>\n<0004> <0020>\nendbfchar\n"
+        b"2 beginbfrange\n<0005> <0006> [<006F> <0063>]\n"
+        b"<0010> <0019> <0030>\nendbfrange\nendcmap\nend"
+    )
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F7 5 0 R >> >> /Contents 4 0 R >> endobj\n",
+    ]
+    cf = b""
+    if d % 2 == 0:
+        content = zlib.compress(content)
+        cf = b"/Filter /FlateDecode "
+    objs.append(
+        b"4 0 obj << " + cf + b"/Length " + str(len(content)).encode()
+        + b" >> stream\n" + content + b"\nendstream endobj\n"
+    )
+    if d % 5 == 0:
+        objs.append(
+            b"5 0 obj << /Subtype /Type0 /BaseFont /Fake "
+            b"/Encoding /Identity-H >> endobj\n"
+        )
+    else:
+        objs.append(
+            b"5 0 obj << /Subtype /Type0 /BaseFont /Fake "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n"
+        )
+        mf = b""
+        if d % 2 == 0:
+            cmap = zlib.compress(cmap)
+            mf = b"/Filter /FlateDecode "
+        objs.append(
+            b"6 0 obj << " + mf + b"/Length " + str(len(cmap)).encode()
+            + b" >> stream\n" + cmap + b"\nendstream endobj\n"
+        )
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF"
+
+
+def q_pdf_text_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CID/Type0 PDF text extraction — the dominant post-2010 class:
+    2-byte CIDs decoded through the PDF's own embedded ToUnicode CMap
+    (bfchar + both bfrange forms), resolved per page via
+    /Resources → /Font and the content stream's ``Tf`` operator. Docs
+    whose Type0 font ships no ToUnicode CMap yield NO text (suppressed,
+    never garbled as latin-1) and stay flagged ``has_cid=1``. The
+    fixture is closed-form in doc_id so the oracle states the decoded
+    text verbatim."""
+    import pandas as pd
+
+    from trollflow2_spark.sources.pdftext import pdf_text_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [_pdf_cid_blob(int(d)) for d in pdf["doc_id"]],
                 }
             )
 
@@ -6293,11 +6407,15 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             sfx,
         )
 
+    # n_lines=0 (empty/whitespace-only doc) must yield ZERO lines:
+    # an unguarded F.sequence(0, -1) infers step -1 and fabricates
+    # two garbage lines where the oracle's range(0) emits none.
+    line_idx = F.when(
+        n_lines > 0, F.sequence(F.lit(0).cast("bigint"), n_lines - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
     lined = docs.select(
         "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), n_lines - 1), mk_line), "\n"
-        ).alias("text"),
+        F.array_join(F.transform(line_idx, mk_line), "\n").alias("text"),
     )
     return c4_line_filter(
         lined, min_words=C.C4_MIN_WORDS, min_kept_lines=C.C4_MIN_LINES
@@ -6565,6 +6683,7 @@ QUERIES = {
     "media_container_metadata": q_media_container_metadata,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
+    "pdf_text_cid": q_pdf_text_cid,
     "html_markdown": q_html_markdown,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,

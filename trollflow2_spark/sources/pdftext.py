@@ -19,10 +19,17 @@ text-showing operators of each page content stream:
 - ``T* '`` / ``Td`` / ``TD`` / ``ET`` boundaries insert separators so
   distinct show operations don't fuse into one word.
 
-Simple single-byte encodings only (Standard/WinAnsi Latin text): CID /
-Type0 composite fonts need a CMap table and are reported as
-``has_cid=1`` with their text skipped, a documented boundary in the
-same spirit as the media codecs' quarantine taxonomy.
+Composite (CID / Type0) fonts — the dominant class in post-2010
+real-world PDFs — are decoded through the **embedded ToUnicode CMap**
+(``beginbfchar``/``beginbfrange`` sections, both the continuous-range
+and array-destination forms, destinations interpreted as UTF-16BE):
+the page's ``/Resources → /Font`` dict maps font names to font
+objects, a ``Tf`` operator tracks the current font, and 2-byte CIDs
+in show strings are looked up in the font's CMap. A Type0 font
+WITHOUT a ToUnicode CMap still has its text suppressed (there is
+nothing to decode it with) and the document stays flagged
+``has_cid=1`` — the same quarantine-taxonomy spirit as the media
+codecs.
 
 Reference parity: none — the reference ingests satellite granules
 (`/root/reference/trollflow2/launcher.py`); PDF intake is
@@ -96,45 +103,165 @@ def _literal_string(data: bytes, start: int) -> tuple[str, int]:
     return "".join(out), i
 
 
-def _hex_string(data: bytes, start: int) -> tuple[str, int]:
+def _hex_bytes(data: bytes, start: int) -> tuple[bytes, int]:
+    """Raw bytes of a PDF hex string starting at the '<' at ``start``;
+    returns (bytes, index after the closing '>')."""
     end = data.index(b">", start)
-    hexpart = re.sub(rb"\s", b"", data[start + 1 : end])
+    hexpart = re.sub(rb"[^0-9A-Fa-f]", b"", data[start + 1 : end])
     if len(hexpart) % 2:
         hexpart += b"0"
-    return bytes.fromhex(hexpart.decode("ascii")).decode(
-        "latin-1"
-    ), end + 1
+    return bytes.fromhex(hexpart.decode("ascii")), end + 1
 
 
-def _content_text(data: bytes) -> list[str]:
+def _skip_dict(data: bytes, start: int) -> int:
+    """Index just past the balanced ``<<...>>`` dictionary starting at
+    ``start`` (BDC/DP marked-content and inline-image dicts appear
+    inside content streams and must not be parsed as hex strings)."""
+    depth, i, n = 0, start, len(data)
+    while i < n:
+        if data.startswith(b"<<", i):
+            depth += 1
+            i += 2
+        elif data.startswith(b">>", i):
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        else:
+            i += 1
+    return n
+
+
+_SUPPRESS = object()  # Type0 font with no ToUnicode CMap: show nothing
+
+
+def _decode_cid(raw: bytes, cmap: dict) -> str:
+    """Decode big-endian 2-byte CIDs through a ToUnicode CMap;
+    unmapped codes are skipped (nothing meaningful to emit)."""
+    out = []
+    for j in range(0, len(raw) - 1, 2):
+        ch = cmap.get((raw[j] << 8) | raw[j + 1])
+        if ch is not None:
+            out.append(ch)
+    return "".join(out)
+
+
+def _content_text(data: bytes, fontmaps: dict | None = None) -> list[str]:
     """Evaluate text-showing operators of one content stream; returns
-    the shown strings in order (one entry per show op)."""
+    the shown strings in order (one entry per show op).
+
+    ``fontmaps`` maps content-stream font names (``b"/F1"``) either to
+    a ToUnicode CID map (Type0 font — strings decode as 2-byte CIDs)
+    or to ``None`` (Type0 WITHOUT a CMap — strings suppressed). Fonts
+    absent from the map are simple single-byte fonts (latin-1 pass
+    through). ``Tf`` switches the current font."""
+    fontmaps = fontmaps or {}
     shows: list[str] = []
     i, n = 0, len(data)
     pending: list[str] = []  # strings seen since the last operator
+    cur = object()  # current font's entry: missing-sentinel = simple
+    last_name: bytes | None = None  # most recent /Name token (Tf operand)
+
+    def _push(raw: bytes) -> None:
+        if cur is _SUPPRESS:
+            return
+        if isinstance(cur, dict):
+            pending.append(_decode_cid(raw, cur))
+        else:
+            pending.append(raw.decode("latin-1"))
+
     while i < n:
         c = data[i]
         if c == 0x28:  # (
             text, i = _literal_string(data, i)
-            pending.append(text)
-        elif c == 0x3C and not data.startswith(b"<<", i):  # < hex string
-            text, i = _hex_string(data, i)
-            pending.append(text)
+            _push(text.encode("latin-1", "replace"))
+        elif c == 0x3C:
+            if data.startswith(b"<<", i):  # dictionary, not a string
+                i = _skip_dict(data, i)
+            else:  # < hex string
+                try:
+                    raw, i = _hex_bytes(data, i)
+                except ValueError:  # unterminated run: skip the '<'
+                    i += 1
+                    continue
+                _push(raw)
+        elif c == 0x2F:  # /Name token (Tf's font operand among others)
+            m = re.match(rb"/([^\s/<>\[\]()%]*)", data[i:])
+            last_name = b"/" + m.group(1)
+            i += len(m.group(0))
         elif c == 0x5B:  # [ ... ] TJ array: strings gathered by the loop
+            i += 1
+        elif c == 0x22:  # the '"' show operator (aw ac string ")
+            if pending:
+                shows.append("".join(pending))
+            pending = []
             i += 1
         elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c == 0x27:
             m = re.match(rb"[A-Za-z'*]+", data[i:])
             op = m.group(0)
             i += len(op)
-            if op in (b"Tj", b"TJ", b"'", b'"'):
+            if op in (b"Tj", b"TJ", b"'"):
                 if pending:
                     shows.append("".join(pending))
                 pending = []
             elif op in (b"Td", b"TD", b"T*", b"ET", b"BT"):
                 pending = []
+            elif op == b"Tf" and last_name is not None:
+                if last_name in fontmaps:
+                    cm = fontmaps[last_name]
+                    cur = cm if cm is not None else _SUPPRESS
+                else:
+                    cur = object()
         else:
             i += 1
     return shows
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+
+
+def parse_tounicode(data: bytes) -> dict[int, str]:
+    """Parse a ToUnicode CMap stream into {CID: unicode string}.
+
+    Handles ``beginbfchar`` single mappings, continuous
+    ``beginbfrange`` spans (<lo> <hi> <dstBase>, destination
+    incrementing), and the array-destination bfrange form
+    (<lo> <hi> [<d0> <d1> ...]). Destination hex is UTF-16BE, so a
+    single CID may map to a multi-code-unit string."""
+    cmap: dict[int, str] = {}
+
+    def u16(hexs: bytes) -> str:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", "replace"
+        )
+
+    for sec in _BFCHAR_RE.findall(data):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec
+        ):
+            cmap[int(src, 16)] = u16(dst)
+    for sec in _BFRANGE_RE.findall(data):
+        for m in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(\[(?:\s*<[0-9A-Fa-f]+>)+\s*\]|<[0-9A-Fa-f]+>)",
+            sec,
+        ):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            dst = m.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for k, dh in enumerate(dsts):
+                    if lo + k <= hi:
+                        cmap[lo + k] = u16(dh)
+            else:
+                base = bytes.fromhex(dst[1:-1].decode("ascii"))
+                start, width = int.from_bytes(base, "big"), len(base)
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = (start + k).to_bytes(
+                        width, "big"
+                    ).decode("utf-16-be", "replace")
+    return cmap
 
 
 def extract_pdf_text(blob: bytes) -> dict:
@@ -154,19 +281,20 @@ def extract_pdf_text(blob: bytes) -> dict:
         "producer": None,
     }
     page_texts: list[str] = []
-    content_refs: list[int] = []
+    pages: list[tuple[int | None, bytes]] = []  # (content ref, page body)
+    bodies: dict[int, bytes] = {}
     streams: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(blob):
         out["n_objects"] += 1
         num = int(m.group(1))
         body = m.group(3)
+        bodies[num] = body
         if b"/Type0" in body or b"/Identity-H" in body:
             out["has_cid"] = 1
         if b"/Type" in body and b"/Page" in body and b"/Pages" not in body:
             out["n_pages"] += 1
             cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
-            if cm:
-                content_refs.append(int(cm.group(1)))
+            pages.append((int(cm.group(1)) if cm else None, body))
         pm = re.search(rb"/Producer\s*\(([^)]*)\)", body)
         if pm:
             out["producer"] = pm.group(1).decode("latin-1", "replace")
@@ -179,13 +307,41 @@ def extract_pdf_text(blob: bytes) -> dict:
                 except zlib.error:
                     continue
             streams[num] = data
-    for ref in content_refs:
-        data = streams.get(ref)
+    for ref, page_body in pages:
+        data = streams.get(ref) if ref is not None else None
         if data is None:
             continue
-        page_texts.append(" ".join(_content_text(data)))
+        fontmaps = _page_fontmaps(page_body, bodies, streams)
+        page_texts.append(" ".join(_content_text(data, fontmaps)))
     out["text"] = "\n".join(page_texts)
     return out
+
+
+def _page_fontmaps(
+    page_body: bytes, bodies: dict[int, bytes], streams: dict[int, bytes]
+) -> dict:
+    """Resolve a page's ``/Resources → /Font`` dict into
+    {b"/Name": ToUnicode-CID-map | None}. Only composite (Type0 /
+    Identity-H) fonts are entered: a mapping decodes their 2-byte CID
+    strings, ``None`` marks a Type0 font with no ToUnicode CMap (text
+    suppressed, document stays flagged). Simple fonts are left out —
+    the content evaluator passes their bytes through as latin-1."""
+    res = page_body
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+    if rm:
+        res = bodies.get(int(rm.group(1)), b"")
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.DOTALL)
+    if not fm:
+        return {}
+    maps: dict = {}
+    for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        fbody = bodies.get(int(ref), b"")
+        if b"/Type0" not in fbody and b"/Identity-H" not in fbody:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        data = streams.get(int(tm.group(1))) if tm else None
+        maps[b"/" + name] = parse_tounicode(data) if data else None
+    return maps
 
 
 PDF_TEXT_SCHEMA = "doc_id long, ok int, version string, n_pages int, n_objects int, has_cid int, producer string, text string"

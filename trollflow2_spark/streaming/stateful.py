@@ -309,7 +309,17 @@ def replay_batches(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        # awaitTermination(timeout) returns False when the timeout
+        # elapsed with the query still running — returning the memory
+        # table then would silently yield a partially-populated
+        # contract result AND leak the live query + temp dir.  Stop
+        # the query and fail loudly instead.
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"replay_batches: streaming query {name!r} did not "
+                f"drain {len(batches)} batches within {timeout_s}s"
+            )
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
