@@ -456,3 +456,47 @@ def test_bm25_broadcasts_model_sides(spark, sf):
     plan = plan_of(spark, "bm25_retrieval", sf)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bm25_multi_query_single_corpus_scan(spark, sf):
+    """The multi-query BM25 plan holds exactly ONE documents parquet
+    scan: adding queries adds broadcast (query_id, term) rows and
+    rollup keys, never another corpus pass — the property that makes
+    thousand-query eval sweeps affordable at 100 TB."""
+    plan = plan_of(spark, "bm25_multi_query", sf)
+    # the corpus parquet is read exactly once — at (doc, term, tf)
+    # index materialization — so the serving plan re-reads only the
+    # checkpointed index (Scan ExistingRDD), never the corpus
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bm25_single_query_is_projection_of_multi(spark, sf):
+    """bm25_retrieval (one query) returns exactly the query_id=0 slice
+    of bm25_multi_query, column-projected — one code path, two
+    shapes."""
+    from trollflow2_spark.queries import QUERIES
+
+    single = {
+        (r["doc_id"]): (r["n_matched"], r["score"])
+        for r in QUERIES["bm25_retrieval"](spark, sf).collect()
+    }
+    multi = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in QUERIES["bm25_multi_query"](spark, sf).collect()
+        if r["query_id"] == 0
+    }
+    assert single == multi and len(single) > 0
+
+
+def test_hybrid_multi_topk_is_two_stage_salted(spark, sf):
+    """The multi-query rankers' top-k runs as the salted two-stage
+    window: per-(query, sub-bucket) pre-rank bounds every window
+    partition, so a 3-query sweep never funnels the corpus through 3
+    hot partitions. Both stages present => two window nodes per
+    ranker."""
+    plan = plan_of(spark, "hybrid_multi_retrieval", sf)
+    assert plan.count("Window") >= 4
+    assert "CartesianProduct" not in plan

@@ -292,49 +292,76 @@ def tfidf_top_terms(
     )
 
 
-def bm25_scores(
+def bm25_scores_multi(
     df: DataFrame,
-    query_terms: list[str] | tuple[str, ...],
+    query_terms: dict | list | tuple,
     text_col: str = "text",
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Okapi BM25 retrieval scores for one query over the corpus — the
-    full-text ranking primitive behind corpus search, RAG candidate
-    retrieval, and query-directed dedup triage (Robertson & Zaragoza,
-    "The Probabilistic Relevance Framework: BM25 and Beyond"; idf in
-    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` form, so scores are
-    never negative).
+    """Okapi BM25 retrieval scores for MANY queries in ONE corpus pass
+    — the serving shape: real RAG/eval runs score thousands of queries
+    per sweep, and re-scanning 100 TB once per query is the wrong
+    plan. (Robertson & Zaragoza, "The Probabilistic Relevance
+    Framework: BM25 and Beyond"; idf in the Lucene
+    ``ln(1 + (N - df + .5)/(df + .5))`` form, so scores are never
+    negative.)
+
+    ``query_terms``: {query_id: [terms...]} (or an iterable of
+    (query_id, terms) pairs) — broadcast as a (query_id, term) table.
 
     Scale shape: ONE (doc, term) count aggregation over the exploded
     corpus; doc length rides a window over the same keyed rows (no
-    second corpus pass); the query-term df table and the 1-row
-    (N, avgdl) stats broadcast, so the corpus-sized side shuffles
-    exactly twice (term counts, then the per-doc rollup). Per-term
-    contributions go through micro-units (round x 1e6 to BIGINT)
-    before the per-doc sum, so the score is independent of Spark's
-    float summation order.
+    second corpus pass); per-term document frequencies are computed
+    once over the DISTINCT query terms (shared across queries) and
+    broadcast with the 1-row (N, avgdl) stats. The corpus-sized side
+    shuffles exactly twice regardless of the number of queries: term
+    counts, then the (query_id, doc) rollup — adding queries adds
+    broadcast rows and rollup keys, never another corpus scan.
+    Per-term contributions go through micro-units (round x 1e6 to
+    BIGINT) before the per-doc sum, so scores are independent of
+    Spark's float summation order.
 
-    Output: (id, n_matched, score) for documents matching >= 1 query
-    term; score = sum of matched-term BM25 contributions, 1e-6
-    granular.
+    Output: (query_id, id, n_matched, score) for (query, document)
+    pairs matching >= 1 term; score = sum of matched-term BM25
+    contributions, 1e-6 granular.
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    pairs = (
+        list(query_terms.items())
+        if isinstance(query_terms, dict)
+        else list(query_terms)
+    )
+    qrows = [
+        (int(qid), t.lower()) for qid, terms in pairs for t in terms
+    ]
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
     ).select(id_col, F.lower(F.col("tk")).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize the (doc, term, tf) inverted index ONCE: three
+    # consumers read it (query-term dfs, corpus stats, the scoring
+    # join) and without the checkpoint each re-runs the corpus
+    # scan+explode+agg. localCheckpoint, not persist — blocks are
+    # freed by the ContextCleaner when the plan is GC'd. At serving
+    # scale this is the index build: score thousands of queries
+    # against it in the same pass.
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     tf2 = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy(id_col))
     )
-    q = spark.createDataFrame(
-        [(t.lower(),) for t in query_terms], "term string"
+    q = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = spark.createDataFrame(
+        sorted({(t,) for _, t in qrows}), "term string"
     )
     dfq = (
-        tf.join(F.broadcast(q), "term")
+        tf.join(F.broadcast(qterms), "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("dfc"))
     )
@@ -362,13 +389,38 @@ def bm25_scores(
     )
     micro = F.round(idf * tf_part * F.lit(1_000_000.0)).cast("bigint")
     return (
-        m.select(F.col(id_col), micro.alias("__micro"))
-        .groupBy(id_col)
+        m.select("query_id", F.col(id_col), micro.alias("__micro"))
+        .groupBy("query_id", id_col)
         .agg(
             F.count(F.lit(1)).alias("n_matched"),
             (F.sum("__micro") / F.lit(1_000_000.0)).alias("score"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str] | tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 for ONE query: a projection of
+    :func:`bm25_scores_multi` with a single broadcast query row —
+    same plan, the query_id column dropped.
+
+    Output: (id, n_matched, score) for documents matching >= 1 query
+    term; score = sum of matched-term BM25 contributions, 1e-6
+    granular."""
+    return bm25_scores_multi(
+        df,
+        {0: list(query_terms)},
+        text_col=text_col,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+    ).drop("query_id")
 
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -43,7 +43,29 @@ def topk_per_group(
     order_by: Sequence[Column],
     k: int,
     rank_col: str = "rank",
+    salt_col: str | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
+    """Top-k rows per group (callers must order by a total order —
+    include a unique tie-breaker).
+
+    With ``salt_col``/``salt_buckets`` the selection runs in TWO
+    stages: a first window over (group, hash(salt_col) % buckets)
+    keeps k rows per sub-bucket, then the final window ranks the
+    <= buckets*k survivors per group. Exact (every global top-k row is
+    top-k within its sub-bucket) and the shape to use when the group
+    count is small relative to the row count — e.g. a handful of
+    retrieval queries each ranking the whole corpus, where a direct
+    per-group window would funnel the corpus through few hot
+    partitions."""
+    if salt_col is not None and salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*partition_cols, salt).orderBy(*order_by)
+        df = (
+            df.withColumn("__sk", F.row_number().over(w1))
+            .filter(F.col("__sk") <= k)
+            .drop("__sk")
+        )
     w = Window.partitionBy(*partition_cols).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k

@@ -4967,6 +4967,89 @@ FROM bmr FULL JOIN csr USING (doc_id)
 
 ORACLES["hybrid_retrieval"] = _hybrid_oracle_sql()
 
+# multi-query BM25: one corpus pass, a (query_id, term) VALUES table,
+# dfs shared over the DISTINCT query terms, (query_id, doc) rollup
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in C.BM25_MULTI for t in terms
+)
+_BM25_MULTI_CTES = f"""tok AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), tf2 AS (
+  SELECT doc_id, term, tf,
+    sum(tf) OVER (PARTITION BY doc_id) AS dl
+  FROM tf
+), q AS (
+  SELECT * FROM (VALUES {_BM25_Q_VALUES}) AS t(query_id, term)
+), qterms AS (
+  SELECT DISTINCT term FROM q
+), dfq AS (
+  SELECT term, count(*) AS dfc
+  FROM tf JOIN qterms USING (term) GROUP BY term
+), stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+    CAST(sum(tf) AS DOUBLE) AS tot
+  FROM tf
+), m AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(round(
+      ln(1.0 + (s.n - d.dfc + 0.5) / (d.dfc + 0.5))
+      * (t.tf * {C.BM25_K1 + 1.0})
+      / (t.tf + {C.BM25_K1}
+         * ({1.0 - C.BM25_B} + {C.BM25_B} * t.dl / (s.tot / s.n)))
+      * 1000000.0) AS BIGINT) AS micro
+  FROM tf2 t JOIN q USING (term) JOIN dfq d USING (term) CROSS JOIN stats s
+),
+bmq AS (
+  SELECT query_id, doc_id, count(*) AS n_matched,
+    CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+  FROM m GROUP BY query_id, doc_id
+)"""
+
+ORACLES["bm25_multi_query"] = f"""
+WITH {_BM25_MULTI_CTES}
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, n_matched, score
+FROM bmq
+"""
+
+
+def _hybrid_multi_oracle_sql() -> str:
+    cos = _cosine_sql("e.embedding", "q.__q")
+    qv_values = ", ".join(f"({qid}, {vid})" for qid, vid in C.HYBRID_VECS)
+    return f"""
+WITH {_BM25_MULTI_CTES},
+bmr AS (
+  SELECT query_id, doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+  FROM bmq QUALIFY bm25_rank <= {C.RRF_TOPK}
+), qv AS (
+  SELECT t.query_id, t.vid, e.embedding AS __q
+  FROM (VALUES {qv_values}) AS t(query_id, vid)
+  JOIN embeddings e ON e.vec_id = t.vid
+), csr AS (
+  SELECT query_id, doc_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, doc_id) AS INTEGER) AS cos_rank
+  FROM (
+    SELECT q.query_id, e.vec_id AS doc_id, round({cos}, 6) AS cos
+    FROM embeddings e CROSS JOIN qv q
+    WHERE e.vec_id <> q.vid
+  ) QUALIFY cos_rank <= {C.RRF_TOPK}
+)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+  coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+  bm25_rank, cos_rank,
+  round(coalesce(1.0 / ({C.RRF_K0} + bm25_rank), 0.0)
+      + coalesce(1.0 / ({C.RRF_K0} + cos_rank), 0.0), 6) AS rrf_score
+FROM bmr FULL JOIN csr USING (query_id, doc_id)
+"""
+
+
+ORACLES["hybrid_multi_retrieval"] = _hybrid_multi_oracle_sql()
+
 
 ORACLES["dsir_weights"] = "WITH " + _DSIR_SCORED.format(toks=_TOKS) + """
 SELECT doc_id, count(*) AS n_tokens,

@@ -328,6 +328,15 @@ RRF_K0 = 60  # RRF damping constant
 RRF_TOPK = 20  # per-ranker candidate depth
 RRF_QUERY_VEC = 0  # vec_id used as the dense query
 
+# --- multi-query retrieval (one corpus pass scores ALL queries) -------------
+BM25_MULTI = (  # (query_id, terms): query 0 == the single-query contract
+    (0, ("customer", "vector", "stream")),
+    (1, ("query", "batch")),
+    (2, ("stream", "merge", "vector")),
+)
+HYBRID_VECS = ((0, 0), (1, 7), (2, 13))  # (query_id, dense query vec_id)
+TOPK_SALT_BUCKETS = 8  # two-stage per-query top-k sub-buckets
+
 # --- observability audits ---------------------------------------------------
 SKEW_AUDIT_TOPN = 10  # heaviest keys reported
 SKEW_AUDIT_SHARE = 0.001  # flag keys above this share of rows

@@ -6274,6 +6274,91 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 — the serving shape: a broadcast (query_id,
+    term) table scores THREE queries in one corpus pass (real RAG/eval
+    sweeps score thousands; one corpus re-scan per query is the wrong
+    plan at 100 TB). Document frequencies are computed once over the
+    distinct query terms and shared across queries; the corpus side
+    shuffles exactly twice (term counts, (query_id, doc) rollup) no
+    matter how many queries ride along. Query 0 is the single-query
+    contract's term set, so ``bm25_retrieval`` is a projection of this
+    result (pinned by tests/test_extensions.py)."""
+    from trollflow2_spark.extensions.text import bm25_scores_multi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores_multi(
+        docs, C.BM25_MULTI, k1=C.BM25_K1, b=C.BM25_B
+    )
+
+
+def q_hybrid_multi_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query hybrid retrieval: BM25 and dense cosine candidates
+    for THREE (term set, query vector) pairs in one pass each, fused
+    per query by reciprocal-rank fusion. Both rankers produce
+    per-query top-k via the salted two-stage window (exact: stage 1
+    keeps k per (query, hash-sub-bucket), stage 2 ranks the bounded
+    survivors) so a handful of queries never funnels the corpus
+    through single hot partitions; the fuse is a full-outer join of
+    two (nq x k)-row sides on (query_id, doc_id)."""
+    from trollflow2_spark.extensions.similarity import cosine
+    from trollflow2_spark.extensions.text import bm25_scores_multi
+    from trollflow2_spark.operators.windows import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    k0, k = C.RRF_K0, C.RRF_TOPK
+
+    bm_r = topk_per_group(
+        bm25_scores_multi(docs, C.BM25_MULTI, k1=C.BM25_K1, b=C.BM25_B),
+        ["query_id"],
+        [F.desc("score"), F.col("doc_id").asc()],
+        k,
+        rank_col="bm25_rank",
+        salt_col="doc_id",
+        salt_buckets=C.TOPK_SALT_BUCKETS,
+    ).select("query_id", "doc_id", "bm25_rank")
+
+    qmap = spark.createDataFrame(
+        list(C.HYBRID_VECS), "query_id int, __qvid bigint"
+    )
+    qv = F.broadcast(
+        qmap.join(emb, qmap["__qvid"] == emb["vec_id"]).select(
+            "query_id", "__qvid", F.col("embedding").alias("__q")
+        )
+    )
+    scored = (
+        emb.crossJoin(qv)
+        .filter(F.col("vec_id") != F.col("__qvid"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__q")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    cs_r = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cos"), F.col("doc_id").asc()],
+        k,
+        rank_col="cos_rank",
+        salt_col="doc_id",
+        salt_buckets=C.TOPK_SALT_BUCKETS,
+    ).select("query_id", "doc_id", "cos_rank")
+
+    fused = bm_r.join(cs_r, ["query_id", "doc_id"], "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("cos_rank")), F.lit(0.0)),
+        6,
+    )
+    return fused.select(
+        "query_id", "doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_score")
+    )
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: the split hashes the
     GROUP key (here a derived site domain), not the row id, so every
@@ -6756,6 +6841,8 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_retrieval": q_bm25_retrieval,
+    "bm25_multi_query": q_bm25_multi_query,
+    "hybrid_multi_retrieval": q_hybrid_multi_retrieval,
     "weighted_sample": q_weighted_sample,
     "group_split": q_group_split,
     "c4_line_filter": q_c4_line_filter,
