@@ -687,10 +687,22 @@ FROM events GROUP BY 1, 2
 # data takes effect in batch b+1 — the next batch was already planned
 # with the previous value), so the watermark for batch b derives from
 # data through batch b-2; batches 0 and 1 run unfiltered.
+# the replay fixtures cap at REPLAY_ROW_BUDGET rows picked in
+# Knuth-spread-hash order (portable arithmetic, identical on Spark) so
+# the contract subset is O(1) in sf while covering the full ts range
+def _replay_budget_sql(where: str, id_col: str = "event_id") -> str:
+    return (
+        f"SELECT * FROM events WHERE {where} "
+        f"ORDER BY ({id_col} * {C.REPLAY_SPREAD}) % 4294967296, {id_col} "
+        f"LIMIT {C.REPLAY_ROW_BUDGET}"
+    )
+
+
 ORACLES["streaming_late_data"] = f"""
-WITH f AS (
-  SELECT ts, event_type, event_id % 3 AS b
-  FROM events WHERE event_id % {C.REPLAY_SUB_MOD} = 0
+WITH f0 AS (
+  {_replay_budget_sql(f"event_id % {C.REPLAY_SUB_MOD} = 0")}
+), f AS (
+  SELECT ts, event_type, event_id % 3 AS b FROM f0
 ), bmax AS (
   SELECT b, max(ts) AS mx FROM f GROUP BY b
 ), wm AS (
@@ -712,10 +724,12 @@ FROM acc GROUP BY 1, 2
 # stream-stream join replay: accepted rows (raw ts vs the lag-2
 # watermark) joined under the attribution time-range condition
 ORACLES["streaming_join_replay"] = f"""
-WITH f AS (
+WITH f0 AS (
+  {_replay_budget_sql(f"event_id % {C.REPLAY_SUB_MOD} = 0")}
+), f AS (
   SELECT event_id, user_id % 5 AS k, ts,
     event_id % 2 = 0 AS is_l, (event_id // {C.REPLAY_SUB_MOD}) % 3 AS b
-  FROM events WHERE event_id % {C.REPLAY_SUB_MOD} = 0
+  FROM f0
 ), bmax AS (
   -- Spark's event-time stats are millisecond-floored, so the
   -- watermark derives from the ms-truncated batch maximum
@@ -742,9 +756,13 @@ FROM acc l JOIN acc r
 
 _SDR_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 ORACLES["streaming_dedup_replay"] = f"""
-WITH f AS (
+WITH f0 AS (
+  SELECT * FROM documents
+  ORDER BY (doc_id * {C.REPLAY_SPREAD}) % 4294967296, doc_id
+  LIMIT {C.REPLAY_ROW_BUDGET}
+), f AS (
   SELECT doc_id, 'content ' || (doc_id // 3) AS text, doc_id % 3 AS b
-  FROM documents
+  FROM f0
 ), k AS (
   SELECT doc_id, text, b,
     min(b) OVER (PARTITION BY text) AS bmin
@@ -876,27 +894,35 @@ FROM documents
 # stateful-streaming replays: the applyInPandasWithState kernels'
 # semantics in closed form over the deterministic 3-batch fixture
 ORACLES["streaming_running_counts"] = """
-WITH f AS (
+WITH f0 AS (
+  {budget}
+), f AS (
   SELECT CAST(user_id % {kmod} AS VARCHAR) AS key,
     event_id % {nb} AS b
-  FROM events WHERE event_id % {sub} = 0
+  FROM f0
 )
 SELECT key, count(*) AS n_events,
   count(DISTINCT b) AS n_batches
 FROM f GROUP BY key
-""".format(kmod=C.REPLAY_KEY_MOD, nb=C.REPLAY_BATCHES, sub=C.REPLAY_SUB_MOD)
+""".format(
+    kmod=C.REPLAY_KEY_MOD,
+    nb=C.REPLAY_BATCHES,
+    budget=_replay_budget_sql(f"event_id % {C.REPLAY_SUB_MOD} = 0"),
+)
 
 # the token-bucket recurrence (capacity/refill, refill only at invoked
 # batches, fresh bucket when the host first appears) unrolled over the
 # 3 deterministic micro-batches
 _cap, _ref = C.RATE_CAPACITY, C.RATE_REFILL
 ORACLES["streaming_rate_limit"] = f"""
-WITH f AS (
+WITH f0 AS (
+  {_replay_budget_sql(f"event_id % {C.RATE_SUB_MOD} = 0")}
+), f AS (
   SELECT 'h' || CAST((event_id // {C.RATE_SUB_MOD}) % {C.RATE_HOST_MOD}
       AS VARCHAR) AS host,
     'u' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS url,
     (event_id // {C.RATE_SUB_MOD}) % {C.REPLAY_BATCHES} AS b
-  FROM events WHERE event_id % {C.RATE_SUB_MOD} = 0
+  FROM f0
 ), counts AS (
   SELECT host,
     count(*) FILTER (WHERE b = 0) AS n0,

@@ -291,6 +291,13 @@ REPLAY_BATCHES = 3  # micro-batches (one file each, oldest-mtime first)
 REPLAY_KEY_MOD = 41  # running-counts keys: user_id % 41 (some keys miss
 # batches at small sf, so n_batches genuinely varies per key)
 REPLAY_SUB_MOD = 5  # running-counts fixture: event_id % 5 == 0
+REPLAY_ROW_BUDGET = 600  # fixed rows per replay fixture: the contract
+# artifacts are control-plane, so their driver-side collect + JSON
+# write must cost the same at sf10 as at sf0.01 (O(1) in sf)
+REPLAY_SPREAD = 2654435761  # Knuth multiplicative hash: the budget picks
+# rows in spread-hash order so the subset covers the full event-time
+# range (a lowest-N-ids subset would collapse the watermark dynamics
+# the late-data/join replays exist to prove)
 RATE_SUB_MOD = 50  # rate-limit fixture: event_id % 50 == 0
 RATE_HOST_MOD = 23  # hosts: 'h' || ((event_id/50) % 23)
 RATE_CAPACITY = 2  # token-bucket burst capacity

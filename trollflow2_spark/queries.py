@@ -1799,6 +1799,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_subset(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Cap a replay fixture at the fixed REPLAY_ROW_BUDGET, picking
+    rows in portable spread-hash order (Knuth multiplicative, same
+    arithmetic in the oracles) so the subset stays representative of
+    the full event-time range. Keeps the driver-side contract collect
+    O(1) in sf — the replay queries are contract artifacts, not
+    data-plane operators, and must cost the same at any scale."""
+    h = F.pmod(
+        F.col(id_col) * F.lit(C.REPLAY_SPREAD), F.lit(2**32)
+    )
+    return df.orderBy(h, F.col(id_col)).limit(C.REPLAY_ROW_BUDGET)
+
+
 def q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming contract: running per-key counts
     (``applyInPandasWithState``) driven through a REAL 3-micro-batch
@@ -1813,13 +1826,13 @@ def q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_counts,
     )
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_id") % C.REPLAY_SUB_MOD == 0)
-        .select(
-            (F.col("user_id") % C.REPLAY_KEY_MOD).cast("string").alias("k"),
-            (F.col("event_id") % C.REPLAY_BATCHES).alias("b"),
+    ev = _replay_subset(
+        load_table(spark, sf_dir, "events").where(
+            F.col("event_id") % C.REPLAY_SUB_MOD == 0
         )
+    ).select(
+        (F.col("user_id") % C.REPLAY_KEY_MOD).cast("string").alias("k"),
+        (F.col("event_id") % C.REPLAY_BATCHES).alias("b"),
     )
     rows = ev.collect()  # config-bounded fixture subset (control plane)
     batches = [
@@ -1856,8 +1869,11 @@ def q_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     j = (F.col("event_id") / C.RATE_SUB_MOD).cast("bigint")
     ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_id") % C.RATE_SUB_MOD == 0)
+        _replay_subset(
+            load_table(spark, sf_dir, "events").where(
+                F.col("event_id") % C.RATE_SUB_MOD == 0
+            )
+        )
         .select(
             F.concat(F.lit("h"), (j % C.RATE_HOST_MOD).cast("string")).alias(
                 "host"
@@ -4634,11 +4650,11 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the memory sink."""
     from trollflow2_spark.streaming.stateful import replay_batches
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_id") % C.REPLAY_SUB_MOD == 0)
-        .select("ts", "event_type", (F.col("event_id") % 3).alias("b"))
-    )
+    ev = _replay_subset(
+        load_table(spark, sf_dir, "events").where(
+            F.col("event_id") % C.REPLAY_SUB_MOD == 0
+        )
+    ).select("ts", "event_type", (F.col("event_id") % 3).alias("b"))
     rows = ev.collect()  # config-bounded fixture subset (control plane)
     batches = [
         [
@@ -4680,18 +4696,18 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trollflow2_spark.streaming.stateful import replay_batches
     from trollflow2_spark.streaming.windows import stream_stream_join
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_id") % C.REPLAY_SUB_MOD == 0)
-        .select(
-            (F.col("user_id") % 5).alias("k"),
-            "ts",
-            (F.col("event_id") % 2 == 0).alias("is_l"),
-            ((F.col("event_id") / C.REPLAY_SUB_MOD).cast("bigint") % 3).alias(
-                "b"
-            ),
-            "event_id",
+    ev = _replay_subset(
+        load_table(spark, sf_dir, "events").where(
+            F.col("event_id") % C.REPLAY_SUB_MOD == 0
         )
+    ).select(
+        (F.col("user_id") % 5).alias("k"),
+        "ts",
+        (F.col("event_id") % 2 == 0).alias("is_l"),
+        ((F.col("event_id") / C.REPLAY_SUB_MOD).cast("bigint") % 3).alias(
+            "b"
+        ),
+        "event_id",
     )
     rows = ev.collect()  # config-bounded fixture subset (control plane)
     batches = [
@@ -4747,7 +4763,9 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup,
     )
 
-    ev = load_table(spark, sf_dir, "documents").select(
+    ev = _replay_subset(
+        load_table(spark, sf_dir, "documents"), id_col="doc_id"
+    ).select(
         "doc_id",
         F.concat(
             F.lit("content "), F.floor(F.col("doc_id") / 3).cast("string")
