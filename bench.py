@@ -224,6 +224,10 @@ OPERATORS = [
     "corpus_recipe",  # config-driven 4-stage corpus pipeline capstone
     "html_markdown",  # structure-preserving HTML -> markdown extraction
     "fuzzy_lev2_pairs",  # levenshtein<=2 via FastSS deletion neighborhoods
+    # round 9 additions
+    "pdf_text_cid",  # Type0/CID PDF text via embedded ToUnicode CMaps
+    "bm25_multi_query",  # one corpus pass scores a query TABLE
+    "hybrid_multi_retrieval",  # per-query RRF fusion, salted top-k
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.
@@ -290,10 +294,25 @@ def main() -> int:
         times[name], samples = _bench_one(spark, QUERIES[name], sf_dir)
         print(f"# {name}: {times[name]:.3f}s (runs {samples})", file=sys.stderr)
 
+    # Stress queries run min-of-3 and record their fixture row counts:
+    # round 8's skew_seq pair doubled with unchanged code+fixture and
+    # the artifact couldn't distinguish host noise from fixture growth
+    # from regression. rows pins the fixture; min-of-3 + the recorded
+    # samples make a stall visible as one bad sample, not a bad round.
+    fixture_rows = _stress_fixture_rows(spark, sf_dir)
     stress: dict[str, float] = {}
+    stress_detail: dict[str, dict] = {}
     for name in STRESS:
-        stress[name], samples = _bench_one(spark, QUERIES[name], sf_dir)
-        print(f"# stress {name}: {stress[name]:.3f}s (runs {samples})",
+        stress[name], samples = _bench_one(
+            spark, QUERIES[name], sf_dir, runs=3
+        )
+        stress_detail[name] = {
+            "min": stress[name],
+            "runs": samples,
+            "rows": fixture_rows.get(name),
+        }
+        print(f"# stress {name}: {stress[name]:.3f}s (runs {samples}, "
+              f"fixture {fixture_rows.get(name)} rows)",
               file=sys.stderr)
 
     # AQE skew-join split demo: same query, skew-splitting off vs on
@@ -308,9 +327,15 @@ def main() -> int:
                                ("skew_join_aqe_on", "true")]:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
             stress[label], samples = _bench_one(
-                spark, QUERIES[_SKEW_JOIN_QUERY], sf_dir
+                spark, QUERIES[_SKEW_JOIN_QUERY], sf_dir, runs=3
             )
-            print(f"# stress {label}: {stress[label]:.3f}s (runs {samples})",
+            stress_detail[label] = {
+                "min": stress[label],
+                "runs": samples,
+                "rows": fixture_rows.get(label),
+            }
+            print(f"# stress {label}: {stress[label]:.3f}s (runs {samples}, "
+                  f"fixture {fixture_rows.get(label)} rows)",
                   file=sys.stderr)
     finally:
         for k, v in saved.items():
@@ -337,7 +362,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in times.items()},
-        "stress": {k: round(v, 3) for k, v in stress.items()},
+        "stress": stress_detail,
         "stress_total": round(sum(stress.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
@@ -352,8 +377,16 @@ def main() -> int:
     # regressions distinguishable without judge archaeology
     prev = _previous_detail(detail_path)
     if prev:
-        prev_q = {**prev.get("queries", {}), **prev.get("stress", {})}
-        now_q = {**detail["queries"], **detail["stress"]}
+        # stress entries are {min, runs, rows} dicts from r9 on (bare
+        # floats before); regressions key off the min times either way
+        def _mins(d: dict) -> dict:
+            return {
+                k: (v["min"] if isinstance(v, dict) else v)
+                for k, v in d.items()
+            }
+
+        prev_q = {**prev.get("queries", {}), **_mins(prev.get("stress", {}))}
+        now_q = {**detail["queries"], **_mins(detail["stress"])}
         regressions = sorted(
             (
                 (k, prev_q[k], v)
@@ -402,6 +435,31 @@ def main() -> int:
     )
     spark.stop()
     return 0
+
+
+def _stress_fixture_rows(spark, sf_dir: str) -> dict[str, int]:
+    """Input-fixture row counts for the stress set (cheap metadata
+    counts x the qconst replication factors) — recorded per entry in
+    BENCH_DETAIL so a fixture resize is visible in the artifact
+    instead of masquerading as a perf regression."""
+    import trollflow2_spark.qconst as C
+
+    n_events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+    n_emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    skew_rows = n_events * C.SKEW_REPLICATE
+    sem_rows = n_emb * C.SEMSKEW_REPLICATE
+    return {
+        "skew_seq_plain": skew_rows,
+        "skew_seq_salted": skew_rows,
+        "skew_join_aqe_off": skew_rows,
+        "skew_join_aqe_on": skew_rows,
+        "semantic_cells_plain": sem_rows,
+        "semantic_cells_guarded": sem_rows,
+    }
 
 
 def _previous_detail(current_path: str) -> dict | None:
