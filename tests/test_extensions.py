@@ -2245,3 +2245,25 @@ def test_hamming1_pairs_duplicate_heavy_vs_bruteforce(spark):
         if lev1(strings[i], strings[j])
     )
     assert got == expected
+
+
+def test_group_split_domain_atomic_on_url_chain(spark, sf_dir):
+    """Every registrable domain lands in exactly ONE split, and the
+    messy-URL variants (www/subdomain/port/case/tracking params) of
+    the same site all collapse to that domain — the leakage-safety
+    contract on the production canonicalize->PSL chain."""
+    from trollflow2_spark.queries import QUERIES
+
+    out = QUERIES["group_split"](spark, sf_dir)
+    rows = out.collect()
+    by_domain: dict = {}
+    for r in rows:
+        by_domain.setdefault(r["domain"], set()).add(r["split"])
+    assert by_domain and all(len(v) == 1 for v in by_domain.values())
+    # the four URL spellings of site k all canonicalized to one eTLD+1
+    assert all(d.endswith(".co.uk") and d.startswith("site")
+               for d in by_domain)
+    # docs of one site class share the domain across all 4 variants
+    doms = {r["doc_id"] % 50: r["domain"] for r in rows}
+    for r in rows:
+        assert doms[r["doc_id"] % 50] == r["domain"]

@@ -3586,12 +3586,44 @@ ORACLES["dataset_split"] = f"""
 SELECT doc_id, source, {_split_case_sql()} AS split FROM documents
 """
 
-# group-atomic split: the bucket hashes the GROUP key (derived site
-# domain), so a site's documents can never straddle the eval boundary
+# group-atomic split on the REAL domain chain: the oracle replays URL
+# canonicalization (scheme strip, fragment strip, host lowering,
+# userinfo/port removal) and the PSL eTLD+1 rule over the same planted
+# messy URLs, then hashes THAT group key — every doc of a registrable
+# domain lands in one split no matter how its URLs are spelled
+_PSL_IN = ", ".join(f"'{s}'" for s in C.PSL_2LD)
 ORACLES["group_split"] = f"""
-SELECT doc_id, 'site' || (doc_id % 50) AS domain,
-  {_split_case_over("('site' || (doc_id % 50))", C.SPLIT_SEED)} AS split
-FROM documents
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://www.site' || (doc_id % 50)
+        || '.co.uk/p/' || doc_id || '?utm_source=x&b=2#frag'
+      WHEN 1 THEN 'http://site' || (doc_id % 50) || '.co.uk:80/p?b=2&a=1'
+      WHEN 2 THEN 'https://a.b.site' || (doc_id % 50) || '.co.uk/q'
+      ELSE 'HTTPS://SITE' || (doc_id % 50) || '.CO.UK#x'
+    END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(regexp_extract(
+      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      '^([^/?#]*)', 1)), '^[^@]*@', ''), ':[0-9]+$', '') AS host
+  FROM u
+), lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS ls FROM h
+), d AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(ls) <= 1 THEN host
+      WHEN (ls[-2] || '.' || ls[-1]) IN ({_PSL_IN}) AND len(ls) >= 3
+        THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+      ELSE ls[-2] || '.' || ls[-1]
+    END AS domain
+  FROM lab
+)
+SELECT doc_id, domain,
+  {_split_case_over("domain", C.SPLIT_SEED)} AS split
+FROM d
 """
 
 _RATE_CASE = "CASE source " + " ".join(

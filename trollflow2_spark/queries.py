@@ -6378,18 +6378,50 @@ def q_hybrid_multi_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val/test assignment: the split hashes the
-    GROUP key (here a derived site domain), not the row id, so every
-    document of a site lands in the same split — near-dups within a
-    site can never straddle the eval boundary (the failure mode
+    """Leakage-safe train/val/test assignment keyed on the REAL
+    production domain chain: planted messy URLs (www/subdomain
+    prefixes, default ports, uppercase, tracking params, fragments)
+    run through ``canonicalize_url -> host_of_url ->
+    registrable_domain`` (PSL-aware eTLD+1), and the split hashes THAT
+    group key — so every document of a registrable domain, however its
+    URLs are spelled, lands in one split; near-dups within a site can
+    never straddle the eval boundary (the failure mode
     split_leakage_audit detects after the fact, prevented up front).
-    Same map-side bucket predicate as deterministic_split; zero
-    shuffle."""
+    The whole chain is pure Column regexp algebra + the same map-side
+    bucket predicate as deterministic_split: zero shuffle. The oracle
+    replays canonicalization, the PSL rule, and the bucket arithmetic
+    in SQL over the same planted URLs."""
     from trollflow2_spark.extensions.sampling import deterministic_split
+    from trollflow2_spark.sources.warc import (
+        canonicalize_url,
+        host_of_url,
+        registrable_domain,
+    )
 
+    m = (F.col("doc_id") % 50).cast("string")
+    s = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            s == 0,
+            F.concat(
+                F.lit("https://www.site"), m, F.lit(".co.uk/p/"), did,
+                F.lit("?utm_source=x&b=2#frag"),
+            ),
+        )
+        .when(
+            s == 1,
+            F.concat(F.lit("http://site"), m, F.lit(".co.uk:80/p?b=2&a=1")),
+        )
+        .when(
+            s == 2,
+            F.concat(F.lit("https://a.b.site"), m, F.lit(".co.uk/q")),
+        )
+        .otherwise(F.concat(F.lit("HTTPS://SITE"), m, F.lit(".CO.UK#x")))
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string")).alias(
+        registrable_domain(host_of_url(canonicalize_url(url))).alias(
             "domain"
         ),
     )
