@@ -228,6 +228,8 @@ OPERATORS = [
     "pdf_text_cid",  # Type0/CID PDF text via embedded ToUnicode CMaps
     "bm25_multi_query",  # one corpus pass scores a query TABLE
     "hybrid_multi_retrieval",  # per-query RRF fusion, salted top-k
+    "fuzzy_long_pairs",  # ed-join over 100+-char titles (q-gram prefix)
+    "fuzzy_scope_audit",  # length-cap quarantine accounting
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -95,3 +95,64 @@ def test_lev2_pairs_match_brute_force(spark, corpus):
         if _lev(a, b) <= 2
     }
     assert got == want
+
+
+def test_long_pairs_match_brute_force_random_edits(spark):
+    """levenshtein_long_pairs (q-gram prefix ed-join) vs the DP model
+    on ~120-char titles with random substitutions/indels/appends,
+    plus exact duplicates for the distance-0 closure."""
+    import random
+
+    from trollflow2_spark.extensions.dedup import levenshtein_long_pairs
+
+    random.seed(11)
+    base = (
+        "the quick brown fox jumps over the lazy dog while carrying a "
+        "remarkably heavy parcel of documents through the rainy streets"
+    )
+    rows, rid = [], 0
+    for g in range(10):
+        s = base[: 60 + g] + f" group {str(g) * 9} tail segment"
+        variants = [s]
+        for _ in range(3):
+            v = list(s)
+            op = random.choice(["sub", "del", "ins", "sub2", "far"])
+            if op == "sub":
+                v[random.randrange(len(v))] = "#"
+            elif op == "del":
+                del v[random.randrange(len(v))]
+            elif op == "ins":
+                v.insert(random.randrange(len(v)), "%")
+            elif op == "sub2":
+                v[random.randrange(len(v) // 2)] = "#"
+                v[len(v) // 2 + random.randrange(len(v) // 2)] = "@"
+            else:
+                v = list(s + " plus an entirely different long suffix")
+            variants.append("".join(v))
+        for s2 in variants:
+            rows.append((rid, s2))
+            rid += 1
+    rows.append((rid, rows[0][1]))  # exact duplicate -> distance-0 pair
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in levenshtein_long_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    want = {
+        (min(i, j), max(i, j))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_fuzzy_scope_audit_accounts_every_row(spark):
+    from trollflow2_spark.extensions.dedup import fuzzy_scope_audit
+
+    rows = [(1, "a" * 10), (2, "b" * 64), (3, "c" * 65), (4, "d" * 200)]
+    out = fuzzy_scope_audit(
+        spark.createDataFrame(rows, "id bigint, s string"), "id", "s"
+    ).first()
+    assert out["n_total"] == 4
+    assert out["n_in_scope"] == 2 and out["n_skipped"] == 2
+    assert out["max_skipped_len"] == 200

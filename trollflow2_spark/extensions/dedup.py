@@ -1062,6 +1062,54 @@ def levenshtein_pairs(
     )
 
 
+def _chunked_classes(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_len: int,
+    id_chunk: int,
+    min_len: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared id-class prelude of every fuzzy tier: returns
+    ``(chunked, dstr, max_class)`` where ``dstr`` is the distinct
+    (__fs, __flen) string table the blocking runs over and ``chunked``
+    carries each string's id class as bounded (__fs, __chunk, __ids)
+    rows.
+
+    Adaptive (r8): the chunk machinery (count join + hash-chunked
+    re-agg + chunk-pair self-join) costs three extra shuffles, and on
+    the common distinct-heavy entity table every class is tiny.  One
+    map-side-combinable count agg + a 1-row max to the driver (control
+    plane) decides: classes all within id_chunk -> the direct
+    single-agg path (each collect_list row is <= id_chunk by the same
+    bound the chunks would enforce); any oversized class -> every
+    class rides bounded chunk rows."""
+    base = df.select(
+        F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
+    ).where(F.length("__fs").between(min_len, max_len))
+    counts = base.groupBy("__fs").agg(F.count("*").alias("__n"))
+    max_class = counts.agg(F.max("__n")).first()[0] or 0
+    if max_class <= int(id_chunk):
+        # ONE aggregation feeds variants AND id re-attachment — the
+        # count scan above is array-free and map-side-combinable, so
+        # the guard never materializes what it is guarding against
+        full = base.groupBy("__fs").agg(
+            F.collect_list("__fid").alias("__ids")
+        )
+        chunked = full.select("__fs", F.lit(0).alias("__chunk"), "__ids")
+        dstr = full.select("__fs", F.length("__fs").alias("__flen"))
+    else:
+        n_chunks = F.ceil(F.col("__n") / F.lit(int(id_chunk))).cast("bigint")
+        chunked = (
+            base.join(counts, "__fs")
+            .withColumn("__chunk", F.pmod(F.xxhash64("__fid"), n_chunks))
+            .groupBy("__fs", "__chunk")
+            .agg(F.collect_list("__fid").alias("__ids"))
+        )
+        dstr = counts.select("__fs", F.length("__fs").alias("__flen"))
+    return chunked, dstr, max_class
+
+
 def _edit1_pairs(
     df: DataFrame,
     id_col: str,
@@ -1089,37 +1137,9 @@ def _edit1_pairs(
     pairs come from a bounded chunk-pair self-join — both proportional
     to the OUTPUT, never an intermediate blow-up.
     """
-    base = df.select(
-        F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
-    ).where(F.length("__fs").between(1, max_len))
-    counts = base.groupBy("__fs").agg(F.count("*").alias("__n"))
-    # adaptive (r8): the chunk machinery (count join + hash-chunked
-    # re-agg + chunk-pair self-join) costs three extra shuffles, and on
-    # the common distinct-heavy entity table every class is tiny.  One
-    # map-side-combinable count agg + a 1-row max to the driver
-    # (control plane) decides: classes all within id_chunk -> the
-    # direct single-agg path (each collect_list row is <= id_chunk by
-    # the same bound the chunks would enforce); any oversized class ->
-    # every class rides bounded chunk rows.
-    max_class = counts.agg(F.max("__n")).first()[0] or 0
-    if max_class <= int(id_chunk):
-        # ONE aggregation feeds variants AND id re-attachment — the
-        # count scan above is array-free and map-side-combinable, so
-        # the guard never materializes what it is guarding against
-        full = base.groupBy("__fs").agg(
-            F.collect_list("__fid").alias("__ids")
-        )
-        chunked = full.select("__fs", F.lit(0).alias("__chunk"), "__ids")
-        dstr = full.select("__fs", F.length("__fs").alias("__flen"))
-    else:
-        n_chunks = F.ceil(F.col("__n") / F.lit(int(id_chunk))).cast("bigint")
-        chunked = (
-            base.join(counts, "__fs")
-            .withColumn("__chunk", F.pmod(F.xxhash64("__fid"), n_chunks))
-            .groupBy("__fs", "__chunk")
-            .agg(F.collect_list("__fid").alias("__ids"))
-        )
-        dstr = counts.select("__fs", F.length("__fs").alias("__flen"))
+    chunked, dstr, max_class = _chunked_classes(
+        df, id_col, str_col, max_len, id_chunk
+    )
     if max_dist == 2:
         spairs = _lev2_string_pairs(dstr)
         return _attach_ids_to_pairs(spairs, chunked, max_class, id_chunk)
@@ -1231,6 +1251,124 @@ def _lev2_string_pairs(dstr: DataFrame) -> DataFrame:
         .select("__sa", "__sb")
         .distinct()
         .where(F.levenshtein("__sa", "__sb") <= 2)
+    )
+
+
+def levenshtein_long_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_len: int = 256,
+    id_chunk: int = 4096,
+) -> DataFrame:
+    """``levenshtein(a, b) <= max_dist`` over LONG strings (document
+    titles, product names — the 100+-char class the deletion-
+    neighborhood tiers cap out of: FastSS variant fan-out is ~L^2/2
+    per string, ruinous at L=200).
+
+    Ed-join shape (Gravano et al. q-gram joins + Chaudhuri et al.
+    prefix filtering): an edit destroys at most ``q`` positional
+    q-grams, so ed(a,b) <= t strings share all but q*t of their grams
+    — meaning any such pair shares at least one gram among each side's
+    ``q*t+1`` RAREST grams (global-frequency order), at positions
+    within t of each other and lengths within t. Candidates therefore
+    come from an equi-join on the prefix grams (rarest-first keeps
+    buckets cold by construction: a gram shared by many strings sorts
+    out of the prefix), then verify with the exact JVM
+    ``levenshtein`` before id expansion. Complete — the prefix bound
+    is a theorem, not a recall knob; ``max_len`` bounds only the
+    per-string gram count (linear, vs the short tier's quadratic
+    variant fan-out).
+
+    Domain: strings with ``q <= len <= max_len``; shorter strings
+    belong to the deletion-neighborhood tiers
+    (:func:`levenshtein_pairs`). Use :func:`fuzzy_scope_audit` to
+    count rows outside a tier's declared domain instead of silently
+    dropping them.
+
+    Returns distinct ``(id_a, id_b)``, ``id_a < id_b``, including the
+    distance-0 closure over identical strings via the shared adaptive
+    chunked class machinery."""
+    from pyspark.sql import Window
+
+    chunked, dstr, max_class = _chunked_classes(
+        df, id_col, str_col, max_len, id_chunk, min_len=q
+    )
+    t = int(max_dist)
+    grams = dstr.select(
+        "__fs",
+        "__flen",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__flen") - q),
+                lambda i: F.substring(F.col("__fs"), i + F.lit(1), F.lit(q)),
+            )
+        ).alias("__pos", "__g"),
+    )
+    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__gf"))
+    w = Window.partitionBy("__fs").orderBy("__gf", "__g", "__pos")
+    prefix = (
+        grams.join(freq, "__g")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= q * t + 1)
+        .select("__fs", "__flen", "__pos", "__g")
+    )
+    a = prefix.select(
+        F.col("__fs").alias("__sa"),
+        F.col("__flen").alias("__la"),
+        F.col("__pos").alias("__pa"),
+        "__g",
+    )
+    # the RARE-prefix side joins the partner's FULL gram set: of a's
+    # q*t+1 rarest grams at most q*t are destroyed by <= t edits, so
+    # one survives IN B — at some position within t, but not
+    # necessarily inside b's own prefix (prefix-vs-prefix plus the
+    # positional filter would be a recall hole). Buckets stay cold
+    # anyway: a common gram has ~zero prefix occurrences by the
+    # rarest-first order, a rare gram few full-side occurrences.
+    b = grams.select(
+        F.col("__fs").alias("__sb"),
+        F.col("__flen").alias("__lb"),
+        F.col("__pos").alias("__pb"),
+        "__g",
+    )
+    spairs = (
+        a.join(b, "__g")
+        .where(
+            (F.col("__sa") < F.col("__sb"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= t)
+            & (F.abs(F.col("__pa") - F.col("__pb")) <= t)
+        )
+        .select("__sa", "__sb")
+        .distinct()
+        .where(F.levenshtein("__sa", "__sb") <= t)
+    )
+    return _attach_ids_to_pairs(spairs, chunked, max_class, id_chunk)
+
+
+def fuzzy_scope_audit(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    min_len: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """One-row audit of a fuzzy tier's declared domain: how many rows
+    fall inside/outside ``[min_len, max_len]`` (plus the longest
+    out-of-scope length). A tier's length cap must be an ACCOUNTED
+    quarantine, not a silent WHERE — at 100 TB a silently-skipped 2%
+    is millions of unmatched entities nobody knows about. One
+    map-side-combinable aggregation, zero shuffle beyond the 1-row
+    reduce."""
+    ln = F.length(F.col(str_col))
+    in_scope = ln.between(min_len, max_len)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(in_scope.cast("long")).alias("n_in_scope"),
+        F.sum((~in_scope).cast("long")).alias("n_skipped"),
+        F.max(F.when(~in_scope, ln)).alias("max_skipped_len"),
     )
 
 

@@ -3586,6 +3586,51 @@ ORACLES["dataset_split"] = f"""
 SELECT doc_id, source, {_split_case_sql()} AS split FROM documents
 """
 
+# long-string fuzzy tier: ground truth is DuckDB's OWN levenshtein
+# over every pair of the fixed 320-doc fixture — no blocking logic
+# shared with the engine under test (length band only, a theorem)
+_FLT = (
+    " lorem ipsum dolor sit amet consectetur adipiscing"
+    " elit sed do eiusmod tempor incididunt ut labore"
+)
+ORACLES["fuzzy_long_pairs"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    'Title ' || repeat(CAST(doc_id // 4 AS VARCHAR), 9) || '{_FLT}' AS t
+  FROM documents WHERE doc_id < {C.FUZZY_LONG_DOCS}
+), fix AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN t
+      WHEN 1 THEN 'X' || t[2:]
+      WHEN 2 THEN t[2:]
+      ELSE t || '!!'
+    END AS title
+  FROM base
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fix a JOIN fix b ON a.doc_id < b.doc_id
+WHERE abs(len(a.title) - len(b.title)) <= 2
+  AND levenshtein(a.title, b.title) <= 2
+"""
+
+# fuzzy scope audit: the length-cap quarantine accounting
+ORACLES["fuzzy_scope_audit"] = """
+WITH s AS (
+  SELECT length(substring(text, 1, CAST(20 + (doc_id % 13) * 9 AS INT)))
+    AS ln
+  FROM documents
+)
+SELECT count(*) AS n_total,
+  CAST(sum(CASE WHEN ln BETWEEN 1 AND 64 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_in_scope,
+  CAST(sum(CASE WHEN ln BETWEEN 1 AND 64 THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_skipped,
+  CAST(max(CASE WHEN ln BETWEEN 1 AND 64 THEN NULL ELSE ln END) AS INT)
+    AS max_skipped_len
+FROM s
+"""
+
 # group-atomic split on the REAL domain chain: the oracle replays URL
 # canonicalization (scheme strip, fragment strip, host lowering,
 # userinfo/port removal) and the PSL eTLD+1 rule over the same planted

@@ -344,6 +344,13 @@ BM25_MULTI = (  # (query_id, terms): query 0 == the single-query contract
 HYBRID_VECS = ((0, 0), (1, 7), (2, 13))  # (query_id, dense query vec_id)
 TOPK_SALT_BUCKETS = 8  # two-stage per-query top-k sub-buckets
 
+# --- long-string fuzzy matching (ed-join tier) ------------------------------
+FUZZY_LONG_DOCS = 320  # fixed fixture size (80 groups x 4 variants): the
+# oracle is a quadratic ground-truth levenshtein join, so the contract
+# fixture is O(1) in sf like the replay fixtures
+FUZZY_LONG_Q = 3  # q-gram width
+FUZZY_LONG_MAXLEN = 256  # declared domain cap of the long tier
+
 # --- observability audits ---------------------------------------------------
 SKEW_AUDIT_TOPN = 10  # heaviest keys reported
 SKEW_AUDIT_SHARE = 0.001  # flag keys above this share of rows

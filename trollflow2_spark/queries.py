@@ -3789,6 +3789,71 @@ def q_fuzzy_lev2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_LONG_TAIL = (
+    " lorem ipsum dolor sit amet consectetur adipiscing"
+    " elit sed do eiusmod tempor incididunt ut labore"
+)
+
+
+def q_fuzzy_long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein<=2 over LONG strings (~115-145 chars — the
+    document-title class the deletion-neighborhood tiers cap out of):
+    the ed-join shape — positional q-gram prefix filter (rarest q*t+1
+    grams vs the partner's full gram set, length/position bands) +
+    exact levenshtein verify. Fixture: 80 title groups x 4 variants
+    (identity, first-char substitution, first-char deletion, 2-char
+    append) on a FIXED 320-doc subset (the oracle is a quadratic
+    ground-truth join, so the fixture is O(1) in sf like the replay
+    fixtures). The oracle computes truth with DuckDB's own
+    levenshtein over all pairs — no structural assumption shared with
+    the engine under test."""
+    from trollflow2_spark.extensions.dedup import levenshtein_long_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < C.FUZZY_LONG_DOCS
+    )
+    g = (F.col("doc_id") / 4).cast("bigint").cast("string")
+    v = F.col("doc_id") % 4
+    t = F.concat(
+        F.lit("Title "),
+        F.repeat(g, 9),
+        F.lit(_FUZZY_LONG_TAIL),
+    )
+    title = (
+        F.when(v == 0, t)
+        .when(v == 1, F.concat(F.lit("X"), F.substring(t, 2, 1 << 20)))
+        .when(v == 2, F.substring(t, 2, 1 << 20))
+        .otherwise(F.concat(t, F.lit("!!")))
+    )
+    fix = docs.select("doc_id", title.alias("title"))
+    return levenshtein_long_pairs(
+        fix,
+        "doc_id",
+        "title",
+        max_dist=2,
+        q=C.FUZZY_LONG_Q,
+        max_len=C.FUZZY_LONG_MAXLEN,
+    )
+
+
+def q_fuzzy_scope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy tiers' length caps as an ACCOUNTED quarantine: one
+    map-side aggregation reports how many strings fall outside the
+    short tier's [1, 64] domain (and the longest skipped length) —
+    the audit that turns a silent WHERE into an operational number.
+    Fixture: document text truncated to doc_id-dependent lengths so
+    both in- and out-of-scope rows exist closed-form."""
+    from trollflow2_spark.extensions.dedup import fuzzy_scope_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.col("text"), 1, (20 + (F.col("doc_id") % 13) * 9).cast("int")
+        ).alias("s"),
+    )
+    return fuzzy_scope_audit(docs, "doc_id", "s", min_len=1, max_len=64)
+
+
 def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier gate: per event type, median and MAD (median
     absolute deviation) flag values beyond k*MAD — the
@@ -6810,6 +6875,8 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
     "fuzzy_lev2_pairs": q_fuzzy_lev2_pairs,
+    "fuzzy_long_pairs": q_fuzzy_long_pairs,
+    "fuzzy_scope_audit": q_fuzzy_scope_audit,
     "streaming_running_counts": q_streaming_running_counts,
     "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_dedup_replay": q_streaming_dedup_replay,
