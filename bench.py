@@ -230,6 +230,7 @@ OPERATORS = [
     "hybrid_multi_retrieval",  # per-query RRF fusion, salted top-k
     "fuzzy_long_pairs",  # ed-join over 100+-char titles (q-gram prefix)
     "fuzzy_scope_audit",  # length-cap quarantine accounting
+    "corpus_recipe_replay",  # incremental recipe via foreachBatch
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -79,3 +79,44 @@ def test_extended_stages(spark):
     assert not (1 in ids and 2 in ids)  # near-dup class collapsed
     scrubbed = {r["doc_id"]: r["text"] for r in out}
     assert "[EMAIL]" in scrubbed[4] and "bob@" not in scrubbed[4]
+
+
+def test_streaming_recipe_first_seen_across_batches(spark):
+    """The incremental recipe keeps the FIRST-SEEN doc of every content
+    class across micro-batches (later duplicates anti-join against the
+    digest state), stateless stages run per batch unchanged, and the
+    result equals the batch recipe on the concatenation when arrival
+    order matches id order."""
+    from trollflow2_spark.extensions.recipe import (
+        replay_recipe_batches,
+        run_recipe,
+    )
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches the gate and the visitors walk slowly past the old "
+        "stone wall toward the garden where the fountain splashes"
+    )
+    text_b = text_a.replace("fox", "cat")
+    batches = [
+        [{"doc_id": 10, "text": text_a}, {"doc_id": 11, "text": text_b}],
+        [{"doc_id": 20, "text": text_a}],  # dup of 10 -> dropped
+        [{"doc_id": 30, "text": text_b}, {"doc_id": 31, "text": "tiny"}],
+    ]
+    recipe = [
+        {"stage": "quality_filter"},
+        {"stage": "exact_dedup"},
+        {"stage": "split", "fractions": {"train": 0.8, "val": 0.2}},
+    ]
+    out = replay_recipe_batches(
+        spark, batches, "doc_id long, text string", recipe
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert sorted(got) == [10, 11]  # first-seen survive; 31 fails quality
+    # equals the batch recipe on the concatenation
+    allrows = [(r["doc_id"], r["text"]) for b in batches for r in b]
+    ref = run_recipe(
+        spark.createDataFrame(allrows, "doc_id long, text string"), recipe
+    )
+    want = {r["doc_id"]: r["split"] for r in ref.collect()}
+    assert got == want

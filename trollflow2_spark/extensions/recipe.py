@@ -197,6 +197,149 @@ def run_recipe(df: DataFrame, recipe: list[dict[str, Any]]) -> DataFrame:
     return out
 
 
+def streaming_recipe_sink(
+    recipe: list[dict[str, Any]], state_dir: str, out_dir: str
+):
+    """``foreachBatch`` function applying a corpus recipe PER
+    MICRO-BATCH — the reference's message-driven shape
+    (`/root/reference/trollflow2/launcher.py:237-250` runs the plugin
+    chain once per incoming message) applied to the corpus tier: a
+    crawl's intake is incremental, so the recipe must be too.
+
+    Stateless stages (quality gates, splits, scrubs) run unchanged on
+    each batch DataFrame through the same name-addressed registry. The
+    ``exact_dedup`` stage swaps its batch digest window for the
+    INCREMENTAL tier: first-seen-within-batch (min doc_id per digest)
+    + anti-join against the accumulated digest state, then the batch's
+    surviving digests append to the state — so across batches the
+    first-seen document of every content class survives, and the
+    corpus-sized state lives in a parquet table, never in executor
+    memory.
+
+    Each batch's post-dedup survivors are ``localCheckpoint``ed before
+    the state append: the output write re-evaluates the batch plan,
+    and without the barrier that re-evaluation would anti-join against
+    a state that already contains the batch's own digests — dropping
+    everything (self-invalidation). Results append to ``out_dir``.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = batch_df
+        for i, item in enumerate(recipe):
+            item = dict(item)
+            name = item.pop("stage", None)
+            item.pop("cache", None)  # per-batch plans are small
+            if not name or name not in CORPUS_STAGES:
+                raise ValueError(
+                    f"recipe[{i}]: unknown stage {name!r}; available: "
+                    + ", ".join(sorted(CORPUS_STAGES))
+                )
+            if name == "exact_dedup":
+                text_col = item.get("text_col", "text")
+                dig = F.md5(F.col(text_col))
+                w = Window.partitionBy(dig)
+                out = (
+                    out.withColumn("__keep_id", F.min("doc_id").over(w))
+                    .where(F.col("doc_id") == F.col("__keep_id"))
+                    .drop("__keep_id")
+                )
+                # Hadoop-FS existence check (works on object stores,
+                # unlike os.path); state rows are batch-tagged so a
+                # checkpoint-recovery re-run of batch N anti-joins only
+                # digests from batches < N, never its own partial
+                # append (idempotent under exactly-once replay)
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+                fs = jpath.getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                if fs.exists(jpath):
+                    seen = (
+                        spark.read.parquet(state_dir)
+                        .where(F.col("__bid") < F.lit(batch_id))
+                        .select("digest")
+                    )
+                    out = out.join(
+                        seen, dig == F.col("digest"), "left_anti"
+                    )
+                out = out.localCheckpoint(eager=True)
+                out.select(
+                    dig.alias("digest"),
+                    F.lit(batch_id).cast("long").alias("__bid"),
+                ).write.mode("append").parquet(state_dir)
+            else:
+                out = CORPUS_STAGES[name](out, **item)
+        out.write.mode("append").parquet(out_dir)
+
+    return fn
+
+
+def replay_recipe_batches(
+    spark,
+    batches: list[list[dict]],
+    schema: str,
+    recipe: list[dict[str, Any]],
+    shuffle_partitions: int | None = 8,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drive a corpus recipe through a REAL micro-batched stream: one
+    JSON file per batch (mtime-pinned order, ``maxFilesPerTrigger=1``,
+    ``availableNow`` drain) into a ``foreachBatch``
+    :func:`streaming_recipe_sink`; returns the accumulated parquet
+    output. The contract harness for the incremental recipe tier —
+    same replay discipline as ``streaming.stateful.replay_batches``."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="tf2recipe_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    state_dir = os.path.join(d, "state")
+    out_dir = os.path.join(d, "out")
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = os.path.join(src, f"b{i:04d}.json")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if shuffle_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_recipe_sink(recipe, state_dir, out_dir)
+            )
+            .queryName("tf2_recipe_" + uuid.uuid4().hex[:12])
+            .option(
+                "checkpointLocation", os.path.join(d, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"replay_recipe_batches: stream did not drain "
+                f"{len(batches)} batches within {timeout_s}s"
+            )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_dir)
+
+
 def read_recipe(path: str) -> list[dict[str, Any]]:
     """Load a recipe list from YAML (SafeLoader only — name-addressed
     stages, never code)."""

@@ -5177,3 +5177,35 @@ FROM w
 )
 
 ORACLES["corpus_recipe"] = _corpus_recipe_oracle()
+
+# incremental recipe replay == the batch recipe on the concatenation:
+# the fixture's batch index equals the id order within each 3-doc
+# content group, so streaming first-seen-across-batches reduces to the
+# batch digest window's min-id rule — replayed here as plain SQL over
+# the same budget subset + leader-text join
+ORACLES["corpus_recipe_replay"] = f"""
+WITH f0 AS (
+  SELECT doc_id FROM documents
+  ORDER BY (doc_id * {C.REPLAY_SPREAD}) % 4294967296, doc_id
+  LIMIT {C.REPLAY_ROW_BUDGET}
+), f AS (
+  SELECT f0.doc_id, d.text
+  FROM f0 JOIN documents d ON d.doc_id = (f0.doc_id // 3) * 3
+), t0 AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM f
+), kept AS (
+  SELECT doc_id, text FROM t0
+  WHERE NOT ({_QF_NTOK} < 20)
+    AND NOT ({_QF_STOP} < 0.03)
+    AND NOT ({_QF_SCORE} < 0.5)
+), ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      min(doc_id) OVER (PARTITION BY md5(text)) AS kid
+    FROM kept
+  ) WHERE doc_id = kid
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+  {_split_case_sql()} AS split
+FROM ded
+"""

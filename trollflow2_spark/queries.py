@@ -2497,6 +2497,65 @@ def q_corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_recipe_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus recipe run INCREMENTALLY — a real 3-micro-batch
+    stream through ``foreachBatch`` (the reference's message-driven
+    plugin chain applied to the corpus tier: intake is incremental, so
+    the recipe must be). quality gate and split run per batch
+    unchanged; ``exact_dedup`` swaps the batch digest window for the
+    incremental tier (first-seen within batch + anti-join against the
+    accumulated parquet digest state). Fixture: a budget-bounded doc
+    subset where each doc carries its group leader's text (groups of
+    3 spanning the 3 batches, batch index == id order within the
+    group), so first-seen-across-batches == the batch recipe's
+    min-id-per-digest on the concatenation — which is exactly what
+    the oracle replays."""
+    from trollflow2_spark.extensions.recipe import replay_recipe_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    sub = _replay_subset(docs.select("doc_id"), "doc_id")
+    lead = docs.select(
+        F.col("doc_id").alias("__lid"), F.col("text").alias("__ltext")
+    )
+    fix = (
+        sub.withColumn(
+            "__lid", (F.col("doc_id") / 3).cast("bigint") * 3
+        )
+        .join(lead, "__lid")
+        .select(
+            "doc_id",
+            F.col("__ltext").alias("text"),
+            (F.col("doc_id") % 3).alias("b"),
+        )
+    )
+    rows = fix.collect()  # budget-bounded fixture subset (control plane)
+    batches = [
+        [
+            {"doc_id": r["doc_id"], "text": r["text"]}
+            for r in rows
+            if r["b"] == i
+        ]
+        for i in range(3)
+    ]
+    recipe = [
+        {"stage": "quality_filter"},
+        {"stage": "exact_dedup"},
+        {
+            "stage": "split",
+            "fractions": dict(C.SPLIT_FRACS),
+            "seed": C.SPLIT_SEED,
+        },
+    ]
+    out = replay_recipe_batches(
+        spark, batches, "doc_id long, text string", recipe
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "split",
+    )
+
+
 def q_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup, the removal half (Lee et al.
     scrub): the repeated_ngram_spans token ranges are cut OUT of each
@@ -6980,6 +7039,7 @@ QUERIES = {
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "scrub_repeated_spans": q_scrub_repeated_spans,
     "corpus_recipe": q_corpus_recipe,
+    "corpus_recipe_replay": q_corpus_recipe_replay,
     "line_dedup": q_line_dedup,
     "embedding_pca": q_embedding_pca,
     "classifier_quality_filter": q_classifier_quality_filter,
