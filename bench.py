@@ -231,6 +231,7 @@ OPERATORS = [
     "fuzzy_long_pairs",  # ed-join over 100+-char titles (q-gram prefix)
     "fuzzy_scope_audit",  # length-cap quarantine accounting
     "corpus_recipe_replay",  # incremental recipe via foreachBatch
+    "mp4_frame_index",  # header-only keyframe byte-range index + SPS parse
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -80,3 +80,29 @@ def test_exif_both_byte_orders():
     noexif = _parse_jpeg_exif(_exif_blob(7))
     assert "make" not in noexif and noexif["width"] == 107
     assert _parse_jpeg_exif(_exif_blob(11)) == {}
+
+
+def test_mp4_frame_index_and_sps():
+    """Sample-table resolution: keyframe offsets are exact prefix sums
+    over stsz, SPS width/height honor high-profile chroma prefix and
+    cropping, non-mp4 yields None."""
+    from trollflow2_spark.extensions.multimodal import (
+        parse_avc_sps,
+        parse_mp4_index,
+    )
+    from trollflow2_spark.queries import _mp4_index_blob, _sps_nal
+
+    m = parse_mp4_index(_mp4_index_blob(13))
+    assert m["codec"] == "avc1" and m["profile_idc"] == 66
+    kf = [s for s in m["samples"] if s["is_keyframe"]]
+    sizes = [200 + ((13 + i) % 37) for i in range(1, m["n_samples"] + 1)]
+    for s in kf:
+        i = s["sample_idx"]
+        assert s["byte_offset"] == 32 + sum(sizes[: i - 1])
+        assert s["sample_bytes"] == sizes[i - 1]
+    assert parse_mp4_index(b"\x00\x00\x00\x08oops!") is None
+    # SPS: high-profile chroma prefix + crop arithmetic, round-trip
+    sps = _sps_nal(100, 41, 120, 68, True)  # 1920x1080-ish
+    got = parse_avc_sps(sps)
+    assert got["width"] == 120 * 16 - 2 and got["height"] == 68 * 16 - 2
+    assert got["profile_idc"] == 100 and got["level_idc"] == 41

@@ -1127,3 +1127,334 @@ def exif_metadata(
     return df.select(id_col, media_col).mapInPandas(
         kernel, EXIF_META_SCHEMA
     )
+
+
+# --- mp4 sample-table frame index (header-only video intake) ---------------
+#
+# Inter-frame H.264 DECODE stays a documented boundary (CODECS.md), but
+# a 100 TB video crawl rarely needs decoded pixels at intake — it needs
+# to know, per file, WHERE the frames are: keyframe byte ranges for
+# frame-accurate GPU-decode sampling, per-sample timestamps for clip
+# selection, resolution/profile for routing. All of that is in the
+# ISO-BMFF sample tables (stts/stsz/stss/stsc/stco) and the H.264
+# sequence parameter set carried in avcC — pure-byte parses, no codec.
+# Reference parity: none (the reference ingests satellite granules);
+# this is beyond-reference training-data intake surface.
+
+
+class _BitReader:
+    """MSB-first bit reader with Exp-Golomb (ue/se) — the H.264 SPS
+    bitstream primitives (ITU-T H.264 sections 7.3 / 9.1)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad exp-golomb")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+
+
+def parse_avc_sps(nal: bytes) -> dict:
+    """Width/height/profile/level from an H.264 sequence parameter set
+    NAL (including the header byte): the resolution truth a crawl
+    routes on, WITHOUT touching a single coded macroblock. Emulation-
+    prevention bytes are stripped; the high-profile chroma/bit-depth
+    prefix is walked; cropping is applied in chroma-format units.
+    Scaling matrices (rare in practice) raise — the caller quarantines."""
+    rbsp = nal[1:].replace(b"\x00\x00\x03", b"\x00\x00")
+    r = _BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma = 1
+    if profile in _HIGH_PROFILES:
+        chroma = r.ue()
+        if chroma == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):
+            raise ValueError("seq_scaling_matrix unsupported")
+    r.ue()  # log2_max_frame_num_minus4
+    poc = r.ue()
+    if poc == 0:
+        r.ue()
+    elif poc == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_only = r.u(1)
+    if not frame_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = (
+            r.ue(), r.ue(), r.ue(), r.ue(),
+        )
+    sub_w = 2 if chroma in (1, 2) else 1
+    sub_h = 2 if chroma == 1 else 1
+    width = w_mbs * 16 - (crop_l + crop_r) * sub_w
+    height = (2 - frame_only) * h_units * 16 - (
+        crop_t + crop_b
+    ) * sub_h * (2 - frame_only)
+    return {
+        "width": width,
+        "height": height,
+        "profile_idc": profile,
+        "level_idc": level,
+    }
+
+
+def _mp4_boxes(b: bytes, lo: int, hi: int):
+    pos = lo
+    while pos + 8 <= hi:
+        sz = int.from_bytes(b[pos : pos + 4], "big")
+        if sz < 8:
+            return
+        yield b[pos + 4 : pos + 8], pos + 8, min(pos + sz, hi)
+        pos += sz
+
+
+def _mp4_child(b: bytes, lo: int, hi: int, name: bytes):
+    for ty, clo, chi in _mp4_boxes(b, lo, hi):
+        if ty == name:
+            return clo, chi
+    return None
+
+
+def parse_mp4_index(b: bytes) -> dict | None:
+    """Per-sample index of the first video track of an ISO-BMFF file:
+    codec, timescale, per-sample (offset, size, pts) from the
+    stts/stsz/stss/stsc/stco tables, plus SPS width/height/profile for
+    avc1 tracks. Header-only — no coded data is read."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    moov = _mp4_child(b, 0, len(b), b"moov")
+    if not moov:
+        return None
+    for ty, tlo, thi in _mp4_boxes(b, *moov):
+        if ty != b"trak":
+            continue
+        mdia = _mp4_child(b, tlo, thi, b"mdia")
+        if not mdia:
+            continue
+        minf = _mp4_child(b, *mdia, b"minf")
+        if not minf or not _mp4_child(b, *minf, b"vmhd"):
+            continue  # not a video track
+        stbl = _mp4_child(b, *minf, b"stbl")
+        if not stbl:
+            continue
+        out: dict = {"codec": None, "timescale": None}
+        mdhd = _mp4_child(b, *mdia, b"mdhd")
+        if mdhd and b[mdhd[0]] == 0:
+            out["timescale"] = int.from_bytes(
+                b[mdhd[0] + 12 : mdhd[0] + 16], "big"
+            )
+
+        def body(name: bytes) -> bytes | None:
+            c = _mp4_child(b, *stbl, name)
+            return b[c[0] : c[1]] if c else None
+
+        sd = body(b"stsd")
+        if sd and len(sd) >= 16:
+            out["codec"] = sd[12:16].decode("ascii", "replace")
+            if out["codec"] == "avc1":
+                # stsd payload: 8 (ver/flags+count), then the sample
+                # entry box: 8 (size+format) + 78 VisualSampleEntry
+                # field bytes, then child boxes (avcC, ...)
+                elo = 8 + 8 + 78
+                for ty2, alo, ahi in _mp4_boxes(sd, elo, len(sd)):
+                    if ty2 != b"avcC" or ahi - alo < 8:
+                        continue
+                    nsps = sd[alo + 5] & 0x1F
+                    p = alo + 6
+                    if nsps >= 1:
+                        ln = int.from_bytes(sd[p : p + 2], "big")
+                        try:
+                            out.update(
+                                parse_avc_sps(sd[p + 2 : p + 2 + ln])
+                            )
+                        except (ValueError, IndexError):
+                            out["sps_error"] = 1
+        stts, stsz = body(b"stts"), body(b"stsz")
+        stss, stsc, stco = body(b"stss"), body(b"stsc"), body(b"stco")
+        if not (stts and stsz and stsc and stco):
+            return out or None
+        # per-sample durations
+        deltas: list[int] = []
+        n_ent = int.from_bytes(stts[4:8], "big")
+        for i in range(n_ent):
+            cnt = int.from_bytes(stts[8 + 8 * i : 12 + 8 * i], "big")
+            dlt = int.from_bytes(stts[12 + 8 * i : 16 + 8 * i], "big")
+            deltas.extend([dlt] * cnt)
+        # per-sample sizes
+        fixed = int.from_bytes(stsz[4:8], "big")
+        n_samples = int.from_bytes(stsz[8:12], "big")
+        if fixed:
+            sizes = [fixed] * n_samples
+        else:
+            sizes = [
+                int.from_bytes(stsz[12 + 4 * i : 16 + 4 * i], "big")
+                for i in range(n_samples)
+            ]
+        # chunk layout -> absolute offsets
+        chunks = [
+            int.from_bytes(stco[8 + 4 * i : 12 + 4 * i], "big")
+            for i in range(int.from_bytes(stco[4:8], "big"))
+        ]
+        sc = [
+            (
+                int.from_bytes(stsc[8 + 12 * i : 12 + 12 * i], "big"),
+                int.from_bytes(stsc[12 + 12 * i : 16 + 12 * i], "big"),
+            )
+            for i in range(int.from_bytes(stsc[4:8], "big"))
+        ]
+        per_chunk: list[int] = []
+        for ci in range(len(chunks)):
+            n = 0
+            for first, spc in sc:
+                if first <= ci + 1:
+                    n = spc
+            per_chunk.append(n)
+        offsets: list[int] = []
+        si = 0
+        for ci, coff in enumerate(chunks):
+            off = coff
+            for _ in range(per_chunk[ci]):
+                if si >= n_samples:
+                    break
+                offsets.append(off)
+                off += sizes[si]
+                si += 1
+        keyset = None
+        if stss:
+            keyset = {
+                int.from_bytes(stss[8 + 4 * i : 12 + 4 * i], "big")
+                for i in range(int.from_bytes(stss[4:8], "big"))
+            }
+        pts = 0
+        samples = []
+        ts = out.get("timescale") or 1
+        for i in range(n_samples):
+            samples.append(
+                {
+                    "sample_idx": i + 1,
+                    "byte_offset": offsets[i] if i < len(offsets) else None,
+                    "sample_bytes": sizes[i],
+                    "pts_ms": pts * 1000 // ts,
+                    "is_keyframe": int(
+                        keyset is None or (i + 1) in keyset
+                    ),
+                }
+            )
+            pts += deltas[i] if i < len(deltas) else 0
+        out["n_samples"] = n_samples
+        out["samples"] = samples
+        return out
+    return None
+
+
+MP4_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("sample_bytes", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+    ]
+)
+
+
+def mp4_frame_index(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    keyframes_only: bool = True,
+) -> DataFrame:
+    """KEYFRAME byte-range index of mp4 blobs: one row per sync sample
+    with its absolute byte offset, size and presentation time, plus
+    the track's SPS resolution/profile — everything a sampling
+    pipeline needs to slice frame-accurate clips out of a 100 TB crawl
+    WITHOUT decoding (hand the ranges to a GPU decode farm; the
+    intake cluster never touches coded data).
+
+    One Arrow ``mapInPandas`` pass, header-only byte parses;
+    non-mp4 / corrupt payloads yield zero rows, never task failures.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    meta = parse_mp4_index(
+                        bytes(blob) if blob is not None else b""
+                    )
+                except Exception:
+                    meta = None
+                if not meta or not meta.get("samples"):
+                    continue
+                for s in meta["samples"]:
+                    if keyframes_only and not s["is_keyframe"]:
+                        continue
+                    rows.append(
+                        (
+                            int(d),
+                            meta.get("codec"),
+                            meta.get("width"),
+                            meta.get("height"),
+                            meta.get("profile_idc"),
+                            meta.get("level_idc"),
+                            meta.get("n_samples"),
+                            s["sample_idx"],
+                            s["byte_offset"],
+                            s["sample_bytes"],
+                            s["pts_ms"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_INDEX_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, MP4_INDEX_SCHEMA
+    )

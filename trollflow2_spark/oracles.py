@@ -814,6 +814,42 @@ SELECT doc_id,
 FROM base
 """
 
+# mp4 keyframe index replay: sample-table arithmetic closed-form —
+# keyframe cadence k, prefix-sum byte offsets over the per-sample
+# sizes, stts presentation times, SPS width/height/profile arithmetic
+ORACLES["mp4_frame_index"] = """
+WITH p AS (
+  SELECT doc_id,
+    10 + doc_id % 20 AS n,
+    3 + doc_id % 3 AS k,
+    600 * (1 + doc_id % 4) AS ts,
+    100 + doc_id % 50 AS delta
+  FROM documents WHERE doc_id % 11 <> 0
+), kf0 AS (
+  SELECT doc_id, n, k, ts, delta,
+    unnest(range((n - 1) // k + 1)) AS m
+  FROM p
+), kf AS (
+  SELECT doc_id, n, ts, delta, 1 + m * k AS s FROM kf0
+)
+SELECT doc_id,
+  'avc1' AS codec,
+  CAST((4 + doc_id % 5) * 16
+    - CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS INTEGER) AS width,
+  CAST((3 + doc_id % 4) * 16
+    - CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 100 ELSE 66 END AS INTEGER)
+    AS profile_idc,
+  CAST(30 + doc_id % 21 AS INTEGER) AS level_idc,
+  CAST(n AS INTEGER) AS n_samples,
+  CAST(s AS INTEGER) AS sample_idx,
+  CAST(32 + coalesce(list_sum(list_transform(range(1, CAST(s AS BIGINT)),
+    j -> 200 + ((doc_id + j) % 37))), 0) AS BIGINT) AS byte_offset,
+  CAST(200 + ((doc_id + s) % 37) AS INTEGER) AS sample_bytes,
+  CAST((s - 1) * delta * 1000 // ts AS BIGINT) AS pts_ms
+FROM kf
+"""
+
 # CID/Type0 PDF fixture replay: one page, text decoded through the
 # embedded ToUnicode CMap ('Doc ' || doc_id); every 5th doc ships no
 # CMap, so its text is suppressed (empty page join) while has_cid

@@ -4760,6 +4760,181 @@ def _container_blob(d: int) -> bytes:
     return page + pkt
 
 
+def _sps_nal(
+    profile: int, level: int, w_mbs: int, h_units: int, crop: bool
+) -> bytes:
+    """Minimal valid H.264 SPS NAL (4:2:0, frame_mbs_only,
+    pic_order_cnt_type 2) written bit-exact with Exp-Golomb fields and
+    emulation-prevention insertion."""
+    bits: list[int] = []
+
+    def u(v: int, nb: int) -> None:
+        for i in range(nb - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def ue(v: int) -> None:
+        k = v + 1
+        nb = k.bit_length()
+        bits.extend([0] * (nb - 1))
+        u(k, nb)
+
+    u(profile, 8)
+    u(0, 8)  # constraint flags
+    u(level, 8)
+    ue(0)  # seq_parameter_set_id
+    if profile == 100:
+        ue(1)  # chroma_format_idc 4:2:0
+        ue(0)  # bit_depth_luma_minus8
+        ue(0)  # bit_depth_chroma_minus8
+        u(0, 1)  # qpprime
+        u(0, 1)  # no scaling matrix
+    ue(4)  # log2_max_frame_num_minus4
+    ue(2)  # pic_order_cnt_type
+    ue(1)  # max_num_ref_frames
+    u(0, 1)  # gaps_in_frame_num
+    ue(w_mbs - 1)
+    ue(h_units - 1)
+    u(1, 1)  # frame_mbs_only
+    u(1, 1)  # direct_8x8
+    if crop:
+        u(1, 1)
+        ue(0)
+        ue(1)  # crop_right = 1 chroma unit -> width - 2
+        ue(0)
+        ue(1)  # crop_bottom = 1 -> height - 2
+    else:
+        u(0, 1)
+    u(0, 1)  # vui_parameters_present
+    bits.append(1)  # rbsp stop bit
+    while len(bits) % 8:
+        bits.append(0)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for bit in bits[i : i + 8]:
+            v = (v << 1) | bit
+        raw.append(v)
+    out = bytearray()
+    zeros = 0
+    for byte in raw:  # emulation prevention
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return b"\x67" + bytes(out)
+
+
+def _mp4_index_blob(d: int) -> bytes:
+    """Closed-form ISO-BMFF fixture with REAL sample tables: one avc1
+    video track, stts/stsz/stss/stsc/stco all derived from doc_id, an
+    embedded bit-exact H.264 SPS (profile 100/66 alternating, cropping
+    every 5th doc), moov AFTER mdat so the first chunk offset is the
+    constant 32. Every 11th doc is not an mp4 (zero index rows)."""
+    if d % 11 == 0:
+        return b"\x00\x00\x00\x08oops" + bytes([d % 256])
+
+    def box(ty: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + ty + payload
+
+    ts = 600 * (1 + d % 4)
+    delta = 100 + d % 50
+    n = 10 + d % 20
+    k = 3 + d % 3
+    sizes = [200 + ((d + i) % 37) for i in range(1, n + 1)]
+    sps = _sps_nal(
+        100 if d % 2 == 0 else 66,
+        30 + d % 21,
+        4 + d % 5,
+        3 + d % 4,
+        d % 5 == 0,
+    )
+    avcc = (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + len(sps).to_bytes(2, "big")
+        + sps
+        + b"\x00"
+    )
+    avc1 = box(b"avc1", bytes(78) + box(b"avcC", avcc))
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + avc1)
+    stts = box(
+        b"stts",
+        bytes(4) + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+        + delta.to_bytes(4, "big"),
+    )
+    stsz = box(
+        b"stsz",
+        bytes(4) + (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in sizes),
+    )
+    kfs = list(range(1, n + 1, k))
+    stss = box(
+        b"stss",
+        bytes(4) + len(kfs).to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in kfs),
+    )
+    stsc = box(
+        b"stsc",
+        bytes(4) + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stco = box(
+        b"stco", bytes(4) + (1).to_bytes(4, "big") + (32).to_bytes(4, "big")
+    )
+    stbl = box(b"stbl", stsd + stts + stsz + stss + stsc + stco)
+    minf = box(b"minf", box(b"vmhd", bytes(12)) + stbl)
+    mdhd = box(
+        b"mdhd",
+        bytes(12) + ts.to_bytes(4, "big")
+        + (n * delta).to_bytes(4, "big") + bytes(4),
+    )
+    mdia = box(b"mdia", mdhd + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+    ftyp = (24).to_bytes(4, "big") + b"ftypisom" + bytes(4) + b"isomiso2"
+    mdat = box(b"mdat", bytes(sum(sizes)))
+    return ftyp + mdat + moov
+
+
+def q_mp4_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only video intake: the mp4 sample tables
+    (stts/stsz/stss/stsc/stco) resolved into one row per KEYFRAME with
+    absolute byte offset, size, presentation time — plus the H.264
+    resolution/profile parsed bit-exact out of the avcC SPS
+    (Exp-Golomb, high-profile chroma prefix, crop units). This is what
+    a 100 TB crawl needs from video it will never transcode at intake:
+    hand frame-accurate byte ranges to a decode farm; the intake
+    cluster reads headers only. Non-mp4 payloads yield zero rows. The
+    oracle restates the whole table closed-form — keyframe cadence,
+    prefix-sum offsets, SPS arithmetic."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import mp4_frame_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _mp4_index_blob(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return mp4_frame_index(media)
+
+
 def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics proven end-to-end: a windowed event-time
     count driven through the 3-batch replay with a 6-hour watermark.
@@ -6942,6 +7117,7 @@ QUERIES = {
     "streaming_late_data": q_streaming_late_data,
     "streaming_join_replay": q_streaming_join_replay,
     "media_container_metadata": q_media_container_metadata,
+    "mp4_frame_index": q_mp4_frame_index,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
