@@ -232,6 +232,8 @@ OPERATORS = [
     "fuzzy_scope_audit",  # length-cap quarantine accounting
     "corpus_recipe_replay",  # incremental recipe via foreachBatch
     "mp4_frame_index",  # header-only keyframe byte-range index + SPS parse
+    "parquet_layout_audit",  # footer-only per-column storage audit
+    "compaction_plan",  # small-files sorted-fill bin planner
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

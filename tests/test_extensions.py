@@ -2267,3 +2267,47 @@ def test_group_split_domain_atomic_on_url_chain(spark, sf_dir):
     doms = {r["doc_id"] % 50: r["domain"] for r in rows}
     for r in rows:
         assert doms[r["doc_id"] % 50] == r["domain"]
+
+
+def test_compaction_plan_bins_fill_to_target(spark):
+    """Sorted-fill semantics: bins fill to the target before the next
+    opens; an oversized file gets its own bin; per-stratum plans are
+    independent."""
+    from trollflow2_spark.extensions.profile import compaction_plan
+
+    mb = 1048576
+    rows = [
+        (1, "a", 700 * mb),  # oversized -> own bin
+        (2, "a", 300 * mb),
+        (3, "a", 200 * mb),
+        (4, "a", 100 * mb),
+        (5, "b", 10 * mb),
+        (6, "b", 10 * mb),
+    ]
+    out = compaction_plan(
+        spark.createDataFrame(rows, "file_id long, part string, bytes long"),
+        target_bytes=512 * mb,
+        strata_col="part",
+    ).collect()
+    bins = {r["file_id"]: r["bin"] for r in out}
+    assert bins[1] == 0  # 700MB opens bin 0 alone
+    assert bins[2] == 1 and bins[3] == 1  # 300+200 fill bin 1
+    assert bins[4] == 2  # next 100 spills to bin 2 (bin 1 at 500+100>512)
+    assert bins[5] == 0 and bins[6] == 0  # stratum b independent
+
+
+def test_parquet_layout_audit_reads_footers_distributed(spark, sf_dir):
+    """The audit's numbers come from footers only (values == rows for
+    non-null scalar columns) and every corpus table is covered."""
+    import os
+
+    from trollflow2_spark.extensions.profile import parquet_layout_audit
+    from trollflow2_spark.tables import TABLE_NAMES
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in TABLE_NAMES]
+    rows = parquet_layout_audit(spark, paths).collect()
+    files = {r["file_name"] for r in rows}
+    assert files == {f"{t}.parquet" for t in TABLE_NAMES}
+    li = [r for r in rows if r["file_name"] == "lineitem.parquet"]
+    assert all(r["n_values"] == r["n_rows"] for r in li)
+    assert all(r["compressed_bytes"] > 0 and r["ratio"] >= 0.9 for r in li)

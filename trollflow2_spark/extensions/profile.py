@@ -109,3 +109,127 @@ def scd2_merge(
         F.lit(None).cast(j.schema[valid_to].dataType).alias(valid_to),
     )
     return closed.select(kept.columns).unionByName(kept).unionByName(opened)
+
+
+def parquet_layout_audit(spark, paths: list[str]) -> DataFrame:
+    """Physical-layout audit from parquet FOOTERS only: per (file,
+    column), values / compressed / uncompressed bytes, codec, and the
+    file's row-group shape. This is the scan-planning observability a
+    100 TB lake runs before anything else — which columns dominate
+    storage (projection pruning wins), whether row groups are sized
+    for ``maxPartitionBytes``, which files are compaction candidates —
+    at footer cost, never a data-page read.
+
+    Scale shape: the PATH LIST parallelizes across executors (one
+    footer read per file, thousands of files in parallel via Arrow
+    ``mapInPandas``); output is (files x columns)-sized, metadata
+    class. The oracle cross-checks against DuckDB's independent
+    ``parquet_metadata()`` reader — two parsers over the same footer
+    bytes."""
+    import os
+
+    from pyspark.sql import types as T
+
+    files = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "path string"
+    ).repartition(min(len(paths), 64))
+    schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType()),
+            T.StructField("n_row_groups", T.IntegerType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("n_values", T.LongType()),
+            T.StructField("compressed_bytes", T.LongType()),
+            T.StructField("uncompressed_bytes", T.LongType()),
+            T.StructField("compression", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                agg: dict = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        a = agg.setdefault(
+                            c.path_in_schema, [0, 0, 0, set()]
+                        )
+                        a[0] += c.num_values
+                        a[1] += c.total_compressed_size
+                        a[2] += c.total_uncompressed_size
+                        a[3].add(c.compression)
+                for k, (nv, cb, ub, codecs) in agg.items():
+                    rows.append(
+                        (
+                            os.path.basename(p),
+                            md.num_row_groups,
+                            md.num_rows,
+                            k,
+                            nv,
+                            cb,
+                            ub,
+                            ",".join(sorted(codecs)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    out = files.mapInPandas(kernel, schema)
+    # ratio derived JVM-side so both engines round identically
+    # (HALF_UP), not with Python's banker's rounding in the kernel
+    return out.withColumn(
+        "ratio",
+        F.round(
+            F.col("uncompressed_bytes") / F.col("compressed_bytes"), 4
+        ),
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    size_col: str = "bytes",
+    id_col: str = "file_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Small-files compaction planner: assign files to merge bins of
+    ~``target_bytes`` by cumulative fill in (size desc, id) order —
+    deterministic, engine-portable (no RNG, no driver loop), and the
+    direct consumer of :func:`parquet_layout_audit`'s byte numbers.
+    The small-files problem IS a 100 TB problem: a day's streaming
+    ingest leaves thousands of KB-scale files whose per-file open cost
+    dominates the next scan.
+
+    ``bin = floor((cumsum - size) / target)``: each bin fills to the
+    target before the next opens; a file larger than the target gets a
+    bin of its own (first-fit on a sorted run). With ``strata_col``
+    the plan is computed per stratum (per table partition — the
+    realistic compaction unit, and what keeps the window from going
+    global: one stratum's file list is manifest-sized)."""
+    from pyspark.sql import Window
+
+    keys = [strata_col] if strata_col else []
+    w = (
+        Window.partitionBy(*keys).orderBy(
+            F.col(size_col).desc(), F.col(id_col)
+        )
+        if keys
+        else Window.orderBy(F.col(size_col).desc(), F.col(id_col))
+    )
+    cum = F.sum(size_col).over(w)
+    out = files.withColumn(
+        "bin",
+        F.floor((cum - F.col(size_col)) / F.lit(int(target_bytes))).cast(
+            "bigint"
+        ),
+    ).withColumn("cum_bytes", cum)
+    return out

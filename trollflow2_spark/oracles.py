@@ -1685,7 +1685,63 @@ FROM (
 
 # Expensive (EM-trains the tokenizer on the oracle corpus): resolved
 # lazily via :func:`all_oracles`, never at import time.
-LAZY_ORACLES: dict = {"unigram_tokenize": _unigram_oracle_sql}
+def _parquet_layout_oracle() -> str | None:
+    """Cross-reader footer audit: DuckDB's own parquet_metadata() /
+    parquet_file_metadata() over the same files the Spark side reads
+    with pyarrow — two independent footer parsers must agree on every
+    byte count."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    from trollflow2_spark.tables import TABLE_NAMES
+
+    parts = []
+    for t in sorted(TABLE_NAMES):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            return None
+        parts.append(f"""
+SELECT '{t}.parquet' AS file_name,
+  CAST(f.num_row_groups AS INTEGER) AS n_row_groups,
+  CAST(f.num_rows AS BIGINT) AS n_rows,
+  replace(m.path_in_schema, ', ', '.') AS column_name,
+  CAST(sum(m.num_values) AS BIGINT) AS n_values,
+  CAST(sum(m.total_compressed_size) AS BIGINT) AS compressed_bytes,
+  CAST(sum(m.total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+  min(m.compression) AS compression,
+  round(CAST(sum(m.total_uncompressed_size) AS DOUBLE)
+        / sum(m.total_compressed_size), 4) AS ratio
+FROM parquet_metadata('{p}') m, parquet_file_metadata('{p}') f
+GROUP BY replace(m.path_in_schema, ', ', '.'),
+  f.num_row_groups, f.num_rows""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# compaction planner: the same sorted-fill window arithmetic in SQL
+ORACLES["compaction_plan"] = """
+WITH files AS (
+  SELECT doc_id AS file_id, doc_id % 8 AS part,
+    (1 + (doc_id * 37) % 256) * 1048576 AS bytes
+  FROM documents
+), c AS (
+  SELECT file_id, part, bytes,
+    CAST(sum(bytes) OVER (
+      PARTITION BY part ORDER BY bytes DESC, file_id
+    ) AS BIGINT) AS cum_bytes
+  FROM files
+)
+SELECT file_id, part, bytes,
+  CAST(floor((cum_bytes - bytes) / 536870912.0) AS BIGINT) AS bin,
+  cum_bytes
+FROM c
+"""
+
+LAZY_ORACLES: dict = {
+    "unigram_tokenize": _unigram_oracle_sql,
+    "parquet_layout_audit": _parquet_layout_oracle,
+}
 
 
 def all_oracles(sf_dir: str | None = None) -> dict[str, str]:

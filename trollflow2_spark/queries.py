@@ -3969,6 +3969,46 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout observability from parquet FOOTERS only: per
+    (file, column) compressed/uncompressed bytes, codec and row-group
+    shape across every corpus table — which columns dominate storage,
+    whether row groups suit maxPartitionBytes, which files want
+    compaction. Footer reads parallelize across executors; the oracle
+    is DuckDB's INDEPENDENT parquet_metadata() reader over the same
+    footers — two parsers, byte-identical numbers."""
+    import os
+
+    from trollflow2_spark.extensions.profile import parquet_layout_audit
+    from trollflow2_spark.tables import TABLE_NAMES
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in TABLE_NAMES]
+    return parquet_layout_audit(spark, paths)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner over a closed-form manifest
+    fixture (one file row per doc, per-partition strata, sizes mixing
+    KB-noise and multi-hundred-MB files): deterministic sorted-fill
+    bin assignment toward a 512 MB target, computed per partition so
+    the window never goes global. The consumer of the layout audit's
+    byte numbers; the oracle replays the same window arithmetic."""
+    from trollflow2_spark.extensions.profile import compaction_plan
+
+    files = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % 8).alias("part"),
+        ((1 + (F.col("doc_id") * 37) % 256) * 1048576).alias("bytes"),
+    )
+    return compaction_plan(
+        files,
+        target_bytes=512 * 1024 * 1024,
+        size_col="bytes",
+        id_col="file_id",
+        strata_col="part",
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic column profiler: null count / exact distinct / min /
     max per column in one aggregation, unpivoted via stack(). The
@@ -7105,6 +7145,8 @@ QUERIES = {
     "incremental_corpus_stats": q_incremental_corpus_stats,
     "zorder_layout": q_zorder_layout,
     "table_profile": q_table_profile,
+    "parquet_layout_audit": q_parquet_layout_audit,
+    "compaction_plan": q_compaction_plan,
     "scd2_customers": q_scd2_customers,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
