@@ -234,6 +234,9 @@ OPERATORS = [
     "mp4_frame_index",  # header-only keyframe byte-range index + SPS parse
     "parquet_layout_audit",  # footer-only per-column storage audit
     "compaction_plan",  # small-files sorted-fill bin planner
+    "subtitle_text",  # WebVTT/SRT -> spoken text + cue timing
+    "audio_fingerprint",  # energy-envelope perceptual hash (real WAV decode)
+    "audio_neardup",  # audio near-dup via the shared hamming-band tier
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -106,3 +106,36 @@ def test_mp4_frame_index_and_sps():
     got = parse_avc_sps(sps)
     assert got["width"] == 120 * 16 - 2 and got["height"] == 68 * 16 - 2
     assert got["profile_idc"] == 100 and got["level_idc"] == 41
+
+
+def test_audio_fingerprint_robustness_and_discrimination():
+    """The energy-envelope fingerprint tolerates the planted +1 dither
+    (hamming <= 6 within a pair) and separates distinct groups
+    (hamming well above the gate) — driver-side on the kernel math."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from trollflow2_spark.queries import _audio_blob
+
+    def fp_of(blob: bytes) -> int:
+        with wavemod.open(io.BytesIO(blob), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        a = np.abs(x[:512])
+        j = np.arange(512)
+        e = np.zeros((8, 9), dtype=np.int64)
+        np.add.at(e, (j // 64, j % 9), a)
+        val = 0
+        for t in range(8):
+            for b in range(8):
+                if e[t][b] > e[t][b + 1]:
+                    val |= 1 << (t * 8 + b)
+        return val
+
+    for g in (1, 7, 20):
+        even, odd = fp_of(_audio_blob(2 * g)), fp_of(_audio_blob(2 * g + 1))
+        assert bin(even ^ odd).count("1") <= 6  # dithered pair close
+    a, b = fp_of(_audio_blob(2)), fp_of(_audio_blob(40))
+    assert bin(a ^ b).count("1") > 6  # distinct groups far

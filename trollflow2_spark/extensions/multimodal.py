@@ -1458,3 +1458,90 @@ def mp4_frame_index(
     return df.select(id_col, media_col).mapInPandas(
         kernel, MP4_INDEX_SCHEMA
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+_AFP_FRAMES = 8  # time frames
+_AFP_FRAME_LEN = 64  # samples per frame
+_AFP_BANDS = 9  # decimation-phase energy bands (8 difference bits/frame)
+
+
+def audio_fingerprint(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual audio fingerprint per WAV clip — the audio half of
+    the near-dup story, built like Haitsma & Kalker's robust audio
+    hash ("A Highly Robust Audio Fingerprinting System", 2002): an
+    energy envelope over a (time-frame x band) grid, one SIGN-OF-
+    DIFFERENCE bit per adjacent band pair, 64 bits packed into a
+    signed BIGINT. Small perturbations (re-encodes, dither, gain
+    noise) move band energies slightly and flip few bits, so
+    near-duplicate clips land within a small hamming distance and
+    pair through the SAME hamming-band machinery as text simhash and
+    image dHash (``simhash_pairs`` over the renamed column).
+
+    Band function: this build uses decimation-phase energies
+    (sum of |sample| over each residue class mod 9 within 64-sample
+    frames) instead of FFT subbands — INTEGER-exact, so the whole
+    fingerprint replays closed-form in the SQL oracle with zero
+    floating-point tie risk; swapping in rfft magnitude bands changes
+    only the kernel's band line, not the bit coding, the pairing tier,
+    or the plan. Decode is the stdlib ``wave`` reader (PCM16); one
+    Arrow ``mapInPandas`` pass, map-side only; non-WAV payloads yield
+    no row."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import wave as wavemod
+
+        import numpy as np
+        import pandas as pd
+
+        need = _AFP_FRAMES * _AFP_FRAME_LEN
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    with wavemod.open(
+                        io.BytesIO(bytes(blob)), "rb"
+                    ) as w:
+                        if w.getsampwidth() != 2:
+                            continue
+                        rate = w.getframerate()
+                        raw = w.readframes(w.getnframes())
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    if w.getnchannels() > 1:
+                        x = x[:: w.getnchannels()]
+                except Exception:
+                    continue
+                n = len(x)
+                if n < need:
+                    continue
+                a = np.abs(x[:need])
+                j = np.arange(need)
+                e = np.zeros((_AFP_FRAMES, _AFP_BANDS), dtype=np.int64)
+                np.add.at(e, (j // _AFP_FRAME_LEN, j % _AFP_BANDS), a)
+                val = 0
+                for t in range(_AFP_FRAMES):
+                    for b in range(_AFP_BANDS - 1):
+                        if e[t][b] > e[t][b + 1]:
+                            val |= 1 << (t * 8 + b)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append((int(d), val, n, rate))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, AUDIO_FP_SCHEMA
+    )

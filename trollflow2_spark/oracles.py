@@ -814,6 +814,68 @@ SELECT doc_id,
 FROM base
 """
 
+# audio fingerprint replay: the integer energy envelope (8 frames x 9
+# decimation-phase bands over the closed-form PCM samples) and its
+# sign-of-difference bits replayed exactly — zero float anywhere
+_AUDIO_FP_CTES = """s AS (
+  SELECT doc_id, unnest(range(512)) AS j
+  FROM documents WHERE doc_id % 13 <> 0
+), sa AS (
+  SELECT doc_id, j,
+    abs((((doc_id // 2) * 131 + 7) * j * j + j * 13
+         + (doc_id // 2) * 97) % 2048 - 1024
+        + CASE WHEN doc_id % 2 = 1 AND j % 50 = 0 THEN 1 ELSE 0 END)
+      AS a
+  FROM s
+), e AS (
+  SELECT doc_id, j // 64 AS t, j % 9 AS b, CAST(sum(a) AS BIGINT) AS e
+  FROM sa GROUP BY doc_id, j // 64, j % 9
+), bits AS (
+  SELECT e1.doc_id, e1.t * 8 + e1.b AS k,
+    CASE WHEN e1.e > e2.e THEN 1 ELSE 0 END AS bit
+  FROM e e1 JOIN e e2
+    ON e1.doc_id = e2.doc_id AND e1.t = e2.t AND e2.b = e1.b + 1
+  WHERE e1.b < 8
+), fp AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN k = 63
+      THEN bit * CAST(-9223372036854775808 AS BIGINT)
+      ELSE bit * (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS afp
+  FROM bits GROUP BY doc_id
+)"""
+
+ORACLES["audio_fingerprint"] = f"""
+WITH {_AUDIO_FP_CTES}
+SELECT doc_id, afp,
+  CAST(512 AS INTEGER) AS n_samples,
+  CAST(8000 AS INTEGER) AS sample_rate
+FROM fp
+"""
+
+ORACLES["audio_neardup"] = f"""
+WITH {_AUDIO_FP_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b
+  ON a.doc_id < b.doc_id
+  AND bit_count(xor(a.afp, b.afp)) <= {C.PHASH_MAX_HAMMING}
+"""
+
+# subtitle fixture replay: spoken text and cue-timing arithmetic
+ORACLES["subtitle_text"] = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n,
+    1000 + (doc_id % 5) * 200 AS dur
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(list_transform(range(n),
+    i -> 'line ' || doc_id || ' ' || i || ' em' || i), ' ') AS text,
+  CAST(n AS INTEGER) AS n_cues,
+  CAST(n * dur AS BIGINT) AS spoken_ms
+FROM p
+"""
+
 # mp4 keyframe index replay: sample-table arithmetic closed-form —
 # keyframe cadence k, prefix-sum byte offsets over the per-sample
 # sizes, stts presentation times, SPS width/height/profile arithmetic

@@ -5345,6 +5345,158 @@ def _pdf_cid_blob(d: int) -> bytes:
     return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF"
 
 
+def _audio_blob(d: int) -> bytes:
+    """Closed-form PCM16 mono WAV fixture: 512 samples
+    ``x_j = (((g*131+7)*j*j + j*13 + g*97) % 2048) - 1024`` with group
+    ``g = d//2`` (the group multiplies the quadratic term, so distinct
+    groups decorrelate across the whole envelope — exactly the planted
+    odd/even pairs match, nothing else); odd docs add a +1
+    perturbation on every 50th sample — the planted near-duplicate
+    (few fingerprint bits flip). Every 13th doc is not audio."""
+    import io
+    import wave as wavemod
+
+    if d % 13 == 0:
+        return b"notaudio" + bytes([d % 256])
+    g = d // 2
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = bytearray()
+        for j in range(512):
+            x = (((g * 131 + 7) * j * j + j * 13 + g * 97) % 2048) - 1024
+            if d % 2 == 1 and j % 50 == 0:
+                x += 1
+            frames += int(x).to_bytes(2, "little", signed=True)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import audio_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [_audio_blob(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return audio_fingerprint(media)
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprints over REAL WAV decode (stdlib PCM16
+    reader): Haitsma-Kalker-style sign-of-band-energy-difference bits
+    on an 8-frame x 9-band integer energy envelope, packed to a signed
+    BIGINT. The envelope is integer arithmetic end to end, so the
+    oracle replays every band sum and difference bit exactly in SQL.
+    Non-audio payloads yield no row."""
+    return _audio_fp_table(spark, sf_dir)
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs — the audio member of the near-dup family:
+    fingerprints from q_audio_fingerprint through the SAME
+    hamming-band machinery as text simhash and image dHash (64 bits,
+    8 bands, pigeonhole-complete at max_hamming < bands). The planted
+    odd/even perturbation pairs surface; the oracle is the quadratic
+    ground-truth bit_count(xor) join over the closed-form
+    fingerprints."""
+    from trollflow2_spark.extensions.dedup import simhash_pairs
+
+    fp = _audio_fp_table(spark, sf_dir).select(
+        "doc_id", F.col("afp").alias("simhash")
+    )
+    return simhash_pairs(
+        fp, id_col="doc_id", bits=64, bands=8,
+        max_hamming=C.PHASH_MAX_HAMMING,
+    )
+
+
+def q_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle intake over a closed-form WebVTT/SRT fixture (format
+    alternates by doc): headers, NOTE lines, cue ids / SRT indexes,
+    timestamp lines (both millisecond separators) and inline markup
+    stripped to spoken text, with (n_cues, spoken_ms) parsed from the
+    timing lines via a higher-order fold — all pure Column regexp
+    algebra in the scan stage, the same family as HTML->markdown. The
+    oracle restates text and timing arithmetic verbatim."""
+    from trollflow2_spark.sources.subtitles import (
+        subtitle_cue_stats,
+        subtitle_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    n = (F.lit(2) + d % 4).cast("int")
+    dur = F.lit(1000) + (d % 5) * 200
+
+    def ts(ms, sep):
+        return F.format_string(
+            "%02d:%02d:%02d" + sep + "%03d",
+            (ms / 3600000).cast("int"),
+            ((ms / 60000) % 60).cast("int"),
+            ((ms / 1000) % 60).cast("int"),
+            (ms % 1000).cast("int"),
+        )
+
+    def block(i):
+        start = i * 3000 + (d % 7) * 100
+        end = start + dur
+        text_line = F.concat(
+            F.lit("line "), d.cast("string"), F.lit(" "),
+            i.cast("string"), F.lit(" <i>em"), i.cast("string"),
+            F.lit("</i>"),
+        )
+        vtt = F.concat(
+            ts(start, "."), F.lit(" --> "), ts(end, "."),
+            F.lit("\n"), text_line,
+        )
+        srt = F.concat(
+            (i + 1).cast("string"), F.lit("\n"),
+            ts(start, ","), F.lit(" --> "), ts(end, ","),
+            F.lit("\n"), text_line,
+        )
+        return F.when(d % 2 == 0, vtt).otherwise(srt)
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), n - 1), block), "\n\n"
+    )
+    doc = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("WEBVTT\n\nNOTE generated "), d.cast("string"),
+            F.lit("\n\n"), body,
+        ),
+    ).otherwise(body)
+    sub = docs.select("doc_id", doc.alias("vtt"))
+    n_cues, spoken = subtitle_cue_stats(F.col("vtt"))
+    return sub.select(
+        "doc_id",
+        subtitle_text(F.col("vtt")).alias("text"),
+        n_cues.alias("n_cues"),
+        spoken.alias("spoken_ms"),
+    )
+
+
 def q_pdf_text_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CID/Type0 PDF text extraction — the dominant post-2010 class:
     2-byte CIDs decoded through the PDF's own embedded ToUnicode CMap
@@ -7163,6 +7315,9 @@ QUERIES = {
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
+    "subtitle_text": q_subtitle_text,
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_neardup": q_audio_neardup,
     "html_markdown": q_html_markdown,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
