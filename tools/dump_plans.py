@@ -108,6 +108,33 @@ FLAGSHIP = [
     ("html_markdown",
      "HTML -> markdown: one pure regexp-chain projection inside the "
      "scan stage, zero exchanges, zero Python."),
+    # round 9 flagships
+    ("bm25_multi_query",
+     "Multi-query BM25: the (doc, term, tf) inverted index "
+     "localCheckpoints ONCE and feeds query dfs, corpus stats and the "
+     "scoring join — zero parquet scans in the serving plan; adding "
+     "queries adds broadcast rows, never another corpus pass."),
+    ("hybrid_multi_retrieval",
+     "Per-query RRF fusion: both rankers' top-k run as the exact "
+     "salted two-stage window (k per (query, sub-bucket), then the "
+     "bounded final rank) — no corpus-wide single-partition window; "
+     "fuse is a full-outer join of two (nq x k)-row sides."),
+    ("fuzzy_long_pairs",
+     "Ed-join over 100+-char strings: rarest q-gram prefix joins the "
+     "partner's full gram set under length/position bands; exact "
+     "levenshtein verify before id expansion; no quadratic join."),
+    ("mp4_frame_index",
+     "mp4 keyframe index: closed-form blob build + header-only "
+     "sample-table/SPS parse, two chained Arrow mapInPandas stages, "
+     "zero exchanges."),
+    ("audio_neardup",
+     "Audio near-dup: WAV decode + integer envelope fingerprint "
+     "map-side; pairs through the guarded hamming-band equi-join, "
+     "same machinery as simhash/dHash."),
+    ("compaction_plan",
+     "Compaction planner: one per-stratum window over the "
+     "manifest-sized file table — a single exchange on the stratum "
+     "key, everything else map-side."),
 ]
 
 
