@@ -237,6 +237,7 @@ OPERATORS = [
     "subtitle_text",  # WebVTT/SRT -> spoken text + cue timing
     "audio_fingerprint",  # energy-envelope perceptual hash (real WAV decode)
     "audio_neardup",  # audio near-dup via the shared hamming-band tier
+    "feed_urls",  # sitemap/RSS/Atom crawl-frontier extraction
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -280,3 +280,35 @@ def test_html_to_markdown_structures(spark):
     assert md == (
         "## Sub\n\na\n\nb\n\n- one\n- [two](u)\n\n**s***i* <tag> 'q'"
     )
+
+
+def test_feed_urls_four_dialects(spark):
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import feed_urls
+
+    rows = [
+        (1, '<urlset xmlns="x"><url><loc> https://a.com/1 </loc>'
+            '<lastmod>2024-01-01</lastmod></url></urlset>'),
+        (2, '<sitemapindex xmlns="x"><sitemap><loc>https://a.com/m.xml'
+            '</loc></sitemap></sitemapindex>'),
+        (3, '<rss version="2.0"><channel><item><link>https://b.com/p'
+            '</link><pubDate>Mon, 01 Jan 2024</pubDate></item>'
+            '</channel></rss>'),
+        (4, '<feed xmlns="a"><entry><link rel="alternate" '
+            'href="https://c.com/e"/><updated>2024-01-02</updated>'
+            '</entry></feed>'),
+        (5, 'not xml at all'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, xml string")
+    got = {
+        r["doc_id"]: (r["e"]["kind"], r["e"]["url"], r["e"]["stamp"])
+        for r in df.select(
+            "doc_id", F.explode(feed_urls(F.col("xml"))).alias("e")
+        ).collect()
+    }
+    assert got[1] == ("sitemap", "https://a.com/1", "2024-01-01")
+    assert got[2] == ("sitemapindex", "https://a.com/m.xml", "")
+    assert got[3][0] == "rss" and got[3][1] == "https://b.com/p"
+    assert got[4] == ("atom", "https://c.com/e", "2024-01-02")
+    assert 5 not in got  # non-feed -> empty array, no row

@@ -814,6 +814,25 @@ SELECT doc_id,
 FROM base
 """
 
+# feed/sitemap frontier replay: every (kind, url, stamp) entry of the
+# four-dialect fixture stated verbatim (sitemap-index locs carry the
+# /map.xml suffix — they are more sitemaps, not pages)
+ORACLES["feed_urls"] = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n, doc_id % 4 AS m FROM documents
+), e AS (
+  SELECT doc_id, m, unnest(range(n)) AS i FROM p
+)
+SELECT doc_id, CAST(i AS INTEGER) AS pos,
+  CASE m WHEN 0 THEN 'sitemap' WHEN 1 THEN 'sitemapindex'
+       WHEN 2 THEN 'rss' ELSE 'atom' END AS kind,
+  'https://s' || (doc_id % 9) || '.com/' || doc_id || '/' || i
+    || CASE WHEN m = 1 THEN '/map.xml' ELSE '' END AS url,
+  '2024-02-' || lpad(CAST((doc_id + i) % 28 + 1 AS VARCHAR), 2, '0')
+    AS stamp
+FROM e
+"""
+
 # audio fingerprint replay: the integer energy envelope (8 frames x 9
 # decimation-phase bands over the closed-form PCM samples) and its
 # sign-of-difference bits replayed exactly — zero float anywhere

@@ -5402,6 +5402,75 @@ def _audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint(media)
 
 
+def q_feed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier extraction over a closed-form XML fixture
+    cycling all four feed dialects (sitemap urlset, sitemap INDEX —
+    whose locs are more sitemaps, not pages —, RSS 2.0, Atom with
+    href attributes): one (kind, url, stamp) row per entry via a pure
+    Column regexp block parse + posexplode, zero Python. The oracle
+    restates every entry verbatim."""
+    from trollflow2_spark.sources.warc import feed_urls
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    n = (F.lit(2) + d % 3).cast("int")
+    m = d % 4
+
+    def ent(i):
+        u = F.concat(
+            F.lit("https://s"), (d % 9).cast("string"), F.lit(".com/"),
+            d.cast("string"), F.lit("/"), i.cast("string"),
+        )
+        stamp = F.concat(
+            F.lit("2024-02-"),
+            F.lpad(((d + i) % 28 + 1).cast("string"), 2, "0"),
+        )
+        site = F.concat(
+            F.lit("<url><loc> "), u, F.lit(" </loc><lastmod>"), stamp,
+            F.lit("</lastmod></url>"),
+        )
+        idx = F.concat(
+            F.lit("<sitemap><loc>"), u, F.lit("/map.xml</loc><lastmod>"),
+            stamp, F.lit("</lastmod></sitemap>"),
+        )
+        rss = F.concat(
+            F.lit("<item><title>t</title><link>"), u,
+            F.lit("</link><pubDate>"), stamp, F.lit("</pubDate></item>"),
+        )
+        atom = F.concat(
+            F.lit('<entry><link rel="alternate" href="'), u,
+            F.lit('"/><updated>'), stamp, F.lit("</updated></entry>"),
+        )
+        return (
+            F.when(m == 0, site).when(m == 1, idx).when(m == 2, rss)
+            .otherwise(atom)
+        )
+
+    body = F.array_join(F.transform(F.sequence(F.lit(0), n - 1), ent), "")
+    doc = (
+        F.when(m == 0, F.concat(
+            F.lit('<urlset xmlns="x">'), body, F.lit("</urlset>")))
+        .when(m == 1, F.concat(
+            F.lit('<sitemapindex xmlns="x">'), body,
+            F.lit("</sitemapindex>")))
+        .when(m == 2, F.concat(
+            F.lit('<rss version="2.0"><channel>'), body,
+            F.lit("</channel></rss>")))
+        .otherwise(F.concat(
+            F.lit('<feed xmlns="a">'), body, F.lit("</feed>")))
+    )
+    feeds = docs.select("doc_id", doc.alias("xml"))
+    return feeds.select(
+        "doc_id", F.posexplode(feed_urls(F.col("xml"))).alias("pos", "e")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("e.kind").alias("kind"),
+        F.col("e.url").alias("url"),
+        F.col("e.stamp").alias("stamp"),
+    )
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio fingerprints over REAL WAV decode (stdlib PCM16
     reader): Haitsma-Kalker-style sign-of-band-energy-difference bits
@@ -7317,6 +7386,7 @@ QUERIES = {
     "pdf_text_cid": q_pdf_text_cid,
     "subtitle_text": q_subtitle_text,
     "audio_fingerprint": q_audio_fingerprint,
+    "feed_urls": q_feed_urls,
     "audio_neardup": q_audio_neardup,
     "html_markdown": q_html_markdown,
     "outlier_mad_filter": q_outlier_mad_filter,

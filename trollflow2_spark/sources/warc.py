@@ -389,3 +389,66 @@ def html_to_text(col):
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+def feed_urls(col: Column) -> Column:
+    """URL entries of a sitemap / sitemap index / RSS / Atom document
+    as an array of (kind, url, stamp) structs — the crawl-frontier
+    builder: sitemaps and feeds are how a crawl discovers URLs worth
+    fetching, and at 100 TB the frontier extraction must be a pure
+    Column pass over the fetched XML, not a parser service.
+
+    Regexp-level XML handling on purpose (same discipline as the
+    HTML->markdown extractor): real-world sitemaps are
+    machine-generated and regular; a document that defeats the block
+    regexes yields an empty array, never a task failure. Kinds:
+    ``sitemap`` (<urlset>/<url>), ``sitemapindex`` (<sitemap> blocks —
+    their locs are MORE sitemaps to fetch, not pages), ``rss``
+    (<item>), ``atom`` (<entry>, href attribute). ``stamp`` carries
+    lastmod / pubDate / updated verbatim (feed date formats vary too
+    much to normalize at intake)."""
+
+    def blocks(tag: str, kind: str, url_re: str, stamp_re: str):
+        bl = F.regexp_extract_all(
+            col, F.lit(rf"(?s)<{tag}[\s>].*?</{tag}>|<{tag}>.*?</{tag}>"),
+            F.lit(0),
+        )
+        return F.transform(
+            bl,
+            lambda b: F.struct(
+                F.lit(kind).alias("kind"),
+                F.regexp_extract(b, url_re, 1).alias("url"),
+                F.regexp_extract(b, stamp_re, 1).alias("stamp"),
+            ),
+        )
+
+    is_index = col.rlike(r"<sitemapindex[\s>]")
+    is_urlset = col.rlike(r"<urlset[\s>]")
+    is_rss = col.rlike(r"<rss[\s>]")
+    is_atom = col.rlike(r"<feed[\s>]")
+    loc = r"<loc>\s*([^<]*?)\s*</loc>"
+    return (
+        F.when(
+            is_index,
+            blocks("sitemap", "sitemapindex", loc,
+                   r"<lastmod>\s*([^<]*?)\s*</lastmod>"),
+        )
+        .when(
+            is_urlset,
+            blocks("url", "sitemap", loc,
+                   r"<lastmod>\s*([^<]*?)\s*</lastmod>"),
+        )
+        .when(
+            is_rss,
+            blocks("item", "rss", r"<link>\s*([^<]*?)\s*</link>",
+                   r"<pubDate>\s*([^<]*?)\s*</pubDate>"),
+        )
+        .when(
+            is_atom,
+            blocks("entry", "atom", r'<link[^>]*href="([^"]*)"',
+                   r"<updated>\s*([^<]*?)\s*</updated>"),
+        )
+        .otherwise(F.array().cast(
+            "array<struct<kind:string,url:string,stamp:string>>"
+        ))
+    )
