@@ -238,6 +238,7 @@ OPERATORS = [
     "audio_fingerprint",  # energy-envelope perceptual hash (real WAV decode)
     "audio_neardup",  # audio near-dup via the shared hamming-band tier
     "feed_urls",  # sitemap/RSS/Atom crawl-frontier extraction
+    "corpus_recipe_neardup_replay",  # incremental NEAR-dup recipe replay
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -120,3 +120,32 @@ def test_streaming_recipe_first_seen_across_batches(spark):
     )
     want = {r["doc_id"]: r["split"] for r in ref.collect()}
     assert got == want
+
+
+def test_streaming_near_dedup_drops_cross_batch_neardups(spark):
+    """A later batch's near-duplicate (jittered, not exact) of an
+    admitted survivor is dropped by the incremental verify against the
+    survivor state; novel docs are admitted."""
+    from trollflow2_spark.extensions.recipe import replay_recipe_batches
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches the gate and the visitors walk slowly past the old "
+        "stone wall toward the garden where the fountain splashes"
+    )
+    other = (
+        "completely different content about spark partitions shuffles "
+        "joins aggregations windows and the adaptive query execution "
+        "engine that replans stages from runtime statistics today"
+    )
+    batches = [
+        [{"doc_id": 1, "text": base + " v0"}],
+        [{"doc_id": 2, "text": base + " v1"},  # near-dup of 1 -> drop
+         {"doc_id": 3, "text": other + " v0"}],
+        [{"doc_id": 4, "text": other + " v1"}],  # near-dup of 3 -> drop
+    ]
+    out = replay_recipe_batches(
+        spark, batches, "doc_id long, text string",
+        [{"stage": "near_dedup", "threshold": 0.6}],
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]

@@ -235,7 +235,64 @@ def streaming_recipe_sink(
                     f"recipe[{i}]: unknown stage {name!r}; available: "
                     + ", ".join(sorted(CORPUS_STAGES))
                 )
-            if name == "exact_dedup":
+            if name == "near_dedup":
+                # incremental near-dup: within-batch LSH->verify->CC
+                # through the batch stage, then batch survivors whose
+                # n-gram Jaccard CONFIRMS a match against the
+                # accumulated survivor corpus drop; the rest append to
+                # the (doc_id, text) survivor state. Batch signatures
+                # broadcast against the state bands — the state never
+                # shuffles (the daily-increment shape of
+                # incremental_lsh_matches). Greedy first-seen equals
+                # the batch CC canonical when arrival order matches id
+                # order and cross-batch clusters are cliques (the
+                # contract fixture's shape); a later bridge doc that
+                # would have merged two already-admitted clusters
+                # cannot retroactively drop either — inherent to ANY
+                # streaming dedup, documented here.
+                from trollflow2_spark.extensions.dedup import (
+                    incremental_lsh_matches,
+                    minhash_signatures,
+                    ngram_jaccard_pairs,
+                )
+
+                threshold = item.get("threshold", 0.2)
+                out = CORPUS_STAGES[name](out, **item)
+                nd_dir = state_dir + "_nd"
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(nd_dir)
+                fs = jpath.getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                if fs.exists(jpath):
+                    seen = (
+                        spark.read.parquet(nd_dir)
+                        .where(F.col("__bid") < F.lit(batch_id))
+                        .select("doc_id", "text")
+                    )
+                    cand = incremental_lsh_matches(
+                        minhash_signatures(seen),
+                        minhash_signatures(out),
+                    ).select(
+                        F.col("batch_id").alias("id_a"),
+                        F.col("corpus_id").alias("id_b"),
+                    )
+                    both = seen.unionByName(out.select("doc_id", "text"))
+                    confirmed = (
+                        ngram_jaccard_pairs(
+                            both, candidates=cand, threshold=threshold
+                        )
+                        .select(F.col("id_a").alias("doc_id"))
+                        .distinct()
+                    )
+                    out = out.join(confirmed, "doc_id", "left_anti")
+                out = out.localCheckpoint(eager=True)
+                out.select(
+                    "doc_id",
+                    "text",
+                    F.lit(batch_id).cast("long").alias("__bid"),
+                ).write.mode("append").parquet(nd_dir)
+            elif name == "exact_dedup":
                 text_col = item.get("text_col", "text")
                 dig = F.md5(F.col(text_col))
                 w = Window.partitionBy(dig)

@@ -5015,6 +5015,41 @@ WITH RECURSIVE sh AS (
 )
 """
 
+# incremental near-dup recipe replay == the batch near-dup recipe on
+# the concatenation: the SAME verified-CC chain (md5 minhash -> bands
+# -> jaccard verify -> recursive closure), re-rooted onto the jittered
+# leader-text fixture and gated at the recipe threshold; survivors are
+# the cluster canonicals, then the split CASE. The fixture's clusters
+# are cliques arriving in id order, so streaming first-seen equals the
+# batch canonical (the equality the replay proves).
+def _recipe_neardup_oracle() -> str:
+    fixture = f"""
+  SELECT f0.doc_id,
+    d.text || ' v' || (f0.doc_id % 3) AS text
+  FROM (
+    SELECT doc_id FROM documents
+    ORDER BY (doc_id * {C.REPLAY_SPREAD}) % 4294967296, doc_id
+    LIMIT {C.REPLAY_ROW_BUDGET}
+  ) f0 JOIN documents d ON d.doc_id = (f0.doc_id // 3) * 3
+"""
+    frag = _CC_CTES_VERIFIED.replace("FROM documents", "FROM ndfix")
+    frag = frag.replace(
+        f">= {C.JACCARD_THRESHOLD}", f">= {C.RECIPE_ND_THRESHOLD}"
+    )
+    frag = frag.replace(
+        "WITH RECURSIVE sh AS (",
+        f"WITH RECURSIVE ndfix AS ({fixture}), sh AS (",
+    )
+    return frag + f"""
+SELECT c.doc_id, CAST(length(n.text) AS BIGINT) AS n_chars,
+  {_split_case_sql()} AS split
+FROM clustered c JOIN ndfix n USING (doc_id)
+WHERE c.doc_id = c.cluster_id
+"""
+
+
+ORACLES["corpus_recipe_neardup_replay"] = _recipe_neardup_oracle()
+
 ORACLES["dedup_corpus_verified"] = _CC_CTES_VERIFIED + """
 , cl_sized AS (
   SELECT doc_id, cluster_id,

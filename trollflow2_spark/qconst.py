@@ -344,6 +344,11 @@ BM25_MULTI = (  # (query_id, terms): query 0 == the single-query contract
 HYBRID_VECS = ((0, 0), (1, 7), (2, 13))  # (query_id, dense query vec_id)
 TOPK_SALT_BUCKETS = 8  # two-stage per-query top-k sub-buckets
 
+# --- streaming near-dup recipe ----------------------------------------------
+RECIPE_ND_THRESHOLD = 0.6  # jaccard gate for the incremental near-dup
+# stage: planted jittered groups sit ~0.9, organic corpus pairs well
+# below — keeps the batch==stream equality free of cluster bridging
+
 # --- long-string fuzzy matching (ed-join tier) ------------------------------
 FUZZY_LONG_DOCS = 320  # fixed fixture size (80 groups x 4 variants): the
 # oracle is a quadratic ground-truth levenshtein join, so the contract

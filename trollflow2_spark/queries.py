@@ -2556,6 +2556,68 @@ def q_corpus_recipe_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_recipe_neardup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NEAR-dup recipe run incrementally: 3-batch replay of a
+    near_dedup -> split recipe where each batch's survivors verify by
+    n-gram Jaccard against the accumulated survivor corpus (batch
+    signatures broadcast into the state bands — the daily-increment
+    shape) before admission. Fixture: the budget subset where members
+    of each 3-doc group share the group leader's text plus a tiny
+    ' v{k}' jitter (near- but not exact duplicates; jaccard ~0.9,
+    threshold 0.6 mutes organic pairs), one member per batch in id
+    order — so greedy first-seen equals the batch CC canonical, which
+    is exactly what the oracle replays (full md5 minhash -> banding ->
+    jaccard verify -> recursive closure in SQL over the same
+    fixture)."""
+    from trollflow2_spark.extensions.recipe import replay_recipe_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    sub = _replay_subset(docs.select("doc_id"), "doc_id")
+    lead = docs.select(
+        F.col("doc_id").alias("__lid"), F.col("text").alias("__ltext")
+    )
+    fix = (
+        sub.withColumn("__lid", (F.col("doc_id") / 3).cast("bigint") * 3)
+        .join(lead, "__lid")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("__ltext"),
+                F.lit(" v"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("text"),
+            (F.col("doc_id") % 3).alias("b"),
+        )
+    )
+    rows = fix.collect()  # budget-bounded fixture subset (control plane)
+    batches = [
+        [
+            {"doc_id": r["doc_id"], "text": r["text"]}
+            for r in rows
+            if r["b"] == i
+        ]
+        for i in range(3)
+    ]
+    recipe = [
+        {"stage": "near_dedup", "threshold": C.RECIPE_ND_THRESHOLD},
+        {
+            "stage": "split",
+            "fractions": dict(C.SPLIT_FRACS),
+            "seed": C.SPLIT_SEED,
+        },
+    ]
+    out = replay_recipe_batches(
+        spark, batches, "doc_id long, text string", recipe
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "split",
+    )
+
+
 def q_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup, the removal half (Lee et al.
     scrub): the repeated_ngram_spans token ranges are cut OUT of each
@@ -7483,6 +7545,7 @@ QUERIES = {
     "scrub_repeated_spans": q_scrub_repeated_spans,
     "corpus_recipe": q_corpus_recipe,
     "corpus_recipe_replay": q_corpus_recipe_replay,
+    "corpus_recipe_neardup_replay": q_corpus_recipe_neardup_replay,
     "line_dedup": q_line_dedup,
     "embedding_pca": q_embedding_pca,
     "classifier_quality_filter": q_classifier_quality_filter,
