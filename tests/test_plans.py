@@ -464,11 +464,13 @@ def test_bm25_multi_query_single_corpus_scan(spark, sf):
     rollup keys, never another corpus pass — the property that makes
     thousand-query eval sweeps affordable at 100 TB."""
     plan = plan_of(spark, "bm25_multi_query", sf)
-    # the corpus parquet is read exactly once — at (doc, term, tf)
-    # index materialization — so the serving plan re-reads only the
-    # checkpointed index (Scan ExistingRDD), never the corpus
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
-    assert "Scan ExistingRDD" in plan
+    # exactly TWO corpus scans — the 1-row stats agg and the
+    # broadcast-filtered match pipeline — independent of the number
+    # of queries (r9 first materialized the full inverted index via
+    # localCheckpoint; serializing corpus-sized (doc, term) rows cost
+    # more than the scan it saved, so stats/dl are map-side facts and
+    # only query-matched tokens ever shuffle)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
 

@@ -311,24 +311,24 @@ def bm25_scores_multi(
     ``query_terms``: {query_id: [terms...]} (or an iterable of
     (query_id, terms) pairs) — broadcast as a (query_id, term) table.
 
-    Scale shape: ONE (doc, term) count aggregation over the exploded
-    corpus; doc length rides a window over the same keyed rows (no
-    second corpus pass); per-term document frequencies are computed
-    once over the DISTINCT query terms (shared across queries) and
-    broadcast with the 1-row (N, avgdl) stats. The corpus-sized side
-    shuffles exactly twice regardless of the number of queries: term
-    counts, then the (query_id, doc) rollup — adding queries adds
-    broadcast rows and rollup keys, never another corpus scan.
-    Per-term contributions go through micro-units (round x 1e6 to
-    BIGINT) before the per-doc sum, so scores are independent of
-    Spark's float summation order.
+    Scale shape: the full inverted index is never materialized.
+    Corpus stats (N, total tokens) and per-doc lengths are MAP-SIDE
+    facts of the tokenizer — one agg over the raw scan for the 1-row
+    stats, and ``dl = size(tokens)`` carried alongside the explode —
+    so the only thing that ever shuffles is the QUERY-MATCHED token
+    subset (the broadcast distinct-term filter sits before the
+    (doc, term) aggregation). Per-term document frequencies compute
+    once over the distinct query terms (shared across queries) and
+    broadcast with the stats; adding queries adds broadcast rows and
+    (query_id, doc) rollup keys, never another corpus pass. Per-term
+    contributions go through micro-units (round x 1e6 to BIGINT)
+    before the per-doc sum, so scores are independent of Spark's
+    float summation order.
 
     Output: (query_id, id, n_matched, score) for (query, document)
     pairs matching >= 1 term; score = sum of matched-term BM25
     contributions, 1e-6 granular.
     """
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     pairs = (
         list(query_terms.items())
@@ -338,42 +338,48 @@ def bm25_scores_multi(
     qrows = [
         (int(qid), t.lower()) for qid, terms in pairs for t in terms
     ]
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
-    ).select(id_col, F.lower(F.col("tk")).alias("term"))
-    # Materialize the (doc, term, tf) inverted index ONCE: three
-    # consumers read it (query-term dfs, corpus stats, the scoring
-    # join) and without the checkpoint each re-runs the corpus
-    # scan+explode+agg. localCheckpoint, not persist — blocks are
-    # freed by the ContextCleaner when the plan is GC'd. At serving
-    # scale this is the index build: score thousands of queries
-    # against it in the same pass.
-    tf = (
-        tok.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+    tokd = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     )
-    tf2 = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    # 1-row corpus stats straight off the scan: N = docs with >= 1
+    # token, tot = total token count — no explode, no shuffle beyond
+    # the partial-agg reduce
+    stats = tokd.agg(
+        F.sum((F.size("__tk") >= 1).cast("long"))
+        .cast("double")
+        .alias("_n"),
+        F.sum(F.size("__tk")).cast("double").alias("_tot"),
     )
     q = spark.createDataFrame(qrows, "query_id int, term string")
     qterms = spark.createDataFrame(
         sorted({(t,) for _, t in qrows}), "term string"
     )
-    dfq = (
-        tf.join(F.broadcast(qterms), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("dfc"))
+    # doc length rides the explode map-side (constant per doc); the
+    # broadcast term filter drops every non-query token BEFORE the
+    # (doc, term) aggregation, so the shuffle carries only matches
+    matched = (
+        tokd.select(
+            id_col,
+            F.size("__tk").alias("__dl"),
+            F.explode("__tk").alias("tk"),
+        )
+        .select(
+            id_col, "__dl", F.lower(F.col("tk")).alias("term")
+        )
+        .join(F.broadcast(qterms), "term")
     )
-    stats = tf.agg(
-        F.countDistinct(id_col).cast("double").alias("_n"),
-        F.sum("tf").cast("double").alias("_tot"),
+    from pyspark.sql import Window
+
+    tf2 = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl")
     )
-    m = (
-        tf2.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfq), "term")
-        .crossJoin(F.broadcast(stats))
+    # per-term document frequency as a window over the already-small
+    # matched (doc, term) rows — shared across queries, and no second
+    # pass over the corpus to compute it
+    tf2 = tf2.withColumn(
+        "dfc", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
+    m = tf2.join(F.broadcast(q), "term").crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("_n") - F.col("dfc") + F.lit(0.5))
