@@ -110,10 +110,10 @@ FLAGSHIP = [
      "scan stage, zero exchanges, zero Python."),
     # round 9 flagships
     ("bm25_multi_query",
-     "Multi-query BM25: the (doc, term, tf) inverted index "
-     "localCheckpoints ONCE and feeds query dfs, corpus stats and the "
-     "scoring join — zero parquet scans in the serving plan; adding "
-     "queries adds broadcast rows, never another corpus pass."),
+     "Multi-query BM25: corpus stats map-side off the raw scan, doc "
+     "length rides the explode, the broadcast term filter sits BEFORE "
+     "the (doc, term) agg so only query-matched tokens shuffle; two "
+     "corpus scans total, independent of the query count."),
     ("hybrid_multi_retrieval",
      "Per-query RRF fusion: both rankers' top-k run as the exact "
      "salted two-stage window (k per (query, sub-bucket), then the "
