@@ -239,6 +239,7 @@ OPERATORS = [
     "audio_neardup",  # audio near-dup via the shared hamming-band tier
     "feed_urls",  # sitemap/RSS/Atom crawl-frontier extraction
     "corpus_recipe_neardup_replay",  # incremental NEAR-dup recipe replay
+    "compaction_from_audit",  # footer audit composed into merge bins
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1819,9 +1819,47 @@ SELECT file_id, part, bytes,
 FROM c
 """
 
+def _compaction_from_audit_oracle() -> str | None:
+    """DuckDB's footer rollup composed with the sorted-fill window —
+    the audit->planner loop replayed end to end."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    from trollflow2_spark.tables import TABLE_NAMES
+
+    parts = []
+    for t in sorted(TABLE_NAMES):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            return None
+        parts.append(
+            f"SELECT '{t}.parquet' AS file_name, "
+            f"CAST(sum(total_compressed_size) AS BIGINT) AS bytes "
+            f"FROM parquet_metadata('{p}')"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH files AS (
+  {union}
+), c AS (
+  SELECT file_name, bytes,
+    CAST(sum(bytes) OVER (ORDER BY bytes DESC, file_name) AS BIGINT)
+      AS cum_bytes
+  FROM files
+)
+SELECT file_name, bytes,
+  CAST(floor((cum_bytes - bytes) / 8388608.0) AS BIGINT) AS bin,
+  cum_bytes
+FROM c
+"""
+
+
 LAZY_ORACLES: dict = {
     "unigram_tokenize": _unigram_oracle_sql,
     "parquet_layout_audit": _parquet_layout_oracle,
+    "compaction_from_audit": _compaction_from_audit_oracle,
 }
 
 

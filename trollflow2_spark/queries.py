@@ -4071,6 +4071,35 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compaction_from_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit feeding the planner, composed: per-FILE compressed
+    byte totals roll up from the footer layout audit and drive the
+    sorted-fill compaction bins (8 MB target — sized so the corpus
+    tables actually split across bins). This is the real operational
+    loop — measure layout, plan merges — in one plan; the oracle
+    composes DuckDB's parquet_metadata() rollup with the same window
+    arithmetic."""
+    import os
+
+    from trollflow2_spark.extensions.profile import (
+        compaction_plan,
+        parquet_layout_audit,
+    )
+    from trollflow2_spark.tables import TABLE_NAMES
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in TABLE_NAMES]
+    audit = parquet_layout_audit(spark, paths)
+    files = audit.groupBy("file_name").agg(
+        F.sum("compressed_bytes").alias("bytes")
+    )
+    return compaction_plan(
+        files,
+        target_bytes=8 * 1024 * 1024,
+        size_col="bytes",
+        id_col="file_name",
+    ).select("file_name", "bytes", "bin", "cum_bytes")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic column profiler: null count / exact distinct / min /
     max per column in one aggregation, unpivoted via stack(). The
@@ -7430,6 +7459,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "parquet_layout_audit": q_parquet_layout_audit,
     "compaction_plan": q_compaction_plan,
+    "compaction_from_audit": q_compaction_from_audit,
     "scd2_customers": q_scd2_customers,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
