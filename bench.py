@@ -240,6 +240,7 @@ OPERATORS = [
     "feed_urls",  # sitemap/RSS/Atom crawl-frontier extraction
     "corpus_recipe_neardup_replay",  # incremental NEAR-dup recipe replay
     "compaction_from_audit",  # footer audit composed into merge bins
+    "lsh_recall_audit",  # measured LSH recall/precision vs exact jaccard
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2311,3 +2311,32 @@ def test_parquet_layout_audit_reads_footers_distributed(spark, sf_dir):
     li = [r for r in rows if r["file_name"] == "lineitem.parquet"]
     assert all(r["n_values"] == r["n_rows"] for r in li)
     assert all(r["compressed_bytes"] > 0 and r["ratio"] >= 0.9 for r in li)
+
+
+def test_lsh_recall_audit_counts(spark):
+    """Near-identical pairs are both true and recalled (identical
+    shingle sets share every band); unrelated docs contribute to
+    neither; counts and ratios are consistent."""
+    from trollflow2_spark.extensions.dedup import lsh_recall_audit
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "stone wall by the garden fountain where visitors walk daily"
+    )
+    other = (
+        "spark partitions shuffles joins aggregations windows adaptive "
+        "query execution replanning stages from runtime statistics"
+    )
+    rows = [
+        (1, base + " a"), (2, base + " a"),      # identical pair
+        (3, other + " x"), (4, other + " x"),    # identical pair
+        (5, "completely unrelated tiny text"),
+    ]
+    out = lsh_recall_audit(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        threshold=0.5,
+    ).first()
+    assert out["n_true"] == 2 and out["n_hit"] == 2
+    assert out["recall"] == 1.0
+    assert out["n_candidates"] >= out["n_hit"]
+    assert 0.0 < out["precision"] <= 1.0

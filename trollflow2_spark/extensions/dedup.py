@@ -1254,6 +1254,95 @@ def _lev2_string_pairs(dstr: DataFrame) -> DataFrame:
     )
 
 
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    jaccard_shingle_words: int = 2,
+    minhash_shingle_words: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Measured recall/precision of the banded-LSH candidate generator
+    against EXACT Jaccard ground truth on a bounded sample — the
+    tuning audit behind every production dedup config: bands/hashes
+    trade recall for candidate volume, and at 100 TB that trade must
+    be a measured number, not a hope. Run it on a fixed-budget sample
+    (the caller bounds ``df``); the quadratic reference join is the
+    point — affordable BECAUSE the sample is bounded, definitional
+    because it skips the very blocking being audited.
+
+    Output (one row): n_true (exact pairs >= threshold), n_candidates
+    (LSH pairs within the sample), n_hit (true pairs surfaced),
+    recall, precision."""
+    base = df.select(F.col(id_col), F.col(text_col))
+    sh = base.select(
+        F.col(id_col),
+        F.array_distinct(
+            word_shingles(F.col(text_col), jaccard_shingle_words)
+        ).alias("sh"),
+    )
+    # the sample usually arrives as ONE partition (budget limit);
+    # spread the left side so the quadratic reference runs as
+    # parallelism-many tasks against the broadcast right side
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    ).repartition(par)
+    b = F.broadcast(
+        sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    true_pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(jac, 6) >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(
+            base,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_words=minhash_shingle_words,
+            num_hashes=num_hashes,
+        ),
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    t = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit") / F.col("n_true"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hit") / F.col("n_candidates"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("precision"),
+        )
+    )
+
+
 def levenshtein_long_pairs(
     df: DataFrame,
     id_col: str,

@@ -5053,6 +5053,61 @@ WITH RECURSIVE sh AS (
 )
 """
 
+# LSH recall audit: BOTH sides replayed — the md5 minhash/banding
+# candidate chain AND the quadratic exact-jaccard ground truth on the
+# budget sample — then the same count arithmetic
+def _lsh_recall_oracle() -> str:
+    return f"""
+WITH lrfix AS (
+  SELECT f0.doc_id, d.text || ' v' || (f0.doc_id % 3) AS text
+  FROM (
+    SELECT doc_id FROM documents
+    ORDER BY (doc_id * {C.REPLAY_SPREAD}) % 4294967296, doc_id
+    LIMIT {C.REPLAY_ROW_BUDGET}
+  ) f0 JOIN documents d ON d.doc_id = (f0.doc_id // 3) * 3
+), shm AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_MH})) AS shingle
+  FROM lrfix
+), sigs AS (
+  SELECT doc_id,
+  {_MINHASH_COLS}
+  FROM shm GROUP BY doc_id
+), bk AS (
+{_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), s2 AS (
+  SELECT doc_id, list_distinct({_SHINGLES_J}) AS sh2 FROM lrfix
+), truep AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+  WHERE round(
+      CASE WHEN len(list_distinct(list_concat(a.sh2, b.sh2))) > 0
+        THEN CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh2, b.sh2)))
+                    AS DOUBLE)
+        ELSE 0.0 END, 6) >= {C.JACCARD_THRESHOLD}
+), hit AS (
+  SELECT t.id_a FROM truep t JOIN cand c USING (id_a, id_b)
+), counts AS (
+  SELECT (SELECT count(*) FROM truep) AS n_true,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM hit) AS n_hit
+)
+SELECT n_true, n_candidates, n_hit,
+  round(CASE WHEN n_true > 0
+    THEN CAST(n_hit AS DOUBLE) / n_true ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN n_candidates > 0
+    THEN CAST(n_hit AS DOUBLE) / n_candidates ELSE 0.0 END, 6)
+    AS precision
+FROM counts
+"""
+
+
+ORACLES["lsh_recall_audit"] = _lsh_recall_oracle()
+
 # incremental near-dup recipe replay == the batch near-dup recipe on
 # the concatenation: the SAME verified-CC chain (md5 minhash -> bands
 # -> jaccard verify -> recursive closure), re-rooted onto the jittered

@@ -2556,6 +2556,37 @@ def q_corpus_recipe_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH recall/precision measured against exact Jaccard
+    ground truth on the fixed-budget jittered-leader sample: the
+    bands/hashes tuning loop as an oracle-checked number. The
+    quadratic reference join is affordable BECAUSE the sample is
+    budget-bounded (O(1) in sf) and definitional because it bypasses
+    the blocking under audit; the oracle replays both sides — the md5
+    minhash/banding chain AND the quadratic jaccard — and the same
+    count arithmetic."""
+    from trollflow2_spark.extensions.dedup import lsh_recall_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    sub = _replay_subset(docs.select("doc_id"), "doc_id")
+    lead = docs.select(
+        F.col("doc_id").alias("__lid"), F.col("text").alias("__ltext")
+    )
+    fix = (
+        sub.withColumn("__lid", (F.col("doc_id") / 3).cast("bigint") * 3)
+        .join(lead, "__lid")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("__ltext"),
+                F.lit(" v"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("text"),
+        )
+    )
+    return lsh_recall_audit(fix, threshold=C.JACCARD_THRESHOLD)
+
+
 def q_corpus_recipe_neardup_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7576,6 +7607,7 @@ QUERIES = {
     "corpus_recipe": q_corpus_recipe,
     "corpus_recipe_replay": q_corpus_recipe_replay,
     "corpus_recipe_neardup_replay": q_corpus_recipe_neardup_replay,
+    "lsh_recall_audit": q_lsh_recall_audit,
     "line_dedup": q_line_dedup,
     "embedding_pca": q_embedding_pca,
     "classifier_quality_filter": q_classifier_quality_filter,
