@@ -1,0 +1,136 @@
+"""Distributed BPE training: the Spark trainer must equal the pure-
+Python reference (`train_bpe_vocab`) merge-for-merge — same pair
+counts, same (count desc, pair asc) argmax, and a higher-order-fold
+merge application provably equal to the sequential greedy scan.
+Adversarial fixtures target the fold/scan equivalence edge cases
+(self-pairs 'aaaa', alternating 'ababab', merge-chains)."""
+
+from collections import Counter
+
+import pytest
+
+from trollflow2_spark.extensions.tokenizer import (
+    normalize_for_bpe,
+    train_bpe_vocab,
+)
+
+
+def _reference_merges(words, n_merges):
+    """The sequential trainer, instrumented to expose the merge order
+    and winning counts (train_bpe_vocab returns only the vocab set)."""
+    wfreq = Counter(words)
+    seqs = {w: list(w) for w in wfreq}
+    merges = []
+    for _ in range(int(n_merges)):
+        pairs: Counter = Counter()
+        for w, f in wfreq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _train_spark(spark, texts, n_merges):
+    from trollflow2_spark.extensions.tokenizer import (
+        train_bpe_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = train_bpe_distributed(df, n_merges=n_merges)
+    rows = out.collect()
+    merges = [
+        (r["pair_a"], r["pair_b"], r["cnt"])
+        for r in sorted(
+            (r for r in rows if r["kind"] == "merge"),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    chars = sorted(r["token"] for r in rows if r["kind"] == "char")
+    return chars, merges
+
+
+CASES = [
+    # self-pair runs: greedy non-overlap ('aa' twice in 'aaaa', once
+    # in 'aaa') is where a naive pairwise rewrite diverges
+    ["aaaa aaa aa", "aaaa aaaa"],
+    # alternating: merging 'ab' must not re-merge across the seam
+    ["ababab abab", "ababab ababab ab"],
+    # merge chains: later merges consume earlier merged tokens
+    ["the theme theater", "the the then there", "theme theme"],
+    # mixed realistic text with punctuation/case normalization
+    [
+        "The quick brown fox jumps over the lazy dog!",
+        "the quick brown cat naps.",
+        "Quick brown foxes; lazy dogs, quick naps...",
+    ],
+]
+
+
+@pytest.mark.parametrize("texts", CASES)
+def test_distributed_equals_sequential(spark, texts):
+    words = []
+    for t in texts:
+        words.extend(normalize_for_bpe(t))
+    n = 8
+    ref = _reference_merges(words, n)
+    chars, got = _train_spark(spark, texts, n)
+    assert got == ref[: len(got)]
+    assert len(got) == min(n, len(ref))
+    assert chars == sorted({ch for w in words for ch in w})
+
+
+def test_vocab_matches_reference_vocab(spark):
+    texts = [
+        "compression is the essence of intelligence",
+        "intelligence is compression in essence",
+        "the essence of compression",
+    ]
+    words = []
+    for t in texts:
+        words.extend(normalize_for_bpe(t))
+    n = 10
+    chars, merges = _train_spark(spark, texts, n)
+    vocab = set(chars) | {a + b for a, b, _ in merges}
+    assert vocab == set(train_bpe_vocab(words, n_merges=n))
+
+
+def test_oracle_agrees_at_sf0001(spark, sf_dir):
+    """The unrolled-SQL oracle replay must match the Spark trainer on
+    the real documents table — the same comparison the driver runs at
+    sf0.01, pinned here at sf0.001."""
+    import duckdb
+
+    from trollflow2_spark.oracles import ORACLES
+    from trollflow2_spark.queries import QUERIES
+
+    got = {
+        (r["token"], r["kind"], r["merge_rank"], r["pair_a"],
+         r["pair_b"], r["cnt"])
+        for r in QUERIES["bpe_train"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/documents.parquet')"
+    )
+    want = set(
+        map(tuple, con.execute(ORACLES["bpe_train"]).fetchall())
+    )
+    assert got == want

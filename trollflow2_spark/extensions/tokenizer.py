@@ -363,3 +363,129 @@ def tokenize_unigram(
         .cast("int").alias("n_tokens"),
         "score",
     )
+
+
+def normalized_words(
+    df: DataFrame,
+    text_col: str = "text",
+    word_max: int = C.BPE_WORD_MAX,
+) -> DataFrame:
+    """The Spark-Column form of :func:`normalize_for_bpe`: lowercase,
+    non-alphanumerics to space, whitespace-collapse, split, drop
+    empties, truncate. One map-only pass over the scan — every engine
+    (this, the pure-Python trainer, the DuckDB oracles) derives words
+    with the identical rule so trained vocabularies agree."""
+    t = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+        " +",
+        " ",
+    )
+    return df.select(
+        F.explode(
+            F.filter(F.split(t, " "), lambda x: x != "")
+        ).alias("__w")
+    ).select(F.substring("__w", 1, int(word_max)).alias("word"))
+
+
+def train_bpe_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    word_max: int = C.BPE_WORD_MAX,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Distributed BPE training — the scale-correct form of
+    :func:`train_bpe_vocab`.
+
+    The corpus is scanned ONCE: normalize -> explode words -> hash-agg
+    to a (word, freq) table. That table is Heaps-law bounded (distinct
+    vocabulary, not corpus rows), so every subsequent merge iteration
+    is a small distributed job that never touches the corpus again:
+
+    - pair counting: per distinct word, adjacent symbol pairs weighted
+      by word frequency (``transform`` over an index sequence — pure
+      Column, map-side combinable aggregate);
+    - argmax: ``orderBy(count desc, pair asc).limit(1)`` — a
+      TakeOrdered over the pair aggregate; the ONLY driver collect is
+      this 1-row control-plane read per merge;
+    - merge application: a higher-order ``aggregate`` fold rewriting
+      each word's symbol array left-to-right (greedy non-overlapping —
+      provably equal to the scan loop in :func:`train_bpe_vocab`,
+      pinned by test), no Python in the rewrite.
+
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    fold-expression lineage (the word table is vocab-bounded, so the
+    materialization is cheap). At 100 TB the single corpus pass
+    dominates and parallelizes; the iterations run on the vocabulary
+    table alone — the same "train small, apply wide" shape as the IVF
+    tier, except "small" here is the distributed distinct-word table
+    rather than a driver sample, so training sees the FULL corpus
+    frequency distribution instead of ``BPE_SAMPLE_N`` documents.
+
+    Output: one row per vocabulary token —
+    (token, kind 'char'|'merge', merge_rank 0|1..n, pair_a, pair_b,
+    cnt) where cnt is the winning pair frequency at merge time (0 for
+    chars). The merge sequence, tie-breaks and counts are all
+    value-checked by an oracle that replays every iteration in
+    unrolled SQL (island-parity rewrite — no Python literals).
+    """
+    spark = df.sparkSession
+    wf = (
+        normalized_words(df, text_col=text_col, word_max=word_max)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms", F.expr("filter(split(word, ''), x -> x <> '')")
+        )
+        .localCheckpoint()
+    )
+    chars = sorted(
+        r["t"]
+        for r in wf.select(
+            F.explode("syms").alias("t")
+        ).distinct().collect()
+    )
+    pair_col = F.when(
+        F.size("syms") >= 2,
+        F.expr(
+            "transform(sequence(0, size(syms) - 2),"
+            " i -> struct(syms[i] as a, syms[i + 1] as b))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+    merges: list[tuple[str, str, int]] = []
+    for it in range(int(n_merges)):
+        best = (
+            wf.select(F.col("freq"), F.explode(pair_col).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        ab = a + b
+        wf = wf.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>),"
+                " (acc, s) -> CASE WHEN size(acc) > 0"
+                " AND element_at(acc, -1) = '{a}' AND s = '{b}'"
+                " THEN concat(slice(acc, 1, size(acc) - 1),"
+                " array('{ab}'))"
+                " ELSE concat(acc, array(s)) END)".format(a=a, b=b, ab=ab)
+            ),
+        )
+        if (it + 1) % int(checkpoint_every) == 0:
+            wf = wf.localCheckpoint()
+    rows = [(t, "char", 0, "", "", 0) for t in chars] + [
+        (a + b, "merge", i + 1, a, b, cnt)
+        for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "token string, kind string, merge_rank bigint,"
+        " pair_a string, pair_b string, cnt bigint",
+    )

@@ -103,6 +103,9 @@ BPE_WORD_MAX = 20  # words truncated before encoding (bounds recursion)
 BPE_DOC_MOD = 5  # contract query encodes doc_id % MOD == 0 (oracle is a
 # per-character recursive CTE; the subset keeps the replay fast)
 BPE_UNK = "<unk>"  # cannot collide: normalized text is [a-z0-9 ] only
+BPE_DIST_MERGES = 12  # merges learned by the DISTRIBUTED trainer contract
+# (bounded so the oracle's unrolled per-iteration SQL replay stays cheap;
+# the trainer itself takes any n_merges)
 
 # unigram-LM (SentencePiece-style) tokenizer
 UNI_VOCAB = 300  # pruned model size (single chars never pruned)

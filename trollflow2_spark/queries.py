@@ -1653,6 +1653,26 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_greedy(subset, vocab)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (vs ``bpe_tokenize``'s
+    driver-side sample trainer): ONE corpus pass hash-aggregates the
+    distinct-word frequency table, then every merge iteration runs on
+    that Heaps-bounded vocab table alone — adjacent-pair explode + agg,
+    a 1-row TakeOrdered argmax (the only collect), and a higher-order
+    ``aggregate`` fold rewriting the symbol arrays. The corpus is never
+    re-scanned, so at 100 TB the cost is one map pass + k small jobs.
+    The oracle replays ALL ``BPE_DIST_MERGES`` iterations in unrolled
+    SQL (island-parity greedy rewrite) — merge order, lexicographic
+    tie-breaks and winning-pair counts are recomputed independently,
+    no Python-trained literals."""
+    from trollflow2_spark.extensions.tokenizer import (
+        train_bpe_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_distributed(docs, n_merges=C.BPE_DIST_MERGES)
+
+
 def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (the hashing trick): model-free dense
     text vectors from token-bucket counts — the entry point that feeds
@@ -7631,6 +7651,7 @@ QUERIES = {
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
+    "bpe_train": q_bpe_train,
     "url_dedup_latest": q_url_dedup_latest,
     "robots_filter": q_robots_filter,
     "nb_lang_classifier": q_nb_lang_classifier,
