@@ -511,6 +511,41 @@ ORACLES["warc_ingest_zst"] = ORACLES["warc_ingest"]
 # bodies decoded by the from-scratch RFC 7932 decoder — same closed forms.
 ORACLES["warc_ingest_br"] = ORACLES["warc_ingest"]
 
+# WET sidecar intake: the planted conversion-record text is a closed
+# form; the warcinfo record must NOT appear (row count pins the filter).
+ORACLES["wet_ingest"] = """
+SELECT doc_id,
+  'http://site' || (doc_id % 20) || '.com/p/' || doc_id AS url,
+  'Doc ' || doc_id || ' conversion' || chr(10)
+    || 'alpha ' || (doc_id % 7) || ' beta' || chr(10) || chr(10)
+    || 'gamma ' || (doc_id % 3) || chr(10) AS text,
+  CAST(length('Doc ' || doc_id || ' conversion' || chr(10)
+    || 'alpha ' || (doc_id % 7) || ' beta' || chr(10) || chr(10)
+    || 'gamma ' || (doc_id % 3) || chr(10)) AS INTEGER) AS text_len,
+  CAST(3 AS INTEGER) AS n_lines
+FROM documents
+"""
+
+# WAT sidecar intake: two planted outlinks per doc — an absolute URL
+# (passthrough) and a root-relative href (resolved against the
+# target-URI origin).
+ORACLES["wat_outlinks"] = """
+SELECT doc_id,
+  'http://site' || (doc_id % 20) || '.com/p/' || doc_id AS url,
+  'Doc ' || doc_id || ' title' AS title,
+  CAST(0 AS INTEGER) AS link_ord,
+  'http://site' || ((doc_id + 1) % 20) || '.com/x/' || doc_id AS link_url
+FROM documents
+UNION ALL
+SELECT doc_id,
+  'http://site' || (doc_id % 20) || '.com/p/' || doc_id AS url,
+  'Doc ' || doc_id || ' title' AS title,
+  CAST(1 AS INTEGER) AS link_ord,
+  'http://site' || (doc_id % 20) || '.com/rel/' || (doc_id % 5)
+    AS link_url
+FROM documents
+"""
+
 # intake reject audit: the fixture class is doc_id % 4, so the rollup
 # is a closed form (ok / corrupt / unsupported_codec / oversized)
 ORACLES["media_quarantine_audit"] = """

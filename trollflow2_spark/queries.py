@@ -1454,6 +1454,167 @@ def q_warc_ingest_br(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_fixture_records(spark, sf_dir, build_records):
+    """Shared planted-WARC harness: per doc_id, ``build_records(d)``
+    returns [(warc_type, extra_headers, content_type, body)] record
+    specs; the kernel assembles spec-shaped gzip-member WARC bytes and
+    round-trips them through the REAL parser — same discipline as
+    ``warc_ingest``, reused by the WET/WAT sidecar contracts."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("warc_type", T.StringType()),
+            T.StructField("warc_target_uri", T.StringType()),
+            T.StructField("warc_date", T.StringType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        import gzip
+
+        import pandas as pd
+
+        from trollflow2_spark.sources.warc import parse_warc_bytes
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                recs = []
+                for wtype, headers, ctype, body in build_records(d):
+                    hdr = (
+                        b"WARC/1.0\r\nWARC-Type: " + wtype.encode()
+                        + b"\r\nWARC-Date: 2024-01-15T12:00:00Z"
+                        + b"\r\nContent-Type: " + ctype.encode()
+                    )
+                    for k, v in headers.items():
+                        hdr += f"\r\n{k}: {v}".encode()
+                    hdr += f"\r\nContent-Length: {len(body)}".encode()
+                    recs.append(hdr + b"\r\n\r\n" + body + b"\r\n\r\n")
+                blob = b"".join(gzip.compress(r) for r in recs)
+                for r in parse_warc_bytes(blob, f"doc{d}.wet.gz"):
+                    rows.append(
+                        (
+                            d,
+                            r["warc_type"],
+                            r["warc_target_uri"],
+                            r["warc_date"],
+                            r["content_type"],
+                            r["payload"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "warc_type", "warc_target_uri",
+                    "warc_date", "content_type", "payload",
+                ],
+            )
+
+    return docs.mapInPandas(kernel, out_schema)
+
+
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sidecar intake (Common Crawl's extracted-text distribution):
+    deterministic per-doc .wet.gz files — a warcinfo record plus a
+    ``conversion`` record whose payload IS the page text — round-trip
+    the real WARC parser executor-side, then the ``wet_text``
+    projection keeps conversion records only and derives text length +
+    non-empty line count Column-side. The oracle states the planted
+    text closed-form; the warcinfo row vanishing is implicit in the
+    row count."""
+    from trollflow2_spark.sources.warc import wet_text
+
+    def build(d):
+        text = (
+            f"Doc {d} conversion\nalpha {d % 7} beta\n\ngamma {d % 3}\n"
+        )
+        return [
+            (
+                "warcinfo",
+                {},
+                "application/warc-fields",
+                b"software: tf2-spark\r\n",
+            ),
+            (
+                "conversion",
+                {"WARC-Target-URI":
+                 f"http://site{d % 20}.com/p/{d}"},
+                "text/plain",
+                text.encode(),
+            ),
+        ]
+
+    recs = _warc_fixture_records(spark, sf_dir, build)
+    return wet_text(recs).select(
+        "doc_id",
+        F.col("warc_target_uri").alias("url"),
+        "text",
+        "text_len",
+        "n_lines",
+    )
+
+
+def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT sidecar intake (Common Crawl's metadata distribution):
+    ``metadata`` records carry a JSON envelope; the typed
+    ``from_json`` schema (JVM Jackson, no inference pass) surfaces the
+    page title and posexplodes the outlink array, resolving
+    root-relative hrefs against the target-URI origin. The oracle
+    states both planted links closed-form — absolute passthrough and
+    origin-resolved relative."""
+    import json as _json
+
+    from trollflow2_spark.sources.warc import wat_outlinks
+
+    def build(d):
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": f"Doc {d} title"},
+                            "Links": [
+                                {
+                                    "path": "A@/href",
+                                    "url": (
+                                        f"http://site{(d + 1) % 20}"
+                                        f".com/x/{d}"
+                                    ),
+                                },
+                                {"path": "A@/href",
+                                 "url": f"/rel/{d % 5}"},
+                            ],
+                        }
+                    }
+                }
+            }
+        }
+        return [
+            (
+                "metadata",
+                {"WARC-Target-URI":
+                 f"http://site{d % 20}.com/p/{d}"},
+                "application/json",
+                _json.dumps(env).encode(),
+            )
+        ]
+
+    recs = _warc_fixture_records(spark, sf_dir, build)
+    return wat_outlinks(recs).select(
+        "doc_id",
+        "url",
+        "title",
+        F.col("link_ord").cast("int").alias("link_ord"),
+        "link_url",
+    )
+
+
 def q_crawl_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE composition — raw crawl to training examples in one
     DataFrame plan: the full crawl-preprocessing chain
@@ -7643,6 +7804,8 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "warc_ingest_zst": q_warc_ingest_zst,
     "warc_ingest_br": q_warc_ingest_br,
+    "wet_ingest": q_wet_ingest,
+    "wat_outlinks": q_wat_outlinks,
     "url_canonicalize": q_url_canonicalize,
     "domain_rollup": q_domain_rollup,
     "semantic_dedup": q_semantic_dedup,

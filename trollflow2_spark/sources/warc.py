@@ -452,3 +452,125 @@ def feed_urls(col: Column) -> Column:
             "array<struct<kind:string,url:string,stamp:string>>"
         ))
     )
+
+
+# ---------------------------------------------------------------------------
+# Common Crawl sidecar formats: WET (extracted-text) and WAT (metadata
+# JSON) are WARC containers with different record semantics —
+# `conversion` records whose payload IS the document text, and
+# `metadata` records whose payload is a JSON envelope describing the
+# original response. Both layers are pure Column projections over the
+# generic parsed-record DataFrame (parse_warc_bytes handles the
+# container), so the intake shape is identical to .warc: one file per
+# task, no shuffle, the text/JSON work fused into the scan stage.
+
+
+def wet_text(records: DataFrame) -> DataFrame:
+    """WET semantics: keep ``conversion`` records (warcinfo and any
+    other sidecar records drop out), decode the payload as the
+    document text, derive length + non-empty line count Column-side.
+    All original record columns survive so callers can keep their own
+    ids/paths."""
+    txt = F.col("payload").cast("string")
+    return (
+        records.filter(F.col("warc_type") == "conversion")
+        .withColumn("text", txt)
+        .withColumn("text_len", F.length("text"))
+        .withColumn(
+            "n_lines",
+            F.size(F.filter(F.split(F.col("text"), "\n"),
+                            lambda x: x != "")),
+        )
+    )
+
+
+# The WAT JSON envelope, typed: from_json with an explicit schema keeps
+# the parse JVM-side (Jackson) and prunes everything but the title and
+# the outlink array — no Python, no schema inference pass.
+WAT_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Envelope",
+            T.StructType(
+                [
+                    T.StructField(
+                        "Payload-Metadata",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "HTTP-Response-Metadata",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "HTML-Metadata",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "Head",
+                                                            T.StructType([
+                                                                T.StructField(
+                                                                    "Title",
+                                                                    T.StringType(),
+                                                                )
+                                                            ]),
+                                                        ),
+                                                        T.StructField(
+                                                            "Links",
+                                                            T.ArrayType(
+                                                                T.StructType([
+                                                                    T.StructField("path", T.StringType()),
+                                                                    T.StructField("url", T.StringType()),
+                                                                ])
+                                                            ),
+                                                        ),
+                                                    ]
+                                                ),
+                                            )
+                                        ]
+                                    ),
+                                )
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        )
+    ]
+)
+
+
+def wat_outlinks(records: DataFrame) -> DataFrame:
+    """WAT semantics: parse ``metadata`` records' JSON envelope with
+    the typed schema, surface the page title, and posexplode the
+    outlink array; root-relative hrefs resolve against the record's
+    target-URI origin (scheme://host). Output per link:
+    (..original columns.., url, title, link_ord, link_url)."""
+    html_meta = (
+        "__env.Envelope.`Payload-Metadata`"
+        ".`HTTP-Response-Metadata`.`HTML-Metadata`"
+    )
+    base = F.regexp_extract(
+        F.col("warc_target_uri"), r"^(https?://[^/]+)", 1
+    )
+    parsed = (
+        records.filter(F.col("warc_type") == "metadata")
+        .withColumn(
+            "__env",
+            F.from_json(F.col("payload").cast("string"),
+                        WAT_ENVELOPE_SCHEMA),
+        )
+        .withColumn("title", F.expr(f"{html_meta}.Head.Title"))
+        .withColumn("__links", F.expr(f"{html_meta}.Links"))
+    )
+    exploded = parsed.select(
+        "*", F.posexplode_outer("__links").alias("link_ord", "__l")
+    )
+    raw = F.col("__l.url")
+    resolved = F.when(raw.startswith("/"), F.concat(base, raw)).otherwise(
+        raw
+    )
+    return (
+        exploded.withColumn("url", F.col("warc_target_uri"))
+        .withColumn("link_url", resolved)
+        .drop("__env", "__links", "__l")
+    )
