@@ -264,3 +264,74 @@ def contamination_scores_bloom(
             ),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    held: DataFrame,
+    centroids,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space contamination — the semantic tier above
+    :func:`exact_overlap` (verbatim) and :func:`contamination_scores`
+    (shingles): an eval example whose *paraphrase* sits in the
+    training corpus shares no 8-gram but lands in the same embedding
+    neighborhood.
+
+    Candidates come from the frozen IVF coarse cells (the shared
+    rounded-argmax assignment): corpus and held vectors are assigned
+    map-side, and only same-cell pairs are scored exactly — at 100 TB
+    the eval side is small by definition, so its (cell, vec) rows
+    broadcast and the corpus never shuffles; cosine verify + the
+    per-held rollup are the only aggregation. Within-cell exactness is
+    the same documented recall boundary as SemDeDup (a >=threshold
+    pair split across cells is missed; the cell histogram audits how
+    much mass sits near boundaries).
+
+    Output per held vector with >=1 same-cell corpus neighbor:
+    (vec_id, n_candidates, n_contaminated, max_sim).
+    """
+    import numpy as np
+
+    Cm = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(
+            np.argmax(np.round(X @ Cm.T, 6), axis=1).astype("int32")
+        )
+
+    from trollflow2_spark.extensions.similarity import cosine
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        assign_cell(F.col(vec_col)).alias("__cell"),
+    )
+    h = F.broadcast(
+        held.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__hvec"),
+            assign_cell(F.col(vec_col)).alias("__cell"),
+        )
+    )
+    pairs = c.join(h, "__cell").select(
+        id_col,
+        F.round(
+            cosine(F.col("__cvec"), F.col("__hvec")), round_digits
+        ).alias("__sim"),
+    )
+    return pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(F.col("__sim") >= float(threshold), 1).otherwise(0)
+        ).alias("n_contaminated"),
+        F.max("__sim").alias("max_sim"),
+    )

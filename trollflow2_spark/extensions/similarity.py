@@ -1015,3 +1015,103 @@ def pq_topk(
         exploded, ["query_id"],
         [F.col("adc_dist").asc(), F.col(id_col).asc()], k,
     )
+
+
+def ivf_drift_audit(
+    base: DataFrame,
+    new: DataFrame,
+    centroids=None,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental-index maintenance: assign a new embedding increment
+    to the FROZEN IVF coarse quantizer and audit drift per cell — the
+    operational answer to "when do we re-train the index" at 100 TB,
+    where re-clustering the corpus per increment is off the table.
+
+    One Arrow matmul kernel assigns base∪new map-side (broadcast
+    centroids, no shuffle before the k-row cell aggregate); per cell:
+    old/new populations, growth, and mean assignment similarity of
+    each population. A cell whose new members sit much further from
+    its centroid than the old ones (``sim_drift`` > 0) is where the
+    increment's distribution has left the index behind.
+
+    Cross-engine float discipline: the per-vector similarity is
+    rounded (the shared rounded-argmax convention), then accumulated
+    as integer MICRO-UNITS (sum of round(sim*1e6) as bigint) so the
+    mean is a ratio of exact integers — no float-summation-order
+    drift between Spark and the oracle.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            base, vec_col=vec_col, id_col=id_col, k=n_clusters
+        )
+    Cm = np.asarray(centroids, dtype="float64")
+
+    @F.pandas_udf("struct<cell:int,sim:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        d = np.round(X @ Cm.T, 6)
+        cell = np.argmax(d, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype("int32"),
+                "sim": d[np.arange(len(cell)), cell],
+            }
+        )
+
+    both = base.select(
+        F.col(vec_col).alias("__v"), F.lit(False).alias("__new")
+    ).unionByName(
+        new.select(F.col(vec_col).alias("__v"), F.lit(True).alias("__new"))
+    )
+    lab = both.select(
+        assign(F.col("__v")).alias("__a"), "__new"
+    ).select(
+        F.col("__a.cell").alias("cell"),
+        F.round(F.col("__a.sim") * 1e6).cast("bigint").alias("__micro"),
+        "__new",
+    )
+    agg = lab.groupBy("cell").agg(
+        F.sum(F.when(~F.col("__new"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("__new"), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(~F.col("__new"), F.col("__micro")).otherwise(0)
+        ).alias("__mb"),
+        F.sum(
+            F.when(F.col("__new"), F.col("__micro")).otherwise(0)
+        ).alias("__mn"),
+    )
+    mean_b = F.when(
+        F.col("n_base") > 0,
+        F.round(
+            F.col("__mb").cast("double") / F.col("n_base") / 1e6,
+            round_digits,
+        ),
+    )
+    mean_n = F.when(
+        F.col("n_new") > 0,
+        F.round(
+            F.col("__mn").cast("double") / F.col("n_new") / 1e6,
+            round_digits,
+        ),
+    )
+    return agg.select(
+        "cell",
+        "n_base",
+        "n_new",
+        mean_b.alias("mean_sim_base"),
+        mean_n.alias("mean_sim_new"),
+        F.when(
+            (F.col("n_base") > 0) & (F.col("n_new") > 0),
+            F.round(mean_b - mean_n, round_digits),
+        ).alias("sim_drift"),
+        F.round(
+            F.col("n_new").cast("double")
+            / F.greatest(F.col("n_base"), F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("growth"),
+    )

@@ -2915,6 +2915,130 @@ if _ivf_sql is not None:
     ORACLES["embedding_ivf"] = _ivf_sql
 
 
+def _ivf_drift_oracle_sql() -> str | None:
+    """Incremental-IVF drift oracle: rounded-argmax assignment from
+    the shared centroid literals (frozen index), per-cell populations
+    split on the increment predicate, and means recomputed from the
+    SAME integer micro-unit sums as the Spark side (sum of
+    round(sim*1e6) as BIGINT, mean = ratio of exact integers)."""
+    values = _centroid_values_sql()
+    if values is None:
+        return None
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+ed AS (
+  SELECT e.vec_id, c.cell, {_CENT_NDOT} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell, d FROM ed
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+lab AS (
+  SELECT cell,
+    CAST(round(d * 1000000) AS BIGINT) AS micro,
+    (vec_id % 10 = 0) AS isnew
+  FROM assign
+),
+agg AS (
+  SELECT cell,
+    CAST(sum(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_base,
+    CAST(sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+    CAST(sum(CASE WHEN NOT isnew THEN micro ELSE 0 END) AS BIGINT)
+      AS mb,
+    CAST(sum(CASE WHEN isnew THEN micro ELSE 0 END) AS BIGINT) AS mn
+  FROM lab GROUP BY cell
+)
+SELECT cell, n_base, n_new,
+  CASE WHEN n_base > 0
+    THEN round(CAST(mb AS DOUBLE) / n_base / 1000000, 6) END
+    AS mean_sim_base,
+  CASE WHEN n_new > 0
+    THEN round(CAST(mn AS DOUBLE) / n_new / 1000000, 6) END
+    AS mean_sim_new,
+  CASE WHEN n_base > 0 AND n_new > 0
+    THEN round(round(CAST(mb AS DOUBLE) / n_base / 1000000, 6)
+             - round(CAST(mn AS DOUBLE) / n_new / 1000000, 6), 6) END
+    AS sim_drift,
+  round(CAST(n_new AS DOUBLE) / GREATEST(n_base, 1), 6) AS growth
+FROM agg
+"""
+
+
+_ivf_drift_sql = _ivf_drift_oracle_sql()
+if _ivf_drift_sql is not None:
+    ORACLES["incremental_ivf_drift"] = _ivf_drift_sql
+
+
+def _semantic_contam_oracle_sql() -> str | None:
+    """Semantic-contamination oracle: the held/corpus split (with the
+    planted verbatim leaks re-injected at shifted ids), cell
+    assignment from the shared centroid literals, and the same-cell
+    cosine rollup — all replayed from scratch."""
+    values = _centroid_values_sql()
+    if values is None:
+        return None
+    cos = _cosine_sql("cc.embedding", "hh.embedding")
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS c(cell, cv)
+),
+held AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+  UNION ALL
+  SELECT vec_id + {C.CONTAM_PLANT_ID_SHIFT}, embedding FROM held
+  WHERE ((vec_id - {C.CONTAM_RESIDUE}) // {C.CONTAM_MOD})
+        % {C.CONTAM_PLANT_MOD} = 0
+),
+hd AS (
+  SELECT e.vec_id, e.embedding, c.cell, {_CENT_NDOT} AS d
+  FROM held e CROSS JOIN cents c
+),
+hassign AS (
+  SELECT vec_id, embedding, cell FROM hd
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+cd AS (
+  SELECT e.vec_id, e.embedding, c.cell, {_CENT_NDOT} AS d
+  FROM corpus e CROSS JOIN cents c
+),
+cassign AS (
+  SELECT vec_id, embedding, cell FROM cd
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+),
+pairs AS (
+  SELECT hh.vec_id, round({cos}, 6) AS sim
+  FROM cassign cc JOIN hassign hh ON cc.cell = hh.cell
+)
+SELECT vec_id,
+  CAST(count(*) AS BIGINT) AS n_candidates,
+  CAST(sum(CASE WHEN sim >= {C.SEMCONTAM_THRESHOLD} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_contaminated,
+  max(sim) AS max_sim
+FROM pairs GROUP BY vec_id
+"""
+
+
+_semcontam_sql = _semantic_contam_oracle_sql()
+if _semcontam_sql is not None:
+    ORACLES["contamination_semantic"] = _semcontam_sql
+
+
 def _bpe_oracle_sql() -> str | None:
     """Subword-tokenizer oracle: the vocabulary literals come from the
     SAME training routine the Spark query uses (lowest-id sample, BPE

@@ -157,6 +157,9 @@ CONTAM_RESIDUE = 3
 CONTAM_SHINGLE_WORDS = 8
 CONTAM_PLANT_MOD = 5  # held docs with (doc_id/CONTAM_MOD) % PLANT_MOD == 0 are
 CONTAM_PLANT_ID_SHIFT = 10_000_000  # re-injected into the corpus (planted leak)
+SEMCONTAM_THRESHOLD = 0.9  # cosine gate for EMBEDDING-space contamination:
+# high enough that organic synthetic-embedding pairs stay below it, so the
+# contaminated set is dominated by the planted verbatim leaks (sim 1.0)
 PYRAMID_FACTORS = (16, 64, 256)  # overview levels (block sizes)
 UPSAMPLE_FACTOR = 8  # 'native' mode integer upsampling
 

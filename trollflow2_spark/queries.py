@@ -4982,6 +4982,29 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance, joining the incremental tier
+    (dedup/LSH/corpus-stats) on the vector side: the frozen IVF coarse
+    quantizer (the SAME deterministic k-means as every IVF query)
+    assigns a daily increment (vec_id % 10 == 0) next to the indexed
+    base, and the per-cell audit — populations, growth, mean
+    assignment similarity in integer micro-units — is what decides a
+    re-train. The oracle replays assignment from the shared centroid
+    literals and the same micro-unit arithmetic."""
+    from trollflow2_spark.extensions.similarity import (
+        ivf_drift_audit,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=C.IVF_N_CLUSTERS)
+    return ivf_drift_audit(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        centroids=cents,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions: text analysis
 
@@ -7630,6 +7653,39 @@ def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_overlap(corpus, held)
 
 
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination — catches eval examples whose
+    PARAPHRASE sits in train (no shared shingle, same neighborhood).
+    Held set mirrors the text-tier convention (vec_id % CONTAM_MOD ==
+    RESIDUE) with the planted-leak subset re-injected verbatim at
+    shifted ids (guaranteed sim-1.0 hits); candidates = same frozen
+    IVF cell (shared rounded-argmax + centroid literals), exact cosine
+    verify, per-held rollup. The oracle replays cells, the planted
+    union and the cosine from the same centroid literals."""
+    from trollflow2_spark.extensions.contamination import (
+        semantic_contamination,
+    )
+    from trollflow2_spark.extensions.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    held = emb.filter(F.col("vec_id") % C.CONTAM_MOD == C.CONTAM_RESIDUE)
+    rest = emb.filter(F.col("vec_id") % C.CONTAM_MOD != C.CONTAM_RESIDUE)
+    plant = held.filter(
+        F.expr(
+            f"((vec_id - {C.CONTAM_RESIDUE}) div {C.CONTAM_MOD})"
+            f" % {C.CONTAM_PLANT_MOD} = 0"
+        )
+    ).select(
+        (F.col("vec_id") + C.CONTAM_PLANT_ID_SHIFT).alias("vec_id"),
+        "embedding",
+    )
+    corpus = rest.select("vec_id", "embedding").unionByName(plant)
+    cents = kmeans_centroids(emb, k=C.IVF_N_CLUSTERS)
+    return semantic_contamination(
+        corpus, held, cents, C.SEMCONTAM_THRESHOLD
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -7757,6 +7813,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "contamination_check": q_contamination_check,
     "contamination_exact": q_contamination_exact,
+    "contamination_semantic": q_contamination_semantic,
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
@@ -7779,6 +7836,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_ann": q_embedding_ann,
     "embedding_ivf": q_embedding_ivf,
+    "incremental_ivf_drift": q_incremental_ivf_drift,
     "embedding_neardup": q_embedding_neardup,
     "simhash_pairs": q_simhash_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
