@@ -169,6 +169,56 @@ def _stage_pii_scrub(df: DataFrame, **params) -> DataFrame:
     )
 
 
+@register_corpus_stage("decontaminate")
+def _stage_decontaminate(
+    df: DataFrame,
+    mod: int | None = None,
+    residue: int | None = None,
+    min_hits: int = 1,
+    shingle_words: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination as a recipe stage (the GPT-3 n-gram
+    filter shape): held-out docs (the id-convention eval set) leave
+    the corpus entirely, and training docs sharing >= ``min_hits``
+    distinct word shingles with the held set drop.
+
+    100 TB shape: the held shingle-digest set is eval-sized ->
+    broadcast; corpus shingles filter MAP-SIDE against it (broadcast
+    semi-join in the scan stage), so only matching digests reach the
+    per-doc hit count, and the final keep is a left-anti on the id.
+    """
+    from trollflow2_spark import qconst as C
+    from trollflow2_spark.functions.hashing import hash64, word_shingles
+
+    mod = C.CONTAM_MOD if mod is None else int(mod)
+    residue = C.CONTAM_RESIDUE if residue is None else int(residue)
+    shingle_words = (
+        C.CONTAM_SHINGLE_WORDS if shingle_words is None
+        else int(shingle_words)
+    )
+    held = df.filter(F.col("doc_id") % mod == residue)
+    corpus = df.filter(F.col("doc_id") % mod != residue)
+
+    def sh(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(
+                word_shingles(F.col("text"), shingle_words)
+            ).alias("__s"),
+        ).select("doc_id", hash64(F.col("__s")).alias("__h"))
+
+    held_set = F.broadcast(sh(held).select("__h").distinct())
+    bad = (
+        sh(corpus)
+        .join(held_set, "__h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("__h").alias("__hits"))
+        .filter(F.col("__hits") >= int(min_hits))
+        .select("doc_id")
+    )
+    return corpus.join(bad, "doc_id", "left_anti")
+
+
 def run_recipe(df: DataFrame, recipe: list[dict[str, Any]]) -> DataFrame:
     """Fold the recipe's stages over the corpus, by name.
 

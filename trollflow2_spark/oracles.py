@@ -4106,6 +4106,48 @@ FROM s
 # messy URLs, then hashes THAT group key — every doc of a registrable
 # domain lands in one split no matter how its URLs are spelled
 _PSL_IN = ", ".join(f"'{s}'" for s in C.PSL_2LD)
+
+# WAT->frontier capstone: rebuild the planted messy link strings
+# closed-form (absolute uppercase/default-port/tracking link + the
+# root-relative href resolved against the subdomain origin), then
+# replay the host regex + PSL eTLD+1 rule — the group_split chain
+# applied to the WAT link graph — and roll up per registrable domain.
+ORACLES["wat_frontier"] = f"""
+WITH links AS (
+  SELECT doc_id,
+    'HTTPS://WWW.Site' || ((doc_id + 1) % 20) || '.CO.UK:443/x/'
+      || doc_id || '?utm_source=z&b=1#f' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+    'http://sub.site' || (doc_id % 20) || '.co.uk/rel/'
+      || (doc_id % 5) AS url
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(regexp_extract(
+      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      '^([^/?#]*)', 1)), '^[^@]*@', ''), ':[0-9]+$', '') AS host
+  FROM links
+), lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS ls FROM h
+), d AS (
+  SELECT doc_id, host,
+    CASE
+      WHEN len(ls) <= 1 THEN host
+      WHEN (ls[-2] || '.' || ls[-1]) IN ({{psl}}) AND len(ls) >= 3
+        THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+      ELSE ls[-2] || '.' || ls[-1]
+    END AS domain
+  FROM lab
+)
+SELECT domain,
+  CAST(count(*) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_source_docs,
+  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM d GROUP BY domain
+""".replace("{psl}", _PSL_IN)
+
 ORACLES["group_split"] = f"""
 WITH u AS (
   SELECT doc_id,
@@ -4352,6 +4394,42 @@ SELECT doc_id, {HASH64_SQL(_NORM_TEXT)} AS text_hash
 FROM documents
 WHERE doc_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
   AND {HASH64_SQL(_NORM_TEXT)} IN (SELECT text_hash FROM corp)
+"""
+
+# decontamination recipe capstone: held shingle digests -> distinct-hit
+# floor -> digest-window dedup -> split CASE, one SQL chain
+ORACLES["corpus_recipe_decontam"] = f"""
+WITH heldsh AS (
+  SELECT DISTINCT {HASH64_SQL('sh')} AS h FROM (
+    SELECT unnest({_CONTAM_SH}) AS sh
+    FROM documents WHERE doc_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
+  )
+),
+corpsh AS (
+  SELECT DISTINCT doc_id, {HASH64_SQL('sh')} AS h FROM (
+    SELECT doc_id, unnest({_CONTAM_SH}) AS sh
+    FROM documents WHERE doc_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+  )
+),
+bad AS (
+  SELECT doc_id FROM corpsh JOIN heldsh USING (h)
+  GROUP BY doc_id HAVING count(*) >= {C.DECONTAM_MIN_HITS}
+),
+kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+    AND doc_id NOT IN (SELECT doc_id FROM bad)
+),
+ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      min(doc_id) OVER (PARTITION BY md5(text)) AS kid
+    FROM kept
+  ) WHERE doc_id = kid
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+  {_split_case_sql()} AS split
+FROM ded
 """
 
 # --- multimodal ------------------------------------------------------------

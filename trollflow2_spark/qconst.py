@@ -157,6 +157,8 @@ CONTAM_RESIDUE = 3
 CONTAM_SHINGLE_WORDS = 8
 CONTAM_PLANT_MOD = 5  # held docs with (doc_id/CONTAM_MOD) % PLANT_MOD == 0 are
 CONTAM_PLANT_ID_SHIFT = 10_000_000  # re-injected into the corpus (planted leak)
+DECONTAM_MIN_HITS = 2  # recipe decontamination: corpus docs sharing >= this
+# many distinct held-set shingles drop (the GPT-3 n-gram filter shape)
 SEMCONTAM_THRESHOLD = 0.9  # cosine gate for EMBEDDING-space contamination:
 # high enough that organic synthetic-embedding pairs stay below it, so the
 # contaminated set is dominated by the planted verbatim leaks (sim 1.0)

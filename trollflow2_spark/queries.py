@@ -1615,6 +1615,74 @@ def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier rollup straight from WAT metadata — the sidecar
+    intake composed with the URL tier: planted WAT records carry MESSY
+    outlinks (uppercase scheme/host, default port, tracking params,
+    fragment, and a root-relative href against a subdomain origin);
+    ``wat_outlinks`` resolves them, then ``host_of_url ->
+    registrable_domain`` (PSL) keys the per-domain frontier stats a
+    scheduler budgets by. Whole chain is scan-stage Column algebra +
+    one hash agg. The oracle rebuilds the messy link strings
+    closed-form and replays the host regex + PSL rule in SQL (the
+    group_split chain applied to the WAT link graph)."""
+    import json as _json
+
+    from trollflow2_spark.sources.warc import (
+        host_of_url,
+        registrable_domain,
+        wat_outlinks,
+    )
+
+    def build(d):
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": f"Doc {d}"},
+                            "Links": [
+                                {
+                                    "path": "A@/href",
+                                    "url": (
+                                        f"HTTPS://WWW.Site{(d + 1) % 20}"
+                                        f".CO.UK:443/x/{d}"
+                                        "?utm_source=z&b=1#f"
+                                    ),
+                                },
+                                {"path": "A@/href",
+                                 "url": f"/rel/{d % 5}"},
+                            ],
+                        }
+                    }
+                }
+            }
+        }
+        return [
+            (
+                "metadata",
+                {"WARC-Target-URI":
+                 f"http://sub.site{d % 20}.co.uk/p/{d}"},
+                "application/json",
+                _json.dumps(env).encode(),
+            )
+        ]
+
+    recs = _warc_fixture_records(spark, sf_dir, build)
+    links = wat_outlinks(recs).select(
+        "doc_id", host_of_url(F.col("link_url")).alias("host")
+    )
+    return (
+        links.withColumn("domain", registrable_domain(F.col("host")))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_source_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
 def q_crawl_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE composition — raw crawl to training examples in one
     DataFrame plan: the full crawl-preprocessing chain
@@ -7653,6 +7721,35 @@ def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_overlap(corpus, held)
 
 
+def q_corpus_recipe_decontam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination wired INTO the config-driven recipe tier: a
+    name-addressed decontaminate -> exact_dedup -> split chain — the
+    pre-training gate that removes the eval set AND its n-gram
+    leakage from train before splitting. The oracle replays the held
+    shingle-digest semi-join, the distinct-hit floor, the digest
+    window and the split CASE as one SQL chain."""
+    from trollflow2_spark.extensions.recipe import run_recipe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recipe = [
+        {"stage": "decontaminate", "min_hits": C.DECONTAM_MIN_HITS},
+        {"stage": "exact_dedup"},
+        {
+            "stage": "split",
+            "fractions": dict(C.SPLIT_FRACS),
+            "seed": C.SPLIT_SEED,
+        },
+    ]
+    out = run_recipe(docs, recipe)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "split",
+    )
+
+
 def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space contamination — catches eval examples whose
     PARAPHRASE sits in train (no shared shingle, same neighborhood).
@@ -7844,6 +7941,7 @@ QUERIES = {
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "scrub_repeated_spans": q_scrub_repeated_spans,
     "corpus_recipe": q_corpus_recipe,
+    "corpus_recipe_decontam": q_corpus_recipe_decontam,
     "corpus_recipe_replay": q_corpus_recipe_replay,
     "corpus_recipe_neardup_replay": q_corpus_recipe_neardup_replay,
     "lsh_recall_audit": q_lsh_recall_audit,
@@ -7864,6 +7962,7 @@ QUERIES = {
     "warc_ingest_br": q_warc_ingest_br,
     "wet_ingest": q_wet_ingest,
     "wat_outlinks": q_wat_outlinks,
+    "wat_frontier": q_wat_frontier,
     "url_canonicalize": q_url_canonicalize,
     "domain_rollup": q_domain_rollup,
     "semantic_dedup": q_semantic_dedup,
