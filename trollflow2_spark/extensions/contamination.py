@@ -271,6 +271,7 @@ def semantic_contamination(
     held: DataFrame,
     centroids,
     threshold: float,
+    n_probe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
@@ -286,10 +287,11 @@ def semantic_contamination(
     map-side, and only same-cell pairs are scored exactly — at 100 TB
     the eval side is small by definition, so its (cell, vec) rows
     broadcast and the corpus never shuffles; cosine verify + the
-    per-held rollup are the only aggregation. Within-cell exactness is
-    the same documented recall boundary as SemDeDup (a >=threshold
-    pair split across cells is missed; the cell histogram audits how
-    much mass sits near boundaries).
+    per-held rollup are the only aggregation. The held side probes its
+    ``n_probe`` nearest cells (the ivf_topk trade: scan fraction for
+    recall), which closes most of the cell-boundary miss; what remains
+    past the probed cells is the same documented recall boundary as
+    SemDeDup, audited by the cell histogram.
 
     Output per held vector with >=1 same-cell corpus neighbor:
     (vec_id, n_candidates, n_contaminated, max_sim).
@@ -315,11 +317,23 @@ def semantic_contamination(
         F.col(vec_col).alias("__cvec"),
         assign_cell(F.col(vec_col)).alias("__cell"),
     )
+    probe = int(n_probe)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        d = np.round(X @ Cm.T, 6)
+        order = np.argsort(-d, axis=1, kind="stable")[:, :probe]
+        return pd.Series(list(order.astype("int32")))
+
     h = F.broadcast(
         held.select(
             F.col(id_col),
             F.col(vec_col).alias("__hvec"),
-            assign_cell(F.col(vec_col)).alias("__cell"),
+            F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
         )
     )
     pairs = c.join(h, "__cell").select(

@@ -3010,7 +3010,7 @@ hd AS (
 hassign AS (
   SELECT vec_id, embedding, cell FROM hd
   QUALIFY row_number() OVER (
-    PARTITION BY vec_id ORDER BY d DESC, cell ASC) = 1
+    PARTITION BY vec_id ORDER BY d DESC, cell ASC) <= 3
 ),
 cd AS (
   SELECT e.vec_id, e.embedding, c.cell, {_CENT_NDOT} AS d

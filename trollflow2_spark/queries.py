@@ -7756,8 +7756,9 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Held set mirrors the text-tier convention (vec_id % CONTAM_MOD ==
     RESIDUE) with the planted-leak subset re-injected verbatim at
     shifted ids (guaranteed sim-1.0 hits); candidates = same frozen
-    IVF cell (shared rounded-argmax + centroid literals), exact cosine
-    verify, per-held rollup. The oracle replays cells, the planted
+    IVF cells — the held side multi-probes its IVF_N_PROBE nearest
+    cells (scan fraction for recall) — exact cosine verify, per-held
+    rollup. The oracle replays cells, the planted
     union and the cosine from the same centroid literals."""
     from trollflow2_spark.extensions.contamination import (
         semantic_contamination,
@@ -7779,7 +7780,8 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = rest.select("vec_id", "embedding").unionByName(plant)
     cents = kmeans_centroids(emb, k=C.IVF_N_CLUSTERS)
     return semantic_contamination(
-        corpus, held, cents, C.SEMCONTAM_THRESHOLD
+        corpus, held, cents, C.SEMCONTAM_THRESHOLD,
+        n_probe=C.IVF_N_PROBE,
     )
 
 
