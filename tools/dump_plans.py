@@ -135,6 +135,31 @@ FLAGSHIP = [
      "Compaction planner: one per-stratum window over the "
      "manifest-sized file table — a single exchange on the stratum "
      "key, everything else map-side."),
+    ("wet_ingest",
+     "WET sidecar intake: planted .wet.gz round-trip through the real "
+     "WARC parser in one Arrow mapInPandas stage; text/line-count "
+     "derivation is scan-stage Column algebra. The single Exchange is "
+     "the fixture's deliberate repartition (spread the planted-blob "
+     "build); the intake itself adds none."),
+    ("wat_frontier",
+     "WAT -> frontier: typed from_json + posexplode + host/PSL regexp "
+     "algebra all in the scan stage; the only shuffles are the "
+     "two-phase distinct aggregate's pair of exchanges for the "
+     "per-domain rollup (plus the fixture repartition)."),
+    ("incremental_ivf_drift",
+     "Frozen-quantizer increment audit: one Arrow matmul assignment "
+     "pass over base-union-increment; the only exchange carries the "
+     "k-row per-cell aggregate."),
+    ("contamination_semantic",
+     "Embedding-space contamination: corpus assigned map-side, the "
+     "multi-probed held side broadcasts (BroadcastHashJoin on the "
+     "cell) — the corpus never hash-partitions; one exchange for the "
+     "per-held rollup."),
+    ("corpus_recipe_decontam",
+     "Decontaminate -> dedup -> split recipe: held shingle digests "
+     "broadcast into a map-side semi-join, leaky ids leave via "
+     "left-anti, then the digest window and the map-side split "
+     "predicate."),
 ]
 
 
