@@ -502,3 +502,49 @@ def test_hybrid_multi_topk_is_two_stage_salted(spark, sf):
     plan = plan_of(spark, "hybrid_multi_retrieval", sf)
     assert plan.count("Window") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_wet_wat_intake_stay_in_scan_stage(spark, sf):
+    """The sidecar projections add no shuffle of their own: the only
+    Exchange in wet_ingest is the fixture's deliberate repartition,
+    and wat_frontier adds only the distinct-agg pair for the domain
+    rollup. No Python beyond the single fixture/parse kernel."""
+    plan = plan_of(spark, "wet_ingest", sf)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    plan = plan_of(spark, "wat_frontier", sf)
+    # fixture repartition + two-phase distinct aggregate
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert "BatchEvalPython" not in plan  # from_json is JVM-side
+
+
+def test_ivf_drift_single_map_pass(spark, sf):
+    """The drift audit's only exchange carries the k-row per-cell
+    aggregate; assignment is one Arrow kernel over the union — the
+    corpus never hash-partitions on anything else."""
+    plan = plan_of(spark, "incremental_ivf_drift", sf)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_contamination_broadcasts_held(spark, sf):
+    """The held (eval) side broadcasts into the cell join; the corpus
+    side reaches the join straight from its scan+assignment with no
+    Exchange below the join — the 100 TB property."""
+    plan = plan_of(spark, "contamination_semantic", sf)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # only the per-held rollup shuffles
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_decontaminate_broadcast_semi_anti(spark, sf):
+    """Decontamination's held digests broadcast (LeftSemi) and the
+    leaky-id removal is a broadcast LeftAnti — the corpus is never
+    the build side and never sort-merge-joins."""
+    plan = plan_of(spark, "corpus_recipe_decontam", sf)
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
