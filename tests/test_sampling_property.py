@@ -274,3 +274,28 @@ def test_weighted_sample_biases_toward_weight(spark):
     assert all(r["doc_id"] < 1000 for r in out)  # w <= 0 excluded
     again = weighted_sample_topk(df, "w", 50, strata_col="source").collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_epoch_mixture_full_and_partial_epochs(spark):
+    from trollflow2_spark.extensions.sampling import epoch_mixture
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = epoch_mixture(
+        df, {"s0": 2.5, "s1": 0.25}, seed=29
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["source"], r["epoch"]), set()).add(r["doc_id"])
+    # s0: two FULL epochs (every doc) + a ~half partial epoch
+    assert len(by[("s0", 0)]) == 200 and len(by[("s0", 1)]) == 200
+    assert 60 <= len(by[("s0", 2)]) <= 140
+    # s1: no full epoch, one ~quarter partial
+    assert ("s1", 1) not in by
+    assert 20 <= len(by[("s1", 0)]) <= 80
+    # partial epochs are subsets of the full doc set and deterministic
+    out2 = epoch_mixture(df, {"s0": 2.5, "s1": 0.25}, seed=29).collect()
+    assert sorted((r["doc_id"], r["source"], r["epoch"]) for r in out) == \
+        sorted((r["doc_id"], r["source"], r["epoch"]) for r in out2)

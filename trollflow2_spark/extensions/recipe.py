@@ -169,6 +169,18 @@ def _stage_pii_scrub(df: DataFrame, **params) -> DataFrame:
     )
 
 
+@register_corpus_stage("epoch_mixture")
+def _stage_epoch_mixture(df: DataFrame, **params) -> DataFrame:
+    """Fan each source out to its repeat-factor epochs (adds an
+    ``epoch`` column; factor 2.5 = two full + a half partial epoch)."""
+    from trollflow2_spark.extensions.sampling import epoch_mixture
+
+    factors = params.pop("factors")
+    if isinstance(factors, list):  # YAML pairs
+        factors = dict(factors)
+    return epoch_mixture(df, factors, **params)
+
+
 @register_corpus_stage("decontaminate")
 def _stage_decontaminate(
     df: DataFrame,

@@ -88,6 +88,62 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def epoch_mixture(
+    df: DataFrame,
+    factors: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_factor: float = 1.0,
+    seed: int | None = 29,
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-aware source mixture — the repeat-factor convention of
+    LLM data recipes: factor 2.5 for a source means two full epochs of
+    it plus a deterministic half epoch; factor 0.4 is a plain 40 %
+    subsample (zero full epochs).
+
+    Each row fans out to its epochs with a map-side
+    ``explode(sequence(0, n_full))`` (bounded by ceil of the largest
+    factor); the last epoch is the partial one and keeps rows whose
+    portable hash bucket clears the fractional threshold. The
+    (n_full, threshold) pair per source is precomputed driver-side as
+    INTEGERS (exact to 0.01 %), so no float arithmetic differs between
+    engines. Pure map-side fan-out + predicate: no RNG, no shuffle —
+    a 3-epoch source at 100 TB is three scan-stage row emissions, not
+    three copies on disk.
+    """
+    import math
+
+    def parts(f: float) -> tuple[int, int]:
+        n = int(math.floor(float(f)))
+        return n, int(round((float(f) - n) * RATE_BUCKETS))
+
+    dn, dthr = parts(default_factor)
+    n_full: Column = F.lit(dn)
+    thr: Column = F.lit(dthr)
+    for value, f in sorted(factors.items()):
+        n, t = parts(f)
+        n_full = F.when(F.col(strata_col) == value, F.lit(n)).otherwise(
+            n_full
+        )
+        thr = F.when(F.col(strata_col) == value, F.lit(t)).otherwise(thr)
+    bucket = _rate_bucket(F.col(id_col), seed)
+    out = (
+        df.withColumn("__nf", n_full)
+        .withColumn("__thr", thr)
+        .withColumn(
+            out_col, F.explode(F.sequence(F.lit(0), F.col("__nf")))
+        )
+    )
+    return (
+        out.filter(
+            (F.col(out_col) < F.col("__nf")) | (bucket < F.col("__thr"))
+        )
+        .withColumn(out_col, F.col(out_col).cast("int"))
+        .drop("__nf", "__thr")
+    )
+
+
 #: hash range for ordinal ordering (2^31 — coarse buckets are a prefix
 #: of this order, so bucketed ordinals equal the global hash order)
 ORD_HASH_MOD = 1 << 31

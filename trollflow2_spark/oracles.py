@@ -4185,6 +4185,41 @@ FROM d
 _RATE_CASE = "CASE source " + " ".join(
     f"WHEN '{v}' THEN {r}" for v, r in sorted(C.SAMPLE_RATES)
 ) + f" ELSE {C.SAMPLE_DEFAULT_RATE} END"
+# epoch-aware mixture: per-source (n_full, partial-epoch threshold)
+# precomputed as the SAME integers the Spark side embeds
+def _epoch_cases() -> tuple[str, str]:
+    import math
+
+    def parts(f: float) -> tuple[int, int]:
+        n = int(math.floor(float(f)))
+        return n, int(round((float(f) - n) * 10000))
+
+    nf = "CASE source " + " ".join(
+        f"WHEN '{v}' THEN {parts(f)[0]}"
+        for v, f in sorted(C.EPOCH_FACTORS)
+    ) + f" ELSE {parts(1.0)[0]} END"
+    thr = "CASE source " + " ".join(
+        f"WHEN '{v}' THEN {parts(f)[1]}"
+        for v, f in sorted(C.EPOCH_FACTORS)
+    ) + f" ELSE {parts(1.0)[1]} END"
+    return nf, thr
+
+
+_EPOCH_NF, _EPOCH_THR = _epoch_cases()
+ORACLES["epoch_mixture"] = f"""
+WITH f AS (
+  SELECT doc_id, source, ({_EPOCH_NF}) AS nf, ({_EPOCH_THR}) AS thr,
+    {_rate_bucket_sql(C.EPOCH_SEED)} AS b
+  FROM documents
+), e AS (
+  SELECT doc_id, source, nf, thr, b,
+    unnest(range(0, nf + 1)) AS epoch
+  FROM f
+)
+SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+FROM e WHERE epoch < nf OR b < thr
+"""
+
 ORACLES["stratified_sample"] = f"""
 SELECT doc_id, source FROM documents
 WHERE {_rate_bucket_sql(C.SAMPLE_SEED)}

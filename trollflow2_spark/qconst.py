@@ -317,6 +317,10 @@ BM25_B = 0.75  # length normalization
 BM25_TERMS = ("customer", "vector", "stream")  # contract query terms
 
 # --- weighted sampling (Efraimidis-Spirakis) --------------------------------
+EPOCH_FACTORS = (("src0", 2.5), ("src1", 1.25), ("src2", 0.4),
+                 ("src3", 3.0))  # per-source repeat factors (others 1.0):
+# full epochs + a deterministic partial epoch, the LLM-recipe convention
+EPOCH_SEED = 29
 WSAMPLE_SEED = 23
 WSAMPLE_K = 5  # survivors per stratum
 WSAMPLE_ROUND = 9  # key rounding before ranking (cross-engine pow ulp)

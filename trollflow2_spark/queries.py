@@ -7721,6 +7721,23 @@ def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_overlap(corpus, held)
 
 
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware source mixture — the repeat-factor convention of
+    LLM data recipes (factor 2.5 = two full epochs + a deterministic
+    half epoch; 0.4 = a 40 % subsample). Map-side sequence explode
+    bounded by ceil(max factor) + the portable bucket predicate for
+    the partial epoch; per-source (n_full, threshold) precomputed as
+    integers so no float differs between engines. The oracle replays
+    the fan-out and predicate with the same integer literals."""
+    from trollflow2_spark.extensions.sampling import epoch_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = epoch_mixture(
+        docs, dict(C.EPOCH_FACTORS), seed=C.EPOCH_SEED
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
 def q_corpus_recipe_decontam(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7986,6 +8003,7 @@ QUERIES = {
     "split_leakage_audit": q_split_leakage_audit,
     "embedding_ivf_quantized": q_embedding_ivf_quantized,
     "host_pagerank": q_host_pagerank,
+    "epoch_mixture": q_epoch_mixture,
     "temperature_mixture": q_temperature_mixture,
     "event_time_windows": q_event_time_windows,
     "incremental_dedup": q_incremental_dedup,
