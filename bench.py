@@ -241,6 +241,15 @@ OPERATORS = [
     "corpus_recipe_neardup_replay",  # incremental NEAR-dup recipe replay
     "compaction_from_audit",  # footer audit composed into merge bins
     "lsh_recall_audit",  # measured LSH recall/precision vs exact jaccard
+    # round 9, second pass
+    "bpe_train",  # DISTRIBUTED BPE training (corpus pass + vocab-table merges)
+    "wet_ingest",  # WET sidecar: conversion-record text projection
+    "wat_outlinks",  # WAT sidecar: typed JSON envelope -> title + outlinks
+    "wat_frontier",  # WAT links -> registrable-domain frontier rollup
+    "incremental_ivf_drift",  # frozen-quantizer increment assignment audit
+    "contamination_semantic",  # embedding-space (paraphrase) contamination
+    "corpus_recipe_decontam",  # decontaminate -> dedup -> split recipe
+    "epoch_mixture",  # repeat-factor epochs (2.5 = 2 full + half partial)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.
