@@ -310,11 +310,16 @@ def semantic_contamination(
             np.argmax(np.round(X @ Cm.T, 6), axis=1).astype("int32")
         )
 
-    from trollflow2_spark.extensions.similarity import cosine
+    from trollflow2_spark.extensions.similarity import _dot, _norm
 
+    # norms are per-ROW facts: computing them before the join makes the
+    # per-pair work a single dot fold instead of the fused three-sum
+    # traversal — the accumulation order and therefore every double is
+    # bit-identical to cosine(), just not recomputed ~|cell| times
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
         assign_cell(F.col(vec_col)).alias("__cell"),
     )
     probe = int(n_probe)
@@ -333,13 +338,16 @@ def semantic_contamination(
         held.select(
             F.col(id_col),
             F.col(vec_col).alias("__hvec"),
+            _norm(F.col(vec_col)).alias("__hn"),
             F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
         )
     )
     pairs = c.join(h, "__cell").select(
         id_col,
         F.round(
-            cosine(F.col("__cvec"), F.col("__hvec")), round_digits
+            _dot(F.col("__cvec"), F.col("__hvec"))
+            / (F.col("__cn") * F.col("__hn")),
+            round_digits,
         ).alias("__sim"),
     )
     return pairs.groupBy(id_col).agg(
