@@ -85,13 +85,22 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    scored = df.crossJoin(q).select(
+    # norms hoisted above the join (per-ROW facts): the per-pair work is
+    # one dot fold; accumulation order — hence every double — matches
+    # the fused cosine() exactly (the embedding_neardup convention)
+    scored = df.withColumn("__vn", _norm(F.col(vec_col))).crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_digits).alias("cosine_sim"),
+        F.round(
+            _dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__vn") * F.col("__qn")),
+            round_digits,
+        ).alias("cosine_sim"),
     )
     # exclude self-matches when query ids come from the same table
     scored = scored.filter(F.col(id_col) != F.col(query_id_col))
@@ -397,18 +406,26 @@ def ivf_topk(
         order = np.argsort(-d, axis=1, kind="stable")[:, :probe].astype("int32")
         return pd.Series(list(order))
 
-    base = df.withColumn("__cell", assign_cell(F.col(vec_col)))
+    base = df.withColumn("__cell", assign_cell(F.col(vec_col))).withColumn(
+        "__vn", _norm(F.col(vec_col))
+    )
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
         ).withColumn("__cell", F.explode(probe_cells(F.col("__qvec"))))
     )
+    # norms hoisted above the join — bit-identical to cosine(), one dot
+    # fold per pair instead of the fused three-sum traversal
     scored = base.join(q, "__cell").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_digits).alias(
-            "cosine_sim"
-        ),
+        F.round(
+            _dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__vn") * F.col("__qn")),
+            round_digits,
+        ).alias("cosine_sim"),
     )
     scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     return topk_per_group(
@@ -798,17 +815,24 @@ def ann_bucketed_topk(
     with a real IVF (k-means coarse centroids) the cells are balanced by
     construction — the sign-bit variant keeps everything closed-form.
     """
-    base = df.withColumn("__cell", signbit_cell(F.col(vec_col), n_bits))
+    base = df.withColumn("__cell", signbit_cell(F.col(vec_col), n_bits)).withColumn(
+        "__vn", _norm(F.col(vec_col))
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
         ).withColumn("__cell", signbit_cell(F.col("__qvec"), n_bits))
     )
     scored = base.join(q, "__cell").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_digits).alias("cosine_sim"),
+        F.round(
+            _dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__vn") * F.col("__qn")),
+            round_digits,
+        ).alias("cosine_sim"),
     )
     scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     return topk_per_group(

@@ -7294,20 +7294,29 @@ def q_hybrid_multi_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qmap = spark.createDataFrame(
         list(C.HYBRID_VECS), "query_id int, __qvid bigint"
     )
+    from trollflow2_spark.extensions.similarity import _dot, _norm
+
     qv = F.broadcast(
         qmap.join(emb, qmap["__qvid"] == emb["vec_id"]).select(
-            "query_id", "__qvid", F.col("embedding").alias("__q")
+            "query_id",
+            "__qvid",
+            F.col("embedding").alias("__q"),
+            _norm(F.col("embedding")).alias("__qn"),
         )
     )
+    # norms hoisted above the join (bit-identical to cosine())
     scored = (
-        emb.crossJoin(qv)
+        emb.withColumn("__vn", _norm(F.col("embedding")))
+        .crossJoin(qv)
         .filter(F.col("vec_id") != F.col("__qvid"))
         .select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("__q")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                _dot(F.col("embedding"), F.col("__q"))
+                / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("cos"),
         )
     )
     cs_r = topk_per_group(
@@ -7412,17 +7421,23 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(w).alias("bm25_rank")
     )
 
+    from trollflow2_spark.extensions.similarity import _dot, _norm
+
     qv = emb.where(F.col("vec_id") == C.RRF_QUERY_VEC).select(
-        F.col("embedding").alias("__q")
+        F.col("embedding").alias("__q"),
+        _norm(F.col("embedding")).alias("__qn"),
     )
     cs_top = (
         emb.where(F.col("vec_id") != C.RRF_QUERY_VEC)
+        .withColumn("__vn", _norm(F.col("embedding")))
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("__q")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                _dot(F.col("embedding"), F.col("__q"))
+                / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("cos"),
         )
         .orderBy(F.desc("cos"), "doc_id")
         .limit(k)
