@@ -115,6 +115,10 @@ def epoch_mixture(
     import math
 
     def parts(f: float) -> tuple[int, int]:
+        if float(f) < 0:
+            # sequence(0, n_full) with a negative bound would emit a
+            # DESCENDING range (the F.sequence footgun) — fail fast
+            raise ValueError(f"epoch factor must be >= 0, got {f}")
         n = int(math.floor(float(f)))
         return n, int(round((float(f) - n) * RATE_BUCKETS))
 
