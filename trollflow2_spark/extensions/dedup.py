@@ -912,6 +912,41 @@ def duplicate_clusters(
     )
 
 
+def best_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick each duplicate cluster's highest-quality member instead of
+    the min-id canonical: production dedup should ship the BEST copy of
+    a near-dup family (longest, highest quality score), not whichever
+    happened to carry the smallest id. ``clusters`` is
+    :func:`duplicate_clusters` output; ``quality`` maps ``id_col`` to an
+    ordering column (higher wins, ties broken by smallest id for
+    determinism). Returns one row per cluster: the chosen
+    representative with its ``cluster_size`` and quality value.
+
+    Scale: the quality join is an id-equi-join AQE broadcasts when the
+    clustered side is small (post-LSH it usually is); the per-cluster
+    argmax is a window over the SAME (cluster_id) partitioning the
+    cluster_size window already established — narrow rows, one shuffle
+    class, no corpus re-scan.
+    """
+    joined = clusters.join(
+        quality.select(id_col, quality_col), id_col
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cluster_id", "cluster_size", quality_col)
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

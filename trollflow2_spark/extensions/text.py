@@ -591,6 +591,45 @@ def quality_filter(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_distinct: int = 2,
+    max_density_bp: int = 500,
+) -> DataFrame:
+    """Wordlist-based content filter (the NSFW/spam-blocklist gate every
+    production crawl runs): a document is dropped when it matches
+    ``min_distinct`` or more DISTINCT blocklist terms, or when blocklist
+    hits exceed ``max_density_bp`` basis points (1/10000) of its tokens
+    — the two-signal rule that keeps a single incidental slur from
+    nuking an article while still catching keyword-stuffed spam.
+
+    Scale: the blocklist is a plan literal (broadcast by construction);
+    matching is whole-word on the lowered token array — pure
+    higher-order Column algebra in the scan stage, zero shuffle. The
+    density gate cross-multiplies integers (``hits * 10000 >
+    bp * n_tokens``) so no float ratio ever forms — bit-identical in
+    any engine. Output keeps the evidence columns for the drop audit.
+    """
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    hits = F.filter(toks, lambda t: F.array_contains(term_arr, t))
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(hits).alias("n_hits"),
+        F.size(F.array_distinct(hits)).alias("n_distinct_hits"),
+    )
+    drop = (F.col("n_distinct_hits") >= min_distinct) | (
+        F.col("n_hits") * 10000 > max_density_bp * F.col("n_tokens")
+    )
+    return out.withColumn(
+        "keep", F.when(drop, F.lit(0)).otherwise(F.lit(1))
+    )
+
+
 def source_quality(
     df: DataFrame,
     text_col: str = "text",

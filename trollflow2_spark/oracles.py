@@ -3892,6 +3892,32 @@ SELECT rank, token, n_occurrences, n_docs FROM ranked
 WHERE rank <= {C.VOCAB_TOPK}
 """
 
+# blocklist gate: whole-word matches on the lowered token array;
+# distinct-term rule OR the integer cross-multiplied density rule
+_BL_TERMS = ", ".join(f"'{t}'" for t in C.BLOCKLIST_TERMS)
+ORACLES["blocklist_filter"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform({_TOKS}, x -> lower(x)) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> x IN ({_BL_TERMS}))) AS n_hits,
+    len(list_distinct(list_filter(toks, x -> x IN ({_BL_TERMS}))))
+      AS n_distinct_hits
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_hits AS INTEGER) AS n_hits,
+  CAST(n_distinct_hits AS INTEGER) AS n_distinct_hits,
+  CASE WHEN n_distinct_hits >= {C.BLOCKLIST_MIN_DISTINCT}
+         OR n_hits * 10000 > {C.BLOCKLIST_MAX_DENSITY_BP} * n_tokens
+    THEN 0 ELSE 1 END AS keep
+FROM m
+"""
+
 # quality_filter applies its thresholds to the SAME rounded metrics the
 # text_quality oracle computes, so the rule CASE reuses those fragments
 _QF_NTOK = f"CAST({_C_NTOK} AS BIGINT)"
@@ -5513,6 +5539,34 @@ WHERE c.doc_id = c.cluster_id
 
 
 ORACLES["corpus_recipe_neardup_replay"] = _recipe_neardup_oracle()
+
+# quality-preferred dedup: each cluster ships its highest-quality
+# member (n_chars desc, doc_id asc) — the argmax window over the same
+# recursive closure
+ORACLES["dedup_best_representative"] = _CC_CTES + """
+, cl_sized AS (
+  SELECT doc_id, cluster_id,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM clustered
+), ranked_q AS (
+  SELECT s.doc_id, s.cluster_id, s.cluster_size, d.n_chars,
+    row_number() OVER (PARTITION BY s.cluster_id
+                       ORDER BY d.n_chars DESC, s.doc_id ASC) AS rn
+  FROM cl_sized s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, n_chars
+FROM ranked_q WHERE rn = 1
+"""
+
+# near-dup-atomic split: the dataset_split bucket predicate keyed on
+# the connected-component cluster id
+ORACLES["cluster_atomic_split"] = _CC_CTES + f"""
+SELECT doc_id, cluster_id,
+  {{split_case}} AS split
+FROM clustered
+""".replace(
+    "{split_case}", _split_case_over("CAST(cluster_id AS VARCHAR)", C.SPLIT_SEED)
+)
 
 ORACLES["dedup_corpus_verified"] = _CC_CTES_VERIFIED + """
 , cl_sized AS (

@@ -368,6 +368,12 @@ FUZZY_LONG_DOCS = 320  # fixed fixture size (80 groups x 4 variants): the
 FUZZY_LONG_Q = 3  # q-gram width
 FUZZY_LONG_MAXLEN = 256  # declared domain cap of the long tier
 
+# --- blocklist content filter ------------------------------------------------
+BLOCKLIST_TERMS = ("slow", "dup", "big")  # stand-in wordlist over the
+# synthetic vocabulary; production swaps in the real NSFW/spam list
+BLOCKLIST_MIN_DISTINCT = 3  # distinct-term rule: all three present
+BLOCKLIST_MAX_DENSITY_BP = 900  # hits per 10k tokens (integer basis points)
+
 # --- observability audits ---------------------------------------------------
 SKEW_AUDIT_TOPN = 10  # heaviest keys reported
 SKEW_AUDIT_SHARE = 0.001  # flag keys above this share of rows

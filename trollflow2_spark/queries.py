@@ -4668,6 +4668,47 @@ def q_dedup_corpus_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-preferred dedup: LSH candidates -> connected components
+    -> keep each cluster's HIGHEST-QUALITY member (longest text, ties
+    to smallest id) instead of the min-id canonical. This is what a
+    production dedup actually ships — when a near-dup family mixes a
+    full article with its truncated syndicated copies, the full copy
+    survives. The oracle replays the recursive closure and the argmax
+    window; the quality key (n_chars) is an integer, so the ordering
+    is float-drift-free across engines."""
+    from trollflow2_spark.extensions.dedup import best_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    clusters = duplicate_clusters(docs, pairs)
+    return best_representatives(
+        clusters, docs.select("doc_id", "n_chars"), quality_col="n_chars"
+    )
+
+
+def q_cluster_atomic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test assignment: the split
+    bucket hashes the duplicate CLUSTER id, not the doc id, so an
+    entire near-dup family lands in one split — the vector-space
+    counterpart of ``group_split``'s domain atomicity, closing the
+    front-door path by which test-set paraphrases leak into training.
+    Composition: LSH candidates -> connected components -> the same
+    portable map-side bucket predicate as ``dataset_split`` keyed on
+    ``cluster_id``. The oracle replays closure + bucket arithmetic."""
+    from trollflow2_spark.extensions.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    clusters = duplicate_clusters(docs, pairs)
+    return deterministic_split(
+        clusters.select("doc_id", "cluster_id"),
+        dict(C.SPLIT_FRACS),
+        id_col="cluster_id",
+        seed=C.SPLIT_SEED,
+    ).select("doc_id", "cluster_id", "split")
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline smoke as a query: message -> jobs -> scene -> sinks
     -> manifest rows. The manifest's deterministic fields (composed
@@ -7590,6 +7631,25 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist content gate: drop docs matching >= BLOCKLIST_MIN_DISTINCT
+    distinct blocklist terms or exceeding the basis-point hit-density
+    cap. Whole-word matching on the lowered token array — pure
+    scan-stage Column algebra, integer-only thresholds (no float ratio
+    exists to drift), zero shuffle; evidence columns ship for the
+    audit. The oracle replays the token split, the list intersection
+    and the integer cross-multiplied density rule."""
+    from trollflow2_spark.extensions.text import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_filter(
+        docs,
+        terms=C.BLOCKLIST_TERMS,
+        min_distinct=C.BLOCKLIST_MIN_DISTINCT,
+        max_density_bp=C.BLOCKLIST_MAX_DENSITY_BP,
+    )
+
+
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality rollup (mean score + filter keep rate) — the
     input for choosing stratified-sampling rates / mixture weights."""
@@ -7948,6 +8008,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
+    "blocklist_filter": q_blocklist_filter,
     "vocab_topk": q_vocab_topk,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -8028,6 +8089,8 @@ QUERIES = {
     "duplicate_clusters": q_duplicate_clusters,
     "dedup_corpus": q_dedup_corpus,
     "dedup_corpus_verified": q_dedup_corpus_verified,
+    "dedup_best_representative": q_dedup_best_representative,
+    "cluster_atomic_split": q_cluster_atomic_split,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
