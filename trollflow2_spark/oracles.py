@@ -3832,6 +3832,93 @@ FROM win w JOIN lab l USING (doc_id)
 WHERE w.rn = 1
 """
 
+# distributed logistic regression, replayed END-TO-END: every gradient-
+# descent iteration is an unrolled CTE — per-doc sigmoids rounded to 6,
+# per-doc gradient contributions quantized to integer micro-units before
+# the order-free BIGINT sum, weights re-rounded each step with the SAME
+# double expression text as the Spark side — so the final scores carry
+# no Python-trained literals. MATERIALIZED per the bpe_train lesson
+# (inlining re-expands each iteration's weight refs exponentially).
+def _logreg_oracle_sql(
+    dim: int = C.LOGREG_DIM,
+    iters: int = C.LOGREG_ITERS,
+    lr: float = C.LOGREG_LR,
+    seed: int = C.LOGREG_SEED,
+) -> str:
+    bucket = f"{HASH64_SQL('tok', seed)} % {dim}"
+    feat_cols = ",\n    ".join(
+        "CAST(CASE WHEN len(bks) > 0 THEN"
+        f" round((CAST(len(list_filter(bks, b -> b = {j})) AS DOUBLE)"
+        " * 1000.0) / CAST(len(bks) AS DOUBLE))"
+        f" ELSE 0.0 END AS INTEGER) AS x{j}"
+        for j in range(dim)
+    )
+
+    def dot(w: str) -> str:
+        z = f"{w}.w0"
+        for j in range(dim):
+            z = f"({z} + (CAST(x{j} AS DOUBLE) * {w}.w{j + 1}))"
+        return z
+
+    def prob(w: str) -> str:
+        return f"round(1.0 / (1.0 + exp(-({dot(w)}))), 6)"
+
+    lab_case = (
+        f"CASE WHEN round(({_C_LENSCORE}) * 0.4"
+        f" + least(({_C_STOPRATIO}) * 5.0, 1.0) * 0.2"
+        f" + ({_ALPHARATIO}) * 0.4, 6)"
+        f" >= {C.LOGREG_LABEL_THRESHOLD} THEN 1 ELSE 0 END"
+    )
+    parts = [
+        f"WITH t AS (\n  SELECT doc_id, text, {_TOKS} AS toks FROM documents\n)",
+        f"lab AS (\n  SELECT doc_id, toks, {lab_case} AS y FROM t\n)",
+        "b AS (\n  SELECT doc_id, y,\n"
+        f"    list_transform(list_transform(toks, x -> lower(x)),\n"
+        f"                   tok -> {bucket}) AS bks\n  FROM lab\n)",
+        f"f AS MATERIALIZED (\n  SELECT doc_id, y,\n    {feat_cols}\n  FROM b\n)",
+        "it0 AS (\n  SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{k}" for k in range(dim + 1))
+        + "\n)",
+    ]
+    inner_w = ", ".join(f"w.w{k} AS pw{k}" for k in range(dim + 1))
+    inner_x = ", ".join(f"x{j}" for j in range(dim))
+    for t in range(1, iters + 1):
+        # p computed ONCE per row in the inner select (numerically
+        # identical to inlining it into every gradient sum)
+        err = "(CAST(y AS DOUBLE) - p)"
+        upd = []
+        for k in range(dim + 1):
+            xk = "1.0" if k == 0 else f"CAST(x{k - 1} AS DOUBLE)"
+            g = f"sum(CAST(round(({err} * {xk}) * 1000000.0) AS BIGINT))"
+            upd.append(
+                f"round(any_value(pw{k}) + CAST({lr!r} AS DOUBLE)"
+                f" * CAST({g} AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+                f" / 1000000.0, 6) AS w{k}"
+            )
+        parts.append(
+            f"it{t} AS MATERIALIZED (\n  SELECT\n    "
+            + ",\n    ".join(upd)
+            + f"\n  FROM (\n    SELECT y, {inner_x}, {inner_w},"
+            f"\n      {prob('w')} AS p"
+            f"\n    FROM f CROSS JOIN it{t - 1} w\n  )\n)"
+        )
+    p_final = prob("w")
+    tail = f"""
+, sc AS (
+  SELECT doc_id, y, {p_final} AS score
+  FROM f CROSS JOIN it{iters} w
+)
+SELECT doc_id, y, score,
+  CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred,
+  CASE WHEN (CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) = y
+    THEN 1 ELSE 0 END AS correct
+FROM sc
+"""
+    return ",\n".join(parts) + tail
+
+
+ORACLES["logreg_train"] = _logreg_oracle_sql()
+
 # interpolated bigram LM: transitions from list_zip of the lowered
 # token array; top-k bigram table (ties: count desc, w1, w2) + the same
 # smoothed unigram model; absent pairs back off to the unigram term

@@ -368,6 +368,16 @@ FUZZY_LONG_DOCS = 320  # fixed fixture size (80 groups x 4 variants): the
 FUZZY_LONG_Q = 3  # q-gram width
 FUZZY_LONG_MAXLEN = 256  # declared domain cap of the long tier
 
+# --- distributed logistic regression (hashed-feature quality classifier) ----
+LOGREG_DIM = 16  # hashed token-bucket feature dims (+ bias)
+LOGREG_ITERS = 16  # full-batch GD steps (each = one agg job)
+LOGREG_LR = 7e-05  # ~1/lambda_max for per-mille features: 1e-4+
+# oscillates (simulated), smaller rates converge past the iteration
+# budget; 7e-5 x 16 iters == the 5e-5 x 24 accuracy at 2/3 the jobs
+LOGREG_SEED = 29  # feature-hash seed
+LOGREG_LABEL_THRESHOLD = 0.78  # ~median quality_score: splits the corpus
+# near 50/50 at every sf (QFILTER's 0.5 labels everything positive here)
+
 # --- blocklist content filter ------------------------------------------------
 BLOCKLIST_TERMS = ("slow", "dup", "big")  # stand-in wordlist over the
 # synthetic vocabulary; production swaps in the real NSFW/spam list

@@ -7631,6 +7631,38 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training end-to-end: heuristic
+    quality labels (the same bootstrap as ``classifier_quality_filter``)
+    + hashed token-bucket count features, fit by LOGREG_ITERS full-batch
+    gradient-descent steps where each step is ONE map-side-combinable
+    aggregation over the cached narrow feature table, then the corpus
+    is scored with the learned weights. The iterative learner the NB
+    tier cannot express — and the oracle replays EVERY GD iteration in
+    unrolled SQL (micro-unit integer gradient sums, re-rounded weights,
+    identical double expression text), so the final per-doc scores are
+    value-exact with no Python-trained literals."""
+    from trollflow2_spark.extensions.classify import logreg_train_score
+    from trollflow2_spark.extensions.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = quality_features(docs, extra_cols=["text"]).select(
+        "doc_id",
+        "text",
+        F.when(F.col("quality_score") >= C.LOGREG_LABEL_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return logreg_train_score(
+        labeled,
+        label_col="y",
+        dim=C.LOGREG_DIM,
+        iters=C.LOGREG_ITERS,
+        lr=C.LOGREG_LR,
+        seed=C.LOGREG_SEED,
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wordlist content gate: drop docs matching >= BLOCKLIST_MIN_DISTINCT
     distinct blocklist terms or exceeding the basis-point hit-density
@@ -8009,6 +8041,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
     "blocklist_filter": q_blocklist_filter,
+    "logreg_train": q_logreg_train,
     "vocab_topk": q_vocab_topk,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
