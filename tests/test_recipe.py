@@ -149,3 +149,44 @@ def test_streaming_near_dedup_drops_cross_batch_neardups(spark):
         [{"stage": "near_dedup", "threshold": 0.6}],
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_run_recipe_audited_accounting(spark):
+    """The audit's row accounting must be internally consistent
+    (rows_in - rows_dropped == rows_out, each stage's rows_in == the
+    previous stage's rows_out) and match the stages' actual effects."""
+    from trollflow2_spark.extensions.recipe import (
+        run_recipe,
+        run_recipe_audited,
+    )
+
+    rows = [
+        # long quality docs, one exact-dup pair, one blocklisted doc
+        (1, "the quick brown fox jumps over the lazy dog again and "
+            "again while the keeper watches the gate all day long"),
+        (2, "the quick brown fox jumps over the lazy dog again and "
+            "again while the keeper watches the gate all day long"),
+        (3, "the slow dup big slow dup big the slow dup big slow dup "
+            "big the slow dup big slow dup big the slow dup big slow"),
+        (4, "a completely different document about the spark engine "
+            "and the adaptive execution of shuffles and the windows"),
+        (5, "x"),  # fails the token floor
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    recipe = [
+        {"stage": "quality_filter", "min_tokens": 10},
+        {"stage": "blocklist", "terms": ("slow", "dup", "big"),
+         "min_distinct": 3, "max_density_bp": 900},
+        {"stage": "exact_dedup"},
+    ]
+    audit = {r["stage_idx"]: r for r in run_recipe_audited(df, recipe).collect()}
+    assert audit[0]["rows_out"] == 5
+    for i in range(1, 4):
+        r = audit[i]
+        assert r["rows_in"] == audit[i - 1]["rows_out"]
+        assert r["rows_in"] - r["rows_dropped"] == r["rows_out"]
+    assert audit[1]["rows_dropped"] == 1  # doc 5
+    assert audit[2]["rows_dropped"] == 1  # doc 3
+    assert audit[3]["rows_dropped"] == 1  # dup of the 1/2 pair
+    # the audited run's final width equals the plain run's
+    assert audit[3]["rows_out"] == run_recipe(df, recipe).count()

@@ -231,6 +231,80 @@ def _stage_decontaminate(
     return corpus.join(bad, "doc_id", "left_anti")
 
 
+@register_corpus_stage("blocklist")
+def _stage_blocklist(df: DataFrame, **params) -> DataFrame:
+    """Keep docs passing the wordlist content gate (distinct-term +
+    hit-density rules); left-semi on the id so all columns pass."""
+    from trollflow2_spark.extensions.text import blocklist_filter
+
+    kept = (
+        blocklist_filter(df, **params)
+        .where(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    return df.join(kept, "doc_id", "left_semi")
+
+
+def run_recipe_audited(
+    df: DataFrame, recipe: list[dict[str, Any]]
+) -> DataFrame:
+    """Run the recipe and return the per-stage row-accounting audit —
+    the lineage trail every production corpus run ships with ("where
+    did 40% of the crawl go?"): one row per stage with
+    (stage_idx, stage, rows_in, rows_out, rows_dropped), stage_idx 0
+    being the raw input.
+
+    Each stage's output is localCheckpointed: it is consumed twice (by
+    the next stage and by its own count), and the checkpoint both
+    stops O(k^2) upstream re-derivation and avoids leaking persisted
+    tables past the audit (the `semantic_candidate_pairs` lesson). The
+    counts themselves are 1-row aggregates unioned into one audit
+    DataFrame; the in/out/dropped arithmetic is a lag window over k+1
+    rows — control-plane sized at any corpus scale.
+    """
+    out = df
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("rows_out")).select(
+            F.lit(0).alias("stage_idx"),
+            F.lit("input").alias("stage"),
+            F.col("rows_out"),
+        )
+    ]
+    for i, item in enumerate(recipe):
+        item = dict(item)
+        name = item.pop("stage", None)
+        item.pop("cache", False)  # audit checkpoints every stage anyway
+        if not name or name not in CORPUS_STAGES:
+            raise ValueError(
+                f"recipe[{i}]: unknown stage {name!r}; available: "
+                + ", ".join(sorted(CORPUS_STAGES))
+            )
+        out = CORPUS_STAGES[name](out, **item).localCheckpoint()
+        counts.append(
+            out.agg(F.count(F.lit(1)).alias("rows_out")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("rows_out"),
+            )
+        )
+    audit = counts[0]
+    for c in counts[1:]:
+        audit = audit.unionAll(c)
+    w = Window.orderBy("stage_idx")
+    return audit.select(
+        "stage_idx",
+        "stage",
+        F.coalesce(F.lag("rows_out").over(w), F.col("rows_out")).alias(
+            "rows_in"
+        ),
+        "rows_out",
+        (
+            F.coalesce(F.lag("rows_out").over(w), F.col("rows_out"))
+            - F.col("rows_out")
+        ).alias("rows_dropped"),
+    )
+
+
 def run_recipe(df: DataFrame, recipe: list[dict[str, Any]]) -> DataFrame:
     """Fold the recipe's stages over the corpus, by name.
 

@@ -5991,6 +5991,49 @@ FROM w
 
 ORACLES["corpus_recipe"] = _corpus_recipe_oracle()
 
+# per-stage row accounting: the filter chain replayed stage by stage,
+# counts fed through the same lag-window in/out/dropped arithmetic
+ORACLES["recipe_drop_audit"] = f"""
+WITH t0 AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), q AS (
+  SELECT doc_id, text, toks FROM t0
+  WHERE NOT ({_QF_NTOK} < 20)
+    AND NOT ({_QF_STOP} < 0.03)
+    AND NOT ({_QF_SCORE} < 0.5)
+), bl AS (
+  SELECT doc_id, text,
+    len(toks) AS n_tokens,
+    len(list_filter(list_transform(toks, x -> lower(x)),
+        x -> x IN ({_BL_TERMS}))) AS n_hits,
+    len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+        x -> x IN ({_BL_TERMS})))) AS n_distinct_hits
+  FROM q
+), b AS (
+  SELECT doc_id, text FROM bl
+  WHERE NOT (n_distinct_hits >= {C.BLOCKLIST_MIN_DISTINCT}
+             OR n_hits * 10000 > {C.BLOCKLIST_MAX_DENSITY_BP} * n_tokens)
+), d AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS kid
+    FROM b
+  ) WHERE doc_id = kid
+), counts AS (
+  SELECT 0 AS stage_idx, 'input' AS stage,
+    (SELECT count(*) FROM documents) AS rows_out
+  UNION ALL SELECT 1, 'quality_filter', (SELECT count(*) FROM q)
+  UNION ALL SELECT 2, 'blocklist', (SELECT count(*) FROM b)
+  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM d)
+  UNION ALL SELECT 4, 'split', (SELECT count(*) FROM d)
+)
+SELECT stage_idx, stage,
+  coalesce(lag(rows_out) OVER (ORDER BY stage_idx), rows_out) AS rows_in,
+  rows_out,
+  coalesce(lag(rows_out) OVER (ORDER BY stage_idx), rows_out) - rows_out
+    AS rows_dropped
+FROM counts
+"""
+
 # incremental recipe replay == the batch recipe on the concatenation:
 # the fixture's batch index equals the id order within each 3-doc
 # content group, so streaming first-seen-across-batches reduces to the

@@ -7682,6 +7682,37 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recipe_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage row accounting for a composed corpus recipe (quality
+    gate -> blocklist -> exact dedup -> split): every stage reports
+    (rows_in, rows_out, rows_dropped) — the lineage trail that answers
+    "where did 40% of the crawl go?" before anyone asks. Stage outputs
+    localCheckpoint (each is read twice: next stage + its count), the
+    counts are 1-row aggs, and the arithmetic is a lag window over k+1
+    rows — the audit costs one pass per stage and its OUTPUT is
+    control-plane sized at any corpus scale. The oracle replays the
+    whole filter chain and the count recurrence in SQL."""
+    from trollflow2_spark.extensions.recipe import run_recipe_audited
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recipe = [
+        {"stage": "quality_filter"},
+        {
+            "stage": "blocklist",
+            "terms": C.BLOCKLIST_TERMS,
+            "min_distinct": C.BLOCKLIST_MIN_DISTINCT,
+            "max_density_bp": C.BLOCKLIST_MAX_DENSITY_BP,
+        },
+        {"stage": "exact_dedup"},
+        {
+            "stage": "split",
+            "fractions": dict(C.SPLIT_FRACS),
+            "seed": C.SPLIT_SEED,
+        },
+    ]
+    return run_recipe_audited(docs, recipe)
+
+
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality rollup (mean score + filter keep rate) — the
     input for choosing stratified-sampling rates / mixture weights."""
@@ -8042,6 +8073,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "blocklist_filter": q_blocklist_filter,
     "logreg_train": q_logreg_train,
+    "recipe_drop_audit": q_recipe_drop_audit,
     "vocab_topk": q_vocab_topk,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
