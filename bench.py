@@ -250,6 +250,12 @@ OPERATORS = [
     "contamination_semantic",  # embedding-space (paraphrase) contamination
     "corpus_recipe_decontam",  # decontaminate -> dedup -> split recipe
     "epoch_mixture",  # repeat-factor epochs (2.5 = 2 full + half partial)
+    # round 9, third pass (dedup_best_representative / cluster_atomic_split
+    # are oracle-checked compositions inside the already-benched CC dedup
+    # family and add no new plan shape — bench keeps one entry per family)
+    "blocklist_filter",  # wordlist gate: whole-word + integer density rules
+    "logreg_train",  # distributed full-batch GD (16 real agg jobs + scoring)
+    "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

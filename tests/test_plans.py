@@ -548,3 +548,35 @@ def test_decontaminate_broadcast_semi_anti(spark, sf):
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_blocklist_filter_zero_shuffle(spark, sf):
+    """The wordlist gate is pure scan-stage Column algebra: no
+    Exchange, no Python eval, one parquet scan reading only the two
+    columns it needs."""
+    plan = plan_of(spark, "blocklist_filter", sf)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    read = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "text" in read and "lang" not in read
+
+
+def test_logreg_scoring_is_map_only(spark, sf):
+    """After training, scoring is a projection over the checkpointed
+    feature table — no Exchange, no Python; the feature build happened
+    once (the plan scans an ExistingRDD, not the parquet source)."""
+    plan = plan_of(spark, "logreg_train", sf)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_recipe_drop_audit_counts_are_partial_agged(spark, sf):
+    """Every stage count aggregates map-side over a checkpointed stage
+    output (ExistingRDD scans — no upstream re-derivation), and the
+    final lag-window runs over the k+1-row union only."""
+    plan = plan_of(spark, "recipe_drop_audit", sf)
+    assert plan.count("ExistingRDD") >= 4  # one per audited stage
+    # per-count partial+final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 10
+    assert "BatchEvalPython" not in plan
