@@ -2340,3 +2340,47 @@ def test_lsh_recall_audit_counts(spark):
     assert out["recall"] == 1.0
     assert out["n_candidates"] >= out["n_hit"]
     assert 0.0 < out["precision"] <= 1.0
+
+
+def test_cdc_chunks_insertion_robustness(spark):
+    """The CDC property fixed windows lack: inserting tokens into the
+    middle of a document leaves every chunk outside the edited region
+    byte-identical — the chunks re-synchronize at the next
+    content-defined boundary."""
+    from trollflow2_spark.extensions.text import cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine")
+    toks = base.split()
+    edited = " ".join(toks[:17] + ["INSERTED", "WORDS"] + toks[17:])
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, mod=4, seed=37).collect()
+    a = {r["chunk_text"] for r in rows if r["doc_id"] == 1}
+    b = {r["chunk_text"] for r in rows if r["doc_id"] == 2}
+    shared = a & b
+    # every original chunk that doesn't contain the edit point survives
+    assert len(shared) >= len(a) - 2
+    # the edited doc gained at least the modified chunk
+    assert b - a
+    # chunk reassembly is lossless: concatenation == the token stream
+    for doc_id, text in ((1, base), (2, edited)):
+        ordered = sorted(
+            (r for r in rows if r["doc_id"] == doc_id),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert " ".join(r["chunk_text"] for r in ordered) == text
+        assert all(r["n_tokens"] == len(r["chunk_text"].split())
+                   for r in ordered)
+
+
+def test_cdc_chunks_empty_doc(spark):
+    from trollflow2_spark.extensions.text import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello world")], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, mod=4, seed=37).collect()
+    assert {r["doc_id"] for r in rows} == {3}

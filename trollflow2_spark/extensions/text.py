@@ -630,6 +630,94 @@ def blocklist_filter(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = 8,
+    seed: int = 37,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/CDC idea at token
+    granularity): a token whose portable hash is ``0 mod mod`` closes a
+    chunk, so chunk boundaries are decided by CONTENT, not position —
+    insert a sentence into a document and every chunk outside the edit
+    re-appears byte-identical, which is what makes sub-document dedup
+    robust to edits (fixed-width windows re-align everything after the
+    insertion point).
+
+    Zero shuffle: boundary flags, prefix-sum chunk ids, and per-chunk
+    re-assembly are all higher-order Column algebra over the token
+    array, then one ``posexplode`` emits (id, chunk_idx, chunk_text,
+    n_tokens) rows in the scan stage. Average chunk length is ``mod``
+    tokens. Empty documents yield no rows.
+    """
+    # STAGED selects: each expensive array materializes once per row
+    # (the hash array would otherwise re-evaluate its md5s inside every
+    # nested lambda — measured O(n^3)-with-md5 when written as one
+    # expression; multi-reference aliases block projection collapse)
+    toks = tokens(F.col(text_col))
+    s1 = df.select(
+        F.col(id_col),
+        F.transform(
+            toks,
+            lambda t: F.struct(
+                t.alias("t"),
+                F.pmod(hash64(t, seed=seed), F.lit(mod)).alias("h"),
+            ),
+        ).alias("zp"),
+    )
+    # chunk id of token i = boundaries among positions 0..i-1
+    zp = F.col("zp")
+    s2 = s1.select(
+        F.col(id_col),
+        F.transform(
+            zp,
+            lambda s, i: F.struct(
+                s["t"].alias("t"),
+                F.size(
+                    F.filter(
+                        F.slice(zp, F.lit(1), i),
+                        lambda p: p["h"] == F.lit(0),
+                    )
+                ).alias("cid"),
+            ),
+        ).alias("wi"),
+    )
+    wi = F.col("wi")
+    n_chunks = F.when(
+        F.size(wi) > 0, F.element_at(wi, -1)["cid"] + 1
+    ).otherwise(F.lit(0))
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            F.array_join(
+                F.transform(
+                    F.filter(wi, lambda s: s["cid"] == k),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.size(F.filter(wi, lambda s: s["cid"] == k)).alias("n_tokens"),
+        ),
+    )
+    out = s2.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_chunks > 0, chunk_arr).otherwise(
+                F.array().cast(
+                    "array<struct<chunk_text:string,n_tokens:int>>"
+                )
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("c")["chunk_text"].alias("chunk_text"),
+        F.col("c")["n_tokens"].alias("n_tokens"),
+    )
+
+
 def source_quality(
     df: DataFrame,
     text_col: str = "text",

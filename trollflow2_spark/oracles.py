@@ -3979,6 +3979,47 @@ SELECT rank, token, n_occurrences, n_docs FROM ranked
 WHERE rank <= {C.VOCAB_TOPK}
 """
 
+# content-defined chunking: hash-decided boundaries, prefix-sum chunk
+# ids, per-chunk ordered string_agg re-assembly
+_CDC_CTES = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), z AS (
+  SELECT doc_id, toks,
+    list_transform(toks, tok ->
+      CASE WHEN {HASH64_SQL('tok', C.CDC_SEED)} % {C.CDC_MOD} = 0
+        THEN 1 ELSE 0 END) AS flags
+  FROM t
+), w AS (
+  SELECT doc_id, toks,
+    list_transform(range(1, len(toks) + 1),
+      i -> len(list_filter(flags[1:i - 1], f -> f = 1))) AS cids
+  FROM z
+), p AS (
+  SELECT doc_id, toks[i] AS tok, i, cids[i] AS cid
+  FROM w, unnest(range(1, len(toks) + 1)) AS r(i)
+), chunks AS (
+  SELECT doc_id, CAST(cid AS INTEGER) AS chunk_idx,
+    string_agg(tok, ' ' ORDER BY i) AS chunk_text,
+    CAST(count(*) AS INTEGER) AS n_tokens
+  FROM p GROUP BY doc_id, cid
+)
+"""
+
+ORACLES["cdc_chunks"] = _CDC_CTES + """
+SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM chunks
+"""
+
+ORACLES["cdc_chunk_dedup"] = _CDC_CTES + f"""
+SELECT md5(chunk_text) AS chunk_md5,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  min(doc_id) AS first_doc,
+  min(n_tokens) AS n_tokens
+FROM chunks GROUP BY md5(chunk_text)
+HAVING count(DISTINCT doc_id) >= {C.CDC_MIN_DOCS}
+"""
+
 # blocklist gate: whole-word matches on the lowered token array;
 # distinct-term rule OR the integer cross-multiplied density rule
 _BL_TERMS = ", ".join(f"'{t}'" for t in C.BLOCKLIST_TERMS)

@@ -368,6 +368,11 @@ FUZZY_LONG_DOCS = 320  # fixed fixture size (80 groups x 4 variants): the
 FUZZY_LONG_Q = 3  # q-gram width
 FUZZY_LONG_MAXLEN = 256  # declared domain cap of the long tier
 
+# --- content-defined chunking -------------------------------------------------
+CDC_MOD = 8  # avg chunk length in tokens (hash % mod == 0 closes a chunk)
+CDC_SEED = 37
+CDC_MIN_DOCS = 2  # chunk-dedup audit: repeated-across-docs floor
+
 # --- distributed logistic regression (hashed-feature quality classifier) ----
 LOGREG_DIM = 16  # hashed token-bucket feature dims (+ bias)
 LOGREG_ITERS = 16  # full-batch GD steps (each = one agg job)

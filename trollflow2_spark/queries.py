@@ -7682,6 +7682,41 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: boundaries decided by token hash, not
+    position, so an edit anywhere re-aligns nothing outside its own
+    chunk (the rsync/LBFS property fixed-width windows lack). All
+    higher-order Column algebra + one posexplode — zero shuffle. The
+    oracle replays flags, prefix-sum chunk ids, and the per-chunk
+    string_agg re-assembly."""
+    from trollflow2_spark.extensions.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, mod=C.CDC_MOD, seed=C.CDC_SEED)
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup over content-defined chunks: the digest-
+    keyed hash agg surfaces chunks repeated across documents
+    (boilerplate paragraphs, quoted passages) that document-level
+    dedup can never see and fixed windows only catch when aligned.
+    One map-side-combinable agg over the chunk stream."""
+    from trollflow2_spark.extensions.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, mod=C.CDC_MOD, seed=C.CDC_SEED)
+    return (
+        ch.groupBy(F.md5("chunk_text").alias("chunk_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= C.CDC_MIN_DOCS)
+    )
+
+
 def q_recipe_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage row accounting for a composed corpus recipe (quality
     gate -> blocklist -> exact dedup -> split): every stage reports
@@ -8074,6 +8109,8 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "logreg_train": q_logreg_train,
     "recipe_drop_audit": q_recipe_drop_audit,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "vocab_topk": q_vocab_topk,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
