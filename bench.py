@@ -256,6 +256,9 @@ OPERATORS = [
     "blocklist_filter",  # wordlist gate: whole-word + integer density rules
     "logreg_train",  # distributed full-batch GD (16 real agg jobs + scoring)
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
+    "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
+    "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)
+    "rerank_retrieval",  # retrieve -> k-bounded second-stage rerank
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

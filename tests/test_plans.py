@@ -580,3 +580,14 @@ def test_recipe_drop_audit_counts_are_partial_agged(spark, sf):
     # per-count partial+final HashAggregate pairs
     assert plan.count("HashAggregate") >= 10
     assert "BatchEvalPython" not in plan
+
+
+def test_rerank_scores_only_broadcast_candidates(spark, sf):
+    """The second-stage scorer touches only the k-bounded candidate
+    set: the candidate x term table reaches the doc-text join as a
+    BroadcastHashJoin build side, and the final rank window partitions
+    per query over <= 2k rows. No Python anywhere in the chain."""
+    plan = plan_of(spark, "rerank_retrieval", sf)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan

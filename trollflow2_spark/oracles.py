@@ -6007,6 +6007,45 @@ FROM bmr FULL JOIN csr USING (query_id, doc_id)
 
 ORACLES["hybrid_multi_retrieval"] = _hybrid_multi_oracle_sql()
 
+# retrieve -> rerank: the hybrid fusion replay proposes the k-bounded
+# candidates, then the deterministic second-stage scorer (per-mille
+# coverage dominating a first-occurrence proximity bonus, all
+# integers) re-ranks them — per-query window over <= 2k rows
+_RERANK_TERMS = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in C.BM25_MULTI for t in ts
+)
+ORACLES["rerank_retrieval"] = f"""
+WITH hy AS (
+{_hybrid_multi_oracle_sql()}
+), cand AS (
+  SELECT query_id, doc_id, rrf_score FROM hy
+), qt(query_id, term) AS (
+  VALUES {_RERANK_TERMS}
+), tk AS (
+  SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS tks
+  FROM documents
+), per AS (
+  SELECT c.query_id, c.doc_id, c.rrf_score,
+    coalesce(list_position(tk.tks, qt.term), 0) AS pos
+  FROM cand c JOIN qt USING (query_id) JOIN tk ON tk.doc_id = c.doc_id
+), agg AS (
+  SELECT query_id, doc_id, min(rrf_score) AS rrf_score,
+    CAST(sum(CASE WHEN pos > 0 THEN 1 ELSE 0 END) AS INTEGER)
+      AS n_present,
+    CAST(sum(CASE WHEN pos > 0
+               THEN CAST(floor(1000.0 / (1 + pos)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS bonus
+  FROM per GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_present, bonus,
+  CAST(n_present AS BIGINT) * 100000 + bonus AS rerank_score,
+  CAST(row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY CAST(n_present AS BIGINT) * 100000 + bonus DESC,
+             doc_id ASC) AS INTEGER) AS rerank_rank
+FROM agg
+"""
+
 
 ORACLES["dsir_weights"] = "WITH " + _DSIR_SCORED.format(toks=_TOKS) + """
 SELECT doc_id, count(*) AS n_tokens,

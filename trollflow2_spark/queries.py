@@ -7381,6 +7381,68 @@ def q_hybrid_multi_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rerank_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieve -> rerank serving shape: hybrid RRF fusion proposes
+    a k-bounded candidate set per query, and only THOSE rows pay the
+    expensive second-stage scorer (in production a cross-encoder over
+    ``mapInPandas``; here a deterministic lexical proxy so the whole
+    chain is value-checkable: per-mille term coverage dominating a
+    first-occurrence proximity bonus, all integers). The candidate set
+    (nq x 2k rows) BROADCASTS to the doc-text join — the corpus is
+    never rescanned wider than the id semi-join — and the final rank
+    is a per-query window over <= 2k rows. The oracle replays hybrid
+    fusion AND the rerank arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = q_hybrid_multi_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", "rrf_score"
+    )
+    terms = spark.createDataFrame(
+        [(qid, t) for qid, ts in C.BM25_MULTI for t in ts],
+        "query_id int, term string",
+    )
+    ct = F.broadcast(cand.join(terms, "query_id"))
+    from trollflow2_spark.functions.hashing import tokens
+
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    scored = (
+        docs.select("doc_id", toks.alias("__tk"))
+        .join(ct, "doc_id")
+        .withColumn(
+            "__pos", F.array_position(F.col("__tk"), F.col("term"))
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.min("rrf_score").alias("rrf_score"),
+        F.sum(F.when(F.col("__pos") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_present"),
+        F.sum(
+            F.when(
+                F.col("__pos") > 0,
+                F.floor(F.lit(1000.0) / (F.lit(1) + F.col("__pos"))),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bonus"),
+    )
+    agg = agg.withColumn(
+        "rerank_score",
+        (F.col("n_present").cast("bigint") * 100000 + F.col("bonus")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rerank_score").desc(), F.col("doc_id").asc()
+    )
+    return agg.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        "n_present",
+        "bonus",
+        "rerank_score",
+        F.row_number().over(w).cast("int").alias("rerank_rank"),
+    )
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment keyed on the REAL
     production domain chain: planted messy URLs (www/subdomain
@@ -8111,6 +8173,7 @@ QUERIES = {
     "recipe_drop_audit": q_recipe_drop_audit,
     "cdc_chunks": q_cdc_chunks,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "rerank_retrieval": q_rerank_retrieval,
     "vocab_topk": q_vocab_topk,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
