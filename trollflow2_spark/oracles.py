@@ -4302,6 +4302,53 @@ SELECT domain,
 FROM d GROUP BY domain
 """.replace("{psl}", _PSL_IN)
 
+# domain-level quality gate: the group_split URL/PSL chain feeding a
+# per-domain micro-unit mean, broadcast back as a doc-level keep flag
+ORACLES["domain_quality_gate"] = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://www.site' || (doc_id % 50)
+        || '.co.uk/p/' || doc_id || '?utm_source=x&b=2#frag'
+      WHEN 1 THEN 'http://site' || (doc_id % 50) || '.co.uk:80/p?b=2&a=1'
+      WHEN 2 THEN 'https://a.b.site' || (doc_id % 50) || '.co.uk/q'
+      ELSE 'HTTPS://SITE' || (doc_id % 50) || '.CO.UK#x'
+    END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(regexp_extract(
+      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      '^([^/?#]*)', 1)), '^[^@]*@', ''), ':[0-9]+$', '') AS host
+  FROM u
+), lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS ls FROM h
+), dm AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(ls) <= 1 THEN host
+      WHEN (ls[-2] || '.' || ls[-1]) IN ({_PSL_IN}) AND len(ls) >= 3
+        THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+      ELSE ls[-2] || '.' || ls[-1]
+    END AS domain
+  FROM lab
+), t AS (
+  SELECT doc_id, text, {{toks}} AS toks FROM documents
+), q AS (
+  SELECT doc_id,
+    CAST(round(({{score}}) * 1000000.0) AS BIGINT) AS qm
+  FROM t
+), g AS (
+  SELECT domain,
+    round(CAST(sum(qm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          / 1000000.0, 6) AS domain_q
+  FROM dm JOIN q USING (doc_id) GROUP BY domain
+)
+SELECT dm.doc_id, dm.domain, g.domain_q,
+  CASE WHEN g.domain_q >= {C.DOMAIN_Q_THRESHOLD} THEN 1 ELSE 0 END AS keep
+FROM dm JOIN g USING (domain)
+""".replace("{toks}", _TOKS).replace("{score}", _QF_SCORE)
+
 ORACLES["group_split"] = f"""
 WITH u AS (
   SELECT doc_id,

@@ -368,6 +368,10 @@ FUZZY_LONG_DOCS = 320  # fixed fixture size (80 groups x 4 variants): the
 FUZZY_LONG_Q = 3  # q-gram width
 FUZZY_LONG_MAXLEN = 256  # declared domain cap of the long tier
 
+# --- domain-level quality gating ----------------------------------------------
+DOMAIN_Q_THRESHOLD = 0.784  # ~median per-domain mean quality: gates about
+# half the planted domains at every sf (content-farm shape: judge the site)
+
 # --- content-defined chunking -------------------------------------------------
 CDC_MOD = 8  # avg chunk length in tokens (hash % mod == 0 closes a chunk)
 CDC_SEED = 37
