@@ -259,6 +259,7 @@ OPERATORS = [
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)
     "rerank_retrieval",  # retrieve -> k-bounded second-stage rerank
+    "domain_quality_gate",  # per-domain micro-unit mean -> site-level gate
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.
