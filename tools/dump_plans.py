@@ -160,6 +160,26 @@ FLAGSHIP = [
      "broadcast into a map-side semi-join, leaky ids leave via "
      "left-anti, then the digest window and the map-side split "
      "predicate."),
+    # round 9, third pass
+    ("blocklist_filter",
+     "Wordlist gate: zero Exchange, zero Python — higher-order token "
+     "algebra and integer rules inside the scan stage, ReadSchema "
+     "pruned to (doc_id, text)."),
+    ("logreg_train",
+     "Distributed-GD scoring plan: map-only projection over the "
+     "checkpointed integer feature table (ExistingRDD) — the 16 "
+     "training aggregates ran as identical-shape 1-row jobs."),
+    ("cdc_chunks",
+     "Content-defined chunking: staged projections materialize the "
+     "hash array once per row, then posexplode — no Exchange, the "
+     "whole operator lives in the scan stage."),
+    ("rerank_retrieval",
+     "Retrieve -> rerank: the fused candidate x term table reaches "
+     "the doc-text join as a BroadcastHashJoin build side; the rank "
+     "window partitions per query over <= 2k rows."),
+    ("domain_quality_gate",
+     "Site-level gate: one hash agg to domain grain, verdicts "
+     "broadcast back (BroadcastHashJoin) as a map-side keep flag."),
 ]
 
 
