@@ -260,6 +260,7 @@ OPERATORS = [
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)
     "rerank_retrieval",  # retrieve -> k-bounded second-stage rerank
     "domain_quality_gate",  # per-domain micro-unit mean -> site-level gate
+    "embedding_pq_rerank",  # ADC shortlist -> exact-vector refine (2-stage ANN)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -591,3 +591,14 @@ def test_rerank_scores_only_broadcast_candidates(spark, sf):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_rerank_broadcasts_shortlist(spark, sf):
+    """Two-stage ANN: the ADC shortlist reaches the full-vector fetch
+    as a broadcast build side — the float store is read through an id
+    join, never shuffled; final window partitions per query over the
+    bounded shortlist."""
+    plan = plan_of(spark, "embedding_pq_rerank", sf)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -2826,7 +2826,7 @@ if _pca_sql:
     ORACLES["embedding_pca"] = _pca_sql
 
 
-def _pq_oracle_sqls() -> tuple[str | None, str | None]:
+def _pq_oracle_sqls() -> tuple[str | None, str | None, str | None]:
     """PQ oracles with codebook / lookup-table literals from the SAME
     deterministic routine the Spark queries use (``pq_codebooks_np``)
     on the same fixed sample."""
@@ -2837,7 +2837,7 @@ def _pq_oracle_sqls() -> tuple[str | None, str | None]:
     )
     path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
-        return None, None
+        return None, None, None
     import duckdb
     import numpy as np
 
@@ -2901,13 +2901,37 @@ def _pq_oracle_sqls() -> tuple[str | None, str | None]:
         + f"SELECT query_id, vec_id, adc_dist, "
         + f"CAST(rn AS INTEGER) AS rank FROM ranked WHERE rn <= {C.PQ_TOPK}"
     )
-    return codes_sql, topk_sql
+    # two-stage serving: ADC shortlist -> full-vector exact-cosine
+    # re-rank (the FAISS refine step), same cosine convention as
+    # embedding_topk; self-match excluded at the rerank stage
+    rerank_sql = (
+        "WITH codes AS (" + codes_sql + "),\n"
+        + "adc AS (" + "\nUNION ALL\n".join(selects) + "),\n"
+        + "ranked AS (SELECT query_id, vec_id, adc_dist, "
+        + "row_number() OVER (PARTITION BY query_id "
+        + "ORDER BY adc_dist ASC, vec_id ASC) AS rn FROM adc),\n"
+        + f"short AS (SELECT query_id, vec_id, adc_dist FROM ranked "
+        + f"WHERE rn <= {C.PQ_SHORTLIST}),\n"
+        + "q AS (SELECT vec_id AS query_id, embedding AS qv "
+        + f"FROM embeddings WHERE vec_id < {C.PQ_N_QUERIES}),\n"
+        + "sc AS (SELECT s.query_id, s.vec_id, s.adc_dist, "
+        + f"round({_cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine_sim\n"
+        + "  FROM short s JOIN embeddings e USING (vec_id) "
+        + "JOIN q ON q.query_id = s.query_id "
+        + "WHERE s.vec_id <> s.query_id)\n"
+        + "SELECT query_id, vec_id, adc_dist, cosine_sim, "
+        + "CAST(row_number() OVER (PARTITION BY query_id "
+        + "ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank "
+        + f"FROM sc QUALIFY rank <= {C.PQ_TOPK}"
+    )
+    return codes_sql, topk_sql, rerank_sql
 
 
-_pq_codes_sql, _pq_topk_sql = _pq_oracle_sqls()
+_pq_codes_sql, _pq_topk_sql, _pq_rerank_sql = _pq_oracle_sqls()
 if _pq_codes_sql:
     ORACLES["embedding_pq_codes"] = _pq_codes_sql
     ORACLES["embedding_pq_topk"] = _pq_topk_sql
+    ORACLES["embedding_pq_rerank"] = _pq_rerank_sql
 
 
 _ivf_sql = _ivf_oracle_sql()

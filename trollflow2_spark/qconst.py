@@ -208,6 +208,7 @@ QFILTER_SCORE_THRESHOLD = 0.5  # heuristic quality_score -> hi/lo label
 PQ_M = 8  # sub-vectors per embedding
 PQ_K = 16  # codebook entries per subspace
 PQ_TOPK = 10  # neighbors per query in the contract query
+PQ_SHORTLIST = 30  # ADC shortlist depth feeding the exact-vector rerank
 PQ_N_QUERIES = 4  # first N vec_ids serve as the query set
 
 # TPC-H shape extensions (semi/anti/having operators)

@@ -3097,6 +3097,62 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, books, queries, k=C.PQ_TOPK)
 
 
+def q_embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving, completed: the PQ asymmetric-distance
+    scan proposes a PQ_SHORTLIST-deep candidate list per query (float
+    vectors never read), then ONLY those rows fetch their full vectors
+    for an exact-cosine re-rank — the FAISS refine step. The shortlist
+    (nq x 30 rows) broadcasts to the vector fetch, so the second stage
+    costs an id semi-join however big the store is; ADC ordering
+    errors inside the shortlist are corrected by construction. Oracle
+    replays codes -> ADC shortlist -> exact cosine -> window."""
+    from trollflow2_spark.extensions.similarity import (
+        _dot,
+        _norm,
+        pq_encode,
+        pq_topk,
+    )
+    from trollflow2_spark.operators.windows import topk_per_group
+
+    emb, X, books = _pq_books(spark, sf_dir)
+    codes = pq_encode(emb, books)
+    queries = [(i, X[i]) for i in range(C.PQ_N_QUERIES)]
+    short = pq_topk(codes, books, queries, k=C.PQ_SHORTLIST).select(
+        "query_id", "vec_id", "adc_dist"
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") < C.PQ_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__q"),
+            _norm(F.col("embedding")).alias("__qn"),
+        )
+    )
+    fetched = emb.select("vec_id", "embedding").join(
+        F.broadcast(short), "vec_id"
+    )
+    scored = (
+        fetched.withColumn("__vn", _norm(F.col("embedding")))
+        .join(qv, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_dist",
+            F.round(
+                _dot(F.col("embedding"), F.col("__q"))
+                / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("vec_id").asc()],
+        C.PQ_TOPK,
+    )
+
+
 def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-hygiene audit: mojibake signatures, replacement chars,
     stray control bytes — planted deterministically into the fixture
@@ -8255,6 +8311,7 @@ QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "rerank_retrieval": q_rerank_retrieval,
     "domain_quality_gate": q_domain_quality_gate,
+    "embedding_pq_rerank": q_embedding_pq_rerank,
     "vocab_topk": q_vocab_topk,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
