@@ -286,16 +286,24 @@ _SKEW_JOIN_CONF = {
 }
 
 
-def _bench_one(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, list]:
+def _bench_one(
+    spark, fn, sf_dir: str, runs: int = 2, prev: float | None = None
+) -> tuple[float, list]:
     """Best-of-N full materialization to the noop sink: the first run
     pays Catalyst analysis + codegen and absorbs host-noise spikes; the
     min is the reproducible number a warmed cluster would see.
 
-    Host-noise guard: across a ~90-query suite roughly one query per
+    Host-noise guards: across a ~90-query suite roughly one query per
     run eats a multi-second host stall (observed: quality_filter 11.6s
     vs 0.5s standalone, embedding_topk_quantized 14.3s vs 2s). When
     both samples are slow AND mutually inconsistent, one extra run
-    disambiguates "genuinely expensive" from "both runs unlucky".
+    disambiguates "genuinely expensive" from "both runs unlucky". A
+    noise WINDOW can also inflate both samples consistently (the r9
+    smear: a dozen untouched queries 1.4-2.9x up, every isolated
+    re-run reproducing the old numbers) — so when the previous round's
+    detail is available and the min still exceeds 1.4x that value, one
+    extra sample self-adjudicates before the artifact records a
+    phantom regression.
     """
     samples = []
     for _ in range(runs):
@@ -306,7 +314,17 @@ def _bench_one(spark, fn, sf_dir: str, runs: int = 2) -> tuple[float, list]:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples.append(time.time() - t0)
+    if (
+        prev is not None
+        and min(samples) > 1.4 * prev
+        and min(samples) - prev > 0.3
+    ):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
     return round(min(samples), 3), [round(r, 3) for r in samples]
+
+
 
 
 def main() -> int:
@@ -322,9 +340,15 @@ def main() -> int:
     # not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # newest detail on disk (the current round's file still holds the
+    # previous run's numbers at this point) — the retry-guard baseline
+    prev_art = _previous_detail("")
+    prev_times = dict(prev_art.get("queries", {})) if prev_art else {}
     times: dict[str, float] = {}
     for name in OPERATORS:
-        times[name], samples = _bench_one(spark, QUERIES[name], sf_dir)
+        times[name], samples = _bench_one(
+            spark, QUERIES[name], sf_dir, prev=prev_times.get(name)
+        )
         print(f"# {name}: {times[name]:.3f}s (runs {samples})", file=sys.stderr)
 
     # Stress queries run min-of-3 and record their fixture row counts:
