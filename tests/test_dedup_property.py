@@ -123,3 +123,64 @@ def test_lsh_candidate_pairs_match_python_model(spark, docs):
             if i < j and any(a == b for a, b in zip(bmap[i], bmap[j])):
                 expect.add((i, j))
     assert got == expect
+
+
+def _cdc_model(text: str, mod: int, seed: int):
+    """Pure-Python model of cdc_chunks: a token whose seeded portable
+    hash is 0 mod `mod` closes a chunk."""
+    toks = text.split()
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if _h64(t, seed=seed) % mod == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [(i, " ".join(c), len(c)) for i, c in enumerate(chunks)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(texts, min_size=1, max_size=8),
+    mod=st.integers(2, 6),
+)
+def test_cdc_chunks_match_python_model(spark, docs, mod):
+    """Chunk boundaries, indexes, texts and token counts all equal the
+    sequential model — and reassembly is lossless by construction."""
+    from trollflow2_spark.extensions.text import cdc_chunks
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got: dict[int, list] = {}
+    for r in cdc_chunks(df, mod=mod, seed=37).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        )
+    for i, t in rows:
+        assert sorted(got.get(i, [])) == _cdc_model(t, mod, 37), (t, mod)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(texts, min_size=1, max_size=8))
+def test_blocklist_filter_matches_python_model(spark, docs):
+    """Hit counts, distinct hits and the two-rule keep decision equal
+    the sequential model on arbitrary word soups."""
+    from trollflow2_spark.extensions.text import blocklist_filter
+
+    terms = ("alpha", "gamma", "zeta")
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_hits"], r["n_distinct_hits"],
+                      r["keep"])
+        for r in blocklist_filter(
+            df, terms, min_distinct=2, max_density_bp=2000
+        ).collect()
+    }
+    for i, t in rows:
+        toks = [w.lower() for w in t.split()]
+        hits = [w for w in toks if w in terms]
+        drop = len(set(hits)) >= 2 or len(hits) * 10000 > 2000 * len(toks)
+        assert got[i] == (len(toks), len(hits), len(set(hits)),
+                          0 if drop else 1), t
