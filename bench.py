@@ -261,6 +261,7 @@ OPERATORS = [
     "rerank_retrieval",  # retrieve -> k-bounded second-stage rerank
     "domain_quality_gate",  # per-domain micro-unit mean -> site-level gate
     "embedding_pq_rerank",  # ADC shortlist -> exact-vector refine (2-stage ANN)
+    "vocab_drift",  # snapshot token-distribution shift audit (integer ppm)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

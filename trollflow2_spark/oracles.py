@@ -4003,6 +4003,40 @@ SELECT rank, token, n_occurrences, n_docs FROM ranked
 WHERE rank <= {C.VOCAB_TOPK}
 """
 
+# vocabulary drift: the corpus_diff snapshot split compared token-wise
+# over the combined top-K vocab, integer ppm frequencies
+ORACLES["vocab_drift"] = f"""
+WITH u AS (
+  SELECT token, s FROM (
+    SELECT lower(unnest({_TOKS})) AS token, 'a' AS s FROM documents
+    WHERE doc_id % 13 <> 3
+    UNION ALL
+    SELECT lower(unnest({_TOKS})) AS token, 'b' AS s FROM documents
+    WHERE doc_id % 11 <> 7
+  )
+), c AS (
+  SELECT token,
+    CAST(sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+    CAST(sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM u GROUP BY token
+), t AS (
+  SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM c
+), k AS (
+  SELECT token, cnt_a, cnt_b FROM c
+  ORDER BY cnt_a + cnt_b DESC, token ASC LIMIT {C.VOCAB_DRIFT_K}
+), p AS (
+  SELECT token, cnt_a, cnt_b,
+    CAST(round(CAST(cnt_a AS DOUBLE) * 1000000.0
+               / CAST(tot_a AS DOUBLE)) AS BIGINT) AS ppm_a,
+    CAST(round(CAST(cnt_b AS DOUBLE) * 1000000.0
+               / CAST(tot_b AS DOUBLE)) AS BIGINT) AS ppm_b
+  FROM k CROSS JOIN t
+)
+SELECT token, cnt_a, cnt_b, ppm_a, ppm_b,
+  abs(ppm_a - ppm_b) AS drift_ppm
+FROM p
+"""
+
 # content-defined chunking: hash-decided boundaries, prefix-sum chunk
 # ids, per-chunk ordered string_agg re-assembly
 _CDC_CTES = f"""

@@ -373,6 +373,9 @@ FUZZY_LONG_MAXLEN = 256  # declared domain cap of the long tier
 DOMAIN_Q_THRESHOLD = 0.784  # ~median per-domain mean quality: gates about
 # half the planted domains at every sf (content-farm shape: judge the site)
 
+# --- vocabulary drift audit ---------------------------------------------------
+VOCAB_DRIFT_K = 50  # combined top-K tokens compared between snapshots
+
 # --- content-defined chunking -------------------------------------------------
 CDC_MOD = 8  # avg chunk length in tokens (hash % mod == 0 closes a chunk)
 CDC_SEED = 37

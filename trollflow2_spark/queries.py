@@ -7880,6 +7880,63 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot vocabulary drift: per-token relative
+    frequencies of two corpus snapshots (the corpus_diff fixture's
+    old/new split) over the combined top-K vocabulary, as integer
+    parts-per-million — the distribution-shift audit that catches a
+    crawl batch quietly changing the corpus (new spam template, lost
+    source) before it trains into a model. ONE token-grain hash agg
+    with conditional sums (map-side combinable), 1-row totals
+    broadcast back, distributed TakeOrdered for the top-K — and every
+    output is an integer, so the contract is drift-free by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 13 != 3)
+    new = docs.where(F.col("doc_id") % 11 != 7)
+    from trollflow2_spark.functions.hashing import tokens
+
+    def toks(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.explode(tokens(F.col("text"))).alias("tk")
+        ).select(F.lower(F.col("tk")).alias("token"), F.lit(side).alias("s"))
+
+    both = toks(old, "a").unionAll(toks(new, "b"))
+    counts = both.groupBy("token").agg(
+        F.sum(F.when(F.col("s") == "a", 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("s") == "b", 1).otherwise(0)).alias("cnt_b"),
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+        )
+    )
+    topk = counts.orderBy(
+        (F.col("cnt_a") + F.col("cnt_b")).desc(), F.col("token").asc()
+    ).limit(C.VOCAB_DRIFT_K)
+    ppm_a = F.round(
+        F.col("cnt_a").cast("double")
+        * F.lit(1000000.0)
+        / F.col("tot_a").cast("double")
+    ).cast("bigint")
+    ppm_b = F.round(
+        F.col("cnt_b").cast("double")
+        * F.lit(1000000.0)
+        / F.col("tot_b").cast("double")
+    ).cast("bigint")
+    return (
+        topk.crossJoin(totals)
+        .select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            ppm_a.alias("ppm_a"),
+            ppm_b.alias("ppm_b"),
+        )
+        .withColumn("drift_ppm", F.abs(F.col("ppm_a") - F.col("ppm_b")))
+    )
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: boundaries decided by token hash, not
     position, so an edit anywhere re-aligns nothing outside its own
@@ -8307,6 +8364,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "logreg_train": q_logreg_train,
     "recipe_drop_audit": q_recipe_drop_audit,
+    "vocab_drift": q_vocab_drift,
     "cdc_chunks": q_cdc_chunks,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "rerank_retrieval": q_rerank_retrieval,
