@@ -188,11 +188,20 @@ def _stage_decontaminate(
     residue: int | None = None,
     min_hits: int = 1,
     shingle_words: int | None = None,
+    held_path: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination as a recipe stage (the GPT-3 n-gram
-    filter shape): held-out docs (the id-convention eval set) leave
-    the corpus entirely, and training docs sharing >= ``min_hits``
-    distinct word shingles with the held set drop.
+    filter shape): held-out docs leave the corpus entirely, and
+    training docs sharing >= ``min_hits`` distinct word shingles with
+    the held set drop.
+
+    The held set comes either from the id convention (``mod`` /
+    ``residue`` — the batch contract fixture) or, the PRODUCTION and
+    streaming shape, from ``held_path``: a parquet eval set loaded as
+    static state, so the stage is a pure per-doc map against fixed
+    config and therefore commutes with micro-batching (per-batch
+    id-derived held sets would NOT — leakage against another batch's
+    held docs would be missed).
 
     100 TB shape: the held shingle-digest set is eval-sized ->
     broadcast; corpus shingles filter MAP-SIDE against it (broadcast
@@ -208,8 +217,14 @@ def _stage_decontaminate(
         C.CONTAM_SHINGLE_WORDS if shingle_words is None
         else int(shingle_words)
     )
-    held = df.filter(F.col("doc_id") % mod == residue)
-    corpus = df.filter(F.col("doc_id") % mod != residue)
+    if held_path is not None:
+        held = df.sparkSession.read.parquet(held_path).select(
+            "doc_id", "text"
+        )
+        corpus = df
+    else:
+        held = df.filter(F.col("doc_id") % mod == residue)
+        corpus = df.filter(F.col("doc_id") % mod != residue)
 
     def sh(d: DataFrame) -> DataFrame:
         return d.select(

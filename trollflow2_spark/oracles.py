@@ -4692,6 +4692,37 @@ WHERE doc_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
 
 # decontamination recipe capstone: held shingle digests -> distinct-hit
 # floor -> digest-window dedup -> split CASE, one SQL chain
+# static-held decontam replay: the spread-hash budget subset split
+# into held (id convention) and train; held digests gate train docs;
+# split CASE — streaming == batch because the held state is static
+ORACLES["corpus_recipe_decontam_replay"] = f"""
+WITH f0 AS (
+  SELECT doc_id FROM documents
+  ORDER BY (doc_id * {C.REPLAY_SPREAD}) % 4294967296, doc_id
+  LIMIT {C.REPLAY_ROW_BUDGET}
+), f AS (
+  SELECT d.doc_id, d.text FROM f0 JOIN documents d USING (doc_id)
+), heldsh AS (
+  SELECT DISTINCT {HASH64_SQL('sh')} AS h FROM (
+    SELECT unnest({_CONTAM_SH}) AS sh
+    FROM f WHERE doc_id % {C.CONTAM_MOD} = {C.CONTAM_RESIDUE}
+  )
+), corpsh AS (
+  SELECT DISTINCT doc_id, {HASH64_SQL('sh')} AS h FROM (
+    SELECT doc_id, unnest({_CONTAM_SH}) AS sh
+    FROM f WHERE doc_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+  )
+), bad AS (
+  SELECT doc_id FROM corpsh JOIN heldsh USING (h)
+  GROUP BY doc_id HAVING count(*) >= {C.DECONTAM_MIN_HITS}
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+  {_split_case_sql()} AS split
+FROM f
+WHERE doc_id % {C.CONTAM_MOD} <> {C.CONTAM_RESIDUE}
+  AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
 ORACLES["corpus_recipe_decontam"] = f"""
 WITH heldsh AS (
   SELECT DISTINCT {HASH64_SQL('sh')} AS h FROM (

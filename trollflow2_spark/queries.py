@@ -8195,6 +8195,70 @@ def q_corpus_recipe_decontam(
     )
 
 
+def q_corpus_recipe_decontam_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Static-held decontamination run INCREMENTALLY: the held/eval
+    set is a parquet file (``held_path`` — the production shape: eval
+    sets are fixed artifacts, not id conventions), so the
+    decontaminate stage is a pure per-doc map against static state and
+    commutes with micro-batching BY CONSTRUCTION — which is exactly
+    what this contract proves: a real 3-batch ``foreachBatch`` replay
+    of decontaminate -> split equals the batch recipe on the
+    concatenation. Fixture is the REPLAY_ROW_BUDGET spread-hash
+    subset (O(1) in sf); the oracle replays the held shingle-digest
+    semi-join, the hit floor and the split CASE over the same
+    subset."""
+    import os as _os
+    import tempfile
+
+    from trollflow2_spark.extensions.recipe import replay_recipe_batches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = _replay_subset(docs.select("doc_id"), "doc_id").join(docs, "doc_id")
+    rows = sub.collect()  # budget-bounded fixture subset (control plane)
+    held = [
+        r for r in rows if r["doc_id"] % C.CONTAM_MOD == C.CONTAM_RESIDUE
+    ]
+    train = [
+        r for r in rows if r["doc_id"] % C.CONTAM_MOD != C.CONTAM_RESIDUE
+    ]
+    d = tempfile.mkdtemp(prefix="tf2decontam_")
+    held_path = _os.path.join(d, "held")
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in held],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(held_path)
+    batches = [
+        [
+            {"doc_id": r["doc_id"], "text": r["text"]}
+            for r in train
+            if r["doc_id"] % 3 == i
+        ]
+        for i in range(3)
+    ]
+    recipe = [
+        {
+            "stage": "decontaminate",
+            "min_hits": C.DECONTAM_MIN_HITS,
+            "held_path": held_path,
+        },
+        {
+            "stage": "split",
+            "fractions": dict(C.SPLIT_FRACS),
+            "seed": C.SPLIT_SEED,
+        },
+    ]
+    out = replay_recipe_batches(
+        spark, batches, "doc_id long, text string", recipe
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "split",
+    )
+
+
 def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space contamination — catches eval examples whose
     PARAPHRASE sits in train (no shared shingle, same neighborhood).
@@ -8398,6 +8462,7 @@ QUERIES = {
     "scrub_repeated_spans": q_scrub_repeated_spans,
     "corpus_recipe": q_corpus_recipe,
     "corpus_recipe_decontam": q_corpus_recipe_decontam,
+    "corpus_recipe_decontam_replay": q_corpus_recipe_decontam_replay,
     "corpus_recipe_replay": q_corpus_recipe_replay,
     "corpus_recipe_neardup_replay": q_corpus_recipe_neardup_replay,
     "lsh_recall_audit": q_lsh_recall_audit,
