@@ -262,6 +262,7 @@ OPERATORS = [
     "domain_quality_gate",  # per-domain micro-unit mean -> site-level gate
     "embedding_pq_rerank",  # ADC shortlist -> exact-vector refine (2-stage ANN)
     "vocab_drift",  # snapshot token-distribution shift audit (integer ppm)
+    "corpus_release",  # capstone: gates -> CC -> best-rep -> cluster-split
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -5804,6 +5804,56 @@ WHERE c.doc_id = c.cluster_id
 
 ORACLES["corpus_recipe_neardup_replay"] = _recipe_neardup_oracle()
 
+# the release capstone: quality + blocklist gates re-root the
+# recursive-closure chain onto the surviving subset, then the
+# best-representative argmax and the cluster-keyed split bucket
+ORACLES["corpus_release"] = (
+    f"""
+WITH RECURSIVE t0 AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), q_ok AS (
+  SELECT doc_id, text, toks FROM t0
+  WHERE NOT ({_QF_NTOK} < 20)
+    AND NOT ({_QF_STOP} < 0.03)
+    AND NOT ({_QF_SCORE} < 0.5)
+), bl AS (
+  SELECT doc_id, text,
+    len(toks) AS n_tokens,
+    len(list_filter(list_transform(toks, x -> lower(x)),
+        x -> x IN ({_BL_TERMS}))) AS n_hits,
+    len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+        x -> x IN ({_BL_TERMS})))) AS n_distinct_hits
+  FROM q_ok
+), kept AS (
+  SELECT doc_id, text FROM bl
+  WHERE NOT (n_distinct_hits >= {C.BLOCKLIST_MIN_DISTINCT}
+             OR n_hits * 10000 > {C.BLOCKLIST_MAX_DENSITY_BP} * n_tokens)
+),
+"""
+    + _CC_CTES.replace("WITH RECURSIVE ", "", 1).replace(
+        "FROM documents", "FROM kept"
+    )
+    + f"""
+, cl_sized AS (
+  SELECT doc_id, cluster_id,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM clustered
+), ranked_rel AS (
+  SELECT s.doc_id, s.cluster_id, s.cluster_size,
+    CAST(length(k.text) AS BIGINT) AS n_chars,
+    row_number() OVER (PARTITION BY s.cluster_id
+                       ORDER BY length(k.text) DESC, s.doc_id ASC) AS rn
+  FROM cl_sized s JOIN kept k USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, n_chars,
+  {{split_case}} AS split
+FROM ranked_rel WHERE rn = 1
+""".replace(
+        "{split_case}",
+        _split_case_over("CAST(cluster_id AS VARCHAR)", C.SPLIT_SEED),
+    )
+)
+
 # quality-preferred dedup: each cluster ships its highest-quality
 # member (n_chars desc, doc_id asc) — the argmax window over the same
 # recursive closure

@@ -4765,6 +4765,67 @@ def q_cluster_atomic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", "split")
 
 
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release capstone, one plan end-to-end: quality gate ->
+    blocklist gate -> LSH candidates -> connected components ->
+    QUALITY-PREFERRED representative per near-dup cluster ->
+    CLUSTER-ATOMIC train/val/test split. What actually ships to a
+    trainer: the best copy of every surviving near-dup family, with a
+    split assignment no paraphrase can straddle. The oracle re-roots
+    the recursive-closure chain onto the gated subset and replays the
+    argmax window and the bucket arithmetic."""
+    from trollflow2_spark.extensions.dedup import (
+        best_representatives,
+        lsh_candidate_pairs,
+    )
+    from trollflow2_spark.extensions.sampling import deterministic_split
+    from trollflow2_spark.extensions.text import (
+        blocklist_filter,
+        quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q_ok = quality_filter(docs).where(F.col("keep") == 1).select("doc_id")
+    kept1 = docs.join(q_ok, "doc_id", "left_semi")
+    b_ok = (
+        blocklist_filter(
+            kept1,
+            terms=C.BLOCKLIST_TERMS,
+            min_distinct=C.BLOCKLIST_MIN_DISTINCT,
+            max_density_bp=C.BLOCKLIST_MAX_DENSITY_BP,
+        )
+        .where(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    kept = kept1.join(b_ok, "doc_id", "left_semi")
+    sigs = minhash_signatures(
+        kept,
+        shingle_words=C.MINHASH_SHINGLE_WORDS,
+        num_hashes=C.MINHASH_NUM_HASHES,
+    )
+    pairs = lsh_candidate_pairs(
+        sigs,
+        num_hashes=C.MINHASH_NUM_HASHES,
+        bands=C.MINHASH_BANDS,
+        max_bucket=1000,
+        salt_threshold=1000,
+    )
+    clusters = duplicate_clusters(kept, pairs)
+    reps = best_representatives(
+        clusters,
+        kept.select(
+            "doc_id", F.length("text").cast("bigint").alias("n_chars")
+        ),
+        quality_col="n_chars",
+    )
+    return deterministic_split(
+        reps,
+        dict(C.SPLIT_FRACS),
+        id_col="cluster_id",
+        seed=C.SPLIT_SEED,
+    ).select("doc_id", "cluster_id", "cluster_size", "n_chars", "split")
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline smoke as a query: message -> jobs -> scene -> sinks
     -> manifest rows. The manifest's deterministic fields (composed
@@ -8517,6 +8578,7 @@ QUERIES = {
     "dedup_corpus_verified": q_dedup_corpus_verified,
     "dedup_best_representative": q_dedup_best_representative,
     "cluster_atomic_split": q_cluster_atomic_split,
+    "corpus_release": q_corpus_release,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
