@@ -52,3 +52,33 @@ def test_decontaminate_unknown_param_fails_fast(spark):
             _docs(spark, [(1, "x", "t")]),
             [{"stage": "decontaminate", "bogus": 1}],
         ).collect()
+
+
+def test_decontaminate_static_held_path(spark, tmp_path):
+    """held_path loads the eval set as static state: held ids never
+    appear in the output, train docs sharing >= min_hits shingles with
+    the FILE's held docs drop even when the leaky doc and the held doc
+    would land in different micro-batches (the property the id-derived
+    form cannot give a stream)."""
+    from trollflow2_spark.extensions.recipe import replay_recipe_batches
+
+    held_text = ("the quick brown fox jumps over the lazy dog near the "
+                 "old stone wall beside the quiet garden fountain")
+    clean = ("a totally different document about spark adaptive query "
+             "execution replanning stages from runtime statistics")
+    held_dir = str(tmp_path / "held")
+    spark.createDataFrame(
+        [(100, held_text)], "doc_id long, text string"
+    ).write.parquet(held_dir)
+    batches = [
+        [{"doc_id": 1, "text": clean + " v1"}],
+        # leaks against the STATIC held file, not anything in-batch
+        [{"doc_id": 2, "text": held_text + " trailing words"}],
+        [{"doc_id": 3, "text": clean + " v3"}],
+    ]
+    out = replay_recipe_batches(
+        spark, batches, "doc_id long, text string",
+        [{"stage": "decontaminate", "min_hits": 1, "shingle_words": 8,
+          "held_path": held_dir}],
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
