@@ -180,6 +180,14 @@ FLAGSHIP = [
     ("domain_quality_gate",
      "Site-level gate: one hash agg to domain grain, verdicts "
      "broadcast back (BroadcastHashJoin) as a map-side keep flag."),
+    ("vocab_drift",
+     "Snapshot drift audit: one conditional-sum token hash agg, "
+     "1-row totals broadcast, distributed TakeOrdered top-K — every "
+     "output an integer ppm."),
+    ("corpus_release",
+     "Release capstone in one plan: scan-stage gates, LSH band "
+     "joins, CC label rounds, the best-representative argmax window "
+     "riding the cluster partitioning, map-side cluster-keyed split."),
 ]
 
 
