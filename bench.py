@@ -263,6 +263,7 @@ OPERATORS = [
     "embedding_pq_rerank",  # ADC shortlist -> exact-vector refine (2-stage ANN)
     "vocab_drift",  # snapshot token-distribution shift audit (integer ppm)
     "corpus_release",  # capstone: gates -> CC -> best-rep -> cluster-split
+    "token_budget_sample",  # per-source TOKEN budgets (greedy cumulative window)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

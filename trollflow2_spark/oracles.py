@@ -4003,6 +4003,31 @@ SELECT rank, token, n_occurrences, n_docs FROM ranked
 WHERE rank <= {C.VOCAB_TOPK}
 """
 
+# token-budget sampling: greedy per-source admission in spread-hash
+# order until the token budget is spent (the crossing doc is admitted)
+_TB_BUDGET = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {b}" for s, b in C.TOKEN_BUDGET_OVERRIDES
+) + f" ELSE {C.TOKEN_BUDGET_DEFAULT} END"
+ORACLES["token_budget_sample"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(({_TB_BUDGET}) AS BIGINT) AS budget,
+    (doc_id * {C.REPLAY_SPREAD}) % 4294967296 AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens, budget,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tokens_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, budget, tokens_before,
+  CASE WHEN tokens_before < budget THEN 1 ELSE 0 END AS keep
+FROM c
+"""
+
 # vocabulary drift: the corpus_diff snapshot split compared token-wise
 # over the combined top-K vocab, integer ppm frequencies
 ORACLES["vocab_drift"] = f"""

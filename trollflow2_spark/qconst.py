@@ -373,6 +373,10 @@ FUZZY_LONG_MAXLEN = 256  # declared domain cap of the long tier
 DOMAIN_Q_THRESHOLD = 0.784  # ~median per-domain mean quality: gates about
 # half the planted domains at every sf (content-farm shape: judge the site)
 
+# --- token-budget sampling ----------------------------------------------------
+TOKEN_BUDGET_DEFAULT = 700  # per-source token budget (tokens, not docs)
+TOKEN_BUDGET_OVERRIDES = (("src0", 300), ("src1", 1200))
+
 # --- vocabulary drift audit ---------------------------------------------------
 VOCAB_DRIFT_K = 50  # combined top-K tokens compared between snapshots
 

@@ -7941,6 +7941,48 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped sampling: mixtures are specified in TOKENS,
+    not documents (a 50-token page and a 5000-token article are not
+    the same amount of training data) — each source admits docs in
+    portable spread-hash order until its token budget is spent (greedy:
+    the doc that crosses the line is admitted, then the tap closes).
+    One per-source cumulative window over narrow (id, n_tokens) rows;
+    the admission decision, the running total and the budget are all
+    integers. The oracle replays the hash order and the running-sum
+    window."""
+    from trollflow2_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_tok = F.size(tokens(F.col("text")))
+    h = F.pmod(F.col("doc_id") * F.lit(C.REPLAY_SPREAD), F.lit(2**32))
+    budget = F.lit(C.TOKEN_BUDGET_DEFAULT)
+    for src, b in C.TOKEN_BUDGET_OVERRIDES:
+        budget = F.when(F.col("source") == src, F.lit(b)).otherwise(budget)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tok.cast("bigint").alias("n_tokens"),
+        budget.cast("bigint").alias("budget"),
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "budget",
+        cum_before.alias("tokens_before"),
+        F.when(cum_before < F.col("budget"), 1).otherwise(0).alias("keep"),
+    )
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot vocabulary drift: per-token relative
     frequencies of two corpus snapshots (the corpus_diff fixture's
@@ -8490,6 +8532,7 @@ QUERIES = {
     "logreg_train": q_logreg_train,
     "recipe_drop_audit": q_recipe_drop_audit,
     "vocab_drift": q_vocab_drift,
+    "token_budget_sample": q_token_budget_sample,
     "cdc_chunks": q_cdc_chunks,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "rerank_retrieval": q_rerank_retrieval,
