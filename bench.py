@@ -264,6 +264,7 @@ OPERATORS = [
     "vocab_drift",  # snapshot token-distribution shift audit (integer ppm)
     "corpus_release",  # capstone: gates -> CC -> best-rep -> cluster-split
     "token_budget_sample",  # per-source TOKEN budgets (greedy cumulative window)
+    "packing_efficiency",  # per-bin fill-rate/overflow audit of the packing tier
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

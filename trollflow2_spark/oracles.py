@@ -4003,6 +4003,39 @@ SELECT rank, token, n_occurrences, n_docs FROM ranked
 WHERE rank <= {C.VOCAB_TOPK}
 """
 
+# packing-efficiency audit: the pack assignment rolled up per
+# (shard, bin) with an integer-ppm fill rate and overflow flag
+ORACLES["packing_efficiency"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(({HASH64_SQL('CAST(doc_id AS VARCHAR)', C.PACK_SEED)}
+      % {C.PACK_SHARDS}) AS INT) AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+    ) AS cum_tokens
+  FROM d
+), p AS (
+  SELECT shard,
+    CAST(floor((cum_tokens - n_tokens) / {float(C.PACK_BUDGET)}) AS INT)
+      AS bin,
+    n_tokens
+  FROM c
+), g AS (
+  SELECT shard, bin,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+  FROM p GROUP BY shard, bin
+)
+SELECT shard, bin, n_docs, tokens_packed,
+  CAST(round(CAST(tokens_packed AS DOUBLE) * 1000000.0
+             / {float(C.PACK_BUDGET)}) AS BIGINT) AS fill_ppm,
+  CASE WHEN tokens_packed > {C.PACK_BUDGET} THEN 1 ELSE 0 END AS overflow
+FROM g
+"""
+
 # token-budget sampling: greedy per-source admission in spread-hash
 # order until the token budget is spent (the crossing doc is admitted)
 _TB_BUDGET = "CASE " + " ".join(

@@ -7941,6 +7941,39 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the sequence-packing tier: per
+    (shard, bin) document count, packed token total, integer-ppm fill
+    rate against the budget, and an overflow flag (a doc that STARTS
+    inside the budget may run past it — concat-then-chunk semantics;
+    the audit is how you see whether the budget/corpus pairing wastes
+    context window or overflows it). One map-side-combinable agg over
+    the pack assignment."""
+    packed = q_pack_sequences(spark, sf_dir)
+    fill_ppm = F.round(
+        F.col("tokens_packed").cast("double")
+        * F.lit(1000000.0)
+        / F.lit(float(C.PACK_BUDGET))
+    ).cast("bigint")
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_packed"),
+        )
+        .select(
+            "shard",
+            "bin",
+            "n_docs",
+            "tokens_packed",
+            fill_ppm.alias("fill_ppm"),
+            F.when(F.col("tokens_packed") > C.PACK_BUDGET, 1)
+            .otherwise(0)
+            .alias("overflow"),
+        )
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-capped sampling: mixtures are specified in TOKENS,
     not documents (a 50-token page and a 5000-token article are not
@@ -8533,6 +8566,7 @@ QUERIES = {
     "recipe_drop_audit": q_recipe_drop_audit,
     "vocab_drift": q_vocab_drift,
     "token_budget_sample": q_token_budget_sample,
+    "packing_efficiency": q_packing_efficiency,
     "cdc_chunks": q_cdc_chunks,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "rerank_retrieval": q_rerank_retrieval,
