@@ -2384,3 +2384,35 @@ def test_cdc_chunks_empty_doc(spark):
     )
     rows = cdc_chunks(df, mod=4, seed=37).collect()
     assert {r["doc_id"] for r in rows} == {3}
+
+
+def test_best_representatives_argmax_and_ties(spark):
+    """Each cluster ships its highest-quality member; ties break to the
+    smallest id; singletons represent themselves."""
+    from trollflow2_spark.extensions.dedup import (
+        best_representatives,
+        duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 7), (6, 9), (7, 1)],
+        ["doc_id", "n_chars"],
+    )
+    clusters = duplicate_clusters(docs, pairs)
+    reps = {
+        r["cluster_id"]: r
+        for r in best_representatives(clusters, quality).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 30 -> smallest id 2 wins
+    assert reps[1]["doc_id"] == 2 and reps[1]["cluster_size"] == 3
+    # cluster {5,6}: 6 (9) beats 5 (7)
+    assert reps[5]["doc_id"] == 6 and reps[5]["cluster_size"] == 2
+    # singletons 4 and 7 represent themselves
+    assert reps[4]["doc_id"] == 4 and reps[7]["doc_id"] == 7
+    assert len(reps) == 4
