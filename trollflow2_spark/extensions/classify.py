@@ -124,6 +124,7 @@ def logreg_train_score(
     lr: float = 0.05,
     seed: int = 29,
     round_digits: int = 6,
+    score_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed logistic-regression TRAINING by full-batch gradient
     descent — the iterative learner NB cannot be, trained without any
@@ -185,17 +186,20 @@ def logreg_train_score(
     # per iteration for free — checkpointing the ratios instead would
     # either collapse the projection back into the md5 chain or cost a
     # second eager job
-    base = df.select(
-        F.col(id_col),
-        F.col(label_col).cast("int").alias("y"),
-        hist.alias("hist"),
-        n_tok.alias("n_tok"),
-    ).localCheckpoint()
-    feats = base.select(
-        F.col(id_col),
-        F.col("y"),
-        *[bucket_ratio(j).alias(f"x{j}") for j in range(dim)],
-    )
+    def featurize(frame: DataFrame) -> DataFrame:
+        base = frame.select(
+            F.col(id_col),
+            F.col(label_col).cast("int").alias("y"),
+            hist.alias("hist"),
+            n_tok.alias("n_tok"),
+        ).localCheckpoint()
+        return base.select(
+            F.col(id_col),
+            F.col("y"),
+            *[bucket_ratio(j).alias(f"x{j}") for j in range(dim)],
+        )
+
+    feats = featurize(df)
 
     def dot(w: list[float]) -> Column:
         z: Column = F.lit(float(w[0]))
@@ -265,9 +269,12 @@ def logreg_train_score(
     finally:
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
 
+    # score the held-out frame when given (the production train/serve
+    # split), else the training corpus (the fit-diagnostics form)
+    target = feats if score_df is None else featurize(score_df)
     p = prob(w)
     pred = F.when(p >= 0.5, 1).otherwise(0)
-    return feats.select(
+    return target.select(
         F.col(id_col),
         F.col("y"),
         p.alias("score"),

@@ -3868,6 +3868,7 @@ def _logreg_oracle_sql(
     iters: int = C.LOGREG_ITERS,
     lr: float = C.LOGREG_LR,
     seed: int = C.LOGREG_SEED,
+    split_mod: int | None = None,
 ) -> str:
     bucket = f"{HASH64_SQL('tok', seed)} % {dim}"
     feat_cols = ",\n    ".join(
@@ -3899,7 +3900,16 @@ def _logreg_oracle_sql(
         "b AS (\n  SELECT doc_id, y,\n"
         f"    list_transform(list_transform(toks, x -> lower(x)),\n"
         f"                   tok -> {bucket}) AS bks\n  FROM lab\n)",
-        f"f AS MATERIALIZED (\n  SELECT doc_id, y,\n    {feat_cols}\n  FROM b\n)",
+        # with split_mod set, f is the TRAIN split and fs the held-out
+        # scoring split (the production train/serve shape)
+        "f AS MATERIALIZED (\n  SELECT doc_id, y,\n"
+        f"    {feat_cols}\n  FROM b"
+        + (
+            f"\n  WHERE doc_id % {split_mod} <> 0"
+            if split_mod is not None
+            else ""
+        )
+        + "\n)",
         "it0 AS (\n  SELECT "
         + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{k}" for k in range(dim + 1))
         + "\n)",
@@ -3926,11 +3936,18 @@ def _logreg_oracle_sql(
             f"\n      {prob('w')} AS p"
             f"\n    FROM f CROSS JOIN it{t - 1} w\n  )\n)"
         )
+    if split_mod is not None:
+        parts.append(
+            "fs AS MATERIALIZED (\n  SELECT doc_id, y,\n"
+            f"    {feat_cols}\n  FROM b"
+            f"\n  WHERE doc_id % {split_mod} = 0\n)"
+        )
+    score_src = "f" if split_mod is None else "fs"
     p_final = prob("w")
     tail = f"""
 , sc AS (
   SELECT doc_id, y, {p_final} AS score
-  FROM f CROSS JOIN it{iters} w
+  FROM {score_src} CROSS JOIN it{iters} w
 )
 SELECT doc_id, y, score,
   CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred,
@@ -3942,6 +3959,9 @@ FROM sc
 
 
 ORACLES["logreg_train"] = _logreg_oracle_sql()
+ORACLES["logreg_holdout"] = _logreg_oracle_sql(
+    split_mod=C.QFILTER_SPLIT_MOD
+)
 
 # interpolated bigram LM: transitions from list_zip of the lowered
 # token array; top-k bigram table (ties: count desc, w1, w2) + the same

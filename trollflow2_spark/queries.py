@@ -7922,6 +7922,38 @@ def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production train/serve split for the distributed GD
+    classifier: fit on doc_id % QFILTER_SPLIT_MOD != 0, score the
+    HELD-OUT residue-0 docs the model never saw — held-out accuracy,
+    not fit diagnostics, is what decides whether a quality classifier
+    ships. Same quantized recurrence as ``logreg_train``; the oracle
+    replays every iteration over the train split and scores the
+    held split."""
+    from trollflow2_spark.extensions.classify import logreg_train_score
+    from trollflow2_spark.extensions.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = quality_features(docs, extra_cols=["text"]).select(
+        "doc_id",
+        "text",
+        F.when(F.col("quality_score") >= C.LOGREG_LABEL_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    train = labeled.where(F.col("doc_id") % C.QFILTER_SPLIT_MOD != 0)
+    held = labeled.where(F.col("doc_id") % C.QFILTER_SPLIT_MOD == 0)
+    return logreg_train_score(
+        train,
+        label_col="y",
+        dim=C.LOGREG_DIM,
+        iters=C.LOGREG_ITERS,
+        lr=C.LOGREG_LR,
+        seed=C.LOGREG_SEED,
+        score_df=held,
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wordlist content gate: drop docs matching >= BLOCKLIST_MIN_DISTINCT
     distinct blocklist terms or exceeding the basis-point hit-density
@@ -8563,6 +8595,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "blocklist_filter": q_blocklist_filter,
     "logreg_train": q_logreg_train,
+    "logreg_holdout": q_logreg_holdout,
     "recipe_drop_audit": q_recipe_drop_audit,
     "vocab_drift": q_vocab_drift,
     "token_budget_sample": q_token_budget_sample,
