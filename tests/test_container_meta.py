@@ -47,6 +47,78 @@ def test_id3v23_plain_frame_sizes():
     assert m4["title"] == "doc9"
 
 
+def test_id3v22_six_byte_frames():
+    from trollflow2_spark.extensions.multimodal import _parse_mp3
+
+    # ID3v2.2: 6-byte frame headers (3-byte id "TT2" + 3-byte BE size,
+    # no flags). A 10-byte-header walk would straddle fields and lose
+    # the title.
+    body = b"\x00doc2.2"
+    frame = b"TT2" + len(body).to_bytes(3, "big") + body
+    tag_body = frame + bytes(10)  # padding
+    sz = len(tag_body)
+    # syncsafe tag size (7 bits/byte)
+    ss = bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    )
+    blob = b"ID3" + bytes([2, 0, 0]) + ss + tag_body
+    m = _parse_mp3(blob)
+    assert m["title"] == "doc2.2"
+
+
+def _mdhd_mp4(version: int) -> bytes:
+    """Minimal mp4 with a version-``version`` mdhd: one avc-less video
+    track whose sample tables index 2 fixed-size samples at timescale
+    1000, delta 500 -> pts_ms 0 and 500 when the timescale resolves."""
+
+    def box(ty: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + ty + payload
+
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+               + box(b"mp4v", bytes(78)))
+    stts = box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+               + (2).to_bytes(4, "big") + (500).to_bytes(4, "big"))
+    stsz = box(b"stsz", bytes(4) + (100).to_bytes(4, "big")
+               + (2).to_bytes(4, "big"))
+    stsc = box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
+               + (1).to_bytes(4, "big") + (2).to_bytes(4, "big")
+               + (1).to_bytes(4, "big"))
+    stco = box(b"stco", bytes(4) + (1).to_bytes(4, "big")
+               + (32).to_bytes(4, "big"))
+    stbl = box(b"stbl", stsd + stts + stsz + stsc + stco)
+    minf = box(b"minf", box(b"vmhd", bytes(12)) + stbl)
+    if version == 0:
+        mdhd_payload = bytes(12) + (1000).to_bytes(4, "big") + bytes(8)
+    elif version == 1:
+        # v1: ver(1)+flags(3) + creation(8) + modification(8) +
+        # timescale(4) + duration(8)
+        mdhd_payload = (
+            bytes([1, 0, 0, 0]) + bytes(16)
+            + (1000).to_bytes(4, "big") + bytes(8)
+        )
+    else:
+        mdhd_payload = bytes([version, 0, 0, 0]) + bytes(28)
+    mdia = box(b"mdia", box(b"mdhd", mdhd_payload) + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+    ftyp = (24).to_bytes(4, "big") + b"ftypisom" + bytes(4) + b"isomiso2"
+    return ftyp + box(b"mdat", bytes(200)) + moov
+
+
+def test_mdhd_v1_timescale_and_unknown_version_null_pts():
+    from trollflow2_spark.extensions.multimodal import parse_mp4_index
+
+    v0 = parse_mp4_index(_mdhd_mp4(0))
+    v1 = parse_mp4_index(_mdhd_mp4(1))
+    assert v0["timescale"] == 1000 and v1["timescale"] == 1000
+    assert [s["pts_ms"] for s in v1["samples"]] == [0, 500]
+    assert [s["pts_ms"] for s in v0["samples"]] == [0, 500]
+    # unknown mdhd version: never fall back to ts=1 (raw ticks as ms) —
+    # pts_ms must be NULL so the consumer sees "unknown", not wrong
+    vx = parse_mp4_index(_mdhd_mp4(2))
+    assert vx["timescale"] is None
+    assert all(s["pts_ms"] is None for s in vx["samples"])
+
+
 def test_unknown_and_corrupt_quarantine(spark):
     from trollflow2_spark.extensions.multimodal import container_metadata
 

@@ -184,3 +184,16 @@ def test_blocklist_filter_matches_python_model(spark, docs):
         drop = len(set(hits)) >= 2 or len(hits) * 10000 > 2000 * len(toks)
         assert got[i] == (len(toks), len(hits), len(set(hits)),
                           0 if drop else 1), t
+
+
+def test_blocklist_terms_normalized_to_lowercase(spark):
+    """A mixed-case blocklist entry (real NSFW lists ship them) must
+    still match the lowered document tokens."""
+    from trollflow2_spark.extensions.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "Alpha ALPHA beta Gamma")], ["doc_id", "text"]
+    )
+    r = blocklist_filter(df, ("Alpha", "GAMMA"), min_distinct=2).first()
+    assert r["n_hits"] == 3 and r["n_distinct_hits"] == 2
+    assert r["keep"] == 0

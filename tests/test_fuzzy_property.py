@@ -149,10 +149,18 @@ def test_long_pairs_match_brute_force_random_edits(spark):
 def test_fuzzy_scope_audit_accounts_every_row(spark):
     from trollflow2_spark.extensions.dedup import fuzzy_scope_audit
 
-    rows = [(1, "a" * 10), (2, "b" * 64), (3, "c" * 65), (4, "d" * 200)]
+    rows = [
+        (1, "a" * 10),
+        (2, "b" * 64),
+        (3, "c" * 65),
+        (4, "d" * 200),
+        (5, None),
+    ]
     out = fuzzy_scope_audit(
         spark.createDataFrame(rows, "id bigint, s string"), "id", "s"
     ).first()
-    assert out["n_total"] == 4
+    assert out["n_total"] == 5
     assert out["n_in_scope"] == 2 and out["n_skipped"] == 2
+    assert out["n_null"] == 1
+    assert out["n_in_scope"] + out["n_skipped"] + out["n_null"] == 5
     assert out["max_skipped_len"] == 200

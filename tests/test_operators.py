@@ -62,6 +62,26 @@ def test_top1_and_topk(spark):
     assert k2.count() == 3
 
 
+def test_topk_salted_preserves_caller_sk_column(spark):
+    """A caller column literally named '__sk' must survive the salted
+    two-stage path (the temp rank column probes for a free name)."""
+    df = spark.createDataFrame(
+        [("p", i, f"v{i}") for i in range(10)],
+        ["grp", "score", "__sk"],
+    )
+    out = topk_per_group(
+        df,
+        ["grp"],
+        [F.col("score").desc()],
+        3,
+        salt_col="__sk",
+        salt_buckets=4,
+    )
+    assert "__sk" in out.columns
+    got = {(r["score"], r["__sk"]) for r in out.collect()}
+    assert got == {(9, "v9"), (8, "v8"), (7, "v7")}
+
+
 def test_nearest_join_radius_miss(spark):
     """Targets with no source within radius keep NULL neighbors
     (radius_of_influence miss -> fill, plugins/__init__.py:149-156)."""

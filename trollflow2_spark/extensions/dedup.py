@@ -1487,12 +1487,17 @@ def fuzzy_scope_audit(
     map-side-combinable aggregation, zero shuffle beyond the 1-row
     reduce."""
     ln = F.length(F.col(str_col))
-    in_scope = ln.between(min_len, max_len)
+    # NULL strings give a NULL predicate, which SUM would silently
+    # skip from BOTH buckets — route them to an explicit n_null column
+    # so n_in_scope + n_skipped + n_null == n_total always holds.
+    is_null = F.col(str_col).isNull()
+    in_scope = F.coalesce(ln.between(min_len, max_len), F.lit(False))
     return df.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(in_scope.cast("long")).alias("n_in_scope"),
-        F.sum((~in_scope).cast("long")).alias("n_skipped"),
-        F.max(F.when(~in_scope, ln)).alias("max_skipped_len"),
+        F.sum((~in_scope & ~is_null).cast("long")).alias("n_skipped"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.max(F.when(~in_scope & ~is_null, ln)).alias("max_skipped_len"),
     )
 
 

@@ -873,21 +873,35 @@ def _parse_mp3(b: bytes) -> dict | None:
     # at b[6:10] is syncsafe in both versions).
     major = b[3]
     pos, end = 10, min(frame_at, len(b))
-    while pos + 10 <= end and b[pos] != 0:
-        fid = b[pos : pos + 4]
-        raw_sz = b[pos + 4 : pos + 8]
-        fsz = (
-            _syncsafe(raw_sz)
-            if major >= 4
-            else int.from_bytes(raw_sz, "big")
-        )
-        body = b[pos + 10 : pos + 10 + fsz]
-        if fid == b"TIT2" and body:
-            enc = "utf-8" if body[0] == 3 else "latin-1"
-            out["title"] = (
-                body[1:].split(b"\x00")[0].decode(enc, "replace")
+    if major == 2:
+        # ID3v2.2: 6-byte frame headers — 3-byte id + 3-byte BE size
+        # (no flags). The title frame is "TT2", not "TIT2".
+        while pos + 6 <= end and b[pos] != 0:
+            fid = b[pos : pos + 3]
+            fsz = int.from_bytes(b[pos + 3 : pos + 6], "big")
+            body = b[pos + 6 : pos + 6 + fsz]
+            if fid == b"TT2" and body:
+                enc = "utf-8" if body[0] == 3 else "latin-1"
+                out["title"] = (
+                    body[1:].split(b"\x00")[0].decode(enc, "replace")
+                )
+            pos += 6 + fsz
+    else:
+        while pos + 10 <= end and b[pos] != 0:
+            fid = b[pos : pos + 4]
+            raw_sz = b[pos + 4 : pos + 8]
+            fsz = (
+                _syncsafe(raw_sz)
+                if major >= 4
+                else int.from_bytes(raw_sz, "big")
             )
-        pos += 10 + fsz
+            body = b[pos + 10 : pos + 10 + fsz]
+            if fid == b"TIT2" and body:
+                enc = "utf-8" if body[0] == 3 else "latin-1"
+                out["title"] = (
+                    body[1:].split(b"\x00")[0].decode(enc, "replace")
+                )
+            pos += 10 + fsz
     fh = b[frame_at : frame_at + 4]
     if len(fh) == 4 and fh[0] == 0xFF and (fh[1] & 0xE0) == 0xE0:
         version = (fh[1] >> 3) & 3  # 3 = MPEG1
@@ -1277,10 +1291,19 @@ def parse_mp4_index(b: bytes) -> dict | None:
             continue
         out: dict = {"codec": None, "timescale": None}
         mdhd = _mp4_child(b, *mdia, b"mdhd")
-        if mdhd and b[mdhd[0]] == 0:
-            out["timescale"] = int.from_bytes(
-                b[mdhd[0] + 12 : mdhd[0] + 16], "big"
-            )
+        if mdhd:
+            ver = b[mdhd[0]]
+            if ver == 0:
+                # v0: ver/flags(4) + creation(4) + modification(4)
+                out["timescale"] = int.from_bytes(
+                    b[mdhd[0] + 12 : mdhd[0] + 16], "big"
+                )
+            elif ver == 1:
+                # v1: ver/flags(4) + creation(8) + modification(8)
+                out["timescale"] = int.from_bytes(
+                    b[mdhd[0] + 20 : mdhd[0] + 24], "big"
+                )
+            # unknown versions leave timescale None -> pts_ms NULL
 
         def body(name: bytes) -> bytes | None:
             c = _mp4_child(b, *stbl, name)
@@ -1365,14 +1388,17 @@ def parse_mp4_index(b: bytes) -> dict | None:
             }
         pts = 0
         samples = []
-        ts = out.get("timescale") or 1
+        # An unresolved timescale (unknown mdhd version) must NOT fall
+        # back to ts=1 — that would emit raw tick counts as milliseconds.
+        # Emit NULL pts_ms instead so consumers see "unknown", not wrong.
+        ts = out.get("timescale")
         for i in range(n_samples):
             samples.append(
                 {
                     "sample_idx": i + 1,
                     "byte_offset": offsets[i] if i < len(offsets) else None,
                     "sample_bytes": sizes[i],
-                    "pts_ms": pts * 1000 // ts,
+                    "pts_ms": (pts * 1000 // ts) if ts else None,
                     "is_keyframe": int(
                         keyset is None or (i + 1) in keyset
                     ),

@@ -613,7 +613,9 @@ def blocklist_filter(
     bp * n_tokens``) so no float ratio ever forms — bit-identical in
     any engine. Output keeps the evidence columns for the drop audit.
     """
-    term_arr = F.array(*[F.lit(t) for t in terms])
+    # Document tokens are lowered below, so the term literals must be
+    # too — a mixed-case blocklist entry would otherwise never match.
+    term_arr = F.array(*[F.lit(t.lower()) for t in terms])
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     hits = F.filter(toks, lambda t: F.array_contains(term_arr, t))
     out = df.select(

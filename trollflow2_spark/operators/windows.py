@@ -59,12 +59,17 @@ def topk_per_group(
     per-group window would funnel the corpus through few hot
     partitions."""
     if salt_col is not None and salt_buckets and salt_buckets > 1:
+        # collision-safe temp name: a caller column named "__sk" must
+        # survive untouched, so probe for a free suffix first
+        sk = "__sk"
+        while sk in df.columns:
+            sk += "_"
         salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
         w1 = Window.partitionBy(*partition_cols, salt).orderBy(*order_by)
         df = (
-            df.withColumn("__sk", F.row_number().over(w1))
-            .filter(F.col("__sk") <= k)
-            .drop("__sk")
+            df.withColumn(sk, F.row_number().over(w1))
+            .filter(F.col(sk) <= k)
+            .drop(sk)
         )
     w = Window.partitionBy(*partition_cols).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(

@@ -4383,10 +4383,11 @@ WITH s AS (
 SELECT count(*) AS n_total,
   CAST(sum(CASE WHEN ln BETWEEN 1 AND 64 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_in_scope,
-  CAST(sum(CASE WHEN ln BETWEEN 1 AND 64 THEN 0 ELSE 1 END) AS BIGINT)
-    AS n_skipped,
-  CAST(max(CASE WHEN ln BETWEEN 1 AND 64 THEN NULL ELSE ln END) AS INT)
-    AS max_skipped_len
+  CAST(sum(CASE WHEN ln IS NULL OR ln BETWEEN 1 AND 64 THEN 0 ELSE 1 END)
+    AS BIGINT) AS n_skipped,
+  CAST(sum(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(max(CASE WHEN ln IS NULL OR ln BETWEEN 1 AND 64 THEN NULL
+    ELSE ln END) AS INT) AS max_skipped_len
 FROM s
 """
 
