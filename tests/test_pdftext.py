@@ -129,3 +129,40 @@ def test_cid_flag_and_non_pdf():
     broken = _pdf(b"BT (x) Tj ET", flate=True).replace(b"stream\nx", b"stream\nZ")
     res = extract_pdf_text(broken)
     assert res["ok"] == 1
+
+
+def test_objstm_unpacks_page_tree_and_fonts():
+    """PDF 1.5 object streams: page-tree and font dicts that exist
+    ONLY inside a Flate /Type /ObjStm must resolve — pages counted,
+    text extracted, CID fonts decoded through the packed font dict."""
+    from trollflow2_spark.queries import _pdf_objstm_blob
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    m = extract_pdf_text(_pdf_objstm_blob(1))
+    assert m["ok"] == 1 and m["version"] == "1.5"
+    assert m["n_pages"] == 2 and m["has_cid"] == 1
+    assert m["encrypted"] == 0
+    assert m["text"] == "pg0 d1 Doc 1\npg1 d1 Doc 1"
+    # sanity: the page dicts really are NOT top-level objects
+    blob = _pdf_objstm_blob(1)
+    assert b"/Type /Page /Parent" not in blob  # packed, compressed
+
+
+def test_objstm_malformed_header_yields_no_packed_objects():
+    from trollflow2_spark.sources.pdftext import _unpack_objstm
+
+    assert _unpack_objstm(b"<< /Type /ObjStm >>", b"10 0 x") == []
+    # header promises more pairs than the prelude carries
+    assert _unpack_objstm(
+        b"<< /Type /ObjStm /N 3 /First 4 >>", b"10 0 <<>>"
+    ) == []
+
+
+def test_encrypted_pdf_flagged_not_failed():
+    from trollflow2_spark.queries import _pdf_objstm_blob
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    m = extract_pdf_text(_pdf_objstm_blob(6))
+    assert m["ok"] == 1 and m["encrypted"] == 1
+    assert m["text"] == ""  # ciphertext suppressed, never garbled
+    assert m["n_pages"] == 1  # structure still accounted

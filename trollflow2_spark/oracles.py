@@ -840,6 +840,7 @@ SELECT doc_id,
        END AS INTEGER) AS n_objects,
   CAST(CASE WHEN not_pdf THEN NULL WHEN cid THEN 1 ELSE 0 END
     AS INTEGER) AS has_cid,
+  CAST(CASE WHEN not_pdf THEN NULL ELSE 0 END AS INTEGER) AS encrypted,
   CASE WHEN not_pdf THEN NULL ELSE 'gen' || (doc_id % 7) END AS producer,
   CASE WHEN not_pdf THEN NULL ELSE
     array_to_string(list_transform(range(np),
@@ -978,9 +979,44 @@ SELECT doc_id,
   CAST(CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 6 END AS INTEGER)
     AS n_objects,
   CAST(1 AS INTEGER) AS has_cid,
+  CAST(0 AS INTEGER) AS encrypted,
   CAST(NULL AS VARCHAR) AS producer,
   CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'Doc ' || doc_id END AS text
 FROM documents
+"""
+
+# PDF 1.5 object-stream fixture replay: catalog/pages/page/font dicts
+# live inside one Flate ObjStm (never top-level), so every non-NULL
+# row here proves the ObjStm unpack fed the object table; n_objects =
+# top-level (1 ObjStm + np contents + 1 CMap + encrypt dict) + packed
+# (catalog, pages, np pages, Type0 font, F1 font, info) = 7 + 2*np
+# (+1 when encrypted); /Encrypt trailers suppress text but keep
+# structure accounted
+ORACLES["pdf_text_objstm"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 9 = 0 AS not_pdf,
+    1 + doc_id % 2 AS np,
+    doc_id % 6 = 0 AND doc_id % 9 <> 0 AS enc
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN not_pdf THEN 0 ELSE 1 END AS INTEGER) AS ok,
+  CASE WHEN not_pdf THEN NULL ELSE '1.5' END AS version,
+  CAST(CASE WHEN not_pdf THEN NULL ELSE np END AS INTEGER) AS n_pages,
+  CAST(CASE WHEN not_pdf THEN NULL
+       ELSE 7 + 2 * np + CASE WHEN enc THEN 1 ELSE 0 END
+       END AS INTEGER) AS n_objects,
+  CAST(CASE WHEN not_pdf THEN NULL ELSE 1 END AS INTEGER) AS has_cid,
+  CAST(CASE WHEN not_pdf THEN NULL WHEN enc THEN 1 ELSE 0 END
+    AS INTEGER) AS encrypted,
+  CASE WHEN not_pdf THEN NULL ELSE 'objstm' || (doc_id % 7) END
+    AS producer,
+  CASE WHEN not_pdf THEN NULL WHEN enc THEN '' ELSE
+    array_to_string(list_transform(range(np),
+      p -> 'pg' || p || ' d' || doc_id || ' Doc ' || doc_id),
+      chr(10))
+  END AS text
+FROM base
 """
 
 # EXIF fixture replay: every field closed-form in doc_id

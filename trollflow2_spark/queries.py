@@ -6154,6 +6154,152 @@ def q_pdf_text_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_text_table(media)
 
 
+def _pdf_objstm_blob(d: int) -> bytes:
+    """Closed-form PDF **1.5 object-stream** fixture — the modern-crawl
+    shape where the page tree and font dicts never appear as top-level
+    ``N M obj`` patterns: catalog, pages node, page dicts (with inline
+    /Resources), the Type0/Identity-H font dict, a simple /F1 font and
+    the /Producer info dict are all packed inside one Flate-compressed
+    ``/Type /ObjStm`` stream (``/N`` pairs + ``/First`` header), while
+    the content streams and the ToUnicode CMap stay top-level stream
+    objects (the spec forbids streams inside object streams). Each
+    page shows simple-font text then a 2-byte-CID hex string spelling
+    ``Doc {d}`` through the packed font's CMap. Every 9th doc is not a
+    PDF; every 6th carries a trailer ``/Encrypt`` ref — flagged
+    ``encrypted=1`` with text suppressed, never a task failure."""
+    import zlib
+
+    if d % 9 == 0:
+        return b"%NOTAPDF" + bytes([d % 256])
+    n_pages = 1 + d % 2
+    enc = d % 6 == 0
+    # ---- packed objects (the ObjStm payload) ----
+    kids = " ".join(f"{12 + p} 0 R" for p in range(n_pages))
+    packed: list[tuple[int, bytes]] = [
+        (10, b"<< /Type /Catalog /Pages 11 0 R >>"),
+        (
+            11,
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        ),
+    ]
+    for p in range(n_pages):
+        packed.append(
+            (
+                12 + p,
+                (
+                    "<< /Type /Page /Parent 11 0 R /Resources "
+                    "<< /Font << /F1 30 0 R /F7 20 0 R >> >> "
+                    f"/Contents {4 + p} 0 R >>"
+                ).encode(),
+            )
+        )
+    packed.append(
+        (
+            20,
+            b"<< /Subtype /Type0 /BaseFont /Fake "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        )
+    )
+    packed.append((30, b"<< /Subtype /TrueType /BaseFont /Helv >>"))
+    packed.append((21, f"<< /Producer (objstm{d % 7}) >>".encode()))
+    offsets, bodies, pos = [], [], 0
+    for num, body in packed:
+        offsets.append((num, pos))
+        bodies.append(body + b" ")
+        pos += len(body) + 1
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b" "
+    first = len(header)
+    objstm_data = zlib.compress(header + b"".join(bodies))
+    # ---- top-level objects ----
+    objs: list[bytes] = [
+        (
+            f"1 0 obj << /Type /ObjStm /N {len(packed)} /First {first} "
+            f"/Filter /FlateDecode /Length {len(objstm_data)} >> stream\n"
+        ).encode()
+        + objstm_data
+        + b"\nendstream endobj\n"
+    ]
+    cid = {"D": 1, "o": 5, "c": 6, " ": 4}
+    codes = [cid["D"], cid["o"], cid["c"], cid[" "]] + [
+        0x10 + int(ch) for ch in str(d)
+    ]
+    hexstr = "".join(f"{c:04X}" for c in codes)
+    for p in range(n_pages):
+        content = (
+            f"BT /F1 12 Tf (pg{p} d{d}) Tj /F7 12 Tf <{hexstr}> Tj ET"
+        ).encode()
+        cf = b""
+        if d % 2 == 0:
+            content = zlib.compress(content)
+            cf = b"/Filter /FlateDecode "
+        objs.append(
+            (
+                f"{4 + p} 0 obj << {cf.decode()}/Length {len(content)} "
+                ">> stream\n"
+            ).encode()
+            + content
+            + b"\nendstream endobj\n"
+        )
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"2 beginbfchar\n<0001> <0044>\n<0004> <0020>\nendbfchar\n"
+        b"2 beginbfrange\n<0005> <0006> [<006F> <0063>]\n"
+        b"<0010> <0019> <0030>\nendbfrange\nendcmap\nend"
+    )
+    mf = b""
+    if d % 2 == 0:
+        cmap = zlib.compress(cmap)
+        mf = b"/Filter /FlateDecode "
+    objs.append(
+        b"6 0 obj << " + mf + b"/Length " + str(len(cmap)).encode()
+        + b" >> stream\n" + cmap + b"\nendstream endobj\n"
+    )
+    trailer = b"trailer << /Root 10 0 R >>\n"
+    if enc:
+        objs.append(b"9 0 obj << /Filter /Standard /V 1 >> endobj\n")
+        trailer = b"trailer << /Root 10 0 R /Encrypt 9 0 R >>\n"
+    return b"%PDF-1.5\n" + b"".join(objs) + trailer + b"%%EOF"
+
+
+def q_pdf_text_objstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 1.5+ object-stream resolution — the dominant modern class:
+    page-tree and font dicts packed inside Flate-compressed
+    ``/Type /ObjStm`` streams (``/N`` offset pairs + ``/First``) are
+    unpacked into the object table, so text and CID/ToUnicode decoding
+    reach documents whose structural dicts never appear top-level.
+    ``/Encrypt`` trailers flag ``encrypted=1`` with text suppressed
+    (ciphertext, not garbage). The fixture is closed-form in doc_id so
+    the oracle states pages, object counts, flags and the decoded
+    mixed simple+CID text verbatim."""
+    import pandas as pd
+
+    from trollflow2_spark.sources.pdftext import pdf_text_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _pdf_objstm_blob(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return pdf_text_table(media)
+
+
 def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF extraction over real JPEG segment structures: closed-form
     APP1/Exif IFD0 fields in BOTH TIFF byte orders, SOF dimensions,
@@ -8520,6 +8666,7 @@ QUERIES = {
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
+    "pdf_text_objstm": q_pdf_text_objstm,
     "subtitle_text": q_subtitle_text,
     "audio_fingerprint": q_audio_fingerprint,
     "feed_urls": q_feed_urls,

@@ -264,10 +264,52 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
     return cmap
 
 
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
+def _unpack_objstm(body: bytes, data: bytes) -> list[tuple[int, bytes]]:
+    """Unpack one ``/Type /ObjStm`` object stream (PDF 1.5+): ``data``
+    is the INFLATED stream payload whose first section is ``/N``
+    whitespace-separated (objnum, offset) integer pairs; object bodies
+    start at ``/First`` and run to the next object's offset. Returns
+    [(objnum, body), ...] — malformed headers yield []."""
+    nm = re.search(rb"/N\s+(\d+)", body)
+    fm = re.search(rb"/First\s+(\d+)", body)
+    if not (nm and fm):
+        return []
+    n, first = int(nm.group(1)), int(fm.group(1))
+    ints = re.findall(rb"\d+", data[:first])
+    if len(ints) < 2 * n:
+        return []
+    pairs = [
+        (int(ints[2 * i]), int(ints[2 * i + 1])) for i in range(n)
+    ]
+    out: list[tuple[int, bytes]] = []
+    for i, (num, off) in enumerate(pairs):
+        lo = first + off
+        hi = first + pairs[i + 1][1] if i + 1 < n else len(data)
+        if 0 <= lo <= hi <= len(data):
+            out.append((num, data[lo:hi]))
+    return out
+
+
 def extract_pdf_text(blob: bytes) -> dict:
     """Parse one PDF blob: concatenated page text (show ops joined
     with spaces, pages with newlines), page count, object count, CID
-    flag, producer string.
+    flag, encryption flag, producer string.
+
+    PDF 1.5+ **object streams** are resolved: any top-level object
+    whose dict says ``/Type /ObjStm`` has its (Flate-inflated) payload
+    unpacked — ``/N`` (objnum, offset) header pairs, bodies from
+    ``/First`` — and the packed objects (where modern writers put the
+    page tree and font dicts) join the object table, so CID/ToUnicode
+    decoding reaches fonts that never appear as top-level ``N M obj``
+    patterns. Packed objects do not override same-numbered top-level
+    ones (sequential scan: the uncompressed body is the one a
+    no-xref reader trusts). ``/Encrypt`` in the trailer flags
+    ``encrypted=1`` — streams are then ciphertext, so text stays empty
+    but the document is accounted, not failed.
 
     Returns ``{"ok": 0}`` for payloads without a PDF header."""
     if not blob.startswith(b"%PDF-"):
@@ -278,26 +320,18 @@ def extract_pdf_text(blob: bytes) -> dict:
         "n_pages": 0,
         "n_objects": 0,
         "has_cid": 0,
+        "encrypted": 1 if _ENCRYPT_RE.search(blob) else 0,
         "producer": None,
     }
     page_texts: list[str] = []
     pages: list[tuple[int | None, bytes]] = []  # (content ref, page body)
     bodies: dict[int, bytes] = {}
     streams: dict[int, bytes] = {}
+    objstms: list[tuple[bytes, bytes]] = []  # (dict body, inflated data)
     for m in _OBJ_RE.finditer(blob):
-        out["n_objects"] += 1
         num = int(m.group(1))
         body = m.group(3)
         bodies[num] = body
-        if b"/Type0" in body or b"/Identity-H" in body:
-            out["has_cid"] = 1
-        if b"/Type" in body and b"/Page" in body and b"/Pages" not in body:
-            out["n_pages"] += 1
-            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
-            pages.append((int(cm.group(1)) if cm else None, body))
-        pm = re.search(rb"/Producer\s*\(([^)]*)\)", body)
-        if pm:
-            out["producer"] = pm.group(1).decode("latin-1", "replace")
         sm = _STREAM_RE.search(body)
         if sm:
             data = sm.group(1)
@@ -307,6 +341,25 @@ def extract_pdf_text(blob: bytes) -> dict:
                 except zlib.error:
                     continue
             streams[num] = data
+            if _OBJSTM_TYPE_RE.search(body):
+                objstms.append((body, data))
+    for body, data in objstms:
+        for num, packed in _unpack_objstm(body, data):
+            bodies.setdefault(num, packed)
+    for body in bodies.values():
+        out["n_objects"] += 1
+        if b"/Type0" in body or b"/Identity-H" in body:
+            out["has_cid"] = 1
+        if b"/Type" in body and b"/Page" in body and b"/Pages" not in body:
+            out["n_pages"] += 1
+            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+            pages.append((int(cm.group(1)) if cm else None, body))
+        pm = re.search(rb"/Producer\s*\(([^)]*)\)", body)
+        if pm:
+            out["producer"] = pm.group(1).decode("latin-1", "replace")
+    if out["encrypted"]:
+        out["text"] = ""
+        return out
     for ref, page_body in pages:
         data = streams.get(ref) if ref is not None else None
         if data is None:
@@ -344,7 +397,7 @@ def _page_fontmaps(
     return maps
 
 
-PDF_TEXT_SCHEMA = "doc_id long, ok int, version string, n_pages int, n_objects int, has_cid int, producer string, text string"
+PDF_TEXT_SCHEMA = "doc_id long, ok int, version string, n_pages int, n_objects int, has_cid int, encrypted int, producer string, text string"
 
 
 def pdf_text_table(df, media_col: str = "media", id_col: str = "doc_id"):
@@ -373,6 +426,7 @@ def pdf_text_table(df, media_col: str = "media", id_col: str = "doc_id"):
                         meta.get("n_pages"),
                         meta.get("n_objects"),
                         meta.get("has_cid"),
+                        meta.get("encrypted"),
                         meta.get("producer"),
                         meta.get("text"),
                     )
@@ -381,7 +435,7 @@ def pdf_text_table(df, media_col: str = "media", id_col: str = "doc_id"):
                 rows,
                 columns=[
                     "doc_id", "ok", "version", "n_pages", "n_objects",
-                    "has_cid", "producer", "text",
+                    "has_cid", "encrypted", "producer", "text",
                 ],
             )
 
