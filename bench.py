@@ -273,6 +273,7 @@ STRESS = [
     "skew_seq_salted",  # digest-chained two-stage twin — must beat the baseline
     "semantic_cells_plain",  # hot k-means cell, unguarded cross-product
     "semantic_cells_guarded",  # salt/cap guarded twin — must beat the baseline
+    "cdc_monster_doc",  # 8x20k-token docs: linear chunker on the long-doc tail
 ]
 
 # The skewed-join AQE pair runs this contract query twice with
@@ -348,12 +349,54 @@ def main() -> int:
     # previous run's numbers at this point) — the retry-guard baseline
     prev_art = _previous_detail("")
     prev_times = dict(prev_art.get("queries", {})) if prev_art else {}
+    # min-of-3 protocol (r9 verdict): the committed artifact must not
+    # ship host-noise regressions the isolated-re-run protocol refutes
+    # off-artifact. The previous round's top-10 most expensive queries
+    # run min-of-3 up front; every sample list for those (plus any
+    # query the retry guard extended) is recorded in the detail file.
+    prev_top10 = set(
+        sorted(prev_times, key=lambda k: -prev_times[k])[:10]
+    )
     times: dict[str, float] = {}
+    runs_detail: dict[str, list] = {}
     for name in OPERATORS:
+        base_runs = 3 if name in prev_top10 else 2
         times[name], samples = _bench_one(
-            spark, QUERIES[name], sf_dir, prev=prev_times.get(name)
+            spark, QUERIES[name], sf_dir, runs=base_runs,
+            prev=prev_times.get(name),
         )
+        if base_runs >= 3 or len(samples) > base_runs:
+            runs_detail[name] = samples
         print(f"# {name}: {times[name]:.3f}s (runs {samples})", file=sys.stderr)
+
+    # post-suite adjudication: any query still >1.4x its previous-round
+    # time after the in-loop retries gets ONE isolated re-run at the
+    # end of the suite (quieter host: no 200-query churn around it) and
+    # the committed number is the min — the on-record equivalent of the
+    # NOTES_r9 off-artifact re-runs
+    adjudication: dict[str, dict] = {}
+    for name in sorted(times):
+        prev_t = prev_times.get(name)
+        if (
+            prev_t
+            and times[name] > 1.4 * prev_t
+            and times[name] - prev_t > 0.3
+        ):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            iso = round(time.time() - t0, 3)
+            adjudication[name] = {
+                "suite_min": times[name], "isolated": iso, "prev": prev_t,
+            }
+            runs_detail.setdefault(name, []).append(iso)
+            times[name] = min(times[name], iso)
+            print(
+                f"# adjudicated {name}: suite {adjudication[name]['suite_min']}s"
+                f" isolated {iso}s (prev {prev_t}s)",
+                file=sys.stderr,
+            )
 
     # Stress queries run min-of-3 and record their fixture row counts:
     # round 8's skew_seq pair doubled with unchanged code+fixture and
@@ -423,6 +466,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in times.items()},
+        "runs": runs_detail,
+        "adjudication": adjudication,
         "stress": stress_detail,
         "stress_total": round(sum(stress.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -520,6 +565,8 @@ def _stress_fixture_rows(spark, sf_dir: str) -> dict[str, int]:
         "skew_join_aqe_on": skew_rows,
         "semantic_cells_plain": sem_rows,
         "semantic_cells_guarded": sem_rows,
+        # tokens, not rows: the monster fixture is sf-independent
+        "cdc_monster_doc": C.CDC_MONSTER_DOCS * C.CDC_MONSTER_TOKENS,
     }
 
 

@@ -647,16 +647,20 @@ def cdc_chunks(
     robust to edits (fixed-width windows re-align everything after the
     insertion point).
 
-    Zero shuffle: boundary flags, prefix-sum chunk ids, and per-chunk
-    re-assembly are all higher-order Column algebra over the token
-    array, then one ``posexplode`` emits (id, chunk_idx, chunk_text,
-    n_tokens) rows in the scan stage. Average chunk length is ``mod``
-    tokens. Empty documents yield no rows.
+    Zero shuffle AND linear per document: one pass extracts the
+    boundary POSITIONS (1-based indexes of tokens whose hash is 0 mod
+    ``mod``), then chunk *k* is a single ``slice`` of the token array
+    between consecutive boundaries — every token is hashed once,
+    copied once and joined once, so a monster document costs O(n),
+    not the O(n²) a per-token prefix recount (or per-chunk re-filter)
+    would pay on the long-doc skew tail. One ``posexplode`` emits
+    (id, chunk_idx, chunk_text, n_tokens) rows in the scan stage.
+    Average chunk length is ``mod`` tokens. Empty documents yield no
+    rows.
     """
     # STAGED selects: each expensive array materializes once per row
     # (the hash array would otherwise re-evaluate its md5s inside every
-    # nested lambda — measured O(n^3)-with-md5 when written as one
-    # expression; multi-reference aliases block projection collapse)
+    # nested lambda; multi-reference aliases block projection collapse)
     toks = tokens(F.col(text_col))
     s1 = df.select(
         F.col(id_col),
@@ -668,38 +672,38 @@ def cdc_chunks(
             ),
         ).alias("zp"),
     )
-    # chunk id of token i = boundaries among positions 0..i-1
     zp = F.col("zp")
     s2 = s1.select(
         F.col(id_col),
-        F.transform(
-            zp,
-            lambda s, i: F.struct(
-                s["t"].alias("t"),
-                F.size(
-                    F.filter(
-                        F.slice(zp, F.lit(1), i),
-                        lambda p: p["h"] == F.lit(0),
-                    )
-                ).alias("cid"),
+        F.transform(zp, lambda s: s["t"]).alias("ta"),
+        # 1-based positions of boundary tokens (each closes its chunk)
+        F.filter(
+            F.transform(
+                zp, lambda s, i: F.when(s["h"] == F.lit(0), i + 1)
             ),
-        ).alias("wi"),
+            lambda x: x.isNotNull(),
+        ).alias("bp"),
     )
-    wi = F.col("wi")
-    n_chunks = F.when(
-        F.size(wi) > 0, F.element_at(wi, -1)["cid"] + 1
-    ).otherwise(F.lit(0))
+    ta, bp = F.col("ta"), F.col("bp")
+    n, m = F.size(ta), F.size(bp)
+    # chunk count: one chunk per boundary, plus a trailing partial
+    # chunk when tokens remain after the last boundary
+    n_chunks = F.when(m == 0, F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))\
+        .otherwise(m + F.when(n > F.element_at(bp, -1), 1).otherwise(0))
+
+    def _start(k):  # last boundary before chunk k (0 for the first)
+        return F.when(k == 0, F.lit(0)).otherwise(F.element_at(bp, k))
+
+    def _end(k):  # chunk k's own boundary, or n for the trailing chunk
+        return F.when(k < m, F.element_at(bp, k + 1)).otherwise(n)
+
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda k: F.struct(
             F.array_join(
-                F.transform(
-                    F.filter(wi, lambda s: s["cid"] == k),
-                    lambda s: s["t"],
-                ),
-                " ",
+                F.slice(ta, _start(k) + 1, _end(k) - _start(k)), " "
             ).alias("chunk_text"),
-            F.size(F.filter(wi, lambda s: s["cid"] == k)).alias("n_tokens"),
+            (_end(k) - _start(k)).cast("int").alias("n_tokens"),
         ),
     )
     out = s2.select(

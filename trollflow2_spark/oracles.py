@@ -4192,6 +4192,37 @@ FROM chunks GROUP BY md5(chunk_text)
 HAVING count(DISTINCT doc_id) >= {C.CDC_MIN_DOCS}
 """
 
+# monster-doc CDC replay — LINEAR, unlike the general cdc_chunks
+# oracle's quadratic prefix recount (fine at fixture token counts,
+# hopeless at 20k tokens/doc): boundary POSITIONS once, chunk count
+# closed-form (one chunk per boundary + a trailing partial), and the
+# reassembly digest is just md5 of the original joined token stream —
+# token conservation + ordering proven without materializing chunks
+ORACLES["cdc_monster_doc"] = f"""
+WITH d AS (
+  SELECT unnest(range({C.CDC_MONSTER_DOCS})) AS doc_id
+), t AS (
+  SELECT doc_id,
+    list_transform(range({C.CDC_MONSTER_TOKENS}),
+      j -> 't' || CAST((doc_id * 7 + j * j) % 2048 AS VARCHAR)) AS toks
+  FROM d
+), z AS (
+  SELECT doc_id, toks,
+    list_filter(list_transform(range(1, {C.CDC_MONSTER_TOKENS} + 1),
+      i -> CASE WHEN {HASH64_SQL('toks[i]', C.CDC_SEED)}
+                     % {C.CDC_MOD} = 0 THEN i END),
+      x -> x IS NOT NULL) AS bp
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(bp) + CASE WHEN len(bp) = 0
+                        OR bp[-1] < {C.CDC_MONSTER_TOKENS}
+                      THEN 1 ELSE 0 END AS INTEGER) AS n_chunks,
+  CAST({C.CDC_MONSTER_TOKENS} AS BIGINT) AS n_tokens_total,
+  md5(array_to_string(toks, ' ')) AS reassembly_md5
+FROM z
+"""
+
 # blocklist gate: whole-word matches on the lowered token array;
 # distinct-term rule OR the integer cross-multiplied density rule
 _BL_TERMS = ", ".join(f"'{t}'" for t in C.BLOCKLIST_TERMS)

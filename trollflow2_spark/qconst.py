@@ -384,6 +384,12 @@ VOCAB_DRIFT_K = 50  # combined top-K tokens compared between snapshots
 CDC_MOD = 8  # avg chunk length in tokens (hash % mod == 0 closes a chunk)
 CDC_SEED = 37
 CDC_MIN_DOCS = 2  # chunk-dedup audit: repeated-across-docs floor
+# monster-doc fixture (sf-independent, budget-capped): proves the
+# chunker is LINEAR per document — under the pre-r10 quadratic
+# prefix-recount these sizes were intractable (20k tokens -> 4e8
+# md5-bearing slice elements per doc)
+CDC_MONSTER_DOCS = 8
+CDC_MONSTER_TOKENS = 20_000
 
 # --- distributed logistic regression (hashed-feature quality classifier) ----
 LOGREG_DIM = 16  # hashed token-bucket feature dims (+ bias)

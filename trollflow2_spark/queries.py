@@ -8286,6 +8286,51 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_monster_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-doc skew-tail proof for the CDC chunker: 8 planted monster
+    documents of 20k closed-form tokens each (sf-independent, like the
+    replay fixtures) chunk in sub-second wall clock — sizes that were
+    intractable under a quadratic per-token prefix recount (4e8
+    md5-bearing slice elements per doc). Output is per-doc control
+    plane: chunk count, token conservation, and an md5 over the
+    chunk_idx-ordered reassembly proving every token landed in exactly
+    one chunk in order. The oracle recomputes boundaries LINEARLY
+    (boundary-position list, closed-form chunk count) and states the
+    reassembly digest as md5 of the original text."""
+    from trollflow2_spark.extensions.text import cdc_chunks
+
+    n = C.CDC_MONSTER_TOKENS
+    docs = spark.range(C.CDC_MONSTER_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda j: F.concat(
+                    F.lit("t"),
+                    ((F.col("id") * 7 + j * j) % 2048).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    ch = cdc_chunks(docs, mod=C.CDC_MOD, seed=C.CDC_SEED)
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            )
+        ).alias("reassembly_md5"),
+    )
+
+
 def q_recipe_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage row accounting for a composed corpus recipe (quality
     gate -> blocklist -> exact dedup -> split): every stage reports
@@ -8749,6 +8794,7 @@ QUERIES = {
     "packing_efficiency": q_packing_efficiency,
     "cdc_chunks": q_cdc_chunks,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "cdc_monster_doc": q_cdc_monster_doc,
     "rerank_retrieval": q_rerank_retrieval,
     "domain_quality_gate": q_domain_quality_gate,
     "embedding_pq_rerank": q_embedding_pq_rerank,
