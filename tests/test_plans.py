@@ -602,3 +602,39 @@ def test_pq_rerank_broadcasts_shortlist(spark, sf):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_domain_gate_broadcast_is_runtime_decided(spark, sf):
+    """The per-domain verdict join must not FORCE a broadcast hint:
+    registrable-domain cardinality grows with the corpus (~1e7 at
+    crawl scale, a multi-GB broadcast), so the decision belongs to
+    AQE's runtime size measurement. Small k (the fixture): AQE
+    converts the join to broadcast. Large k (simulated by flooring
+    both broadcast thresholds): the executed plan survives as a
+    SortMergeJoin instead of forcing an undeliverable broadcast."""
+    df = QUERIES["domain_quality_gate"](spark, sf)
+    qe = df._jdf.queryExecution()
+    df.collect()
+    small = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in small  # AQE picked it from real size
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df2 = QUERIES["domain_quality_gate"](spark, sf)
+        qe2 = df2._jdf.queryExecution()
+        df2.collect()
+        large = qe2.executedPlan().toString()
+        assert "BroadcastHashJoin" not in large
+        assert "SortMergeJoin" in large  # the large-k fallback exists
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -7652,8 +7652,13 @@ def q_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated, including its individually-fine pages (content farms emit
     plausible pages; the SITE is the signal). Domains come through the
     same planted messy-URL canonicalize -> PSL chain as group_split.
-    One hash agg to domain grain (k rows), broadcast back onto the
-    per-doc stream — map-side gate, no corpus re-shuffle."""
+    One hash agg to domain grain (k rows) joined back onto the
+    per-doc stream. The verdict side is NOT hint-forced to broadcast:
+    registrable-domain cardinality grows with the corpus (~1e7 at
+    crawl scale — (domain, double) rows at 1e7-1e8 is a multi-GB
+    broadcast), so AQE decides at runtime from the agg's ACTUAL size —
+    broadcast when small, shuffled join fallback when not (plan-pinned
+    both ways in tests/test_plans.py)."""
     from trollflow2_spark.extensions.text import quality_features
     from trollflow2_spark.sources.warc import (
         canonicalize_url,
@@ -7712,7 +7717,7 @@ def q_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("domain_q"),
         )
     )
-    return dom.join(F.broadcast(per_dom), "domain").select(
+    return dom.join(per_dom, "domain").select(
         "doc_id",
         "domain",
         "domain_q",
