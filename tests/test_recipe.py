@@ -190,3 +190,56 @@ def test_run_recipe_audited_accounting(spark):
     assert audit[3]["rows_dropped"] == 1  # dup of the 1/2 pair
     # the audited run's final width equals the plain run's
     assert audit[3]["rows_out"] == run_recipe(df, recipe).count()
+
+
+def test_neardup_candidate_state_never_shuffles(spark):
+    """The carried band state is the corpus-sized side of the
+    incremental near-dup probe: the batch bands must broadcast, and no
+    exchange keyed on (band, bh) may form on the state side — at 100 TB
+    that shuffle IS the cost the carried state exists to avoid."""
+    from trollflow2_spark.extensions.recipe import neardup_candidates
+
+    state = spark.createDataFrame(
+        [(1, 0, "aa"), (1, 1, "bb"), (2, 0, "aa")],
+        "doc_id long, band int, bh string",
+    )
+    batch = spark.createDataFrame(
+        [(10, 0, "aa"), (11, 2, "zz")], "doc_id long, band int, bh string"
+    )
+    cand = neardup_candidates(state, batch)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert got == {(10, 1), (10, 2)}
+    qe = cand._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(band", plan), plan
+
+
+def test_neardup_increment_bounds_state_text_reads(spark):
+    """Jaccard confirmation touches only candidate-matched state text
+    (semi-join bound), and confirmed batch docs anti-join away."""
+    from trollflow2_spark.extensions.dedup import (
+        _band_buckets,
+        minhash_signatures,
+    )
+    from trollflow2_spark.extensions.recipe import neardup_increment
+
+    state_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally unrelated content here now")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "fresh novel text with new words")],
+        "doc_id long, text string",
+    )
+    sb = _band_buckets(minhash_signatures(state_docs), "doc_id", 8, 4)
+    bb = _band_buckets(minhash_signatures(batch), "doc_id", 8, 4)
+    out = neardup_increment(batch, bb, sb, state_docs, threshold=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {11}

@@ -348,6 +348,60 @@ def run_recipe(df: DataFrame, recipe: list[dict[str, Any]]) -> DataFrame:
     return out
 
 
+def neardup_candidates(
+    state_bands: DataFrame, batch_bands: DataFrame
+) -> DataFrame:
+    """(id_a=batch doc, id_b=state doc) LSH candidates of a batch
+    against the CARRIED band state: the batch side broadcasts, so the
+    accumulated state is one map-side parquet probe — no shuffle keyed
+    on (band, bh) ever forms on the corpus side (plan-pinned in
+    tests/test_recipe.py)."""
+    return (
+        state_bands.withColumnRenamed("doc_id", "corpus_id")
+        .join(
+            F.broadcast(
+                batch_bands.withColumnRenamed("doc_id", "batch_id")
+            ),
+            ["band", "bh"],
+        )
+        .select(
+            F.col("batch_id").alias("id_a"),
+            F.col("corpus_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def neardup_increment(
+    batch_df: DataFrame,
+    batch_bands: DataFrame,
+    state_bands: DataFrame,
+    state_text: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Batch survivors after the cross-batch near-dup gate: LSH
+    candidates against the carried band state, n-gram-Jaccard
+    confirmed on a candidate-BOUNDED text set (the state's text is
+    semi-joined down to matched ids before any verify work), matched
+    batch docs anti-joined away. Per-batch cost scales with the
+    increment and the candidate count, not the corpus."""
+    from trollflow2_spark.extensions.dedup import ngram_jaccard_pairs
+
+    cand = neardup_candidates(state_bands, batch_bands)
+    seen_needed = state_text.join(
+        cand.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    both = seen_needed.unionByName(batch_df.select("doc_id", "text"))
+    confirmed = (
+        ngram_jaccard_pairs(both, candidates=cand, threshold=threshold)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return batch_df.join(confirmed, "doc_id", "left_anti")
+
+
 def streaming_recipe_sink(
     recipe: list[dict[str, Any]], state_dir: str, out_dir: str
 ):
@@ -387,62 +441,68 @@ def streaming_recipe_sink(
                     + ", ".join(sorted(CORPUS_STAGES))
                 )
             if name == "near_dedup":
-                # incremental near-dup: within-batch LSH->verify->CC
-                # through the batch stage, then batch survivors whose
-                # n-gram Jaccard CONFIRMS a match against the
-                # accumulated survivor corpus drop; the rest append to
-                # the (doc_id, text) survivor state. Batch signatures
-                # broadcast against the state bands — the state never
-                # shuffles (the daily-increment shape of
-                # incremental_lsh_matches). Greedy first-seen equals
-                # the batch CC canonical when arrival order matches id
-                # order and cross-batch clusters are cliques (the
-                # contract fixture's shape); a later bridge doc that
-                # would have merged two already-admitted clusters
-                # cannot retroactively drop either — inherent to ANY
+                # incremental near-dup with CARRIED band state: the
+                # within-batch LSH->verify->CC stage runs unchanged,
+                # then the batch's bands probe the ACCUMULATED band
+                # table persisted by earlier batches — the corpus side
+                # is a plain parquet scan (never re-minhashed, never
+                # re-shuffled: the batch bands broadcast), so each
+                # batch pays increment-sized signature work plus one
+                # map-side probe, not a full corpus re-hash per batch.
+                # Jaccard-confirm reads TEXT only for the candidates'
+                # corpus ids (semi-join-bounded). Survivors append
+                # (doc_id, text) to the text state and their bands to
+                # the band state. Greedy first-seen equals the batch
+                # CC canonical when arrival order matches id order and
+                # cross-batch clusters are cliques (the contract
+                # fixture's shape); a later bridge doc that would have
+                # merged two already-admitted clusters cannot
+                # retroactively drop either — inherent to ANY
                 # streaming dedup, documented here.
                 from trollflow2_spark.extensions.dedup import (
-                    incremental_lsh_matches,
+                    _band_buckets,
                     minhash_signatures,
-                    ngram_jaccard_pairs,
                 )
 
                 threshold = item.get("threshold", 0.2)
                 out = CORPUS_STAGES[name](out, **item)
                 nd_dir = state_dir + "_nd"
+                ndb_dir = state_dir + "_ndb"
                 jvm = spark._jvm
                 jpath = jvm.org.apache.hadoop.fs.Path(nd_dir)
                 fs = jpath.getFileSystem(
                     spark._jsc.hadoopConfiguration()
                 )
+                batch_bands = _band_buckets(
+                    minhash_signatures(out), "doc_id", 8, 4
+                )
                 if fs.exists(jpath):
+                    state_bands = (
+                        spark.read.parquet(ndb_dir)
+                        .where(F.col("__bid") < F.lit(batch_id))
+                        .select("doc_id", "band", "bh")
+                    )
                     seen = (
                         spark.read.parquet(nd_dir)
                         .where(F.col("__bid") < F.lit(batch_id))
                         .select("doc_id", "text")
                     )
-                    cand = incremental_lsh_matches(
-                        minhash_signatures(seen),
-                        minhash_signatures(out),
-                    ).select(
-                        F.col("batch_id").alias("id_a"),
-                        F.col("corpus_id").alias("id_b"),
+                    out = neardup_increment(
+                        out, batch_bands, state_bands, seen, threshold
                     )
-                    both = seen.unionByName(out.select("doc_id", "text"))
-                    confirmed = (
-                        ngram_jaccard_pairs(
-                            both, candidates=cand, threshold=threshold
-                        )
-                        .select(F.col("id_a").alias("doc_id"))
-                        .distinct()
-                    )
-                    out = out.join(confirmed, "doc_id", "left_anti")
                 out = out.localCheckpoint(eager=True)
                 out.select(
                     "doc_id",
                     "text",
                     F.lit(batch_id).cast("long").alias("__bid"),
                 ).write.mode("append").parquet(nd_dir)
+                # survivors' bands join the carried state so the NEXT
+                # batch probes them off parquet instead of re-hashing
+                batch_bands.join(
+                    out.select("doc_id"), "doc_id", "left_semi"
+                ).withColumn(
+                    "__bid", F.lit(batch_id).cast("long")
+                ).write.mode("append").parquet(ndb_dir)
             elif name == "exact_dedup":
                 text_col = item.get("text_col", "text")
                 dig = F.md5(F.col(text_col))
