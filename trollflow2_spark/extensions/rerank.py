@@ -1,0 +1,115 @@
+"""Retrieve -> rerank serving: the pluggable second-stage scorer seam.
+
+First-stage retrieval (BM25 / hybrid RRF) proposes a k-bounded
+candidate set per query; only those rows pay the second-stage scorer.
+The scorer is a REGISTERED, name-addressed interface (same extension
+discipline as the corpus-stage/plugin registries — no config
+code-exec): it receives the bounded candidate DataFrame with document
+text already attached — (query_id, doc_id, rrf_score, text) — and
+returns one scored row per candidate carrying a ``rerank_score``
+column (plus any evidence columns it wants to surface). The harness
+applies the per-query rank window. The default ``lexical_proxy``
+scorer is deterministic and value-checkable against a SQL oracle; a
+production cross-encoder slots in as a ``mapInPandas`` scorer over the
+SAME bounded input without touching the candidate plan (pinned in
+tests/test_rerank_seam.py).
+
+Scale: the candidate set (nq x 2k rows) broadcasts to the doc-text
+join BEFORE any scorer runs, so the corpus-side cost is one id
+semi-join inside the scan regardless of which scorer is registered;
+every scorer sees only nq x 2k rows.
+
+Reference parity: none — serving-path surface beyond the reference
+(`/root/reference/trollflow2/launcher.py` has no retrieval tier).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RERANK_SCORERS: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_rerank_scorer(name: str):
+    """Register a second-stage scorer under ``name``. The callable
+    takes the bounded candidate DataFrame (query_id, doc_id,
+    rrf_score, text) plus scorer-specific keyword params and returns
+    one row per (query_id, doc_id) with a ``rerank_score`` column."""
+
+    def deco(fn: Callable[..., DataFrame]):
+        RERANK_SCORERS[name] = fn
+        return fn
+
+    return deco
+
+
+def candidate_text(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Attach document text to the k-bounded candidate set: the
+    candidates BROADCAST to the doc join, so the corpus is read
+    through an id semi-join and never rescanned wider — the
+    scorer-independent half of the serving plan."""
+    return docs.select("doc_id", "text").join(
+        F.broadcast(candidates), "doc_id"
+    )
+
+
+def rerank(
+    candidates_with_text: DataFrame,
+    scorer: str = "lexical_proxy",
+    **params,
+) -> DataFrame:
+    """Run the named second-stage scorer over the bounded candidate
+    set and attach the per-query ``rerank_rank`` window (score desc,
+    doc_id tie-break — deterministic on any engine)."""
+    if scorer not in RERANK_SCORERS:
+        raise ValueError(
+            f"unknown rerank scorer {scorer!r}; available: "
+            + ", ".join(sorted(RERANK_SCORERS))
+        )
+    scored = RERANK_SCORERS[scorer](candidates_with_text, **params)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rerank_score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn(
+        "rerank_rank", F.row_number().over(w).cast("int")
+    )
+
+
+@register_rerank_scorer("lexical_proxy")
+def lexical_proxy_scorer(
+    cand_text: DataFrame, terms: DataFrame
+) -> DataFrame:
+    """The deterministic default: per-mille term coverage dominating a
+    first-occurrence proximity bonus, all integers (value-checkable in
+    SQL). ``terms`` is the (query_id, term) table — broadcast onto the
+    bounded candidates, never onto the corpus."""
+    from trollflow2_spark.functions.hashing import tokens
+
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    base = cand_text.select(
+        "query_id", "doc_id", "rrf_score", toks.alias("__tk")
+    )
+    scored = base.join(F.broadcast(terms), "query_id").withColumn(
+        "__pos", F.array_position(F.col("__tk"), F.col("term"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.min("rrf_score").alias("rrf_score"),
+        F.sum(F.when(F.col("__pos") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_present"),
+        F.sum(
+            F.when(
+                F.col("__pos") > 0,
+                F.floor(F.lit(1000.0) / (F.lit(1) + F.col("__pos"))),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bonus"),
+    )
+    return agg.withColumn(
+        "rerank_score",
+        F.col("n_present").cast("bigint") * 100000 + F.col("bonus"),
+    )

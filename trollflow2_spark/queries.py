@@ -7738,8 +7738,13 @@ def q_rerank_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence proximity bonus, all integers). The candidate set
     (nq x 2k rows) BROADCASTS to the doc-text join — the corpus is
     never rescanned wider than the id semi-join — and the final rank
-    is a per-query window over <= 2k rows. The oracle replays hybrid
-    fusion AND the rerank arithmetic."""
+    is a per-query window over <= 2k rows. The scorer rides the
+    REGISTERED seam (extensions/rerank.py): the candidate plan is
+    scorer-independent, so a production cross-encoder (mapInPandas
+    over the same bounded set) slots in by name without touching it.
+    The oracle replays hybrid fusion AND the rerank arithmetic."""
+    from trollflow2_spark.extensions.rerank import candidate_text, rerank
+
     docs = load_table(spark, sf_dir, "documents")
     cand = q_hybrid_multi_retrieval(spark, sf_dir).select(
         "query_id", "doc_id", "rrf_score"
@@ -7748,46 +7753,17 @@ def q_rerank_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, ts in C.BM25_MULTI for t in ts],
         "query_id int, term string",
     )
-    ct = F.broadcast(cand.join(terms, "query_id"))
-    from trollflow2_spark.functions.hashing import tokens
-
-    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
-    scored = (
-        docs.select("doc_id", toks.alias("__tk"))
-        .join(ct, "doc_id")
-        .withColumn(
-            "__pos", F.array_position(F.col("__tk"), F.col("term"))
-        )
+    out = rerank(
+        candidate_text(docs, cand), scorer="lexical_proxy", terms=terms
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.min("rrf_score").alias("rrf_score"),
-        F.sum(F.when(F.col("__pos") > 0, 1).otherwise(0))
-        .cast("int")
-        .alias("n_present"),
-        F.sum(
-            F.when(
-                F.col("__pos") > 0,
-                F.floor(F.lit(1000.0) / (F.lit(1) + F.col("__pos"))),
-            ).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("bonus"),
-    )
-    agg = agg.withColumn(
-        "rerank_score",
-        (F.col("n_present").cast("bigint") * 100000 + F.col("bonus")),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rerank_score").desc(), F.col("doc_id").asc()
-    )
-    return agg.select(
+    return out.select(
         "query_id",
         "doc_id",
         "rrf_score",
         "n_present",
         "bonus",
         "rerank_score",
-        F.row_number().over(w).cast("int").alias("rerank_rank"),
+        "rerank_rank",
     )
 
 
