@@ -232,6 +232,8 @@ OPERATORS = [
     "fuzzy_scope_audit",  # length-cap quarantine accounting
     "corpus_recipe_replay",  # incremental recipe via foreachBatch
     "mp4_frame_index",  # header-only keyframe byte-range index + SPS parse
+    "mp3_frame_index",  # header-only MPEG-audio VBR frame-chain index
+    "ogg_page_index",  # header-only Ogg page/granule seek index
     "parquet_layout_audit",  # footer-only per-column storage audit
     "compaction_plan",  # small-files sorted-fill bin planner
     "subtitle_text",  # WebVTT/SRT -> spoken text + cue timing

@@ -211,3 +211,42 @@ def test_audio_fingerprint_robustness_and_discrimination():
         assert bin(even ^ odd).count("1") <= 6  # dithered pair close
     a, b = fp_of(_audio_blob(2)), fp_of(_audio_blob(40))
     assert bin(a ^ b).count("1") > 6  # distinct groups far
+
+
+def test_mp3_frame_index_walks_vbr_chain():
+    from trollflow2_spark.extensions.multimodal import parse_mp3_frame_index
+    from trollflow2_spark.queries import _mp3_index_blob
+
+    frames = parse_mp3_frame_index(_mp3_index_blob(3))
+    n = 5 + 3 % 7
+    assert len(frames) == n
+    assert frames[0]["byte_offset"] == 74  # fixed ID3 tag skipped
+    # offsets are exact prefix sums of the per-frame (VBR) sizes
+    for a, b in zip(frames, frames[1:]):
+        assert b["byte_offset"] == a["byte_offset"] + a["frame_bytes"]
+    # 1152-sample frame cadence at the doc's rate
+    rate = frames[0]["sample_rate"]
+    assert frames[2]["pts_ms"] == 2 * 1152 * 1000 // rate
+    # garbage and truncation degrade to None, never raise
+    assert parse_mp3_frame_index(b"junk") is None
+    assert parse_mp3_frame_index(_mp3_index_blob(3)[:74]) is None
+
+
+def test_ogg_page_index_granule_and_flags():
+    from trollflow2_spark.extensions.multimodal import parse_ogg_page_index
+    from trollflow2_spark.queries import _ogg_index_blob
+
+    pages = parse_ogg_page_index(_ogg_index_blob(5))
+    nd = 2 + 5 % 4
+    assert len(pages) == nd + 1
+    assert pages[0]["is_bos"] == 1 and pages[-1]["is_eos"] == 1
+    sr = 8000 * (1 + 5 % 3)
+    g = 2 * (1000 + 5 % 500)
+    assert pages[2]["granule_pos"] == g
+    assert pages[2]["pts_ms"] == g * 1000 // sr
+    for a, b in zip(pages, pages[1:]):
+        assert b["byte_offset"] == a["byte_offset"] + a["page_bytes"]
+    assert parse_ogg_page_index(b"NotOgg") is None
+    # truncated segment table: stop cleanly at the last whole page
+    blob = _ogg_index_blob(5)
+    assert parse_ogg_page_index(blob[: len(blob) - 20])[-1]["is_eos"] == 0

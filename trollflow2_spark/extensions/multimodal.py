@@ -1486,6 +1486,227 @@ def mp4_frame_index(
     )
 
 
+def parse_mp3_frame_index(b: bytes) -> list[dict] | None:
+    """Header-only MPEG-audio frame walk: one entry per frame with its
+    absolute byte offset, size, bitrate and presentation time — the
+    audio twin of :func:`parse_mp4_index`, and the honest scale answer
+    to "we don't transcode mp3 at intake": hand frame-accurate byte
+    ranges to a decode farm, never touch coded data here. Skips a
+    leading ID3v2 tag (syncsafe size); walks while valid MPEG-1
+    Layer III headers resolve (per-frame bitrate — VBR files index
+    naturally); stops cleanly at the first non-frame byte. Returns
+    None for payloads that don't start with ID3/a frame sync."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        pos = 10 + _syncsafe(b[6:10])
+    if pos + 4 > len(b):
+        return None
+    frames: list[dict] = []
+    pts_num = 0  # accumulated samples
+    sr = None
+    while pos + 4 <= len(b):
+        h = b[pos : pos + 4]
+        if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+            break
+        version = (h[1] >> 3) & 3  # 3 = MPEG1
+        layer = (h[1] >> 1) & 3  # 1 = Layer III
+        bi = h[2] >> 4
+        si = (h[2] >> 2) & 3
+        pad = (h[2] >> 1) & 1
+        if version != 3 or layer != 1 or bi in (0, 15) or si >= 3:
+            break
+        kbps = _MP3_BITRATES[bi]
+        rate = _MP3_RATES[si]
+        if sr is None:
+            sr = rate
+        size = 144 * kbps * 1000 // rate + pad
+        frames.append(
+            {
+                "frame_idx": len(frames),
+                "byte_offset": pos,
+                "frame_bytes": size,
+                "bit_rate": kbps * 1000,
+                "sample_rate": rate,
+                "pts_ms": pts_num * 1000 // sr,
+            }
+        )
+        pts_num += 1152  # MPEG1 Layer III samples per frame
+        if size <= 4:
+            break
+        pos += size
+    return frames or None
+
+
+MP3_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("bit_rate", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+    ]
+)
+
+
+def mp3_frame_index(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame byte-range index of MPEG-audio blobs via one Arrow
+    ``mapInPandas`` pass; non-mp3 / corrupt payloads yield zero rows,
+    never task failures."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    frames = parse_mp3_frame_index(
+                        bytes(blob) if blob is not None else b""
+                    )
+                except Exception:
+                    frames = None
+                if not frames:
+                    continue
+                n = len(frames)
+                for fr in frames:
+                    rows.append(
+                        (
+                            int(d),
+                            n,
+                            fr["frame_idx"],
+                            fr["byte_offset"],
+                            fr["frame_bytes"],
+                            fr["bit_rate"],
+                            fr["sample_rate"],
+                            fr["pts_ms"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP3_INDEX_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, MP3_INDEX_SCHEMA
+    )
+
+
+def parse_ogg_page_index(b: bytes) -> list[dict] | None:
+    """Header-only Ogg page walk: one entry per ``OggS`` page with its
+    byte offset, total size, granule position, continuation/bos/eos
+    flags and segment count; for a Vorbis stream the id header on the
+    first page supplies the sample rate, turning granule positions
+    (PCM sample counts) into presentation times. The seek index a
+    100 TB crawl wants from Vorbis/Opus it will never decode here."""
+    if b[:4] != b"OggS":
+        return None
+    pages: list[dict] = []
+    sr = None
+    pos = 0
+    while pos + 27 <= len(b) and b[pos : pos + 4] == b"OggS":
+        header_type = b[pos + 5]
+        granule = int.from_bytes(
+            b[pos + 6 : pos + 14], "little", signed=True
+        )
+        nsegs = b[pos + 26]
+        seg_table = b[pos + 27 : pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            break
+        body_len = sum(seg_table)
+        total = 27 + nsegs + body_len
+        if pos + total > len(b):
+            break  # truncated payload: a partial page is not seekable
+        payload = b[pos + 27 + nsegs : pos + total]
+        if sr is None and payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+            sr = int.from_bytes(payload[12:16], "little")
+        pages.append(
+            {
+                "page_seq": int.from_bytes(
+                    b[pos + 18 : pos + 22], "little"
+                ),
+                "byte_offset": pos,
+                "page_bytes": total,
+                "granule_pos": granule,
+                "is_continued": header_type & 1,
+                "is_bos": (header_type >> 1) & 1,
+                "is_eos": (header_type >> 2) & 1,
+                "n_segments": nsegs,
+                "pts_ms": (
+                    granule * 1000 // sr
+                    if sr and granule >= 0
+                    else None
+                ),
+            }
+        )
+        pos += total
+    return pages or None
+
+
+OGG_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("page_seq", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("page_bytes", T.IntegerType()),
+        T.StructField("granule_pos", T.LongType()),
+        T.StructField("is_bos", T.IntegerType()),
+        T.StructField("is_eos", T.IntegerType()),
+        T.StructField("n_segments", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+    ]
+)
+
+
+def ogg_page_index(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-page byte-range index of Ogg blobs via one Arrow
+    ``mapInPandas`` pass; non-Ogg payloads yield zero rows."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    pages = parse_ogg_page_index(
+                        bytes(blob) if blob is not None else b""
+                    )
+                except Exception:
+                    pages = None
+                if not pages:
+                    continue
+                n = len(pages)
+                for p in pages:
+                    rows.append(
+                        (
+                            int(d),
+                            n,
+                            p["page_seq"],
+                            p["byte_offset"],
+                            p["page_bytes"],
+                            p["granule_pos"],
+                            p["is_bos"],
+                            p["is_eos"],
+                            p["n_segments"],
+                            p["pts_ms"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in OGG_INDEX_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, OGG_INDEX_SCHEMA
+    )
+
+
 AUDIO_FP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

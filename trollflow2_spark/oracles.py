@@ -967,6 +967,66 @@ SELECT doc_id,
 FROM kf
 """
 
+# mp3 frame-index replay: table-driven VBR frame sizes
+# (144*kbps*1000//rate + pad), prefix-sum byte offsets after the fixed
+# 74-byte ID3 tag, 1152-sample MPEG1 Layer III frame timing
+_MP3_KBPS = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+ORACLES["mp3_frame_index"] = f"""
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 7 AS n, doc_id % 3 AS si
+  FROM documents WHERE doc_id % 9 <> 0
+), e AS (
+  SELECT doc_id, n, si, unnest(range(n)) AS i FROM p
+), s AS (
+  SELECT doc_id, n, i,
+    list_extract([44100, 48000, 32000], CAST(si + 1 AS INT)) AS rate,
+    list_extract({_MP3_KBPS},
+                 CAST((doc_id + i) % 14 + 1 AS INT)) AS kbps,
+    (doc_id + i) % 2 AS pad
+  FROM e
+)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_frames,
+  CAST(i AS INTEGER) AS frame_idx,
+  CAST(74 + coalesce(list_sum(list_transform(range(i), j ->
+      144 * list_extract({_MP3_KBPS},
+                         CAST((doc_id + j) % 14 + 1 AS INT)) * 1000
+        // rate + (doc_id + j) % 2)), 0) AS BIGINT) AS byte_offset,
+  CAST(144 * kbps * 1000 // rate + pad AS INTEGER) AS frame_bytes,
+  CAST(kbps * 1000 AS INTEGER) AS bit_rate,
+  CAST(rate AS INTEGER) AS sample_rate,
+  CAST(i * 1152 * 1000 // rate AS BIGINT) AS pts_ms
+FROM s
+"""
+
+# ogg page-index replay: lacing-table page sizes (27 + 1 + payload),
+# prefix-sum offsets after the 58-byte BOS id page, granule -> pts via
+# the id header's sample rate, bos/eos flag arithmetic
+ORACLES["ogg_page_index"] = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nd, 8000 * (1 + doc_id % 3) AS sr
+  FROM documents WHERE doc_id % 9 <> 0
+), e AS (
+  SELECT doc_id, nd, sr, unnest(range(nd + 1)) AS i FROM p
+)
+SELECT doc_id,
+  CAST(nd + 1 AS INTEGER) AS n_pages,
+  CAST(i AS BIGINT) AS page_seq,
+  CAST(CASE WHEN i = 0 THEN 0
+       ELSE 58 + coalesce(list_sum(list_transform(
+              range(1, CAST(i AS BIGINT)),
+              j -> 78 + (doc_id + j) % 40)), 0)
+       END AS BIGINT) AS byte_offset,
+  CAST(CASE WHEN i = 0 THEN 58 ELSE 78 + (doc_id + i) % 40 END
+    AS INTEGER) AS page_bytes,
+  CAST(i * (1000 + doc_id % 500) AS BIGINT) AS granule_pos,
+  CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_bos,
+  CAST(CASE WHEN i = nd THEN 1 ELSE 0 END AS INTEGER) AS is_eos,
+  CAST(1 AS INTEGER) AS n_segments,
+  CAST(i * (1000 + doc_id % 500) * 1000 // sr AS BIGINT) AS pts_ms
+FROM e
+"""
+
 # CID/Type0 PDF fixture replay: one page, text decoded through the
 # embedded ToUnicode CMap ('Doc ' || doc_id); every 5th doc ships no
 # CMap, so its text is suppressed (empty page join) while has_cid

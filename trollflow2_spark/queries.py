@@ -5527,6 +5527,147 @@ def q_mp4_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_frame_index(media)
 
 
+def _mp3_index_blob(d: int) -> bytes:
+    """Closed-form MPEG-1 Layer III fixture with a REAL frame chain: a
+    fixed 64-byte-body ID3v2.3 tag (frames start at byte 74), then
+    5 + d%7 audio frames whose per-frame bitrate index cycles the full
+    table (1 + (d+i)%14 — a VBR stream), sample rate d%3, padding bit
+    (d+i)%2, so every frame size 144*kbps*1000//rate + pad and every
+    prefix-sum offset is closed-form in doc_id. Every 9th doc is not
+    an mp3."""
+    if d % 9 == 0:
+        return b"notanmp3" + bytes([d % 256])
+    title = f"doc{d}".encode()
+    frame = b"TIT2" + len(title + b"\x00").to_bytes(4, "big") + bytes(2) \
+        + b"\x00" + title
+    body = (frame + bytes(64))[:64]
+    blob = bytearray(b"ID3\x03\x00\x00" + bytes([0, 0, 0, 64]) + body)
+    kbps_tab = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320]
+    rates = [44100, 48000, 32000]
+    n = 5 + d % 7
+    si = d % 3
+    for i in range(n):
+        bi = 1 + (d + i) % 14
+        pad = (d + i) % 2
+        kbps = kbps_tab[bi - 1]
+        size = 144 * kbps * 1000 // rates[si] + pad
+        hdr = bytes([0xFF, 0xFB, (bi << 4) | (si << 2) | (pad << 1), 0])
+        blob += hdr + bytes(size - 4)
+    return bytes(blob)
+
+
+def q_mp3_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only MPEG-audio intake — the perceptual-audio analog of
+    mp4_frame_index and the honest 100 TB answer to "we don't decode
+    mp3 here": one Arrow pass walks the frame chain (per-frame VBR
+    bitrate, padding, sample rate) into byte-accurate (offset, size,
+    pts) rows a decode farm can seek with, while the intake cluster
+    never touches coded audio. Non-mp3 payloads yield zero rows. The
+    oracle restates the whole index closed-form: table-driven frame
+    sizes, prefix-sum offsets, 1152-sample frame timing."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import mp3_frame_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _mp3_index_blob(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return mp3_frame_index(media)
+
+
+def _ogg_index_blob(d: int) -> bytes:
+    """Closed-form Ogg fixture: a BOS page carrying a 30-byte Vorbis id
+    header (sample rate 8000*(1+d%3)), then 2 + d%4 data pages with
+    closed-form payload sizes 50 + (d+i)%40, granules i*(1000 + d%500)
+    and an EOS flag on the last — every page offset, size and pts is
+    stated by the oracle. Every 9th doc is not Ogg."""
+    if d % 9 == 0:
+        return b"notanogg" + bytes([d % 256])
+    sr = 8000 * (1 + d % 3)
+    vorbis_id = (
+        b"\x01vorbis" + bytes(4) + bytes([2])
+        + sr.to_bytes(4, "little") + bytes(4)
+        + (64000).to_bytes(4, "little") + bytes(4) + bytes(2)
+    )
+    assert len(vorbis_id) == 30
+
+    def page(seq: int, htype: int, granule: int, payload: bytes) -> bytes:
+        return (
+            b"OggS\x00" + bytes([htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + (7).to_bytes(4, "little")  # serial
+            + seq.to_bytes(4, "little")
+            + bytes(4)  # crc (not validated by the indexer)
+            + bytes([1]) + bytes([len(payload)])
+            + payload
+        )
+
+    n_data = 2 + d % 4
+    out = page(0, 2, 0, vorbis_id)  # BOS
+    for i in range(1, n_data + 1):
+        psz = 50 + (d + i) % 40
+        htype = 4 if i == n_data else 0
+        out += page(i, htype, i * (1000 + d % 500), bytes(psz))
+    return out
+
+
+def q_ogg_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only Ogg (Vorbis/Opus) intake: one Arrow pass walks the
+    page chain — lacing-table sizes, granule positions, bos/eos flags
+    — into the byte-accurate seek index, with granules converted to
+    presentation times through the Vorbis id header's sample rate.
+    Non-Ogg payloads yield zero rows. The oracle restates offsets
+    (prefix sums over closed-form page sizes), granule arithmetic and
+    flags verbatim."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import ogg_page_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _ogg_index_blob(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return ogg_page_index(media)
+
+
 def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics proven end-to-end: a windowed event-time
     count driven through the 3-batch replay with a 6-hour watermark.
@@ -8689,6 +8830,8 @@ QUERIES = {
     "streaming_join_replay": q_streaming_join_replay,
     "media_container_metadata": q_media_container_metadata,
     "mp4_frame_index": q_mp4_frame_index,
+    "mp3_frame_index": q_mp3_frame_index,
+    "ogg_page_index": q_ogg_page_index,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
