@@ -257,6 +257,7 @@ OPERATORS = [
     # family and add no new plan shape — bench keeps one entry per family)
     "blocklist_filter",  # wordlist gate: whole-word + integer density rules
     "logreg_train",  # distributed full-batch GD (16 real agg jobs + scoring)
+    "kmeans_train",  # full-corpus Lloyd: one agg/iter, k x dim collect
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

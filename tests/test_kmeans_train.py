@@ -1,0 +1,71 @@
+"""Distributed full-corpus Lloyd training: the Spark aggregation loop
+must equal a sequential reference model under the shared determinism
+rules (micro-unit quantization, exact bigint distances, lowest-cell
+ties, re-rounded means, empty-cell carry)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _round_half_away(x):
+    # Spark/DuckDB round(): half away from zero (np.round is half-even)
+    return np.where(
+        x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+    ).astype("int64")
+
+
+def _model(X, k, iters):
+    """Sequential reference with the operator's exact arithmetic."""
+    Xq = _round_half_away(np.asarray(X, dtype="float64") * 1_000_000.0)
+    cents = Xq[:k].copy()
+    for _ in range(iters):
+        d = ((Xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)  # argmin takes the first (lowest) index
+        for j in range(k):
+            m = Xq[cell == j]
+            if len(m):
+                cents[j] = _round_half_away(m.mean(axis=0))
+    d = ((Xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), d.min(axis=1)
+
+
+def test_matches_sequential_model(spark):
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_train_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    X = np.concatenate(
+        [rng.normal(c, 0.05, size=(20, 6)) for c in (-0.4, 0.0, 0.4)]
+    )
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # the operator quantizes from float32 storage — match it
+    cell_m, dist_m = _model(X.astype("float32").astype("float64"), 3, 2)
+    got = {
+        r["vec_id"]: (r["cell"], r["dist_q"])
+        for r in kmeans_train_distributed(df, k=3, iters=2).collect()
+    }
+    for i in range(len(X)):
+        assert got[i] == (int(cell_m[i]), int(dist_m[i])), i
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_train_distributed,
+    )
+
+    # vectors 0 and 1 init the two cells, but EVERYTHING sits on top
+    # of vector 0 — cell 1 goes empty on iteration 1 and must carry
+    # its init centroid instead of crashing or zeroing
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.01, 0.01]),
+            (3, [0.02, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_train_distributed(df, k=2, iters=2).collect()
+    }
+    # vec 1 is still closest to the carried (1,1) centroid
+    assert out[1] == 1
+    assert out[0] == 0 and out[2] == 0 and out[3] == 0

@@ -351,6 +351,111 @@ def kmeans_centroids_np(X, k: int = 16, n_iter: int = 5):
     return C
 
 
+def kmeans_train_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the FULL corpus — the training
+    twin of the driver-sample quantizer :func:`kmeans_centroids`, for
+    when the assignment structure must come from every vector, not a
+    config-sized sample. Same iterative-trainer discipline as
+    ``logreg_train`` / ``bpe_train``: the corpus is scanned once into
+    a narrow checkpointed (id, quantized-vector) table; every Lloyd
+    iteration is ONE map-side-combinable aggregation (k x dim bigint
+    means) whose k-row result is the only collect — shuffle volume is
+    k x dim longs per partition, independent of corpus size.
+
+    Determinism (the unrolled-recurrence oracle contract): vector
+    components quantize once to integer micro-units (1e-6), so
+    distances are EXACT bigint sums with argmin ties broken by lowest
+    cell index; centroid updates round the per-cell mean back to
+    micro-units each iteration (both engines round half away from
+    zero); empty cells keep their previous centroid. A DuckDB replay
+    of all ``iters`` iterations reproduces the final assignment and
+    distances bit-for-bit.
+
+    Output: one row per vector — (id, cell, dist_q) under the FINAL
+    centroids, dist_q the exact squared L2 in micro-unit space.
+    """
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        ).alias("xq"),
+    ).localCheckpoint()
+    init = (
+        q.where(F.col(id_col) < k).orderBy(id_col).collect()
+    )  # k x dim bigints — control plane
+    cents: list[list[int]] = [list(r["xq"]) for r in init]
+    dim = len(cents[0])
+
+    def dist_sql(c: list[int]) -> str:
+        return " + ".join(
+            f"(xq[{j}] - {int(c[j])}L) * (xq[{j}] - {int(c[j])}L)"
+            for j in range(dim)
+        )
+
+    def cell_sql(n: int) -> str:
+        # argmin with lowest-index tie-break (<= against later cells)
+        parts = []
+        for m in range(n - 1):
+            cond = " AND ".join(
+                f"d{m} <= d{o}" for o in range(m + 1, n)
+            )
+            parts.append(f"WHEN {cond} THEN {m}")
+        return "CASE " + " ".join(parts) + f" ELSE {n - 1} END"
+
+    spark = q.sparkSession
+    # fresh literal-bearing plan per iteration: interpreted mode skips
+    # per-iteration codegen compilation of one narrow cached agg
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        for _ in range(iters):
+            scored = q.selectExpr(
+                "xq",
+                *[
+                    f"({dist_sql(c)}) AS d{m}"
+                    for m, c in enumerate(cents)
+                ],
+            ).selectExpr("xq", f"{cell_sql(k)} AS cell")
+            rows = (
+                scored.groupBy("cell")
+                .agg(
+                    *[
+                        F.round(F.avg(F.expr(f"xq[{j}]")))
+                        .cast("bigint")
+                        .alias(f"c{j}")
+                        for j in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            for r in rows:  # absent cells keep their previous centroid
+                cents[int(r["cell"])] = [
+                    int(r[f"c{j}"]) for j in range(dim)
+                ]
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+
+    out = q.selectExpr(
+        id_col,
+        *[f"({dist_sql(c)}) AS d{m}" for m, c in enumerate(cents)],
+    )
+    least = "least(" + ", ".join(f"d{m}" for m in range(k)) + ")"
+    return out.selectExpr(
+        id_col,
+        f"CAST({cell_sql(k)} AS INT) AS cell",
+        f"CAST({least} AS BIGINT) AS dist_q",
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -4055,6 +4055,67 @@ FROM sc
 
 
 ORACLES["logreg_train"] = _logreg_oracle_sql()
+
+
+def _kmeans_oracle_sql(
+    k: int = C.KMEANS_TRAIN_K, iters: int = C.KMEANS_TRAIN_ITERS
+) -> str:
+    """Unrolled full-corpus Lloyd replay: vectors quantized to integer
+    micro-units, centroids carried as RELATIONAL (cell, dim, val)
+    CTEs — one assignment CTE (exact bigint distances, argmin ties to
+    the lowest cell) and one update CTE (mean re-rounded to
+    micro-units, empty cells keep their previous centroid via the
+    left-join coalesce) per iteration. No Python-trained literals
+    anywhere — the recurrence is the SQL."""
+    dist = "sum((v.val - c.val) * (v.val - c.val))"
+    parts = [
+        f"""u AS (
+  SELECT vec_id, CAST(i AS INT) AS dim,
+    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT)
+      AS val
+  FROM embeddings, unnest(range({C.EMB_DIM})) AS r(i)
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS cell, dim, val FROM u WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (
+      SELECT v.vec_id, c.cell, {dist} AS d
+      FROM u v JOIN {prev} c ON v.dim = c.dim
+      GROUP BY v.vec_id, c.cell
+    )
+  ) WHERE rn = 1
+), c{t} AS (
+  SELECT p.cell, p.dim, coalesce(n.val, p.val) AS val
+  FROM {prev} p LEFT JOIN (
+    SELECT a.cell, u.dim, CAST(round(avg(u.val)) AS BIGINT) AS val
+    FROM u JOIN a{t} a ON u.vec_id = a.vec_id
+    GROUP BY a.cell, u.dim
+  ) n ON p.cell = n.cell AND p.dim = n.dim
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(d AS BIGINT) AS dist_q
+FROM (
+  SELECT vec_id, cell, d,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM (
+    SELECT v.vec_id, c.cell, {dist} AS d
+    FROM u v JOIN c{iters} c ON v.dim = c.dim
+    GROUP BY v.vec_id, c.cell
+  )
+) WHERE rn = 1
+"""
+
+
+ORACLES["kmeans_train"] = _kmeans_oracle_sql()
 ORACLES["logreg_holdout"] = _logreg_oracle_sql(
     split_mod=C.QFILTER_SPLIT_MOD
 )

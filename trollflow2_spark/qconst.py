@@ -401,6 +401,10 @@ LOGREG_SEED = 29  # feature-hash seed
 LOGREG_LABEL_THRESHOLD = 0.78  # ~median quality_score: splits the corpus
 # near 50/50 at every sf (QFILTER's 0.5 labels everything positive here)
 
+# --- distributed k-means training (full-corpus Lloyd, one agg/iter) ----------
+KMEANS_TRAIN_K = 4  # cells (matches the embeddings fixture's label count)
+KMEANS_TRAIN_ITERS = 3  # Lloyd iterations — unrolled verbatim in the oracle
+
 # --- blocklist content filter ------------------------------------------------
 BLOCKLIST_TERMS = ("slow", "dup", "big")  # stand-in wordlist over the
 # synthetic vocabulary; production swaps in the real NSFW/spam list

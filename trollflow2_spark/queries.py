@@ -8158,6 +8158,28 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means TRAINED ON THE FULL CORPUS — the
+    third member of the iterative-trainer tier (bpe_train,
+    logreg_train): vectors quantize once to integer micro-units into a
+    checkpointed narrow table, and every Lloyd iteration is ONE
+    map-side-combinable aggregation collecting only the k x dim
+    centroid means (shuffle volume independent of corpus size).
+    Distances are EXACT bigint sums, argmin ties break to the lowest
+    cell, centroid means re-round to micro-units, empty cells carry
+    their previous centroid — so the oracle replays all iterations in
+    unrolled SQL (relational centroid CTEs, no Python-trained
+    literals) and the final (cell, dist_q) assignment is value-exact."""
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_train_distributed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train_distributed(
+        emb, k=C.KMEANS_TRAIN_K, iters=C.KMEANS_TRAIN_ITERS
+    )
+
+
 def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression training end-to-end: heuristic
     quality labels (the same bootstrap as ``classifier_quality_filter``)
@@ -8911,6 +8933,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "blocklist_filter": q_blocklist_filter,
     "logreg_train": q_logreg_train,
+    "kmeans_train": q_kmeans_train,
     "logreg_holdout": q_logreg_holdout,
     "recipe_drop_audit": q_recipe_drop_audit,
     "vocab_drift": q_vocab_drift,
