@@ -299,3 +299,37 @@ def test_epoch_mixture_full_and_partial_epochs(spark):
     out2 = epoch_mixture(df, {"s0": 2.5, "s1": 0.25}, seed=29).collect()
     assert sorted((r["doc_id"], r["source"], r["epoch"]) for r in out) == \
         sorted((r["doc_id"], r["source"], r["epoch"]) for r in out2)
+
+
+def test_sft_chat_masks_three_paths(spark):
+    """Keep / prompt-truncate / response-overflow under a tight budget,
+    with the mask covering exactly the response + end marker."""
+    import hashlib
+
+    from trollflow2_spark.extensions.sampling import sft_chat_masks
+
+    rows = [
+        (1, "a b", "x y"),                    # fits untouched
+        (2, "p0 p1 p2 p3 p4 p5", "x y z"),    # prompt left-truncates
+        (3, "a", "r0 r1 r2 r3 r4 r5 r6"),     # response overflow: drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, prompt string, response string")
+    out = {r["doc_id"]: r for r in sft_chat_masks(df, max_len=8).collect()}
+
+    r1 = out[1]
+    assert r1["kept"] == 1 and r1["truncated"] == 0
+    assert r1["n_tokens"] == 7 and r1["n_loss"] == 3
+    seq1 = "<|user|> a b <|assistant|> x y <|end|>"
+    assert r1["tokens_md5"] == hashlib.md5(seq1.encode()).hexdigest()
+    assert r1["mask_md5"] == hashlib.md5(b"0000111").hexdigest()
+
+    r2 = out[2]
+    assert r2["kept"] == 1 and r2["truncated"] == 1
+    # budget 8 - 3 markers - 3 response = 2 prompt tokens, newest kept
+    seq2 = "<|user|> p4 p5 <|assistant|> x y z <|end|>"
+    assert r2["tokens_md5"] == hashlib.md5(seq2.encode()).hexdigest()
+    assert r2["n_tokens"] == 8 and r2["n_loss"] == 4
+
+    r3 = out[3]
+    assert r3["kept"] == 0 and r3["reason"] == "response_overflow"
+    assert r3["tokens_md5"] is None and r3["n_tokens"] is None

@@ -449,6 +449,78 @@ def pack_sequences(
     )
 
 
+def sft_chat_masks(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    id_col: str = "doc_id",
+    max_len: int = 64,
+    user_marker: str = "<|user|>",
+    asst_marker: str = "<|assistant|>",
+    end_marker: str = "<|end|>",
+) -> DataFrame:
+    """Chat-template assembly with LOSS MASKS — the SFT-data step
+    between raw (prompt, response) pairs and the packing tier: each
+    example becomes ``<|user|> prompt <|assistant|> response <|end|>``
+    at token granularity, with loss computed only on the response and
+    end-marker positions (mask 1) and never on the user/prompt
+    positions (mask 0). Fit policy is the standard serving rule: the
+    response always survives; the prompt LEFT-truncates (oldest
+    context dropped) into the leftover budget; an example whose
+    response plus the 3 markers cannot fit ``max_len`` is dropped with
+    an accounted reason, never silently.
+
+    One pure-Column map pass (tokenize, slice, concat — zero shuffle,
+    scan-stage work); the assembled sequence and mask are emitted as
+    digests plus the scalar accounting columns, which is what the
+    audit joins want (the packer consumes ``n_tokens`` downstream).
+    """
+    from trollflow2_spark.functions.hashing import tokens
+
+    over = 3  # marker tokens
+    s1 = df.select(
+        F.col(id_col),
+        tokens(F.col(prompt_col)).alias("pt"),
+        tokens(F.col(response_col)).alias("rt"),
+    )
+    np_, nr = F.size("pt"), F.size("rt")
+    s2 = s1.select(
+        F.col(id_col),
+        "pt",
+        "rt",
+        np_.alias("np"),
+        nr.alias("nr"),
+        (nr + over <= max_len).alias("fits"),
+        F.least(np_, F.lit(max_len) - over - nr).alias("kp"),
+    )
+    kp, nrr = F.col("kp"), F.col("nr")
+    ptrunc = F.when(
+        kp > 0, F.slice(F.col("pt"), F.col("np") - kp + 1, kp)
+    ).otherwise(F.array().cast("array<string>"))
+    seq = F.concat(
+        F.array(F.lit(user_marker)),
+        ptrunc,
+        F.array(F.lit(asst_marker)),
+        F.col("rt"),
+        F.array(F.lit(end_marker)),
+    )
+    mask_str = F.concat(
+        F.repeat(F.lit("0"), (kp + 2).cast("int")),
+        F.repeat(F.lit("1"), (nrr + 1).cast("int")),
+    )
+    fits = F.col("fits")
+    return s2.select(
+        F.col(id_col),
+        F.when(fits, 1).otherwise(0).cast("int").alias("kept"),
+        F.when(~fits, F.lit("response_overflow")).alias("reason"),
+        F.when(fits, kp + nrr + over).cast("int").alias("n_tokens"),
+        F.when(fits, nrr + 1).cast("int").alias("n_loss"),
+        F.when(fits, (F.col("np") > kp).cast("int")).alias("truncated"),
+        F.when(fits, F.md5(F.array_join(seq, " "))).alias("tokens_md5"),
+        F.when(fits, F.md5(mask_str)).alias("mask_md5"),
+    )
+
+
 def temperature_rates(
     counts: dict, alpha: float, target_frac: float
 ) -> dict:

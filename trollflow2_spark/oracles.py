@@ -4116,6 +4116,45 @@ FROM (
 
 
 ORACLES["kmeans_train"] = _kmeans_oracle_sql()
+
+# SFT chat-template replay: prompt/response carved from the token
+# stream, fit policy (response survives, prompt left-truncates,
+# response overflow drops accounted), sequence and mask digests stated
+# verbatim — DuckDB list slices are 1-based inclusive
+ORACLES["sft_chat_masks"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+    CAST(3 + doc_id % 10 AS BIGINT) AS p,
+    CAST(1 + doc_id % 20 AS BIGINT) AS r
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    toks[1:p] AS pt,
+    toks[p + 1:p + r] AS rt
+  FROM t
+), m AS (
+  SELECT doc_id, pt, rt, len(pt) AS np, len(rt) AS nr FROM s
+), kc AS (
+  SELECT *, (nr + 3 <= {C.SFT_MAX_LEN}) AS fits,
+    least(np, {C.SFT_MAX_LEN} - 3 - nr) AS kp
+  FROM m
+)
+SELECT doc_id,
+  CAST(CASE WHEN fits THEN 1 ELSE 0 END AS INTEGER) AS kept,
+  CASE WHEN fits THEN NULL ELSE 'response_overflow' END AS reason,
+  CAST(CASE WHEN fits THEN kp + nr + 3 END AS INTEGER) AS n_tokens,
+  CAST(CASE WHEN fits THEN nr + 1 END AS INTEGER) AS n_loss,
+  CAST(CASE WHEN fits THEN CASE WHEN np > kp THEN 1 ELSE 0 END END
+    AS INTEGER) AS truncated,
+  CASE WHEN fits THEN md5(array_to_string(
+    ['<|user|>']
+      || CASE WHEN kp > 0 THEN pt[np - kp + 1:np]
+              ELSE CAST([] AS VARCHAR[]) END
+      || ['<|assistant|>'] || rt || ['<|end|>'], ' ')) END AS tokens_md5,
+  CASE WHEN fits THEN md5(repeat('0', CAST(kp + 2 AS INT))
+    || repeat('1', CAST(nr + 1 AS INT))) END AS mask_md5
+FROM kc
+"""
 ORACLES["logreg_holdout"] = _logreg_oracle_sql(
     split_mod=C.QFILTER_SPLIT_MOD
 )

@@ -405,6 +405,10 @@ LOGREG_LABEL_THRESHOLD = 0.78  # ~median quality_score: splits the corpus
 KMEANS_TRAIN_K = 4  # cells (matches the embeddings fixture's label count)
 KMEANS_TRAIN_ITERS = 3  # Lloyd iterations — unrolled verbatim in the oracle
 
+# --- SFT chat-template assembly -----------------------------------------------
+SFT_MAX_LEN = 16  # token budget per example (markers included) — small
+# enough that the fixture exercises keep / prompt-truncate / drop paths
+
 # --- blocklist content filter ------------------------------------------------
 BLOCKLIST_TERMS = ("slow", "dup", "big")  # stand-in wordlist over the
 # synthetic vocabulary; production swaps in the real NSFW/spam list

@@ -8158,6 +8158,30 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q_sft_chat_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT data assembly: (prompt, response) pairs — carved closed-form
+    out of each document's token stream — become chat-templated
+    sequences with LOSS MASKS (loss on response + end marker only),
+    under the standard fit policy: response always survives, prompt
+    left-truncates into the leftover budget, response-overflow drops
+    with an accounted reason. Pure-Column scan-stage work; the oracle
+    replays tokenization, slicing, the mask string and both digests
+    verbatim."""
+    from trollflow2_spark.extensions.sampling import sft_chat_masks
+    from trollflow2_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    p = (3 + F.col("doc_id") % 10).cast("int")
+    r = (1 + F.col("doc_id") % 20).cast("int")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, F.lit(1), p), " ").alias("prompt"),
+        F.array_join(F.slice(toks, p + 1, r), " ").alias("response"),
+    )
+    return sft_chat_masks(pairs, max_len=C.SFT_MAX_LEN)
+
+
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means TRAINED ON THE FULL CORPUS — the
     third member of the iterative-trainer tier (bpe_train,
@@ -8934,6 +8958,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "logreg_train": q_logreg_train,
     "kmeans_train": q_kmeans_train,
+    "sft_chat_masks": q_sft_chat_masks,
     "logreg_holdout": q_logreg_holdout,
     "recipe_drop_audit": q_recipe_drop_audit,
     "vocab_drift": q_vocab_drift,
