@@ -250,3 +250,33 @@ def test_ogg_page_index_granule_and_flags():
     # truncated segment table: stop cleanly at the last whole page
     blob = _ogg_index_blob(5)
     assert parse_ogg_page_index(blob[: len(blob) - 20])[-1]["is_eos"] == 0
+
+
+def test_h264_slice_types_and_muxer_inconsistency():
+    from trollflow2_spark.extensions.multimodal import (
+        parse_h264_slice_types,
+    )
+    from trollflow2_spark.queries import _mp4_index_blob
+
+    entries = parse_h264_slice_types(_mp4_index_blob(13, real_nals=True))
+    k = 3 + 13 % 3
+    by_idx = {e["sample_idx"]: e for e in entries}
+    for i, e in by_idx.items():
+        if (i - 1) % k == 0:
+            assert e["frame_kind"] == "I" and e["is_idr"] == 1
+        else:
+            assert e["frame_kind"] in ("P", "B") and e["is_idr"] == 0
+        assert e["consistent"] == 1
+    # break the muxer: swap sample 1's IDR NAL for a P slice without
+    # touching stss — the cross-check must flag it
+    blob = bytearray(_mp4_index_blob(13, real_nals=True))
+    # sample 1's NAL header sits at offset 36: the first chunk starts
+    # at 32, then the 4-byte length prefix, then the 0x65 IDR byte
+    assert blob[36] == 0x65
+    blob[36] = 0x61  # non-IDR
+    blob[37] = 0xC0  # ue(0) + ue(0): P slice
+    broken = parse_h264_slice_types(bytes(blob))[0]
+    assert broken["frame_kind"] == "P" and broken["stss_keyframe"] == 1
+    assert broken["consistent"] == 0
+    # zero-filled mdat (no NALs) yields nothing, not garbage
+    assert parse_h264_slice_types(_mp4_index_blob(13)) is None

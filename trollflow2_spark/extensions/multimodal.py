@@ -1486,6 +1486,119 @@ def mp4_frame_index(
     )
 
 
+_SLICE_KINDS = {0: "P", 1: "B", 2: "I", 3: "SP", 4: "SI"}
+
+
+def parse_h264_slice_types(b: bytes) -> list[dict] | None:
+    """Per-sample H.264 slice classification WITHOUT decoding: for
+    each mp4 sample, walk its length-prefixed NALs (avcC framing) to
+    the first VCL NAL (type 1/5) and read the two exp-golomb fields
+    that open every slice header — first_mb_in_slice and slice_type —
+    giving the real I/P/B structure of the stream. This is the
+    inter-frame truth the container's stss box only *claims*: the
+    ``consistent`` flag cross-checks each sample's sync-sample mark
+    against the coded IDR/I evidence, which is how a crawl catches
+    broken muxers before a decode farm trips on them. Header-and-
+    prefix reads only — no macroblock is ever touched."""
+    meta = parse_mp4_index(b)
+    if not meta or not meta.get("samples") or meta.get("codec") != "avc1":
+        return None
+    out: list[dict] = []
+    for s in meta["samples"]:
+        off, size = s["byte_offset"], s["sample_bytes"]
+        if off is None or off + size > len(b):
+            continue
+        pos, end = off, off + size
+        while pos + 5 <= end:
+            ln = int.from_bytes(b[pos : pos + 4], "big")
+            if ln < 1 or pos + 4 + ln > end:
+                break
+            nal = b[pos + 4 : pos + 4 + ln]
+            ntype = nal[0] & 0x1F
+            if ntype in (1, 5):
+                rbsp = nal[1:].replace(b"\x00\x00\x03", b"\x00\x00")
+                try:
+                    r = _BitReader(rbsp)
+                    r.ue()  # first_mb_in_slice
+                    st = r.ue()
+                except (ValueError, IndexError):
+                    break
+                kind = _SLICE_KINDS.get(st % 5)
+                is_idr = int(ntype == 5)
+                out.append(
+                    {
+                        "sample_idx": s["sample_idx"],
+                        "nal_type": ntype,
+                        "slice_type": st,
+                        "frame_kind": kind,
+                        "is_idr": is_idr,
+                        "stss_keyframe": int(s["is_keyframe"]),
+                        "consistent": int(
+                            bool(s["is_keyframe"])
+                            == (is_idr == 1 or kind == "I")
+                        ),
+                    }
+                )
+                break
+            pos += 4 + ln
+    return out or None
+
+
+H264_SLICE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("nal_type", T.IntegerType()),
+        T.StructField("slice_type", T.IntegerType()),
+        T.StructField("frame_kind", T.StringType()),
+        T.StructField("is_idr", T.IntegerType()),
+        T.StructField("stss_keyframe", T.IntegerType()),
+        T.StructField("consistent", T.IntegerType()),
+    ]
+)
+
+
+def h264_slice_index(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-sample I/P/B slice classification of avc1 mp4 blobs via one
+    Arrow ``mapInPandas`` pass; non-mp4 / non-avc1 payloads yield zero
+    rows, never task failures."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    entries = parse_h264_slice_types(
+                        bytes(blob) if blob is not None else b""
+                    )
+                except Exception:
+                    entries = None
+                for e in entries or []:
+                    rows.append(
+                        (
+                            int(d),
+                            e["sample_idx"],
+                            e["nal_type"],
+                            e["slice_type"],
+                            e["frame_kind"],
+                            e["is_idr"],
+                            e["stss_keyframe"],
+                            e["consistent"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in H264_SLICE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, H264_SLICE_SCHEMA
+    )
+
+
 def parse_mp3_frame_index(b: bytes) -> list[dict] | None:
     """Header-only MPEG-audio frame walk: one entry per frame with its
     absolute byte offset, size, bitrate and presentation time — the

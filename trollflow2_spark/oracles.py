@@ -967,6 +967,32 @@ SELECT doc_id,
 FROM kf
 """
 
+# H.264 slice-type replay: the fixture plants IDR slices exactly at
+# the stss cadence k and alternates P/B by (d+i)%2 elsewhere, so every
+# (nal_type, slice_type, kind, consistency) row is closed-form
+ORACLES["h264_slice_index"] = """
+WITH p AS (
+  SELECT doc_id, 10 + doc_id % 20 AS n, 3 + doc_id % 3 AS k
+  FROM documents WHERE doc_id % 11 <> 0
+), e AS (
+  SELECT doc_id, k, unnest(range(1, n + 1)) AS i FROM p
+), s AS (
+  SELECT doc_id, CAST(i AS INT) AS sample_idx,
+    ((i - 1) % k = 0) AS key,
+    (doc_id + i) % 2 = 0 AS even
+  FROM e
+)
+SELECT doc_id, sample_idx,
+  CAST(CASE WHEN key THEN 5 ELSE 1 END AS INTEGER) AS nal_type,
+  CAST(CASE WHEN key THEN 7 WHEN even THEN 0 ELSE 1 END AS INTEGER)
+    AS slice_type,
+  CASE WHEN key THEN 'I' WHEN even THEN 'P' ELSE 'B' END AS frame_kind,
+  CAST(CASE WHEN key THEN 1 ELSE 0 END AS INTEGER) AS is_idr,
+  CAST(CASE WHEN key THEN 1 ELSE 0 END AS INTEGER) AS stss_keyframe,
+  CAST(1 AS INTEGER) AS consistent
+FROM s
+"""
+
 # mp3 frame-index replay: table-driven VBR frame sizes
 # (144*kbps*1000//rate + pad), prefix-sum byte offsets after the fixed
 # 74-byte ID3 tag, 1152-sample MPEG1 Layer III frame timing

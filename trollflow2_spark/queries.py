@@ -5417,12 +5417,18 @@ def _sps_nal(
     return b"\x67" + bytes(out)
 
 
-def _mp4_index_blob(d: int) -> bytes:
+def _mp4_index_blob(d: int, real_nals: bool = False) -> bytes:
     """Closed-form ISO-BMFF fixture with REAL sample tables: one avc1
     video track, stts/stsz/stss/stsc/stco all derived from doc_id, an
     embedded bit-exact H.264 SPS (profile 100/66 alternating, cropping
     every 5th doc), moov AFTER mdat so the first chunk offset is the
-    constant 32. Every 11th doc is not an mp4 (zero index rows)."""
+    constant 32. Every 11th doc is not an mp4 (zero index rows).
+
+    With ``real_nals`` the mdat carries real length-prefixed H.264
+    NALs per sample: keyframes are IDR slices (nal type 5, slice_type
+    7 -> I), other samples alternate P/B by (d + i) % 2 — the
+    exp-golomb prelude (first_mb_in_slice, slice_type) is bit-exact so
+    the slice-type indexer decodes it."""
     if d % 11 == 0:
         return b"\x00\x00\x00\x08oops" + bytes([d % 256])
 
@@ -5483,7 +5489,25 @@ def _mp4_index_blob(d: int) -> bytes:
     mdia = box(b"mdia", mdhd + minf)
     moov = box(b"moov", box(b"trak", mdia))
     ftyp = (24).to_bytes(4, "big") + b"ftypisom" + bytes(4) + b"isomiso2"
-    mdat = box(b"mdat", bytes(sum(sizes)))
+    if real_nals:
+        kfset = set(kfs)
+        payload = bytearray()
+        for i in range(1, n + 1):
+            sz = sizes[i - 1]
+            if i in kfset:
+                # IDR: nal header 0x65, ue(0)+ue(7) = '1'+'0001000'
+                nal = bytes([0x65, 0x88])
+            elif (d + i) % 2 == 0:
+                # P slice: 0x61, ue(0)+ue(0) = '11' + pad
+                nal = bytes([0x61, 0xC0])
+            else:
+                # B slice: 0x61, ue(0)+ue(1) = '1010' + pad
+                nal = bytes([0x61, 0xA0])
+            payload += (sz - 4).to_bytes(4, "big")
+            payload += nal + bytes(sz - 4 - len(nal))
+        mdat = box(b"mdat", bytes(payload))
+    else:
+        mdat = box(b"mdat", bytes(sum(sizes)))
     return ftyp + mdat + moov
 
 
@@ -5525,6 +5549,45 @@ def q_mp4_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return mp4_frame_index(media)
+
+
+def q_h264_slice_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-frame H.264 structure WITHOUT decoding: each sample's
+    first VCL NAL is walked through avcC length prefixes and its
+    slice header's exp-golomb prelude read bit-exact — giving the real
+    I/P/B cadence plus a per-sample consistency check of the
+    container's stss sync-sample claims against the coded IDR
+    evidence (the broken-muxer detector). The fixture plants real NAL
+    bytes (IDR at the stss cadence, P/B alternating closed-form), so
+    the oracle states every row verbatim."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import h264_slice_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _mp4_index_blob(int(d), real_nals=True)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return h264_slice_index(media)
 
 
 def _mp3_index_blob(d: int) -> bytes:
@@ -8878,6 +8941,7 @@ QUERIES = {
     "mp4_frame_index": q_mp4_frame_index,
     "mp3_frame_index": q_mp3_frame_index,
     "ogg_page_index": q_ogg_page_index,
+    "h264_slice_index": q_h264_slice_index,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
