@@ -260,6 +260,7 @@ OPERATORS = [
     "logreg_train",  # distributed full-batch GD (16 real agg jobs + scoring)
     "kmeans_train",  # full-corpus Lloyd: one agg/iter, k x dim collect
     "sft_chat_masks",  # chat-template + loss-mask assembly (SFT data step)
+    "cms_heavy_hitters",  # count-min sketch + exact-error audit
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

@@ -2416,3 +2416,38 @@ def test_best_representatives_argmax_and_ties(spark):
     # singletons 4 and 7 represent themselves
     assert reps[4]["doc_id"] == 4 and reps[7]["doc_id"] == 7
     assert len(reps) == 4
+
+
+def test_cms_sketch_mergeable_and_one_sided(spark):
+    """Two half-corpus sketches summed cell-wise equal the full-corpus
+    sketch (the mergeable-state property), and estimates never
+    undercount."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.snapshot import (
+        cms_heavy_hitter_audit,
+        cms_sketch,
+    )
+
+    rows = [(i, f"w{i % 5} w{i % 3} common") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.where(F.col("doc_id") < 20)
+    b = df.where(F.col("doc_id") >= 20)
+    full = {
+        (r["row"], r["cell"]): r["cnt"]
+        for r in cms_sketch(df, width=64).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_sketch(part, width=64).collect():
+            k = (r["row"], r["cell"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == full
+
+    audit = cms_heavy_hitter_audit(df, k=5, width=64).collect()
+    assert len(audit) == 5
+    for r in audit:
+        assert r["overestimate"] >= 0  # CMS never undercounts
+        assert r["cms_est"] == r["exact_cnt"] + r["overestimate"]
+    top = max(audit, key=lambda r: r["exact_cnt"])
+    assert top["tok"] == "common" and top["exact_cnt"] == 40

@@ -131,3 +131,119 @@ def merge_distinct_state(
         .otherwise(F.hll_union(a, b))
         .alias(sketch_col),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+    seed_base: int = 101,
+) -> DataFrame:
+    """Count-min sketch of the token stream as a RELATIONAL sketch
+    table — (row, cell, cnt), ``depth x width`` rows, bounded by
+    construction regardless of vocabulary size. The CMS is the
+    fixed-memory member of the sketch tier (HLL counts distincts; CMS
+    answers per-item frequency with one-sided error <= eps*N): two
+    sketches MERGE by summing cells, so daily increments maintain the
+    state without re-scanning the corpus, and the whole build is one
+    map-side-combinable hash agg over (row, cell) pairs — shuffle
+    volume bounded by depth x width counters per partition.
+
+    Determinism: the row hashes are the portable md5-derived
+    :func:`hash64` with per-row seeds, so a SQL oracle reproduces
+    every cell exactly."""
+    from trollflow2_spark.functions.hashing import hash64, tokens
+
+    tk = df.select(
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        ).alias("tok")
+    )
+    cells = tk.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            hash64(F.col("tok"), seed=seed_base + r),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("cell"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return cells.select("rc.row", "rc.cell").groupBy("row", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_heavy_hitter_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = 3,
+    width: int = 1024,
+    seed_base: int = 101,
+) -> DataFrame:
+    """The sketch-error audit every approximate tier here ships with:
+    the exact top-k tokens (count desc, token tie-break) joined against
+    their count-min estimates — ``cms_est = min over rows of the
+    hashed cell's count`` — with the one-sided ``overestimate`` stated
+    per token (CMS never undercounts; collisions only inflate). The
+    candidate side is k rows, so the estimate join is broadcast-sized;
+    the sketch side is the bounded depth x width table."""
+    from trollflow2_spark.functions.hashing import hash64, tokens
+
+    sketch = cms_sketch(
+        df, text_col=text_col, depth=depth, width=width,
+        seed_base=seed_base,
+    )
+    tk = df.select(
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        ).alias("tok")
+    )
+    exact = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # TakeOrdered top-k (per-partition heads merged on the driver) —
+    # no single-partition global window over the vocabulary table
+    topk = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("tok").asc()
+    ).limit(k)
+    cand_cells = topk.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            hash64(F.col("tok"), seed=seed_base + r),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("cell"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "exact_cnt", "rc.row", "rc.cell")
+    est = (
+        F.broadcast(cand_cells)
+        .join(sketch, ["row", "cell"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    )

@@ -4143,6 +4143,38 @@ FROM (
 
 ORACLES["kmeans_train"] = _kmeans_oracle_sql()
 
+# count-min sketch replay: every (row, cell) counter rebuilt with the
+# same seeded portable hash, exact top-k by (count desc, token), the
+# estimate = min over depth cells — overestimate is one-sided by
+# construction (collisions only add)
+ORACLES["cms_heavy_hitters"] = f"""
+WITH tk AS (
+  SELECT lower(unnest({_TOKS})) AS tok FROM documents
+), rows_ AS (
+  SELECT CAST(unnest(range({C.CMS_DEPTH})) AS INT) AS row
+), cells AS (
+  SELECT r.row,
+    CAST({HASH64_SQL("(tok || ':' || CAST(" + str(C.CMS_SEED) + " + r.row AS VARCHAR))")} % {C.CMS_WIDTH} AS INT) AS cell
+  FROM tk CROSS JOIN rows_ r
+), sk AS (
+  SELECT row, cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, cell
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tk GROUP BY tok
+), topk AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok ASC LIMIT {C.CMS_TOPK}
+), cc AS (
+  SELECT t.tok, t.exact_cnt, r.row,
+    CAST({HASH64_SQL("(t.tok || ':' || CAST(" + str(C.CMS_SEED) + " + r.row AS VARCHAR))")} % {C.CMS_WIDTH} AS INT) AS cell
+  FROM topk t CROSS JOIN rows_ r
+)
+SELECT cc.tok, cc.exact_cnt, min(sk.cnt) AS cms_est,
+  min(sk.cnt) - cc.exact_cnt AS overestimate
+FROM cc JOIN sk ON cc.row = sk.row AND cc.cell = sk.cell
+GROUP BY cc.tok, cc.exact_cnt
+"""
+
 # SFT chat-template replay: prompt/response carved from the token
 # stream, fit policy (response survives, prompt left-truncates,
 # response overflow drops accounted), sequence and mask digests stated

@@ -405,6 +405,12 @@ LOGREG_LABEL_THRESHOLD = 0.78  # ~median quality_score: splits the corpus
 KMEANS_TRAIN_K = 4  # cells (matches the embeddings fixture's label count)
 KMEANS_TRAIN_ITERS = 3  # Lloyd iterations — unrolled verbatim in the oracle
 
+# --- count-min sketch ----------------------------------------------------------
+CMS_DEPTH = 3  # hash rows (error probability (1/2)^depth-ish at this width)
+CMS_WIDTH = 1024  # cells per row: eps ~ e/width of total token mass
+CMS_TOPK = 20  # audited heavy hitters
+CMS_SEED = 101  # per-row seeds are CMS_SEED + row
+
 # --- SFT chat-template assembly -----------------------------------------------
 SFT_MAX_LEN = 16  # token budget per example (markers included) — small
 # enough that the fixture exercises keep / prompt-truncate / drop paths

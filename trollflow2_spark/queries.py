@@ -3964,6 +3964,28 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with its error AUDIT: the
+    exact top-k tokens joined against their CMS estimates (min over
+    depth hashed cells) with the one-sided overestimate stated per
+    token. The sketch is the fixed-memory (depth x width) mergeable
+    state a 100 TB token stream needs when the vocabulary won't fit an
+    exact table; the audit is what makes shipping it honest. One
+    map-side-combinable agg builds the sketch; the k-row candidate
+    side broadcasts. The oracle replays every cell count and the min
+    estimates exactly (portable seeded hash)."""
+    from trollflow2_spark.extensions.snapshot import cms_heavy_hitter_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitter_audit(
+        docs,
+        k=C.CMS_TOPK,
+        depth=C.CMS_DEPTH,
+        width=C.CMS_WIDTH,
+        seed_base=C.CMS_SEED,
+    )
+
+
 def q_incremental_corpus_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8921,6 +8943,7 @@ QUERIES = {
     "rolling_revenue_7d": q_rolling_revenue_7d,
     "customer_spend_deciles": q_customer_spend_deciles,
     "incremental_corpus_stats": q_incremental_corpus_stats,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "zorder_layout": q_zorder_layout,
     "table_profile": q_table_profile,
     "parquet_layout_audit": q_parquet_layout_audit,
