@@ -261,6 +261,8 @@ OPERATORS = [
     "kmeans_train",  # full-corpus Lloyd: one agg/iter, k x dim collect
     "sft_chat_masks",  # chat-template + loss-mask assembly (SFT data step)
     "cms_heavy_hitters",  # count-min sketch + exact-error audit
+    "ann_dim_truncation_audit",  # Matryoshka-store recall audit
+    "table_expectations",  # dbt-test-shape data-quality report
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

@@ -2451,3 +2451,40 @@ def test_cms_sketch_mergeable_and_one_sided(spark):
         assert r["cms_est"] == r["exact_cnt"] + r["overestimate"]
     top = max(audit, key=lambda r: r["exact_cnt"])
     assert top["tok"] == "common" and top["exact_cnt"] == 40
+
+
+def test_expectations_rules_catch_planted_defects(spark):
+    from trollflow2_spark.extensions.profile import (
+        expect_foreign_key,
+        expect_not_null,
+        expect_range,
+        expect_unique,
+        expectations_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)],
+        "id long, fk int",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    vals = spark.createDataFrame(
+        [(1, 5.0), (1, 60.0), (2, None)], "k int, v double"
+    )
+    rep = {
+        r["rule"]: r
+        for r in expectations_report(
+            [
+                expect_not_null(child, "fk"),
+                expect_unique(vals, "k"),
+                expect_range(vals, "v", 0.0, 50.0),
+                expect_foreign_key(child, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert rep["not_null:fk"]["n_violations"] == 1
+    assert rep["unique:k"]["n_violations"] == 1  # k=1 twice
+    # 60.0 out of range AND the NULL fails (unknown is not known-good)
+    assert rep["range:v:[0.0,50.0]"]["n_violations"] == 2
+    # fk=99 orphaned, fk=NULL orphaned
+    assert rep["fk:fk->pk"]["n_violations"] == 2
+    assert all(r["pass"] == 0 for r in rep.values())

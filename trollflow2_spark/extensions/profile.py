@@ -233,3 +233,71 @@ def compaction_plan(
         ),
     ).withColumn("cum_bytes", cum)
     return out
+
+
+# --- data-quality expectations (dbt-test / Great-Expectations shape) --------
+
+def expect_not_null(df: DataFrame, col: str) -> DataFrame:
+    """(rule, n_checked, n_violations): NULL count in one agg."""
+    return df.agg(
+        F.lit(f"not_null:{col}").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.col(col).isNull().cast("long")).alias("n_violations"),
+    )
+
+
+def expect_unique(df: DataFrame, col: str) -> DataFrame:
+    """Rows beyond each key's first occurrence count as violations
+    (count - count distinct) — one agg, no self-join."""
+    return df.agg(
+        F.lit(f"unique:{col}").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(col) - F.countDistinct(col)).alias("n_violations"),
+    )
+
+
+def expect_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Values outside [lo, hi] violate; NULL fails the range too (an
+    unknown value is not known-good — the coalesce makes that
+    explicit rather than letting SUM skip it)."""
+    ok = F.coalesce(F.col(col).between(lo, hi), F.lit(False))
+    return df.agg(
+        F.lit(f"range:{col}:[{lo},{hi}]").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((~ok).cast("long")).alias("n_violations"),
+    )
+
+
+def expect_foreign_key(
+    child: DataFrame, col: str, parent: DataFrame, pcol: str
+) -> DataFrame:
+    """Orphaned child keys: left join against the DISTINCT parent keys
+    (dimension-sized — Spark broadcasts it when it fits), violations =
+    rows with no parent. NULL child keys are orphans by the same
+    unknown-is-not-good rule."""
+    p = parent.select(F.col(pcol).alias("__pk")).distinct()
+    j = child.select(F.col(col).alias("__ck")).join(
+        p, F.col("__ck") == F.col("__pk"), "left"
+    )
+    return j.agg(
+        F.lit(f"fk:{col}->{pcol}").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.col("__pk").isNull().cast("long")).alias("n_violations"),
+    )
+
+
+def expectations_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the 1-row rule results into the quality report — each
+    branch is its own aggregation job over its own table; the union is
+    control-plane sized. Adds the pass flag."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "rule",
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.when(F.col("n_violations") == 0, 1).otherwise(0)
+        .cast("int")
+        .alias("pass"),
+    )

@@ -2788,6 +2788,50 @@ FROM sc
 QUALIFY rank <= {C.TOPK_K}
 """
 
+# truncation audit: both exact rankings replayed (full dims and the
+# first TRUNC_DIM prefix), intersection counted per query
+ORACLES["ann_dim_truncation_audit"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {C.TOPK_N_QUERIES}
+), fsc AS (
+  SELECT q.query_id, e.vec_id,
+    round({_cosine_sql('e.embedding', 'q.qv')}, 6) AS s
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), fk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+        AS rn
+    FROM fsc
+  ) WHERE rn <= {C.TOPK_K}
+), et AS (
+  SELECT vec_id, embedding[1:{C.TRUNC_DIM}] AS ev FROM embeddings
+), qt AS (
+  SELECT vec_id AS query_id, embedding[1:{C.TRUNC_DIM}] AS qv
+  FROM embeddings WHERE vec_id < {C.TOPK_N_QUERIES}
+), tsc AS (
+  SELECT qt.query_id, e.vec_id,
+    round({_cosine_sql('e.ev', 'qt.qv')}, 6) AS s
+  FROM et e CROSS JOIN qt WHERE e.vec_id <> qt.query_id
+), tk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+        AS rn
+    FROM tsc
+  ) WHERE rn <= {C.TOPK_K}
+)
+SELECT fk.query_id,
+  CAST({C.TOPK_K} AS INTEGER) AS k,
+  CAST(count(tk.vec_id) AS INTEGER) AS n_overlap,
+  CAST(count(tk.vec_id) * 1000 / {C.TOPK_K} AS INTEGER)
+    AS recall_permille
+FROM fk LEFT JOIN tk
+  ON fk.query_id = tk.query_id AND fk.vec_id = tk.vec_id
+GROUP BY fk.query_id
+"""
+
 # int8 quantization replayed in SQL: per-vector scale = max|v|/127,
 # q_i = round(v_i/scale) (both engines round half away from zero);
 # cosine over the int arrays — the dequant scales cancel in cosine.
@@ -4142,6 +4186,49 @@ FROM (
 
 
 ORACLES["kmeans_train"] = _kmeans_oracle_sql()
+
+# expectations replay: each rule is one plain-SQL aggregate; NULLs
+# fail range and FK rules (unknown is not known-good)
+ORACLES["table_expectations"] = """
+SELECT 'not_null:o_orderdate' AS rule,
+  CAST(count(*) AS BIGINT) AS n_checked,
+  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violations,
+  CAST(CASE WHEN sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+    = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+FROM orders
+UNION ALL
+SELECT 'unique:c_custkey',
+  CAST(count(*) AS BIGINT),
+  CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT),
+  CAST(CASE WHEN count(c_custkey) = count(DISTINCT c_custkey)
+    THEN 1 ELSE 0 END AS INTEGER)
+FROM customer
+UNION ALL
+SELECT 'range:l_quantity:[1,50]',
+  CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+    AS BIGINT),
+  CAST(CASE WHEN sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+    THEN 0 ELSE 1 END) = 0 THEN 1 ELSE 0 END AS INTEGER)
+FROM lineitem
+UNION ALL
+SELECT 'range:l_discount:[0.0,0.05]',
+  CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.05 THEN 0 ELSE 1 END)
+    AS BIGINT),
+  CAST(CASE WHEN sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.05
+    THEN 0 ELSE 1 END) = 0 THEN 1 ELSE 0 END AS INTEGER)
+FROM lineitem
+UNION ALL
+SELECT 'fk:o_custkey->c_custkey',
+  CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(CASE WHEN sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+    = 0 THEN 1 ELSE 0 END AS INTEGER)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+"""
 
 # count-min sketch replay: every (row, cell) counter rebuilt with the
 # same seeded portable hash, exact top-k by (count desc, token), the

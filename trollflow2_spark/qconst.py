@@ -57,6 +57,7 @@ FINGERPRINT_MOD = 8
 EMB_DIM = 64  # synthetic embeddings dimensionality
 TOPK_N_QUERIES = 3  # vec_id < 3 are the query vectors
 TOPK_K = 10
+TRUNC_DIM = 16  # truncation-audit prefix dims (the Matryoshka store question)
 ANN_BITS = 4
 ANN_K = 5
 IVF_N_CLUSTERS = 8  # k-means IVF coarse cells

@@ -3964,6 +3964,38 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (the dbt-test / Great-Expectations
+    shape the warehouse tier was missing): not-null, uniqueness,
+    accepted-range and referential-integrity rules evaluated as one
+    aggregation each over the real tables, unioned into a
+    control-plane-sized report with violation counts and pass flags.
+    The discount-range rule FAILS by design (TPC-H discounts run past
+    0.05) — a report that can only say pass proves nothing. NULLs fail
+    range and FK rules explicitly (unknown is not known-good). The
+    oracle restates every count with plain SQL aggregates."""
+    from trollflow2_spark.extensions.profile import (
+        expect_foreign_key,
+        expect_not_null,
+        expect_range,
+        expect_unique,
+        expectations_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return expectations_report(
+        [
+            expect_not_null(orders, "o_orderdate"),
+            expect_unique(customer, "c_custkey"),
+            expect_range(lineitem, "l_quantity", 1, 50),
+            expect_range(lineitem, "l_discount", 0.0, 0.05),
+            expect_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+        ]
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation with its error AUDIT: the
     exact top-k tokens joined against their CMS estimates (min over
@@ -5193,6 +5225,50 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, _query_vectors(emb), k=C.TOPK_K)
+
+
+def q_ann_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store compression audit (the Matryoshka question):
+    how much of the exact full-dimension top-k survives when the store
+    keeps only the first TRUNC_DIM components? Per query, both exact
+    top-k sets compute with the same brute-force plan (query side
+    broadcast, corpus scanned once each) and the overlap is stated in
+    integer per-mille recall — the number that decides whether a 4x
+    smaller store is safe BEFORE anyone re-embeds a corpus. The oracle
+    replays both rankings and the set intersection."""
+    from trollflow2_spark.extensions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = _query_vectors(emb)
+    full = brute_force_topk(emb, qs, k=C.TOPK_K)
+    t = C.TRUNC_DIM
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, t).alias("embedding")
+    )
+    qs_t = qs.select(
+        "query_id", F.slice("embedding", 1, t).alias("embedding")
+    )
+    trunc = brute_force_topk(emb_t, qs_t, k=C.TOPK_K)
+    fs = full.groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("full_ids")
+    )
+    ts_ = trunc.groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("trunc_ids")
+    )
+    return fs.join(ts_, "query_id").select(
+        "query_id",
+        F.lit(C.TOPK_K).cast("int").alias("k"),
+        F.size(F.array_intersect("full_ids", "trunc_ids"))
+        .cast("int")
+        .alias("n_overlap"),
+        (
+            F.size(F.array_intersect("full_ids", "trunc_ids"))
+            * 1000
+            / C.TOPK_K
+        )
+        .cast("int")
+        .alias("recall_permille"),
+    )
 
 
 def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8944,6 +9020,7 @@ QUERIES = {
     "customer_spend_deciles": q_customer_spend_deciles,
     "incremental_corpus_stats": q_incremental_corpus_stats,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "table_expectations": q_table_expectations,
     "zorder_layout": q_zorder_layout,
     "table_profile": q_table_profile,
     "parquet_layout_audit": q_parquet_layout_audit,
@@ -9072,6 +9149,7 @@ QUERIES = {
     "media_quarantine_audit": q_media_quarantine_audit,
     "source_quality": q_source_quality,
     "embedding_topk": q_embedding_topk,
+    "ann_dim_truncation_audit": q_ann_dim_truncation_audit,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "embedding_centroids": q_embedding_centroids,
     "embedding_ann": q_embedding_ann,
