@@ -260,6 +260,7 @@ OPERATORS = [
     "logreg_train",  # distributed full-batch GD (16 real agg jobs + scoring)
     "kmeans_train",  # full-corpus Lloyd: one agg/iter, k x dim collect
     "sft_chat_masks",  # chat-template + loss-mask assembly (SFT data step)
+    "dpo_pairs",  # preference-pair assembly (shared prompt, skew gate)
     "cms_heavy_hitters",  # count-min sketch + exact-error audit
     "ann_dim_truncation_audit",  # Matryoshka-store recall audit
     "table_expectations",  # dbt-test-shape data-quality report

@@ -333,3 +333,39 @@ def test_sft_chat_masks_three_paths(spark):
     r3 = out[3]
     assert r3["kept"] == 0 and r3["reason"] == "response_overflow"
     assert r3["tokens_md5"] is None and r3["n_tokens"] is None
+
+
+def test_dpo_pairs_gates_and_shared_prompt(spark):
+    """Both sequences must share ONE prompt truncation (budgeted by
+    the longer response); overflow and length-skew drop accounted."""
+    import hashlib
+
+    from trollflow2_spark.extensions.sampling import dpo_pairs
+
+    rows = [
+        # fits, balanced: longer=3 -> kp = 8-3-3 = 2 -> prompt "p1 p2"
+        (1, "p0 p1 p2", "c0 c1 c2", "r0"),
+        # length skew: 1 vs 5 -> 200 permille < 300 -> drop
+        (2, "p", "c0", "r0 r1 r2 r3 r4"),
+        # overflow: longer response 7 + 3 > 8
+        (3, "p", "c0 c1 c2 c3 c4 c5 c6", "r0"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prompt string, chosen string, rejected string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dpo_pairs(
+            df, max_len=8, min_len_ratio_permille=300
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["kept"] == 1 and r1["n_prompt_kept"] == 2
+    cs = "<|user|> p1 p2 <|assistant|> c0 c1 c2 <|end|>"
+    rs = "<|user|> p1 p2 <|assistant|> r0 <|end|>"
+    assert r1["chosen_md5"] == hashlib.md5(cs.encode()).hexdigest()
+    assert r1["rejected_md5"] == hashlib.md5(rs.encode()).hexdigest()
+    assert r1["len_ratio_permille"] == 333
+    assert out[2]["kept"] == 0 and out[2]["reason"] == "length_skew"
+    assert out[2]["len_ratio_permille"] == 200
+    assert out[3]["kept"] == 0 and out[3]["reason"] == "response_overflow"

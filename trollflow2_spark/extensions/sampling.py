@@ -521,6 +521,95 @@ def sft_chat_masks(
     )
 
 
+def dpo_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    id_col: str = "doc_id",
+    max_len: int = 64,
+    min_len_ratio_permille: int = 300,
+    user_marker: str = "<|user|>",
+    asst_marker: str = "<|assistant|>",
+    end_marker: str = "<|end|>",
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) assembly — the sibling of
+    :func:`sft_chat_masks` for (prompt, chosen, rejected) triples.
+    Both completions share ONE prompt truncation (the leftover budget
+    after the LONGER response), because a pair whose two sequences saw
+    different prompts is not a preference judgment. Two accounted drop
+    reasons: ``response_overflow`` (the longer response + 3 markers
+    cannot fit ``max_len``) and ``length_skew`` — the known DPO
+    verbosity bias: when the shorter response is under
+    ``min_len_ratio_permille`` of the longer, the pair teaches length,
+    not preference, so it drops with the ratio stated. Pure-Column
+    scan-stage work; sequence digests + scalar accounting out."""
+    from trollflow2_spark.functions.hashing import tokens
+
+    over = 3
+    s1 = df.select(
+        F.col(id_col),
+        tokens(F.col(prompt_col)).alias("pt"),
+        tokens(F.col(chosen_col)).alias("ct"),
+        tokens(F.col(rejected_col)).alias("rt"),
+    )
+    np_ = F.size("pt")
+    nc, nr = F.size("ct"), F.size("rt")
+    longer = F.greatest(nc, nr)
+    shorter = F.least(nc, nr)
+    s2 = s1.select(
+        F.col(id_col),
+        "pt",
+        "ct",
+        "rt",
+        np_.alias("np"),
+        nc.alias("nc"),
+        nr.alias("nr"),
+        (longer + over <= max_len).alias("fits"),
+        (shorter * 1000 >= min_len_ratio_permille * longer).alias(
+            "balanced"
+        ),
+        F.least(np_, F.lit(max_len) - over - longer).alias("kp"),
+        F.when(longer > 0, shorter * 1000 / longer)
+        .otherwise(F.lit(1000))
+        .cast("int")
+        .alias("len_ratio_permille"),
+    )
+    kp = F.col("kp")
+    ptrunc = F.when(
+        kp > 0, F.slice(F.col("pt"), F.col("np") - kp + 1, kp)
+    ).otherwise(F.array().cast("array<string>"))
+
+    def seq(resp_col: str):
+        return F.concat(
+            F.array(F.lit(user_marker)),
+            ptrunc,
+            F.array(F.lit(asst_marker)),
+            F.col(resp_col),
+            F.array(F.lit(end_marker)),
+        )
+
+    keep = F.col("fits") & F.col("balanced")
+    reason = F.when(~F.col("fits"), F.lit("response_overflow")).when(
+        ~F.col("balanced"), F.lit("length_skew")
+    )
+    return s2.select(
+        F.col(id_col),
+        F.when(keep, 1).otherwise(0).cast("int").alias("kept"),
+        reason.alias("reason"),
+        F.col("len_ratio_permille"),
+        F.when(keep, kp).cast("int").alias("n_prompt_kept"),
+        F.when(keep, F.col("nc")).cast("int").alias("n_chosen"),
+        F.when(keep, F.col("nr")).cast("int").alias("n_rejected"),
+        F.when(keep, F.md5(F.array_join(seq("ct"), " "))).alias(
+            "chosen_md5"
+        ),
+        F.when(keep, F.md5(F.array_join(seq("rt"), " "))).alias(
+            "rejected_md5"
+        ),
+    )
+
+
 def temperature_rates(
     counts: dict, alpha: float, target_frac: float
 ) -> dict:

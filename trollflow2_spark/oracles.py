@@ -4187,6 +4187,57 @@ FROM (
 
 ORACLES["kmeans_train"] = _kmeans_oracle_sql()
 
+# DPO pair replay: one shared prompt truncation budgeted by the
+# LONGER response; overflow and length-skew gates; both digests stated
+ORACLES["dpo_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+    CAST(3 + doc_id % 10 AS BIGINT) AS p,
+    CAST(1 + doc_id % 12 AS BIGINT) AS c,
+    CAST(1 + (doc_id * 7) % 15 AS BIGINT) AS r
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    toks[1:p] AS pt,
+    toks[p + 1:p + c] AS ct,
+    toks[p + c + 1:p + c + r] AS rt
+  FROM t
+), m AS (
+  SELECT doc_id, pt, ct, rt,
+    len(pt) AS np, len(ct) AS nc, len(rt) AS nr
+  FROM s
+), kc AS (
+  SELECT *,
+    greatest(nc, nr) AS lng, least(nc, nr) AS shrt,
+    (greatest(nc, nr) + 3 <= {C.SFT_MAX_LEN}) AS fits,
+    (least(nc, nr) * 1000
+       >= {C.DPO_MIN_RATIO_PERMILLE} * greatest(nc, nr)) AS balanced,
+    least(np, {C.SFT_MAX_LEN} - 3 - greatest(nc, nr)) AS kp
+  FROM m
+), fin AS (
+  SELECT *, (fits AND balanced) AS keep,
+    CASE WHEN kp > 0 THEN pt[np - kp + 1:np]
+         ELSE CAST([] AS VARCHAR[]) END AS ptr
+  FROM kc
+)
+SELECT doc_id,
+  CAST(CASE WHEN keep THEN 1 ELSE 0 END AS INTEGER) AS kept,
+  CASE WHEN NOT fits THEN 'response_overflow'
+       WHEN NOT balanced THEN 'length_skew' END AS reason,
+  CAST(CASE WHEN lng > 0 THEN shrt * 1000 // lng ELSE 1000 END
+    AS INTEGER) AS len_ratio_permille,
+  CAST(CASE WHEN keep THEN kp END AS INTEGER) AS n_prompt_kept,
+  CAST(CASE WHEN keep THEN nc END AS INTEGER) AS n_chosen,
+  CAST(CASE WHEN keep THEN nr END AS INTEGER) AS n_rejected,
+  CASE WHEN keep THEN md5(array_to_string(
+    ['<|user|>'] || ptr || ['<|assistant|>'] || ct || ['<|end|>'],
+    ' ')) END AS chosen_md5,
+  CASE WHEN keep THEN md5(array_to_string(
+    ['<|user|>'] || ptr || ['<|assistant|>'] || rt || ['<|end|>'],
+    ' ')) END AS rejected_md5
+FROM fin
+"""
+
 # expectations replay: each rule is one plain-SQL aggregate; NULLs
 # fail range and FK rules (unknown is not known-good)
 ORACLES["table_expectations"] = """

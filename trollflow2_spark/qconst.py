@@ -415,6 +415,9 @@ CMS_SEED = 101  # per-row seeds are CMS_SEED + row
 # --- SFT chat-template assembly -----------------------------------------------
 SFT_MAX_LEN = 16  # token budget per example (markers included) — small
 # enough that the fixture exercises keep / prompt-truncate / drop paths
+DPO_MIN_RATIO_PERMILLE = 300  # length-skew gate: shorter/longer >= 30%
+# (the DPO verbosity-bias guard — pairs below it teach length, not
+# preference)
 
 # --- blocklist content filter ------------------------------------------------
 BLOCKLIST_TERMS = ("slow", "dup", "big")  # stand-in wordlist over the

@@ -8343,6 +8343,35 @@ def q_sft_chat_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_chat_masks(pairs, max_len=C.SFT_MAX_LEN)
 
 
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for DPO/RLHF: (prompt, chosen,
+    rejected) triples carved closed-form from the document token
+    stream become marker-templated sequence pairs sharing ONE prompt
+    truncation (budgeted by the longer response), with the two
+    accounted drop reasons — response overflow and the length-skew
+    verbosity-bias gate (integer per-mille ratio). The oracle replays
+    slicing, both gates and both sequence digests."""
+    from trollflow2_spark.extensions.sampling import dpo_pairs
+    from trollflow2_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    p = (3 + F.col("doc_id") % 10).cast("int")
+    c = (1 + F.col("doc_id") % 12).cast("int")
+    r = (1 + (F.col("doc_id") * 7) % 15).cast("int")
+    triples = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, F.lit(1), p), " ").alias("prompt"),
+        F.array_join(F.slice(toks, p + 1, c), " ").alias("chosen"),
+        F.array_join(F.slice(toks, p + c + 1, r), " ").alias("rejected"),
+    )
+    return dpo_pairs(
+        triples,
+        max_len=C.SFT_MAX_LEN,
+        min_len_ratio_permille=C.DPO_MIN_RATIO_PERMILLE,
+    )
+
+
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means TRAINED ON THE FULL CORPUS — the
     third member of the iterative-trainer tier (bpe_train,
@@ -9123,6 +9152,7 @@ QUERIES = {
     "logreg_train": q_logreg_train,
     "kmeans_train": q_kmeans_train,
     "sft_chat_masks": q_sft_chat_masks,
+    "dpo_pairs": q_dpo_pairs,
     "logreg_holdout": q_logreg_holdout,
     "recipe_drop_audit": q_recipe_drop_audit,
     "vocab_drift": q_vocab_drift,
