@@ -235,6 +235,7 @@ OPERATORS = [
     "mp3_frame_index",  # header-only MPEG-audio VBR frame-chain index
     "ogg_page_index",  # header-only Ogg page/granule seek index
     "h264_slice_index",  # I/P/B slice classification + stss cross-check
+    "video_gop_stats",  # GOP-length rollup over coded slice evidence
     "parquet_layout_audit",  # footer-only per-column storage audit
     "compaction_plan",  # small-files sorted-fill bin planner
     "subtitle_text",  # WebVTT/SRT -> spoken text + cue timing

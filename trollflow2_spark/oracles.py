@@ -993,6 +993,34 @@ SELECT doc_id, sample_idx,
 FROM s
 """
 
+# GOP rollup replay: I at cadence k (spacing k between I frames when
+# two exist), P/B split by (d+i) parity off-cadence, tail GOP runs
+# from the last I to the stream end
+ORACLES["video_gop_stats"] = """
+WITH p AS (
+  SELECT doc_id, 10 + doc_id % 20 AS n, 3 + doc_id % 3 AS k
+  FROM documents WHERE doc_id % 11 <> 0
+), e AS (
+  SELECT doc_id, n, k, unnest(range(1, n + 1)) AS i FROM p
+), c AS (
+  SELECT doc_id, max(n) AS n, max(k) AS k,
+    sum(CASE WHEN (i - 1) % k = 0 THEN 1 ELSE 0 END) AS n_i,
+    sum(CASE WHEN (i - 1) % k <> 0 AND (doc_id + i) % 2 = 0
+        THEN 1 ELSE 0 END) AS n_p,
+    sum(CASE WHEN (i - 1) % k <> 0 AND (doc_id + i) % 2 = 1
+        THEN 1 ELSE 0 END) AS n_b
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_samples,
+  CAST(n_i AS INTEGER) AS n_i,
+  CAST(n_p AS INTEGER) AS n_p,
+  CAST(n_b AS INTEGER) AS n_b,
+  CAST(greatest(CASE WHEN n_i > 1 THEN k ELSE 0 END,
+                n - (1 + k * ((n - 1) // k)) + 1) AS INTEGER) AS max_gop
+FROM c
+"""
+
 # mp3 frame-index replay: table-driven VBR frame sizes
 # (144*kbps*1000//rate + pad), prefix-sum byte offsets after the fixed
 # 74-byte ID3 tag, 1152-sample MPEG1 Layer III frame timing

@@ -5688,6 +5688,81 @@ def q_h264_slice_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h264_slice_index(media)
 
 
+def q_video_gop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOP-structure rollup over the coded slice evidence: per video,
+    I/P/B counts and the maximum GOP length (spacing between
+    consecutive coded I frames, tail measured to the stream end) —
+    the numbers a clip-sampling pipeline routes on (a 300-frame GOP
+    means a 300-frame decode to seek mid-GOP). One hash agg over the
+    slice index plus a lead window partitioned per video. The oracle
+    restates counts and spacing closed-form from the fixture's
+    keyframe cadence."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import h264_slice_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _mp4_index_blob(int(d), real_nals=True)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    si = h264_slice_index(media)
+    counts = si.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_samples"),
+        F.sum((F.col("frame_kind") == "I").cast("int"))
+        .cast("int")
+        .alias("n_i"),
+        F.sum((F.col("frame_kind") == "P").cast("int"))
+        .cast("int")
+        .alias("n_p"),
+        F.sum((F.col("frame_kind") == "B").cast("int"))
+        .cast("int")
+        .alias("n_b"),
+        F.max("sample_idx").cast("int").alias("__last"),
+    )
+    iframes = si.where(F.col("frame_kind") == "I").select(
+        "doc_id", "sample_idx"
+    )
+    w = Window.partitionBy("doc_id").orderBy("sample_idx")
+    gaps = iframes.withColumn(
+        "__next", F.lead("sample_idx").over(w)
+    ).groupBy("doc_id").agg(
+        F.max(F.col("__next") - F.col("sample_idx")).alias("__maxgap"),
+        F.max("sample_idx").alias("__lasti"),
+    )
+    return counts.join(gaps, "doc_id").select(
+        "doc_id",
+        "n_samples",
+        "n_i",
+        "n_p",
+        "n_b",
+        F.greatest(
+            F.coalesce(F.col("__maxgap"), F.lit(0)),
+            F.col("__last") - F.col("__lasti") + 1,
+        )
+        .cast("int")
+        .alias("max_gop"),
+    )
+
+
 def _mp3_index_blob(d: int) -> bytes:
     """Closed-form MPEG-1 Layer III fixture with a REAL frame chain: a
     fixed 64-byte-body ID3v2.3 tag (frames start at byte 74), then
@@ -9071,6 +9146,7 @@ QUERIES = {
     "mp3_frame_index": q_mp3_frame_index,
     "ogg_page_index": q_ogg_page_index,
     "h264_slice_index": q_h264_slice_index,
+    "video_gop_stats": q_video_gop_stats,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
