@@ -178,8 +178,10 @@ FLAGSHIP = [
      "the doc-text join as a BroadcastHashJoin build side; the rank "
      "window partitions per query over <= 2k rows."),
     ("domain_quality_gate",
-     "Site-level gate: one hash agg to domain grain, verdicts "
-     "broadcast back (BroadcastHashJoin) as a map-side keep flag."),
+     "Site-level gate: one hash agg to domain grain; the verdict join "
+     "is NOT hint-forced — AQE broadcasts from measured size at small "
+     "k and falls back to SortMergeJoin at crawl-scale domain "
+     "cardinality (both paths plan-pinned)."),
     ("vocab_drift",
      "Snapshot drift audit: one conditional-sum token hash agg, "
      "1-row totals broadcast, distributed TakeOrdered top-K — every "
@@ -188,6 +190,47 @@ FLAGSHIP = [
      "Release capstone in one plan: scan-stage gates, LSH band "
      "joins, CC label rounds, the best-representative argmax window "
      "riding the cluster partitioning, map-side cluster-keyed split."),
+    # round 10 flagships
+    ("pdf_text_objstm",
+     "PDF 1.5+ intake: ObjStm unpack happens inside the same "
+     "per-file Arrow mapInPandas kernel — two chained Python stages, "
+     "zero exchanges, no new distribution surface."),
+    ("cdc_monster_doc",
+     "Linear CDC proof: boundary-position array + per-chunk slices "
+     "in the scan stage; the only exchange is the per-doc rollup of "
+     "the 8-row control-plane output."),
+    ("kmeans_train",
+     "Distributed Lloyd output plan: map-only distance/argmin "
+     "projection over the checkpointed micro-unit table "
+     "(ExistingRDD) — the training iterations ran as "
+     "identical-shape k-row agg jobs."),
+    ("cms_heavy_hitters",
+     "CMS audit: sketch = one map-side-combinable (row, cell) hash "
+     "agg; exact top-k via TakeOrdered (no single-partition "
+     "window); the k-row candidate side broadcasts into the "
+     "estimate join."),
+    ("sft_chat_masks",
+     "SFT assembly: tokenize/slice/concat/digest all higher-order "
+     "Column algebra inside the scan stage — zero exchanges, zero "
+     "Python."),
+    ("dpo_pairs",
+     "DPO pairs: same scan-stage shape as the SFT op — one shared "
+     "prompt truncation, two digests, both gates as integer "
+     "predicates; zero exchanges."),
+    ("h264_slice_index",
+     "Slice-type index: closed-form blob build + NAL walk in two "
+     "chained Arrow mapInPandas stages, zero exchanges."),
+    ("mp3_frame_index",
+     "MPEG-audio frame index: same two-stage mapInPandas intake "
+     "shape, zero exchanges."),
+    ("table_expectations",
+     "Expectations report: one aggregation per rule unioned; the FK "
+     "rule joins DISTINCT parent keys (broadcast at dimension "
+     "size)."),
+    ("ann_dim_truncation_audit",
+     "Truncation audit: both exact rankings ride the broadcast-"
+     "query brute-force plan; the per-query set intersection is a "
+     "3-row join."),
 ]
 
 
