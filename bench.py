@@ -265,6 +265,7 @@ OPERATORS = [
     "cms_heavy_hitters",  # count-min sketch + exact-error audit
     "ann_dim_truncation_audit",  # Matryoshka-store recall audit
     "table_expectations",  # dbt-test-shape data-quality report
+    "dataset_datasheet",  # release dataset-card stats (one agg pass)
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

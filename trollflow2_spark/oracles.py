@@ -4658,6 +4658,41 @@ SELECT doc_id,
 FROM r
 """
 
+# datasheet replay: every metric restated with the SAME rounded
+# fragments the quality_filter oracle pins; integer division matches
+# Spark's `div`
+ORACLES["dataset_datasheet"] = f"""
+WITH t AS (
+  SELECT doc_id, text, source, lang, {_TOKS} AS toks FROM documents
+), per AS (
+  SELECT doc_id, text, source, lang,
+    {_QF_NTOK} AS n_tokens,
+    CASE WHEN {_QF_NTOK} >= 20 AND {_QF_STOP} >= 0.03
+           AND {_QF_SCORE} >= 0.5 THEN 1 ELSE 0 END AS keep,
+    CAST(round({_QF_SCORE} * 1000000.0) AS BIGINT) AS qmicro
+  FROM t
+), a AS (
+  SELECT count(*) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS tt,
+    count(DISTINCT md5(text)) AS nd,
+    CAST(sum(qmicro) AS BIGINT) AS qsum,
+    CAST(sum(keep) AS BIGINT) AS keeps,
+    count(DISTINCT source) AS nsrc,
+    count(DISTINCT lang) AS nlang
+  FROM per
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM a
+UNION ALL SELECT 'total_tokens', tt FROM a
+UNION ALL SELECT 'mean_doc_tokens', tt // n_docs FROM a
+UNION ALL SELECT 'exact_dup_rate_permille',
+  (1000 * (n_docs - nd)) // n_docs FROM a
+UNION ALL SELECT 'mean_quality_micro', qsum // n_docs FROM a
+UNION ALL SELECT 'quality_keep_rate_permille',
+  (1000 * keeps) // n_docs FROM a
+UNION ALL SELECT 'n_sources', CAST(nsrc AS BIGINT) FROM a
+UNION ALL SELECT 'n_langs', CAST(nlang AS BIGINT) FROM a
+"""
+
 ORACLES["source_quality"] = f"""
 WITH t AS (
   SELECT doc_id, source, text, {_TOKS} AS toks FROM documents

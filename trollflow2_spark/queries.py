@@ -3964,6 +3964,51 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card every corpus release ships: one tall
+    (metric, value) table with document/token volumes, exact-duplicate
+    rate, mean quality, quality-gate keep rate and source/language
+    cardinalities — all integers (per-mille rates, micro-unit means),
+    all from ONE aggregation pass over the per-doc feature projection
+    (countDistinct pairs expand once; the output is 8 control-plane
+    rows at any corpus scale). The oracle restates every metric with
+    the same rounded fragments the quality_filter oracle pins."""
+    from trollflow2_spark.extensions.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs, extra_cols=["text", "source", "lang"])
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("stopword_ratio") >= 0.03)
+        & (F.col("quality_score") >= 0.5)
+    )
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+        F.countDistinct(F.md5("text")).alias("nd"),
+        F.sum(
+            F.round(F.col("quality_score") * F.lit(1000000.0)).cast(
+                "bigint"
+            )
+        ).alias("qsum"),
+        F.sum(keep.cast("long")).alias("keeps"),
+        F.countDistinct("source").alias("nsrc"),
+        F.countDistinct("lang").alias("nlang"),
+    )
+    return agg.selectExpr(
+        "stack(8,"
+        " 'n_docs', CAST(n_docs AS BIGINT),"
+        " 'total_tokens', tt,"
+        " 'mean_doc_tokens', tt div n_docs,"
+        " 'exact_dup_rate_permille', (1000 * (n_docs - nd)) div n_docs,"
+        " 'mean_quality_micro', qsum div n_docs,"
+        " 'quality_keep_rate_permille', (1000 * keeps) div n_docs,"
+        " 'n_sources', CAST(nsrc AS BIGINT),"
+        " 'n_langs', CAST(nlang AS BIGINT)"
+        ") AS (metric, value)"
+    )
+
+
 def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations (the dbt-test / Great-Expectations
     shape the warehouse tier was missing): not-null, uniqueness,
@@ -9125,6 +9170,7 @@ QUERIES = {
     "incremental_corpus_stats": q_incremental_corpus_stats,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "table_expectations": q_table_expectations,
+    "dataset_datasheet": q_dataset_datasheet,
     "zorder_layout": q_zorder_layout,
     "table_profile": q_table_profile,
     "parquet_layout_audit": q_parquet_layout_audit,
