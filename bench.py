@@ -266,6 +266,8 @@ OPERATORS = [
     "ann_dim_truncation_audit",  # Matryoshka-store recall audit
     "table_expectations",  # dbt-test-shape data-quality report
     "dataset_datasheet",  # release dataset-card stats (one agg pass)
+    "meta_robots_gate",  # per-page robots-meta + rel=nofollow gate
+    "script_mixing_audit",  # homoglyph/mixed-script spam-evasion audit
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

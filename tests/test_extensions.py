@@ -2488,3 +2488,44 @@ def test_expectations_rules_catch_planted_defects(spark):
     # fk=99 orphaned, fk=NULL orphaned
     assert rep["fk:fk->pk"]["n_violations"] == 2
     assert all(r["pass"] == 0 for r in rep.values())
+
+
+def test_script_mixing_and_meta_robots(spark):
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.text import script_mixing_audit
+    from trollflow2_spark.sources.warc import meta_robots_flags
+
+    # homoglyph plant: 'пример' is pure Cyrillic (not mixed), 'sаle'
+    # hides a Cyrillic а inside a Latin word (mixed + confusable)
+    rows = [(1, "clean ascii text"), (2, "big sаle now"),
+            (3, "пример текста")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_mixing_audit(df).collect()}
+    assert out[1]["suspicious"] == 0 and out[1]["n_confusable_chars"] == 0
+    assert out[2]["n_mixed_tokens"] == 1 and out[2]["suspicious"] == 1
+    assert out[2]["n_confusable_chars"] == 1
+    # pure-Cyrillic text is foreign, not spoofed: no MIXED tokens
+    assert out[3]["n_mixed_tokens"] == 0 and out[3]["suspicious"] == 0
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<head><meta name="robots" content="NOINDEX"></head>'
+                '<body><a href="x">l</a></body>'),
+            (2, '<head><meta content="none" name="robots"></head>'
+                '<body><a href="x">l</a><a href="y" rel="nofollow">m</a>'
+                "</body>"),
+            (3, "<body><a href=\"x\" rel=\"nofollow\">l</a>"
+                '<a href="y">m</a></body>'),
+        ],
+        "doc_id long, html string",
+    )
+    fl = pages.select("doc_id", meta_robots_flags(F.col("html")).alias("f"))
+    got = {r["doc_id"]: r["f"] for r in fl.collect()}
+    assert got[1]["noindex"] == 1 and got[1]["nofollow"] == 0
+    # 'none' implies both, reversed attribute order parses, page-level
+    # nofollow zeroes the follow count
+    assert got[2]["noindex"] == 1 and got[2]["nofollow"] == 1
+    assert got[2]["n_follow_links"] == 0
+    assert got[3]["noindex"] == 0
+    assert got[3]["n_links"] == 2 and got[3]["n_follow_links"] == 1

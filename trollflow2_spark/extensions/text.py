@@ -632,6 +632,42 @@ def blocklist_filter(
     )
 
 
+def script_mixing_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    confusables: str = "аеорсх"
+    "АЕОРСХ",
+) -> DataFrame:
+    """Homoglyph / mixed-script audit — the spam-and-spoofing gate
+    (SEO keyword stuffing, phishing domains, adversarial dedup
+    evasion) that hides Cyrillic/Greek lookalikes inside Latin words
+    so exact and fuzzy matchers miss them: per document, the count of
+    tokens mixing Latin with Cyrillic/Greek codepoints, the count of
+    characters from the classic confusable set (Cyrillic
+    а е о р с х and capitals), and the verdict. Pure Column regexp +
+    translate algebra in the scan stage — zero shuffle, zero Python.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    mixed = F.filter(
+        toks,
+        lambda x: x.rlike("[A-Za-z]")
+        & x.rlike("[Ѐ-ӿͰ-Ͽ]"),
+    )
+    n_confusable = F.length(t) - F.length(F.translate(t, confusables, ""))
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(mixed).alias("n_mixed_tokens"),
+        n_confusable.cast("int").alias("n_confusable_chars"),
+    )
+    return out.withColumn(
+        "suspicious",
+        F.when(F.col("n_mixed_tokens") > 0, 1).otherwise(0).cast("int"),
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     text_col: str = "text",

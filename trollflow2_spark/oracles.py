@@ -1099,6 +1099,49 @@ SELECT doc_id,
 FROM documents
 """
 
+# script-mixing replay: the same plant (translate a/e -> Cyrillic)
+# and the same regexp/translate arithmetic on both engines
+ORACLES["script_mixing_audit"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN translate(text, 'ae', 'ае')
+         ELSE text END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id, text, {TOKENS_SQL("text")} AS toks FROM t
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(list_filter(toks, x ->
+    regexp_matches(x, '[A-Za-z]')
+    AND regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]'))) AS INTEGER) AS n_mixed_tokens,
+  CAST(length(text) - length(translate(text, 'аеорсхАЕОРСХ', ''))
+    AS INTEGER) AS n_confusable_chars,
+  CAST(CASE WHEN len(list_filter(toks, x ->
+    regexp_matches(x, '[A-Za-z]')
+    AND regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]'))) > 0 THEN 1 ELSE 0 END
+    AS INTEGER) AS suspicious
+FROM m
+"""
+
+# meta-robots replay: directives and link counts closed-form from the
+# planted fixture (noindex at d%3, nofollow at d%5, 'none' semantics
+# subsumed by the d%15 combined directive; page-level nofollow zeroes
+# the follow count; link 0 carries rel=nofollow on even docs)
+ORACLES["meta_robots_gate"] = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+    AS noindex,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+    AS nofollow,
+  CAST(doc_id % 4 + 2 AS INTEGER) AS n_links,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+       ELSE doc_id % 4 + 2
+            - CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+       END AS INTEGER) AS n_follow_links
+FROM documents
+"""
+
 # PDF 1.5 object-stream fixture replay: catalog/pages/page/font dicts
 # live inside one Flate ObjStm (never top-level), so every non-NULL
 # row here proves the ObjStm unpack fed the object table; n_objects =

@@ -6227,6 +6227,97 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph/mixed-script audit over planted confusables: every
+    4th document has its latin a/e swapped for the Cyrillic
+    lookalikes а/е (the classic dedup-evasion / phishing trick), and
+    the audit reports mixed-script token counts, confusable character
+    counts and the verdict — the gate that catches what exact and
+    fuzzy matchers are built to miss. The oracle replays the plant
+    (same translate) and the same regexp/translate arithmetic."""
+    from trollflow2_spark.extensions.text import script_mixing_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.translate(F.col("text"), "ae", "ае"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return script_mixing_audit(planted)
+
+
+def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness gate robots.txt cannot express: per-page
+    ``<meta name="robots">`` directives (noindex/nofollow/none, either
+    attribute order) and per-link ``rel=nofollow`` annotations parsed
+    straight out of raw HTML — a compliant crawl drops noindex pages
+    and keeps nofollow links out of the frontier before any dedup or
+    quality work runs. Scan-stage Column regexps; the oracle states
+    every flag and count closed-form from the planted fixture."""
+    from trollflow2_spark.sources.warc import meta_robots_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    content = (
+        F.when(d % 15 == 0, F.lit("noindex, nofollow"))
+        .when(d % 3 == 0, F.lit("noindex"))
+        .when(d % 5 == 0, F.lit("nofollow"))
+        .otherwise(F.lit(None))
+    )
+    meta = F.when(
+        content.isNull(), F.lit("")
+    ).otherwise(
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit('<meta content="'), content, F.lit('" name="robots">')
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<meta name="robots" content="'), content, F.lit('">')
+            )
+        )
+    )
+    n = d % 4 + 2
+    link_parts = []
+    for j in range(5):
+        rel = F.when(
+            (F.lit(j) == 0) & (d % 2 == 0), F.lit(' rel="nofollow"')
+        ).otherwise(F.lit(""))
+        link_parts.append(
+            F.when(
+                F.lit(j) < n,
+                F.concat(
+                    F.lit(f'<a href="http://s'),
+                    d.cast("string"),
+                    F.lit(f".com/{j}\""),
+                    rel,
+                    F.lit(f">t{j}</a>"),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body>"),
+        *link_parts,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    flags = meta_robots_flags(F.col("html"))
+    return pages.select(
+        "doc_id",
+        flags["noindex"].alias("noindex"),
+        flags["nofollow"].alias("nofollow"),
+        flags["n_links"].alias("n_links"),
+        flags["n_follow_links"].alias("n_follow_links"),
+    )
+
+
 def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction over real COS structures: sequential object
     parse (no xref needed — robust to the truncated files crawls see),
@@ -9202,6 +9293,8 @@ QUERIES = {
     "feed_urls": q_feed_urls,
     "audio_neardup": q_audio_neardup,
     "html_markdown": q_html_markdown,
+    "meta_robots_gate": q_meta_robots_gate,
+    "script_mixing_audit": q_script_mixing_audit,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,

@@ -332,6 +332,61 @@ def registrable_domain(col):
     )
 
 
+def meta_robots_flags(html_col):
+    """(noindex, nofollow, n_links, n_follow_links) struct from raw
+    HTML — the politeness gate robots.txt cannot express: per-PAGE
+    ``<meta name="robots">`` directives and per-LINK ``rel=nofollow``
+    annotations. A compliant crawl drops noindex pages from the corpus
+    and keeps nofollow links out of the frontier, BEFORE any dedup or
+    quality work spends cycles on them. Pure Column regexp algebra in
+    the scan stage — zero Python, zero shuffle.
+
+    Directive parsing is attribute-order-tolerant (name before or
+    after content) and case-insensitive; ``none`` implies both
+    noindex and nofollow per the robots-meta spec."""
+    c = html_col if not isinstance(html_col, str) else F.col(html_col)
+    meta = F.coalesce(
+        F.regexp_extract(
+            c,
+            r'(?is)<meta\s+[^>]*name\s*=\s*["\']robots["\'][^>]*'
+            r'content\s*=\s*["\']([^"\']*)["\']',
+            1,
+        ),
+        F.lit(""),
+    )
+    meta2 = F.coalesce(
+        F.regexp_extract(
+            c,
+            r'(?is)<meta\s+[^>]*content\s*=\s*["\']([^"\']*)["\']'
+            r'[^>]*name\s*=\s*["\']robots["\']',
+            1,
+        ),
+        F.lit(""),
+    )
+    directives = F.lower(F.concat_ws(",", meta, meta2))
+    noindex = (
+        directives.rlike(r"(^|[,\s])noindex([,\s]|$)")
+        | directives.rlike(r"(^|[,\s])none([,\s]|$)")
+    ).cast("int")
+    nofollow_page = (
+        directives.rlike(r"(^|[,\s])nofollow([,\s]|$)")
+        | directives.rlike(r"(^|[,\s])none([,\s]|$)")
+    ).cast("int")
+    n_links = F.regexp_count(c, F.lit(r"(?i)<a\s")).cast("int")
+    n_nofollow_links = F.regexp_count(
+        c, F.lit(r'(?i)<a\s[^>]*rel\s*=\s*["\'][^"\']*nofollow')
+    ).cast("int")
+    n_follow = F.when(
+        nofollow_page == 1, F.lit(0)
+    ).otherwise(n_links - n_nofollow_links)
+    return F.struct(
+        noindex.alias("noindex"),
+        nofollow_page.alias("nofollow"),
+        n_links.alias("n_links"),
+        n_follow.cast("int").alias("n_follow_links"),
+    )
+
+
 def html_to_markdown(col):
     """Structure-PRESERVING HTML extraction: headings become ``#``
     prefixes, links ``[text](url)``, list items ``- `` bullets,
