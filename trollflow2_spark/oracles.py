@@ -1099,6 +1099,24 @@ SELECT doc_id,
 FROM documents
 """
 
+# canonical-dedup replay: groups of 3 docs share one canonical target
+# except the tag-less d%5 docs, which stay their own canonical
+ORACLES["canonical_url_dedup"] = """
+WITH k AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN 'self:' || doc_id
+         ELSE 'http://c' || (doc_id - doc_id % 3) || '.com/page'
+    END AS canonical,
+    CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS explicit
+  FROM documents
+)
+SELECT canonical,
+  min(doc_id) AS kept_doc,
+  CAST(count(*) AS INTEGER) AS n_pages,
+  CAST(max(explicit) AS INTEGER) AS explicit
+FROM k GROUP BY canonical
+"""
+
 # script-mixing replay: the same plant (translate a/e -> Cyrillic)
 # and the same regexp/translate arithmetic on both engines
 ORACLES["script_mixing_audit"] = f"""

@@ -6227,6 +6227,69 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by the crawl's OWN hint: pages declaring the same
+    ``<link rel="canonical">`` target are duplicates by the site's own
+    testimony — no shingles or hashes needed, and it catches
+    pagination/tracking variants content-based dedup pays real work
+    for. Planted fixture: groups of 3 docs share one canonical target
+    (either attribute order); pages without the tag are their own
+    canonical (self). One hash agg on the canonical key: per target,
+    the kept doc (min id), the duplicate count, and whether the group
+    had an explicit tag. The oracle replays the grouping closed-form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    grp = (d - d % 3).cast("string")
+    tag = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit('<link href="http://c'), grp,
+            F.lit('.com/page" rel="canonical">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="http://c'), grp,
+            F.lit('.com/page">'),
+        )
+    )
+    html = F.when(
+        d % 5 == 0, F.lit("<head></head>")  # no canonical tag
+    ).otherwise(F.concat(F.lit("<head>"), tag, F.lit("</head>")))
+    pages = docs.select("doc_id", html.alias("html"))
+    href = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.col("html"),
+                r'(?is)rel\s*=\s*["\']canonical["\'][^>]*'
+                r'href\s*=\s*["\']([^"\']+)["\']',
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                F.col("html"),
+                r'(?is)href\s*=\s*["\']([^"\']+)["\'][^>]*'
+                r'rel\s*=\s*["\']canonical["\']',
+                1,
+            ),
+            F.lit(""),
+        ),
+    )
+    keyed = pages.select(
+        "doc_id",
+        F.coalesce(
+            href, F.concat(F.lit("self:"), F.col("doc_id").cast("string"))
+        ).alias("canonical"),
+        href.isNotNull().cast("int").alias("explicit"),
+    )
+    return keyed.groupBy("canonical").agg(
+        F.min("doc_id").alias("kept_doc"),
+        F.count(F.lit(1)).cast("int").alias("n_pages"),
+        F.max("explicit").cast("int").alias("explicit"),
+    )
+
+
 def q_script_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homoglyph/mixed-script audit over planted confusables: every
     4th document has its latin a/e swapped for the Cyrillic
@@ -9295,6 +9358,7 @@ QUERIES = {
     "html_markdown": q_html_markdown,
     "meta_robots_gate": q_meta_robots_gate,
     "script_mixing_audit": q_script_mixing_audit,
+    "canonical_url_dedup": q_canonical_url_dedup,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
