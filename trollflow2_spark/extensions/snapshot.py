@@ -247,3 +247,78 @@ def cms_heavy_hitter_audit(
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
     )
+
+
+def cms_replay_state(
+    spark,
+    batches: list[list[dict]],
+    schema: str,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+    seed_base: int = 101,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drive the CMS through a REAL micro-batched stream: one JSON
+    file per batch (mtime-pinned order, ``maxFilesPerTrigger=1``,
+    ``availableNow``), each batch's sketch appending as a batch-tagged
+    DELTA to the parquet state — the mergeable-sketch property as an
+    operating procedure, not just an algebraic fact. Reads merge by
+    summing cells (state is batches x depth x width rows, bounded per
+    batch; periodic compaction is the same groupBy). Batch tags make
+    checkpoint-recovery re-runs idempotent, same discipline as the
+    recipe sink's digest state. Returns the merged sketch."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="tf2_cms_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    state_dir = os.path.join(d, "state")
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = os.path.join(src, f"b{i:04d}.json")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_sketch(
+            batch_df, text_col=text_col, depth=depth, width=width,
+            seed_base=seed_base,
+        )
+        sk.withColumn(
+            "__bid", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(state_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .queryName("tf2_cms_" + uuid.uuid4().hex[:12])
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"cms_replay_state: stream did not drain "
+                f"{len(batches)} batches within {timeout_s}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -1099,6 +1099,26 @@ SELECT doc_id,
 FROM documents
 """
 
+# streaming-CMS replay: the merged batch-delta state must equal the
+# one-pass sketch over the same budget-capped subset (portable
+# spread-hash order, same arithmetic as the other replay oracles)
+ORACLES["streaming_cms_replay"] = f"""
+WITH f0 AS (
+  SELECT * FROM documents
+  ORDER BY (doc_id * {C.REPLAY_SPREAD}) % 4294967296, doc_id
+  LIMIT {C.REPLAY_ROW_BUDGET}
+), tk AS (
+  SELECT lower(unnest({_TOKS})) AS tok FROM f0
+), rows_ AS (
+  SELECT CAST(unnest(range({C.CMS_DEPTH})) AS INT) AS row
+)
+SELECT r.row,
+  CAST({HASH64_SQL("(tok || ':' || CAST(" + str(C.CMS_SEED) + " + r.row AS VARCHAR))")} % {C.CMS_WIDTH} AS INT) AS cell,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM tk CROSS JOIN rows_ r
+GROUP BY 1, 2
+"""
+
 # canonical-dedup replay: groups of 3 docs share one canonical target
 # except the tag-less d%5 docs, which stay their own canonical
 ORACLES["canonical_url_dedup"] = """

@@ -3964,6 +3964,36 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS's mergeable-state property as an OPERATING procedure:
+    a budget-capped document subset streams through 3 real
+    micro-batches (foreachBatch), each batch appending its own sketch
+    as a batch-tagged delta; the merged state must equal the
+    batch-concat sketch cell-for-cell — which is exactly what the
+    oracle computes over the same subset in one pass. The property
+    that lets a daily crawl increment maintain corpus-wide token
+    frequencies without ever re-scanning history."""
+    from trollflow2_spark.extensions.snapshot import cms_replay_state
+
+    sub = _replay_subset(
+        load_table(spark, sf_dir, "documents"), id_col="doc_id"
+    ).select("doc_id", "text", (F.col("doc_id") % 3).alias("b"))
+    rows = sub.collect()  # budget-capped fixture (control plane)
+    batches = [
+        [{"doc_id": r["doc_id"], "text": r["text"]} for r in rows
+         if r["b"] == i]
+        for i in range(3)
+    ]
+    return cms_replay_state(
+        spark,
+        batches,
+        "doc_id long, text string",
+        depth=C.CMS_DEPTH,
+        width=C.CMS_WIDTH,
+        seed_base=C.CMS_SEED,
+    )
+
+
 def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card every corpus release ships: one tall
     (metric, value) table with document/token volumes, exact-duplicate
@@ -9359,6 +9389,7 @@ QUERIES = {
     "meta_robots_gate": q_meta_robots_gate,
     "script_mixing_audit": q_script_mixing_audit,
     "canonical_url_dedup": q_canonical_url_dedup,
+    "streaming_cms_replay": q_streaming_cms_replay,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
