@@ -69,3 +69,22 @@ def test_empty_cell_keeps_previous_centroid(spark):
     # vec 1 is still closest to the carried (1,1) centroid
     assert out[1] == 1
     assert out[0] == 0 and out[2] == 0 and out[3] == 0
+
+
+def test_sparse_ids_and_oversized_k(spark):
+    """Init takes the k LOWEST ids (ids need not be dense 0..k-1);
+    k larger than the corpus degrades to k = n."""
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_train_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (200, [1.0, 1.0]), (300, [0.9, 1.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_train_distributed(df, k=2, iters=2).collect()
+    }
+    assert out == {100: 0, 200: 1, 300: 1}
+    assert len(kmeans_train_distributed(df, k=10, iters=1).collect()) == 3

@@ -389,10 +389,13 @@ def kmeans_train_distributed(
             ),
         ).alias("xq"),
     ).localCheckpoint()
-    init = (
-        q.where(F.col(id_col) < k).orderBy(id_col).collect()
-    )  # k x dim bigints — control plane
+    # init = the k lowest-id vectors (NOT `id < k` — ids need not be
+    # dense); fewer vectors than k degrades to k = n cleanly
+    init = q.orderBy(id_col).limit(k).collect()
     cents: list[list[int]] = [list(r["xq"]) for r in init]
+    if not cents:
+        raise ValueError("kmeans_train_distributed: empty input")
+    k = len(cents)
     dim = len(cents[0])
 
     def dist_sql(c: list[int]) -> str:
