@@ -369,3 +369,29 @@ def test_dpo_pairs_gates_and_shared_prompt(spark):
     assert out[2]["kept"] == 0 and out[2]["reason"] == "length_skew"
     assert out[2]["len_ratio_permille"] == 200
     assert out[3]["kept"] == 0 and out[3]["reason"] == "response_overflow"
+
+
+def test_sft_and_dpo_null_inputs_flow_accounted(spark):
+    """NULL prompt/response must ride the same accounted fit policy
+    (coalesced to empty), never NULL-propagate into a reason-less
+    drop."""
+    from trollflow2_spark.extensions.sampling import dpo_pairs, sft_chat_masks
+
+    df = spark.createDataFrame(
+        [(1, None, "x y"), (2, "p q", None)],
+        "doc_id long, prompt string, response string",
+    )
+    out = {r["doc_id"]: r for r in sft_chat_masks(df, max_len=8).collect()}
+    # NULL prompt: empty prompt, response kept with loss mask
+    assert out[1]["kept"] == 1 and out[1]["n_loss"] == 3
+    # NULL response: empty response still fits (just the end marker)
+    assert out[2]["kept"] == 1 and out[2]["n_loss"] == 1
+
+    d = spark.createDataFrame(
+        [(1, "p", None, "r0 r1")],
+        "doc_id long, prompt string, chosen string, rejected string",
+    )
+    r = dpo_pairs(d, max_len=8, min_len_ratio_permille=300).first()
+    # empty chosen vs 2-token rejected: ratio 0 -> accounted skew drop
+    assert r["kept"] == 0 and r["reason"] == "length_skew"
+    assert r["len_ratio_permille"] == 0

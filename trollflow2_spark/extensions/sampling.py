@@ -478,10 +478,13 @@ def sft_chat_masks(
     from trollflow2_spark.functions.hashing import tokens
 
     over = 3  # marker tokens
+    # NULL prompt/response coalesce to empty so such rows flow through
+    # the same accounted fit policy instead of NULL-propagating into
+    # an unaccounted drop (kept=0 with no reason)
     s1 = df.select(
         F.col(id_col),
-        tokens(F.col(prompt_col)).alias("pt"),
-        tokens(F.col(response_col)).alias("rt"),
+        tokens(F.coalesce(F.col(prompt_col), F.lit(""))).alias("pt"),
+        tokens(F.coalesce(F.col(response_col), F.lit(""))).alias("rt"),
     )
     np_, nr = F.size("pt"), F.size("rt")
     s2 = s1.select(
@@ -547,11 +550,13 @@ def dpo_pairs(
     from trollflow2_spark.functions.hashing import tokens
 
     over = 3
+    # NULL columns coalesce to empty — same accounted-policy rationale
+    # as sft_chat_masks
     s1 = df.select(
         F.col(id_col),
-        tokens(F.col(prompt_col)).alias("pt"),
-        tokens(F.col(chosen_col)).alias("ct"),
-        tokens(F.col(rejected_col)).alias("rt"),
+        tokens(F.coalesce(F.col(prompt_col), F.lit(""))).alias("pt"),
+        tokens(F.coalesce(F.col(chosen_col), F.lit(""))).alias("ct"),
+        tokens(F.coalesce(F.col(rejected_col), F.lit(""))).alias("rt"),
     )
     np_ = F.size("pt")
     nc, nr = F.size("ct"), F.size("rt")

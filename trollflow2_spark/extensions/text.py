@@ -648,7 +648,7 @@ def script_mixing_audit(
     а е о р с х and capitals), and the verdict. Pure Column regexp +
     translate algebra in the scan stage — zero shuffle, zero Python.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text: zero counts
     toks = tokens(t)
     mixed = F.filter(
         toks,

@@ -345,6 +345,7 @@ def meta_robots_flags(html_col):
     after content) and case-insensitive; ``none`` implies both
     noindex and nofollow per the robots-meta spec."""
     c = html_col if not isinstance(html_col, str) else F.col(html_col)
+    c = F.coalesce(c, F.lit(""))  # NULL pages: clean zero flags/counts
     meta = F.coalesce(
         F.regexp_extract(
             c,
