@@ -290,6 +290,8 @@ def expectations_report(checks: list[DataFrame]) -> DataFrame:
     """Union the 1-row rule results into the quality report — each
     branch is its own aggregation job over its own table; the union is
     control-plane sized. Adds the pass flag."""
+    if not checks:
+        raise ValueError("expectations_report: no checks given")
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)

@@ -5823,7 +5823,9 @@ def q_video_gop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("__next") - F.col("sample_idx")).alias("__maxgap"),
         F.max("sample_idx").alias("__lasti"),
     )
-    return counts.join(gaps, "doc_id").select(
+    # left join: a stream with no coded I frame at all still reports
+    # (its max_gop is the whole stream — nothing is seekable)
+    return counts.join(gaps, "doc_id", "left").select(
         "doc_id",
         "n_samples",
         "n_i",
@@ -5831,7 +5833,7 @@ def q_video_gop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.greatest(
             F.coalesce(F.col("__maxgap"), F.lit(0)),
-            F.col("__last") - F.col("__lasti") + 1,
+            F.col("__last") - F.coalesce(F.col("__lasti"), F.lit(0)) + 1,
         )
         .cast("int")
         .alias("max_gop"),
