@@ -6380,9 +6380,13 @@ def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d % 4 + 2
     link_parts = []
     for j in range(5):
-        rel = F.when(
-            (F.lit(j) == 0) & (d % 2 == 0), F.lit(' rel="nofollow"')
-        ).otherwise(F.lit(""))
+        rel = (
+            F.when(d % 2 == 0, F.lit(' rel="nofollow"')).otherwise(
+                F.lit("")
+            )
+            if j == 0
+            else F.lit("")
+        )
         link_parts.append(
             F.when(
                 F.lit(j) < n,
