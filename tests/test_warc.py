@@ -312,3 +312,37 @@ def test_feed_urls_four_dialects(spark):
     assert got[3][0] == "rss" and got[3][1] == "https://b.com/p"
     assert got[4] == ("atom", "https://c.com/e", "2024-01-02")
     assert 5 not in got  # non-feed -> empty array, no row
+
+
+def test_main_content_density_rule(spark):
+    """Link-dominated and too-short blocks drop; long plain blocks
+    survive; a NULL page degrades to empty output."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import main_content_blocks
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<div><a href="/">Home page link</a> more '
+                '<a href="/x">and another link text</a></div>'
+                "<p>This paragraph is long enough and has no links "
+                "at all in it</p>"
+                "<li>tiny</li>"),
+            (2, None),
+        ],
+        "doc_id long, html string",
+    )
+    out = {
+        r["doc_id"]: r["m"]
+        for r in pages.select(
+            "doc_id", main_content_blocks(F.col("html")).alias("m")
+        ).collect()
+    }
+    m1 = out[1]
+    assert m1["n_blocks"] == 3 and m1["n_kept"] == 1
+    assert m1["main_text"].startswith("This paragraph is long enough")
+    assert "Home" not in m1["main_text"] and "tiny" not in m1["main_text"]
+    assert m1["boilerplate_ratio_permille"] == 666
+    m2 = out[2]
+    assert m2["main_text"] == "" and m2["n_blocks"] == 0
+    assert m2["boilerplate_ratio_permille"] == 0

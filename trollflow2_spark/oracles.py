@@ -1119,6 +1119,21 @@ FROM tk CROSS JOIN rows_ r
 GROUP BY 1, 2
 """
 
+# main-content replay: nav and footer are link-dense/short, the
+# 2 + d%3 paragraphs survive — text and counts stated verbatim
+ORACLES["main_content_extract"] = """
+SELECT doc_id,
+  array_to_string(list_transform(range(doc_id % 3 + 2),
+    i -> 'Paragraph ' || doc_id || ' ' || i
+         || ' with enough plain words to pass the density gate'),
+    ' ') AS main_text,
+  CAST(doc_id % 3 + 4 AS INTEGER) AS n_blocks,
+  CAST(doc_id % 3 + 2 AS INTEGER) AS n_kept,
+  CAST(2000 // (doc_id % 3 + 4) AS INTEGER)
+    AS boilerplate_ratio_permille
+FROM documents
+"""
+
 # canonical-dedup replay: groups of 3 docs share one canonical target
 # except the tag-less d%5 docs, which stay their own canonical
 ORACLES["canonical_url_dedup"] = """

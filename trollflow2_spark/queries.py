@@ -6259,6 +6259,51 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removing main-content extraction (the
+    trafilatura/readability move): the planted page carries a
+    link-dense nav, 2 + d%3 real paragraphs and a short link-bearing
+    footer — the block-level text/link-density rule must keep exactly
+    the paragraphs. Pure Column algebra; the oracle restates the
+    extracted text and every count verbatim."""
+    from trollflow2_spark.sources.warc import main_content_blocks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    paras = []
+    for i in range(5):
+        paras.append(
+            F.when(
+                F.lit(i) < d % 3 + 2,
+                F.concat(
+                    F.lit("<p>Paragraph "),
+                    did,
+                    F.lit(f" {i} with enough plain words to pass the "
+                          "density gate</p>"),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    html = F.concat(
+        F.lit('<div><a href="/a">Home</a> <a href="/b">About</a> '
+              '<a href="/c">Contact us</a></div>'),
+        *paras,
+        F.lit('<footer><a href="/t">Terms</a> '
+              '<a href="/p">Privacy</a></footer>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    mc = main_content_blocks(F.col("html"))
+    return pages.select(
+        "doc_id",
+        mc["main_text"].alias("main_text"),
+        mc["n_blocks"].alias("n_blocks"),
+        mc["n_kept"].alias("n_kept"),
+        mc["boilerplate_ratio_permille"].alias(
+            "boilerplate_ratio_permille"
+        ),
+    )
+
+
 def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup by the crawl's OWN hint: pages declaring the same
     ``<link rel="canonical">`` target are duplicates by the site's own
@@ -9396,6 +9441,7 @@ QUERIES = {
     "script_mixing_audit": q_script_mixing_audit,
     "canonical_url_dedup": q_canonical_url_dedup,
     "streaming_cms_replay": q_streaming_cms_replay,
+    "main_content_extract": q_main_content_extract,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,

@@ -388,6 +388,77 @@ def meta_robots_flags(html_col):
     )
 
 
+def main_content_blocks(
+    html_col,
+    min_text_len: int = 15,
+    max_link_pct: int = 40,
+):
+    """Boilerplate-removing MAIN-CONTENT extraction (the
+    trafilatura/readability move, as pure Column algebra): the page
+    splits into blocks at closing container tags, each block scores
+    text length vs link-text length, and only blocks that are long
+    enough AND not link-dominated survive — navs, footers and link
+    farms drop, article paragraphs stay. This is the intake step
+    between raw HTML and every text-quality gate: feeding nav
+    boilerplate to dedup/quality wastes work AND poisons near-dup
+    clustering (every page shares its chrome).
+
+    Returns a struct (main_text, n_blocks, n_kept,
+    boilerplate_ratio_permille). Integer cross-multiplied density
+    (``link_len * 100 <= max_link_pct * text_len``) — no float ratio
+    forms. Zero Python, zero shuffle, scan-stage only."""
+    c = html_col if not isinstance(html_col, str) else F.col(html_col)
+    c = F.coalesce(c, F.lit(""))
+    blocks = F.split(c, r"(?i)</(?:p|div|li|nav|footer|header|section)>")
+
+    def _text(b):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, r"(?is)<[^>]*>", " "), r"\s+", " "
+            )
+        )
+
+    def _link_len(b):
+        return F.length(
+            F.array_join(
+                F.regexp_extract_all(
+                    b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1)
+                ),
+                " ",
+            )
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _text(b).alias("t"),
+            F.length(_text(b)).alias("tl"),
+            _link_len(b).alias("ll"),
+        ),
+    )
+    nonempty = F.filter(scored, lambda s: s["tl"] > 0)
+    kept = F.filter(
+        nonempty,
+        lambda s: (s["tl"] >= min_text_len)
+        & (s["ll"] * 100 <= max_link_pct * s["tl"]),
+    )
+    n_blocks = F.size(nonempty)
+    n_kept = F.size(kept)
+    return F.struct(
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("main_text"),
+        n_blocks.cast("int").alias("n_blocks"),
+        n_kept.cast("int").alias("n_kept"),
+        F.when(
+            n_blocks > 0, (n_blocks - n_kept) * 1000 / n_blocks
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("boilerplate_ratio_permille"),
+    )
+
+
 def html_to_markdown(col):
     """Structure-PRESERVING HTML extraction: headings become ``#``
     prefixes, links ``[text](url)``, list items ``- `` bullets,
