@@ -271,6 +271,7 @@ OPERATORS = [
     "canonical_url_dedup",  # rel=canonical dedup (the site's own hint)
     "streaming_cms_replay",  # 3-batch sketch-delta merge == one-pass sketch
     "main_content_extract",  # boilerplate-removing block density extraction
+    "url_spam_features",  # frontier-side URL spam scoring (no bytes fetched)
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

@@ -346,3 +346,30 @@ def test_main_content_density_rule(spark):
     m2 = out[2]
     assert m2["main_text"] == "" and m2["n_blocks"] == 0
     assert m2["boilerplate_ratio_permille"] == 0
+
+
+def test_url_spam_features_signals_and_verdict(spark):
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import url_spam_features
+
+    rows = [
+        (1, "https://example.com/a/b"),
+        (2, "http://user:pw@9-4-2-7.com:8080/p"),  # userinfo+port
+        (3, "https://ok.com/" + "x" * 130),  # one signal only
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", url_spam_features(F.col("url")).alias("f")
+        ).collect()
+    }
+    assert out[1]["spammy"] == 0 and out[1]["path_depth"] == 2
+    # host resolves through userinfo/port strip: 9-4-2-7.com
+    assert out[2]["host_hyphens"] == 3
+    assert out[2]["host_digit_pct"] == 4 * 100 // len("9-4-2-7.com")
+    assert out[2]["spammy"] == 1  # hyphens>=3 + digit share >= 30%
+    assert out[3]["url_len"] > 120 and out[3]["spammy"] == 0
+    assert out[4]["url_len"] == 0 and out[4]["spammy"] == 0

@@ -1119,6 +1119,63 @@ FROM tk CROSS JOIN rows_ r
 GROUP BY 1, 2
 """
 
+# URL spam replay: rebuild the same planted URLs and run the same
+# regexp arithmetic (DuckDB regexp_replace needs the explicit 'g'
+# flag where Spark replaces globally by default)
+ORACLES["url_spam_features"] = """
+WITH u0 AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://site' || (doc_id % 50) || '.co.uk/a/' || doc_id
+      WHEN 1 THEN 'https://site' || (doc_id % 50)
+                  || '.co.uk/a/b/c/d/e/f/g/' || doc_id
+                  || '?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6'
+      WHEN 2 THEN 'http://9-4-2-s' || (doc_id % 50) || '.com/p'
+      ELSE 'https://site' || (doc_id % 50) || '.com/' || repeat('x', 120)
+    END AS url
+  FROM documents
+), f AS (
+  SELECT doc_id, url,
+    regexp_replace(lower(regexp_replace(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      '^[^@]*@', '')), ':\\d+$', '') AS host,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u0
+), g AS (
+  SELECT doc_id,
+    length(url) AS url_len,
+    len(list_filter(string_split(path, '/'), s -> s <> ''))
+      AS path_depth,
+    CASE WHEN query = '' THEN 0
+         ELSE len(string_split(query, '&')) END AS n_params,
+    length(host) AS hl,
+    length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))
+      AS hd,
+    length(host) - length(regexp_replace(host, '-', '', 'g')) AS hh
+  FROM f
+), h AS (
+  SELECT doc_id, url_len, path_depth, n_params, hh,
+    CASE WHEN hl > 0 THEN hd * 100 // hl ELSE 0 END AS host_digit_pct
+  FROM g
+)
+SELECT doc_id,
+  CAST(url_len AS INTEGER) AS url_len,
+  CAST(path_depth AS INTEGER) AS path_depth,
+  CAST(n_params AS INTEGER) AS n_params,
+  CAST(host_digit_pct AS INTEGER) AS host_digit_pct,
+  CAST(hh AS INTEGER) AS host_hyphens,
+  CAST(CASE WHEN
+      (CASE WHEN url_len > 120 THEN 1 ELSE 0 END)
+    + (CASE WHEN path_depth > 6 THEN 1 ELSE 0 END)
+    + (CASE WHEN n_params > 5 THEN 1 ELSE 0 END)
+    + (CASE WHEN host_digit_pct >= 30 THEN 1 ELSE 0 END)
+    + (CASE WHEN hh >= 3 THEN 1 ELSE 0 END) >= 2
+    THEN 1 ELSE 0 END AS INTEGER) AS spammy
+FROM h
+"""
+
 # main-content replay: nav and footer are link-dense/short, the
 # 2 + d%3 paragraphs survive — text and counts stated verbatim
 ORACLES["main_content_extract"] = """

@@ -6259,6 +6259,58 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-side URL spam scoring — the cheapest quality gate
+    there is (no bytes fetched): planted URLs cycle clean /
+    deep-path+param-stuffed / digit-and-hyphen-host / merely-long
+    shapes, and the feature struct (length, depth, params, host digit
+    share, host hyphens) plus the two-signal verdict must resolve each
+    correctly (the merely-long URL fires one signal and stays
+    unflagged — single oddities are not spam). The oracle rebuilds the
+    same URLs and replays the same regexp arithmetic."""
+    from trollflow2_spark.sources.warc import url_spam_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m = (d % 50).cast("string")
+    did = d.cast("string")
+    s = d % 4
+    url = (
+        F.when(
+            s == 0,
+            F.concat(F.lit("https://site"), m, F.lit(".co.uk/a/"), did),
+        )
+        .when(
+            s == 1,
+            F.concat(
+                F.lit("https://site"), m, F.lit(".co.uk/a/b/c/d/e/f/g/"),
+                did, F.lit("?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6"),
+            ),
+        )
+        .when(
+            s == 2,
+            F.concat(F.lit("http://9-4-2-s"), m, F.lit(".com/p")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), m, F.lit(".com/"),
+                F.lit("x" * 120),
+            )
+        )
+    )
+    rows = docs.select("doc_id", url.alias("url"))
+    f = url_spam_features(F.col("url"))
+    return rows.select(
+        "doc_id",
+        f["url_len"].alias("url_len"),
+        f["path_depth"].alias("path_depth"),
+        f["n_params"].alias("n_params"),
+        f["host_digit_pct"].alias("host_digit_pct"),
+        f["host_hyphens"].alias("host_hyphens"),
+        f["spammy"].alias("spammy"),
+    )
+
+
 def q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-removing main-content extraction (the
     trafilatura/readability move): the planted page carries a
@@ -9442,6 +9494,7 @@ QUERIES = {
     "canonical_url_dedup": q_canonical_url_dedup,
     "streaming_cms_replay": q_streaming_cms_replay,
     "main_content_extract": q_main_content_extract,
+    "url_spam_features": q_url_spam_features,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,

@@ -388,6 +388,57 @@ def meta_robots_flags(html_col):
     )
 
 
+def url_spam_features(url_col):
+    """Frontier-side URL spam features — the signals that let a crawl
+    deprioritize link farms BEFORE fetching them (the cheapest
+    quality gate there is: no bytes downloaded): path depth, digit
+    share of the host, query-parameter count, hyphen count in the
+    host (spun domains), raw length, and a simple integer verdict
+    (any two signals firing). Pure Column regexp algebra.
+
+    Returns a struct (url_len, path_depth, n_params, host_digit_pct,
+    host_hyphens, spammy)."""
+    u = url_col if not isinstance(url_col, str) else F.col(url_col)
+    u = F.coalesce(u, F.lit(""))
+    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(host, r"^[^@]*@", ""))  # userinfo
+    host = F.regexp_replace(host, r":\d+$", "")  # port
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    url_len = F.length(u)
+    path_depth = F.size(
+        F.filter(F.split(path, "/"), lambda s: s != "")
+    )
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    host_len = F.length(host)
+    host_digits = host_len - F.length(
+        F.regexp_replace(host, r"[0-9]", "")
+    )
+    host_digit_pct = F.when(
+        host_len > 0, host_digits * 100 / host_len
+    ).otherwise(F.lit(0))
+    host_hyphens = host_len - F.length(
+        F.regexp_replace(host, r"-", "")
+    )
+    signals = (
+        (url_len > 120).cast("int")
+        + (path_depth > 6).cast("int")
+        + (n_params > 5).cast("int")
+        + (host_digit_pct >= 30).cast("int")
+        + (host_hyphens >= 3).cast("int")
+    )
+    return F.struct(
+        url_len.cast("int").alias("url_len"),
+        path_depth.cast("int").alias("path_depth"),
+        n_params.cast("int").alias("n_params"),
+        host_digit_pct.cast("int").alias("host_digit_pct"),
+        host_hyphens.cast("int").alias("host_hyphens"),
+        (signals >= 2).cast("int").alias("spammy"),
+    )
+
+
 def main_content_blocks(
     html_col,
     min_text_len: int = 15,
