@@ -272,6 +272,7 @@ OPERATORS = [
     "streaming_cms_replay",  # 3-batch sketch-delta merge == one-pass sketch
     "main_content_extract",  # boilerplate-removing block density extraction
     "url_spam_features",  # frontier-side URL spam scoring (no bytes fetched)
+    "recrawl_priority",  # snapshot-diff change rates -> adaptive recrawl buckets
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

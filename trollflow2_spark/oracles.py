@@ -1119,6 +1119,34 @@ FROM tk CROSS JOIN rows_ r
 GROUP BY 1, 2
 """
 
+# recrawl-priority replay: diff semantics (edits at d%3, additions at
+# shifted d%7 ids), domain rollup, ppm arithmetic and buckets — the
+# rate uses // to match Spark's double-division-then-truncate cast
+ORACLES["recrawl_priority"] = """
+WITH st AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'changed' ELSE 'unchanged' END
+      AS status
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'added' AS status
+  FROM documents WHERE doc_id % 7 = 0
+), per AS (
+  SELECT 'site' || ((doc_id % 10000000) % 20) AS domain,
+    count(*) AS n_docs,
+    sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) AS n_moved
+  FROM st GROUP BY 1
+)
+SELECT domain,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_moved AS BIGINT) AS n_moved,
+  CAST(n_moved * 1000000 // n_docs AS BIGINT) AS change_ppm,
+  CASE WHEN n_moved * 1000000 // n_docs >= 400000 THEN 'daily'
+       WHEN n_moved * 1000000 // n_docs >= 100000 THEN 'weekly'
+       ELSE 'monthly' END AS recrawl
+FROM per
+"""
+
 # URL spam replay: rebuild the same planted URLs and run the same
 # regexp arithmetic (DuckDB regexp_replace needs the explicit 'g'
 # flag where Spark replaces globally by default)

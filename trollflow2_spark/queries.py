@@ -6259,6 +6259,66 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closing the crawl lifecycle loop: the snapshot diff
+    (added/changed/unchanged per doc) rolls up to per-domain change
+    rates in integer ppm, which bucket into recrawl priorities —
+    change-hungry domains get daily attention, static ones monthly
+    (the adaptive-recrawl policy every production crawler runs;
+    fetch budget goes where content actually moves). Fixture: the new
+    snapshot edits docs where doc_id % 3 == 0 and adds shifted-id
+    docs where doc_id % 7 == 0, domains cycle doc_id % 20. Diff =
+    digest-only full-outer join (40-byte rows); rollup = one hash agg
+    to domain grain. The oracle replays diff, ppm and buckets."""
+    from trollflow2_spark.extensions.snapshot import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    d = F.col("doc_id")
+    edited = docs.select(
+        "doc_id",
+        F.when(
+            d % 3 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = (
+        docs.where(d % 7 == 0)
+        .select(
+            (d + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("new page "), d.cast("string")).alias("text"),
+        )
+    )
+    new = edited.unionByName(added)
+    diff = corpus_diff(old, new)
+    dom = F.concat(
+        F.lit("site"),
+        (F.pmod(F.col("doc_id"), 10_000_000) % 20).cast("string"),
+    )
+    per_dom = (
+        diff.select(dom.alias("domain"), "status")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("status") != "unchanged").cast("long")
+            ).alias("n_moved"),
+        )
+    )
+    rate = (F.col("n_moved") * 1_000_000 / F.col("n_docs")).cast("bigint")
+    return per_dom.select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_moved").cast("bigint").alias("n_moved"),
+        rate.alias("change_ppm"),
+        F.when(rate >= 400_000, "daily")
+        .when(rate >= 100_000, "weekly")
+        .otherwise("monthly")
+        .alias("recrawl"),
+    )
+
+
 def q_url_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-side URL spam scoring — the cheapest quality gate
     there is (no bytes fetched): planted URLs cycle clean /
@@ -9495,6 +9555,7 @@ QUERIES = {
     "streaming_cms_replay": q_streaming_cms_replay,
     "main_content_extract": q_main_content_extract,
     "url_spam_features": q_url_spam_features,
+    "recrawl_priority": q_recrawl_priority,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
