@@ -273,6 +273,8 @@ OPERATORS = [
     "main_content_extract",  # boilerplate-removing block density extraction
     "url_spam_features",  # frontier-side URL spam scoring (no bytes fetched)
     "recrawl_priority",  # snapshot-diff change rates -> adaptive recrawl buckets
+    "lsh_param_plan",  # banding S-curve planning table (recall vs volume)
+    "dedup_source_attribution",  # which source wastes the crawl budget
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

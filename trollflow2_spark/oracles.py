@@ -1119,6 +1119,28 @@ FROM tk CROSS JOIN rows_ r
 GROUP BY 1, 2
 """
 
+# LSH S-curve replay: identical double expressions over the same
+# (bands, rows) divisor schemes and 5%-step similarity grid
+ORACLES["lsh_param_plan"] = f"""
+WITH sch AS (
+  SELECT CAST(b AS INT) AS bands,
+    CAST({C.MINHASH_NUM_HASHES} // b AS INT) AS rows_per_band
+  FROM (SELECT unnest(range(1, {C.MINHASH_NUM_HASHES} + 1)) AS b)
+  WHERE {C.MINHASH_NUM_HASHES} % b = 0
+), grid AS (
+  SELECT CAST(i * 5 AS INT) AS s_pct
+  FROM (SELECT unnest(range(1, 20)) AS i)
+)
+SELECT bands, rows_per_band, s_pct,
+  CAST(round((1.0 - pow(1.0 - pow(CAST(s_pct AS DOUBLE) / 100.0,
+    CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+    * 1000000.0) AS BIGINT) AS p_micro,
+  CAST(round(pow(1.0 / CAST(bands AS DOUBLE),
+    1.0 / CAST(rows_per_band AS DOUBLE)) * 1000000.0) AS BIGINT)
+    AS threshold_micro
+FROM sch CROSS JOIN grid
+"""
+
 # recrawl-priority replay: diff semantics (edits at d%3, additions at
 # shifted d%7 ids), domain rollup, ppm arithmetic and buckets — the
 # rate uses // to match Spark's double-division-then-truncate cast
@@ -6399,6 +6421,24 @@ SELECT doc_id, cluster_id,
   CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical,
   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM clustered
+"""
+
+# dedup attribution: the recursive closure re-rooted onto the source
+# rollup — non-canonical members are the wasted fetches, ppm matches
+# Spark's double-division-then-truncate cast via //
+ORACLES["dedup_source_attribution"] = _CC_CTES + """
+, att AS (
+  SELECT d.source,
+    count(*) AS n_docs,
+    sum(CASE WHEN c.doc_id = c.cluster_id THEN 0 ELSE 1 END) AS n_dup
+  FROM clustered c JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_dup AS BIGINT) AS n_dup,
+  CAST(n_dup * 1000000 // n_docs AS BIGINT) AS dup_ppm
+FROM att
 """
 
 # end-to-end dedup: only the canonical doc of each cluster survives

@@ -4815,6 +4815,33 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(docs, pairs)
 
 
+def q_dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the duplicates come from — the corpus-ops question every
+    dedup run should answer before the next crawl budget is set:
+    cluster membership joins back to the documents' source column and
+    rolls up per source to doc counts, non-canonical (wasted) docs,
+    and the duplicate rate in integer ppm. A source whose ppm runs hot
+    is re-crawling content some other source already supplies. One
+    hash agg over the cluster table; the oracle re-roots the recursive
+    closure onto the source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    clusters = duplicate_clusters(docs, pairs)
+    joined = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    per = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("is_canonical") == 0).cast("long")).alias("n_dup"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+        (F.col("n_dup") * 1_000_000 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup pipeline end-to-end: LSH candidates -> connected
     components -> keep only each cluster's canonical doc. The shipped
@@ -6256,6 +6283,48 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_headings"),
         F.regexp_count(md, F.lit("(?m)^- ")).cast("int").alias("n_items"),
+    )
+
+
+def q_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve as an oracle-checked planning table: for every
+    (bands b, rows-per-band r) split of the signature budget and every
+    Jaccard grid point s, the candidate probability
+    ``1 - (1 - s^r)^b`` in integer micro-units, plus each scheme's
+    50%-threshold estimate ``(1/b)^(1/r)`` — the table an operator
+    reads BEFORE committing a 100 TB dedup run to a banding scheme
+    (recall at the target threshold vs candidate volume below it is
+    THE cost knob of minhash dedup). Pure Column arithmetic over a
+    generated grid; the oracle replays the identical double
+    expressions and rounding."""
+    num_hashes = C.MINHASH_NUM_HASHES
+    schemes = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    sdf = spark.createDataFrame(schemes, "bands int, rows_per_band int")
+    grid = spark.range(1, 20).select(
+        (F.col("id") * 5).cast("int").alias("s_pct")
+    )
+    j = sdf.crossJoin(grid)
+    s = F.col("s_pct").cast("double") / F.lit(100.0)
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    thr = F.pow(
+        F.lit(1.0) / F.col("bands").cast("double"),
+        F.lit(1.0) / F.col("rows_per_band").cast("double"),
+    )
+    return j.select(
+        "bands",
+        "rows_per_band",
+        "s_pct",
+        F.round(p * F.lit(1000000.0)).cast("bigint").alias("p_micro"),
+        F.round(thr * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("threshold_micro"),
     )
 
 
@@ -9556,6 +9625,8 @@ QUERIES = {
     "main_content_extract": q_main_content_extract,
     "url_spam_features": q_url_spam_features,
     "recrawl_priority": q_recrawl_priority,
+    "lsh_param_plan": q_lsh_param_plan,
+    "dedup_source_attribution": q_dedup_source_attribution,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
