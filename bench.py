@@ -275,6 +275,7 @@ OPERATORS = [
     "recrawl_priority",  # snapshot-diff change rates -> adaptive recrawl buckets
     "lsh_param_plan",  # banding S-curve planning table (recall vs volume)
     "dedup_source_attribution",  # which source wastes the crawl budget
+    "exif_gps_scrub",  # image-privacy pass: strip geotagged APP1 blocks
     "recipe_drop_audit",  # per-stage rows_in/out/dropped lineage trail
     "cdc_chunks",  # content-defined chunking (insertion-robust sub-doc units)
     "cdc_chunk_dedup",  # digest dedup over CDC chunks (boilerplate killer)

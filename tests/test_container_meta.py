@@ -280,3 +280,30 @@ def test_h264_slice_types_and_muxer_inconsistency():
     assert broken["consistent"] == 0
     # zero-filled mdat (no NALs) yields nothing, not garbage
     assert parse_h264_slice_types(_mp4_index_blob(13)) is None
+
+
+def test_exif_gps_scrub_strips_geotags_only():
+    """Geotagged APP1 blocks leave whole; plain EXIF and image data
+    survive; the scrub is idempotent and non-JPEGs pass through."""
+    from trollflow2_spark.extensions.multimodal import (
+        _parse_jpeg_exif,
+        scrub_exif_gps,
+    )
+    from trollflow2_spark.queries import _exif_gps_blob
+
+    b = _exif_gps_blob(3)  # geotagged
+    nb, he, hg = scrub_exif_gps(b)
+    assert (he, hg) == (1, 1) and len(nb) < len(b)
+    # image structure intact, geodata gone, scrub idempotent
+    m = _parse_jpeg_exif(nb)
+    assert m["width"] == 100 + 3 % 50 and "make" not in m
+    nb2, _, hg2 = scrub_exif_gps(nb)
+    assert hg2 == 0 and nb2 == nb
+
+    plain = _exif_gps_blob(1)  # EXIF, no GPS: untouched
+    nbp, hep, hgp = scrub_exif_gps(plain)
+    assert (hep, hgp) == (1, 0) and nbp == plain
+    assert _parse_jpeg_exif(nbp)["make"] == "cam1"
+
+    junk = b"notjpeg!"
+    assert scrub_exif_gps(junk) == (junk, 0, 0)

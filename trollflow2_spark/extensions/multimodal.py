@@ -1599,6 +1599,118 @@ def h264_slice_index(
     )
 
 
+def scrub_exif_gps(b: bytes) -> tuple[bytes, int, int]:
+    """Strip geotags from a JPEG: walk the segment chain, and any APP1
+    Exif block whose IFD0 carries a GPSInfo pointer (tag 0x8825) is
+    removed WHOLE — the privacy-safe move (surgically zeroing one IFD
+    leaves the pointer structure to betray what was redacted; image
+    data and SOF dimensions are untouched). Returns (scrubbed bytes,
+    had_exif, had_gps); non-JPEG payloads pass through unchanged."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return b, 0, 0
+    out = bytearray(b[:2])
+    pos = 2
+    had_exif = had_gps = 0
+    n = len(b)
+    while pos + 4 <= n and b[pos] == 0xFF:
+        marker = b[pos + 1]
+        if marker in (0xD8, 0xD9):  # SOI/EOI: bare markers
+            out += b[pos : pos + 2]
+            pos += 2
+            continue
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        seg = b[pos : pos + 2 + seg_len]
+        if marker == 0xE1 and seg[4:10] == b"Exif\x00\x00":
+            had_exif = 1
+            tiff = seg[10:]
+            gps = _ifd0_has_gps(tiff)
+            had_gps |= gps
+            if not gps:
+                out += seg
+        else:
+            out += seg
+        pos += 2 + seg_len
+        if marker == 0xDA:  # SOS: entropy data follows, copy the rest
+            out += b[pos:]
+            pos = n
+    out += b[pos:]
+    return bytes(out), had_exif, had_gps
+
+
+def _ifd0_has_gps(tiff: bytes) -> int:
+    """1 when the TIFF block's IFD0 contains the GPSInfo pointer tag
+    (0x8825), both byte orders; malformed blocks report 0."""
+    try:
+        if tiff[:2] == b"II":
+            bo = "little"
+        elif tiff[:2] == b"MM":
+            bo = "big"
+        else:
+            return 0
+        ifd = int.from_bytes(tiff[4:8], bo)
+        cnt = int.from_bytes(tiff[ifd : ifd + 2], bo)
+        for i in range(cnt):
+            e = ifd + 2 + 12 * i
+            if int.from_bytes(tiff[e : e + 2], bo) == 0x8825:
+                return 1
+    except (IndexError, ValueError):
+        return 0
+    return 0
+
+
+EXIF_GPS_SCRUB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("had_exif", T.IntegerType()),
+        T.StructField("had_gps", T.IntegerType()),
+        T.StructField("bytes_before", T.IntegerType()),
+        T.StructField("bytes_after", T.IntegerType()),
+        T.StructField("scrubbed", T.IntegerType()),
+        T.StructField("media", T.BinaryType()),
+    ]
+)
+
+
+def exif_gps_scrub(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image-privacy pass (the PII scrub for binaries): one Arrow
+    ``mapInPandas`` stage strips geotagged APP1 blocks and emits the
+    scrubbed media plus the audit columns downstream compliance joins
+    want. Errors degrade to pass-through rows, never task failures."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(blob) if blob is not None else b""
+                try:
+                    nb, he, hg = scrub_exif_gps(raw)
+                except Exception:
+                    nb, he, hg = raw, 0, 0
+                rows.append(
+                    (
+                        int(d),
+                        he,
+                        hg,
+                        len(raw),
+                        len(nb),
+                        int(len(nb) != len(raw)),
+                        bytearray(nb),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in EXIF_GPS_SCRUB_SCHEMA.fields],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, EXIF_GPS_SCRUB_SCHEMA
+    )
+
+
 def parse_mp3_frame_index(b: bytes) -> list[dict] | None:
     """Header-only MPEG-audio frame walk: one entry per frame with its
     absolute byte offset, size, bitrate and presentation time — the

@@ -1336,6 +1336,29 @@ SELECT doc_id,
 FROM base
 """
 
+# GPS-scrub replay: segment sizes closed-form — gps-tagged APP1 is
+# 115 bytes (4-entry IFD0 + 18-byte GPS IFD), plain APP1 85 bytes;
+# blob = SOI(2) + APP1 + SOF(13) + EOI(2)
+ORACLES["exif_gps_scrub"] = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN 0 ELSE 1 END
+    AS INTEGER) AS had_exif,
+  CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN 0
+       WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS had_gps,
+  CAST(CASE WHEN doc_id % 11 = 0 THEN 8
+       WHEN doc_id % 7 = 0 THEN 17
+       WHEN doc_id % 3 = 0 THEN 132 ELSE 102 END AS INTEGER)
+    AS bytes_before,
+  CAST(CASE WHEN doc_id % 11 = 0 THEN 8
+       WHEN doc_id % 7 = 0 THEN 17
+       WHEN doc_id % 3 = 0 THEN 17 ELSE 102 END AS INTEGER)
+    AS bytes_after,
+  CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 <> 0
+              AND doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+    AS scrubbed
+FROM documents
+"""
+
 # EXIF fixture replay: every field closed-form in doc_id
 ORACLES["exif_metadata"] = """
 SELECT doc_id,

@@ -6198,6 +6198,95 @@ def _exif_blob(d: int) -> bytes:
     return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
 
 
+def _exif_gps_blob(d: int) -> bytes:
+    """The EXIF fixture extended with a GPS IFD: every 3rd doc's IFD0
+    carries the GPSInfo pointer (tag 0x8825) to a real GPS IFD
+    (latitude-ref entry), so the scrubber has genuine geotags to
+    strip. Every 7th doc ships no APP1, every 11th is not a JPEG —
+    same quarantine shape as ``_exif_blob``."""
+    if d % 11 == 0:
+        return b"notjpeg" + bytes([d % 256])
+    bo = "little" if d % 2 == 0 else "big"
+
+    def b2(v):
+        return v.to_bytes(2, bo)
+
+    def b4(v):
+        return v.to_bytes(4, bo)
+
+    w, h = 100 + d % 50, 80 + d % 40
+    sof = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    if d % 7 == 0:
+        return b"\xff\xd8" + sof + b"\xff\xd9"
+    gps = d % 3 == 0
+    make = f"cam{d % 5}".encode() + b"\x00"
+    dt = ("2024:01:%02d 00:00:00" % (d % 28 + 1)).encode() + b"\x00"
+    n_entries = 4 if gps else 3
+    off_make = 8 + 2 + n_entries * 12 + 4
+    off_dt = off_make + len(make)
+    gps_off = off_dt + len(dt)
+    header = (b"II" if bo == "little" else b"MM") + b2(42) + b4(8)
+    entries = (
+        b2(0x010F) + b2(2) + b4(len(make)) + b4(off_make)
+        + b2(0x0112) + b2(3) + b4(1) + b2(1 + d % 8) + b2(0)
+        + b2(0x0132) + b2(2) + b4(len(dt)) + b4(off_dt)
+    )
+    if gps:
+        entries += b2(0x8825) + b2(4) + b4(1) + b4(gps_off)
+    tiff = header + b2(n_entries) + entries + b4(0) + make + dt
+    if gps:
+        # GPS IFD: 1 entry — GPSLatitudeRef, ASCII "N\0" inline
+        tiff += b2(1) + (b2(0x0001) + b2(2) + b4(2) + b"N\x00\x00\x00") \
+            + b4(0)
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(exif) + 2).to_bytes(2, "big") + exif
+    return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
+
+
+def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image privacy — the PII scrub for binaries: APP1 blocks whose
+    IFD0 carries a GPSInfo pointer are stripped whole (surgical IFD
+    zeroing leaves pointer structure betraying the redaction), image
+    data and dimensions untouched, and the audit columns (had_exif,
+    had_gps, byte sizes, scrubbed flag) state exactly what left.
+    Every 3rd fixture doc is geotagged; the oracle restates every
+    audit column closed-form from the fixture's segment sizes."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import exif_gps_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _exif_gps_blob(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return exif_gps_scrub(media).select(
+        "doc_id", "had_exif", "had_gps", "bytes_before", "bytes_after",
+        "scrubbed",
+    )
+
+
 def _pdf_blob(d: int) -> bytes:
     """Closed-form PDF fixture: 1 + d%3 pages; each page's content
     stream exercises literal strings with escapes, TJ arrays with
@@ -9627,6 +9716,7 @@ QUERIES = {
     "recrawl_priority": q_recrawl_priority,
     "lsh_param_plan": q_lsh_param_plan,
     "dedup_source_attribution": q_dedup_source_attribution,
+    "exif_gps_scrub": q_exif_gps_scrub,
     "outlier_mad_filter": q_outlier_mad_filter,
     "value_histogram": q_value_histogram,
     "perceptual_hash": q_perceptual_hash,
