@@ -307,3 +307,43 @@ def test_exif_gps_scrub_strips_geotags_only():
 
     junk = b"notjpeg!"
     assert scrub_exif_gps(junk) == (junk, 0, 0)
+
+
+def test_mp3_frame_index_random_chains_match_model():
+    """Randomized (seeded) VBR frame chains: the parser's offsets,
+    sizes and timing equal the generating model exactly, including the
+    stop-at-garbage boundary."""
+    import random
+
+    from trollflow2_spark.extensions.multimodal import (
+        parse_mp3_frame_index,
+    )
+
+    kbps_tab = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320]
+    rates = [44100, 48000, 32000]
+    rng = random.Random(7)
+    for _ in range(25):
+        si = rng.randrange(3)
+        n = rng.randrange(1, 12)
+        blob = bytearray()
+        expect = []
+        pos = 0
+        for i in range(n):
+            bi = rng.randrange(1, 15)
+            pad = rng.randrange(2)
+            kbps = kbps_tab[bi - 1]
+            size = 144 * kbps * 1000 // rates[si] + pad
+            blob += bytes(
+                [0xFF, 0xFB, (bi << 4) | (si << 2) | (pad << 1), 0]
+            ) + bytes(size - 4)
+            expect.append((i, pos, size, kbps * 1000,
+                           i * 1152 * 1000 // rates[si]))
+            pos += size
+        blob += b"\x00garbage after the chain"
+        frames = parse_mp3_frame_index(bytes(blob))
+        assert len(frames) == n
+        for (i, off, size, br, pts), fr in zip(expect, frames):
+            assert (fr["frame_idx"], fr["byte_offset"],
+                    fr["frame_bytes"], fr["bit_rate"],
+                    fr["pts_ms"]) == (i, off, size, br, pts)

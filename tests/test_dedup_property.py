@@ -197,3 +197,24 @@ def test_blocklist_terms_normalized_to_lowercase(spark):
     r = blocklist_filter(df, ("Alpha", "GAMMA"), min_distinct=2).first()
     assert r["n_hits"] == 3 and r["n_distinct_hits"] == 2
     assert r["keep"] == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(texts, min_size=1, max_size=10))
+def test_cms_one_sided_on_arbitrary_corpora(spark, docs):
+    """CMS estimates never undercount ANY token's true frequency —
+    the one-sided guarantee, property-tested over arbitrary word
+    soups at a small width to force collisions."""
+    from collections import Counter
+
+    from trollflow2_spark.extensions.snapshot import cms_heavy_hitter_audit
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = Counter(
+        w.lower() for _, t in rows for w in t.split() if w
+    )
+    audit = cms_heavy_hitter_audit(df, k=10, width=16).collect()
+    for r in audit:
+        assert r["exact_cnt"] == exact[r["tok"]]
+        assert r["cms_est"] >= r["exact_cnt"]

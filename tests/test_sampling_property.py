@@ -395,3 +395,53 @@ def test_sft_and_dpo_null_inputs_flow_accounted(spark):
     # empty chosen vs 2-token rejected: ratio 0 -> accounted skew drop
     assert r["kept"] == 0 and r["reason"] == "length_skew"
     assert r["len_ratio_permille"] == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("ab cd efg h ij klm".split()),
+                     max_size=12),
+            st.lists(st.sampled_from("xy z uvw q rs t".split()),
+                     max_size=12),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    max_len=st.integers(min_value=4, max_value=12),
+)
+def test_sft_chat_masks_matches_python_model(spark, rows, max_len):
+    """Fit policy, truncation, mask and digests equal a sequential
+    model on arbitrary token soups and budgets."""
+    import hashlib
+
+    from trollflow2_spark.extensions.sampling import sft_chat_masks
+
+    data = [
+        (i, " ".join(p), " ".join(r)) for i, (p, r) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, prompt string, response string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in sft_chat_masks(df, max_len=max_len).collect()
+    }
+    for i, (p, r) in enumerate(rows):
+        fits = len(r) + 3 <= max_len
+        g = got[i]
+        assert g["kept"] == int(fits), (p, r, max_len)
+        if not fits:
+            assert g["reason"] == "response_overflow"
+            continue
+        kp = min(len(p), max_len - 3 - len(r))
+        seq = (["<|user|>"] + (p[len(p) - kp:] if kp > 0 else [])
+               + ["<|assistant|>"] + r + ["<|end|>"])
+        mask = "0" * (kp + 2) + "1" * (len(r) + 1)
+        assert g["n_tokens"] == kp + len(r) + 3
+        assert g["n_loss"] == len(r) + 1
+        assert g["tokens_md5"] == hashlib.md5(
+            " ".join(seq).encode()
+        ).hexdigest()
+        assert g["mask_md5"] == hashlib.md5(mask.encode()).hexdigest()
