@@ -347,3 +347,20 @@ def test_mp3_frame_index_random_chains_match_model():
             assert (fr["frame_idx"], fr["byte_offset"],
                     fr["frame_bytes"], fr["bit_rate"],
                     fr["pts_ms"]) == (i, off, size, br, pts)
+
+
+def test_gop_stats_no_keyframe_stream(spark):
+    """A stream with no coded I frame reports max_gop == n_samples
+    (the whole stream is one unseekable run), not n_samples + 1."""
+    from trollflow2_spark.extensions.multimodal import video_gop_stats
+
+    si = spark.createDataFrame(
+        [(1, i, "P" if i % 2 else "B") for i in range(1, 7)]
+        + [(2, 1, "I"), (2, 2, "P"), (2, 3, "P"), (2, 4, "I"), (2, 5, "B")],
+        "doc_id long, sample_idx int, frame_kind string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in video_gop_stats(si).collect()}
+    assert got[1]["n_samples"] == 6 and got[1]["n_i"] == 0
+    assert got[1]["max_gop"] == 6
+    # keyframed control: spacing 3 between the two I frames, tail 2
+    assert got[2]["max_gop"] == 3

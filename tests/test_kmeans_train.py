@@ -88,3 +88,62 @@ def test_sparse_ids_and_oversized_k(spark):
     }
     assert out == {100: 0, 200: 1, 300: 1}
     assert len(kmeans_train_distributed(df, k=10, iters=1).collect()) == 3
+
+
+def test_single_vector_corpus_and_k1(spark):
+    """k = 1 (and a 1-vector corpus degrading to k = n = 1) must not
+    build a WHEN-less CASE: everything lands in cell 0."""
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_train_distributed,
+    )
+
+    one = spark.createDataFrame(
+        [(7, [0.25, -0.5])], "vec_id long, embedding array<float>"
+    )
+    assert [
+        (r["vec_id"], r["cell"], r["dist_q"])
+        for r in kmeans_train_distributed(one, k=3, iters=2).collect()
+    ] == [(7, 0, 0)]
+    many = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [2.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_train_distributed(many, k=1, iters=2).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_training_never_touches_parent_session_conf(spark, monkeypatch):
+    """The interpreted-mode toggle is scoped to a child session: the
+    caller's SparkSession keeps whole-stage codegen for the entire
+    training loop (concurrent queries are never silently switched)."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    from trollflow2_spark.extensions.similarity import (
+        kmeans_train_distributed,
+    )
+
+    parent_conf_id = id(spark.conf)
+    assert spark.conf.get("spark.sql.codegen.wholeStage", "true") == "true"
+    calls = []
+    real_set = RuntimeConfig.set
+
+    def spy(self, key, value):
+        calls.append((id(self), key))
+        return real_set(self, key, value)
+
+    monkeypatch.setattr(RuntimeConfig, "set", spy)
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    assert kmeans_train_distributed(df, k=2, iters=2).count() == 8
+    # some conf object set the codegen key (the child's) but NEVER the
+    # parent session's conf — not before, during, or after iterations
+    assert all(
+        key != "spark.sql.codegen.wholeStage" or cid != parent_conf_id
+        for cid, key in calls
+    )
+    assert spark.conf.get("spark.sql.codegen.wholeStage", "true") == "true"

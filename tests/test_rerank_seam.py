@@ -153,3 +153,31 @@ def test_mapinpandas_cross_encoder_slots_in(spark):
         assert got == {(0, 1): 1, (0, 2): 2, (1, 3): 1}
     finally:
         RERANK_SCORERS.pop("_test_xenc", None)
+
+
+def test_partial_terms_table_keeps_candidates(spark):
+    """A query_id absent from the terms table must keep its candidates
+    (scored n_present = 0, rerank_score = 0) — a partial term table
+    may not silently drop a whole query's candidate set."""
+    from trollflow2_spark.extensions.rerank import candidate_text, rerank
+
+    docs, cand = _fixture(spark)
+    # terms only for query 0 — query 1 (doc 3) has no term rows
+    terms = spark.createDataFrame(
+        [(0, "alpha"), (0, "gamma")], "query_id int, term string"
+    )
+    out = rerank(candidate_text(docs, cand), terms=terms)
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["n_present"],
+            r["rerank_score"],
+            r["rerank_rank"],
+        )
+        for r in out.collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 3)}
+    # doc 1 has alpha+gamma, doc 2 only alpha
+    assert got[(0, 1)][0] == 2 and got[(0, 2)][0] == 1
+    assert got[(0, 1)][2] == 1 and got[(0, 2)][2] == 2
+    # the term-less query survives with a zero score and rank 1
+    assert got[(1, 3)] == (0, 0, 1)

@@ -1599,6 +1599,55 @@ def h264_slice_index(
     )
 
 
+def video_gop_stats(si: DataFrame) -> DataFrame:
+    """GOP-structure rollup over a slice index (the output shape of
+    :func:`h264_slice_index`): per video, I/P/B counts and the maximum
+    GOP length — spacing between consecutive coded I frames, with the
+    tail measured from the last I to the stream end. A stream with no
+    coded I frame at all reports max_gop == n_samples (nothing is
+    seekable): ``__lasti`` coalesces to 1 so the 1-based tail
+    arithmetic ``__last - lasti + 1`` lands exactly on n_samples.
+    One hash agg plus a lead window partitioned per video."""
+    from pyspark.sql import Window
+
+    counts = si.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_samples"),
+        F.sum((F.col("frame_kind") == "I").cast("int"))
+        .cast("int")
+        .alias("n_i"),
+        F.sum((F.col("frame_kind") == "P").cast("int"))
+        .cast("int")
+        .alias("n_p"),
+        F.sum((F.col("frame_kind") == "B").cast("int"))
+        .cast("int")
+        .alias("n_b"),
+        F.max("sample_idx").cast("int").alias("__last"),
+    )
+    iframes = si.where(F.col("frame_kind") == "I").select(
+        "doc_id", "sample_idx"
+    )
+    w = Window.partitionBy("doc_id").orderBy("sample_idx")
+    gaps = iframes.withColumn(
+        "__next", F.lead("sample_idx").over(w)
+    ).groupBy("doc_id").agg(
+        F.max(F.col("__next") - F.col("sample_idx")).alias("__maxgap"),
+        F.max("sample_idx").alias("__lasti"),
+    )
+    return counts.join(gaps, "doc_id", "left").select(
+        "doc_id",
+        "n_samples",
+        "n_i",
+        "n_p",
+        "n_b",
+        F.greatest(
+            F.coalesce(F.col("__maxgap"), F.lit(0)),
+            F.col("__last") - F.coalesce(F.col("__lasti"), F.lit(1)) + 1,
+        )
+        .cast("int")
+        .alias("max_gop"),
+    )
+
+
 def scrub_exif_gps(b: bytes) -> tuple[bytes, int, int]:
     """Strip geotags from a JPEG: walk the segment chain, and any APP1
     Exif block whose IFD0 carries a GPSInfo pointer (tag 0x8825) is

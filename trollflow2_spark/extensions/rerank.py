@@ -92,8 +92,17 @@ def lexical_proxy_scorer(
     base = cand_text.select(
         "query_id", "doc_id", "rrf_score", toks.alias("__tk")
     )
-    scored = base.join(F.broadcast(terms), "query_id").withColumn(
-        "__pos", F.array_position(F.col("__tk"), F.col("term"))
+    # LEFT join: a query_id absent from the terms table keeps its
+    # candidates and scores them n_present = 0 / bonus = 0 (score 0,
+    # doc_id tie-break ranks them deterministically) instead of
+    # silently dropping every candidate of that query — the contract
+    # a pluggable seam needs when callers supply partial term tables
+    scored = base.join(F.broadcast(terms), "query_id", "left").withColumn(
+        "__pos",
+        F.when(
+            F.col("term").isNotNull(),
+            F.array_position(F.col("__tk"), F.col("term")),
+        ).otherwise(F.lit(0)),
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.min("rrf_score").alias("rrf_score"),

@@ -406,6 +406,10 @@ def kmeans_train_distributed(
 
     def cell_sql(n: int) -> str:
         # argmin with lowest-index tie-break (<= against later cells)
+        if n == 1:
+            # a WHEN-less CASE is a parse error; k==1 (or a 1-vector
+            # corpus degrading to k=n=1) assigns everything to cell 0
+            return "0"
         parts = []
         for m in range(n - 1):
             cond = " AND ".join(
@@ -416,12 +420,21 @@ def kmeans_train_distributed(
 
     spark = q.sparkSession
     # fresh literal-bearing plan per iteration: interpreted mode skips
-    # per-iteration codegen compilation of one narrow cached agg
-    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    # per-iteration codegen compilation of one narrow cached agg.
+    # The toggle is scoped to a CHILD session (spark.newSession():
+    # shared SparkContext + cached blocks, isolated SQL conf) reached
+    # through a global temp view over the localCheckpointed input —
+    # concurrent queries on the caller's session keep whole-stage
+    # codegen; the parent conf is never written (pinned in
+    # tests/test_kmeans_train.py).
+    train = spark.newSession()
+    train.conf.set("spark.sql.codegen.wholeStage", "false")
+    view = f"kmeans_train_{id(q)}"
+    q.createOrReplaceGlobalTempView(view)
+    qt = train.table(f"global_temp.{view}")
     try:
         for _ in range(iters):
-            scored = q.selectExpr(
+            scored = qt.selectExpr(
                 "xq",
                 *[
                     f"({dist_sql(c)}) AS d{m}"
@@ -445,13 +458,18 @@ def kmeans_train_distributed(
                     int(r[f"c{j}"]) for j in range(dim)
                 ]
     finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+        spark.catalog.dropGlobalTempView(view)
 
     out = q.selectExpr(
         id_col,
         *[f"({dist_sql(c)}) AS d{m}" for m, c in enumerate(cents)],
     )
-    least = "least(" + ", ".join(f"d{m}" for m in range(k)) + ")"
+    # least() needs >1 args — k == 1 is just d0
+    least = (
+        "d0"
+        if k == 1
+        else "least(" + ", ".join(f"d{m}" for m in range(k)) + ")"
+    )
     return out.selectExpr(
         id_col,
         f"CAST({cell_sql(k)} AS INT) AS cell",

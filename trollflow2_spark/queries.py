@@ -5801,7 +5801,10 @@ def q_video_gop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyframe cadence."""
     import pandas as pd
 
-    from trollflow2_spark.extensions.multimodal import h264_slice_index
+    from trollflow2_spark.extensions.multimodal import (
+        h264_slice_index,
+        video_gop_stats,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -5827,44 +5830,7 @@ def q_video_gop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     si = h264_slice_index(media)
-    counts = si.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_samples"),
-        F.sum((F.col("frame_kind") == "I").cast("int"))
-        .cast("int")
-        .alias("n_i"),
-        F.sum((F.col("frame_kind") == "P").cast("int"))
-        .cast("int")
-        .alias("n_p"),
-        F.sum((F.col("frame_kind") == "B").cast("int"))
-        .cast("int")
-        .alias("n_b"),
-        F.max("sample_idx").cast("int").alias("__last"),
-    )
-    iframes = si.where(F.col("frame_kind") == "I").select(
-        "doc_id", "sample_idx"
-    )
-    w = Window.partitionBy("doc_id").orderBy("sample_idx")
-    gaps = iframes.withColumn(
-        "__next", F.lead("sample_idx").over(w)
-    ).groupBy("doc_id").agg(
-        F.max(F.col("__next") - F.col("sample_idx")).alias("__maxgap"),
-        F.max("sample_idx").alias("__lasti"),
-    )
-    # left join: a stream with no coded I frame at all still reports
-    # (its max_gop is the whole stream — nothing is seekable)
-    return counts.join(gaps, "doc_id", "left").select(
-        "doc_id",
-        "n_samples",
-        "n_i",
-        "n_p",
-        "n_b",
-        F.greatest(
-            F.coalesce(F.col("__maxgap"), F.lit(0)),
-            F.col("__last") - F.coalesce(F.col("__lasti"), F.lit(0)) + 1,
-        )
-        .cast("int")
-        .alias("max_gop"),
-    )
+    return video_gop_stats(si)
 
 
 def _mp3_index_blob(d: int) -> bytes:
