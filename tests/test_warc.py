@@ -373,3 +373,109 @@ def test_url_spam_features_signals_and_verdict(spark):
     assert out[2]["spammy"] == 1  # hyphens>=3 + digit share >= 30%
     assert out[3]["url_len"] > 120 and out[3]["spammy"] == 0
     assert out[4]["url_len"] == 0 and out[4]["spammy"] == 0
+
+
+# --- charset-aware intake ----------------------------------------------------
+
+
+def test_resolve_charset_order_and_labels():
+    """Resolution order header -> meta -> BOM -> default; WHATWG label
+    folding (iso-8859-1/latin1/ascii declare -> cp1252); unknown labels
+    fall through to the next source."""
+    from trollflow2_spark.sources.warc import resolve_charset
+
+    body_meta = b'<html><head><meta charset="shift_jis"></head></html>'
+    # header beats meta
+    assert resolve_charset(
+        "text/html; charset=ISO-8859-1", body_meta
+    ) == ("cp1252", "header")
+    # meta when header has no charset param
+    assert resolve_charset("text/html", body_meta) == (
+        "shift_jis", "meta",
+    )
+    # http-equiv style meta
+    he = (b'<meta http-equiv="Content-Type" '
+          b'content="text/html; charset=windows-1252">')
+    assert resolve_charset(None, he) == ("cp1252", "meta")
+    # meta only sniffed in the first 1024 bytes
+    far = b" " * 1100 + body_meta
+    assert resolve_charset(None, far) == ("utf-8", "default")
+    # BOMs
+    assert resolve_charset(None, b"\xef\xbb\xbfhi") == (
+        "utf-8-sig", "bom",
+    )
+    assert resolve_charset(None, b"\xff\xfeh\x00") == ("utf-16", "bom")
+    assert resolve_charset(None, b"\xfe\xff\x00h") == ("utf-16", "bom")
+    # unknown header label falls through (here: to the default)
+    assert resolve_charset(
+        "text/html; charset=x-klingon", b"plain"
+    ) == ("utf-8", "default")
+    # stdlib-resolvable labels beyond the WHATWG table still work
+    assert resolve_charset(
+        "text/html; charset=KOI8-R", b""
+    ) == ("koi8-r", "header")
+
+
+def test_decode_payload_text_flags_lying_charsets():
+    """Bytes that betray the declaration decode with U+FFFD and
+    decode_ok=0 — never a task failure; BOMs are stripped."""
+    from trollflow2_spark.sources.warc import decode_payload_text
+
+    # honest cp1252
+    t, cs, src, ok = decode_payload_text(
+        "déjà €".encode("cp1252"), "text/html; charset=windows-1252"
+    )
+    assert (t, cs, src, ok) == ("déjà €", "cp1252", "header", 1)
+    # shift_jis declared, invalid shift_jis bytes -> replace + flag
+    t, cs, src, ok = decode_payload_text(
+        b"\x81\x39\x82\xf3", "text/html; charset=shift_jis"
+    )
+    assert ok == 0 and "�" in t and cs == "shift_jis"
+    # utf-16 LE BOM round-trip, BOM char stripped
+    t, cs, src, ok = decode_payload_text(
+        "﻿hi ñ".encode("utf-16"), None
+    )
+    assert (t, cs, src, ok)[0] == "﻿hi ñ".lstrip("﻿")
+    assert (cs, src, ok) == ("utf-16", "bom", 1)
+    # utf-8-sig reports utf-8 and strips the BOM
+    t, cs, src, ok = decode_payload_text(b"\xef\xbb\xbfok", None)
+    assert (t, cs, src, ok) == ("ok", "utf-8", "bom", 1)
+    # invalid utf-8 under the default -> flagged, never raises
+    t, cs, src, ok = decode_payload_text(b"\xfe\x01\x02", None)
+    assert ok == 0 and cs == "utf-8" and src == "default"
+
+
+def test_decoded_text_raises_encoding_keep_rate(spark):
+    """The intake fix the charset decode exists for: on a cp1252 +
+    shift_jis fixture, the UTF-8-only cast mojibakes every page and
+    the encoding gate drops them all; decoded_text keeps them all.
+    The raw payload column survives next to the decoded text."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.extensions.text import encoding_quality
+    from trollflow2_spark.sources.warc import decoded_text
+
+    rows = []
+    for d in range(20):
+        if d % 2:
+            body = f"Preis {d} — 12 € für Bücher".encode("cp1252")
+            ctype = "text/html; charset=windows-1252"
+        else:
+            body = f"日本語のページ {d} です".encode("shift_jis")
+            ctype = "text/html; charset=shift_jis"
+        rows.append((d, bytearray(body), ctype))
+    recs = spark.createDataFrame(
+        rows, "doc_id long, payload binary, content_type string"
+    )
+    naive = recs.withColumn("text", F.col("payload").cast("string"))
+    naive_keep = (
+        encoding_quality(naive).agg(F.sum("enc_ok")).collect()[0][0]
+    )
+    dec = decoded_text(recs)
+    dec_keep = (
+        encoding_quality(dec).agg(F.sum("enc_ok")).collect()[0][0]
+    )
+    assert naive_keep == 0  # every page mojibaked and dropped
+    assert dec_keep == 20  # every page survives transcoded
+    assert dec.columns.count("payload") == 1  # raw bytes kept
+    assert dec.where(F.col("decode_ok") == 0).count() == 0

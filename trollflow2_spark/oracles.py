@@ -511,6 +511,36 @@ ORACLES["warc_ingest_zst"] = ORACLES["warc_ingest"]
 # bodies decoded by the from-scratch RFC 7932 decoder — same closed forms.
 ORACLES["warc_ingest_br"] = ORACLES["warc_ingest"]
 
+# charset-aware intake: the fixture cycles 5 charset situations per
+# doc_id % 5; the oracle restates the decoded UTF-8 text verbatim
+# (this file is UTF-8, so the literals ARE the expected codepoints),
+# the resolved codec (iso-8859-1 declared -> cp1252, the WHATWG fold)
+# and the resolution source (header -> meta -> BOM -> default).
+ORACLES["warc_charset"] = """
+WITH e AS (
+  SELECT doc_id, doc_id % 5 AS m,
+    CASE doc_id % 5
+      WHEN 0 THEN 'Prix ' || (doc_id % 7) || ' € — “déjà vu”'
+      WHEN 1 THEN '日本語 ' || (doc_id % 7) || ' 円です'
+      WHEN 2 THEN '<html><head><meta charset=iso-8859-1></head>'
+                  || '<body>café niño ' || (doc_id % 7)
+                  || '</body></html>'
+      WHEN 3 THEN 'BOM doc ' || (doc_id % 7) || ' ✓ 中文'
+      ELSE 'plain ' || (doc_id % 7) || ' naïve text'
+    END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'cp1252' WHEN 1 THEN 'shift_jis'
+         WHEN 2 THEN 'cp1252' ELSE 'utf-8' END AS charset,
+  CASE m WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
+         WHEN 4 THEN 'default' ELSE 'header' END AS charset_source,
+  CAST(1 AS INTEGER) AS decode_ok,
+  text,
+  CAST(length(text) AS INTEGER) AS text_len
+FROM e
+"""
+
 # WET sidecar intake: the planted conversion-record text is a closed
 # form; the warcinfo record must NOT appear (row count pins the filter).
 ORACLES["wet_ingest"] = """

@@ -1560,6 +1560,67 @@ def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware text intake (`sources/warc.py:decoded_text`): the
+    crawl reality the UTF-8-only cast loses. Planted response records
+    cycle five charset situations — windows-1252 and Shift_JIS
+    declared in the HTTP Content-Type header, ISO-8859-1 declared only
+    by a <meta charset> tag (folded to cp1252 per WHATWG, the browser
+    behavior), a UTF-8 BOM with no declaration anywhere, and a bare
+    UTF-8 default — each with non-ASCII text that mojibakes under a
+    plain cast. The real HTTP envelope parse supplies the header path;
+    resolution order header -> meta -> BOM -> default is observable in
+    charset_source. The oracle restates the decoded UTF-8 text, the
+    resolved codec and the source closed-form per doc_id."""
+    from trollflow2_spark.sources.warc import decoded_text
+
+    def build(d):
+        m = d % 5
+        if m == 0:
+            body = f"Prix {d % 7} € — “déjà vu”".encode("cp1252")
+            ctype = "text/html; charset=windows-1252"
+        elif m == 1:
+            body = f"日本語 {d % 7} 円です".encode("shift_jis")
+            ctype = "text/html; charset=Shift_JIS"
+        elif m == 2:
+            body = (
+                "<html><head><meta charset=iso-8859-1></head>"
+                f"<body>café niño {d % 7}</body></html>"
+            ).encode("latin-1")
+            ctype = "text/html"
+        elif m == 3:
+            body = b"\xef\xbb\xbf" + (
+                f"BOM doc {d % 7} ✓ 中文".encode("utf-8")
+            )
+            ctype = "text/html"
+        else:
+            body = f"plain {d % 7} naïve text".encode("utf-8")
+            ctype = "text/html"
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
+            + b"\r\n\r\n" + body
+        )
+        return [
+            (
+                "response",
+                {"WARC-Target-URI": f"http://site{d % 20}.com/p/{d}"},
+                "application/http; msgtype=response",
+                http,
+            )
+        ]
+
+    recs = _warc_fixture_records(spark, sf_dir, build)
+    dec = decoded_text(recs)
+    return dec.select(
+        "doc_id",
+        "charset",
+        "charset_source",
+        "decode_ok",
+        "text",
+        F.length("text").alias("text_len"),
+    )
+
+
 def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT sidecar intake (Common Crawl's metadata distribution):
     ``metadata`` records carry a JSON envelope; the typed
@@ -9813,6 +9874,7 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "chunk_documents": q_chunk_documents,
     "warc_ingest": q_warc_ingest,
+    "warc_charset": q_warc_charset,
     "warc_ingest_zst": q_warc_ingest_zst,
     "warc_ingest_br": q_warc_ingest_br,
     "wet_ingest": q_wet_ingest,

@@ -552,6 +552,156 @@ def html_to_markdown(col):
     return F.regexp_replace(out, r"^\s+|\s+$", "")
 
 
+# --- charset-aware text intake ----------------------------------------------
+#
+# `payload.cast("string")` is UTF-8-only: a windows-1252 / Shift_JIS /
+# ISO-8859-x page (a large multilingual slice of any real crawl) turns
+# into replacement-char mojibake at intake, which the encoding-quality
+# gate then DROPS — silently discarding exactly the non-English data an
+# LLM corpus wants. The decode below resolves the page charset the way
+# a browser does — Content-Type header param, then a <meta charset> /
+# http-equiv sniff in the first 1024 bytes, then a BOM, then the UTF-8
+# fallback — and transcodes to UTF-8 inside the scan stage (one Arrow
+# pandas_udf; stdlib codecs only). Unknown or lying charsets never
+# fail the task: the text decodes with U+FFFD replacement, decode_ok
+# flags it, and the raw payload bytes survive untouched alongside.
+
+#: WHATWG-Encoding-style label folding for the aliases a crawl actually
+#: sees. Browsers treat iso-8859-1 / latin1 / us-ascii declarations as
+#: windows-1252 (its strict superset on printable bytes) — so do we;
+#: labels not in this table fall through to stdlib `codecs.lookup`
+#: (iso-8859-2, koi8-r, euc-jp, gb2312, big5, ... all resolve there).
+_CHARSET_LABELS = {
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "iso_8859-1": "cp1252",
+    "latin-1": "cp1252", "latin1": "cp1252", "l1": "cp1252",
+    "us-ascii": "cp1252", "ascii": "cp1252", "ansi_x3.4-1968": "cp1252",
+    "windows-1252": "cp1252", "cp1252": "cp1252", "x-cp1252": "cp1252",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "x-sjis": "shift_jis", "ms_kanji": "shift_jis",
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+}
+
+_META_CHARSET_RE = None  # compiled lazily (keeps import time flat)
+
+
+def _norm_charset_label(label: str) -> str | None:
+    """Fold a declared charset label to a Python codec name, or None
+    when the label is unknown to both the WHATWG table and stdlib."""
+    import codecs
+
+    low = label.strip().strip("\"'").lower()
+    if not low:
+        return None
+    if low in _CHARSET_LABELS:
+        return _CHARSET_LABELS[low]
+    try:
+        return codecs.lookup(low).name
+    except LookupError:
+        return None
+
+
+def resolve_charset(
+    ctype: str | None, body: bytes
+) -> tuple[str, str]:
+    """Resolve the charset of one page: ``(codec, source)`` with
+    source in {header, meta, bom, default}. Resolution order is the
+    crawl-practical one: the HTTP Content-Type param (already parsed
+    into the records' content_type column) wins, then a <meta
+    charset=...> / http-equiv content=...charset=... sniff over the
+    first 1024 bytes, then a UTF-8/UTF-16/UTF-32 BOM, then UTF-8."""
+    import re as _re
+
+    global _META_CHARSET_RE
+    if ctype:
+        m = _re.search(
+            r"charset\s*=\s*\"?\s*([A-Za-z0-9._\-]+)", ctype, _re.I
+        )
+        if m:
+            c = _norm_charset_label(m.group(1))
+            if c:
+                return c, "header"
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = _re.compile(
+            rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9._\-]+)",
+            _re.I,
+        )
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        c = _norm_charset_label(m.group(1).decode("latin-1"))
+        if c:
+            return c, "meta"
+    if body[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return "utf-32", "bom"
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"
+    return "utf-8", "default"
+
+
+def decode_payload_text(
+    body: bytes, ctype: str | None
+) -> tuple[str, str, str, int]:
+    """Decode one payload to UTF-8 text: ``(text, charset, source,
+    decode_ok)``. Strict decode under the resolved charset sets
+    decode_ok=1; bytes that betray the declaration re-decode with
+    U+FFFD replacement and decode_ok=0 — the task NEVER fails and the
+    caller keeps the raw payload column either way. The reported
+    charset is the normalized codec name (utf-8-sig/utf-16 BOM
+    variants report their family name; the BOM itself is stripped)."""
+    codec, source = resolve_charset(ctype, body)
+    try:
+        text, ok = body.decode(codec), 1
+    except UnicodeDecodeError:
+        text, ok = body.decode(codec, "replace"), 0
+    if codec == "utf-8-sig":
+        codec = "utf-8"
+    elif codec in ("utf-16", "utf-32"):
+        text = text.lstrip("\ufeff")
+    return text, codec, source, ok
+
+
+def decoded_text(
+    records: DataFrame,
+    payload_col: str = "payload",
+    ctype_col: str = "content_type",
+) -> DataFrame:
+    """Charset-aware payload -> UTF-8 ``text`` for parsed crawl
+    records: adds (text, charset, charset_source, decode_ok) via one
+    Arrow-batched pandas_udf fused into the scan stage — no shuffle,
+    no per-row Python, and every original column (including the raw
+    payload bytes) survives. This is the intake step that keeps
+    windows-1252 / Shift_JIS / ISO-8859-x pages out of the mojibake
+    quarantine (see module note above)."""
+    out_schema = T.StructType(
+        list(records.schema.fields)
+        + [
+            T.StructField("text", T.StringType()),
+            T.StructField("charset", T.StringType()),
+            T.StructField("charset_source", T.StringType()),
+            T.StructField("decode_ok", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            decoded = [
+                decode_payload_text(
+                    bytes(b) if b is not None else b"",
+                    None if c is None else str(c),
+                )
+                for b, c in zip(pdf[payload_col], pdf[ctype_col])
+            ]
+            pdf = pdf.copy()
+            pdf["text"] = [d[0] for d in decoded]
+            pdf["charset"] = [d[1] for d in decoded]
+            pdf["charset_source"] = [d[2] for d in decoded]
+            pdf["decode_ok"] = [d[3] for d in decoded]
+            yield pdf
+
+    return records.mapInPandas(kernel, out_schema)
+
+
 def html_to_text(col):
     """Crude-but-standard HTML -> text Column: drop script/style blocks
     and comments, strip tags, decode the common entities, collapse
