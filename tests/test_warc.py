@@ -479,3 +479,83 @@ def test_decoded_text_raises_encoding_keep_rate(spark):
     assert dec_keep == 20  # every page survives transcoded
     assert dec.columns.count("payload") == 1  # raw bytes kept
     assert dec.where(F.col("decode_ok") == 0).count() == 0
+
+
+# --- RFC 9309 robots matching ------------------------------------------------
+
+
+def _ref_robots_match(path: str, pat: str) -> bool:
+    """Reference matcher: the pattern as an anchored regex."""
+    import re
+
+    anchored = pat.endswith("$")
+    q = pat[:-1] if anchored else pat
+    rx = "^" + ".*".join(re.escape(seg) for seg in q.split("*"))
+    if anchored:
+        rx += "$"
+    return re.match(rx, path) is not None
+
+
+def test_robots_pattern_match_vs_regex_reference(spark):
+    """The Column segment-fold glob equals an anchored-regex reference
+    over an adversarial (pattern, path) grid — including the greedy-
+    leftmost + end-anchor interaction (a*b$ on axbyb), empty-star
+    runs, and patterns longer than the path."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import robots_pattern_match
+
+    pats = ["/", "/p/", "/p/*.html$", "/p/1", "/p/1$", "*", "/*/",
+            "/a*b$", "/a*b*c$", "/a**b", "/p/*", "$", "/x$",
+            "/a*", "/*a*a$", "/p/1*7$"]
+    paths = ["/", "/p/", "/p/1", "/p/10", "/p/1.html", "/p/x.htmlx",
+             "/a", "/axb", "/axbyb", "/axbycz", "/aa", "/axa",
+             "/p/17", "/x", "/ab", "/abc", "/a/b/", ""]
+    rows = [(pat, p) for pat in pats for p in paths]
+    df = spark.createDataFrame(rows, "pat string, path string")
+    got = df.select(
+        "pat", "path",
+        robots_pattern_match(F.col("path"), F.col("pat"))
+        .cast("int").alias("m"),
+    ).collect()
+    for r in got:
+        assert r["m"] == int(_ref_robots_match(r["path"], r["pat"])), (
+            r["pat"], r["path"],
+        )
+
+
+def test_robots_allowed_rfc9309_semantics(spark):
+    """The VERDICT's motivating case and the RFC corners: Disallow: /
+    + Allow: /public/ crawls /public/ and nothing else; longest match
+    wins regardless of rule order; equal-length ties go to Allow;
+    unmatched paths default to allowed; empty Disallow is a no-op."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+
+    robots = ("User-agent: *\n"
+              "Disallow: /\n"
+              "Allow: /public/\n"
+              "Disallow: /public/private/\n"
+              "disallow: /t/b\n"   # case-insensitive key
+              "Allow: /t/b\n"      # tie -> Allow
+              "Disallow:\n"        # empty = no-op, dropped
+              "Crawl-delay: 2\n")
+    cases = [
+        ("/", 0), ("/about", 0), ("/public/", 1), ("/public/a/b", 1),
+        ("/public/private/x", 0), ("/t/b", 1), ("/t/bb", 1),
+    ]
+    df = spark.createDataFrame(cases, "path string, want int")
+    out = df.select(
+        "path", "want",
+        robots_allowed(
+            F.col("path"), parse_robots_rules(F.lit(robots))
+        ).alias("got"),
+        F.size(parse_robots_rules(F.lit(robots))).alias("n"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], r["path"]
+        assert r["n"] == 5  # empty Disallow and non-rule lines dropped

@@ -1522,17 +1522,22 @@ FROM f JOIN st USING (host)
 # ops over the same closed-form per-domain rules
 ORACLES["robots_filter"] = """
 WITH b AS (
-  SELECT doc_id,
-    'site' || (doc_id % 20) || '.com' AS domain,
-    '/p/' || (doc_id % 40) AS path,
-    CASE WHEN (doc_id % 20) % 2 = 0
-         THEN ['/p/1', '/p/2'] ELSE ['/p/1'] END AS rules
-  FROM documents
+  SELECT doc_id, doc_id % 20 AS k, doc_id % 40 AS m FROM documents
 )
-SELECT doc_id, domain, path,
-  CAST(len(rules) AS INTEGER) AS n_rules,
-  CASE WHEN len(list_filter(rules,
-        r -> substr(path, 1, len(r)) = r)) > 0 THEN 0 ELSE 1 END AS allowed
+SELECT doc_id,
+  'site' || k || '.com' AS domain,
+  '/p/' || m AS path,
+  CAST(6 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_rules,
+  CAST(CASE
+    -- Allow overrides: /p/19$ (anchor), /p/1*7$ (wildcard+anchor),
+    -- /p/*4$ (un-blocks 14 always, 24 on even domains)
+    WHEN m IN (19, 17, 14, 24) THEN 1
+    -- /p/33: equal-length Allow/Disallow tie resolves to Allow
+    WHEN m = 33 THEN 1
+    -- legacy Disallow-prefix semantics, unchanged
+    WHEN m = 1 OR (m >= 10 AND m <= 19) THEN 0
+    WHEN k % 2 = 0 AND (m = 2 OR (m >= 20 AND m <= 29)) THEN 0
+    ELSE 1 END AS INTEGER) AS allowed
 FROM b
 """
 

@@ -2528,17 +2528,25 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots.txt politeness gate: per-domain robots bodies (closed-form
-    fixtures) parse to their ``Disallow:`` prefixes with Column
-    line-splitting, and every URL is allowed iff NO disallow rule
-    prefixes its path (true robots prefix semantics — "/p/1" blocks
-    "/p/10" too). The rules table is domain-cardinality and the match
-    is a higher-order ``exists`` over a small array — at 100 TB this is
-    a broadcast of the rules against the scan, zero Python.
+    """Robots.txt politeness gate, full RFC 9309 group-member
+    semantics (`sources/warc.py:robots_allowed`): per-domain robots
+    bodies carry BOTH Allow and Disallow rules with `*` wildcards and
+    `$` end anchors; each URL's verdict is the longest-matching
+    pattern (length in octets as written, the Google-matcher
+    convention), ties to Allow, unmatched paths allowed. The fixture
+    keeps the legacy Disallow-prefix cases verbatim (/p/1 blocks /p/10
+    too) and layers the overrides Disallow-only matching gets wrong:
+    an anchored Allow un-blocking exactly /p/19, a wildcard+anchor
+    Allow (/p/1*7$) un-blocking /p/17, /p/*4$ un-blocking /p/14 and
+    the even-domain /p/24, and an equal-length Allow/Disallow tie on
+    /p/33 resolved to Allow. Rules are domain-cardinality and the
+    match is a higher-order fold over a small array — at 100 TB this
+    broadcasts against the scan, zero Python, no data-derived regex."""
+    from trollflow2_spark.sources.warc import (
+        parse_robots_rules,
+        robots_allowed,
+    )
 
-    Documented subset: Disallow-only under ``User-agent: *`` (no
-    Allow-overrides/wildcards — the 80% case; a full matcher slots in
-    as the same per-URL array fold)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     k = (d % 20).cast("long")
@@ -2547,31 +2555,29 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = F.concat(
         F.lit("User-agent: *\nDisallow: /p/1\n"),
         F.when(k % 2 == 0, F.lit("Disallow: /p/2\n")).otherwise(F.lit("")),
-        F.lit("Crawl-delay: 1\n"),
-    )
-    rules = F.transform(
-        F.filter(
-            F.split(robots, "\n"),
-            lambda ln: ln.startswith("Disallow: "),
+        F.lit(
+            "Allow: /p/19$\n"
+            "Allow: /p/1*7$\n"
+            "Allow: /p/*4$\n"
+            "Disallow: /p/33\n"
+            "Allow: /p/33\n"
+            "Disallow:\n"  # empty pattern = RFC no-op, dropped at parse
+            "Crawl-delay: 1\n"
         ),
-        lambda ln: F.substring(ln, 11, 1000),
     )
+    rules = parse_robots_rules(robots)
     base = docs.select(
         d.alias("doc_id"),
         domain.alias("domain"),
         path.alias("path"),
         rules.alias("rules"),
     )
-    blocked = F.exists(
-        F.col("rules"),
-        lambda r: F.col("path").substr(F.lit(1), F.length(r)) == r,
-    )
     return base.select(
         "doc_id",
         "domain",
         "path",
         F.size("rules").alias("n_rules"),
-        F.when(blocked, 0).otherwise(1).alias("allowed"),
+        robots_allowed(F.col("path"), F.col("rules")).alias("allowed"),
     )
 
 

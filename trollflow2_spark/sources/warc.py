@@ -702,6 +702,122 @@ def decoded_text(
     return records.mapInPandas(kernel, out_schema)
 
 
+# --- RFC 9309 robots matching ------------------------------------------------
+#
+# Disallow-prefix-only robots handling over-blocks a common pattern:
+# a site with `Disallow: /` + `Allow: /public/` is fully blocked even
+# though it invites crawlers into /public/. The matcher below carries
+# the full RFC 9309 group-member semantics — Allow AND Disallow rules,
+# `*` wildcards, `$` end anchors, longest-match precedence with ties
+# going to Allow — while staying pure Column algebra: rules are
+# domain-cardinality (broadcastable), each URL folds once over its
+# domain's parsed rule array, and the glob match itself is a
+# higher-order segment fold (no regex compilation, no Python).
+# Precedence length is the pattern as written in octets (including
+# `*` and `$`) — the convention of Google's open-source matcher.
+
+
+def parse_robots_rules(robots_col):
+    """Parse a robots.txt body Column into its group-member rules:
+    ``array<struct<allow:int, pat:string>>`` from the ``Allow:`` /
+    ``Disallow:`` lines (case-insensitive keys, surrounding whitespace
+    trimmed). Empty-pattern rules (``Disallow:`` with no value — the
+    RFC's allow-everything no-op) are dropped at parse time."""
+    lines = F.split(robots_col, "\n")
+    rule_lines = F.filter(
+        lines,
+        lambda ln: ln.rlike(r"^(?i)\s*(dis)?allow\s*:\s*\S"),
+    )
+    return F.transform(
+        rule_lines,
+        lambda ln: F.struct(
+            F.when(
+                F.lower(ln).rlike(r"^\s*allow"), F.lit(1)
+            ).otherwise(F.lit(0)).alias("allow"),
+            F.trim(
+                F.regexp_replace(ln, r"^(?i)\s*(dis)?allow\s*:\s*", "")
+            ).alias("pat"),
+        ),
+    )
+
+
+def robots_pattern_match(path, pat):
+    """One RFC 9309 pattern against one path, pure Column: patterns
+    match from the path start, ``*`` matches any run, a trailing ``$``
+    anchors the end. Implemented as a greedy leftmost fold over the
+    ``*``-split segments (position state through ``aggregate``; 0 is
+    the fail sentinel) — greedy leftmost yields the MINIMAL feasible
+    end position, so the ``$`` case just checks that the final segment
+    has an occurrence at the very end no earlier than that minimum.
+    No regex is ever compiled from data."""
+    anchored = pat.endswith("$")
+    q = F.when(
+        anchored, pat.substr(F.lit(1), F.length(pat) - 1)
+    ).otherwise(pat)
+    segs = F.split(q, r"\*", -1)
+    n = F.size(segs)
+    s0 = F.element_at(segs, 1)
+    start_ok = path.startswith(s0)
+    init = (F.length(s0) + F.lit(1)).cast("int")
+    # middle segments: everything after the first, minus the last one
+    # when anchored (the last is end-checked separately)
+    mid = F.when(
+        anchored,
+        F.slice(segs, F.lit(2), F.greatest(n - 2, F.lit(0))),
+    ).otherwise(F.slice(segs, F.lit(2), F.greatest(n - 1, F.lit(0))))
+
+    def step(acc, seg):
+        loc = F.call_function("locate", seg, path, acc)
+        return (
+            F.when(acc == 0, F.lit(0))
+            .when(F.length(seg) == 0, acc)
+            .when(loc == 0, F.lit(0))
+            .otherwise((loc + F.length(seg)).cast("int"))
+        )
+
+    e = F.aggregate(mid, init, step)
+    last = F.element_at(segs, -1)
+    anch_ok = F.when(
+        n == 1, F.length(path) == F.length(s0)
+    ).otherwise(
+        path.endswith(last)
+        & (F.length(path) - F.length(last) + 1 >= e)
+    )
+    return start_ok & F.when(anchored, (e > 0) & anch_ok).otherwise(
+        e > 0
+    )
+
+
+def robots_allowed(path, rules):
+    """Fold a URL path over its domain's parsed rule array and return
+    the RFC 9309 verdict as an int Column: the matching rule with the
+    LONGEST pattern wins, a length tie goes to Allow, and a path no
+    rule matches is allowed. One ``aggregate`` carrying
+    (best_len, best_allow) — zero shuffle, zero Python."""
+    best = F.aggregate(
+        rules,
+        F.struct(
+            F.lit(-1).cast("int").alias("ln"),
+            F.lit(1).alias("al"),
+        ),
+        lambda acc, r: F.when(
+            robots_pattern_match(path, r["pat"])
+            & (
+                (F.length(r["pat"]) > acc["ln"])
+                | (
+                    (F.length(r["pat"]) == acc["ln"])
+                    & (r["allow"] == 1)
+                )
+            ),
+            F.struct(
+                F.length(r["pat"]).cast("int").alias("ln"),
+                r["allow"].alias("al"),
+            ),
+        ).otherwise(acc),
+    )
+    return best["al"]
+
+
 def html_to_text(col):
     """Crude-but-standard HTML -> text Column: drop script/style blocks
     and comments, strip tags, decode the common entities, collapse
