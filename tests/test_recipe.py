@@ -243,3 +243,155 @@ def test_neardup_increment_bounds_state_text_reads(spark):
     bb = _band_buckets(minhash_signatures(batch), "doc_id", 8, 4)
     out = neardup_increment(batch, bb, sb, state_docs, threshold=0.5)
     assert {r["doc_id"] for r in out.collect()} == {11}
+
+
+def test_streaming_state_compaction_bounds_files_and_ttl(spark, tmp_path):
+    """Periodic state compaction keeps the carried near-dup state at a
+    bounded file count across >= 6 micro-batches (vs one-plus-files
+    per batch without it), preserves dedup behavior, and the TTL drops
+    state older than the window."""
+    import glob
+
+    from trollflow2_spark.extensions.recipe import replay_recipe_batches
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches the gate and the visitors walk slowly past the old "
+        "stone wall toward the garden where the fountain splashes"
+    )
+    # 7 batches: batch 0 admits doc 1; every later batch carries one
+    # near-dup of doc 1 (always dropped while state lives) plus one
+    # novel doc (always admitted)
+    themes = [
+        "astronomy telescopes nebulae quasars orbiting satellites",
+        "gardening tomatoes compost seedlings irrigation mulching",
+        "violin concertos orchestras crescendo sonatas conductors",
+        "glaciers moraines permafrost icefields crevasse altitude",
+        "baking sourdough levain crumb hydration fermentation",
+        "sailing spinnaker halyards regatta windward moorings",
+        "ceramics porcelain glazing kilns earthenware wheelwork",
+    ]
+    novel = [
+        f"{t} discussion of {t.split()[0]} practice session {i}"
+        for i, t in enumerate(themes)
+    ]
+    batches = [[{"doc_id": 1, "text": base + " v0"}]] + [
+        [
+            {"doc_id": 10 * i, "text": base + f" v{i}"},
+            {"doc_id": 10 * i + 1, "text": novel[i] + " x"},
+        ]
+        for i in range(1, 7)
+    ]
+    wd = str(tmp_path / "compact_run")
+    out = replay_recipe_batches(
+        spark, batches, "doc_id long, text string",
+        [{"stage": "near_dedup", "threshold": 0.6}],
+        work_dir=wd, compact_every=2,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [
+        1, 11, 21, 31, 41, 51, 61,
+    ]
+    # last compaction fired after batch 5 (index), batch 6 appended
+    # once more: bounded, far below the 7-batches-of-appends shape
+    for suffix in ("_nd", "_ndb"):
+        n_files = len(
+            glob.glob(wd + f"/state{suffix}/*.parquet")
+        )
+        assert 1 <= n_files <= 3, (suffix, n_files)
+    # TTL run: state older than 1 batch expires at each compaction, so
+    # a near-dup arriving after its ancestor's state aged out is
+    # re-admitted (the documented bounded-state tradeoff)
+    wd2 = str(tmp_path / "ttl_run")
+    out2 = replay_recipe_batches(
+        spark,
+        [
+            [{"doc_id": 1, "text": base + " v0"}],
+            [{"doc_id": 2, "text": novel[0] + " x"}],
+            [{"doc_id": 3, "text": base + " v3"}],  # ancestor expired
+        ],
+        "doc_id long, text string",
+        [{"stage": "near_dedup", "threshold": 0.6}],
+        work_dir=wd2, compact_every=1, state_ttl_batches=1,
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 3]
+
+
+def test_streaming_state_recovery_idempotent_after_compaction(
+    spark, tmp_path
+):
+    """The batch-tag (< batch_id) recovery read survives compaction:
+    re-running the LAST batch against the compacted state yields the
+    same survivors (its own appended rows are filtered by tag, the
+    earlier batches' rows are present post-rewrite)."""
+    from trollflow2_spark.extensions.recipe import streaming_recipe_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches the gate and the visitors walk slowly past the old "
+        "stone wall toward the garden where the fountain splashes"
+    )
+    state = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    fn = streaming_recipe_sink(
+        [{"stage": "near_dedup", "threshold": 0.6}],
+        state,
+        out_dir,
+        compact_every=2,
+    )
+    b0 = spark.createDataFrame(
+        [(1, base + " v0")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, base + " v1"), (3, "novel words about engines " * 8)],
+        "doc_id long, text string",
+    )
+    fn(b0, 0)
+    fn(b1, 1)  # compaction fires after this batch
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert first == [1, 3]
+    # crash-recovery replay of batch 1: same batch_id, compacted state
+    fn(b1, 1)
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    # the replay appended the SAME survivors (3; 2 still dropped
+    # against doc 1's carried bands) — no self-invalidation
+    assert again == [1, 3, 3]
+
+
+def test_near_dedup_banding_params_from_recipe(spark, tmp_path):
+    """num_hashes/bands come from the recipe item (the knobs
+    lsh_param_plan chooses), applied consistently to the in-batch
+    stage and the carried band state."""
+    import glob
+
+    from trollflow2_spark.extensions.recipe import replay_recipe_batches
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the keeper "
+        "watches the gate and the visitors walk slowly past the old "
+        "stone wall toward the garden where the fountain splashes"
+    )
+    wd = str(tmp_path / "bands_run")
+    out = replay_recipe_batches(
+        spark,
+        [
+            [{"doc_id": 1, "text": base + " v0"}],
+            [{"doc_id": 2, "text": base + " v1"}],
+        ],
+        "doc_id long, text string",
+        [{"stage": "near_dedup", "threshold": 0.6,
+          "num_hashes": 16, "bands": 8}],
+        work_dir=wd,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+    bands = spark.read.parquet(wd + "/state_ndb")
+    # 16 hashes / 8 bands -> band ids 0..7 for the single survivor
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        r["band"] for r in bands.where(F.col("doc_id") == 1).collect()
+    )
+    assert got == list(range(8))

@@ -130,7 +130,9 @@ def _stage_near_dedup(df: DataFrame, **params) -> DataFrame:
     )
 
     threshold = params.pop("threshold", 0.2)
-    sigs = minhash_signatures(df)
+    # signature width must agree between the minhash pass and the
+    # banding, or a recipe's num_hashes silently applies to only one
+    sigs = minhash_signatures(df, num_hashes=params.get("num_hashes", 8))
     cand = lsh_candidate_pairs(sigs, **params)
     verified = ngram_jaccard_pairs(
         df, candidates=cand, threshold=threshold
@@ -402,8 +404,66 @@ def neardup_increment(
     return batch_df.join(confirmed, "doc_id", "left_anti")
 
 
+def _compact_state(
+    spark,
+    path: str,
+    batch_id: int,
+    ttl_batches: int | None,
+    target_bytes: int,
+) -> None:
+    """Rewrite one batch-tagged parquet state directory into
+    ~``target_bytes`` files (bin count from the repo's own
+    :func:`trollflow2_spark.extensions.profile.compaction_plan` over
+    the directory's file listing — control-plane-sized), optionally
+    dropping rows older than ``ttl_batches`` micro-batches. The
+    ``__bid`` column survives verbatim, so the ``< batch_id``
+    recovery-idempotence read discipline is untouched; the swap is
+    write-tmp -> rename-old -> rename-tmp -> drop-old, the same
+    staged-commit shape as the sink writers (a crash between renames
+    leaves either the old or the new state whole, never a mix)."""
+    from trollflow2_spark.extensions.profile import compaction_plan
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    jpath = hpath(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    listing = [
+        (st.getPath().getName(), int(st.getLen()))
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    if not listing:
+        return
+    files = spark.createDataFrame(listing, "file_id string, bytes long")
+    n_bins = int(
+        compaction_plan(files, target_bytes)
+        .agg(F.max("bin"))
+        .collect()[0][0]
+        or 0
+    ) + 1
+    df = spark.read.parquet(path)
+    if ttl_batches is not None:
+        # bounded state: rows older than the TTL window drop — a doc
+        # that re-arrives after its state expired is re-admitted (the
+        # documented tradeoff of ANY TTL'd streaming dedup)
+        df = df.where(F.col("__bid") > F.lit(batch_id - ttl_batches))
+    tmp, old = path + ".compact", path + ".old"
+    df.repartition(max(1, n_bins)).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath(old), True)
+    fs.rename(jpath, hpath(old))
+    fs.rename(hpath(tmp), jpath)
+    fs.delete(hpath(old), True)
+
+
 def streaming_recipe_sink(
-    recipe: list[dict[str, Any]], state_dir: str, out_dir: str
+    recipe: list[dict[str, Any]],
+    state_dir: str,
+    out_dir: str,
+    compact_every: int | None = None,
+    state_ttl_batches: int | None = None,
+    state_target_bytes: int = 32 << 20,
 ):
     """``foreachBatch`` function applying a corpus recipe PER
     MICRO-BATCH — the reference's message-driven shape
@@ -465,6 +525,12 @@ def streaming_recipe_sink(
                 )
 
                 threshold = item.get("threshold", 0.2)
+                # banding params come from the recipe item (the knobs
+                # lsh_param_plan's S-curve table exists to choose) —
+                # never hardcoded; they parameterize BOTH the in-batch
+                # stage and the carried cross-batch band state
+                num_hashes = item.get("num_hashes", 8)
+                bands = item.get("bands", 4)
                 out = CORPUS_STAGES[name](out, **item)
                 nd_dir = state_dir + "_nd"
                 ndb_dir = state_dir + "_ndb"
@@ -474,7 +540,10 @@ def streaming_recipe_sink(
                     spark._jsc.hadoopConfiguration()
                 )
                 batch_bands = _band_buckets(
-                    minhash_signatures(out), "doc_id", 8, 4
+                    minhash_signatures(out, num_hashes=num_hashes),
+                    "doc_id",
+                    num_hashes,
+                    bands,
                 )
                 if fs.exists(jpath):
                     state_bands = (
@@ -539,6 +608,25 @@ def streaming_recipe_sink(
             else:
                 out = CORPUS_STAGES[name](out, **item)
         out.write.mode("append").parquet(out_dir)
+        # periodic state maintenance: without it, per-batch appends
+        # make the carried state both unbounded AND a small-files
+        # problem at production batch counts — each compaction pass
+        # rewrites every state dir into ~target-size files (bin count
+        # from compaction_plan) and applies the optional TTL, while
+        # preserving the __bid tags the recovery reads key on
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for sdir in (
+                state_dir,
+                state_dir + "_nd",
+                state_dir + "_ndb",
+            ):
+                _compact_state(
+                    spark,
+                    sdir,
+                    batch_id,
+                    state_ttl_batches,
+                    state_target_bytes,
+                )
 
     return fn
 
@@ -550,6 +638,10 @@ def replay_recipe_batches(
     recipe: list[dict[str, Any]],
     shuffle_partitions: int | None = 8,
     timeout_s: int = 120,
+    work_dir: str | None = None,
+    compact_every: int | None = None,
+    state_ttl_batches: int | None = None,
+    state_target_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Drive a corpus recipe through a REAL micro-batched stream: one
     JSON file per batch (mtime-pinned order, ``maxFilesPerTrigger=1``,
@@ -562,9 +654,9 @@ def replay_recipe_batches(
     import tempfile
     import uuid
 
-    d = tempfile.mkdtemp(prefix="tf2recipe_")
+    d = work_dir or tempfile.mkdtemp(prefix="tf2recipe_")
     src = os.path.join(d, "src")
-    os.makedirs(src)
+    os.makedirs(src, exist_ok=True)
     state_dir = os.path.join(d, "state")
     out_dir = os.path.join(d, "out")
     t0 = 1_700_000_000
@@ -587,7 +679,14 @@ def replay_recipe_batches(
         )
         q = (
             stream.writeStream.foreachBatch(
-                streaming_recipe_sink(recipe, state_dir, out_dir)
+                streaming_recipe_sink(
+                    recipe,
+                    state_dir,
+                    out_dir,
+                    compact_every=compact_every,
+                    state_ttl_batches=state_ttl_batches,
+                    state_target_bytes=state_target_bytes,
+                )
             )
             .queryName("tf2_recipe_" + uuid.uuid4().hex[:12])
             .option(
