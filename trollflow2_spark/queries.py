@@ -5161,16 +5161,22 @@ def q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         scene = create_scene(
             spark, [os.path.join(out_dir, "roundtrip.nc")], reader="netcdf"
         )
-        # materialize before the temp file is deleted (the scan is lazy)
-        rows = [
-            (r["product"], r["y"], r["x"], r["value"])
-            for r in scene.select("product", "y", "x", "value").collect()
-        ]
+        # materialize before the temp file is deleted (the scan is
+        # lazy) — eager localCheckpoint pins the partitions in block
+        # storage WITHOUT the old collect -> createDataFrame double
+        # driver hop (two Py4J row transfers that dominated the
+        # query's fixed cost; the r10 bench regression was this
+        # driver-side overhead breathing with JVM load, see NOTES_r11)
+        return (
+            scene.select(
+                "product",
+                F.col("y").cast("int").alias("y"),
+                F.col("x").cast("int").alias("x"),
+                F.col("value").cast("double").alias("value"),
+            ).localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "product string, y int, x int, value double"
-    )
 
 
 # ---------------------------------------------------------------------------
