@@ -166,3 +166,86 @@ def test_encrypted_pdf_flagged_not_failed():
     assert m["ok"] == 1 and m["encrypted"] == 1
     assert m["text"] == ""  # ciphertext suppressed, never garbled
     assert m["n_pages"] == 1  # structure still accounted
+
+
+# --- standard security handler (empty user password) -------------------------
+
+
+def test_rc4_and_aes_published_vectors():
+    """The from-scratch ciphers pin to published vectors: classic RC4
+    pairs, the FIPS-197 AES-128 block, and an SP800-38A CBC block."""
+    from trollflow2_spark.sources.pdftext import (
+        _aes128_cbc_decrypt,
+        _aes128_cbc_encrypt,
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+        _rc4,
+    )
+
+    assert _rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert _rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rks = _aes_expand_key(key)
+    assert _aes_encrypt_block(rks, pt) == ct
+    assert _aes_decrypt_block(rks, ct) == pt
+    k2 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    ct1 = bytes.fromhex("7649abac8119b246cee98e9b12e9197d")
+    pt1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    dec = bytes(
+        a ^ b
+        for a, b in zip(_aes_decrypt_block(_aes_expand_key(k2), ct1), iv)
+    )
+    assert dec == pt1
+    msg = b"pdf aes cbc roundtrip" * 5
+    assert _aes128_cbc_decrypt(
+        k2, _aes128_cbc_encrypt(k2, iv, msg)
+    ) == msg
+
+
+def test_empty_password_decrypts_all_three_cipher_modes():
+    """RC4-40 (/V1/R2), RC4-128 (/V2/R3) and AES-128 (/V4/R4/AESV2)
+    fixtures all open with the empty user password and yield the
+    planted text; the encrypted flag stays honest (=1)."""
+    from trollflow2_spark.queries import _encrypted_pdf_blob
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    for d in (3, 1, 2):  # modes 0, 1, 2; none divisible by 7
+        r = extract_pdf_text(_encrypted_pdf_blob(d))
+        assert r["ok"] == 1 and r["encrypted"] == 1
+        assert r["text"] == f"enc doc {d} code {d % 5}", d
+
+
+def test_real_user_password_stays_suppressed():
+    """A real (non-empty) user password fails the /U check: the doc
+    stays encrypted=1 with text suppressed but fully accounted —
+    never a task failure."""
+    from trollflow2_spark.queries import _encrypted_pdf_blob
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    for d in (0, 7, 14):  # locked docs across all three cipher modes
+        r = extract_pdf_text(_encrypted_pdf_blob(d))
+        assert r["ok"] == 1 and r["encrypted"] == 1
+        assert r["text"] == "" and r["n_pages"] == 1
+
+
+def test_malformed_encrypt_dict_stays_suppressed():
+    """An /Encrypt dict without usable /O//U (the legacy fixture
+    shape, and any unsupported /V) keeps the old behavior verbatim:
+    encrypted=1, text empty."""
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    blob = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 24 >> stream\nBT (never seen) Tj ET\nendstream endobj\n"
+        b"9 0 obj << /Filter /Standard /V 1 >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF"
+    )
+    r = extract_pdf_text(blob)
+    assert r["encrypted"] == 1 and r["text"] == ""

@@ -1023,6 +1023,26 @@ SELECT doc_id, sample_idx,
 FROM s
 """
 
+# empty-user-password PDF decryption: every doc is a real encrypted
+# one-pager (cipher cycles RC4-40/RC4-128/AES-128 by doc_id % 3);
+# every 7th locks with a real user password and stays suppressed
+ORACLES["pdf_text_encrypted"] = """
+WITH e AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN ''
+         ELSE 'enc doc ' || doc_id || ' code ' || (doc_id % 5)
+    END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(1 AS INTEGER) AS ok,
+  CAST(1 AS INTEGER) AS n_pages,
+  CAST(1 AS INTEGER) AS encrypted,
+  text,
+  CAST(length(text) AS INTEGER) AS text_len
+FROM e
+"""
+
 # GOP rollup replay: I at cadence k (spacing k between I frames when
 # two exist), P/B split by (d+i) parity off-cadence, tail GOP runs
 # from the last I to the stream end

@@ -7266,6 +7266,175 @@ def q_pdf_text_objstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_text_table(media)
 
 
+def _encrypted_pdf_blob(d: int) -> bytes:
+    """Closed-form standard-security-handler fixture: a one-page PDF
+    whose content stream is REALLY encrypted — per doc_id % 3 with
+    RC4 40-bit (/V 1 /R 2), RC4 128-bit (/V 2 /R 3 /Length 128), or
+    AES-128-CBC (/V 4 /R 4 /AESV2) — with /O, /U and the file /ID
+    derived exactly per ISO 32000-1 Algorithms 2/3/4/5 (forward
+    authoring of the same math `sources/pdftext.py` inverts). The user
+    password is EMPTY (the owner-restricted crawl case) except every
+    7th doc, which locks with a real user password and must stay
+    text-suppressed. The IV and /ID are md5-derived from doc_id —
+    deterministic, so the oracle states the recovered text verbatim."""
+    import hashlib
+    import struct
+
+    from trollflow2_spark.sources.pdftext import (
+        _PDF_PAD,
+        _aes128_cbc_encrypt,
+        _rc4,
+    )
+
+    locked = d % 7 == 0
+    mode = d % 3
+    user_pw = b"secret" if locked else b""
+    owner_pw = b"owner"
+    p_flags = -44
+    id0 = hashlib.md5(f"id{d}".encode()).digest()
+    if mode == 0:
+        v, r, nbytes = 1, 2, 5
+    elif mode == 1:
+        v, r, nbytes = 2, 3, 16
+    else:
+        v, r, nbytes = 4, 4, 16
+
+    def padded(pw: bytes) -> bytes:
+        return (pw + _PDF_PAD)[:32]
+
+    # Algorithm 3: /O from the owner password
+    h = hashlib.md5(padded(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    ko = h[:nbytes]
+    o = _rc4(ko, padded(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in ko), o)
+    # Algorithm 2: the file key (from the USER password)
+    hh = hashlib.md5(
+        padded(user_pw) + o + struct.pack("<i", p_flags) + id0
+    )
+    key = hh.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()
+    key = key[:nbytes]
+    # Algorithms 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PDF_PAD)
+    else:
+        x = hashlib.md5(_PDF_PAD + id0).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        u = x + bytes(16)
+    # Algorithm 1: encrypt the content stream as object 4 0
+    base = f"BT /F1 12 Tf (enc doc {d} code {d % 5}) Tj ET".encode()
+    ok = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little")
+        + (b"sAlT" if mode == 2 else b"")
+    ).digest()[: min(nbytes + 5, 16)]
+    # the sequential no-xref reader frames streams by regex, so the
+    # (pseudorandom) ciphertext must not collide with the framing
+    # tokens or end in \\r (which stream\\r?\\n trimming would eat);
+    # pad the plaintext with spaces after ET (extraction-invariant)
+    # until the ciphertext is framing-clean — deterministic in doc_id
+    for j in range(64):
+        content = base + b" " * j
+        if mode == 2:
+            iv = hashlib.md5(f"iv{d}:{j}".encode()).digest()
+            ct = _aes128_cbc_encrypt(ok, iv, content)
+        else:
+            ct = _rc4(ok, content)
+        if (
+            b"endstream" not in ct
+            and b"endobj" not in ct
+            and ct[-1] not in (0x0D, 0x0A)
+        ):
+            break
+    if mode == 0:
+        enc = (
+            b"<< /Filter /Standard /V 1 /R 2 /O <" + o.hex().encode()
+            + b"> /U <" + u.hex().encode() + b"> /P -44 >>"
+        )
+    elif mode == 1:
+        enc = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <"
+            + o.hex().encode() + b"> /U <" + u.hex().encode()
+            + b"> /P -44 >>"
+        )
+    else:
+        enc = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <" + o.hex().encode()
+            + b"> /U <" + u.hex().encode() + b"> /P -44 >>"
+        )
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> "
+        b"endobj\n",
+        b"4 0 obj << /Length " + str(len(ct)).encode()
+        + b" >> stream\n" + ct + b"\nendstream endobj\n",
+        b"5 0 obj " + enc + b" endobj\n",
+    ]
+    trailer = (
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<"
+        + id0.hex().encode() + b"> <" + id0.hex().encode()
+        + b">] >>\n"
+    )
+    return b"%PDF-1.6\n" + b"".join(objs) + trailer + b"%%EOF"
+
+
+def q_pdf_text_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-user-password PDF decryption — the owner-restricted class
+    that dominates encrypted crawl PDFs: the standard security handler
+    derives the file key from the EMPTY padded password, checks it
+    against /U, and decrypts streams per object (RC4 /V 1-2, AES-128
+    /V 4 /AESV2) before text extraction; a REAL user password fails
+    the /U check and stays encrypted=1 with text suppressed (every 7th
+    fixture doc). Ciphers are from-scratch stdlib, pinned against
+    FIPS-197 / SP800-38A / classic RC4 vectors in tests. The oracle
+    restates the recovered plaintext closed-form per doc_id."""
+    import pandas as pd
+
+    from trollflow2_spark.sources.pdftext import pdf_text_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encrypted_pdf_blob(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return pdf_text_table(media).select(
+        "doc_id",
+        "ok",
+        "n_pages",
+        "encrypted",
+        "text",
+        F.length("text").alias("text_len"),
+    )
+
+
 def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF extraction over real JPEG segment structures: closed-form
     APP1/Exif IFD0 fields in BOTH TIFF byte orders, SOF dimensions,
@@ -9741,6 +9910,7 @@ QUERIES = {
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
     "pdf_text_objstm": q_pdf_text_objstm,
+    "pdf_text_encrypted": q_pdf_text_encrypted,
     "subtitle_text": q_subtitle_text,
     "audio_fingerprint": q_audio_fingerprint,
     "feed_urls": q_feed_urls,

@@ -265,7 +265,332 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
 
 
 _OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
-_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+
+
+# --- standard security handler: the empty-user-password case ----------------
+#
+# The overwhelmingly common encrypted PDF in a crawl is
+# "owner-restricted": encrypted so viewers enforce print/copy flags,
+# but openable by ANYONE because the user password is empty — every
+# viewer opens it silently. ISO 32000-1 §7.6.3: derive the file key
+# from the EMPTY padded password (Algorithm 2), check it against /U
+# (Algorithm 6), then decrypt streams per-object (Algorithm 1) with
+# RC4 (/V 1-2) or AES-128-CBC (/V 4 /AESV2). A wrong or real user
+# password fails the /U check and the document stays encrypted=1 with
+# text suppressed — decryption is attempted, never forced. Both
+# ciphers are from-scratch stdlib-only (house style: VP8/JPEG/zstd/
+# brotli are too), pinned against FIPS-197 / RFC 6229-class vectors
+# in tests/test_pdftext.py.
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypts and decrypts)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_tables():
+    """(sbox, inv_sbox, gmul tables for 9, 11, 13, 14) built once."""
+    # S-box via the standard GF(2^8) inverse + affine construction
+    p, q, sbox = 1, 1, [0] * 256
+    while True:
+        p = p ^ ((p << 1) & 0xFF) ^ (0x1B if p & 0x80 else 0)
+        q ^= q << 1
+        q ^= q << 2
+        q ^= q << 4
+        q &= 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        sbox[p] = (
+            q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6))
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4)) ^ 0x63
+        ) & 0xFF
+        if p == 1:
+            break
+    sbox[0] = 0x63
+    inv = [0] * 256
+    for i, v in enumerate(sbox):
+        inv[v] = i
+
+    def gm(a, b):
+        r = 0
+        for _ in range(8):
+            if b & 1:
+                r ^= a
+            hi = a & 0x80
+            a = (a << 1) & 0xFF
+            if hi:
+                a ^= 0x1B
+            b >>= 1
+        return r
+
+    mul = {
+        c: [gm(c, x) for x in range(256)] for c in (2, 3, 9, 11, 13, 14)
+    }
+    return sbox, inv, mul
+
+
+_AES_SBOX, _AES_INV_SBOX, _AES_MUL = _aes_tables()
+_AES_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    """AES-128 key schedule: 11 round keys of 16 bytes each."""
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_AES_SBOX[b] for b in t]
+            t[0] ^= _AES_RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _aes_decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    """FIPS-197 InvCipher on one 16-byte block (state is the flat
+    column-major byte list, matching the round-key layout)."""
+    s = [block[i] ^ rks[10][i] for i in range(16)]
+    for rnd in range(9, 0, -1):
+        # InvShiftRows: row r rotates right by r (flat index r + 4c)
+        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+        s = [_AES_INV_SBOX[b] for b in s]
+        s = [b ^ rks[rnd][i] for i, b in enumerate(s)]
+        m = _AES_MUL
+        t = list(s)
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = t[c], t[c + 1], t[c + 2], t[c + 3]
+            s[c] = m[14][a0] ^ m[11][a1] ^ m[13][a2] ^ m[9][a3]
+            s[c + 1] = m[9][a0] ^ m[14][a1] ^ m[11][a2] ^ m[13][a3]
+            s[c + 2] = m[13][a0] ^ m[9][a1] ^ m[14][a2] ^ m[11][a3]
+            s[c + 3] = m[11][a0] ^ m[13][a1] ^ m[9][a2] ^ m[14][a3]
+    s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+    s = [_AES_INV_SBOX[b] for b in s]
+    return bytes(b ^ rks[0][i] for i, b in enumerate(s))
+
+
+def _aes_encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    """FIPS-197 forward cipher on one block — the half the fixture
+    authoring and conformance tests need (the crawl path only ever
+    decrypts)."""
+    s = [block[i] ^ rks[0][i] for i in range(16)]
+    m = _AES_MUL
+    for rnd in range(1, 10):
+        s = [_AES_SBOX[b] for b in s]
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+        t = list(s)
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = t[c], t[c + 1], t[c + 2], t[c + 3]
+            s[c] = m[2][a0] ^ m[3][a1] ^ a2 ^ a3
+            s[c + 1] = a0 ^ m[2][a1] ^ m[3][a2] ^ a3
+            s[c + 2] = a0 ^ a1 ^ m[2][a2] ^ m[3][a3]
+            s[c + 3] = m[3][a0] ^ a1 ^ a2 ^ m[2][a3]
+        s = [b ^ rks[rnd][i] for i, b in enumerate(s)]
+    s = [_AES_SBOX[b] for b in s]
+    s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+    return bytes(b ^ rks[10][i] for i, b in enumerate(s))
+
+
+def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PDF AESV2 authoring: PKCS#5-pad, CBC-chain, prepend the IV."""
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    rks = _aes_expand_key(key)
+    out = bytearray(iv)
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = bytes(
+            a ^ b for a, b in zip(data[off : off + 16], prev)
+        )
+        prev = _aes_encrypt_block(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """PDF AESV2 stream layout: 16-byte IV prefix, CBC body, PKCS#5
+    padding. Returns None on malformed framing."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    rks = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for off in range(16, len(data), 16):
+        blk = data[off : off + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rks, blk), prev)
+        )
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        return None
+    return bytes(out[:-pad])
+
+
+def _dict_string_bytes(body: bytes, key: bytes) -> bytes | None:
+    """Raw bytes of a ``/Key (...)`` or ``/Key <...>`` entry in a COS
+    dict body — literal strings honor the binary escape set
+    (``\\ooo``, ``\\\\``, ``\\(``, ``\\)``); hex strings pad odd
+    length per spec."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if not m:
+        return None
+    i = m.end()
+    if i >= len(body):
+        return None
+    if body[i] == ord("<"):
+        j = body.index(b">", i)
+        hx = re.sub(rb"\s", b"", body[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("latin-1"))
+    if body[i] != ord("("):
+        return None
+    out = bytearray()
+    i += 1
+    depth = 1
+    while i < len(body):
+        b = body[i]
+        if b == 0x5C and i + 1 < len(body):  # backslash
+            nxt = body[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_s = b""
+                while j < len(body) and len(oct_s) < 3 and 0x30 <= body[j] <= 0x37:
+                    oct_s += bytes([body[j]])
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                i = j
+                continue
+            mapped = {
+                ord("n"): 10, ord("r"): 13, ord("t"): 9,
+                ord("b"): 8, ord("f"): 12, ord("("): 40,
+                ord(")"): 41, ord("\\"): 92,
+            }.get(nxt)
+            if mapped is not None:
+                out.append(mapped)
+            i += 2
+            continue
+        if b == ord("("):
+            depth += 1
+        elif b == ord(")"):
+            depth -= 1
+            if depth == 0:
+                return bytes(out)
+        out.append(b)
+        i += 1
+    return None
+
+
+def _try_empty_user_password(
+    blob: bytes, bodies: dict[int, bytes]
+) -> tuple[bytes, str] | None:
+    """Attempt the standard-security-handler open with the EMPTY user
+    password: returns ``(file_key, cipher)`` with cipher ``"rc4"`` or
+    ``"aes"`` when the /U check passes, else None (unsupported
+    revision, missing entries, or a REAL user password)."""
+    import hashlib
+    import struct
+
+    em = _ENCRYPT_RE.search(blob)
+    if not em:
+        return None
+    enc = bodies.get(int(em.group(1)))
+    if enc is None or b"/Standard" not in enc:
+        return None
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else (2 if v == 1 else 3)
+    o = _dict_string_bytes(enc, b"O")
+    u = _dict_string_bytes(enc, b"U")
+    if not (o and u and pm) or len(o) < 32 or v not in (1, 2, 4):
+        return None
+    if r not in (2, 3, 4):
+        return None
+    cipher = "rc4"
+    if v == 4:
+        # /CF << /StdCF << /CFM /AESV2|/V2 >> >> with /StmF /StdCF
+        if b"/AESV2" in enc:
+            cipher = "aes"
+        elif b"/V2" not in enc:
+            return None
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    n = (int(lm.group(1)) // 8) if lm else 5
+    if r == 2:
+        n = 5
+    if v == 4 and cipher == "aes":
+        n = 16
+    if not 5 <= n <= 16:
+        return None
+    idm = re.search(
+        rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", blob
+    )
+    id0 = (
+        bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode())
+        if idm
+        else b""
+    )
+    p_bytes = struct.pack("<i", int(pm.group(1)))
+    h = hashlib.md5(_PDF_PAD + o[:32] + p_bytes + id0)
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    # Algorithm 6: does the empty user password open this file?
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u[:32]
+    else:
+        x = hashlib.md5(_PDF_PAD + id0).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x[:16] == u[:16]
+    return (key, cipher) if ok else None
+
+
+def _decrypt_stream(
+    key: bytes, cipher: str, num: int, gen: int, data: bytes
+) -> bytes | None:
+    """Algorithm 1 per-object decryption: object key =
+    MD5(file_key + objnum[3 LE] + gennum[2 LE] (+ "sAlT" for AESV2)),
+    truncated to min(len+5, 16)."""
+    import hashlib
+
+    ok = hashlib.md5(
+        key
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+        + (b"sAlT" if cipher == "aes" else b"")
+    ).digest()[: min(len(key) + 5, 16)]
+    if cipher == "aes":
+        return _aes128_cbc_decrypt(ok, data)
+    return _rc4(ok, data)
 
 
 def _unpack_objstm(body: bytes, data: bytes) -> list[tuple[int, bytes]]:
@@ -326,23 +651,44 @@ def extract_pdf_text(blob: bytes) -> dict:
     page_texts: list[str] = []
     pages: list[tuple[int | None, bytes]] = []  # (content ref, page body)
     bodies: dict[int, bytes] = {}
+    gens: dict[int, int] = {}
+    raw_streams: dict[int, bytes] = {}
     streams: dict[int, bytes] = {}
     objstms: list[tuple[bytes, bytes]] = []  # (dict body, inflated data)
     for m in _OBJ_RE.finditer(blob):
         num = int(m.group(1))
-        body = m.group(3)
-        bodies[num] = body
-        sm = _STREAM_RE.search(body)
+        bodies[num] = m.group(3)
+        gens[num] = int(m.group(2))
+        sm = _STREAM_RE.search(m.group(3))
         if sm:
-            data = sm.group(1)
-            if b"/FlateDecode" in body:
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error:
-                    continue
-            streams[num] = data
-            if _OBJSTM_TYPE_RE.search(body):
-                objstms.append((body, data))
+            raw_streams[num] = sm.group(1)
+    # empty-user-password open (the owner-restricted crawl case):
+    # when the /U check passes, stream bytes decrypt per object BEFORE
+    # any Flate inflate; when it fails (real password, unsupported /V)
+    # the pipeline below sees the raw bytes unchanged and the text
+    # stays suppressed — same accounting as before, never a failure
+    enc_open = (
+        _try_empty_user_password(blob, bodies)
+        if out["encrypted"]
+        else None
+    )
+    for num, data in raw_streams.items():
+        body = bodies[num]
+        if enc_open is not None:
+            dec = _decrypt_stream(
+                enc_open[0], enc_open[1], num, gens.get(num, 0), data
+            )
+            if dec is None:
+                continue
+            data = dec
+        if b"/FlateDecode" in body:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        streams[num] = data
+        if _OBJSTM_TYPE_RE.search(body):
+            objstms.append((body, data))
     for body, data in objstms:
         for num, packed in _unpack_objstm(body, data):
             bodies.setdefault(num, packed)
@@ -357,7 +703,7 @@ def extract_pdf_text(blob: bytes) -> dict:
         pm = re.search(rb"/Producer\s*\(([^)]*)\)", body)
         if pm:
             out["producer"] = pm.group(1).decode("latin-1", "replace")
-    if out["encrypted"]:
+    if out["encrypted"] and enc_open is None:
         out["text"] = ""
         return out
     for ref, page_body in pages:
