@@ -134,3 +134,101 @@ def test_oracle_agrees_at_sf0001(spark, sf_dir):
         map(tuple, con.execute(ORACLES["bpe_train"]).fetchall())
     )
     assert got == want
+
+
+# --- byte level --------------------------------------------------------------
+
+
+def test_byte_symbols_roundtrip_property():
+    """The byte-symbol map is a bijection and tokens invert to the
+    exact original UTF-8 bytes — GPT-2's lossless-byte property."""
+    import re
+
+    from trollflow2_spark.extensions.tokenizer import (
+        BYTE_SYMBOLS,
+        greedy_encode_word,
+        normalize_for_bpe_bytes,
+        symbols_to_bytes,
+        train_bpe_vocab,
+    )
+
+    assert len(set(BYTE_SYMBOLS)) == 256
+    assert all(len(s) == 1 and not s.isspace() for s in BYTE_SYMBOLS)
+    texts = ["Café №1 日本語",
+             "naïve 'quoted' {braces} \\slash",
+             "смесь of скрипты",
+             "emoji \U0001F600 end"]
+    words = [w for t in texts for w in normalize_for_bpe_bytes(t)]
+    vocab = sorted(
+        set(train_bpe_vocab(words, n_merges=10)) | set(BYTE_SYMBOLS)
+    )
+    vs, ml = set(vocab), max(len(v) for v in vocab)
+    for t in texts:
+        originals = [x for x in re.split("[ \t\n\r\f\x0b]+", t) if x]
+        for w, orig in zip(normalize_for_bpe_bytes(t), originals):
+            toks = greedy_encode_word(w, vs, ml)
+            assert "<unk>" not in toks  # full alphabet seeded
+            assert symbols_to_bytes("".join(toks)) == orig.encode(
+                "utf-8"
+            )
+
+
+def test_byte_level_distributed_equals_sequential(spark):
+    """The distributed byte-level trainer equals the sequential
+    reference merge-for-merge — INCLUDING symbols that are SQL-hostile
+    ({braces}, 'quotes', backslash — from literal text bytes), which
+    pins the escaped-literal merge expressions."""
+    from trollflow2_spark.extensions.tokenizer import (
+        normalize_for_bpe_bytes,
+        train_bpe_distributed,
+    )
+
+    texts = [
+        "it's it's it's {x} {x} a\\b a\\b Café Café Café",
+        "日本 日本 it's {x} a\\b Café",
+    ]
+    words = []
+    for t in texts:
+        words.extend(normalize_for_bpe_bytes(t))
+    n = 10
+    ref = _reference_merges(words, n)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = train_bpe_distributed(
+        df, n_merges=n, byte_level=True
+    ).collect()
+    got = [
+        (r["pair_a"], r["pair_b"], r["cnt"])
+        for r in sorted(
+            (r for r in rows if r["kind"] == "merge"),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    assert got == ref[: len(got)]
+    assert len(got) == min(n, len(ref))
+    chars = sorted(r["token"] for r in rows if r["kind"] == "char")
+    assert chars == sorted({ch for w in words for ch in w})
+
+
+def test_byte_level_tokenize_n_unk_zero(spark):
+    """tokenize_greedy in byte mode never emits <unk>: any byte
+    sequence — emoji, CJK, accents — encodes through the seeded
+    alphabet."""
+    from trollflow2_spark.extensions.tokenizer import (
+        sample_vocab,
+        tokenize_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Café №0 日本語"),
+         (1, "plain ascii"),
+         (2, "\U0001F600 emoji bell")],
+        "doc_id long, text string",
+    )
+    vocab = sample_vocab(df, byte_level=True, sample_n=2, n_merges=4)
+    out = tokenize_greedy(df, vocab, byte_level=True).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_unk"] == 0
+        assert r["n_tokens"] >= 1

@@ -49,6 +49,58 @@ def normalize_for_bpe(text: str) -> list[str]:
     return [w[: C.BPE_WORD_MAX] for w in t.split(" ") if w]
 
 
+def _byte_symbol_table() -> list[str]:
+    """GPT-2-style byte -> printable-symbol map (Radford et al. 2019,
+    the public ``bytes_to_unicode`` construction): printable latin
+    bytes map to themselves, everything else (controls, space, DEL,
+    0x80-0xA0, 0xAD) shifts into U+0100+ — so EVERY byte has a
+    visible, whitespace-free single-char symbol and byte-level BPE
+    never needs an <unk>. Index by byte value."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    table: list[str] = [""] * 256
+    shift = 0
+    for b in range(256):
+        if b in keep:
+            table[b] = chr(b)
+        else:
+            table[b] = chr(256 + shift)
+            shift += 1
+    return table
+
+
+#: byte value -> symbol char (1:1, reversible)
+BYTE_SYMBOLS = _byte_symbol_table()
+_SYMBOL_BYTES = {s: b for b, s in enumerate(BYTE_SYMBOLS)}
+
+
+def symbols_to_bytes(sym: str) -> bytes:
+    """Inverse of the byte-symbol map: a byte-level token stream
+    concatenated and inverted reconstructs the original UTF-8 bytes
+    exactly (the round-trip property the tests pin)."""
+    return bytes(_SYMBOL_BYTES[ch] for ch in sym)
+
+
+def normalize_for_bpe_bytes(
+    text: str, word_max: int = C.BPE_WORD_MAX
+) -> list[str]:
+    """Byte-level normalization: split on ASCII whitespace ONLY (the
+    subset Java regex, RE2 and Python agree on — parity across all
+    three engines), truncate each word at ``word_max`` CHARACTERS
+    (character truncation never splits a UTF-8 sequence, and SQL
+    replays it as a plain substring), then map the word's UTF-8 bytes
+    through :data:`BYTE_SYMBOLS`. Case is preserved — byte-level
+    tokenizers do not fold."""
+    return [
+        "".join(BYTE_SYMBOLS[b] for b in w[:word_max].encode("utf-8"))
+        for w in re.split(r"[ \t\n\r\f\x0b]+", text)
+        if w
+    ]
+
+
 def train_bpe_vocab(words, n_merges: int = C.BPE_MERGES) -> list[str]:
     """Learn a BPE vocabulary from an iterable of (already normalized)
     words. Returns the sorted vocabulary: every single character seen
@@ -94,18 +146,25 @@ def sample_vocab(
     id_col: str = "doc_id",
     sample_n: int = C.BPE_SAMPLE_N,
     n_merges: int = C.BPE_MERGES,
+    byte_level: bool = False,
 ) -> list[str]:
     """Train on the ``sample_n`` lowest-id documents (deterministic
     across engines and partitionings, same convention as the k-means
-    centroids)."""
+    centroids). ``byte_level=True`` trains over byte symbols and seeds
+    the FULL 256-symbol alphabet (GPT-2 byte fallback: any byte
+    sequence encodes, <unk> is unreachable)."""
     rows = (
         df.select(id_col, text_col).orderBy(id_col).limit(int(sample_n))
         .collect()
     )
+    norm = normalize_for_bpe_bytes if byte_level else normalize_for_bpe
     words: list[str] = []
     for r in rows:
-        words.extend(normalize_for_bpe(r[text_col] or ""))
-    return train_bpe_vocab(words, n_merges=n_merges)
+        words.extend(norm(r[text_col] or ""))
+    vocab = train_bpe_vocab(words, n_merges=n_merges)
+    if byte_level:
+        vocab = sorted(set(vocab) | set(BYTE_SYMBOLS))
+    return vocab
 
 
 def greedy_encode_word(word: str, vocab: set, max_len: int) -> list[str]:
@@ -135,6 +194,7 @@ def tokenize_greedy(
     vocab: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Greedy longest-match subword encoding against a trained vocab.
 
@@ -150,6 +210,8 @@ def tokenize_greedy(
     max_len = max((len(v) for v in vset), default=1)
     bc = spark.sparkContext.broadcast((vset, max_len))
 
+    norm = normalize_for_bpe_bytes if byte_level else normalize_for_bpe
+
     @F.pandas_udf("string")
     def encode(texts: pd.Series) -> pd.Series:
         vs, ml = bc.value
@@ -158,7 +220,7 @@ def tokenize_greedy(
             if t is None:
                 return ""
             toks: list[str] = []
-            for w in normalize_for_bpe(t):
+            for w in norm(t):
                 toks.extend(greedy_encode_word(w, vs, ml))
             return " ".join(toks)
 
@@ -369,12 +431,35 @@ def normalized_words(
     df: DataFrame,
     text_col: str = "text",
     word_max: int = C.BPE_WORD_MAX,
+    byte_level: bool = False,
 ) -> DataFrame:
     """The Spark-Column form of :func:`normalize_for_bpe`: lowercase,
     non-alphanumerics to space, whitespace-collapse, split, drop
     empties, truncate. One map-only pass over the scan — every engine
     (this, the pure-Python trainer, the DuckDB oracles) derives words
-    with the identical rule so trained vocabularies agree."""
+    with the identical rule so trained vocabularies agree.
+
+    ``byte_level=True`` is the Column form of
+    :func:`normalize_for_bpe_bytes`: ASCII-whitespace split, character
+    truncation, then UTF-8 bytes mapped 1:1 to symbols entirely
+    JVM-side — ``decode(encode(w, UTF-8), ISO-8859-1)`` turns each
+    byte into its latin-1 codepoint and one ``translate`` applies the
+    GPT-2 byte-symbol table. Still zero Python, zero shuffle."""
+    if byte_level:
+        w = F.substring("__w", 1, int(word_max))
+        sym = F.translate(
+            F.decode(F.encode(w, "UTF-8"), "ISO-8859-1"),
+            "".join(chr(b) for b in range(256)),
+            "".join(BYTE_SYMBOLS),
+        )
+        return df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+"),
+                    lambda x: x != "",
+                )
+            ).alias("__w")
+        ).select(sym.alias("word"))
     t = F.regexp_replace(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
         " +",
@@ -387,12 +472,23 @@ def normalized_words(
     ).select(F.substring("__w", 1, int(word_max)).alias("word"))
 
 
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal for an ARBITRARY
+    symbol — backslashes and quotes escaped. Byte-level symbols
+    include ``'``, ``\\`` and ``{``/``}``, so merge expressions are
+    built by escaping + concatenation, never by format templates or
+    raw interpolation (the injection-safety contract of the byte-level
+    tier; alphabet restriction is no longer what protects us)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def train_bpe_distributed(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 12,
     word_max: int = C.BPE_WORD_MAX,
     checkpoint_every: int = 4,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Distributed BPE training — the scale-correct form of
     :func:`train_bpe_vocab`.
@@ -431,7 +527,12 @@ def train_bpe_distributed(
     """
     spark = df.sparkSession
     wf = (
-        normalized_words(df, text_col=text_col, word_max=word_max)
+        normalized_words(
+            df,
+            text_col=text_col,
+            word_max=word_max,
+            byte_level=byte_level,
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn(
@@ -467,15 +568,17 @@ def train_bpe_distributed(
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
         ab = a + b
+        # literals built by escaping + concatenation — see _sql_str
         wf = wf.withColumn(
             "syms",
             F.expr(
                 "aggregate(syms, cast(array() as array<string>),"
                 " (acc, s) -> CASE WHEN size(acc) > 0"
-                " AND element_at(acc, -1) = '{a}' AND s = '{b}'"
-                " THEN concat(slice(acc, 1, size(acc) - 1),"
-                " array('{ab}'))"
-                " ELSE concat(acc, array(s)) END)".format(a=a, b=b, ab=ab)
+                " AND element_at(acc, -1) = " + _sql_str(a)
+                + " AND s = " + _sql_str(b)
+                + " THEN concat(slice(acc, 1, size(acc) - 1),"
+                " array(" + _sql_str(ab) + "))"
+                " ELSE concat(acc, array(s)) END)"
             ),
         )
         if (it + 1) % int(checkpoint_every) == 0:

@@ -3792,6 +3792,167 @@ UNION ALL
 ORACLES["bpe_train"] = _bpe_train_oracle_sql()
 
 
+# --- byte-level BPE (GPT-2 byte fallback) -----------------------------------
+
+_BPE_BYTES_SUFFIX_SQL = "text || ' Café №' || (doc_id % 3) || ' 日本語'"
+
+
+def _byte_symbol_values() -> str:
+    """The 256-row (hex byte, symbol) VALUES literal both byte-level
+    oracles join through — symbols escaped for DuckDB ('' doubling;
+    DuckDB literals are backslash-free, so that is the whole escape
+    surface)."""
+    from trollflow2_spark.extensions.tokenizer import BYTE_SYMBOLS
+
+    return ",".join(
+        "('{:02X}','{}')".format(b, sym.replace("'", "''"))
+        for b, sym in enumerate(BYTE_SYMBOLS)
+    )
+
+
+def _bpe_bytes_words_sql(where: str) -> str:
+    """CTE chain turning the non-ASCII fixture text into byte-symbol
+    words (doc_id, wpos, word): ASCII-whitespace collapse, split,
+    character truncation, then hex(encode(word)) pairs joined through
+    the byte-symbol map — the SQL replay of
+    ``normalize_for_bpe_bytes``."""
+    return f"""bytemap(h, sym) AS MATERIALIZED (
+  SELECT * FROM (VALUES {_byte_symbol_values()}) b(h, sym)
+),
+bnorm AS MATERIALIZED (
+  SELECT doc_id,
+    regexp_replace({_BPE_BYTES_SUFFIX_SQL},
+                   '[ \t\n\r\f\x0B]+', ' ', 'g') AS t
+  FROM documents {where}
+),
+bwords0 AS MATERIALIZED (
+  SELECT doc_id, (u).pos AS wpos,
+    substring((u).w, 1, {C.BPE_WORD_MAX}) AS rawword
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(len(ws)),
+        i -> struct_pack(pos := i, w := ws[i+1]))) AS u
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split(t, ' '), x -> x <> '') AS ws
+      FROM bnorm
+    )
+  )
+),
+bwords AS MATERIALIZED (
+  SELECT doc_id, wpos, string_agg(sym, '' ORDER BY i) AS word
+  FROM (
+    SELECT doc_id, wpos, hx, unnest(range(length(hx) // 2)) AS i
+    FROM (SELECT doc_id, wpos, hex(encode(rawword)) AS hx FROM bwords0)
+  ) q JOIN bytemap ON h = substring(hx, i * 2 + 1, 2)
+  GROUP BY doc_id, wpos
+)"""
+
+
+def _bpe_bytes_oracle_sql() -> str | None:
+    """bpe_tokenize_bytes: vocab from the SHARED byte-level training
+    routine (full-alphabet-seeded) as literals; normalization and the
+    greedy longest-match replayed in SQL over the same fixture."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from trollflow2_spark.extensions.tokenizer import (
+        BYTE_SYMBOLS,
+        normalize_for_bpe_bytes,
+        train_bpe_vocab,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{path}' ORDER BY doc_id"
+        f" LIMIT {C.BPE_SAMPLE_N}"
+    ).fetchall()
+    words: list = []
+    for did, t in rows:
+        fixture = (t or "") + f" Café №{did % 3} 日本語"
+        words.extend(normalize_for_bpe_bytes(fixture))
+    vocab = sorted(
+        set(train_bpe_vocab(words, n_merges=C.BPE_MERGES))
+        | set(BYTE_SYMBOLS)
+    )
+    values = ",".join(
+        "('{}')".format(v.replace("'", "''")) for v in vocab
+    )
+    unk = C.BPE_UNK
+    words_chain = _bpe_bytes_words_sql(
+        f"WHERE doc_id % {C.BPE_DOC_MOD} = 0"
+    )
+    return f"""
+WITH RECURSIVE vocab(tok) AS (
+  SELECT * FROM (VALUES {values}) v(t)
+),
+{words_chain},
+step (doc_id, wpos, rest, toks) AS (
+  SELECT doc_id, wpos, word, '' FROM bwords
+  UNION ALL
+  SELECT doc_id, wpos,
+    CASE WHEN best IS NULL THEN substring(rest, 2)
+         ELSE substring(rest, length(best) + 1) END,
+    toks || CASE WHEN toks = '' THEN '' ELSE ' ' END
+         || coalesce(best, '{unk}')
+  FROM (
+    SELECT s.doc_id, s.wpos, s.rest, s.toks,
+      (SELECT v.tok FROM vocab v
+       WHERE starts_with(s.rest, v.tok)
+       ORDER BY length(v.tok) DESC, v.tok LIMIT 1) AS best
+    FROM step s WHERE s.rest <> ''
+  )
+),
+done AS (
+  SELECT doc_id, wpos, toks FROM step WHERE rest = ''
+),
+agg AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY wpos) AS tokens_str
+  FROM done GROUP BY doc_id
+)
+SELECT doc_id, tokens_str,
+  CAST(len(string_split(tokens_str, ' ')) AS INTEGER) AS n_tokens,
+  CAST((length(tokens_str) -
+        length(replace(tokens_str, '{unk}', ''))) / {len(unk)}
+       AS INTEGER) AS n_unk
+FROM agg
+"""
+
+
+_bpe_bytes_sql = _bpe_bytes_oracle_sql()
+if _bpe_bytes_sql is not None:
+    ORACLES["bpe_tokenize_bytes"] = _bpe_bytes_sql
+
+
+def _bpe_train_bytes_oracle_sql(
+    n_merges: int = C.BPE_DIST_MERGES,
+) -> str:
+    """bpe_train_bytes: the identical unrolled-iteration replay as
+    ``bpe_train`` (island-parity greedy rewrite, no Python-trained
+    literals) over BYTE-SYMBOL words from the non-ASCII fixture."""
+    base = _bpe_train_oracle_sql(n_merges)
+    # swap the [a-z0-9] prelude (norm/words CTEs) for the byte chain,
+    # keeping wf/s0 and every iteration verbatim
+    head, _, tail = base.partition("wf AS MATERIALIZED (")
+    assert tail, "bpe_train oracle shape changed"
+    byte_words = _bpe_bytes_words_sql("")
+    return f"""
+WITH {byte_words},
+words AS MATERIALIZED (
+  SELECT word FROM bwords
+),
+wf AS MATERIALIZED ({tail}"""
+
+
+ORACLES["bpe_train_bytes"] = _bpe_train_bytes_oracle_sql()
+
+
 def _semantic_dedup_oracle_sql() -> str | None:
     """Semantic-dedup oracle: the same centroid literals and rounded-
     argmax assignment as the IVF oracle, within-cell cosine edges at

@@ -1963,6 +1963,63 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe_distributed(docs, n_merges=C.BPE_DIST_MERGES)
 
 
+def _bpe_bytes_docs(spark: SparkSession, sf_dir: str):
+    """The byte-level BPE fixture corpus: every document's text gains
+    a non-ASCII suffix (accented latin, a 3-byte symbol, CJK) so the
+    byte tier trains and encodes over real multi-byte UTF-8 — the SQL
+    oracle rebuilds the identical text closed-form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Café №"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(" 日本語"),
+        ).alias("text"),
+    )
+
+
+def q_bpe_tokenize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE encoding (GPT-2 byte fallback): words split on
+    ASCII whitespace keep their case, map their UTF-8 bytes through
+    the 256-symbol table, and greedy-encode against a vocabulary
+    seeded with the FULL byte alphabet — so accented latin, CJK and
+    any other byte sequence tokenizes with <unk> unreachable (n_unk
+    pinned 0 by construction). The oracle embeds the shared-routine
+    vocab plus the byte-symbol map as literal tables and replays
+    normalization (hex(encode(word)) -> symbol join) and the greedy
+    match in SQL over the same non-ASCII fixture."""
+    from trollflow2_spark.extensions.tokenizer import (
+        sample_vocab,
+        tokenize_greedy,
+    )
+
+    docs = _bpe_bytes_docs(spark, sf_dir)
+    vocab = sample_vocab(docs, byte_level=True)
+    subset = docs.filter(F.col("doc_id") % C.BPE_DOC_MOD == 0)
+    return tokenize_greedy(subset, vocab, byte_level=True)
+
+
+def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training at BYTE level: the one-pass word-
+    frequency table is built from UTF-8 bytes mapped to symbols
+    entirely JVM-side (encode -> latin-1 decode -> one translate), and
+    the merge loop's literal-bearing fold expressions are built by
+    ESCAPING (quotes/backslashes in byte symbols), not by alphabet
+    restriction — the injection-safety contract of the byte tier. The
+    oracle replays every iteration unrolled in SQL over the same
+    byte-symbolized words (no Python-trained literals)."""
+    from trollflow2_spark.extensions.tokenizer import (
+        train_bpe_distributed,
+    )
+
+    docs = _bpe_bytes_docs(spark, sf_dir)
+    return train_bpe_distributed(
+        docs, n_merges=C.BPE_DIST_MERGES, byte_level=True
+    )
+
+
 def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (the hashing trick): model-free dense
     text vectors from token-bucket counts — the entry point that feeds
@@ -10071,6 +10128,8 @@ QUERIES = {
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
     "bpe_train": q_bpe_train,
+    "bpe_train_bytes": q_bpe_train_bytes,
+    "bpe_tokenize_bytes": q_bpe_tokenize_bytes,
     "url_dedup_latest": q_url_dedup_latest,
     "robots_filter": q_robots_filter,
     "nb_lang_classifier": q_nb_lang_classifier,
