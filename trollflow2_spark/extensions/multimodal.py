@@ -1599,6 +1599,137 @@ def h264_slice_index(
     )
 
 
+H264_KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("y_tl", T.IntegerType()),
+        T.StructField("y_tr", T.IntegerType()),
+        T.StructField("y_bl", T.IntegerType()),
+        T.StructField("y_br", T.IntegerType()),
+        T.StructField("u_tl", T.IntegerType()),
+        T.StructField("v_tl", T.IntegerType()),
+    ]
+)
+
+
+def _avcc_parameter_sets(b: bytes) -> tuple[list[bytes], list[bytes]]:
+    """SPS and PPS NALs from the first avcC box in an ISO-BMFF blob."""
+    i = b.find(b"avcC")
+    if i < 0:
+        raise ValueError("no avcC box")
+    pos = i + 4 + 5  # config version..lengthSizeMinusOne
+    n_sps = b[pos] & 0x1F
+    pos += 1
+    sps = []
+    for _ in range(n_sps):
+        ln = int.from_bytes(b[pos : pos + 2], "big")
+        sps.append(b[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    n_pps = b[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        ln = int.from_bytes(b[pos : pos + 2], "big")
+        pps.append(b[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    return sps, pps
+
+
+def h264_keyframe_decode(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL H.264 keyframe decode for mp4/avc1 blobs — the step past
+    :func:`h264_slice_index`'s header reads: the first stss keyframe
+    sample's IDR slice decodes through the from-scratch baseline
+    intra decoder (`sinks/h264.py`: CAVLC, I16x16/I4x4/I_PCM, 4:2:0)
+    into Y/U/V planes, reported as exact integer pixel evidence (sum
+    + the four MB-corner samples + chroma corners). Non-mp4, non-avc1
+    and non-decodable payloads yield zero rows, never task failures —
+    Arrow ``mapInPandas``, one blob per row, the standard intake
+    shape."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from trollflow2_spark.sinks.h264 import (
+            decode_idr,
+            parse_pps,
+            parse_sps,
+            rbsp_unescape,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    b = bytes(blob) if blob is not None else b""
+                    meta = parse_mp4_index(b)
+                    if (
+                        not meta
+                        or meta.get("codec") != "avc1"
+                        or not meta.get("samples")
+                    ):
+                        continue
+                    key = next(
+                        (
+                            s
+                            for s in meta["samples"]
+                            if s.get("is_keyframe")
+                        ),
+                        meta["samples"][0],
+                    )
+                    off, size = key["byte_offset"], key["sample_bytes"]
+                    if off is None or off + size > len(b):
+                        continue
+                    sps_l, pps_l = _avcc_parameter_sets(b)
+                    sps = parse_sps(rbsp_unescape(sps_l[0][1:]))
+                    pps = parse_pps(rbsp_unescape(pps_l[0][1:]))
+                    pos, end = off, off + size
+                    planes = None
+                    while pos + 5 <= end:
+                        ln = int.from_bytes(b[pos : pos + 4], "big")
+                        if ln < 1 or pos + 4 + ln > end:
+                            break
+                        nal = b[pos + 4 : pos + 4 + ln]
+                        if (nal[0] & 0x1F) == 5:
+                            planes = decode_idr(
+                                sps, pps, rbsp_unescape(nal[1:])
+                            )
+                            break
+                        pos += 4 + ln
+                    if planes is None:
+                        continue
+                    y, u, v = planes
+                    h, w = y.shape
+                    rows.append(
+                        (
+                            int(d),
+                            w,
+                            h,
+                            int(y.astype("int64").sum()),
+                            int(y[0][0]),
+                            int(y[0][w - 1]),
+                            int(y[h - 1][0]),
+                            int(y[h - 1][w - 1]),
+                            int(u[0][0]),
+                            int(v[0][0]),
+                        )
+                    )
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in H264_KEYFRAME_SCHEMA.fields],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, H264_KEYFRAME_SCHEMA
+    )
+
+
 def video_gop_stats(si: DataFrame) -> DataFrame:
     """GOP-structure rollup over a slice index (the output shape of
     :func:`h264_slice_index`): per video, I/P/B counts and the maximum

@@ -1043,6 +1043,49 @@ SELECT doc_id,
 FROM e
 """
 
+# REAL H.264 IDR decode: the fixture's DC-only macroblock chains
+# reconstruct closed-form at QP 28 — the oracle inlines the spec
+# arithmetic (8.5.10 luma-DC dequant (32k+32)>>6 at qp 28 with
+# dc level 8k; 8.5.12 plain-DC 4L for the I4x4 variant; 8.5.11
+# chroma (48x+32)>>6), the DC prediction chains (left / top / both),
+# and the exact 256-per-MB pixel sum
+ORACLES["multimodal_decode_h264"] = """
+WITH p AS (
+  SELECT doc_id,
+    doc_id % 9 - 4 AS kk0, (doc_id + 3) % 9 - 4 AS k1,
+    (doc_id + 5) % 9 - 4 AS k2, (doc_id + 7) % 9 - 4 AS k3,
+    doc_id % 5 - 2 AS lx
+  FROM documents WHERE doc_id % 11 <> 0
+), c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN 128 + 4 * lx
+         ELSE 128 + CAST(floor((32 * kk0 + 32) / 64.0) AS INT)
+    END AS c0,
+    CAST(floor((32 * k1 + 32) / 64.0) AS INT) AS d1,
+    CAST(floor((32 * k2 + 32) / 64.0) AS INT) AS d2,
+    CAST(floor((32 * k3 + 32) / 64.0) AS INT) AS d3,
+    128 + CAST(floor((48 * lx + 32) / 64.0) AS INT) AS cu
+  FROM p
+), q AS (
+  SELECT doc_id, c0, c0 + d1 AS c1, c0 + d2 AS c2, d3, cu FROM c
+), r AS (
+  SELECT doc_id, c0, c1, c2,
+    ((16 * c1 + 16 * c2 + 16) // 32) + d3 AS c3, cu
+  FROM q
+)
+SELECT doc_id,
+  CAST(32 AS INTEGER) AS width,
+  CAST(32 AS INTEGER) AS height,
+  CAST(256 * (c0 + c1 + c2 + c3) AS BIGINT) AS sum_y,
+  CAST(c0 AS INTEGER) AS y_tl,
+  CAST(c1 AS INTEGER) AS y_tr,
+  CAST(c2 AS INTEGER) AS y_bl,
+  CAST(c3 AS INTEGER) AS y_br,
+  CAST(cu AS INTEGER) AS u_tl,
+  CAST(128 AS INTEGER) AS v_tl
+FROM r
+"""
+
 # GOP rollup replay: I at cadence k (spacing k between I frames when
 # two exist), P/B split by (d+i) parity off-cadence, tail GOP runs
 # from the last I to the stream end

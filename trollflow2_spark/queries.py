@@ -5920,6 +5920,137 @@ def q_h264_slice_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h264_slice_index(media)
 
 
+def _mp4_h264_blob(d: int) -> bytes:
+    """Closed-form DECODABLE mp4/avc1 fixture: a 32x32 IDR picture
+    authored by the repo's full-control H.264 encoder
+    (`sinks/h264.py`) — four macroblocks whose DC chains are
+    closed-form in doc_id at QP 28: MB0 is Intra_16x16 DC (or, every
+    7th doc, an Intra_4x4 all-DC macroblock) with a single luma DC
+    level, MB1/MB2 predict DC from MB0's reconstructed edges, MB3
+    from both, and MB0 carries one chroma-U DC level. The avcC box
+    embeds the real SPS+PPS; the one stss keyframe sample is the
+    length-prefixed IDR NAL. Every 11th doc is not an mp4."""
+    if d % 11 == 0:
+        return b"\x00\x00\x00\x08oops" + bytes([d % 256])
+    from trollflow2_spark.sinks.h264 import (
+        H264IntraEncoder,
+        build_pps,
+        build_sps,
+        split_annexb,
+    )
+
+    k0 = d % 9 - 4
+    k1 = (d + 3) % 9 - 4
+    k2 = (d + 5) % 9 - 4
+    k3 = (d + 7) % 9 - 4
+    lx = d % 5 - 2
+    enc = H264IntraEncoder(2, 2, qp=28)
+    cdc = [[6 * lx, 0, 0, 0], [0, 0, 0, 0]]
+    if d % 7 == 0:
+        enc.add_i4(
+            [2] * 16,
+            luma=[[lx] + [0] * 15] + [[0] * 16] * 15,
+            chroma_dc=cdc,
+        )
+    else:
+        enc.add_i16(2, dc=[8 * k0] + [0] * 15, chroma_dc=cdc)
+    enc.add_i16(2, dc=[8 * k1] + [0] * 15)
+    enc.add_i16(2, dc=[8 * k2] + [0] * 15)
+    enc.add_i16(2, dc=[8 * k3] + [0] * 15)
+    nals = split_annexb(enc.encode())
+    idr = next(n for n in nals if (n[0] & 0x1F) == 5)
+    sps_nal, pps_nal = build_sps(2, 2), build_pps()
+
+    def box(ty: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + ty + payload
+
+    avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + b"\x01" + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    avc1 = box(b"avc1", bytes(78) + box(b"avcC", avcc))
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + avc1)
+    sample = len(idr).to_bytes(4, "big") + idr
+    stts = box(
+        b"stts",
+        bytes(4) + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + (100).to_bytes(4, "big"),
+    )
+    stsz = box(
+        b"stsz",
+        bytes(4) + (0).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + len(sample).to_bytes(4, "big"),
+    )
+    stss = box(
+        b"stss", bytes(4) + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+    )
+    stsc = box(
+        b"stsc",
+        bytes(4) + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stco = box(
+        b"stco", bytes(4) + (1).to_bytes(4, "big") + (32).to_bytes(4, "big")
+    )
+    stbl = box(b"stbl", stsd + stts + stsz + stss + stsc + stco)
+    minf = box(b"minf", box(b"vmhd", bytes(12)) + stbl)
+    mdhd = box(
+        b"mdhd",
+        bytes(12) + (600).to_bytes(4, "big") + (100).to_bytes(4, "big")
+        + bytes(4),
+    )
+    mdia = box(b"mdia", mdhd + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+    ftyp = (24).to_bytes(4, "big") + b"ftypisom" + bytes(4) + b"isomiso2"
+    mdat = box(b"mdat", sample)
+    return ftyp + mdat + moov
+
+
+def q_multimodal_decode_h264(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL H.264 IDR decode from mp4 — the inter-frame-video tier's
+    keyframe-decode step (CODECS.md): `h264_keyframe_decode` walks the
+    sample tables to the first stss keyframe, reads SPS/PPS from
+    avcC, and decodes the IDR slice through the from-scratch baseline
+    intra decoder (CAVLC entropy, I16x16/I4x4 prediction, integer
+    inverse transforms, per-spec dequant). The fixture's DC-only
+    macroblock chains reconstruct in closed form, so every output
+    pixel sample and the exact luma sum are SQL-restatable (spec
+    8.5.10/8.5.12 arithmetic inlined in the oracle). Non-mp4 docs
+    (every 11th) yield zero rows."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import (
+        h264_keyframe_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _mp4_h264_blob(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return h264_keyframe_decode(media)
+
+
 def q_video_gop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOP-structure rollup over the coded slice evidence: per video,
     I/P/B counts and the maximum GOP length (spacing between
@@ -9963,6 +10094,7 @@ QUERIES = {
     "ogg_page_index": q_ogg_page_index,
     "h264_slice_index": q_h264_slice_index,
     "video_gop_stats": q_video_gop_stats,
+    "multimodal_decode_h264": q_multimodal_decode_h264,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
