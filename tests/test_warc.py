@@ -559,3 +559,25 @@ def test_robots_allowed_rfc9309_semantics(spark):
     for r in out:
         assert r["got"] == r["want"], r["path"]
         assert r["n"] == 5  # empty Disallow and non-rule lines dropped
+
+
+def test_detected_utf8_overrides_lying_single_byte_header():
+    """A genuine multi-byte UTF-8 payload declared as a single-byte
+    charset (which would 'decode fine' into mojibake) is detected and
+    decoded as UTF-8, with charset_source='detected'; a REAL cp1252
+    payload (invalid as UTF-8) keeps its declared codec; pure-ASCII
+    bodies never trigger detection (both codecs agree anyway)."""
+    from trollflow2_spark.sources.warc import decode_payload_text
+
+    t, cs, src, ok = decode_payload_text(
+        "übergröße 中".encode("utf-8"), "text/html; charset=iso-8859-1"
+    )
+    assert (t, cs, src, ok) == ("übergröße 中", "utf-8", "detected", 1)
+    t, cs, src, ok = decode_payload_text(
+        "déjà €".encode("cp1252"), "text/html; charset=windows-1252"
+    )
+    assert (t, cs, src, ok) == ("déjà €", "cp1252", "header", 1)
+    t, cs, src, ok = decode_payload_text(
+        b"plain ascii only", "text/html; charset=iso-8859-1"
+    )
+    assert (cs, src, ok) == ("cp1252", "header", 1)

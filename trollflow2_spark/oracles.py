@@ -518,23 +518,24 @@ ORACLES["warc_ingest_br"] = ORACLES["warc_ingest"]
 # and the resolution source (header -> meta -> BOM -> default).
 ORACLES["warc_charset"] = """
 WITH e AS (
-  SELECT doc_id, doc_id % 5 AS m,
-    CASE doc_id % 5
+  SELECT doc_id, doc_id % 6 AS m,
+    CASE doc_id % 6
       WHEN 0 THEN 'Prix ' || (doc_id % 7) || ' € — “déjà vu”'
       WHEN 1 THEN '日本語 ' || (doc_id % 7) || ' 円です'
       WHEN 2 THEN '<html><head><meta charset=iso-8859-1></head>'
                   || '<body>café niño ' || (doc_id % 7)
                   || '</body></html>'
       WHEN 3 THEN 'BOM doc ' || (doc_id % 7) || ' ✓ 中文'
-      ELSE 'plain ' || (doc_id % 7) || ' naïve text'
+      WHEN 4 THEN 'plain ' || (doc_id % 7) || ' naïve text'
+      ELSE 'lied ' || (doc_id % 7) || ' übergröße 中'
     END AS text
   FROM documents
 )
 SELECT doc_id,
   CASE m WHEN 0 THEN 'cp1252' WHEN 1 THEN 'shift_jis'
          WHEN 2 THEN 'cp1252' ELSE 'utf-8' END AS charset,
-  CASE m WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
-         WHEN 4 THEN 'default' ELSE 'header' END AS charset_source,
+  CASE m WHEN 2 THEN 'meta' WHEN 3 THEN 'bom' WHEN 4 THEN 'default'
+         WHEN 5 THEN 'detected' ELSE 'header' END AS charset_source,
   CAST(1 AS INTEGER) AS decode_ok,
   text,
   CAST(length(text) AS INTEGER) AS text_len

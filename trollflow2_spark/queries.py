@@ -1566,8 +1566,10 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycle five charset situations — windows-1252 and Shift_JIS
     declared in the HTTP Content-Type header, ISO-8859-1 declared only
     by a <meta charset> tag (folded to cp1252 per WHATWG, the browser
-    behavior), a UTF-8 BOM with no declaration anywhere, and a bare
-    UTF-8 default — each with non-ASCII text that mojibakes under a
+    behavior), a UTF-8 BOM with no declaration anywhere, a bare
+    UTF-8 default, and a LYING header (genuine multi-byte UTF-8
+    declared iso-8859-1) that strict-UTF-8 detection overrides with
+    charset_source='detected'  — each with non-ASCII text that mojibakes under a
     plain cast. The real HTTP envelope parse supplies the header path;
     resolution order header -> meta -> BOM -> default is observable in
     charset_source. The oracle restates the decoded UTF-8 text, the
@@ -1575,7 +1577,7 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trollflow2_spark.sources.warc import decoded_text
 
     def build(d):
-        m = d % 5
+        m = d % 6
         if m == 0:
             body = f"Prix {d % 7} € — “déjà vu”".encode("cp1252")
             ctype = "text/html; charset=windows-1252"
@@ -1593,9 +1595,14 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"BOM doc {d % 7} ✓ 中文".encode("utf-8")
             )
             ctype = "text/html"
-        else:
+        elif m == 4:
             body = f"plain {d % 7} naïve text".encode("utf-8")
             ctype = "text/html"
+        else:
+            # the lying header: genuine multi-byte UTF-8 declared as
+            # ISO-8859-1 — strict-UTF-8 detection must override
+            body = f"lied {d % 7} übergröße 中".encode("utf-8")
+            ctype = "text/html; charset=iso-8859-1"
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
             + b"\r\n\r\n" + body

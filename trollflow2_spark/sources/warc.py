@@ -650,6 +650,23 @@ def decode_payload_text(
     charset is the normalized codec name (utf-8-sig/utf-16 BOM
     variants report their family name; the BOM itself is stripped)."""
     codec, source = resolve_charset(ctype, body)
+    # the chardet-class correction the wild crawl needs: single-byte
+    # charsets (cp1252, iso-8859-x, koi8, ...) decode ANY byte string
+    # "successfully", so a UTF-8 page mislabeled latin-1 would
+    # mojibake with ok=1 and no signal. If the declared codec is
+    # single-byte but the payload strict-decodes as UTF-8 AND
+    # actually uses multi-byte sequences, the declaration is lying \u2014
+    # prefer UTF-8 and say so in charset_source ("detected").
+    if (
+        source in ("header", "meta")
+        and codec not in ("utf-8", "utf-8-sig", "utf-16", "utf-32")
+    ):
+        has_high = any(b >= 0x80 for b in body)
+        if has_high:
+            try:
+                return body.decode("utf-8"), "utf-8", "detected", 1
+            except UnicodeDecodeError:
+                pass
     try:
         text, ok = body.decode(codec), 1
     except UnicodeDecodeError:
