@@ -249,3 +249,51 @@ def test_malformed_encrypt_dict_stays_suppressed():
     )
     r = extract_pdf_text(blob)
     assert r["encrypted"] == 1 and r["text"] == ""
+
+
+def test_aes256_fips_vectors_and_hardened_hash_shape():
+    """AES-256/192 pin to FIPS-197 known answers; the R6 hardened
+    hash is deterministic, 32 bytes, and password/salt sensitive."""
+    from trollflow2_spark.sources.pdftext import (
+        _aes_cbc_decrypt_nopad,
+        _aes_cbc_encrypt_nopad,
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+        pdf2_hardened_hash,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k256 = bytes(range(32))
+    ct256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rks = _aes_expand_key(k256)
+    assert _aes_encrypt_block(rks, pt) == ct256
+    assert _aes_decrypt_block(rks, ct256) == pt
+    k192 = bytes(range(24))
+    assert _aes_encrypt_block(
+        _aes_expand_key(k192), pt
+    ) == bytes.fromhex("dda97ca4864cdfe06eaf70a0ec0d7191")
+    msg = bytes(range(48))
+    wrapped = _aes_cbc_encrypt_nopad(k256, bytes(16), msg)
+    assert _aes_cbc_decrypt_nopad(k256, bytes(16), wrapped) == msg
+    h1 = pdf2_hardened_hash(b"", b"saltsalt")
+    assert len(h1) == 32
+    assert h1 == pdf2_hardened_hash(b"", b"saltsalt")
+    assert h1 != pdf2_hardened_hash(b"x", b"saltsalt")
+    assert h1 != pdf2_hardened_hash(b"", b"SALTSALT")
+
+
+def test_v5_r6_empty_password_opens_and_real_stays_locked():
+    """PDF 2.0 AES-256 (/V 5 /R 6): the hardened-hash /U check with
+    the empty password recovers the file key from /UE and decrypts
+    the content; a real user password stays suppressed. (Fixture
+    doc_ids with d % 4 == 3 take the V5 path; 21 is locked AND V5.)"""
+    from trollflow2_spark.queries import _encrypted_pdf_blob
+    from trollflow2_spark.sources.pdftext import extract_pdf_text
+
+    for d in (3, 11, 15):  # open V5 docs
+        r = extract_pdf_text(_encrypted_pdf_blob(d))
+        assert r["encrypted"] == 1
+        assert r["text"] == f"enc doc {d} code {d % 5}", d
+    r = extract_pdf_text(_encrypted_pdf_blob(35))  # 35 % 7 == 0, % 4 == 3
+    assert r["encrypted"] == 1 and r["text"] == ""

@@ -7482,11 +7482,13 @@ def _encrypted_pdf_blob(d: int) -> bytes:
     )
 
     locked = d % 7 == 0
-    mode = d % 3
+    mode = d % 4
     user_pw = b"secret" if locked else b""
     owner_pw = b"owner"
     p_flags = -44
     id0 = hashlib.md5(f"id{d}".encode()).digest()
+    if mode == 3:
+        return _encrypted_pdf_blob_v5(d, user_pw, owner_pw)
     if mode == 0:
         v, r, nbytes = 1, 2, 5
     elif mode == 1:
@@ -7582,6 +7584,75 @@ def _encrypted_pdf_blob(d: int) -> bytes:
         + b">] >>\n"
     )
     return b"%PDF-1.6\n" + b"".join(objs) + trailer + b"%%EOF"
+
+
+def _encrypted_pdf_blob_v5(d: int, user_pw: bytes, owner_pw: bytes) -> bytes:
+    """The PDF 2.0 branch of the encrypted fixture: /V 5 /R 6 AES-256
+    with the hardened Algorithm 2.B hash — /U carries
+    hash+validation-salt+key-salt, /UE wraps a doc-deterministic
+    256-bit file key, /O//OE computed per spec over U as udata, and
+    the content stream encrypts under the FILE key directly (no
+    per-object derivation at /V 5)."""
+    import hashlib
+
+    from trollflow2_spark.sources.pdftext import (
+        _aes128_cbc_encrypt,
+        _aes_cbc_encrypt_nopad,
+        pdf2_hardened_hash,
+    )
+
+    # salts/key cycle with period 8: the hardened hash costs ~64x128
+    # AES blocks BY DESIGN (it is an anti-brute-force KDF), so the
+    # fixture reuses 8 salt sets and the memoized hash makes both
+    # authoring and the decoder's verification batch-cheap while the
+    # planted text stays per-doc
+    file_key = hashlib.sha256(f"fk{d % 8}".encode()).digest()
+    vsalt = hashlib.sha256(f"vs{d % 8}".encode()).digest()[:8]
+    ksalt = hashlib.sha256(f"ks{d % 8}".encode()).digest()[:8]
+    u = pdf2_hardened_hash(user_pw, vsalt) + vsalt + ksalt
+    ue = _aes_cbc_encrypt_nopad(
+        pdf2_hardened_hash(user_pw, ksalt), bytes(16), file_key
+    )
+    ovs = hashlib.sha256(f"ov{d % 8}".encode()).digest()[:8]
+    oks = hashlib.sha256(f"ok{d % 8}".encode()).digest()[:8]
+    o = pdf2_hardened_hash(owner_pw, ovs, u) + ovs + oks
+    oe = _aes_cbc_encrypt_nopad(
+        pdf2_hardened_hash(owner_pw, oks, u), bytes(16), file_key
+    )
+    base = f"BT /F1 12 Tf (enc doc {d} code {d % 5}) Tj ET".encode()
+    for j in range(64):
+        iv = hashlib.md5(f"iv{d}:{j}".encode()).digest()
+        ct = _aes128_cbc_encrypt(file_key, iv, base + b" " * j)
+        if (
+            b"endstream" not in ct
+            and b"endobj" not in ct
+            and ct[-1] not in (0x0D, 0x0A)
+        ):
+            break
+    enc = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+        + b"> /OE <" + oe.hex().encode() + b"> /UE <"
+        + ue.hex().encode() + b"> /P -44 >>"
+    )
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> "
+        b"endobj\n",
+        b"4 0 obj << /Length " + str(len(ct)).encode()
+        + b" >> stream\n" + ct + b"\nendstream endobj\n",
+        b"5 0 obj " + enc + b" endobj\n",
+    ]
+    trailer = (
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<"
+        + hashlib.md5(f"id{d}".encode()).hexdigest().encode() + b"> <"
+        + hashlib.md5(f"id{d}".encode()).hexdigest().encode()
+        + b">] >>\n"
+    )
+    return b"%PDF-2.0\n" + b"".join(objs) + trailer + b"%%EOF"
 
 
 def q_pdf_text_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:

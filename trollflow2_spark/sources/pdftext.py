@@ -356,23 +356,33 @@ _AES_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _aes_expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule: 11 round keys of 16 bytes each."""
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """AES key schedule for 128/192/256-bit keys: Nr+1 round keys of
+    16 bytes each (FIPS-197 §5.2 — the i % Nk == 4 SubWord step for
+    Nk = 8 included)."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8):
+        raise ValueError("AES key must be 16/24/32 bytes")
+    nr = {4: 10, 6: 12, 8: 14}[nk]
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_AES_SBOX[b] for b in t]
-            t[0] ^= _AES_RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _AES_RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _aes_decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
     """FIPS-197 InvCipher on one 16-byte block (state is the flat
-    column-major byte list, matching the round-key layout)."""
-    s = [block[i] ^ rks[10][i] for i in range(16)]
-    for rnd in range(9, 0, -1):
+    column-major byte list, matching the round-key layout; round
+    count from the expanded key — 128/192/256 all supported)."""
+    nr = len(rks) - 1
+    s = [block[i] ^ rks[nr][i] for i in range(16)]
+    for rnd in range(nr - 1, 0, -1):
         # InvShiftRows: row r rotates right by r (flat index r + 4c)
         s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
         s = [_AES_INV_SBOX[b] for b in s]
@@ -394,9 +404,10 @@ def _aes_encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
     """FIPS-197 forward cipher on one block — the half the fixture
     authoring and conformance tests need (the crawl path only ever
     decrypts)."""
+    nr = len(rks) - 1
     s = [block[i] ^ rks[0][i] for i in range(16)]
     m = _AES_MUL
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_AES_SBOX[b] for b in s]
         s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
         t = list(s)
@@ -409,7 +420,7 @@ def _aes_encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
         s = [b ^ rks[rnd][i] for i, b in enumerate(s)]
     s = [_AES_SBOX[b] for b in s]
     s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-    return bytes(b ^ rks[10][i] for i, b in enumerate(s))
+    return bytes(b ^ rks[nr][i] for i, b in enumerate(s))
 
 
 def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -426,6 +437,72 @@ def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         prev = _aes_encrypt_block(rks, blk)
         out += prev
     return bytes(out)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encrypt, no padding, no IV prefix (the PDF 2.0 key
+    wrap and hardened-hash inner cipher use exact-multiple inputs)."""
+    if len(data) % 16:
+        raise ValueError("CBC-nopad needs a 16-byte multiple")
+    rks = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
+        prev = _aes_encrypt_block(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC decrypt, no padding, no IV prefix."""
+    if len(data) % 16:
+        raise ValueError("CBC-nopad needs a 16-byte multiple")
+    rks = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = data[off : off + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rks, blk), prev)
+        )
+        prev = blk
+    return bytes(out)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1024)
+def pdf2_hardened_hash(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the /R 6 iterated hash): SHA-256
+    seed, then rounds of AES-128-CBC over 64 repetitions of
+    (password + K + udata) with the digest function cycling through
+    SHA-256/384/512 by the ciphertext's leading-16-byte sum mod 3,
+    terminating after >= 64 rounds when the last ciphertext byte
+    drops to round - 32. /R 5 (the deprecated Adobe revision) is the
+    plain SHA-256(password + salt + udata) — handled by the caller.
+    Memoized: ~64 x 128 pure-Python AES blocks per evaluation is the
+    spec's deliberate brute-force cost; a crawl batch re-verifying
+    the same (password, salt) pair must not re-pay it."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k[:32] + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e)
+            if mod == 0
+            else hashlib.sha384(e)
+            if mod == 1
+            else hashlib.sha512(e)
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
@@ -453,7 +530,7 @@ def _dict_string_bytes(body: bytes, key: bytes) -> bytes | None:
     dict body — literal strings honor the binary escape set
     (``\\ooo``, ``\\\\``, ``\\(``, ``\\)``); hex strings pad odd
     length per spec."""
-    m = re.search(rb"/" + key + rb"\s*", body)
+    m = re.search(rb"/" + key + rb"(?![A-Za-z])\s*", body)
     if not m:
         return None
     i = m.end()
@@ -526,6 +603,29 @@ def _try_empty_user_password(
     r = int(rm.group(1)) if rm else (2 if v == 1 else 3)
     o = _dict_string_bytes(enc, b"O")
     u = _dict_string_bytes(enc, b"U")
+    if v == 5:
+        # PDF 2.0 (AESV3): /R 5 plain-SHA-256, /R 6 hardened hash;
+        # /U = hash(32) + validation salt(8) + key salt(8), /UE wraps
+        # the 256-bit file key under the key-salt-derived key
+        ue_b = _dict_string_bytes(enc, b"UE")
+        if not (u and ue_b) or len(u) < 48 or len(ue_b) < 32:
+            return None
+        if r not in (5, 6):
+            return None
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 5:
+            h = hashlib.sha256(b"" + vsalt).digest()
+        else:
+            h = pdf2_hardened_hash(b"", vsalt)
+        if h != u[:32]:
+            return None
+        ik = (
+            hashlib.sha256(b"" + ksalt).digest()
+            if r == 5
+            else pdf2_hardened_hash(b"", ksalt)
+        )
+        file_key = _aes_cbc_decrypt_nopad(ik, bytes(16), ue_b[:32])
+        return file_key, "aes256"
     if not (o and u and pm) or len(o) < 32 or v not in (1, 2, 4):
         return None
     if r not in (2, 3, 4):
@@ -582,6 +682,9 @@ def _decrypt_stream(
     truncated to min(len+5, 16)."""
     import hashlib
 
+    if cipher == "aes256":
+        # /V 5: the file key is used directly for every object
+        return _aes128_cbc_decrypt(key, data)
     ok = hashlib.md5(
         key
         + num.to_bytes(3, "little")
