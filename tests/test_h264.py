@@ -426,3 +426,25 @@ def test_conformance_against_system_decoder():  # pragma: no cover
         "system decoder present — wire up the ctypes harness "
         "(see test_vp8_conformance.py for the protocol)"
     )
+
+
+def test_frame_sample_mp4_route_pure_python():
+    """frame_sample's mp4 kernel decodes every stss keyframe; the
+    multi-keyframe fixture's DC constants match the 8.5.10 model and
+    non-avc1 blobs stay a loud NotImplementedError."""
+    import math
+
+    from trollflow2_spark.extensions.multimodal import (
+        _decode_mp4_keyframes,
+    )
+    from trollflow2_spark.queries import _mp4_h264_multi_blob
+
+    for d in (1, 5, 14):
+        frames = _decode_mp4_keyframes(_mp4_h264_multi_blob(d))
+        assert len(frames) == 2 + d % 3
+        for k, f in enumerate(frames):
+            kk = (d + k) % 9 - 4
+            want = 128 + math.floor((32 * kk + 32) / 64)
+            assert (f == want).all(), (d, k)
+    with pytest.raises(NotImplementedError):
+        _decode_mp4_keyframes(b"\x00\x00\x00\x08oops4567")

@@ -570,9 +570,11 @@ def frame_sample(
       and decode through the repo's own T.81 codec.
 
     Every ``every_n_frames``-th frame is sampled and ``frame_byte``
-    carries that frame's max pixel value. Inter-frame-predicted video
-    codecs (H.264 etc.) need a decoder not present in this environment
-    and raise ``NotImplementedError``.
+    carries that frame's max pixel value. mp4/avc1 blobs route their
+    stss KEYFRAMES through the from-scratch H.264 baseline intra
+    decoder (`sinks/h264.py`); inter-predicted (P/B) frames remain
+    the documented boundary and raise ``NotImplementedError`` only
+    for containers with no decodable keyframe route at all.
 
     FAKE route (``fake=True``): samples every ``every_n_bytes``-th byte
     of the raw payload as a stand-in "frame" — the fan-out row shape
@@ -642,13 +644,22 @@ def frame_sample(
                         )
 
                         frames = decode_pnm_frames(blob)
+                    elif len(blob) >= 8 and blob[4:8] == b"ftyp":
+                        # mp4/avc1: every stss KEYFRAME decodes
+                        # through the from-scratch H.264 baseline
+                        # intra decoder (sinks/h264.py) — the
+                        # clip-sampling route real video needs;
+                        # inter (P/B) frames remain the documented
+                        # boundary and are not sampled
+                        frames = _decode_mp4_keyframes(blob)
                     else:
                         raise NotImplementedError(
                             "frame sampling beyond paged-TIFF, MJPEG, "
-                            "animated WebP, animated GIF and concatenated-"
-                            "netpbm containers requires a video codec not "
-                            "present in this environment; pass fake=True "
-                            "for the byte sampler"
+                            "animated WebP, animated GIF, concatenated-"
+                            "netpbm and mp4/avc1-keyframe containers: "
+                            "inter-frame (P/B) decode needs a video "
+                            "codec not present in this environment; "
+                            "pass fake=True for the byte sampler"
                         )
                     for fi in range(0, len(frames), every_n_frames):
                         ids.append(int(d))
@@ -1636,6 +1647,45 @@ def _avcc_parameter_sets(b: bytes) -> tuple[list[bytes], list[bytes]]:
         pps.append(b[pos + 2 : pos + 2 + ln])
         pos += 2 + ln
     return sps, pps
+
+
+def _decode_mp4_keyframes(blob: bytes) -> list:
+    """All stss-keyframe luma planes of an mp4/avc1 blob, decoded by
+    the from-scratch H.264 baseline intra decoder — the per-item
+    kernel behind frame_sample's mp4 route. Raises on non-avc1 or
+    undecodable streams (frame_sample's contract is loud)."""
+    from trollflow2_spark.sinks.h264 import (
+        decode_idr,
+        parse_pps,
+        parse_sps,
+        rbsp_unescape,
+    )
+
+    meta = parse_mp4_index(blob)
+    if not meta or meta.get("codec") != "avc1" or not meta.get("samples"):
+        raise NotImplementedError("mp4 without a decodable avc1 track")
+    sps_l, pps_l = _avcc_parameter_sets(blob)
+    sps = parse_sps(rbsp_unescape(sps_l[0][1:]))
+    pps = parse_pps(rbsp_unescape(pps_l[0][1:]))
+    frames = []
+    for smp in meta["samples"]:
+        if not smp.get("is_keyframe"):
+            continue
+        off, size = smp["byte_offset"], smp["sample_bytes"]
+        if off is None or off + size > len(blob):
+            continue
+        pos, end = off, off + size
+        while pos + 5 <= end:
+            ln = int.from_bytes(blob[pos : pos + 4], "big")
+            if ln < 1 or pos + 4 + ln > end:
+                break
+            nal = blob[pos + 4 : pos + 4 + ln]
+            if (nal[0] & 0x1F) == 5:
+                y, _, _ = decode_idr(sps, pps, rbsp_unescape(nal[1:]))
+                frames.append(y)
+                break
+            pos += 4 + ln
+    return frames
 
 
 def h264_keyframe_decode(

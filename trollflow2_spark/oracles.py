@@ -1087,6 +1087,23 @@ SELECT doc_id,
 FROM r
 """
 
+# frame_sample over mp4: every stss keyframe is a constant DC plane;
+# sampled frames are indices 0, 2, (4) and frame_byte is the 8.5.10
+# constant 128 + floor((32*((d+k)%9-4) + 32) / 64)
+ORACLES["frame_sample_mp4"] = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+  WHERE doc_id % 11 <> 0
+), f AS (
+  SELECT doc_id, unnest(range(n)) AS k FROM p
+)
+SELECT doc_id,
+  CAST(k AS INTEGER) AS frame_idx,
+  CAST(128 + floor((32 * ((doc_id + k) % 9 - 4) + 32) / 64.0)
+       AS INTEGER) AS frame_byte
+FROM f WHERE k % 2 = 0
+"""
+
 # GOP rollup replay: I at cadence k (spacing k between I frames when
 # two exist), P/B split by (d+i) parity off-cadence, tail GOP runs
 # from the last I to the stream end

@@ -6058,6 +6058,117 @@ def q_multimodal_decode_h264(
     return h264_keyframe_decode(media)
 
 
+def _mp4_h264_multi_blob(d: int) -> bytes:
+    """Multi-keyframe decodable mp4: 2 + d%3 samples, EVERY one an
+    independent 16x16 IDR picture (I16x16 DC, luma DC level
+    8*((d+k)%9-4) at QP 28), all listed in stss — the clip-sampling
+    fixture for frame_sample's mp4 route. Every 11th doc is not an
+    mp4."""
+    if d % 11 == 0:
+        return b"\x00\x00\x00\x08oops" + bytes([d % 256])
+    from trollflow2_spark.sinks.h264 import (
+        H264IntraEncoder,
+        build_pps,
+        build_sps,
+        split_annexb,
+    )
+
+    n = 2 + d % 3
+    samples = []
+    for k in range(n):
+        enc = H264IntraEncoder(1, 1, qp=28)
+        enc.add_i16(2, dc=[8 * ((d + k) % 9 - 4)] + [0] * 15)
+        nals = split_annexb(enc.encode())
+        idr = next(x for x in nals if (x[0] & 0x1F) == 5)
+        samples.append(len(idr).to_bytes(4, "big") + idr)
+    sps_nal, pps_nal = build_sps(1, 1), build_pps()
+
+    def box(ty: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + ty + payload
+
+    avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + b"\x01" + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    avc1 = box(b"avc1", bytes(78) + box(b"avcC", avcc))
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + avc1)
+    stts = box(
+        b"stts",
+        bytes(4) + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+        + (100).to_bytes(4, "big"),
+    )
+    stsz = box(
+        b"stsz",
+        bytes(4) + (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+        + b"".join(len(sm).to_bytes(4, "big") for sm in samples),
+    )
+    stss = box(
+        b"stss",
+        bytes(4) + n.to_bytes(4, "big")
+        + b"".join((i + 1).to_bytes(4, "big") for i in range(n)),
+    )
+    stsc = box(
+        b"stsc",
+        bytes(4) + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stco = box(
+        b"stco", bytes(4) + (1).to_bytes(4, "big") + (32).to_bytes(4, "big")
+    )
+    stbl = box(b"stbl", stsd + stts + stsz + stss + stsc + stco)
+    minf = box(b"minf", box(b"vmhd", bytes(12)) + stbl)
+    mdhd = box(
+        b"mdhd",
+        bytes(12) + (600).to_bytes(4, "big")
+        + (n * 100).to_bytes(4, "big") + bytes(4),
+    )
+    mdia = box(b"mdia", mdhd + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+    ftyp = (24).to_bytes(4, "big") + b"ftypisom" + bytes(4) + b"isomiso2"
+    mdat = box(b"mdat", b"".join(samples))
+    return ftyp + mdat + moov
+
+
+def q_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip sampling from REAL video: frame_sample's mp4/avc1 route
+    decodes every stss keyframe through the from-scratch H.264
+    baseline intra decoder and samples every 2nd one. The fixture's
+    DC-only 16x16 IDR pictures are constant planes, so each sampled
+    frame_byte (the frame's max pixel) is the closed-form 8.5.10
+    constant in doc_id and frame index."""
+    import pandas as pd
+
+    from trollflow2_spark.extensions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 11 != 0
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _mp4_h264_multi_blob(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return frame_sample(media, every_n_frames=2)
+
+
 def q_video_gop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOP-structure rollup over the coded slice evidence: per video,
     I/P/B counts and the maximum GOP length (spacing between
@@ -10173,6 +10284,7 @@ QUERIES = {
     "h264_slice_index": q_h264_slice_index,
     "video_gop_stats": q_video_gop_stats,
     "multimodal_decode_h264": q_multimodal_decode_h264,
+    "frame_sample_mp4": q_frame_sample_mp4,
     "exif_metadata": q_exif_metadata,
     "pdf_text": q_pdf_text,
     "pdf_text_cid": q_pdf_text_cid,
