@@ -7712,20 +7712,20 @@ def _encrypted_pdf_blob_v5(d: int, user_pw: bytes, owner_pw: bytes) -> bytes:
         pdf2_hardened_hash,
     )
 
-    # salts/key cycle with period 8: the hardened hash costs ~64x128
-    # AES blocks BY DESIGN (it is an anti-brute-force KDF), so the
-    # fixture reuses 8 salt sets and the memoized hash makes both
-    # authoring and the decoder's verification batch-cheap while the
-    # planted text stays per-doc
-    file_key = hashlib.sha256(f"fk{d % 8}".encode()).digest()
-    vsalt = hashlib.sha256(f"vs{d % 8}".encode()).digest()[:8]
-    ksalt = hashlib.sha256(f"ks{d % 8}".encode()).digest()[:8]
+    # one fixture salt set: the hardened hash costs ~64x128 AES
+    # blocks BY DESIGN (an anti-brute-force KDF), so the fixture
+    # shares salts and the memoized hash makes authoring and the
+    # decoder's verification batch-cheap (8 evaluations per executor,
+    # total) while the planted text and content IV stay per-doc
+    file_key = hashlib.sha256(b"fk").digest()
+    vsalt = hashlib.sha256(b"vs").digest()[:8]
+    ksalt = hashlib.sha256(b"ks").digest()[:8]
     u = pdf2_hardened_hash(user_pw, vsalt) + vsalt + ksalt
     ue = _aes_cbc_encrypt_nopad(
         pdf2_hardened_hash(user_pw, ksalt), bytes(16), file_key
     )
-    ovs = hashlib.sha256(f"ov{d % 8}".encode()).digest()[:8]
-    oks = hashlib.sha256(f"ok{d % 8}".encode()).digest()[:8]
+    ovs = hashlib.sha256(b"ov").digest()[:8]
+    oks = hashlib.sha256(b"ok").digest()[:8]
     o = pdf2_hardened_hash(owner_pw, ovs, u) + ovs + oks
     oe = _aes_cbc_encrypt_nopad(
         pdf2_hardened_hash(owner_pw, oks, u), bytes(16), file_key
