@@ -147,7 +147,7 @@ OPERATORS = [
     "frame_sample_webp",  # animated WebP (VP8X/ANMF) real frame decode
     "frame_sample_gif",  # animated GIF sub-rect compositing decode
     "event_time_windows",  # tumbling event-time buckets (one hash agg)
-    "robots_filter",  # robots.txt Disallow-prefix gate (array fold, no UDF)
+    "robots_filter",  # robots gate — r11: full RFC 9309 (Allow/wildcard/anchor)
     "hashed_embedding",  # hashing-trick text vectors (model-free, one pass)
     "pack_sequences_bpe",  # packing by REAL tokenizer counts (tokenize->pack)
     "concat_chunks",  # GPT-style concat-then-chunk example span table
@@ -286,6 +286,13 @@ OPERATORS = [
     "corpus_release",  # capstone: gates -> CC -> best-rep -> cluster-split
     "token_budget_sample",  # per-source TOKEN budgets (greedy cumulative window)
     "packing_efficiency",  # per-bin fill-rate/overflow audit of the packing tier
+    # round 11 additions
+    "warc_charset",  # charset-aware intake: header/meta/BOM/detected -> UTF-8
+    "pdf_text_encrypted",  # empty-user-password decrypt: RC4/AES-128/AES-256-R6
+    "bpe_tokenize_bytes",  # byte-level BPE encode (GPT-2 byte fallback)
+    "bpe_train_bytes",  # distributed byte-level BPE training
+    "multimodal_decode_h264",  # REAL H.264 IDR decode from mp4 sample tables
+    "frame_sample_mp4",  # clip sampling: every stss keyframe decoded
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

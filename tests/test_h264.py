@@ -448,3 +448,35 @@ def test_frame_sample_mp4_route_pure_python():
             assert (f == want).all(), (d, k)
     with pytest.raises(NotImplementedError):
         _decode_mp4_keyframes(b"\x00\x00\x00\x08oops4567")
+
+
+def test_sps_frame_cropping_units():
+    """SPS cropping (7.4.2.1.1): crop units are 2 luma / 1 chroma px
+    at 4:2:0 frame coding — non-multiple-of-16 dimensions decode to
+    exactly the cropped shapes; an all-consuming rectangle is loud."""
+    enc = H.H264IntraEncoder(2, 1, qp=28)
+    enc.add_i16(2, dc=[8] + [0] * 15)
+    enc.add_i16(2)
+    idr = next(
+        n for n in H.split_annexb(enc.encode()) if (n[0] & 0x1F) == 5
+    )
+    sps_nal = H.build_sps(2, 1, crop=(1, 2, 0, 3))
+    sps = H.parse_sps(H.rbsp_unescape(sps_nal[1:]))
+    pps = H.parse_pps(H.rbsp_unescape(H.build_pps()[1:]))
+    planes = H.decode_idr(sps, pps, H.rbsp_unescape(idr[1:]))
+    y, u, v = H.apply_crop(*planes, sps)
+    assert y.shape == (10, 26) and u.shape == (5, 13) == v.shape
+    bad_sps = H.parse_sps(
+        H.rbsp_unescape(H.build_sps(1, 1, crop=(4, 4, 4, 4))[1:])
+    )
+    with pytest.raises(ValueError, match="whole frame"):
+        H.apply_crop(*H.decode_idr(bad_sps, pps, H.rbsp_unescape(
+            next(n for n in H.split_annexb(
+                _one_mb_stream()) if (n[0] & 0x1F) == 5)[1:]
+        )), bad_sps)
+
+
+def _one_mb_stream():
+    enc = H.H264IntraEncoder(1, 1, qp=28)
+    enc.add_i16(2)
+    return enc.encode()

@@ -1681,8 +1681,10 @@ def _decode_mp4_keyframes(blob: bytes) -> list:
                 break
             nal = blob[pos + 4 : pos + 4 + ln]
             if (nal[0] & 0x1F) == 5:
-                y, _, _ = decode_idr(sps, pps, rbsp_unescape(nal[1:]))
-                frames.append(y)
+                from trollflow2_spark.sinks.h264 import apply_crop
+
+                planes = decode_idr(sps, pps, rbsp_unescape(nal[1:]))
+                frames.append(apply_crop(*planes, sps)[0])
                 break
             pos += 4 + ln
     return frames
@@ -1752,7 +1754,9 @@ def h264_keyframe_decode(
                         pos += 4 + ln
                     if planes is None:
                         continue
-                    y, u, v = planes
+                    from trollflow2_spark.sinks.h264 import apply_crop
+
+                    y, u, v = apply_crop(*planes, sps)
                     h, w = y.shape
                     rows.append(
                         (

@@ -748,9 +748,14 @@ _TR_UNAVAIL_IN_MB = {3, 7, 11, 13, 15}
 # --- SPS / PPS / slice header ------------------------------------------------
 
 
-def build_sps(mb_width: int, mb_height: int) -> bytes:
+def build_sps(
+    mb_width: int,
+    mb_height: int,
+    crop: tuple[int, int, int, int] | None = None,
+) -> bytes:
     """Minimal Baseline SPS NAL (profile 66): frame_mbs_only,
-    pic_order_cnt_type 2, no cropping, no VUI."""
+    pic_order_cnt_type 2, optional frame cropping (left, right, top,
+    bottom in CROP UNITS — x2 luma pixels at 4:2:0), no VUI."""
     w = BitWriter()
     w.u(66, 8)       # profile_idc: Baseline
     w.u(0xC0, 8)     # constraint_set0+1, reserved zero
@@ -764,7 +769,12 @@ def build_sps(mb_width: int, mb_height: int) -> bytes:
     w.ue(mb_height - 1)
     w.u(1, 1)        # frame_mbs_only_flag
     w.u(1, 1)        # direct_8x8_inference_flag
-    w.u(0, 1)        # frame_cropping_flag
+    if crop:
+        w.u(1, 1)    # frame_cropping_flag
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(0, 1)
     w.u(0, 1)        # vui_parameters_present_flag
     w.rbsp_trailing()
     return b"\x67" + rbsp_escape(w.tobytes())
@@ -1108,6 +1118,26 @@ def decode_idr(
                 r, pic, mbx, mby, qp, pps["chroma_qp_index_offset"]
             )
     return pic.y, pic.u, pic.v
+
+
+def apply_crop(
+    y: np.ndarray, u: np.ndarray, v: np.ndarray, sps: dict
+):
+    """Apply the SPS frame-cropping rectangle (7.4.2.1.1): crop units
+    are 2 luma / 1 chroma pixels per unit at 4:2:0 frame coding —
+    this is how real streams carry non-multiple-of-16 dimensions."""
+    crop = sps.get("crop")
+    if not crop:
+        return y, u, v
+    left, right, top, bottom = crop
+    h, w = y.shape
+    y = y[2 * top : h - 2 * bottom, 2 * left : w - 2 * right]
+    ch, cw = u.shape
+    u = u[top : ch - bottom, left : cw - right]
+    v = v[top : ch - bottom, left : cw - right]
+    if y.size == 0:
+        raise ValueError("cropping rectangle consumes the whole frame")
+    return y, u, v
 
 
 def split_annexb(data: bytes) -> list[bytes]:
