@@ -6033,7 +6033,9 @@ def q_multimodal_decode_h264(
         h264_keyframe_decode,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -6143,7 +6145,7 @@ def q_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") % 11 != 0
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
@@ -7780,7 +7782,9 @@ def q_pdf_text_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from trollflow2_spark.sources.pdftext import pdf_text_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def gen(batches):
         for pdf in batches:

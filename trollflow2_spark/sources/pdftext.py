@@ -439,17 +439,93 @@ def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _aes_tt():
+    """T-tables for the fast forward cipher: Te0..Te3 fold SubBytes +
+    ShiftRows + MixColumns into four 256-entry 32-bit lookups — the
+    classic software-AES construction, used ONLY on the hardened-hash
+    hot path (it encrypts ~8k blocks per KDF evaluation by design);
+    the readable per-stage implementation stays the reference and the
+    tests pin the two paths byte-identical."""
+    m = _AES_MUL
+    te0 = [0] * 256
+    for x in range(256):
+        sx = _AES_SBOX[x]
+        te0[x] = (m[2][sx] << 24) | (sx << 16) | (sx << 8) | m[3][sx]
+    te1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in te0]
+    te2 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in te1]
+    te3 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in te2]
+    return te0, te1, te2, te3
+
+
+_TE = _aes_tt()
+
+
+def _aes_encrypt_block_fast(rk_words: list[int], block: bytes) -> bytes:
+    """Forward cipher via T-tables; ``rk_words`` are the round keys as
+    big-endian 32-bit column words."""
+    te0, te1, te2, te3 = _TE
+    s0 = int.from_bytes(block[0:4], "big") ^ rk_words[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ rk_words[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ rk_words[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ rk_words[3]
+    nr = len(rk_words) // 4 - 1
+    for rnd in range(1, nr):
+        t0 = (
+            te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF]
+            ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF]
+            ^ rk_words[4 * rnd]
+        )
+        t1 = (
+            te0[s1 >> 24] ^ te1[(s2 >> 16) & 0xFF]
+            ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF]
+            ^ rk_words[4 * rnd + 1]
+        )
+        t2 = (
+            te0[s2 >> 24] ^ te1[(s3 >> 16) & 0xFF]
+            ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF]
+            ^ rk_words[4 * rnd + 2]
+        )
+        t3 = (
+            te0[s3 >> 24] ^ te1[(s0 >> 16) & 0xFF]
+            ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF]
+            ^ rk_words[4 * rnd + 3]
+        )
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    sb = _AES_SBOX
+    out = bytearray(16)
+    for i, (a, b, c, d) in enumerate(
+        ((s0, s1, s2, s3), (s1, s2, s3, s0), (s2, s3, s0, s1),
+         (s3, s0, s1, s2))
+    ):
+        w = (
+            (sb[a >> 24] << 24) | (sb[(b >> 16) & 0xFF] << 16)
+            | (sb[(c >> 8) & 0xFF] << 8) | sb[d & 0xFF]
+        ) ^ rk_words[4 * nr + i]
+        out[4 * i : 4 * i + 4] = w.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _rk_words(key: bytes) -> list[int]:
+    return [
+        int.from_bytes(bytes(rk[4 * i : 4 * i + 4]), "big")
+        for rk in _aes_expand_key(key)
+        for i in range(4)
+    ]
+
+
 def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Raw CBC encrypt, no padding, no IV prefix (the PDF 2.0 key
-    wrap and hardened-hash inner cipher use exact-multiple inputs)."""
+    wrap and hardened-hash inner cipher use exact-multiple inputs).
+    Uses the T-table fast path — this is the KDF's ~8k-blocks-per-
+    evaluation hot loop."""
     if len(data) % 16:
         raise ValueError("CBC-nopad needs a 16-byte multiple")
-    rks = _aes_expand_key(key)
+    rkw = _rk_words(key)
     out = bytearray()
     prev = iv
     for off in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
-        prev = _aes_encrypt_block(rks, blk)
+        prev = _aes_encrypt_block_fast(rkw, blk)
         out += prev
     return bytes(out)
 
