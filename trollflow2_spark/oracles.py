@@ -1009,7 +1009,8 @@ WITH p AS (
   SELECT doc_id, k, unnest(range(1, n + 1)) AS i FROM p
 ), s AS (
   SELECT doc_id, CAST(i AS INT) AS sample_idx,
-    ((i - 1) % k = 0) AS key,
+    -- every 13th doc is the no-keyframe stream (empty stss)
+    ((i - 1) % k = 0 AND doc_id % 13 <> 0) AS key,
     (doc_id + i) % 2 = 0 AS even
   FROM e
 )
@@ -1109,16 +1110,18 @@ FROM f WHERE k % 2 = 0
 # from the last I to the stream end
 ORACLES["video_gop_stats"] = """
 WITH p AS (
-  SELECT doc_id, 10 + doc_id % 20 AS n, 3 + doc_id % 3 AS k
+  SELECT doc_id, 10 + doc_id % 20 AS n, 3 + doc_id % 3 AS k,
+    doc_id % 13 = 0 AS nokey
   FROM documents WHERE doc_id % 11 <> 0
 ), e AS (
-  SELECT doc_id, n, k, unnest(range(1, n + 1)) AS i FROM p
+  SELECT doc_id, n, k, nokey, unnest(range(1, n + 1)) AS i FROM p
 ), c AS (
-  SELECT doc_id, max(n) AS n, max(k) AS k,
-    sum(CASE WHEN (i - 1) % k = 0 THEN 1 ELSE 0 END) AS n_i,
-    sum(CASE WHEN (i - 1) % k <> 0 AND (doc_id + i) % 2 = 0
+  SELECT doc_id, max(n) AS n, max(k) AS k, bool_or(nokey) AS nokey,
+    sum(CASE WHEN (i - 1) % k = 0 AND NOT nokey
+        THEN 1 ELSE 0 END) AS n_i,
+    sum(CASE WHEN ((i - 1) % k <> 0 OR nokey) AND (doc_id + i) % 2 = 0
         THEN 1 ELSE 0 END) AS n_p,
-    sum(CASE WHEN (i - 1) % k <> 0 AND (doc_id + i) % 2 = 1
+    sum(CASE WHEN ((i - 1) % k <> 0 OR nokey) AND (doc_id + i) % 2 = 1
         THEN 1 ELSE 0 END) AS n_b
   FROM e GROUP BY doc_id
 )
@@ -1127,8 +1130,11 @@ SELECT doc_id,
   CAST(n_i AS INTEGER) AS n_i,
   CAST(n_p AS INTEGER) AS n_p,
   CAST(n_b AS INTEGER) AS n_b,
-  CAST(greatest(CASE WHEN n_i > 1 THEN k ELSE 0 END,
-                n - (1 + k * ((n - 1) // k)) + 1) AS INTEGER) AS max_gop
+  -- no coded I frame: the whole stream is one unseekable run
+  CAST(CASE WHEN nokey THEN n
+       ELSE greatest(CASE WHEN n_i > 1 THEN k ELSE 0 END,
+                     n - (1 + k * ((n - 1) // k)) + 1)
+       END AS INTEGER) AS max_gop
 FROM c
 """
 

@@ -5802,7 +5802,14 @@ def _mp4_index_blob(d: int, real_nals: bool = False) -> bytes:
         bytes(4) + (0).to_bytes(4, "big") + n.to_bytes(4, "big")
         + b"".join(s.to_bytes(4, "big") for s in sizes),
     )
-    kfs = list(range(1, n + 1, k))
+    # with real NALs, every 13th doc is a NO-KEYFRAME stream (empty
+    # stss = zero sync samples per spec — the broken/unseekable class
+    # the gop rollup's whole-stream tail path exists for); the plain
+    # index fixture keeps its cadence so mp4_frame_index is untouched
+    if real_nals and d % 13 == 0:
+        kfs: list[int] = []
+    else:
+        kfs = list(range(1, n + 1, k))
     stss = box(
         b"stss",
         bytes(4) + len(kfs).to_bytes(4, "big")
