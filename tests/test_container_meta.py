@@ -258,8 +258,9 @@ def test_h264_slice_types_and_muxer_inconsistency():
     )
     from trollflow2_spark.queries import _mp4_index_blob
 
-    entries = parse_h264_slice_types(_mp4_index_blob(13, real_nals=True))
-    k = 3 + 13 % 3
+    # doc 14: keyframed stream (13 became the no-keyframe class)
+    entries = parse_h264_slice_types(_mp4_index_blob(14, real_nals=True))
+    k = 3 + 14 % 3
     by_idx = {e["sample_idx"]: e for e in entries}
     for i, e in by_idx.items():
         if (i - 1) % k == 0:
@@ -267,9 +268,14 @@ def test_h264_slice_types_and_muxer_inconsistency():
         else:
             assert e["frame_kind"] in ("P", "B") and e["is_idr"] == 0
         assert e["consistent"] == 1
+    # the no-keyframe class: every 13th real-NAL doc has an EMPTY stss
+    # and only P/B slices — still fully consistent
+    nk = parse_h264_slice_types(_mp4_index_blob(13, real_nals=True))
+    assert all(e["frame_kind"] in ("P", "B") for e in nk)
+    assert all(e["stss_keyframe"] == 0 and e["consistent"] == 1 for e in nk)
     # break the muxer: swap sample 1's IDR NAL for a P slice without
     # touching stss — the cross-check must flag it
-    blob = bytearray(_mp4_index_blob(13, real_nals=True))
+    blob = bytearray(_mp4_index_blob(14, real_nals=True))
     # sample 1's NAL header sits at offset 36: the first chunk starts
     # at 32, then the 4-byte length prefix, then the 0x65 IDR byte
     assert blob[36] == 0x65
@@ -279,7 +285,7 @@ def test_h264_slice_types_and_muxer_inconsistency():
     assert broken["frame_kind"] == "P" and broken["stss_keyframe"] == 1
     assert broken["consistent"] == 0
     # zero-filled mdat (no NALs) yields nothing, not garbage
-    assert parse_h264_slice_types(_mp4_index_blob(13)) is None
+    assert parse_h264_slice_types(_mp4_index_blob(14)) is None
 
 
 def test_exif_gps_scrub_strips_geotags_only():
