@@ -293,6 +293,8 @@ OPERATORS = [
     "bpe_train_bytes",  # distributed byte-level BPE training
     "multimodal_decode_h264",  # REAL H.264 IDR decode from mp4 sample tables
     "frame_sample_mp4",  # clip sampling: every stss keyframe decoded
+    "html_jsonld",  # schema.org provenance block -> typed fields (Column-only)
+    "html_tables",  # first-table row/cell extraction (table-to-text intake)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -581,3 +581,61 @@ def test_detected_utf8_overrides_lying_single_byte_header():
         b"plain ascii only", "text/html; charset=iso-8859-1"
     )
     assert (cs, src, ok) == ("cp1252", "header", 1)
+
+
+def test_jsonld_metadata_classes(spark):
+    """Well-formed blocks parse; reversed attributes and single
+    quotes match; absent block -> has_jsonld 0; present-but-broken
+    JSON -> has_jsonld 1 with NULL fields (the quarantine signal)."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import jsonld_metadata
+
+    good = ('{"@type":"Article","headline":"H1","datePublished":'
+            '"2024-01-02","author":{"@type":"Person","name":"A"},'
+            '"inLanguage":"fr"}')
+    rows = [
+        (1, f'<html><script type="application/ld+json">{good}'
+            "</script></html>"),
+        (2, f"<html><script async type='application/ld+json'>{good}"
+            "</script></html>"),
+        (3, "<html><p>nothing structured</p></html>"),
+        (4, '<html><script type="application/ld+json">{"@type": '
+            "</script></html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", jsonld_metadata(F.col("html")).alias("m")
+        ).select("doc_id", "m.*").collect()
+    }
+    for d in (1, 2):
+        assert out[d]["has_jsonld"] == 1
+        assert out[d]["headline"] == "H1"
+        assert out[d]["author_name"] == "A"
+        assert out[d]["language"] == "fr"
+    assert out[3]["has_jsonld"] == 0 and out[3]["headline"] is None
+    assert out[4]["has_jsonld"] == 1 and out[4]["ld_type"] is None
+
+
+def test_html_table_rows_first_table_and_entities(spark):
+    """Only the FIRST table extracts; th rows flag is_header; cell
+    tags strip and entities decode; table-less pages yield nothing."""
+    from trollflow2_spark.sources.warc import html_table_rows
+
+    html = ("<html><table><tr><th>K</th><th>V</th></tr>"
+            "<tr><td><b>a</b> &amp; b</td><td>1 &lt; 2</td></tr>"
+            "</table><table><tr><td>decoy</td></tr></table></html>")
+    df = spark.createDataFrame(
+        [(1, html), (2, "<html>no table</html>")],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["row_ord"], tuple(r["cells"]), r["is_header"])
+        for r in html_table_rows(df).collect()
+    )
+    assert rows == [
+        (1, 0, ("K", "V"), 1),
+        (1, 1, ("a & b", "1 < 2"), 0),
+    ]

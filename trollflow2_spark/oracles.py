@@ -1105,6 +1105,50 @@ SELECT doc_id,
 FROM f WHERE k % 2 = 0
 """
 
+# JSON-LD provenance: fixture classes per doc_id % 4 — well-formed,
+# reversed-attribute, absent (has_jsonld 0), truncated (present but
+# unparseable -> NULL fields)
+ORACLES["html_jsonld"] = """
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS m,
+    list_extract(['en','de','ja'], CAST(doc_id % 3 + 1 AS INT)) AS lang
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN m = 2 THEN 0 ELSE 1 END AS INTEGER) AS has_jsonld,
+  CASE WHEN m IN (0, 1) THEN 'NewsArticle' END AS ld_type,
+  CASE WHEN m IN (0, 1) THEN 'Story ' || (doc_id % 7) END AS headline,
+  CASE WHEN m IN (0, 1) THEN '2024-03-' || (10 + doc_id % 18)
+  END AS date_published,
+  CASE WHEN m IN (0, 1) THEN 'Writer ' || (doc_id % 5)
+  END AS author_name,
+  CASE WHEN m IN (0, 1) THEN lang END AS language
+FROM p
+"""
+
+# HTML table rows: header + 1+d%3 data rows, decoy table ignored,
+# entity decoded, every 6th doc table-less (zero rows)
+ORACLES["html_tables"] = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+  WHERE doc_id % 6 <> 0
+), hdr AS (
+  SELECT doc_id, 0 AS row_ord, ['Name', 'Qty'] AS cells,
+    2 AS n_cells, 1 AS is_header
+  FROM p
+), data_rows AS (
+  SELECT doc_id, CAST(i AS INT) AS row_ord,
+    ['item' || (doc_id % 5) || '-' || i || ' & co',
+     CAST((doc_id + i) % 100 AS VARCHAR)] AS cells,
+    2 AS n_cells, 0 AS is_header
+  FROM (SELECT doc_id, unnest(range(1, n + 1)) AS i FROM p)
+)
+SELECT doc_id, CAST(row_ord AS INTEGER) AS row_ord, cells,
+  CAST(n_cells AS INTEGER) AS n_cells,
+  CAST(is_header AS INTEGER) AS is_header
+FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data_rows)
+"""
+
 # GOP rollup replay: I at cadence k (spacing k between I frames when
 # two exist), P/B split by (d+i) parity off-cadence, tail GOP runs
 # from the last I to the stream end

@@ -1628,6 +1628,118 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD provenance extraction
+    (`sources/warc.py:jsonld_metadata`): the structured headline /
+    publish-date / author / language block publishers embed — the
+    metadata a training corpus keeps when page text alone loses it.
+    Fixture classes per doc_id % 4: a well-formed NewsArticle block,
+    the same with reversed script attributes and single quotes, no
+    block at all (has_jsonld=0, NULLs), and a PRESENT-but-truncated
+    block (has_jsonld=1, NULL fields — the quarantine signal).
+    Everything — fixture assembly, regexp extraction, the typed
+    from_json — is Column algebra in the scan stage; the oracle
+    restates every field closed-form."""
+    from trollflow2_spark.sources.warc import jsonld_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m = d % 4
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("ja")),
+        (d % 3 + 1).cast("int"),
+    )
+    payload = F.concat(
+        F.lit('{"@type":"NewsArticle","headline":"Story '),
+        (d % 7).cast("string"),
+        F.lit('","datePublished":"2024-03-'),
+        (10 + d % 18).cast("string"),
+        F.lit('","author":{"@type":"Person","name":"Writer '),
+        (d % 5).cast("string"),
+        F.lit('"},"inLanguage":"'),
+        lang,
+        F.lit('"}'),
+    )
+    script = F.when(
+        m == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'),
+            payload,
+            F.lit("</script>"),
+        ),
+    ).when(
+        m == 1,
+        F.concat(
+            F.lit("<script data-x='1' type='application/ld+json'>"),
+            payload,
+            F.lit("</script>"),
+        ),
+    ).when(
+        m == 3,
+        F.concat(
+            F.lit('<script type="application/ld+json">'),
+            F.substring(payload, 1, 25),  # truncated: malformed JSON
+            F.lit("</script>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        script,
+        F.lit("</head><body><p>body "),
+        d.cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    meta = jsonld_metadata(html)
+    return docs.select(
+        "doc_id",
+        meta["has_jsonld"].alias("has_jsonld"),
+        meta["ld_type"].alias("ld_type"),
+        meta["headline"].alias("headline"),
+        meta["date_published"].alias("date_published"),
+        meta["author_name"].alias("author_name"),
+        meta["language"].alias("language"),
+    )
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (`sources/warc.py:html_table_rows`):
+    tables carry the densest facts on a page and plain text
+    extraction shreds them — this is the table-to-text intake step.
+    Fixture: a header row (<th>) plus 1 + d%3 data rows with an
+    entity-bearing cell, followed by a DECOY second table that must
+    be ignored; every 6th doc has no table (zero rows). Fixture and
+    extraction are both pure Column algebra; the oracle restates
+    every row and cell verbatim."""
+    from trollflow2_spark.sources.warc import html_table_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    n_rows = (d % 3 + 1).cast("int")
+    row = F.transform(
+        F.sequence(F.lit(1), n_rows),
+        lambda i: F.concat(
+            F.lit("<tr><td>item"),
+            (d % 5).cast("string"),
+            F.lit("-"),
+            i.cast("string"),
+            F.lit(" &amp; co</td><td>"),
+            ((d + i) % 100).cast("string"),
+            F.lit("</td></tr>"),
+        ),
+    )
+    table = F.concat(
+        F.lit("<table class=x><tr><th>Name</th><th>Qty</th></tr>"),
+        F.array_join(row, ""),
+        F.lit("</table><table><tr><td>decoy</td></tr></table>"),
+    )
+    html = F.when(d % 6 == 0, F.lit("<html><p>no tables</p></html>")).otherwise(
+        F.concat(F.lit("<html><body>"), table, F.lit("</body></html>"))
+    )
+    return html_table_rows(
+        docs.select("doc_id", html.alias("html"))
+    )
+
+
 def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT sidecar intake (Common Crawl's metadata distribution):
     ``metadata`` records carry a JSON envelope; the typed
@@ -10451,6 +10563,8 @@ QUERIES = {
     "warc_ingest_br": q_warc_ingest_br,
     "wet_ingest": q_wet_ingest,
     "wat_outlinks": q_wat_outlinks,
+    "html_jsonld": q_html_jsonld,
+    "html_tables": q_html_tables,
     "wat_frontier": q_wat_frontier,
     "url_canonicalize": q_url_canonicalize,
     "domain_rollup": q_domain_rollup,

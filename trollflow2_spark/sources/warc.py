@@ -439,6 +439,108 @@ def url_spam_features(url_col):
     )
 
 
+#: typed schema for the schema.org Article-class JSON-LD block — the
+#: structured metadata publishers actually embed; from_json keeps the
+#: parse JVM-side (Jackson) and prunes to the fields a corpus uses
+JSONLD_ARTICLE_SCHEMA = T.StructType(
+    [
+        T.StructField("@type", T.StringType()),
+        T.StructField("headline", T.StringType()),
+        T.StructField("datePublished", T.StringType()),
+        T.StructField(
+            "author",
+            T.StructType(
+                [
+                    T.StructField("@type", T.StringType()),
+                    T.StructField("name", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("inLanguage", T.StringType()),
+    ]
+)
+
+
+def jsonld_metadata(html_col):
+    """schema.org JSON-LD metadata from a page: the FIRST
+    ``<script type="application/ld+json">`` block (either attribute
+    order) parses through a typed ``from_json`` — headline, publish
+    date, author name, language, the provenance fields a training
+    corpus keeps when page text alone loses them. Returns a struct
+    Column (has_jsonld, ld_type, headline, date_published,
+    author_name, language); pages without a block or with malformed
+    JSON yield NULL fields with has_jsonld pinned (0 = no block,
+    1 = block present — a present-but-broken block shows has_jsonld=1
+    and NULL fields, the quarantine signal). Pure Column: one regexp
+    extraction + one JVM JSON parse, zero Python, zero shuffle."""
+    block = F.regexp_extract(
+        html_col,
+        r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json["\']'
+        r"[^>]*>(.*?)</script>",
+        1,
+    )
+    parsed = F.from_json(F.trim(block), JSONLD_ARTICLE_SCHEMA)
+    return F.struct(
+        (block != "").cast("int").alias("has_jsonld"),
+        parsed["@type"].alias("ld_type"),
+        parsed["headline"].alias("headline"),
+        parsed["datePublished"].alias("date_published"),
+        parsed["author"]["name"].alias("author_name"),
+        parsed["inLanguage"].alias("language"),
+    )
+
+
+def html_table_rows(df: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Rows of the FIRST ``<table>`` of each page as
+    (id, row_ord, cells array, n_cells, is_header) — the
+    table-to-text intake step (tables carry the densest facts on a
+    page and plain text extraction shreds them). Column algebra only:
+    slice out the first table, split on ``</tr>``, split cells on
+    ``</td>``/``</th>``, strip tags + entities per cell; a row whose
+    FIRST cell came from ``<th>`` flags is_header. Pages without a
+    table yield zero rows (posexplode of an empty array)."""
+    tbl = F.regexp_extract(
+        F.col(html_col), r"(?is)<table[^>]*>(.*?)</table>", 1
+    )
+    rows = F.filter(
+        F.transform(
+            F.split(tbl, r"(?i)</tr\s*>"),
+            lambda r: F.regexp_replace(r, r"(?is)^.*?<tr[^>]*>", ""),
+        ),
+        lambda r: r.rlike(r"(?is)<t[dh][^>]*>"),
+    )
+
+    def clean(cell):
+        out = F.regexp_replace(cell, r"(?s)<[^>]+>", " ")
+        for ent, rep in HTML_ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(rows).alias("row_ord", "__row")
+    )
+    cells = F.transform(
+        F.filter(
+            F.split(F.col("__row"), r"(?i)</t[dh]\s*>"),
+            lambda c: c.rlike(r"(?is)<t[dh][^>]*>"),
+        ),
+        lambda c: clean(
+            F.regexp_replace(c, r"(?is)^.*?<t[dh][^>]*>", "")
+        ),
+    )
+    return exploded.select(
+        id_col,
+        F.col("row_ord").cast("int").alias("row_ord"),
+        cells.alias("cells"),
+        F.size(cells).cast("int").alias("n_cells"),
+        F.col("__row")
+        .rlike(r"(?is)^\s*<th[^>]*>")
+        .cast("int")
+        .alias("is_header"),
+    )
+
+
 def main_content_blocks(
     html_col,
     min_text_len: int = 15,
