@@ -295,6 +295,7 @@ OPERATORS = [
     "frame_sample_mp4",  # clip sampling: every stss keyframe decoded
     "html_jsonld",  # schema.org provenance block -> typed fields (Column-only)
     "html_tables",  # first-table row/cell extraction (table-to-text intake)
+    "cidr_enrich",  # IP -> CIDR longest-prefix join (/16-grid hash join)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

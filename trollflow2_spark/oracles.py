@@ -1302,6 +1302,29 @@ SELECT bands, rows_per_band, s_pct,
 FROM sch CROSS JOIN grid
 """
 
+# CIDR longest-prefix enrichment: ips 10.(d%32).(d%256).(7d%256);
+# nations 0-24 own a /16 and a /17 (upper-half third octet -> the /17
+# wins by prefix length); ids with d%32 > 24 fall through to the /8
+ORACLES["cidr_enrich"] = """
+WITH p AS (
+  SELECT doc_id, doc_id % 32 AS o2, doc_id % 256 AS o3,
+    (doc_id * 7) % 256 AS o4
+  FROM documents
+)
+SELECT p.doc_id,
+  '10.' || o2 || '.' || o3 || '.' || o4 AS ip,
+  CASE WHEN o2 <= 24 AND o3 >= 128 THEN '10.' || o2 || '.128.0/17'
+       WHEN o2 <= 24 THEN '10.' || o2 || '.0.0/16'
+       ELSE '10.0.0.0/8' END AS cidr,
+  CAST(CASE WHEN o2 <= 24 AND o3 >= 128 THEN 17
+            WHEN o2 <= 24 THEN 16 ELSE 8 END AS INTEGER) AS prefix_len,
+  CAST(CASE WHEN o2 <= 24 AND o3 >= 128 THEN 64800 + o2
+            WHEN o2 <= 24 THEN 64500 + o2
+            ELSE 64000 END AS INTEGER) AS asn,
+  CASE WHEN o2 <= 24 THEN n.n_name ELSE 'ANY' END AS country
+FROM p LEFT JOIN nation n ON n.n_nationkey = p.o2
+"""
+
 # recrawl-priority replay: diff semantics (edits at d%3, additions at
 # shifted d%7 ids), domain rollup, ppm arithmetic and buckets — the
 # rate uses // to match Spark's double-division-then-truncate cast

@@ -6883,6 +6883,62 @@ def q_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP -> CIDR longest-prefix enrichment
+    (`extensions/net.py:cidr_enrich`): the GeoIP/ASN join every crawl
+    log and serving log needs, which Spark has no native join type
+    for. The range table (built from `nation`: a /16 and a more
+    specific /17 per nation, plus a 10.0.0.0/8 catch-all) is exploded
+    onto the /16 grid and broadcast, so the match is an EQUI hash
+    join with a residual range filter — never a nested loop — and
+    longest-prefix precedence is one map-side-combinable max_by agg.
+    Fixture IPs are 10.(d%32).(d%256).(7d%256): the upper-half third
+    octet must pick the /17 over the /16, nations 25-31 exist only
+    under the catch-all /8, and the /8's 256-bucket explosion
+    exercises the short-prefix grid path. Oracle restates the
+    longest-prefix winner closed-form."""
+    from trollflow2_spark.extensions.net import cidr_enrich, long_to_ipv4
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    k = F.col("n_nationkey").cast("long")
+    ks = k.cast("string")
+    r16 = nat.select(
+        F.concat(F.lit("10."), ks, F.lit(".0.0/16")).alias("cidr"),
+        (F.lit(64500) + k).cast("int").alias("asn"),
+        F.col("n_name").alias("country"),
+    )
+    r17 = nat.select(
+        F.concat(F.lit("10."), ks, F.lit(".128.0/17")).alias("cidr"),
+        (F.lit(64800) + k).cast("int").alias("asn"),
+        F.col("n_name").alias("country"),
+    )
+    r8 = spark.range(1).select(
+        F.lit("10.0.0.0/8").alias("cidr"),
+        F.lit(64000).cast("int").alias("asn"),
+        F.lit("ANY").alias("country"),
+    )
+    ranges = r16.unionByName(r17).unionByName(r8)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ip_long = (
+        F.shiftleft(F.lit(10).cast("long"), 24)
+        + F.shiftleft(d % 32, 16)
+        + F.shiftleft(d % 256, 8)
+        + (d * 7) % 256
+    )
+    points = docs.select("doc_id", ip_long.alias("ip_long"))
+    out = cidr_enrich(points, ranges, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        long_to_ipv4(F.col("ip_long")).alias("ip"),
+        "cidr",
+        "prefix_len",
+        "asn",
+        "country",
+    )
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closing the crawl lifecycle loop: the snapshot diff
     (added/changed/unchanged per doc) rolls up to per-domain change
@@ -10425,6 +10481,7 @@ QUERIES = {
     "main_content_extract": q_main_content_extract,
     "url_spam_features": q_url_spam_features,
     "recrawl_priority": q_recrawl_priority,
+    "cidr_enrich": q_cidr_enrich,
     "lsh_param_plan": q_lsh_param_plan,
     "dedup_source_attribution": q_dedup_source_attribution,
     "exif_gps_scrub": q_exif_gps_scrub,
