@@ -296,6 +296,8 @@ OPERATORS = [
     "html_jsonld",  # schema.org provenance block -> typed fields (Column-only)
     "html_tables",  # first-table row/cell extraction (table-to-text intake)
     "cidr_enrich",  # IP -> CIDR longest-prefix join (/16-grid hash join)
+    "cdc_apply",  # I/U/D change feed -> latest snapshot (one max_by agg)
+    "k_anonymity",  # quasi-identifier k/l release audit (one hash agg)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

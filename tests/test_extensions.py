@@ -2191,6 +2191,65 @@ def test_scd2_merge_invariants(spark):
     assert {r[0] for r in rows1 if r[4] is None} == {1, 2, 9}
 
 
+def test_cdc_apply_semantics(spark):
+    """CDC apply: latest seq wins, winning delete removes the key,
+    delete-then-reinsert survives, and duplicated log segments
+    (at-least-once delivery) change nothing."""
+    from trollflow2_spark.extensions.profile import cdc_apply
+
+    feed = [
+        (1, 10, "I", 1.0, "a"),
+        (1, 20, "U", 2.0, "b"),    # key 1 -> latest is U(2.0, b)
+        (2, 10, "I", 5.0, "x"),
+        (2, 30, "D", None, None),  # key 2 -> deleted
+        (3, 10, "D", None, None),
+        (3, 40, "I", 7.0, "z"),    # key 3 -> reinserted after delete
+    ]
+    changes = spark.createDataFrame(
+        feed, ["entity_id", "seq", "op", "val", "tag"]
+    )
+    out = cdc_apply(changes, "entity_id", "seq", "op", ["val", "tag"])
+    got = {r["entity_id"]: r for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert (got[1]["val"], got[1]["tag"], got[1]["last_seq"],
+            got[1]["n_changes"]) == (2.0, "b", 20, 2)
+    assert (got[3]["val"], got[3]["tag"]) == (7.0, "z")
+    # at-least-once: replaying a duplicated segment is a no-op
+    dup = changes.unionAll(changes.where(F.col("seq") >= 20))
+    out2 = cdc_apply(dup, "entity_id", "seq", "op", ["val", "tag"])
+    got2 = {r["entity_id"]: (r["val"], r["tag"], r["last_seq"])
+            for r in out2.collect()}
+    assert got2 == {k: (v["val"], v["tag"], v["last_seq"])
+                    for k, v in got.items()}
+
+
+def test_k_anonymity_flags(spark):
+    """at_risk fires on group_size < k; homogeneous fires when every
+    member shares one sensitive value, independent of size."""
+    from trollflow2_spark.extensions.profile import k_anonymity_audit
+
+    rows = (
+        # big diverse group: safe on both axes
+        [("US", "A", i, i % 3) for i in range(6)]
+        # big homogeneous group: size-safe, attribute-disclosing
+        + [("US", "B", i, 42) for i in range(5)]
+        # tiny group: at risk
+        + [("FR", "A", 1, 7), ("FR", "A", 2, 8)]
+    )
+    df = spark.createDataFrame(rows, ["nation", "seg", "i", "sens"])
+    out = {
+        (r["nation"], r["seg"]): r
+        for r in k_anonymity_audit(df, ["nation", "seg"], "sens", k=5)
+        .collect()
+    }
+    us_a, us_b, fr_a = out[("US", "A")], out[("US", "B")], out[("FR", "A")]
+    assert (us_a["group_size"], us_a["l_distinct"],
+            us_a["at_risk"], us_a["homogeneous"]) == (6, 3, 0, 0)
+    assert (us_b["group_size"], us_b["l_distinct"],
+            us_b["at_risk"], us_b["homogeneous"]) == (5, 1, 0, 1)
+    assert (fr_a["group_size"], fr_a["at_risk"]) == (2, 1)
+
+
 def test_merge_agg_state_equals_full_recompute(spark, sf_dir):
     """Incremental state invariant: splitting the corpus into ANY
     partition of batches and folding each in reproduces the full

@@ -111,6 +111,91 @@ def scd2_merge(
     return closed.select(kept.columns).unionByName(kept).unionByName(opened)
 
 
+def cdc_apply(
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Apply an ordered change feed (ops ``I``/``U``/``D``) to produce
+    the latest snapshot — the lakehouse MERGE/apply-changes step that
+    turns a Debezium/CDC log back into a table.
+
+    Per key, the change with the highest ``seq_col`` wins; a winning
+    delete removes the key. Output carries the key, the winning
+    attributes, ``last_seq``, and an ``n_changes`` audit count.
+
+    Scale shape: ONE ``max_by`` hash aggregation keyed by the key —
+    map-side combinable, so a feed with hot keys (the usual CDC skew:
+    one entity updated millions of times) collapses to a single row
+    per key per map task BEFORE the shuffle. The window-row_number
+    formulation most MERGE implementations use would instead
+    sort-shuffle the full feed. Ties on ``seq_col`` break by op then
+    attributes under struct ordering — total, so replayed/duplicated
+    log segments (at-least-once delivery) cannot flap the winner and
+    the apply is idempotent.
+    """
+    last = F.max_by(
+        F.struct(
+            F.col(op_col).alias("op"),
+            *[F.col(c) for c in attr_cols],
+        ),
+        F.struct(
+            F.col(seq_col),
+            F.col(op_col),
+            *[F.col(c) for c in attr_cols],
+        ),
+    )
+    agg = changes.groupBy(key_col).agg(
+        last.alias("__last"),
+        F.max(seq_col).alias("last_seq"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return agg.where(F.col("__last.op") != "D").select(
+        key_col,
+        *[F.col(f"__last.{c}").alias(c) for c in attr_cols],
+        "last_seq",
+        "n_changes",
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit before a dataset release: group by the
+    quasi-identifier combination and report, per group, its size
+    (the ``k`` of k-anonymity), the number of distinct sensitive
+    values (the ``l`` of l-diversity), and the violation flags —
+    ``at_risk`` when the group is smaller than ``k`` (re-identifiable)
+    and ``homogeneous`` when every member shares one sensitive value
+    (attribute disclosure even at safe group size).
+
+    Complements the row-level scrubbers (`pii_scrub`, EXIF GPS): those
+    remove direct identifiers; this measures what the REMAINING
+    columns still leak in combination. One hash aggregation keyed by
+    the quasi tuple — map-side combinable, group count is bounded by
+    the quasi-space, never row count.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("l_distinct"),
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            "l_distinct",
+            (F.col("group_size") < k).cast("int").alias("at_risk"),
+            (F.col("l_distinct") == 1).cast("int").alias("homogeneous"),
+        )
+    )
+
+
 def parquet_layout_audit(spark, paths: list[str]) -> DataFrame:
     """Physical-layout audit from parquet FOOTERS only: per (file,
     column), values / compressed / uncompressed bytes, codec, and the

@@ -2905,6 +2905,41 @@ FROM documents"""
 
 # SCD2 merge replay: the same close/reopen/no-op/new-key/passthrough
 # decisions expressed relationally
+# CDC apply: latest change per entity wins (seq = event_id, unique),
+# winning delete removes the key; op cycles I/I/U/U/D/U/U by id % 7
+ORACLES["cdc_apply"] = """
+WITH ch AS (
+  SELECT event_id % 300 AS entity_id, event_id AS seq,
+    CASE WHEN event_id % 7 = 4 THEN 'D'
+         WHEN event_id % 7 <= 1 THEN 'I' ELSE 'U' END AS op,
+    value AS val, event_type AS tag
+  FROM events
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY entity_id ORDER BY seq DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY entity_id) AS n_changes,
+    MAX(seq) OVER (PARTITION BY entity_id) AS last_seq
+  FROM ch
+)
+SELECT entity_id, val, tag, last_seq, n_changes
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+# k-anonymity/l-diversity: quasi tuple (nation, segment, custkey%4),
+# sensitive = floor(acctbal/2000) bucket, k=5
+ORACLES["k_anonymity"] = """
+SELECT c_nationkey AS nation, c_mktsegment AS segment,
+  c_custkey % 4 AS band,
+  COUNT(*) AS group_size,
+  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT))
+    AS l_distinct,
+  CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS at_risk,
+  CAST(CASE WHEN COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)) = 1
+       THEN 1 ELSE 0 END AS INTEGER) AS homogeneous
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
 ORACLES["scd2_customers"] = """
 WITH cur AS (
   SELECT c_custkey AS custkey, c_mktsegment AS segment,

@@ -4874,6 +4874,66 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes (`extensions/profile.py:cdc_apply`): replay
+    an I/U/D change feed into the latest snapshot — the MERGE step
+    that turns a Debezium-style log back into a table, complementing
+    `scd2_customers` (full history) with the current-state view.
+    Fixture feed from `events`: entity = event_id % 300 (~n/300
+    changes per key), seq = event_id (unique, so the winner is
+    unambiguous), op cycling I/I/U/U/D/U/U by event_id % 7; keys
+    whose LAST change is the delete must vanish. One max_by hash agg
+    — map-side combinable where the window-row_number formulation
+    would sort-shuffle the whole feed; attrs pass through raw (no
+    float arithmetic to drift)."""
+    from trollflow2_spark.extensions.profile import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e = F.col("event_id")
+    op = (
+        F.when(e % 7 == 4, F.lit("D"))
+        .when(e % 7 <= 1, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    changes = ev.select(
+        (e % 300).alias("entity_id"),
+        e.alias("seq"),
+        op.alias("op"),
+        F.col("value").alias("val"),
+        F.col("event_type").alias("tag"),
+    )
+    return cdc_apply(
+        changes, key_col="entity_id", seq_col="seq", op_col="op",
+        attr_cols=["val", "tag"],
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit
+    (`extensions/profile.py:k_anonymity_audit`): the row-level
+    scrubbers (`pii_scrub`, `exif_gps_scrub`) remove direct
+    identifiers; this measures what the surviving quasi-identifier
+    combination (nation x segment x a synthetic cohort band) still
+    leaks about the sensitive attribute (account-balance bucket) —
+    group sizes below k=5 are re-identifiable, single-valued groups
+    disclose the attribute outright. One hash agg keyed by the quasi
+    tuple; output is quasi-space-sized, never row-sized."""
+    from trollflow2_spark.extensions.profile import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_custkey") % 4).alias("band"),
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_audit(
+        rows, ["nation", "segment", "band"], "bal_bucket", k=5
+    )
+
+
 def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: 7-day trailing revenue over the DAILY
     rollup. Scale contract: the unpartitioned ordered window runs on
@@ -10446,6 +10506,8 @@ QUERIES = {
     "compaction_plan": q_compaction_plan,
     "compaction_from_audit": q_compaction_from_audit,
     "scd2_customers": q_scd2_customers,
+    "cdc_apply": q_cdc_apply,
+    "k_anonymity": q_k_anonymity,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
     "fuzzy_lev2_pairs": q_fuzzy_lev2_pairs,
