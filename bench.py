@@ -298,6 +298,7 @@ OPERATORS = [
     "cidr_enrich",  # IP -> CIDR longest-prefix join (/16-grid hash join)
     "cdc_apply",  # I/U/D change feed -> latest snapshot (one max_by agg)
     "k_anonymity",  # quasi-identifier k/l release audit (one hash agg)
+    "wordpiece_train",  # likelihood-scored distributed tokenizer training
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

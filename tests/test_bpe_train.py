@@ -232,3 +232,27 @@ def test_byte_level_tokenize_n_unk_zero(spark):
     for r in out:
         assert r["n_unk"] == 0
         assert r["n_tokens"] >= 1
+
+
+def test_wordpiece_objective_differs_from_bpe(spark):
+    """The likelihood score must pick a moderately-frequent pair of
+    RARE symbols over the most frequent pair of ubiquitous ones —
+    the defining WordPiece/BPE divergence. Corpus: 'ee' x 10 gives
+    pair (e,e) cnt=10 with cnt(e)=20 (score S*10/400); 'qz' x 3
+    gives (q,z) cnt=3 with cnt(q)=cnt(z)=3 (score S*3/9 — larger)."""
+    from trollflow2_spark.extensions.tokenizer import (
+        WORDPIECE_SCORE_SCALE,
+        train_bpe_distributed,
+        train_wordpiece_distributed,
+    )
+
+    text = " ".join(["ee"] * 10 + ["qz"] * 3)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    wp = train_wordpiece_distributed(df, n_merges=1).collect()
+    bpe = train_bpe_distributed(df, n_merges=1).collect()
+    wp_first = next(r for r in wp if r["kind"] == "merge")
+    bpe_first = next(r for r in bpe if r["kind"] == "merge")
+    assert bpe_first["token"] == "ee"  # frequency objective
+    assert wp_first["token"] == "qz"  # likelihood objective
+    assert wp_first["cnt"] == 3
+    assert wp_first["score"] == (3 * WORDPIECE_SCORE_SCALE) // 9

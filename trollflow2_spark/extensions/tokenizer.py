@@ -482,6 +482,140 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+WORDPIECE_SCORE_SCALE = 10**9
+"""Fixed-point scale for the WordPiece merge objective. The score
+``cnt(ab) / (cnt(a) * cnt(b))`` is compared ACROSS pairs, so it must
+be computed identically by Spark and the SQL oracle — floats would
+drift, so both sides use truncating BIGINT arithmetic at this scale
+(safe up to pair counts of ~9.2e9; beyond that, widen to DECIMAL).
+Resolution ties fall through to the lexicographic tie-break, which is
+total either way."""
+
+
+def train_wordpiece_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    word_max: int = C.BPE_WORD_MAX,
+    checkpoint_every: int = 4,
+    byte_level: bool = False,
+) -> DataFrame:
+    """Distributed WordPiece vocabulary training — the same scan-once
+    / iterate-on-the-vocab-table shape as
+    :func:`train_bpe_distributed`, with WordPiece's defining change:
+    merges are chosen by the LIKELIHOOD objective
+    ``score(a,b) = cnt(ab) / (cnt(a) * cnt(b))`` (the corpus
+    log-likelihood gain of fusing the pair under a unigram model)
+    instead of raw pair frequency — so a moderately frequent pair of
+    RARE symbols beats a frequent pair of ubiquitous ones, which is
+    why WordPiece vocabularies pick up suffix/stem units earlier than
+    BPE. Encoding WordPiece-style is greedy longest-match-first,
+    which :func:`tokenize_greedy` already implements.
+
+    Per iteration, on the Heaps-bounded (word, freq) table only:
+    symbol counts (one explode + hash agg), pair counts (same), the
+    scored 1-row argmax (score desc, then pair asc — the only
+    collect), and the island-parity greedy rewrite fold shared with
+    the BPE trainer. Scores are fixed-point BIGINTs
+    (``WORDPIECE_SCORE_SCALE``) so the oracle's unrolled SQL replay
+    reproduces them bit-for-bit.
+
+    Output adds a ``score`` column to the BPE trainer's schema:
+    (token, kind, merge_rank, pair_a, pair_b, cnt, score).
+    """
+    spark = df.sparkSession
+    wf = (
+        normalized_words(
+            df, text_col=text_col, word_max=word_max, byte_level=byte_level
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms", F.expr("filter(split(word, ''), x -> x <> '')")
+        )
+        .localCheckpoint()
+    )
+    chars = sorted(
+        r["t"]
+        for r in wf.select(F.explode("syms").alias("t")).distinct().collect()
+    )
+    pair_col = F.when(
+        F.size("syms") >= 2,
+        F.expr(
+            "transform(sequence(0, size(syms) - 2),"
+            " i -> struct(syms[i] as a, syms[i + 1] as b))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+    merges: list[tuple[str, str, int, int]] = []
+    for it in range(int(n_merges)):
+        sym_cnt = (
+            wf.select(F.col("freq"), F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").alias("c"))
+        )
+        pairs = (
+            wf.select(F.col("freq"), F.explode(pair_col).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.join(
+                sym_cnt.select(
+                    F.col("s").alias("a"), F.col("c").alias("__ca")
+                ),
+                "a",
+            )
+            .join(
+                sym_cnt.select(
+                    F.col("s").alias("b"), F.col("c").alias("__cb")
+                ),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                "cnt",
+                F.expr(
+                    "(cnt * CAST("
+                    + str(WORDPIECE_SCORE_SCALE)
+                    + " AS BIGINT)) DIV (__ca * __cb)"
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        cnt, score = int(best[0]["cnt"]), int(best[0]["score"])
+        merges.append((a, b, cnt, score))
+        ab = a + b
+        wf = wf.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>),"
+                " (acc, s) -> CASE WHEN size(acc) > 0"
+                " AND element_at(acc, -1) = " + _sql_str(a)
+                + " AND s = " + _sql_str(b)
+                + " THEN concat(slice(acc, 1, size(acc) - 1),"
+                " array(" + _sql_str(ab) + "))"
+                " ELSE concat(acc, array(s)) END)"
+            ),
+        )
+        if (it + 1) % int(checkpoint_every) == 0:
+            wf = wf.localCheckpoint()
+    rows = [(t, "char", 0, "", "", 0, 0) for t in chars] + [
+        (a + b, "merge", i + 1, a, b, cnt, score)
+        for i, (a, b, cnt, score) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "token string, kind string, merge_rank bigint,"
+        " pair_a string, pair_b string, cnt bigint, score bigint",
+    )
+
+
 def train_bpe_distributed(
     df: DataFrame,
     text_col: str = "text",

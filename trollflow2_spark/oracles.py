@@ -3961,6 +3961,111 @@ UNION ALL
 ORACLES["bpe_train"] = _bpe_train_oracle_sql()
 
 
+def _wordpiece_train_oracle_sql(n_merges: int = C.BPE_DIST_MERGES) -> str:
+    """WordPiece-training oracle: the ``bpe_train`` unrolled replay
+    with the likelihood argmax — per iteration the symbol-frequency
+    table joins the pair counts and the winner maximizes the
+    fixed-point BIGINT score ``cnt(ab) * SCALE // (cnt(a) * cnt(b))``
+    (truncating integer division on both engines; positive operands,
+    so DuckDB's floor ``//`` equals Spark's truncating ``DIV``), ties
+    broken lexicographically."""
+    scale = 10**9  # WORDPIECE_SCORE_SCALE
+    its = []
+    for i in range(1, int(n_merges) + 1):
+        its.append(f"""
+pos{i} AS MATERIALIZED (
+  SELECT word, freq,
+    unnest(range(1, len(syms) + 1)) AS idx,
+    unnest(syms) AS sym
+  FROM s{i - 1}
+),
+symcnt{i} AS MATERIALIZED (
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM pos{i} GROUP BY sym
+),
+pairs{i} AS MATERIALIZED (
+  SELECT p1.sym AS a, p2.sym AS b, CAST(sum(p1.freq) AS BIGINT) AS cnt
+  FROM pos{i} p1
+  JOIN pos{i} p2 ON p1.word = p2.word AND p2.idx = p1.idx + 1
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT a, b, a || b AS ab, cnt,
+    CAST((cnt * {scale}) // (ca.c * cb.c) AS BIGINT) AS score
+  FROM pairs{i} p
+  JOIN symcnt{i} ca ON ca.sym = p.a
+  JOIN symcnt{i} cb ON cb.sym = p.b
+  ORDER BY score DESC, a, b LIMIT 1
+),
+cand{i} AS MATERIALIZED (
+  SELECT p1.word, p1.idx
+  FROM pos{i} p1
+  JOIN pos{i} p2 ON p1.word = p2.word AND p2.idx = p1.idx + 1
+  JOIN best{i} bb ON p1.sym = bb.a AND p2.sym = bb.b
+),
+mrg{i} AS MATERIALIZED (
+  SELECT word, idx FROM (
+    SELECT word, idx,
+      row_number() OVER (PARTITION BY word, grp ORDER BY idx) AS k
+    FROM (
+      SELECT word, idx,
+        idx - row_number() OVER (PARTITION BY word ORDER BY idx) AS grp
+      FROM cand{i}
+    )
+  ) WHERE k % 2 = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT q.word, q.freq, list(q.sym ORDER BY q.idx) AS syms
+  FROM (
+    SELECT p.word, p.freq, p.idx,
+      CASE WHEN m.idx IS NOT NULL THEN (SELECT ab FROM best{i})
+           ELSE p.sym END AS sym
+    FROM pos{i} p
+    LEFT JOIN mrg{i} m ON m.word = p.word AND m.idx = p.idx
+    LEFT JOIN mrg{i} m2 ON m2.word = p.word AND m2.idx = p.idx - 1
+    WHERE m2.idx IS NULL
+  ) q
+  GROUP BY q.word, q.freq
+)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT ab AS token, 'merge' AS kind,"
+        f" CAST({i} AS BIGINT) AS merge_rank,"
+        f" a AS pair_a, b AS pair_b, cnt, score FROM best{i}"
+        for i in range(1, int(n_merges) + 1)
+    )
+    return f"""
+WITH norm AS MATERIALIZED (
+  SELECT regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g') AS t
+  FROM documents
+),
+words AS MATERIALIZED (
+  SELECT substring(w, 1, {C.BPE_WORD_MAX}) AS word
+  FROM (
+    SELECT unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS w
+    FROM norm
+  )
+),
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+    list_transform(range(length(word)),
+                   i -> substring(word, i + 1, 1)) AS syms
+  FROM wf
+),{",".join(its)}
+SELECT sym AS token, 'char' AS kind, CAST(0 AS BIGINT) AS merge_rank,
+       '' AS pair_a, '' AS pair_b, CAST(0 AS BIGINT) AS cnt,
+       CAST(0 AS BIGINT) AS score
+FROM (SELECT DISTINCT sym FROM pos1)
+UNION ALL
+{merge_rows}
+"""
+
+
+ORACLES["wordpiece_train"] = _wordpiece_train_oracle_sql()
+
+
 # --- byte-level BPE (GPT-2 byte fallback) -----------------------------------
 
 _BPE_BYTES_SUFFIX_SQL = "text || ' Café №' || (doc_id % 3) || ' 日本語'"

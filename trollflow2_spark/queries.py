@@ -2120,6 +2120,25 @@ def q_bpe_tokenize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_greedy(subset, vocab, byte_level=True)
 
 
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece training
+    (`extensions/tokenizer.py:train_wordpiece_distributed`): the
+    third tokenizer family next to BPE (`bpe_train`) and unigram-LM
+    (`unigram_tokenize`). Same scan-once / iterate-on-the-vocab-table
+    scale shape as the BPE trainer; the defining difference is the
+    merge objective — likelihood score cnt(ab)/(cnt(a)*cnt(b)) as a
+    fixed-point BIGINT, so rare-symbol units win over ubiquitous
+    pairs. The oracle replays ALL iterations (symbol counts, scored
+    argmax, island-parity rewrite) in unrolled SQL — no
+    Python-trained literals."""
+    from trollflow2_spark.extensions.tokenizer import (
+        train_wordpiece_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_wordpiece_distributed(docs, n_merges=C.BPE_DIST_MERGES)
+
+
 def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training at BYTE level: the one-pass word-
     frequency table is built from UTF-8 bytes mapped to symbols
@@ -10694,6 +10713,7 @@ QUERIES = {
     "contamination_bloom": q_contamination_bloom,
     "bpe_tokenize": q_bpe_tokenize,
     "bpe_train": q_bpe_train,
+    "wordpiece_train": q_wordpiece_train,
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_tokenize_bytes": q_bpe_tokenize_bytes,
     "url_dedup_latest": q_url_dedup_latest,
