@@ -299,6 +299,7 @@ OPERATORS = [
     "cdc_apply",  # I/U/D change feed -> latest snapshot (one max_by agg)
     "k_anonymity",  # quasi-identifier k/l release audit (one hash agg)
     "wordpiece_train",  # likelihood-scored distributed tokenizer training
+    "audio_quality",  # PCM gates: peak/RMS/clip/silence (real WAV decode)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

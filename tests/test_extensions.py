@@ -2588,3 +2588,71 @@ def test_script_mixing_and_meta_robots(spark):
     assert got[2]["n_follow_links"] == 0
     assert got[3]["noindex"] == 0
     assert got[3]["n_links"] == 2 and got[3]["n_follow_links"] == 1
+
+
+def _wav_bytes(samples, rate=8000, nch=1, width=2):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_samples_decode_paths(spark):
+    """Real stdlib decode: mono passthrough, channel 0 of stereo,
+    non-PCM16 width quarantined (no row), junk bytes quarantined."""
+    from trollflow2_spark.extensions.multimodal import audio_samples
+
+    stereo = [1, -1, 2, -2, 3, -3]  # interleaved L/R
+    rows = [
+        (0, _wav_bytes([5, -6, 7])),
+        (1, _wav_bytes(stereo, nch=2)),
+        (2, _wav_bytes([1, 2], width=1)),  # 8-bit: skipped
+        (3, b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in audio_samples(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["samples"] == [5, -6, 7]
+    assert got[1]["samples"] == [1, 2, 3]  # channel 0 only
+    assert got[0]["rate"] == 8000
+
+
+def test_audio_quality_stats_edges(spark):
+    """Run folds and clip detection: all-silent clip (lead == run ==
+    n), negative full-scale counts as clipped, empty clip yields
+    zeros."""
+    from trollflow2_spark.extensions.multimodal import (
+        audio_quality_stats,
+    )
+
+    rows = [
+        (0, 8000, [0, 1, -2, 0, 0]),            # all silent (thr=2)
+        (1, 8000, [0, 0, 100, 0, 0, 0, 50]),     # lead 2, run 3
+        (2, 8000, [32767, -32768, 100]),         # both rails clip
+        (3, 8000, []),                            # empty
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, rate int, samples array<int>"
+    )
+    got = {r["doc_id"]: r for r in audio_quality_stats(df).collect()}
+    assert (got[0]["lead_silence"], got[0]["longest_silence"]) == (5, 5)
+    assert got[0]["n_clipped"] == 0
+    assert (got[1]["lead_silence"], got[1]["longest_silence"]) == (2, 3)
+    assert got[2]["n_clipped"] == 2
+    assert got[2]["peak"] == 32768
+    assert (got[3]["n_samples"], got[3]["peak"], got[3]["rms_milli"],
+            got[3]["longest_silence"], got[3]["lead_silence"]) == (
+        0, 0, 0, 0, 0)
+    # rms fixed point: [100] -> exactly 100000 milli
+    one = spark.createDataFrame(
+        [(9, 8000, [100])], "doc_id long, rate int, samples array<int>"
+    )
+    assert audio_quality_stats(one).collect()[0]["rms_milli"] == 100000

@@ -930,6 +930,53 @@ _AUDIO_FP_CTES = """s AS (
   FROM bits GROUP BY doc_id
 )"""
 
+# audio quality gates: regenerate the fixture PCM in SQL (lead/tail
+# zeros, mod-401 tone, every-9th clip on d%5==0) and recompute peak /
+# BIGINT energy -> floored-milli RMS / clip count / silence runs
+# (islands) / leading silence independently
+ORACLES["audio_quality"] = """
+WITH p AS (
+  SELECT doc_id, doc_id % 40 + 20 AS n, doc_id % 8 AS lead,
+    doc_id % 5 AS tail
+  FROM documents
+), v AS (
+  SELECT doc_id, n,
+    CAST(i AS BIGINT) AS i,
+    CASE WHEN i < lead OR i >= n - tail THEN 0
+         WHEN doc_id % 5 = 0 AND (i - lead) % 9 = 0 THEN 32767
+         ELSE ((doc_id * 11 + i) % 401) - 200 END AS smp
+  FROM (SELECT doc_id, n, lead, tail, unnest(range(n)) AS i FROM p)
+), f AS (
+  SELECT doc_id, n, i, smp,
+    CASE WHEN abs(smp) <= 2 THEN 1 ELSE 0 END AS sil
+  FROM v
+), runs AS (
+  SELECT doc_id, MAX(run) AS longest FROM (
+    SELECT doc_id, COUNT(*) AS run FROM (
+      SELECT doc_id, i,
+        i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM f WHERE sil = 1
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, MAX(n) AS n_samples,
+    MAX(abs(smp)) AS peak,
+    COUNT(*) FILTER (WHERE abs(smp) >= 32767) AS n_clipped,
+    CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+    COALESCE(MIN(i) FILTER (WHERE sil = 0), MAX(n)) AS lead_silence
+  FROM f GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(8000 AS INTEGER) AS rate,
+  CAST(n_samples AS BIGINT) AS n_samples,
+  CAST(peak AS BIGINT) AS peak,
+  CAST(n_clipped AS BIGINT) AS n_clipped,
+  CAST(FLOOR(SQRT(CAST(sum_sq AS DOUBLE) / n_samples) * 1000) AS BIGINT)
+    AS rms_milli,
+  CAST(COALESCE(r.longest, 0) AS BIGINT) AS longest_silence,
+  CAST(lead_silence AS BIGINT) AS lead_silence
+FROM agg a LEFT JOIN runs r ON r.doc_id = a.doc_id
+"""
+
 ORACLES["audio_fingerprint"] = f"""
 WITH {_AUDIO_FP_CTES}
 SELECT doc_id, afp,

@@ -7551,6 +7551,67 @@ def q_feed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation gates over REAL WAV decode
+    (`extensions/multimodal.py:audio_samples` + pure-Column
+    `audio_quality_stats`): peak / fixed-point RMS / clipping count /
+    longest-silence run / leading-silence length — the audio analog
+    of the text-quality tier. Fixture clips are real PCM16 WAVs
+    written executor-side: leading zeros (d%8), trailing zeros (d%5),
+    a mod-401 tone, and every 9th tone sample hard-clipped to 32767
+    on d%5==0 docs; the tone itself crosses zero so mid-clip
+    3-sample silence islands exercise the run fold. The oracle
+    regenerates the identical PCM in SQL and recomputes every stat
+    independently (islands for runs, BIGINT energy, IEEE sqrt)."""
+    from trollflow2_spark.extensions.multimodal import (
+        audio_quality_stats,
+        audio_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wav_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def make_wav(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 40 + 20
+                lead, tail = d % 8, d % 5
+                i = np.arange(n)
+                s = ((d * 11 + i) % 401) - 200
+                if d % 5 == 0:
+                    clip = (i >= lead) & (i < n - tail) & ((i - lead) % 9 == 0)
+                    s = np.where(clip, 32767, s)
+                s[:lead] = 0
+                if tail:
+                    s[n - tail:] = 0
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(s.astype("<i2").tobytes())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.mapInPandas(make_wav, wav_schema)
+    return audio_quality_stats(audio_samples(media))
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio fingerprints over REAL WAV decode (stdlib PCM16
     reader): Haitsma-Kalker-style sign-of-band-energy-difference bits
@@ -10552,6 +10613,7 @@ QUERIES = {
     "pdf_text_encrypted": q_pdf_text_encrypted,
     "subtitle_text": q_subtitle_text,
     "audio_fingerprint": q_audio_fingerprint,
+    "audio_quality": q_audio_quality,
     "feed_urls": q_feed_urls,
     "audio_neardup": q_audio_neardup,
     "html_markdown": q_html_markdown,
