@@ -300,6 +300,7 @@ OPERATORS = [
     "k_anonymity",  # quasi-identifier k/l release audit (one hash agg)
     "wordpiece_train",  # likelihood-scored distributed tokenizer training
     "audio_quality",  # PCM gates: peak/RMS/clip/silence (real WAV decode)
+    "geo_radius_join",  # grid-bucketed haversine radius join
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

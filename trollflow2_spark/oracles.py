@@ -1349,6 +1349,33 @@ SELECT bands, rows_per_band, s_pct,
 FROM sch CROSS JOIN grid
 """
 
+# geo radius join: naive cross join + the identical haversine chain
+# (2R asin(sqrt(sin^2 + coscos sin^2))); fixture margin to the 300 km
+# threshold is > 0.5 km, so the float filter cannot flap
+ORACLES["geo_radius_join"] = """
+WITH s AS (
+  SELECT n_nationkey AS site_id,
+    (n_nationkey * 7) % 120 - 60 + 0.5 AS slat,
+    (n_nationkey * 13) % 360 - 180 + 0.5 AS slon
+  FROM nation
+), p AS (
+  SELECT c_custkey AS point_id,
+    (c_custkey * 3) % 120 - 60 + 0.25 AS lat,
+    (c_custkey * 17) % 360 - 180 + 0.25 AS lon
+  FROM customer
+), d AS (
+  SELECT point_id, site_id,
+    2 * 6371.0088 * asin(sqrt(
+      sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+      + cos(radians(lat)) * cos(radians(slat))
+        * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)
+    )) AS dist
+  FROM p CROSS JOIN s
+)
+SELECT point_id, site_id, ROUND(dist, 6) AS dist_km
+FROM d WHERE dist <= 300
+"""
+
 # CIDR longest-prefix enrichment: ips 10.(d%32).(d%256).(7d%256);
 # nations 0-24 own a /16 and a /17 (upper-half third octet -> the /17
 # wins by prefix length); ids with d%32 > 24 fall through to the /8

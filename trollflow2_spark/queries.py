@@ -6962,6 +6962,42 @@ def q_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form radius join (`operators/geo.py:geo_radius_join`):
+    every customer point within 300 km of a nation site — the
+    store-catchment / POI-tagging join Spark lacks, planned as a
+    grid-cell EQUI hash join (sites explode to a 3x3 cell
+    neighborhood and broadcast) with the haversine as a residual
+    filter, never a nested loop. Deterministic synthetic coordinates
+    keep every candidate distance > 0.5 km away from the threshold
+    (engine float divergence is ~1e-10 km), so the float filter
+    cannot flap (`test_geo.py` pins the margin).
+    The oracle is the naive cross join + identical haversine — the
+    bucketed plan must reproduce it exactly."""
+    from trollflow2_spark.operators.geo import geo_radius_join
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    k = F.col("n_nationkey").cast("long")
+    sites = nat.select(
+        k.alias("site_id"),
+        ((k * 7) % 120 - 60 + 0.5).alias("site_lat"),
+        ((k * 13) % 360 - 180 + 0.5).alias("site_lon"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    c = F.col("c_custkey")
+    points = cust.select(
+        c.alias("point_id"),
+        ((c * 3) % 120 - 60 + 0.25).alias("lat"),
+        ((c * 17) % 360 - 180 + 0.25).alias("lon"),
+    )
+    out = geo_radius_join(points, sites, radius_km=300.0)
+    return out.select(
+        "point_id",
+        "site_id",
+        F.round(F.col("dist_km"), 6).alias("dist_km"),
+    )
+
+
 def q_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IP -> CIDR longest-prefix enrichment
     (`extensions/net.py:cidr_enrich`): the GeoIP/ASN join every crawl
@@ -10625,6 +10661,7 @@ QUERIES = {
     "url_spam_features": q_url_spam_features,
     "recrawl_priority": q_recrawl_priority,
     "cidr_enrich": q_cidr_enrich,
+    "geo_radius_join": q_geo_radius_join,
     "lsh_param_plan": q_lsh_param_plan,
     "dedup_source_attribution": q_dedup_source_attribution,
     "exif_gps_scrub": q_exif_gps_scrub,
