@@ -301,6 +301,7 @@ OPERATORS = [
     "wordpiece_train",  # likelihood-scored distributed tokenizer training
     "audio_quality",  # PCM gates: peak/RMS/clip/silence (real WAV decode)
     "geo_radius_join",  # grid-bucketed haversine radius join
+    "domain_boilerplate",  # CCNet per-domain template-line gate
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2656,3 +2656,29 @@ def test_audio_quality_stats_edges(spark):
         [(9, 8000, [100])], "doc_id long, rate int, samples array<int>"
     )
     assert audio_quality_stats(one).collect()[0]["rms_milli"] == 100000
+
+
+def test_domain_boilerplate_gate(spark):
+    """Boilerplate drops EVERY occurrence (vs line_dedup's
+    keep-first); small domains are exempt; fully-boilerplate docs
+    survive with empty text."""
+    from trollflow2_spark.extensions.dedup import domain_boilerplate
+
+    rows = [
+        # domain A: 4 pages, 'nav' on all of them
+        (1, "A", "nav\nbody1"),
+        (2, "A", "nav\nbody2"),
+        (3, "A", "nav\nbody3"),
+        (4, "A", "nav"),          # only boilerplate -> empty
+        # domain B: 2 pages (< min_pages): nothing dropped
+        (5, "B", "nav\nbodyb"),
+        (6, "B", "nav"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    got = {r["doc_id"]: r for r in domain_boilerplate(df).collect()}
+    assert got[1]["text"] == "body1"
+    assert got[2]["text"] == "body2"          # not just first kept
+    assert (got[4]["text"], got[4]["n_lines_kept"]) == ("", 0)
+    assert got[4]["n_lines"] == 1
+    assert got[5]["text"] == "nav\nbodyb"     # exempt domain untouched
+    assert got[6]["text"] == "nav"

@@ -1015,6 +1015,83 @@ def line_dedup(
     )
 
 
+def domain_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    sep: str = "\n",
+    min_pages: int = 3,
+    share_pct: int = 50,
+) -> DataFrame:
+    """Domain-frequency boilerplate removal (the CCNet gate): a line
+    is template chrome — nav bar, cookie banner, footer — when it
+    appears on MORE than ``share_pct``% of its own domain's pages
+    (domains with fewer than ``min_pages`` pages are exempt: no
+    denominator to trust). Complements :func:`line_dedup`, which
+    keeps a boilerplate line's FIRST occurrence and is blind to
+    "frequent within one site, rare globally" templates; this drops
+    every occurrence, but only where the per-domain evidence is
+    strong, so a quote duplicated on two blogs survives.
+
+    The share test is integer cross-multiplication
+    (``n_docs_with_line * 100 > n_pages * share_pct``) — no float
+    boundary to flap. Scale shape: page counts are one hash agg per
+    domain (domain-cardinality output); line evidence is one
+    count_distinct agg keyed on ``(domain, md5(line))`` — the hot
+    boilerplate key combines map-side; removal is a broadcast-able
+    anti-join on the digest pair, then one groupBy per doc to
+    reassemble. Returns ``(id, domain, text, n_lines,
+    n_lines_kept)``; fully-boilerplate docs stay with empty text.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("line_key", F.md5(F.col("line")))
+    pages = df.groupBy(domain_col).agg(
+        F.count_distinct(F.col(id_col)).alias("__n_pages")
+    )
+    evidence = (
+        lines.groupBy(domain_col, "line_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+        .join(pages, domain_col)
+    )
+    boiler = evidence.where(
+        (F.col("__n_pages") >= min_pages)
+        & (F.col("__n_docs") * 100 > F.col("__n_pages") * share_pct)
+    ).select(domain_col, "line_key")
+    kept = lines.join(boiler, [domain_col, "line_key"], "left_anti")
+    n_lines = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.size(F.split(F.col(text_col), F.lit(sep), -1)).alias("n_lines"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return n_lines.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+    )
+
+
 def hamming1_pairs(
     df: DataFrame,
     id_col: str,

@@ -1349,6 +1349,48 @@ SELECT bands, rows_per_band, s_pct,
 FROM sch CROSS JOIN grid
 """
 
+# domain boilerplate: nav on 100% of a domain's pages (dropped),
+# promo on ~33% (kept), unique bodies kept; integer share test
+ORACLES["domain_boilerplate"] = """
+WITH d AS (
+  SELECT doc_id, 'd' || CAST(doc_id % 12 AS VARCHAR) AS domain
+  FROM documents
+), base AS (
+  SELECT doc_id, domain,
+    CASE WHEN doc_id % 3 = 0 THEN
+      ['nav ' || domain, 'promo ' || domain,
+       'body ' || doc_id || ' alpha', 'body ' || doc_id || ' beta']
+    ELSE
+      ['nav ' || domain,
+       'body ' || doc_id || ' alpha', 'body ' || doc_id || ' beta']
+    END AS ls
+  FROM d
+), lines AS (
+  SELECT doc_id, domain, CAST(j AS INTEGER) AS pos, ls[j + 1] AS line
+  FROM base, unnest(range(len(ls))) AS t(j)
+), pages AS (
+  SELECT domain, COUNT(DISTINCT doc_id) AS np FROM d GROUP BY domain
+), ev AS (
+  SELECT domain, line, COUNT(DISTINCT doc_id) AS nd
+  FROM lines GROUP BY 1, 2
+), boiler AS (
+  SELECT ev.domain, ev.line FROM ev JOIN pages USING (domain)
+  WHERE np >= 3 AND nd * 100 > np * 50
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  ANTI JOIN boiler b ON l.domain = b.domain AND l.line = b.line
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+    COUNT(*) AS k
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, d.domain, COALESCE(r.text, '') AS text,
+  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 4 ELSE 3 END AS INTEGER)
+    AS n_lines,
+  CAST(COALESCE(r.k, 0) AS BIGINT) AS n_lines_kept
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
 # geo radius join: naive cross join + the identical haversine chain
 # (2R asin(sqrt(sin^2 + coscos sin^2))); fixture margin to the 300 km
 # threshold is > 0.5 km, so the float filter cannot flap

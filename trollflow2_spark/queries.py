@@ -6962,6 +6962,33 @@ def q_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-frequency boilerplate gate
+    (`extensions/dedup.py:domain_boilerplate`): CCNet-style removal
+    of lines on > 50% of their own domain's pages. Fixture: 12
+    domains by doc_id % 12; a nav line on EVERY page (dropped), a
+    promo line on every third page (~33% — kept), two unique body
+    lines (kept). Integer cross-multiplied share test, so there is
+    no float boundary; the oracle replays the counting and
+    reassembly in SQL."""
+    from trollflow2_spark.extensions.dedup import domain_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    domain = F.concat(F.lit("d"), (d % 12).cast("string"))
+    # concat_ws skips NULLs: the promo line exists only on d%3==0 pages
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("nav "), domain),
+        F.when(d % 3 == 0, F.concat(F.lit("promo "), domain)),
+        F.concat(F.lit("body "), d.cast("string"), F.lit(" alpha")),
+        F.concat(F.lit("body "), d.cast("string"), F.lit(" beta")),
+    )
+    return domain_boilerplate(
+        docs.select("doc_id", domain.alias("domain"), text.alias("text"))
+    )
+
+
 def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Free-form radius join (`operators/geo.py:geo_radius_join`):
     every customer point within 300 km of a nation site — the
@@ -10662,6 +10689,7 @@ QUERIES = {
     "recrawl_priority": q_recrawl_priority,
     "cidr_enrich": q_cidr_enrich,
     "geo_radius_join": q_geo_radius_join,
+    "domain_boilerplate": q_domain_boilerplate,
     "lsh_param_plan": q_lsh_param_plan,
     "dedup_source_attribution": q_dedup_source_attribution,
     "exif_gps_scrub": q_exif_gps_scrub,
