@@ -302,6 +302,7 @@ OPERATORS = [
     "audio_quality",  # PCM gates: peak/RMS/clip/silence (real WAV decode)
     "geo_radius_join",  # grid-bucketed haversine radius join
     "domain_boilerplate",  # CCNet per-domain template-line gate
+    "point_in_time",  # SCD2 read side: FOR SYSTEM_TIME AS OF lookup
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2682,3 +2682,33 @@ def test_domain_boilerplate_gate(spark):
     assert got[4]["n_lines"] == 1
     assert got[5]["text"] == "nav\nbodyb"     # exempt domain untouched
     assert got[6]["text"] == "nav"
+
+
+def test_point_in_time_join_semantics(spark):
+    """Version boundaries: ts exactly at valid_from belongs to the
+    NEW version (half-open ranges); pre-history and unknown-key facts
+    drop; the current (NULL valid_to) version is open-ended."""
+    from datetime import datetime as DT
+
+    from trollflow2_spark.extensions.profile import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", DT(2020, 1, 1), DT(2021, 1, 1)),
+            (1, "v2", DT(2021, 1, 1), None),
+        ],
+        ["k", "ver", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, DT(2020, 6, 1)),   # inside v1
+            (11, 1, DT(2021, 1, 1)),   # boundary -> v2
+            (12, 1, DT(2030, 1, 1)),   # far future -> v2 (open)
+            (13, 1, DT(2019, 1, 1)),   # pre-history -> dropped
+            (14, 9, DT(2021, 1, 1)),   # unknown key -> dropped
+        ],
+        ["fid", "k", "ts"],
+    )
+    got = {r["fid"]: r["ver"]
+           for r in point_in_time_join(facts, hist, "k").collect()}
+    assert got == {10: "v1", 11: "v2", 12: "v2"}

@@ -111,6 +111,36 @@ def scd2_merge(
     return closed.select(kept.columns).unionByName(kept).unionByName(opened)
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Temporal dimension lookup: each fact row gains the dimension
+    version that was valid AT the fact's timestamp — the read side of
+    :func:`scd2_merge` (whose output this consumes directly: NULL
+    ``valid_to`` = still current). Facts with no valid version (key
+    unknown, or ts before the first version) are dropped, matching
+    SQL:2011 ``FOR SYSTEM_TIME AS OF`` inner semantics.
+
+    Scale shape: an EQUI join on the key with the validity range as a
+    residual filter — per-key version counts are bounded by change
+    frequency (single digits for real dimensions), so this is a plain
+    hash join, never a range/theta join; the dimension side is
+    usually broadcastable. Ranges are assumed non-overlapping (what
+    ``scd2_merge`` maintains); an overlapping history would fan out
+    and should be repaired, not silently argmaxed away.
+    """
+    ts = F.col(ts_col)
+    return facts.join(history, key_col).where(
+        (ts >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (ts < F.col(valid_to)))
+    )
+
+
 def cdc_apply(
     changes: DataFrame,
     key_col: str,

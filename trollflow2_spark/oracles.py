@@ -3021,6 +3021,21 @@ FROM documents"""
 
 # SCD2 merge replay: the same close/reopen/no-op/new-key/passthrough
 # decisions expressed relationally
+# point-in-time lookup: tier = bronze before the per-customer
+# boundary month (1996-01 + custkey % 36 months), gold at/after;
+# every order matches exactly one version (ranges partition time
+# from 1990 onward and order dates start 1995)
+ORACLES["point_in_time"] = """
+SELECT o.o_orderkey,
+  o.o_custkey AS custkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+  CASE WHEN o.o_orderdate <
+    TIMESTAMP '1996-01-01' +
+      to_months(CAST(o.o_custkey % 36 AS INTEGER))
+  THEN 'bronze' ELSE 'gold' END AS tier
+FROM orders o
+"""
+
 # CDC apply: latest change per entity wins (seq = event_id, unique),
 # winning delete removes the key; op cycles I/I/U/U/D/U/U by id % 7
 ORACLES["cdc_apply"] = """

@@ -4893,6 +4893,51 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup
+    (`extensions/profile.py:point_in_time_join`): every order joins
+    the customer-tier version valid AT its order date — the read side
+    of the SCD2 tier (`scd2_customers` maintains the history; this
+    consumes it). Fixture history: per customer, 'bronze' until a
+    per-customer boundary month (1996-01 + custkey % 36 months, so
+    boundaries cross the whole order-date range) then 'gold' open-
+    ended. EQUI hash join on the key + validity residual — never a
+    range join; the oracle restates the tier with a CASE on the
+    boundary."""
+    from trollflow2_spark.extensions.profile import point_in_time_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    c = F.col("c_custkey")
+    boundary = F.add_months(
+        F.to_timestamp(F.lit("1996-01-01")), (c % 36).cast("int")
+    )
+    v1 = cust.select(
+        c.alias("custkey"),
+        F.lit("bronze").alias("tier"),
+        F.to_timestamp(F.lit("1990-01-01")).alias("valid_from"),
+        boundary.alias("valid_to"),
+    )
+    v2 = cust.select(
+        c.alias("custkey"),
+        F.lit("gold").alias("tier"),
+        boundary.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    history = v1.unionByName(v2)
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    out = point_in_time_join(facts, history, key_col="custkey")
+    return out.select(
+        "o_orderkey",
+        "custkey",
+        F.date_format("ts", "yyyy-MM-dd").alias("order_date"),
+        "tier",
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply-changes (`extensions/profile.py:cdc_apply`): replay
     an I/U/D change feed into the latest snapshot — the MERGE step
@@ -10650,6 +10695,7 @@ QUERIES = {
     "compaction_from_audit": q_compaction_from_audit,
     "scd2_customers": q_scd2_customers,
     "cdc_apply": q_cdc_apply,
+    "point_in_time": q_point_in_time,
     "k_anonymity": q_k_anonymity,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
