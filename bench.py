@@ -303,6 +303,7 @@ OPERATORS = [
     "geo_radius_join",  # grid-bucketed haversine radius join
     "domain_boilerplate",  # CCNet per-domain template-line gate
     "point_in_time",  # SCD2 read side: FOR SYSTEM_TIME AS OF lookup
+    "host_communities",  # synchronous label-propagation communities
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2712,3 +2712,34 @@ def test_point_in_time_join_semantics(spark):
     got = {r["fid"]: r["ver"]
            for r in point_in_time_join(facts, hist, "k").collect()}
     assert got == {10: "v1", 11: "v2", 12: "v2"}
+
+
+def test_label_propagation_communities(spark):
+    """Two dense triangles joined by one bridge edge must settle on
+    two communities (CC would merge them into one); isolated nodes
+    keep their own label; synchronous = deterministic."""
+    from trollflow2_spark.extensions.dedup import (
+        connected_components,
+        label_propagation,
+    )
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    loner = [(99, 99)]
+    pairs = spark.createDataFrame(
+        tri1 + tri2 + bridge + loner, ["id_a", "id_b"]
+    )
+    lp = {r["id"]: r["community"]
+          for r in label_propagation(pairs, iters=4).collect()}
+    assert lp[1] == lp[2] == lp[3]
+    assert lp[10] == lp[11] == lp[12]
+    assert lp[1] != lp[10]          # the bridge does NOT merge them
+    assert lp[99] == 99
+    cc = {r["id"]: r["cluster_id"]
+          for r in connected_components(pairs).collect()}
+    assert cc[1] == cc[12]          # reachability DOES merge them
+    # determinism: a second run is identical
+    lp2 = {r["id"]: r["community"]
+           for r in label_propagation(pairs, iters=4).collect()}
+    assert lp == lp2

@@ -3021,6 +3021,51 @@ FROM documents"""
 
 # SCD2 merge replay: the same close/reopen/no-op/new-key/passthrough
 # decisions expressed relationally
+# label propagation: 3 synchronous rounds unrolled — each round is
+# neighbor-label mode with (count desc, label asc) argmax over the
+# symmetrized 20-host graph; isolated nodes (none here) would keep
+# their label via the same coalesce the operator uses
+ORACLES["host_communities"] = """
+WITH hosts AS (
+  SELECT DISTINCT doc_id % 20 AS k FROM documents
+), e0 AS (
+  SELECT k AS s, (k + 1) % 20 AS t FROM hosts
+  UNION
+  SELECT k, (k * 3 + 7) % 20 FROM hosts
+), edges AS (
+  SELECT s, t FROM e0 UNION SELECT t, s FROM e0
+), l0 AS (
+  SELECT k AS id, k AS lab FROM hosts
+), n1 AS (
+  SELECT e.s AS id, l.lab, COUNT(*) AS c
+  FROM edges e JOIN l0 l ON l.id = e.t GROUP BY 1, 2
+), l1 AS (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+      row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+    FROM n1) WHERE rn = 1
+), n2 AS (
+  SELECT e.s AS id, l.lab, COUNT(*) AS c
+  FROM edges e JOIN l1 l ON l.id = e.t GROUP BY 1, 2
+), l2 AS (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+      row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+    FROM n2) WHERE rn = 1
+), n3 AS (
+  SELECT e.s AS id, l.lab, COUNT(*) AS c
+  FROM edges e JOIN l2 l ON l.id = e.t GROUP BY 1, 2
+), l3 AS (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+      row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+    FROM n3) WHERE rn = 1
+)
+SELECT 'site' || CAST(id AS VARCHAR) AS host,
+  CAST(lab AS BIGINT) AS community
+FROM l3
+"""
+
 # point-in-time lookup: tier = bronze before the per-customer
 # boundary month (1996-01 + custkey % 36 months), gold at/after;
 # every order matches exactly one version (ranges partition time

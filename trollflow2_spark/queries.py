@@ -2449,6 +2449,31 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph communities via synchronous label propagation
+    (`extensions/dedup.py:label_propagation`): the density clustering
+    that splits link farms / mirror rings from legitimate
+    neighborhoods INSIDE one connected component — complements
+    `host_pagerank` (authority) and the CC tier (reachability) on the
+    same crawl graph shape. The 20-host fixture graph (k -> (k+1)%20,
+    k -> (3k+7)%20, derived from documents) runs 3 synchronous rounds;
+    the oracle unrolls every round in SQL — per-node neighbor-label
+    mode with (count desc, label asc) argmax — so update order can
+    never leak in."""
+    from trollflow2_spark.extensions.dedup import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 20
+    e1 = docs.select(k.alias("id_a"), ((k + 1) % 20).alias("id_b"))
+    e2 = docs.select(k.alias("id_a"), ((k * 3 + 7) % 20).alias("id_b"))
+    pairs = e1.unionByName(e2).distinct()
+    out = label_propagation(pairs, iters=3)
+    return out.select(
+        F.concat(F.lit("site"), F.col("id").cast("string")).alias("host"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl link graph + PageRank: deterministic per-doc HTML carries
     two outlinks (closed-form targets), hrefs are extracted with
@@ -10901,6 +10926,7 @@ QUERIES = {
     "split_leakage_audit": q_split_leakage_audit,
     "embedding_ivf_quantized": q_embedding_ivf_quantized,
     "host_pagerank": q_host_pagerank,
+    "host_communities": q_host_communities,
     "epoch_mixture": q_epoch_mixture,
     "temperature_mixture": q_temperature_mixture,
     "event_time_windows": q_event_time_windows,
