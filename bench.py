@@ -304,6 +304,7 @@ OPERATORS = [
     "domain_boilerplate",  # CCNet per-domain template-line gate
     "point_in_time",  # SCD2 read side: FOR SYSTEM_TIME AS OF lookup
     "host_communities",  # synchronous label-propagation communities
+    "pair_similarity_gate",  # CLIP-score multimodal pair curation
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2743,3 +2743,32 @@ def test_label_propagation_communities(spark):
     lp2 = {r["id"]: r["community"]
            for r in label_propagation(pairs, iters=4).collect()}
     assert lp == lp2
+
+
+def test_embedding_pair_gate(spark):
+    """Aligned pairs pass, orthogonal/mismatched pairs fail, and the
+    rounded-before-gate contract holds at the threshold itself."""
+    from trollflow2_spark.extensions.similarity import embedding_pair_gate
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),     # identical -> 1.0
+        (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),     # orthogonal -> 0.0
+        (3, [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),    # opposite -> -1.0
+        (4, [3.0, 4.0, 0.0], [3.0, 4.0, 0.0]),     # scale-free
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, vec_a array<double>, vec_b array<double>"
+    )
+    got = {r["pid"]: (r["pair_cos"], r["kept"])
+           for r in embedding_pair_gate(df, threshold=0.8).collect()}
+    assert got[1] == (1.0, 1)
+    assert got[2] == (0.0, 0)
+    assert got[3] == (-1.0, 0)
+    assert got[4] == (1.0, 1)
+    # exactly-at-threshold keeps (>=), on the rounded value
+    at = spark.createDataFrame(
+        [(9, [1.0, 0.5], [1.0, 0.5])],
+        "pid long, vec_a array<double>, vec_b array<double>",
+    )
+    r = embedding_pair_gate(at, threshold=1.0).collect()[0]
+    assert (r["pair_cos"], r["kept"]) == (1.0, 1)

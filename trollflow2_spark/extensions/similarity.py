@@ -40,6 +40,28 @@ def _norm(a: Column) -> Column:
     )
 
 
+def embedding_pair_gate(
+    df: DataFrame,
+    vec_a: str = "vec_a",
+    vec_b: str = "vec_b",
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """CLIP-score-style pair curation (the LAION recipe): a
+    multimodal training pair survives only if its two embeddings
+    (caption vs image, query vs passage, transcript vs audio) agree —
+    ``pair_cos`` below ``threshold`` marks a mismatched/noisy pair.
+    Appends ``pair_cos`` (rounded BEFORE the gate, so Spark and the
+    SQL oracle compare identical doubles — the float filter cannot
+    flap) and a ``kept`` flag; callers filter or audit drop rates per
+    source. Pure Column algebra over the two array columns — one
+    fused cosine fold per row, zero shuffle, scan-stage cost."""
+    c = F.round(cosine(F.col(vec_a), F.col(vec_b)), round_to)
+    return df.withColumn("pair_cos", c).withColumn(
+        "kept", (F.col("pair_cos") >= threshold).cast("int")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """One fused fold instead of three (dot + two norms): a single
     struct accumulator computes the same per-element ops in the same

@@ -3425,6 +3425,31 @@ def _cosine_sql(e_vec: str, q_vec: str) -> str:
     )
 
 
+# CLIP-pair gate: caption = reversed vector on every 4th doc
+# (mismatch), tiny deterministic nudge otherwise; cosine rounds to 6
+# BEFORE the 0.8 gate so both engines compare identical doubles
+ORACLES["pair_similarity_gate"] = f"""
+WITH p AS (
+  SELECT d.doc_id, d.source, e.embedding,
+    CASE WHEN d.doc_id % 4 = 0 THEN
+      list_transform(list_reverse(e.embedding),
+                     x -> CAST(x AS DOUBLE))
+    ELSE
+      list_transform(range(len(e.embedding)),
+        i -> CAST(e.embedding[i + 1] AS DOUBLE)
+             + ((d.doc_id + i) % 7 - 3) * 0.01)
+    END AS cap
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), sc AS (
+  SELECT doc_id, source,
+    round({_cosine_sql('embedding', 'cap')}, 6) AS pair_cos
+  FROM p
+)
+SELECT doc_id, source, pair_cos,
+  CAST(CASE WHEN pair_cos >= 0.8 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM sc
+"""
+
 ORACLES["embedding_topk"] = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -1112,6 +1112,49 @@ def q_native_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_similarity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair curation
+    (`extensions/similarity.py:embedding_pair_gate`): the LAION/CLIP
+    recipe — keep a multimodal pair only when its two embeddings
+    agree. Fixture: the embeddings table is the 'image' side; the
+    'caption' side is the same vector nudged by a tiny deterministic
+    perturbation (aligned pairs, cos ~ 1) except every 4th doc, whose
+    caption is the REVERSED vector (a mismatched pair, cos ~ 0).
+    pair_cos rounds to 6 BEFORE the 0.8 gate on both engines, so the
+    filter compares identical doubles. One fused cosine fold per row,
+    zero shuffle beyond the doc-embedding equi-join."""
+    from trollflow2_spark.extensions.similarity import embedding_pair_gate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    pairs = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "source", "embedding"
+    )
+    d = F.col("doc_id")
+    caption = F.when(
+        d % 4 == 0,
+        F.transform(F.reverse(F.col("embedding")), lambda x: x.cast("double")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + ((d + i) % 7 - 3).cast("double") * 0.01,
+        )
+    )
+    gated = embedding_pair_gate(
+        pairs.select(
+            "doc_id",
+            "source",
+            F.col("embedding").alias("vec_a"),
+            caption.alias("vec_b"),
+        ),
+        threshold=0.8,
+    )
+    return gated.select("doc_id", "source", "pair_cos", "kept")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
@@ -10870,6 +10913,7 @@ QUERIES = {
     "embedding_ivf": q_embedding_ivf,
     "incremental_ivf_drift": q_incremental_ivf_drift,
     "embedding_neardup": q_embedding_neardup,
+    "pair_similarity_gate": q_pair_similarity_gate,
     "simhash_pairs": q_simhash_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
