@@ -305,6 +305,7 @@ OPERATORS = [
     "point_in_time",  # SCD2 read side: FOR SYSTEM_TIME AS OF lookup
     "host_communities",  # synchronous label-propagation communities
     "pair_similarity_gate",  # CLIP-score multimodal pair curation
+    "readability",  # Flesch/FK difficulty scoring (curriculum signal)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

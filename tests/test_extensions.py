@@ -2772,3 +2772,31 @@ def test_embedding_pair_gate(spark):
     )
     r = embedding_pair_gate(at, threshold=1.0).collect()[0]
     assert (r["pair_cos"], r["kept"]) == (1.0, 1)
+
+
+def test_readability_features(spark):
+    """Syllable heuristic (vowel runs, silent-e, floor), sentence
+    floor for headline-like text, and known-text scores."""
+    from trollflow2_spark.extensions.text import readability_features
+
+    rows = [
+        (1, "The cat sat."),            # 3 one-syllable words
+        (2, "make"),                     # silent e: 1 syllable
+        (3, "be"),                       # trailing e IS the vowel: 1
+        (4, "readability"),              # rea-da-bi-li-ty -> 5 runs
+        (5, "no terminator here"),       # sentence floor = 1
+        (6, "One. Two! Three? "),        # 3 sentences
+        (7, "rhythm"),                   # y as vowel: 1 run
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in readability_features(df).collect()}
+    assert (got[1]["n_words"], got[1]["n_sentences"],
+            got[1]["n_syllables"]) == (3, 1, 3)
+    assert got[2]["n_syllables"] == 1
+    assert got[3]["n_syllables"] == 1
+    assert got[4]["n_syllables"] == 5
+    assert got[5]["n_sentences"] == 1
+    assert got[6]["n_sentences"] == 3
+    assert got[7]["n_syllables"] == 1
+    # flesch for 'The cat sat.': 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(got[1]["flesch"] - 119.19) < 1e-9

@@ -52,6 +52,67 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+def readability_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document — the
+    classic curriculum/difficulty signal used to bucket training text
+    by complexity (and to route simple-English corpora). Syllables use
+    the standard vowel-group heuristic, stated exactly so the SQL
+    oracle replays it: lowercase word, count ``[aeiouy]+`` runs,
+    subtract one for a trailing silent 'e' when more than one run
+    exists, floor at 1. Sentences = non-blank ``[.!?]+`` segments,
+    floored at 1 (headlines still score). Pure Column algebra — one
+    regexp pass per word inside a transform, no shuffle; formula
+    floats are identical expression trees on both engines, rounded to
+    4."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    syl_per_word = F.transform(
+        words,
+        lambda w: F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0))
+            - F.when(
+                F.lower(w).rlike("[^aeiouy]e$")
+                & (
+                    F.size(
+                        F.regexp_extract_all(
+                            F.lower(w), F.lit("[aeiouy]+"), 0
+                        )
+                    )
+                    > 1
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    n_syllables = F.aggregate(
+        syl_per_word, F.lit(0), lambda acc, x: acc + x
+    )
+    n_sentences = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(t, r"[.!?]+"), lambda x: F.trim(x) != "")),
+    )
+    wps = n_words.cast("double") / n_sentences.cast("double")
+    spw = F.when(
+        n_words > 0, n_syllables.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk_grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+        F.round(fk_grade, 4).alias("fk_grade"),
+    )
+
+
 def quality_features(
     df: DataFrame,
     text_col: str = "text",

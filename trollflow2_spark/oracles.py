@@ -1349,6 +1349,43 @@ SELECT bands, rows_per_band, s_pct,
 FROM sch CROSS JOIN grid
 """
 
+# readability: vowel-group syllables (silent-e adjusted, floor 1),
+# sentence floor 1, identical float chains rounded to 4
+ORACLES["readability"] = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+      AS words,
+    greatest(1, len(list_filter(
+      regexp_split_to_array(text, '[.!?]+'), x -> trim(x) <> '')))
+      AS n_sentences
+  FROM documents
+), s AS (
+  SELECT doc_id, len(words) AS n_words, n_sentences,
+    COALESCE(list_sum(list_transform(words, w ->
+      greatest(1,
+        len(regexp_extract_all(lower(w), '[aeiouy]+'))
+        - CASE WHEN regexp_matches(lower(w), '[^aeiouy]e$')
+                AND len(regexp_extract_all(lower(w), '[aeiouy]+')) > 1
+          THEN 1 ELSE 0 END))), 0) AS n_syllables
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  round(206.835
+    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    - 84.6 * (CASE WHEN n_words > 0
+        THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END), 4) AS flesch,
+  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    + 11.8 * (CASE WHEN n_words > 0
+        THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END) - 15.59, 4) AS fk_grade
+FROM s
+"""
+
 # domain boilerplate: nav on 100% of a domain's pages (dropped),
 # promo on ~33% (kept), unique bodies kept; integer share test
 ORACLES["domain_boilerplate"] = """

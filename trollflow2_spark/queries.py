@@ -7075,6 +7075,18 @@ def q_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (`extensions/text.py:readability_features`):
+    Flesch Reading Ease + Flesch-Kincaid grade over the real document
+    text — the curriculum/difficulty bucket signal. The vowel-group
+    syllable heuristic, sentence floor, and formula float chain are
+    stated identically on both engines; scores round to 4."""
+    from trollflow2_spark.extensions.text import readability_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_features(docs)
+
+
 def q_domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-frequency boilerplate gate
     (`extensions/dedup.py:domain_boilerplate`): CCNet-style removal
@@ -10804,6 +10816,7 @@ QUERIES = {
     "cidr_enrich": q_cidr_enrich,
     "geo_radius_join": q_geo_radius_join,
     "domain_boilerplate": q_domain_boilerplate,
+    "readability": q_readability,
     "lsh_param_plan": q_lsh_param_plan,
     "dedup_source_attribution": q_dedup_source_attribution,
     "exif_gps_scrub": q_exif_gps_scrub,
