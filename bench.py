@@ -306,6 +306,7 @@ OPERATORS = [
     "host_communities",  # synchronous label-propagation communities
     "pair_similarity_gate",  # CLIP-score multimodal pair curation
     "readability",  # Flesch/FK difficulty scoring (curriculum signal)
+    "msgpack_ingest",  # from-scratch msgpack wire decode -> from_json
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

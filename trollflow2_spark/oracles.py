@@ -1152,6 +1152,30 @@ SELECT doc_id,
 FROM f WHERE k % 2 = 0
 """
 
+# msgpack intake: every 11th blob truncated -> err=1 + NULL fields;
+# others restate the packed telemetry record closed-form
+ORACLES["msgpack_ingest"] = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER) AS err,
+  CASE WHEN doc_id % 11 <> 0 THEN doc_id END AS id,
+  CASE WHEN doc_id % 11 <> 0
+    THEN 'sensor-' || CAST(doc_id % 30 AS VARCHAR) END AS name,
+  CASE WHEN doc_id % 11 <> 0 THEN -(doc_id % 40) - 1 END AS neg,
+  CASE WHEN doc_id % 11 <> 0 THEN 1099511627776 + doc_id END AS big,
+  CAST(CASE WHEN doc_id % 11 <> 0
+    THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+  END AS INTEGER) AS ok,
+  CAST(CASE WHEN doc_id % 11 <> 0 THEN doc_id % 4 END AS INTEGER)
+    AS n_tags,
+  CASE WHEN doc_id % 11 <> 0
+    THEN printf('%02x%02x', doc_id % 256, (doc_id * 3) % 256)
+  END AS bin_hex,
+  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 7 END AS nested_a,
+  CAST(CASE WHEN doc_id % 11 <> 0 THEN doc_id % 3 END AS INTEGER)
+    AS nested_b_len
+FROM documents
+"""
+
 # JSON-LD provenance: fixture classes per doc_id % 4 — well-formed,
 # reversed-attribute, absent (has_jsonld 0), truncated (present but
 # unparseable -> NULL fields)

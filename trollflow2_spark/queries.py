@@ -1671,6 +1671,74 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack intake (`sources/msgpack.py:read_msgpack`): the
+    fluentd/Redis-stream wire format, decoded by the from-scratch
+    spec-v5 reader to canonical JSON (one Arrow kernel pass), then
+    cut up JVM-side with native `from_json`. The fixture packs a
+    telemetry-shaped record per doc with the canonical encoder —
+    covering fixint, negative ints, uint64-width, bool, nil, fixstr,
+    bin (hex-rendered), fixarray and nested fixmap — and TRUNCATES
+    every 11th blob, which must surface as err=1 with NULL fields,
+    never an exception. Oracle restates every field closed-form."""
+    from trollflow2_spark.sources.msgpack import read_msgpack
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.msgpack import pack
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rec = {
+                    "id": d,
+                    "name": f"sensor-{d % 30}",
+                    "neg": -(d % 40) - 1,
+                    "big": (1 << 40) + d,
+                    "ok": d % 2 == 0,
+                    "none": None,
+                    "tags": [f"t{(d + j) % 5}" for j in range(d % 4)],
+                    "bin": bytes([d % 256, (d * 3) % 256]),
+                    "nested": {"a": d % 7, "b": "x" * (d % 3)},
+                }
+                b = pack(rec)
+                blobs.append(b[:10] if d % 11 == 0 else b)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, blob_schema)
+    parsed = read_msgpack(blobs)
+    schema = (
+        "id bigint, name string, neg bigint, big bigint, ok boolean,"
+        " tags array<string>, bin string, nested struct<a: bigint, b: string>"
+    )
+    j = F.from_json(F.col("json"), schema)
+    return parsed.select(
+        "doc_id",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        j["id"].alias("id"),
+        j["name"].alias("name"),
+        j["neg"].alias("neg"),
+        j["big"].alias("big"),
+        j["ok"].cast("int").alias("ok"),
+        F.size(j["tags"]).alias("n_tags"),
+        j["bin"].alias("bin_hex"),
+        j["nested"]["a"].alias("nested_a"),
+        F.length(j["nested"]["b"]).alias("nested_b_len"),
+    )
+
+
 def q_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org JSON-LD provenance extraction
     (`sources/warc.py:jsonld_metadata`): the structured headline /
@@ -10957,6 +11025,7 @@ QUERIES = {
     "wet_ingest": q_wet_ingest,
     "wat_outlinks": q_wat_outlinks,
     "html_jsonld": q_html_jsonld,
+    "msgpack_ingest": q_msgpack_ingest,
     "html_tables": q_html_tables,
     "wat_frontier": q_wat_frontier,
     "url_canonicalize": q_url_canonicalize,
