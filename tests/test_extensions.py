@@ -2800,3 +2800,45 @@ def test_readability_features(spark):
     assert got[7]["n_syllables"] == 1
     # flesch for 'The cat sat.': 206.835 - 1.015*3 - 84.6*1 = 119.19
     assert abs(got[1]["flesch"] - 119.19) < 1e-9
+
+
+def test_moments_profile_merge_invariance(spark):
+    """The moments state must be partition-order invariant (exact
+    decimal sums) and match closed-form stats on a known sample."""
+    from trollflow2_spark.extensions.profile import moments_profile
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    df1 = spark.createDataFrame(
+        [("g", v) for v in vals], ["g", "v"]
+    ).repartition(1)
+    df8 = spark.createDataFrame(
+        [("g", v) for v in vals], ["g", "v"]
+    ).repartition(8)
+    r1 = moments_profile(df1, "v", ["g"]).collect()[0]
+    r8 = moments_profile(df8, "v", ["g"]).collect()[0]
+    assert r1.asDict() == r8.asDict()
+    assert r1["mean"] == 4.5
+    assert r1["variance"] == 5.25  # population variance of 1..8
+    assert r1["skewness"] == 0.0   # symmetric
+    assert (r1["min_units"], r1["max_units"]) == (1000, 8000)
+
+
+def test_drift_psi_detects_shift(spark):
+    """Identical snapshots -> PSI ~ 0; a shifted group scores far
+    higher; empty buckets stay finite via smoothing."""
+    from trollflow2_spark.extensions.profile import drift_psi
+
+    base = [("a", float(v % 100)) for v in range(400)]
+    ref = spark.createDataFrame(base, ["g", "v"])
+    same = spark.createDataFrame(base, ["g", "v"])
+    shifted = spark.createDataFrame(
+        [("a", v + 150.0) for _, v in base], ["g", "v"]
+    )
+    psi_same = drift_psi(
+        ref, same, "v", ["g"], bucket_width=25.0, n_buckets=10
+    ).collect()[0]["psi"]
+    psi_shift = drift_psi(
+        ref, shifted, "v", ["g"], bucket_width=25.0, n_buckets=10
+    ).collect()[0]["psi"]
+    assert abs(psi_same) < 1e-9
+    assert psi_shift > 1.0

@@ -111,6 +111,136 @@ def scd2_merge(
     return closed.select(kept.columns).unionByName(kept).unionByName(opened)
 
 
+def moments_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    unit_scale: int = 1000,
+) -> DataFrame:
+    """Mergeable distribution profile per group: exact integer power
+    sums (the "moments sketch") -> mean / variance / skewness /
+    excess kurtosis + min / max. The state is ``(n, sum m, sum m^2,
+    sum m^3, sum m^4, min, max)`` over fixed-point units
+    ``m = floor(value * unit_scale)`` — every component merges by
+    plain addition (or min/max), so Spark's partial aggregation IS
+    the distributed merge: map-side combine reduces a billion rows to
+    one 7-number state per task, and the same seven numbers can be
+    rolled up across days/shards/snapshots without re-reading data
+    (the property HLL gives distinct counts, extended to shape).
+
+    Exactness: power sums accumulate in DECIMAL(38,0) (m^4 for
+    6-digit units is ~1e24, far under the 38-digit ceiling) so the
+    state is bit-exact and order-insensitive; only the final derived
+    statistics are floats, computed by one stated expression tree and
+    rounded to 6."""
+    m = F.floor(F.col(value_col) * unit_scale).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(m).alias("__s1"),
+        F.sum(m * m).alias("__s2"),
+        F.sum(m * m * m).alias("__s3"),
+        F.sum(m * m * m * m).alias("__s4"),
+        F.min(m).cast("long").alias("min_units"),
+        F.max(m).cast("long").alias("max_units"),
+    )
+    n = F.col("n").cast("double")
+    r1 = F.col("__s1").cast("double") / n
+    r2 = F.col("__s2").cast("double") / n
+    r3 = F.col("__s3").cast("double") / n
+    r4 = F.col("__s4").cast("double") / n
+    m2 = r2 - r1 * r1
+    m3 = r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1
+    m4 = r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2 - 3.0 * r1 * r1 * r1 * r1
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(r1 / unit_scale, 6).alias("mean"),
+        F.round(m2 / (float(unit_scale) ** 2), 6).alias("variance"),
+        # m2 * sqrt(m2), not pow(m2, 1.5): sqrt/* are IEEE-correctly-
+        # rounded everywhere, pow is not — keeps both engines bit-equal
+        F.round(
+            F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).otherwise(0.0), 6
+        ).alias("skewness"),
+        F.round(
+            F.when(m2 > 0, m4 / (m2 * m2) - 3.0).otherwise(0.0), 6
+        ).alias("kurtosis_excess"),
+        "min_units",
+        "max_units",
+    )
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot, per group — the standard go/no-go drift gate for model
+    features and corpus mixes (rule of thumb: < 0.1 stable, > 0.25
+    investigate). Values bucket by ``floor(value / bucket_width)``
+    capped at ``n_buckets - 1``; bucket shares are Laplace-smoothed
+    ``(count + 1) / (n + n_buckets)`` so empty buckets contribute a
+    finite, deterministic term instead of a log singularity.
+
+    Shape: one conditional hash agg per (group, bucket) over the
+    union of both snapshots, a dense bucket grid (groups x n_buckets,
+    control-plane-sized) left-joined so MISSING buckets still get
+    their smoothed term, and one final per-group agg. PSI itself is
+    the identical float expression on both engines, rounded to 6."""
+    b = F.least(
+        F.floor(F.col(value_col) / bucket_width).cast("int"),
+        F.lit(int(n_buckets) - 1),
+    )
+    tagged = ref.select(
+        *group_cols, b.alias("__b"), F.lit(1).alias("__is_ref")
+    ).unionByName(
+        cur.select(*group_cols, b.alias("__b"), F.lit(0).alias("__is_ref"))
+    )
+    counts = tagged.groupBy(*group_cols, "__b").agg(
+        F.sum("__is_ref").alias("__cr"),
+        F.sum(1 - F.col("__is_ref")).alias("__cc"),
+    )
+    grid = (
+        tagged.select(*group_cols)
+        .distinct()
+        .withColumn(
+            "__b",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_buckets) - 1))),
+        )
+    )
+    dense = grid.join(counts, [*group_cols, "__b"], "left").select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
+        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+    )
+    w = dense.groupBy(*group_cols).agg(
+        F.sum("__cr").alias("n_ref"),
+        F.sum("__cc").alias("n_cur"),
+        F.collect_list(F.struct("__b", "__cr", "__cc")).alias("__cells"),
+    )
+    B = float(n_buckets)
+    p = lambda c, n: (c + 1.0) / (n + B)  # noqa: E731
+    term = lambda s: (  # noqa: E731
+        p(s["__cr"].cast("double"), F.col("n_ref").cast("double"))
+        - p(s["__cc"].cast("double"), F.col("n_cur").cast("double"))
+    ) * F.log(
+        p(s["__cr"].cast("double"), F.col("n_ref").cast("double"))
+        / p(s["__cc"].cast("double"), F.col("n_cur").cast("double"))
+    )
+    psi = F.aggregate(
+        F.array_sort(F.col("__cells")),
+        F.lit(0.0),
+        lambda acc, s: acc + term(s),
+    )
+    return w.select(
+        *group_cols, "n_ref", "n_cur", F.round(psi, 6).alias("psi")
+    )
+
+
 def point_in_time_join(
     facts: DataFrame,
     history: DataFrame,

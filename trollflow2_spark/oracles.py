@@ -3127,6 +3127,93 @@ SELECT 'site' || CAST(id AS VARCHAR) AS host,
 FROM l3
 """
 
+# moments sketch: HUGEINT power sums over floor(value*1000) units,
+# derived stats on the identical float chain (m2*sqrt(m2), not pow)
+ORACLES["moments_profile"] = """
+WITH m AS (
+  SELECT event_type, CAST(floor(value * 1000) AS HUGEINT) AS m
+  FROM events
+), a AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(m) AS s1, SUM(m * m) AS s2, SUM(m * m * m) AS s3,
+    SUM(m * m * m * m) AS s4, MIN(m) AS mn, MAX(m) AS mx
+  FROM m GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4,
+    mn, mx
+  FROM a
+), c AS (
+  SELECT event_type, n, r1, mn, mx,
+    r2 - r1 * r1 AS m2,
+    r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1 AS m3,
+    r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+      - 3.0 * r1 * r1 * r1 * r1 AS m4
+  FROM d
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  round(r1 / 1000, 6) AS mean,
+  round(m2 / 1000000.0, 6) AS variance,
+  round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) ELSE 0.0 END, 6)
+    AS skewness,
+  round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 ELSE 0.0 END, 6)
+    AS kurtosis_excess,
+  CAST(mn AS BIGINT) AS min_units,
+  CAST(mx AS BIGINT) AS max_units
+FROM c
+"""
+
+# PSI drift: even ids = reference, odd = current (+40 shift on
+# 'purchase'); dense 13-bucket grid, Laplace smoothing, and the PSI
+# fold runs in bucket order on both engines (ordered-list fold here)
+ORACLES["drift_psi"] = """
+WITH tagged AS (
+  SELECT event_type,
+    LEAST(CAST(floor(value / 50.0) AS INTEGER), 12) AS b,
+    1 AS is_ref
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type,
+    LEAST(CAST(floor(
+      (CASE WHEN event_type = 'purchase' THEN value + 40.0
+            ELSE value END) / 50.0) AS INTEGER), 12) AS b,
+    0 AS is_ref
+  FROM events WHERE event_id % 2 = 1
+), counts AS (
+  SELECT event_type, b, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+  FROM tagged GROUP BY 1, 2
+), grid AS (
+  SELECT g.event_type, CAST(j AS INTEGER) AS b
+  FROM (SELECT DISTINCT event_type FROM tagged) g,
+    unnest(range(13)) AS t(j)
+), dense AS (
+  SELECT g.event_type, g.b,
+    COALESCE(c.cr, 0) AS cr, COALESCE(c.cc, 0) AS cc
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.b = g.b
+), w AS (
+  SELECT event_type, SUM(cr) AS n_ref, SUM(cc) AS n_cur
+  FROM dense GROUP BY event_type
+), terms AS (
+  SELECT d.event_type, d.b,
+    ((CAST(d.cr AS DOUBLE) + 1.0) / (CAST(w.n_ref AS DOUBLE) + 13.0)
+     - (CAST(d.cc AS DOUBLE) + 1.0) / (CAST(w.n_cur AS DOUBLE) + 13.0))
+    * ln(((CAST(d.cr AS DOUBLE) + 1.0)
+          / (CAST(w.n_ref AS DOUBLE) + 13.0))
+         / ((CAST(d.cc AS DOUBLE) + 1.0)
+            / (CAST(w.n_cur AS DOUBLE) + 13.0))) AS term
+  FROM dense d JOIN w USING (event_type)
+)
+SELECT w.event_type, CAST(w.n_ref AS BIGINT) AS n_ref,
+  CAST(w.n_cur AS BIGINT) AS n_cur,
+  round(list_sum(list(t.term ORDER BY t.b)), 6) AS psi
+FROM w JOIN terms t USING (event_type)
+GROUP BY w.event_type, w.n_ref, w.n_cur
+"""
+
 # point-in-time lookup: tier = bronze before the per-customer
 # boundary month (1996-01 + custkey % 36 months), gold at/after;
 # every order matches exactly one version (ranges partition time

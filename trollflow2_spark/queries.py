@@ -5029,6 +5029,48 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch (`extensions/profile.py:
+    moments_profile`): per event type, exact DECIMAL power sums ->
+    mean/variance/skewness/kurtosis + fixed-point min/max. The
+    7-number state merges by addition, so partial aggregation IS the
+    distributed merge and day/shard rollups never re-read data — the
+    shape-profile sibling of the HLL/CMS sketch tier. Oracle
+    recomputes the HUGEINT power sums and the identical derived-stat
+    float chain (m2*sqrt(m2), never pow)."""
+    from trollflow2_spark.extensions.profile import moments_profile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return moments_profile(ev, "value", ["event_type"])
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate
+    (`extensions/profile.py:drift_psi`): the go/no-go check a feature
+    store or corpus-mix monitor runs between snapshots. Fixture:
+    even event_ids are the reference snapshot, odd the current, with
+    the current values shifted +40 for the 'purchase' type so one
+    group genuinely drifts. Laplace-smoothed bucket shares keep empty
+    buckets finite; the per-group PSI folds the dense bucket grid in
+    bucket order on BOTH engines (array fold here, ordered-list fold
+    in SQL), so even float addition order matches."""
+    from trollflow2_spark.extensions.profile import drift_psi
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    shifted = F.when(
+        (F.col("event_type") == "purchase"), F.col("value") + 40.0
+    ).otherwise(F.col("value"))
+    ref = ev.where(F.col("event_id") % 2 == 0).select("event_type", "value")
+    cur = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_type", shifted.alias("value")
+    )
+    return drift_psi(
+        ref, cur, "value", ["event_type"], bucket_width=50.0, n_buckets=13
+    )
+
+
 def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup
     (`extensions/profile.py:point_in_time_join`): every order joins
@@ -10844,6 +10886,8 @@ QUERIES = {
     "scd2_customers": q_scd2_customers,
     "cdc_apply": q_cdc_apply,
     "point_in_time": q_point_in_time,
+    "moments_profile": q_moments_profile,
+    "drift_psi": q_drift_psi,
     "k_anonymity": q_k_anonymity,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
