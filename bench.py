@@ -307,6 +307,7 @@ OPERATORS = [
     "pair_similarity_gate",  # CLIP-score multimodal pair curation
     "readability",  # Flesch/FK difficulty scoring (curriculum signal)
     "msgpack_ingest",  # from-scratch msgpack wire decode -> from_json
+    "protobuf_ingest",  # descriptor-free protobuf wire decode
     "moments_profile",  # mergeable exact power-sum shape sketch
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
 ]

@@ -1152,6 +1152,37 @@ SELECT doc_id,
 FROM f WHERE k % 2 = 0
 """
 
+# protobuf intake: every 13th blob truncated -> err=1 + NULLs; the
+# rest restate the span record closed-form (sint zigzag -> signed
+# delta; packed pcts (d%5)+((d+1)%5)+((d+2)%5); dyadic double)
+ORACLES["protobuf_ingest"] = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS INTEGER) AS err,
+  CASE WHEN doc_id % 13 <> 0
+    THEN (doc_id * 123457) % 9007199254740992 END AS trace_id,
+  CASE WHEN doc_id % 13 <> 0
+    THEN 'span-' || CAST(doc_id % 20 AS VARCHAR) END AS name,
+  CASE WHEN doc_id % 13 <> 0 THEN doc_id * 17 END AS dur_us,
+  CASE WHEN doc_id % 13 <> 0 THEN
+    CASE WHEN doc_id % 2 = 0 THEN doc_id % 100
+         ELSE -(doc_id % 100) - 1 END
+  END AS delta,
+  CAST(CASE WHEN doc_id % 13 <> 0 THEN
+    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+  END AS INTEGER) AS ok,
+  CAST(CASE WHEN doc_id % 13 <> 0 THEN 3 END AS INTEGER) AS n_pcts,
+  CASE WHEN doc_id % 13 <> 0
+    THEN doc_id % 5 + (doc_id + 1) % 5 + (doc_id + 2) % 5
+  END AS sum_pcts,
+  CAST(CASE WHEN doc_id % 13 <> 0 THEN doc_id % 2 + 1 END AS INTEGER)
+    AS n_tags,
+  CASE WHEN doc_id % 13 <> 0
+    THEN 'v' || CAST(doc_id % 4 AS VARCHAR) END AS tag0_v,
+  CASE WHEN doc_id % 13 <> 0
+    THEN CAST(doc_id AS DOUBLE) * 0.25 END AS score
+FROM documents
+"""
+
 # msgpack intake: every 11th blob truncated -> err=1 + NULL fields;
 # others restate the packed telemetry record closed-form
 ORACLES["msgpack_ingest"] = """

@@ -1671,6 +1671,95 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire intake (`sources/protobuf.py:read_protobuf`):
+    span-shaped telemetry decoded descriptor-free from the raw wire
+    encoding — varint, ZigZag sint (negative deltas), fixed64,
+    packed repeated varints, repeated nested messages — plus an
+    UNKNOWN field appended to every blob that the decoder must skip
+    (forward compatibility), and every 13th blob truncated to the
+    quarantine path. The double field is dyadic (d * 0.25) so JSON
+    round-tripping is exact. Oracle restates every field closed-form."""
+    from trollflow2_spark.sources.protobuf import read_protobuf
+
+    spec = {
+        1: ("trace_id", "fixed64"),
+        2: ("name", "string"),
+        3: ("dur_us", "uint"),
+        4: ("delta", "sint"),
+        5: ("ok", "bool"),
+        6: ("sampled_pcts", ["uint"]),
+        7: ("tags", [{1: ("k", "string"), 2: ("v", "string")}]),
+        8: ("score", "double"),
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.protobuf import (
+            _key,
+            _varint,
+            encode_message,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rec = {
+                    "trace_id": (d * 123457) % (1 << 53),
+                    "name": f"span-{d % 20}",
+                    "dur_us": d * 17,
+                    "delta": d % 100 if d % 2 == 0 else -(d % 100) - 1,
+                    "ok": d % 3 == 0,
+                    "sampled_pcts": [d % 5, (d + 1) % 5, (d + 2) % 5],
+                    "tags": [
+                        {"k": f"k{j}", "v": f"v{(d + j) % 4}"}
+                        for j in range(d % 2 + 1)
+                    ],
+                    "score": d * 0.25,
+                }
+                b = encode_message(rec, spec)
+                # an unknown field (no 99, varint) the reader must skip
+                b += _key(99, 0) + _varint(7)
+                blobs.append(b[:12] if d % 13 == 0 else b)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, blob_schema)
+    parsed = read_protobuf(blobs, spec)
+    schema = (
+        "trace_id bigint, name string, dur_us bigint, delta bigint,"
+        " ok boolean, sampled_pcts array<bigint>,"
+        " tags array<struct<k: string, v: string>>, score double"
+    )
+    j = F.from_json(F.col("json"), schema)
+    return parsed.select(
+        "doc_id",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        j["trace_id"].alias("trace_id"),
+        j["name"].alias("name"),
+        j["dur_us"].alias("dur_us"),
+        j["delta"].alias("delta"),
+        j["ok"].cast("int").alias("ok"),
+        F.size(j["sampled_pcts"]).alias("n_pcts"),
+        F.aggregate(
+            j["sampled_pcts"], F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_pcts"),
+        F.size(j["tags"]).alias("n_tags"),
+        j["tags"][0]["v"].alias("tag0_v"),
+        j["score"].alias("score"),
+    )
+
+
 def q_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MessagePack intake (`sources/msgpack.py:read_msgpack`): the
     fluentd/Redis-stream wire format, decoded by the from-scratch
@@ -11070,6 +11159,7 @@ QUERIES = {
     "wat_outlinks": q_wat_outlinks,
     "html_jsonld": q_html_jsonld,
     "msgpack_ingest": q_msgpack_ingest,
+    "protobuf_ingest": q_protobuf_ingest,
     "html_tables": q_html_tables,
     "wat_frontier": q_wat_frontier,
     "url_canonicalize": q_url_canonicalize,
