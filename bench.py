@@ -308,6 +308,7 @@ OPERATORS = [
     "readability",  # Flesch/FK difficulty scoring (curriculum signal)
     "msgpack_ingest",  # from-scratch msgpack wire decode -> from_json
     "protobuf_ingest",  # descriptor-free protobuf wire decode
+    "eml_ingest",  # RFC5322/MIME mail intake (qp/base64/2047)
     "moments_profile",  # mergeable exact power-sum shape sketch
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
 ]

@@ -105,3 +105,51 @@ def test_read_msgpack_kernel(spark):
     assert got[1]["error"] is None
     assert got[2]["json"] is None and "unknown" in got[2]["error"]
     assert got[3]["json"] == '[1,"two",null]'
+
+
+# --- EML/MIME intake (sources/eml.py) — shares this file's
+# binary-intake fixtures style ---
+
+
+def test_read_eml_paths(spark):
+    """Multipart with qp+base64, RFC 2047 subject, single-part,
+    nested multipart/alternative, and junk bytes -> error row."""
+    from trollflow2_spark.sources.eml import read_eml
+
+    multi = (
+        b"From: a@x.org\r\nSubject: =?utf-8?b?SMOpbGxv?=\r\n"
+        b"MIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/mixed; boundary="BB"\r\n\r\n'
+        b"--BB\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+        b"caf=C3=A9\r\n"
+        b"--BB\r\n"
+        b"Content-Type: application/pdf\r\n"
+        b'Content-Disposition: attachment; filename="doc.pdf"\r\n'
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        b"QUJD\r\n"
+        b"--BB--\r\n"
+    )
+    single = b"From: b@x.org\r\nSubject: s\r\n\r\nhello\r\n"
+    # alternative: html preferred by clients, but WE want text/plain
+    alt = (
+        b"From: c@x.org\r\nSubject: alt\r\nMIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/alternative; boundary="CC"\r\n\r\n'
+        b"--CC\r\n"
+        b"Content-Type: text/plain\r\n\r\nplain wins\r\n"
+        b"--CC\r\n"
+        b"Content-Type: text/html\r\n\r\n<b>html</b>\r\n"
+        b"--CC--\r\n"
+    )
+    rows = [(1, multi), (2, single), (3, alt)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in read_eml(df).collect()}
+    assert got[1]["subject"] == "Héllo"  # RFC 2047 decoded
+    assert got[1]["body_text"].strip() == "café"
+    assert (got[1]["n_attachments"], got[1]["att0_name"],
+            got[1]["att0_bytes"]) == (1, "doc.pdf", 3)  # b64 'QUJD'='ABC'
+    assert got[2]["body_text"].strip() == "hello"
+    assert got[2]["n_parts"] == 1
+    assert got[3]["body_text"].strip() == "plain wins"
+    assert got[3]["n_parts"] == 2

@@ -1152,6 +1152,30 @@ SELECT doc_id,
 FROM f WHERE k % 2 = 0
 """
 
+# eml intake: every 7th message single-part plain; others multipart
+# (qp utf-8 body + base64 attachment); every 3rd subject is an RFC
+# 2047 encoded word the parser must decode
+ORACLES["eml_ingest"] = """
+SELECT doc_id,
+  CAST(0 AS INTEGER) AS err,
+  'user' || CAST(doc_id % 50 AS VARCHAR) || '@example.org' AS from_addr,
+  CASE WHEN doc_id % 3 = 0 THEN 'Héllo ' || doc_id
+       ELSE 'Plain ' || doc_id END AS subject,
+  'Tue, 05 Mar 2024 10:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+    || ':00 +0000' AS date,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END AS INTEGER)
+    AS n_parts,
+  CASE WHEN doc_id % 7 = 0 THEN 'plain body ' || doc_id
+       ELSE 'café ' || doc_id END AS body,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS INTEGER)
+    AS n_attachments,
+  CASE WHEN doc_id % 7 <> 0
+    THEN 'f' || doc_id || '.bin' END AS att0_name,
+  CAST(CASE WHEN doc_id % 7 <> 0 THEN doc_id % 5 + 1 END AS INTEGER)
+    AS att0_bytes
+FROM documents
+"""
+
 # protobuf intake: every 13th blob truncated -> err=1 + NULLs; the
 # rest restate the span record closed-form (sint zigzag -> signed
 # delta; packed pcts (d%5)+((d+1)%5)+((d+2)%5); dyadic double)

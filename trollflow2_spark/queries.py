@@ -1671,6 +1671,97 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/MIME intake (`sources/eml.py:read_eml`): mailing-list
+    corpora as RFC 5322 bytes — multipart/mixed with a
+    quoted-printable UTF-8 text part and a base64 attachment, RFC
+    2047 encoded-word subjects on every third message, and a
+    single-part message every 7th. The stdlib parser must decode
+    transfer encodings + encoded-words; the oracle restates every
+    decoded field closed-form (body compared trimmed: the trailing
+    CRLF before a MIME boundary belongs to the boundary)."""
+    from trollflow2_spark.sources.eml import read_eml
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_eml(batches):
+        import base64
+
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    subj = (
+                        "=?utf-8?b?"
+                        + base64.b64encode(f"Héllo {d}".encode()).decode()
+                        + "?="
+                    )
+                else:
+                    subj = f"Plain {d}"
+                head = (
+                    f"From: user{d % 50}@example.org\r\n"
+                    "To: list@example.org\r\n"
+                    f"Subject: {subj}\r\n"
+                    f"Date: Tue, 05 Mar 2024 10:{d % 60:02d}:00 +0000\r\n"
+                    "MIME-Version: 1.0\r\n"
+                )
+                if d % 7 == 0:
+                    raw = (
+                        head
+                        + "Content-Type: text/plain; charset=utf-8\r\n\r\n"
+                        + f"plain body {d}\r\n"
+                    )
+                else:
+                    att = base64.b64encode(b"A" * (d % 5 + 1)).decode()
+                    raw = (
+                        head
+                        + f'Content-Type: multipart/mixed; boundary="B{d}"'
+                        + "\r\n\r\n"
+                        + f"--B{d}\r\n"
+                        + "Content-Type: text/plain; charset=utf-8\r\n"
+                        + "Content-Transfer-Encoding: quoted-printable"
+                        + "\r\n\r\n"
+                        + f"caf=C3=A9 {d}\r\n"
+                        + f"--B{d}\r\n"
+                        + "Content-Type: application/octet-stream\r\n"
+                        + "Content-Disposition: attachment; "
+                        + f'filename="f{d}.bin"\r\n'
+                        + "Content-Transfer-Encoding: base64\r\n\r\n"
+                        + att
+                        + "\r\n"
+                        + f"--B{d}--\r\n"
+                    )
+                blobs.append(raw.encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_eml, blob_schema)
+    out = read_eml(blobs)
+    return out.select(
+        "doc_id",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        "from_addr",
+        "subject",
+        "date",
+        "n_parts",
+        # trim() strips only spaces; the MIME tail is CRLF
+        F.regexp_replace(F.col("body_text"), r"^\s+|\s+$", "").alias("body"),
+        "n_attachments",
+        "att0_name",
+        "att0_bytes",
+    )
+
+
 def q_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protobuf wire intake (`sources/protobuf.py:read_protobuf`):
     span-shaped telemetry decoded descriptor-free from the raw wire
@@ -11160,6 +11251,7 @@ QUERIES = {
     "html_jsonld": q_html_jsonld,
     "msgpack_ingest": q_msgpack_ingest,
     "protobuf_ingest": q_protobuf_ingest,
+    "eml_ingest": q_eml_ingest,
     "html_tables": q_html_tables,
     "wat_frontier": q_wat_frontier,
     "url_canonicalize": q_url_canonicalize,
