@@ -309,6 +309,7 @@ OPERATORS = [
     "msgpack_ingest",  # from-scratch msgpack wire decode -> from_json
     "protobuf_ingest",  # descriptor-free protobuf wire decode
     "eml_ingest",  # RFC5322/MIME mail intake (qp/base64/2047)
+    "avro_ingest",  # from-scratch Avro container decode (deflate)
     "moments_profile",  # mergeable exact power-sum shape sketch
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
 ]

@@ -1,0 +1,122 @@
+"""From-scratch Avro container reader/writer (`sources/avro.py`)."""
+
+import pytest
+
+from trollflow2_spark.sources.avro import (
+    AvroError,
+    read_container,
+    write_container,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "Log",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "kind",
+         "type": {"type": "enum", "name": "K", "symbols": ["A", "B", "C"]}},
+        {"name": "chk",
+         "type": {"type": "fixed", "name": "F", "size": 2}},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+
+
+def _rec(i):
+    return {
+        "id": -(1 << 62) + i,  # deep-negative zigzag long
+        "name": f"nämé-{i}",
+        "score": i * 0.5,
+        "ok": i % 2 == 0,
+        "tags": [f"t{j}" for j in range(i % 3)],
+        "attrs": {"a": i, "b": -i},
+        "opt": None if i % 2 == 0 else i,
+        "kind": "ABC"[i % 3],
+        "chk": bytes([i % 256, 255]),
+        "raw": b"\x00\x01" * i,
+    }
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(codec):
+    recs = [_rec(i) for i in range(7)]
+    blob = write_container(recs, SCHEMA, codec=codec)
+    schema, got = read_container(blob)
+    assert schema == SCHEMA
+    assert got == recs
+
+
+def test_multi_block_and_sync_verification():
+    recs = [_rec(i) for i in range(5)]
+    blob = write_container(
+        recs, SCHEMA, codec="deflate", records_per_block=2,
+        sync=bytes(range(16)),
+    )
+    _, got = read_container(blob)
+    assert got == recs
+    # corrupt the LAST sync marker: must fail loudly, not resync
+    bad = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(AvroError, match="sync"):
+        read_container(bad)
+
+
+def test_malformed_containers():
+    with pytest.raises(AvroError, match="bad magic"):
+        read_container(b"PAR1" + b"\x00" * 40)
+    blob = write_container([_rec(1)], SCHEMA)
+    with pytest.raises(AvroError, match="truncated"):
+        read_container(blob[: len(blob) - 10])
+    # unsupported codec in metadata
+    snappy = write_container([_rec(1)], SCHEMA, codec="snappy")
+    with pytest.raises(AvroError, match="unsupported codec"):
+        read_container(snappy)
+
+
+def test_union_and_enum_bounds():
+    # hand-craft: union index out of range
+    from trollflow2_spark.sources.avro import _encode, _write_long
+
+    blob = write_container([], SCHEMA)
+    # decode a raw union with a bad index via the container of one
+    # record whose 'opt' field we splice is overkill; test _decode
+    # directly through a tiny schema instead
+    import io
+
+    from trollflow2_spark.sources.avro import _decode
+
+    with pytest.raises(AvroError, match="union index"):
+        _decode(["null", "long"], io.BytesIO(_write_long(5)))
+    with pytest.raises(AvroError, match="enum index"):
+        _decode(
+            {"type": "enum", "name": "K", "symbols": ["A"]},
+            io.BytesIO(_write_long(3)),
+        )
+    assert _encode("null", None) == b""
+    assert read_container(blob)[1] == []
+
+
+def test_read_avro_kernel(spark):
+    from trollflow2_spark.sources.avro import read_avro
+
+    small = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    rows = [
+        (1, write_container([{"x": 5}, {"x": 6}], small)),
+        (2, b"not avro"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = sorted(
+        ((r["doc_id"], r["rec_idx"], r["json"]) for r in
+         read_avro(df).collect())
+    )
+    assert got[0] == (1, 0, '{"x":5}')
+    assert got[1] == (1, 1, '{"x":6}')
+    assert got[2][0] == 2 and got[2][2] is None

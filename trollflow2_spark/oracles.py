@@ -1152,6 +1152,31 @@ SELECT doc_id,
 FROM f WHERE k % 2 = 0
 """
 
+# avro intake: 1 + d%3 records per container, every 17th truncated
+# -> one err row (rec_idx -1, NULLs); fields restated closed-form
+ORACLES["avro_ingest"] = """
+WITH ok AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS rec_idx
+  FROM documents, unnest(range(doc_id % 3 + 1)) AS t(j)
+  WHERE doc_id % 17 <> 0
+)
+SELECT doc_id, rec_idx, CAST(0 AS INTEGER) AS err,
+  doc_id * 10 + rec_idx AS id,
+  'n' || CAST((doc_id + rec_idx) % 6 AS VARCHAR) AS name,
+  CAST(doc_id + rec_idx AS DOUBLE) * 0.5 AS score,
+  CAST(2 AS INTEGER) AS n_tags,
+  CASE WHEN (doc_id + rec_idx) % 4 <> 0 THEN doc_id + rec_idx END
+    AS opt,
+  list_extract(['A', 'B', 'C'],
+    CAST((doc_id + rec_idx) % 3 + 1 AS INTEGER)) AS kind,
+  printf('%02x%02x', doc_id % 256, rec_idx % 256) AS chk_hex
+FROM ok
+UNION ALL
+SELECT doc_id, CAST(-1 AS INTEGER), CAST(1 AS INTEGER),
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 17 = 0
+"""
+
 # eml intake: every 7th message single-part plain; others multipart
 # (qp utf-8 body + base64 attachment); every 3rd subject is an RFC
 # 2047 encoded word the parser must decode

@@ -1671,6 +1671,94 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container intake (`sources/avro.py:read_avro`): Kafka
+    archives/Hadoop exports, read by the from-scratch spec reader
+    (zigzag varints, blocks, VERIFIED sync markers, null + deflate
+    codecs — spark-avro does not ship here). Each doc's fixture file
+    holds 1 + d%3 records (record/array/union/enum/fixed fields,
+    dyadic doubles) split 2-per-block so multi-block reads exercise;
+    every 6th file is deflate-coded; every 17th truncated -> one
+    err row with rec_idx -1. Oracle restates every record
+    closed-form."""
+    from trollflow2_spark.sources.avro import read_avro
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    avro_schema = {
+        "type": "record",
+        "name": "Log",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "kind", "type": {
+                "type": "enum", "name": "K", "symbols": ["A", "B", "C"]}},
+            {"name": "chk", "type": {
+                "type": "fixed", "name": "F", "size": 2}},
+        ],
+    }
+
+    def make_avro(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.avro import write_container
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                recs = [
+                    {
+                        "id": d * 10 + j,
+                        "name": f"n{(d + j) % 6}",
+                        "score": (d + j) * 0.5,
+                        "tags": [f"t{j}", f"t{d % 3}"],
+                        "opt": None if (d + j) % 4 == 0 else d + j,
+                        "kind": "ABC"[(d + j) % 3],
+                        "chk": bytes([d % 256, j % 256]),
+                    }
+                    for j in range(d % 3 + 1)
+                ]
+                blob = write_container(
+                    recs,
+                    avro_schema,
+                    codec="deflate" if d % 6 == 0 else "null",
+                    records_per_block=2,
+                )
+                blobs.append(blob[:40] if d % 17 == 0 else blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_avro, blob_schema)
+    parsed = read_avro(blobs)
+    schema = (
+        "id bigint, name string, score double, tags array<string>,"
+        " opt bigint, kind string, chk string"
+    )
+    j = F.from_json(F.col("json"), schema)
+    return parsed.select(
+        "doc_id",
+        "rec_idx",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        j["id"].alias("id"),
+        j["name"].alias("name"),
+        j["score"].alias("score"),
+        F.size(j["tags"]).alias("n_tags"),
+        j["opt"].alias("opt"),
+        j["kind"].alias("kind"),
+        j["chk"].alias("chk_hex"),
+    )
+
+
 def q_eml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/MIME intake (`sources/eml.py:read_eml`): mailing-list
     corpora as RFC 5322 bytes — multipart/mixed with a
@@ -11252,6 +11340,7 @@ QUERIES = {
     "msgpack_ingest": q_msgpack_ingest,
     "protobuf_ingest": q_protobuf_ingest,
     "eml_ingest": q_eml_ingest,
+    "avro_ingest": q_avro_ingest,
     "html_tables": q_html_tables,
     "wat_frontier": q_wat_frontier,
     "url_canonicalize": q_url_canonicalize,
