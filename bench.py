@@ -312,6 +312,7 @@ OPERATORS = [
     "avro_ingest",  # from-scratch Avro container decode (deflate)
     "moments_profile",  # mergeable exact power-sum shape sketch
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
+    "delta_snapshot",  # _delta_log replay with time travel
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -2842,3 +2842,30 @@ def test_drift_psi_detects_shift(spark):
     ).collect()[0]["psi"]
     assert abs(psi_same) < 1e-9
     assert psi_shift > 1.0
+
+
+def test_delta_log_snapshot_semantics(spark):
+    """Add -> remove kills a file; re-add after remove revives it;
+    same-commit add+remove resolves to remove; time travel hides
+    later commits; duplicate adds keep the latest size."""
+    from trollflow2_spark.extensions.profile import delta_log_snapshot
+
+    lines = [
+        (0, '{"add":{"path":"a","size":10}}'),
+        (0, '{"add":{"path":"b","size":20}}'),
+        (1, '{"remove":{"path":"a"}}'),
+        (2, '{"add":{"path":"a","size":11}}'),      # revived
+        (3, '{"add":{"path":"c","size":30}}'),
+        (3, '{"remove":{"path":"c"}}'),              # same-commit: remove
+        (4, '{"add":{"path":"b","size":21}}'),       # dup add: new size
+        (5, '{"remove":{"path":"b"}}'),              # beyond as_of below
+        (0, '{"metaData":{"id":"x"}}'),              # ignored action
+        (0, "not json at all"),                      # ignored garbage
+    ]
+    log = spark.createDataFrame(lines, ["version", "line"])
+    full = {r["path"]: (r["size"], r["last_version"])
+            for r in delta_log_snapshot(log).collect()}
+    assert full == {"a": (11, 2)}  # b removed at 5, c dead at 3
+    asof4 = {r["path"]: (r["size"], r["last_version"])
+             for r in delta_log_snapshot(log, as_of_version=4).collect()}
+    assert asof4 == {"a": (11, 2), "b": (21, 4)}

@@ -135,7 +135,9 @@ def moments_profile(
     rounded to 6."""
     m = F.floor(F.col(value_col) * unit_scale).cast("decimal(38,0)")
     agg = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
+        # count(m), not count(*): NULL values must not dilute the
+        # moments (sums skip them, so the denominator must too)
+        F.count(m).alias("n"),
         F.sum(m).alias("__s1"),
         F.sum(m * m).alias("__s2"),
         F.sum(m * m * m).alias("__s3"),
@@ -353,6 +355,65 @@ def k_anonymity_audit(
             (F.col("group_size") < k).cast("int").alias("at_risk"),
             (F.col("l_distinct") == 1).cast("int").alias("homogeneous"),
         )
+    )
+
+
+def delta_log_snapshot(
+    log: DataFrame,
+    line_col: str = "line",
+    version_col: str = "version",
+    as_of_version: int | None = None,
+) -> DataFrame:
+    """Delta-Lake transaction-log replay WITHOUT the Delta library:
+    given the raw `_delta_log` JSON action lines (one row per line,
+    tagged with the commit version from the filename), reconstruct
+    the live file snapshot — optionally AS OF an earlier version
+    (time travel). This is how an engine without a Delta reader
+    legitimately consumes a Delta table: the log is just JSON, the
+    snapshot is "per path, latest add not superseded by a remove".
+
+    Shape: native ``from_json`` (nested optional ``add``/``remove``
+    structs) in the scan, then ONE map-side-combinable ``max_by``
+    keyed by path — identical scale contract to :func:`cdc_apply`
+    (the Delta log IS a CDC feed over files). Precedence is total:
+    (version, action desc, size) — a remove beats an add in the same
+    commit, and duplicate adds cannot flap the winner. Checkpoint
+    parquet files and unsupported actions are simply absent/ignored
+    rows, matching the log-only replay contract.
+    """
+    j = F.from_json(
+        F.col(line_col),
+        "add struct<path: string, size: bigint>,"
+        " remove struct<path: string>",
+    )
+    acts = log.select(
+        F.col(version_col).alias("__v"),
+        F.coalesce(j["add"]["path"], j["remove"]["path"]).alias("path"),
+        j["add"]["size"].alias("__size"),
+        F.when(j["add"].isNotNull(), F.lit("add"))
+        .when(j["remove"].isNotNull(), F.lit("remove"))
+        .alias("__action"),
+    ).where(F.col("path").isNotNull() & F.col("__action").isNotNull())
+    if as_of_version is not None:
+        acts = acts.where(F.col("__v") <= int(as_of_version))
+    last = acts.groupBy("path").agg(
+        F.max_by(
+            F.struct(
+                F.col("__action").alias("action"),
+                F.col("__size").alias("size"),
+                F.col("__v").alias("last_version"),
+            ),
+            F.struct(
+                F.col("__v"),
+                F.col("__action"),
+                F.coalesce(F.col("__size"), F.lit(-1)),
+            ),
+        ).alias("__last")
+    )
+    return last.where(F.col("__last.action") == "add").select(
+        "path",
+        F.col("__last.size").alias("size"),
+        F.col("__last.last_version").alias("last_version"),
     )
 
 

@@ -3207,6 +3207,28 @@ SELECT 'site' || CAST(id AS VARCHAR) AS host,
 FROM l3
 """
 
+# delta-log replay: per path the latest action at version <= 20 wins
+# ((version, action desc, size) precedence); winner must be an add
+ORACLES["delta_snapshot"] = """
+WITH acts AS (
+  SELECT doc_id % 25 AS v,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'part-' || CAST((doc_id + 40) % 80 AS VARCHAR)
+      ELSE 'part-' || CAST(doc_id % 80 AS VARCHAR) END AS path,
+    CASE WHEN doc_id % 5 = 0 THEN 'remove' ELSE 'add' END AS action,
+    CASE WHEN doc_id % 5 <> 0 THEN doc_id * 100 END AS size
+  FROM documents
+  WHERE doc_id % 25 <= 20
+), r AS (
+  SELECT path, action, size, v,
+    row_number() OVER (PARTITION BY path
+      ORDER BY v DESC, action DESC, COALESCE(size, -1) DESC) AS rn
+  FROM acts
+)
+SELECT path, size, v AS last_version
+FROM r WHERE rn = 1 AND action = 'add'
+"""
+
 # moments sketch: HUGEINT power sums over floor(value*1000) units,
 # derived stats on the identical float chain (m2*sqrt(m2), not pow)
 ORACLES["moments_profile"] = """
@@ -3214,7 +3236,7 @@ WITH m AS (
   SELECT event_type, CAST(floor(value * 1000) AS HUGEINT) AS m
   FROM events
 ), a AS (
-  SELECT event_type, COUNT(*) AS n,
+  SELECT event_type, COUNT(m) AS n,
     SUM(m) AS s1, SUM(m * m) AS s2, SUM(m * m * m) AS s3,
     SUM(m * m * m * m) AS s4, MIN(m) AS mn, MAX(m) AS mx
   FROM m GROUP BY event_type

@@ -5297,6 +5297,41 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log replay
+    (`extensions/profile.py:delta_log_snapshot`): reconstruct the
+    live-file snapshot AS OF version 20 from raw `_delta_log` JSON
+    action lines — reading a Delta table (with time travel) without
+    the Delta library. Fixture: docs map to commits 0-24; every 5th
+    doc emits a remove of a shifted path, others add
+    `part-(d%80)` with size d*100; versions 21-24 must be invisible.
+    One from_json scan + one path-keyed max_by (the Delta log is a
+    CDC feed over files); the oracle replays the same precedence with
+    a window."""
+    from trollflow2_spark.extensions.profile import delta_log_snapshot
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    line = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit('{"remove":{"path":"part-'),
+            ((d + 40) % 80).cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"add":{"path":"part-'),
+            (d % 80).cast("string"),
+            F.lit('","size":'),
+            (d * 100).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    log = docs.select((d % 25).alias("version"), line.alias("line"))
+    return delta_log_snapshot(log, as_of_version=20)
+
+
 def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable moments sketch (`extensions/profile.py:
     moments_profile`): per event type, exact DECIMAL power sums ->
@@ -11155,6 +11190,7 @@ QUERIES = {
     "cdc_apply": q_cdc_apply,
     "point_in_time": q_point_in_time,
     "moments_profile": q_moments_profile,
+    "delta_snapshot": q_delta_snapshot,
     "drift_psi": q_drift_psi,
     "k_anonymity": q_k_anonymity,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
