@@ -313,6 +313,7 @@ OPERATORS = [
     "moments_profile",  # mergeable exact power-sum shape sketch
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
     "delta_snapshot",  # _delta_log replay with time travel
+    "streaming_drift_replay",  # micro-batched PSI state == one-pass
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -722,3 +722,27 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     assert rows[1] == 101      # attributed within the bound
     assert rows[2] is None     # no click at all -> NULL right side
     assert rows[3] is None     # click outside max_delay -> unmatched
+
+
+def test_drift_replay_equals_one_pass(spark):
+    """Micro-batched drift state merged across any batch split must
+    equal the one-pass drift_psi bit-for-bit (integer bucket counts
+    merge exactly; the finishing float chain is shared code)."""
+    from trollflow2_spark.extensions.profile import drift_psi
+    from trollflow2_spark.extensions.snapshot import drift_replay_state
+
+    ref_rows = [("a", float(v % 90)) for v in range(120)]
+    cur_rows = [("a", float(v % 90) + 25.0) for v in range(150)]
+    ref = spark.createDataFrame(ref_rows, ["g", "v"])
+    cur = spark.createDataFrame(cur_rows, ["g", "v"])
+    one_pass = drift_psi(
+        ref, cur, "v", ["g"], bucket_width=20.0, n_buckets=8
+    ).collect()[0]
+    batches = [
+        [{"g": g, "v": v} for g, v in cur_rows[i::3]] for i in range(3)
+    ]
+    replayed = drift_replay_state(
+        spark, ref, batches, "g string, v double",
+        value_col="v", group_cols=["g"], bucket_width=20.0, n_buckets=8,
+    ).collect()[0]
+    assert replayed.asDict() == one_pass.asDict()

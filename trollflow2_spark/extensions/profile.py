@@ -205,8 +205,19 @@ def drift_psi(
         F.sum("__is_ref").alias("__cr"),
         F.sum(1 - F.col("__is_ref")).alias("__cc"),
     )
+    return psi_from_counts(counts, group_cols, n_buckets)
+
+
+def psi_from_counts(
+    counts: DataFrame, group_cols: list[str], n_buckets: int
+) -> DataFrame:
+    """The PSI finishing stage over (possibly sparse) per-(group,
+    bucket) counts ``(*group_cols, __b, __cr, __cc)`` — shared by the
+    one-pass :func:`drift_psi` and the streaming state replay
+    (`extensions/snapshot.py:drift_replay_state`), so both paths are
+    the SAME float chain by construction."""
     grid = (
-        tagged.select(*group_cols)
+        counts.select(*group_cols)
         .distinct()
         .withColumn(
             "__b",

@@ -322,3 +322,105 @@ def cms_replay_state(
         .groupBy("row", "cell")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def drift_replay_state(
+    spark,
+    ref: DataFrame,
+    batches: list[list[dict]],
+    schema: str,
+    value_col: str,
+    group_cols: list[str],
+    bucket_width: float,
+    n_buckets: int,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming drift-state maintenance: the current snapshot
+    arrives as REAL micro-batches (same file-source/availableNow
+    harness as :func:`cms_replay_state`); each batch appends its
+    per-(group, bucket) histogram as a batch-tagged DELTA to parquet
+    state, and the monitor reads PSI-vs-reference at any moment by
+    summing the state — no raw-row retention, no re-scan. Bucket
+    counts are exactly mergeable (integers), so the replayed PSI
+    equals the one-pass batch PSI bit-for-bit: the finishing stage is
+    literally shared (`extensions/profile.py:psi_from_counts`).
+    State is (batches x groups x occupied buckets) rows — bounded by
+    the bucket grid, not row volume; batch tags keep
+    checkpoint-recovery re-runs idempotent."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from trollflow2_spark.extensions.profile import psi_from_counts
+
+    d = tempfile.mkdtemp(prefix="tf2_drift_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    state_dir = os.path.join(d, "state")
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = os.path.join(src, f"b{i:04d}.json")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+
+    bucket = F.least(
+        F.floor(F.col(value_col) / bucket_width).cast("int"),
+        F.lit(int(n_buckets) - 1),
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(*group_cols, bucket.alias("__b"))
+            .groupBy(*group_cols, "__b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("__bid", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .queryName("tf2_drift_" + uuid.uuid4().hex[:12])
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"drift_replay_state: stream did not drain "
+                f"{len(batches)} batches within {timeout_s}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    cur = (
+        spark.read.parquet(state_dir)
+        .groupBy(*group_cols, "__b")
+        .agg(F.sum("cnt").alias("__cc"))
+        .withColumn("__cr", F.lit(0))
+    )
+    ref_counts = (
+        ref.select(*group_cols, bucket.alias("__b"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+        .withColumn("__cc", F.lit(0))
+    )
+    counts = (
+        cur.select(*group_cols, "__b", "__cr", "__cc")
+        .unionByName(ref_counts.select(*group_cols, "__b", "__cr", "__cc"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.sum("__cr").alias("__cr"), F.sum("__cc").alias("__cc"))
+    )
+    return psi_from_counts(counts, group_cols, n_buckets)

@@ -3316,6 +3316,58 @@ FROM w JOIN terms t USING (event_type)
 GROUP BY w.event_type, w.n_ref, w.n_cur
 """
 
+# streaming drift replay: the merged micro-batch state must equal
+# the one-pass PSI over the same budget subset — identical pipeline
+# to the drift_psi oracle with the replay-subset CTE up front
+ORACLES["streaming_drift_replay"] = f"""
+WITH sub AS (
+  SELECT event_id, event_type, value FROM events
+  ORDER BY (event_id * {C.REPLAY_SPREAD}) % 4294967296, event_id
+  LIMIT {C.REPLAY_ROW_BUDGET}
+), tagged AS (
+  SELECT event_type,
+    LEAST(CAST(floor(value / 50.0) AS INTEGER), 12) AS b,
+    1 AS is_ref
+  FROM sub WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type,
+    LEAST(CAST(floor(
+      (CASE WHEN event_type = 'purchase' THEN value + 40.0
+            ELSE value END) / 50.0) AS INTEGER), 12) AS b,
+    0 AS is_ref
+  FROM sub WHERE event_id % 2 = 1
+), counts AS (
+  SELECT event_type, b, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+  FROM tagged GROUP BY 1, 2
+), grid AS (
+  SELECT g.event_type, CAST(j AS INTEGER) AS b
+  FROM (SELECT DISTINCT event_type FROM tagged) g,
+    unnest(range(13)) AS t(j)
+), dense AS (
+  SELECT g.event_type, g.b,
+    COALESCE(c.cr, 0) AS cr, COALESCE(c.cc, 0) AS cc
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.b = g.b
+), w AS (
+  SELECT event_type, SUM(cr) AS n_ref, SUM(cc) AS n_cur
+  FROM dense GROUP BY event_type
+), terms AS (
+  SELECT d.event_type, d.b,
+    ((CAST(d.cr AS DOUBLE) + 1.0) / (CAST(w.n_ref AS DOUBLE) + 13.0)
+     - (CAST(d.cc AS DOUBLE) + 1.0) / (CAST(w.n_cur AS DOUBLE) + 13.0))
+    * ln(((CAST(d.cr AS DOUBLE) + 1.0)
+          / (CAST(w.n_ref AS DOUBLE) + 13.0))
+         / ((CAST(d.cc AS DOUBLE) + 1.0)
+            / (CAST(w.n_cur AS DOUBLE) + 13.0))) AS term
+  FROM dense d JOIN w USING (event_type)
+)
+SELECT w.event_type, CAST(w.n_ref AS BIGINT) AS n_ref,
+  CAST(w.n_cur AS BIGINT) AS n_cur,
+  round(list_sum(list(t.term ORDER BY t.b)), 6) AS psi
+FROM w JOIN terms t USING (event_type)
+GROUP BY w.event_type, w.n_ref, w.n_cur
+"""
+
 # point-in-time lookup: tier = bronze before the per-customer
 # boundary month (1996-01 + custkey % 36 months), gold at/after;
 # every order matches exactly one version (ranges partition time

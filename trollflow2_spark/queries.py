@@ -4630,6 +4630,52 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring
+    (`extensions/snapshot.py:drift_replay_state`): the current
+    snapshot streams through 3 REAL micro-batches, each appending its
+    per-(type, bucket) histogram as batch-tagged parquet state; the
+    monitor's PSI-vs-reference read over the summed state must equal
+    the one-pass batch PSI bit-for-bit — bucket counts merge exactly
+    and the finishing float chain is literally shared with
+    `drift_psi`. Budget-capped replay subset (O(1) in sf), even ids
+    as the reference, odd ids streamed with the purchase +40 shift."""
+    from trollflow2_spark.extensions.snapshot import drift_replay_state
+
+    sub = _replay_subset(
+        load_table(spark, sf_dir, "events")
+    ).select("event_id", "event_type", "value")
+    ref = sub.where(F.col("event_id") % 2 == 0).select(
+        "event_type", "value"
+    )
+    shifted = F.when(
+        F.col("event_type") == "purchase", F.col("value") + 40.0
+    ).otherwise(F.col("value"))
+    cur_rows = (
+        sub.where(F.col("event_id") % 2 == 1)
+        .select("event_id", "event_type", shifted.alias("value"))
+        .collect()  # budget-capped fixture (control plane)
+    )
+    batches = [
+        [
+            {"event_type": r["event_type"], "value": r["value"]}
+            for r in cur_rows
+            if r["event_id"] % 3 == i
+        ]
+        for i in range(3)
+    ]
+    return drift_replay_state(
+        spark,
+        ref,
+        batches,
+        "event_type string, value double",
+        value_col="value",
+        group_cols=["event_type"],
+        bucket_width=50.0,
+        n_buckets=13,
+    )
+
+
 def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CMS's mergeable-state property as an OPERATING procedure:
     a budget-capped document subset streams through 3 real
@@ -11226,6 +11272,7 @@ QUERIES = {
     "script_mixing_audit": q_script_mixing_audit,
     "canonical_url_dedup": q_canonical_url_dedup,
     "streaming_cms_replay": q_streaming_cms_replay,
+    "streaming_drift_replay": q_streaming_drift_replay,
     "main_content_extract": q_main_content_extract,
     "url_spam_features": q_url_spam_features,
     "recrawl_priority": q_recrawl_priority,
