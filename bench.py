@@ -314,6 +314,7 @@ OPERATORS = [
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
     "delta_snapshot",  # _delta_log replay with time travel
     "streaming_drift_replay",  # micro-batched PSI state == one-pass
+    "robots_sitemaps",  # Sitemap: directive discovery (crawl bridge)
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

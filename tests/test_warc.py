@@ -639,3 +639,25 @@ def test_html_table_rows_first_table_and_entities(spark):
         (1, 0, ("K", "V"), 1),
         (1, 1, ("a & b", "1 < 2"), 0),
     ]
+
+
+def test_robots_sitemaps_directive(spark):
+    """Sitemap: lines extract case-insensitively on the KEY, verbatim
+    on the URL, in file order, from anywhere in the file."""
+    from pyspark.sql import functions as F
+
+    from trollflow2_spark.sources.warc import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /a\n"
+        "Sitemap: https://x.org/A.xml\n"
+        "# Sitemap: https://x.org/commented.xml is still a directive?\n"
+        "  SITEMAP:https://x.org/B.XML\n"
+        "Sitemap:\n"  # empty value: dropped
+    )
+    df = spark.createDataFrame([(1, body)], ["i", "r"])
+    got = df.select(
+        robots_sitemaps(F.col("r")).alias("u")
+    ).collect()[0]["u"]
+    # the commented line does NOT start with 'sitemap:' after trim
+    assert got == ["https://x.org/A.xml", "https://x.org/B.XML"]

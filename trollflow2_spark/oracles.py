@@ -3162,6 +3162,25 @@ FROM documents"""
 
 # SCD2 merge replay: the same close/reopen/no-op/new-key/passthrough
 # decisions expressed relationally
+# robots Sitemap directives: map1 when d%3!=0 (pos 0), map2 when
+# d%4==0 (verbatim URL incl. case, file order)
+ORACLES["robots_sitemaps"] = """
+WITH rows_ AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 <> 0 AND doc_id % 4 = 0 THEN
+      ['https://s' || (doc_id % 15) || '.com/map1.xml',
+       'https://s' || (doc_id % 15) || '.com/sub/map2.XML']
+    WHEN doc_id % 3 <> 0 THEN
+      ['https://s' || (doc_id % 15) || '.com/map1.xml']
+    WHEN doc_id % 4 = 0 THEN
+      ['https://s' || (doc_id % 15) || '.com/sub/map2.XML']
+    ELSE [] END AS urls
+  FROM documents
+)
+SELECT doc_id, CAST(j AS INTEGER) AS pos, urls[j + 1] AS sitemap_url
+FROM rows_, unnest(range(len(urls))) AS t(j)
+"""
+
 # label propagation: 3 synchronous rounds unrolled — each round is
 # neighbor-label mode with (count desc, label asc) argmax over the
 # symmetrized 20-host graph; isolated nodes (none here) would keep

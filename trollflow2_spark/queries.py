@@ -2828,6 +2828,46 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt
+    (`sources/warc.py:robots_sitemaps`): the `Sitemap:` directive
+    lives outside user-agent groups and is how a crawl finds the
+    sitemap XML that `feed_urls` then parses — the missing hop
+    between the politeness tier and the frontier tier. Fixture
+    robots bodies mix comments, rule lines, and 0-2 Sitemap lines
+    (one lowercase-keyed, indented) per fetch; URLs must come back
+    verbatim and in file order."""
+    from trollflow2_spark.sources.warc import robots_sitemaps
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    site = (d % 15).cast("string")
+    body = F.concat(
+        F.lit("# robots\nUser-agent: *\nDisallow: /tmp\n"),
+        F.when(
+            d % 3 != 0,
+            F.concat(
+                F.lit("Sitemap: https://s"), site, F.lit(".com/map1.xml\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("Allow: /pub\n"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("  sitemap: https://s"), site,
+                F.lit(".com/sub/map2.XML\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 2\n"),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(robots_sitemaps(body)).alias("pos", "sitemap_url"),
+    ).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "sitemap_url"
+    )
+
+
 def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph communities via synchronous label propagation
     (`extensions/dedup.py:label_propagation`): the density clustering
@@ -11451,6 +11491,7 @@ QUERIES = {
     "embedding_ivf_quantized": q_embedding_ivf_quantized,
     "host_pagerank": q_host_pagerank,
     "host_communities": q_host_communities,
+    "robots_sitemaps": q_robots_sitemaps,
     "epoch_mixture": q_epoch_mixture,
     "temperature_mixture": q_temperature_mixture,
     "event_time_windows": q_event_time_windows,

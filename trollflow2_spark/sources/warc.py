@@ -860,6 +860,22 @@ def parse_robots_rules(robots_col):
     )
 
 
+def robots_sitemaps(robots_col):
+    """``Sitemap:`` directives from a robots.txt body Column ->
+    ``array<string>`` of sitemap URLs in file order. Per the sitemaps
+    protocol these live OUTSIDE the user-agent groups (any line,
+    case-insensitive key) and their URLs are kept verbatim (URL paths
+    are case-sensitive). The crawl-discovery bridge: these URLs feed
+    :func:`feed_urls`, which parses the sitemap/sitemapindex XML they
+    point at. Pure Column — one regexp per line."""
+    lines = F.split(robots_col, "\n")
+    urls = F.transform(
+        lines,
+        lambda ln: F.regexp_extract(ln, r"(?i)^\s*sitemap\s*:\s*(\S+)", 1),
+    )
+    return F.filter(urls, lambda u: u != "")
+
+
 def robots_pattern_match(path, pat):
     """One RFC 9309 pattern against one path, pure Column: patterns
     match from the path start, ``*`` matches any run, a trailing ``$``
