@@ -315,6 +315,7 @@ OPERATORS = [
     "delta_snapshot",  # _delta_log replay with time travel
     "streaming_drift_replay",  # micro-batched PSI state == one-pass
     "robots_sitemaps",  # Sitemap: directive discovery (crawl bridge)
+    "binary_metrics",  # exact rank-statistic AUC + confusion metrics
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -101,3 +101,33 @@ def test_matches_python_recurrence(spark):
         p = round(1.0 / (1.0 + math.exp(-z)), 6)
         assert out[doc_id]["score"] == pytest.approx(p, abs=1e-9)
         assert out[doc_id]["y"] == y
+
+
+def test_binary_metrics_exact_auc(spark):
+    """AUC with ties matches the closed-form average-rank value;
+    perfect and inverted classifiers hit 1.0 / 0.0; single-class
+    groups return NULL auc; confusion counts add up."""
+    from trollflow2_spark.extensions.classify import binary_metrics
+
+    # scores: pos at {0.8, 0.8, 0.6}, neg at {0.8, 0.4}
+    # ranks (asc): 0.4->1, 0.6->2, 0.8->avg(3,4,5)=4
+    # U = (4+4+2) - 3*4/2 = 4 ; AUC = 4 / (3*2) = 0.666667
+    rows = [
+        ("m", 0.8, 1), ("m", 0.8, 1), ("m", 0.6, 1),
+        ("m", 0.8, 0), ("m", 0.4, 0),
+        ("p", 0.9, 1), ("p", 0.1, 0),          # perfect
+        ("q", 0.1, 1), ("q", 0.9, 0),          # inverted
+        ("z", 0.5, 1), ("z", 0.6, 1),          # single class
+    ]
+    df = spark.createDataFrame(rows, ["g", "score", "label"])
+    got = {r["g"]: r for r in binary_metrics(
+        df, "score", "label", group_cols=["g"], threshold=0.5
+    ).collect()}
+    assert got["m"]["auc"] == 0.666667
+    assert (got["m"]["tp"], got["m"]["fp"], got["m"]["tn"],
+            got["m"]["fn"]) == (3, 1, 1, 0)
+    assert got["p"]["auc"] == 1.0
+    assert got["q"]["auc"] == 0.0
+    assert got["z"]["auc"] is None
+    assert got["m"]["recall"] == 1.0
+    assert got["m"]["precision"] == 0.75

@@ -281,3 +281,100 @@ def logreg_train_score(
         pred.alias("pred"),
         F.when(pred == F.col("y"), 1).otherwise(0).alias("correct"),
     )
+
+
+def binary_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact binary-classifier evaluation per group: ROC-AUC via the
+    Mann-Whitney rank statistic plus thresholded
+    precision/recall/F1/accuracy — the evaluation loop for the
+    classifier-quality tier (`nb_train_score`, `logreg_train_score`)
+    without a sklearn dependency.
+
+    AUC handles ties EXACTLY by average ranks, kept in integer
+    arithmetic until the final division: per distinct score,
+    ``avg_rank * 2 = 2 * (count below) + count_at + 1`` (doubling
+    clears the half), so ``U * 2 = sum(pos_at * avg_rank2) -
+    n_pos * (n_pos + 1)`` and ``AUC = U2 / (2 * n_pos * n_neg)`` —
+    two engines computing this agree bit-for-bit because everything
+    before the one division is integer.
+
+    Scale shape: one map-side-combinable hash agg to the DISTINCT
+    SCORE table (bounded by score cardinality, not rows — quantized
+    production scores keep this tiny), a window over that bounded
+    table for the cumulative counts, one final agg per group. Never a
+    row-level rank over the raw data. Degenerate groups (single
+    class) return NULL auc rather than a fake 0.5.
+    """
+    gcols = list(group_cols or [])
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    per_score = df.groupBy(*gcols, s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n_at"),
+        F.sum(y).alias("__pos_at"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("__s")
+    below = F.coalesce(
+        F.sum("__n_at").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    ranked = per_score.withColumn(
+        "__rank2_x_pos",
+        (2 * below + F.col("__n_at") + 1) * F.col("__pos_at"),
+    )
+    thr = ranked.groupBy(*gcols).agg(
+        F.sum("__n_at").alias("n"),
+        F.sum("__pos_at").alias("n_pos"),
+        F.sum("__rank2_x_pos").alias("__r2p"),
+        F.sum(
+            F.when(F.col("__s") >= threshold, F.col("__pos_at")).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                F.col("__s") >= threshold,
+                F.col("__n_at") - F.col("__pos_at"),
+            ).otherwise(0)
+        ).alias("fp"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    fn = F.col("n_pos") - F.col("tp")
+    tn = n_neg - F.col("fp")
+    u2 = F.col("__r2p") - F.col("n_pos") * (F.col("n_pos") + 1)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        F.round(
+            u2.cast("double") / (2.0 * F.col("n_pos") * n_neg), 6
+        ),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("n_pos") > 0, F.col("tp").cast("double") / F.col("n_pos")
+    ).otherwise(0.0)
+    f1 = F.when(
+        prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return thr.select(
+        *gcols,
+        "n",
+        "n_pos",
+        auc.alias("auc"),
+        "tp",
+        "fp",
+        tn.alias("tn"),
+        fn.alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(
+            (F.col("tp") + tn).cast("double") / F.col("n"), 6
+        ).alias("accuracy"),
+    )

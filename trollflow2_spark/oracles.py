@@ -3226,6 +3226,53 @@ SELECT 'site' || CAST(id AS VARCHAR) AS host,
 FROM l3
 """
 
+# binary metrics: Mann-Whitney average-rank AUC (integer until the
+# final division) + thresholded confusion counts per model parity
+ORACLES["binary_metrics"] = """
+WITH r AS (
+  SELECT event_id % 2 AS model_id,
+    CAST((CAST(floor(value) AS BIGINT)
+      + CASE WHEN event_type IN ('purchase', 'signup')
+        THEN 97 ELSE 0 END) % 100 AS DOUBLE) / 100.0 AS s,
+    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END
+      AS y
+  FROM events
+), per AS (
+  SELECT model_id, s, COUNT(*) AS n_at, SUM(y) AS pos_at
+  FROM r GROUP BY 1, 2
+), rk AS (
+  SELECT *, COALESCE(SUM(n_at) OVER (PARTITION BY model_id ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per
+), agg AS (
+  SELECT model_id, SUM(n_at) AS n, SUM(pos_at) AS n_pos,
+    SUM((2 * below + n_at + 1) * pos_at) AS r2p,
+    SUM(CASE WHEN s >= 0.5 THEN pos_at ELSE 0 END) AS tp,
+    SUM(CASE WHEN s >= 0.5 THEN n_at - pos_at ELSE 0 END) AS fp
+  FROM rk GROUP BY 1
+), d AS (
+  SELECT model_id, n, n_pos, r2p, tp, fp,
+    (n - n_pos) - fp AS tn, n_pos - tp AS fn,
+    CASE WHEN tp + fp > 0
+      THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS prec,
+    CASE WHEN n_pos > 0
+      THEN CAST(tp AS DOUBLE) / n_pos ELSE 0.0 END AS rec
+  FROM agg
+)
+SELECT model_id, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+  CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+    round(CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+      / (2.0 * n_pos * (n - n_pos)), 6) END AS auc,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+  round(prec, 6) AS precision,
+  round(rec, 6) AS recall,
+  round(CASE WHEN prec + rec > 0
+    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1,
+  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy
+FROM d
+"""
+
 # delta-log replay: per path the latest action at version <= 20 wins
 # ((version, action desc, size) precedence); winner must be an add
 ORACLES["delta_snapshot"] = """

@@ -5418,6 +5418,33 @@ def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_log_snapshot(log, as_of_version=20)
 
 
+def q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact classifier evaluation
+    (`extensions/classify.py:binary_metrics`): ROC-AUC by the
+    Mann-Whitney average-rank statistic — integer arithmetic until
+    the single final division, so ties resolve identically on both
+    engines — plus thresholded precision/recall/F1/accuracy, per
+    'model' (event_id parity). The fixture score quantizes to 100
+    tie-heavy levels and correlates with the label by construction.
+    One hash agg to the bounded distinct-score table, a window over
+    THAT (never a row-level rank), one final agg."""
+    from trollflow2_spark.extensions.classify import binary_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("event_type").isin("purchase", "signup").cast("long")
+    score = (
+        (F.floor(F.col("value")).cast("long") + y * 97) % 100
+    ).cast("double") / 100.0
+    scored = ev.select(
+        (F.col("event_id") % 2).alias("model_id"),
+        score.alias("score"),
+        y.alias("label"),
+    )
+    return binary_metrics(
+        scored, "score", "label", group_cols=["model_id"], threshold=0.5
+    )
+
+
 def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable moments sketch (`extensions/profile.py:
     moments_profile`): per event type, exact DECIMAL power sums ->
@@ -11277,6 +11304,7 @@ QUERIES = {
     "point_in_time": q_point_in_time,
     "moments_profile": q_moments_profile,
     "delta_snapshot": q_delta_snapshot,
+    "binary_metrics": q_binary_metrics,
     "drift_psi": q_drift_psi,
     "k_anonymity": q_k_anonymity,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
