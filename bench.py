@@ -316,6 +316,7 @@ OPERATORS = [
     "streaming_drift_replay",  # micro-batched PSI state == one-pass
     "robots_sitemaps",  # Sitemap: directive discovery (crawl bridge)
     "binary_metrics",  # exact rank-statistic AUC + confusion metrics
+    "calibration_bins",  # reliability diagram + bin-ordered ECE
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

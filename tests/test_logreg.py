@@ -131,3 +131,26 @@ def test_binary_metrics_exact_auc(spark):
     assert got["z"]["auc"] is None
     assert got["m"]["recall"] == 1.0
     assert got["m"]["precision"] == 0.75
+
+
+def test_calibration_bins_semantics(spark):
+    """A perfectly calibrated bucket scores ece contribution 0; a
+    confident-but-wrong bucket dominates ECE; top bin caps at
+    n_bins-1."""
+    from trollflow2_spark.extensions.classify import calibration_bins
+
+    rows = (
+        # bin 5: pred mean 0.5, observed 0.5 -> calibrated
+        [("g", 0.5, 1), ("g", 0.5, 0)]
+        # bin 9 (score 1.0 capped): pred 1.0, observed 0.0 -> off by 1
+        + [("g", 1.0, 0), ("g", 1.0, 0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "score", "label"])
+    got = {r["bin"]: r for r in calibration_bins(
+        df, "score", "label", n_bins=10, group_cols=["g"]
+    ).collect()}
+    assert set(got) == {5, 9}
+    assert (got[5]["mean_pred"], got[5]["obs_rate"]) == (0.5, 0.5)
+    assert (got[9]["mean_pred"], got[9]["obs_rate"]) == (1.0, 0.0)
+    # ece = (2*0 + 2*1.0) / 4 = 0.5, attached to every bin row
+    assert got[5]["ece"] == 0.5 and got[9]["ece"] == 0.5

@@ -378,3 +378,68 @@ def binary_metrics(
             (F.col("tp") + tn).cast("double") / F.col("n"), 6
         ).alias("accuracy"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error per group —
+    the companion to :func:`binary_metrics`: AUC says the model
+    RANKS well, calibration says its probabilities MEAN something
+    (a 0.8 bucket should be right ~80% of the time), which decides
+    whether classifier-quality-filter thresholds transfer across
+    corpora. Scores bin by ``floor(score * n_bins)`` capped at the
+    top bin; per bin: count, positives, mean predicted score (exact
+    DECIMAL score sum -> one double division), observed rate; ECE is
+    the count-weighted |observed - predicted| average, folded in BIN
+    ORDER (the PSI discipline) so float addition order matches the
+    SQL oracle exactly. One hash agg to the (groups x bins) table +
+    one per-group rollup joined back — never a row-level window."""
+    gcols = list(group_cols or [])
+    s, y = F.col(score_col), F.col(label_col).cast("long")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    bins = df.groupBy(*gcols, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos"),
+        F.sum(s.cast("decimal(38,9)")).alias("__ssum"),
+    )
+    pred = F.col("__ssum").cast("double") / F.col("n")
+    obs = F.col("n_pos").cast("double") / F.col("n")
+
+    def cell_term(c):
+        cp = c["__ssum"].cast("double") / c["n"]
+        co = c["n_pos"].cast("double") / c["n"]
+        return c["n"].cast("double") * F.abs(co - cp)
+
+    rolled = bins.groupBy(*gcols).agg(
+        F.sum("n").alias("__n_tot"),
+        F.collect_list(
+            F.struct("bin", "n", "n_pos", "__ssum")
+        ).alias("__cells"),
+    )
+    ece = F.aggregate(
+        F.array_sort(F.col("__cells")),
+        F.lit(0.0),
+        lambda acc, c: acc + cell_term(c),
+    ) / F.col("__n_tot").cast("double")
+    per_group = rolled.select(
+        *gcols, F.round(ece, 6).alias("ece")
+    )
+    out = bins.join(per_group, gcols) if gcols else bins.crossJoin(
+        per_group
+    )
+    return out.select(
+        *gcols,
+        "bin",
+        "n",
+        "n_pos",
+        F.round(pred, 6).alias("mean_pred"),
+        F.round(obs, 6).alias("obs_rate"),
+        "ece",
+    )

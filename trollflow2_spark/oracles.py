@@ -3273,6 +3273,43 @@ SELECT model_id, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
 FROM d
 """
 
+# calibration: bins over the binary_metrics fixture; exact DECIMAL
+# score sums; ECE folded in bin order (list_sum over ordered list)
+ORACLES["calibration_bins"] = """
+WITH r AS (
+  SELECT event_id % 2 AS model_id,
+    CAST((CAST(floor(value) AS BIGINT)
+      + CASE WHEN event_type IN ('purchase', 'signup')
+        THEN 97 ELSE 0 END) % 100 AS DOUBLE) / 100.0 AS s,
+    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END
+      AS y
+  FROM events
+), bins AS (
+  SELECT model_id,
+    LEAST(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+    COUNT(*) AS n, SUM(y) AS n_pos,
+    SUM(CAST(s AS DECIMAL(38, 9))) AS ssum
+  FROM r GROUP BY 1, 2
+), terms AS (
+  SELECT model_id, bin, n, n_pos, ssum,
+    CAST(n AS DOUBLE)
+      * abs(CAST(n_pos AS DOUBLE) / n - CAST(ssum AS DOUBLE) / n)
+      AS term
+  FROM bins
+), g AS (
+  SELECT model_id,
+    round(list_sum(list(term ORDER BY bin))
+      / CAST(SUM(n) AS DOUBLE), 6) AS ece
+  FROM terms GROUP BY model_id
+)
+SELECT b.model_id, b.bin, CAST(b.n AS BIGINT) AS n,
+  CAST(b.n_pos AS BIGINT) AS n_pos,
+  round(CAST(b.ssum AS DOUBLE) / b.n, 6) AS mean_pred,
+  round(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS obs_rate,
+  g.ece
+FROM bins b JOIN g USING (model_id)
+"""
+
 # delta-log replay: per path the latest action at version <= 20 wins
 # ((version, action desc, size) precedence); winner must be an add
 ORACLES["delta_snapshot"] = """

@@ -5445,6 +5445,32 @@ def q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE
+    (`extensions/classify.py:calibration_bins`) over the same
+    quantized fixture scores as `binary_metrics` — ranking quality
+    (AUC) and probability quality (calibration) are different
+    failures, and threshold transfer depends on the latter. Exact
+    DECIMAL score sums feed the per-bin means; the ECE folds in bin
+    order (the PSI discipline) so both engines add floats in the
+    same sequence."""
+    from trollflow2_spark.extensions.classify import calibration_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("event_type").isin("purchase", "signup").cast("long")
+    score = (
+        (F.floor(F.col("value")).cast("long") + y * 97) % 100
+    ).cast("double") / 100.0
+    scored = ev.select(
+        (F.col("event_id") % 2).alias("model_id"),
+        score.alias("score"),
+        y.alias("label"),
+    )
+    return calibration_bins(
+        scored, "score", "label", n_bins=10, group_cols=["model_id"]
+    )
+
+
 def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable moments sketch (`extensions/profile.py:
     moments_profile`): per event type, exact DECIMAL power sums ->
@@ -11305,6 +11331,7 @@ QUERIES = {
     "moments_profile": q_moments_profile,
     "delta_snapshot": q_delta_snapshot,
     "binary_metrics": q_binary_metrics,
+    "calibration_bins": q_calibration_bins,
     "drift_psi": q_drift_psi,
     "k_anonymity": q_k_anonymity,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
