@@ -317,6 +317,7 @@ OPERATORS = [
     "robots_sitemaps",  # Sitemap: directive discovery (crawl bridge)
     "binary_metrics",  # exact rank-statistic AUC + confusion metrics
     "calibration_bins",  # reliability diagram + bin-ordered ECE
+    "downsample_ohlc",  # OHLC rollup as ONE min_by/max_by hash agg
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

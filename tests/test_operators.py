@@ -505,3 +505,32 @@ def test_interval_join_property_vs_bruteforce(spark):
             ).collect()
         )
         assert got == expected, f"width={width}"
+
+
+def test_downsample_ohlc_tie_semantics(spark):
+    """Same-timestamp ties resolve by id (total order); open is the
+    earliest reading, close the latest, and the agg is one pass."""
+    from datetime import datetime as DT
+
+    from trollflow2_spark.operators.windows import downsample_ohlc
+
+    t = DT(2024, 1, 1, 10, 15)
+    rows = [
+        ("a", 1, t, 5.0),
+        ("a", 2, t, 7.0),                    # same ts: id 2 later
+        ("a", 3, DT(2024, 1, 1, 10, 50), 1.0),
+        ("a", 4, DT(2024, 1, 1, 11, 5), 9.0),  # next hour bucket
+    ]
+    df = spark.createDataFrame(rows, ["g", "event_id", "ts", "value"])
+    out = {r["bucket"].hour: r for r in downsample_ohlc(
+        df, "ts", "value", "event_id", ["g"], window="hour"
+    ).collect()}
+    h10 = out[10]
+    assert (h10["open"], h10["close"]) == (5.0, 1.0)
+    assert (h10["high"], h10["low"], h10["n"]) == (7.0, 1.0, 3)
+    assert out[11]["open"] == out[11]["close"] == 9.0
+    # one-pass plan: no window exchange, a single aggregate pair
+    plan = downsample_ohlc(
+        df, "ts", "value", "event_id", ["g"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -132,3 +132,34 @@ def funnel_stages(
         stage.alias("funnel_stage"),
         (stage == len(steps)).cast("int").alias("converted"),
     )
+
+
+def downsample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    window: str = "hour",
+) -> DataFrame:
+    """Open/high/low/close downsampling per (group, time bucket) —
+    the telemetry/metrics rollup (first reading, extremes, last
+    reading per hour/day) that naive implementations write as TWO
+    row_number windows over the raw stream. Here it is ONE hash
+    aggregation: open/close via ``min_by``/``max_by`` on a total
+    (ts, id) key — map-side combinable, so a billion readings reduce
+    to one candidate per map task before the shuffle, and ties at
+    the same timestamp resolve identically everywhere. ``sum_value``
+    accumulates in DECIMAL (order-insensitive) for the companion
+    mean."""
+    bucket = F.date_trunc(window, F.col(ts_col))
+    ord_key = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return df.groupBy(*group_cols, bucket.alias("bucket")).agg(
+        F.min_by(v, ord_key).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, ord_key).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )

@@ -3273,6 +3273,32 @@ SELECT model_id, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
 FROM d
 """
 
+# OHLC: open/close by (ts, event_id) order within (type, hour)
+ORACLES["downsample_ohlc"] = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
+    value
+  FROM events
+), o AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket
+      ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket
+      ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type,
+  strftime(bucket, '%Y-%m-%d %H:00') AS bucket,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  COUNT(*) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE), 6)
+    AS sum_value
+FROM o GROUP BY 1, 2
+"""
+
 # calibration: bins over the binary_metrics fixture; exact DECIMAL
 # score sums; ECE folded in bin order (list_sum over ordered list)
 ORACLES["calibration_bins"] = """

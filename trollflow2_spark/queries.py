@@ -5418,6 +5418,33 @@ def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_log_snapshot(log, as_of_version=20)
 
 
+def q_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC telemetry downsampling
+    (`operators/windows.py:downsample_ohlc`): first/extreme/last
+    reading per (event type, hour) as ONE map-side-combinable hash
+    agg — min_by/max_by on the total (ts, event_id) key — instead of
+    the two row_number windows the naive form pays. The oracle
+    replays open/close with ordered windows; everything else is
+    plain min/max/decimal-sum."""
+    from trollflow2_spark.operators.windows import downsample_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    out = downsample_ohlc(
+        ev, ts_col="ts", value_col="value", id_col="event_id",
+        group_cols=["event_type"], window="hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:00").alias("bucket"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
+    )
+
+
 def q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact classifier evaluation
     (`extensions/classify.py:binary_metrics`): ROC-AUC by the
@@ -11332,6 +11359,7 @@ QUERIES = {
     "delta_snapshot": q_delta_snapshot,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
+    "downsample_ohlc": q_downsample_ohlc,
     "drift_psi": q_drift_psi,
     "k_anonymity": q_k_anonymity,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
