@@ -231,6 +231,40 @@ FLAGSHIP = [
      "Truncation audit: both exact rankings ride the broadcast-"
      "query brute-force plan; the per-query set intersection is a "
      "3-row join."),
+    # round 11 flagships (continuation session)
+    ("cidr_enrich",
+     "IP longest-prefix join: CIDRs exploded onto the /16 grid and "
+     "broadcast — the match is an EQUI BroadcastHashJoin with a "
+     "range residual (never a BroadcastNestedLoopJoin); precedence "
+     "is one map-side-combinable max_by keyed by the point id."),
+    ("geo_radius_join",
+     "Radius join: sites explode to the 3x3 cell neighborhood and "
+     "broadcast; EQUI hash join on the cell struct + haversine "
+     "residual — no CartesianProduct, points never shuffle for the "
+     "match."),
+    ("cdc_apply",
+     "CDC MERGE: one max_by hash agg keyed by entity — hot CDC keys "
+     "collapse map-side before the shuffle; no window sort over the "
+     "feed."),
+    ("moments_profile",
+     "Moments sketch: one partial+final hash agg carrying the "
+     "7-number DECIMAL state; derived stats are scan-stage "
+     "projections over the k-group output."),
+    ("binary_metrics",
+     "Exact AUC: hash agg to the bounded distinct-score table, the "
+     "rank window runs over THAT (never the raw rows), one final "
+     "per-group agg."),
+    ("downsample_ohlc",
+     "OHLC rollup: a single min_by/max_by aggregate pair — no "
+     "Window operator in the plan."),
+    ("delta_snapshot",
+     "Delta-log replay: from_json in the scan stage; one path-keyed "
+     "max_by agg — the log never sorts."),
+    ("avro_ingest",
+     "Avro intake: fixture build + container decode as two chained "
+     "Arrow mapInPandas stages; from_json cuts stay in the scan "
+     "stage (the one Exchange is the fixture's deliberate "
+     "repartition)."),
 ]
 
 
