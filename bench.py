@@ -310,6 +310,7 @@ OPERATORS = [
     "protobuf_ingest",  # descriptor-free protobuf wire decode
     "eml_ingest",  # RFC5322/MIME mail intake (qp/base64/2047)
     "avro_ingest",  # from-scratch Avro container decode (deflate)
+    "webdataset_ingest",  # LAION-style tar shards -> one row/sample
     "moments_profile",  # mergeable exact power-sum shape sketch
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
     "delta_snapshot",  # _delta_log replay with time travel

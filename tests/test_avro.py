@@ -120,3 +120,38 @@ def test_read_avro_kernel(spark):
     assert got[0] == (1, 0, '{"x":5}')
     assert got[1] == (1, 1, '{"x":6}')
     assert got[2][0] == 2 and got[2][2] is None
+
+
+# --- WebDataset shard intake (sources/webdataset.py) ---
+
+
+def test_webdataset_grouping_and_dup_flag(spark):
+    from trollflow2_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    shard = write_webdataset(
+        [
+            {"key": "a", "parts": {"jpg": b"III", "txt": b"cap a",
+                                   "json": b'{"x":1}'}},
+            {"key": "b", "parts": {"seg.png": b"PPPP"}},  # multi-dot ext
+            {"key": "a", "parts": {"txt": b"again"}},     # dup occurrence
+        ]
+    )
+    df = spark.createDataFrame([(1, shard), (2, b"bad")],
+                               "doc_id long, blob binary")
+    rows = read_webdataset(df).collect()
+    by = {(r["doc_id"], r["ord"]): r for r in rows}
+    a0 = by[(1, 0)]
+    assert (a0["sample_key"], a0["n_parts"], a0["exts"]) == (
+        "a", 3, "jpg,json,txt")
+    assert a0["caption"] == "cap a" and a0["image_bytes"] == 3
+    b1 = by[(1, 1)]
+    # 'b.seg.png': key is up to the FIRST dot; png counts as image
+    assert (b1["sample_key"], b1["exts"], b1["image_bytes"]) == (
+        "b", "seg.png", 4)
+    a2 = by[(1, 2)]
+    assert (a2["sample_key"], a2["dup_key"], a2["caption"]) == (
+        "a", 1, "again")
+    assert by[(2, -1)]["error"] is not None

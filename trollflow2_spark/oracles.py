@@ -1152,6 +1152,48 @@ SELECT doc_id,
 FROM f WHERE k % 2 = 0
 """
 
+# webdataset intake: 2 + d%2 samples (txt missing on (d+j)%4==0),
+# every 6th shard appends a dup-key txt-only occurrence, every 19th
+# truncated -> one error row
+ORACLES["webdataset_ingest"] = """
+WITH base AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS ord,
+    lpad(CAST(doc_id AS VARCHAR), 5, '0') || j AS sample_key,
+    (doc_id + j) % 4 <> 0 AS has_txt,
+    CAST(10 + (doc_id + j) % 20 AS INTEGER) AS image_bytes,
+    CAST((doc_id + j) % 5 AS INTEGER) AS meta_label,
+    'caption ' || doc_id || ' ' || j AS cap
+  FROM documents, unnest(range(2 + doc_id % 2)) AS t(j)
+  WHERE doc_id % 19 <> 0
+), main_rows AS (
+  SELECT doc_id, CAST(0 AS INTEGER) AS err, sample_key, ord,
+    CAST(CASE WHEN has_txt THEN 3 ELSE 2 END AS INTEGER) AS n_parts,
+    CASE WHEN has_txt THEN 'jpg,json,txt' ELSE 'jpg,json' END AS exts,
+    CASE WHEN has_txt THEN cap END AS caption,
+    meta_label, image_bytes, CAST(0 AS INTEGER) AS dup_key
+  FROM base
+), dup_rows AS (
+  SELECT doc_id, CAST(0 AS INTEGER) AS err,
+    lpad(CAST(doc_id AS VARCHAR), 5, '0') || '0' AS sample_key,
+    CAST(2 + doc_id % 2 AS INTEGER) AS ord,
+    CAST(1 AS INTEGER) AS n_parts, 'txt' AS exts, 'extra' AS caption,
+    CAST(NULL AS INTEGER) AS meta_label, CAST(0 AS INTEGER)
+      AS image_bytes,
+    CAST(1 AS INTEGER) AS dup_key
+  FROM documents WHERE doc_id % 6 = 0 AND doc_id % 19 <> 0
+), err_rows AS (
+  SELECT doc_id, CAST(1 AS INTEGER) AS err, NULL AS sample_key,
+    CAST(-1 AS INTEGER) AS ord, CAST(NULL AS INTEGER) AS n_parts,
+    NULL AS exts, NULL AS caption, CAST(NULL AS INTEGER) AS meta_label,
+    CAST(NULL AS INTEGER) AS image_bytes, CAST(NULL AS INTEGER)
+      AS dup_key
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT * FROM main_rows
+UNION ALL SELECT * FROM dup_rows
+UNION ALL SELECT * FROM err_rows
+"""
+
 # avro intake: 1 + d%3 records per container, every 17th truncated
 # -> one err row (rec_idx -1, NULLs); fields restated closed-form
 ORACLES["avro_ingest"] = """

@@ -1671,6 +1671,75 @@ def q_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard intake
+    (`sources/webdataset.py:read_webdataset`): LAION-style .tar
+    shards become one row per sample (key = basename to the FIRST
+    dot, contiguous grouping). Fixture shards carry 2 + d%2 samples
+    of jpg+json(+txt — missing on every (d+j)%4==0 sample, the
+    caption-less case the pair-gate tier must see); every 6th shard
+    appends a NON-contiguous reuse of sample 0's key, which must
+    flag dup_key=1 as its own occurrence; every 19th shard is
+    truncated -> one error row. Oracle restates every sample
+    closed-form."""
+    from trollflow2_spark.sources.webdataset import read_webdataset
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_shards(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.webdataset import write_webdataset
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = []
+                for j in range(2 + d % 2):
+                    parts = {
+                        "jpg": b"J" * (10 + (d + j) % 20),
+                        "json": ('{"label":%d}' % ((d + j) % 5)).encode(),
+                    }
+                    if (d + j) % 4 != 0:
+                        parts["txt"] = f"caption {d} {j}".encode()
+                    samples.append(
+                        {"key": f"{d:05d}{j}", "parts": parts}
+                    )
+                if d % 6 == 0:
+                    samples.append(
+                        {"key": f"{d:05d}0", "parts": {"txt": b"extra"}}
+                    )
+                blob = write_webdataset(samples)
+                blobs.append(blob[:100] if d % 19 == 0 else blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_shards, blob_schema)
+    out = read_webdataset(blobs)
+    return out.select(
+        "doc_id",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        "sample_key",
+        "ord",
+        "n_parts",
+        "exts",
+        "caption",
+        F.get_json_object(F.col("meta_json"), "$.label")
+        .cast("int")
+        .alias("meta_label"),
+        "image_bytes",
+        "dup_key",
+    )
+
+
 def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro container intake (`sources/avro.py:read_avro`): Kafka
     archives/Hadoop exports, read by the from-scratch spec reader
@@ -11547,6 +11616,7 @@ QUERIES = {
     "protobuf_ingest": q_protobuf_ingest,
     "eml_ingest": q_eml_ingest,
     "avro_ingest": q_avro_ingest,
+    "webdataset_ingest": q_webdataset_ingest,
     "html_tables": q_html_tables,
     "wat_frontier": q_wat_frontier,
     "url_canonicalize": q_url_canonicalize,
