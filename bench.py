@@ -316,6 +316,7 @@ OPERATORS = [
     "delta_snapshot",  # _delta_log replay with time travel
     "streaming_drift_replay",  # micro-batched PSI state == one-pass
     "robots_sitemaps",  # Sitemap: directive discovery (crawl bridge)
+    "fetch_schedule",  # polite per-domain fetch plan (affine workers)
     "binary_metrics",  # exact rank-statistic AUC + confusion metrics
     "calibration_bins",  # reliability diagram + bin-ordered ECE
     "downsample_ohlc",  # OHLC rollup as ONE min_by/max_by hash agg

@@ -661,3 +661,28 @@ def test_robots_sitemaps_directive(spark):
     ).collect()[0]["u"]
     # the commented line does NOT start with 'sitemap:' after trim
     assert got == ["https://x.org/A.xml", "https://x.org/B.XML"]
+
+
+def test_fetch_schedule_politeness_invariants(spark):
+    """One worker per domain (affinity), slots follow priority order,
+    offsets step by the domain's delay."""
+    from trollflow2_spark.sources.warc import fetch_schedule
+
+    rows = [
+        ("a.com", "https://a.com/1", 10, 2),
+        ("a.com", "https://a.com/2", 90, 2),
+        ("a.com", "https://a.com/3", 50, 2),
+        ("b.org", "https://b.org/1", 5, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["domain", "url", "priority", "crawl_delay_s"]
+    )
+    out = fetch_schedule(df, n_workers=8).collect()
+    a = sorted([r for r in out if r["domain"] == "a.com"],
+               key=lambda r: r["slot"])
+    assert [r["url"].split("/")[-1] for r in a] == ["2", "3", "1"]
+    assert [r["offset_s"] for r in a] == [0, 2, 4]
+    assert len({r["worker"] for r in a}) == 1  # domain affinity
+    b = [r for r in out if r["domain"] == "b.org"][0]
+    assert (b["slot"], b["offset_s"]) == (0, 0)
+    assert all(0 <= r["worker"] < 8 for r in out)

@@ -3204,6 +3204,33 @@ FROM documents"""
 
 # SCD2 merge replay: the same close/reopen/no-op/new-key/passthrough
 # decisions expressed relationally
+# fetch schedule: per-domain slots by (priority desc, url), offset =
+# slot * delay, worker = portable md5-60-bit hash of the domain % 64
+ORACLES["fetch_schedule"] = """
+WITH f AS (
+  SELECT doc_id,
+    'd' || CAST(doc_id % 12 AS VARCHAR) AS domain,
+    'https://d' || (doc_id % 12) || '/p' || doc_id AS url0,
+    (doc_id * 7) % 100 AS priority,
+    1 + (doc_id % 12) % 5 AS crawl_delay_s
+  FROM documents
+), s AS (
+  SELECT doc_id, domain,
+    'https://' || domain || '/p' || doc_id AS url,
+    priority, crawl_delay_s,
+    row_number() OVER (PARTITION BY domain
+      ORDER BY priority DESC,
+        'https://' || domain || '/p' || doc_id) - 1 AS slot
+  FROM f
+)
+SELECT doc_id, domain, url, priority,
+  CAST(slot AS INTEGER) AS slot,
+  CAST(slot * crawl_delay_s AS BIGINT) AS offset_s,
+  CAST(CAST(('0x' || substr(md5(domain), 1, 15)) AS BIGINT) % 64
+    AS INTEGER) AS worker
+FROM s
+"""
+
 # robots Sitemap directives: map1 when d%3!=0 (pos 0), map2 when
 # d%4==0 (verbatim URL incl. case, file order)
 ORACLES["robots_sitemaps"] = """

@@ -2897,6 +2897,33 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite fetch planning (`sources/warc.py:fetch_schedule`): the
+    scored frontier becomes an executable plan — per-domain slots in
+    (priority desc, url asc) order, offset = slot x crawl_delay, and
+    DOMAIN-AFFINE worker assignment (portable hash), the only
+    assignment that preserves per-domain politeness under horizontal
+    scale. One bounded per-domain window; everything else map-side.
+    Oracle replays the window and the md5-derived worker hash."""
+    from trollflow2_spark.sources.warc import fetch_schedule
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    domain = F.concat(F.lit("d"), (d % 12).cast("string"))
+    frontier = docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.concat(F.lit("https://"), domain, F.lit("/p"), d.cast("string"))
+        .alias("url"),
+        ((d * 7) % 100).alias("priority"),
+        (F.lit(1) + (d % 12) % 5).alias("crawl_delay_s"),
+    )
+    out = fetch_schedule(frontier, n_workers=64)
+    return out.select(
+        "doc_id", "domain", "url", "priority", "slot", "offset_s", "worker"
+    )
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery from robots.txt
     (`sources/warc.py:robots_sitemaps`): the `Sitemap:` directive
@@ -11645,6 +11672,7 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "host_communities": q_host_communities,
     "robots_sitemaps": q_robots_sitemaps,
+    "fetch_schedule": q_fetch_schedule,
     "epoch_mixture": q_epoch_mixture,
     "temperature_mixture": q_temperature_mixture,
     "event_time_windows": q_event_time_windows,

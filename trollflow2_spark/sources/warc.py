@@ -860,6 +860,53 @@ def parse_robots_rules(robots_col):
     )
 
 
+def fetch_schedule(
+    frontier: DataFrame,
+    domain_col: str = "domain",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_col: str = "crawl_delay_s",
+    n_workers: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """Turn a scored frontier into an executable polite fetch plan:
+    per domain, URLs take slots in (priority desc, url asc) order and
+    slot *k* fetches at ``k * crawl_delay`` seconds; each domain pins
+    to ONE worker (``xxhash64(domain) % n_workers``) so the delay
+    contract holds no matter how many fetchers run — politeness is
+    per-domain serialization, and domain-affinity is the only
+    assignment that preserves it under horizontal scale.
+
+    Shape: one window per domain ordered by the total (priority, url)
+    key — partitions are bounded by per-domain frontier size (the
+    recrawl-priority tier caps that upstream); the worker hash and
+    offset arithmetic are map-side. ``hash_fn`` follows the repo's
+    injectable-hash convention: the portable md5-derived ``hash64``
+    by default (oracle-reproducible), ``fast_hash64`` for pure
+    production paths. Output adds (slot, offset_s, worker)."""
+    from pyspark.sql import Window
+
+    from trollflow2_spark.functions.hashing import hash64
+
+    hash_fn = hash_fn or hash64
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(priority_col), F.col(url_col)
+    )
+    slot = F.row_number().over(w) - 1
+    return (
+        frontier.withColumn("slot", slot)
+        .withColumn(
+            "offset_s", (F.col("slot") * F.col(delay_col)).cast("long")
+        )
+        .withColumn(
+            "worker",
+            F.pmod(hash_fn(F.col(domain_col)), F.lit(n_workers)).cast(
+                "int"
+            ),
+        )
+    )
+
+
 def robots_sitemaps(robots_col):
     """``Sitemap:`` directives from a robots.txt body Column ->
     ``array<string>`` of sitemap URLs in file order. Per the sitemaps
