@@ -314,6 +314,7 @@ OPERATORS = [
     "moments_profile",  # mergeable exact power-sum shape sketch
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
     "delta_snapshot",  # _delta_log replay with time travel
+    "file_skip_plan",  # zone-map pruning audit from real footers
     "streaming_drift_replay",  # micro-batched PSI state == one-pass
     "robots_sitemaps",  # Sitemap: directive discovery (crawl bridge)
     "fetch_schedule",  # polite per-domain fetch plan (affine workers)

@@ -2869,3 +2869,33 @@ def test_delta_log_snapshot_semantics(spark):
     asof4 = {r["path"]: (r["size"], r["last_version"])
              for r in delta_log_snapshot(log, as_of_version=4).collect()}
     assert asof4 == {"a": (11, 2), "b": (21, 4)}
+
+
+def test_file_skip_plan_footer_decisions(spark, tmp_path):
+    """Skip decisions come from real footer stats; a statless column
+    (all-null) must degrade to must-scan, never a wrong skip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trollflow2_spark.extensions.profile import file_skip_plan
+
+    p1 = str(tmp_path / "a.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([1, 2, 3, 100, 200, 300], pa.int64())}),
+        p1, row_group_size=3,
+    )
+    out = {(r["file_name"], r["rg"]): r for r in file_skip_plan(
+        spark, [p1], "v", 50, 99
+    ).collect()}
+    # rg0: [1,3] below range -> skip; rg1: [100,300] above -> skip
+    assert out[("a.parquet", 0)]["skippable"] == 1
+    assert out[("a.parquet", 1)]["skippable"] == 1
+    both = file_skip_plan(spark, [p1], "v", 2, 150).collect()
+    assert all(r["skippable"] == 0 for r in both)  # both overlap
+    # all-null column: pyarrow writes no usable min/max -> must scan
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([None, None], pa.int64())}), p2
+    )
+    r = file_skip_plan(spark, [p2], "v", 0, 1).collect()[0]
+    assert r["skippable"] == 0

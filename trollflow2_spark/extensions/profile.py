@@ -284,6 +284,79 @@ def point_in_time_join(
     )
 
 
+def file_skip_plan(
+    spark,
+    paths: list[str],
+    column: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Zone-map pruning audit from parquet FOOTERS only: per row
+    group, the min/max statistics for ``column`` decide whether a
+    ``BETWEEN lo AND hi`` predicate could skip it entirely
+    (``max < lo OR min > hi``) — the number that tells you, before
+    any data-page read, what fraction of a 100 TB scan a predicate
+    (and a Z-order/sort layout, `zorder_layout`) actually prunes.
+    Complements `parquet_layout_audit` (bytes) with selectivity.
+
+    One footer read per file, parallelized across executors via the
+    path-list ``mapInPandas``; output is row-group-cardinality
+    (metadata class). Missing statistics degrade to skippable=0
+    (must-scan), never a wrong skip."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType()),
+            T.StructField("rg", T.IntegerType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("stat_min", T.LongType()),
+            T.StructField("stat_max", T.LongType()),
+            T.StructField("skippable", T.IntegerType()),
+        ]
+    )
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 32))
+
+    def kernel(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                names = [
+                    md.schema.column(i).name
+                    for i in range(md.num_columns)
+                ]
+                ci = names.index(column)
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    st = g.column(ci).statistics
+                    has = (
+                        st is not None
+                        and st.has_min_max
+                    )
+                    mn = int(st.min) if has else None
+                    mx = int(st.max) if has else None
+                    skip = int(
+                        has and (mx < lo or mn > hi)
+                    )
+                    rows.append(
+                        (os.path.basename(p), rg, g.num_rows, mn, mx,
+                         skip)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return files.mapInPandas(kernel, schema)
+
+
 def cdc_apply(
     changes: DataFrame,
     key_col: str,

@@ -3405,6 +3405,24 @@ SELECT b.model_id, b.bin, CAST(b.n AS BIGINT) AS n,
 FROM bins b JOIN g USING (model_id)
 """
 
+# zone-map audit: file i, row group g covers [1000i+100g, +49];
+# skippable under BETWEEN 1250 AND 2040 iff max < 1250 or min > 2040
+ORACLES["file_skip_plan"] = """
+WITH g AS (
+  SELECT i, j,
+    CAST(1000 * i + 100 * j AS BIGINT) AS mn,
+    CAST(1000 * i + 100 * j + 49 AS BIGINT) AS mx
+  FROM unnest(range(6)) AS a(i), unnest(range(4)) AS b(j)
+)
+SELECT 'f' || i || '.parquet' AS file_name,
+  CAST(j AS INTEGER) AS rg,
+  CAST(50 AS BIGINT) AS n_rows,
+  mn AS stat_min, mx AS stat_max,
+  CAST(CASE WHEN mx < 1250 OR mn > 2040 THEN 1 ELSE 0 END AS INTEGER)
+    AS skippable
+FROM g
+"""
+
 # delta-log replay: per path the latest action at version <= 20 wins
 # ((version, action desc, size) precedence); winner must be an add
 ORACLES["delta_snapshot"] = """

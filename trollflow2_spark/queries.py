@@ -5479,6 +5479,54 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_skip_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit
+    (`extensions/profile.py:file_skip_plan`): REAL parquet footers —
+    the fixture writes 6 files x 4 row groups (50 rows each, value
+    ranges closed-form: file i, group g covers
+    [1000i + 100g, 1000i + 100g + 49]) executor-side with pyarrow,
+    then the planner reads ONLY footers and decides, per row group,
+    whether BETWEEN 1250 AND 2040 could skip it. The oracle restates
+    min/max and the skip decision from the range arithmetic — the
+    footer reader must agree with what was written."""
+    import os
+    import tempfile
+
+    from trollflow2_spark.extensions.profile import file_skip_plan
+
+    base = os.path.join(
+        tempfile.gettempdir(), "tf2_skipplan", os.path.basename(sf_dir)
+    )
+    os.makedirs(base, exist_ok=True)
+    spec = spark.createDataFrame(
+        [(i, os.path.join(base, f"f{i}.parquet")) for i in range(6)],
+        "i int, path string",
+    ).repartition(6)
+
+    def write_fixture(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for i, path in zip(pdf["i"], pdf["path"]):
+                i = int(i)
+                vals = [
+                    1000 * i + 100 * g + r
+                    for g in range(4)
+                    for r in range(50)
+                ]
+                t = pa.table({"value": pa.array(vals, pa.int64())})
+                pq.write_table(t, path, row_group_size=50)
+            yield pd.DataFrame({"path": pdf["path"]})
+
+    paths = [
+        r["path"]
+        for r in spec.mapInPandas(write_fixture, "path string").collect()
+    ]
+    return file_skip_plan(spark, sorted(paths), "value", 1250, 2040)
+
+
 def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta transaction-log replay
     (`extensions/profile.py:delta_log_snapshot`): reconstruct the
@@ -11453,6 +11501,7 @@ QUERIES = {
     "point_in_time": q_point_in_time,
     "moments_profile": q_moments_profile,
     "delta_snapshot": q_delta_snapshot,
+    "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
     "downsample_ohlc": q_downsample_ohlc,
