@@ -298,6 +298,7 @@ OPERATORS = [
     "cidr_enrich",  # IP -> CIDR longest-prefix join (/16-grid hash join)
     "cdc_apply",  # I/U/D change feed -> latest snapshot (one max_by agg)
     "k_anonymity",  # quasi-identifier k/l release audit (one hash agg)
+    "private_release",  # suppression + Laplace noise publication step
     "wordpiece_train",  # likelihood-scored distributed tokenizer training
     "audio_quality",  # PCM gates: peak/RMS/clip/silence (real WAV decode)
     "geo_radius_join",  # grid-bucketed haversine radius join

@@ -2899,3 +2899,32 @@ def test_file_skip_plan_footer_decisions(spark, tmp_path):
     )
     r = file_skip_plan(spark, [p2], "v", 0, 1).collect()[0]
     assert r["skippable"] == 0
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """Suppression removes small groups entirely; noise is
+    deterministic under a seed, changes with the seed, and has
+    Laplace-ish spread (bounded sanity, not a statistical test)."""
+    from trollflow2_spark.extensions.profile import dp_noisy_counts
+
+    rows = [("a",)] * 20 + [("b",)] * 3 + [("c",)] * 50
+    df = spark.createDataFrame(rows, ["g"])
+    out = {r["g"]: r for r in dp_noisy_counts(
+        df, ["g"], epsilon=1.0, seed=7, min_group=5
+    ).collect()}
+    assert set(out) == {"a", "c"}          # b suppressed, not zeroed
+    assert out["a"]["n"] == 20
+    assert out["a"]["noisy_n"] != 20       # noise actually applied
+    again = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(
+        df, ["g"], epsilon=1.0, seed=7, min_group=5
+    ).collect()}
+    assert again["a"] == out["a"]["noisy_n"]   # replayable
+    other = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(
+        df, ["g"], epsilon=1.0, seed=8, min_group=5
+    ).collect()}
+    assert other["a"] != out["a"]["noisy_n"]   # seed matters
+    # tighter epsilon -> bigger noise magnitude for the same seed
+    loose = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(
+        df, ["g"], epsilon=0.1, seed=7, min_group=5
+    ).collect()}
+    assert abs(loose["a"] - 20) > abs(out["a"]["noisy_n"] - 20)

@@ -501,6 +501,58 @@ def delta_log_snapshot(
     )
 
 
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 7,
+    min_group: int | None = None,
+    hash_fn=None,
+) -> DataFrame:
+    """Release-side count protection: per-group counts with
+    small-group SUPPRESSION (the k-anonymity consequence — groups
+    under ``min_group`` are withheld entirely) and Laplace(1/eps)
+    noise on the published counts — the standard mechanism pairing
+    for aggregate releases. Completes the privacy tier:
+    `pii_scrub`/`exif_gps_scrub` remove direct identifiers,
+    `k_anonymity_audit` measures quasi-identifier risk, this is the
+    publication step.
+
+    The noise source is INJECTABLE and defaults to the repo's
+    portable seeded hash -> uniform -> inverse-CDF Laplace, which
+    makes releases REPLAYABLE (and oracle-checkable) — the right
+    default for tests and idempotent pipelines. A real
+    privacy-bearing release must inject a cryptographic RNG instead:
+    deterministic noise keyed on the group value is NOT differential
+    privacy, and this docstring is the loud version of that caveat.
+
+    One map-side-combinable hash agg; noise arithmetic is scan-stage
+    Column algebra over the group-cardinality output.
+    """
+    from trollflow2_spark.functions.hashing import hash64
+
+    hash_fn = hash_fn or hash64
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    if min_group:
+        counts = counts.where(F.col("n") >= int(min_group))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    h = hash_fn(key, seed=seed)
+    # u in (-0.5, 0.5), never exactly 0 or +/-0.5: (h%2^20 + 0.5)/2^20 - 0.5
+    u = (
+        F.pmod(h, F.lit(1 << 20)).cast("double") + 0.5
+    ) / float(1 << 20) - 0.5
+    noise = (
+        -(1.0 / float(epsilon))
+        * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return counts.select(
+        *group_cols,
+        "n",
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+    )
+
+
 def parquet_layout_audit(spark, paths: list[str]) -> DataFrame:
     """Physical-layout audit from parquet FOOTERS only: per (file,
     column), values / compressed / uncompressed bytes, codec, and the

@@ -3619,6 +3619,29 @@ SELECT entity_id, val, tag, last_seq, n_changes
 FROM r WHERE rn = 1 AND op <> 'D'
 """
 
+# private release: groups < 5 suppressed; Laplace(1/0.5) noise from
+# the portable seeded hash -> uniform -> inverse CDF (seed 7)
+ORACLES["private_release"] = """
+WITH c AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+    COUNT(*) AS n
+  FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), h AS (
+  SELECT *, CAST(('0x' || substr(md5(
+    CAST(nation AS VARCHAR) || chr(31) || segment || ':7'
+  ), 1, 15)) AS BIGINT) AS hv
+  FROM c
+), u AS (
+  SELECT *, (CAST(hv % 1048576 AS DOUBLE) + 0.5) / 1048576.0 - 0.5
+    AS uu
+  FROM h
+)
+SELECT nation, segment, CAST(n AS BIGINT) AS n,
+  round(n + (-(1.0 / 0.5) * sign(uu) * ln(1.0 - 2.0 * abs(uu))), 6)
+    AS noisy_n
+FROM u
+"""
+
 # k-anonymity/l-diversity: quasi tuple (nation, segment, custkey%4),
 # sensitive = floor(acctbal/2000) bucket, k=5
 ORACLES["k_anonymity"] = """

@@ -5765,6 +5765,25 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_private_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-release protection
+    (`extensions/profile.py:dp_noisy_counts`): the publication step
+    after `k_anonymity`'s risk audit — per (nation, segment) counts
+    with groups under 5 SUPPRESSED and Laplace(1/eps) noise on the
+    rest (replayable seeded-hash noise source; the operator docstring
+    carries the loud production-RNG caveat). Oracle replays the
+    portable hash -> uniform -> inverse-CDF chain."""
+    from trollflow2_spark.extensions.profile import dp_noisy_counts
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return dp_noisy_counts(
+        cust, ["nation", "segment"], epsilon=0.5, seed=7, min_group=5
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity release audit
     (`extensions/profile.py:k_anonymity_audit`): the row-level
@@ -11507,6 +11526,7 @@ QUERIES = {
     "downsample_ohlc": q_downsample_ohlc,
     "drift_psi": q_drift_psi,
     "k_anonymity": q_k_anonymity,
+    "private_release": q_private_release,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
     "fuzzy_lev2_pairs": q_fuzzy_lev2_pairs,
