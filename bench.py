@@ -304,6 +304,7 @@ OPERATORS = [
     "geo_radius_join",  # grid-bucketed haversine radius join
     "domain_boilerplate",  # CCNet per-domain template-line gate
     "point_in_time",  # SCD2 read side: FOR SYSTEM_TIME AS OF lookup
+    "cohort_retention",  # first-week cohorts x offset retention matrix
     "host_communities",  # synchronous label-propagation communities
     "pair_similarity_gate",  # CLIP-score multimodal pair curation
     "readability",  # Flesch/FK difficulty scoring (curriculum signal)

@@ -534,3 +534,20 @@ def test_downsample_ohlc_tie_semantics(spark):
         df, "ts", "value", "event_id", ["g"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_cohort_retention_semantics(spark, sf_dir):
+    """A user active twice in a week counts once; retention is the
+    truncating per-mille of distinct actives over cohort size; k=0
+    cell equals the cohort size by construction."""
+    from trollflow2_spark.queries import QUERIES
+
+    rows = QUERIES["cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    by = {(r["cohort"], r["k"]): r for r in rows}
+    for (c, k), r in by.items():
+        if k == 0:
+            assert r["active_users"] == r["cohort_users"]
+            assert r["retention_pm"] == 1000
+        assert 0 < r["active_users"] <= r["cohort_users"]
+        assert r["retention_pm"] == r["active_users"] * 1000 // r["cohort_users"]

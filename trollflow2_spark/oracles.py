@@ -3599,6 +3599,33 @@ SELECT o.o_orderkey,
 FROM orders o
 """
 
+# cohort retention: first-activity-week cohorts, per-mille integer
+# retention (x1000 truncating division, the recrawl_priority pattern)
+ORACLES["cohort_retention"] = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(date_diff('day', DATE '2024-01-01',
+      date_trunc('day', ts)) / 7.0) AS BIGINT) AS week
+  FROM events
+), f AS (
+  SELECT user_id, MIN(week) AS cohort FROM acts GROUP BY 1
+), j AS (
+  SELECT a.user_id, f.cohort, a.week - f.cohort AS k
+  FROM acts a JOIN f USING (user_id)
+), sizes AS (
+  SELECT cohort, COUNT(DISTINCT user_id) AS cohort_users
+  FROM f GROUP BY 1
+), cells AS (
+  SELECT cohort, k, COUNT(DISTINCT user_id) AS active_users
+  FROM j GROUP BY 1, 2
+)
+SELECT c.cohort, c.k, CAST(c.active_users AS BIGINT) AS active_users,
+  CAST(s.cohort_users AS BIGINT) AS cohort_users,
+  CAST(c.active_users * 1000 // s.cohort_users AS BIGINT)
+    AS retention_pm
+FROM cells c JOIN sizes s USING (cohort)
+"""
+
 # CDC apply: latest change per entity wins (seq = event_id, unique),
 # winning delete removes the key; op cycles I/I/U/U/D/U/U by id % 7
 ORACLES["cdc_apply"] = """

@@ -603,6 +603,42 @@ def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohort by their FIRST activity
+    week; cell (cohort, k) counts distinct users active k weeks later
+    — the standard product/engagement rollup the sessionize/funnel
+    tier doesn't cover. Retention is reported per-mille as an integer
+    (numerator x 1000 // cohort size — no float division to drift).
+    Shape: one min-agg to the (user, first week) table (map-side
+    combinable), the activity join rides the user key, then one
+    count_distinct agg per (cohort, offset) — cells bounded by
+    weeks^2, control-plane sized."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.floor(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")) / 7
+    ).cast("long")
+    acts = ev.select("user_id", week.alias("week")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = acts.join(first, "user_id").select(
+        "user_id", "cohort", (F.col("week") - F.col("cohort")).alias("k")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count_distinct("user_id").alias("cohort_users")
+    )
+    cells = joined.groupBy("cohort", "k").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    return cells.join(sizes, "cohort").select(
+        "cohort",
+        "k",
+        "active_users",
+        "cohort_users",
+        (F.col("active_users") * 1000 / F.col("cohort_users"))
+        .cast("long")
+        .alias("retention_pm"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap-flag + running sum — the batch analog of
     the streaming session window."""
@@ -11603,6 +11639,7 @@ QUERIES = {
     "key_skew_audit": q_key_skew_audit,
     "json_schema_drift": q_json_schema_drift,
     "sessionize": q_sessionize,
+    "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
     "event_counts_salted": q_event_counts_salted,
     "skew_seq_plain": q_skew_seq_plain,
