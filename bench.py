@@ -314,6 +314,9 @@ OPERATORS = [
     "avro_ingest",  # from-scratch Avro container decode (deflate)
     "webdataset_ingest",  # LAION-style tar shards -> one row/sample
     "moments_profile",  # mergeable exact power-sum shape sketch
+    "correlation_matrix",  # one-pass exact-moment Pearson pairs
+    "mutual_information",  # categorical MI (ordered-fold nats)
+    "ab_test",  # two-proportion z over exact counts
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
     "delta_snapshot",  # _delta_log replay with time travel
     "file_skip_plan",  # zone-map pruning audit from real footers

@@ -2928,3 +2928,44 @@ def test_dp_noisy_counts_mechanism(spark):
         df, ["g"], epsilon=0.1, seed=7, min_group=5
     ).collect()}
     assert abs(loose["a"] - 20) > abs(out["a"]["noisy_n"] - 20)
+
+
+def test_statistics_tier_known_values(spark):
+    """Correlation hits +1/-1/0 on constructed columns; MI is 0 for
+    independent columns and ln(2) for a perfect 2x2 coupling; the
+    z-test signs follow the better variant."""
+    import math
+
+    from trollflow2_spark.extensions.profile import (
+        correlation_matrix,
+        mutual_information,
+        two_proportion_ztest,
+    )
+
+    rows = [(float(i), float(2 * i), float(-3 * i), 5.0)
+            for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("a", "d")] is None  # constant column: no variance
+
+    dep = spark.createDataFrame(
+        [("x", "u")] * 10 + [("y", "v")] * 10, ["l", "s"]
+    )
+    mi = mutual_information(dep, "l", "s").collect()[0]
+    assert abs(mi["mi_nats"] - math.log(2)) < 1e-6
+    ind = spark.createDataFrame(
+        [("x", "u")] * 5 + [("x", "v")] * 5
+        + [("y", "u")] * 5 + [("y", "v")] * 5, ["l", "s"]
+    )
+    assert mutual_information(ind, "l", "s").collect()[0]["mi_nats"] == 0.0
+
+    ab = spark.createDataFrame(
+        [("A", 1)] * 30 + [("A", 0)] * 70
+        + [("B", 1)] * 10 + [("B", 0)] * 90, ["v", "s"]
+    )
+    r = two_proportion_ztest(ab, "v", "s").collect()[0]
+    assert (r["rate_a_pm"], r["rate_b_pm"]) == (300, 100)
+    assert r["z"] > 3.0  # A better, strongly

@@ -171,6 +171,165 @@ def moments_profile(
     )
 
 
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    unit_scale: int = 1000000,
+) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass — the
+    feature-redundancy profile a modeling pipeline runs before
+    training (`chi2_feature_selection`'s continuous sibling). Every
+    moment (sums, squares, cross-products) accumulates EXACTLY in
+    DECIMAL over fixed-point units, so the state is mergeable and
+    order-insensitive like :func:`moments_profile`, and the final
+    ``corr = (n*sxy - sx*sy) / (sqrt(n*sx2 - sx^2) *
+    sqrt(n*sy2 - sy^2))`` is one identical float chain per pair —
+    engine-exact after rounding. Cost: one map-side-combinable agg
+    producing a single k(k+3)/2-number row; output is k(k-1)/2
+    pair rows, control-plane sized. Constant columns yield NULL
+    corr (zero variance), not a division blow-up."""
+    k = len(cols)
+    m = {
+        c: F.floor(F.col(c) * unit_scale).cast("decimal(38,0)")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(m[c]).alias(f"__s_{c}"))
+        aggs.append(F.sum(m[c] * m[c]).alias(f"__q_{c}"))
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = cols[i], cols[j]
+            aggs.append(F.sum(m[a] * m[b]).alias(f"__x_{a}_{b}"))
+    wide = df.agg(*aggs)
+    pair_rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = cols[i], cols[j]
+            n = F.col("__n").cast("double")
+            sa = F.col(f"__s_{a}").cast("double")
+            sb = F.col(f"__s_{b}").cast("double")
+            qa = F.col(f"__q_{a}").cast("double")
+            qb = F.col(f"__q_{b}").cast("double")
+            x = F.col(f"__x_{a}_{b}").cast("double")
+            va = n * qa - sa * sa
+            vb = n * qb - sb * sb
+            corr = F.when(
+                (va > 0) & (vb > 0),
+                F.round((n * x - sa * sb) / (F.sqrt(va) * F.sqrt(vb)), 6),
+            )
+            pair_rows.append(
+                wide.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("__n").alias("n"),
+                    corr.alias("corr"),
+                )
+            )
+    out = pair_rows[0]
+    for p in pair_rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the dependence audit for routing/stratification decisions
+    (does `source` already determine `lang`?), complementing the
+    chi2 tier with an information-theoretic magnitude. Counts are
+    exact integers from one hash agg; the ``p log(p/(px py))`` terms
+    fold in (x, y) category order (the PSI discipline) so the float
+    sum replays exactly. Output: one row with n, the two
+    cardinalities, and mi_nats; category-pair cardinality bounds the
+    state, never row count."""
+    cells = df.groupBy(
+        F.col(col_x).alias("__x"), F.col(col_y).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    j = cells.join(mx, "__x").join(my, "__y")
+    rolled = j.agg(
+        F.sum("__c").alias("n"),
+        F.count_distinct("__x").alias("x_card"),
+        F.count_distinct("__y").alias("y_card"),
+        F.collect_list(
+            F.struct("__x", "__y", "__c", "__cx", "__cy")
+        ).alias("__cells"),
+    )
+
+    def term(s):
+        n = F.col("n").cast("double")
+        c = s["__c"].cast("double")
+        return (c / n) * F.log(
+            (c * n) / (s["__cx"].cast("double") * s["__cy"].cast("double"))
+        )
+
+    mi = F.aggregate(
+        F.array_sort(F.col("__cells")), F.lit(0.0),
+        lambda acc, s: acc + term(s),
+    )
+    return rolled.select(
+        "n", "x_card", "y_card", F.round(mi, 6).alias("mi_nats")
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test over EXACTLY two variants — the A/B
+    readout (did the new quality gate change the keep rate?). Counts
+    are one hash agg; the pooled-variance z statistic and per-mille
+    rates derive from integers through one stated float chain,
+    rounded to 6 — engine-exact. Variants order lexicographically
+    (z > 0 means the first variant converts better); degenerate
+    pools (p in {0, 1}) yield NULL z."""
+    g = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("successes"),
+    )
+    w = g.agg(
+        F.min_by(F.struct("n", "successes"), F.col("variant")).alias("a"),
+        F.max_by(F.struct("n", "successes"), F.col("variant")).alias("b"),
+        F.min("variant").alias("variant_a"),
+        F.max("variant").alias("variant_b"),
+        F.count(F.lit(1)).alias("__k"),
+    ).where(F.col("__k") == 2)
+    n1 = F.col("a.n").cast("double")
+    n2 = F.col("b.n").cast("double")
+    s1 = F.col("a.successes").cast("double")
+    s2 = F.col("b.successes").cast("double")
+    p = (s1 + s2) / (n1 + n2)
+    z = F.when(
+        (p > 0) & (p < 1),
+        F.round(
+            (s1 / n1 - s2 / n2)
+            / F.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2)),
+            6,
+        ),
+    )
+    return w.select(
+        "variant_a",
+        "variant_b",
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.successes").alias("succ_a"),
+        F.col("b.successes").alias("succ_b"),
+        (F.col("a.successes") * 1000 / F.col("a.n"))
+        .cast("long")
+        .alias("rate_a_pm"),
+        (F.col("b.successes") * 1000 / F.col("b.n"))
+        .cast("long")
+        .alias("rate_b_pm"),
+        z.alias("z"),
+    )
+
+
 def drift_psi(
     ref: DataFrame,
     cur: DataFrame,

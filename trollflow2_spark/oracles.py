@@ -3445,6 +3445,113 @@ SELECT path, size, v AS last_version
 FROM r WHERE rn = 1 AND action = 'add'
 """
 
+# one-pass correlation matrix: HUGEINT fixed-point moments, the
+# identical (n*sxy - sx*sy)/(sqrt .. * sqrt ..) chain per pair
+ORACLES["correlation_matrix"] = """
+WITH m AS (
+  SELECT
+    CAST(floor(l_quantity * 1000000) AS HUGEINT) AS a,
+    CAST(floor(l_extendedprice * 1000000) AS HUGEINT) AS b,
+    CAST(floor(l_discount * 1000000) AS HUGEINT) AS c,
+    CAST(floor(l_tax * 1000000) AS HUGEINT) AS d
+  FROM lineitem
+), w AS (
+  SELECT COUNT(*) AS n,
+    SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd,
+    SUM(a*a) AS qa, SUM(b*b) AS qb, SUM(c*c) AS qc, SUM(d*d) AS qd,
+    SUM(a*b) AS xab, SUM(a*c) AS xac, SUM(a*d) AS xad,
+    SUM(b*c) AS xbc, SUM(b*d) AS xbd, SUM(c*d) AS xcd
+  FROM m
+), p AS (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+    n, CAST(sa AS DOUBLE) s1, CAST(sb AS DOUBLE) s2,
+    CAST(qa AS DOUBLE) q1, CAST(qb AS DOUBLE) q2,
+    CAST(xab AS DOUBLE) x FROM w
+  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+    CAST(sa AS DOUBLE), CAST(sc AS DOUBLE), CAST(qa AS DOUBLE),
+    CAST(qc AS DOUBLE), CAST(xac AS DOUBLE) FROM w
+  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+    CAST(sa AS DOUBLE), CAST(sd AS DOUBLE), CAST(qa AS DOUBLE),
+    CAST(qd AS DOUBLE), CAST(xad AS DOUBLE) FROM w
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+    CAST(sb AS DOUBLE), CAST(sc AS DOUBLE), CAST(qb AS DOUBLE),
+    CAST(qc AS DOUBLE), CAST(xbc AS DOUBLE) FROM w
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+    CAST(sb AS DOUBLE), CAST(sd AS DOUBLE), CAST(qb AS DOUBLE),
+    CAST(qd AS DOUBLE), CAST(xbd AS DOUBLE) FROM w
+  UNION ALL SELECT 'l_discount', 'l_tax', n,
+    CAST(sc AS DOUBLE), CAST(sd AS DOUBLE), CAST(qc AS DOUBLE),
+    CAST(qd AS DOUBLE), CAST(xcd AS DOUBLE) FROM w
+)
+SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+  CASE WHEN (n * q1 - s1 * s1) > 0 AND (n * q2 - s2 * s2) > 0 THEN
+    round((n * x - s1 * s2)
+      / (sqrt(n * q1 - s1 * s1) * sqrt(n * q2 - s2 * s2)), 6)
+  END AS corr
+FROM p
+"""
+
+# mutual information: exact cell counts; terms fold in (x, y) order
+ORACLES["mutual_information"] = """
+WITH cells AS (
+  SELECT lang AS x, source AS y, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+), mx AS (
+  SELECT x, SUM(c) AS cx FROM cells GROUP BY 1
+), my AS (
+  SELECT y, SUM(c) AS cy FROM cells GROUP BY 1
+), w AS (
+  SELECT SUM(c) AS n, COUNT(DISTINCT cells.x) AS x_card,
+    COUNT(DISTINCT cells.y) AS y_card
+  FROM cells
+), terms AS (
+  SELECT cells.x, cells.y,
+    (CAST(c AS DOUBLE) / CAST(w.n AS DOUBLE))
+    * ln((CAST(c AS DOUBLE) * CAST(w.n AS DOUBLE))
+         / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))) AS term
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN w
+)
+SELECT CAST(w.n AS BIGINT) AS n,
+  CAST(w.x_card AS BIGINT) AS x_card,
+  CAST(w.y_card AS BIGINT) AS y_card,
+  round((SELECT list_sum(list(term ORDER BY x, y)) FROM terms), 6)
+    AS mi_nats
+FROM w
+"""
+
+# A/B z-test: control = purchases, treatment also signups; pooled
+# variance chain over exact counts; per-mille truncating rates
+ORACLES["ab_test"] = """
+WITH r AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'control'
+              ELSE 'treatment' END AS variant,
+    CASE WHEN event_type = 'purchase'
+      OR (event_id % 2 = 1 AND event_type = 'signup')
+    THEN 1 ELSE 0 END AS s
+  FROM events
+), g AS (
+  SELECT variant, COUNT(*) AS n, SUM(s) AS successes
+  FROM r GROUP BY 1
+), w AS (
+  SELECT
+    MAX(CASE WHEN variant = 'control' THEN n END) AS n1,
+    MAX(CASE WHEN variant = 'control' THEN successes END) AS s1,
+    MAX(CASE WHEN variant = 'treatment' THEN n END) AS n2,
+    MAX(CASE WHEN variant = 'treatment' THEN successes END) AS s2
+  FROM g
+)
+SELECT 'control' AS variant_a, 'treatment' AS variant_b,
+  CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+  CAST(s1 AS BIGINT) AS succ_a, CAST(s2 AS BIGINT) AS succ_b,
+  CAST(s1 * 1000 // n1 AS BIGINT) AS rate_a_pm,
+  CAST(s2 * 1000 // n2 AS BIGINT) AS rate_b_pm,
+  round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+    / sqrt(((CAST(s1 AS DOUBLE) + s2) / (CAST(n1 AS DOUBLE) + n2))
+      * (1.0 - (CAST(s1 AS DOUBLE) + s2) / (CAST(n1 AS DOUBLE) + n2))
+      * (1.0 / n1 + 1.0 / n2)), 6) AS z
+FROM w
+"""
+
 # moments sketch: HUGEINT power sums over floor(value*1000) units,
 # derived stats on the identical float chain (m2*sqrt(m2), not pow)
 ORACLES["moments_profile"] = """

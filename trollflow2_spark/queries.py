@@ -5678,6 +5678,57 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix
+    (`extensions/profile.py:correlation_matrix`) over lineitem's four
+    numeric measures: every moment accumulates exactly in DECIMAL
+    fixed point (mergeable, order-insensitive), the six pair
+    correlations derive through one stated float chain. The oracle
+    recomputes the HUGEINT moments and the identical formula."""
+    from trollflow2_spark.extensions.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence audit
+    (`extensions/profile.py:mutual_information`): MI(lang; source)
+    in nats over the documents table — does the source already
+    determine the language (routing shortcut) or not? Exact integer
+    cell counts; the p*log(p/(px*py)) series folds in category order
+    on both engines."""
+    from trollflow2_spark.extensions.profile import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test
+    (`extensions/profile.py:two_proportion_ztest`): the A/B readout
+    over events — control converts on purchases only, treatment
+    (odd event_ids) also on signups, so the fixture has a real
+    effect. Integer counts through one pooled-variance float chain;
+    per-mille rates use truncating division."""
+    from trollflow2_spark.extensions.profile import two_proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.col("event_id") % 2 == 0, F.lit("control")
+    ).otherwise(F.lit("treatment"))
+    success = (F.col("event_type") == "purchase") | (
+        (F.col("event_id") % 2 == 1) & (F.col("event_type") == "signup")
+    )
+    return two_proportion_ztest(
+        ev.select(variant.alias("variant"), success.alias("success")),
+        "variant",
+        "success",
+    )
+
+
 def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable moments sketch (`extensions/profile.py:
     moments_profile`): per event type, exact DECIMAL power sums ->
@@ -11555,6 +11606,9 @@ QUERIES = {
     "cdc_apply": q_cdc_apply,
     "point_in_time": q_point_in_time,
     "moments_profile": q_moments_profile,
+    "correlation_matrix": q_correlation_matrix,
+    "mutual_information": q_mutual_information,
+    "ab_test": q_ab_test,
     "delta_snapshot": q_delta_snapshot,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
