@@ -317,6 +317,7 @@ OPERATORS = [
     "correlation_matrix",  # one-pass exact-moment Pearson pairs
     "mutual_information",  # categorical MI (ordered-fold nats)
     "ab_test",  # two-proportion z over exact counts
+    "retrieval_metrics",  # recall@k / MRR / nDCG per query
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
     "delta_snapshot",  # _delta_log replay with time travel
     "file_skip_plan",  # zone-map pruning audit from real footers

@@ -181,3 +181,36 @@ def test_partial_terms_table_keeps_candidates(spark):
     assert got[(0, 1)][2] == 1 and got[(0, 2)][2] == 2
     # the term-less query survives with a zero score and rank 1
     assert got[(1, 3)] == (0, 0, 1)
+
+
+def test_retrieval_metrics_known_values(spark):
+    """Perfect ranking -> ndcg 1.0 / mrr 1.0 / full recall; a miss at
+    rank 1 halves MRR; no-gold queries drop; zero-hit queries score
+    0 everywhere."""
+    from trollflow2_spark.extensions.rerank import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        # q1: gold docs (10, 11) at ranks 1, 2 -> perfect
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3),
+         # q2: junk at rank 1, gold 20 at rank 2
+         (2, 98, 1), (2, 20, 2),
+         # q3: no hits at all
+         (3, 97, 1), (3, 96, 2),
+         # q4 has ranked rows but NO gold -> must drop
+         (4, 95, 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    gold = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (2, 20, 1), (3, 30, 1)],
+        ["query_id", "doc_id", "grade"],
+    )
+    got = {r["query_id"]: r
+           for r in retrieval_metrics(ranked, gold, k=10).collect()}
+    assert set(got) == {1, 2, 3}
+    q1 = got[1]
+    assert (q1["n_gold"], q1["n_hits"], q1["recall_pm"], q1["mrr"]) == (
+        2, 2, 1000, 1.0)
+    assert q1["ndcg"] == 1.0  # grades 2@r1 + 1@r2 IS the ideal order
+    assert got[2]["mrr"] == 0.5
+    assert (got[3]["n_hits"], got[3]["mrr"], got[3]["ndcg"]) == (
+        0, 0.0, 0.0)

@@ -122,3 +122,97 @@ def lexical_proxy_scorer(
         "rerank_score",
         F.col("n_present").cast("bigint") * 100000 + F.col("bonus"),
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    gold: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """IR evaluation per query — recall@k (integer per-mille), MRR,
+    and nDCG@k — the readout that closes the retrieval tier's loop
+    (BM25/hybrid/rerank produce rankings; this scores them against
+    graded gold labels, the binary_metrics analog for ranked
+    output).
+
+    nDCG uses LINEAR gains (the grade itself) with the 1/log2(r+1)
+    discount; both the DCG fold (by ascending rank) and the IDCG
+    fold (grades descending) run in a pinned order via sorted-array
+    ``aggregate``, so the float series replays exactly in SQL.
+    Queries with no gold are dropped (undefined metrics, not fake
+    zeros); queries with gold but no hits score 0.
+
+    Shape: the ranked list is pre-cut to rank <= k, LEFT-joined to
+    gold on (query, doc) — gold is label-table sized and
+    broadcastable; one collect_list per query bounded by k, one per
+    gold set; no corpus-wide window."""
+    r = ranked.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    )
+    g = gold.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(grade_col).cast("long").alias("__g"),
+    )
+    hits = r.join(g, ["__q", "__d"], "left").select(
+        "__q", "__r", F.coalesce(F.col("__g"), F.lit(0)).alias("__g")
+    )
+    per_q = hits.groupBy("__q").agg(
+        F.collect_list(F.struct("__r", "__g")).alias("__cells")
+    )
+    cells = F.array_sort(F.col("__cells"))
+    dcg = F.aggregate(
+        cells,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + F.when(
+            c["__g"] > 0,
+            c["__g"].cast("double")
+            / (F.log2(c["__r"].cast("double") + 1.0)),
+        ).otherwise(F.lit(0.0)),
+    )
+    first_rel = F.array_min(
+        F.transform(
+            F.filter(cells, lambda c: c["__g"] > 0), lambda c: c["__r"]
+        )
+    )
+    mrr = F.when(
+        first_rel.isNotNull(), 1.0 / first_rel.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_hits = F.size(F.filter(cells, lambda c: c["__g"] > 0))
+    gold_q = g.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_gold"),
+        F.reverse(F.array_sort(F.collect_list("__g"))).alias("__grades"),
+    )
+    # ideal DCG: top-k grades descending, discounted at ranks 1..k —
+    # fold carries (position, sum) so the series order is pinned
+    idcg = F.aggregate(
+        F.slice(F.col("__grades"), 1, k),
+        F.struct(F.lit(0).alias("i"), F.lit(0.0).alias("s")),
+        lambda acc, x: F.struct(
+            (acc["i"] + 1).alias("i"),
+            (
+                acc["s"]
+                + x.cast("double")
+                / F.log2((acc["i"] + 1).cast("double") + 1.0)
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    out = per_q.join(gold_q, "__q")
+    return out.select(
+        F.col("__q").alias(query_col),
+        "n_gold",
+        n_hits.alias("n_hits"),
+        (n_hits * 1000 / F.col("n_gold")).cast("long").alias("recall_pm"),
+        F.round(mrr, 6).alias("mrr"),
+        F.round(
+            F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), 6
+        ).alias("ndcg"),
+    )

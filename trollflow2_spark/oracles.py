@@ -3445,6 +3445,53 @@ SELECT path, size, v AS last_version
 FROM r WHERE rn = 1 AND action = 'add'
 """
 
+# retrieval metrics: recall@10 per-mille, MRR, nDCG@10 with linear
+# gains; DCG folds by ascending rank, IDCG by grade-desc position —
+# both as ordered list_sum, matching the Spark folds
+ORACLES["retrieval_metrics"] = """
+WITH ranked AS (
+  SELECT CAST(q AS BIGINT) AS query_id, CAST(r AS BIGINT) AS rank_,
+    CAST((q * 37 + r * 13) % 500 AS BIGINT) AS doc_id
+  FROM unnest(range(10)) AS a(q), unnest(range(1, 21)) AS b(r)
+  WHERE r <= 10
+), gold AS (
+  SELECT doc_id % 50 AS query_id, doc_id, 1 + doc_id % 3 AS grade
+  FROM documents WHERE doc_id % 50 <= 9
+), hits AS (
+  SELECT r.query_id, r.rank_, COALESCE(g.grade, 0) AS g
+  FROM ranked r LEFT JOIN gold g
+    ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+), dcg AS (
+  SELECT query_id,
+    list_sum(list(CASE WHEN g > 0
+      THEN CAST(g AS DOUBLE) / log2(CAST(rank_ AS DOUBLE) + 1.0)
+      ELSE 0.0 END ORDER BY rank_)) AS dcg,
+    COUNT(*) FILTER (g > 0) AS n_hits,
+    MIN(rank_) FILTER (g > 0) AS first_rel
+  FROM hits GROUP BY query_id
+), ig AS (
+  SELECT query_id, grade,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY grade DESC, doc_id) AS pos,
+    COUNT(*) OVER (PARTITION BY query_id) AS n_gold
+  FROM gold
+), idcg AS (
+  SELECT query_id, MAX(n_gold) AS n_gold,
+    list_sum(list(CAST(grade AS DOUBLE)
+      / log2(CAST(pos AS DOUBLE) + 1.0) ORDER BY pos)
+      FILTER (pos <= 10)) AS idcg
+  FROM ig GROUP BY query_id
+)
+SELECT d.query_id, CAST(i.n_gold AS BIGINT) AS n_gold,
+  CAST(d.n_hits AS INTEGER) AS n_hits,
+  CAST(d.n_hits * 1000 // i.n_gold AS BIGINT) AS recall_pm,
+  round(CASE WHEN d.first_rel IS NOT NULL
+    THEN 1.0 / d.first_rel ELSE 0.0 END, 6) AS mrr,
+  round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END, 6)
+    AS ndcg
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+
 # one-pass correlation matrix: HUGEINT fixed-point moments, the
 # identical (n*sxy - sx*sy)/(sqrt .. * sqrt ..) chain per pair
 ORACLES["correlation_matrix"] = """

@@ -10577,6 +10577,39 @@ def q_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation (`extensions/rerank.py:retrieval_metrics`):
+    recall@10 / MRR / nDCG@10 per query — the scored readout that
+    closes the BM25/hybrid/rerank loop, as `binary_metrics` does for
+    classifiers. Fixture: 10 queries with a deterministic 20-deep
+    ranking ((q*37 + 13r) % 500) against graded gold sets
+    (doc_id % 50 == q, grade 1 + doc_id % 3); DCG and IDCG fold in
+    pinned order on both engines."""
+    from trollflow2_spark.extensions.rerank import retrieval_metrics
+
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_nationkey") < 10
+    )
+    qid = F.col("n_nationkey").cast("long")
+    ranked = nat.select(
+        qid.alias("query_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("rank"),
+    ).select(
+        "query_id",
+        "rank",
+        ((F.col("query_id") * 37 + F.col("rank") * 13) % 500).alias(
+            "doc_id"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gold = docs.where(F.col("doc_id") % 50 <= 9).select(
+        (F.col("doc_id") % 50).alias("query_id"),
+        "doc_id",
+        (1 + F.col("doc_id") % 3).alias("grade"),
+    )
+    return retrieval_metrics(ranked, gold, k=10)
+
+
 def q_rerank_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retrieve -> rerank serving shape: hybrid RRF fusion proposes
     a k-bounded candidate set per query, and only THOSE rows pay the
@@ -11744,6 +11777,7 @@ QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "cdc_monster_doc": q_cdc_monster_doc,
     "rerank_retrieval": q_rerank_retrieval,
+    "retrieval_metrics": q_retrieval_metrics,
     "domain_quality_gate": q_domain_quality_gate,
     "embedding_pq_rerank": q_embedding_pq_rerank,
     "vocab_topk": q_vocab_topk,
