@@ -319,6 +319,7 @@ OPERATORS = [
     "ab_test",  # two-proportion z over exact counts
     "retrieval_metrics",  # recall@k / MRR / nDCG per query
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
+    "ks_test",  # exact cross-multiplied KS sup-distance
     "delta_snapshot",  # _delta_log replay with time travel
     "file_skip_plan",  # zone-map pruning audit from real footers
     "streaming_drift_replay",  # micro-batched PSI state == one-pass

@@ -2969,3 +2969,24 @@ def test_statistics_tier_known_values(spark):
     r = two_proportion_ztest(ab, "v", "s").collect()[0]
     assert (r["rate_a_pm"], r["rate_b_pm"]) == (300, 100)
     assert r["z"] > 3.0  # A better, strongly
+
+
+def test_ks_test_exactness(spark):
+    """Identical samples -> D = 0 exactly; disjoint samples -> D = 1;
+    a known half-shift gives the hand-computed sup distance."""
+    from trollflow2_spark.extensions.profile import ks_test
+
+    same = [("g", float(v)) for v in range(10)]
+    ref = spark.createDataFrame(same, ["g", "v"])
+    cur = spark.createDataFrame(same, ["g", "v"])
+    assert ks_test(ref, cur, "v", ["g"]).collect()[0]["d"] == 0.0
+    hi = spark.createDataFrame(
+        [("g", float(v + 100)) for v in range(10)], ["g", "v"]
+    )
+    assert ks_test(ref, hi, "v", ["g"]).collect()[0]["d"] == 1.0
+    # ref = {0..9}, cur = {5..14}: sup gap at v=4.x is 5/10 = 0.5
+    half = spark.createDataFrame(
+        [("g", float(v + 5)) for v in range(10)], ["g", "v"]
+    )
+    r = ks_test(ref, half, "v", ["g"]).collect()[0]
+    assert (r["d"], r["d_scaled"]) == (0.5, 50)

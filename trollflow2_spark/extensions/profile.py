@@ -20,7 +20,7 @@ data shape):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile_table(
@@ -365,6 +365,72 @@ def drift_psi(
         F.sum(1 - F.col("__is_ref")).alias("__cc"),
     )
     return psi_from_counts(counts, group_cols, n_buckets)
+
+
+def ks_test(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per group — the
+    nonparametric sibling of :func:`drift_psi`: no buckets to choose,
+    D = max |CDF_ref - CDF_cur| over the observed values. Computed
+    EXACTLY: per distinct value the cumulative counts cross-multiply
+    (``|cum_ref * n_cur - cum_cur * n_ref|`` in BIGINT), and only the
+    final ``D = max_scaled / (n_ref * n_cur)`` touches floats — one
+    division, engine-exact after rounding.
+
+    Shape: one conditional hash agg to the DISTINCT-VALUE table
+    (bounded by value cardinality, the same control-plane argument as
+    the AUC rank table), one ordered window over that, one final
+    max agg per group."""
+    tagged = ref.select(
+        *group_cols, F.col(value_col).alias("__v"), F.lit(1).alias("__r")
+    ).unionByName(
+        cur.select(
+            *group_cols, F.col(value_col).alias("__v"),
+            F.lit(0).alias("__r"),
+        )
+    )
+    per_v = tagged.groupBy(*group_cols, "__v").agg(
+        F.sum("__r").cast("long").alias("__c1"),
+        F.sum(1 - F.col("__r")).cast("long").alias("__c2"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.select(
+        *group_cols,
+        F.sum("__c1").over(w).alias("__cum1"),
+        F.sum("__c2").over(w).alias("__cum2"),
+    )
+    totals = per_v.groupBy(*group_cols).agg(
+        F.sum("__c1").alias("n_ref"), F.sum("__c2").alias("n_cur")
+    )
+    out = cum.join(totals, group_cols).groupBy(*group_cols).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.max(
+            F.abs(
+                F.col("__cum1") * F.col("n_cur")
+                - F.col("__cum2") * F.col("n_ref")
+            )
+        ).alias("d_scaled"),
+    )
+    return out.select(
+        *group_cols,
+        "n_ref",
+        "n_cur",
+        "d_scaled",
+        F.round(
+            F.col("d_scaled").cast("double")
+            / (F.col("n_ref").cast("double") * F.col("n_cur")),
+            6,
+        ).alias("d"),
+    )
 
 
 def psi_from_counts(

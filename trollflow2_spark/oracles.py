@@ -3686,6 +3686,41 @@ FROM w JOIN terms t USING (event_type)
 GROUP BY w.event_type, w.n_ref, w.n_cur
 """
 
+# KS two-sample: exact cross-multiplied sup-distance over the
+# distinct-value CDFs; one final division
+ORACLES["ks_test"] = """
+WITH tagged AS (
+  SELECT event_type, value AS v, 1 AS r
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type,
+    CASE WHEN event_type = 'purchase' THEN value + 40.0
+         ELSE value END AS v, 0 AS r
+  FROM events WHERE event_id % 2 = 1
+), per_v AS (
+  SELECT event_type, v, SUM(r) AS c1, SUM(1 - r) AS c2
+  FROM tagged GROUP BY 1, 2
+), cum AS (
+  SELECT event_type,
+    SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+    SUM(c2) OVER (PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+  FROM per_v
+), totals AS (
+  SELECT event_type, SUM(c1) AS n_ref, SUM(c2) AS n_cur
+  FROM per_v GROUP BY 1
+)
+SELECT t.event_type, CAST(t.n_ref AS BIGINT) AS n_ref,
+  CAST(t.n_cur AS BIGINT) AS n_cur,
+  CAST(MAX(ABS(c.cum1 * t.n_cur - c.cum2 * t.n_ref)) AS BIGINT)
+    AS d_scaled,
+  round(CAST(MAX(ABS(c.cum1 * t.n_cur - c.cum2 * t.n_ref)) AS DOUBLE)
+    / (CAST(t.n_ref AS DOUBLE) * t.n_cur), 6) AS d
+FROM cum c JOIN totals t USING (event_type)
+GROUP BY t.event_type, t.n_ref, t.n_cur
+"""
+
 # streaming drift replay: the merged micro-batch state must equal
 # the one-pass PSI over the same budget subset — identical pipeline
 # to the drift_psi oracle with the replay-subset CTE up front

@@ -5744,6 +5744,28 @@ def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moments_profile(ev, "value", ["event_type"])
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift statistic
+    (`extensions/profile.py:ks_test`) over the drift_psi fixture
+    (even ids reference, odd current with the purchase +40 shift) —
+    the bucket-free nonparametric twin. D is exact integer
+    cross-multiplication until one final division; the shifted group
+    must dominate."""
+    from trollflow2_spark.extensions.profile import ks_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    shifted = F.when(
+        (F.col("event_type") == "purchase"), F.col("value") + 40.0
+    ).otherwise(F.col("value"))
+    ref = ev.where(F.col("event_id") % 2 == 0).select("event_type", "value")
+    cur = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_type", shifted.alias("value")
+    )
+    return ks_test(ref, cur, "value", ["event_type"])
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift gate
     (`extensions/profile.py:drift_psi`): the go/no-go check a feature
@@ -11648,6 +11670,7 @@ QUERIES = {
     "calibration_bins": q_calibration_bins,
     "downsample_ohlc": q_downsample_ohlc,
     "drift_psi": q_drift_psi,
+    "ks_test": q_ks_test,
     "k_anonymity": q_k_anonymity,
     "private_release": q_private_release,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
