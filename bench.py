@@ -299,6 +299,7 @@ OPERATORS = [
     "cdc_apply",  # I/U/D change feed -> latest snapshot (one max_by agg)
     "k_anonymity",  # quasi-identifier k/l release audit (one hash agg)
     "private_release",  # suppression + Laplace noise publication step
+    "forget_audit",  # GDPR erasure scoping across the join lineage
     "wordpiece_train",  # likelihood-scored distributed tokenizer training
     "audio_quality",  # PCM gates: peak/RMS/clip/silence (real WAV decode)
     "geo_radius_join",  # grid-bucketed haversine radius join
@@ -318,6 +319,7 @@ OPERATORS = [
     "mutual_information",  # categorical MI (ordered-fold nats)
     "ab_test",  # two-proportion z over exact counts
     "retrieval_metrics",  # recall@k / MRR / nDCG per query
+    "token_fertility",  # subwords-per-word per language (per-mille)
     "drift_psi",  # PSI snapshot drift gate (ordered fold)
     "ks_test",  # exact cross-multiplied KS sup-distance
     "delta_snapshot",  # _delta_log replay with time travel

@@ -3835,6 +3835,30 @@ SELECT entity_id, val, tag, last_seq, n_changes
 FROM r WHERE rn = 1 AND op <> 'D'
 """
 
+# forget audit: every 97th customer; lineage counts across the
+# two-hop join (customer -> orders -> lineitem)
+ORACLES["forget_audit"] = """
+WITH req AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_custkey % 97 = 0
+), o AS (
+  SELECT r.custkey, COUNT(*) AS n_orders
+  FROM req r JOIN orders ON o_custkey = r.custkey
+  GROUP BY 1
+), l AS (
+  SELECT r.custkey, COUNT(*) AS n_lineitems
+  FROM req r
+  JOIN orders ON o_custkey = r.custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT r.custkey, CAST(1 AS INTEGER) AS n_customer,
+  COALESCE(o.n_orders, 0) AS n_orders,
+  COALESCE(l.n_lineitems, 0) AS n_lineitems,
+  1 + COALESCE(o.n_orders, 0) + COALESCE(l.n_lineitems, 0)
+    AS total_rows
+FROM req r LEFT JOIN o USING (custkey) LEFT JOIN l USING (custkey)
+"""
+
 # private release: groups < 5 suppressed; Laplace(1/0.5) noise from
 # the portable seeded hash -> uniform -> inverse CDF (seed 7)
 ORACLES["private_release"] = """
@@ -6470,6 +6494,23 @@ SELECT doc_id,
   CASE WHEN best > 0 THEN {_PICK} ELSE 'und' END AS predicted_lang,
   best AS marker_hits
 FROM b
+"""
+
+# fertility: the token_count pair rolled up per language, ratio as
+# truncating per-mille
+ORACLES["token_fertility"] = f"""
+WITH t AS (
+  SELECT lang,
+    CAST(len({_TOKS}) AS BIGINT) AS ws,
+    CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+      AS bpe
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+  CAST(SUM(bpe) * 1000 // SUM(ws) AS BIGINT) AS fertility_pm
+FROM t GROUP BY lang
 """
 
 ORACLES["token_count"] = f"""

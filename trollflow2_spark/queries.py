@@ -5893,6 +5893,88 @@ def q_private_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word, in exact per-mille — THE cross-lingual tokenizer
+    health metric (a vocabulary that fragments one language 3x
+    inflates its training cost and starves its share of a token
+    budget). One map-side-combinable hash agg over the scan-stage
+    token counts; the ratio is truncating integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the SAME counting pair token_count pins per-doc (tokens() /
+    # BPE_ISH_PATTERN), rolled up per language
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias(
+            "bpe_tokens"
+        ),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        (F.col("bpe_tokens") * 1000 / F.col("ws_tokens"))
+        .cast("long")
+        .alias("fertility_pm"),
+    )
+
+
+def q_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: for each deletion request
+    (every 97th customer), count the rows that must purge across the
+    LINEAGE — the customer row, their orders, and the order lines two
+    hops away — the scoping step a GDPR/CCPA erasure job runs before
+    touching data. The request side broadcasts into keyed equi-joins
+    (the fact tables never shuffle on anything new); counts are one
+    hash agg per hop. Completes the privacy tier's lifecycle:
+    scrub -> audit -> release -> ERASE."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    req = cust.where(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ro = orders.join(
+        F.broadcast(req), orders["o_custkey"] == req["custkey"]
+    ).select("custkey", "o_orderkey")
+    n_orders = ro.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    n_lines = (
+        li.join(
+            F.broadcast(ro),
+            li["l_orderkey"] == ro["o_orderkey"],
+        )
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    out = (
+        req.join(n_orders, "custkey", "left")
+        .join(n_lines, "custkey", "left")
+        .select(
+            "custkey",
+            F.lit(1).alias("n_customer"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_lineitems"), F.lit(0)).alias(
+                "n_lineitems"
+            ),
+        )
+    )
+    return out.select(
+        "custkey",
+        "n_customer",
+        "n_orders",
+        "n_lineitems",
+        (
+            F.col("n_customer") + F.col("n_orders") + F.col("n_lineitems")
+        ).alias("total_rows"),
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity release audit
     (`extensions/profile.py:k_anonymity_audit`): the row-level
@@ -11673,6 +11755,7 @@ QUERIES = {
     "ks_test": q_ks_test,
     "k_anonymity": q_k_anonymity,
     "private_release": q_private_release,
+    "forget_audit": q_forget_audit,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_lev_pairs": q_fuzzy_lev_pairs,
     "fuzzy_lev2_pairs": q_fuzzy_lev2_pairs,
@@ -11906,6 +11989,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
+    "token_fertility": q_token_fertility,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
