@@ -638,3 +638,29 @@ def test_domain_gate_broadcast_is_runtime_decided(spark, sf):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_continuation_flagship_plan_properties(spark, sf_dir):
+    """Plan pins for the continuation operators: CDC/Delta/moments
+    plan as aggregations without Window sorts; binary_metrics windows
+    only over the bounded distinct-score table (its input is an
+    Aggregate, not a raw scan)."""
+    from trollflow2_spark.queries import QUERIES
+
+    for name in ("cdc_apply", "delta_snapshot", "moments_profile"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, name
+        assert "Aggregate" in plan, name
+
+    bm = (
+        QUERIES["binary_metrics"](spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the Window node must sit ABOVE an Aggregate (distinct-score
+    # table), i.e. an Aggregate appears below the Window in the tree
+    assert "Window" in bm
+    below_window = bm.split("Window", 1)[1]
+    assert "Aggregate" in below_window
