@@ -330,6 +330,15 @@ OPERATORS = [
     "binary_metrics",  # exact rank-statistic AUC + confusion metrics
     "calibration_bins",  # reliability diagram + bin-ordered ECE
     "downsample_ohlc",  # OHLC rollup as ONE min_by/max_by hash agg
+    "assoc_rules",  # Apriori k=2: pruned pair self-join + conf/lift
+    "triangle_count",  # degree-oriented wedge join on the host graph
+    "pareto_skyline",  # dominance scan over the distinct-cost reduction
+    "bradley_terry",  # MM preference strengths, PageRank-shaped iters
+    "benford_audit",  # first-digit chi2 off exact integer strings
+    "l_diversity_audit",  # homogeneity gate past k-anonymity
+    "ewma_smooth",  # bounded-lag EWMA, one window shuffle, no Python
+    "kmv_set_ops",  # bottom-k sketches + set-op estimates with exact audit
+    "streaming_kmv_replay",  # micro-batched bottom-k merge == one-pass
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

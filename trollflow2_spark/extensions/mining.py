@@ -1,0 +1,307 @@
+"""Analytics-mining tier (round 12): association rules, graph
+triangles, pareto frontiers and Bradley-Terry preference strengths.
+
+These are the classic "mine structure out of a fact table" operators a
+warehouse team runs NEXT TO the training-data pipeline: market-basket
+affinity for mixture design, triangle/cohesion stats on the crawl host
+graph (completing the graph tier: CC = reachability, PageRank =
+authority, label propagation = communities, triangles = cohesion),
+pareto frontiers for model/data selection trade-offs, and
+Bradley-Terry strength fitting over pairwise preference data — the
+statistical core of RLHF preference aggregation.
+
+Every operator is expressed as DataFrame joins/aggs with exact DECIMAL
+accumulation where a float sum would be order-sensitive, so a DuckDB
+oracle replays each one bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dsum(col: Column, scale: int = 12) -> Column:
+    """Order-insensitive float sum: round -> exact decimal -> double."""
+    return (
+        F.sum(F.round(col, scale).cast(f"decimal(38,{scale})"))
+        .cast("double")
+    )
+
+
+def assoc_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_support_count: int = 10,
+) -> DataFrame:
+    """Frequent-pair association rules (support / confidence / lift)
+    over a (basket, item) fact table — the Apriori k=2 core.
+
+    Scale shape: the basket table reduces to DISTINCT (basket, item)
+    first, then items below ``min_support_count`` are pruned BEFORE
+    the pair self-join (the Apriori monotonicity cut: an infrequent
+    item cannot appear in a frequent pair), so the join fan-out is
+    bounded by the frequent-item basket sizes, not raw row count. The
+    self-join shuffles once on the basket key; item counts and the
+    basket total are control-plane sized and broadcast back in.
+    """
+    pairs_src = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    item_cnt = pairs_src.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__ic")
+    )
+    freq = item_cnt.where(F.col("__ic") >= min_support_count)
+    kept = pairs_src.join(
+        F.broadcast(freq.select("__i")), "__i", "left_semi"
+    )
+    n_baskets = pairs_src.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    a = kept.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = kept.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pair_cnt = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_support_count)
+    )
+    ca = F.broadcast(
+        freq.select(F.col("__i").alias("item_a"), F.col("__ic").alias("__ca"))
+    )
+    cb = F.broadcast(
+        freq.select(F.col("__i").alias("item_b"), F.col("__ic").alias("__cb"))
+    )
+    n = F.col("__n").cast("double")
+    pc = F.col("pair_count").cast("double")
+    return (
+        pair_cnt.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.col("__ca").alias("count_a"),
+            F.col("__cb").alias("count_b"),
+            F.round(pc / n, 6).alias("support"),
+            F.round(pc / F.col("__ca").cast("double"), 6).alias("conf_a_b"),
+            F.round(pc / F.col("__cb").cast("double"), 6).alias("conf_b_a"),
+            F.round(
+                (n * pc)
+                / (F.col("__ca").cast("double") * F.col("__cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient via
+    degree-ordered edge orientation (the distributed-triangle
+    standard): undirect + dedup the edge list, orient every edge from
+    the lower (degree, node) endpoint to the higher, join oriented
+    out-neighbor pairs against the oriented edge set — each triangle
+    materializes exactly once — then explode its three corners to
+    per-node counts.
+
+    Scale shape: orientation bounds every node's out-degree by
+    O(sqrt(m)) regardless of raw degree skew (a celebrity node with
+    10^6 followers contributes wedges only through its LOW-degree
+    endpoints), which is what makes the wedge join survivable at
+    web-graph scale; the wedge join shuffles on the shared endpoint,
+    the closing check is one more equi-join on (src, dst)."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    lower_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    wedges = e1.join(e2, "x").where(F.col("y") < F.col("z"))
+    closing = oriented.select(
+        F.col("src").alias("__cs"), F.col("dst").alias("__cd")
+    )
+    tri = wedges.join(
+        closing,
+        (
+            (F.col("y") == F.col("__cs")) & (F.col("z") == F.col("__cd"))
+        )
+        | ((F.col("z") == F.col("__cs")) & (F.col("y") == F.col("__cd"))),
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                    / (d * (d - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("local_cc"),
+        )
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+) -> DataFrame:
+    """Skyline / pareto-frontier filter: keep rows not dominated by
+    any other row (dominator has cost <= and gain >= with at least one
+    strict). Classic for model/data selection trade-off tables
+    (quality-vs-size, accuracy-vs-latency).
+
+    Algorithm: reduce to the per-cost best gain (one hash agg — the
+    only pass over the full table), then a single ordered scan over
+    the DISTINCT-COST table keeps a cost point iff its best gain
+    strictly exceeds the running max of all strictly-cheaper points;
+    rows re-qualify by (cost, gain) semi-join. The unpartitioned
+    window runs over the distinct-cost reduction, not the fact table —
+    bounded by value cardinality; at true 100 TB cardinality the
+    production variant grid-partitions costs, prunes per partition
+    (pareto-dominance is closed under subsetting), and runs this same
+    scan over the per-partition survivors."""
+    best = df.groupBy(F.col(cost_col).alias("__cost")).agg(
+        F.max(F.col(gain_col)).alias("__best")
+    )
+    w = (
+        Window.orderBy("__cost")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        best.withColumn("__prev", F.max("__best").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__best") > F.col("__prev")))
+        .select("__cost", "__best")
+    )
+    return df.join(
+        F.broadcast(frontier),
+        (F.col(cost_col) == F.col("__cost"))
+        & (F.col(gain_col) == F.col("__best")),
+        "left_semi",
+    )
+
+
+def bradley_terry_strengths(
+    matches: DataFrame,
+    player_a_col: str = "player_a",
+    player_b_col: str = "player_b",
+    wins_a_col: str = "wins_a",
+    wins_b_col: str = "wins_b",
+    iters: int = 3,
+) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise preference counts
+    via the Zermelo/Hunter MM update — the aggregation step behind
+    RLHF preference data: turn "A beat B n times" tables into a
+    global strength ranking.
+
+    Per iteration: ``s_i' = W_i / sum_j n_ij / (s_i + s_j)``, then
+    strengths renormalize to sum to the player count. Each iteration
+    is one broadcast join of the (player-cardinality) strength table
+    onto the per-pair count table + one map-side-combinable agg —
+    the same bounded-lineage iterative shape as PageRank / k-means;
+    nothing row-scale ever leaves the executors. Per-term rounding to
+    12 decimals + exact DECIMAL summation keeps the replay
+    order-insensitive, and per-iteration round(8) pins the trajectory
+    bit-stable for the SQL oracle, which unrolls every iteration."""
+    pa, pb = F.col(player_a_col), F.col(player_b_col)
+    wa, wb = F.col(wins_a_col), F.col(wins_b_col)
+    directed = (
+        matches.select(pa.alias("i"), pb.alias("j"), wa.alias("w"), (wa + wb).alias("n"))
+        .unionByName(
+            matches.select(
+                pb.alias("i"), pa.alias("j"), wb.alias("w"), (wa + wb).alias("n")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("w"), F.sum("n").alias("n"))
+    )
+    players = directed.select(F.col("i").alias("player")).distinct()
+    k_players = players.agg(F.count(F.lit(1)).alias("__k"))
+    wins = directed.groupBy("i").agg(F.sum("w").alias("__wins"))
+    s = players.select("player", F.lit(1.0).alias("strength"))
+    for _ in range(iters):
+        si = F.broadcast(
+            s.select(F.col("player").alias("i"), F.col("strength").alias("__si"))
+        )
+        sj = F.broadcast(
+            s.select(F.col("player").alias("j"), F.col("strength").alias("__sj"))
+        )
+        denom = (
+            directed.join(si, "i")
+            .join(sj, "j")
+            .groupBy("i")
+            .agg(
+                _dsum(
+                    F.col("n").cast("double")
+                    / (F.col("__si") + F.col("__sj"))
+                ).alias("__den")
+            )
+        )
+        raw = denom.join(F.broadcast(wins), "i").select(
+            F.col("i").alias("player"),
+            F.when(
+                F.col("__den") > 0.0,
+                F.col("__wins").cast("double") / F.col("__den"),
+            )
+            .otherwise(0.0)
+            .alias("__raw"),
+        )
+        total = raw.agg(_dsum(F.col("__raw")).alias("__tot"))
+        s = raw.crossJoin(F.broadcast(total)).crossJoin(
+            F.broadcast(k_players)
+        ).select(
+            "player",
+            F.round(
+                F.col("__raw") * F.col("__k").cast("double") / F.col("__tot"),
+                8,
+            ).alias("strength"),
+        )
+    return (
+        s.join(F.broadcast(wins.select(F.col("i").alias("player"), "__wins")), "player")
+        .select(
+            "player",
+            F.round(F.col("strength"), 6).alias("strength"),
+            F.col("__wins").alias("wins"),
+        )
+    )

@@ -970,3 +970,112 @@ def expectations_report(checks: list[DataFrame]) -> DataFrame:
         .cast("int")
         .alias("pass"),
     )
+
+
+# Benford first-significant-digit expectations, log10(1 + 1/d) for
+# d = 1..9, written out as shared literals so the Spark expression and
+# the SQL oracle fold the IDENTICAL doubles.
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Benford first-digit audit per group — the fabricated-numbers
+    screen auditors run over financial fact tables (and data teams
+    run over suspect telemetry): the first significant digit of
+    naturally-occurring amounts follows ``p(d) = log10(1 + 1/d)``;
+    a group whose chi-square distance from that law explodes was
+    generated, truncated, or synthesized.
+
+    Determinism: values enter as exact fixed-point integers
+    (``round(x * unit_scale)`` to BIGINT) and the first digit comes
+    off the INTEGER's string form — no float log10 whose last ulp
+    could differ between engines. The chi-square uses the identity
+    ``sum (o - n p)^2 / (n p) = sum o^2/(n p) - n`` so absent digits
+    contribute exactly zero and the fold is one term per OBSERVED
+    digit (<= 9 rows/group, summed in DECIMAL: order-insensitive).
+    Cost: one (group, digit) hash agg + one group agg — scan-stage
+    algebra, no shuffle beyond the two map-side-combinable groupBys.
+    """
+    v = F.round(F.col(value_col) * unit_scale).cast("bigint")
+    digit = F.substring(F.abs(v).cast("string"), 1, 1).cast("int")
+    counted = (
+        df.where(F.abs(v) >= 1)
+        .groupBy(*group_cols, digit.alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    p = F.col("__d")
+    p_expr = F.lit(None).cast("double")
+    for d, pd in sorted(BENFORD_P.items(), reverse=True):
+        p_expr = F.when(p == d, F.lit(pd)).otherwise(p_expr)
+    o = F.col("__o").cast("double")
+    term = (o * o) / p_expr
+    grouped = counted.groupBy(*group_cols).agg(
+        F.sum("__o").alias("n"),
+        F.sum(F.round(term, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("__sum_terms"),
+        F.max(F.col("__o")).alias("__max_o"),
+    )
+    n = F.col("n").cast("double")
+    return grouped.select(
+        *group_cols,
+        "n",
+        F.round(F.col("__sum_terms") / n - n, 4).alias("chi2"),
+        F.round(F.col("__max_o").cast("double") / n, 6).alias(
+            "top_digit_share"
+        ),
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_min: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the release gate one notch past
+    `k_anonymity`: a quasi-identifier group can be k-anonymous yet
+    leak the sensitive attribute outright if every member shares one
+    value (the homogeneity attack). Per QI group this reports group
+    size (k), the count of DISTINCT sensitive values (l), the modal
+    sensitive count (the recursive-(c,l) numerator), and integer
+    pass flags — all exact integers, no float anywhere.
+
+    Cost: one (QI, sensitive) hash agg then one QI rollup, both
+    map-side combinable; state is bounded by the QI x sensitive
+    cardinality, never row count."""
+    cells = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    out = cells.groupBy(*qi_cols).agg(
+        F.sum("__c").alias("group_k"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.max("__c").alias("max_sensitive_count"),
+    )
+    return out.select(
+        *qi_cols,
+        "group_k",
+        "l_distinct",
+        "max_sensitive_count",
+        F.when(F.col("group_k") >= k, 1).otherwise(0).cast("int").alias("k_ok"),
+        F.when(F.col("l_distinct") >= l_min, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("l_ok"),
+    )

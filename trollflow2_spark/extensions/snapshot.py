@@ -424,3 +424,244 @@ def drift_replay_state(
         .agg(F.sum("__cr").alias("__cr"), F.sum("__cc").alias("__cc"))
     )
     return psi_from_counts(counts, group_cols, n_buckets)
+
+
+KMV_MAX_HASH = float(1 << 60)  # hash64 is 60-bit: estimates scale by 2^60
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    seed: int = 77,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch per key: the k smallest portable
+    hashes of the distinct values. Where HLL answers "how many
+    distinct", KMV additionally supports SET OPERATIONS — union
+    sketches merge by taking the bottom-k of the concatenation, and
+    the Jaccard of two sets is estimated directly from the shared
+    members of the union sketch — which HLL registers cannot do
+    without inclusion-exclusion error stacking.
+
+    Scale shape: a naive per-key ``sort + limit k`` would collect
+    every distinct hash into one reducer per key. This builds the
+    sketch as a TWO-LEVEL tree: distinct hashes first split into
+    ``n_salt`` buckets per key and reduce to a per-bucket bottom-k
+    (bounded state per group), then the ``n_salt x k`` survivors
+    reduce to the final bottom-k — the classic distributed top-k
+    shape, every stage bounded. The sketch column is a sorted
+    ``array<bigint>`` of length <= k, mergeable by construction."""
+    from trollflow2_spark.functions.hashing import hash64
+
+    h = hash64(F.col(value_col).cast("string"), seed=seed)
+    d = df.select(*key_cols, h.alias("__h")).distinct()
+    per_bucket = (
+        d.groupBy(*key_cols, F.pmod(F.col("__h"), F.lit(n_salt)).alias("__salt"))
+        .agg(
+            F.slice(F.sort_array(F.collect_list("__h")), 1, k).alias("__part")
+        )
+    )
+    return (
+        per_bucket.select(*key_cols, F.explode("__part").alias("__h"))
+        .groupBy(*key_cols)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("__h")), 1, k).alias("sketch")
+        )
+    )
+
+
+def kmv_estimate(sketch: Column, k: int) -> Column:
+    """Distinct-count estimate off a KMV sketch column: exact when the
+    set was smaller than k (the sketch IS the set), else the standard
+    ``(k-1) * M / kth_min`` estimator over the 60-bit hash space."""
+    kth = F.element_at(sketch, k).cast("double")
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(KMV_MAX_HASH) / kth)
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: int = 77,
+) -> DataFrame:
+    """Pairwise set-operation estimates between per-key distinct sets,
+    KMV-sketched — est_union / est_jaccard / est_intersection per key
+    pair — with the exact values alongside (the sketch-error audit
+    every approximate tier here ships): at production cardinalities
+    the exact columns are the expensive path this sketch replaces; at
+    audit scale they prove the estimator honest.
+
+    The pair table is key-cardinality squared (control-plane sized);
+    union sketches are the bottom-k of the two sketch arrays' union,
+    and Jaccard is the shared-member fraction of the union sketch —
+    pure array algebra, no re-scan of the fact table."""
+    sk = kmv_sketch(df, [key_col], value_col, k=k, seed=seed)
+    a = sk.select(
+        F.col(key_col).alias("key_a"), F.col("sketch").alias("__sa")
+    )
+    b = sk.select(
+        F.col(key_col).alias("key_b"), F.col("sketch").alias("__sb")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    allv = F.array_sort(F.array_union(F.col("__sa"), F.col("__sb")))
+    pairs = pairs.withColumn(
+        "__us", F.when(F.size(allv) > k, F.slice(allv, 1, k)).otherwise(allv)
+    )
+    in_both = F.size(
+        F.filter(
+            F.col("__us"),
+            lambda x: F.array_contains(F.col("__sa"), x)
+            & F.array_contains(F.col("__sb"), x),
+        )
+    )
+    jacc = in_both.cast("double") / F.size("__us").cast("double")
+    est_union = F.when(
+        F.size("__us") < k, F.size("__us").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(KMV_MAX_HASH)
+        / F.element_at(F.col("__us"), k).cast("double")
+    )
+    # exact audit: distinct counts + pairwise intersections off the
+    # distinct (key, value) projection
+    dv = df.select(
+        F.col(key_col).alias("__k"), F.col(value_col).alias("__v")
+    ).distinct()
+    ex = dv.groupBy("__k").agg(F.count(F.lit(1)).alias("__c"))
+    inter = (
+        dv.select(F.col("__k").alias("key_a"), "__v")
+        .join(
+            dv.select(F.col("__k").alias("key_b"), "__v"),
+            ["__v"],
+        )
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    out = (
+        pairs.select(
+            "key_a",
+            "key_b",
+            F.round(kmv_estimate(F.col("__sa"), k), 4).alias("est_a"),
+            F.round(kmv_estimate(F.col("__sb"), k), 4).alias("est_b"),
+            F.round(est_union, 4).alias("est_union"),
+            F.round(jacc, 6).alias("est_jaccard"),
+            F.round(jacc * est_union, 4).alias("est_intersection"),
+        )
+        .join(
+            F.broadcast(ex.select(F.col("__k").alias("key_a"), F.col("__c").alias("exact_a"))),
+            "key_a",
+        )
+        .join(
+            F.broadcast(ex.select(F.col("__k").alias("key_b"), F.col("__c").alias("exact_b"))),
+            "key_b",
+        )
+        .join(F.broadcast(inter), ["key_a", "key_b"], "left")
+    )
+    ia = F.coalesce(F.col("exact_intersection"), F.lit(0))
+    return out.select(
+        "key_a",
+        "key_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_jaccard",
+        "est_intersection",
+        "exact_a",
+        "exact_b",
+        (F.col("exact_a") + F.col("exact_b") - ia).alias("exact_union"),
+        ia.alias("exact_intersection2"),
+        F.round(
+            ia.cast("double")
+            / (F.col("exact_a") + F.col("exact_b") - ia).cast("double"),
+            6,
+        ).alias("exact_jaccard"),
+    ).withColumnRenamed("exact_intersection2", "exact_intersection")
+
+
+def kmv_replay_state(
+    spark,
+    batches: list[list[dict]],
+    schema: str,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: int = 77,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drive the KMV sketch through REAL micro-batches (the
+    `cms_replay_state` harness): each batch appends its own per-key
+    bottom-k as a batch-tagged parquet delta; the merged read explodes
+    the deltas and re-takes the bottom-k per key — which must equal
+    the one-pass sketch EXACTLY, because bottom-k is a semilattice
+    (merge = min-k of union, associative + idempotent). That exactness
+    is the property that lets a daily increment maintain corpus-wide
+    distinct/set-op estimates without re-scanning history — and makes
+    checkpoint-recovery double-appends harmless."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="tf2_kmv_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    state_dir = os.path.join(d, "state")
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = os.path.join(src, f"b{i:04d}.json")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch_df, [key_col], value_col, k=k, seed=seed)
+        sk.withColumn(
+            "__bid", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(state_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .queryName("tf2_kmv_" + uuid.uuid4().hex[:12])
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"kmv_replay_state: stream did not drain "
+                f"{len(batches)} batches within {timeout_s}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    merged = (
+        spark.read.parquet(state_dir)
+        .select(key_col, F.explode("sketch").alias("__h"))
+        .distinct()
+        .groupBy(key_col)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("__h")), 1, k).alias("sketch")
+        )
+    )
+    return merged.select(
+        key_col,
+        F.size("sketch").alias("sketch_size"),
+        F.element_at("sketch", 1).alias("min_hash"),
+        F.element_at("sketch", F.size("sketch")).alias("kth_hash"),
+        F.round(kmv_estimate(F.col("sketch"), k), 4).alias("est_distinct"),
+    )

@@ -163,3 +163,46 @@ def downsample_ohlc(
         F.count(F.lit(1)).alias("n"),
         F.sum(v.cast("decimal(38,6)")).cast("double").alias("sum_value"),
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    lags: int = 8,
+) -> DataFrame:
+    """Bounded-lag exponential moving average per key — the
+    fixed-memory form of EWMA smoothing (weights ``(1-alpha)^j`` over
+    the last ``lags`` observations, renormalized over the lags that
+    exist). The unbounded recursive EWMA needs either a sequential
+    scan or an overflow-prone ``(1-alpha)^-i`` rescale; the bounded
+    form is what a streaming/stateful implementation actually keeps
+    (a ring of the last W readings), truncation error is
+    ``(1-alpha)^W`` (≈1e-5 at the defaults), and — because the
+    definition IS the bounded window — it replays bit-exactly on any
+    engine.
+
+    Plan: one window over (key, order) materializing ``lags`` LAG
+    columns; a single shuffle on the key, zero Python. The weighted
+    sum is a fixed literal expression chain (j = 0..W-1 in order), so
+    the float fold is the identical instruction sequence on both
+    engines."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    v = F.col(value_col)
+    num = None
+    den = None
+    for j in range(lags):
+        wj = (1.0 - alpha) ** j
+        xj = v if j == 0 else F.lag(v, j).over(w)
+        t_num = F.when(xj.isNotNull(), F.lit(wj) * xj).otherwise(F.lit(0.0))
+        t_den = F.when(xj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return df.select(
+        *key_cols,
+        *order_cols,
+        v.alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -11,6 +11,7 @@ modules the Spark side uses, so the two can't drift.
 from __future__ import annotations
 
 from trollflow2_spark import qconst as C
+from trollflow2_spark.extensions.profile import BENFORD_P
 from trollflow2_spark.extensions.text import BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS
 from trollflow2_spark.functions.geometry import SZA_SQL
 from trollflow2_spark.functions.hashing import (
@@ -8628,4 +8629,356 @@ WITH f0 AS (
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
   {_split_case_sql()} AS split
 FROM ded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytics-mining tier (round 12)
+
+# market-basket: distinct (order, category) with the planted long tail,
+# Apriori item prune at the shared support floor, pair self-join,
+# both-direction confidence + lift
+ORACLES["assoc_rules"] = f"""
+WITH src AS (
+  SELECT DISTINCT l_orderkey AS b,
+    CASE WHEN l_partkey % 7 < 5 THEN l_partkey % 30
+         ELSE 1000 + l_partkey % 400 END AS i
+  FROM lineitem
+),
+ic AS (SELECT i, count(*) AS ic FROM src GROUP BY i),
+freq AS (SELECT i, ic FROM ic WHERE ic >= {C.ASSOC_MIN_SUPPORT}),
+kept AS (SELECT s.b, s.i FROM src s JOIN freq f ON f.i = s.i),
+nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM src),
+pc AS (
+  SELECT a.i AS item_a, b2.i AS item_b, count(*) AS pair_count
+  FROM kept a JOIN kept b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= {C.ASSOC_MIN_SUPPORT}
+)
+SELECT item_a, item_b, pair_count,
+  ca.ic AS count_a, cb.ic AS count_b,
+  round(CAST(pair_count AS DOUBLE) / n, 6) AS support,
+  round(CAST(pair_count AS DOUBLE) / CAST(ca.ic AS DOUBLE), 6) AS conf_a_b,
+  round(CAST(pair_count AS DOUBLE) / CAST(cb.ic AS DOUBLE), 6) AS conf_b_a,
+  round((n * CAST(pair_count AS DOUBLE))
+        / (CAST(ca.ic AS DOUBLE) * CAST(cb.ic AS DOUBLE)), 6) AS lift
+FROM pc
+JOIN freq ca ON ca.i = pc.item_a
+JOIN freq cb ON cb.i = pc.item_b
+CROSS JOIN nb
+"""
+
+# triangles via the same degree-ordered orientation (tie -> node id):
+# each triangle closes exactly once, corners explode to per-node counts
+ORACLES["triangle_count"] = """
+WITH hs AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+e0 AS (
+  SELECT h AS ia, (h + 1) % 20 AS ib FROM hs
+  UNION ALL SELECT h, (h * 3 + 7) % 20 FROM hs
+),
+und AS (
+  SELECT DISTINCT least(ia, ib) AS u, greatest(ia, ib) AS v
+  FROM e0 WHERE ia <> ib
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+ori AS (
+  SELECT
+    CASE WHEN du.degree < dv.degree
+           OR (du.degree = dv.degree AND u < v) THEN u ELSE v END AS src,
+    CASE WHEN du.degree < dv.degree
+           OR (du.degree = dv.degree AND u < v) THEN v ELSE u END AS dst
+  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+),
+tri AS (
+  SELECT e1.x, e1.y, e2.z
+  FROM (SELECT src AS x, dst AS y FROM ori) e1
+  JOIN (SELECT src AS x, dst AS z FROM ori) e2 USING (x)
+  WHERE e1.y < e2.z AND EXISTS (
+    SELECT 1 FROM ori o
+    WHERE (o.src = e1.y AND o.dst = e2.z)
+       OR (o.src = e2.z AND o.dst = e1.y)
+  )
+),
+corners AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT 'site' || CAST(d.node AS VARCHAR) AS host,
+  CAST(d.degree AS BIGINT) AS degree,
+  CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+  round(CASE WHEN d.degree >= 2
+    THEN 2.0 * CAST(coalesce(c.triangles, 0) AS DOUBLE)
+         / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+    ELSE 0.0 END, 6) AS local_cc
+FROM deg d LEFT JOIN corners c ON c.node = d.node
+"""
+
+# skyline by the DEFINITION (NOT EXISTS dominance) — deliberately a
+# different algorithm than the engine's ordered-scan reduction
+ORACLES["pareto_skyline"] = """
+SELECT p_partkey, round(p_retailprice, 2) AS price,
+  CAST(p_size AS INT) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+def _bt_iter_sql(prev: str, dname: str, rname: str, tname: str, out: str) -> str:
+    """One unrolled Zermelo/Hunter MM iteration (round(12)+DECIMAL
+    per-term sums; per-iteration round(8) normalization)."""
+    return f"""{dname} AS (
+  SELECT d.i,
+    CAST(sum(CAST(round(CAST(d.n AS DOUBLE) / (si.strength + sj.strength),
+                        12) AS DECIMAL(38,12))) AS DOUBLE) AS den
+  FROM directed d
+  JOIN {prev} si ON si.player = d.i
+  JOIN {prev} sj ON sj.player = d.j
+  GROUP BY d.i
+),
+{rname} AS (
+  SELECT {dname}.i AS player,
+    CASE WHEN den > 0 THEN CAST(w.wins AS DOUBLE) / den ELSE 0.0 END AS raw
+  FROM {dname} JOIN wins w ON w.i = {dname}.i
+),
+{tname} AS (
+  SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(38,12))) AS DOUBLE) AS tot
+  FROM {rname}
+),
+{out} AS (
+  SELECT player, round(raw * k / tot, 8) AS strength
+  FROM {rname} CROSS JOIN {tname} CROSS JOIN kp
+)"""
+
+
+ORACLES["bradley_terry"] = f"""
+WITH m0 AS (
+  SELECT doc_id % 12 AS a, (doc_id * 7 + 3) % 12 AS b,
+    CASE WHEN (doc_id * 13) % ((doc_id % 12) + ((doc_id * 7 + 3) % 12) + 2)
+              <= doc_id % 12 THEN 1 ELSE 0 END AS wa
+  FROM documents WHERE doc_id % 12 <> (doc_id * 7 + 3) % 12
+),
+mm AS (
+  SELECT a AS pa, b AS pb, sum(wa) AS wins_a, sum(1 - wa) AS wins_b
+  FROM m0 GROUP BY a, b
+),
+directed AS (
+  SELECT i, j, sum(w) AS w, sum(n) AS n FROM (
+    SELECT pa AS i, pb AS j, wins_a AS w, wins_a + wins_b AS n FROM mm
+    UNION ALL
+    SELECT pb, pa, wins_b, wins_a + wins_b FROM mm
+  ) GROUP BY i, j
+),
+players AS (SELECT DISTINCT i AS player FROM directed),
+kp AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM players),
+wins AS (SELECT i, sum(w) AS wins FROM directed GROUP BY i),
+s0 AS (SELECT player, 1.0 AS strength FROM players),
+{_bt_iter_sql("s0", "d1", "r1", "t1", "s1")},
+{_bt_iter_sql("s1", "d2", "r2", "t2", "s2")},
+{_bt_iter_sql("s2", "d3", "r3", "t3", "s3")}
+SELECT s3.player, round(s3.strength, 6) AS strength,
+  CAST(w.wins AS BIGINT) AS wins
+FROM s3 JOIN wins w ON w.i = s3.player
+"""
+
+# Benford: integer-string first digits, chi2 via sum(o^2/(n p)) - n in
+# DECIMAL so absent digits contribute exactly zero; the expected-digit
+# probabilities are the SAME literals the Spark expression folds
+_BENFORD_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN {p!r}" for d, p in sorted(BENFORD_P.items()))
+    + " END"
+)
+
+ORACLES["benford_audit"] = f"""
+WITH v AS (
+  SELECT o_orderpriority,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+counted AS (
+  SELECT o_orderpriority,
+    CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS INT) AS d,
+    count(*) AS o
+  FROM v WHERE abs(cents) >= 1 GROUP BY 1, 2
+),
+terms AS (
+  SELECT o_orderpriority,
+    sum(o) AS n,
+    CAST(sum(CAST(round(
+      (CAST(o AS DOUBLE) * CAST(o AS DOUBLE)) / {_BENFORD_CASE}, 6)
+      AS DECIMAL(38,6))) AS DOUBLE) AS st,
+    max(o) AS mx
+  FROM counted GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+  round(st / CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 4) AS chi2,
+  round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_digit_share
+FROM terms
+"""
+
+ORACLES["l_diversity_audit"] = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 2000) AS INT) AS bal_band
+  FROM customer
+),
+cells AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS cc
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+  CAST(sum(cc) AS BIGINT) AS group_k,
+  count(*) AS l_distinct,
+  max(cc) AS max_sensitive_count,
+  CAST(CASE WHEN sum(cc) >= {C.LDIV_K} THEN 1 ELSE 0 END AS INT) AS k_ok,
+  CAST(CASE WHEN count(*) >= {C.LDIV_L} THEN 1 ELSE 0 END AS INT) AS l_ok
+FROM cells GROUP BY 1, 2
+"""
+
+
+def _ewma_sql() -> str:
+    """Bounded-lag EWMA: the identical literal weight chain the Spark
+    expression folds (j = 0..W-1, weights (1-a)^j as repr'd doubles)."""
+    num, den, lag_cols = [], [], []
+    for j in range(C.EWMA_LAGS):
+        wj = (1.0 - C.EWMA_ALPHA) ** j
+        x = "value" if j == 0 else f"l{j}"
+        if j > 0:
+            lag_cols.append(f"lag(value, {j}) OVER win AS l{j}")
+        num.append(
+            f"CASE WHEN {x} IS NOT NULL THEN {wj!r} * {x} ELSE 0.0 END"
+        )
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {wj!r} ELSE 0.0 END")
+    return f"""
+WITH w AS (
+  SELECT user_id, ts, event_id, value, {", ".join(lag_cols)}
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts, event_id, value,
+  round(({" + ".join(num)}) / ({" + ".join(den)}), 6) AS ewma
+FROM w
+"""
+
+
+ORACLES["ewma_smooth"] = _ewma_sql()
+
+
+# KMV bottom-k sketches: per-type k smallest distinct hashes via
+# row_number, union sketch = bottom-k of the deduped concat, Jaccard =
+# shared-member fraction of the union sketch; exact audit columns off
+# the distinct (type, slot) projection
+_KMV_M = "1152921504606846976.0"  # 2^60: the hash64 value space
+
+
+def _kmv_est_sql(lst: str, k: int) -> str:
+    return (
+        f"CASE WHEN len({lst}) < {k} THEN CAST(len({lst}) AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} * {_KMV_M} / CAST({lst}[{k}] AS DOUBLE) END"
+    )
+
+
+ORACLES["kmv_set_ops"] = f"""
+WITH dv AS (
+  SELECT DISTINCT event_type AS t, user_id * 8 + event_id % 8 AS v
+  FROM events
+),
+dh AS (
+  SELECT DISTINCT t,
+    {HASH64_SQL("CAST(v AS VARCHAR)", seed=C.KMV_SEED)} AS h
+  FROM dv
+),
+sk AS (
+  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+  FROM dh
+),
+ska AS (
+  SELECT t, list(h ORDER BY h) AS s
+  FROM sk WHERE rn <= {C.KMV_K} GROUP BY t
+),
+ex AS (SELECT t, count(*) AS c FROM dv GROUP BY t),
+pin AS (
+  SELECT a.t AS ka, b.t AS kb, count(*) AS pi
+  FROM dv a JOIN dv b ON a.v = b.v AND a.t < b.t
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.t AS key_a, b.t AS key_b, a.s AS sa, b.s AS sb
+  FROM ska a JOIN ska b ON a.t < b.t
+),
+u AS (
+  SELECT key_a, key_b, sa, sb,
+    list_sort(list_distinct(list_concat(sa, sb))) AS allv
+  FROM p
+),
+u2 AS (
+  SELECT key_a, key_b, sa, sb,
+    CASE WHEN len(allv) > {C.KMV_K} THEN allv[1:{C.KMV_K}]
+         ELSE allv END AS us
+  FROM u
+),
+calc AS (
+  SELECT key_a, key_b, sa, sb, us,
+    CAST(len(list_filter(us,
+      x -> list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE)
+      / CAST(len(us) AS DOUBLE) AS jacc,
+    {_kmv_est_sql("us", C.KMV_K)} AS est_u
+  FROM u2
+)
+SELECT c.key_a, c.key_b,
+  round({_kmv_est_sql("c.sa", C.KMV_K)}, 4) AS est_a,
+  round({_kmv_est_sql("c.sb", C.KMV_K)}, 4) AS est_b,
+  round(c.est_u, 4) AS est_union,
+  round(c.jacc, 6) AS est_jaccard,
+  round(c.jacc * c.est_u, 4) AS est_intersection,
+  CAST(ea.c AS BIGINT) AS exact_a,
+  CAST(eb.c AS BIGINT) AS exact_b,
+  CAST(ea.c + eb.c - coalesce(pin.pi, 0) AS BIGINT) AS exact_union,
+  CAST(coalesce(pin.pi, 0) AS BIGINT) AS exact_intersection,
+  round(CAST(coalesce(pin.pi, 0) AS DOUBLE)
+        / CAST(ea.c + eb.c - coalesce(pin.pi, 0) AS DOUBLE), 6)
+    AS exact_jaccard
+FROM calc c
+JOIN ex ea ON ea.t = c.key_a
+JOIN ex eb ON eb.t = c.key_b
+LEFT JOIN pin ON pin.ka = c.key_a AND pin.kb = c.key_b
+"""
+
+# one-pass per-type bottom-k over the replay subset == the merged
+# micro-batched state (bottom-k is a semilattice)
+ORACLES["streaming_kmv_replay"] = f"""
+WITH f0 AS (
+  SELECT * FROM events
+  ORDER BY (event_id * {C.REPLAY_SPREAD}) % 4294967296, event_id
+  LIMIT {C.REPLAY_ROW_BUDGET}
+),
+dh AS (
+  SELECT DISTINCT event_type AS t,
+    {HASH64_SQL("CAST(user_id * 8 + event_id % 8 AS VARCHAR)", seed=C.KMV_SEED)} AS h
+  FROM f0
+),
+sk AS (
+  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+  FROM dh
+),
+ska AS (
+  SELECT t, list(h ORDER BY h) AS s
+  FROM sk WHERE rn <= {C.KMV_K} GROUP BY t
+)
+SELECT t AS event_type,
+  CAST(len(s) AS INT) AS sketch_size,
+  s[1] AS min_hash,
+  s[len(s)] AS kth_hash,
+  round({_kmv_est_sql("s", C.KMV_K)}, 4) AS est_distinct
+FROM ska
 """

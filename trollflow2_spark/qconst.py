@@ -428,3 +428,16 @@ BLOCKLIST_MAX_DENSITY_BP = 900  # hits per 10k tokens (integer basis points)
 # --- observability audits ---------------------------------------------------
 SKEW_AUDIT_TOPN = 10  # heaviest keys reported
 SKEW_AUDIT_SHARE = 0.001  # flag keys above this share of rows
+
+# --- analytics-mining tier (round 12) ----------------------------------------
+ASSOC_MIN_SUPPORT = 100  # pair/item support floor (count): prunes the
+# 400-category long tail of the fixture before the pair self-join
+LDIV_K = 5  # k-anonymity size floor inside the l-diversity audit
+LDIV_L = 3  # distinct-sensitive-values floor
+EWMA_ALPHA = 0.3  # EWMA smoothing factor
+EWMA_LAGS = 8  # bounded-lag window: truncation error (1-a)^8 ~ 5.8e-2
+# of the oldest tail... the DEFINITION is the bounded window (see
+# operators/windows.py:ewma_bounded), so both engines replay it exactly
+KMV_K = 64  # bottom-k sketch size (distinct-count / set-op estimates)
+KMV_SEED = 77  # hash seed for the KMV value hash
+BT_ITERS = 3  # Bradley-Terry MM iterations (each unrolled in the oracle)

@@ -11695,6 +11695,198 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Analytics-mining tier (round 12)
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over lineitem: baskets are
+    orders, items are part categories with a deliberate long tail
+    (30 head categories + 400 rare ones) so the Apriori
+    frequent-item prune visibly cuts the pair self-join's input
+    before it shuffles. Support/confidence/lift per surviving pair,
+    both rule directions."""
+    from trollflow2_spark.extensions.mining import assoc_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey")
+    item = F.when(pk % 7 < 5, pk % 30).otherwise(1000 + pk % 400)
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"), item.alias("item")
+    )
+    return assoc_rules(
+        baskets, min_support_count=C.ASSOC_MIN_SUPPORT
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles + local clustering coefficient on the crawl host
+    graph (the same 20-host closed-form edge fixture as
+    `host_pagerank`/`host_communities`), via degree-ordered edge
+    orientation — completes the graph tier: CC = reachability,
+    PageRank = authority, label propagation = communities,
+    triangles = cohesion. Orientation bounds wedge fan-out by
+    O(sqrt(m)) per node, the property that makes the join survivable
+    on a skewed web graph."""
+    from trollflow2_spark.extensions.mining import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 20
+    e1 = docs.select(k.alias("id_a"), ((k + 1) % 20).alias("id_b"))
+    e2 = docs.select(k.alias("id_a"), ((k * 3 + 7) % 20).alias("id_b"))
+    out = triangle_count(e1.unionByName(e2))
+    return out.select(
+        F.concat(F.lit("site"), F.col("node").cast("string")).alias("host"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        "local_cc",
+    )
+
+
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts on (retail price low, size
+    high) — the model/data selection trade-off query. The full table
+    reduces to per-price best size in one hash agg; the ordered
+    dominance scan runs over that distinct-price reduction only."""
+    from trollflow2_spark.extensions.mining import pareto_frontier
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier(part, "p_retailprice", "p_size").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fitting (Zermelo/Hunter MM,
+    3 iterations) over closed-form pairwise match counts between 12
+    'models' — the RLHF preference-aggregation core next to
+    `dpo_pairs`/`sft_chat_masks`. The oracle unrolls every MM
+    iteration in SQL; per-term round(12)+DECIMAL sums and
+    per-iteration round(8) pin the trajectory bit-stable."""
+    from trollflow2_spark.extensions.mining import bradley_terry_strengths
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    a = (d % 12).alias("player_a")
+    b = ((d * 7 + 3) % 12).alias("player_b")
+    win_a = F.when((d * 13) % ((d % 12) + ((d * 7 + 3) % 12) + 2) <= (d % 12), 1).otherwise(0)
+    matches = (
+        docs.select(a, b, win_a.alias("wa"))
+        .where(F.col("player_a") != F.col("player_b"))
+        .groupBy("player_a", "player_b")
+        .agg(
+            F.sum("wa").alias("wins_a"),
+            F.sum(1 - F.col("wa")).alias("wins_b"),
+        )
+    )
+    return bradley_terry_strengths(matches, iters=3)
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals per order priority —
+    the fabricated-numbers screen. First digits come off exact
+    fixed-point integers (never float log10); chi-square folds via
+    the sum(o^2/(n p)) - n identity in DECIMAL."""
+    from trollflow2_spark.extensions.profile import benford_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_audit(
+        orders, "o_totalprice", ["o_orderpriority"]
+    )
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit over customers: QI groups
+    (nation, market segment) vs the account-balance band as the
+    sensitive attribute — the homogeneity-attack gate one notch past
+    `k_anonymity`. Integer-only output."""
+    from trollflow2_spark.extensions.profile import l_diversity_audit
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+    )
+    return l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band",
+        k=C.LDIV_K, l_min=C.LDIV_L,
+    )
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag EWMA smoothing of per-user event values — the
+    fixed-memory exponential smoother (weights (1-a)^j over the last
+    8 readings, renormalized at sequence starts). One window shuffle
+    on user_id, zero Python; the weighted sum is a literal expression
+    chain identical on both engines."""
+    from trollflow2_spark.operators.windows import ewma_bounded
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_bounded(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        alpha=C.EWMA_ALPHA, lags=C.EWMA_LAGS,
+    )
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct sketches per event type + pairwise SET
+    OPERATION estimates (union / intersection / Jaccard) with the
+    exact values alongside as the sketch-error audit — the set-op
+    capability HLL registers can't offer without stacking
+    inclusion-exclusion error. The sketch builds as a two-level
+    bounded tree (salt buckets then final bottom-k), pairs are
+    key-cardinality-squared control-plane rows."""
+    from trollflow2_spark.extensions.snapshot import kmv_set_ops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") * 8 + F.col("event_id") % 8).alias("slot"),
+    )
+    return kmv_set_ops(
+        ev, "event_type", "slot", k=C.KMV_K, seed=C.KMV_SEED
+    )
+
+
+def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability as an OPERATING procedure: the budget-capped
+    event subset streams through 3 real micro-batches, each appending
+    its per-type bottom-k as a batch-tagged parquet delta; the merged
+    state must equal the one-pass sketch EXACTLY (bottom-k is a
+    semilattice: merge = min-k of union, associative + idempotent) —
+    which is what the oracle computes over the same subset in one
+    pass. The distinct-count sibling of `streaming_cms_replay`."""
+    from trollflow2_spark.extensions.snapshot import kmv_replay_state
+
+    sub = _replay_subset(load_table(spark, sf_dir, "events")).select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") * 8 + F.col("event_id") % 8).alias("slot"),
+        (F.col("event_id") % 3).alias("b"),
+    )
+    rows = sub.collect()  # budget-capped fixture (control plane)
+    batches = [
+        [
+            {"event_id": r["event_id"], "event_type": r["event_type"],
+             "slot": r["slot"]}
+            for r in rows if r["b"] == i
+        ]
+        for i in range(3)
+    ]
+    return kmv_replay_state(
+        spark,
+        batches,
+        "event_id long, event_type string, slot long",
+        key_col="event_type",
+        value_col="slot",
+        k=C.KMV_K,
+        seed=C.KMV_SEED,
+    )
+
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -12010,4 +12202,13 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "pipeline_e2e": q_pipeline_e2e,
     "pipeline_roundtrip": q_pipeline_roundtrip,
+    "assoc_rules": q_assoc_rules,
+    "triangle_count": q_triangle_count,
+    "pareto_skyline": q_pareto_skyline,
+    "bradley_terry": q_bradley_terry,
+    "benford_audit": q_benford_audit,
+    "l_diversity_audit": q_l_diversity_audit,
+    "ewma_smooth": q_ewma_smooth,
+    "kmv_set_ops": q_kmv_set_ops,
+    "streaming_kmv_replay": q_streaming_kmv_replay,
 }
