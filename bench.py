@@ -339,6 +339,7 @@ OPERATORS = [
     "ewma_smooth",  # bounded-lag EWMA, one window shuffle, no Python
     "kmv_set_ops",  # bottom-k sketches + set-op estimates with exact audit
     "streaming_kmv_replay",  # micro-batched bottom-k merge == one-pass
+    "xml_ingest",  # from-scratch XML pull parse -> relational element table
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -8982,3 +8982,38 @@ SELECT t AS event_type,
   round({_kmv_est_sql("s", C.KMV_K)}, 4) AS est_distinct
 FROM ska
 """
+
+
+# XML intake: every field restated closed-form; the per-product stock
+# sum folds over a lateral range join; truncated docs (d%13=0) are the
+# quarantine rows
+ORACLES["xml_ingest"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 13 = 0 AS trunc, 1 + doc_id % 3 AS np
+  FROM documents
+),
+stock AS (
+  SELECT b.doc_id, CAST(sum((b.doc_id * 3 + i.i) % 40) AS BIGINT) AS ssum
+  FROM base b JOIN (SELECT unnest(range(3)) AS i) i ON i.i < b.np
+  WHERE NOT b.trunc
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id,
+  CAST(CASE WHEN b.trunc THEN 1 ELSE 0 END AS INT) AS err,
+  CASE WHEN b.trunc THEN NULL
+       ELSE 'c' || CAST(b.doc_id % 50 AS VARCHAR) END AS catalog_id,
+  CASE WHEN b.trunc THEN NULL ELSE CAST(b.np AS BIGINT) END AS n_products,
+  CASE WHEN b.trunc THEN NULL
+       ELSE CAST(2 + b.np * 4 AS INT) END AS n_elems,
+  CASE WHEN b.trunc THEN NULL
+       ELSE 'P' || CAST(b.doc_id % 100 AS VARCHAR) END AS first_sku,
+  CASE WHEN b.trunc THEN NULL
+       ELSE 'Widget & Co ' || CAST(b.doc_id % 7 AS VARCHAR)
+       END AS first_name,
+  s.ssum AS stock_sum,
+  CASE WHEN b.trunc THEN NULL
+       ELSE 'AB' || CAST(b.doc_id % 3 AS VARCHAR) END AS note_text,
+  CASE WHEN b.trunc THEN NULL
+       ELSE CAST(length('a <b> raw & stuff x') AS INT) END AS max_desc_len
+FROM base b LEFT JOIN stock s ON s.doc_id = b.doc_id
+"""

@@ -11886,6 +11886,86 @@ def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured XML intake (`sources/xmlsrc.py:read_xml`): the
+    from-scratch pull parser — attributes (both quote styles),
+    CDATA, predefined entities + numeric charrefs, comments/PI/
+    DOCTYPE skipping with NO entity expansion (XXE/billion-laughs
+    impossible by construction), full nesting validation — flattening
+    each catalog-shaped document to the relational (elem_id,
+    parent_id, tag, attrs, text) element table; every field below is
+    then native DataFrame algebra over that table. Every 13th blob
+    truncates mid-document and must surface as err=1 with NULL
+    fields. The structured complement of the regexp-level
+    `feed_urls` (sources/warc.py:1020-1035)."""
+    from trollflow2_spark.sources.xmlsrc import read_xml
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = F.col("doc_id")
+    np_ = 1 + d % 3
+
+    def product(i: int) -> Column:
+        return F.when(
+            F.lit(i) < np_,
+            F.concat(
+                F.lit('\n  <product sku="P'),
+                ((d + i) % 100).cast("string"),
+                F.lit("\" price='"),
+                ((d * 7 + i) % 90).cast("string"),
+                F.lit(".5'>\n    <name>Widget &amp; Co "),
+                ((d + i) % 7).cast("string"),
+                F.lit("</name>\n    <desc><![CDATA[a <b> raw & stuff "),
+                ((d + i) % 5).cast("string"),
+                F.lit("]]></desc>\n    <stock>"),
+                ((d * 3 + i) % 40).cast("string"),
+                F.lit("</stock>\n  </product>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<!-- catalog export -->\n<catalog id="c'),
+        (d % 50).cast("string"),
+        F.lit('" xmlns="http://example.com/cat">'),
+        product(0),
+        product(1),
+        product(2),
+        F.lit("\n  <note>&#65;&#x42;"),
+        (d % 3).cast("string"),
+        F.lit("</note>\n</catalog>\n"),
+    )
+    xml = F.when(d % 13 == 0, F.substring(xml, 1, 40)).otherwise(xml)
+    el = read_xml(docs.select("doc_id", xml.alias("xml")))
+    tag = F.col("tag")
+    return el.groupBy("doc_id").agg(
+        F.max(F.col("error").isNotNull().cast("int")).alias("err"),
+        F.max(
+            F.when(F.col("elem_id") == 0, F.col("attrs")["id"])
+        ).alias("catalog_id"),
+        F.sum(F.when(tag == "product", 1)).alias("n_products"),
+        (F.max("elem_id") + 1).alias("n_elems"),
+        F.min(
+            F.when(
+                tag == "product",
+                F.struct(
+                    F.col("elem_id"), F.col("attrs")["sku"].alias("sku")
+                ),
+            )
+        )["sku"].alias("first_sku"),
+        F.min(F.when(tag == "name", F.struct("elem_id", "text")))[
+            "text"
+        ].alias("first_name"),
+        F.sum(
+            F.when(tag == "stock", F.col("text").cast("int"))
+        ).alias("stock_sum"),
+        F.max(F.when(tag == "note", F.col("text"))).alias("note_text"),
+        F.max(
+            F.when(tag == "desc", F.length("text"))
+        ).alias("max_desc_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12211,4 +12291,5 @@ QUERIES = {
     "ewma_smooth": q_ewma_smooth,
     "kmv_set_ops": q_kmv_set_ops,
     "streaming_kmv_replay": q_streaming_kmv_replay,
+    "xml_ingest": q_xml_ingest,
 }
