@@ -340,6 +340,10 @@ OPERATORS = [
     "kmv_set_ops",  # bottom-k sketches + set-op estimates with exact audit
     "streaming_kmv_replay",  # micro-batched bottom-k merge == one-pass
     "xml_ingest",  # from-scratch XML pull parse -> relational element table
+    "bitext_mining",  # mutual-NN + ratio margin (LASER/CCMatrix shape)
+    "k_core",  # synchronous peeling, degree agg + endpoint semi-joins
+    "event_transitions",  # first-order Markov matrix, one LAG window
+    "t_closeness",  # ordered-EMD release gate, integer cross-multiplied
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

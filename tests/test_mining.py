@@ -216,3 +216,106 @@ def test_ewma_keys_isolated(spark):
         ).collect()
     }
     assert out[2].ewma == 1.0  # key 2 sees none of key 1's history
+
+
+def test_k_core_peels_tail(spark):
+    # triangle 0-1-2 all deg>=2 after peeling; chain 2-3-4 peels away
+    from trollflow2_spark.extensions.mining import k_core
+
+    edges = spark.createDataFrame(
+        [
+            Row(id_a=0, id_b=1),
+            Row(id_a=1, id_b=2),
+            Row(id_a=2, id_b=0),
+            Row(id_a=2, id_b=3),
+            Row(id_a=3, id_b=4),
+        ]
+    )
+    out = sorted(
+        (r.node, r.core_degree)
+        for r in k_core(edges, k=2, rounds=3).collect()
+    )
+    assert out == [(0, 2), (1, 2), (2, 2)]
+
+
+def test_k_core_fixture_converges(spark, sf_dir):
+    """The contract query's 4 rounds are a fixed point: a 5th round
+    changes nothing (peeling is monotone, so equality == converged)."""
+    from trollflow2_spark.extensions.mining import k_core
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    edges = docs.select(
+        (d % 40).alias("id_a"), ((d * 7 + 11) % 40).alias("id_b")
+    ).unionByName(
+        docs.select((d % 40).alias("id_a"), ((d * 3 + 5) % 40).alias("id_b"))
+    )
+    r4 = sorted(map(tuple, k_core(edges, k=3, rounds=4).collect()))
+    r5 = sorted(map(tuple, k_core(edges, k=3, rounds=5).collect()))
+    assert r4 == r5 and len(r4) > 0
+
+
+def test_markov_transitions_known_sequence(spark):
+    from trollflow2_spark.extensions.mining import markov_transitions
+
+    rows = []
+    seq = ["a", "a", "b", "a", "b"]  # transitions: aa, ab, ba, ab
+    for i, s in enumerate(seq):
+        rows.append(Row(user_id=1, ts=i, event_id=i, event_type=s))
+    rows.append(Row(user_id=2, ts=0, event_id=10, event_type="c"))  # no pair
+    out = {
+        (r.from_state, r.to_state): r
+        for r in markov_transitions(spark.createDataFrame(rows)).collect()
+    }
+    assert out[("a", "a")].n == 1 and out[("a", "b")].n == 2
+    assert out[("b", "a")].n == 1
+    assert out[("a", "b")].prob == pytest.approx(2 / 3)
+    assert out[("a", "a")].self_loop == 1
+    assert ("c", None) not in out and (None, "c") not in out
+
+
+def test_t_closeness_uniform_vs_skewed(spark):
+    from trollflow2_spark.extensions.profile import t_closeness_audit
+
+    rows = []
+    # group U mirrors the global distribution exactly -> emd 0
+    for s in range(4):
+        rows += [Row(g="U", s=s) for _ in range(5)]
+        rows += [Row(g="V", s=s) for _ in range(5)]
+    # group W crowds the top band -> large emd
+    rows += [Row(g="W", s=3) for _ in range(20)]
+    out = {
+        r.g: r
+        for r in t_closeness_audit(
+            spark.createDataFrame(rows), ["g"], "s", t_permille=200
+        ).collect()
+    }
+    # U and V still match each other but the global includes W's skew
+    assert out["U"].emd == out["V"].emd
+    assert out["W"].emd > out["U"].emd
+    assert out["W"].t_ok == 0
+    assert out["U"].m_values == 4 and out["U"].group_k == 20
+
+
+def test_bitext_mutual_and_margin(spark):
+    from trollflow2_spark.extensions.similarity import bitext_mine
+
+    # x0 <-> y1 aligned exactly; x2's best is y1 too, but y1's best is
+    # x0, so (x2, y1) is NOT mutual; y3 pairs with x2
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [1.0, 0.05, 0.0],
+        2: [0.7, 0.6, 0.0],
+        3: [0.6, 0.7, 0.0],
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=k, embedding=v) for k, v in vecs.items()]
+    )
+    x = df.where(F.col("vec_id") % 2 == 0)
+    y = df.where(F.col("vec_id") % 2 == 1)
+    out = {(r.x_id, r.y_id): r for r in bitext_mine(x, y, k=2).collect()}
+    assert set(out) == {(0, 1), (2, 3)}
+    assert out[(0, 1)].cosine > 0.99
+    # margin > 1: the pair beats each side's neighborhood average
+    assert out[(0, 1)].margin > 1.0

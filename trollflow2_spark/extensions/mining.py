@@ -305,3 +305,90 @@ def bradley_terry_strengths(
             F.col("__wins").alias("wins"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Synchronous k-core peeling over an undirected graph: each round
+    recomputes degrees and drops every node below ``k`` (and the edges
+    touching it) — after convergence the survivors are the k-core, the
+    density skeleton link-farm / spam-ring analysis keys on (the same
+    crawl-graph family as PageRank/label-prop/triangles). Like
+    `label_propagation`, the contract is a FIXED number of synchronous
+    rounds (each unrolled in the oracle); a fixture must converge
+    within them — peeling is monotone, so convergence is checkable by
+    one extra round changing nothing.
+
+    Scale: each round is one degree agg + two semi-joins keyed on the
+    endpoints — bounded lineage, no window, no collect; rounds are
+    O(diameter-ish) in practice because peeling cascades."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur = und
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        cur = cur.join(
+            keep.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+        # bound the unrolled-lineage growth the same way the CC tier does
+        cur = cur.localCheckpoint(eager=False)
+    final_deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final_deg.where(F.col("core_degree") >= k)
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix from per-key event
+    sequences — the path-analysis rollup next to `sessionize` /
+    `funnel_conversion`: for every (from_state, to_state) pair, the
+    transition count and row-normalized probability. One LAG window
+    per key (single shuffle) + one hash agg; the matrix is
+    state-cardinality squared, control-plane sized."""
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = events.select(
+        F.lag(F.col(state_col)).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).where(F.col("from_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_from).cast("double"),
+            6,
+        ).alias("prob"),
+        (F.col("from_state") == F.col("to_state"))
+        .cast("int")
+        .alias("self_loop"),
+    )

@@ -1079,3 +1079,84 @@ def l_diversity_audit(
         .cast("int")
         .alias("l_ok"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t_permille: int = 200,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute — the gate
+    past `l_diversity_audit`: a group can be l-diverse yet still leak
+    (all its values crowd one end of the range). Distance is the
+    ordered-attribute Earth Mover's Distance of Li et al.:
+    ``EMD = sum_i |cum_g(i) - cum_global(i)| / (m - 1)`` over the
+    DENSE global value grid (absent values count as zero mass).
+
+    Exactness: every cumulative term cross-multiplies to integers —
+    ``|cum_c_i * N - cum_C_i * n_g|`` — and only the final division
+    produces a float (the `ks_test` discipline), so both engines agree
+    bit-for-bit. Cost: one (QI, value) hash agg, a dense-grid left
+    join (QI x m rows), one bounded ordered window per group."""
+    cells = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    grid_vals = cells.select("__s").distinct()
+    groups = cells.groupBy(*qi_cols).agg(F.sum("__c").alias("__ng"))
+    dense = (
+        groups.crossJoin(F.broadcast(grid_vals))
+        .join(cells, [*qi_cols, "__s"], "left")
+        .select(*qi_cols, "__s", "__ng", F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    glob = (
+        cells.groupBy("__s")
+        .agg(F.sum("__c").alias("__gc"))
+    )
+    w_g = (
+        Window.partitionBy(*qi_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    glob = glob.select(
+        "__s",
+        F.sum("__gc").over(w_all).alias("__cum_glob"),
+    )
+    n_total = cells.agg(F.sum("__c").alias("__N"))
+    m_vals = grid_vals.agg(F.count(F.lit(1)).alias("__m"))
+    joined = (
+        dense.withColumn("__cumg", F.sum("__c").over(w_g))
+        .join(F.broadcast(glob), "__s")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(m_vals))
+    )
+    # integer cross-multiplied |cum gap|, summed exactly; one division
+    diff = F.abs(
+        F.col("__cumg") * F.col("__N") - F.col("__cum_glob") * F.col("__ng")
+    )
+    out = joined.groupBy(*qi_cols).agg(
+        F.max("__ng").alias("group_k"),
+        F.max("__m").alias("m_values"),
+        F.sum(diff).alias("__sumdiff"),
+        F.max("__N").alias("__Nmax"),
+    )
+    emd = F.when(
+        F.col("m_values") > 1,
+        F.col("__sumdiff").cast("double")
+        / (
+            F.col("group_k").cast("double")
+            * F.col("__Nmax").cast("double")
+            * (F.col("m_values").cast("double") - 1.0)
+        ),
+    ).otherwise(0.0)
+    return out.select(
+        *qi_cols,
+        F.col("group_k").cast("bigint").alias("group_k"),
+        F.col("m_values").cast("int").alias("m_values"),
+        F.round(emd, 6).alias("emd"),
+        F.when(F.round(emd, 6) * 1000 <= t_permille, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("t_ok"),
+    )

@@ -1287,3 +1287,82 @@ def ivf_drift_audit(
             round_digits,
         ).alias("growth"),
     )
+
+
+def bitext_mine(
+    side_x: DataFrame,
+    side_y: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.02,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (the LASER/CCMatrix recipe that
+    builds parallel translation corpora from comparable crawls):
+    candidate pairs are MUTUAL nearest neighbors across the two sides,
+    scored by the ratio margin ``cos(x,y) / ((avgk(x) + avgk(y))/2)``
+    where ``avgk`` is the mean cosine of a point's top-k neighbors on
+    the OTHER side — the normalization that kills hub vectors (points
+    globally close to everything) which raw cosine thresholds keep.
+
+    Determinism: per-pair cosines round to 6 before anything reads
+    them; the top-k means sum those ROUNDED values in DECIMAL
+    (order-insensitive) and divide by the actual neighbor count, so
+    both engines produce identical doubles; the margin is one stated
+    float chain over them. Mutuality = rank-1 in both directions
+    (cosine desc, id asc tie-break).
+
+    Scale shape: this is the exact O(|X|·|Y|) audit path; production
+    swaps the neighbor search for the IVF-bucketed variant
+    (`ann_bucketed_topk`) — the margin/mutuality algebra on top is
+    identical, and that's the part this operator pins."""
+    nx = brute_force_topk(
+        side_y,
+        side_x.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        k=k, vec_col=vec_col, id_col=id_col,
+    )
+    ny = brute_force_topk(
+        side_x,
+        side_y.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        k=k, vec_col=vec_col, id_col=id_col,
+    )
+
+    def avgk(nbrs: DataFrame, out: str) -> DataFrame:
+        return nbrs.groupBy("query_id").agg(
+            (
+                F.sum(F.col("cosine_sim").cast("decimal(38,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(out)
+        )
+
+    best_x = nx.where(F.col("rank") == 1).select(
+        F.col("query_id").alias("x_id"), F.col(id_col).alias("y_id"),
+        F.col("cosine_sim"),
+    )
+    best_y = ny.where(F.col("rank") == 1).select(
+        F.col("query_id").alias("y_id2"), F.col(id_col).alias("x_id2")
+    )
+    mutual = best_x.join(
+        best_y,
+        (F.col("x_id") == F.col("x_id2")) & (F.col("y_id") == F.col("y_id2")),
+    )
+    ax = avgk(nx, "__ax").withColumnRenamed("query_id", "x_id")
+    ay = avgk(ny, "__ay").withColumnRenamed("query_id", "y_id")
+    margin = F.col("cosine_sim") / (
+        (F.col("__ax") + F.col("__ay")) * 0.5
+    )
+    return (
+        mutual.join(F.broadcast(ax), "x_id")
+        .join(F.broadcast(ay), "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            F.col("cosine_sim").alias("cosine"),
+            F.round(margin, 6).alias("margin"),
+            F.when(F.round(margin, 6) > margin_threshold, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("accepted"),
+        )
+    )

@@ -9017,3 +9017,181 @@ SELECT b.doc_id,
        ELSE CAST(length('a <b> raw & stuff x') AS INT) END AS max_desc_len
 FROM base b LEFT JOIN stock s ON s.doc_id = b.doc_id
 """
+
+
+# bitext mining: both neighbor directions replayed with the shared
+# cosine fragment; top-k means sum ROUNDED cosines in DECIMAL; margin
+# is the identical float chain
+def _bitext_nbrs_sql(e_side: str, q_side: str) -> str:
+    return f"""
+  SELECT query_id, nid, c,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rnk
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS nid,
+      round({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS c
+    FROM {e_side} e CROSS JOIN {q_side} q
+  )
+"""
+
+
+ORACLES["bitext_mining"] = f"""
+WITH x AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < {C.BITEXT_ID_CAP} AND vec_id % 2 = 0
+),
+y AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < {C.BITEXT_ID_CAP} AND vec_id % 2 = 1
+),
+nx0 AS ({_bitext_nbrs_sql('y', 'x')}),
+ny0 AS ({_bitext_nbrs_sql('x', 'y')}),
+nx AS (SELECT * FROM nx0 WHERE rnk <= {C.BITEXT_K}),
+ny AS (SELECT * FROM ny0 WHERE rnk <= {C.BITEXT_K}),
+ax AS (
+  SELECT query_id AS x_id,
+    CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS avx
+  FROM nx GROUP BY query_id
+),
+ay AS (
+  SELECT query_id AS y_id,
+    CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS avy
+  FROM ny GROUP BY query_id
+),
+bx AS (SELECT query_id AS x_id, nid AS y_id, c FROM nx WHERE rnk = 1),
+by_ AS (SELECT query_id AS y_id, nid AS x_id FROM ny WHERE rnk = 1),
+mut AS (
+  SELECT bx.x_id, bx.y_id, bx.c
+  FROM bx JOIN by_ ON by_.x_id = bx.x_id AND by_.y_id = bx.y_id
+),
+sc AS (
+  SELECT m.x_id, m.y_id, m.c AS cosine,
+    m.c / ((ax.avx + ay.avy) * 0.5) AS marg
+  FROM mut m JOIN ax ON ax.x_id = m.x_id JOIN ay ON ay.y_id = m.y_id
+)
+SELECT x_id, y_id, cosine, round(marg, 6) AS margin,
+  CAST(CASE WHEN round(marg, 6) > {C.BITEXT_MARGIN!r} THEN 1 ELSE 0 END
+       AS INT) AS accepted
+FROM sc
+"""
+
+
+def _kcore_round_sql(e_prev: str, i: int) -> str:
+    return f"""d{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM {e_prev} UNION ALL SELECT v FROM {e_prev}
+  ) GROUP BY node
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {{k}}),
+e{i + 1} AS (
+  SELECT u, v FROM {e_prev}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+)"""
+
+
+_KCORE_ROUNDS_SQL = ",\n".join(
+    _kcore_round_sql(f"e{i}", i) for i in range(C.KCORE_ROUNDS)
+).format(k=C.KCORE_K)
+
+ORACLES["k_core"] = f"""
+WITH e_raw AS (
+  SELECT doc_id % 40 AS a, (doc_id * 7 + 11) % 40 AS b FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 3 + 5) % 40 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM e_raw WHERE a <> b
+),
+{_KCORE_ROUNDS_SQL}
+SELECT 'site' || CAST(node AS VARCHAR) AS host,
+  CAST(deg AS BIGINT) AS core_degree
+FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{C.KCORE_ROUNDS}
+    UNION ALL SELECT v FROM e{C.KCORE_ROUNDS}
+  ) GROUP BY node
+) WHERE deg >= {C.KCORE_K}
+"""
+
+ORACLES["event_transitions"] = """
+WITH p AS (
+  SELECT lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+    event_type AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+  round(CAST(n AS DOUBLE)
+        / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS prob,
+  CAST(CASE WHEN from_state = to_state THEN 1 ELSE 0 END AS INT)
+    AS self_loop
+FROM c
+"""
+
+# t-closeness: ordered-EMD with integer cross-multiplied cumulative
+# gaps (the ks_test discipline); dense global value grid
+ORACLES["t_closeness"] = f"""
+WITH c0 AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 2000) AS INT) AS s
+  FROM customer
+),
+cells AS (
+  SELECT c_nationkey, c_mktsegment, s, count(*) AS c
+  FROM c0 GROUP BY 1, 2, 3
+),
+grid AS (SELECT DISTINCT s FROM cells),
+grps AS (
+  SELECT c_nationkey, c_mktsegment, sum(c) AS ng FROM cells GROUP BY 1, 2
+),
+dense AS (
+  SELECT g.c_nationkey, g.c_mktsegment, v.s, g.ng,
+    coalesce(cl.c, 0) AS c
+  FROM grps g CROSS JOIN grid v
+  LEFT JOIN cells cl
+    ON cl.c_nationkey = g.c_nationkey
+   AND cl.c_mktsegment = g.c_mktsegment AND cl.s = v.s
+),
+globc AS (
+  SELECT s, sum(gc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_glob
+  FROM (SELECT s, sum(c) AS gc FROM cells GROUP BY s)
+),
+nt AS (SELECT sum(c) AS N FROM cells),
+mv AS (SELECT count(*) AS m FROM grid),
+j AS (
+  SELECT d.c_nationkey, d.c_mktsegment, d.ng, d.s,
+    sum(d.c) OVER (PARTITION BY d.c_nationkey, d.c_mktsegment
+                   ORDER BY d.s ROWS UNBOUNDED PRECEDING) AS cumg,
+    gc.cum_glob
+  FROM dense d JOIN globc gc ON gc.s = d.s
+),
+agg AS (
+  SELECT j.c_nationkey, j.c_mktsegment,
+    max(j.ng) AS group_k,
+    sum(abs(j.cumg * nt.N - j.cum_glob * j.ng)) AS sumdiff,
+    max(nt.N) AS N, max(mv.m) AS m
+  FROM j CROSS JOIN nt CROSS JOIN mv
+  GROUP BY 1, 2
+),
+emds AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(group_k AS BIGINT) AS group_k,
+    CAST(m AS INT) AS m_values,
+    round(CASE WHEN m > 1
+      THEN CAST(sumdiff AS DOUBLE)
+           / (CAST(group_k AS DOUBLE) * CAST(N AS DOUBLE)
+              * (CAST(m AS DOUBLE) - 1.0))
+      ELSE 0.0 END, 6) AS emd
+  FROM agg
+)
+SELECT c_nationkey, c_mktsegment, group_k, m_values, emd,
+  CAST(CASE WHEN emd * 1000 <= {C.TCLOSE_T_PERMILLE} THEN 1 ELSE 0 END
+       AS INT) AS t_ok
+FROM emds
+"""

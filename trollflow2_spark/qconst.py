@@ -441,3 +441,11 @@ EWMA_LAGS = 8  # bounded-lag window: truncation error (1-a)^8 ~ 5.8e-2
 KMV_K = 64  # bottom-k sketch size (distinct-count / set-op estimates)
 KMV_SEED = 77  # hash seed for the KMV value hash
 BT_ITERS = 3  # Bradley-Terry MM iterations (each unrolled in the oracle)
+BITEXT_K = 4  # neighbors per side for the margin normalizer
+BITEXT_MARGIN = 1.05  # ratio-margin acceptance threshold
+KCORE_K = 3  # coreness floor
+KCORE_ROUNDS = 4  # synchronous peel rounds (fixture converges; tested)
+TCLOSE_T_PERMILLE = 200  # EMD threshold for the t-closeness flag
+BITEXT_ID_CAP = 600  # contract-fixture budget (~300 vectors per side,
+# O(1) in sf like the replay fixtures) — the exact bipartite audit is
+# O(|X|*|Y|); production swaps in the IVF-bucketed search

@@ -11966,6 +11966,83 @@ def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (LASER/CCMatrix): mutual nearest
+    neighbors across the two embedding 'languages' (vec_id parity),
+    scored by the ratio margin that suppresses hub vectors. The exact
+    bipartite audit path at fixture scale; the margin/mutuality
+    algebra — the part this query pins — is unchanged when production
+    swaps in the IVF-bucketed neighbor search."""
+    from trollflow2_spark.extensions.similarity import bitext_mine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).where(F.col("vec_id") < C.BITEXT_ID_CAP)
+    side_x = emb.where(F.col("vec_id") % 2 == 0)
+    side_y = emb.where(F.col("vec_id") % 2 == 1)
+    return bitext_mine(
+        side_x, side_y, k=C.BITEXT_K, margin_threshold=C.BITEXT_MARGIN
+    )
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (synchronous peeling, fixed rounds — the
+    label-prop contract): the density skeleton of the 40-host crawl
+    graph, the spam-ring / link-farm signal next to triangles. Each
+    round is one degree agg + two endpoint semi-joins; the fixture
+    converges inside the round budget (pytest proves a further round
+    is a no-op) and the oracle unrolls every round."""
+    from trollflow2_spark.extensions.mining import k_core
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(
+        (d % 40).alias("id_a"), ((d * 7 + 11) % 40).alias("id_b")
+    )
+    e2 = docs.select(
+        (d % 40).alias("id_a"), ((d * 3 + 5) % 40).alias("id_b")
+    )
+    out = k_core(
+        e1.unionByName(e2), k=C.KCORE_K, rounds=C.KCORE_ROUNDS
+    )
+    return out.select(
+        F.concat(F.lit("site"), F.col("node").cast("string")).alias("host"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-analysis rollup next to sessionize/funnel:
+    one LAG window (single shuffle on user_id) + one hash agg to the
+    state-cardinality-squared matrix with row-normalized
+    probabilities."""
+    from trollflow2_spark.extensions.mining import markov_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(ev)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (ordered-EMD of Li et al.) over the same
+    (nation, segment) QI groups and acctbal bands as
+    `l_diversity_audit` — the release gate that catches groups whose
+    values crowd one end of the range. Every cumulative term
+    cross-multiplies to exact integers (the ks_test discipline);
+    one division at the end."""
+    from trollflow2_spark.extensions.profile import t_closeness_audit
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+    )
+    return t_closeness_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band",
+        t_permille=C.TCLOSE_T_PERMILLE,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12292,4 +12369,8 @@ QUERIES = {
     "kmv_set_ops": q_kmv_set_ops,
     "streaming_kmv_replay": q_streaming_kmv_replay,
     "xml_ingest": q_xml_ingest,
+    "bitext_mining": q_bitext_mining,
+    "k_core": q_k_core,
+    "event_transitions": q_event_transitions,
+    "t_closeness": q_t_closeness,
 }
