@@ -344,6 +344,10 @@ OPERATORS = [
     "k_core",  # synchronous peeling, degree agg + endpoint semi-joins
     "event_transitions",  # first-order Markov matrix, one LAG window
     "t_closeness",  # ordered-EMD release gate, integer cross-multiplied
+    "woe_iv",  # WOE/IV feature scoring, one hash agg + broadcast totals
+    "quantile_binning",  # equal-frequency deciles over a total order
+    "winnow_dedup_pairs",  # MOSS fingerprints: window-min selection + pair gate
+    "collocations_pmi",  # word2phrase PMI, array-algebra bigrams
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

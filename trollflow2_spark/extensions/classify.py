@@ -443,3 +443,60 @@ def calibration_bins(
         F.round(obs, 6).alias("obs_rate"),
         "ece",
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature scoring — the
+    credit-scoring-era screen for "how much does this categorical
+    feature separate a binary label", still the standard pre-training
+    audit for tabular features (`chi2_feature_selection`'s
+    label-aware sibling). Per feature value: ``woe = ln(pr/nr)`` over
+    the Laplace-smoothed positive/negative rate pair; the feature's
+    IV folds ``(pr - nr) * woe`` across values, summed in DECIMAL
+    over round(12) terms so the replay is order-insensitive.
+
+    Cost: one (feature) hash agg + one control-plane totals row
+    broadcast back; everything else is scan-stage algebra."""
+    cells = df.groupBy(F.col(feature_col).alias("feature_value")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("neg"),
+    )
+    totals = cells.agg(
+        F.sum("pos").alias("__POS"),
+        F.sum("neg").alias("__NEG"),
+        F.count(F.lit(1)).alias("__K"),
+    )
+    j = cells.crossJoin(F.broadcast(totals))
+    pr = (F.col("pos").cast("double") + F.lit(smooth)) / (
+        F.col("__POS").cast("double") + F.lit(smooth) * F.col("__K").cast("double")
+    )
+    nr = (F.col("neg").cast("double") + F.lit(smooth)) / (
+        F.col("__NEG").cast("double") + F.lit(smooth) * F.col("__K").cast("double")
+    )
+    woe = F.log(pr / nr)
+    scored = j.select(
+        "feature_value",
+        (F.col("pos") + F.col("neg")).alias("n"),
+        "pos",
+        "neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((pr - nr) * woe, 12).alias("__term"),
+    )
+    iv = scored.agg(
+        F.sum(F.col("__term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("__iv")
+    )
+    return scored.crossJoin(F.broadcast(iv)).select(
+        "feature_value",
+        "n",
+        "pos",
+        "neg",
+        "woe",
+        F.round(F.col("__iv"), 6).alias("iv"),
+    )

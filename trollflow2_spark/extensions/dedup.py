@@ -1702,3 +1702,101 @@ def _attach_ids_to_pairs(
             )
         )
     return cross.unionByName(within).distinct()
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    seed: int = 31,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm,
+    Schleimer/Wilkerson/Aiken): hash every k-token shingle, slide a
+    w-window over the hash sequence and select each window's minimum
+    (position tie -> leftmost) — the selection guarantee is that any
+    match of length >= w+k-1 tokens shares at least one fingerprint,
+    with density ~2/(w+1) instead of every-position. The standard
+    code/document plagiarism and near-dup fingerprint, complementing
+    minhash (set similarity) with POSITIONAL match evidence.
+
+    Shapes that matter: the shingle-hash array binds ONCE per row
+    before the window transform reads it (the `word_shingles` O(n^2)
+    re-split trap); selection is pure array algebra in the scan stage
+    — zero shuffle until the selected (doc, pos, print) rows explode,
+    and those are ~2/(w+1) of the token count."""
+    sh = word_shingles(F.col(text_col), k)
+    with_h = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: hash64(s, seed=seed)).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    nw = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+
+    def pick(j: Column) -> Column:
+        sl = F.slice(hs, j + 1, w)
+        mh = F.array_min(sl)
+        return F.struct(
+            (F.array_position(sl, mh) + j).cast("int").alias("pos"),
+            mh.alias("print"),
+        )
+
+    sel = with_h.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.sequence(F.lit(0), nw - 1), pick)
+        ).alias("__s"),
+    )
+    return sel.select(
+        id_col, F.col("__s.pos").alias("pos"), F.col("__s.print").alias("print")
+    ).distinct()
+
+
+def winnow_pairs(
+    prints: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs from winnowing fingerprints: docs
+    sharing >= ``min_shared`` distinct prints, scored by the integer
+    per-mille overlap ``shared * 1000 // min(np_a, np_b)``. Prints
+    shared by more than ``max_bucket`` documents are boilerplate
+    (license headers, templates) and are dropped BEFORE the pair
+    self-join — the same hot-bucket guard as the LSH tier, which is
+    what keeps the join quadratic only in true duplicate groups."""
+    dp = prints.select(F.col(id_col).alias("__id"), "print").distinct()
+    sizes = dp.groupBy("__id").agg(F.count(F.lit(1)).alias("__np"))
+    bucket = dp.groupBy("print").agg(F.count(F.lit(1)).alias("__bc"))
+    kept = dp.join(
+        F.broadcast(bucket.where(F.col("__bc") <= max_bucket).select("print")),
+        "print",
+        "left_semi",
+    )
+    a = kept.select(F.col("__id").alias("doc_a"), "print")
+    b = kept.select(F.col("__id").alias("doc_b"), "print")
+    shared = (
+        a.join(b, "print")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_prints"))
+        .where(F.col("shared_prints") >= min_shared)
+    )
+    na = sizes.select(F.col("__id").alias("doc_a"), F.col("__np").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("doc_b"), F.col("__np").alias("__nb"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_prints",
+            F.floor(
+                F.col("shared_prints") * 1000
+                / F.least(F.col("__na"), F.col("__nb"))
+            )
+            .cast("long")
+            .alias("overlap_permille"),
+        )
+    )

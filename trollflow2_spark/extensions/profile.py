@@ -1160,3 +1160,32 @@ def t_closeness_audit(
         .cast("int")
         .alias("t_ok"),
     )
+
+
+def quantile_binning(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: assign every row to one of
+    ``n_bins`` rank buckets over a TOTAL order (value, id — the unique
+    tie-break every ranked operator here carries) and report per-bin
+    count + value range — the feature-prep step feeding `woe_iv` and
+    monotonic-binning pipelines.
+
+    The global ntile is an unpartitioned sort — fine for the audit
+    grain; at true 100 TB the production variant computes approximate
+    edges from a sample/sketch and assigns bins scan-side with a
+    range lookup (no global sort), which changes edge placement by at
+    most the sketch error, not the contract here."""
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    binned = df.select(
+        F.col(value_col).alias("__v"),
+        F.ntile(n_bins).over(w).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    )

@@ -1437,3 +1437,76 @@ def register_sentence_udtf(spark) -> None:
                     pos += 1
 
     spark.udtf.register("split_sentences", _SplitSentences)
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI collocation mining — the phrase-discovery pass (Mikolov-era
+    word2phrase, still how corpus pipelines decide 'new york' is one
+    token): pointwise mutual information of adjacent token pairs,
+    ``pmi = ln((c_ab/N_bi) / ((c_a/N_uni)(c_b/N_uni)))``, floored at
+    ``min_count`` occurrences so rare coincidences don't dominate.
+
+    Bigram extraction is array algebra in the scan stage (the token
+    array binds once; adjacent pairs via one sequence transform);
+    counts are three map-side-combinable hash aggs; the unigram side
+    broadcasts back onto the bigram table. The PMI is one scalar log
+    per surviving pair — no float folds to order."""
+    from trollflow2_spark.functions.hashing import tokens
+
+    tk = df.select(
+        F.transform(tokens(F.col(text_col)), lambda t: F.lower(t)).alias(
+            "__t"
+        )
+    )
+    t = F.col("__t")
+    bigrams = tk.where(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("tok_a"),
+                    F.element_at(t, i + 1).alias("tok_b"),
+                ),
+            )
+        ).alias("__bg")
+    ).select("__bg.tok_a", "__bg.tok_b")
+    unigrams = tk.select(F.explode(t).alias("tok"))
+    c_ab = bigrams.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    c_u = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("__cu"))
+    n_bi = bigrams.agg(F.count(F.lit(1)).alias("__NB"))
+    n_uni = unigrams.agg(F.count(F.lit(1)).alias("__NU"))
+    ca = F.broadcast(
+        c_u.select(F.col("tok").alias("tok_a"), F.col("__cu").alias("__ca"))
+    )
+    cb = F.broadcast(
+        c_u.select(F.col("tok").alias("tok_b"), F.col("__cu").alias("__cb"))
+    )
+    j = (
+        c_ab.where(F.col("c_ab") >= min_count)
+        .join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    nb, nu = F.col("__NB").cast("double"), F.col("__NU").cast("double")
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / nb)
+        / (
+            (F.col("__ca").cast("double") / nu)
+            * (F.col("__cb").cast("double") / nu)
+        )
+    )
+    return j.select(
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        F.col("__ca").alias("count_a"),
+        F.col("__cb").alias("count_b"),
+        F.round(pmi, 6).alias("pmi"),
+    )

@@ -9195,3 +9195,114 @@ SELECT c_nationkey, c_mktsegment, group_k, m_values, emd,
        AS INT) AS t_ok
 FROM emds
 """
+
+
+# WOE/IV: smoothed rate pair, per-value ln, IV folded in DECIMAL
+ORACLES["woe_iv"] = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS feature_value,
+    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+    sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS neg
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT sum(pos) AS P, sum(neg) AS NG, count(*) AS K FROM cells
+),
+sc AS (
+  SELECT feature_value, pos, neg,
+    (CAST(pos AS DOUBLE) + {C.WOE_SMOOTH!r})
+      / (CAST(t.P AS DOUBLE) + {C.WOE_SMOOTH!r} * CAST(t.K AS DOUBLE)) AS pr,
+    (CAST(neg AS DOUBLE) + {C.WOE_SMOOTH!r})
+      / (CAST(t.NG AS DOUBLE) + {C.WOE_SMOOTH!r} * CAST(t.K AS DOUBLE)) AS nr
+  FROM cells CROSS JOIN tot t
+),
+iv AS (
+  SELECT CAST(sum(CAST(round((pr - nr) * ln(pr / nr), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS iv
+  FROM sc
+)
+SELECT feature_value, CAST(pos + neg AS BIGINT) AS n,
+  CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+  round(ln(pr / nr), 6) AS woe, round(iv.iv, 6) AS iv
+FROM sc CROSS JOIN iv
+"""
+
+ORACLES["quantile_binning"] = f"""
+SELECT bin, CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+FROM (
+  SELECT c_acctbal AS v,
+    ntile({C.QBIN_N}) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+  FROM customer
+) GROUP BY bin
+"""
+
+# winnowing: shingle hashes bind once per row, per-window min with
+# leftmost-position tie-break, hot-print drop, pair gate
+ORACLES["winnow_dedup_pairs"] = f"""
+WITH hs AS (
+  SELECT doc_id,
+    list_transform({WORD_SHINGLES_SQL('text', C.WINNOW_K)},
+                   x -> {HASH64_SQL('x', seed=C.WINNOW_SEED)}) AS h
+  FROM documents
+),
+win AS (
+  SELECT doc_id, h,
+    unnest(range(greatest(len(h) - {C.WINNOW_W - 1}, 1))) AS j
+  FROM hs
+),
+sl AS (
+  SELECT doc_id, j, list_slice(h, j + 1, j + {C.WINNOW_W}) AS sl
+  FROM win
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+    CAST(list_position(sl, list_min(sl)) + j AS INT) AS pos,
+    list_min(sl) AS print
+  FROM sl
+),
+dp AS (SELECT DISTINCT doc_id, print FROM sel),
+sizes AS (SELECT doc_id, count(*) AS np FROM dp GROUP BY doc_id),
+bucket AS (
+  SELECT print FROM dp GROUP BY print
+  HAVING count(*) <= {C.WINNOW_MAX_BUCKET}
+),
+kept AS (SELECT dp.doc_id, dp.print FROM dp JOIN bucket USING (print)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_prints
+  FROM kept a JOIN kept b ON a.print = b.print AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {C.WINNOW_MIN_SHARED}
+)
+SELECT s.doc_a, s.doc_b, CAST(s.shared_prints AS BIGINT) AS shared_prints,
+  CAST(floor(CAST(s.shared_prints AS DOUBLE) * 1000
+             / least(na.np, nb.np)) AS BIGINT) AS overlap_permille
+FROM shared s
+JOIN sizes na ON na.doc_id = s.doc_a
+JOIN sizes nb ON nb.doc_id = s.doc_b
+"""
+
+# PMI collocations: 1-based adjacent pairs, count floor, scalar ln
+ORACLES["collocations_pmi"] = f"""
+WITH tk AS (
+  SELECT list_transform({TOKENS_SQL('text')}, t -> lower(t)) AS t
+  FROM documents
+),
+bg AS (
+  SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk WHERE len(t) >= 2)
+),
+uni AS (SELECT unnest(t) AS tok FROM tk),
+cab AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+cu AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS NB FROM bg),
+nu AS (SELECT CAST(count(*) AS DOUBLE) AS NU FROM uni)
+SELECT cab.tok_a, cab.tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+  CAST(ca.cu AS BIGINT) AS count_a, CAST(cb.cu AS BIGINT) AS count_b,
+  round(ln((CAST(c_ab AS DOUBLE) / NB)
+           / ((CAST(ca.cu AS DOUBLE) / NU)
+              * (CAST(cb.cu AS DOUBLE) / NU))), 6) AS pmi
+FROM cab
+JOIN cu ca ON ca.tok = cab.tok_a
+JOIN cu cb ON cb.tok = cab.tok_b
+CROSS JOIN nb CROSS JOIN nu
+WHERE c_ab >= {C.COLL_MIN_COUNT}
+"""

@@ -449,3 +449,11 @@ TCLOSE_T_PERMILLE = 200  # EMD threshold for the t-closeness flag
 BITEXT_ID_CAP = 600  # contract-fixture budget (~300 vectors per side,
 # O(1) in sf like the replay fixtures) — the exact bipartite audit is
 # O(|X|*|Y|); production swaps in the IVF-bucketed search
+WINNOW_K = 4  # winnowing shingle width (tokens)
+WINNOW_W = 4  # winnowing window: guarantee = any k+w-1-token match shares a print
+WINNOW_SEED = 31
+WINNOW_MIN_SHARED = 2  # pair gate: distinct shared prints
+WINNOW_MAX_BUCKET = 64  # boilerplate-print drop (the LSH hot-bucket guard)
+COLL_MIN_COUNT = 5  # PMI collocation count floor
+QBIN_N = 10  # equal-frequency bins (deciles)
+WOE_SMOOTH = 0.5  # Laplace smoothing for the WOE rate pair

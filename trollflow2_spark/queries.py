@@ -12043,6 +12043,68 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature scoring of
+    order priority against the finished-order label — the label-aware
+    sibling of chi2_feature_selection: per-value WOE plus the
+    feature's IV folded in DECIMAL over round(12) terms."""
+    from trollflow2_spark.extensions.classify import woe_iv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return woe_iv(orders, "o_orderpriority", "label", smooth=C.WOE_SMOOTH)
+
+
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of customer balances over the
+    total (value, custkey) order — per-bin count + range, the
+    feature-prep step feeding WOE/monotonic binning. Audit-grain
+    global sort; production computes sketch edges and assigns
+    scan-side."""
+    from trollflow2_spark.extensions.profile import quantile_binning
+
+    cust = load_table(spark, sf_dir, "customer")
+    return quantile_binning(cust, "c_acctbal", "c_custkey", n_bins=C.QBIN_N)
+
+
+def q_winnow_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup pairs: k-token shingle
+    hashes, per-window minimum selection (the ~2/(w+1)-density
+    POSITIONAL fingerprint that guarantees any k+w-1-token match
+    shares a print), boilerplate prints dropped at the hot-bucket
+    guard, pairs gated on shared-print count with integer per-mille
+    overlap. Complements minhash-LSH (set similarity) with
+    positional match evidence — the code-corpus dedup standard."""
+    from trollflow2_spark.extensions.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prints = winnow_fingerprints(
+        docs, k=C.WINNOW_K, w=C.WINNOW_W, seed=C.WINNOW_SEED
+    )
+    return winnow_pairs(
+        prints,
+        min_shared=C.WINNOW_MIN_SHARED,
+        max_bucket=C.WINNOW_MAX_BUCKET,
+    )
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (the word2phrase pass): pointwise
+    mutual information of adjacent token pairs above the count floor
+    — array-algebra bigram extraction in the scan stage, three
+    map-side-combinable hash aggs, broadcast unigram join, one scalar
+    log per surviving pair."""
+    from trollflow2_spark.extensions.text import collocations_pmi
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return collocations_pmi(docs, min_count=C.COLL_MIN_COUNT)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12373,4 +12435,8 @@ QUERIES = {
     "k_core": q_k_core,
     "event_transitions": q_event_transitions,
     "t_closeness": q_t_closeness,
+    "woe_iv": q_woe_iv,
+    "quantile_binning": q_quantile_binning,
+    "winnow_dedup_pairs": q_winnow_dedup_pairs,
+    "collocations_pmi": q_collocations_pmi,
 }
