@@ -348,6 +348,10 @@ OPERATORS = [
     "quantile_binning",  # equal-frequency deciles over a total order
     "winnow_dedup_pairs",  # MOSS fingerprints: window-min selection + pair gate
     "collocations_pmi",  # word2phrase PMI, array-algebra bigrams
+    "survival_km",  # Kaplan-Meier with censoring, log-space DECIMAL fold
+    "weighted_median",  # integer cumulative-weight crossing per group
+    "cusum_report",  # mean-shift excursion argmax, DECIMAL trajectory
+    "arrow_ipc_ingest",  # Arrow IPC stream blobs -> canonical-JSON rows
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

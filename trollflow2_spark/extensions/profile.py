@@ -1189,3 +1189,169 @@ def quantile_binning(
         F.min("__v").alias("lo"),
         F.max("__v").alias("hi"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group — the time-to-event
+    readout (signup->purchase, enrollment->churn) with CENSORING done
+    right: subjects observed without the event reduce the risk set
+    when they leave, they don't count as survivors-forever (the bias
+    naive conversion rates carry). Input: one row per subject with an
+    integer ``duration`` and ``event`` flag (1 = event at duration,
+    0 = censored at duration).
+
+    ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)`` over event times,
+    computed in LOG space: each time's ``ln(1 - d/n)`` rounds to 12
+    and the running product becomes a DECIMAL window sum —
+    order-insensitive and engine-exact — with one ``exp`` at the end.
+    A time where the whole risk set dies (d == n) pins survival to
+    exactly 0 from there on via an integer flag, not a -inf log.
+
+    Cost: one (group, duration) hash agg; the cumulative windows run
+    over the distinct-time table (bounded by time cardinality), never
+    the subject table."""
+    cells = df.groupBy(
+        *group_cols, F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("events"),
+        F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("censored"),
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_inc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_n = cells.withColumn(
+        "at_risk",
+        F.sum(F.col("events") + F.col("censored")).over(w_tot)
+        - F.coalesce(
+            F.sum(F.col("events") + F.col("censored")).over(w_cum), F.lit(0)
+        ),
+    )
+    d = F.col("events").cast("double")
+    n = F.col("at_risk").cast("double")
+    term = F.when(
+        (F.col("events") > 0) & (F.col("events") < F.col("at_risk")),
+        F.round(F.log(1.0 - d / n), 12),
+    ).otherwise(F.lit(0.0))
+    stepped = with_n.withColumn(
+        "__logsum",
+        F.sum(term.cast("decimal(38,12)")).over(w_inc).cast("double"),
+    ).withColumn(
+        "__dead",
+        F.max(
+            (F.col("events") == F.col("at_risk")).cast("int")
+        ).over(w_inc),
+    )
+    return stepped.select(
+        *group_cols,
+        "t",
+        "at_risk",
+        "events",
+        "censored",
+        F.when(F.col("__dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("__logsum")), 6))
+        .alias("survival"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Exact weighted median per group (the robust location statistic
+    a skew-heavy measure needs — half the WEIGHT sits on each side,
+    not half the rows): the first value in (value, id...) order whose
+    doubled cumulative integer weight reaches the group total. All
+    integer comparisons — no float crossings.
+
+    One shuffle on the group key; the cumulative window orders within
+    groups only."""
+    w_tot = Window.partitionBy(*group_cols)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col), *[F.col(c) for c in id_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = F.col(weight_col).cast("long")
+    crossed = (
+        df.withColumn("__W", F.sum(wt).over(w_tot))
+        .withColumn("__cw", F.sum(wt).over(w_cum))
+        .where(F.col("__cw") * 2 >= F.col("__W"))
+    )
+    first = crossed.groupBy(*group_cols).agg(
+        F.min(
+            F.struct(
+                F.col(value_col).alias("v"),
+                *[F.col(c).alias(f"i{k}") for k, c in enumerate(id_cols)],
+            )
+        ).alias("__m"),
+        F.max("__W").alias("__Wm"),
+    )
+    return first.select(
+        *group_cols,
+        F.col("__m.v").alias("weighted_median"),
+        F.col("__Wm").alias("total_weight"),
+    )
+
+
+def cusum_report(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """CUSUM excursion report per group — the classic mean-shift
+    change detector: cumulative sum of deviations from the group mean,
+    reported at its maximum absolute excursion (the most likely
+    changepoint). Mean = DECIMAL-exact sum / count; each deviation
+    rounds to 9 and the running sum accumulates in DECIMAL, so the
+    whole trajectory is order-of-evaluation-free; the argmax is a
+    min_by on the total (|cusum| desc, order...) key. Two passes over
+    the group (mean, then cusum) — both single-shuffle windows."""
+    w_g = Window.partitionBy(*group_cols)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(value_col)
+    mean = (
+        F.sum(v.cast("decimal(38,6)")).over(w_g).cast("double")
+        / F.count(F.lit(1)).over(w_g).cast("double")
+    )
+    dev = F.round(v - mean, 9).cast("decimal(38,9)")
+    cusum = F.sum(dev).over(w_cum).cast("double")
+    scored = df.select(
+        *group_cols,
+        *order_cols,
+        F.round(cusum, 6).alias("__cusum"),
+        F.count(F.lit(1)).over(w_g).alias("__n"),
+    )
+    key = F.struct(
+        (-F.abs(F.col("__cusum"))).alias("negabs"),
+        *[F.col(c).alias(f"o{k}") for k, c in enumerate(order_cols)],
+    )
+    return scored.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.min_by(F.struct(*order_cols, F.col("__cusum")), key).alias("__p"),
+    ).select(
+        *group_cols,
+        "n",
+        *[F.col(f"__p.{c}").alias(f"peak_{c}") for c in order_cols],
+        F.col("__p.__cusum").alias("peak_cusum"),
+    )

@@ -9306,3 +9306,120 @@ JOIN cu cb ON cb.tok = cab.tok_b
 CROSS JOIN nb CROSS JOIN nu
 WHERE c_ab >= {C.COLL_MIN_COUNT}
 """
+
+
+# Kaplan-Meier: per-user duration/censoring, risk sets by reverse
+# cumulative, log-space product as a DECIMAL window sum, exact-0 pin
+ORACLES["survival_km"] = """
+WITH per_user AS (
+  SELECT user_id % 3 AS cohort,
+    min(ts) AS first_ts,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts,
+    max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT cohort,
+    CAST(floor(date_diff('second', first_ts,
+      CASE WHEN p_ts IS NOT NULL THEN p_ts ELSE last_ts END) / 3600.0)
+      AS INT) AS t,
+    CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM per_user
+),
+cells AS (
+  SELECT cohort, t, sum(e) AS events, sum(1 - e) AS censored
+  FROM subj GROUP BY 1, 2
+),
+wn AS (
+  SELECT cohort, t, events, censored,
+    sum(events + censored) OVER (PARTITION BY cohort)
+      - coalesce(sum(events + censored) OVER (
+          PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+  FROM cells
+),
+st AS (
+  SELECT cohort, t, events, censored, at_risk,
+    CAST(sum(CAST(CASE WHEN events > 0 AND events < at_risk
+      THEN round(ln(1.0 - CAST(events AS DOUBLE) / CAST(at_risk AS DOUBLE)),
+                 12)
+      ELSE 0.0 END AS DECIMAL(38,12))) OVER (
+        PARTITION BY cohort ORDER BY t ROWS UNBOUNDED PRECEDING)
+      AS DOUBLE) AS logsum,
+    max(CASE WHEN events = at_risk THEN 1 ELSE 0 END) OVER (
+      PARTITION BY cohort ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+  FROM wn
+)
+SELECT cohort, t, CAST(at_risk AS BIGINT) AS at_risk,
+  CAST(events AS BIGINT) AS events, CAST(censored AS BIGINT) AS censored,
+  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(logsum), 6) END AS survival
+FROM st
+"""
+
+ORACLES["weighted_median"] = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS W,
+    sum(CAST(l_quantity AS BIGINT)) OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      ROWS UNBOUNDED PRECEDING) AS cw,
+    l_orderkey, l_linenumber
+  FROM lineitem
+)
+SELECT l_returnflag, v AS weighted_median, CAST(W AS BIGINT) AS total_weight
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag
+    ORDER BY v, l_orderkey, l_linenumber) AS rn
+  FROM c WHERE cw * 2 >= W
+) WHERE rn = 1
+"""
+
+ORACLES["cusum_report"] = """
+WITH s AS (
+  SELECT event_type, ts, event_id, value,
+    CAST(sum(CAST(value AS DECIMAL(38,6)))
+         OVER (PARTITION BY event_type) AS DOUBLE)
+      / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS mean,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+cs AS (
+  SELECT event_type, ts, event_id, n,
+    round(CAST(sum(CAST(round(value - mean, 9) AS DECIMAL(38,9))) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cusum
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, ts AS peak_ts,
+  event_id AS peak_event_id, cusum AS peak_cusum
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY abs(cusum) DESC, ts, event_id) AS rn
+  FROM cs
+) WHERE rn = 1
+"""
+
+# Arrow IPC: every record restated closed-form; truncated blobs are
+# the quarantine rows
+ORACLES["arrow_ipc_ingest"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 17 = 0 AS trunc, 2 + doc_id % 3 AS n
+  FROM documents
+),
+rows_ AS (
+  SELECT b.doc_id, CAST(j AS INT) AS row_idx, b.doc_id * 10 + j AS id,
+    'row-' || CAST((b.doc_id + j) % 20 AS VARCHAR) AS name,
+    CAST((b.doc_id * j) % 97 AS DOUBLE) / 10.0 AS score,
+    CAST(j % 3 AS INT) AS n_tags
+  FROM base b JOIN (SELECT unnest(range(4)) AS j) t ON t.j < b.n
+  WHERE NOT b.trunc
+)
+SELECT doc_id, row_idx, CAST(0 AS INT) AS err, id, name, score, n_tags
+FROM rows_
+UNION ALL
+SELECT doc_id, NULL, CAST(1 AS INT), NULL, NULL, NULL, NULL
+FROM base WHERE trunc
+"""

@@ -12105,6 +12105,132 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_pmi(docs, min_count=C.COLL_MIN_COUNT)
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup->purchase survival per user cohort, with
+    right-censoring for users never observed purchasing — the
+    time-to-event readout naive conversion rates bias. Log-space KM:
+    round(12) log terms in a DECIMAL window sum, one exp at the end;
+    a fully-dying risk set pins survival to exact 0 via an integer
+    flag."""
+    from trollflow2_spark.extensions.profile import survival_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    end = F.when(F.col("__p").isNotNull(), F.col("__p")).otherwise(
+        F.col("__last")
+    )
+    subj = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.floor(
+            (F.unix_timestamp(end) - F.unix_timestamp(F.col("__first")))
+            / 3600.0
+        )
+        .cast("int")
+        .alias("duration"),
+        F.col("__p").isNotNull().cast("int").alias("event"),
+    )
+    return survival_curve(subj, ["cohort"])
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median extended price per return flag —
+    half the WEIGHT on each side, all-integer cumulative crossings
+    over the total (value, orderkey, linenumber) order."""
+    from trollflow2_spark.extensions.profile import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_cusum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift excursion report per event type: the running
+    sum of deviations from the type mean at its maximum |excursion| —
+    the most-likely-changepoint readout. DECIMAL-exact mean and
+    cumulative trajectory; argmax via one min_by on the total
+    (|cusum| desc, ts, event_id) key."""
+    from trollflow2_spark.extensions.profile import cusum_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_report(
+        ev, ["event_type"], ["ts", "event_id"], "value"
+    )
+
+
+def q_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC stream intake (`sources/arrowipc.py`): multi-batch
+    feature-store blobs -> one canonical-JSON row per record in one
+    Arrow pass, downstream cuts native from_json; every 17th blob
+    truncates and must surface as err=1 with NULL fields. pyarrow is
+    the reference implementation here (it IS Spark's Python data
+    plane) — the contract under test is the Spark intake shape +
+    quarantine taxonomy."""
+    from trollflow2_spark.sources.arrowipc import read_arrow_ipc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.arrowipc import write_ipc_blob
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 3
+                blob = write_ipc_blob(
+                    {
+                        "id": [d * 10 + j for j in range(n)],
+                        "name": [f"row-{(d + j) % 20}" for j in range(n)],
+                        "score": [(d * j % 97) / 10.0 for j in range(n)],
+                        "tags": [
+                            [f"t{(d + j) % 3}"] * (j % 3) for j in range(n)
+                        ],
+                    },
+                    batch_rows=2,
+                )
+                if d % 17 == 0:
+                    blob = blob[:16]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, blob_schema)
+    parsed = read_arrow_ipc(blobs)
+    j = F.from_json(
+        F.col("json"),
+        "id bigint, name string, score double, tags array<string>",
+    )
+    return parsed.select(
+        "doc_id",
+        "row_idx",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        j["id"].alias("id"),
+        j["name"].alias("name"),
+        j["score"].alias("score"),
+        F.size(j["tags"]).alias("n_tags"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12439,4 +12565,8 @@ QUERIES = {
     "quantile_binning": q_quantile_binning,
     "winnow_dedup_pairs": q_winnow_dedup_pairs,
     "collocations_pmi": q_collocations_pmi,
+    "survival_km": q_survival_km,
+    "weighted_median": q_weighted_median,
+    "cusum_report": q_cusum_report,
+    "arrow_ipc_ingest": q_arrow_ipc_ingest,
 }
