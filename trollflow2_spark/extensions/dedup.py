@@ -1800,3 +1800,53 @@ def winnow_pairs(
             .alias("overlap_permille"),
         )
     )
+
+
+def fs_linkage_weights(
+    labeled_pairs: DataFrame,
+    agree_cols: list[str],
+    label_col: str = "is_match",
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights — the probabilistic
+    entity-resolution model the fuzzy tier's candidate pairs feed:
+    from labeled (match / nonmatch) comparison vectors, estimate per
+    field ``m = P(agree | match)`` and ``u = P(agree | nonmatch)``
+    (Laplace-smoothed), and the log-likelihood-ratio weights
+    ``w_agree = ln(m/u)``, ``w_disagree = ln((1-m)/(1-u))`` that score
+    unlabeled pairs by summation. One hash agg over the pair table ->
+    a field-cardinality weights row set; everything downstream is a
+    broadcast of these few numbers onto the candidate stream."""
+    lbl = F.col(label_col).cast("long")
+    aggs = [
+        F.sum(lbl).alias("__nm"),
+        F.sum(1 - lbl).alias("__nu"),
+    ]
+    for c in agree_cols:
+        a = F.col(c).cast("long")
+        aggs.append(F.sum(a * lbl).alias(f"__am_{c}"))
+        aggs.append(F.sum(a * (1 - lbl)).alias(f"__au_{c}"))
+    wide = labeled_pairs.agg(*aggs)
+    parts = []
+    for c in agree_cols:
+        m = (F.col(f"__am_{c}").cast("double") + F.lit(smooth)) / (
+            F.col("__nm").cast("double") + F.lit(2.0 * smooth)
+        )
+        u = (F.col(f"__au_{c}").cast("double") + F.lit(smooth)) / (
+            F.col("__nu").cast("double") + F.lit(2.0 * smooth)
+        )
+        parts.append(
+            wide.select(
+                F.lit(c).alias("field"),
+                F.col("__nm").alias("n_match"),
+                F.col("__nu").alias("n_nonmatch"),
+                F.round(m, 6).alias("m"),
+                F.round(u, 6).alias("u"),
+                F.round(F.log(m / u), 6).alias("w_agree"),
+                F.round(F.log((1.0 - m) / (1.0 - u)), 6).alias("w_disagree"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1510,3 +1510,91 @@ def collocations_pmi(
         F.col("__cb").alias("count_b"),
         F.round(pmi, 6).alias("pmi"),
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_phrase_len: int = 3,
+    min_phrase_count: int = 3,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.) — the zero-model
+    within-document complement of corpus-level `collocations_pmi`:
+    candidate phrases are maximal stopword-free token runs (capped at
+    ``max_phrase_len``), each word scores ``degree / frequency`` over
+    the candidate set (degree = summed length of phrases containing
+    it — words that live in long phrases matter more), and a phrase
+    scores the sum of its word scores.
+
+    Relational shape: tokens posexplode once; phrase ids are a
+    cumulative stopword count per doc (one window keyed on the doc);
+    word stats are two hash aggs; the phrase score folds ROUNDED word
+    scores in DECIMAL (order-insensitive). Output: distinct phrases
+    above the count floor with their score."""
+    from pyspark.sql import Window
+
+    from trollflow2_spark.functions.hashing import tokens
+
+    tk = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        ).alias("pos", "tok"),
+    )
+    is_stop = F.col("tok").isin(STOPWORDS)
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = tk.withColumn(
+        "__pid", F.sum(is_stop.cast("int")).over(w)
+    ).where(~is_stop)
+    phrases = (
+        marked.groupBy(id_col, "__pid")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "tok"))).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.slice(F.col("__w"), 1, max_phrase_len), lambda s: s["tok"]
+            ).alias("words"),
+        )
+    )
+    members = phrases.select(
+        F.array_join("words", " ").alias("phrase"),
+        F.size("words").alias("__plen"),
+        F.explode("words").alias("tok"),
+    )
+    word_stats = members.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    scored_words = word_stats.select(
+        "tok",
+        F.round(
+            F.col("__deg").cast("double") / F.col("__freq").cast("double"), 9
+        ).alias("__wscore"),
+    )
+    phrase_rows = (
+        members.join(F.broadcast(scored_words), "tok")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.col("__wscore").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__raw"),
+            F.count(F.lit(1)).alias("__members"),
+        )
+    )
+    counts = phrases.groupBy(
+        F.array_join("words", " ").alias("phrase")
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        counts.where(F.col("n_occurrences") >= min_phrase_count)
+        .join(phrase_rows, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(
+                F.col("__raw") / F.col("n_occurrences").cast("double"), 6
+            ).alias("score"),
+        )
+    )

@@ -9423,3 +9423,146 @@ UNION ALL
 SELECT doc_id, NULL, CAST(1 AS INT), NULL, NULL, NULL, NULL
 FROM base WHERE trunc
 """
+
+
+# Fellegi-Sunter: m/u from the same closed-form fixture; log-LR over
+# the UNROUNDED rates (Spark rounds only the output columns)
+ORACLES["fs_linkage_weights"] = """
+WITH cust AS (SELECT c_custkey AS k FROM customer),
+pairs AS (
+  SELECT 1 AS is_match,
+    CAST(k % 7 <> 0 AS INT) AS name_agree,
+    CAST(k % 11 <> 0 AS INT) AS nation_agree,
+    CAST(k % 5 <> 0 AS INT) AS segment_agree,
+    CAST(k % 3 <> 0 AS INT) AS band_agree
+  FROM cust
+  UNION ALL
+  SELECT 0,
+    CAST(k % 13 = 0 AS INT),
+    CAST(k % 4 = 0 AS INT),
+    CAST(k % 5 = 0 AS INT),
+    CAST(k % 2 = 0 AS INT)
+  FROM cust
+),
+agg AS (
+  SELECT CAST(sum(is_match) AS BIGINT) AS nm,
+    CAST(sum(1 - is_match) AS BIGINT) AS nu,
+    CAST(sum(name_agree * is_match) AS DOUBLE) AS am_name,
+    CAST(sum(name_agree * (1 - is_match)) AS DOUBLE) AS au_name,
+    CAST(sum(nation_agree * is_match) AS DOUBLE) AS am_nation,
+    CAST(sum(nation_agree * (1 - is_match)) AS DOUBLE) AS au_nation,
+    CAST(sum(segment_agree * is_match) AS DOUBLE) AS am_segment,
+    CAST(sum(segment_agree * (1 - is_match)) AS DOUBLE) AS au_segment,
+    CAST(sum(band_agree * is_match) AS DOUBLE) AS am_band,
+    CAST(sum(band_agree * (1 - is_match)) AS DOUBLE) AS au_band
+  FROM pairs
+),
+rates AS (
+  SELECT 'name_agree' AS field, nm, nu,
+    (am_name + 0.5) / (nm + 1.0) AS m, (au_name + 0.5) / (nu + 1.0) AS u
+  FROM agg
+  UNION ALL
+  SELECT 'nation_agree', nm, nu,
+    (am_nation + 0.5) / (nm + 1.0), (au_nation + 0.5) / (nu + 1.0) FROM agg
+  UNION ALL
+  SELECT 'segment_agree', nm, nu,
+    (am_segment + 0.5) / (nm + 1.0), (au_segment + 0.5) / (nu + 1.0) FROM agg
+  UNION ALL
+  SELECT 'band_agree', nm, nu,
+    (am_band + 0.5) / (nm + 1.0), (au_band + 0.5) / (nu + 1.0) FROM agg
+)
+SELECT field, nm AS n_match, nu AS n_nonmatch,
+  round(m, 6) AS m, round(u, 6) AS u,
+  round(ln(m / u), 6) AS w_agree,
+  round(ln((1.0 - m) / (1.0 - u)), 6) AS w_disagree
+FROM rates
+"""
+
+
+# RAKE: tokenization, stopword-run phrase ids, degree/frequency word
+# scores (rounded 9), DECIMAL-folded phrase sums — all replayed exactly
+_RAKE_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLES["rake_keyphrases"] = f"""
+WITH tk AS (
+  SELECT doc_id, list_transform({TOKENS_SQL('text')}, t -> lower(t)) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+    tok IN ({_RAKE_STOP}) AS is_stop,
+    sum(CASE WHEN tok IN ({_RAKE_STOP}) THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pid
+  FROM pos
+),
+phrases AS (
+  SELECT doc_id, pid, list_slice(list(tok ORDER BY pos), 1, 3) AS words
+  FROM marked WHERE NOT is_stop GROUP BY doc_id, pid
+),
+members AS (
+  SELECT array_to_string(words, ' ') AS phrase, len(words) AS plen,
+    unnest(words) AS tok
+  FROM phrases
+),
+word_stats AS (
+  SELECT tok, count(*) AS freq, sum(plen) AS deg FROM members GROUP BY tok
+),
+scored AS (
+  SELECT tok, round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 9) AS wscore
+  FROM word_stats
+),
+praw AS (
+  SELECT m.phrase,
+    CAST(sum(CAST(s.wscore AS DECIMAL(38,9))) AS DOUBLE) AS raw
+  FROM members m JOIN scored s ON s.tok = m.tok
+  GROUP BY m.phrase
+),
+counts AS (
+  SELECT array_to_string(words, ' ') AS phrase, count(*) AS n_occurrences
+  FROM phrases GROUP BY 1
+)
+SELECT c.phrase, CAST(c.n_occurrences AS BIGINT) AS n_occurrences,
+  round(p.raw / CAST(c.n_occurrences AS DOUBLE), 6) AS score
+FROM counts c JOIN praw p ON p.phrase = c.phrase
+WHERE c.n_occurrences >= {C.RAKE_MIN_COUNT}
+"""
+
+
+# Seasonal-naive backtest: hour h forecast = count at h-24; sMAPE folds
+# round(12) terms in DECIMAL exactly as the Spark agg does
+ORACLES["backtest_smape"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS actual
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT h.event_type,
+    CAST(h.actual AS DOUBLE) AS a, CAST(f.actual AS DOUBLE) AS f
+  FROM hourly h
+  JOIN hourly f ON f.event_type = h.event_type
+    AND f.bucket + INTERVAL 24 HOURS = h.bucket
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+  round(CAST(sum(CAST(round(2.0 * abs(f - a) / (f + a), 12)
+                      AS DECIMAL(38,12))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS smape
+FROM j GROUP BY event_type
+"""
+
+
+# MoM growth: DECIMAL-exact monthly revenue, lag over the
+# month-cardinality rollup (NULL growth on the first month)
+ORACLES["period_growth"] = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, round(revenue, 2) AS revenue,
+  round((revenue - lag(revenue) OVER (ORDER BY month))
+        / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+FROM m
+"""

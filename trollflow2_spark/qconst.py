@@ -457,3 +457,5 @@ WINNOW_MAX_BUCKET = 64  # boilerplate-print drop (the LSH hot-bucket guard)
 COLL_MIN_COUNT = 5  # PMI collocation count floor
 QBIN_N = 10  # equal-frequency bins (deciles)
 WOE_SMOOTH = 0.5  # Laplace smoothing for the WOE rate pair
+RAKE_MIN_COUNT = 3  # phrase-occurrence floor for RAKE keyphrases
+FS_SMOOTH = 0.5  # Laplace smoothing for Fellegi-Sunter m/u estimates

@@ -12231,6 +12231,95 @@ def q_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights from labeled comparison
+    vectors — the probabilistic scoring model behind the fuzzy tier's
+    candidate pairs: per field m/u probabilities and the log-LR
+    agree/disagree weights. Fixture: per customer one MATCH vector
+    (perturbed re-entry, fields agree on closed-form high-rate
+    patterns) and one NONMATCH vector (next customer, low-rate
+    agreement)."""
+    from trollflow2_spark.extensions.dedup import fs_linkage_weights
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    match = cust.select(
+        F.lit(1).alias("is_match"),
+        (k % 7 != 0).cast("int").alias("name_agree"),
+        (k % 11 != 0).cast("int").alias("nation_agree"),
+        (k % 5 != 0).cast("int").alias("segment_agree"),
+        (k % 3 != 0).cast("int").alias("band_agree"),
+    )
+    nonmatch = cust.select(
+        F.lit(0).alias("is_match"),
+        (k % 13 == 0).cast("int").alias("name_agree"),
+        (k % 4 == 0).cast("int").alias("nation_agree"),
+        (k % 5 == 0).cast("int").alias("segment_agree"),
+        (k % 2 == 0).cast("int").alias("band_agree"),
+    )
+    return fs_linkage_weights(
+        match.unionByName(nonmatch),
+        ["name_agree", "nation_agree", "segment_agree", "band_agree"],
+    )
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the document corpus — maximal
+    stopword-free token runs scored by summed word degree/frequency;
+    the zero-model within-document complement of collocations_pmi.
+    One posexplode, one per-doc window, two hash aggs, DECIMAL-folded
+    phrase scores."""
+    from trollflow2_spark.extensions.text import rake_keyphrases
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keyphrases(docs, min_phrase_count=C.RAKE_MIN_COUNT)
+
+
+def q_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: the seasonal-naive baseline (count at
+    hour h predicted by hour h-24) scored with sMAPE per event type —
+    the accuracy floor every real forecaster must beat. Hourly counts
+    are one hash agg; the forecast join is keyed (type, hour-24);
+    sMAPE folds round(12) terms in DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    fc = hourly.select(
+        "event_type",
+        (F.col("bucket") + F.expr("INTERVAL 24 HOURS")).alias("bucket"),
+        F.col("actual").alias("forecast"),
+    )
+    j = hourly.join(fc, ["event_type", "bucket"])
+    a, f = F.col("actual").cast("double"), F.col("forecast").cast("double")
+    term = F.round(2.0 * F.abs(f - a) / (f + a), 12)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("smape"),
+    )
+
+
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the warehouse staple: one
+    hash agg to monthly DECIMAL-exact revenue, one lag window over
+    the month-cardinality table, growth as a rounded ratio."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12569,4 +12658,8 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "cusum_report": q_cusum_report,
     "arrow_ipc_ingest": q_arrow_ipc_ingest,
+    "fs_linkage_weights": q_fs_linkage_weights,
+    "rake_keyphrases": q_rake_keyphrases,
+    "backtest_smape": q_backtest_smape,
+    "period_growth": q_period_growth,
 }
