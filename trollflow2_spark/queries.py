@@ -12309,8 +12309,11 @@ def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the month-cardinality table, growth as a rounded ratio."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        F.trunc(F.col("o_orderdate"), "month").alias("month")
     ).agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    # The lag window is over the post-agg month-cardinality table
+    # (bounded: one row per calendar month) — the single-partition
+    # WindowExec is control-plane-sized at any data scale.
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
     return monthly.select(
