@@ -392,3 +392,76 @@ def markov_transitions(
         .cast("int")
         .alias("self_loop"),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_common: int = 3,
+    max_degree: int = 256,
+) -> DataFrame:
+    """Link prediction over a bipartite edge table: for every pair of
+    left-nodes sharing a right-neighbor, the three classic scores —
+    common-neighbor count, Jaccard over neighbor sets, and
+    Adamic-Adar (Σ 1/ln(deg) over shared neighbors, which discounts
+    promiscuous hubs).
+
+    Scale shape: edges reduce to DISTINCT pairs first; right-nodes
+    with degree above ``max_degree`` are pruned BEFORE the pair
+    self-join (the hub guard — a right-hub of degree d fans out d²
+    pairs, and a hub shared by everyone carries no signal anyway, the
+    same economics as the LSH max-bucket drop). The self-join shuffles
+    once on the right key; per-pair Adamic-Adar terms are rounded to
+    fixed 12 dp and summed in DECIMAL so the float total is
+    order-insensitive. Left-node degrees are a broadcast-sized side
+    table joined back for the Jaccard denominator."""
+    e = edges.select(
+        F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
+    ).distinct()
+    rdeg = e.groupBy("__r").agg(F.count(F.lit(1)).alias("__rd"))
+    kept = e.join(
+        F.broadcast(rdeg.where(F.col("__rd") <= max_degree)), "__r"
+    )
+    ldeg = e.groupBy("__l").agg(F.count(F.lit(1)).alias("__ld"))
+    a = kept.select("__r", F.col("__l").alias("node_a"), "__rd")
+    b = kept.select("__r", F.col("__l").alias("node_b"))
+    aa_term = F.round(
+        F.lit(1.0) / F.log(F.col("__rd").cast("double")), 12
+    ).cast("decimal(38,12)")
+    pairs = (
+        a.join(b, "__r")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(aa_term).cast("double").alias("__aa"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    da = F.broadcast(
+        ldeg.select(F.col("__l").alias("node_a"), F.col("__ld").alias("__da"))
+    )
+    db = F.broadcast(
+        ldeg.select(F.col("__l").alias("node_b"), F.col("__ld").alias("__db"))
+    )
+    cn = F.col("common_neighbors").cast("double")
+    return (
+        pairs.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            F.round(
+                cn
+                / (
+                    F.col("__da").cast("double")
+                    + F.col("__db").cast("double")
+                    - cn
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("__aa"), 6).alias("adamic_adar"),
+        )
+    )

@@ -1355,3 +1355,60 @@ def cusum_report(
         *[F.col(f"__p.{c}").alias(f"peak_{c}") for c in order_cols],
         F.col("__p.__cusum").alias("peak_cusum"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    unit_scale: int = 1000000,
+) -> DataFrame:
+    """Per-group OLS line fit (slope / intercept / R²) — the trend
+    readout a warehouse runs over every daily metric series.
+
+    ``x_col`` must be integer-valued (a day/hour index); ``y_col`` is
+    quantized to fixed-point units like :func:`correlation_matrix`, so
+    all six power sums (n, Σx, Σy, Σx², Σxy, Σy²) accumulate EXACTLY
+    in DECIMAL — mergeable, order-insensitive, one map-side-combinable
+    hash agg per group. The closed forms
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        R² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    are one identical scalar double chain per group — engine-exact
+    after rounding. Zero x-variance yields NULL slope/intercept, zero
+    y-variance NULL R² (no division blow-ups)."""
+    xu = F.col(x_col).cast("decimal(38,0)")
+    yu = F.floor(F.col(y_col) * unit_scale).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xu).alias("__sx"),
+        F.sum(yu).alias("__sy"),
+        F.sum(xu * xu).alias("__qx"),
+        F.sum(xu * yu).alias("__xy"),
+        F.sum(yu * yu).alias("__qy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    qx = F.col("__qx").cast("double")
+    xy = F.col("__xy").cast("double")
+    qy = F.col("__qy").cast("double")
+    vx = n * qx - sx * sx
+    vy = n * qy - sy * sy
+    cov = n * xy - sx * sy
+    slope_u = cov / vx
+    u = F.lit(float(unit_scale))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.when(vx > 0, F.round(slope_u / u, 6)).alias("slope"),
+        F.when(vx > 0, F.round((sy - slope_u * sx) / n / u, 6)).alias(
+            "intercept"
+        ),
+        F.when((vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6)).alias(
+            "r2"
+        ),
+    )

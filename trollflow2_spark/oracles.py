@@ -9566,3 +9566,71 @@ SELECT month, round(revenue, 2) AS revenue,
         / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
 FROM m
 """
+
+
+# Per-priority OLS trend: exact daily revenue, six HUGEINT power sums,
+# the same scalar double chain as extensions/profile.py::linear_trend
+ORACLES["linear_trend"] = """
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT priority, CAST(day_idx AS HUGEINT) AS x,
+    CAST(floor(revenue * 1000000) AS HUGEINT) AS y
+  FROM d
+), w AS (
+  SELECT priority, COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x*x) AS DOUBLE) AS qx, CAST(SUM(x*y) AS DOUBLE) AS xy,
+    CAST(SUM(y*y) AS DOUBLE) AS qy
+  FROM m GROUP BY priority
+), c AS (
+  SELECT priority, n, sx, sy,
+    CAST(n AS DOUBLE) * qx - sx * sx AS vx,
+    CAST(n AS DOUBLE) * qy - sy * sy AS vy,
+    CAST(n AS DOUBLE) * xy - sx * sy AS cov
+  FROM w
+)
+SELECT priority, n,
+  CASE WHEN vx > 0 THEN round((cov / vx) / 1000000.0, 6) END AS slope,
+  CASE WHEN vx > 0 THEN
+    round((sy - (cov / vx) * sx) / CAST(n AS DOUBLE) / 1000000.0, 6)
+  END AS intercept,
+  CASE WHEN vx > 0 AND vy > 0 THEN round(cov * cov / (vx * vy), 6)
+  END AS r2
+FROM c
+"""
+
+
+# Supplier-pair link prediction over the supplier-part bipartite graph:
+# distinct edges, hub-part prune, pair self-join, fixed-point
+# Adamic-Adar sum — extensions/mining.py::link_prediction_scores
+ORACLES["link_prediction"] = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem
+), rdeg AS (
+  SELECT r, COUNT(*) AS rd FROM e GROUP BY r
+), kept AS (
+  SELECT e.l, e.r, rdeg.rd FROM e JOIN rdeg USING (r)
+  WHERE rdeg.rd <= 256
+), ldeg AS (
+  SELECT l, COUNT(*) AS ld FROM e GROUP BY l
+), pairs AS (
+  SELECT a.l AS node_a, b.l AS node_b, COUNT(*) AS common_neighbors,
+    CAST(SUM(CAST(round(1.0 / ln(CAST(a.rd AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS aa
+  FROM kept a JOIN kept b ON a.r = b.r AND a.l < b.l
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT node_a, node_b, common_neighbors,
+  round(CAST(common_neighbors AS DOUBLE)
+        / (CAST(da.ld AS DOUBLE) + CAST(db.ld AS DOUBLE)
+           - CAST(common_neighbors AS DOUBLE)), 6) AS jaccard,
+  round(aa, 6) AS adamic_adar
+FROM pairs
+JOIN ldeg da ON da.l = pairs.node_a
+JOIN ldeg db ON db.l = pairs.node_b
+"""

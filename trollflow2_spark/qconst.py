@@ -459,3 +459,5 @@ QBIN_N = 10  # equal-frequency bins (deciles)
 WOE_SMOOTH = 0.5  # Laplace smoothing for the WOE rate pair
 RAKE_MIN_COUNT = 3  # phrase-occurrence floor for RAKE keyphrases
 FS_SMOOTH = 0.5  # Laplace smoothing for Fellegi-Sunter m/u estimates
+LINKPRED_MIN_CN = 3  # common-neighbor floor for link-prediction pairs
+LINKPRED_MAX_DEG = 256  # right-node hub guard before the pair self-join

@@ -12323,6 +12323,42 @@ def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of daily revenue — one hash agg to the
+    exact daily series, one hash agg to six DECIMAL power sums per
+    group, closed-form slope/intercept/R² as a scalar double chain
+    (`extensions/profile.py::linear_trend`)."""
+    from trollflow2_spark.extensions.profile import linear_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    return linear_trend(daily, ["priority"], "day_idx", "revenue")
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier–part bipartite graph from
+    lineitem: common-neighbor / Jaccard / Adamic-Adar scores per
+    supplier pair, hub parts pruned before the pair join
+    (`extensions/mining.py::link_prediction_scores`)."""
+    from trollflow2_spark.extensions.mining import link_prediction_scores
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return link_prediction_scores(
+        li.select(
+            F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+        ),
+        "supp",
+        "part",
+        min_common=C.LINKPRED_MIN_CN,
+        max_degree=C.LINKPRED_MAX_DEG,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12665,4 +12701,6 @@ QUERIES = {
     "rake_keyphrases": q_rake_keyphrases,
     "backtest_smape": q_backtest_smape,
     "period_growth": q_period_growth,
+    "linear_trend": q_linear_trend,
+    "link_prediction": q_link_prediction,
 }
