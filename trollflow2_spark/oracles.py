@@ -9634,3 +9634,41 @@ FROM pairs
 JOIN ldeg da ON da.l = pairs.node_a
 JOIN ldeg db ON db.l = pairs.node_b
 """
+
+
+# SQLite intake: the fixture rows are a pure function of doc_id, so the
+# oracle regenerates them relationally; truncated files (doc_id%17=0)
+# contribute exactly one NULL-field quarantine row
+ORACLES["sqlite_ingest"] = """
+WITH expanded AS (
+  SELECT d.doc_id, s.j
+  FROM documents d
+  CROSS JOIN (VALUES (0),(1),(2),(3)) s(j)
+  WHERE s.j < 2 + d.doc_id % 3 AND d.doc_id % 17 <> 0
+), good AS (
+  SELECT doc_id,
+    CAST(doc_id * 10 + j AS BIGINT) AS rowid,
+    0 AS err,
+    CAST(doc_id * 10 + j AS BIGINT) AS id,
+    CASE WHEN (doc_id + j) % 7 = 0 THEN NULL
+         WHEN j = 0 AND doc_id % 5 = 0
+           THEN repeat('L', CAST(600 + doc_id % 100 AS INT))
+         ELSE 'row-' || CAST((doc_id + j) % 20 AS VARCHAR)
+    END AS name,
+    CAST(doc_id * j % 97 AS DOUBLE) / 10.0 AS score,
+    printf('%02x%02xff', CAST(doc_id % 256 AS INT), CAST(j AS INT))
+      AS data_hex,
+    CAST(j % 2 AS BIGINT) AS flag,
+    (CASE WHEN j % 2 = 1 THEN -1 ELSE 1 END)
+      * (CAST(1 + doc_id % 1000 AS BIGINT) << (8 * ((doc_id + j) % 7)))
+      AS big
+  FROM expanded
+), quarantined AS (
+  SELECT doc_id, CAST(NULL AS BIGINT) AS rowid, 1 AS err,
+    CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS name,
+    CAST(NULL AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS data_hex,
+    CAST(NULL AS BIGINT) AS flag, CAST(NULL AS BIGINT) AS big
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT * FROM good UNION ALL SELECT * FROM quarantined
+"""

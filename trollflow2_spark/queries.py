@@ -12359,6 +12359,88 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite file intake (`sources/sqlitefile.py`): from-scratch
+    b-tree/record/overflow parsing of .sqlite blobs — one canonical-
+    JSON row per record, INTEGER PRIMARY KEY rowid-alias substitution,
+    512-byte pages so long names exercise overflow chains; every 17th
+    blob truncates and must surface as ONE err=1 quarantine row. The
+    stdlib sqlite3 module authors the fixture blobs (reference
+    implementation, the arrowipc pattern); the reader under test
+    never touches it."""
+    from trollflow2_spark.sources.sqlitefile import read_sqlite_blobs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.sqlitefile import write_sqlite_blob
+
+        sql = (
+            "CREATE TABLE t(id INTEGER PRIMARY KEY, name TEXT, "
+            "score REAL, data BLOB, flag INTEGER, big INTEGER)"
+        )
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows = []
+                for j in range(2 + d % 3):
+                    name = (
+                        None
+                        if (d + j) % 7 == 0
+                        else (
+                            "L" * (600 + d % 100)
+                            if (j == 0 and d % 5 == 0)
+                            else f"row-{(d + j) % 20}"
+                        )
+                    )
+                    big = (1 + d % 1000) << (8 * ((d + j) % 7))
+                    rows.append(
+                        (
+                            d * 10 + j,
+                            name,
+                            (d * j % 97) / 10.0,
+                            bytes([d % 256, j, 255]),
+                            j % 2,
+                            -big if j % 2 else big,
+                        )
+                    )
+                blob = write_sqlite_blob(sql, "t", rows)
+                if d % 17 == 0:
+                    blob = blob[:50]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, blob_schema)
+    parsed = read_sqlite_blobs(blobs, "t")
+    j = F.from_json(
+        F.col("json"),
+        "id bigint, name string, score double, data string, "
+        "flag bigint, big bigint",
+    )
+    return parsed.select(
+        "doc_id",
+        "rowid",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        j["id"].alias("id"),
+        j["name"].alias("name"),
+        j["score"].alias("score"),
+        j["data"].alias("data_hex"),
+        j["flag"].alias("flag"),
+        j["big"].alias("big"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12703,4 +12785,5 @@ QUERIES = {
     "period_growth": q_period_growth,
     "linear_trend": q_linear_trend,
     "link_prediction": q_link_prediction,
+    "sqlite_ingest": q_sqlite_ingest,
 }
