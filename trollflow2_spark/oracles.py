@@ -9672,3 +9672,38 @@ WITH expanded AS (
 )
 SELECT * FROM good UNION ALL SELECT * FROM quarantined
 """
+
+
+# BSON dump intake: fixture records are a pure function of doc_id;
+# ObjectId = 12-byte big-endian of doc_id*1000+j rendered as 24-hex
+ORACLES["bson_ingest"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 17 = 0 AS trunc, 2 + doc_id % 3 AS n
+  FROM documents
+),
+rows_ AS (
+  SELECT b.doc_id, CAST(j AS INT) AS idx,
+    printf('%024x', b.doc_id * 1000 + j) AS oid,
+    b.doc_id * 10 + j AS seq,
+    (CASE WHEN j % 2 = 1 THEN -1 ELSE 1 END)
+      * (CAST(1 + b.doc_id % 1000 AS BIGINT)
+         << (8 * ((b.doc_id + j) % 7))) AS big,
+    CASE WHEN (b.doc_id + j) % 7 = 0 THEN NULL
+         ELSE 'row-' || CAST((b.doc_id + j) % 20 AS VARCHAR) END AS name,
+    CAST((b.doc_id * j) % 97 AS DOUBLE) / 10.0 AS score,
+    CAST(j % 3 AS INT) AS n_tags,
+    CAST(j % 2 AS INT) AS flag,
+    printf('%02x%02xfe', CAST(b.doc_id % 256 AS INT), CAST(j AS INT))
+      AS bin_hex,
+    1700000000000 + b.doc_id * 1000 + j AS ts_ms
+  FROM base b JOIN (SELECT unnest(range(4)) AS j) t ON t.j < b.n
+  WHERE NOT b.trunc
+)
+SELECT doc_id, idx, CAST(0 AS INT) AS err, oid, seq, big, name, score,
+  n_tags, flag, bin_hex, ts_ms
+FROM rows_
+UNION ALL
+SELECT doc_id, NULL, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, NULL, NULL
+FROM base WHERE trunc
+"""

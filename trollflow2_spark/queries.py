@@ -12441,6 +12441,91 @@ def q_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BSON/mongodump intake (`sources/bson.py`): from-scratch wire
+    decode of concatenated BSON documents — ObjectId/datetime/binary/
+    nested docs/arrays to canonical JSON in one Arrow pass, downstream
+    cuts native from_json; every 17th dump truncates and must surface
+    as ONE err=1 quarantine row."""
+    from trollflow2_spark.sources.bson import read_bson_dump
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.bson import (
+            ObjectId,
+            UtcDatetime,
+            pack_dump,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                records = []
+                for j in range(2 + d % 3):
+                    big = (1 + d % 1000) << (8 * ((d + j) % 7))
+                    records.append(
+                        {
+                            "_id": ObjectId(
+                                (d * 1000 + j).to_bytes(12, "big")
+                            ),
+                            "seq": d * 10 + j,
+                            "big": -big if j % 2 else big,
+                            "name": (
+                                None
+                                if (d + j) % 7 == 0
+                                else f"row-{(d + j) % 20}"
+                            ),
+                            "score": (d * j % 97) / 10.0,
+                            "tags": [f"t{k}" for k in range(j % 3)],
+                            "meta": {
+                                "flag": j % 2 == 1,
+                                "bin": bytes([d % 256, j, 254]),
+                            },
+                            "ts": UtcDatetime(1700000000000 + d * 1000 + j),
+                        }
+                    )
+                blob = pack_dump(records)
+                if d % 17 == 0:
+                    blob = blob[:25]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, blob_schema)
+    parsed = read_bson_dump(blobs)
+    j = F.from_json(
+        F.col("json"),
+        "_id string, seq bigint, big bigint, name string, score double, "
+        "tags array<string>, meta struct<flag:boolean, bin:string>, "
+        "ts bigint",
+    )
+    return parsed.select(
+        "doc_id",
+        "idx",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        j["_id"].alias("oid"),
+        j["seq"].alias("seq"),
+        j["big"].alias("big"),
+        j["name"].alias("name"),
+        j["score"].alias("score"),
+        F.size(j["tags"]).alias("n_tags"),
+        j["meta"]["flag"].cast("int").alias("flag"),
+        j["meta"]["bin"].alias("bin_hex"),
+        j["ts"].alias("ts_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12786,4 +12871,5 @@ QUERIES = {
     "linear_trend": q_linear_trend,
     "link_prediction": q_link_prediction,
     "sqlite_ingest": q_sqlite_ingest,
+    "bson_ingest": q_bson_ingest,
 }
