@@ -172,3 +172,83 @@ def coverage_percent_udf():
         )
 
     return cov
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon: Column, lat: Column, precision: int = 8) -> Column:
+    """Geohash of (lon, lat) at ``precision`` base-32 chars, as pure
+    Column bit algebra (zero shuffle, whole-stage codegen): quantize
+    each axis to its bit budget, interleave starting with longitude
+    (the public geohash scheme), then cut 5-bit groups against the
+    base-32 alphabet. The same arithmetic is SQL-expressible, so a
+    DuckDB oracle replays it bit-for-bit (`GEOHASH_SQL`)."""
+    from pyspark.sql import functions as F
+
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ix = F.least(
+        F.floor((lon + 180.0) / 360.0 * (1 << lon_bits)).cast("long"),
+        F.lit((1 << lon_bits) - 1),
+    )
+    iy = F.least(
+        F.floor((lat + 90.0) / 180.0 * (1 << lat_bits)).cast("long"),
+        F.lit((1 << lat_bits) - 1),
+    )
+    morton = F.lit(0).cast("long")
+    for k in range(nbits):
+        if k % 2 == 0:  # even positions from the MSB carry longitude
+            src, b = ix, lon_bits - 1 - k // 2
+        else:
+            src, b = iy, lat_bits - 1 - k // 2
+        morton = morton + (
+            F.shiftleft(
+                F.shiftright(src, b).bitwiseAND(F.lit(1)), nbits - 1 - k
+            )
+        )
+    chars = [
+        F.element_at(
+            F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET]),
+            (
+                F.shiftright(morton, 5 * (precision - 1 - i))
+                .bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def GEOHASH_SQL(lon: str, lat: str, precision: int = 8) -> str:
+    """The identical geohash arithmetic as a DuckDB SQL expression."""
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ix = (
+        f"least(CAST(floor(({lon} + 180.0) / 360.0 * {1 << lon_bits}) "
+        f"AS BIGINT), {(1 << lon_bits) - 1})"
+    )
+    iy = (
+        f"least(CAST(floor(({lat} + 90.0) / 180.0 * {1 << lat_bits}) "
+        f"AS BIGINT), {(1 << lat_bits) - 1})"
+    )
+    terms = []
+    for k in range(nbits):
+        if k % 2 == 0:
+            src, b = "gx", lon_bits - 1 - k // 2
+        else:
+            src, b = "gy", lat_bits - 1 - k // 2
+        terms.append(f"((({src} >> {b}) & 1) << {nbits - 1 - k})")
+    morton = " + ".join(terms)
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST(((gm >> {5 * (precision - 1 - i)}) & 31) + 1 AS INT), 1)"
+        for i in range(precision)
+    ]
+    return (
+        f"(SELECT {' || '.join(chars)} FROM (SELECT ({morton}) AS gm "
+        f"FROM (SELECT {ix} AS gx, {iy} AS gy) AS __gq) AS __gm)"
+    )

@@ -9707,3 +9707,68 @@ SELECT doc_id, NULL, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL,
   NULL, NULL, NULL, NULL
 FROM base WHERE trunc
 """
+
+
+def _pip_edges_values() -> str:
+    """VALUES rows for the shared point-in-polygon catalog, scaled to
+    the integer lattice (kept in lockstep with qconst.PIP_POLYGONS)."""
+    rows = []
+    s = C.PIP_SCALE
+    for pid, rings in C.PIP_POLYGONS.items():
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                if y1 == y2:
+                    continue
+                rows.append(
+                    f"('{pid}', {x1 * s}, {y1 * s}, {x2 * s}, {y2 * s})"
+                )
+    return ",\n  ".join(rows)
+
+
+# Point-in-polygon: naive edges cross join + crossing parity — the
+# zero-shuffle compiled plan must reproduce it exactly
+ORACLES["point_in_polygon"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+    ((c_custkey * 17) % 360 - 180) * {C.PIP_SCALE} + 1 AS px,
+    ((c_custkey * 3) % 120 - 60) * {C.PIP_SCALE} + 1 AS py
+  FROM customer
+), edges(poly_id, x1, y1, x2, y2) AS (VALUES
+  {_pip_edges_values()}
+), cr AS (
+  SELECT p.point_id, e.poly_id, p.px, p.py,
+    CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+      AND ((p.px - e.x1) * (e.y2 - e.y1)
+           - (e.x2 - e.x1) * (p.py - e.y1))
+          * (CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) < 0
+    THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e
+)
+SELECT point_id, poly_id,
+  round(CAST(px AS DOUBLE) / {C.PIP_SCALE}, 2) AS lon,
+  round(CAST(py AS DOUBLE) / {C.PIP_SCALE}, 2) AS lat
+FROM cr
+GROUP BY point_id, poly_id, px, py
+HAVING SUM(c) % 2 = 1
+"""
+
+
+# Geohash: the identical quantize-interleave-base32 arithmetic in SQL
+# (GEOHASH_SQL generates the 40-term bit expression)
+from trollflow2_spark.functions.geometry import GEOHASH_SQL  # noqa: E402
+
+ORACLES["geohash_encode"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+    CAST((c_custkey * 17) % 360 - 180 + 0.25 AS DOUBLE) AS lon,
+    CAST((c_custkey * 3) % 120 - 60 + 0.25 AS DOUBLE) AS lat
+  FROM customer
+)
+SELECT point_id,
+  {GEOHASH_SQL('lon', 'lat', 8)} AS gh8,
+  substr({GEOHASH_SQL('lon', 'lat', 8)}, 1, 4) AS cell4
+FROM pts
+"""

@@ -461,3 +461,19 @@ RAKE_MIN_COUNT = 3  # phrase-occurrence floor for RAKE keyphrases
 FS_SMOOTH = 0.5  # Laplace smoothing for Fellegi-Sunter m/u estimates
 LINKPRED_MIN_CN = 3  # common-neighbor floor for link-prediction pairs
 LINKPRED_MAX_DEG = 256  # right-node hub guard before the pair self-join
+# point-in-polygon fixture: integer-vertex rings in (lon, lat) space;
+# a polygon may carry extra rings (holes) — ray-cast parity handles
+# them with no special casing. PIP_SCALE puts quarter-offset points
+# on an integer lattice so the crossing test is ALL-integer (exact).
+PIP_POLYGONS = {
+    "box": [[(-50, -10), (10, -10), (10, 40), (-50, 40)]],
+    "lshape": [
+        [(20, -55), (55, -55), (55, -30), (40, -30), (40, 0), (20, 0)]
+    ],
+    "holed": [
+        [(60, -40), (140, -40), (140, 20), (60, 20)],
+        [(80, -20), (120, -20), (120, 0), (80, 0)],
+    ],
+    "tri": [[(-170, -55), (-120, 50), (-70, -55)]],
+}
+PIP_SCALE = 4

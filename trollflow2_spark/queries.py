@@ -12526,6 +12526,57 @@ def q_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence tagging (`operators/geo.py::point_in_polygon`):
+    customer points ray-cast against the shared integer-vertex
+    polygon catalog (a concave shape, a polygon with a hole, a
+    triangle) as ZERO-shuffle scan-stage Column algebra — all-integer
+    crossing tests, no float flap. The oracle is the naive
+    edges-cross-join parity count."""
+    from trollflow2_spark.operators.geo import point_in_polygon
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    c = F.col("c_custkey")
+    points = cust.select(
+        c.alias("point_id"),
+        ((c * 17) % 360 - 180 + 0.25).alias("lon"),
+        ((c * 3) % 120 - 60 + 0.25).alias("lat"),
+    )
+    out = point_in_polygon(
+        points, C.PIP_POLYGONS, "lon", "lat", scale=C.PIP_SCALE
+    )
+    return out.select(
+        "point_id",
+        "poly_id",
+        F.round(F.col("lon"), 2).alias("lon"),
+        F.round(F.col("lat"), 2).alias("lat"),
+    )
+
+
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash bucketing (`functions/geometry.py::geohash_encode`):
+    base-32 cell ids as pure Column bit algebra — the spatial
+    shuffle/partition key every geo pipeline wants (join on a prefix
+    = co-locate a cell neighborhood). Emits the 8-char hash and its
+    4-char parent cell per customer point; the oracle replays the
+    identical interleave arithmetic in SQL."""
+    from trollflow2_spark.functions.geometry import geohash_encode
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    c = F.col("c_custkey")
+    points = cust.select(
+        c.alias("point_id"),
+        ((c * 17) % 360 - 180 + 0.25).alias("lon"),
+        ((c * 3) % 120 - 60 + 0.25).alias("lat"),
+    )
+    gh = geohash_encode(F.col("lon"), F.col("lat"), precision=8)
+    return points.select(
+        "point_id",
+        gh.alias("gh8"),
+        F.substring(gh, 1, 4).alias("cell4"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12872,4 +12923,6 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "sqlite_ingest": q_sqlite_ingest,
     "bson_ingest": q_bson_ingest,
+    "point_in_polygon": q_point_in_polygon,
+    "geohash_encode": q_geohash_encode,
 }
