@@ -1412,3 +1412,70 @@ def linear_trend(
             "r2"
         ),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    phase_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition, reduced to its
+    engine-exact core: a centered moving-average trend (half-weight
+    endpoints for an even ``period``, written as a literal lag/lead
+    chain so the float fold is the identical instruction sequence on
+    any engine), detrended residuals, and the CENTERED per-phase
+    seasonal index (phase means minus their grand mean).
+
+    Trend is only defined where the full window exists (no partial
+    averages at series edges — those rows are excluded from the
+    seasonal means, the textbook treatment). Detrended values and
+    phase means are rounded to fixed 9 dp and accumulated in DECIMAL,
+    so every mean is order-insensitive and a SQL oracle replays the
+    whole pipeline bit-for-bit.
+
+    Plan: ONE shuffle (the per-key window), then two hash aggs over
+    key×phase — period-cardinality control-plane output."""
+    half = period // 2
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+
+    def at(j: int):
+        if j == 0:
+            return v
+        if j < 0:
+            return F.lag(v, -j).over(w)
+        return F.lead(v, j).over(w)
+
+    if period % 2 == 0:
+        trend = 0.5 * at(-half) + 0.5 * at(half)
+        for j in range(-half + 1, half):
+            trend = trend + at(j)
+    else:
+        trend = at(-half)
+        for j in range(-half + 1, half + 1):
+            trend = trend + at(j)
+    trend = trend / float(period)
+    detr = df.select(
+        *key_cols,
+        F.col(phase_col).alias("phase"),
+        F.round(v - trend, 9).cast("decimal(38,9)").alias("__d"),
+    ).where(F.col("__d").isNotNull())
+    raw = detr.groupBy(*key_cols, "phase").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum("__d").cast("double") / F.count(F.lit(1))).alias("__s_raw"),
+    )
+    wk = Window.partitionBy(*key_cols)
+    grand = (
+        F.sum(F.round(F.col("__s_raw"), 9).cast("decimal(38,9)")).over(wk)
+        .cast("double")
+        / F.count(F.lit(1)).over(wk)
+    )
+    return raw.select(
+        *key_cols,
+        "phase",
+        "n_obs",
+        F.round(F.col("__s_raw") - grand, 6).alias("seasonal"),
+    )

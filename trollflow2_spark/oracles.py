@@ -9772,3 +9772,49 @@ SELECT point_id,
   substr({GEOHASH_SQL('lon', 'lat', 8)}, 1, 4) AS cell4
 FROM pts
 """
+
+
+def _seasonal_trend_terms(period: int = 24) -> str:
+    """The centered-MA lag/lead chain in the EXACT summation order of
+    extensions/profile.py::seasonal_profile (left-associated)."""
+    half = period // 2
+    terms = [
+        f"0.5 * lag(y, {half}) OVER w",
+        f"0.5 * lead(y, {half}) OVER w",
+    ]
+    for j in range(-half + 1, half):
+        if j == 0:
+            terms.append("y")
+        elif j < 0:
+            terms.append(f"lag(y, {-j}) OVER w")
+        else:
+            terms.append(f"lead(y, {j}) OVER w")
+    return " + ".join(terms)
+
+
+# Hour-of-day seasonal profile: centered-MA trend (full windows only),
+# DECIMAL-exact detrended phase means, centered per-type indices
+ORACLES["seasonal_profile"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, hour(bucket) AS phase,
+    CAST(round(y - ({_seasonal_trend_terms(24)}) / 24.0, 9)
+         AS DECIMAL(38,9)) AS d
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+), raw AS (
+  SELECT event_type, phase, count(*) AS n_obs,
+    CAST(SUM(d) AS DOUBLE) / count(*) AS s_raw
+  FROM tr WHERE d IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, phase, n_obs,
+  round(s_raw
+    - CAST(SUM(CAST(round(s_raw, 9) AS DECIMAL(38,9)))
+           OVER (PARTITION BY event_type) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY event_type), 6) AS seasonal
+FROM raw
+"""

@@ -12577,6 +12577,24 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality of event volume per type
+    (`extensions/profile.py::seasonal_profile`): centered-MA trend as
+    a literal lag/lead chain, DECIMAL-exact detrended phase means,
+    centered seasonal indices — one window shuffle + two hash aggs to
+    a period-cardinality table."""
+    from trollflow2_spark.extensions.profile import seasonal_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    hourly = hourly.withColumn("phase", F.hour("bucket"))
+    return seasonal_profile(
+        hourly, ["event_type"], "bucket", "phase", "y", period=24
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12925,4 +12943,5 @@ QUERIES = {
     "bson_ingest": q_bson_ingest,
     "point_in_polygon": q_point_in_polygon,
     "geohash_encode": q_geohash_encode,
+    "seasonal_profile": q_seasonal_profile,
 }
