@@ -206,3 +206,78 @@ def ewma_bounded(
         v.alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def gaps_islands(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    min_length: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE integer sequence
+    values per key (activity streaks, contiguous id ranges, missing-
+    chunk detection). The classic row_number trick — ``seq -
+    row_number()`` is constant exactly within a consecutive run — so
+    the whole operator is one per-key window plus one hash agg, both
+    on the same shuffle key (a single exchange end to end). Input
+    rows must be distinct on (key, seq); duplicates are collapsed
+    first (they would break the difference invariant)."""
+    d = df.select(*key_cols, F.col(seq_col).alias("__s")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("__s")
+    grp = (F.col("__s") - F.row_number().over(w)).alias("__g")
+    return (
+        d.select(*key_cols, "__s", grp)
+        .groupBy(*key_cols, "__g")
+        .agg(
+            F.min("__s").alias("island_start"),
+            F.max("__s").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .where(F.col("island_len") >= min_length)
+        .drop("__g")
+    )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Maximum interval overlap per key (peak concurrent sessions /
+    calls / jobs) by sweep line: unpivot every interval to a +1 start
+    and a -1 end event, cumulative-sum in time order, take the max.
+    Tie rule: at an identical timestamp, starts count BEFORE ends
+    (delta descending), so touching intervals [a,t] and [t,b] DO
+    overlap at t — the inclusive convention, pinned by tests.
+
+    One shuffle (the per-key window; the unpivot is a zero-shuffle
+    inline explode), integer deltas all the way — engine-exact. The
+    peak instant reported is the earliest timestamp attaining the
+    maximum (min_by over the running level)."""
+    deltas = df.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col(end_col).alias("t"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("__e"),
+    ).select(*key_cols, F.col("__e.t").alias("t"), F.col("__e.delta").alias("delta"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lev = deltas.select(
+        *key_cols, "t", F.sum("delta").over(w).alias("level")
+    )
+    key = F.struct((-F.col("level")).alias("neg"), F.col("t").alias("t"))
+    return lev.groupBy(*key_cols).agg(
+        F.max("level").alias("peak"),
+        F.min_by(F.col("t"), key).alias("peak_at"),
+    )

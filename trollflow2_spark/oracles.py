@@ -9818,3 +9818,47 @@ SELECT event_type, phase, n_obs,
       / COUNT(*) OVER (PARTITION BY event_type), 6) AS seasonal
 FROM raw
 """
+
+
+# Gaps-and-islands: seq - row_number() is constant within a
+# consecutive run; distinct (user, day) first
+ORACLES["activity_streaks"] = f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+  FROM events
+), g AS (
+  SELECT user_id, day_idx,
+    day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx)
+      AS grp
+  FROM d
+)
+SELECT user_id, min(day_idx) AS island_start, max(day_idx) AS island_end,
+  count(*) AS island_len
+FROM g GROUP BY user_id, grp
+HAVING count(*) >= {C.STREAK_MIN_DAYS}
+"""
+
+
+# Sweep line: +1/-1 deltas, starts before ends at equal instants,
+# earliest timestamp attaining the max level
+ORACLES["peak_concurrency"] = """
+WITH iv AS (
+  SELECT event_type, ts AS t0,
+    ts + (event_id % 7 + 1) * INTERVAL 1 MINUTE AS t1
+  FROM events
+), deltas AS (
+  SELECT event_type, t0 AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, t1 AS t, -1 AS delta FROM iv
+), lev AS (
+  SELECT event_type, t,
+    SUM(delta) OVER (PARTITION BY event_type
+                     ORDER BY t, delta DESC
+                     ROWS UNBOUNDED PRECEDING) AS level
+  FROM deltas
+)
+SELECT event_type, CAST(max(level) AS BIGINT) AS peak,
+  first(t ORDER BY level DESC, t) AS peak_at
+FROM lev GROUP BY event_type
+"""

@@ -477,3 +477,4 @@ PIP_POLYGONS = {
     "tri": [[(-170, -55), (-120, 50), (-70, -55)]],
 }
 PIP_SCALE = 4
+STREAK_MIN_DAYS = 2  # minimum island length reported by activity_streaks

@@ -12595,6 +12595,44 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (`operators/windows.py::gaps_islands`):
+    maximal runs of consecutive active DAYS per user — the streak
+    readout. One exchange end to end (window and agg share the user
+    key); day indices are exact integers."""
+    from trollflow2_spark.operators.windows import gaps_islands
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    )
+    return gaps_islands(
+        days, ["user_id"], "day_idx", min_length=C.STREAK_MIN_DAYS
+    )
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval overlap (`operators/windows.py::
+    peak_concurrency`): peak concurrent synthetic sessions per event
+    type (each event holds a slot for event_id%7+1 minutes), with the
+    inclusive starts-before-ends tie rule and the earliest peak
+    instant via one min_by."""
+    from trollflow2_spark.operators.windows import peak_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("t0"),
+        F.expr("ts + make_dt_interval(0, 0, event_id % 7 + 1, 0)").alias(
+            "t1"
+        ),
+    )
+    return peak_concurrency(iv, ["event_type"], "t0", "t1")
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12944,4 +12982,6 @@ QUERIES = {
     "point_in_polygon": q_point_in_polygon,
     "geohash_encode": q_geohash_encode,
     "seasonal_profile": q_seasonal_profile,
+    "activity_streaks": q_activity_streaks,
+    "peak_concurrency": q_peak_concurrency,
 }
