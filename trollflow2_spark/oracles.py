@@ -9862,3 +9862,47 @@ SELECT event_type, CAST(max(level) AS BIGINT) AS peak,
   first(t ORDER BY level DESC, t) AS peak_at
 FROM lev GROUP BY event_type
 """
+
+
+# GeoJSON intake: three features per doc, all metrics closed-form in
+# doc_id; polygon area = w*h minus the 0.0625 hole on d%3=0 docs
+ORACLES["geojson_ingest"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 17 = 0 AS trunc,
+    doc_id % 100 AS x0, doc_id % 40 AS y0,
+    1 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+    doc_id % 3 = 0 AS holed
+  FROM documents
+), feats AS (
+  SELECT doc_id, CAST(0 AS INT) AS feat_idx, 'Point' AS gtype,
+    1 AS n_points, 0 AS n_rings,
+    CAST(doc_id % 360 - 180 + 0.5 AS DOUBLE) AS bbox_xmax,
+    CAST(doc_id % 120 - 60 + 0.5 AS DOUBLE) AS bbox_ymax,
+    CAST(0 AS DOUBLE) AS area, CAST(NULL AS INT) AS ccw,
+    'p' || CAST(doc_id % 50 AS VARCHAR) AS name,
+    CAST(doc_id % 9 AS BIGINT) AS rank
+  FROM base WHERE NOT trunc
+  UNION ALL
+  SELECT doc_id, 1, 'Polygon',
+    CASE WHEN holed THEN 10 ELSE 5 END,
+    CASE WHEN holed THEN 2 ELSE 1 END,
+    CAST(x0 + w AS DOUBLE), CAST(y0 + h AS DOUBLE),
+    round(CAST(w * h AS DOUBLE)
+          - CASE WHEN holed THEN 0.0625 ELSE 0 END, 6),
+    CAST(doc_id % 2 = 0 AS INT), NULL, NULL
+  FROM base WHERE NOT trunc
+  UNION ALL
+  SELECT doc_id, 2, 'LineString', 3, 0,
+    CAST(doc_id % 10 AS DOUBLE), CAST(doc_id % 7 AS DOUBLE),
+    CAST(0 AS DOUBLE), NULL, NULL, NULL
+  FROM base WHERE NOT trunc
+)
+SELECT doc_id, feat_idx, CAST(0 AS INT) AS err, gtype,
+  CAST(n_points AS INT) AS n_points, CAST(n_rings AS INT) AS n_rings,
+  bbox_xmax, bbox_ymax, area, ccw, name, rank
+FROM feats
+UNION ALL
+SELECT doc_id, NULL, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, NULL, NULL
+FROM base WHERE trunc
+"""

@@ -12633,6 +12633,120 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_concurrency(iv, ["event_type"], "t0", "t1")
 
 
+def q_geojson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON FeatureCollection intake (`sources/geojson.py`):
+    per-feature bbox, shoelace areas with hole subtraction, and the
+    RFC 7946 exterior-winding audit, all computed at the byte
+    boundary; every 17th document truncates to ONE err=1 quarantine
+    row. Fixture coordinates are binary-exact (integers + quarter
+    offsets), so areas replay exactly."""
+    from trollflow2_spark.sources.geojson import read_geojson
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    text_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def make_docs(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                x0, y0 = d % 100, d % 40
+                w, h = 1 + d % 5, 2 + d % 3
+                ring = [
+                    [x0, y0],
+                    [x0 + w, y0],
+                    [x0 + w, y0 + h],
+                    [x0, y0 + h],
+                    [x0, y0],
+                ]
+                if d % 2 == 1:
+                    ring = ring[::-1]  # clockwise exterior: flagged
+                rings = [ring]
+                if d % 3 == 0:
+                    rings.append(
+                        [
+                            [x0 + 0.25, y0 + 0.25],
+                            [x0 + 0.5, y0 + 0.25],
+                            [x0 + 0.5, y0 + 0.5],
+                            [x0 + 0.25, y0 + 0.5],
+                            [x0 + 0.25, y0 + 0.25],
+                        ]
+                    )
+                fc = {
+                    "type": "FeatureCollection",
+                    "features": [
+                        {
+                            "type": "Feature",
+                            "geometry": {
+                                "type": "Point",
+                                "coordinates": [
+                                    d % 360 - 180 + 0.5,
+                                    d % 120 - 60 + 0.5,
+                                ],
+                            },
+                            "properties": {
+                                "name": f"p{d % 50}",
+                                "rank": d % 9,
+                            },
+                        },
+                        {
+                            "type": "Feature",
+                            "geometry": {
+                                "type": "Polygon",
+                                "coordinates": rings,
+                            },
+                            "properties": {},
+                        },
+                        {
+                            "type": "Feature",
+                            "geometry": {
+                                "type": "LineString",
+                                "coordinates": [
+                                    [0, 0],
+                                    [d % 10, 0],
+                                    [d % 10, d % 7],
+                                ],
+                            },
+                            "properties": {},
+                        },
+                    ],
+                }
+                text = _json.dumps(fc)
+                if d % 17 == 0:
+                    text = text[: len(text) // 2]
+                texts.append(text)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": texts})
+
+    texts = docs.mapInPandas(make_docs, text_schema)
+    parsed = read_geojson(texts)
+    p = F.from_json(F.col("props"), "name string, rank bigint")
+    return parsed.select(
+        "doc_id",
+        "feat_idx",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        "gtype",
+        "n_points",
+        "n_rings",
+        "bbox_xmax",
+        "bbox_ymax",
+        F.round(F.col("area"), 6).alias("area"),
+        "ccw",
+        p["name"].alias("name"),
+        p["rank"].alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12984,4 +13098,5 @@ QUERIES = {
     "seasonal_profile": q_seasonal_profile,
     "activity_streaks": q_activity_streaks,
     "peak_concurrency": q_peak_concurrency,
+    "geojson_ingest": q_geojson_ingest,
 }
