@@ -1479,3 +1479,149 @@ def seasonal_profile(
         "n_obs",
         F.round(F.col("__s_raw") - grand, 6).alias("seasonal"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Exact winsorized and trimmed means per group — the robust-mean
+    pair every metrics warehouse wants next to `outlier_mad_filter`.
+
+    Convention (pinned by tests): with ``k = floor(p_lo * n)`` and
+    ``m = floor((1 - p_hi) * n)``, the k smallest values are replaced
+    by the (k+1)-th smallest and the m largest by the (n-m)-th
+    (winsorizing); the trimmed mean simply drops both tails. Ranks
+    come from ONE row_number window over the total (value, tiebreak)
+    order, counts from the same partition — so ranks are unambiguous
+    under duplicate values and the whole operator is a single
+    exchange (window + agg on the same key). Sums accumulate in
+    DECIMAL fixed-point; clip values surface via min_by on the exact
+    rank."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    wn = Window.partitionBy(*group_cols)
+    v = F.col(value_col).cast("double")
+    ranked = df.select(
+        *group_cols,
+        v.alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    k = F.floor(F.lit(p_lo) * F.col("__n").cast("double"))
+    m = F.floor(F.lit(1.0 - p_hi) * F.col("__n").cast("double"))
+    tagged = ranked.select(
+        *group_cols,
+        "__v",
+        "__rn",
+        "__n",
+        k.alias("__k"),
+        m.alias("__m"),
+    )
+    rn, n = F.col("__rn"), F.col("__n")
+    kk, mm = F.col("__k"), F.col("__m")
+    mid = (rn > kk) & (rn <= n - mm)
+    dv = F.round(F.col("__v"), 6).cast("decimal(38,6)")
+    agg = tagged.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k_lo"),
+        F.max("__m").alias("k_hi"),
+        F.sum(F.when(mid, dv)).alias("__mid_sum"),
+        F.count(F.when(mid, F.lit(1))).alias("__mid_n"),
+        F.min(F.when(rn == kk + 1, F.col("__v"))).alias("__lo"),
+        F.min(F.when(rn == n - mm, F.col("__v"))).alias("__hi"),
+    )
+    mid_sum = F.col("__mid_sum").cast("double")
+    mid_n = F.col("__mid_n").cast("double")
+    klo = F.col("k_lo").cast("double")
+    khi = F.col("k_hi").cast("double")
+    return agg.select(
+        *group_cols,
+        "n",
+        "k_lo",
+        "k_hi",
+        F.round(F.col("__lo"), 6).alias("lo_clip"),
+        F.round(F.col("__hi"), 6).alias("hi_clip"),
+        F.round(mid_sum / mid_n, 6).alias("trimmed_mean"),
+        F.round(
+            (mid_sum + klo * F.col("__lo") + khi * F.col("__hi"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("winsor_mean"),
+    )
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join-key health report for a planned (left, right) join — the
+    check a pipeline runs BEFORE shipping a join at scale: row and
+    distinct-key counts per side, orphan keys in both directions,
+    max/avg fan-out per matched key, the worst-case join output size,
+    and the relationship class (1:1 / 1:N / N:1 / N:M).
+
+    Scale shape: each side collapses to its key-level profile with
+    one map-side-combinable hash agg FIRST (the audit never joins raw
+    rows), then the two key-cardinality profiles meet in one
+    full-outer equi join; every output number is a control-plane
+    scalar. The max-fanout column is exactly the skew signal
+    `skew_join_profile` hunts, here per planned join."""
+    lk = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__ln")
+    )
+    rk = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__rn")
+    )
+    j = lk.join(rk, "__k", "full_outer")
+    ln = F.coalesce(F.col("__ln"), F.lit(0))
+    rn = F.coalesce(F.col("__rn"), F.lit(0))
+    matched = (ln > 0) & (rn > 0)
+    agg = j.agg(
+        F.sum(ln).alias("left_rows"),
+        F.sum(rn).alias("right_rows"),
+        F.count(F.when(ln > 0, F.lit(1))).alias("left_keys"),
+        F.count(F.when(rn > 0, F.lit(1))).alias("right_keys"),
+        F.count(F.when(ln > 0, F.when(rn == 0, F.lit(1)))).alias(
+            "left_orphan_keys"
+        ),
+        F.count(F.when(rn > 0, F.when(ln == 0, F.lit(1)))).alias(
+            "right_orphan_keys"
+        ),
+        F.sum(F.when(matched, ln * rn).otherwise(F.lit(0))).alias(
+            "join_rows"
+        ),
+        F.max(F.when(matched, ln)).alias("max_left_fanout"),
+        F.max(F.when(matched, rn)).alias("max_right_fanout"),
+        F.count(F.when(matched, F.lit(1))).alias("matched_keys"),
+    )
+    cls = (
+        F.when(
+            (F.col("max_left_fanout") <= 1)
+            & (F.col("max_right_fanout") <= 1),
+            F.lit("1:1"),
+        )
+        .when(F.col("max_right_fanout") <= 1, F.lit("N:1"))
+        .when(F.col("max_left_fanout") <= 1, F.lit("1:N"))
+        .otherwise(F.lit("N:M"))
+    )
+    return agg.select(
+        "left_rows",
+        "right_rows",
+        "left_keys",
+        "right_keys",
+        "matched_keys",
+        "left_orphan_keys",
+        "right_orphan_keys",
+        "join_rows",
+        "max_left_fanout",
+        "max_right_fanout",
+        cls.alias("relationship"),
+    )

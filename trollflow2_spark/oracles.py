@@ -9906,3 +9906,78 @@ SELECT doc_id, NULL, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL,
   NULL, NULL, NULL, NULL
 FROM base WHERE trunc
 """
+
+
+# Winsorized/trimmed means: row_number over the total (value, key)
+# order, floor(p*n) tail sizes, DECIMAL mid-sum, same double chain
+ORACLES["winsorized_stats"] = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+    CAST(o_totalprice AS DOUBLE) AS v,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), tagged AS (
+  SELECT *,
+    CAST(floor(0.05 * CAST(n AS DOUBLE)) AS BIGINT) AS k,
+    CAST(floor((1.0 - 0.95) * CAST(n AS DOUBLE)) AS BIGINT) AS m
+  FROM ranked
+), agg AS (
+  SELECT o_orderpriority,
+    max(n) AS n, max(k) AS k_lo, max(m) AS k_hi,
+    SUM(CASE WHEN rn > k AND rn <= n - m
+        THEN CAST(round(v, 6) AS DECIMAL(38,6)) END) AS mid_sum,
+    COUNT(CASE WHEN rn > k AND rn <= n - m THEN 1 END) AS mid_n,
+    MIN(CASE WHEN rn = k + 1 THEN v END) AS lo,
+    MIN(CASE WHEN rn = n - m THEN v END) AS hi
+  FROM tagged GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+  CAST(k_lo AS BIGINT) AS k_lo, CAST(k_hi AS BIGINT) AS k_hi,
+  round(lo, 6) AS lo_clip, round(hi, 6) AS hi_clip,
+  round(CAST(mid_sum AS DOUBLE) / CAST(mid_n AS DOUBLE), 6)
+    AS trimmed_mean,
+  round((CAST(mid_sum AS DOUBLE) + CAST(k_lo AS DOUBLE) * lo
+         + CAST(k_hi AS DOUBLE) * hi) / CAST(n AS DOUBLE), 6)
+    AS winsor_mean
+FROM agg
+"""
+
+
+# Join-key health: key-level profiles full-outer joined; worst-case
+# join size = sum of ln*rn over matched keys
+ORACLES["join_cardinality_audit"] = """
+WITH lk AS (
+  SELECT l_orderkey AS k, COUNT(*) AS ln FROM lineitem GROUP BY 1
+), rk AS (
+  SELECT o_orderkey AS k, COUNT(*) AS rn FROM orders GROUP BY 1
+), j AS (
+  SELECT COALESCE(lk.ln, 0) AS ln, COALESCE(rk.rn, 0) AS rn
+  FROM lk FULL OUTER JOIN rk USING (k)
+), agg AS (
+  SELECT
+    CAST(SUM(ln) AS BIGINT) AS left_rows,
+    CAST(SUM(rn) AS BIGINT) AS right_rows,
+    COUNT(CASE WHEN ln > 0 THEN 1 END) AS left_keys,
+    COUNT(CASE WHEN rn > 0 THEN 1 END) AS right_keys,
+    COUNT(CASE WHEN ln > 0 AND rn > 0 THEN 1 END) AS matched_keys,
+    COUNT(CASE WHEN ln > 0 AND rn = 0 THEN 1 END) AS left_orphan_keys,
+    COUNT(CASE WHEN rn > 0 AND ln = 0 THEN 1 END) AS right_orphan_keys,
+    CAST(SUM(CASE WHEN ln > 0 AND rn > 0 THEN ln * rn ELSE 0 END)
+         AS BIGINT) AS join_rows,
+    CAST(MAX(CASE WHEN ln > 0 AND rn > 0 THEN ln END) AS BIGINT)
+      AS max_left_fanout,
+    CAST(MAX(CASE WHEN ln > 0 AND rn > 0 THEN rn END) AS BIGINT)
+      AS max_right_fanout
+  FROM j
+)
+SELECT left_rows, right_rows, left_keys, right_keys, matched_keys,
+  left_orphan_keys, right_orphan_keys, join_rows,
+  max_left_fanout, max_right_fanout,
+  CASE WHEN max_left_fanout <= 1 AND max_right_fanout <= 1 THEN '1:1'
+       WHEN max_right_fanout <= 1 THEN 'N:1'
+       WHEN max_left_fanout <= 1 THEN '1:N'
+       ELSE 'N:M' END AS relationship
+FROM agg
+"""

@@ -12747,6 +12747,37 @@ def q_geojson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means (`extensions/profile.py::winsorized_stats`):
+    exact 5/95 winsorized and trimmed mean of order value per
+    priority — one window + one agg on the same shuffle key, ranks
+    total-ordered by (value, orderkey) so duplicates cannot flap."""
+    from trollflow2_spark.extensions.profile import winsorized_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return winsorized_stats(
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        ["o_orderkey"],
+        p_lo=0.05,
+        p_hi=0.95,
+    )
+
+
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key health (`extensions/profile.py::
+    join_cardinality_audit`): lineitem ⋈ orders on orderkey — each
+    side collapses to a key profile first (map-side-combinable), the
+    profiles meet in ONE full-outer equi join, and the report carries
+    orphans, fan-outs, worst-case output size and the N:1 class."""
+    from trollflow2_spark.extensions.profile import join_cardinality_audit
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return join_cardinality_audit(li, orders, "l_orderkey", "o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13099,4 +13130,6 @@ QUERIES = {
     "activity_streaks": q_activity_streaks,
     "peak_concurrency": q_peak_concurrency,
     "geojson_ingest": q_geojson_ingest,
+    "winsorized_stats": q_winsorized_stats,
+    "join_cardinality_audit": q_join_cardinality_audit,
 }
