@@ -1,0 +1,122 @@
+"""Conformance tests for the iCalendar reader (`sources/ics.py`):
+unfolding, escaping, duration math, RRULE expansion semantics."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from trollflow2_spark.sources.ics import expand_rrule, parse_ics, read_ics
+
+
+def _cal(*event_lines):
+    return "\r\n".join(
+        ["BEGIN:VCALENDAR", "VERSION:2.0", *event_lines, "END:VCALENDAR"]
+    )
+
+
+BASIC = _cal(
+    "BEGIN:VEVENT",
+    "UID:one@x",
+    "SUMMARY:Team\\, sync\\; folded title that continues on the",
+    " next line",
+    "DTSTART:20240101T090000Z",
+    "DURATION:PT1H30M",
+    "END:VEVENT",
+)
+
+
+def test_unfold_unescape_duration():
+    (o,) = parse_ics(BASIC)
+    assert o["summary"] == (
+        "Team, sync; folded title that continues on thenext line"
+    )
+    assert o["occ_start"] == "2024-01-01T09:00:00"
+    assert o["occ_end"] == "2024-01-01T10:30:00"
+    assert o["tzid"] == "UTC" and o["all_day"] == 0
+
+
+def test_all_day_value_date():
+    (o,) = parse_ics(
+        _cal(
+            "BEGIN:VEVENT",
+            "UID:d@x",
+            "DTSTART;VALUE=DATE:20240401",
+            "END:VEVENT",
+        )
+    )
+    assert o["all_day"] == 1
+    assert o["occ_start"] == "2024-04-01T00:00:00"
+    assert o["occ_end"] == "2024-04-02T00:00:00"  # implicit one day
+
+
+def test_daily_interval_count():
+    occs, capped = expand_rrule(
+        datetime.datetime(2024, 3, 1, 12),
+        {"FREQ": "DAILY", "INTERVAL": "2", "COUNT": "3"},
+    )
+    assert [o.day for o in occs] == [1, 3, 5] and not capped
+
+
+def test_weekly_byday_order():
+    # DTSTART Wed Jan 3: TH 4, MO 8, TH 11, MO 15
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 3, 10),
+        {"FREQ": "WEEKLY", "BYDAY": "MO,TH", "COUNT": "4"},
+    )
+    assert [o.strftime("%m-%d") for o in occs] == [
+        "01-04", "01-08", "01-11", "01-15",
+    ]
+
+
+def test_monthly_invalid_dates_skipped_not_counted():
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 31, 8), {"FREQ": "MONTHLY", "COUNT": "3"}
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occs] == [
+        "2024-01-31", "2024-03-31", "2024-05-31",
+    ]
+
+
+def test_until_inclusive():
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1),
+        {"FREQ": "DAILY", "UNTIL": "20240104T000000Z"},
+    )
+    assert len(occs) == 4
+
+
+def test_unbounded_rule_trips_cap():
+    occs, capped = expand_rrule(
+        datetime.datetime(2024, 1, 1), {"FREQ": "DAILY"}, max_occurrences=10
+    )
+    assert capped and len(occs) == 10
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "not a calendar",
+        _cal("BEGIN:VEVENT", "UID:x@x", "END:VEVENT"),  # no DTSTART
+        _cal(
+            "BEGIN:VEVENT",
+            "UID:x@x",
+            "DTSTART:20240101T000000Z",
+            "DURATION:NOPE",
+            "END:VEVENT",
+        ),
+        BASIC[: len(BASIC) // 2],  # truncated: VCALENDAR unterminated
+    ],
+)
+def test_malformed_raise(bad):
+    with pytest.raises(ValueError):
+        parse_ics(bad)
+
+
+def test_spark_reader_quarantine(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=BASIC), Row(doc_id=2, text=BASIC[:30])]
+    )
+    out = {r.doc_id: r for r in read_ics(df).collect()}
+    assert out[1].error is None and out[1].uid == "one@x"
+    assert out[2].error is not None and out[2].uid is None

@@ -9981,3 +9981,49 @@ SELECT left_rows, right_rows, left_keys, right_keys, matched_keys,
        ELSE 'N:M' END AS relationship
 FROM agg
 """
+
+
+# iCalendar intake: one one-off event + one DAILY recurrence per doc,
+# all timestamps closed-form in doc_id; ISO strings via strftime
+ORACLES["ics_ingest"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 17 = 0 AS trunc,
+    1 + doc_id % 2 AS iv, 2 + doc_id % 4 AS cnt
+  FROM documents
+), e1 AS (
+  SELECT doc_id, 'e1-' || CAST(doc_id AS VARCHAR) || '@x' AS uid,
+    'Sync, team ' || CAST(doc_id % 10 AS VARCHAR) AS summary,
+    CAST(0 AS INT) AS occ_idx,
+    strftime(TIMESTAMP '2024-01-01 00:00:00'
+             + doc_id * INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S')
+      AS occ_start,
+    strftime(TIMESTAMP '2024-01-01 00:00:00'
+             + doc_id * INTERVAL 1 HOUR + INTERVAL 90 MINUTE,
+             '%Y-%m-%dT%H:%M:%S') AS occ_end
+  FROM base WHERE NOT trunc
+), e2 AS (
+  SELECT b.doc_id, 'e2-' || CAST(b.doc_id AS VARCHAR) || '@x' AS uid,
+    'Daily' AS summary, CAST(j AS INT) AS occ_idx,
+    strftime(TIMESTAMP '2024-03-01 12:00:00'
+             + b.doc_id * INTERVAL 1 MINUTE
+             + j * b.iv * INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%S')
+      AS occ_start,
+    strftime(TIMESTAMP '2024-03-01 12:00:00'
+             + b.doc_id * INTERVAL 1 MINUTE
+             + j * b.iv * INTERVAL 1 DAY + INTERVAL 45 MINUTE,
+             '%Y-%m-%dT%H:%M:%S') AS occ_end
+  FROM base b JOIN (SELECT unnest(range(6)) AS j) t ON t.j < b.cnt
+  WHERE NOT b.trunc
+)
+SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
+  CAST(0 AS INT) AS all_day, CAST(0 AS INT) AS capped,
+  CAST(0 AS INT) AS err
+FROM e1
+UNION ALL
+SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
+  CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e2
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  CAST(1 AS INT)
+FROM base WHERE trunc
+"""

@@ -12778,6 +12778,77 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_cardinality_audit(li, orders, "l_orderkey", "o_orderkey")
 
 
+def q_ics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCalendar intake (`sources/ics.py`): RFC 5545 line unfolding,
+    TEXT unescaping, DURATION parsing and DAILY-RRULE expansion to
+    one row per occurrence; every 17th document truncates to ONE
+    err=1 quarantine row."""
+    from trollflow2_spark.sources.ics import read_ics
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    text_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def make_docs(batches):
+        import datetime as _dt
+
+        import pandas as pd
+
+        base1 = _dt.datetime(2024, 1, 1)
+        base2 = _dt.datetime(2024, 3, 1, 12)
+        for pdf in batches:
+            texts = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s1 = (base1 + _dt.timedelta(hours=d)).strftime(
+                    "%Y%m%dT%H%M%SZ"
+                )
+                s2 = base2 + _dt.timedelta(minutes=d)
+                lines = [
+                    "BEGIN:VCALENDAR",
+                    "VERSION:2.0",
+                    "BEGIN:VEVENT",
+                    f"UID:e1-{d}@x",
+                    f"SUMMARY:Sync\\, team {d % 10}",
+                    f"DTSTART:{s1}",
+                    "DURATION:PT1H30M",
+                    "END:VEVENT",
+                    "BEGIN:VEVENT",
+                    f"UID:e2-{d}@x",
+                    "SUMMARY:Daily",
+                    f"DTSTART:{s2.strftime('%Y%m%dT%H%M%SZ')}",
+                    f"DTEND:{(s2 + _dt.timedelta(minutes=45)).strftime('%Y%m%dT%H%M%SZ')}",
+                    f"RRULE:FREQ=DAILY;INTERVAL={1 + d % 2};COUNT={2 + d % 4}",
+                    "END:VEVENT",
+                    "END:VCALENDAR",
+                ]
+                text = "\r\n".join(lines)
+                if d % 17 == 0:
+                    text = text[: len(text) // 2]
+                texts.append(text)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": texts})
+
+    texts = docs.mapInPandas(make_docs, text_schema)
+    parsed = read_ics(texts)
+    return parsed.select(
+        "doc_id",
+        "uid",
+        "summary",
+        "occ_idx",
+        "occ_start",
+        "occ_end",
+        "all_day",
+        "capped",
+        F.col("error").isNotNull().cast("int").alias("err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13132,4 +13203,5 @@ QUERIES = {
     "geojson_ingest": q_geojson_ingest,
     "winsorized_stats": q_winsorized_stats,
     "join_cardinality_audit": q_join_cardinality_audit,
+    "ics_ingest": q_ics_ingest,
 }

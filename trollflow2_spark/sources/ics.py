@@ -1,0 +1,329 @@
+"""iCalendar (RFC 5545) intake with recurrence expansion.
+
+Calendar exports (.ics) are a routine corpus/log format — meeting
+archives, scheduling telemetry, public event feeds. This module
+implements the text grammar and the recurrence core from the public
+spec:
+
+- content-line UNFOLDING (CRLF followed by space/tab), property
+  parsing ``NAME;PARAM=VAL:VALUE`` with parameter lists, and TEXT
+  unescaping (``\\\\  \\;  \\,  \\n``);
+- VEVENT extraction from VCALENDAR with DTSTART (UTC ``Z`` form,
+  floating local, and all-day ``VALUE=DATE``), DTEND or DURATION
+  (ISO-8601 subset ``PnW`` / ``PnDTnHnMnS``);
+- RRULE expansion for FREQ=DAILY / WEEKLY / MONTHLY with INTERVAL,
+  COUNT, UNTIL and (for WEEKLY) BYDAY. Instances that would land on
+  an invalid date (e.g. the 31st of a short month) are SKIPPED and do
+  not consume COUNT — the documented convention, pinned by tests.
+  Expansion is hard-capped (``max_occurrences``) with a loud flag —
+  an unbounded RRULE must not hang an executor.
+
+Timestamps surface as ISO-8601 strings (timezone handling beyond the
+UTC/floating split is out of scope and flagged via the ``tzid``
+column, never silently dropped). Malformed documents yield ONE
+quarantine row. Spark shape: one Arrow ``mapInPandas`` pass.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame, types as T
+
+__all__ = ["read_ics", "parse_ics", "expand_rrule", "ICS_ROWS_SCHEMA"]
+
+ICS_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("uid", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("occ_idx", T.IntegerType()),
+        T.StructField("occ_start", T.StringType()),
+        T.StructField("occ_end", T.StringType()),
+        T.StructField("all_day", T.IntegerType()),
+        T.StructField("tzid", T.StringType()),
+        T.StructField("capped", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_WEEKDAYS = {"MO": 0, "TU": 1, "WE": 2, "TH": 3, "FR": 4, "SA": 5, "SU": 6}
+
+_DUR_RE = re.compile(
+    r"^([+-]?)P(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$"
+)
+
+
+def _unfold(text: str) -> list[str]:
+    lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    out: list[str] = []
+    for ln in lines:
+        if ln[:1] in (" ", "\t") and out:
+            out[-1] += ln[1:]
+        elif ln:
+            out.append(ln)
+    return out
+
+
+def _unescape(v: str) -> str:
+    out, i = [], 0
+    while i < len(v):
+        if v[i] == "\\" and i + 1 < len(v):
+            c = v[i + 1]
+            out.append(
+                "\n" if c in "nN" else c if c in "\\;," else "\\" + c
+            )
+            i += 2
+        else:
+            out.append(v[i])
+            i += 1
+    return "".join(out)
+
+
+def _prop(line: str) -> tuple[str, dict[str, str], str]:
+    # NAME;P1=V1;P2=V2:value — params may hold quoted strings
+    i, in_q = 0, False
+    while i < len(line):
+        c = line[i]
+        if c == '"':
+            in_q = not in_q
+        elif c == ":" and not in_q:
+            break
+        i += 1
+    if i >= len(line):
+        raise ValueError(f"property line without ':': {line[:40]!r}")
+    head, value = line[:i], line[i + 1 :]
+    parts = head.split(";")
+    params = {}
+    for p in parts[1:]:
+        if "=" in p:
+            k, v = p.split("=", 1)
+            params[k.upper()] = v.strip('"')
+    return parts[0].upper(), params, value
+
+
+def _parse_dt(value: str, params: dict) -> tuple[datetime.datetime, int, str]:
+    """Returns (naive datetime, all_day flag, tzid-or-'UTC'/'FLOATING')."""
+    tzid = params.get("TZID", "")
+    if params.get("VALUE") == "DATE" or re.fullmatch(r"\d{8}", value):
+        d = datetime.datetime.strptime(value, "%Y%m%d")
+        return d, 1, tzid or "FLOATING"
+    if value.endswith("Z"):
+        d = datetime.datetime.strptime(value[:-1], "%Y%m%dT%H%M%S")
+        return d, 0, "UTC"
+    d = datetime.datetime.strptime(value, "%Y%m%dT%H%M%S")
+    return d, 0, tzid or "FLOATING"
+
+
+def _parse_duration(value: str) -> datetime.timedelta:
+    m = _DUR_RE.match(value.strip())
+    if not m or not any(m.groups()[1:]):
+        raise ValueError(f"bad DURATION {value!r}")
+    sign = -1 if m.group(1) == "-" else 1
+    w, d, h, mi, s = (int(g or 0) for g in m.groups()[1:])
+    return sign * datetime.timedelta(
+        weeks=w, days=d, hours=h, minutes=mi, seconds=s
+    )
+
+
+def _parse_rrule(value: str) -> dict:
+    rule: dict = {}
+    for part in value.split(";"):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        rule[k.upper()] = v
+    if "FREQ" not in rule:
+        raise ValueError(f"RRULE without FREQ: {value!r}")
+    return rule
+
+
+def expand_rrule(
+    dtstart: datetime.datetime,
+    rule: dict,
+    max_occurrences: int = 1000,
+) -> tuple[list[datetime.datetime], bool]:
+    """Expand DAILY/WEEKLY/MONTHLY recurrences from DTSTART; returns
+    (occurrences, capped). Invalid month-days are skipped without
+    consuming COUNT; the hard cap trips loudly instead of looping."""
+    freq = rule["FREQ"].upper()
+    interval = int(rule.get("INTERVAL", 1))
+    if interval < 1:
+        raise ValueError(f"bad INTERVAL {rule.get('INTERVAL')!r}")
+    count = int(rule["COUNT"]) if "COUNT" in rule else None
+    until = None
+    if "UNTIL" in rule:
+        until, _, _ = _parse_dt(rule["UNTIL"], {})
+    if count is None and until is None:
+        count = max_occurrences + 1  # unbounded rule -> cap trips
+    out: list[datetime.datetime] = []
+    capped = False
+
+    def emit(dt: datetime.datetime) -> bool:
+        nonlocal capped
+        if until is not None and dt > until:
+            return False
+        if len(out) >= max_occurrences:
+            capped = True
+            return False
+        out.append(dt)
+        return count is None or len(out) < count
+
+    if freq == "DAILY":
+        step = datetime.timedelta(days=interval)
+        cur = dtstart
+        while emit(cur):
+            cur = cur + step
+    elif freq == "WEEKLY":
+        bydays = sorted(
+            _WEEKDAYS[d] for d in rule.get("BYDAY", "").split(",") if d
+        ) or [dtstart.weekday()]
+        week0 = dtstart - datetime.timedelta(days=dtstart.weekday())
+        week = 0
+        going = True
+        while going:
+            base = week0 + datetime.timedelta(weeks=week)
+            for wd in bydays:
+                dt = base + datetime.timedelta(days=wd)
+                dt = dt.replace(
+                    hour=dtstart.hour,
+                    minute=dtstart.minute,
+                    second=dtstart.second,
+                )
+                if dt < dtstart:
+                    continue
+                if not emit(dt):
+                    going = False
+                    break
+            week += interval
+            if week > 53 * (max_occurrences + 1):
+                capped = True
+                going = False
+    elif freq == "MONTHLY":
+        day = dtstart.day
+        y, mth = dtstart.year, dtstart.month
+        k = 0
+        going = True
+        while going:
+            yy = y + (mth - 1 + k * interval) // 12
+            mm = (mth - 1 + k * interval) % 12 + 1
+            k += 1
+            try:
+                dt = dtstart.replace(year=yy, month=mm, day=day)
+            except ValueError:
+                if k > 12 * (max_occurrences + 2):
+                    capped = True
+                    going = False
+                continue  # invalid date: skipped, COUNT not consumed
+            if not emit(dt):
+                going = False
+    else:
+        raise ValueError(f"unsupported FREQ {freq!r}")
+    return out, capped
+
+
+def parse_ics(text: str, max_occurrences: int = 1000) -> list[dict]:
+    """Parse VEVENTs and expand recurrences; one dict per occurrence."""
+    lines = _unfold(text)
+    if not lines or _prop(lines[0])[0] != "BEGIN":
+        raise ValueError("not an iCalendar document")
+    if "END:VCALENDAR" not in [ln.strip().upper() for ln in lines]:
+        raise ValueError("unterminated VCALENDAR")
+    events = []
+    cur: dict | None = None
+    for ln in lines:
+        name, params, value = _prop(ln)
+        if name == "BEGIN" and value.upper() == "VEVENT":
+            cur = {}
+        elif name == "END" and value.upper() == "VEVENT":
+            if cur is None:
+                raise ValueError("END:VEVENT without BEGIN")
+            events.append(cur)
+            cur = None
+        elif cur is not None:
+            cur[name] = (params, value)
+    out = []
+    for ev in events:
+        if "DTSTART" not in ev:
+            raise ValueError("VEVENT without DTSTART")
+        params, value = ev["DTSTART"]
+        start, all_day, tzid = _parse_dt(value, params)
+        if "DTEND" in ev:
+            ep, evv = ev["DTEND"]
+            end, _, _ = _parse_dt(evv, ep)
+            dur = end - start
+        elif "DURATION" in ev:
+            dur = _parse_duration(ev["DURATION"][1])
+        else:
+            dur = datetime.timedelta(days=1 if all_day else 0)
+        uid = _unescape(ev.get("UID", ({}, ""))[1])
+        summary = _unescape(ev.get("SUMMARY", ({}, ""))[1])
+        capped = 0
+        if "RRULE" in ev:
+            occs, was_capped = expand_rrule(
+                start, _parse_rrule(ev["RRULE"][1]), max_occurrences
+            )
+            capped = int(was_capped)
+        else:
+            occs = [start]
+        for i, occ in enumerate(occs):
+            out.append(
+                {
+                    "uid": uid,
+                    "summary": summary,
+                    "occ_idx": i,
+                    "occ_start": occ.isoformat(),
+                    "occ_end": (occ + dur).isoformat(),
+                    "all_day": all_day,
+                    "tzid": tzid,
+                    "capped": capped,
+                }
+            )
+    return out
+
+
+def read_ics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1000,
+) -> DataFrame:
+    """Parse an .ics text column: one row per expanded occurrence
+    (+ one quarantine row per unreadable document)."""
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in ICS_ROWS_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                try:
+                    occs = parse_ics(text, max_occurrences)
+                except (ValueError, KeyError) as e:
+                    out.append(
+                        (did,) + (None,) * 8 + (f"{type(e).__name__}: {e}",)
+                    )
+                    continue
+                for o in occs:
+                    out.append(
+                        (
+                            did,
+                            o["uid"],
+                            o["summary"],
+                            o["occ_idx"],
+                            o["occ_start"],
+                            o["occ_end"],
+                            o["all_day"],
+                            o["tzid"],
+                            o["capped"],
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(kernel, ICS_ROWS_SCHEMA)
