@@ -10027,3 +10027,98 @@ SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   CAST(1 AS INT)
 FROM base WHERE trunc
 """
+
+
+# Combined-log parse: the oracle emits the planted fields directly —
+# the Spark side must recover them from its own rendered lines
+ORACLES["access_log_parse"] = """
+WITH base AS (
+  SELECT event_id AS e, user_id AS u, event_type,
+    date_trunc('second', ts) AS ts2, event_id % 17 = 0 AS bad
+  FROM events
+), fields AS (
+  SELECT e,
+    CAST(e % 223 + 1 AS VARCHAR) || '.' || CAST(e * 7 % 256 AS VARCHAR)
+      || '.' || CAST(e * 13 % 256 AS VARCHAR) || '.'
+      || CAST(e * 31 % 256 AS VARCHAR) AS ip,
+    CASE WHEN u % 5 = 0 THEN NULL
+         ELSE 'u' || CAST(u % 100 AS VARCHAR) END AS user,
+    ts2 AS req_ts,
+    CASE e % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+               WHEN 2 THEN 'PUT' ELSE 'DELETE' END AS method,
+    '/api/' || event_type || '/' || CAST(e % 50 AS VARCHAR) AS path,
+    'HTTP/1.1' AS proto,
+    CASE WHEN e % 7 = 0 THEN 500 WHEN e % 7 = 1 THEN 404
+         WHEN e % 7 = 2 THEN 301 ELSE 200 END AS status,
+    CASE WHEN e % 7 = 2 THEN NULL
+         ELSE CAST(e % 5000 AS BIGINT) END AS bytes,
+    CASE WHEN e % 3 = 0 THEN NULL
+         ELSE 'https://ref.example/x' || CAST(e % 9 AS VARCHAR)
+    END AS referer,
+    CASE WHEN u % 10 = 0
+         THEN 'crawler-bot/2.' || CAST(u % 3 AS VARCHAR)
+         ELSE 'Mozilla/5.0 (X11; Linux x86_64)' END AS ua,
+    CASE WHEN u % 10 = 0 THEN 1 ELSE 0 END AS is_bot,
+    bad
+  FROM base
+)
+SELECT e AS event_id, CAST(0 AS INT) AS err, ip, user, req_ts, method,
+  path, proto, CAST(status AS INT) AS status, bytes, referer, ua,
+  CAST(status // 100 AS INT) AS status_class, CAST(is_bot AS INT) AS is_bot
+FROM fields WHERE NOT bad
+UNION ALL
+SELECT e, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, NULL, NULL, NULL
+FROM fields WHERE bad
+"""
+
+
+def _luhn_sql_terms() -> str:
+    """15 fixed-position Luhn terms over `base` (odd positions from
+    the left double, >9 folds by -9) — lockstep with the fixture."""
+    terms = []
+    for j in range(1, 16):
+        dig = f"CAST(substr(base, {j}, 1) AS INT)"
+        if j % 2 == 1:
+            terms.append(
+                f"(CASE WHEN {dig} * 2 > 9 THEN {dig} * 2 - 9 "
+                f"ELSE {dig} * 2 END)"
+            )
+        else:
+            terms.append(dig)
+    return " + ".join(terms)
+
+
+# Luhn audit: the fixture plants one 16-digit PAN per doc with a
+# correct check digit on d%3!=1; masked surface, issuer by prefix
+ORACLES["luhn_audit"] = f"""
+WITH pan AS (
+  SELECT doc_id,
+    (CASE doc_id % 4 WHEN 0 THEN '40' WHEN 1 THEN '51'
+                     WHEN 2 THEN '37' ELSE '60' END)
+    || lpad(CAST(doc_id * 7919 % 10000000000000 AS VARCHAR), 13, '0')
+      AS base
+  FROM documents
+), built AS (
+  SELECT doc_id, base,
+    (10 - ({_luhn_sql_terms()}) % 10) % 10 AS check0
+  FROM pan
+), full_pan AS (
+  SELECT doc_id,
+    base || CAST(CASE WHEN doc_id % 3 = 1
+                      THEN (check0 + 5) % 10 ELSE check0 END AS VARCHAR)
+      AS p,
+    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS luhn_valid
+  FROM built
+)
+SELECT doc_id,
+  substr(p, 1, 6) || '******' || substr(p, 13, 4) AS pan_masked,
+  CAST(16 AS INT) AS pan_len,
+  CAST(luhn_valid AS INT) AS luhn_valid,
+  CASE WHEN substr(p, 1, 1) = '4' THEN 'visa'
+       WHEN substr(p, 1, 2) IN ('51','52','53','54','55')
+         THEN 'mastercard'
+       WHEN substr(p, 1, 2) IN ('34','37') THEN 'amex'
+       ELSE 'other' END AS brand
+FROM full_pan
+"""

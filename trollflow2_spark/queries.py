@@ -12849,6 +12849,120 @@ def q_ics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_access_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined-log-format parsing (`extensions/text.py::
+    parse_access_log`): synthetic Apache lines built closed-form from
+    events, recovered by PURE Column regex in the scan stage — dash
+    conventions to NULL, timestamp re-parse, status class, bot UA
+    flag; every 17th line is mangled and must surface err=1."""
+    from trollflow2_spark.extensions.text import parse_access_log
+
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    u = F.col("user_id")
+    status = (
+        F.when(e % 7 == 0, F.lit(500))
+        .when(e % 7 == 1, F.lit(404))
+        .when(e % 7 == 2, F.lit(301))
+        .otherwise(F.lit(200))
+    )
+    ip = F.concat_ws(
+        ".",
+        (e % 223 + 1).cast("string"),
+        (e * 7 % 256).cast("string"),
+        (e * 13 % 256).cast("string"),
+        (e * 31 % 256).cast("string"),
+    )
+    user_str = F.when(u % 5 == 0, F.lit("-")).otherwise(
+        F.concat(F.lit("u"), (u % 100).cast("string"))
+    )
+    method = (
+        F.when(e % 4 == 0, F.lit("GET"))
+        .when(e % 4 == 1, F.lit("POST"))
+        .when(e % 4 == 2, F.lit("PUT"))
+        .otherwise(F.lit("DELETE"))
+    )
+    path = F.concat(
+        F.lit("/api/"), F.col("event_type"), F.lit("/"),
+        (e % 50).cast("string"),
+    )
+    bytes_str = F.when(status == 301, F.lit("-")).otherwise(
+        (e % 5000).cast("string")
+    )
+    referer = F.when(e % 3 == 0, F.lit("-")).otherwise(
+        F.concat(F.lit("https://ref.example/x"), (e % 9).cast("string"))
+    )
+    ua = F.when(
+        u % 10 == 0,
+        F.concat(F.lit("crawler-bot/2."), (u % 3).cast("string")),
+    ).otherwise(F.lit("Mozilla/5.0 (X11; Linux x86_64)"))
+    tstr = F.concat(
+        F.date_format(
+            F.date_trunc("second", F.col("ts")), "dd/MMM/yyyy:HH:mm:ss"
+        ),
+        F.lit(" +0000"),
+    )
+    line = F.concat(
+        ip, F.lit(" - "), user_str, F.lit(" ["), tstr, F.lit('] "'),
+        method, F.lit(" "), path, F.lit(' HTTP/1.1" '),
+        status.cast("string"), F.lit(" "), bytes_str, F.lit(' "'),
+        referer, F.lit('" "'), ua, F.lit('"'),
+    )
+    line = F.when(e % 17 == 0, F.substring(line, 1, 30)).otherwise(line)
+    parsed = parse_access_log(ev.select("event_id", line.alias("line")))
+    return parsed.select(
+        "event_id", "err", "ip", "user", "req_ts", "method", "path",
+        "proto", "status", "bytes", "referer", "ua", "status_class",
+        "is_bot",
+    )
+
+
+def _luhn_fixture_pan() -> Column:
+    """A 16-digit card number per doc, built entirely in Column
+    algebra: 2-digit brand prefix + 13 deterministic digits + the
+    Luhn check digit (correct on d%3!=1 docs, off by 5 otherwise).
+    The identical arithmetic exists in the oracle SQL."""
+    d = F.col("doc_id")
+    prefix = (
+        F.when(d % 4 == 0, F.lit("40"))
+        .when(d % 4 == 1, F.lit("51"))
+        .when(d % 4 == 2, F.lit("37"))
+        .otherwise(F.lit("60"))
+    )
+    base = F.concat(
+        prefix,
+        F.lpad((d * 7919 % 10000000000000).cast("string"), 13, "0"),
+    )
+    s = F.lit(0)
+    for j in range(1, 16):
+        dig = F.substring(base, j, 1).cast("int")
+        if j % 2 == 1:  # odd position from the left doubles (len 15)
+            t = dig * 2
+            term = F.when(t > 9, t - 9).otherwise(t)
+        else:
+            term = dig
+        s = s + term
+    check = (10 - s % 10) % 10
+    check = F.when(d % 3 == 1, (check + 5) % 10).otherwise(check)
+    return F.concat(base, check.cast("string"))
+
+
+def q_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card exposure audit (`extensions/text.py::luhn_audit`):
+    candidate digit runs extracted and Luhn-validated in PURE Column
+    algebra, surfaced masked per the PCI display rule with issuer
+    class; short digit runs in the same text must not trigger."""
+    from trollflow2_spark.extensions.text import luhn_audit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    text = F.concat(
+        F.lit("acct 1234567 ref "),
+        _luhn_fixture_pan(),
+        F.lit(" code 999999999999 done"),
+    )
+    return luhn_audit(docs.select("doc_id", text.alias("text")))
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13204,4 +13318,6 @@ QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "join_cardinality_audit": q_join_cardinality_audit,
     "ics_ingest": q_ics_ingest,
+    "access_log_parse": q_access_log_parse,
+    "luhn_audit": q_luhn_audit,
 }
