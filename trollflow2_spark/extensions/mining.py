@@ -465,3 +465,73 @@ def link_prediction_scores(
             F.round(F.col("__aa"), 6).alias("adamic_adar"),
         )
     )
+
+
+def flatten_hierarchy(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Flatten a parent-pointer hierarchy (org chart, category tree,
+    thread replies) to per-node (root, depth, materialized path) by
+    POINTER DOUBLING: every round each unresolved node jumps to its
+    ancestor's ancestor and splices the ancestor's path fragment, so
+    a depth-D tree resolves in ceil(log2 D) self-joins — the CC-tier
+    trick applied to lineage, not a D-step sequential walk. Roots are
+    rows with NULL parent. Nodes still unresolved after the doubling
+    budget (deeper than ``max_depth``, or on a parent-pointer CYCLE)
+    surface with resolved=0 — loudly, never an infinite loop.
+
+    Each round is one equi self-join on the ancestor key +
+    localCheckpoint to cut unrolled lineage; paths ride as arrays and
+    render once at the end."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_depth)))
+    st = edges.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.array(F.col(node_col)).alias("path"),
+        F.col(parent_col).isNull().alias("rooted"),
+    )
+    for _ in range(rounds):
+        other = st.select(
+            F.col("node").alias("__n2"),
+            F.col("anc").alias("__anc2"),
+            F.col("path").alias("__path2"),
+            F.col("rooted").alias("__rooted2"),
+        )
+        st = (
+            st.join(other, st["anc"] == other["__n2"], "left")
+            .select(
+                "node",
+                F.when(F.col("rooted"), F.col("anc"))
+                .otherwise(F.col("__anc2"))
+                .alias("anc"),
+                F.when(F.col("rooted"), F.col("path"))
+                .otherwise(F.concat(F.col("path"), F.col("__path2")))
+                .alias("path"),
+                F.when(F.col("rooted"), F.lit(True))
+                .otherwise(F.coalesce(F.col("__rooted2"), F.lit(False)))
+                .alias("rooted"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return st.select(
+        "node",
+        F.col("rooted").cast("int").alias("resolved"),
+        F.when(F.col("rooted"), F.element_at(F.col("path"), -1)).alias(
+            "root"
+        ),
+        F.when(F.col("rooted"), F.size("path") - 1).alias("depth"),
+        F.when(
+            F.col("rooted"),
+            F.concat_ws(
+                "/",
+                F.reverse(
+                    F.transform(F.col("path"), lambda x: x.cast("string"))
+                ),
+            ),
+        ).alias("path"),
+    )

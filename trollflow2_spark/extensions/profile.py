@@ -1625,3 +1625,47 @@ def join_cardinality_audit(
         "max_right_fanout",
         cls.alias("relationship"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """Exact Gini coefficient per group — the concentration readout
+    for spend/traffic/token-budget inequality (0 = uniform, →1 = one
+    member holds everything), the scalar companion to
+    `customer_spend_deciles` / `key_skew_audit`.
+
+    Closed form over the ascending sort: with rank i over the total
+    (value, tiebreak) order and S = Σx, G = (2·Σ(i·x) − (n+1)·S) /
+    (n·S). One row_number window + one hash agg on the same shuffle
+    key; Σ(i·x) and S accumulate in DECIMAL fixed-point (rank is an
+    exact integer weight), so the only float ops are the final scalar
+    chain — engine-exact after rounding. Non-positive totals yield
+    NULL (Gini is defined on non-negative values with S > 0)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    ranked = df.select(
+        *group_cols,
+        F.round(F.col(value_col), 6).cast("decimal(38,6)").alias("__x"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("__i"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").cast("double").alias("__s"),
+        F.sum(F.col("__i") * F.col("__x")).cast("double").alias("__ws"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("__s")
+    ws = F.col("__ws")
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(s, 2).alias("total"),
+        F.when(
+            s > 0, F.round((2.0 * ws - (n + 1.0) * s) / (n * s), 6)
+        ).alias("gini"),
+    )

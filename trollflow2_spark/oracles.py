@@ -10122,3 +10122,57 @@ SELECT doc_id,
        ELSE 'other' END AS brand
 FROM full_pan
 """
+
+
+# Gini per nation: DECIMAL-exact customer spend, rank-weighted sum
+# over the (spend, custkey) total order, one closed-form scalar chain
+ORACLES["gini_concentration"] = """
+WITH spend AS (
+  SELECT o.o_custkey AS c_custkey, c.c_nationkey,
+    CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_nationkey,
+    CAST(round(spend, 6) AS DECIMAL(38,6)) AS x,
+    CAST(row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend, c_custkey)
+         AS DECIMAL(38,0)) AS i
+  FROM spend
+), agg AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS s, CAST(SUM(i * x) AS DOUBLE) AS ws
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c_nationkey, CAST(n AS BIGINT) AS n, round(s, 2) AS total,
+  CASE WHEN s > 0 THEN
+    round((2.0 * ws - (CAST(n AS DOUBLE) + 1.0) * s)
+          / (CAST(n AS DOUBLE) * s), 6)
+  END AS gini
+FROM agg
+"""
+
+
+# Hierarchy flatten: the oracle climbs the same quad-forest with a
+# recursive CTE; the engine's pointer-doubling must reproduce it
+ORACLES["tree_flatten"] = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS node,
+    CASE WHEN p_partkey <= 3 THEN NULL
+         ELSE p_partkey // 4 END AS parent
+  FROM part
+),
+up AS (
+  SELECT node, parent AS nxt, CAST(node AS VARCHAR) AS path,
+    0 AS depth, node AS top
+  FROM edges
+  UNION ALL
+  SELECT u.node, e.parent,
+    CAST(e.node AS VARCHAR) || '/' || u.path,
+    u.depth + 1, e.node
+  FROM up u JOIN edges e ON e.node = u.nxt
+)
+SELECT node, CAST(1 AS INT) AS resolved, top AS root,
+  CAST(depth AS INT) AS depth, path
+FROM up WHERE nxt IS NULL
+"""

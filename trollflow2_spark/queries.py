@@ -12963,6 +12963,52 @@ def q_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luhn_audit(docs.select("doc_id", text.alias("text")))
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-inequality readout (`extensions/profile.py::
+    gini_concentration`): exact Gini of per-customer order spend
+    within each nation — DECIMAL rank-weighted sums, one window + one
+    agg on the nation key."""
+    from trollflow2_spark.extensions.profile import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice"), 2).alias("spend"))
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return gini_concentration(
+        spend.select("c_nationkey", "spend", "c_custkey"),
+        ["c_nationkey"],
+        "spend",
+        ["c_custkey"],
+    )
+
+
+def q_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (`extensions/mining.py::
+    flatten_hierarchy`): the part catalog as a quad-forest (parent =
+    partkey DIV 4, keys ≤3 are roots) resolved to (root, depth,
+    materialized path) in log-depth pointer-doubling joins; the
+    oracle walks the same tree with a recursive CTE."""
+    from trollflow2_spark.extensions.mining import flatten_hierarchy
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("node"),
+        F.when(k <= 3, F.lit(None).cast("long"))
+        .otherwise(F.expr("p_partkey DIV 4"))
+        .alias("parent"),
+    )
+    return flatten_hierarchy(edges, max_depth=C.TREE_MAX_DEPTH)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13320,4 +13366,6 @@ QUERIES = {
     "ics_ingest": q_ics_ingest,
     "access_log_parse": q_access_log_parse,
     "luhn_audit": q_luhn_audit,
+    "gini_concentration": q_gini_concentration,
+    "tree_flatten": q_tree_flatten,
 }
