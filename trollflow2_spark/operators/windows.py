@@ -281,3 +281,67 @@ def peak_concurrency(
         F.max("level").alias("peak"),
         F.min_by(F.col("t"), key).alias("peak_at"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    lookback_seconds: int,
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion
+    event, the FIRST and LAST touch (any non-conversion event) within
+    the lookback window, plus the touch count — first/last/linear
+    attribution all read off this table.
+
+    Shape: ONE range window per user (ordered by epoch seconds,
+    RANGE [-lookback, -1s]) computes min/max over (ts, event-id)-
+    keyed touch structs and the touch count; conversions filter
+    afterwards. A single shuffle on the user key, no self-join, no
+    fan-out — the range frame is how Spark expresses 'preceding N
+    seconds' without exploding candidate pairs. Ties on ts break by
+    event id inside the struct comparison (total order, engine-
+    exact)."""
+    # NTZ-safe epoch seconds (timestamp->long casts are rejected for
+    # TIMESTAMP_NTZ): whole seconds since a fixed naive epoch, the
+    # same floor semantics as date_diff('second', ...) elsewhere
+    sec = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"{ts_col})"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-lookback_seconds, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            sec.alias("s"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("t"),
+        ),
+    )
+    enriched = events.select(
+        F.col(key_col).alias("user"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(id_col).alias("conv_id"),
+        F.col(type_col).alias("__type"),
+        F.min(touch_struct).over(w).alias("__first"),
+        F.max(touch_struct).over(w).alias("__last"),
+        F.count(touch_struct).over(w).alias("n_touches"),
+    )
+    return enriched.where(
+        F.col("__type") == conversion_type
+    ).select(
+        "user",
+        "conv_id",
+        "conv_ts",
+        "n_touches",
+        F.col("__first.t").alias("first_touch"),
+        F.col("__last.t").alias("last_touch"),
+    )

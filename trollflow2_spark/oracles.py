@@ -10176,3 +10176,33 @@ SELECT node, CAST(1 AS INT) AS resolved, top AS root,
   CAST(depth AS INT) AS depth, path
 FROM up WHERE nxt IS NULL
 """
+
+
+# Touch attribution: the same [-7d, -1s] range frame; struct min/max
+# replayed as fixed-width sortable strings (zero-padded sec||id)
+ORACLES["touch_attribution"] = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+  FROM events
+), keyed AS (
+  SELECT *,
+    CASE WHEN event_type <> 'purchase' THEN
+      lpad(CAST(sec AS VARCHAR), 12, '0')
+      || lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type
+    END AS tkey
+  FROM ev
+), win AS (
+  SELECT user_id AS user, event_id AS conv_id, ts AS conv_ts,
+    event_type,
+    MIN(tkey) OVER w AS fk, MAX(tkey) OVER w AS lk,
+    COUNT(tkey) OVER w AS n_touches
+  FROM keyed
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {C.ATTR_LOOKBACK_S} PRECEDING
+               AND 1 PRECEDING)
+)
+SELECT user, conv_id, conv_ts, n_touches,
+  substr(fk, 25) AS first_touch, substr(lk, 25) AS last_touch
+FROM win WHERE event_type = 'purchase'
+"""

@@ -479,3 +479,4 @@ PIP_POLYGONS = {
 PIP_SCALE = 4
 STREAK_MIN_DAYS = 2  # minimum island length reported by activity_streaks
 TREE_MAX_DEPTH = 64  # pointer-doubling budget (log2 -> 6 join rounds)
+ATTR_LOOKBACK_S = 604800  # 7-day attribution lookback (seconds)

@@ -13009,6 +13009,25 @@ def q_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_hierarchy(edges, max_depth=C.TREE_MAX_DEPTH)
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (`operators/windows.py::
+    touch_attribution`): first/last touch and touch count in the 7
+    days before each purchase — ONE range window per user, no
+    self-join fan-out."""
+    from trollflow2_spark.operators.windows import touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return touch_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        "purchase",
+        C.ATTR_LOOKBACK_S,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13368,4 +13387,5 @@ QUERIES = {
     "luhn_audit": q_luhn_audit,
     "gini_concentration": q_gini_concentration,
     "tree_flatten": q_tree_flatten,
+    "touch_attribution": q_touch_attribution,
 }
