@@ -352,6 +352,28 @@ OPERATORS = [
     "weighted_median",  # integer cumulative-weight crossing per group
     "cusum_report",  # mean-shift excursion argmax, DECIMAL trajectory
     "arrow_ipc_ingest",  # Arrow IPC stream blobs -> canonical-JSON rows
+    "fs_linkage_weights",  # Fellegi-Sunter m/u log-likelihood weights
+    "rake_keyphrases",  # RAKE degree/frequency keyphrase scores
+    "backtest_smape",  # seasonal-naive sMAPE backtest per type
+    "period_growth",  # MoM revenue growth off the month rollup
+    "linear_trend",  # per-group OLS: six DECIMAL power sums, one agg
+    "link_prediction",  # CN/Jaccard/Adamic-Adar with the hub guard
+    "sqlite_ingest",  # from-scratch SQLite b-tree blobs -> JSON rows
+    "bson_ingest",  # from-scratch BSON dump decode -> JSON rows
+    "point_in_polygon",  # zero-shuffle ray-cast geofence tagging
+    "geohash_encode",  # pure-Column quantize-interleave-base32
+    "seasonal_profile",  # centered-MA detrend + phase means
+    "activity_streaks",  # gaps-and-islands on one exchange
+    "peak_concurrency",  # sweep-line interval overlap maximum
+    "geojson_ingest",  # RFC 7946 features: bbox/shoelace/winding
+    "winsorized_stats",  # exact robust means over a ranked order
+    "join_cardinality_audit",  # key profiles + full-outer meet
+    "ics_ingest",  # RFC 5545 events + RRULE expansion
+    "access_log_parse",  # scan-stage CLF regex recovery
+    "luhn_audit",  # Column-algebra card checksum + masking
+    "gini_concentration",  # rank-weighted DECIMAL Gini per group
+    "tree_flatten",  # pointer-doubling hierarchy resolution
+    "touch_attribution",  # range-window first/last-touch
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

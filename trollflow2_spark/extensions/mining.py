@@ -535,3 +535,63 @@ def flatten_hierarchy(
             ),
         ).alias("path"),
     )
+
+
+def dag_longest_path(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    weight_col: str = "w",
+    iterations: int = 16,
+) -> DataFrame:
+    """Longest (critical) path from the DAG's roots to every node —
+    the scheduling/lineage metric (critical path of a task graph,
+    deepest dependency chain of a build). Bellman-Ford-style
+    relaxation unrolled: round k holds the best distance over paths
+    of EXACTLY k edges (one equi join on the parent key + one
+    map-side-combinable max agg, localCheckpoint to cut lineage), and
+    a running max folds rounds together — after ``iterations`` ≥ DAG
+    depth the fold is the true optimum. Frontier size is bounded by
+    the node count every round, never the path count (the oracle's
+    recursive CTE enumerates paths; the engine must not). Nodes
+    deeper than the budget simply keep their best-so-far — bound
+    ``iterations`` by the known depth, as with `flatten_hierarchy`."""
+    # snapshot the edge table ONCE: every round re-executes the edge
+    # subtree, and a non-trivial source plan (parquet scans + unions)
+    # recompiles into ever-larger codegen units when re-planned inside
+    # the loop — a LogicalRDD leaf keeps each round's plan constant
+    kids = edges.select(
+        F.col(child_col).alias("node"),
+        F.col(parent_col).alias("__p"),
+        F.col(weight_col).alias("__w"),
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        kids.select("node")
+        .unionAll(kids.select(F.col("__p").alias("node")))
+        .distinct()
+    )
+    roots = all_nodes.join(
+        kids.select("node").distinct(), "node", "left_anti"
+    ).select("node", F.lit(0).cast("long").alias("dist"))
+    best = roots
+    cur = roots
+    for _ in range(iterations):
+        nxt = (
+            kids.join(
+                cur.select(
+                    F.col("node").alias("__p"), F.col("dist").alias("__d")
+                ),
+                "__p",
+            )
+            .groupBy("node")
+            .agg(F.max(F.col("__d") + F.col("__w")).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        best = (
+            best.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.max("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt
+    return best.select("node", F.col("dist").alias("longest"))

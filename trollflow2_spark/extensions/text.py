@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import Callable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from trollflow2_spark.functions.hashing import hash64, tokens, word_shingles
 
@@ -1700,3 +1700,42 @@ def luhn_audit(
         luhn_valid(F.col("pan")).cast("int").alias("luhn_valid"),
         card_brand(F.col("pan")).alias("brand"),
     )
+
+
+def posting_lists(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+) -> DataFrame:
+    """Inverted-index construction as a first-class artifact — the
+    materialized form behind `bm25_retrieval`: per (term, doc) the
+    term frequency and the full ascending position list (rendered as
+    a CSV string so the row is hash-comparable), plus the term's
+    document frequency.
+
+    Shape: posexplode in the scan stage, ONE shuffle to (term, doc)
+    with map-side combine, then a window count over the term key for
+    df (the second exchange is on a strict prefix of the first —
+    Spark reuses the partitioning). ``min_df`` prunes the long tail
+    BEFORE the artifact materializes; at index-build scale that floor
+    is what keeps the term dimension bounded."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(F.sort_array(F.collect_list("pos")), ",").alias(
+            "positions"
+        ),
+    )
+    w = Window.partitionBy("term")
+    out = per_doc.select(
+        "term",
+        F.count(F.lit(1)).over(w).alias("df"),
+        "doc_id",
+        "tf",
+        "positions",
+    )
+    return out.where(F.col("df") >= min_df)

@@ -10206,3 +10206,46 @@ SELECT user, conv_id, conv_ts, n_touches,
   substr(fk, 25) AS first_touch, substr(lk, 25) AS last_touch
 FROM win WHERE event_type = 'purchase'
 """
+
+
+# Inverted index: aligned unnest for positions (0-based like
+# posexplode), string_agg positions, window df, tail pruned
+ORACLES["posting_lists"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL("text")}) AS term,
+    generate_subscripts({TOKENS_SQL("text")}, 1) - 1 AS pos
+  FROM documents
+), per_doc AS (
+  SELECT term, doc_id, COUNT(*) AS tf,
+    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+  FROM toks GROUP BY term, doc_id
+)
+SELECT term, COUNT(*) OVER (PARTITION BY term) AS df, doc_id, tf,
+  positions
+FROM per_doc
+QUALIFY df >= {C.POSTING_MIN_DF}
+"""
+
+
+# Critical path: the oracle enumerates every root-to-node path with a
+# recursive CTE and maxes; the engine's frontier must reproduce it
+ORACLES["critical_path"] = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 2 AS parent,
+    p_partkey % 7 + 1 AS w
+  FROM part WHERE p_partkey >= 2 AND p_partkey < 512
+  UNION ALL
+  SELECT p_partkey, p_partkey // 3, p_partkey % 5 + 1
+  FROM part WHERE p_partkey >= 2 AND p_partkey < 512
+  UNION ALL
+  SELECT p_partkey, 0, 1 FROM part WHERE p_partkey = 1
+),
+down AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  UNION ALL
+  SELECT e.child, d.dist + e.w
+  FROM down d JOIN edges e ON e.parent = d.node
+)
+SELECT node, CAST(MAX(dist) AS BIGINT) AS longest
+FROM down GROUP BY node
+"""

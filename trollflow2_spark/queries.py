@@ -13028,6 +13028,45 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index artifact (`extensions/text.py::posting_lists`):
+    per-(term, doc) tf + ascending position CSV + term df over the
+    document corpus, tail terms pruned below df 25."""
+    from trollflow2_spark.extensions.text import posting_lists
+
+    docs = load_table(spark, sf_dir, "documents")
+    return posting_lists(docs, "doc_id", "text", min_df=C.POSTING_MIN_DF)
+
+
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG critical path (`extensions/mining.py::dag_longest_path`):
+    longest weighted dependency chain from the root to every node of
+    a 512-node two-parent DAG — bounded-frontier relaxation vs the
+    oracle's full path-enumerating recursive CTE."""
+    from trollflow2_spark.extensions.mining import dag_longest_path
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    k = F.col("p_partkey")
+    base = part.where((k >= 2) & (k < 512))
+    e1 = base.select(
+        k.alias("child"),
+        F.expr("p_partkey DIV 2").alias("parent"),
+        (k % 7 + 1).alias("w"),
+    )
+    e2 = base.select(
+        k.alias("child"),
+        F.expr("p_partkey DIV 3").alias("parent"),
+        (k % 5 + 1).alias("w"),
+    )
+    root_edge = part.where(k == 1).select(
+        k.alias("child"),
+        F.lit(0).cast("long").alias("parent"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    edges = e1.unionByName(e2).unionByName(root_edge)
+    return dag_longest_path(edges, iterations=C.DAG_MAX_DEPTH_LOGPATH)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13388,4 +13427,6 @@ QUERIES = {
     "gini_concentration": q_gini_concentration,
     "tree_flatten": q_tree_flatten,
     "touch_attribution": q_touch_attribution,
+    "posting_lists": q_posting_lists,
+    "critical_path": q_critical_path,
 }
