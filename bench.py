@@ -374,6 +374,8 @@ OPERATORS = [
     "gini_concentration",  # rank-weighted DECIMAL Gini per group
     "tree_flatten",  # pointer-doubling hierarchy resolution
     "touch_attribution",  # range-window first/last-touch
+    "posting_lists",  # inverted index: one (term,doc) shuffle
+    "critical_path",  # bounded-frontier DAG relaxation
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.
