@@ -376,6 +376,8 @@ OPERATORS = [
     "touch_attribution",  # range-window first/last-touch
     "posting_lists",  # inverted index: one (term,doc) shuffle
     "critical_path",  # bounded-frontier DAG relaxation
+    "knn_label_vote",  # exact top-k + majority vote eval
+    "soundex_blocking",  # phonetic block keys + block sizes
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

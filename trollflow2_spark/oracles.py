@@ -10249,3 +10249,76 @@ down AS (
 SELECT node, CAST(MAX(dist) AS BIGINT) AS longest
 FROM down GROUP BY node
 """
+
+
+# k-NN label vote: exact cosine top-k + majority vote, ties to the
+# smallest label
+ORACLES["knn_label_vote"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {C.TOPK_N_QUERIES}
+), sc AS (
+  SELECT q.query_id, e.vec_id,
+    round({_cosine_sql('e.embedding', 'q.qv')}, 6) AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), top AS (
+  SELECT query_id, vec_id FROM sc
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= {C.TOPK_K}
+), votes AS (
+  SELECT t.query_id, e.label, COUNT(*) AS votes
+  FROM top t JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id,
+    first(label ORDER BY votes DESC, label ASC) AS predicted,
+    max(votes) AS top_votes
+  FROM votes GROUP BY query_id
+)
+SELECT p.query_id, e.label AS actual, CAST(p.predicted AS INT)
+    AS predicted,
+  CAST(p.top_votes AS BIGINT) AS top_votes,
+  CAST(p.predicted = e.label AS INT) AS hit
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+"""
+
+
+def _soundex_sql(name_expr: str) -> str:
+    """American Soundex from scratch in SQL: translate consonants to
+    digit classes, strip H/W (they do not break runs), collapse digit
+    runs (RE2 has no backrefs — a 4-pass replace chain covers runs to
+    length 16), drop vowels, pad. Conformance-checks Spark's JVM
+    built-in rather than trusting it."""
+    cons = "BFPVCGJKQSXZDTLMNR"
+    digs = "111122222222334556"
+    first = f"substr(upper({name_expr}), 1, 1)"
+    tail = f"substr(upper({name_expr}), 2)"
+    t1 = f"translate({tail}, '{cons}', '{digs}')"
+    t2 = f"replace(replace({t1}, 'H', ''), 'W', '')"
+    full = f"translate({first}, '{cons}', '{digs}') || {t2}"
+    collapsed = full
+    for _ in range(4):
+        for d in "123456":
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    rest = f"substr({collapsed}, 2)"
+    digits = f"regexp_replace({rest}, '[AEIOUY]', '', 'g')"
+    return f"({first} || substr({digits} || '000', 1, 3))"
+
+
+_SOUNDEX_NAME_SQL = (
+    "(['Smith','Schmidt','Pfister','Robert','Rupert','Ashcraft',"
+    "'Tymczak','Honeyman','Jackson','Washington'])"
+    "[CAST(c_custkey % 10 + 1 AS INT)]"
+)
+
+ORACLES["soundex_blocking"] = f"""
+WITH named AS (
+  SELECT c_custkey, {_SOUNDEX_NAME_SQL} AS name FROM customer
+), coded AS (
+  SELECT c_custkey, name, {_soundex_sql('name')} AS code FROM named
+)
+SELECT c_custkey, name, code,
+  COUNT(*) OVER (PARTITION BY code) AS block_size
+FROM coded
+"""

@@ -13067,6 +13067,73 @@ def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dag_longest_path(edges, iterations=C.DAG_MAX_DEPTH_LOGPATH)
 
 
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval over the embedding store: exact
+    cosine top-k per query (the existing broadcast brute-force plan),
+    then a majority label vote with the (votes desc, label asc) tie
+    rule — the sanity baseline every embedding-quality audit starts
+    from. One extra hash agg + one argmax over the k·q-row candidate
+    table; the corpus is scanned once."""
+    from trollflow2_spark.extensions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = brute_force_topk(emb, _query_vectors(emb), k=C.TOPK_K)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        top.join(F.broadcast(labels), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    key = F.struct(
+        (-F.col("votes")).alias("nv"), F.col("label").alias("lb")
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.min_by(F.col("label"), key).alias("predicted"),
+        F.max("votes").alias("top_votes"),
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "actual",
+        "predicted",
+        "top_votes",
+        (F.col("predicted") == F.col("actual")).cast("int").alias("hit"),
+    )
+
+
+SOUNDEX_NAMES = [
+    "Smith", "Schmidt", "Pfister", "Robert", "Rupert",
+    "Ashcraft", "Tymczak", "Honeyman", "Jackson", "Washington",
+]
+
+
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking keys for record linkage: American Soundex
+    (Spark's JVM built-in — the Spark-first choice) over a classic
+    name set incl. the H/W-rule cases (Ashcraft, Pfister, Tymczak),
+    plus the per-code block size a linkage planner feeds into its
+    pair budget. The oracle implements the full algorithm from
+    scratch in SQL (translate + H/W removal + run collapse + vowel
+    drop), so the built-in is conformance-checked, not trusted."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in SOUNDEX_NAMES]),
+        (F.col("c_custkey") % 10 + 1).cast("int"),
+    )
+    coded = cust.select(
+        "c_custkey",
+        name.alias("name"),
+        F.soundex(name).alias("code"),
+    )
+    w = Window.partitionBy("code")
+    return coded.select(
+        "c_custkey", "name", "code",
+        F.count(F.lit(1)).over(w).alias("block_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13429,4 +13496,6 @@ QUERIES = {
     "touch_attribution": q_touch_attribution,
     "posting_lists": q_posting_lists,
     "critical_path": q_critical_path,
+    "knn_label_vote": q_knn_label_vote,
+    "soundex_blocking": q_soundex_blocking,
 }
