@@ -265,6 +265,25 @@ FLAGSHIP = [
      "Arrow mapInPandas stages; from_json cuts stay in the scan "
      "stage (the one Exchange is the fixture's deliberate "
      "repartition)."),
+    ("point_in_polygon",
+     "Geofence tagging: the polygon catalog compiles INTO the scan "
+     "stage as literal Column terms — zero Exchange, zero Join, no "
+     "Python; rows never leave their input partition."),
+    ("access_log_parse",
+     "Combined-log parse: ONE regexp_replace evaluation per row "
+     "rendered to delimited fields + split — zero Exchange, the "
+     "whole parse in whole-stage codegen."),
+    ("touch_attribution",
+     "Conversion attribution: RANGE [-7d,-1s] frame over epoch "
+     "seconds — one Exchange on the user key, no time-band "
+     "self-join fan-out."),
+    ("link_prediction",
+     "Link prediction: hub-pruned pair self-join shuffles once on "
+     "the shared-neighbor key; degree side tables broadcast; "
+     "Adamic-Adar terms DECIMAL-summed map-side."),
+    ("tree_flatten",
+     "Hierarchy flatten: ceil(log2 D) pointer-doubling self-joins, "
+     "each round's plan a constant-size LogicalRDD join."),
 ]
 
 

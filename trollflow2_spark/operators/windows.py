@@ -216,22 +216,24 @@ def gaps_islands(
 ) -> DataFrame:
     """Gaps-and-islands: maximal runs of CONSECUTIVE integer sequence
     values per key (activity streaks, contiguous id ranges, missing-
-    chunk detection). The classic row_number trick — ``seq -
-    row_number()`` is constant exactly within a consecutive run — so
-    the whole operator is one per-key window plus one hash agg, both
-    on the same shuffle key (a single exchange end to end). Input
-    rows must be distinct on (key, seq); duplicates are collapsed
-    first (they would break the difference invariant)."""
-    d = df.select(*key_cols, F.col(seq_col).alias("__s")).distinct()
+    chunk detection). The classic rank trick, upgraded: ``seq -
+    dense_rank()`` is constant exactly within a consecutive run, and
+    dense_rank (unlike row_number) keeps the invariant under
+    DUPLICATE (key, seq) rows with no pre-dedup pass — so the whole
+    operator is one per-key window plus one hash agg whose (key, grp)
+    grouping is satisfied by the window's key partitioning: a SINGLE
+    exchange end to end (pinned in tests/test_plans_r12.py).
+    ``island_len`` counts distinct sequence values."""
+    d = df.select(*key_cols, F.col(seq_col).alias("__s"))
     w = Window.partitionBy(*key_cols).orderBy("__s")
-    grp = (F.col("__s") - F.row_number().over(w)).alias("__g")
+    grp = (F.col("__s") - F.dense_rank().over(w)).alias("__g")
     return (
         d.select(*key_cols, "__s", grp)
         .groupBy(*key_cols, "__g")
         .agg(
             F.min("__s").alias("island_start"),
             F.max("__s").alias("island_end"),
-            F.count(F.lit(1)).alias("island_len"),
+            F.count_distinct(F.col("__s")).alias("island_len"),
         )
         .where(F.col("island_len") >= min_length)
         .drop("__g")

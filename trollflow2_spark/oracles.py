@@ -9824,19 +9824,19 @@ FROM raw
 # consecutive run; distinct (user, day) first
 ORACLES["activity_streaks"] = f"""
 WITH d AS (
-  SELECT DISTINCT user_id,
+  SELECT user_id,
     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
   FROM events
 ), g AS (
   SELECT user_id, day_idx,
-    day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx)
+    day_idx - dense_rank() OVER (PARTITION BY user_id ORDER BY day_idx)
       AS grp
   FROM d
 )
 SELECT user_id, min(day_idx) AS island_start, max(day_idx) AS island_end,
-  count(*) AS island_len
+  count(DISTINCT day_idx) AS island_len
 FROM g GROUP BY user_id, grp
-HAVING count(*) >= {C.STREAK_MIN_DAYS}
+HAVING count(DISTINCT day_idx) >= {C.STREAK_MIN_DAYS}
 """
 
 
