@@ -595,3 +595,51 @@ def dag_longest_path(
         )
         cur = nxt
     return best.select("node", F.col("dist").alias("longest"))
+
+
+def sequential_pattern_support(
+    events: DataFrame,
+    key_col: str,
+    type_col: str,
+    order_cols: list[str],
+    min_support: int = 2,
+) -> DataFrame:
+    """Length-2 sequential-pattern support (SPM's useful core): for
+    every ordered type pair (a THEN b, not necessarily adjacent —
+    the non-adjacent complement to `markov_transitions`), how many
+    keys exhibit the pattern. The existence test collapses to
+    aggregates: some a precedes some b iff FIRST(a) < LAST(b) on the
+    total (order, …) key — so the per-key work is one hash agg to
+    (key, type, first, last) and a type-cardinality self-join per
+    key (types are an enum, the join fan-out is |types|² per key,
+    control-plane sized), never an event-level pair explosion."""
+    okey = F.struct(*[F.col(c) for c in order_cols])
+    per = events.groupBy(
+        F.col(key_col).alias("__k"), F.col(type_col).alias("__t")
+    ).agg(F.min(okey).alias("__first"), F.max(okey).alias("__last"))
+    a = per.select("__k", F.col("__t").alias("antecedent"), "__first")
+    b = per.select("__k", F.col("__t").alias("consequent"), "__last")
+    # key-universe size stays IN the plan (one-row broadcast), no
+    # driver-side count action inside the operator
+    n_keys = per.select("__k").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pairs = (
+        a.join(b, "__k")
+        .where(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("__first") < F.col("__last"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return pairs.crossJoin(F.broadcast(n_keys)).select(
+        "antecedent",
+        "consequent",
+        "support",
+        F.round(
+            F.col("support").cast("double") / F.col("__n").cast("double"),
+            6,
+        ).alias("support_frac"),
+    )

@@ -347,3 +347,44 @@ def touch_attribution(
         F.col("__first.t").alias("first_touch"),
         F.col("__last.t").alias("last_touch"),
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+) -> DataFrame:
+    """Running balance clamped at zero (stock on hand, rate-limit
+    tokens, prepaid credit): ``b_t = max(0, b_{t-1} + x_t)``. The
+    recurrence looks inherently sequential, but the closed form
+    ``b_t = S_t - min(0, min_{k<=t} S_k)`` (prefix sums and their
+    running minimum — deficits are forgiven exactly once) turns it
+    into TWO cumulative windows over the same (key, order) sort: one
+    shuffle, no UDF, no sequential scan. Deltas quantize to
+    DECIMAL(38,6) so both prefix aggregates are order-exact."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = F.round(F.col(delta_col), 6).cast("decimal(38,6)")
+    staged = df.select(
+        *key_cols,
+        *order_cols,
+        F.col(delta_col).alias("delta"),
+        F.sum(d).over(w).alias("__s"),
+    )
+    # second window over the SAME (key, order) sort: Spark reuses the
+    # one exchange+sort — still a single-shuffle plan (pinned)
+    run_min = F.min(F.col("__s")).over(w)
+    clamped = F.col("__s") - F.least(
+        F.lit(0).cast("decimal(38,6)"), run_min
+    )
+    return staged.select(
+        *key_cols,
+        *order_cols,
+        "delta",
+        F.round(F.col("__s").cast("double"), 6).alias("raw_balance"),
+        F.round(clamped.cast("double"), 6).alias("balance"),
+    )

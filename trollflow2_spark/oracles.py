@@ -10322,3 +10322,77 @@ SELECT c_custkey, name, code,
   COUNT(*) OVER (PARTITION BY code) AS block_size
 FROM coded
 """
+
+
+# Sequential patterns: FIRST(a) < LAST(b) existence on the total
+# (ts, event_id) key; support over the user universe
+ORACLES["seq_patterns"] = f"""
+WITH per AS (
+  SELECT user_id AS k, event_type AS t,
+    min(ROW(ts, event_id)) AS fst, max(ROW(ts, event_id)) AS lst
+  FROM events GROUP BY 1, 2
+), n AS (
+  SELECT COUNT(DISTINCT k) AS nk FROM per
+), pairs AS (
+  SELECT a.t AS antecedent, b.t AS consequent, COUNT(*) AS support
+  FROM per a JOIN per b ON a.k = b.k AND a.t <> b.t
+  WHERE a.fst < b.lst
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {C.SEQPAT_MIN_SUPPORT}
+)
+SELECT antecedent, consequent, support,
+  round(CAST(support AS DOUBLE) / CAST(n.nk AS DOUBLE), 6)
+    AS support_frac
+FROM pairs, n
+"""
+
+
+# Clamped running balance: b_t = S_t - min(0, running_min(S)) — the
+# prefix-sum identity for max(0, b+x), DECIMAL-exact prefixes
+ORACLES["stock_balance"] = """
+WITH capped AS (
+  SELECT event_type, ts, event_id,
+    CASE WHEN event_id % 3 = 0 THEN value ELSE -value END AS delta
+  FROM events WHERE event_id < 2000
+), s AS (
+  SELECT event_type, ts, event_id, delta,
+    SUM(CAST(round(delta, 6) AS DECIMAL(38,6))) OVER w AS ps
+  FROM capped
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), m AS (
+  SELECT *, MIN(ps) OVER w2 AS rmin
+  FROM s
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, ts, event_id, delta,
+  round(CAST(ps AS DOUBLE), 6) AS raw_balance,
+  round(CAST(ps - least(CAST(0 AS DECIMAL(38,6)), rmin) AS DOUBLE), 6)
+    AS balance
+FROM m
+"""
+
+
+# Revenue recognition: integer cents, floor share + largest-remainder
+# cents to the earliest period indexes
+ORACLES["revenue_recognition"] = """
+WITH base AS (
+  SELECT o_orderkey,
+    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m0,
+    CAST(o_orderkey % 6 + 1 AS INT) AS n_months,
+    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+  FROM orders
+), expanded AS (
+  SELECT b.*, CAST(j AS INT) AS period_idx
+  FROM base b JOIN (SELECT unnest(range(6)) AS j) t
+    ON t.j < b.n_months
+)
+SELECT o_orderkey, period_idx,
+  CAST(m0 + period_idx * INTERVAL 1 MONTH AS DATE) AS period_month,
+  total_cents // n_months
+    + CASE WHEN period_idx < total_cents % n_months THEN 1 ELSE 0 END
+    AS amount_cents,
+  n_months
+FROM expanded
+"""

@@ -13134,6 +13134,76 @@ def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 sequential patterns (`extensions/mining.py::
+    sequential_pattern_support`): a-THEN-b support across users —
+    FIRST(a) < LAST(b) existence algebra, one hash agg + a
+    type-enum self-join per user."""
+    from trollflow2_spark.extensions.mining import (
+        sequential_pattern_support,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequential_pattern_support(
+        ev, "user_id", "event_type", ["ts", "event_id"],
+        min_support=C.SEQPAT_MIN_SUPPORT,
+    )
+
+
+def q_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running balance (`operators/windows.py::
+    clamped_running_balance`): per event type, signed event values
+    folded as stock movements — the max(0, b+x) recurrence computed
+    via the prefix-sum/running-min closed form in ONE shuffle (two
+    windows over the same sort). Budget-capped to the first 400
+    events per type so the row set stays artifact-sized."""
+    from trollflow2_spark.operators.windows import clamped_running_balance
+
+    ev = load_table(spark, sf_dir, "events")
+    capped = ev.where(F.col("event_id") < 2000).select(
+        "event_type",
+        "ts",
+        "event_id",
+        # signed movement: alternate restock / draw by event parity
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("value")
+        ).otherwise(-F.col("value")).alias("delta"),
+    )
+    return clamped_running_balance(
+        capped, ["event_type"], ["ts", "event_id"], "delta"
+    )
+
+
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cent-exact revenue recognition: each order's total spreads
+    over 1 + o_orderkey%6 service months — integer cents, floor
+    share + largest-remainder cents to the EARLIEST months, so every
+    order's schedule sums exactly to its invoice. Pure Column
+    sequence/explode in the scan stage; the oracle replays the same
+    integer allocation."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 6 + 1).cast("int")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = orders.select(
+        "o_orderkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m0"),
+        n.alias("n_months"),
+        cents.alias("total_cents"),
+    )
+    j = F.explode(F.sequence(F.lit(0), F.col("n_months") - 1)).alias("j")
+    out = base.select("o_orderkey", "m0", "n_months", "total_cents", j)
+    share = F.expr("total_cents DIV n_months")  # exact integer floor
+    rem = F.col("total_cents") % F.col("n_months")
+    amount = share + (F.col("j") < rem).cast("long")
+    return out.select(
+        "o_orderkey",
+        F.col("j").alias("period_idx"),
+        F.add_months(F.col("m0"), F.col("j")).alias("period_month"),
+        amount.alias("amount_cents"),
+        "n_months",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13498,4 +13568,7 @@ QUERIES = {
     "critical_path": q_critical_path,
     "knn_label_vote": q_knn_label_vote,
     "soundex_blocking": q_soundex_blocking,
+    "seq_patterns": q_seq_patterns,
+    "stock_balance": q_stock_balance,
+    "revenue_recognition": q_revenue_recognition,
 }
