@@ -378,6 +378,11 @@ OPERATORS = [
     "critical_path",  # bounded-frontier DAG relaxation
     "knn_label_vote",  # exact top-k + majority vote eval
     "soundex_blocking",  # phonetic block keys + block sizes
+    "seq_patterns",  # FIRST<LAST existence algebra per user
+    "stock_balance",  # clamped balance via prefix-min identity
+    "revenue_recognition",  # cent-exact largest-remainder spread
+    "twap",  # time-weighted mean, one LEAD window
+    "encoding_advisor",  # sharded run counts + exact distincts
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

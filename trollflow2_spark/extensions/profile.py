@@ -1669,3 +1669,130 @@ def gini_concentration(
             s > 0, F.round((2.0 * ws - (n + 1.0) * s) / (n * s), 6)
         ).alias("gini"),
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_tiebreak: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP / duration-weighted telemetry
+    mean): each observation holds its value until the NEXT
+    observation, so the mean weights by holding seconds — the honest
+    average for irregularly sampled series, where the arithmetic mean
+    over-weights bursts. One LEAD window per key (single shuffle);
+    weights are exact integer seconds, weighted values accumulate at
+    fixed 6 dp in DECIMAL; the final division is one scalar chain.
+    The last observation per key has no holding interval and drops
+    out (reported in ``n_holds`` vs ``n_obs``)."""
+    sec = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"{ts_col})"
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        sec, *[F.col(c) for c in order_tiebreak]
+    )
+    staged = df.select(
+        *key_cols,
+        F.col(value_col).alias("__v"),
+        sec.alias("__s"),
+        (F.lead(sec).over(w) - sec).alias("__hold"),
+    )
+    hold = F.col("__hold").cast("decimal(38,0)")
+    wv = F.round(F.col("__v") * F.col("__hold").cast("double"), 6).cast(
+        "decimal(38,6)"
+    )
+    agg = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count("__hold").alias("n_holds"),
+        F.sum(hold).cast("double").alias("__tw"),
+        F.sum(wv).cast("double").alias("__wv"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_obs",
+        "n_holds",
+        F.col("__tw").cast("long").alias("total_seconds"),
+        F.when(
+            F.col("__tw") > 0, F.round(F.col("__wv") / F.col("__tw"), 6)
+        ).alias("twap"),
+    )
+
+
+def encoding_advisor(
+    df: DataFrame,
+    cols: list[str],
+    order_cols: list[str],
+    rle_min_run: float = 4.0,
+    dict_max_ratio: float = 0.1,
+    bucket_size: int = 100000,
+) -> DataFrame:
+    """Columnar-encoding advisor — the layout question behind
+    `parquet_layout_audit` / `zorder_layout`: for each column, the
+    exact distinct count, the RUN count over the table's write order
+    (a value-change flag per row), and the derived recommendation
+    (RLE when average run length clears ``rle_min_run``, DICT when
+    the distinct ratio is under ``dict_max_ratio``, else PLAIN).
+    Advice like this decides real storage bills before a rewrite.
+
+    Scale shape (the sharded pattern from `concat_chunks`): the
+    write order shards into contiguous key ranges
+    (``order_cols[0] DIV bucket_size``) and change flags compute per
+    shard — never a global single-partition sort. Each shard's first
+    row counts as a change, so the run count over-states by at most
+    one per shard (deterministic, identically replayed by the
+    oracle; at production shard sizes the bias is noise). One
+    aggregation folds rows + run counts + exact distincts (Spark
+    plans multi-column distincts via Expand — k copies of the scan
+    rows, the documented price of exactness; the sketch tier is the
+    estimate path). Output is k rows, control-plane sized."""
+    bucket = F.expr(f"{order_cols[0]} DIV {int(bucket_size)}")
+    w = Window.partitionBy(bucket).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    flags = df.select(
+        *cols,
+        *[
+            (
+                (F.lag(F.col(c)).over(w).isNull())
+                | (F.lag(F.col(c)).over(w) != F.col(c))
+            )
+            .cast("long")
+            .alias(f"__chg_{c}")
+            for c in cols
+        ],
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"__chg_{c}").alias(f"__runs_{c}") for c in cols],
+        *[F.count_distinct(F.col(c)).alias(f"__nd_{c}") for c in cols],
+    )
+    outs = []
+    for c in cols:
+        n = F.col("__n").cast("double")
+        runs = F.col(f"__runs_{c}")
+        nd = F.col(f"__nd_{c}")
+        avg_run = n / runs.cast("double")
+        ratio = nd.cast("double") / n
+        rec = (
+            F.when(avg_run >= rle_min_run, F.lit("RLE"))
+            .when(ratio <= dict_max_ratio, F.lit("DICT"))
+            .otherwise(F.lit("PLAIN"))
+        )
+        outs.append(
+            agg.select(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                nd.alias("n_distinct"),
+                runs.alias("n_runs"),
+                F.round(avg_run, 6).alias("avg_run_len"),
+                F.round(ratio, 6).alias("distinct_ratio"),
+                rec.alias("recommendation"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

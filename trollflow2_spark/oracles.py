@@ -10396,3 +10396,77 @@ SELECT o_orderkey, period_idx,
   n_months
 FROM expanded
 """
+
+
+# TWAP: lead-based holding seconds, DECIMAL-exact weighted sums
+ORACLES["twap"] = """
+WITH s AS (
+  SELECT event_type, value,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+    LEAD(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+      OVER (PARTITION BY event_type
+            ORDER BY date_diff('second',
+                               TIMESTAMP '1970-01-01 00:00:00', ts),
+                     event_id)
+      - date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      AS hold
+  FROM events
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_obs, COUNT(hold) AS n_holds,
+    CAST(SUM(CAST(hold AS DECIMAL(38,0))) AS DOUBLE) AS tw,
+    CAST(SUM(CAST(round(value * CAST(hold AS DOUBLE), 6)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS wv
+  FROM s GROUP BY event_type
+)
+SELECT event_type, n_obs, n_holds,
+  CAST(tw AS BIGINT) AS total_seconds,
+  CASE WHEN tw > 0 THEN round(wv / tw, 6) END AS twap
+FROM agg
+"""
+
+
+# Encoding advisor: sharded run counts (first row of each contiguous
+# orderkey shard counts as a change) + exact distincts per column
+ORACLES["encoding_advisor"] = f"""
+WITH flags AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_partkey,
+    CASE WHEN lag(l_returnflag) OVER w IS NULL
+         OR lag(l_returnflag) OVER w <> l_returnflag
+      THEN 1 ELSE 0 END AS c1,
+    CASE WHEN lag(l_linestatus) OVER w IS NULL
+         OR lag(l_linestatus) OVER w <> l_linestatus
+      THEN 1 ELSE 0 END AS c2,
+    CASE WHEN lag(l_quantity) OVER w IS NULL
+         OR lag(l_quantity) OVER w <> l_quantity
+      THEN 1 ELSE 0 END AS c3,
+    CASE WHEN lag(l_partkey) OVER w IS NULL
+         OR lag(l_partkey) OVER w <> l_partkey
+      THEN 1 ELSE 0 END AS c4
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey // {C.ENC_ADVISOR_BUCKET}
+               ORDER BY l_orderkey, l_linenumber, l_returnflag,
+                        l_linestatus, l_quantity, l_partkey)
+), agg AS (
+  SELECT COUNT(*) AS n,
+    SUM(c1) AS r1, SUM(c2) AS r2, SUM(c3) AS r3, SUM(c4) AS r4,
+    COUNT(DISTINCT l_returnflag) AS d1,
+    COUNT(DISTINCT l_linestatus) AS d2,
+    COUNT(DISTINCT l_quantity) AS d3,
+    COUNT(DISTINCT l_partkey) AS d4
+  FROM flags
+), rows_ AS (
+  SELECT 'l_returnflag' AS "column", n, d1 AS nd, r1 AS runs FROM agg
+  UNION ALL SELECT 'l_linestatus', n, d2, r2 FROM agg
+  UNION ALL SELECT 'l_quantity', n, d3, r3 FROM agg
+  UNION ALL SELECT 'l_partkey', n, d4, r4 FROM agg
+)
+SELECT "column", CAST(n AS BIGINT) AS n_rows, CAST(nd AS BIGINT)
+    AS n_distinct,
+  CAST(runs AS BIGINT) AS n_runs,
+  round(CAST(n AS DOUBLE) / CAST(runs AS DOUBLE), 6) AS avg_run_len,
+  round(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS distinct_ratio,
+  CASE WHEN CAST(n AS DOUBLE) / CAST(runs AS DOUBLE) >= 4.0 THEN 'RLE'
+       WHEN CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1 THEN 'DICT'
+       ELSE 'PLAIN' END AS recommendation
+FROM rows_
+"""

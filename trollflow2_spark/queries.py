@@ -13204,6 +13204,40 @@ def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type
+    (`extensions/profile.py::time_weighted_average`): each reading
+    holds until the next, weights are exact integer seconds — the
+    honest mean for irregular sampling. One LEAD window per type."""
+    from trollflow2_spark.extensions.profile import time_weighted_average
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_average(
+        ev, ["event_type"], "ts", ["event_id"], "value"
+    )
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor (`extensions/profile.py::
+    encoding_advisor`): exact distincts + sharded run counts over
+    lineitem's write order -> RLE/DICT/PLAIN recommendations."""
+    from trollflow2_spark.extensions.profile import encoding_advisor
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # the synthetic lineitem is NOT unique on (orderkey, linenumber),
+    # so the write order includes the advised columns — ties between
+    # fully identical rows cannot move a run boundary
+    return encoding_advisor(
+        li,
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_partkey"],
+        [
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_quantity", "l_partkey",
+        ],
+        bucket_size=C.ENC_ADVISOR_BUCKET,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13571,4 +13605,6 @@ QUERIES = {
     "seq_patterns": q_seq_patterns,
     "stock_balance": q_stock_balance,
     "revenue_recognition": q_revenue_recognition,
+    "twap": q_twap,
+    "encoding_advisor": q_encoding_advisor,
 }
