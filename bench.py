@@ -383,6 +383,7 @@ OPERATORS = [
     "revenue_recognition",  # cent-exact largest-remainder spread
     "twap",  # time-weighted mean, one LEAD window
     "encoding_advisor",  # sharded run counts + exact distincts
+    "streaming_balance_replay",  # mergeable clamp state, 3 real batches
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

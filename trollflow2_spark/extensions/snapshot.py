@@ -665,3 +665,119 @@ def kmv_replay_state(
         F.element_at("sketch", F.size("sketch")).alias("kth_hash"),
         F.round(kmv_estimate(F.col("sketch"), k), 4).alias("est_distinct"),
     )
+
+
+def balance_replay_state(
+    spark,
+    batches: list[list[dict]],
+    schema: str,
+    key_cols: list[str],
+    seq_col: str,
+    delta_col: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming maintenance of the zero-clamped running balance
+    (`operators/windows.py::clamped_running_balance`) — the state is
+    just ``(batch_sum, batch_min_prefix)`` per key per micro-batch,
+    because the clamp's closed form merges: with prefix offset P
+    (sum of earlier batches), a batch contributes candidate minimum
+    ``P + batch_min_prefix``, and the final balance is
+    ``S_total − min(0, min over batches)``. So an unbounded movement
+    stream maintains exact clamped balances with TWO decimals per
+    (key, batch) of state — no raw-row retention, no re-scan, and the
+    replay equals the one-pass batch closed form bit-for-bit (the
+    oracle). Same file-source/availableNow harness as
+    :func:`cms_replay_state`; batch tags keep recovery idempotent."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    d = tempfile.mkdtemp(prefix="tf2_bal_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    state_dir = os.path.join(d, "state")
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        path = os.path.join(src, f"b{i:04d}.json")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(seq_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dq = F.round(F.col(delta_col), 6).cast("decimal(38,6)")
+        staged = batch_df.select(
+            *key_cols, F.sum(dq).over(w).alias("__ps"), dq.alias("__d")
+        )
+        (
+            staged.groupBy(*key_cols)
+            .agg(
+                F.min("__ps").alias("batch_min_prefix"),
+                F.sum("__d").alias("batch_sum"),
+            )
+            .withColumn("__bid", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .queryName("tf2_bal_" + uuid.uuid4().hex[:12])
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"balance_replay_state: stream did not drain "
+                f"{len(batches)} batches within {timeout_s}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    state = spark.read.parquet(state_dir)
+    wprev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    cand = F.coalesce(F.sum("batch_sum").over(wprev), zero) + F.col(
+        "batch_min_prefix"
+    )
+    staged = state.select(
+        *key_cols, "batch_sum", cand.alias("__cand")
+    )
+    agg = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("batch_sum").alias("__total"),
+        F.min("__cand").alias("__gmin"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_batches",
+        F.round(F.col("__total").cast("double"), 6).alias("final_raw"),
+        F.round(
+            (F.col("__total") - F.least(zero, F.col("__gmin"))).cast(
+                "double"
+            ),
+            6,
+        ).alias("final_balance"),
+    )

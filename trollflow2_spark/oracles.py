@@ -10470,3 +10470,36 @@ SELECT "column", CAST(n AS BIGINT) AS n_rows, CAST(nd AS BIGINT)
        ELSE 'PLAIN' END AS recommendation
 FROM rows_
 """
+
+
+# Streaming balance replay: the one-pass closed form over the same
+# ordered subset — per-key DECIMAL prefix sums, terciles by global seq
+ORACLES["streaming_balance_replay"] = f"""
+WITH sub AS (
+  SELECT event_id, ts, event_type,
+    CASE WHEN event_id % 3 = 0 THEN value ELSE -value END AS delta
+  FROM events
+  ORDER BY (event_id * {C.REPLAY_SPREAD}) % 4294967296, event_id
+  LIMIT {C.REPLAY_ROW_BUDGET}
+), seqd AS (
+  SELECT event_type, delta,
+    row_number() OVER (ORDER BY ts, event_id) - 1 AS seq
+  FROM sub
+), s AS (
+  SELECT event_type,
+    CAST(round(delta, 6) AS DECIMAL(38,6)) AS d,
+    SUM(CAST(round(delta, 6) AS DECIMAL(38,6))) OVER
+      (PARTITION BY event_type ORDER BY seq
+       ROWS UNBOUNDED PRECEDING) AS ps,
+    CASE WHEN seq < {C.REPLAY_ROW_BUDGET // 3} THEN 0
+         WHEN seq < {2 * C.REPLAY_ROW_BUDGET // 3} THEN 1
+         ELSE 2 END AS tercile
+  FROM seqd
+)
+SELECT event_type,
+  CAST(COUNT(DISTINCT tercile) AS BIGINT) AS n_batches,
+  round(CAST(SUM(d) AS DOUBLE), 6) AS final_raw,
+  round(CAST(SUM(d) - least(CAST(0 AS DECIMAL(38,6)), MIN(ps))
+             AS DOUBLE), 6) AS final_balance
+FROM s GROUP BY event_type
+"""

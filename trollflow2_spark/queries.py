@@ -13238,6 +13238,44 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_balance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clamp's mergeable state as an operating procedure
+    (`extensions/snapshot.py::balance_replay_state`): the budget-
+    capped movement stream splits into 3 time-contiguous REAL
+    micro-batches; each appends only (batch_sum, batch_min_prefix)
+    per key, and the final read folds offsets — the result must
+    equal the one-pass closed form bit-for-bit (the oracle)."""
+    from trollflow2_spark.extensions.snapshot import balance_replay_state
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = _replay_subset(ev).select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("delta"),
+    )
+    rows = sorted(
+        sub.collect(), key=lambda r: (r["ts"], r["event_id"])
+    )  # budget-capped fixture (control plane)
+    seq_rows = [
+        {"seq": i, "event_type": r["event_type"], "delta": r["delta"]}
+        for i, r in enumerate(rows)
+    ]
+    n = len(seq_rows)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    batches = [seq_rows[cuts[i] : cuts[i + 1]] for i in range(3)]
+    return balance_replay_state(
+        spark,
+        batches,
+        "seq long, event_type string, delta double",
+        ["event_type"],
+        "seq",
+        "delta",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13607,4 +13645,5 @@ QUERIES = {
     "revenue_recognition": q_revenue_recognition,
     "twap": q_twap,
     "encoding_advisor": q_encoding_advisor,
+    "streaming_balance_replay": q_streaming_balance_replay,
 }
