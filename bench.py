@@ -384,6 +384,8 @@ OPERATORS = [
     "twap",  # time-weighted mean, one LEAD window
     "encoding_advisor",  # sharded run counts + exact distincts
     "streaming_balance_replay",  # mergeable clamp state, 3 real batches
+    "bitmap_contingency",  # word-mask AND/popcount vs direct GROUP BY
+    "seasonal_anomaly",  # detrend + phase mean + k*MAD residual cut
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -1796,3 +1796,162 @@ def encoding_advisor(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+BITMAP_WORD_BITS = 62  # bits per BIGINT word (avoids sign-bit overflow)
+
+
+def bitmap_index(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    bucket_size: int = 100000,
+) -> DataFrame:
+    """Bitmap-index build for a low-cardinality column: rows number
+    within SHARDED contiguous key ranges (the `encoding_advisor`
+    pattern — no global sort), and each (value, shard, word) row
+    carries a 62-bit occupancy mask (bit = row position in the word;
+    62 not 64 keeps every ``1 << bit`` inside signed-BIGINT range on
+    any engine). Masks are exact integer sums of DISTINCT powers of
+    two, so partial aggregation composes them map-side. Predicate
+    algebra is then bitwise: AND/OR of masks joined on (shard, word),
+    cardinalities via ``bit_count`` — the warehouse trick that turns
+    multi-predicate row counting into word-level integer ops."""
+    shard = F.expr(f"{order_cols[0]} DIV {int(bucket_size)}")
+    w = Window.partitionBy(shard).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    idx = F.row_number().over(w) - 1
+    rows = df.select(
+        F.col(value_col).alias("value"),
+        shard.alias("shard"),
+        (idx / BITMAP_WORD_BITS).cast("long").alias("word"),
+        # 2^bit via pow: exact for powers of two up to 2^62, and the
+        # DataFrame shiftleft() only takes a literal shift amount
+        F.pow(F.lit(2.0), (idx % BITMAP_WORD_BITS).cast("double"))
+        .cast("long")
+        .alias("__bit"),
+    )
+    return rows.groupBy("value", "shard", "word").agg(
+        F.sum("__bit").alias("mask"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def bitmap_contingency(
+    index_a: DataFrame, index_b: DataFrame
+) -> DataFrame:
+    """Cross-column contingency table computed ENTIRELY from two
+    bitmap indexes built over the same row numbering: join word
+    lists on (shard, word), AND the masks, popcount, sum — the base
+    table is never rescanned. The oracle counts the same table with
+    a direct GROUP BY, a completely independent algorithm, so the
+    equality is a real cross-check of the bitmap algebra."""
+    a = index_a.select(
+        F.col("value").alias("value_a"), "shard", "word",
+        F.col("mask").alias("__ma"),
+    )
+    b = index_b.select(
+        F.col("value").alias("value_b"), "shard", "word",
+        F.col("mask").alias("__mb"),
+    )
+    j = a.join(b, ["shard", "word"])
+    return (
+        j.groupBy("value_a", "value_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+            ).alias("n_rows")
+        )
+        .where(F.col("n_rows") > 0)
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    phase_col: str,
+    value_col: str,
+    period: int = 24,
+    k: float = 5.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection — `seasonal_profile`'s
+    detrend chain composed with the `outlier_mad_filter` gate: the
+    residual after removing BOTH the centered-MA trend and the phase
+    mean is what's left to explain, and a |residual − median| >
+    k·MAD cut flags it robustly (a spike at 3 a.m. is judged against
+    3 a.m. behaviour, not the daily average). Full-window rows only;
+    phase means join back broadcast (phase-cardinality); medians are
+    exact percentiles over per-key groups. Returns FLAGGED rows."""
+    half = period // 2
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+
+    def at(j: int):
+        if j == 0:
+            return v
+        if j < 0:
+            return F.lag(v, -j).over(w)
+        return F.lead(v, j).over(w)
+
+    if period % 2 == 0:
+        trend = 0.5 * at(-half) + 0.5 * at(half)
+        for j in range(-half + 1, half):
+            trend = trend + at(j)
+    else:
+        trend = at(-half)
+        for j in range(-half + 1, half + 1):
+            trend = trend + at(j)
+    trend = trend / float(period)
+    detr = df.select(
+        *key_cols,
+        F.col(order_col).alias("bucket"),
+        F.col(phase_col).alias("phase"),
+        v.alias("y"),
+        F.round(v - trend, 9).cast("decimal(38,9)").alias("__d"),
+    ).where(F.col("__d").isNotNull())
+    raw = detr.groupBy(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols],
+        F.col("phase").alias("__p"),
+    ).agg(
+        (F.sum("__d").cast("double") / F.count(F.lit(1))).alias("__s_raw")
+    )
+    cond = [F.col(c) == F.col(f"__k_{c}") for c in key_cols] + [
+        F.col("phase") == F.col("__p")
+    ]
+    joined = detr.join(F.broadcast(raw), cond).select(
+        *key_cols,
+        "bucket",
+        "phase",
+        "y",
+        (F.col("__d").cast("double") - F.col("__s_raw")).alias("__r"),
+    )
+    med = joined.groupBy(
+        *[F.col(c).alias(f"__m_{c}") for c in key_cols]
+    ).agg(F.percentile("__r", F.lit(0.5)).alias("__med"))
+    mcond = [F.col(c) == F.col(f"__m_{c}") for c in key_cols]
+    dev = joined.join(F.broadcast(med), mcond).select(
+        *key_cols,
+        "bucket",
+        "phase",
+        "y",
+        "__r",
+        F.abs(F.col("__r") - F.col("__med")).alias("__adev"),
+    )
+    mad = dev.groupBy(
+        *[F.col(c).alias(f"__a_{c}") for c in key_cols]
+    ).agg(F.percentile("__adev", F.lit(0.5)).alias("__mad"))
+    acond = [F.col(c) == F.col(f"__a_{c}") for c in key_cols]
+    return (
+        dev.join(F.broadcast(mad), acond)
+        .where(F.col("__adev") > k * F.col("__mad"))
+        .select(
+            *key_cols,
+            "bucket",
+            "phase",
+            "y",
+            F.round(F.col("__r"), 6).alias("residual"),
+            F.round(F.col("__mad"), 6).alias("mad"),
+        )
+    )

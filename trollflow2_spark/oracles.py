@@ -10503,3 +10503,53 @@ SELECT event_type,
              AS DOUBLE), 6) AS final_balance
 FROM s GROUP BY event_type
 """
+
+
+# Bitmap contingency: the oracle counts DIRECTLY — a fully
+# independent algorithm the word-mask AND/popcount must reproduce
+ORACLES["bitmap_contingency"] = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# Seasonal anomalies: the full detrend -> phase mean -> residual ->
+# median/MAD -> k-cut chain replayed; quantile_cont == F.percentile
+ORACLES["seasonal_anomaly"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, bucket, hour(bucket) AS phase, y,
+    CAST(round(y - ({_seasonal_trend_terms(24)}) / 24.0, 9)
+         AS DECIMAL(38,9)) AS d
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+), detr AS (
+  SELECT * FROM tr WHERE d IS NOT NULL
+), raw AS (
+  SELECT event_type AS rt, phase AS rp,
+    CAST(SUM(d) AS DOUBLE) / count(*) AS s_raw
+  FROM detr GROUP BY 1, 2
+), joined AS (
+  SELECT event_type, bucket, phase, y,
+    CAST(d AS DOUBLE) - s_raw AS r
+  FROM detr JOIN raw ON event_type = rt AND phase = rp
+), med AS (
+  SELECT event_type AS mt, quantile_cont(r, 0.5) AS medr
+  FROM joined GROUP BY 1
+), dev AS (
+  SELECT j.*, abs(j.r - m.medr) AS adev
+  FROM joined j JOIN med m ON j.event_type = m.mt
+), mad AS (
+  SELECT event_type AS at, quantile_cont(adev, 0.5) AS madv
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.bucket, d.phase, d.y,
+  round(d.r, 6) AS residual, round(a.madv, 6) AS mad
+FROM dev d JOIN mad a ON d.event_type = a.at
+WHERE d.adev > {C.SEASANOM_K} * a.madv
+"""

@@ -484,3 +484,4 @@ POSTING_MIN_DF = 25  # df floor for the inverted-index artifact
 DAG_MAX_DEPTH_LOGPATH = 12  # relaxation rounds for the 512-node DAG
 SEQPAT_MIN_SUPPORT = 2  # key floor for length-2 sequential patterns
 ENC_ADVISOR_BUCKET = 4096  # contiguous orderkey range per run-count shard
+SEASANOM_K = 3.0  # k*MAD cut on seasonal residuals

@@ -13276,6 +13276,56 @@ def q_streaming_balance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index predicate algebra (`extensions/profile.py::
+    bitmap_index`/`bitmap_contingency`): the returnflag × linestatus
+    contingency table computed purely from word-level mask ANDs +
+    popcounts over two indexes sharing one sharded row numbering.
+    The oracle is a direct GROUP BY of the base table — an
+    independent algorithm the bitmap math must reproduce exactly."""
+    from trollflow2_spark.extensions.profile import (
+        bitmap_contingency,
+        bitmap_index,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # shared total order: include both indexed columns so duplicate
+    # write-keys cannot flap the numbering (encoding_advisor note)
+    order_cols = [
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_quantity", "l_partkey",
+    ]
+    ia = bitmap_index(
+        li, "l_returnflag", order_cols, bucket_size=C.ENC_ADVISOR_BUCKET
+    )
+    ib = bitmap_index(
+        li, "l_linestatus", order_cols, bucket_size=C.ENC_ADVISOR_BUCKET
+    )
+    return bitmap_contingency(ia, ib).select(
+        F.col("value_a").alias("returnflag"),
+        F.col("value_b").alias("linestatus"),
+        "n_rows",
+    )
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware spike detection (`extensions/profile.py::
+    seasonal_anomalies`): hourly event volumes judged against their
+    OWN hour-of-day behaviour — centered-MA trend + phase mean
+    removed, then the k·MAD robust cut on residuals."""
+    from trollflow2_spark.extensions.profile import seasonal_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    hourly = hourly.withColumn("phase", F.hour("bucket"))
+    return seasonal_anomalies(
+        hourly, ["event_type"], "bucket", "phase", "y",
+        period=24, k=C.SEASANOM_K,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13646,4 +13696,6 @@ QUERIES = {
     "twap": q_twap,
     "encoding_advisor": q_encoding_advisor,
     "streaming_balance_replay": q_streaming_balance_replay,
+    "bitmap_contingency": q_bitmap_contingency,
+    "seasonal_anomaly": q_seasonal_anomaly,
 }
