@@ -386,6 +386,7 @@ OPERATORS = [
     "streaming_balance_replay",  # mergeable clamp state, 3 real batches
     "bitmap_contingency",  # word-mask AND/popcount vs direct GROUP BY
     "seasonal_anomaly",  # detrend + phase mean + k*MAD residual cut
+    "iceberg_snapshot",  # metadata tree -> live sets, both snapshots
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

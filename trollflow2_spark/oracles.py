@@ -10553,3 +10553,29 @@ SELECT d.event_type, d.bucket, d.phase, d.y,
 FROM dev d JOIN mad a ON d.event_type = a.at
 WHERE d.adev > {C.SEASANOM_K} * a.madv
 """
+
+
+# Iceberg snapshots: closed-form live sets per snapshot — snap 1 =
+# buckets 0..29 all live; snap 2 = 10..19 minus doc%7 deletions,
+# 20..39 all live
+ORACLES["iceberg_snapshot"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 40 AS bucket, 'p' || CAST(doc_id % 5
+    AS VARCHAR) AS partition,
+    CAST(100 + doc_id % 50 AS BIGINT) AS rc,
+    CAST(1000 + doc_id % 77 AS BIGINT) AS fs
+  FROM documents
+), live AS (
+  SELECT CAST(1 AS BIGINT) AS snapshot_id, partition, rc, fs
+  FROM d WHERE bucket <= 29
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), partition, rc, fs
+  FROM d
+  WHERE (bucket BETWEEN 10 AND 19 AND doc_id % 7 <> 0)
+     OR bucket >= 20
+)
+SELECT snapshot_id, partition, COUNT(*) AS n_files,
+  CAST(SUM(rc) AS BIGINT) AS n_rows,
+  CAST(SUM(fs) AS BIGINT) AS total_bytes
+FROM live GROUP BY 1, 2
+"""

@@ -13326,6 +13326,123 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata-tree reading (`sources/iceberg.py`): a
+    two-snapshot table whose manifests derive from the documents
+    table — snapshot 2 drops ten manifests, REWRITES ten with
+    status=2 deletions (doc_id%7 files), REUSES ten unchanged and
+    adds ten new; manifest lists resolve on the driver, manifest
+    Avro decodes distributed through the from-scratch container
+    codec, and the per-(snapshot, partition) live rollup must match
+    the closed-form oracle for BOTH snapshots (time travel)."""
+    from trollflow2_spark.sources.iceberg import (
+        MANIFEST_LIST_SCHEMA,
+        snapshot_partition_summary,
+    )
+    from trollflow2_spark.sources.avro import write_container
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("bucket")
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_manifests(key, pdf):
+        import pandas as pd
+
+        from trollflow2_spark.sources.avro import write_container as wc
+        from trollflow2_spark.sources.iceberg import MANIFEST_SCHEMA
+
+        b = int(key[0])
+        ids = sorted(int(d) for d in pdf["doc_id"])
+
+        def entries(status_fn):
+            return [
+                {
+                    "status": status_fn(d),
+                    "file_path": f"f-{d}.parquet",
+                    "partition": f"p{d % 5}",
+                    "record_count": 100 + d % 50,
+                    "file_size": 1000 + d % 77,
+                }
+                for d in ids
+            ]
+
+        out = []
+        if b <= 29:
+            out.append(
+                (f"m1-{b}", wc(entries(lambda d: 1), MANIFEST_SCHEMA))
+            )
+        if 10 <= b <= 19:  # snapshot-2 rewrite with deletions
+            out.append(
+                (
+                    f"m2-{b}",
+                    wc(
+                        entries(lambda d: 2 if d % 7 == 0 else 0),
+                        MANIFEST_SCHEMA,
+                    ),
+                )
+            )
+        if b >= 30:  # snapshot-2 additions
+            out.append(
+                (f"m2add-{b}", wc(entries(lambda d: 1), MANIFEST_SCHEMA))
+            )
+        return pd.DataFrame(out, columns=["path", "blob"])
+
+    manifests = docs.groupBy("bucket").applyInPandas(
+        make_manifests, blob_schema
+    )
+    snap1_paths = [f"m1-{b}" for b in range(0, 30)]
+    snap2_paths = (
+        [f"m2-{b}" for b in range(10, 20)]
+        + [f"m1-{b}" for b in range(20, 30)]
+        + [f"m2add-{b}" for b in range(30, 40)]
+    )
+
+    def mlist(paths):
+        return write_container(
+            [
+                {
+                    "manifest_path": p,
+                    "added_files_count": 0,
+                    "deleted_files_count": 0,
+                }
+                for p in paths
+            ],
+            MANIFEST_LIST_SCHEMA,
+        )
+
+    lists = spark.createDataFrame(
+        [("snap-1.avro", mlist(snap1_paths)), ("snap-2.avro", mlist(snap2_paths))],
+        blob_schema,
+    )
+    metadata = {
+        "format-version": 2,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1000,
+                "manifest-list": "snap-1.avro",
+            },
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2000,
+                "manifest-list": "snap-2.avro",
+            },
+        ],
+    }
+    import json as _json
+
+    return snapshot_partition_summary(
+        spark, _json.dumps(metadata), manifests.unionByName(lists)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13698,4 +13815,5 @@ QUERIES = {
     "streaming_balance_replay": q_streaming_balance_replay,
     "bitmap_contingency": q_bitmap_contingency,
     "seasonal_anomaly": q_seasonal_anomaly,
+    "iceberg_snapshot": q_iceberg_snapshot,
 }
