@@ -387,6 +387,7 @@ OPERATORS = [
     "bitmap_contingency",  # word-mask AND/popcount vs direct GROUP BY
     "seasonal_anomaly",  # detrend + phase mean + k*MAD residual cut
     "iceberg_snapshot",  # metadata tree -> live sets, both snapshots
+    "cdc_extract",  # snapshot diff -> I/U/D feed, NULL-safe
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

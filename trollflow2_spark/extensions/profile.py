@@ -1955,3 +1955,62 @@ def seasonal_anomalies(
             F.round(F.col("__mad"), 6).alias("mad"),
         )
     )
+
+
+def cdc_extract(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+) -> DataFrame:
+    """Derive the change feed BETWEEN two snapshots — the inverse of
+    :func:`cdc_apply` and the bridge when a source system offers only
+    full dumps: one full-outer equi join on the key classifies every
+    row as I (key only in new), D (key only in old) or U (present in
+    both with any attribute differing; unchanged rows are NOT
+    emitted — the feed is a delta, not a copy). Old and new attribute
+    values both surface, so a downstream audit can verify U rows
+    field by field. NULL-safe comparison via the eqNullSafe chain —
+    a NULL->value transition IS a change.
+
+    Scale: the one shuffle is the key-hash join; unchanged rows (the
+    overwhelming majority between adjacent dumps) are filtered before
+    any downstream work."""
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in attr_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in attr_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = [
+        F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
+        for c in key_cols
+    ]
+    j = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}")
+        )
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    keys = [
+        F.coalesce(F.col(f"__nk_{c}"), F.col(f"__ok_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        j.select(
+            *keys,
+            op.alias("op"),
+            *[F.col(f"old_{c}") for c in attr_cols],
+            *[F.col(f"new_{c}") for c in attr_cols],
+        )
+        .where(F.col("op").isNotNull())
+    )

@@ -10579,3 +10579,28 @@ SELECT snapshot_id, partition, COUNT(*) AS n_files,
   CAST(SUM(fs) AS BIGINT) AS total_bytes
 FROM live GROUP BY 1, 2
 """
+
+
+# CDC extract: closed-form I/U/D classification between the two dumps
+ORACLES["cdc_extract"] = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_custkey % 13 <> 0
+), new AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+         ELSE c_acctbal END AS c_acctbal,
+    c_mktsegment
+  FROM customer WHERE c_custkey % 17 <> 0
+)
+SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+  CASE WHEN o.c_custkey IS NULL THEN 'I'
+       WHEN n.c_custkey IS NULL THEN 'D'
+       ELSE 'U' END AS op,
+  o.c_acctbal AS old_c_acctbal, o.c_mktsegment AS old_c_mktsegment,
+  n.c_acctbal AS new_c_acctbal, n.c_mktsegment AS new_c_mktsegment
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+"""

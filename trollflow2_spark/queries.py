@@ -13443,6 +13443,31 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change feed (`extensions/profile.py::
+    cdc_extract` — the inverse of `cdc_apply`): two closed-form
+    customer dumps (13ths new, 17ths dropped, 5ths rebalanced)
+    classified I/U/D with old+new values; unchanged rows never
+    emitted."""
+    from trollflow2_spark.extensions.profile import cdc_extract
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    old = cust.where(k % 13 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = cust.where(k % 17 != 0).select(
+        "c_custkey",
+        F.when(k % 5 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return cdc_extract(
+        old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13816,4 +13841,5 @@ QUERIES = {
     "bitmap_contingency": q_bitmap_contingency,
     "seasonal_anomaly": q_seasonal_anomaly,
     "iceberg_snapshot": q_iceberg_snapshot,
+    "cdc_extract": q_cdc_extract,
 }
