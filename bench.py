@@ -388,6 +388,8 @@ OPERATORS = [
     "seasonal_anomaly",  # detrend + phase mean + k*MAD residual cut
     "iceberg_snapshot",  # metadata tree -> live sets, both snapshots
     "cdc_extract",  # snapshot diff -> I/U/D feed, NULL-safe
+    "quantile_transform",  # exact midrank uniform scores
+    "target_encoding",  # LOO categorical encoder, DECIMAL sums
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

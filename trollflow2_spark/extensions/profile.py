@@ -2014,3 +2014,67 @@ def cdc_extract(
         )
         .where(F.col("op").isNotNull())
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Rank-based quantile normalization (the sklearn
+    QuantileTransformer idea, exact): each value maps to its AVERAGE
+    rank over the group divided by n+1 — uniform on (0,1), tie rows
+    share one score (average rank = the midrank, computed as
+    rank + (count_of_equal − 1)/2 without a second pass), monotone,
+    outlier-immune. One window + the per-value count from the same
+    partitioning; a single exchange."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    wv = Window.partitionBy(*group_cols, value_col)
+    wn = Window.partitionBy(*group_cols)
+    rank = F.rank().over(w).cast("double")
+    ties = F.count(F.lit(1)).over(wv).cast("double")
+    n = F.count(F.lit(1)).over(wn).cast("double")
+    midrank = rank + (ties - 1.0) / 2.0
+    return df.select(
+        *group_cols,
+        F.col(value_col).alias("value"),
+        F.round(midrank / (n + 1.0), 6).alias("q"),
+    )
+
+
+def target_encoding_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smooth: float = 0.0,
+    prior: float = 0.0,
+) -> DataFrame:
+    """Leave-one-out target encoding — the ML-prep categorical
+    encoder done WITHOUT leakage: each row's encoding is its
+    category's target mean computed over every OTHER row,
+    ``(cat_sum − y + smooth·prior) / (cat_n − 1 + smooth)``.
+    Singleton categories fall back to the smoothed prior (NULL when
+    unsmoothed — flagged, not silently zero). Category sums
+    accumulate in DECIMAL (order-insensitive); the per-row encode is
+    one broadcast-sized join back — category cardinality is the
+    small side by construction."""
+    dec = F.round(F.col(target_col), 6).cast("decimal(38,6)")
+    stats = df.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.sum(dec).cast("double").alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = df.join(
+        F.broadcast(stats), F.col(cat_col) == F.col("__c")
+    )
+    denom = (F.col("__n") - 1).cast("double") + F.lit(float(smooth))
+    num = (
+        F.col("__sum")
+        - F.col(target_col).cast("double")
+        + F.lit(float(smooth) * float(prior))
+    )
+    return j.select(
+        F.col(cat_col).alias("category"),
+        F.col(target_col).alias("target"),
+        F.col("__n").alias("cat_n"),
+        F.when(denom > 0, F.round(num / denom, 6)).alias("loo_encoding"),
+    )

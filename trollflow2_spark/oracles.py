@@ -10604,3 +10604,34 @@ WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
    OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
    OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
 """
+
+
+# Quantile transform: midrank/(n+1), ties share the average rank
+ORACLES["quantile_transform"] = """
+SELECT o_orderpriority, o_totalprice AS value,
+  round((CAST(rank() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice) AS DOUBLE)
+         + (CAST(COUNT(*) OVER (PARTITION BY o_orderpriority,
+                                o_totalprice) AS DOUBLE) - 1.0) / 2.0)
+        / (CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                AS DOUBLE) + 1.0), 6) AS q
+FROM orders
+"""
+
+
+# LOO target encoding: (cat_sum - own) / (n - 1), DECIMAL cat sums
+ORACLES["target_encoding"] = """
+WITH stats AS (
+  SELECT c_mktsegment AS c,
+    CAST(SUM(CAST(round(c_acctbal, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      AS s,
+    COUNT(*) AS n
+  FROM customer GROUP BY 1
+)
+SELECT c_mktsegment AS category, c_acctbal AS target,
+  CAST(n AS BIGINT) AS cat_n,
+  CASE WHEN CAST(n - 1 AS DOUBLE) > 0
+    THEN round((s - c_acctbal + 0.0) / (CAST(n - 1 AS DOUBLE) + 0.0), 6)
+  END AS loo_encoding
+FROM customer JOIN stats ON c_mktsegment = c
+"""

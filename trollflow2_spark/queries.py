@@ -13468,6 +13468,35 @@ def q_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization (`extensions/profile.py::
+    quantile_transform`): order values to uniform (0,1) midrank
+    scores per priority — ties share one score, single exchange."""
+    from trollflow2_spark.extensions.profile import quantile_transform
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quantile_transform(
+        orders.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (`extensions/profile.py::
+    target_encoding_loo`): account balance encoded by market segment
+    with each row excluded from its own mean — the leakage-safe
+    categorical encoder."""
+    from trollflow2_spark.extensions.profile import target_encoding_loo
+
+    cust = load_table(spark, sf_dir, "customer")
+    return target_encoding_loo(
+        cust.select("c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13842,4 +13871,6 @@ QUERIES = {
     "seasonal_anomaly": q_seasonal_anomaly,
     "iceberg_snapshot": q_iceberg_snapshot,
     "cdc_extract": q_cdc_extract,
+    "quantile_transform": q_quantile_transform,
+    "target_encoding": q_target_encoding,
 }
