@@ -390,6 +390,7 @@ OPERATORS = [
     "cdc_extract",  # snapshot diff -> I/U/D feed, NULL-safe
     "quantile_transform",  # exact midrank uniform scores
     "target_encoding",  # LOO categorical encoder, DECIMAL sums
+    "theil_sen_trend",  # robust pairwise slope + Mann-Kendall
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

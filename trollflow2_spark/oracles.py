@@ -10635,3 +10635,52 @@ SELECT c_mktsegment AS category, c_acctbal AS target,
   END AS loo_encoding
 FROM customer JOIN stats ON c_mktsegment = c
 """
+
+
+# Theil-Sen + Mann-Kendall: identical pair table, quantile_cont for
+# the median slope, integer S and tie-corrected variance
+ORACLES["theil_sen_trend"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      AS day_idx,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.priority,
+    (b.revenue - a.revenue)
+      / CAST(b.day_idx - a.day_idx AS DOUBLE) AS slope,
+    CAST(sign(b.revenue - a.revenue) AS BIGINT) AS sgn
+  FROM daily a JOIN daily b
+    ON a.priority = b.priority AND a.day_idx < b.day_idx
+), pa AS (
+  SELECT priority, COUNT(*) AS n_pairs,
+    round(quantile_cont(slope, 0.5), 6) AS theil_slope,
+    CAST(SUM(sgn) AS BIGINT) AS mk_s
+  FROM pairs GROUP BY priority
+), nrows AS (
+  SELECT priority, COUNT(*) AS n FROM daily GROUP BY priority
+), ties AS (
+  SELECT priority,
+    SUM(t * (t - 1) * (2 * t + 5)) AS tt
+  FROM (SELECT priority, revenue, COUNT(*) AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY priority
+)
+SELECT p.priority, CAST(n.n AS BIGINT) AS n, p.n_pairs,
+  p.theil_slope, p.mk_s,
+  round(CASE
+    WHEN (CAST(n.n AS DOUBLE) * (n.n - 1.0) * (2.0 * n.n + 5.0)
+          - CAST(t.tt AS DOUBLE)) / 18.0 > 0 THEN
+      CASE WHEN p.mk_s > 0 THEN (CAST(p.mk_s AS DOUBLE) - 1.0)
+             / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1.0)
+                     * (2.0 * n.n + 5.0)
+                     - CAST(t.tt AS DOUBLE)) / 18.0)
+           WHEN p.mk_s < 0 THEN (CAST(p.mk_s AS DOUBLE) + 1.0)
+             / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1.0)
+                     * (2.0 * n.n + 5.0)
+                     - CAST(t.tt AS DOUBLE)) / 18.0)
+           ELSE 0.0 END
+  END, 6) AS mk_z
+FROM pa p JOIN nrows n USING (priority) JOIN ties t USING (priority)
+"""

@@ -13497,6 +13497,25 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue trend (`extensions/profile.py::
+    theil_sen_trend`): Theil-Sen median slope + the Mann-Kendall
+    tie-corrected test per priority, over the same exact daily
+    series `linear_trend` fits — the bounded-cardinality series
+    contract (the O(n²) pair table is ~2.9M rows per group at this
+    series length, all from one equi join)."""
+    from trollflow2_spark.extensions.profile import theil_sen_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    return theil_sen_trend(daily, ["priority"], "day_idx", "revenue")
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13873,4 +13892,5 @@ QUERIES = {
     "cdc_extract": q_cdc_extract,
     "quantile_transform": q_quantile_transform,
     "target_encoding": q_target_encoding,
+    "theil_sen_trend": q_theil_sen_trend,
 }
