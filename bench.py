@@ -391,6 +391,8 @@ OPERATORS = [
     "quantile_transform",  # exact midrank uniform scores
     "target_encoding",  # LOO categorical encoder, DECIMAL sums
     "theil_sen_trend",  # robust pairwise slope + Mann-Kendall
+    "conversion_time",  # two conditional min-aggs, weekly cohorts
+    "freshness_audit",  # cadence-relative staleness flags
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -388,3 +388,57 @@ def clamped_running_balance(
         F.round(F.col("__s").cast("double"), 6).alias("raw_balance"),
         F.round(clamped.cast("double"), 6).alias("balance"),
     )
+
+
+def conversion_time_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    start_type: str,
+    end_type: str,
+    group_expr: Column | None = None,
+    group_name: str = "cohort",
+) -> DataFrame:
+    """Time-to-convert: per key, the FIRST ``start_type`` event and
+    the first ``end_type`` AFTER it; converted keys roll up to
+    p50/p90 duration percentiles and a conversion rate per group
+    (product analytics' headline funnel metric). Two conditional
+    min-aggregates per key — no window, no self-join — then one
+    bounded-cardinality percentile agg; durations are exact integer
+    seconds (NTZ-safe)."""
+    sec = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"{ts_col})"
+    )
+    per = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(F.when(F.col(type_col) == start_type, sec)).alias("__s")
+    )
+    ends = events.select(
+        F.col(key_col).alias("key"),
+        F.when(F.col(type_col) == end_type, sec).alias("__e"),
+    )
+    j = per.join(ends, "key").groupBy("key").agg(
+        F.max("__s").alias("started"),
+        F.min(
+            F.when(F.col("__e") >= F.col("__s"), F.col("__e"))
+        ).alias("converted"),
+    )
+    started = j.where(F.col("started").isNotNull())
+    dur = (F.col("converted") - F.col("started")).cast("double")
+    grp = (
+        group_expr
+        if group_expr is not None
+        else F.lit("all")
+    ).alias(group_name)
+    return started.select(grp, dur.alias("__d")).groupBy(
+        group_name
+    ).agg(
+        F.count(F.lit(1)).alias("n_started"),
+        F.count("__d").alias("n_converted"),
+        F.round(
+            F.count("__d").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+        F.round(F.percentile("__d", F.lit(0.5)), 6).alias("p50_seconds"),
+        F.round(F.percentile("__d", F.lit(0.9)), 6).alias("p90_seconds"),
+    )

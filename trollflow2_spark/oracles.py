@@ -10684,3 +10684,56 @@ SELECT p.priority, CAST(n.n AS BIGINT) AS n, p.n_pairs,
   END, 6) AS mk_z
 FROM pa p JOIN nrows n USING (priority) JOIN ties t USING (priority)
 """
+
+
+# Time-to-convert: first signup, first purchase at-or-after it,
+# weekly start cohorts with exact interpolated percentiles
+ORACLES["conversion_time"] = """
+WITH sec AS (
+  SELECT user_id, event_type,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS s
+  FROM events
+), per AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN s END) AS st
+  FROM sec GROUP BY 1
+), conv AS (
+  SELECT p.user_id, p.st,
+    MIN(CASE WHEN e.event_type = 'purchase' AND e.s >= p.st
+        THEN e.s END) AS cv
+  FROM per p JOIN sec e USING (user_id)
+  WHERE p.st IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT st // 604800 AS start_week, COUNT(*) AS n_started,
+  COUNT(cv) AS n_converted,
+  round(CAST(COUNT(cv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+  round(quantile_cont(CAST(cv - st AS DOUBLE), 0.5), 6) AS p50_seconds,
+  round(quantile_cont(CAST(cv - st AS DOUBLE), 0.9), 6) AS p90_seconds
+FROM conv GROUP BY 1
+"""
+
+
+# Freshness audit: per-type last arrival + median cadence vs the
+# global high-water mark
+ORACLES["freshness_audit"] = f"""
+WITH sec AS (
+  SELECT event_type, event_id,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS s
+  FROM events
+), gaps AS (
+  SELECT event_type, s,
+    s - lag(s) OVER (PARTITION BY event_type ORDER BY s, event_id)
+      AS gap
+  FROM sec
+), per AS (
+  SELECT event_type, MAX(s) AS last_s, COUNT(*) AS n_events,
+    round(quantile_cont(gap, 0.5), 6) AS median_gap_s
+  FROM gaps GROUP BY event_type
+), hwm AS (SELECT MAX(s) AS h FROM sec)
+SELECT event_type, n_events, last_s, median_gap_s,
+  CAST(h - last_s AS DOUBLE) AS current_gap_s,
+  CAST(CAST(h - last_s AS DOUBLE)
+       > {C.FRESH_K} * median_gap_s AS INT) AS stale
+FROM per, hwm
+"""

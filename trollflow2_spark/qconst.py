@@ -485,3 +485,4 @@ DAG_MAX_DEPTH_LOGPATH = 12  # relaxation rounds for the 512-node DAG
 SEQPAT_MIN_SUPPORT = 2  # key floor for length-2 sequential patterns
 ENC_ADVISOR_BUCKET = 4096  # contiguous orderkey range per run-count shard
 SEASANOM_K = 3.0  # k*MAD cut on seasonal residuals
+FRESH_K = 20.0  # stale when the current gap exceeds k x median cadence

@@ -13516,6 +13516,65 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(daily, ["priority"], "day_idx", "revenue")
 
 
+def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert (`operators/windows.py::
+    conversion_time_stats`): signup -> first subsequent purchase per
+    user, rolled to weekly start cohorts with conversion rate and
+    p50/p90 durations — two conditional min-aggs, no self-join
+    fan-out."""
+    from trollflow2_spark.operators.windows import conversion_time_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_time_stats(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "signup",
+        "purchase",
+        group_expr=F.expr("started DIV 604800"),
+        group_name="start_week",
+    )
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-freshness SLA audit: per event type, the last arrival,
+    the median inter-arrival gap (the source's OWN cadence), the
+    current gap against the table's global high-water mark, and a
+    stale flag at k x median — the dead-man's switch a pipeline runs
+    before trusting a day's loads. One lag window + exact medians +
+    a one-row broadcast high-water mark."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("event_type").orderBy(sec, "event_id")
+    gaps = ev.select(
+        "event_type",
+        sec.alias("__s"),
+        (sec - F.lag(sec).over(w)).alias("__gap"),
+    )
+    per = gaps.groupBy("event_type").agg(
+        F.max("__s").alias("last_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("__gap", F.lit(0.5)), 6).alias(
+            "median_gap_s"
+        ),
+    )
+    hwm = ev.agg(F.max(sec).alias("__hwm"))
+    cur_gap = (F.col("__hwm") - F.col("last_s")).cast("double")
+    return per.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "n_events",
+        "last_s",
+        "median_gap_s",
+        cur_gap.alias("current_gap_s"),
+        (cur_gap > C.FRESH_K * F.col("median_gap_s"))
+        .cast("int")
+        .alias("stale"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13893,4 +13952,6 @@ QUERIES = {
     "quantile_transform": q_quantile_transform,
     "target_encoding": q_target_encoding,
     "theil_sen_trend": q_theil_sen_trend,
+    "conversion_time": q_conversion_time,
+    "freshness_audit": q_freshness_audit,
 }
