@@ -393,6 +393,7 @@ OPERATORS = [
     "theil_sen_trend",  # robust pairwise slope + Mann-Kendall
     "conversion_time",  # two conditional min-aggs, weekly cohorts
     "freshness_audit",  # cadence-relative staleness flags
+    "ltv_curve",  # weekly cohorts, DECIMAL cumulative per user
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -10737,3 +10737,32 @@ SELECT event_type, n_events, last_s, median_gap_s,
        > {C.FRESH_K} * median_gap_s AS INT) AS stale
 FROM per, hwm
 """
+
+
+# Cohort LTV curve: weekly cohorts, age-week revenue, DECIMAL
+# cumulative over the rollup divided by cohort size
+ORACLES["ltv_curve"] = """
+WITH sec AS (
+  SELECT user_id, event_type, value,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS s
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(s) AS s0, MIN(s) // 604800 AS cohort_week
+  FROM sec WHERE event_type = 'signup' GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_users FROM cohorts GROUP BY 1
+), weekly AS (
+  SELECT c.cohort_week, (e.s - c.s0) // 604800 AS age_week,
+    CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+  FROM sec e JOIN cohorts c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.s >= c.s0
+  GROUP BY 1, 2
+)
+SELECT w.cohort_week, w.age_week, CAST(z.n_users AS BIGINT) AS n_users,
+  round(w.revenue, 2) AS revenue,
+  round(CAST(SUM(CAST(round(w.revenue, 2) AS DECIMAL(38,2)))
+             OVER (PARTITION BY w.cohort_week ORDER BY w.age_week
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / CAST(z.n_users AS DOUBLE), 6) AS cum_ltv_per_user
+FROM weekly w JOIN sizes z USING (cohort_week)
+"""

@@ -13575,6 +13575,60 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort cumulative-LTV curve — the growth team's payback
+    readout next to `cohort_retention`: users cohort by first-signup
+    week, purchase revenue buckets by age-week since that signup,
+    and a DECIMAL-exact running cumulative per cohort divides by
+    cohort size. Two hash aggs + one window over the
+    (cohort, age)-cardinality rollup — control-plane sized."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    first_signup = ev.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min(sec).alias("__s0"))
+    cohorts = first_signup.select(
+        "user_id",
+        "__s0",
+        F.expr("__s0 DIV 604800").alias("cohort_week"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("__sp"), "value")
+        .join(cohorts, "user_id")
+        .where(F.col("__sp") >= F.col("__s0"))
+    )
+    weekly = buys.groupBy(
+        "cohort_week",
+        F.expr("(__sp - __s0) DIV 604800").alias("age_week"),
+    ).agg(dsum(F.col("value"), 2).alias("revenue"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(
+        F.round(F.col("revenue"), 2).cast("decimal(38,2)")
+    ).over(w)
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            F.round(F.col("revenue"), 2).alias("revenue"),
+            F.round(
+                cum.cast("double") / F.col("n_users").cast("double"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13954,4 +14008,5 @@ QUERIES = {
     "theil_sen_trend": q_theil_sen_trend,
     "conversion_time": q_conversion_time,
     "freshness_audit": q_freshness_audit,
+    "ltv_curve": q_ltv_curve,
 }
