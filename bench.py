@@ -461,18 +461,43 @@ def _bench_one(
 
 
 
+# Session recycling (r12 verdict task #2): suite times crept ~13-16 %
+# round-over-round as the suite grew 211 -> 339 queries, with NO
+# per-query algorithm regression — driver/JVM state (eager
+# localCheckpoint RDDs, broadcast cleanup lag, codegen caches)
+# accumulates across hundreds of queries in one session and smears a
+# sub-second multiplicative tax over everything that follows. A fresh
+# session every _RECYCLE_EVERY queries bounds that accumulation; the
+# recycle count and per-query run counts are recorded in the detail
+# artifact so round-over-round comparisons are equal-protocol.
+_RECYCLE_EVERY = 64
+
+
+def _fresh_session(sf_dir: str):
+    from pyspark.sql import SparkSession
+
+    from trollflow2_spark.session import get_spark
+
+    # after .stop() the builder must not hand back the dead session
+    for attr in ("_instantiatedSession", "_activeSession"):
+        try:
+            setattr(SparkSession, attr, None)
+        except Exception:
+            pass
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query times measure the
+    # query, not session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    return spark
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from trollflow2_spark.queries import QUERIES
-    from trollflow2_spark.session import get_spark
 
-    spark = get_spark("bench")
-
-    # warm the JVM + parquet footers so per-query times measure the query,
-    # not session startup
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark = _fresh_session(sf_dir)
 
     # newest detail on disk (the current round's file still holds the
     # previous run's numbers at this point) — the retry-guard baseline
@@ -488,12 +513,20 @@ def main() -> int:
     )
     times: dict[str, float] = {}
     runs_detail: dict[str, list] = {}
-    for name in OPERATORS:
+    run_counts: dict[str, int] = {}
+    recycles = 0
+    for i, name in enumerate(OPERATORS):
+        if i and i % _RECYCLE_EVERY == 0:
+            spark.stop()
+            spark = _fresh_session(sf_dir)
+            recycles += 1
+            print(f"# session recycled ({recycles})", file=sys.stderr)
         base_runs = 3 if name in prev_top10 else 2
         times[name], samples = _bench_one(
             spark, QUERIES[name], sf_dir, runs=base_runs,
             prev=prev_times.get(name),
         )
+        run_counts[name] = len(samples)
         if base_runs >= 3 or len(samples) > base_runs:
             runs_detail[name] = samples
         print(f"# {name}: {times[name]:.3f}s (runs {samples})", file=sys.stderr)
@@ -532,6 +565,11 @@ def main() -> int:
     # the artifact couldn't distinguish host noise from fixture growth
     # from regression. rows pins the fixture; min-of-3 + the recorded
     # samples make a stall visible as one bad sample, not a bad round.
+    # fresh session for the stress section too: its twins compare
+    # within-section, and a quiet baseline keeps the guard ratios honest
+    spark.stop()
+    spark = _fresh_session(sf_dir)
+    recycles += 1
     fixture_rows = _stress_fixture_rows(spark, sf_dir)
     stress: dict[str, float] = {}
     stress_detail: dict[str, dict] = {}
@@ -596,6 +634,9 @@ def main() -> int:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in times.items()},
         "runs": runs_detail,
+        "run_counts": run_counts,
+        "recycles": recycles,
+        "recycle_every": _RECYCLE_EVERY,
         "adjudication": adjudication,
         "stress": stress_detail,
         "stress_total": round(sum(stress.values()), 3),
