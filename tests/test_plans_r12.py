@@ -90,6 +90,14 @@ def test_join_audit_no_cartesian(spark, sf_dir):
 
 
 def test_link_prediction_no_cartesian_broadcast_degrees(spark, sf_dir):
+    # r13: the degree tables carry NO forced broadcast hint (they are
+    # node-cardinality — a forced broadcast is a 100 TB job-killer);
+    # the pin asserts AQE still picks a broadcast join at this size
+    # on its own, and that no hint appears in the analyzed plan
     plan = plan_of(spark, "link_prediction", sf_dir)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # degree side tables broadcast
+    assert "BroadcastHashJoin" in plan  # AQE's choice, unhinted
+    from trollflow2_spark.queries import QUERIES
+
+    analyzed = QUERIES["link_prediction"](spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed and "ResolvedHint" not in analyzed

@@ -415,14 +415,15 @@ def link_prediction_scores(
     once on the right key; per-pair Adamic-Adar terms are rounded to
     fixed 12 dp and summed in DECIMAL so the float total is
     order-insensitive. Left-node degrees are a broadcast-sized side
-    table joined back for the Jaccard denominator."""
+    table joined back for the Jaccard denominator (no FORCED broadcast
+    hint — degree tables are node-cardinality, so the join strategy is
+    left to AQE, which broadcasts when the table fits and falls back
+    to a shuffle join when it does not)."""
     e = edges.select(
         F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
     ).distinct()
     rdeg = e.groupBy("__r").agg(F.count(F.lit(1)).alias("__rd"))
-    kept = e.join(
-        F.broadcast(rdeg.where(F.col("__rd") <= max_degree)), "__r"
-    )
+    kept = e.join(rdeg.where(F.col("__rd") <= max_degree), "__r")
     ldeg = e.groupBy("__l").agg(F.count(F.lit(1)).alias("__ld"))
     a = kept.select("__r", F.col("__l").alias("node_a"), "__rd")
     b = kept.select("__r", F.col("__l").alias("node_b"))
@@ -439,11 +440,15 @@ def link_prediction_scores(
         )
         .where(F.col("common_neighbors") >= min_common)
     )
-    da = F.broadcast(
-        ldeg.select(F.col("__l").alias("node_a"), F.col("__ld").alias("__da"))
+    # degree tables are NODE-cardinality (data-scale-bound): no forced
+    # broadcast — at sf0.01 AQE still picks a broadcast join on its
+    # own (plan-pinned), and at 100 TB a too-big side degrades to a
+    # shuffle join instead of failing the job on the broadcast budget
+    da = ldeg.select(
+        F.col("__l").alias("node_a"), F.col("__ld").alias("__da")
     )
-    db = F.broadcast(
-        ldeg.select(F.col("__l").alias("node_b"), F.col("__ld").alias("__db"))
+    db = ldeg.select(
+        F.col("__l").alias("node_b"), F.col("__ld").alias("__db")
     )
     cn = F.col("common_neighbors").cast("double")
     return (
