@@ -98,3 +98,130 @@ def test_missing_manifest_list_fails_loudly(spark):
         snapshot_partition_summary(
             spark, _metadata([(1, "l-missing")], 1), blobs
         )
+
+
+def _mlist_v2(entries):
+    from trollflow2_spark.sources.iceberg import MANIFEST_LIST_V2_SCHEMA
+
+    return write_container(
+        [
+            {
+                "manifest_path": p,
+                "added_files_count": 0,
+                "deleted_files_count": 0,
+                "content": c,
+            }
+            for p, c in entries
+        ],
+        MANIFEST_LIST_V2_SCHEMA,
+    )
+
+
+def _del_manifest(entries):
+    from trollflow2_spark.sources.iceberg import DELETE_MANIFEST_SCHEMA
+
+    return write_container(
+        [
+            {
+                "status": s,
+                "file_path": p,
+                "content": c,
+                "record_count": rc,
+                "file_size": 64,
+            }
+            for s, p, c, rc in entries
+        ],
+        DELETE_MANIFEST_SCHEMA,
+    )
+
+
+def _pos_deletes(rows):
+    from trollflow2_spark.sources.iceberg import POSITION_DELETE_SCHEMA
+
+    return write_container(
+        [{"file_path": f, "pos": p} for f, p in rows],
+        POSITION_DELETE_SCHEMA,
+    )
+
+
+def test_v2_position_deletes_subtract_distinct(spark):
+    """Two delete files overlap on (a, 0): the duplicate counts once;
+    a fully-deleted file keeps its n_files slot with rows at zero."""
+    m1 = write_container(
+        [_entry(1, "a", "p0", rc=3), _entry(1, "b", "p0", rc=2)],
+        MANIFEST_SCHEMA,
+    )
+    pd1 = _pos_deletes([("a", 0), ("a", 1)])
+    pd2 = _pos_deletes([("a", 0), ("a", 2), ("b", 0), ("b", 1)])
+    blobs = spark.createDataFrame(
+        [
+            Row(path="m1", blob=m1),
+            Row(path="pd1", blob=pd1),
+            Row(path="pd2", blob=pd2),
+            Row(path="dm1", blob=_del_manifest([(1, "pd1", 1, 2)])),
+            Row(path="dm2", blob=_del_manifest([(1, "pd2", 1, 4)])),
+            Row(path="l1", blob=_mlist_v2([("m1", 0)])),
+            Row(
+                path="l2",
+                blob=_mlist_v2([("m1", 0), ("dm1", 1), ("dm2", 1)]),
+            ),
+        ]
+    )
+    out = snapshot_partition_summary(
+        spark, _metadata([(1, "l1"), (2, "l2")], 2), blobs
+    )
+    got = {(r.snapshot_id, r.partition): r for r in out.collect()}
+    assert got[(1, "p0")].n_rows == 5
+    # a loses {0,1,2} (dup (a,0) once), b loses {0,1} -> 0 + 0 live
+    assert got[(2, "p0")].n_rows == 0
+    assert got[(2, "p0")].n_files == 2  # files exist until compaction
+
+
+def test_v2_removed_delete_file_no_longer_applies(spark):
+    """A delete manifest entry with status=2 un-applies its delete
+    file (e.g. after a compaction rewrote the data file)."""
+    m1 = write_container([_entry(1, "a", "p0", rc=4)], MANIFEST_SCHEMA)
+    pd1 = _pos_deletes([("a", 0)])
+    blobs = spark.createDataFrame(
+        [
+            Row(path="m1", blob=m1),
+            Row(path="pd1", blob=pd1),
+            Row(path="dm1", blob=_del_manifest([(2, "pd1", 1, 1)])),
+            Row(path="l1", blob=_mlist_v2([("m1", 0), ("dm1", 1)])),
+        ]
+    )
+    out = snapshot_partition_summary(
+        spark, _metadata([(1, "l1")], 1), blobs
+    )
+    assert out.collect()[0].n_rows == 4
+
+
+def test_v2_equality_deletes_raise_with_guidance(spark):
+    m1 = write_container([_entry(1, "a", "p0")], MANIFEST_SCHEMA)
+    blobs = spark.createDataFrame(
+        [
+            Row(path="m1", blob=m1),
+            Row(path="ed1", blob=_pos_deletes([])),
+            Row(path="dm1", blob=_del_manifest([(1, "ed1", 2, 1)])),
+            Row(path="l1", blob=_mlist_v2([("m1", 0), ("dm1", 1)])),
+        ]
+    )
+    out = snapshot_partition_summary(
+        spark, _metadata([(1, "l1")], 1), blobs
+    )
+    with pytest.raises(Exception, match="equality deletes"):
+        out.collect()
+
+
+def test_v1_lists_still_decode_as_data_manifests(spark):
+    """v1 manifest lists (no content field) keep their exact
+    pre-v2 semantics through the same entry point."""
+    m1 = write_container([_entry(1, "a", "p0", rc=9)], MANIFEST_SCHEMA)
+    blobs = spark.createDataFrame(
+        [Row(path="m1", blob=m1), Row(path="l1", blob=_mlist(["m1"]))]
+    )
+    out = snapshot_partition_summary(
+        spark, _metadata([(1, "l1")], 1), blobs
+    )
+    r = out.collect()[0]
+    assert r.n_rows == 9 and r.n_files == 1

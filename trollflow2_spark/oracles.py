@@ -10581,6 +10581,31 @@ FROM live GROUP BY 1, 2
 """
 
 
+ORACLES["iceberg_snapshot_v2"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 20 AS bucket,
+    'p' || CAST(doc_id % 5 AS VARCHAR) AS partition,
+    CAST(100 + doc_id % 50 AS BIGINT) AS rc,
+    CAST(1000 + doc_id % 77 AS BIGINT) AS fs,
+    CASE WHEN doc_id % 20 <= 9 AND doc_id % 3 = 0
+      THEN (doc_id % 4) + 1
+           + CASE WHEN doc_id % 20 <= 4 AND doc_id % 6 = 0
+                  THEN 1 ELSE 0 END
+      ELSE 0 END AS gone
+  FROM documents
+), live AS (
+  SELECT CAST(1 AS BIGINT) AS snapshot_id, partition, rc AS lr, fs
+  FROM d
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), partition, rc - gone, fs FROM d
+)
+SELECT snapshot_id, partition, COUNT(*) AS n_files,
+  CAST(SUM(lr) AS BIGINT) AS n_rows,
+  CAST(SUM(fs) AS BIGINT) AS total_bytes
+FROM live GROUP BY 1, 2
+"""
+
+
 # CDC extract: closed-form I/U/D classification between the two dumps
 ORACLES["cdc_extract"] = """
 WITH old AS (

@@ -13443,6 +13443,165 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read (`sources/iceberg.py`): snapshot 2
+    overlays POSITION-delete files on the same 20 data manifests
+    snapshot 1 reads — delete manifests route by manifest-list
+    ``content``, delete files decode distributed, and DISTINCT
+    (file, pos) per snapshot makes the overlapping second delete
+    file (same pos 0 re-deleted, one new pos) count each row once.
+    Live rollups must match the closed-form oracle for BOTH
+    snapshots: v1 semantics for snapshot 1, subtracted rows for
+    snapshot 2."""
+    from trollflow2_spark.sources.avro import write_container
+    from trollflow2_spark.sources.iceberg import (
+        MANIFEST_LIST_V2_SCHEMA,
+        snapshot_partition_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("bucket")
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(key, pdf):
+        import pandas as pd
+
+        from trollflow2_spark.sources.avro import write_container as wc
+        from trollflow2_spark.sources.iceberg import (
+            DELETE_MANIFEST_SCHEMA,
+            MANIFEST_SCHEMA,
+            POSITION_DELETE_SCHEMA,
+        )
+
+        b = int(key[0])
+        ids = sorted(int(d) for d in pdf["doc_id"])
+        out = [
+            (
+                f"v2m-{b}",
+                wc(
+                    [
+                        {
+                            "status": 1,
+                            "file_path": f"f-{d}.parquet",
+                            "partition": f"p{d % 5}",
+                            "record_count": 100 + d % 50,
+                            "file_size": 1000 + d % 77,
+                        }
+                        for d in ids
+                    ],
+                    MANIFEST_SCHEMA,
+                ),
+            )
+        ]
+        if b <= 9:
+            pos = [
+                {"file_path": f"f-{d}.parquet", "pos": p}
+                for d in ids
+                if d % 3 == 0
+                for p in range(d % 4 + 1)
+            ]
+            out.append((f"pd-{b}", wc(pos, POSITION_DELETE_SCHEMA)))
+            out.append(
+                (
+                    f"v2dm-{b}",
+                    wc(
+                        [
+                            {
+                                "status": 1,
+                                "file_path": f"pd-{b}",
+                                "content": 1,
+                                "record_count": len(pos),
+                                "file_size": 64 + len(pos),
+                            }
+                        ],
+                        DELETE_MANIFEST_SCHEMA,
+                    ),
+                )
+            )
+        if b <= 4:
+            # overlapping second delete file: pos 0 again (must
+            # dedup) plus one genuinely new position
+            pos2 = [
+                {"file_path": f"f-{d}.parquet", "pos": p}
+                for d in ids
+                if d % 6 == 0
+                for p in (0, 50 + d % 10)
+            ]
+            out.append((f"pd2-{b}", wc(pos2, POSITION_DELETE_SCHEMA)))
+            out.append(
+                (
+                    f"v2dm2-{b}",
+                    wc(
+                        [
+                            {
+                                "status": 1,
+                                "file_path": f"pd2-{b}",
+                                "content": 1,
+                                "record_count": len(pos2),
+                                "file_size": 64 + len(pos2),
+                            }
+                        ],
+                        DELETE_MANIFEST_SCHEMA,
+                    ),
+                )
+            )
+        return pd.DataFrame(out, columns=["path", "blob"])
+
+    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
+
+    def mlist(entries):
+        return write_container(
+            [
+                {
+                    "manifest_path": p,
+                    "added_files_count": 0,
+                    "deleted_files_count": 0,
+                    "content": c,
+                }
+                for p, c in entries
+            ],
+            MANIFEST_LIST_V2_SCHEMA,
+        )
+
+    snap1 = [(f"v2m-{b}", 0) for b in range(20)]
+    snap2 = (
+        snap1
+        + [(f"v2dm-{b}", 1) for b in range(10)]
+        + [(f"v2dm2-{b}", 1) for b in range(5)]
+    )
+    lists = spark.createDataFrame(
+        [("v2snap-1.avro", mlist(snap1)), ("v2snap-2.avro", mlist(snap2))],
+        blob_schema,
+    )
+    metadata = {
+        "format-version": 2,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1000,
+                "manifest-list": "v2snap-1.avro",
+            },
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2000,
+                "manifest-list": "v2snap-2.avro",
+            },
+        ],
+    }
+    import json as _json
+
+    return snapshot_partition_summary(
+        spark, _json.dumps(metadata), blobs.unionByName(lists)
+    )
+
+
 def q_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff change feed (`extensions/profile.py::
     cdc_extract` — the inverse of `cdc_apply`): two closed-form
@@ -14002,6 +14161,7 @@ QUERIES = {
     "bitmap_contingency": q_bitmap_contingency,
     "seasonal_anomaly": q_seasonal_anomaly,
     "iceberg_snapshot": q_iceberg_snapshot,
+    "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
     "cdc_extract": q_cdc_extract,
     "quantile_transform": q_quantile_transform,
     "target_encoding": q_target_encoding,
