@@ -2871,6 +2871,56 @@ def test_delta_log_snapshot_semantics(spark):
     assert asof4 == {"a": (11, 2), "b": (21, 4)}
 
 
+def test_delta_checkpoint_replay_semantics(spark):
+    """Checkpoint base + JSON tail: tail removes kill checkpoint
+    files, tail re-adds revive them, untouched files report the
+    checkpoint version; time travel before the checkpoint raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from trollflow2_spark.extensions.profile import (
+        delta_snapshot_from_checkpoint,
+        parse_last_checkpoint,
+    )
+
+    ckpt = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], ["p", "s"]
+    ).select(
+        _F.struct(
+            _F.col("p").alias("path"), _F.col("s").cast("bigint").alias("size")
+        ).alias("add"),
+        _F.lit(None).cast("struct<path: string>").alias("remove"),
+    )
+    tail = spark.createDataFrame(
+        [
+            (15, '{"remove":{"path":"a"}}'),
+            (16, '{"add":{"path":"a","size":11}}'),   # revived
+            (17, '{"remove":{"path":"b"}}'),           # gone
+            (18, '{"add":{"path":"d","size":40}}'),    # new file
+            (14, '{"remove":{"path":"c"}}'),           # stale dup of ckpt-era commit: ignored
+        ],
+        ["version", "line"],
+    )
+    got = {
+        r["path"]: (r["size"], r["last_version"])
+        for r in delta_snapshot_from_checkpoint(ckpt, tail, 14).collect()
+    }
+    assert got == {"a": (11, 16), "c": (30, 14), "d": (40, 18)}
+    asof = {
+        r["path"]: r["last_version"]
+        for r in delta_snapshot_from_checkpoint(
+            ckpt, tail, 14, as_of_version=15
+        ).collect()
+    }
+    assert asof == {"b": 14, "c": 14}  # a removed at 15
+    with _pytest.raises(ValueError, match="vacuum"):
+        delta_snapshot_from_checkpoint(ckpt, tail, 14, as_of_version=9)
+    lc = parse_last_checkpoint('{"version": 14, "size": 3}')
+    assert lc["version"] == 14 and lc["size"] == 3
+    with _pytest.raises(ValueError):
+        parse_last_checkpoint("{}")
+
+
 def test_file_skip_plan_footer_decisions(spark, tmp_path):
     """Skip decisions come from real footer stats; a statless column
     (all-null) must degrade to must-scan, never a wrong skip."""

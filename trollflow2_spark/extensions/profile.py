@@ -686,16 +686,26 @@ def delta_log_snapshot(
     keyed by path — identical scale contract to :func:`cdc_apply`
     (the Delta log IS a CDC feed over files). Precedence is total:
     (version, action desc, size) — a remove beats an add in the same
-    commit, and duplicate adds cannot flap the winner. Checkpoint
-    parquet files and unsupported actions are simply absent/ignored
-    rows, matching the log-only replay contract.
+    commit, and duplicate adds cannot flap the winner. Unsupported
+    actions are simply absent/ignored rows. For VACUUMed tables whose
+    early JSON commits are gone, see
+    :func:`delta_snapshot_from_checkpoint`.
     """
+    acts = _delta_json_actions(log, line_col, version_col)
+    if as_of_version is not None:
+        acts = acts.where(F.col("__v") <= int(as_of_version))
+    return _delta_resolve(acts)
+
+
+def _delta_json_actions(
+    log: DataFrame, line_col: str, version_col: str
+) -> DataFrame:
     j = F.from_json(
         F.col(line_col),
         "add struct<path: string, size: bigint>,"
         " remove struct<path: string>",
     )
-    acts = log.select(
+    return log.select(
         F.col(version_col).alias("__v"),
         F.coalesce(j["add"]["path"], j["remove"]["path"]).alias("path"),
         j["add"]["size"].alias("__size"),
@@ -703,8 +713,9 @@ def delta_log_snapshot(
         .when(j["remove"].isNotNull(), F.lit("remove"))
         .alias("__action"),
     ).where(F.col("path").isNotNull() & F.col("__action").isNotNull())
-    if as_of_version is not None:
-        acts = acts.where(F.col("__v") <= int(as_of_version))
+
+
+def _delta_resolve(acts: DataFrame) -> DataFrame:
     last = acts.groupBy("path").agg(
         F.max_by(
             F.struct(
@@ -724,6 +735,71 @@ def delta_log_snapshot(
         F.col("__last.size").alias("size"),
         F.col("__last.last_version").alias("last_version"),
     )
+
+
+def delta_snapshot_from_checkpoint(
+    checkpoint: DataFrame,
+    log: DataFrame,
+    checkpoint_version: int,
+    line_col: str = "line",
+    version_col: str = "version",
+    as_of_version: int | None = None,
+) -> DataFrame:
+    """Delta replay for VACUUMed tables: production writers compact
+    the log into ``<N>.checkpoint.parquet`` (pointed at by
+    ``_last_checkpoint``) and VACUUM deletes old JSON commits — a
+    table older than the retention window is unreadable by JSON-only
+    replay. This entry point replays from the checkpoint STATE
+    (a DataFrame with the checkpoint's ``add``/``remove`` action
+    structs, exactly what ``spark.read.parquet`` yields on the
+    checkpoint file) with JSON commits > ``checkpoint_version``
+    applied on top, through the same total-precedence ``max_by``.
+
+    Checkpoint rows carry no per-action commit version (the format
+    drops it at compaction), so files untouched since the checkpoint
+    report ``last_version = checkpoint_version`` — version knowledge
+    compacts to the checkpoint, which is also what real Delta
+    readers know. Time travel BEFORE the checkpoint raises with
+    guidance (the commits are gone; use an older checkpoint or the
+    full log)."""
+    cv = int(checkpoint_version)
+    if as_of_version is not None and int(as_of_version) < cv:
+        raise ValueError(
+            f"cannot time-travel to version {as_of_version}: commits "
+            f"before checkpoint {cv} were vacuumed — replay from an "
+            "older checkpoint or the full JSON log instead"
+        )
+    base = checkpoint.select(
+        F.lit(cv).alias("__v"),
+        F.coalesce(
+            F.col("add")["path"], F.col("remove")["path"]
+        ).alias("path"),
+        F.col("add")["size"].cast("bigint").alias("__size"),
+        F.when(F.col("add").isNotNull(), F.lit("add"))
+        .when(F.col("remove").isNotNull(), F.lit("remove"))
+        .alias("__action"),
+    ).where(F.col("path").isNotNull() & F.col("__action").isNotNull())
+    tail = _delta_json_actions(log, line_col, version_col).where(
+        F.col("__v") > cv
+    )
+    if as_of_version is not None:
+        tail = tail.where(F.col("__v") <= int(as_of_version))
+    return _delta_resolve(base.unionByName(tail))
+
+
+def parse_last_checkpoint(text: str) -> dict:
+    """Parse a ``_last_checkpoint`` pointer file: version (+ optional
+    size/parts), validated loudly."""
+    import json as _json
+
+    d = _json.loads(text)
+    if "version" not in d:
+        raise ValueError("_last_checkpoint has no version field")
+    return {
+        "version": int(d["version"]),
+        "size": int(d["size"]) if "size" in d else None,
+        "parts": int(d["parts"]) if "parts" in d else None,
+    }
 
 
 def dp_noisy_counts(

@@ -3446,6 +3446,28 @@ SELECT path, size, v AS last_version
 FROM r WHERE rn = 1 AND action = 'add'
 """
 
+# checkpointed replay: FULL-log winner, with last_version compacted
+# to the checkpoint version for files untouched since it
+ORACLES["delta_snapshot_checkpoint"] = """
+WITH acts AS (
+  SELECT doc_id % 25 AS v,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'part-' || CAST((doc_id + 40) % 80 AS VARCHAR)
+      ELSE 'part-' || CAST(doc_id % 80 AS VARCHAR) END AS path,
+    CASE WHEN doc_id % 5 = 0 THEN 'remove' ELSE 'add' END AS action,
+    CASE WHEN doc_id % 5 <> 0 THEN doc_id * 100 END AS size
+  FROM documents
+), r AS (
+  SELECT path, action, size, v,
+    row_number() OVER (PARTITION BY path
+      ORDER BY v DESC, action DESC, COALESCE(size, -1) DESC) AS rn
+  FROM acts
+)
+SELECT path, size,
+  CASE WHEN v <= 14 THEN 14 ELSE v END AS last_version
+FROM r WHERE rn = 1 AND action = 'add'
+"""
+
 # retrieval metrics: recall@10 per-mille, MRR, nDCG@10 with linear
 # gains; DCG folds by ascending rank, IDCG by grade-desc position —
 # both as ordered list_sum, matching the Spark folds

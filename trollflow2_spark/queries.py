@@ -5598,6 +5598,54 @@ def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_log_snapshot(log, as_of_version=20)
 
 
+def q_delta_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed Delta replay (`extensions/profile.py::
+    delta_snapshot_from_checkpoint`): the same 25-commit fixture as
+    `delta_snapshot`, but commits 0-14 are VACUUMED — the engine only
+    sees the 14.checkpoint.parquet state (built here by compacting
+    the early log, exactly what a writer does) plus JSON commits
+    15-24, while the oracle replays the FULL log. Files untouched
+    since the checkpoint report last_version = 14 (version knowledge
+    compacts with the log)."""
+    from trollflow2_spark.extensions.profile import (
+        delta_log_snapshot,
+        delta_snapshot_from_checkpoint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    line = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit('{"remove":{"path":"part-'),
+            ((d + 40) % 80).cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"add":{"path":"part-'),
+            (d % 80).cast("string"),
+            F.lit('","size":'),
+            (d * 100).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    log = docs.select((d % 25).alias("version"), line.alias("line"))
+    # the writer's compaction: resolve commits <= 14 into checkpoint
+    # action rows (live adds only — expired tombstones are dropped,
+    # as real checkpoints may do after the retention window)
+    checkpoint = delta_log_snapshot(log, as_of_version=14).select(
+        F.struct(
+            F.col("path").alias("path"), F.col("size").alias("size")
+        ).alias("add"),
+        F.lit(None).cast("struct<path: string>").alias("remove"),
+    )
+    vacuumed_tail = log.where(F.col("version") >= 15)
+    return delta_snapshot_from_checkpoint(
+        checkpoint, vacuumed_tail, checkpoint_version=14
+    )
+
+
 def q_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC telemetry downsampling
     (`operators/windows.py:downsample_ohlc`): first/extreme/last
@@ -13841,6 +13889,7 @@ QUERIES = {
     "mutual_information": q_mutual_information,
     "ab_test": q_ab_test,
     "delta_snapshot": q_delta_snapshot,
+    "delta_snapshot_checkpoint": q_delta_snapshot_checkpoint,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
