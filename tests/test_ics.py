@@ -120,3 +120,76 @@ def test_spark_reader_quarantine(spark):
     out = {r.doc_id: r for r in read_ics(df).collect()}
     assert out[1].error is None and out[1].uid == "one@x"
     assert out[2].error is not None and out[2].uid is None
+
+
+def test_yearly_default_month_day():
+    occs, capped = expand_rrule(
+        datetime.datetime(2021, 7, 14, 9),
+        {"FREQ": "YEARLY", "COUNT": "3"},
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occs] == [
+        "2021-07-14", "2022-07-14", "2023-07-14",
+    ] and not capped
+
+
+def test_yearly_feb29_skips_non_leap_without_consuming_count():
+    occs, capped = expand_rrule(
+        datetime.datetime(2020, 2, 29, 8),
+        {"FREQ": "YEARLY", "COUNT": "3"},
+    )
+    assert [o.year for o in occs] == [2020, 2024, 2028] and not capped
+
+
+def test_yearly_century_gap_and_interval():
+    # 2096 -> 2104 is the 8-year leap gap (2100 is not a leap year)
+    occs, _ = expand_rrule(
+        datetime.datetime(2092, 2, 29),
+        {"FREQ": "YEARLY", "COUNT": "3"},
+    )
+    assert [o.year for o in occs] == [2092, 2096, 2104]
+    occs, _ = expand_rrule(
+        datetime.datetime(2020, 5, 1),
+        {"FREQ": "YEARLY", "INTERVAL": "2", "COUNT": "3"},
+    )
+    assert [o.year for o in occs] == [2020, 2022, 2024]
+
+
+def test_yearly_bymonth_bymonthday():
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1),
+        {
+            "FREQ": "YEARLY",
+            "BYMONTH": "3,6",
+            "BYMONTHDAY": "5,20",
+            "COUNT": "5",
+        },
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occs] == [
+        "2024-03-05", "2024-03-20", "2024-06-05",
+        "2024-06-20", "2025-03-05",
+    ]
+
+
+def test_yearly_always_invalid_rule_trips_cap():
+    occs, capped = expand_rrule(
+        datetime.datetime(2024, 1, 1),
+        {"FREQ": "YEARLY", "BYMONTH": "2", "BYMONTHDAY": "30", "COUNT": "2"},
+        max_occurrences=5,
+    )
+    assert capped and occs == []
+
+
+def test_yearly_negative_bymonthday_raises():
+    with pytest.raises(ValueError, match="BYMONTHDAY"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {"FREQ": "YEARLY", "BYMONTHDAY": "-1", "COUNT": "2"},
+        )
+
+
+def test_unsupported_freq_still_raises():
+    with pytest.raises(ValueError, match="unsupported FREQ"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {"FREQ": "HOURLY", "COUNT": "2"},
+        )

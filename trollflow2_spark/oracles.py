@@ -10036,6 +10036,21 @@ WITH base AS (
              '%Y-%m-%dT%H:%M:%S') AS occ_end
   FROM base b JOIN (SELECT unnest(range(6)) AS j) t ON t.j < b.cnt
   WHERE NOT b.trunc
+), e3 AS (
+  SELECT b.doc_id, 'e3-' || CAST(b.doc_id AS VARCHAR) || '@x' AS uid,
+    'Yearly' AS summary, CAST(j AS INT) AS occ_idx,
+    strftime(CASE WHEN b.doc_id % 5 = 0
+      THEN make_timestamp(2020 + 4 * j, 2, 29, 8, 0, 0)
+      ELSE make_timestamp(2020 + j, 1 + b.doc_id % 12,
+                          1 + b.doc_id % 28, 8, 0, 0) END,
+      '%Y-%m-%dT%H:%M:%S') AS occ_start,
+    strftime(CASE WHEN b.doc_id % 5 = 0
+      THEN make_timestamp(2020 + 4 * j, 2, 29, 9, 0, 0)
+      ELSE make_timestamp(2020 + j, 1 + b.doc_id % 12,
+                          1 + b.doc_id % 28, 9, 0, 0) END,
+      '%Y-%m-%dT%H:%M:%S') AS occ_end
+  FROM base b JOIN (SELECT unnest(range(3)) AS j) t ON TRUE
+  WHERE NOT b.trunc
 )
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT) AS all_day, CAST(0 AS INT) AS capped,
@@ -10044,6 +10059,9 @@ FROM e1
 UNION ALL
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e2
+UNION ALL
+SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
+  CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e3
 UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   CAST(1 AS INT)

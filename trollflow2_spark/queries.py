@@ -12830,7 +12830,10 @@ def q_ics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iCalendar intake (`sources/ics.py`): RFC 5545 line unfolding,
     TEXT unescaping, DURATION parsing and DAILY-RRULE expansion to
     one row per occurrence; every 17th document truncates to ONE
-    err=1 quarantine row."""
+    err=1 quarantine row. r13 adds a YEARLY event per doc — every
+    5th doc a Feb-29 leap rule whose occurrences skip non-leap years
+    without consuming COUNT (2020/2024/2028), every 7th an explicit
+    BYMONTH/BYMONTHDAY pair."""
     from trollflow2_spark.sources.ics import read_ics
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
@@ -12873,6 +12876,25 @@ def q_ics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"DTSTART:{s2.strftime('%Y%m%dT%H%M%SZ')}",
                     f"DTEND:{(s2 + _dt.timedelta(minutes=45)).strftime('%Y%m%dT%H%M%SZ')}",
                     f"RRULE:FREQ=DAILY;INTERVAL={1 + d % 2};COUNT={2 + d % 4}",
+                    "END:VEVENT",
+                ]
+                mm, dd = 1 + d % 12, 1 + d % 28
+                if d % 5 == 0:
+                    s3 = "20200229T080000Z"  # leap-day rule
+                else:
+                    s3 = f"2020{mm:02d}{dd:02d}T080000Z"
+                rr = "RRULE:FREQ=YEARLY;COUNT=3"
+                if d % 7 == 0 and d % 5 != 0:
+                    # explicit BYMONTH/BYMONTHDAY equal to DTSTART:
+                    # same expansion, exercises the BY* parse path
+                    rr += f";BYMONTH={mm};BYMONTHDAY={dd}"
+                lines += [
+                    "BEGIN:VEVENT",
+                    f"UID:e3-{d}@x",
+                    "SUMMARY:Yearly",
+                    f"DTSTART:{s3}",
+                    "DURATION:PT1H",
+                    rr,
                     "END:VEVENT",
                     "END:VCALENDAR",
                 ]

@@ -220,6 +220,49 @@ def expand_rrule(
                 continue  # invalid date: skipped, COUNT not consumed
             if not emit(dt):
                 going = False
+    elif freq == "YEARLY":
+        months = sorted(
+            int(m) for m in rule.get("BYMONTH", "").split(",") if m
+        ) or [dtstart.month]
+        days = sorted(
+            int(d) for d in rule.get("BYMONTHDAY", "").split(",") if d
+        ) or [dtstart.day]
+        if any(m < 1 or m > 12 for m in months):
+            raise ValueError(f"bad BYMONTH {rule.get('BYMONTH')!r}")
+        if any(d < 0 for d in days):
+            raise ValueError(
+                "negative BYMONTHDAY (from-month-end) is unsupported; "
+                "rewrite the rule with explicit month days"
+            )
+        if any(d < 1 or d > 31 for d in days):
+            raise ValueError(f"bad BYMONTHDAY {rule.get('BYMONTHDAY')!r}")
+        k = 0
+        going = True
+        while going:
+            yy = dtstart.year + k * interval
+            k += 1
+            for mm in months:
+                for dd in days:
+                    try:
+                        dt = dtstart.replace(year=yy, month=mm, day=dd)
+                    except ValueError:
+                        # Feb-29 in a non-leap year (or BYMONTHDAY=31
+                        # in a short month): skipped, COUNT not
+                        # consumed — the D/W/M invalid-date precedent
+                        continue
+                    if dt < dtstart:
+                        continue
+                    if not emit(dt):
+                        going = False
+                        break
+                if not going:
+                    break
+            # progress guard: the longest real gap between valid
+            # Feb-29s is 8 years (1896 -> 1904); an always-invalid
+            # rule (BYMONTH=2;BYMONTHDAY=30) trips the cap loudly
+            if k > 8 * (max_occurrences + 2):
+                capped = True
+                going = False
     else:
         raise ValueError(f"unsupported FREQ {freq!r}")
     return out, capped
