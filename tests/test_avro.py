@@ -155,3 +155,104 @@ def test_webdataset_grouping_and_dup_flag(spark):
     assert (a2["sample_key"], a2["dup_key"], a2["caption"]) == (
         "a", 1, "again")
     assert by[(2, -1)]["error"] is not None
+
+
+def test_logical_types_roundtrip_and_fallback():
+    """decimal/date/timestamp/time/uuid resolve on decode; an unknown
+    logicalType and a type-mismatched one fall back to the physical
+    value per the spec (never an error)."""
+    import datetime
+    import decimal
+
+    from trollflow2_spark.sources.avro import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "L",
+        "fields": [
+            {"name": "amount", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 12, "scale": 2}},
+            {"name": "amt_fx", "type": {
+                "type": "fixed", "name": "FD", "size": 4,
+                "logicalType": "decimal", "precision": 9, "scale": 3}},
+            {"name": "day", "type": {
+                "type": "int", "logicalType": "date"}},
+            {"name": "ts_us", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "ts_ms", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "t_ms", "type": {
+                "type": "int", "logicalType": "time-millis"}},
+            {"name": "uid", "type": {
+                "type": "string", "logicalType": "uuid"}},
+            {"name": "mystery", "type": {
+                "type": "long", "logicalType": "no-such-type"}},
+            {"name": "mismatch", "type": {
+                "type": "string", "logicalType": "date"}},
+        ],
+    }
+    rec = {
+        "amount": decimal.Decimal("-49.93"),
+        "amt_fx": decimal.Decimal("1.500"),
+        "day": datetime.date(2022, 3, 5),
+        "ts_us": datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+        "ts_ms": datetime.datetime(2024, 1, 2, 3, 4, 5, 123000),
+        "t_ms": datetime.time(13, 30, 1, 250000),
+        "uid": "00000000-0000-4000-8000-000000000042",
+        "mystery": 77,
+        "mismatch": "2022-01-01",  # logical on wrong physical: raw
+    }
+    _, out = read_container(write_container([rec], schema))
+    assert out[0] == rec
+    # scale preservation: 5 at scale 2 decodes as 5.00, not 5
+    assert str(out[0]["amt_fx"]) == "1.500"
+
+
+def test_logical_decimal_negative_minimal_bytes():
+    """Negative unscaled values use minimal two's-complement bytes
+    and decode back exactly (sign extension must be correct)."""
+    import decimal
+
+    from trollflow2_spark.sources.avro import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "D",
+        "fields": [
+            {"name": "v", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 20, "scale": 4}},
+        ],
+    }
+    for s in ("-0.0001", "-128.0000", "127.9999", "0.0000",
+              "-9999999999.1234"):
+        rec = {"v": decimal.Decimal(s)}
+        _, out = read_container(write_container([rec], schema))
+        assert out[0]["v"] == decimal.Decimal(s), s
+
+
+def test_invalid_uuid_falls_back_to_string():
+    from trollflow2_spark.sources.avro import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "u", "type": {
+                "type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    _, out = read_container(
+        write_container([{"u": "not-a-uuid"}], schema)
+    )
+    assert out[0]["u"] == "not-a-uuid"

@@ -1212,10 +1212,26 @@ SELECT doc_id, rec_idx, CAST(0 AS INTEGER) AS err,
     AS opt,
   list_extract(['A', 'B', 'C'],
     CAST((doc_id + rec_idx) % 3 + 1 AS INTEGER)) AS kind,
-  printf('%02x%02x', doc_id % 256, rec_idx % 256) AS chk_hex
+  printf('%02x%02x', doc_id % 256, rec_idx % 256) AS chk_hex,
+  CAST(doc_id * 100 + rec_idx * 7 - 5000 AS DOUBLE) / 100.0
+    AS amount,
+  CAST(DATE '1970-01-01'
+       + CAST(19000 + (doc_id + rec_idx) % 400 AS INTEGER)
+       AS VARCHAR) AS day,
+  strftime(make_timestamp(doc_id * 1000003 + rec_idx),
+           '%Y-%m-%dT%H:%M:%S.%f') AS ts_us,
+  strftime(make_timestamp((doc_id * 997 + rec_idx) * 1000),
+           '%Y-%m-%dT%H:%M:%S.%f') AS ts_ms,
+  strftime(make_timestamp(((doc_id * 37 + rec_idx) % 86400000)
+                          * 1000),
+           '%H:%M:%S.%f') AS t_ms,
+  printf('00000000-0000-4000-8000-%012d', doc_id % 1000000000000)
+    AS uid,
+  doc_id + rec_idx AS raw
 FROM ok
 UNION ALL
 SELECT doc_id, CAST(-1 AS INTEGER), CAST(1 AS INTEGER),
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   NULL, NULL, NULL, NULL, NULL, NULL, NULL
 FROM documents WHERE doc_id % 17 = 0
 """

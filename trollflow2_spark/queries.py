@@ -1784,8 +1784,11 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds 1 + d%3 records (record/array/union/enum/fixed fields,
     dyadic doubles) split 2-per-block so multi-block reads exercise;
     every 6th file is deflate-coded; every 17th truncated -> one
-    err row with rec_idx -1. Oracle restates every record
-    closed-form."""
+    err row with rec_idx -1. r13 adds the spec's logical types to
+    the record (bytes-decimal incl. negatives, date,
+    timestamp-millis/micros, time-millis, uuid, and an UNKNOWN
+    logicalType that must fall back to its physical long). Oracle
+    restates every record closed-form."""
     from trollflow2_spark.sources.avro import read_avro
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
@@ -1810,13 +1813,35 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "type": "enum", "name": "K", "symbols": ["A", "B", "C"]}},
             {"name": "chk", "type": {
                 "type": "fixed", "name": "F", "size": 2}},
+            # r13: logical types — real exports carry these
+            {"name": "amount", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 12, "scale": 2}},
+            {"name": "day", "type": {
+                "type": "int", "logicalType": "date"}},
+            {"name": "ts_us", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "ts_ms", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "t_ms", "type": {
+                "type": "int", "logicalType": "time-millis"}},
+            {"name": "uid", "type": {
+                "type": "string", "logicalType": "uuid"}},
+            {"name": "raw", "type": {
+                "type": "long", "logicalType": "mystery-type"}},
         ],
     }
 
     def make_avro(batches):
+        import datetime as _dt
+        import decimal as _decimal
+
         import pandas as pd
 
         from trollflow2_spark.sources.avro import write_container
+
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_t = _dt.datetime(1970, 1, 1)
 
         for pdf in batches:
             blobs = []
@@ -1831,6 +1856,23 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "opt": None if (d + j) % 4 == 0 else d + j,
                         "kind": "ABC"[(d + j) % 3],
                         "chk": bytes([d % 256, j % 256]),
+                        "amount": _decimal.Decimal(
+                            d * 100 + j * 7 - 5000
+                        ).scaleb(-2),
+                        "day": epoch_d
+                        + _dt.timedelta(days=19000 + (d + j) % 400),
+                        "ts_us": epoch_t
+                        + _dt.timedelta(microseconds=d * 1000003 + j),
+                        "ts_ms": epoch_t
+                        + _dt.timedelta(milliseconds=d * 997 + j),
+                        "t_ms": (
+                            epoch_t
+                            + _dt.timedelta(
+                                milliseconds=(d * 37 + j) % 86400000
+                            )
+                        ).time(),
+                        "uid": f"00000000-0000-4000-8000-{d % 10**12:012d}",
+                        "raw": d + j,
                     }
                     for j in range(d % 3 + 1)
                 ]
@@ -1847,7 +1889,9 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = read_avro(blobs)
     schema = (
         "id bigint, name string, score double, tags array<string>,"
-        " opt bigint, kind string, chk string"
+        " opt bigint, kind string, chk string, amount string,"
+        " day string, ts_us string, ts_ms string, t_ms string,"
+        " uid string, raw bigint"
     )
     j = F.from_json(F.col("json"), schema)
     return parsed.select(
@@ -1861,6 +1905,13 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         j["opt"].alias("opt"),
         j["kind"].alias("kind"),
         j["chk"].alias("chk_hex"),
+        j["amount"].cast("double").alias("amount"),
+        j["day"].alias("day"),
+        j["ts_us"].alias("ts_us"),
+        j["ts_ms"].alias("ts_ms"),
+        j["t_ms"].alias("t_ms"),
+        j["uid"].alias("uid"),
+        j["raw"].alias("raw"),
     )
 
 

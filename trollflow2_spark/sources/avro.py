@@ -22,8 +22,17 @@ module implements the public specification
   produce shifted garbage.
 
 Schema support covers the primitive types plus record/array/map/
-union/enum/fixed — the closure actually used by log exports. Errors
-raise ``AvroError`` into the quarantine column.
+union/enum/fixed — the closure actually used by log exports — and
+the spec's LOGICAL types on decode: ``decimal`` (bytes/fixed,
+big-endian two's-complement unscaled + schema scale), ``date``
+(int days), ``timestamp-millis``/``timestamp-micros`` (long),
+``time-millis``/``time-micros``, and ``uuid`` — surfaced as Python
+Decimal/date/datetime/time so real exports don't hand users raw
+longs. Per the spec, an unknown or type-mismatched logicalType
+falls back to the underlying physical type (never an error). The
+writer accepts the same logical Python values and converts them to
+their physical encoding. Errors raise ``AvroError`` into the
+quarantine column.
 
 Scale shape: container files are split-resistant by design (sync
 markers), but the intake contract here is one-blob-per-task
@@ -90,6 +99,85 @@ def _read_n(buf: io.BytesIO, n: int) -> bytes:
 # --- schema-driven decode/encode ------------------------------------------
 
 
+def _apply_logical(schema: dict, v):
+    """Resolve a logicalType annotation on a decoded physical value.
+    Spec rule: invalid/unknown logical types fall back to the
+    underlying type — silently, not as an error."""
+    import datetime as _dt
+    import decimal as _decimal
+    import uuid as _uuid
+
+    lt = schema.get("logicalType")
+    if not lt:
+        return v
+    t = schema["type"]
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        scale = int(schema.get("scale", 0))
+        unscaled = int.from_bytes(bytes(v), "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-scale)
+    if lt == "date" and t == "int":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if lt == "timestamp-millis" and t == "long":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=v)
+    if lt == "timestamp-micros" and t == "long":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+    if lt == "time-millis" and t == "int":
+        base = _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=v)
+        return base.time()
+    if lt == "time-micros" and t == "long":
+        base = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+        return base.time()
+    if lt == "uuid" and t == "string":
+        try:
+            return str(_uuid.UUID(v))
+        except ValueError:
+            return v  # spec: invalid -> underlying string
+    return v
+
+
+def _to_physical(schema: dict, v):
+    """Writer-side inverse of :func:`_apply_logical`: turn a logical
+    Python value back into its physical encoding input."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    lt = schema.get("logicalType")
+    if not lt:
+        return v
+    t = schema["type"]
+    if lt == "decimal" and t in ("bytes", "fixed") and isinstance(
+        v, _decimal.Decimal
+    ):
+        scale = int(schema.get("scale", 0))
+        unscaled = int(v.scaleb(scale).to_integral_value())
+        if t == "fixed":
+            return unscaled.to_bytes(
+                int(schema["size"]), "big", signed=True
+            )
+        length = 1
+        while True:
+            try:
+                return unscaled.to_bytes(length, "big", signed=True)
+            except OverflowError:
+                length += 1
+    if lt == "date" and isinstance(v, _dt.date) and not isinstance(
+        v, _dt.datetime
+    ):
+        return (v - _dt.date(1970, 1, 1)).days
+    if lt in ("timestamp-millis", "timestamp-micros") and isinstance(
+        v, _dt.datetime
+    ):
+        delta = v - _dt.datetime(1970, 1, 1)
+        us = delta // _dt.timedelta(microseconds=1)
+        return us // 1000 if lt == "timestamp-millis" else us
+    if lt in ("time-millis", "time-micros") and isinstance(v, _dt.time):
+        us = (
+            v.hour * 3600 + v.minute * 60 + v.second
+        ) * 1_000_000 + v.microsecond
+        return us // 1000 if lt == "time-millis" else us
+    return v
+
+
 def _decode(schema, buf: io.BytesIO):
     if isinstance(schema, list):  # union
         idx = _read_long(buf)
@@ -133,8 +221,11 @@ def _decode(schema, buf: io.BytesIO):
                 raise AvroError(f"enum index {idx} out of range")
             return syms[idx]
         if t == "fixed":
-            return _read_n(buf, int(schema["size"]))
-        return _decode(t, buf)  # {"type": "long"} wrapper form
+            return _apply_logical(
+                schema, _read_n(buf, int(schema["size"]))
+            )
+        # {"type": "long"} wrapper form, incl. logicalType carriers
+        return _apply_logical(schema, _decode(t, buf))
     if schema == "null":
         return None
     if schema == "boolean":
@@ -190,10 +281,11 @@ def _encode(schema, v) -> bytes:
         if t == "enum":
             return _write_long(schema["symbols"].index(v))
         if t == "fixed":
+            v = _to_physical(schema, v)
             if len(v) != int(schema["size"]):
                 raise AvroError("fixed size mismatch")
             return bytes(v)
-        return _encode(t, v)
+        return _encode(t, _to_physical(schema, v))
     if schema == "null":
         return b""
     if schema == "boolean":
@@ -321,12 +413,23 @@ def read_avro(
         import pandas as pd
 
         def canon(v):
+            import datetime as _dt
+            import decimal as _decimal
+
             if isinstance(v, bytes):
                 return v.hex()
             if isinstance(v, dict):
                 return {k: canon(x) for k, x in v.items()}
             if isinstance(v, list):
                 return [canon(x) for x in v]
+            if isinstance(v, _decimal.Decimal):
+                return str(v)  # scale-preserving: "5.00" stays "5.00"
+            if isinstance(v, _dt.datetime):
+                return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            if isinstance(v, _dt.date):
+                return v.isoformat()
+            if isinstance(v, _dt.time):
+                return v.strftime("%H:%M:%S.%f")
             return v
 
         for pdf in batches:
