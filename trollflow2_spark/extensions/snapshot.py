@@ -317,8 +317,16 @@ def cms_replay_state(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return merge_cms_state(spark.read.parquet(state_dir))
+
+
+def merge_cms_state(state: DataFrame) -> DataFrame:
+    """Merge batch-tagged CMS deltas. A foreachBatch retry after
+    checkpoint recovery re-appends the SAME batch-tagged delta, so
+    dedup on the tag BEFORE summing — that is what makes recovery
+    re-runs idempotent, not the tag's existence."""
     return (
-        spark.read.parquet(state_dir)
+        state.dropDuplicates(["__bid", "row", "cell"])
         .groupBy("row", "cell")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -405,8 +413,11 @@ def drift_replay_state(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+    # dedup re-appended batch deltas on the tag before summing
+    # (checkpoint-recovery idempotency, as for cms_replay_state)
     cur = (
         spark.read.parquet(state_dir)
+        .dropDuplicates([*group_cols, "__b", "__bid"])
         .groupBy(*group_cols, "__b")
         .agg(F.sum("cnt").alias("__cc"))
         .withColumn("__cr", F.lit(0))
@@ -752,7 +763,19 @@ def balance_replay_state(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
-    state = spark.read.parquet(state_dir)
+    return resolve_balance_state(spark.read.parquet(state_dir), key_cols)
+
+
+def resolve_balance_state(
+    state: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Resolve batch-tagged (sum, min-prefix) deltas to final
+    balances. Dedup on the batch tag first: without it a
+    checkpoint-recovery retry double-counts its batch_sum AND
+    poisons the prefix window."""
+    from pyspark.sql import Window
+
+    state = state.dropDuplicates([*key_cols, "__bid"])
     wprev = (
         Window.partitionBy(*key_cols)
         .orderBy("__bid")
