@@ -115,3 +115,15 @@ def test_plan_is_hash_join_and_fixture_margin(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert margin > 0.5
+
+
+def test_point_in_polygon_degenerate_polygon_raises(spark):
+    import pytest as _pytest
+
+    from trollflow2_spark.operators.geo import point_in_polygon
+
+    pts = spark.createDataFrame([(0.5, 0.5)], ["lon", "lat"])
+    with _pytest.raises(ValueError, match="non-horizontal"):
+        point_in_polygon(
+            pts, {"flat": [[(0, 0), (1, 0), (2, 0)]]}
+        )

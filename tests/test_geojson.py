@@ -106,3 +106,42 @@ def test_spark_reader_quarantine(spark):
     out = {r.doc_id: r for r in read_geojson(df).collect()}
     assert out[1].error is None and out[1].gtype == "Point"
     assert out[2].error is not None and out[2].gtype is None
+
+
+def test_multipolygon_all_exterior_rings_audited():
+    """ccw = 1 only if EVERY exterior ring winds CCW; holes never
+    participate in the audit."""
+    from trollflow2_spark.sources.geojson import feature_metrics
+
+    sq = lambda x: [[x, 0], [x + 1, 0], [x + 1, 1], [x, 1], [x, 0]]  # noqa: E731
+    both_ccw = {
+        "type": "Feature",
+        "geometry": {
+            "type": "MultiPolygon",
+            "coordinates": [[sq(0)], [sq(3)]],
+        },
+        "properties": {},
+    }
+    second_cw = {
+        "type": "Feature",
+        "geometry": {
+            "type": "MultiPolygon",
+            "coordinates": [[sq(0)], [sq(3)[::-1]]],
+        },
+        "properties": {},
+    }
+    assert feature_metrics(both_ccw)["ccw"] == 1
+    assert feature_metrics(second_cw)["ccw"] == 0
+    # a CW hole inside a CCW exterior does not flip the audit
+    holed = {
+        "type": "Feature",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                [[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]],  # CW hole
+            ],
+        },
+        "properties": {},
+    }
+    assert feature_metrics(holed)["ccw"] == 1

@@ -67,3 +67,40 @@ def test_audit_many_to_many(spark):
     r = _audit(spark, [1, 1, 2], [1, 1, 1, 2])
     assert r.relationship == "N:M"
     assert r.join_rows == 2 * 3 + 1 * 1
+
+
+def test_winsorized_tail_count_exact_at_multiples(spark):
+    """floor((1-0.9)*10) must be 1, not 0: binary-double
+    under-representation of 0.1 is quantized away (ADVICE r12)."""
+    from pyspark.sql import Row
+
+    from trollflow2_spark.extensions.profile import winsorized_stats
+
+    rows = [Row(g="a", v=float(i), id=i) for i in range(1, 11)]
+    out = winsorized_stats(
+        spark.createDataFrame(rows), ["g"], "v", ["id"],
+        p_lo=0.1, p_hi=0.9,
+    ).collect()[0]
+    assert out.k_lo == 1 and out.k_hi == 1
+    # winsorized: [2,2,3..9,9] -> mean 5.5; trimmed: mean(2..9) = 5.5
+    assert out.winsor_mean == 5.5 and out.trimmed_mean == 5.5
+
+
+def test_target_encoding_loo_identity_beyond_6dp(spark):
+    """Targets with >6 decimals: the LOO numerator must subtract the
+    same quantized value that entered the category sum, so two rows
+    of the same category see each other's quantized target exactly."""
+    from pyspark.sql import Row
+
+    from trollflow2_spark.extensions.profile import target_encoding_loo
+
+    t1, t2 = 1.00000049, 2.00000049  # quantize to 1.0 / 2.0
+    out = target_encoding_loo(
+        spark.createDataFrame(
+            [Row(c="x", t=t1), Row(c="x", t=t2)]
+        ),
+        "c",
+        "t",
+    ).collect()
+    enc = {r.target: r.loo_encoding for r in out}
+    assert enc[t1] == 2.0 and enc[t2] == 1.0

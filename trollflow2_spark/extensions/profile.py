@@ -1589,8 +1589,16 @@ def winsorized_stats(
         F.row_number().over(w).alias("__rn"),
         F.count(F.lit(1)).over(wn).alias("__n"),
     )
-    k = F.floor(F.lit(p_lo) * F.col("__n").cast("double"))
-    m = F.floor(F.lit(1.0 - p_hi) * F.col("__n").cast("double"))
+    # round(·, 9) before flooring: binary doubles under-represent
+    # tail fractions (1 − 0.9 = 0.0999…98, so floor((1−p_hi)·n)
+    # undercounts by one at exact multiples like n = 10, p_hi = 0.9);
+    # a 9-dp quantize restores the documented floor convention
+    k = F.floor(
+        F.round(F.lit(p_lo) * F.col("__n").cast("double"), 9)
+    )
+    m = F.floor(
+        F.round(F.lit(1.0 - p_hi) * F.col("__n").cast("double"), 9)
+    )
     tagged = ranked.select(
         *group_cols,
         "__v",
@@ -2143,9 +2151,12 @@ def target_encoding_loo(
         F.broadcast(stats), F.col(cat_col) == F.col("__c")
     )
     denom = (F.col("__n") - 1).cast("double") + F.lit(float(smooth))
+    # subtract the SAME 6-dp quantized value that entered the sum —
+    # an unrounded subtraction breaks the leave-one-out identity
+    # when targets carry more than 6 decimal places
     num = (
         F.col("__sum")
-        - F.col(target_col).cast("double")
+        - dec.cast("double")
         + F.lit(float(smooth) * float(prior))
     )
     return j.select(

@@ -142,7 +142,14 @@ def point_in_polygon(
     literal terms: per-point cost is O(total edges) inside whole-stage
     codegen, no broadcast, no join, no shuffle — the row never leaves
     its scan partition. The matched ids come out of one array
-    filter + explode."""
+    filter + explode.
+
+    Matching is INNER-join-shaped: the explode drops points inside no
+    polygon (use ``explode_outer`` downstream if unmatched points
+    must survive with NULL poly_id — here the operator's contract is
+    "tag the contained points"). A polygon whose rings are entirely
+    horizontal edges encloses zero area and raises ``ValueError``
+    up front instead of failing mid-plan."""
     px = F.round(F.col(x_col) * scale, 0).cast("long")
     py = F.round(F.col(y_col) * scale, 0).cast("long")
     tags = []
@@ -164,6 +171,11 @@ def point_in_polygon(
                     side * F.lit(1 if y2 > y1 else -1) < 0
                 )
                 terms.append(cross.cast("int"))
+        if not terms:
+            raise ValueError(
+                f"polygon {pid!r} has no non-horizontal edges — it "
+                "encloses zero area; fix or drop the ring set"
+            )
         parity = terms[0]
         for t in terms[1:]:
             parity = parity + t

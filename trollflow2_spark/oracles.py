@@ -9934,6 +9934,12 @@ WITH base AS (
     CAST(doc_id % 10 AS DOUBLE), CAST(doc_id % 7 AS DOUBLE),
     CAST(0 AS DOUBLE), NULL, NULL, NULL
   FROM base WHERE NOT trunc
+  UNION ALL
+  SELECT doc_id, 3, 'MultiPolygon', 10, 2,
+    CAST(204 AS DOUBLE), CAST(1 AS DOUBLE),
+    CAST(2 AS DOUBLE),
+    CAST(doc_id % 4 <> 1 AS INT), NULL, NULL
+  FROM base WHERE NOT trunc
 )
 SELECT doc_id, feat_idx, CAST(0 AS INT) AS err, gtype,
   CAST(n_points AS INT) AS n_points, CAST(n_rings AS INT) AS n_rings,
@@ -9958,8 +9964,9 @@ WITH ranked AS (
   FROM orders
 ), tagged AS (
   SELECT *,
-    CAST(floor(0.05 * CAST(n AS DOUBLE)) AS BIGINT) AS k,
-    CAST(floor((1.0 - 0.95) * CAST(n AS DOUBLE)) AS BIGINT) AS m
+    CAST(floor(round(0.05 * CAST(n AS DOUBLE), 9)) AS BIGINT) AS k,
+    CAST(floor(round((1.0 - 0.95) * CAST(n AS DOUBLE), 9)) AS BIGINT)
+      AS m
   FROM ranked
 ), agg AS (
   SELECT o_orderpriority,
@@ -10712,7 +10719,9 @@ WITH stats AS (
 SELECT c_mktsegment AS category, c_acctbal AS target,
   CAST(n AS BIGINT) AS cat_n,
   CASE WHEN CAST(n - 1 AS DOUBLE) > 0
-    THEN round((s - c_acctbal + 0.0) / (CAST(n - 1 AS DOUBLE) + 0.0), 6)
+    THEN round((s - CAST(CAST(round(c_acctbal, 6) AS DECIMAL(38,6))
+                         AS DOUBLE) + 0.0)
+               / (CAST(n - 1 AS DOUBLE) + 0.0), 6)
   END AS loo_encoding
 FROM customer JOIN stats ON c_mktsegment = c
 """

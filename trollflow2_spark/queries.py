@@ -12738,7 +12738,9 @@ def q_geojson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     RFC 7946 exterior-winding audit, all computed at the byte
     boundary; every 17th document truncates to ONE err=1 quarantine
     row. Fixture coordinates are binary-exact (integers + quarter
-    offsets), so areas replay exactly."""
+    offsets), so areas replay exactly. r13 adds a MultiPolygon whose
+    SECOND exterior flips winding on d%4==1 docs — the RFC 7946
+    audit must check every exterior ring, not just the first."""
     from trollflow2_spark.sources.geojson import read_geojson
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
@@ -12772,6 +12774,12 @@ def q_geojson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if d % 2 == 1:
                     ring = ring[::-1]  # clockwise exterior: flagged
                 rings = [ring]
+                sq1 = [
+                    [200, 0], [201, 0], [201, 1], [200, 1], [200, 0],
+                ]
+                sq2 = [
+                    [203, 0], [204, 0], [204, 1], [203, 1], [203, 0],
+                ]
                 if d % 3 == 0:
                     rings.append(
                         [
@@ -12815,6 +12823,24 @@ def q_geojson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     [0, 0],
                                     [d % 10, 0],
                                     [d % 10, d % 7],
+                                ],
+                            },
+                            "properties": {},
+                        },
+                        {
+                            # two unit squares; the SECOND exterior
+                            # flips winding on d%4==1 docs — the
+                            # all-exterior-rings audit must flag it
+                            "type": "Feature",
+                            "geometry": {
+                                "type": "MultiPolygon",
+                                "coordinates": [
+                                    [sq1],
+                                    [
+                                        sq2
+                                        if d % 4 != 1
+                                        else sq2[::-1]
+                                    ],
                                 ],
                             },
                             "properties": {},

@@ -139,8 +139,11 @@ def feature_metrics(feature: dict) -> dict:
         if ring[0][:2] != ring[-1][:2]:
             raise ValueError(f"ring {k} is not closed")
         signed = _shoelace(ring)
-        if ccw is None:
-            ccw = 1 if signed > 0 else 0  # RFC 7946 exterior check
+        if is_outer:
+            # RFC 7946 exterior check over EVERY exterior ring (a
+            # MultiPolygon has one per polygon): 1 only if all CCW
+            ring_ccw = 1 if signed > 0 else 0
+            ccw = ring_ccw if ccw is None else (ccw & ring_ccw)
         area += abs(signed) if is_outer else -abs(signed)
         n_rings += 1
     props = feature.get("properties") or {}
