@@ -394,6 +394,9 @@ OPERATORS = [
     "conversion_time",  # two conditional min-aggs, weekly cohorts
     "freshness_audit",  # cadence-relative staleness flags
     "ltv_curve",  # weekly cohorts, DECIMAL cumulative per user
+    # round 13 additions
+    "iceberg_snapshot_v2",  # merge-on-read position deletes applied
+    "delta_snapshot_checkpoint",  # checkpoint base + JSON tail replay
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

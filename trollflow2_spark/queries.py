@@ -1783,7 +1783,9 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs — spark-avro does not ship here). Each doc's fixture file
     holds 1 + d%3 records (record/array/union/enum/fixed fields,
     dyadic doubles) split 2-per-block so multi-block reads exercise;
-    every 6th file is deflate-coded; every 17th truncated -> one
+    every 6th file is deflate-coded, every 11th%7 snappy-coded
+    (from-scratch `sources/snappy.py` + the spec's uncompressed-data
+    CRC32); every 17th truncated -> one
     err row with rec_idx -1. r13 adds the spec's logical types to
     the record (bytes-decimal incl. negatives, date,
     timestamp-millis/micros, time-millis, uuid, and an UNKNOWN
@@ -1876,10 +1878,15 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                     for j in range(d % 3 + 1)
                 ]
+                codec = "null"
+                if d % 6 == 0:
+                    codec = "deflate"
+                elif d % 11 == 7:
+                    codec = "snappy"  # from-scratch block codec + CRC
                 blob = write_container(
                     recs,
                     avro_schema,
-                    codec="deflate" if d % 6 == 0 else "null",
+                    codec=codec,
                     records_per_block=2,
                 )
                 blobs.append(blob[:40] if d % 17 == 0 else blob)

@@ -17,7 +17,9 @@ module implements the public specification
 - container framing: ``Obj\\x01`` magic, the file-metadata map
   (``avro.schema`` JSON + ``avro.codec``), a 16-byte sync marker,
   then data blocks of (record count, byte length, payload, sync) —
-  ``null`` and ``deflate`` (raw zlib) codecs supported, sync markers
+  ``null``, ``deflate`` (raw zlib) and ``snappy`` (from-scratch block
+  codec, `sources/snappy.py`, + the spec's big-endian CRC32 of the
+  uncompressed data) codecs supported, sync markers
   VERIFIED per block so a corrupt/resynced file cannot silently
   produce shifted garbage.
 
@@ -349,6 +351,14 @@ def write_container(
         payload = b"".join(_encode(schema, r) for r in chunk)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate, per spec
+        elif codec == "snappy":
+            # per spec: snappy block + 4-byte BIG-endian CRC32 of the
+            # UNCOMPRESSED data
+            from trollflow2_spark.sources.snappy import compress
+
+            payload = compress(payload) + zlib.crc32(payload).to_bytes(
+                4, "big"
+            )
         out += _write_long(len(chunk)) + _write_long(len(payload))
         out += payload + sync
     return bytes(out)
@@ -366,7 +376,7 @@ def read_container(blob: bytes) -> tuple[dict, list]:
     except (KeyError, ValueError) as e:
         raise AvroError("bad avro.schema metadata") from e
     codec = meta.get("avro.codec", b"null").decode("latin-1")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported codec {codec!r}")
     sync = _read_n(buf, 16)
     records = []
@@ -383,6 +393,21 @@ def read_container(blob: bytes) -> tuple[dict, list]:
                 payload = zlib.decompress(payload, wbits=-15)
             except zlib.error as e:
                 raise AvroError("bad deflate block") from e
+        elif codec == "snappy":
+            from trollflow2_spark.sources.snappy import (
+                SnappyError,
+                decompress,
+            )
+
+            if size < 4:
+                raise AvroError("snappy block shorter than its CRC")
+            crc = int.from_bytes(payload[-4:], "big")
+            try:
+                payload = decompress(payload[:-4])
+            except SnappyError as e:
+                raise AvroError(f"bad snappy block: {e}") from e
+            if zlib.crc32(payload) != crc:
+                raise AvroError("snappy block CRC mismatch")
         pbuf = io.BytesIO(payload)
         for _ in range(n):
             records.append(_decode(schema, pbuf))
