@@ -127,3 +127,78 @@ def test_point_in_polygon_degenerate_polygon_raises(spark):
         point_in_polygon(
             pts, {"flat": [[(0, 0), (1, 0), (2, 0)]]}
         )
+
+
+def test_spatial_join_pip_semantics(spark):
+    from pyspark.sql import Row
+
+    from trollflow2_spark.operators.geo import (
+        spatial_join_points_in_polygons,
+    )
+
+    square = [
+        {"x": 0.0, "y": 0.0},
+        {"x": 4.0, "y": 0.0},
+        {"x": 4.0, "y": 4.0},
+        {"x": 0.0, "y": 4.0},
+        {"x": 0.0, "y": 0.0},
+    ]
+    far = [{"x": 100.0 + dx, "y": 100.0 + dy}
+           for dx, dy in [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]]
+    polys = spark.createDataFrame(
+        [("sq", square), ("far", far)],
+        "poly_id string, ring array<struct<x: double, y: double>>",
+    )
+    pts = spark.createDataFrame(
+        [
+            Row(id=1, x=2.0, y=2.0),     # inside sq
+            Row(id=2, x=5.0, y=5.0),     # outside both
+            Row(id=3, x=101.0, y=101.0), # inside far
+            Row(id=4, x=2.0, y=9.0),     # same cell col as sq, outside
+        ]
+    )
+    out = spatial_join_points_in_polygons(pts, polys, cell=3.0)
+    got = {(r.id, r.poly_id) for r in out.collect()}
+    assert got == {(1, "sq"), (3, "far")}
+
+
+def test_spatial_join_pip_hole_via_parity(spark):
+    from pyspark.sql import Row
+
+    from trollflow2_spark.operators.geo import (
+        spatial_join_points_in_polygons,
+    )
+
+    # concatenating outer ring + hole ring into one array: parity
+    # excludes the hole interior (the ray crosses both boundaries)
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    hole = [(4, 4), (4, 6), (6, 6), (6, 4), (4, 4)]
+    ring = [{"x": float(x), "y": float(y)} for x, y in outer + hole]
+    polys = spark.createDataFrame(
+        [("donut", ring)],
+        "poly_id string, ring array<struct<x: double, y: double>>",
+    )
+    pts = spark.createDataFrame(
+        [Row(id=1, x=2.0, y=2.0), Row(id=2, x=5.0, y=5.0)]
+    )
+    out = spatial_join_points_in_polygons(pts, polys, cell=5.0)
+    assert {r.id for r in out.collect()} == {1}
+
+
+def test_spatial_join_pip_degenerate_ring_fails_loudly(spark):
+    from pyspark.sql import Row
+
+    from trollflow2_spark.operators.geo import (
+        spatial_join_points_in_polygons,
+    )
+
+    polys = spark.createDataFrame(
+        [("bad", [{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 1.0}])],
+        "poly_id string, ring array<struct<x: double, y: double>>",
+    )
+    pts = spark.createDataFrame([Row(id=1, x=0.5, y=0.5)])
+    out = spatial_join_points_in_polygons(pts, polys, cell=2.0)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ring has < 4"):
+        out.collect()

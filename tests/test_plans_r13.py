@@ -97,3 +97,13 @@ def test_theil_sen_matches_exact_percentile(spark):
         .collect()
     }
     assert got == want
+
+
+def test_spatial_join_pip_no_cartesian_no_python(spark, sf_dir):
+    from tests.test_plans_r12 import plan_of
+
+    plan = plan_of(spark, "spatial_join_pip", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # candidate generation is an equi join on the grid cell
+    assert "__cx" in plan and "__cy" in plan

@@ -182,3 +182,99 @@ def point_in_polygon(
         tags.append(F.when(parity % 2 == 1, F.lit(pid)))
     matched = F.array_compact(F.array(*tags))
     return points.withColumn("poly_id", F.explode(matched))
+
+
+def spatial_join_points_in_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    cell: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    ring_col: str = "ring",
+    poly_id_col: str = "poly_id",
+) -> DataFrame:
+    """Table-to-table point-in-polygon join — the scale path when the
+    polygon set is DATA (parcels, admin zones, geofences by the
+    million), where :func:`point_in_polygon`'s compile-into-the-plan
+    literals stop applying.
+
+    Plan: each polygon explodes onto the integer grid cells its bbox
+    covers (``cell`` sized to the typical polygon — fan-out is
+    O(bbox area / cell²)); each point lands in exactly ONE cell, so
+    the candidate join is a plain EQUI join on (cx, cy) with no
+    cartesian anywhere and each (point, polygon) pair generated at
+    most once. The exact ray-cast verify then runs as a pure Column
+    higher-order fold over the ring array (same half-open straddle +
+    cross-multiplied side rule as the literal operator — no division,
+    so quarter-aligned fixtures replay exactly). Inner-join
+    semantics: unmatched points drop (explode_outer downstream if
+    they must survive).
+
+    ``polys`` rows: (poly_id, ring) with ring an
+    ``array<struct<x double, y double>>`` CLOSED ring (first ==
+    last). Degenerate rings (< 4 positions) FAIL the task loudly
+    in the scan stage (an `assert_true` fused into the cover
+    computation — no driver-side pre-scan, no silent non-match)."""
+    inv = 1.0 / float(cell)
+    px, py = F.col(x_col), F.col(y_col)
+    xs = F.transform(F.col(ring_col), lambda v: v["x"])
+    ys = F.transform(F.col(ring_col), lambda v: v["y"])
+    ring_ok = F.coalesce(
+        F.assert_true(
+            F.size(F.col(ring_col)) >= 4,
+            "spatial_join_points_in_polygons: ring has < 4 positions",
+        ).cast("long"),
+        F.lit(0),
+    )
+    cover = polys.select(
+        poly_id_col,
+        ring_col,
+        F.explode(
+            F.sequence(
+                F.floor(F.array_min(xs) * inv) + ring_ok,
+                F.floor(F.array_max(xs) * inv),
+            )
+        ).alias("__cx"),
+        F.array_min(ys).alias("__ylo"),
+        F.array_max(ys).alias("__yhi"),
+    ).select(
+        poly_id_col,
+        ring_col,
+        "__cx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__ylo") * inv),
+                F.floor(F.col("__yhi") * inv),
+            )
+        ).alias("__cy"),
+    )
+    pts = points.withColumn("__cx", F.floor(px * inv)).withColumn(
+        "__cy", F.floor(py * inv)
+    )
+    cand = pts.join(cover, ["__cx", "__cy"])
+    ring = F.col(ring_col)
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), F.size(ring) - 2),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (
+                (ring[i]["y"] > py) != (ring[i + 1]["y"] > py)
+            )
+            & (
+                (
+                    (px - ring[i]["x"]) * (ring[i + 1]["y"] - ring[i]["y"])
+                    - (ring[i + 1]["x"] - ring[i]["x"])
+                    * (py - ring[i]["y"])
+                )
+                * F.signum(ring[i + 1]["y"] - ring[i]["y"])
+                < 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        cand.withColumn("__cr", crossings)
+        .where(F.col("__cr") % 2 == 1)
+        .drop("__cx", "__cy", "__cr", ring_col)
+    )

@@ -10669,6 +10669,28 @@ FROM live GROUP BY 1, 2
 """
 
 
+# Spatial join: the oracle is the closed-form L1 diamond test over a
+# plain cross join — a different algorithm than the engine's
+# grid-bucketed ray cast, agreeing exactly on non-boundary points
+ORACLES["spatial_join_pip"] = """
+WITH pts AS (
+  SELECT c_custkey,
+    CAST(c_custkey % 100 AS DOUBLE) + 0.25 AS x,
+    CAST(c_custkey % 60 AS DOUBLE) + 0.25 AS y
+  FROM customer
+), dia AS (
+  SELECT 'd' || CAST(j AS VARCHAR) AS poly_id,
+    CAST(j * 17 % 100 AS DOUBLE) AS cx,
+    CAST(j * 11 % 60 AS DOUBLE) AS cy,
+    1.625 + CAST(j % 4 AS DOUBLE) AS r
+  FROM (SELECT unnest(range(12)) AS j)
+)
+SELECT p.c_custkey, p.x, p.y, d.poly_id
+FROM pts p JOIN dia d
+  ON abs(p.x - d.cx) + abs(p.y - d.cy) < d.r
+"""
+
+
 # CDC extract: closed-form I/U/D classification between the two dumps
 ORACLES["cdc_extract"] = """
 WITH old AS (

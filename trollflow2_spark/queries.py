@@ -13756,6 +13756,49 @@ def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed point-in-polygon JOIN (`operators/geo.py::
+    spatial_join_points_in_polygons`): polygons as DATA, not plan
+    literals — 12 closed-form diamonds explode onto covering grid
+    cells, customers land in exactly one cell each, the candidate
+    equi-join carries no cartesian, and the ray-cast verify is a
+    pure Column fold over the ring array. Quarter-aligned points vs
+    .625-radius diamonds keep every comparison exact-binary, and
+    the oracle is the CLOSED-FORM L1 diamond test — a different
+    algorithm agreeing exactly."""
+    from trollflow2_spark.operators.geo import (
+        spatial_join_points_in_polygons,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        "c_custkey",
+        (k % 100 + 0.25).alias("x"),
+        (k % 60 + 0.25).alias("y"),
+    )
+    diamonds = []
+    for j in range(12):
+        cx, cy = float(j * 17 % 100), float(j * 11 % 60)
+        r = 1.625 + (j % 4)
+        ring = [
+            (cx + r, cy),
+            (cx, cy + r),
+            (cx - r, cy),
+            (cx, cy - r),
+            (cx + r, cy),
+        ]
+        diamonds.append((f"d{j}", [{"x": x, "y": y} for x, y in ring]))
+    polys = spark.createDataFrame(
+        diamonds,
+        "poly_id string, ring array<struct<x: double, y: double>>",
+    )
+    out = spatial_join_points_in_polygons(
+        pts, polys, cell=4.0, x_col="x", y_col="y"
+    )
+    return out.select("c_custkey", "x", "y", "poly_id")
+
+
 def q_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff change feed (`extensions/profile.py::
     cdc_extract` — the inverse of `cdc_apply`): two closed-form
@@ -14318,6 +14361,7 @@ QUERIES = {
     "iceberg_snapshot": q_iceberg_snapshot,
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
     "cdc_extract": q_cdc_extract,
+    "spatial_join_pip": q_spatial_join_pip,
     "quantile_transform": q_quantile_transform,
     "target_encoding": q_target_encoding,
     "theil_sen_trend": q_theil_sen_trend,
