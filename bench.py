@@ -397,6 +397,8 @@ OPERATORS = [
     # round 13 additions
     "iceberg_snapshot_v2",  # merge-on-read position deletes applied
     "delta_snapshot_checkpoint",  # checkpoint base + JSON tail replay
+    "spatial_join_pip",  # grid-bucketed PIP join, L1-diamond oracle
+    "hodges_lehmann",  # Walsh-average median via bracket selection
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -35,3 +35,36 @@ def test_flat_series_zero_s(spark):
 def test_decreasing_negative(spark):
     r = _ts(spark, [(x, 10 - x) for x in range(6)])
     assert r.theil_slope == -1.0 and r.mk_s == -15 and r.mk_z < 0
+
+
+def test_hodges_lehmann_known_values(spark):
+    from trollflow2_spark.extensions.profile import hodges_lehmann
+
+    # x = [1, 2, 10]: walsh = {1, 1.5, 5.5, 2, 6, 10} -> median 3.75
+    rows = [Row(g="a", i=k, v=float(v)) for k, v in enumerate([1, 2, 10])]
+    out = hodges_lehmann(
+        spark.createDataFrame(rows), ["g"], "v", "i"
+    ).collect()[0]
+    assert out.n_pairs == 6
+    assert out.hl_estimate == 3.75
+
+
+def test_hodges_lehmann_outlier_robust(spark):
+    from trollflow2_spark.extensions.profile import hodges_lehmann
+
+    base = [Row(g="a", i=k, v=5.0 + (k % 3) * 0.5) for k in range(20)]
+    spiked = base + [Row(g="a", i=99, v=1e9)]
+    got = hodges_lehmann(
+        spark.createDataFrame(spiked), ["g"], "v", "i"
+    ).collect()[0]
+    assert abs(got.hl_estimate - 5.5) < 0.6  # the spike barely moves it
+
+
+def test_hodges_lehmann_tie_pileup_short_circuit(spark):
+    from trollflow2_spark.extensions.profile import hodges_lehmann
+
+    rows = [Row(g="a", i=k, v=7.0) for k in range(100)]
+    out = hodges_lehmann(
+        spark.createDataFrame(rows), ["g"], "v", "i"
+    ).collect()[0]
+    assert out.hl_estimate == 7.0 and out.n_pairs == 100 * 101 // 2

@@ -2208,6 +2208,96 @@ def _theil_sen_pairs(
     )
 
 
+def _bracket_median(
+    vals: DataFrame,
+    group_cols: list[str],
+    val_col: str = "__s",
+    median_col: str = "__med",
+    extra_aggs: dict | None = None,
+) -> DataFrame:
+    """Distributed EXACT per-group median by GK-bracket selection —
+    the machinery behind `theil_sen_trend` and `hodges_lehmann`.
+
+    ``vals`` should be localCheckpointed by the caller (three passes
+    run over it). One fused map-side agg per group computes the exact
+    count (plus any ``extra_aggs``) and the percentile_approx
+    [45 %, 55 %] bracket; the sketch's rank-error bound is
+    DETERMINISTIC (≤ n/accuracy = 0.1 % of n at accuracy 1000, 50×
+    inside the 5 % margin), so the true median rank always lies in
+    the bracket — the approximation affects only how many rows the
+    selection touches (~10 % of each group), never the value. An
+    exact strictly-below count anchors global ranks; only the
+    bracket slice is sorted; equal bracket ends are a tie pileup
+    whose median needs no sort at all (the guard that keeps one
+    dominating value from funnelling a group into a single task).
+
+    Median semantics match ``percentile(v, 0.5)`` exactly: the mean
+    of the ⌊(m+1)/2⌋-th and ⌊(m+2)/2⌋-th smallest values, rounded
+    to 6 dp. Returns group_cols + n_vals + extra agg columns +
+    ``median_col``."""
+    extra_aggs = extra_aggs or {}
+    stats = vals.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        *[c.alias(name) for name, c in extra_aggs.items()],
+        F.percentile_approx(
+            val_col,
+            F.array(F.lit(0.45), F.lit(0.55)),
+            F.lit(1000),
+        ).alias("__qb"),
+    ).localCheckpoint()
+    keep = stats.select(*group_cols, "n_vals", *extra_aggs.keys())
+    bounds = stats.select(
+        *group_cols,
+        F.col("__qb")[0].alias("__blo"),
+        F.col("__qb")[1].alias("__bhi"),
+    )
+    # middle ranks (1-indexed): odd m → one rank, even m → two
+    ranks = stats.select(
+        *group_cols,
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("n_vals") + 1) / 2),
+                    F.floor((F.col("n_vals") + 2) / 2),
+                )
+            )
+        ).alias("__r"),
+    )
+    deg = (
+        bounds.where(F.col("__blo") == F.col("__bhi"))
+        .join(ranks, group_cols)
+        .select(*group_cols, "__r", F.col("__blo").alias("__rv"))
+    )
+    live = bounds.where(F.col("__blo") < F.col("__bhi"))
+    v = F.col(val_col)
+    below = (
+        vals.join(F.broadcast(live), group_cols)
+        .where(v < F.col("__blo"))
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    cand = vals.join(F.broadcast(live), group_cols).where(
+        v.between(F.col("__blo"), F.col("__bhi"))
+    )
+    wrank = Window.partitionBy(*group_cols).orderBy(val_col)
+    picked = (
+        cand.withColumn("__rn", F.row_number().over(wrank))
+        .join(F.broadcast(below), group_cols, "left")
+        .join(F.broadcast(ranks), group_cols)
+        .where(
+            F.col("__rn")
+            == F.col("__r") - F.coalesce(F.col("__nb"), F.lit(0))
+        )
+        .select(*group_cols, "__r", v.alias("__rv"))
+    )
+    med = (
+        picked.unionByName(deg)
+        .groupBy(*group_cols)
+        .agg(F.round(F.avg("__rv"), 6).alias(median_col))
+    )
+    return keep.join(med, group_cols)
+
+
 def theil_sen_trend(
     df: DataFrame,
     group_cols: list[str],
@@ -2258,78 +2348,15 @@ def theil_sen_trend(
         df, group_cols, x_col, y_col, npart
     ).localCheckpoint()
 
-    # one fused map-side agg per group: exact n_pairs + Mann-Kendall
-    # S, plus the GK-sketch ±5 %-rank bracket around the median.
-    # percentile_approx's rank-error bound is DETERMINISTIC
-    # (≤ n/accuracy = 0.1 % of n at accuracy 1000), so the true
-    # median rank always lies inside the [45 %, 55 %] bracket — the
-    # approximation affects only how many rows the final selection
-    # touches (~10 % of the group), never the selected value.
-    stats = slopes.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("__sgn").alias("mk_s"),
-        F.percentile_approx(
-            "__s",
-            F.array(F.lit(0.45), F.lit(0.55)),
-            F.lit(1000),
-        ).alias("__qb"),
-    ).localCheckpoint()
-    gtot = stats.select(*group_cols, "n_pairs", "mk_s")
-    bounds = stats.select(
-        *group_cols,
-        F.col("__qb")[0].alias("__blo"),
-        F.col("__qb")[1].alias("__bhi"),
-    )
-    # middle ranks (1-indexed): odd m → one rank, even m → two
-    ranks = stats.select(
-        *group_cols,
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor((F.col("n_pairs") + 1) / 2),
-                    F.floor((F.col("n_pairs") + 2) / 2),
-                )
-            )
-        ).alias("__r"),
-    )
-    # equal bracket ends = a tie pileup spanning ranks 45-55 %: the
-    # median IS that value, no selection pass needed — the guard
-    # that keeps one dominating value from funnelling a group's
-    # whole pair table into a single sort task
-    deg = (
-        bounds.where(F.col("__blo") == F.col("__bhi"))
-        .join(ranks, group_cols)
-        .select(*group_cols, "__r", F.col("__blo").alias("__rv"))
-    )
-    live = bounds.where(F.col("__blo") < F.col("__bhi"))
-    # exact rank of the bracket floor: rows strictly below __blo
-    below = (
-        slopes.join(F.broadcast(live), group_cols)
-        .where(F.col("__s") < F.col("__blo"))
-        .groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("__nb"))
-    )
-    # rank only the ~10 % bracket slice; residual rank = r − below
-    cand = slopes.join(F.broadcast(live), group_cols).where(
-        F.col("__s").between(F.col("__blo"), F.col("__bhi"))
-    )
-    wrank = Window.partitionBy(*group_cols).orderBy("__s")
-    picked = (
-        cand.withColumn("__rn", F.row_number().over(wrank))
-        .join(F.broadcast(below), group_cols, "left")
-        .join(F.broadcast(ranks), group_cols)
-        .where(
-            F.col("__rn")
-            == F.col("__r") - F.coalesce(F.col("__nb"), F.lit(0))
-        )
-        .select(*group_cols, "__r", F.col("__s").alias("__rv"))
-    )
-    med = (
-        picked.unionByName(deg)
-        .groupBy(*group_cols)
-        .agg(F.round(F.avg("__rv"), 6).alias("theil_slope"))
-    )
-    pair_agg = gtot.join(med, group_cols)
+    # _bracket_median does the distributed exact selection; the
+    # Mann-Kendall S rides along in the same fused map-side agg
+    pair_agg = _bracket_median(
+        slopes,
+        group_cols,
+        val_col="__s",
+        median_col="theil_slope",
+        extra_aggs={"mk_s": F.sum("__sgn")},
+    ).withColumnRenamed("n_vals", "n_pairs")
 
     # tie-corrected variance needs per-group n and per-value tie sizes
     nrows = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
@@ -2365,3 +2392,57 @@ def theil_sen_trend(
             F.round(F.when(var > 0, z), 6).alias("mk_z"),
         )
     )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Hodges-Lehmann location estimate per group: the median of all
+    Walsh averages (x_i + x_j)/2 over i ≤ j — the robust location
+    twin of `theil_sen_trend`'s slope (breakdown ~29 %, far better
+    small-sample efficiency than the plain median), and the point
+    estimate behind the Wilcoxon signed-rank interval.
+
+    Same scale contract and machinery as Theil-Sen: bounded-
+    cardinality SERIES only (the O(n²) Walsh table is the
+    definition); the bounded side broadcasts against a
+    hash-repartitioned left so pair expansion spreads over P tasks,
+    and the exact median comes from :func:`_bracket_median`'s
+    GK-bracket distributed selection. ``id_col`` provides the total
+    order that keeps each unordered pair generated exactly once
+    (i ≤ j INCLUDES the self-pairs, per the standard definition)."""
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = df.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col(id_col).alias("__ia"),
+        F.col(value_col).alias("__va"),
+    ).repartition(
+        npart,
+        *[F.col(f"__g_{c}") for c in group_cols],
+        F.pmod(F.hash(F.col("__ia")), F.lit(npart)),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"__h_{c}") for c in group_cols],
+        F.col(id_col).alias("__ib"),
+        F.col(value_col).alias("__vb"),
+    )
+    cond = [
+        F.col(f"__g_{c}") == F.col(f"__h_{c}") for c in group_cols
+    ]
+    walsh = (
+        a.join(F.broadcast(b), cond)
+        .where(F.col("__ia") <= F.col("__ib"))
+        .select(
+            *[F.col(f"__g_{c}").alias(c) for c in group_cols],
+            ((F.col("__va") + F.col("__vb")) / 2.0).alias("__s"),
+        )
+        .localCheckpoint()
+    )
+    out = _bracket_median(
+        walsh, group_cols, val_col="__s", median_col="hl_estimate"
+    )
+    return out.withColumnRenamed("n_vals", "n_pairs")

@@ -10751,6 +10751,24 @@ FROM customer JOIN stats ON c_mktsegment = c
 
 # Theil-Sen + Mann-Kendall: identical pair table, quantile_cont for
 # the median slope, integer S and tie-corrected variance
+ORACLES["hodges_lehmann"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      AS day_idx,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+), walsh AS (
+  SELECT a.priority, (a.revenue + b.revenue) / 2.0 AS w
+  FROM daily a JOIN daily b
+    ON a.priority = b.priority AND a.day_idx <= b.day_idx
+)
+SELECT priority, COUNT(*) AS n_pairs,
+  round(quantile_cont(w, 0.5), 6) AS hl_estimate
+FROM walsh GROUP BY priority
+"""
+
+
 ORACLES["theil_sen_trend"] = """
 WITH daily AS (
   SELECT o_orderpriority AS priority,

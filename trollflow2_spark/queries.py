@@ -13872,6 +13872,24 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(daily, ["priority"], "day_idx", "revenue")
 
 
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimate (`extensions/profile.py::
+    hodges_lehmann`): median of all Walsh averages of the daily
+    revenue series per priority — the location twin of
+    `theil_sen_trend`, sharing its broadcast pair stage and the
+    GK-bracket distributed exact median."""
+    from trollflow2_spark.extensions.profile import hodges_lehmann
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    return hodges_lehmann(daily, ["priority"], "revenue", "day_idx")
+
+
 def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert (`operators/windows.py::
     conversion_time_stats`): signup -> first subsequent purchase per
@@ -14365,6 +14383,7 @@ QUERIES = {
     "quantile_transform": q_quantile_transform,
     "target_encoding": q_target_encoding,
     "theil_sen_trend": q_theil_sen_trend,
+    "hodges_lehmann": q_hodges_lehmann,
     "conversion_time": q_conversion_time,
     "freshness_audit": q_freshness_audit,
     "ltv_curve": q_ltv_curve,
