@@ -399,6 +399,8 @@ OPERATORS = [
     "delta_snapshot_checkpoint",  # checkpoint base + JSON tail replay
     "spatial_join_pip",  # grid-bucketed PIP join, L1-diamond oracle
     "hodges_lehmann",  # Walsh-average median via bracket selection
+    "wilcoxon_shift",  # paired signed-rank via distinct-|d| midranks
+    "kendall_tau",  # tau-b: pair stage + hash-agg tie pairs
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -68,3 +68,50 @@ def test_hodges_lehmann_tie_pileup_short_circuit(spark):
         spark.createDataFrame(rows), ["g"], "v", "i"
     ).collect()[0]
     assert out.hl_estimate == 7.0 and out.n_pairs == 100 * 101 // 2
+
+
+def test_wilcoxon_known_values(spark):
+    from trollflow2_spark.extensions.profile import wilcoxon_signed_rank
+
+    rows = [
+        Row(g="a", b=0.0, a2=float(v))
+        for v in (1, -2, 3, -4, 5)
+    ]
+    out = wilcoxon_signed_rank(
+        spark.createDataFrame(rows), ["g"], "b", "a2"
+    ).collect()[0]
+    assert out.n == 5 and out.w_plus == 9.0
+    assert out.z == round(1.0 / 13.75 ** 0.5, 6)
+
+
+def test_wilcoxon_ties_and_zero_drop(spark):
+    from trollflow2_spark.extensions.profile import wilcoxon_signed_rank
+
+    rows = [Row(g="a", b=0.0, a2=float(v)) for v in (2, 2, -2, 0)]
+    out = wilcoxon_signed_rank(
+        spark.createDataFrame(rows), ["g"], "b", "a2"
+    ).collect()[0]
+    assert out.n == 3 and out.w_plus == 4.0  # midrank 2 for all
+    assert out.z == round(0.5 / 3.0 ** 0.5, 6)
+
+
+def test_kendall_tau_known_values(spark):
+    from trollflow2_spark.extensions.profile import kendall_tau_b
+
+    rows = [Row(g="a", i=i, x=float(x), y=float(y))
+            for i, (x, y) in enumerate([(1, 1), (2, 3), (3, 2)])]
+    out = kendall_tau_b(
+        spark.createDataFrame(rows), ["g"], "x", "y", "i"
+    ).collect()[0]
+    assert out.c_minus_d == 1 and out.tau_b == round(1 / 3, 6)
+
+
+def test_kendall_tau_b_tie_correction(spark):
+    from trollflow2_spark.extensions.profile import kendall_tau_b
+
+    rows = [Row(g="a", i=i, x=float(x), y=float(y))
+            for i, (x, y) in enumerate([(1, 1), (1, 2), (2, 2)])]
+    out = kendall_tau_b(
+        spark.createDataFrame(rows), ["g"], "x", "y", "i"
+    ).collect()[0]
+    assert out.c_minus_d == 1 and out.tau_b == 0.5

@@ -2446,3 +2446,157 @@ def hodges_lehmann(
         walsh, group_cols, val_col="__s", median_col="hl_estimate"
     )
     return out.withColumnRenamed("n_vals", "n_pairs")
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test per group — the paired-sample
+    nonparametric test (did the metric SHIFT between two paired
+    measurements?), completing the rank-test tier next to
+    Mann-Kendall (trend) and the Mann-Whitney ranks inside
+    `binary_metrics`.
+
+    Exact-arithmetic contract: zero differences drop (per the
+    standard treatment), |d| midranks come from the DISTINCT-value
+    cumulative table — the same scale trick as `binary_metrics`: the
+    row-level data never goes through a rank window, only the
+    bounded distinct-|d| reduction does — and are kept as INTEGER
+    doubled midranks (2·rank), so W+ replays bit-for-bit. The
+    normal approximation uses the tie-corrected variance
+    ``n(n+1)(2n+1)/24 − Σ(t³−t)/48`` and a 0.5 continuity
+    correction toward the mean."""
+    d = F.col(after_col) - F.col(before_col)
+    nz = df.select(
+        *group_cols,
+        F.abs(d).alias("__a"),
+        (d > 0).cast("long").alias("__pos"),
+    ).where(d != 0)
+    vals = nz.groupBy(*group_cols, "__a").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum("__pos").alias("__tp"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__a")
+    vals = vals.withColumn(
+        "__before", F.sum("__t").over(w) - F.col("__t")
+    )
+    # doubled midrank: 2·(before + (t+1)/2) = 2·before + t + 1
+    w2_term = F.col("__tp") * (
+        2 * F.col("__before") + F.col("__t") + 1
+    )
+    agg = vals.groupBy(*group_cols).agg(
+        F.sum("__t").alias("n"),
+        F.sum(w2_term).alias("__w2"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__ties"),
+    )
+    n = F.col("n").cast("double")
+    wplus = F.col("__w2").cast("double") / 2.0
+    mean = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col(
+        "__ties"
+    ).cast("double") / 48.0
+    diff = wplus - mean
+    z = F.when(
+        var > 0,
+        (
+            diff
+            - F.signum(diff) * F.least(F.lit(0.5), F.abs(diff))
+        )
+        / F.sqrt(var),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(wplus, 1).alias("w_plus"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation per group — concordant minus
+    discordant pairs over the tie-corrected geometric denominator
+    ``(C − D) / sqrt((n₀ − n₁)(n₀ − n₂))``. The monotone-association
+    twin of `linear_trend`'s Pearson r; unlike Mann-Kendall (which
+    is C − D against TIME order) this correlates two arbitrary
+    metrics.
+
+    Same bounded-SERIES pair contract and broadcast pair stage as
+    `theil_sen_trend`; ties in x or y need no pair table at all —
+    n₁/n₂ come from per-value tie counts (one hash agg each).
+    ``id_col`` totals the order so each unordered pair counts once."""
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = df.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col(id_col).alias("__ia"),
+        F.col(x_col).alias("__xa"),
+        F.col(y_col).alias("__ya"),
+    ).repartition(
+        npart,
+        *[F.col(f"__g_{c}") for c in group_cols],
+        F.pmod(F.hash(F.col("__ia")), F.lit(npart)),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"__h_{c}") for c in group_cols],
+        F.col(id_col).alias("__ib"),
+        F.col(x_col).alias("__xb"),
+        F.col(y_col).alias("__yb"),
+    )
+    cond = [
+        F.col(f"__g_{c}") == F.col(f"__h_{c}") for c in group_cols
+    ]
+    prod = (
+        F.signum(F.col("__xb") - F.col("__xa"))
+        * F.signum(F.col("__yb") - F.col("__ya"))
+    ).cast("long")
+    cd = (
+        a.join(F.broadcast(b), cond)
+        .where(F.col("__ia") < F.col("__ib"))
+        .groupBy(*[F.col(f"__g_{c}").alias(c) for c in group_cols])
+        .agg(F.sum(prod).alias("__cd"))
+    )
+    nrows = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+
+    def tie_pairs(col, alias):
+        return (
+            df.groupBy(*group_cols, F.col(col).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .groupBy(*group_cols)
+            .agg(
+                F.sum(
+                    F.col("__t") * (F.col("__t") - 1) / 2
+                ).cast("long").alias(alias)
+            )
+        )
+
+    joined = (
+        cd.join(nrows, group_cols)
+        .join(tie_pairs(x_col, "__n1"), group_cols)
+        .join(tie_pairs(y_col, "__n2"), group_cols)
+    )
+    n = F.col("n").cast("double")
+    n0 = n * (n - 1.0) / 2.0
+    denom = F.sqrt(
+        (n0 - F.col("__n1").cast("double"))
+        * (n0 - F.col("__n2").cast("double"))
+    )
+    return joined.select(
+        *group_cols,
+        "n",
+        F.col("__cd").alias("c_minus_d"),
+        F.round(
+            F.when(denom > 0, F.col("__cd").cast("double") / denom),
+            6,
+        ).alias("tau_b"),
+    )

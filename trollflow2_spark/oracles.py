@@ -10769,6 +10769,90 @@ FROM walsh GROUP BY priority
 """
 
 
+ORACLES["wilcoxon_shift"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      AS day_idx,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+), paired AS (
+  SELECT a.priority, b.revenue - a.revenue AS d
+  FROM daily a JOIN daily b
+    ON a.priority = b.priority AND b.day_idx = a.day_idx + 7
+  WHERE b.revenue - a.revenue <> 0
+), vals AS (
+  SELECT priority, abs(d) AS a, COUNT(*) AS t,
+    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS tp
+  FROM paired GROUP BY 1, 2
+), cum AS (
+  SELECT priority, a, t, tp,
+    SUM(t) OVER (PARTITION BY priority ORDER BY a
+                 ROWS UNBOUNDED PRECEDING) - t AS bef
+  FROM vals
+), agg AS (
+  SELECT priority, CAST(SUM(t) AS BIGINT) AS n,
+    SUM(tp * (2 * bef + t + 1)) AS w2,
+    SUM(t * t * t - t) AS ties
+  FROM cum GROUP BY 1
+)
+SELECT priority, n,
+  round(CAST(w2 AS DOUBLE) / 2.0, 1) AS w_plus,
+  round(CASE WHEN CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0)
+                  / 24.0 - CAST(ties AS DOUBLE) / 48.0 > 0 THEN
+    (CAST(w2 AS DOUBLE) / 2.0 - CAST(n AS DOUBLE) * (n + 1.0) / 4.0
+     - sign(CAST(w2 AS DOUBLE) / 2.0
+            - CAST(n AS DOUBLE) * (n + 1.0) / 4.0)
+       * least(0.5, abs(CAST(w2 AS DOUBLE) / 2.0
+                        - CAST(n AS DOUBLE) * (n + 1.0) / 4.0)))
+    / sqrt(CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+           - CAST(ties AS DOUBLE) / 48.0)
+  END, 6) AS z
+FROM agg
+"""
+
+
+ORACLES["kendall_tau"] = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      AS day_idx,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+      AS revenue,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+), cd AS (
+  SELECT a.priority,
+    CAST(SUM(CAST(sign(b.revenue - a.revenue) AS BIGINT)
+             * CAST(sign(CAST(b.n_orders AS DOUBLE)
+                         - a.n_orders) AS BIGINT)) AS BIGINT) AS cmd
+  FROM daily a JOIN daily b
+    ON a.priority = b.priority AND a.day_idx < b.day_idx
+  GROUP BY 1
+), nn AS (
+  SELECT priority, COUNT(*) AS n FROM daily GROUP BY 1
+), tx AS (
+  SELECT priority, CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT priority, revenue, COUNT(*) AS t
+        FROM daily GROUP BY 1, 2) GROUP BY 1
+), ty AS (
+  SELECT priority, CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT priority, n_orders, COUNT(*) AS t
+        FROM daily GROUP BY 1, 2) GROUP BY 1
+)
+SELECT c.priority, CAST(n.n AS BIGINT) AS n, c.cmd AS c_minus_d,
+  round(CASE WHEN
+    sqrt((CAST(n.n AS DOUBLE) * (n.n - 1.0) / 2.0 - t1.n1)
+         * (CAST(n.n AS DOUBLE) * (n.n - 1.0) / 2.0 - t2.n2)) > 0
+  THEN CAST(c.cmd AS DOUBLE)
+    / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1.0) / 2.0 - t1.n1)
+           * (CAST(n.n AS DOUBLE) * (n.n - 1.0) / 2.0 - t2.n2))
+  END, 6) AS tau_b
+FROM cd c JOIN nn n USING (priority)
+  JOIN tx t1 USING (priority) JOIN ty t2 USING (priority)
+"""
+
+
 ORACLES["theil_sen_trend"] = """
 WITH daily AS (
   SELECT o_orderpriority AS priority,

@@ -13890,6 +13890,60 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hodges_lehmann(daily, ["priority"], "revenue", "day_idx")
 
 
+def q_wilcoxon_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-shift test (`extensions/profile.py::
+    wilcoxon_signed_rank`): week-over-week daily revenue pairs per
+    priority (day d paired with day d+7) — did revenue shift? Zero
+    diffs drop; midranks ride the distinct-|d| cumulative table as
+    doubled integers, so W+ replays bit-for-bit; tie-corrected
+    variance + continuity-corrected z."""
+    from trollflow2_spark.extensions.profile import (
+        wilcoxon_signed_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    nxt = daily.select(
+        F.col("priority").alias("p2"),
+        (F.col("day_idx") - 7).alias("d2"),
+        F.col("revenue").alias("after"),
+    )
+    paired = daily.join(
+        nxt,
+        (F.col("priority") == F.col("p2"))
+        & (F.col("day_idx") == F.col("d2")),
+    ).select("priority", F.col("revenue").alias("before"), "after")
+    return wilcoxon_signed_rank(paired, ["priority"], "before", "after")
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone association (`extensions/profile.py::kendall_tau_b`):
+    τ-b between daily revenue and daily order count per priority —
+    concordant/discordant pairs over the same broadcast pair stage
+    as Theil-Sen, tie pairs from per-value hash aggs (no pair table
+    for ties)."""
+    from trollflow2_spark.extensions.profile import kendall_tau_b
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return kendall_tau_b(
+        daily, ["priority"], "revenue", "n_orders", "day_idx"
+    )
+
+
 def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert (`operators/windows.py::
     conversion_time_stats`): signup -> first subsequent purchase per
@@ -14384,6 +14438,8 @@ QUERIES = {
     "target_encoding": q_target_encoding,
     "theil_sen_trend": q_theil_sen_trend,
     "hodges_lehmann": q_hodges_lehmann,
+    "wilcoxon_shift": q_wilcoxon_shift,
+    "kendall_tau": q_kendall_tau,
     "conversion_time": q_conversion_time,
     "freshness_audit": q_freshness_audit,
     "ltv_curve": q_ltv_curve,
