@@ -72,10 +72,10 @@ def test_malformed_containers():
     blob = write_container([_rec(1)], SCHEMA)
     with pytest.raises(AvroError, match="truncated"):
         read_container(blob[: len(blob) - 10])
-    # unsupported codec in metadata
-    snappy = write_container([_rec(1)], SCHEMA, codec="snappy")
+    # unsupported codec in metadata (snappy became supported in r13)
+    xz = write_container([_rec(1)], SCHEMA, codec="xz")
     with pytest.raises(AvroError, match="unsupported codec"):
-        read_container(snappy)
+        read_container(xz)
 
 
 def test_union_and_enum_bounds():
@@ -256,3 +256,87 @@ def test_invalid_uuid_falls_back_to_string():
         write_container([{"u": "not-a-uuid"}], schema)
     )
     assert out[0]["u"] == "not-a-uuid"
+
+
+def test_schema_resolution_evolution_paths():
+    """Reader-schema resolution: defaults for new fields, dropped
+    writer fields, numeric promotions, enum default fallback,
+    string<->bytes, union re-match; missing default errors loudly."""
+    import pytest as _pytest
+
+    from trollflow2_spark.sources.avro import (
+        AvroError,
+        read_container_resolved,
+        resolve_value,
+        write_container,
+    )
+
+    w = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "score", "type": "float"},
+            {"name": "tag", "type": "string"},
+            {"name": "dropped", "type": "long"},
+            {"name": "opt", "type": ["null", "int"]},
+        ],
+    }
+    r = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "id", "type": "long"},          # int -> long
+            {"name": "score", "type": "double"},     # float -> double
+            {"name": "tag", "type": "bytes"},        # string -> bytes
+            {"name": "added", "type": "string", "default": "d"},
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    }
+    blob = write_container(
+        [{"id": 1, "score": 1.5, "tag": "t", "dropped": 9, "opt": 7},
+         {"id": 2, "score": 0.25, "tag": "u", "dropped": 8,
+          "opt": None}],
+        w,
+    )
+    _, out = read_container_resolved(blob, r)
+    assert out[0] == {"id": 1, "score": 1.5, "tag": b"t",
+                      "added": "d", "opt": 7}
+    assert out[1]["opt"] is None and "dropped" not in out[1]
+    # reader field with no default and absent from writer: loud
+    bad = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "nope", "type": "string"}],
+    }
+    with _pytest.raises(AvroError, match="no default"):
+        read_container_resolved(blob, bad)
+    # incompatible primitive: loud
+    with _pytest.raises(AvroError, match="cannot resolve"):
+        resolve_value("string", "int", "x")
+
+
+def test_schema_resolution_enum_default_and_nested():
+    from trollflow2_spark.sources.avro import (
+        read_container_resolved,
+        write_container,
+    )
+
+    w = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "k", "type": {
+                "type": "enum", "name": "K",
+                "symbols": ["A", "B", "C"]}},
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    r = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "k", "type": {
+                "type": "enum", "name": "K", "symbols": ["A"],
+                "default": "A"}},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    blob = write_container([{"k": "C", "xs": [1, 2]}], w)
+    _, out = read_container_resolved(blob, r)
+    assert out[0] == {"k": "A", "xs": [1, 2]}

@@ -54,7 +54,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, types as T
 
 __all__ = ["AvroError", "read_container", "write_container",
-           "read_avro"]
+           "read_avro", "read_container_resolved", "resolve_value"]
 
 _MAGIC = b"Obj\x01"
 
@@ -477,3 +477,112 @@ def read_avro(
             )
 
     return df.select(id_col, blob_col).mapInPandas(kernel, AVRO_SCHEMA)
+
+
+def _plain_type(schema):
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+def resolve_value(writer, reader, v):
+    """Schema-resolution of one decoded value per the spec's
+    'Schema Resolution' rules: record fields match by NAME (writer
+    fields absent from the reader drop; reader fields absent from
+    the writer take their ``default``, loudly erroring without one),
+    numeric promotions int→long→float→double, long→float→double,
+    float→double, string↔bytes, and union re-matching against the
+    reader's branches. Logical types ride the physical value."""
+    if isinstance(writer, list):
+        # the decoded value already collapsed to its branch; resolve
+        # the VALUE against the reader directly
+        return resolve_value(_infer_branch(writer, v), reader, v)
+    if isinstance(reader, list):
+        for branch in reader:
+            try:
+                return resolve_value(writer, branch, v)
+            except AvroError:
+                continue
+        raise AvroError(
+            f"value {v!r} matches no reader union branch"
+        )
+    wt, rt = _plain_type(writer), _plain_type(reader)
+    if wt == "record" and rt == "record":
+        wfields = {f["name"]: f for f in writer["fields"]}
+        out = {}
+        for f in reader["fields"]:
+            name = f["name"]
+            if name in wfields:
+                out[name] = resolve_value(
+                    wfields[name]["type"], f["type"], v[name]
+                )
+            elif "default" in f:
+                out[name] = f["default"]
+            else:
+                raise AvroError(
+                    f"reader field {name!r} absent from writer "
+                    "schema and has no default"
+                )
+        return out
+    if wt == "array" and rt == "array":
+        return [
+            resolve_value(writer["items"], reader["items"], x)
+            for x in v
+        ]
+    if wt == "map" and rt == "map":
+        return {
+            k: resolve_value(writer["values"], reader["values"], x)
+            for k, x in v.items()
+        }
+    if wt == "enum" and rt == "enum":
+        if v in reader["symbols"]:
+            return v
+        if "default" in reader:
+            return reader["default"]
+        raise AvroError(
+            f"enum symbol {v!r} not in reader symbols"
+        )
+    if wt == rt:
+        return v
+    promotions = {
+        ("int", "long"): int,
+        ("int", "float"): float,
+        ("int", "double"): float,
+        ("long", "float"): float,
+        ("long", "double"): float,
+        ("float", "double"): float,
+        ("string", "bytes"): lambda s: s.encode("utf-8"),
+        ("bytes", "string"): lambda b: bytes(b).decode("utf-8"),
+    }
+    conv = promotions.get((wt, rt))
+    if conv is None:
+        raise AvroError(
+            f"cannot resolve writer type {wt!r} to reader {rt!r}"
+        )
+    try:
+        return conv(v)
+    except (UnicodeDecodeError, TypeError, ValueError) as e:
+        raise AvroError(f"promotion {wt}->{rt} failed: {e}") from e
+
+
+def _infer_branch(union, v):
+    for branch in union:
+        if _matches(branch, v):
+            return branch
+    # fall back to the first non-null branch (decoded values always
+    # came FROM one of these)
+    for branch in union:
+        if branch != "null":
+            return branch
+    return "null"
+
+
+def read_container_resolved(blob: bytes, reader_schema: dict):
+    """Decode a container with the consumer's READER schema applied —
+    the evolution path every long-lived Kafka topic needs (new
+    consumers with added/defaulted fields reading old archives).
+    Returns (writer_schema, resolved_records)."""
+    writer, records = read_container(blob)
+    return writer, [
+        resolve_value(writer, reader_schema, r) for r in records
+    ]
