@@ -401,6 +401,7 @@ OPERATORS = [
     "hodges_lehmann",  # Walsh-average median via bracket selection
     "wilcoxon_shift",  # paired signed-rank via distinct-|d| midranks
     "kendall_tau",  # tau-b: pair stage + hash-agg tie pairs
+    "cbor_ingest",  # RFC 8949 decode incl. indefinite forms + tags
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

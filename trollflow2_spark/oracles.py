@@ -10691,6 +10691,35 @@ FROM pts p JOIN dia d
 """
 
 
+# CBOR intake: the oracle restates the canonical sorted-key JSON
+# strings closed-form (map / tag-1 epoch / indefinite text items)
+ORACLES["cbor_ingest"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 17 = 0 AS trunc FROM documents
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS item_idx,
+  CAST(0 AS INTEGER) AS err,
+  '{"arr":[' || CAST(doc_id % 3 AS VARCHAR)
+  || ',true,null],"bin":"'
+  || lpad(lower(hex(doc_id % 256)), 2, '0') || 'ff","id":'
+  || CAST(doc_id AS VARCHAR) || ',"neg":'
+  || CAST(-(doc_id % 50) - 1 AS VARCHAR) || ',"txt":"s'
+  || CAST(doc_id % 7 AS VARCHAR) || '"}' AS json
+FROM base WHERE NOT trunc
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), CAST(0 AS INTEGER),
+  CAST(doc_id AS VARCHAR)
+FROM base WHERE NOT trunc
+UNION ALL
+SELECT doc_id, CAST(2 AS INTEGER), CAST(0 AS INTEGER),
+  '"ch' || CAST(doc_id % 10 AS VARCHAR) || '"'
+FROM base WHERE NOT trunc
+UNION ALL
+SELECT doc_id, CAST(-1 AS INTEGER), CAST(1 AS INTEGER), NULL
+FROM base WHERE trunc
+"""
+
+
 # CDC extract: closed-form I/U/D classification between the two dumps
 ORACLES["cdc_extract"] = """
 WITH old AS (

@@ -13799,6 +13799,62 @@ def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "x", "y", "poly_id")
 
 
+def q_cbor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR sequence intake (`sources/cbor.py`, RFC 8949 from
+    scratch): per doc a 3-item sequence — a definite map (ints,
+    negatives, bytes, nested array with true/null), a tag-1 epoch
+    int, and an INDEFINITE-length text string — decoded to one
+    canonical sorted-key JSON row per item; every 17th document
+    truncates mid-map into ONE err=1 quarantine row. The oracle
+    restates the exact canonical JSON strings closed-form."""
+    from trollflow2_spark.sources.cbor import read_cbor
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(batches):
+        import pandas as pd
+
+        from trollflow2_spark.sources.cbor import encode
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                item0 = encode(
+                    {
+                        "arr": [d % 3, True, None],
+                        "bin": bytes([d % 256, 255]),
+                        "id": d,
+                        "neg": -(d % 50) - 1,
+                        "txt": f"s{d % 7}",
+                    }
+                )
+                item1 = b"\xc1" + encode(d)  # tag 1: epoch seconds
+                item2 = (
+                    b"\x7f" + encode("ch") + encode(str(d % 10)) + b"\xff"
+                )  # indefinite text chunks
+                blob = item0 + item1 + item2
+                blobs.append(blob[: len(blob) // 2] if d % 17 == 0 else blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, blob_schema)
+    out = read_cbor(blobs)
+    return out.select(
+        "doc_id",
+        "item_idx",
+        F.col("error").isNotNull().cast("int").alias("err"),
+        "json",
+    )
+
+
 def q_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff change feed (`extensions/profile.py::
     cdc_extract` — the inverse of `cdc_apply`): two closed-form
@@ -14432,6 +14488,7 @@ QUERIES = {
     "seasonal_anomaly": q_seasonal_anomaly,
     "iceberg_snapshot": q_iceberg_snapshot,
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
+    "cbor_ingest": q_cbor_ingest,
     "cdc_extract": q_cdc_extract,
     "spatial_join_pip": q_spatial_join_pip,
     "quantile_transform": q_quantile_transform,
