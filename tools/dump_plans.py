@@ -284,6 +284,20 @@ FLAGSHIP = [
     ("tree_flatten",
      "Hierarchy flatten: ceil(log2 D) pointer-doubling self-joins, "
      "each round's plan a constant-size LogicalRDD join."),
+    ("spatial_join_pip",
+     "Grid-bucketed PIP join: cover-cell explode + equi join on "
+     "(cx, cy), no cartesian; ray-cast verify is a Column fold in "
+     "the joined stage."),
+    ("link_prediction",
+     "Degree tables UNHINTED (r13): AQE still picks "
+     "BroadcastHashJoin at this size; hub guard before the pair "
+     "join."),
+    ("kendall_tau",
+     "Pair stage: broadcast bounded series + salted repartition; "
+     "C-D one map-side agg; tie pairs never build a pair table."),
+    ("wilcoxon_shift",
+     "Signed-rank: distinct-|d| reduction before the only window; "
+     "row-level data never enters a rank window."),
 ]
 
 
