@@ -402,6 +402,7 @@ OPERATORS = [
     "wilcoxon_shift",  # paired signed-rank via distinct-|d| midranks
     "kendall_tau",  # tau-b: pair stage + hash-agg tie pairs
     "cbor_ingest",  # RFC 8949 decode incl. indefinite forms + tags
+    "delta_changes",  # version-window file CDC, unchanged suppressed
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -3040,3 +3040,27 @@ def test_ks_test_exactness(spark):
     )
     r = ks_test(ref, half, "v", ["g"]).collect()[0]
     assert (r["d"], r["d_scaled"]) == (0.5, 50)
+
+
+def test_delta_log_changes_semantics(spark):
+    """added/removed/updated between versions; unchanged suppressed;
+    inverted window raises."""
+    import pytest as _pytest
+
+    from trollflow2_spark.extensions.profile import delta_log_changes
+
+    lines = [
+        (0, '{"add":{"path":"a","size":10}}'),
+        (0, '{"add":{"path":"b","size":20}}'),
+        (0, '{"add":{"path":"c","size":30}}'),
+        (5, '{"remove":{"path":"b"}}'),          # removed in window
+        (6, '{"add":{"path":"c","size":31}}'),   # updated
+        (7, '{"add":{"path":"d","size":40}}'),   # added
+    ]
+    log = spark.createDataFrame(lines, ["version", "line"])
+    got = {r.path: r.change
+           for r in delta_log_changes(log, 0, 10).collect()}
+    assert got == {"b": "removed", "c": "updated", "d": "added"}
+    # 'a' unchanged: suppressed entirely
+    with _pytest.raises(ValueError, match="to_version"):
+        delta_log_changes(log, 10, 0)

@@ -737,6 +737,66 @@ def _delta_resolve(acts: DataFrame) -> DataFrame:
     )
 
 
+def delta_log_changes(
+    log: DataFrame,
+    from_version: int,
+    to_version: int,
+    line_col: str = "line",
+    version_col: str = "version",
+) -> DataFrame:
+    """File-level change feed between two Delta versions — what a
+    downstream incremental consumer reads instead of diffing full
+    snapshots: per path, ``added`` (live at `to` but not at `from`),
+    ``removed`` (the reverse), or ``updated`` (live at both with a
+    different winning add — size or version moved). Unchanged files
+    never emit, so the feed is a delta, not a copy (the same
+    contract as `cdc_extract`).
+
+    Shape: two total-precedence snapshot resolutions over the SAME
+    parsed action scan (Catalyst shares it) + one NULL-safe
+    full-outer join keyed on path — no window over the raw log."""
+    if int(to_version) < int(from_version):
+        raise ValueError(
+            f"to_version {to_version} < from_version {from_version}"
+        )
+    old = delta_log_snapshot(
+        log, line_col, version_col, as_of_version=int(from_version)
+    ).select(
+        F.col("path").alias("__po"),
+        F.col("size").alias("size_old"),
+        F.col("last_version").alias("version_old"),
+    )
+    new = delta_log_snapshot(
+        log, line_col, version_col, as_of_version=int(to_version)
+    ).select(
+        F.col("path").alias("__pn"),
+        F.col("size").alias("size_new"),
+        F.col("last_version").alias("version_new"),
+    )
+    j = old.join(new, F.col("__po") == F.col("__pn"), "full_outer")
+    change = (
+        F.when(F.col("__po").isNull(), F.lit("added"))
+        .when(F.col("__pn").isNull(), F.lit("removed"))
+        .when(
+            (F.col("size_old") != F.col("size_new"))
+            | (F.col("version_old") != F.col("version_new")),
+            F.lit("updated"),
+        )
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("__pn"), F.col("__po")).alias("path"),
+            "change",
+            "size_old",
+            "size_new",
+            "version_old",
+            "version_new",
+        )
+    )
+
+
 def delta_snapshot_from_checkpoint(
     checkpoint: DataFrame,
     log: DataFrame,

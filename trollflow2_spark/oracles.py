@@ -3484,6 +3484,46 @@ SELECT path, size,
 FROM r WHERE rn = 1 AND action = 'add'
 """
 
+# version-window change feed: two windowed snapshot resolutions
+# full-outer joined, unchanged rows suppressed
+ORACLES["delta_changes"] = """
+WITH acts AS (
+  SELECT doc_id % 25 AS v,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'part-' || CAST((doc_id + 40) % 80 AS VARCHAR)
+      ELSE 'part-' || CAST(doc_id % 80 AS VARCHAR) END AS path,
+    CASE WHEN doc_id % 5 = 0 THEN 'remove' ELSE 'add' END AS action,
+    CASE WHEN doc_id % 5 <> 0 THEN doc_id * 100 END AS size
+  FROM documents
+), snap AS (
+  SELECT 10 AS snapv, path, action, size, v,
+    row_number() OVER (PARTITION BY path
+      ORDER BY v DESC, action DESC, COALESCE(size, -1) DESC) AS rn
+  FROM acts WHERE v <= 10
+  UNION ALL
+  SELECT 20, path, action, size, v,
+    row_number() OVER (PARTITION BY path
+      ORDER BY v DESC, action DESC, COALESCE(size, -1) DESC)
+  FROM acts WHERE v <= 20
+), live AS (
+  SELECT snapv, path, size, v FROM snap
+  WHERE rn = 1 AND action = 'add'
+), olds AS (SELECT path, size AS size_old, v AS version_old
+            FROM live WHERE snapv = 10),
+news AS (SELECT path, size AS size_new, v AS version_new
+         FROM live WHERE snapv = 20)
+SELECT COALESCE(n.path, o.path) AS path,
+  CASE WHEN o.path IS NULL THEN 'added'
+       WHEN n.path IS NULL THEN 'removed'
+       WHEN o.size_old <> n.size_new
+            OR o.version_old <> n.version_new THEN 'updated' END
+    AS change,
+  o.size_old, n.size_new, o.version_old, n.version_new
+FROM olds o FULL OUTER JOIN news n ON o.path = n.path
+WHERE o.path IS NULL OR n.path IS NULL
+   OR o.size_old <> n.size_new OR o.version_old <> n.version_new
+"""
+
 # retrieval metrics: recall@10 per-mille, MRR, nDCG@10 with linear
 # gains; DCG folds by ascending rank, IDCG by grade-desc position —
 # both as ordered list_sum, matching the Spark folds

@@ -5704,6 +5704,36 @@ def q_delta_snapshot_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta version-window change feed (`extensions/profile.py::
+    delta_log_changes`): net file-level added/removed/updated between
+    versions 10 and 20 of the same 25-commit fixture `delta_snapshot`
+    replays — the incremental-consumer read path; unchanged files
+    never emit."""
+    from trollflow2_spark.extensions.profile import delta_log_changes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    line = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit('{"remove":{"path":"part-'),
+            ((d + 40) % 80).cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"add":{"path":"part-'),
+            (d % 80).cast("string"),
+            F.lit('","size":'),
+            (d * 100).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    log = docs.select((d % 25).alias("version"), line.alias("line"))
+    return delta_log_changes(log, from_version=10, to_version=20)
+
+
 def q_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC telemetry downsampling
     (`operators/windows.py:downsample_ohlc`): first/extreme/last
@@ -14167,6 +14197,7 @@ QUERIES = {
     "ab_test": q_ab_test,
     "delta_snapshot": q_delta_snapshot,
     "delta_snapshot_checkpoint": q_delta_snapshot_checkpoint,
+    "delta_changes": q_delta_changes,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
