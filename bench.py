@@ -403,6 +403,7 @@ OPERATORS = [
     "kendall_tau",  # tau-b: pair stage + hash-agg tie pairs
     "cbor_ingest",  # RFC 8949 decode incl. indefinite forms + tags
     "delta_changes",  # version-window file CDC, unchanged suppressed
+    "dictionary_match",  # Aho-Corasick multi-phrase scan, one pass
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

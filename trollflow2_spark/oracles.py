@@ -10731,6 +10731,34 @@ FROM pts p JOIN dia d
 """
 
 
+# Aho-Corasick scan: planted phrase counts restated closed-form;
+# dominant phrase = argmax with lexicographic tie-break
+ORACLES["dictionary_match"] = """
+WITH c AS (
+  SELECT doc_id,
+    doc_id % 3 AS c_click,
+    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS c_free,
+    doc_id % 4 AS c_spam
+  FROM documents
+)
+SELECT doc_id,
+  CAST(c_click + c_free + c_spam AS BIGINT) AS n_hits,
+  CAST((CASE WHEN c_click > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN c_free > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN c_spam > 0 THEN 1 ELSE 0 END) AS INTEGER)
+    AS n_distinct,
+  CASE WHEN greatest(c_click, c_free, c_spam) = 0 THEN NULL
+       WHEN c_click = greatest(c_click, c_free, c_spam)
+         THEN 'click here'
+       WHEN c_free = greatest(c_click, c_free, c_spam)
+         THEN 'free money'
+       ELSE 'spam' END AS top_term,
+  CASE WHEN greatest(c_click, c_free, c_spam) > 0
+       THEN CAST(greatest(c_click, c_free, c_spam) AS BIGINT)
+  END AS top_count
+FROM c
+"""
+
 # CBOR intake: the oracle restates the canonical sorted-key JSON
 # strings closed-form (map / tag-1 epoch / indefinite text items)
 ORACLES["cbor_ingest"] = """

@@ -13829,6 +13829,32 @@ def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "x", "y", "poly_id")
 
 
+def q_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick dictionary scan (`extensions/dictmatch.py`):
+    multi-word phrase matching in one pass per document — the scale
+    path for production blocklists where per-token array_contains is
+    O(|dict|)/token and regex alternation goes pathological. Fixture
+    plants 'spam'/'click here'/'free money' with closed-form counts;
+    the dominant phrase ties to lexicographic order."""
+    from trollflow2_spark.extensions.dictmatch import dictionary_match
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = F.col("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("spam "), (d % 4).cast("int")),
+        F.lit("regular words "),
+        F.repeat(F.lit("click here "), (d % 3).cast("int")),
+        F.when(d % 7 == 0, F.lit("free money! ")).otherwise(F.lit("")),
+        F.lit("trailing"),
+    )
+    fixture = docs.select("doc_id", text.alias("text"))
+    return dictionary_match(
+        fixture, ["spam", "click here", "free money"]
+    )
+
+
 def q_cbor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CBOR sequence intake (`sources/cbor.py`, RFC 8949 from
     scratch): per doc a 3-item sequence — a definite map (ints,
@@ -14520,6 +14546,7 @@ QUERIES = {
     "iceberg_snapshot": q_iceberg_snapshot,
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
     "cbor_ingest": q_cbor_ingest,
+    "dictionary_match": q_dictionary_match,
     "cdc_extract": q_cdc_extract,
     "spatial_join_pip": q_spatial_join_pip,
     "quantile_transform": q_quantile_transform,
