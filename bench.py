@@ -404,6 +404,7 @@ OPERATORS = [
     "cbor_ingest",  # RFC 8949 decode incl. indefinite forms + tags
     "delta_changes",  # version-window file CDC, unchanged suppressed
     "dictionary_match",  # Aho-Corasick multi-phrase scan, one pass
+    "latency_quantiles",  # exact p50/p95/p99 via bracket selection
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

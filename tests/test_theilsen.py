@@ -115,3 +115,62 @@ def test_kendall_tau_b_tie_correction(spark):
         spark.createDataFrame(rows), ["g"], "x", "y", "i"
     ).collect()[0]
     assert out.c_minus_d == 1 and out.tau_b == 0.5
+
+
+def test_exact_quantiles_small_group_widen(spark):
+    from pyspark.sql import functions as SF
+
+    from trollflow2_spark.extensions.profile import exact_quantiles
+
+    rows = [Row(g="a", v=float(i)) for i in range(1, 11)]  # 1..10
+    out = exact_quantiles(
+        spark.createDataFrame(rows), ["g"], "v", [0.5, 0.9, 0.0, 1.0]
+    ).collect()
+    got = {r.p: r.q for r in out}
+    # rank 1 + p*(n-1): p=.5 -> 5.5, p=.9 -> 9.1, ends exact
+    assert got[0.5] == 5.5 and got[0.9] == 9.1
+    assert got[0.0] == 1.0 and got[1.0] == 10.0
+    assert all(r.n == 10 for r in out)
+    _ = SF  # keep import pattern consistent
+
+
+def test_exact_quantiles_bracket_path_and_ties(spark):
+    from trollflow2_spark.extensions.profile import exact_quantiles
+
+    # large group -> bracket path engages (n >= small_n default 200)
+    rows = [Row(g="a", v=float(i % 997)) for i in range(5000)]
+    out = {r.p: r for r in exact_quantiles(
+        spark.createDataFrame(rows), ["g"], "v", [0.5, 0.99]
+    ).collect()}
+    import statistics
+
+    vals = sorted(float(i % 997) for i in range(5000))
+
+    def q(p):
+        r = 1 + p * (len(vals) - 1)
+        import math
+
+        klo, khi = int(math.floor(r)), min(int(math.ceil(r)), len(vals))
+        g = r - math.floor(r)
+        return round(vals[klo - 1] + g * (vals[khi - 1] - vals[klo - 1]), 6)
+
+    assert out[0.5].q == q(0.5) and out[0.99].q == q(0.99)
+    _ = statistics
+    # tie pileup: one dominating value
+    rows = [Row(g="b", v=7.0)] * 1000 + [Row(g="b", v=1.0)]
+    got = exact_quantiles(
+        spark.createDataFrame(rows), ["g"], "v", [0.5]
+    ).collect()[0]
+    assert got.q == 7.0
+
+
+def test_exact_quantiles_bad_p_raises(spark):
+    import pytest as _pytest
+
+    from trollflow2_spark.extensions.profile import exact_quantiles
+
+    df = spark.createDataFrame([Row(g="a", v=1.0)])
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, ["g"], "v", [1.5])
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, ["g"], "v", [])

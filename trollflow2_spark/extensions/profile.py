@@ -2660,3 +2660,128 @@ def kendall_tau_b(
             6,
         ).alias("tau_b"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    margin: float = 0.05,
+    accuracy: int = 1000,
+    small_n: int = 200,
+) -> DataFrame:
+    """EXACT per-group quantiles (``percentile``-interpolation
+    semantics: rank 1 + p·(n−1), linear between the two bracketing
+    order statistics) WITHOUT a per-group sort — the generalization
+    of `_bracket_median`'s GK-bracket selection to arbitrary p, for
+    the p50/p95/p99 latency rollups every metrics warehouse runs on
+    row counts no single task should sort.
+
+    Plan per pass (all group-parallel, value rows never shuffle
+    beyond one hash agg + one bracket-slice window):
+    1. one fused agg: exact n + the GK sketch at [p−margin, p+margin]
+       per requested p (rank error ≤ n/accuracy — 50× inside the
+       default margin, so the true ranks provably land in-bracket);
+    2. exact strictly-below counts anchor global ranks per (group, p);
+    3. only the bracket slices rank (≈ 2·margin of each group per p).
+    Groups smaller than ``small_n`` widen to the full range (the
+    bracket bound is meaningless at tiny n, and sorting 200 rows is
+    free); equal bracket ends short-circuit as tie pileups.
+
+    Returns one row per (group, p): ``p``, ``n``, ``q``(rounded 6dp).
+    """
+    if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"ps must be within [0, 1]: {ps!r}")
+    brackets = []
+    for p in ps:
+        brackets.append(max(0.0, p - margin))
+        brackets.append(min(1.0, p + margin))
+    v = F.col(value_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(v).alias("__n"),
+        F.percentile_approx(
+            value_col,
+            F.array(*[F.lit(b) for b in brackets]),
+            F.lit(int(accuracy)),
+        ).alias("__qb"),
+    ).localCheckpoint()
+    # one row per (group, p): bracket bounds + the two target ranks
+    per_p = None
+    for i, p in enumerate(ps):
+        n = F.col("__n")
+        rp = 1.0 + F.lit(float(p)) * (n - 1).cast("double")
+        row = stats.select(
+            *group_cols,
+            "__n",
+            F.lit(float(p)).alias("p"),
+            F.when(n < small_n, F.lit(None))
+            .otherwise(F.col("__qb")[2 * i])
+            .alias("__blo"),
+            F.when(n < small_n, F.lit(None))
+            .otherwise(F.col("__qb")[2 * i + 1])
+            .alias("__bhi"),
+            F.floor(rp).cast("long").alias("__klo"),
+            F.least(F.ceil(rp).cast("long"), n).alias("__khi"),
+            (rp - F.floor(rp)).alias("__g"),
+        )
+        per_p = row if per_p is None else per_p.unionByName(row)
+    per_p = per_p.localCheckpoint()
+    # tie pileup / degenerate bracket: the quantile is that value
+    deg = per_p.where(
+        F.col("__blo").isNotNull()
+        & (F.col("__blo") == F.col("__bhi"))
+    ).select(
+        *group_cols, "p", "__n", F.col("__blo").alias("q_raw")
+    )
+    live = per_p.where(
+        F.col("__blo").isNull() | (F.col("__blo") < F.col("__bhi"))
+    )
+    j = df.join(F.broadcast(live), group_cols)
+    inb = v.isNotNull() & (
+        F.col("__blo").isNull()
+        | v.between(F.col("__blo"), F.col("__bhi"))
+    )
+    below = (
+        j.where(F.col("__blo").isNotNull() & (v < F.col("__blo")))
+        .groupBy(*group_cols, "p")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    wrank = Window.partitionBy(*group_cols, "p").orderBy(value_col)
+    picked = (
+        j.where(inb)
+        .withColumn("__rn", F.row_number().over(wrank))
+        .join(F.broadcast(below), [*group_cols, "p"], "left")
+        .withColumn(
+            "__k", F.col("__rn") + F.coalesce(F.col("__nb"), F.lit(0))
+        )
+        .where(
+            (F.col("__k") == F.col("__klo"))
+            | (F.col("__k") == F.col("__khi"))
+        )
+        .groupBy(*group_cols, "p")
+        .agg(
+            F.max("__n").alias("__n"),
+            F.max("__g").alias("__gf"),
+            F.min_by(v, F.col("__k")).alias("__vlo"),
+            F.max_by(v, F.col("__k")).alias("__vhi"),
+        )
+        .select(
+            *group_cols,
+            "p",
+            "__n",
+            (
+                F.col("__vlo")
+                + F.col("__gf") * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("q_raw"),
+        )
+    )
+    return (
+        picked.unionByName(deg.select(*group_cols, "p", F.col("__n"), "q_raw"))
+        .select(
+            *group_cols,
+            "p",
+            F.col("__n").alias("n"),
+            F.round(F.col("q_raw"), 6).alias("q"),
+        )
+    )

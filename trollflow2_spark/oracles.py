@@ -10731,6 +10731,24 @@ FROM pts p JOIN dia d
 """
 
 
+# exact quantiles: quantile_cont per p — a different algorithm
+# (full sort) agreeing exactly with the bracket selection
+ORACLES["latency_quantiles"] = """
+WITH v AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS n,
+  round(CASE p
+    WHEN 0.5 THEN quantile_cont(x, 0.5)
+    WHEN 0.95 THEN quantile_cont(x, 0.95)
+    ELSE quantile_cont(x, 0.99) END, 6) AS q
+FROM v CROSS JOIN (
+  SELECT unnest([0.5, 0.95, 0.99]) AS p
+)
+GROUP BY event_type, p
+"""
+
 # Aho-Corasick scan: planted phrase counts restated closed-form;
 # dominant phrase = argmax with lexicographic tie-break
 ORACLES["dictionary_match"] = """

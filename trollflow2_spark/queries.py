@@ -13829,6 +13829,24 @@ def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "x", "y", "poly_id")
 
 
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 (`extensions/profile.py::exact_quantiles`):
+    per-event-type value quantiles with percentile-interpolation
+    semantics, computed by GK-bracket selection — no per-group sort
+    of the full column ever happens; only ~10 % bracket slices rank.
+    The oracle is quantile_cont, a different algorithm agreeing
+    exactly."""
+    from trollflow2_spark.extensions.profile import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(
+        ev.select("event_type", F.col("value").cast("double").alias("v")),
+        ["event_type"],
+        "v",
+        [0.5, 0.95, 0.99],
+    )
+
+
 def q_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aho-Corasick dictionary scan (`extensions/dictmatch.py`):
     multi-word phrase matching in one pass per document — the scale
@@ -14547,6 +14565,7 @@ QUERIES = {
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
     "cbor_ingest": q_cbor_ingest,
     "dictionary_match": q_dictionary_match,
+    "latency_quantiles": q_latency_quantiles,
     "cdc_extract": q_cdc_extract,
     "spatial_join_pip": q_spatial_join_pip,
     "quantile_transform": q_quantile_transform,
