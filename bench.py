@@ -405,6 +405,7 @@ OPERATORS = [
     "delta_changes",  # version-window file CDC, unchanged suppressed
     "dictionary_match",  # Aho-Corasick multi-phrase scan, one pass
     "latency_quantiles",  # exact p50/p95/p99 via bracket selection
+    "dbscan_blobs",  # grid-bucketed density clustering, CC on cores
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -10731,6 +10731,23 @@ FROM pts p JOIN dia d
 """
 
 
+# DBSCAN: membership by construction — blob points are core with
+# cluster = min doc_id of the blob; spaced-out points are noise
+ORACLES["dbscan_blobs"] = """
+SELECT doc_id AS id,
+  CASE WHEN doc_id % 7 < 2
+    THEN CAST((doc_id % 7) * 100
+              + ((doc_id // 7) % 5) * 0.5 AS DOUBLE)
+    ELSE CAST(1000 + doc_id * 10 AS DOUBLE) END AS x,
+  CASE WHEN doc_id % 7 < 2
+    THEN CAST(((doc_id // 7 // 5) % 5) * 0.5 AS DOUBLE)
+    ELSE CAST(5000 + doc_id * 10 AS DOUBLE) END AS y,
+  CAST(CASE WHEN doc_id % 7 < 2 THEN 1 ELSE 0 END AS INTEGER)
+    AS is_core,
+  CASE WHEN doc_id % 7 < 2 THEN doc_id % 7 END AS cluster_id
+FROM documents
+"""
+
 # exact quantiles: quantile_cont per p — a different algorithm
 # (full sort) agreeing exactly with the bracket selection
 ORACLES["latency_quantiles"] = """

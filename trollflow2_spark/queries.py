@@ -13829,6 +13829,31 @@ def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "x", "y", "poly_id")
 
 
+def q_dbscan_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed exact DBSCAN (`extensions/clustering.py::
+    dbscan_grid`): two planted 5x5 grid blobs (spacing 0.5, eps
+    0.75, min_pts 4 — every blob point is core, incl. corners at
+    exactly min_pts) plus far-apart noise; deterministic cluster ids
+    = min doc_id per blob. The oracle assigns membership by
+    construction — a different derivation agreeing exactly."""
+    from trollflow2_spark.extensions.clustering import dbscan_grid
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    g = d % 7
+    q = F.floor(d / 7)
+    pts = docs.select(
+        d.alias("id"),
+        F.when(
+            g < 2, (g * 100 + (q % 5) * 0.5).cast("double")
+        ).otherwise((1000 + d * 10).cast("double")).alias("x"),
+        F.when(
+            g < 2, ((F.floor(q / 5) % 5) * 0.5).cast("double")
+        ).otherwise((5000 + d * 10).cast("double")).alias("y"),
+    )
+    return dbscan_grid(pts, eps=0.75, min_pts=4)
+
+
 def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95/p99 (`extensions/profile.py::exact_quantiles`):
     per-event-type value quantiles with percentile-interpolation
@@ -14566,6 +14591,7 @@ QUERIES = {
     "cbor_ingest": q_cbor_ingest,
     "dictionary_match": q_dictionary_match,
     "latency_quantiles": q_latency_quantiles,
+    "dbscan_blobs": q_dbscan_blobs,
     "cdc_extract": q_cdc_extract,
     "spatial_join_pip": q_spatial_join_pip,
     "quantile_transform": q_quantile_transform,
