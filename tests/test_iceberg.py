@@ -225,3 +225,19 @@ def test_v1_lists_still_decode_as_data_manifests(spark):
     )
     r = out.collect()[0]
     assert r.n_rows == 9 and r.n_files == 1
+
+
+def test_snapshot_as_of_timestamp():
+    from trollflow2_spark.sources.iceberg import (
+        parse_table_metadata,
+        snapshot_as_of,
+    )
+
+    md = parse_table_metadata(_metadata([(1, "l1"), (2, "l2")], 2))
+    # snapshot timestamps are sid*1000 per the helper
+    assert snapshot_as_of(md, 1000) == 1
+    assert snapshot_as_of(md, 1999) == 1
+    assert snapshot_as_of(md, 2000) == 2
+    assert snapshot_as_of(md, 99999) == 2
+    with pytest.raises(ValueError, match="history starts later"):
+        snapshot_as_of(md, 999)

@@ -51,6 +51,7 @@ __all__ = [
     "DELETE_MANIFEST_SCHEMA",
     "POSITION_DELETE_SCHEMA",
     "parse_table_metadata",
+    "snapshot_as_of",
     "read_manifest_entries",
     "read_delete_manifest_entries",
     "read_position_deletes",
@@ -143,6 +144,27 @@ def parse_table_metadata(metadata_json: str) -> dict:
     if cur not in snaps:
         raise ValueError(f"current-snapshot-id {cur} not in snapshots")
     return {"snapshots": snaps, "current": cur}
+
+
+def snapshot_as_of(md: dict, ts_ms: int) -> int:
+    """Timestamp time travel per the spec's semantics: the LATEST
+    snapshot whose commit timestamp is ≤ ``ts_ms`` (what
+    ``FOR SYSTEM_TIME AS OF`` resolves to). Raises if the timestamp
+    precedes the table's first snapshot — silently returning the
+    oldest state would fabricate history."""
+    best = None
+    for sid, s in md["snapshots"].items():
+        if s["timestamp_ms"] <= int(ts_ms) and (
+            best is None
+            or s["timestamp_ms"] > md["snapshots"][best]["timestamp_ms"]
+        ):
+            best = sid
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts_ms} "
+            "(table history starts later)"
+        )
+    return best
 
 
 def read_manifest_entries(blob_df: DataFrame) -> DataFrame:
