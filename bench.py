@@ -406,6 +406,7 @@ OPERATORS = [
     "dictionary_match",  # Aho-Corasick multi-phrase scan, one pass
     "latency_quantiles",  # exact p50/p95/p99 via bracket selection
     "dbscan_blobs",  # grid-bucketed density clustering, CC on cores
+    "multimodal_decode_qoi",  # from-scratch QOI, all six op families
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -83,6 +83,9 @@ def decode_media(
       codec (:func:`trollflow2_spark.sinks.gif.decode_gif` — LZW,
       global/local palettes, interlacing, GIF89a transparency) —
       statistics over the first composited frame;
+    - ``image/qoi``: REAL decode through the repo's from-scratch QOI
+      codec (:func:`trollflow2_spark.sinks.qoi.decode_qoi` — all six
+      op families, 64-entry hash index, wrap-around deltas);
     - ``audio/wav``: REAL decode through the stdlib ``wave`` module —
       statistics over the decoded PCM samples; the dimension columns
       carry ``width=sample_rate``, ``height=frames per channel``,
@@ -162,11 +165,12 @@ def decode_media(
                 [t in ("image/x-icon", "image/vnd.microsoft.icon")
                  for t in mtypes]
             )
+            is_qoi = np.array([t == "image/qoi" for t in mtypes])
             is_wav = np.array([t == "audio/wav" for t in mtypes])
             is_flac = np.array([t == "audio/flac" for t in mtypes])
             is_img = (
                 is_png | is_tif | is_jpg | is_webp | is_gif | is_bmp
-                | is_pnm | is_ico
+                | is_pnm | is_ico | is_qoi
             )
             is_audio = is_wav | is_flac
             unsupported = np.zeros(n, dtype=bool)
@@ -211,6 +215,7 @@ def decode_media(
                 is_bmp &= ~oversized
                 is_pnm &= ~oversized
                 is_ico &= ~oversized
+                is_qoi &= ~oversized
                 is_wav &= ~oversized
                 is_flac &= ~oversized
                 unsupported &= ~oversized
@@ -244,6 +249,10 @@ def decode_media(
                         from trollflow2_spark.sinks.bmp import decode_ico
 
                         arr = decode_ico(bytes(payload[i]))
+                    elif is_qoi[i]:
+                        from trollflow2_spark.sinks.qoi import decode_qoi
+
+                        arr = decode_qoi(bytes(payload[i]))
                     else:
                         arr = decode_geotiff(bytes(payload[i]))[0][0]
                 except Exception:

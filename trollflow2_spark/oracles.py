@@ -2876,6 +2876,36 @@ FROM vals GROUP BY doc_id
 ORACLES["multimodal_decode_bmp"] = _DECODE_FIXTURE_SQL
 ORACLES["multimodal_decode_pnm"] = _DECODE_FIXTURE_SQL
 
+# QOI: gray fixtures replicate to RGB (x3 weight per ramp value),
+# d%4==1 docs are RGBA, the rest straight RGB ramps
+ORACLES["multimodal_decode_qoi"] = """
+WITH px AS (
+  SELECT doc_id,
+    CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+    CAST(doc_id % 4 + 2 AS BIGINT) AS h,
+    CASE WHEN doc_id % 2 = 0 THEN 3
+         WHEN doc_id % 4 = 1 THEN 4 ELSE 3 END AS ch,
+    CASE WHEN doc_id % 2 = 0 THEN 1
+         WHEN doc_id % 4 = 1 THEN 4 ELSE 3 END AS ramp_ch,
+    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS mult
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, w, h, ch, mult,
+    (doc_id + unnest(generate_series(0, w * h * ramp_ch - 1))) % 256
+      AS v
+  FROM px
+)
+SELECT doc_id,
+  CAST(sum(mult) AS BIGINT) AS n_bytes,
+  round(CAST(sum(v * mult) AS DOUBLE) / sum(mult), 6) AS mean_byte,
+  CAST(max(v) AS INTEGER) AS max_byte,
+  CAST(any_value(w) AS INTEGER) AS width,
+  CAST(any_value(h) AS INTEGER) AS height,
+  CAST(any_value(ch) AS INTEGER) AS n_channels
+FROM vals GROUP BY doc_id
+"""
+
 ORACLES["chi2_feature_selection"] = f"""
 WITH d AS (
   SELECT doc_id, n_chars >= {C.CHI2_LEN_THRESHOLD} AS hi,

@@ -9629,6 +9629,69 @@ def q_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode (`sinks/qoi.py`, the from-scratch qoiformat.org
+    codec): even docs carry a gray ramp replicated to RGB (RUN/INDEX
+    heavy), docs ≡1 (mod 4) an RGBA ramp (alpha ops), the rest an RGB
+    ramp (DIFF/LUMA heavy) — every op family exercised; pixel
+    statistics replay closed-form."""
+    import numpy as _np
+
+    from trollflow2_spark.sinks.qoi import encode_qoi
+
+    from trollflow2_spark.extensions.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", T.StringType()),
+        ]
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 6 + 2, d % 4 + 2
+                if d % 2 == 0:
+                    g = ((d + np.arange(w * h)) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w)
+                    px = np.stack([g, g, g], axis=2)
+                elif d % 4 == 1:
+                    px = ((d + np.arange(w * h * 4)) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w, 4)
+                else:
+                    px = ((d + np.arange(w * h * 3)) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w, 3)
+                out.append((d, encode_qoi(px), "image/qoi"))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media", "media_meta"]
+            )
+
+    media = docs.mapInPandas(make, media_schema)
+    _np  # imported for parity with sibling fixtures
+    return decode_media(media).select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("mean_byte"), 6).alias("mean_byte"),
+        "max_byte",
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
 def q_multimodal_decode_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL netpbm decode: binary P5 (even docs) and P6 (odd docs)
     through the whitespace/comment-tolerant header parser."""
@@ -14329,6 +14392,7 @@ QUERIES = {
     "udtf_sentences": q_udtf_sentences,
     "multimodal_decode_bmp": q_multimodal_decode_bmp,
     "multimodal_decode_pnm": q_multimodal_decode_pnm,
+    "multimodal_decode_qoi": q_multimodal_decode_qoi,
     "frame_sample_pnm": q_frame_sample_pnm,
     "multimodal_decode_ico": q_multimodal_decode_ico,
     "robots_crawl_delay": q_robots_crawl_delay,
