@@ -407,6 +407,7 @@ OPERATORS = [
     "latency_quantiles",  # exact p50/p95/p99 via bracket selection
     "dbscan_blobs",  # grid-bucketed density clustering, CC on cores
     "multimodal_decode_qoi",  # from-scratch QOI, all six op families
+    "logrank_ab",  # censoring-aware A/B test on the KM risk sets
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

@@ -174,3 +174,53 @@ def test_exact_quantiles_bad_p_raises(spark):
         exact_quantiles(df, ["g"], "v", [1.5])
     with _pytest.raises(ValueError):
         exact_quantiles(df, ["g"], "v", [])
+
+
+def test_logrank_identical_arms_zero_chi2(spark):
+    from trollflow2_spark.extensions.profile import logrank_test
+
+    rows = [
+        Row(s="x", arm=a, duration=t, event=e)
+        for a in ("A", "B")
+        for t, e in [(1, 1), (2, 1), (3, 0), (4, 1)]
+    ]
+    out = logrank_test(
+        spark.createDataFrame(rows), ["s"], "arm"
+    ).collect()[0]
+    # identical arms: O1 == E1 exactly -> chi2 == 0
+    assert out.group1 == "A" and out.o1 == 3
+    assert out.e1 == 3.0 and out.chi2 == 0.0
+
+
+def test_logrank_known_small_example(spark):
+    from trollflow2_spark.extensions.profile import logrank_test
+
+    # A dies at t=1,2; B dies at t=3,4 (no censoring)
+    rows = [
+        Row(s="x", arm="A", duration=1, event=1),
+        Row(s="x", arm="A", duration=2, event=1),
+        Row(s="x", arm="B", duration=3, event=1),
+        Row(s="x", arm="B", duration=4, event=1),
+    ]
+    out = logrank_test(
+        spark.createDataFrame(rows), ["s"], "arm"
+    ).collect()[0]
+    # hand computation: t=1: d=1,n=4,n1=2 -> e=.5 v=.25
+    #   t=2: d=1,n=3,n1=1 -> e=1/3 v=2/9; t=3: d=1,n=2,n1=0 -> 0,0
+    #   t=4: d=1,n=1 -> e=0, v=0
+    # O1=2, E1=.5+1/3=0.833333334 (round-9 terms), V=.25+2/9
+    assert out.o1 == 2
+    assert abs(out.e1 - 0.833333) < 1e-6
+    want_chi2 = round((2 - (0.5 + round(1 / 3, 9))) ** 2
+                      / (0.25 + round(2 / 9, 9)), 6)
+    assert abs(out.chi2 - want_chi2) < 1e-6
+
+
+def test_logrank_single_arm_null_stats(spark):
+    from trollflow2_spark.extensions.profile import logrank_test
+
+    rows = [Row(s="x", arm="A", duration=t, event=1) for t in (1, 2)]
+    out = logrank_test(
+        spark.createDataFrame(rows), ["s"], "arm"
+    ).collect()[0]
+    assert out.e1 is None and out.chi2 is None

@@ -2785,3 +2785,131 @@ def exact_quantiles(
             F.round(F.col("q_raw"), 6).alias("q"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    strata_cols: list[str],
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Two-group log-rank test per stratum — the significance
+    companion to `survival_curve`: are the two arms' survival
+    experiences different, accounting for censoring? (The A/B
+    readout for time-to-event metrics, where a naive rate comparison
+    is biased by follow-up length.)
+
+    Group 1 is the stratum's MINIMUM group value (deterministic on
+    any engine). At each event time t: observed deaths ``d1`` in
+    group 1 vs expected ``d·n1/n`` under the null, with the
+    hypergeometric variance ``d·(n1/n)·(1−n1/n)·(n−d)/(n−1)``;
+    χ² = (O1−E1)²/V.
+
+    The risk-set subtlety this implementation gets right: each arm's
+    ``n_g(t)`` must be evaluated at EVERY event time, including
+    times where that arm had no exit of its own — so the cumulative
+    window runs over a merged (query-marker ∪ exit) table ordered
+    (t, marker-first), with exits AT t staying in the risk set.
+    Everything windows over distinct-time cardinality, never the
+    subject table; E/V terms round(9) into a DECIMAL sum so the
+    statistic is order-insensitive.
+
+    Strata with fewer than two groups return NULL statistics (no
+    comparison exists) rather than being dropped."""
+    g = F.col(group_col)
+    gcells = df.groupBy(
+        *strata_cols, g.alias("__g"), F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("__d"),
+        F.count(F.lit(1)).alias("__subj"),
+    ).localCheckpoint()
+    gtot = gcells.groupBy(*strata_cols, "__g").agg(
+        F.sum("__subj").alias("__tot")
+    )
+    times = (
+        gcells.groupBy(*strata_cols, "t")
+        .agg(F.sum("__d").alias("__dt_all"))
+        .where(F.col("__dt_all") > 0)
+        .select(*strata_cols, "t")
+    )
+    groups = gcells.select(*strata_cols, "__g").distinct()
+    queries = times.join(groups, strata_cols).select(
+        *strata_cols, "__g", "t",
+        F.lit(0).alias("__type"), F.lit(0).alias("__subj"),
+    )
+    exits = gcells.select(
+        *strata_cols, "__g", "t",
+        F.lit(1).alias("__type"), "__subj",
+    )
+    merged = queries.unionByName(exits)
+    w_cum = (
+        Window.partitionBy(*strata_cols, "__g")
+        .orderBy("t", "__type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        merged.withColumn(
+            "__gone",
+            F.coalesce(F.sum("__subj").over(w_cum), F.lit(0)),
+        )
+        .where(F.col("__type") == 0)
+        .join(gtot, [*strata_cols, "__g"])
+        .select(
+            *strata_cols,
+            "__g",
+            "t",
+            (F.col("__tot") - F.col("__gone")).alias("__n"),
+        )
+    )
+    deaths = gcells.select(*strata_cols, "__g", "t", "__d")
+    meta = df.groupBy(*strata_cols).agg(
+        F.min(g).alias("__g1"),
+        F.count_distinct(g).alias("__ng"),
+    )
+    per_t = (
+        risk.join(deaths, [*strata_cols, "__g", "t"], "left")
+        .withColumn("__d", F.coalesce(F.col("__d"), F.lit(0)))
+        .join(F.broadcast(meta), strata_cols)
+        .groupBy(*strata_cols, "t")
+        .agg(
+            F.max("__g1").alias("__g1"),
+            F.max("__ng").alias("__ng"),
+            F.sum("__d").alias("__dt"),
+            F.sum("__n").alias("__nt"),
+            F.sum(F.when(F.col("__g") == F.col("__g1"), F.col("__d"))
+                  .otherwise(F.lit(0))).alias("__d1"),
+            F.sum(F.when(F.col("__g") == F.col("__g1"), F.col("__n"))
+                  .otherwise(F.lit(0))).alias("__n1"),
+        )
+    )
+    dt = F.col("__dt").cast("double")
+    nt = F.col("__nt").cast("double")
+    n1 = F.col("__n1").cast("double")
+    e1_term = F.round(dt * n1 / nt, 9).cast("decimal(38,9)")
+    v_term = F.round(
+        F.when(
+            F.col("__nt") > 1,
+            dt * (n1 / nt) * (1.0 - n1 / nt) * (nt - dt) / (nt - 1.0),
+        ).otherwise(F.lit(0.0)),
+        9,
+    ).cast("decimal(38,9)")
+    agg = per_t.groupBy(*strata_cols).agg(
+        F.max("__g1").alias("group1"),
+        F.max("__ng").alias("__ng"),
+        F.sum("__d1").alias("o1"),
+        F.sum(e1_term).cast("double").alias("__e1"),
+        F.sum(v_term).cast("double").alias("__v"),
+    )
+    diff = F.col("o1").cast("double") - F.col("__e1")
+    two = F.col("__ng") >= 2
+    return agg.select(
+        *strata_cols,
+        "group1",
+        "o1",
+        F.round(F.when(two, F.col("__e1")), 6).alias("e1"),
+        F.round(
+            F.when(two & (F.col("__v") > 0), diff * diff / F.col("__v")),
+            6,
+        ).alias("chi2"),
+    )

@@ -10931,6 +10931,77 @@ FROM walsh GROUP BY priority
 """
 
 
+ORACLES["logrank_ab"] = """
+WITH per AS (
+  SELECT user_id,
+    MIN(ts) AS first_ts,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts,
+    MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), subj AS (
+  SELECT user_id % 3 AS cohort,
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+    CAST(floor(date_diff('second', first_ts,
+                         COALESCE(p_ts, last_ts)) / 3600.0) AS INT)
+      AS t,
+    CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+), cells AS (
+  SELECT cohort, arm, t, SUM(ev) AS d, COUNT(*) AS subjects
+  FROM subj GROUP BY 1, 2, 3
+), gtot AS (
+  SELECT cohort, arm, SUM(subjects) AS tot FROM cells GROUP BY 1, 2
+), times AS (
+  SELECT cohort, t FROM cells GROUP BY cohort, t HAVING SUM(d) > 0
+), grid AS (
+  -- every arm evaluated at every event time: exits of the OTHER arm
+  -- still shrink only their own risk set, but both risk sets must
+  -- exist at each event time
+  SELECT ti.cohort, g.arm, ti.t, 0 AS typ, 0 AS subjects
+  FROM times ti JOIN (SELECT DISTINCT cohort, arm FROM cells) g
+    ON g.cohort = ti.cohort
+  UNION ALL
+  SELECT cohort, arm, t, 1, subjects FROM cells
+), risk AS (
+  SELECT cohort, arm, t, typ,
+    COALESCE(SUM(subjects) OVER (PARTITION BY cohort, arm
+      ORDER BY t, typ
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gone
+  FROM grid
+), atrisk AS (
+  SELECT r.cohort, r.arm, r.t, g.tot - r.gone AS n
+  FROM risk r JOIN gtot g ON g.cohort = r.cohort AND g.arm = r.arm
+  WHERE r.typ = 0
+), per_t AS (
+  SELECT a.cohort, a.t,
+    SUM(COALESCE(c.d, 0)) AS dt, SUM(a.n) AS nt,
+    SUM(CASE WHEN a.arm = 'A' THEN COALESCE(c.d, 0) ELSE 0 END)
+      AS d1,
+    SUM(CASE WHEN a.arm = 'A' THEN a.n ELSE 0 END) AS n1
+  FROM atrisk a LEFT JOIN cells c
+    ON c.cohort = a.cohort AND c.arm = a.arm AND c.t = a.t
+  GROUP BY 1, 2
+), terms AS (
+  SELECT cohort,
+    SUM(d1) AS o1,
+    CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * n1 / nt, 9)
+                  AS DECIMAL(38,9))) AS DOUBLE) AS e1,
+    CAST(SUM(CAST(round(CASE WHEN nt > 1 THEN
+      CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+        * (1.0 - CAST(n1 AS DOUBLE) / nt)
+        * (CAST(nt AS DOUBLE) - dt) / (CAST(nt AS DOUBLE) - 1.0)
+      ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS DOUBLE) AS v
+  FROM per_t GROUP BY 1
+)
+SELECT cohort, 'A' AS group1, CAST(o1 AS BIGINT) AS o1,
+  round(e1, 6) AS e1,
+  round(CASE WHEN v > 0
+    THEN (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+  END, 6) AS chi2
+FROM terms
+"""
+
+
 ORACLES["wilcoxon_shift"] = """
 WITH daily AS (
   SELECT o_orderpriority AS priority,

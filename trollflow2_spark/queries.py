@@ -14162,6 +14162,42 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logrank_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank A/B test (`extensions/profile.py::logrank_test`):
+    signup->purchase survival compared between even/odd users within
+    each cohort — censoring-aware significance where naive
+    conversion-rate comparisons are biased by follow-up length.
+    Risk sets ride integer windows over the distinct-time table;
+    E/V terms decimal-sum."""
+    from trollflow2_spark.extensions.profile import logrank_test
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    end = F.when(F.col("__p").isNotNull(), F.col("__p")).otherwise(
+        F.col("__last")
+    )
+    subj = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.floor(
+            (F.unix_timestamp(end) - F.unix_timestamp(F.col("__first")))
+            / 3600.0
+        )
+        .cast("int")
+        .alias("duration"),
+        F.col("__p").isNotNull().cast("int").alias("event"),
+    )
+    return logrank_test(subj, ["cohort"], "arm")
+
+
 def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert (`operators/windows.py::
     conversion_time_stats`): signup -> first subsequent purchase per
@@ -14664,6 +14700,7 @@ QUERIES = {
     "hodges_lehmann": q_hodges_lehmann,
     "wilcoxon_shift": q_wilcoxon_shift,
     "kendall_tau": q_kendall_tau,
+    "logrank_ab": q_logrank_ab,
     "conversion_time": q_conversion_time,
     "freshness_audit": q_freshness_audit,
     "ltv_curve": q_ltv_curve,
