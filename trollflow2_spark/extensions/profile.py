@@ -2863,9 +2863,11 @@ def logrank_test(
         )
     )
     deaths = gcells.select(*strata_cols, "__g", "t", "__d")
-    meta = df.groupBy(*strata_cols).agg(
-        F.min(g).alias("__g1"),
-        F.count_distinct(g).alias("__ng"),
+    # derived from the CHECKPOINTED cells, not df — the subject
+    # table (often itself an aggregation) is scanned exactly once
+    meta = gcells.groupBy(*strata_cols).agg(
+        F.min("__g").alias("__g1"),
+        F.count_distinct("__g").alias("__ng"),
     )
     per_t = (
         risk.join(deaths, [*strata_cols, "__g", "t"], "left")
