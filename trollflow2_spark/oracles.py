@@ -3554,6 +3554,27 @@ WHERE o.path IS NULL OR n.path IS NULL
    OR o.size_old <> n.size_new OR o.version_old <> n.version_new
 """
 
+# deletion vectors: closed-form restatement of the planted DVs —
+# d%6==0 replaced its DV (one extra position wins), d%3==0 kept the
+# v0 inline DV, others have none; dv_gone only matches if the engine
+# actually decoded the Z85 + RoaringBitmapArray payloads
+ORACLES["delta_snapshot_dv"] = """
+WITH d AS (
+  SELECT doc_id,
+    CAST(100 + doc_id % 50 AS BIGINT) AS nrec,
+    CAST(CASE WHEN doc_id % 6 = 0 THEN doc_id % 4 + 2
+              WHEN doc_id % 3 = 0 THEN doc_id % 4 + 1
+              ELSE 0 END AS BIGINT) AS gone
+  FROM documents
+)
+SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
+  nrec AS num_records,
+  gone AS dv_cardinality,
+  gone AS dv_gone,
+  nrec - gone AS live_records
+FROM d
+"""
+
 # retrieval metrics: recall@10 per-mille, MRR, nDCG@10 with linear
 # gains; DCG folds by ascending rank, IDCG by grade-desc position —
 # both as ordered list_sum, matching the Spark folds

@@ -5734,6 +5734,120 @@ def q_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_log_changes(log, from_version=10, to_version=20)
 
 
+def q_delta_snapshot_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion vectors (`extensions/profile.py::
+    delta_log_snapshot(stats=True)` + `delta_dv_positions` +
+    `sources/roaring.py`): modern Delta writers attach a
+    `deletionVector` descriptor to add actions instead of rewriting
+    files — counting DV-masked rows as live silently overstates
+    every rollup. Fixture: every doc adds `part-<d>` with
+    numRecords = 100+d%50; d%3==0 carries an INLINE Z85-encoded
+    RoaringBitmapArray DV deleting positions 0..d%4; d%6==0 REPLACES
+    that DV at version 1 with one more deleted position (the normal
+    DELETE-on-DELETE path — the replacement must win); d%18==0 uses
+    the ON-DISK storage form ("u": Z85 uuid -> deletion_vector_
+    <uuid>.bin with version byte / BE size / CRC framing) instead of
+    inline. `dv_gone` counts DECODED positions — the value only
+    matches the oracle if the Z85 + roaring + framing decode is
+    actually right, not just the descriptor's cardinality field."""
+    from trollflow2_spark.extensions.profile import (
+        delta_dv_positions,
+        delta_log_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = (
+        "version int, line string, dvf_path string, dvf_blob binary"
+    )
+
+    def build(batches):
+        import json as _json
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from trollflow2_spark.sources.roaring import (
+            encode_dv_data,
+            frame_dv_file,
+            z85_encode,
+        )
+
+        def dv_descr(d, positions, on_disk):
+            data = encode_dv_data(positions)
+            if not on_disk:
+                payload = z85_encode(
+                    data + b"\x00" * ((-len(data)) % 4)
+                )
+                descr = {
+                    "storageType": "i",
+                    "pathOrInlineDv": payload,
+                    "sizeInBytes": len(data),
+                    "cardinality": len(positions),
+                }
+                return descr, None, None
+            u = _uuid.UUID(int=d)
+            blob, offs = frame_dv_file([data])
+            descr = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": offs[0],
+                "sizeInBytes": len(data),
+                "cardinality": len(positions),
+            }
+            return descr, f"deletion_vector_{u}.bin", blob
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                add = {
+                    "path": f"part-{d}",
+                    "size": 100 + d % 77,
+                    "stats": _json.dumps({"numRecords": 100 + d % 50}),
+                }
+                if d % 3 == 0:
+                    descr, _f, _b = dv_descr(d, list(range(d % 4 + 1)),
+                                             on_disk=False)
+                    add["deletionVector"] = descr
+                rows.append((0, _json.dumps({"add": add}), None, None))
+                if d % 6 == 0:
+                    add2 = dict(add)
+                    descr, fname, blob = dv_descr(
+                        d, list(range(d % 4 + 2)), on_disk=(d % 18 == 0)
+                    )
+                    add2["deletionVector"] = descr
+                    rows.append(
+                        (1, _json.dumps({"add": add2}), None, None)
+                    )
+                    if fname is not None:
+                        rows.append((None, None, fname, blob))
+            yield pd.DataFrame(
+                rows, columns=["version", "line", "dvf_path", "dvf_blob"]
+            )
+
+    built = docs.mapInPandas(build, out_schema)
+    log = built.where(F.col("line").isNotNull()).select("version", "line")
+    dv_files = built.where(F.col("dvf_path").isNotNull()).select(
+        F.col("dvf_path").alias("path"), F.col("dvf_blob").alias("blob")
+    )
+    snap = delta_log_snapshot(log, stats=True)
+    gone = (
+        delta_dv_positions(snap, dv_files)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("dv_gone"))
+    )
+    return (
+        snap.join(gone, "path", "left")
+        .select(
+            "path",
+            "num_records",
+            "dv_cardinality",
+            F.coalesce(F.col("dv_gone"), F.lit(0)).alias("dv_gone"),
+            "live_records",
+        )
+    )
+
+
 def q_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC telemetry downsampling
     (`operators/windows.py:downsample_ohlc`): first/extreme/last
@@ -14366,6 +14480,7 @@ QUERIES = {
     "delta_snapshot": q_delta_snapshot,
     "delta_snapshot_checkpoint": q_delta_snapshot_checkpoint,
     "delta_changes": q_delta_changes,
+    "delta_snapshot_dv": q_delta_snapshot_dv,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
