@@ -241,3 +241,155 @@ def test_snapshot_as_of_timestamp():
     assert snapshot_as_of(md, 99999) == 2
     with pytest.raises(ValueError, match="history starts later"):
         snapshot_as_of(md, 999)
+
+
+def _entry_seq(status, path, part, rc, seq, fs=100):
+    return {
+        "status": status,
+        "file_path": path,
+        "partition": part,
+        "record_count": rc,
+        "file_size": fs,
+        "sequence_number": seq,
+    }
+
+
+_MANIFEST_SEQ_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "partition", "type": "string"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size", "type": "long"},
+        {"name": "sequence_number", "type": "long"},
+    ],
+}
+
+_DEL_MANIFEST_SEQ_SCHEMA = {
+    "type": "record",
+    "name": "delete_manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "content", "type": "int"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size", "type": "long"},
+        {"name": "sequence_number", "type": "long"},
+    ],
+}
+
+_ID_ROW_SCHEMA = {
+    "type": "record",
+    "name": "data_row",
+    "fields": [{"name": "id", "type": "long"}],
+}
+
+
+def _id_rows(ids):
+    return write_container([{"id": i} for i in ids], _ID_ROW_SCHEMA)
+
+
+def test_v2_equality_deletes_apply_with_seq_scoping(spark):
+    """Equality deletes mask matching rows of data files with a
+    STRICTLY lower sequence number; a row masked by both a position
+    and an equality delete counts once; later-seq data files keep
+    matching rows live."""
+    m1 = write_container(
+        [
+            _entry_seq(1, "a", "p0", 4, 1),  # rows id 1,2,3,4
+            _entry_seq(1, "b", "p0", 3, 3),  # rows id 2,5,6 (later)
+        ],
+        _MANIFEST_SEQ_SCHEMA,
+    )
+    dm = write_container(
+        [
+            {"status": 1, "file_path": "ed1", "content": 2,
+             "record_count": 2, "file_size": 64,
+             "sequence_number": 2},
+            {"status": 1, "file_path": "pd1", "content": 1,
+             "record_count": 2, "file_size": 64,
+             "sequence_number": 2},
+        ],
+        _DEL_MANIFEST_SEQ_SCHEMA,
+    )
+    blobs = spark.createDataFrame(
+        [
+            Row(path="m1", blob=m1),
+            Row(path="a", blob=_id_rows([1, 2, 3, 4])),
+            Row(path="b", blob=_id_rows([2, 5, 6])),
+            Row(path="ed1", blob=_id_rows([2, 6])),
+            # (a,1) is id=2 — ALSO equality-masked: must dedup;
+            # (a,0) is a plain position delete
+            Row(path="pd1", blob=_pos_deletes([("a", 0), ("a", 1)])),
+            Row(path="dm1", blob=dm),
+            Row(path="l1", blob=_mlist_v2([("m1", 0), ("dm1", 1)])),
+        ]
+    )
+    out = snapshot_partition_summary(
+        spark,
+        _metadata([(1, "l1")], 1),
+        blobs,
+        equality_id_fields=["id"],
+    )
+    r = out.collect()[0]
+    # a: gone = {pos 0, pos 1(id 2)} = 2 -> 2 live
+    # b: seq 3 not < 2, equality does NOT apply; position deletes
+    #    only target a -> 3 live
+    assert r.n_rows == 5
+    assert r.n_files == 2
+
+
+def test_v2_equality_deletes_without_fields_still_raise(spark):
+    m1 = write_container(
+        [_entry_seq(1, "a", "p0", 4, 1)], _MANIFEST_SEQ_SCHEMA
+    )
+    dm = write_container(
+        [{"status": 1, "file_path": "ed1", "content": 2,
+          "record_count": 1, "file_size": 64, "sequence_number": 2}],
+        _DEL_MANIFEST_SEQ_SCHEMA,
+    )
+    blobs = spark.createDataFrame(
+        [
+            Row(path="m1", blob=m1),
+            Row(path="a", blob=_id_rows([1])),
+            Row(path="ed1", blob=_id_rows([1])),
+            Row(path="dm1", blob=dm),
+            Row(path="l1", blob=_mlist_v2([("m1", 0), ("dm1", 1)])),
+        ]
+    )
+    out = snapshot_partition_summary(
+        spark, _metadata([(1, "l1")], 1), blobs
+    )
+    with pytest.raises(Exception, match="equality deletes"):
+        out.collect()
+
+
+def test_v2_over_applied_position_deletes_clamp_at_zero(spark):
+    """A stale delete file with more distinct positions than the
+    data file's record_count (compaction rewrote the file) clamps
+    at zero instead of going negative."""
+    m1 = write_container(
+        [_entry_seq(1, "a", "p0", 2, 1)], _MANIFEST_SEQ_SCHEMA
+    )
+    dm = write_container(
+        [{"status": 1, "file_path": "pd1", "content": 1,
+          "record_count": 5, "file_size": 64, "sequence_number": 2}],
+        _DEL_MANIFEST_SEQ_SCHEMA,
+    )
+    blobs = spark.createDataFrame(
+        [
+            Row(path="m1", blob=m1),
+            Row(path="pd1", blob=_pos_deletes(
+                [("a", p) for p in range(5)]
+            )),
+            Row(path="dm1", blob=dm),
+            Row(path="l1", blob=_mlist_v2([("m1", 0), ("dm1", 1)])),
+        ]
+    )
+    out = snapshot_partition_summary(
+        spark, _metadata([(1, "l1")], 1), blobs
+    )
+    r = out.collect()[0]
+    assert r.n_rows == 0  # clamped, not -3

@@ -10760,6 +10760,37 @@ FROM live GROUP BY 1, 2
 """
 
 
+# equality deletes: closed-form restatement of the planted masks —
+# id%7==0 rows gone from seq-1 files only (strict < scoping), pos-0
+# rows gone from d%6==0 files, a row masked by both counts once
+ORACLES["iceberg_eq_deletes"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS pm, doc_id % 5 + 3 AS n,
+    CAST(1000 + doc_id % 77 AS BIGINT) AS fs
+  FROM documents
+), js AS (SELECT unnest(range(8)) AS j),
+r AS (
+  SELECT d.doc_id, d.pm, d.n, d.fs, js.j,
+    (d.doc_id * 10 + js.j) % 1000 AS key
+  FROM d CROSS JOIN js WHERE js.j < d.n
+), per_file AS (
+  SELECT doc_id, pm, n, fs,
+    SUM(CASE WHEN (doc_id % 4 <> 0 AND key % 7 = 0)
+              OR (doc_id % 6 = 0 AND j = 0)
+         THEN 1 ELSE 0 END) AS gone
+  FROM r GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(1 AS BIGINT) AS snapshot_id,
+  'p' || CAST(pm AS VARCHAR) AS partition,
+  COUNT(*) AS n_files, CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(SUM(fs) AS BIGINT) AS total_bytes
+FROM per_file GROUP BY 1, 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'p' || CAST(pm AS VARCHAR),
+  COUNT(*), CAST(SUM(n - gone) AS BIGINT), CAST(SUM(fs) AS BIGINT)
+FROM per_file GROUP BY 1, 2
+"""
+
 # Spatial join: the oracle is the closed-form L1 diamond test over a
 # plain cross join — a different algorithm than the engine's
 # grid-bucketed ray cast, agreeing exactly on non-boundary points

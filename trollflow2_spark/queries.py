@@ -13963,6 +13963,197 @@ def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes (`sources/iceberg.py::
+    snapshot_partition_summary(equality_id_fields=...)`): the default
+    output of Flink CDC writers — delete-file rows are identifier
+    tuples masking matching rows of data files with a STRICTLY lower
+    sequence number. Fixture: every doc is a data file of d%5+3 rows
+    with ids (d*10+j)%1000 at seq 1 (seq 3 for d%4==0 — added after
+    the delete, must stay live); one global equality-delete file at
+    seq 2 masks every id divisible by 7; per-bucket position-delete
+    files at seq 3 delete pos 0 of d%6==0 files — a row masked by
+    BOTH forms must count once (d%6==0 files whose pos-0 id is ≡0
+    mod 7). Only affected data files decode rows; snapshot 1 (data
+    only) must be untouched."""
+    from trollflow2_spark.sources.avro import write_container
+    from trollflow2_spark.sources.iceberg import (
+        MANIFEST_LIST_V2_SCHEMA,
+        snapshot_partition_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("bucket")
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    _MSEQ = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "partition", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size", "type": "long"},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+    _DSEQ = {
+        "type": "record",
+        "name": "delete_manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "int"},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size", "type": "long"},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+    _IDROW = {
+        "type": "record",
+        "name": "data_row",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+
+    def make_blobs(key, pdf):
+        import pandas as pd
+
+        from trollflow2_spark.sources.avro import write_container as wc
+        from trollflow2_spark.sources.iceberg import (
+            POSITION_DELETE_SCHEMA,
+        )
+
+        b = int(key[0])
+        ids = sorted(int(d) for d in pdf["doc_id"])
+        entries = []
+        out = []
+        for d in ids:
+            n = d % 5 + 3
+            entries.append(
+                {
+                    "status": 1,
+                    "file_path": f"f-{d}",
+                    "partition": f"p{d % 5}",
+                    "record_count": n,
+                    "file_size": 1000 + d % 77,
+                    "sequence_number": 3 if d % 4 == 0 else 1,
+                }
+            )
+            out.append(
+                (
+                    f"f-{d}",
+                    wc(
+                        [{"id": (d * 10 + j) % 1000} for j in range(n)],
+                        _IDROW,
+                    ),
+                )
+            )
+        out.append((f"eqm-{b}", wc(entries, _MSEQ)))
+        pos = [
+            {"file_path": f"f-{d}", "pos": 0} for d in ids if d % 6 == 0
+        ]
+        out.append((f"eqpd-{b}", wc(pos, POSITION_DELETE_SCHEMA)))
+        out.append(
+            (
+                f"eqdm-{b}",
+                wc(
+                    [
+                        {
+                            "status": 1,
+                            "file_path": f"eqpd-{b}",
+                            "content": 1,
+                            "record_count": len(pos),
+                            "file_size": 64,
+                            "sequence_number": 3,
+                        }
+                    ],
+                    _DSEQ,
+                ),
+            )
+        )
+        return pd.DataFrame(out, columns=["path", "blob"])
+
+    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
+
+    eq_file = write_container(
+        [{"id": k} for k in range(0, 1000, 7)], _IDROW
+    )
+    eq_dm = write_container(
+        [
+            {
+                "status": 1,
+                "file_path": "eq-global",
+                "content": 2,
+                "record_count": 143,
+                "file_size": 64,
+                "sequence_number": 2,
+            }
+        ],
+        _DSEQ,
+    )
+
+    def mlist(entries):
+        return write_container(
+            [
+                {
+                    "manifest_path": p,
+                    "added_files_count": 0,
+                    "deleted_files_count": 0,
+                    "content": c,
+                }
+                for p, c in entries
+            ],
+            MANIFEST_LIST_V2_SCHEMA,
+        )
+
+    snap1 = [(f"eqm-{b}", 0) for b in range(20)]
+    snap2 = (
+        snap1
+        + [(f"eqdm-{b}", 1) for b in range(20)]
+        + [("eqdm-g", 1)]
+    )
+    import json as _json
+
+    driver_blobs = spark.createDataFrame(
+        [
+            ("eq-global", eq_file),
+            ("eqdm-g", eq_dm),
+            ("eqsnap-1.avro", mlist(snap1)),
+            ("eqsnap-2.avro", mlist(snap2)),
+        ],
+        blob_schema,
+    )
+    metadata = {
+        "format-version": 2,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1000,
+                "manifest-list": "eqsnap-1.avro",
+            },
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2000,
+                "manifest-list": "eqsnap-2.avro",
+            },
+        ],
+    }
+    return snapshot_partition_summary(
+        spark,
+        _json.dumps(metadata),
+        blobs.unionByName(driver_blobs),
+        equality_id_fields=["id"],
+    )
+
+
 def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed point-in-polygon JOIN (`operators/geo.py::
     spatial_join_points_in_polygons`): polygons as DATA, not plan
@@ -14803,6 +14994,7 @@ QUERIES = {
     "seasonal_anomaly": q_seasonal_anomaly,
     "iceberg_snapshot": q_iceberg_snapshot,
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
+    "iceberg_eq_deletes": q_iceberg_eq_deletes,
     "cbor_ingest": q_cbor_ingest,
     "dictionary_match": q_dictionary_match,
     "latency_quantiles": q_latency_quantiles,

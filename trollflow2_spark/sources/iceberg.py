@@ -26,8 +26,14 @@ whose rows ``(file_path, pos)`` mark deleted row positions in data
 files. A snapshot's live row count per data file is its
 ``record_count`` minus its DISTINCT deleted positions (distinct makes
 re-applied/rewritten delete files idempotent). Equality deletes
-(delete-file ``content = 2``) raise with guidance — they need the
-table schema + data-page reads, outside the metadata core.
+(delete-file ``content = 2``, the default output of Flink CDC
+writers) are applied when the caller names the table's identifier
+fields: delete-file rows ARE identifier tuples, masking matching
+rows of every data file with a STRICTLY lower data sequence number
+(position deletes scope at <=). Only the affected data files decode
+rows — everything else keeps the stats fast path — and a row masked
+by both delete forms union-dedups to count once. Without identifier
+fields, content=2 still raises with guidance.
 
 Scale shape: the metadata JSON and manifest LISTS are control-plane
 (one tiny file per snapshot, parsed on the driver exactly as real
@@ -55,6 +61,7 @@ __all__ = [
     "read_manifest_entries",
     "read_delete_manifest_entries",
     "read_position_deletes",
+    "read_keyed_rows",
     "snapshot_partition_summary",
 ]
 
@@ -125,6 +132,9 @@ ENTRY_ROWS_SCHEMA = T.StructType(
         T.StructField("partition", T.StringType()),
         T.StructField("record_count", T.LongType()),
         T.StructField("file_size", T.LongType()),
+        # data sequence number (v2 row-level delete scoping); v1
+        # manifests lack the field and inherit 0
+        T.StructField("sequence_number", T.LongType()),
     ]
 )
 
@@ -191,6 +201,7 @@ def read_manifest_entries(blob_df: DataFrame) -> DataFrame:
                             r["partition"],
                             r["record_count"],
                             r["file_size"],
+                            r.get("sequence_number", 0),
                         )
                     )
             yield pd.DataFrame(
@@ -208,6 +219,7 @@ DELETE_ENTRY_ROWS_SCHEMA = T.StructType(
         T.StructField("content", T.IntegerType()),
         T.StructField("record_count", T.LongType()),
         T.StructField("file_size", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
     ]
 )
 
@@ -220,11 +232,15 @@ POSITION_DELETE_ROWS_SCHEMA = T.StructType(
 )
 
 
-def read_delete_manifest_entries(blob_df: DataFrame) -> DataFrame:
+def read_delete_manifest_entries(
+    blob_df: DataFrame, allow_equality: bool = False
+) -> DataFrame:
     """Decode DELETE-manifest Avro blobs -> one row per delete file.
-    Equality deletes (content = 2) FAIL the task loudly: applying
-    them needs the table schema and data-page reads — silently
-    skipping one would return rows the table says are gone."""
+    Equality deletes (content = 2) FAIL the task loudly unless the
+    caller opted in by providing identifier fields (see
+    :func:`snapshot_partition_summary`'s ``equality_id_fields``):
+    applying them needs data-row reads — silently skipping one would
+    return rows the table says are gone."""
 
     def kernel(batches) -> Iterator:
         import pandas as pd
@@ -236,12 +252,13 @@ def read_delete_manifest_entries(blob_df: DataFrame) -> DataFrame:
             for path, blob in zip(pdf["path"], pdf["blob"]):
                 _meta, records = read_container(bytes(blob))
                 for r in records:
-                    if int(r["content"]) == 2:
+                    if int(r["content"]) == 2 and not allow_equality:
                         raise NotImplementedError(
-                            "Iceberg equality deletes (content=2) are "
-                            "not supported by the metadata-core "
-                            "reader; rewrite them to position deletes "
-                            "or compact the table (delete file "
+                            "Iceberg equality deletes (content=2) "
+                            "need the table's identifier fields — "
+                            "pass equality_id_fields=[...] to "
+                            "snapshot_partition_summary, or rewrite "
+                            "them to position deletes (delete file "
                             f"{r['file_path']!r} in manifest {path!r})"
                         )
                     out.append(
@@ -252,6 +269,7 @@ def read_delete_manifest_entries(blob_df: DataFrame) -> DataFrame:
                             r["content"],
                             r["record_count"],
                             r["file_size"],
+                            r.get("sequence_number", 0),
                         )
                     )
             yield pd.DataFrame(
@@ -288,10 +306,50 @@ def read_position_deletes(blob_df: DataFrame) -> DataFrame:
     return blob_df.mapInPandas(kernel, POSITION_DELETE_ROWS_SCHEMA)
 
 
+KEYED_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("src_file", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("key", T.StringType()),
+    ]
+)
+
+
+def read_keyed_rows(blob_df: DataFrame, id_fields: list[str]) -> DataFrame:
+    """Decode Avro row blobs -> (source file, 0-based row position,
+    canonical identifier key). Serves BOTH sides of equality-delete
+    application: equality-delete files (whose records ARE identifier
+    tuples — pos is bookkeeping there) and the data files they mask
+    (where pos is the row's position, so an equality-masked row can
+    union-dedup with position deletes of the same row). The key is
+    the unit-separated identifier tuple — canonical and
+    collision-free for scalar identifier fields."""
+    fields = list(id_fields)
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        from trollflow2_spark.sources.avro import read_container
+
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf["path"], pdf["blob"]):
+                _meta, records = read_container(bytes(blob))
+                for i, r in enumerate(records):
+                    key = "\x1f".join(str(r[f]) for f in fields)
+                    out.append((path, i, key))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in KEYED_ROWS_SCHEMA.fields]
+            )
+
+    return blob_df.mapInPandas(kernel, KEYED_ROWS_SCHEMA)
+
+
 def snapshot_partition_summary(
     spark,
     metadata_json: str,
     blob_df: DataFrame,
+    equality_id_fields: list[str] | None = None,
 ) -> DataFrame:
     """Per-(snapshot, partition) live rollup across EVERY snapshot in
     the table (time travel as a table): manifest lists resolve on the
@@ -346,34 +404,110 @@ def snapshot_partition_summary(
 
     del_member = member_df.where(F.col("content") == 1).drop("content")
     if any(c == 1 for _sid, _mp, c in membership):
-        # delete manifests -> live delete FILES per snapshot
+        # delete manifests -> live delete FILES per snapshot, each
+        # carrying its data sequence number for scoping
         dm_entries = read_delete_manifest_entries(
             blob_df.join(
                 del_member.select("manifest_path").distinct(),
                 blob_df["path"] == F.col("manifest_path"),
                 "left_semi",
-            )
+            ),
+            allow_equality=equality_id_fields is not None,
         )
         del_files = (
             dm_entries.where(F.col("status") != 2)
             .join(F.broadcast(del_member), "manifest_path")
-            .select("snapshot_id", F.col("file_path").alias("delete_file"))
+            .select(
+                "snapshot_id",
+                F.col("file_path").alias("delete_file"),
+                "content",
+                F.col("sequence_number").alias("del_seq"),
+            )
         )
-        # delete-file blobs -> (file_path, pos) rows, decoded once
-        # per blob however many snapshots reference it
+        # (snapshot, data file, data seq): the scoping side — the
+        # spec applies position deletes to data files with seq <=
+        # the delete's, equality deletes STRICTLY below (a writer's
+        # own new files are never masked by its equality deletes)
+        data_seq = live.select(
+            "snapshot_id",
+            "file_path",
+            F.col("sequence_number").alias("data_seq"),
+        )
+
+        # position deletes -> gone (snapshot, file, pos) rows
+        pos_del = del_files.where(F.col("content") == 1)
         pos_rows = read_position_deletes(
             blob_df.join(
-                del_files.select(
+                pos_del.select(
                     F.col("delete_file").alias("manifest_path")
                 ).distinct(),
                 blob_df["path"] == F.col("manifest_path"),
                 "left_semi",
             )
         )
-        gone = (
-            pos_rows.join(F.broadcast(del_files), "delete_file")
+        gone_rows = (
+            pos_rows.join(F.broadcast(pos_del), "delete_file")
+            .join(data_seq, ["snapshot_id", "file_path"])
+            .where(F.col("data_seq") <= F.col("del_seq"))
             .select("snapshot_id", "file_path", "pos")
-            .distinct()
+        )
+
+        eq_del = del_files.where(F.col("content") == 2)
+        if equality_id_fields is not None:
+            # equality deletes: delete-file rows ARE identifier
+            # tuples; they mask matching rows of every data file
+            # with a strictly lower sequence number. Only AFFECTED
+            # data files ever decode rows — the pair scoping join
+            # broadcasts the (small) delete-file dimension, and the
+            # row decode semi-joins to the affected file set, so
+            # unaffected files keep the record_count fast path.
+            eq_keys = read_keyed_rows(
+                blob_df.join(
+                    eq_del.select(
+                        F.col("delete_file").alias("manifest_path")
+                    ).distinct(),
+                    blob_df["path"] == F.col("manifest_path"),
+                    "left_semi",
+                ),
+                equality_id_fields,
+            ).select(
+                F.col("src_file").alias("delete_file"),
+                F.col("key").alias("__dkey"),
+            )
+            affected = data_seq.join(
+                F.broadcast(eq_del), "snapshot_id"
+            ).where(F.col("data_seq") < F.col("del_seq")).select(
+                "snapshot_id", "file_path", "delete_file"
+            )
+            data_rows = read_keyed_rows(
+                blob_df.join(
+                    affected.select(
+                        F.col("file_path").alias("path")
+                    ).distinct(),
+                    "path",
+                    "left_semi",
+                ),
+                equality_id_fields,
+            ).select(
+                F.col("src_file").alias("file_path"), "pos", "key"
+            )
+            gone_eq = (
+                data_rows.join(affected, "file_path")
+                .join(
+                    eq_keys.withColumnRenamed("delete_file", "__df2"),
+                    (F.col("delete_file") == F.col("__df2"))
+                    & (F.col("key") == F.col("__dkey")),
+                )
+                .select("snapshot_id", "file_path", "pos")
+            )
+            gone_rows = gone_rows.unionByName(gone_eq)
+        # with equality_id_fields=None, content=2 entries already
+        # raised loudly inside read_delete_manifest_entries
+
+        # union-dedup: a row both position- and equality-deleted
+        # counts once; rewritten delete files stay idempotent
+        gone = (
+            gone_rows.distinct()
             .groupBy("snapshot_id", "file_path")
             .agg(F.count(F.lit(1)).alias("__gone"))
         )
@@ -381,7 +515,14 @@ def snapshot_partition_summary(
             gone, ["snapshot_id", "file_path"], "left"
         ).withColumn(
             "record_count",
-            F.col("record_count") - F.coalesce(F.col("__gone"), F.lit(0)),
+            # clamp: a stale/over-applied delete file (e.g. after a
+            # compaction rewrote the target) must not yield negative
+            # per-file rows in the rollup
+            F.greatest(
+                F.col("record_count")
+                - F.coalesce(F.col("__gone"), F.lit(0)),
+                F.lit(0),
+            ),
         )
 
     return (
