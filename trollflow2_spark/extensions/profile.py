@@ -2274,10 +2274,16 @@ def seasonal_anomalies(
         "phase",
         "y",
         (F.col("__d").cast("double") - F.col("__s_raw")).alias("__r"),
+    ).localCheckpoint()
+    # medians via distributed GK-bracket selection (identical
+    # interpolation to percentile(v, 0.5), unrounded) — never one
+    # ObjectHashAggregate buffer per group
+    med = _bracket_median(
+        joined, key_cols, val_col="__r", median_col="__med",
+        round_dp=None,
+    ).select(
+        *[F.col(c).alias(f"__m_{c}") for c in key_cols], "__med"
     )
-    med = joined.groupBy(
-        *[F.col(c).alias(f"__m_{c}") for c in key_cols]
-    ).agg(F.percentile("__r", F.lit(0.5)).alias("__med"))
     mcond = [F.col(c) == F.col(f"__m_{c}") for c in key_cols]
     dev = joined.join(F.broadcast(med), mcond).select(
         *key_cols,
@@ -2286,10 +2292,13 @@ def seasonal_anomalies(
         "y",
         "__r",
         F.abs(F.col("__r") - F.col("__med")).alias("__adev"),
+    ).localCheckpoint()
+    mad = _bracket_median(
+        dev, key_cols, val_col="__adev", median_col="__mad",
+        round_dp=None,
+    ).select(
+        *[F.col(c).alias(f"__a_{c}") for c in key_cols], "__mad"
     )
-    mad = dev.groupBy(
-        *[F.col(c).alias(f"__a_{c}") for c in key_cols]
-    ).agg(F.percentile("__adev", F.lit(0.5)).alias("__mad"))
     acond = [F.col(c) == F.col(f"__a_{c}") for c in key_cols]
     return (
         dev.join(F.broadcast(mad), acond)
@@ -2478,6 +2487,7 @@ def _bracket_median(
     val_col: str = "__s",
     median_col: str = "__med",
     extra_aggs: dict | None = None,
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """Distributed EXACT per-group median by GK-bracket selection —
     the machinery behind `theil_sen_trend` and `hodges_lehmann`.
@@ -2515,7 +2525,9 @@ def _bracket_median(
         F.col("__qb")[0].alias("__blo"),
         F.col("__qb")[1].alias("__bhi"),
     )
-    # middle ranks (1-indexed): odd m → one rank, even m → two
+    # middle ranks (1-indexed): odd m → one rank, even m → two.
+    # the internal rank alias must not collide with a caller's
+    # val_col (callers pass residual columns like "__r")
     ranks = stats.select(
         *group_cols,
         F.explode(
@@ -2525,12 +2537,14 @@ def _bracket_median(
                     F.floor((F.col("n_vals") + 2) / 2),
                 )
             )
-        ).alias("__r"),
+        ).alias("__bm_rank"),
     )
     deg = (
         bounds.where(F.col("__blo") == F.col("__bhi"))
         .join(ranks, group_cols)
-        .select(*group_cols, "__r", F.col("__blo").alias("__rv"))
+        .select(
+            *group_cols, "__bm_rank", F.col("__blo").alias("__rv")
+        )
     )
     live = bounds.where(F.col("__blo") < F.col("__bhi"))
     v = F.col(val_col)
@@ -2550,14 +2564,20 @@ def _bracket_median(
         .join(F.broadcast(ranks), group_cols)
         .where(
             F.col("__rn")
-            == F.col("__r") - F.coalesce(F.col("__nb"), F.lit(0))
+            == F.col("__bm_rank") - F.coalesce(F.col("__nb"), F.lit(0))
         )
-        .select(*group_cols, "__r", v.alias("__rv"))
+        .select(*group_cols, "__bm_rank", v.alias("__rv"))
     )
     med = (
         picked.unionByName(deg)
         .groupBy(*group_cols)
-        .agg(F.round(F.avg("__rv"), 6).alias(median_col))
+        .agg(
+            (
+                F.round(F.avg("__rv"), round_dp)
+                if round_dp is not None
+                else F.avg("__rv")
+            ).alias(median_col)
+        )
     )
     return keep.join(med, group_cols)
 
@@ -2874,6 +2894,7 @@ def exact_quantiles(
     margin: float = 0.05,
     accuracy: int = 1000,
     small_n: int = 200,
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """EXACT per-group quantiles (``percentile``-interpolation
     semantics: rank 1 + p·(n−1), linear between the two bracketing
@@ -2986,7 +3007,11 @@ def exact_quantiles(
             *group_cols,
             "p",
             F.col("__n").alias("n"),
-            F.round(F.col("q_raw"), 6).alias("q"),
+            (
+                F.round(F.col("q_raw"), round_dp)
+                if round_dp is not None
+                else F.col("q_raw")
+            ).alias("q"),
         )
     )
 

@@ -875,38 +875,67 @@ def corpus_stats(
 
     ``percentile_mode="approx"`` (the default — the 100 TB form) uses
     ``approx_percentile``, whose sketches merge map-side so only
-    fixed-size digests shuffle; ``"exact"`` uses ``percentile``, which
-    shuffles every size value to its group — the oracle-reproducible
-    mode the contract query pins (approx results are
-    accuracy-parameterized, not bit-stable across engines). One shuffle
-    either way.
+    fixed-size digests shuffle; ``"exact"`` routes through
+    ``exact_quantiles`` (GK-bracket distributed exact selection,
+    identical interpolation semantics to ``percentile``) — the
+    oracle-reproducible mode the contract query pins without ever
+    buffering a stratum's sizes in one aggregate (approx results are
+    accuracy-parameterized, not bit-stable across engines).
     """
     if percentile_mode not in ("approx", "exact"):
         raise ValueError(
             f"percentile_mode must be 'approx' or 'exact', got {percentile_mode!r}"
         )
-    qs = F.lit([0.5, 0.9, 0.99])
     if percentile_mode == "approx":
+        qs = F.lit([0.5, 0.9, 0.99])
         pcts = F.approx_percentile(F.col(size_col), qs, F.lit(approx_accuracy))
-    else:
-        pcts = F.percentile(F.col(size_col), qs)
-    return (
-        df.groupBy(strata_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(size_col).alias("total_size"),
-            F.round(F.avg(size_col), round_digits).alias("mean_size"),
-            pcts.alias("_p"),
+        return (
+            df.groupBy(strata_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(size_col).alias("total_size"),
+                F.round(F.avg(size_col), round_digits).alias("mean_size"),
+                pcts.alias("_p"),
+            )
+            .select(
+                strata_col,
+                "n_docs",
+                "total_size",
+                "mean_size",
+                F.round(F.col("_p")[0], round_digits).alias("p50_size"),
+                F.round(F.col("_p")[1], round_digits).alias("p90_size"),
+                F.round(F.col("_p")[2], round_digits).alias("p99_size"),
+            )
         )
-        .select(
-            strata_col,
-            "n_docs",
-            "total_size",
-            "mean_size",
-            F.round(F.col("_p")[0], round_digits).alias("p50_size"),
-            F.round(F.col("_p")[1], round_digits).alias("p90_size"),
-            F.round(F.col("_p")[2], round_digits).alias("p99_size"),
-        )
+    from trollflow2_spark.extensions.profile import exact_quantiles
+
+    base = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).alias("total_size"),
+        F.round(F.avg(size_col), round_digits).alias("mean_size"),
+    )
+    eq = exact_quantiles(
+        df, [strata_col], size_col, [0.5, 0.9, 0.99], round_dp=None
+    )
+
+    def pick(p: float, name: str):
+        return F.round(
+            F.max(F.when(F.col("p") == p, F.col("q"))), round_digits
+        ).alias(name)
+
+    wide = eq.groupBy(strata_col).agg(
+        pick(0.5, "p50_size"),
+        pick(0.9, "p90_size"),
+        pick(0.99, "p99_size"),
+    )
+    return base.join(wide, strata_col, "left").select(
+        strata_col,
+        "n_docs",
+        "total_size",
+        "mean_size",
+        "p50_size",
+        "p90_size",
+        "p99_size",
     )
 
 

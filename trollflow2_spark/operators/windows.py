@@ -431,14 +431,38 @@ def conversion_time_stats(
         if group_expr is not None
         else F.lit("all")
     ).alias(group_name)
-    return started.select(grp, dur.alias("__d")).groupBy(
-        group_name
-    ).agg(
+    from trollflow2_spark.extensions.profile import exact_quantiles
+
+    base = started.select(grp, dur.alias("__d")).localCheckpoint()
+    agg = base.groupBy(group_name).agg(
         F.count(F.lit(1)).alias("n_started"),
         F.count("__d").alias("n_converted"),
         F.round(
             F.count("__d").cast("double") / F.count(F.lit(1)), 6
         ).alias("conversion_rate"),
-        F.round(F.percentile("__d", F.lit(0.5)), 6).alias("p50_seconds"),
-        F.round(F.percentile("__d", F.lit(0.9)), 6).alias("p90_seconds"),
+    )
+    # conversion-time p50/p90 via GK-bracket exact selection — same
+    # interpolation (and 6dp rounding) as percentile, without one
+    # buffer per group
+    eq = exact_quantiles(
+        base.where(F.col("__d").isNotNull()),
+        [group_name],
+        "__d",
+        [0.5, 0.9],
+    )
+    wide = eq.groupBy(group_name).agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("q"))).alias(
+            "p50_seconds"
+        ),
+        F.max(F.when(F.col("p") == 0.9, F.col("q"))).alias(
+            "p90_seconds"
+        ),
+    )
+    return agg.join(wide, group_name, "left").select(
+        group_name,
+        "n_started",
+        "n_converted",
+        "conversion_rate",
+        "p50_seconds",
+        "p90_seconds",
     )

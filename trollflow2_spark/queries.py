@@ -4762,25 +4762,26 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median/p90/p99) of order value
-    per priority class. NOTE the deliberate scale contract: EXACT
-    percentile buffers each group's values, so it is for
-    bounded-cardinality groups (5 priorities here); corpus-scale
-    distributions go through the sketch path (``corpus_stats`` uses
-    approx_percentile) — this query pins the exact semantics the
-    sketch is judged against."""
+    per priority class, via `exact_quantiles` (GK-bracket distributed
+    exact selection — identical interpolation semantics to
+    ``percentile``, but no per-group value buffer, so the same plan
+    survives a heavy group): one fused sketch+count agg, exact
+    below-counts, and only ~10% bracket slices ever rank."""
+    from trollflow2_spark.extensions.profile import exact_quantiles
+
     orders = load_table(spark, sf_dir, "orders")
     pcts = list(C.PERCENTILES)
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            *[
-                F.round(
-                    F.percentile("o_totalprice", F.lit(p)), 4
-                ).alias(f"p{int(p * 100)}")
-                for p in pcts
-            ],
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+    eq = exact_quantiles(
+        orders, ["o_orderpriority"], "o_totalprice", pcts, round_dp=None
+    )
+    return eq.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.max(F.when(F.col("p") == p, F.col("q"))), 4
+            ).alias(f"p{int(p * 100)}")
+            for p in pcts
+        ],
+        F.max("n").alias("n_orders"),
     )
 
 
@@ -5385,20 +5386,30 @@ def q_fuzzy_scope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier gate: per event type, median and MAD (median
     absolute deviation) flag values beyond k*MAD — the
-    heavy-tail-safe alternative to z-scores. Exact percentiles are
-    bounded-cardinality here (5 types); both medians broadcast back,
-    so the events table scans feed plain joins, no global sort."""
+    heavy-tail-safe alternative to z-scores. Both medians run
+    through `_bracket_median`'s distributed exact selection (same
+    interpolation as percentile(v, 0.5), no per-group value buffer)
+    and broadcast back, so the events table scans feed plain joins,
+    no global sort."""
+    from trollflow2_spark.extensions.profile import _bracket_median
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy(F.col("event_type").alias("mt")).agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
+    # medians see only non-null values (percentile semantics);
+    # n_total downstream still counts every row
+    nn = ev.where(F.col("value").isNotNull()).localCheckpoint()
+    med = _bracket_median(
+        nn, ["event_type"], val_col="value", median_col="med",
+        round_dp=None,
+    ).select(F.col("event_type").alias("mt"), "med")
     dev = ev.join(
         F.broadcast(med), F.col("event_type") == F.col("mt")
     ).select("event_type", "value", "med",
              F.abs(F.col("value") - F.col("med")).alias("adev"))
-    mad = dev.groupBy(F.col("event_type").alias("at")).agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
-    )
+    dev_nn = dev.where(F.col("adev").isNotNull()).localCheckpoint()
+    mad = _bracket_median(
+        dev_nn, ["event_type"], val_col="adev", median_col="mad",
+        round_dp=None,
+    ).select(F.col("event_type").alias("at"), "mad")
     flagged = dev.join(
         F.broadcast(mad), F.col("event_type") == F.col("at")
     ).select(
@@ -14536,18 +14547,23 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
     w = Window.partitionBy("event_type").orderBy(sec, "event_id")
+    from trollflow2_spark.extensions.profile import _bracket_median
+
     gaps = ev.select(
         "event_type",
         sec.alias("__s"),
         (sec - F.lag(sec).over(w)).alias("__gap"),
-    )
+    ).localCheckpoint()
+    medg = _bracket_median(
+        gaps.where(F.col("__gap").isNotNull()),
+        ["event_type"],
+        val_col="__gap",
+        median_col="median_gap_s",
+    ).select("event_type", "median_gap_s")
     per = gaps.groupBy("event_type").agg(
         F.max("__s").alias("last_s"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.percentile("__gap", F.lit(0.5)), 6).alias(
-            "median_gap_s"
-        ),
-    )
+    ).join(F.broadcast(medg), "event_type", "left")
     hwm = ev.agg(F.max(sec).alias("__hwm"))
     cur_gap = (F.col("__hwm") - F.col("last_s")).cast("double")
     return per.crossJoin(F.broadcast(hwm)).select(
