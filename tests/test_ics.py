@@ -179,12 +179,79 @@ def test_yearly_always_invalid_rule_trips_cap():
     assert capped and occs == []
 
 
-def test_yearly_negative_bymonthday_raises():
+def test_yearly_negative_bymonthday_counts_from_month_end():
+    occ, capped = expand_rrule(
+        datetime.datetime(2024, 1, 1),
+        {"FREQ": "YEARLY", "BYMONTH": "2", "BYMONTHDAY": "-1",
+         "COUNT": "3"},
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occ] == [
+        "2024-02-29", "2025-02-28", "2026-02-28"
+    ]
+    assert not capped
+
+
+def test_bymonthday_zero_still_raises():
     with pytest.raises(ValueError, match="BYMONTHDAY"):
         expand_rrule(
             datetime.datetime(2024, 1, 1),
-            {"FREQ": "YEARLY", "BYMONTHDAY": "-1", "COUNT": "2"},
+            {"FREQ": "YEARLY", "BYMONTHDAY": "0", "COUNT": "2"},
         )
+
+
+def test_monthly_nth_weekday():
+    # third Thursday, then last Friday — the two most common
+    # business recurrences beyond plain monthly
+    occ, _ = expand_rrule(
+        datetime.datetime(2026, 1, 1, 9),
+        {"FREQ": "MONTHLY", "BYDAY": "3TH", "COUNT": "3"},
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occ] == [
+        "2026-01-15", "2026-02-19", "2026-03-19"
+    ]
+    occ, _ = expand_rrule(
+        datetime.datetime(2026, 1, 1, 9),
+        {"FREQ": "MONTHLY", "BYDAY": "-1FR", "COUNT": "3"},
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occ] == [
+        "2026-01-30", "2026-02-27", "2026-03-27"
+    ]
+
+
+def test_monthly_last_day_and_fifth_friday_skips():
+    occ, _ = expand_rrule(
+        datetime.datetime(2026, 1, 1, 9),
+        {"FREQ": "MONTHLY", "BYMONTHDAY": "-1", "COUNT": "4"},
+    )
+    assert [o.day for o in occ] == [31, 28, 31, 30]
+    # months without a 5th Friday are skipped, COUNT not consumed
+    occ, _ = expand_rrule(
+        datetime.datetime(2026, 1, 1, 9),
+        {"FREQ": "MONTHLY", "BYDAY": "5FR", "COUNT": "3"},
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occ] == [
+        "2026-01-30", "2026-05-29", "2026-07-31"
+    ]
+
+
+def test_yearly_byday_with_bymonth():
+    occ, _ = expand_rrule(
+        datetime.datetime(2026, 1, 1, 9),
+        {"FREQ": "YEARLY", "BYMONTH": "11", "BYDAY": "3TH",
+         "COUNT": "2"},
+    )
+    assert [o.strftime("%Y-%m-%d") for o in occ] == [
+        "2026-11-19", "2027-11-18"
+    ]
+
+
+def test_bad_byday_tokens_raise():
+    for bad in ("XX", "0MO", "6TU", "1.5WE"):
+        with pytest.raises(ValueError):
+            expand_rrule(
+                datetime.datetime(2024, 1, 1),
+                {"FREQ": "MONTHLY", "BYDAY": bad, "COUNT": "2"},
+            )
 
 
 def test_unsupported_freq_still_raises():

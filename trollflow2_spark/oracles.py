@@ -10165,6 +10165,27 @@ WITH base AS (
       '%Y-%m-%dT%H:%M:%S') AS occ_end
   FROM base b JOIN (SELECT unnest(range(3)) AS j) t ON TRUE
   WHERE NOT b.trunc
+), e4 AS (
+  SELECT b.doc_id, 'e4-' || CAST(b.doc_id AS VARCHAR) || '@x' AS uid,
+    'Biz' AS summary, CAST(j AS INT) AS occ_idx,
+    CASE b.doc_id % 3
+      WHEN 0 THEN (['2026-01-15T09:00:00', '2026-02-19T09:00:00',
+                    '2026-03-19T09:00:00'])[j + 1]
+      WHEN 1 THEN (['2026-01-31T09:00:00', '2026-02-28T09:00:00',
+                    '2026-03-31T09:00:00'])[j + 1]
+      ELSE (['2026-02-28T09:00:00', '2027-02-28T09:00:00',
+             '2028-02-29T09:00:00'])[j + 1]
+    END AS occ_start,
+    CASE b.doc_id % 3
+      WHEN 0 THEN (['2026-01-15T09:30:00', '2026-02-19T09:30:00',
+                    '2026-03-19T09:30:00'])[j + 1]
+      WHEN 1 THEN (['2026-01-31T09:30:00', '2026-02-28T09:30:00',
+                    '2026-03-31T09:30:00'])[j + 1]
+      ELSE (['2026-02-28T09:30:00', '2027-02-28T09:30:00',
+             '2028-02-29T09:30:00'])[j + 1]
+    END AS occ_end
+  FROM base b JOIN (SELECT unnest(range(3)) AS j) t ON TRUE
+  WHERE NOT b.trunc
 )
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT) AS all_day, CAST(0 AS INT) AS capped,
@@ -10176,6 +10197,9 @@ SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
 UNION ALL
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e3
+UNION ALL
+SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
+  CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e4
 UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   CAST(1 AS INT)

@@ -13198,6 +13198,23 @@ def q_ics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "DURATION:PT1H",
                     rr,
                     "END:VEVENT",
+                ]
+                # r14: the business recurrences beyond plain monthly —
+                # nth weekday, last-day-of-month, and from-month-end
+                # yearly (all previously quarantined)
+                rr4 = [
+                    "RRULE:FREQ=MONTHLY;BYDAY=3TH;COUNT=3",
+                    "RRULE:FREQ=MONTHLY;BYMONTHDAY=-1;COUNT=3",
+                    "RRULE:FREQ=YEARLY;BYMONTH=2;BYMONTHDAY=-1;COUNT=3",
+                ][d % 3]
+                lines += [
+                    "BEGIN:VEVENT",
+                    f"UID:e4-{d}@x",
+                    "SUMMARY:Biz",
+                    "DTSTART:20260101T090000Z",
+                    "DURATION:PT30M",
+                    rr4,
+                    "END:VEVENT",
                     "END:VCALENDAR",
                 ]
                 text = "\r\n".join(lines)

@@ -203,7 +203,8 @@ def expand_rrule(
                 capped = True
                 going = False
     elif freq == "MONTHLY":
-        day = dtstart.day
+        byday = _parse_byday(rule.get("BYDAY", ""))
+        bymd = _parse_bymonthday(rule.get("BYMONTHDAY", ""))
         y, mth = dtstart.year, dtstart.month
         k = 0
         going = True
@@ -211,45 +212,35 @@ def expand_rrule(
             yy = y + (mth - 1 + k * interval) // 12
             mm = (mth - 1 + k * interval) % 12 + 1
             k += 1
-            try:
-                dt = dtstart.replace(year=yy, month=mm, day=day)
-            except ValueError:
-                if k > 12 * (max_occurrences + 2):
-                    capped = True
+            for dd in _month_days(yy, mm, byday, bymd, dtstart.day):
+                dt = dtstart.replace(year=yy, month=mm, day=dd)
+                if dt < dtstart:
+                    continue
+                if not emit(dt):
                     going = False
-                continue  # invalid date: skipped, COUNT not consumed
-            if not emit(dt):
+                    break
+            # a rule that can never produce a date (BYMONTHDAY=31
+            # every 30-day month, Feb-30, 5th Friday rules in short
+            # months) must trip the cap loudly, not loop
+            if k > 12 * (max_occurrences + 2):
+                capped = True
                 going = False
     elif freq == "YEARLY":
         months = sorted(
             int(m) for m in rule.get("BYMONTH", "").split(",") if m
         ) or [dtstart.month]
-        days = sorted(
-            int(d) for d in rule.get("BYMONTHDAY", "").split(",") if d
-        ) or [dtstart.day]
         if any(m < 1 or m > 12 for m in months):
             raise ValueError(f"bad BYMONTH {rule.get('BYMONTH')!r}")
-        if any(d < 0 for d in days):
-            raise ValueError(
-                "negative BYMONTHDAY (from-month-end) is unsupported; "
-                "rewrite the rule with explicit month days"
-            )
-        if any(d < 1 or d > 31 for d in days):
-            raise ValueError(f"bad BYMONTHDAY {rule.get('BYMONTHDAY')!r}")
+        byday = _parse_byday(rule.get("BYDAY", ""))
+        bymd = _parse_bymonthday(rule.get("BYMONTHDAY", ""))
         k = 0
         going = True
         while going:
             yy = dtstart.year + k * interval
             k += 1
             for mm in months:
-                for dd in days:
-                    try:
-                        dt = dtstart.replace(year=yy, month=mm, day=dd)
-                    except ValueError:
-                        # Feb-29 in a non-leap year (or BYMONTHDAY=31
-                        # in a short month): skipped, COUNT not
-                        # consumed — the D/W/M invalid-date precedent
-                        continue
+                for dd in _month_days(yy, mm, byday, bymd, dtstart.day):
+                    dt = dtstart.replace(year=yy, month=mm, day=dd)
                     if dt < dtstart:
                         continue
                     if not emit(dt):
@@ -266,6 +257,81 @@ def expand_rrule(
     else:
         raise ValueError(f"unsupported FREQ {freq!r}")
     return out, capped
+
+
+_BYDAY_RE = re.compile(r"([+-]?\d+)?(MO|TU|WE|TH|FR|SA|SU)")
+
+
+def _parse_byday(value: str) -> list[tuple[int | None, int]]:
+    """BYDAY tokens with optional ordinal prefix (RFC 5545 §3.3.10):
+    ``3TH`` = third Thursday, ``-1FR`` = last Friday, bare ``MO`` =
+    every Monday of the period. Returns (ordinal-or-None, weekday)."""
+    out = []
+    for tok in (t for t in value.split(",") if t):
+        m = _BYDAY_RE.fullmatch(tok.strip().upper())
+        if not m:
+            raise ValueError(f"bad BYDAY token {tok!r}")
+        ordinal = int(m.group(1)) if m.group(1) else None
+        if ordinal is not None and (ordinal == 0 or abs(ordinal) > 5):
+            raise ValueError(f"bad BYDAY ordinal in {tok!r}")
+        out.append((ordinal, _WEEKDAYS[m.group(2)]))
+    return out
+
+
+def _parse_bymonthday(value: str) -> list[int]:
+    """BYMONTHDAY values; negatives count from month end (-1 = last
+    day). Zero and |d| > 31 are not well-formed."""
+    days = [int(d) for d in value.split(",") if d]
+    if any(d == 0 or d < -31 or d > 31 for d in days):
+        raise ValueError(f"bad BYMONTHDAY {value!r}")
+    return days
+
+
+def _days_in_month(yy: int, mm: int) -> int:
+    if mm == 12:
+        nxt = datetime.date(yy + 1, 1, 1)
+    else:
+        nxt = datetime.date(yy, mm + 1, 1)
+    return (nxt - datetime.timedelta(days=1)).day
+
+
+def _month_days(
+    yy: int,
+    mm: int,
+    byday: list[tuple[int | None, int]],
+    bymd: list[int],
+    default_day: int,
+) -> list[int]:
+    """Resolve one month's occurrence days per RFC 5545: BYDAY
+    ordinals pick the nth (or nth-from-last) matching weekday,
+    negative BYMONTHDAY counts from month end, both present =
+    intersection (BYDAY limits BYMONTHDAY); neither falls back to
+    DTSTART's day, skipping months where it does not exist (COUNT is
+    not consumed — the long-standing invalid-date convention)."""
+    n = _days_in_month(yy, mm)
+    md: set[int] = set()
+    for d in bymd:
+        dd = d if d > 0 else n + 1 + d
+        if 1 <= dd <= n:
+            md.add(dd)
+    if byday:
+        sel: set[int] = set()
+        for ordinal, wd in byday:
+            matching = [
+                d
+                for d in range(1, n + 1)
+                if datetime.date(yy, mm, d).weekday() == wd
+            ]
+            if ordinal is None:
+                sel.update(matching)
+            elif abs(ordinal) <= len(matching):
+                sel.add(matching[ordinal - 1 if ordinal > 0 else ordinal])
+        days = sel & md if bymd else sel
+    elif bymd:
+        days = md
+    else:
+        days = {default_day} if default_day <= n else set()
+    return sorted(days)
 
 
 def parse_ics(text: str, max_occurrences: int = 1000) -> list[dict]:
