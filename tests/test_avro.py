@@ -340,3 +340,76 @@ def test_schema_resolution_enum_default_and_nested():
     blob = write_container([{"k": "C", "xs": [1, 2]}], w)
     _, out = read_container_resolved(blob, r)
     assert out[0] == {"k": "A", "xs": [1, 2]}
+
+
+def test_named_type_references_and_recursion():
+    """Recursive records (self-reference by name) and type reuse by
+    full name — ubiquitous in real schema registries."""
+    ll = {
+        "type": "record", "name": "Node", "namespace": "ex",
+        "fields": [
+            {"name": "value", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    recs = [
+        {"value": 1,
+         "next": {"value": 2, "next": {"value": 3, "next": None}}},
+        {"value": 9, "next": None},
+    ]
+    _, got = read_container(write_container(recs, ll))
+    assert got == recs
+    pair = {
+        "type": "record", "name": "Pair",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "P",
+                "fields": [{"name": "x", "type": "int"}]}},
+            {"name": "b", "type": "P"},
+        ],
+    }
+    _, got = read_container(
+        write_container([{"a": {"x": 1}, "b": {"x": 2}}], pair)
+    )
+    assert got == [{"a": {"x": 1}, "b": {"x": 2}}]
+    with pytest.raises(AvroError, match="unresolved"):
+        write_container(
+            [{"x": None}],
+            {"type": "record", "name": "Q",
+             "fields": [{"name": "x", "type": "Nope"}]},
+        )
+
+
+def test_reader_schema_aliases_and_recursive_evolution():
+    from trollflow2_spark.sources.avro import read_container_resolved
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "old_name", "type": "string"},
+                    {"name": "keep", "type": "int"}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "new_name", "type": "string",
+                     "aliases": ["old_name"]},
+                    {"name": "keep", "type": "long"}]}
+    blob = write_container([{"old_name": "hi", "keep": 5}], w)
+    _, got = read_container_resolved(blob, r)
+    assert got == [{"new_name": "hi", "keep": 5}]
+
+    ll = {
+        "type": "record", "name": "Node", "namespace": "ex",
+        "fields": [
+            {"name": "value", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    r2 = {
+        "type": "record", "name": "Node", "namespace": "ex",
+        "fields": [
+            {"name": "value", "type": "long"},
+            {"name": "tag", "type": "string", "default": "t"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    recs = [{"value": 1, "next": {"value": 2, "next": None}}]
+    blob = write_container(recs, ll)
+    _, got = read_container_resolved(blob, r2)
+    assert got[0]["tag"] == "t" and got[0]["next"]["tag"] == "t"

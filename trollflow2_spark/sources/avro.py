@@ -180,17 +180,75 @@ def _to_physical(schema: dict, v):
     return v
 
 
-def _decode(schema, buf: io.BytesIO):
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double",
+     "bytes", "string")
+)
+
+
+def _fullname(name: str, namespace: str) -> str:
+    if "." in name or not namespace:
+        return name
+    return f"{namespace}.{name}"
+
+
+def collect_names(schema, namespace: str = "", names: dict | None = None):
+    """Registry of named types (record/enum/fixed) by fullname — the
+    spec's mechanism for recursive records and name reuse: once
+    defined, a schema may reference the type by (full)name anywhere a
+    type is expected. Returns {fullname: schema dict}; short names
+    register too when unambiguous so relative references resolve."""
+    if names is None:
+        names = {}
+    if isinstance(schema, list):
+        for b in schema:
+            collect_names(b, namespace, names)
+        return names
+    if not isinstance(schema, dict):
+        return names
+    t = schema["type"]
+    ns = schema.get("namespace", namespace)
+    if t in ("record", "enum", "fixed") and "name" in schema:
+        fn = _fullname(schema["name"], ns)
+        names[fn] = schema
+        names.setdefault(schema["name"], schema)
+    if t == "record":
+        for f in schema.get("fields", ()):
+            collect_names(f["type"], ns, names)
+    elif t == "array":
+        collect_names(schema["items"], ns, names)
+    elif t == "map":
+        collect_names(schema["values"], ns, names)
+    elif isinstance(t, (dict, list)):
+        collect_names(t, ns, names)
+    return names
+
+
+def _named(schema, names):
+    """Resolve a string schema that is not a primitive against the
+    names registry (previously defined record/enum/fixed)."""
+    if (
+        isinstance(schema, str)
+        and schema not in _PRIMITIVES
+    ):
+        if names and schema in names:
+            return names[schema]
+        raise AvroError(f"unresolved named-type reference {schema!r}")
+    return schema
+
+
+def _decode(schema, buf: io.BytesIO, names: dict | None = None):
+    schema = _named(schema, names)
     if isinstance(schema, list):  # union
         idx = _read_long(buf)
         if not 0 <= idx < len(schema):
             raise AvroError(f"union index {idx} out of range")
-        return _decode(schema[idx], buf)
+        return _decode(schema[idx], buf, names)
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
             return {
-                f["name"]: _decode(f["type"], buf)
+                f["name"]: _decode(f["type"], buf, names)
                 for f in schema["fields"]
             }
         if t == "array":
@@ -203,7 +261,7 @@ def _decode(schema, buf: io.BytesIO):
                     _read_long(buf)
                     n = -n
                 for _ in range(n):
-                    out.append(_decode(schema["items"], buf))
+                    out.append(_decode(schema["items"], buf, names))
         if t == "map":
             out = {}
             while True:
@@ -215,7 +273,7 @@ def _decode(schema, buf: io.BytesIO):
                     n = -n
                 for _ in range(n):
                     k = _decode("string", buf)
-                    out[k] = _decode(schema["values"], buf)
+                    out[k] = _decode(schema["values"], buf, names)
         if t == "enum":
             idx = _read_long(buf)
             syms = schema["symbols"]
@@ -227,7 +285,7 @@ def _decode(schema, buf: io.BytesIO):
                 schema, _read_n(buf, int(schema["size"]))
             )
         # {"type": "long"} wrapper form, incl. logicalType carriers
-        return _apply_logical(schema, _decode(t, buf))
+        return _apply_logical(schema, _decode(t, buf, names))
     if schema == "null":
         return None
     if schema == "boolean":
@@ -249,24 +307,28 @@ def _decode(schema, buf: io.BytesIO):
     raise AvroError(f"unsupported schema {schema!r}")
 
 
-def _encode(schema, v) -> bytes:
+def _encode(schema, v, names: dict | None = None) -> bytes:
+    schema = _named(schema, names)
     if isinstance(schema, list):
         for i, branch in enumerate(schema):
-            if _matches(branch, v):
-                return _write_long(i) + _encode(branch, v)
+            if _matches(branch, v, names):
+                return _write_long(i) + _encode(branch, v, names)
         raise AvroError(f"no union branch for {v!r}")
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
             return b"".join(
-                _encode(f["type"], v[f["name"]]) for f in schema["fields"]
+                _encode(f["type"], v[f["name"]], names)
+                for f in schema["fields"]
             )
         if t == "array":
             if not v:
                 return _write_long(0)
             return (
                 _write_long(len(v))
-                + b"".join(_encode(schema["items"], x) for x in v)
+                + b"".join(
+                    _encode(schema["items"], x, names) for x in v
+                )
                 + _write_long(0)
             )
         if t == "map":
@@ -275,7 +337,8 @@ def _encode(schema, v) -> bytes:
             return (
                 _write_long(len(v))
                 + b"".join(
-                    _encode("string", k) + _encode(schema["values"], x)
+                    _encode("string", k)
+                    + _encode(schema["values"], x, names)
                     for k, x in v.items()
                 )
                 + _write_long(0)
@@ -287,7 +350,7 @@ def _encode(schema, v) -> bytes:
             if len(v) != int(schema["size"]):
                 raise AvroError("fixed size mismatch")
             return bytes(v)
-        return _encode(t, _to_physical(schema, v))
+        return _encode(t, _to_physical(schema, v), names)
     if schema == "null":
         return b""
     if schema == "boolean":
@@ -306,7 +369,14 @@ def _encode(schema, v) -> bytes:
     raise AvroError(f"unsupported schema {schema!r}")
 
 
-def _matches(schema, v) -> bool:
+def _matches(schema, v, names: dict | None = None) -> bool:
+    if (
+        isinstance(schema, str)
+        and schema not in _PRIMITIVES
+        and names
+        and schema in names
+    ):
+        schema = names[schema]
     if schema == "null":
         return v is None
     if schema == "boolean":
@@ -334,6 +404,7 @@ def write_container(
     split across blocks of that size (exercises multi-block reads)."""
     if len(sync) != 16:
         raise AvroError("sync marker must be 16 bytes")
+    names = collect_names(schema)
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
         "avro.codec": codec.encode(),
@@ -348,7 +419,7 @@ def write_container(
         chunk = records[i:i + step]
         if not chunk:
             break
-        payload = b"".join(_encode(schema, r) for r in chunk)
+        payload = b"".join(_encode(schema, r, names) for r in chunk)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate, per spec
         elif codec == "snappy":
@@ -378,6 +449,7 @@ def read_container(blob: bytes) -> tuple[dict, list]:
     codec = meta.get("avro.codec", b"null").decode("latin-1")
     if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported codec {codec!r}")
+    names = collect_names(schema)
     sync = _read_n(buf, 16)
     records = []
     while True:
@@ -410,7 +482,13 @@ def read_container(blob: bytes) -> tuple[dict, list]:
                 raise AvroError("snappy block CRC mismatch")
         pbuf = io.BytesIO(payload)
         for _ in range(n):
-            records.append(_decode(schema, pbuf))
+            try:
+                records.append(_decode(schema, pbuf, names))
+            except RecursionError as e:
+                # a recursive named type + corrupt data can nest past
+                # the interpreter limit; surface it as a decode error,
+                # not a blown task
+                raise AvroError("recursion limit in decode") from e
         if pbuf.read(1):
             raise AvroError("trailing bytes in block")
         if _read_n(buf, 16) != sync:
@@ -485,22 +563,28 @@ def _plain_type(schema):
     return schema
 
 
-def resolve_value(writer, reader, v):
+def resolve_value(writer, reader, v, wnames=None, rnames=None):
     """Schema-resolution of one decoded value per the spec's
-    'Schema Resolution' rules: record fields match by NAME (writer
-    fields absent from the reader drop; reader fields absent from
-    the writer take their ``default``, loudly erroring without one),
-    numeric promotions int→long→float→double, long→float→double,
-    float→double, string↔bytes, and union re-matching against the
-    reader's branches. Logical types ride the physical value."""
+    'Schema Resolution' rules: record fields match by NAME or by the
+    reader field's ``aliases`` (writer fields absent from the reader
+    drop; reader fields absent from the writer take their
+    ``default``, loudly erroring without one), numeric promotions
+    int→long→float→double, long→float→double, float→double,
+    string↔bytes, and union re-matching against the reader's
+    branches. Named-type references resolve on both sides (recursive
+    records evolve too). Logical types ride the physical value."""
+    writer = _named(writer, wnames)
+    reader = _named(reader, rnames)
     if isinstance(writer, list):
         # the decoded value already collapsed to its branch; resolve
         # the VALUE against the reader directly
-        return resolve_value(_infer_branch(writer, v), reader, v)
+        return resolve_value(
+            _infer_branch(writer, v), reader, v, wnames, rnames
+        )
     if isinstance(reader, list):
         for branch in reader:
             try:
-                return resolve_value(writer, branch, v)
+                return resolve_value(writer, branch, v, wnames, rnames)
             except AvroError:
                 continue
         raise AvroError(
@@ -512,9 +596,16 @@ def resolve_value(writer, reader, v):
         out = {}
         for f in reader["fields"]:
             name = f["name"]
-            if name in wfields:
+            # spec: reader-field aliases match writer field names
+            # (the rename path of schema evolution)
+            src = name if name in wfields else next(
+                (a for a in f.get("aliases", ()) if a in wfields),
+                None,
+            )
+            if src is not None:
                 out[name] = resolve_value(
-                    wfields[name]["type"], f["type"], v[name]
+                    wfields[src]["type"], f["type"], v[src],
+                    wnames, rnames,
                 )
             elif "default" in f:
                 out[name] = f["default"]
@@ -526,12 +617,16 @@ def resolve_value(writer, reader, v):
         return out
     if wt == "array" and rt == "array":
         return [
-            resolve_value(writer["items"], reader["items"], x)
+            resolve_value(
+                writer["items"], reader["items"], x, wnames, rnames
+            )
             for x in v
         ]
     if wt == "map" and rt == "map":
         return {
-            k: resolve_value(writer["values"], reader["values"], x)
+            k: resolve_value(
+                writer["values"], reader["values"], x, wnames, rnames
+            )
             for k, x in v.items()
         }
     if wt == "enum" and rt == "enum":
@@ -583,6 +678,12 @@ def read_container_resolved(blob: bytes, reader_schema: dict):
     consumers with added/defaulted fields reading old archives).
     Returns (writer_schema, resolved_records)."""
     writer, records = read_container(blob)
-    return writer, [
-        resolve_value(writer, reader_schema, r) for r in records
-    ]
+    wnames = collect_names(writer)
+    rnames = collect_names(reader_schema)
+    try:
+        return writer, [
+            resolve_value(writer, reader_schema, r, wnames, rnames)
+            for r in records
+        ]
+    except RecursionError as e:
+        raise AvroError("recursion limit in resolution") from e
