@@ -417,6 +417,8 @@ STRESS = [
     "semantic_cells_plain",  # hot k-means cell, unguarded cross-product
     "semantic_cells_guarded",  # salt/cap guarded twin — must beat the baseline
     "cdc_monster_doc",  # 8x20k-token docs: linear chunker on the long-doc tail
+    "dictionary_match",  # 3-phrase Aho-Corasick baseline
+    "dictmatch_bigdict",  # 30k-phrase twin: broadcast automaton, must stay flat
 ]
 
 # The skewed-join AQE pair runs this contract query twice with
@@ -760,6 +762,9 @@ def _stress_fixture_rows(spark, sf_dir: str) -> dict[str, int]:
     n_emb = spark.read.parquet(
         os.path.join(sf_dir, "embeddings.parquet")
     ).count()
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
     skew_rows = n_events * C.SKEW_REPLICATE
     sem_rows = n_emb * C.SEMSKEW_REPLICATE
     return {
@@ -771,6 +776,8 @@ def _stress_fixture_rows(spark, sf_dir: str) -> dict[str, int]:
         "semantic_cells_guarded": sem_rows,
         # tokens, not rows: the monster fixture is sf-independent
         "cdc_monster_doc": C.CDC_MONSTER_DOCS * C.CDC_MONSTER_TOKENS,
+        "dictionary_match": n_docs,
+        "dictmatch_bigdict": n_docs,
     }
 
 

@@ -10,12 +10,13 @@ Aho-Corasick automaton (Aho & Corasick 1975, public algorithm): one
 pass over the text, O(len + matches) regardless of dictionary size.
 
 Scale shape: the dictionary is DIMENSION data — the automaton builds
-once on the driver (trie + BFS failure links + output links) and
-ships to executors inside the Arrow-kernel closure (Spark broadcasts
-task closures; for very large dicts use `spark.sparkContext
-.broadcast` explicitly — same movement either way). Matching runs in
-`mapInPandas` per batch: the text never shuffles, output is one
-bounded count row per document.
+once on the driver (trie + BFS failure links + output links). Small
+dictionaries ride the Arrow-kernel closure; beyond
+``_BROADCAST_PHRASES`` (10^4) the automaton ships via an explicit
+``sparkContext.broadcast`` — ONE serialization per executor instead
+of a re-pickled closure per task, the difference that matters for a
+10^6-phrase gazetteer. Matching runs in `mapInPandas` per batch: the
+text never shuffles, output is one bounded count row per document.
 
 Semantics (pinned for the oracle): matches are SUBSTRING occurrences
 over the case-folded text, counted at every end position — phrases
@@ -36,8 +37,11 @@ __all__ = ["build_automaton", "match_counts", "dictionary_match"]
 
 
 def build_automaton(phrases: list[str], fold_case: bool = True):
-    """Trie + failure links + output links. Returns (goto, fail, out)
-    as plain lists/dicts — picklable, no classes."""
+    """Trie + failure links + output links. Returns (goto, fail, out,
+    norm, fold_case) as plain lists/dicts — picklable, no classes.
+    The fold_case flag rides the tuple so matching folds the TEXT
+    exactly when the dictionary was folded (an unfolded automaton
+    must never silently lowercase away its uppercase patterns)."""
     if not phrases:
         raise ValueError("empty dictionary")
     norm = []
@@ -76,16 +80,16 @@ def build_automaton(phrases: list[str], fold_case: bool = True):
             fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
             if out[fail[s]]:
                 out[s] = out[s] + out[fail[s]]
-    return goto, fail, out, norm
+    return goto, fail, out, norm, fold_case
 
 
 def match_counts(
     automaton, text: str, word_boundaries: bool = False
 ) -> dict[int, int]:
     """One pass; returns {phrase_idx: occurrence_count}."""
-    goto, fail, out, norm = automaton
+    goto, fail, out, norm, fold_case = automaton
     counts: dict[int, int] = {}
-    t = text.lower()
+    t = text.lower() if fold_case else text
     s = 0
     for i, ch in enumerate(t):
         while s and ch not in goto[s]:
@@ -114,29 +118,42 @@ MATCH_SCHEMA = T.StructType(
 )
 
 
+# above this phrase count the automaton ships via an explicit
+# SparkContext broadcast: ONE serialization per executor instead of
+# a re-pickled task closure per task — the difference between a
+# 10^6-phrase gazetteer costing one ~100 MB transfer per executor
+# and costing it per TASK
+_BROADCAST_PHRASES = 10_000
+
+
 def dictionary_match(
     df: DataFrame,
     phrases: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     word_boundaries: bool = False,
+    fold_case: bool = True,
 ) -> DataFrame:
     """Per-document dictionary-match profile: total hits, distinct
     phrases hit, and the dominant phrase (ties to the
     lexicographically smallest — deterministic on any engine). One
-    row per document, zero shuffle."""
-    automaton = build_automaton(phrases)
+    row per document, zero shuffle; dictionaries beyond
+    ``_BROADCAST_PHRASES`` ship per-executor via broadcast."""
+    automaton = build_automaton(phrases, fold_case=fold_case)
+    bc = None
+    if len(phrases) > _BROADCAST_PHRASES:
+        bc = df.sparkSession.sparkContext.broadcast(automaton)
+        automaton = None  # keep the big tuple OUT of the closure
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        norm = automaton[3]
+        aut = bc.value if bc is not None else automaton
+        norm = aut[3]
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                c = match_counts(
-                    automaton, text or "", word_boundaries
-                )
+                c = match_counts(aut, text or "", word_boundaries)
                 if c:
                     top = min(
                         c.items(), key=lambda kv: (-kv[1], norm[kv[0]])

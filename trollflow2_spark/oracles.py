@@ -10900,6 +10900,11 @@ SELECT doc_id,
 FROM c
 """
 
+# 30k-phrase stress twin: the noise phrases never match, so the
+# output — and therefore the oracle — is identical to the 3-phrase
+# query; only the automaton (and its broadcast shipping) grows
+ORACLES["dictmatch_bigdict"] = ORACLES["dictionary_match"]
+
 # CBOR intake: the oracle restates the canonical sorted-key JSON
 # strings closed-form (map / tag-1 epoch / indefinite text items)
 ORACLES["cbor_ingest"] = """

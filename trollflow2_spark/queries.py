@@ -14294,6 +14294,36 @@ def q_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dictmatch_bigdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-gazetteer stress twin of `dictionary_match`: the same 3
+    planted phrases plus ~30k never-matching ones, pushing the
+    automaton over the explicit-broadcast threshold (one ship per
+    executor, not one pickle per task). Aho-Corasick is O(len +
+    matches) per document regardless of dictionary size, so this
+    must stay in the same time class as the 3-phrase query — and its
+    output (same oracle) must be identical."""
+    from trollflow2_spark.extensions.dictmatch import dictionary_match
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = F.col("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("spam "), (d % 4).cast("int")),
+        F.lit("regular words "),
+        F.repeat(F.lit("click here "), (d % 3).cast("int")),
+        F.when(d % 7 == 0, F.lit("free money! ")).otherwise(F.lit("")),
+        F.lit("trailing"),
+    )
+    fixture = docs.select("doc_id", text.alias("text"))
+    # 'zq…x' tokens never occur in the fixture text; multi-word forms
+    # exercise deep trie paths and failure links
+    noise = [f"zq{i}x never {i} matches" for i in range(30_000)]
+    return dictionary_match(
+        fixture, ["spam", "click here", "free money"] + noise
+    )
+
+
 def q_cbor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CBOR sequence intake (`sources/cbor.py`, RFC 8949 from
     scratch): per doc a 3-item sequence — a definite map (ints,
@@ -15030,6 +15060,7 @@ QUERIES = {
     "iceberg_eq_deletes": q_iceberg_eq_deletes,
     "cbor_ingest": q_cbor_ingest,
     "dictionary_match": q_dictionary_match,
+    "dictmatch_bigdict": q_dictmatch_bigdict,
     "latency_quantiles": q_latency_quantiles,
     "dbscan_blobs": q_dbscan_blobs,
     "cdc_extract": q_cdc_extract,
