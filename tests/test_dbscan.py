@@ -70,3 +70,45 @@ def test_bad_params_raise(spark):
         dbscan_grid(df, eps=0.0, min_pts=3)
     with pytest.raises(ValueError):
         dbscan_grid(df, eps=1.0, min_pts=0)
+
+
+def test_kd_guard_redirects_high_dims(spark):
+    import pytest
+
+    from trollflow2_spark.extensions.clustering import dbscan_grid_kd
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0, 0.0, 0.0)],
+        "id long, a double, b double, c double, d double, e double",
+    )
+    with pytest.raises(ValueError, match="k-means/IVF"):
+        dbscan_grid_kd(
+            pts, eps=1.0, min_pts=2,
+            coord_cols=["a", "b", "c", "d", "e"],
+        )
+
+
+def test_3d_blobs_and_noise(spark):
+    from trollflow2_spark.extensions.clustering import dbscan_grid_kd
+
+    rows = []
+    i = 0
+    # a 2x2x2 blob at origin (spacing 0.5: every point has 3 axis +
+    # 3 face-diagonal neighbors in eps=0.75 -> core at min_pts=4)
+    for x in (0.0, 0.5):
+        for y in (0.0, 0.5):
+            for z in (0.0, 0.5):
+                rows.append((i, x, y, z)); i += 1
+    rows.append((100, 50.0, 50.0, 50.0))  # noise
+    pts = spark.createDataFrame(
+        rows, "id long, x double, y double, z double"
+    )
+    out = {
+        r["id"]: r
+        for r in dbscan_grid_kd(
+            pts, eps=0.75, min_pts=4, coord_cols=["x", "y", "z"]
+        ).collect()
+    }
+    assert all(out[i]["is_core"] == 1 for i in range(8))
+    assert all(out[i]["cluster_id"] == 0 for i in range(8))
+    assert out[100]["is_core"] == 0 and out[100]["cluster_id"] is None

@@ -24,17 +24,28 @@ Scale shape — the same economics as
   cluster's core set; border points take the smallest cluster id
   among their core neighbors (ties can't flap — min is total).
 
-Output: (id, x, y, is_core, cluster_id) with cluster_id NULL for
-noise. Exact-arithmetic contract: distances compare as squared sums
-against eps² — no sqrt — so quarter-aligned fixtures replay
+Output: (id, <coords>, is_core, cluster_id) with cluster_id NULL
+for noise. Exact-arithmetic contract: distances compare as squared
+sums against eps² — no sqrt — so quarter-aligned fixtures replay
 bit-identically on any engine.
+
+Dimensionality contract: `dbscan_grid_kd` takes any coordinate list
+up to ``max_dims`` (default 4 — the 3^k neighbor-cell fan-out is 81
+there and doubles per added dim; `dbscan_grid` is its 2-D
+specialization). HIGH-dimensional embedding clustering should NOT
+come here at all: grid buckets lose selectivity as k grows (the
+curse of dimensionality applies to every exact method) — use the
+k-means / IVF tier in `similarity.py`, which this module's guard
+names loudly.
 """
 
 from __future__ import annotations
 
+from itertools import product
+
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["dbscan_grid"]
+__all__ = ["dbscan_grid", "dbscan_grid_kd"]
 
 
 def dbscan_grid(
@@ -45,53 +56,84 @@ def dbscan_grid(
     x_col: str = "x",
     y_col: str = "y",
 ) -> DataFrame:
-    """Grid-bucketed exact DBSCAN (see module docstring)."""
+    """Grid-bucketed exact DBSCAN, 2-D specialization of
+    :func:`dbscan_grid_kd` (see module docstring)."""
+    return dbscan_grid_kd(
+        points, eps, min_pts, id_col=id_col, coord_cols=[x_col, y_col]
+    )
+
+
+def dbscan_grid_kd(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    coord_cols: list[str] | None = None,
+    max_dims: int = 4,
+) -> DataFrame:
+    """Grid-bucketed exact DBSCAN over k coordinate columns: cell key
+    = (floor(x_i/eps), …), one side explodes to its 3^k neighbor
+    cells, candidates come from a k-column EQUI join with the exact
+    squared-distance filter in the joined stage."""
+    coord_cols = list(coord_cols or ["x", "y"])
+    k = len(coord_cols)
     if eps <= 0 or min_pts < 1:
         raise ValueError(f"bad eps={eps!r} / min_pts={min_pts!r}")
+    if not 1 <= k <= max_dims:
+        raise ValueError(
+            f"dbscan_grid_kd handles 1..{max_dims} dims (3^k "
+            f"neighbor-cell fan-out), got {k}; for high-dimensional "
+            "embedding clustering use the k-means/IVF tier "
+            "(extensions/similarity.py) instead of an exact grid"
+        )
     inv = 1.0 / float(eps)
     eps2 = float(eps) * float(eps)
+    vcols = [f"__v{i}" for i in range(k)]
+    ccols = [f"__c{i}" for i in range(k)]
     pts = points.select(
         F.col(id_col).alias("__id"),
-        F.col(x_col).cast("double").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"),
-        F.floor(F.col(x_col) * inv).alias("__cx"),
-        F.floor(F.col(y_col) * inv).alias("__cy"),
+        *[
+            F.col(c).cast("double").alias(v)
+            for c, v in zip(coord_cols, vcols)
+        ],
+        *[
+            F.floor(F.col(c).cast("double") * inv).alias(cc)
+            for c, cc in zip(coord_cols, ccols)
+        ],
     ).localCheckpoint()
-    # one side explodes to its 3x3 neighborhood; equi join on the cell
-    offs = F.array(*[F.lit(o) for o in (-1, 0, 1)])
+    # one side explodes to its 3^k neighborhood (the offset tuples
+    # are plan literals); equi join on the k cell-key columns
+    jcols = [f"__jc{i}" for i in range(k)]
+    offsets = F.array(
+        *[
+            F.array(*[F.lit(o) for o in tup])
+            for tup in product((-1, 0, 1), repeat=k)
+        ]
+    )
     a = pts.select(
         F.col("__id").alias("__ia"),
-        F.col("__x").alias("__xa"),
-        F.col("__y").alias("__ya"),
-        F.explode(offs).alias("__dx"),
-        "__cx",
-        "__cy",
+        *[F.col(v).alias(f"{v}a") for v in vcols],
+        F.explode(offsets).alias("__off"),
+        *ccols,
     ).select(
         "__ia",
-        "__xa",
-        "__ya",
-        (F.col("__cx") + F.col("__dx")).alias("__jcx"),
-        F.explode(offs).alias("__dy"),
-        "__cy",
-    ).select(
-        "__ia",
-        "__xa",
-        "__ya",
-        "__jcx",
-        (F.col("__cy") + F.col("__dy")).alias("__jcy"),
+        *[f"{v}a" for v in vcols],
+        *[
+            (F.col(cc) + F.col("__off")[i]).alias(jc)
+            for i, (cc, jc) in enumerate(zip(ccols, jcols))
+        ],
     )
     b = pts.select(
         F.col("__id").alias("__ib"),
-        F.col("__x").alias("__xb"),
-        F.col("__y").alias("__yb"),
-        F.col("__cx").alias("__jcx"),
-        F.col("__cy").alias("__jcy"),
+        *[F.col(v).alias(f"{v}b") for v in vcols],
+        *[F.col(cc).alias(jc) for cc, jc in zip(ccols, jcols)],
     )
-    d2 = (F.col("__xa") - F.col("__xb")) ** 2 + (
-        F.col("__ya") - F.col("__yb")
-    ) ** 2
+    d2 = None
+    for v in vcols:
+        term = (F.col(f"{v}a") - F.col(f"{v}b")) ** 2
+        d2 = term if d2 is None else d2 + term
     nbr = (
-        a.join(b, ["__jcx", "__jcy"])
+        a.join(b, jcols)
         .where((F.col("__ia") != F.col("__ib")) & (d2 <= F.lit(eps2)))
         .select("__ia", "__ib")
         .localCheckpoint()
@@ -166,8 +208,10 @@ def dbscan_grid(
         )
         .select(
             F.col("__id").alias(id_col),
-            F.col("__x").alias(x_col),
-            F.col("__y").alias(y_col),
+            *[
+                F.col(v).alias(c)
+                for v, c in zip(vcols, coord_cols)
+            ],
             F.col("__core").cast("int").alias("is_core"),
             F.when(F.col("__core"), F.col("__own"))
             .otherwise(F.col("__border_cluster"))

@@ -10854,6 +10854,25 @@ SELECT doc_id AS id,
 FROM documents
 """
 
+# 3-D DBSCAN: membership by construction, same scheme one dim up
+ORACLES["dbscan_blobs_3d"] = """
+SELECT doc_id AS id,
+  CASE WHEN doc_id % 7 < 2
+    THEN CAST((doc_id % 7) * 100
+              + ((doc_id // 7) % 3) * 0.5 AS DOUBLE)
+    ELSE CAST(1000 + doc_id * 10 AS DOUBLE) END AS x,
+  CASE WHEN doc_id % 7 < 2
+    THEN CAST(((doc_id // 7 // 3) % 3) * 0.5 AS DOUBLE)
+    ELSE CAST(5000 + doc_id * 10 AS DOUBLE) END AS y,
+  CASE WHEN doc_id % 7 < 2
+    THEN CAST(((doc_id // 7 // 9) % 3) * 0.5 AS DOUBLE)
+    ELSE CAST(9000 + doc_id * 10 AS DOUBLE) END AS z,
+  CAST(CASE WHEN doc_id % 7 < 2 THEN 1 ELSE 0 END AS INTEGER)
+    AS is_core,
+  CASE WHEN doc_id % 7 < 2 THEN doc_id % 7 END AS cluster_id
+FROM documents
+"""
+
 # exact quantiles: quantile_cont per p — a different algorithm
 # (full sort) agreeing exactly with the bracket selection
 ORACLES["latency_quantiles"] = """

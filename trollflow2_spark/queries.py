@@ -14250,6 +14250,38 @@ def q_dbscan_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_grid(pts, eps=0.75, min_pts=4)
 
 
+def q_dbscan_blobs_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-D DBSCAN (`extensions/clustering.py::dbscan_grid_kd`): two
+    planted 3x3x3 blobs (spacing 0.5, eps 0.75 — axis and face-
+    diagonal neighbors are in range, space diagonals are not) plus
+    far-apart noise, clustered over a 3-column cell key with 27
+    neighbor cells per point. min_pts=5: cube corners have 6
+    in-range neighbors, so every blob point is core. Cluster ids =
+    min doc_id per blob; the oracle assigns membership by
+    construction."""
+    from trollflow2_spark.extensions.clustering import dbscan_grid_kd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    g = d % 7
+    q = F.floor(d / 7)
+    pts = docs.select(
+        d.alias("id"),
+        F.when(
+            g < 2, (g * 100 + (q % 3) * 0.5).cast("double")
+        ).otherwise((1000 + d * 10).cast("double")).alias("x"),
+        F.when(
+            g < 2, ((F.floor(q / 3) % 3) * 0.5).cast("double")
+        ).otherwise((5000 + d * 10).cast("double")).alias("y"),
+        F.when(
+            g < 2, ((F.floor(q / 9) % 3) * 0.5).cast("double")
+        ).otherwise((9000 + d * 10).cast("double")).alias("z"),
+    )
+    return dbscan_grid_kd(
+        pts, eps=0.75, min_pts=5, coord_cols=["x", "y", "z"]
+    )
+
+
 def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95/p99 (`extensions/profile.py::exact_quantiles`):
     per-event-type value quantiles with percentile-interpolation
@@ -15063,6 +15095,7 @@ QUERIES = {
     "dictmatch_bigdict": q_dictmatch_bigdict,
     "latency_quantiles": q_latency_quantiles,
     "dbscan_blobs": q_dbscan_blobs,
+    "dbscan_blobs_3d": q_dbscan_blobs_3d,
     "cdc_extract": q_cdc_extract,
     "spatial_join_pip": q_spatial_join_pip,
     "quantile_transform": q_quantile_transform,
