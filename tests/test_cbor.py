@@ -140,3 +140,29 @@ def test_spark_intake_quarantine(spark):
     assert rows[(1, 0)].json == '{"a":1}'
     assert rows[(1, 1)].json == "[2,3]"
     assert rows[(2, -1)].error and "truncated" in rows[(2, -1)].error
+
+
+def test_simple_values_surface_distinctly():
+    from trollflow2_spark.sources.cbor import CborError, decode
+
+    assert decode(b"\xf8\x20") == {"__simple": 32}
+    assert decode(b"\xe0") == {"__simple": 0}
+    assert decode(b"\xf3") == {"__simple": 19}
+    # RFC 8949 §3.3: two-byte simple < 32 is not well-formed
+    with pytest.raises(CborError, match="not well-formed"):
+        decode(b"\xf8\x10")
+
+
+def test_nesting_depth_quarantines_not_crashes(spark):
+    from trollflow2_spark.sources.cbor import CborError, decode, read_cbor
+
+    deep = b"\x81" * 2000 + b"\x00"
+    with pytest.raises(CborError, match="nesting"):
+        decode(deep)
+    # through the Spark kernel it must become an err row, not a
+    # failed task
+    df = spark.createDataFrame(
+        [(1, bytearray(deep))], "doc_id long, blob binary"
+    )
+    rows = read_cbor(df).collect()
+    assert len(rows) == 1 and rows[0]["error"] is not None

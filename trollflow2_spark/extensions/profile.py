@@ -3044,8 +3044,10 @@ def logrank_test(
     subject table; E/V terms round(9) into a DECIMAL sum so the
     statistic is order-insensitive.
 
-    Strata with fewer than two groups return NULL statistics (no
-    comparison exists) rather than being dropped."""
+    Strata without EXACTLY two groups return NULL statistics rather
+    than being dropped: fewer means no comparison exists, and more
+    would silently compute group1-vs-pooled-rest — a different
+    statistic from the k-sample log-rank."""
     g = F.col(group_col)
     gcells = df.groupBy(
         *strata_cols, g.alias("__g"), F.col(duration_col).alias("t")
@@ -3133,7 +3135,11 @@ def logrank_test(
         F.sum(v_term).cast("double").alias("__v"),
     )
     diff = F.col("o1").cast("double") - F.col("__e1")
-    two = F.col("__ng") >= 2
+    # EXACTLY two groups: this is the two-sample statistic — pooling
+    # 3+ arms into group1-vs-rest is a DIFFERENT test a caller could
+    # mistake for the k-sample log-rank, so those strata null out the
+    # same way single-group strata do
+    two = F.col("__ng") == 2
     return agg.select(
         *strata_cols,
         "group1",

@@ -84,7 +84,18 @@ def _half_to_float(h: int) -> float:
     return -val if h & 0x8000 else val
 
 
-def _decode_item(buf: io.BytesIO, in_indefinite: bool = False):
+# nesting bound: a malicious blob of repeated 0x81 bytes would
+# otherwise recurse past the interpreter limit and fail the TASK
+# instead of quarantining the row. Each level costs ~2 interpreter
+# frames, so the bound must sit well under recursionlimit/2.
+_MAX_DEPTH = 256
+
+
+def _decode_item(
+    buf: io.BytesIO, in_indefinite: bool = False, depth: int = 0
+):
+    if depth > _MAX_DEPTH:
+        raise CborError(f"nesting deeper than {_MAX_DEPTH}")
     ib = _read(buf, 1)[0]
     mt, ai = ib >> 5, ib & 0x1F
     if ib == 0xFF:
@@ -122,11 +133,16 @@ def _decode_item(buf: io.BytesIO, in_indefinite: bool = False):
         if ai == 31:
             out = []
             while True:
-                v = _decode_item(buf, in_indefinite=True)
+                v = _decode_item(
+                    buf, in_indefinite=True, depth=depth + 1
+                )
                 if v is _BREAK:
                     return out
                 out.append(v)
-        return [_decode_item(buf) for _ in range(_read_uint(ai, buf))]
+        return [
+            _decode_item(buf, depth=depth + 1)
+            for _ in range(_read_uint(ai, buf))
+        ]
     if mt == 5:
         out = {}
 
@@ -135,18 +151,20 @@ def _decode_item(buf: io.BytesIO, in_indefinite: bool = False):
 
         if ai == 31:
             while True:
-                k = _decode_item(buf, in_indefinite=True)
+                k = _decode_item(
+                    buf, in_indefinite=True, depth=depth + 1
+                )
                 if k is _BREAK:
                     return out
-                put(k, _decode_item(buf))
+                put(k, _decode_item(buf, depth=depth + 1))
             return out
         for _ in range(_read_uint(ai, buf)):
-            k = _decode_item(buf)
-            put(k, _decode_item(buf))
+            k = _decode_item(buf, depth=depth + 1)
+            put(k, _decode_item(buf, depth=depth + 1))
         return out
     if mt == 6:
         tag = _read_uint(ai, buf)
-        v = _decode_item(buf)
+        v = _decode_item(buf, depth=depth + 1)
         if tag == 0:
             if not isinstance(v, str) or "T" not in v.upper():
                 raise CborError("tag 0 expects an RFC 3339 string")
@@ -180,9 +198,19 @@ def _decode_item(buf: io.BytesIO, in_indefinite: bool = False):
     if ai == 27:
         return struct.unpack(">d", _read(buf, 8))[0]
     if ai == 24:
-        return _read(buf, 1)[0]  # simple value
+        # RFC 8949 §3.3: the two-byte simple form is well-formed only
+        # for values >= 32 (0..31 MUST use the one-byte form or are
+        # the assigned false/true/null/undefined/float heads)
+        sv = _read(buf, 1)[0]
+        if sv < 32:
+            raise CborError(
+                f"two-byte simple value {sv} < 32 is not well-formed"
+            )
+        return {"__simple": sv}
     if ai < 20:
-        return ai  # unassigned simple values 0..19
+        # unassigned one-byte simple values: surfaced distinctly so
+        # they cannot collapse into integers in the JSON output
+        return {"__simple": ai}
     raise CborError(f"reserved major-7 additional-info {ai}")
 
 
