@@ -303,3 +303,55 @@ class TestDeltaDvReplay:
         assert out["a"]["change"] == "updated"
         assert out["a"]["live_records_old"] == 100
         assert out["a"]["live_records_new"] == 98
+
+
+class TestDeltaProtocolGate:
+    def _info(self, protocol, meta=None):
+        import json
+
+        from trollflow2_spark.extensions.profile import delta_table_info
+
+        lines = [json.dumps({"protocol": protocol})]
+        if meta is not None:
+            lines.append(json.dumps({"metaData": meta}))
+        return delta_table_info(lines)
+
+    def test_v1_and_dv_feature_readable(self):
+        info = self._info({"minReaderVersion": 1, "minWriterVersion": 2})
+        assert info["protocol"]["min_reader"] == 1
+        info = self._info(
+            {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["deletionVectors"]},
+            {"schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long"}]}),
+             "partitionColumns": ["region"],
+             "configuration": {}},
+        )
+        assert info["schema_fields"] == [("id", "long")]
+        assert info["partition_columns"] == ["region"]
+
+    def test_column_mapping_refuses(self):
+        with pytest.raises(ValueError, match="columnMapping"):
+            self._info(
+                {"minReaderVersion": 2},
+                {"configuration":
+                    {"delta.columnMapping.mode": "name"}},
+            )
+        # mode absent -> readable
+        info = self._info({"minReaderVersion": 2}, {"configuration": {}})
+        assert info["protocol"]["min_reader"] == 2
+
+    def test_unknown_reader_feature_refuses(self):
+        with pytest.raises(ValueError, match="v2Checkpoint"):
+            self._info(
+                {"minReaderVersion": 3,
+                 "readerFeatures": ["deletionVectors", "v2Checkpoint"]}
+            )
+
+    def test_future_version_and_missing_protocol_refuse(self):
+        with pytest.raises(ValueError, match="beyond protocol"):
+            self._info({"minReaderVersion": 4})
+        from trollflow2_spark.extensions.profile import delta_table_info
+
+        with pytest.raises(ValueError, match="no protocol"):
+            delta_table_info(['{"add": {"path": "x"}}'])

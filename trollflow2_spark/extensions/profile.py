@@ -722,7 +722,8 @@ def _delta_json_actions(
     schema = (
         "add struct<path: string, size: bigint"
         + (
-            f", stats: string, deletionVector: {_DELTA_DV_SCHEMA}>,"
+            ", stats: string, partitionValues: map<string, string>,"
+            f" deletionVector: {_DELTA_DV_SCHEMA}>,"
             if stats
             else ">,"
         )
@@ -742,6 +743,7 @@ def _delta_json_actions(
             F.get_json_object(j["add"]["stats"], "$.numRecords")
             .cast("bigint")
             .alias("__nrec"),
+            j["add"]["partitionValues"].alias("__pv"),
             j["add"]["deletionVector"].alias("__dv"),
         ]
     return log.select(*cols).where(
@@ -762,6 +764,7 @@ def _delta_resolve(acts: DataFrame, stats: bool = False) -> DataFrame:
     if stats:
         payload += [
             F.col("__nrec").alias("num_records"),
+            F.col("__pv").alias("pv"),
             F.col("__dv").alias("dv"),
         ]
     last = acts.groupBy("path").agg(
@@ -786,6 +789,7 @@ def _delta_resolve(acts: DataFrame, stats: bool = False) -> DataFrame:
     return out.select(
         *base,
         F.col("__last.num_records").alias("num_records"),
+        F.col("__last.pv").alias("partition_values"),
         card.alias("dv_cardinality"),
         F.greatest(
             F.col("__last.num_records") - card, F.lit(0)
@@ -939,6 +943,13 @@ def delta_snapshot_from_checkpoint(
         )
         base_cols.append(
             (
+                F.col("add")["partitionValues"]
+                if "partitionValues" in add_fields
+                else F.lit(None).cast("map<string, string>")
+            ).alias("__pv")
+        )
+        base_cols.append(
+            (
                 F.col("add")["deletionVector"]
                 if "deletionVector" in add_fields
                 else F.lit(None).cast(_DELTA_DV_SCHEMA)
@@ -967,6 +978,91 @@ def parse_last_checkpoint(text: str) -> dict:
         "version": int(d["version"]),
         "size": int(d["size"]) if "size" in d else None,
         "parts": int(d["parts"]) if "parts" in d else None,
+    }
+
+
+# reader features this engine's metadata-core Delta path actually
+# implements — the gate must stay honest as features land
+_DELTA_READER_FEATURES = frozenset({"deletionVectors"})
+
+
+def delta_table_info(lines: list[str]) -> dict:
+    """Driver-side parse of a Delta table's ``protocol`` and
+    ``metaData`` actions (control plane: one of each per table, in
+    commit 0 or the latest occurrence wins) — and the READ GATE a
+    real engine applies before touching data:
+
+    - minReaderVersion 1 is always readable;
+    - 2 (column mapping capable) is readable only while
+      ``delta.columnMapping.mode`` is absent/none — a mapped table's
+      parquet column names no longer match the schema and silently
+      reading them would return wrong columns;
+    - 3 requires every listed ``readerFeatures`` entry to be in the
+      implemented set (deletionVectors today); anything else refuses
+      with the feature named.
+
+    Returns {protocol, schema_fields, partition_columns,
+    configuration}. Raises ValueError on unreadable tables and
+    malformed schemaString — loud, never silent."""
+    import json as _json
+
+    protocol = None
+    meta = None
+    for ln in lines:
+        try:
+            d = _json.loads(ln)
+        except ValueError:
+            continue
+        if "protocol" in d:
+            protocol = d["protocol"]
+        if "metaData" in d:
+            meta = d["metaData"]
+    if protocol is None:
+        raise ValueError("no protocol action in log")
+    mrv = int(protocol.get("minReaderVersion", 1))
+    config = (meta or {}).get("configuration", {}) or {}
+    if mrv == 2:
+        mode = config.get("delta.columnMapping.mode", "none")
+        if mode != "none":
+            raise ValueError(
+                f"columnMapping mode {mode!r} is not supported by "
+                "the metadata-core reader (parquet column names are "
+                "remapped); disable mapping or use a full reader"
+            )
+    elif mrv == 3:
+        feats = set(protocol.get("readerFeatures", ()))
+        unsupported = feats - _DELTA_READER_FEATURES
+        if unsupported:
+            raise ValueError(
+                "unsupported Delta reader features "
+                f"{sorted(unsupported)} (implemented: "
+                f"{sorted(_DELTA_READER_FEATURES)})"
+            )
+    elif mrv > 3:
+        raise ValueError(f"minReaderVersion {mrv} beyond protocol 3")
+    fields = []
+    if meta is not None and "schemaString" in meta:
+        try:
+            sch = _json.loads(meta["schemaString"])
+            fields = [
+                (f["name"], f.get("type"))
+                for f in sch.get("fields", [])
+            ]
+        except (ValueError, TypeError, KeyError) as e:
+            raise ValueError(f"malformed schemaString: {e}") from e
+    return {
+        "protocol": {
+            "min_reader": mrv,
+            "min_writer": int(protocol.get("minWriterVersion", 1)),
+            "reader_features": sorted(
+                protocol.get("readerFeatures", ())
+            ),
+        },
+        "schema_fields": fields,
+        "partition_columns": list(
+            (meta or {}).get("partitionColumns", ())
+        ),
+        "configuration": config,
     }
 
 

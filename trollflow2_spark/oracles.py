@@ -3554,6 +3554,34 @@ WHERE o.path IS NULL OR n.path IS NULL
    OR o.size_old <> n.size_new OR o.version_old <> n.version_new
 """
 
+# partition pruning: same precedence replay as delta_snapshot, the
+# winner's numRecords summed per in-predicate region
+ORACLES["delta_partition_prune"] = """
+WITH acts AS (
+  SELECT doc_id % 25 AS v,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'part-' || CAST((doc_id + 40) % 80 AS VARCHAR)
+      ELSE 'part-' || CAST(doc_id % 80 AS VARCHAR) END AS path,
+    CASE WHEN doc_id % 5 = 0 THEN 'remove' ELSE 'add' END AS action,
+    CASE WHEN doc_id % 5 <> 0 THEN doc_id * 100 END AS size,
+    CASE WHEN doc_id % 5 <> 0
+      THEN CAST(100 + doc_id % 50 AS BIGINT) END AS nrec,
+    CASE WHEN doc_id % 5 <> 0
+      THEN CAST(doc_id % 80 % 4 AS VARCHAR) END AS region
+  FROM documents
+  WHERE doc_id % 25 <= 20
+), r AS (
+  SELECT path, action, nrec, region,
+    row_number() OVER (PARTITION BY path
+      ORDER BY v DESC, action DESC, COALESCE(size, -1) DESC) AS rn
+  FROM acts
+)
+SELECT region, COUNT(*) AS n_files,
+  CAST(SUM(nrec) AS BIGINT) AS live_rows
+FROM r WHERE rn = 1 AND action = 'add' AND region IN ('0', '1')
+GROUP BY region
+"""
+
 # deletion vectors: closed-form restatement of the planted DVs —
 # d%6==0 replaced its DV (one extra position wins), d%3==0 kept the
 # v0 inline DV, others have none; dv_gone only matches if the engine

@@ -5745,6 +5745,53 @@ def q_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_log_changes(log, from_version=10, to_version=20)
 
 
+def q_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta partition pruning (`extensions/profile.py::
+    delta_log_snapshot(stats=True)` + `partitionValues`): the scan
+    planner's first move on a partitioned table — replay the log,
+    keep only files whose partitionValues match the predicate, and
+    roll up what a pruned scan would read. The filter is a plain
+    Column predicate on the map column, so Catalyst folds it into
+    the snapshot resolution; same 25-commit precedence fixture as
+    `delta_snapshot` with region = path-number % 4 and numRecords
+    in stats."""
+    from trollflow2_spark.extensions.profile import delta_log_snapshot
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    line = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit('{"remove":{"path":"part-'),
+            ((d + 40) % 80).cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"add":{"path":"part-'),
+            (d % 80).cast("string"),
+            F.lit('","size":'),
+            (d * 100).cast("string"),
+            F.lit(',"stats":"{\\"numRecords\\":'),
+            (100 + d % 50).cast("string"),
+            F.lit('}","partitionValues":{"region":"'),
+            ((d % 80) % 4).cast("string"),
+            F.lit('"}}}'),
+        )
+    )
+    log = docs.select((d % 25).alias("version"), line.alias("line"))
+    snap = delta_log_snapshot(log, as_of_version=20, stats=True)
+    region = F.col("partition_values")["region"]
+    return (
+        snap.where(region.isin("0", "1"))
+        .groupBy(region.alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("live_records").alias("live_rows"),
+        )
+    )
+
+
 def q_delta_snapshot_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta deletion vectors (`extensions/profile.py::
     delta_log_snapshot(stats=True)` + `delta_dv_positions` +
@@ -14767,6 +14814,7 @@ QUERIES = {
     "delta_snapshot_checkpoint": q_delta_snapshot_checkpoint,
     "delta_changes": q_delta_changes,
     "delta_snapshot_dv": q_delta_snapshot_dv,
+    "delta_partition_prune": q_delta_partition_prune,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
