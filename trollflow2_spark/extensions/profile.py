@@ -1066,6 +1066,41 @@ def delta_table_info(lines: list[str]) -> dict:
     }
 
 
+def delta_dv_compaction_plan(
+    snapshot: DataFrame, dead_fraction: float = 0.2
+) -> DataFrame:
+    """REWRITE planner for DV-heavy files — the maintenance read
+    every DV-enabled table eventually needs: deletion vectors trade
+    write amplification for read-side masking, and once a file's
+    dead fraction passes a threshold the mask costs more than the
+    rewrite (this is what OPTIMIZE targets first). Input is a
+    ``stats=True`` snapshot; output one row per file over the
+    threshold with its dead fraction and the bytes a rewrite would
+    reclaim (size × dead fraction, floored). Pure Column algebra on
+    the (file-cardinality) snapshot — no data reads, no shuffle
+    beyond the snapshot's own resolution."""
+    if not 0.0 < dead_fraction <= 1.0:
+        raise ValueError(f"bad dead_fraction {dead_fraction!r}")
+    frac = F.col("dv_cardinality") / F.col("num_records")
+    return (
+        snapshot.where(
+            F.col("num_records").isNotNull()
+            & (F.col("num_records") > 0)
+            & (frac >= F.lit(float(dead_fraction)))
+        )
+        .select(
+            "path",
+            "size",
+            "num_records",
+            "dv_cardinality",
+            F.round(frac, 6).alias("dead_fraction"),
+            F.floor(F.col("size") * frac).cast("bigint").alias(
+                "reclaim_bytes"
+            ),
+        )
+    )
+
+
 DV_POSITIONS_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

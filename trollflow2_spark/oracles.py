@@ -3603,6 +3603,27 @@ SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
 FROM d
 """
 
+# DV compaction planner: files over the dead-fraction threshold
+# restated closed-form from the planted scheme (winner DV per path)
+ORACLES["delta_dv_compaction"] = """
+WITH d AS (
+  SELECT doc_id,
+    CAST(100 + doc_id % 77 AS BIGINT) AS size,
+    CAST(100 + doc_id % 50 AS BIGINT) AS nrec,
+    CAST(CASE WHEN doc_id % 6 = 0 THEN doc_id % 4 + 2
+              WHEN doc_id % 3 = 0 THEN doc_id % 4 + 1
+              ELSE 0 END AS BIGINT) AS gone
+  FROM documents
+)
+SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
+  size, nrec AS num_records, gone AS dv_cardinality,
+  round(gone / CAST(nrec AS DOUBLE), 6) AS dead_fraction,
+  CAST(floor(size * (gone / CAST(nrec AS DOUBLE))) AS BIGINT)
+    AS reclaim_bytes
+FROM d
+WHERE nrec > 0 AND gone / CAST(nrec AS DOUBLE) >= 0.03
+"""
+
 # retrieval metrics: recall@10 per-mille, MRR, nDCG@10 with linear
 # gains; DCG folds by ascending rank, IDCG by grade-desc position —
 # both as ordered list_sum, matching the Spark folds

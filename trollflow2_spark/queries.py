@@ -5798,21 +5798,44 @@ def q_delta_snapshot_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sources/roaring.py`): modern Delta writers attach a
     `deletionVector` descriptor to add actions instead of rewriting
     files — counting DV-masked rows as live silently overstates
-    every rollup. Fixture: every doc adds `part-<d>` with
-    numRecords = 100+d%50; d%3==0 carries an INLINE Z85-encoded
-    RoaringBitmapArray DV deleting positions 0..d%4; d%6==0 REPLACES
-    that DV at version 1 with one more deleted position (the normal
-    DELETE-on-DELETE path — the replacement must win); d%18==0 uses
-    the ON-DISK storage form ("u": Z85 uuid -> deletion_vector_
-    <uuid>.bin with version byte / BE size / CRC framing) instead of
-    inline. `dv_gone` counts DECODED positions — the value only
-    matches the oracle if the Z85 + roaring + framing decode is
-    actually right, not just the descriptor's cardinality field."""
+    every rollup. Fixture (`_delta_dv_fixture`): every doc adds
+    `part-<d>` with numRecords = 100+d%50; d%3==0 carries an INLINE
+    Z85-encoded RoaringBitmapArray DV deleting positions 0..d%4;
+    d%6==0 REPLACES that DV at version 1 with one more deleted
+    position (the normal DELETE-on-DELETE path — the replacement
+    must win); d%18==0 uses the ON-DISK storage form ("u": Z85 uuid
+    -> deletion_vector_<uuid>.bin with version byte / BE size / CRC
+    framing) instead of inline. `dv_gone` counts DECODED positions —
+    the value only matches the oracle if the Z85 + roaring + framing
+    decode is actually right, not just the descriptor's cardinality
+    field."""
     from trollflow2_spark.extensions.profile import (
         delta_dv_positions,
         delta_log_snapshot,
     )
 
+    log, dv_files = _delta_dv_fixture(spark, sf_dir)
+    snap = delta_log_snapshot(log, stats=True)
+    gone = (
+        delta_dv_positions(snap, dv_files)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("dv_gone"))
+    )
+    return (
+        snap.join(gone, "path", "left")
+        .select(
+            "path",
+            "num_records",
+            "dv_cardinality",
+            F.coalesce(F.col("dv_gone"), F.lit(0)).alias("dv_gone"),
+            "live_records",
+        )
+    )
+
+
+def _delta_dv_fixture(spark: SparkSession, sf_dir: str):
+    """(log, dv_files) for the deletion-vector contract queries —
+    see `q_delta_snapshot_dv` for the planted scheme."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     out_schema = (
         "version int, line string, dvf_path string, dvf_blob binary"
@@ -5888,22 +5911,26 @@ def q_delta_snapshot_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv_files = built.where(F.col("dvf_path").isNotNull()).select(
         F.col("dvf_path").alias("path"), F.col("dvf_blob").alias("blob")
     )
+    return log, dv_files
+
+
+def q_delta_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV compaction planner (`extensions/profile.py::
+    delta_dv_compaction_plan`): deletion vectors trade write
+    amplification for read-side masking — once a file's dead
+    fraction passes a threshold, OPTIMIZE should rewrite it first.
+    Same planted-DV fixture as `delta_snapshot_dv`; threshold 0.03
+    splits the planted fractions (1/149 .. 5/100), and reclaim_bytes
+    = floor(size x dead fraction). Pure Column algebra over the
+    file-cardinality snapshot."""
+    from trollflow2_spark.extensions.profile import (
+        delta_dv_compaction_plan,
+        delta_log_snapshot,
+    )
+
+    log, _dv_files = _delta_dv_fixture(spark, sf_dir)
     snap = delta_log_snapshot(log, stats=True)
-    gone = (
-        delta_dv_positions(snap, dv_files)
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("dv_gone"))
-    )
-    return (
-        snap.join(gone, "path", "left")
-        .select(
-            "path",
-            "num_records",
-            "dv_cardinality",
-            F.coalesce(F.col("dv_gone"), F.lit(0)).alias("dv_gone"),
-            "live_records",
-        )
-    )
+    return delta_dv_compaction_plan(snap, dead_fraction=0.03)
 
 
 def q_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14815,6 +14842,7 @@ QUERIES = {
     "delta_changes": q_delta_changes,
     "delta_snapshot_dv": q_delta_snapshot_dv,
     "delta_partition_prune": q_delta_partition_prune,
+    "delta_dv_compaction": q_delta_dv_compaction,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
