@@ -393,3 +393,53 @@ def test_v2_over_applied_position_deletes_clamp_at_zero(spark):
     )
     r = out.collect()[0]
     assert r.n_rows == 0  # clamped, not -3
+
+
+def test_expire_snapshots_plan_reachability(spark):
+    """Shared files must survive: only files reachable SOLELY from
+    expired snapshots become deletable; keep_last and current are
+    always retained; no expiry -> empty plan."""
+    from trollflow2_spark.sources.iceberg import expire_snapshots_plan
+
+    m_old = write_container(
+        [_entry(1, "a", "p0"), _entry(1, "shared", "p0")],
+        MANIFEST_SCHEMA,
+    )
+    m_new = write_container(
+        [_entry(1, "b", "p0"), _entry(1, "shared", "p0")],
+        MANIFEST_SCHEMA,
+    )
+    blobs = spark.createDataFrame(
+        [
+            Row(path="m_old", blob=m_old),
+            Row(path="m_new", blob=m_new),
+            Row(path="l1", blob=_mlist(["m_old"])),
+            Row(path="l2", blob=_mlist(["m_new"])),
+        ]
+    )
+    md = _metadata([(1, "l1"), (2, "l2")], 2)
+    plan = sorted(
+        (r["kind"], r["path"])
+        for r in expire_snapshots_plan(
+            spark, md, blobs, expire_before_ms=1500, keep_last=1
+        ).collect()
+    )
+    assert plan == [
+        ("data-file", "a"),
+        ("manifest", "m_old"),
+        ("manifest-list", "l1"),
+    ]
+    # nothing expires when the cutoff precedes all snapshots
+    assert (
+        expire_snapshots_plan(
+            spark, md, blobs, expire_before_ms=500
+        ).count()
+        == 0
+    )
+    # keep_last can retain an otherwise-expired snapshot
+    assert (
+        expire_snapshots_plan(
+            spark, md, blobs, expire_before_ms=99999, keep_last=2
+        ).count()
+        == 0
+    )

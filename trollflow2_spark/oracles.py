@@ -10833,6 +10833,19 @@ FROM live GROUP BY 1, 2
 """
 
 
+# expiry planner: snapshot 1's list + manifests die; of its data
+# files only the ones NOT shared live with snapshot 2 (d%3<>0)
+ORACLES["iceberg_expire_plan"] = """
+SELECT 'data-file' AS kind,
+  'fa-' || CAST(doc_id AS VARCHAR) AS path
+FROM documents WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT 'manifest', 'em1-' || CAST(b AS VARCHAR)
+FROM (SELECT DISTINCT doc_id % 20 AS b FROM documents)
+UNION ALL
+SELECT 'manifest-list', 'exsnap-1.avro'
+"""
+
 # equality deletes: closed-form restatement of the planted masks —
 # id%7==0 rows gone from seq-1 files only (strict < scoping), pos-0
 # rows gone from d%6==0 files, a row masked by both counts once

@@ -14256,6 +14256,113 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry / orphan-file planner (`sources/iceberg.py::
+    expire_snapshots_plan`): snapshot 1 (ts 1000) falls out of the
+    ts>=1500/keep-1 retention; its manifest list and per-bucket
+    manifests become deletable, and of its data files exactly those
+    NOT also listed live by snapshot 2's manifests (the d%3==0 files
+    are shared) survive the reachability anti-join into the delete
+    list. Manifest lists resolve on the driver; the file-level
+    subtraction is one anti-join of two distributed manifest
+    decodes."""
+    import json as _json
+
+    from trollflow2_spark.sources.avro import write_container
+    from trollflow2_spark.sources.iceberg import (
+        MANIFEST_LIST_SCHEMA,
+        expire_snapshots_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("bucket")
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def make_blobs(key, pdf):
+        import pandas as pd
+
+        from trollflow2_spark.sources.avro import write_container as wc
+        from trollflow2_spark.sources.iceberg import MANIFEST_SCHEMA
+
+        b = int(key[0])
+        ids = sorted(int(d) for d in pdf["doc_id"])
+
+        def entry(path, d):
+            return {
+                "status": 1,
+                "file_path": path,
+                "partition": f"p{d % 5}",
+                "record_count": 10 + d % 9,
+                "file_size": 100 + d % 7,
+            }
+
+        m1 = [entry(f"fa-{d}", d) for d in ids]
+        m2 = [entry(f"fb-{d}", d) for d in ids] + [
+            entry(f"fa-{d}", d) for d in ids if d % 3 == 0
+        ]
+        return pd.DataFrame(
+            [
+                (f"em1-{b}", wc(m1, MANIFEST_SCHEMA)),
+                (f"em2-{b}", wc(m2, MANIFEST_SCHEMA)),
+            ],
+            columns=["path", "blob"],
+        )
+
+    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
+
+    def mlist(paths):
+        return write_container(
+            [
+                {
+                    "manifest_path": p,
+                    "added_files_count": 0,
+                    "deleted_files_count": 0,
+                }
+                for p in paths
+            ],
+            MANIFEST_LIST_SCHEMA,
+        )
+
+    lists = spark.createDataFrame(
+        [
+            ("exsnap-1.avro", mlist([f"em1-{b}" for b in range(20)])),
+            ("exsnap-2.avro", mlist([f"em2-{b}" for b in range(20)])),
+        ],
+        blob_schema,
+    )
+    metadata = _json.dumps(
+        {
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {
+                    "snapshot-id": 1,
+                    "timestamp-ms": 1000,
+                    "manifest-list": "exsnap-1.avro",
+                },
+                {
+                    "snapshot-id": 2,
+                    "timestamp-ms": 2000,
+                    "manifest-list": "exsnap-2.avro",
+                },
+            ],
+        }
+    )
+    return expire_snapshots_plan(
+        spark,
+        metadata,
+        blobs.unionByName(lists),
+        expire_before_ms=1500,
+        keep_last=1,
+    )
+
+
 def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed point-in-polygon JOIN (`operators/geo.py::
     spatial_join_points_in_polygons`): polygons as DATA, not plan
@@ -15166,6 +15273,7 @@ QUERIES = {
     "iceberg_snapshot": q_iceberg_snapshot,
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
     "iceberg_eq_deletes": q_iceberg_eq_deletes,
+    "iceberg_expire_plan": q_iceberg_expire_plan,
     "cbor_ingest": q_cbor_ingest,
     "dictionary_match": q_dictionary_match,
     "dictmatch_bigdict": q_dictmatch_bigdict,

@@ -63,6 +63,7 @@ __all__ = [
     "read_position_deletes",
     "read_keyed_rows",
     "snapshot_partition_summary",
+    "expire_snapshots_plan",
 ]
 
 # Documented-subset Avro schemas (field names follow the Iceberg spec)
@@ -343,6 +344,120 @@ def read_keyed_rows(blob_df: DataFrame, id_fields: list[str]) -> DataFrame:
             )
 
     return blob_df.mapInPandas(kernel, KEYED_ROWS_SCHEMA)
+
+
+EXPIRE_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("path", T.StringType()),
+    ]
+)
+
+
+def expire_snapshots_plan(
+    spark,
+    metadata_json: str,
+    blob_df: DataFrame,
+    expire_before_ms: int,
+    keep_last: int = 1,
+) -> DataFrame:
+    """Snapshot-expiry / orphan-file planner — the table-maintenance
+    read behind Iceberg's ``expireSnapshots``: which snapshots fall
+    out of retention, and which files become unreachable (hence
+    physically deletable) once they do. Getting the REACHABILITY
+    subtraction wrong deletes live data, so the plan is the product
+    a maintenance job must review before any unlink.
+
+    Retention: a snapshot is RETAINED if its commit timestamp is >=
+    ``expire_before_ms``, it is the current snapshot, or it is among
+    the ``keep_last`` most recent overall (the spec's belt-and-
+    braces default). Everything else expires.
+
+    Reachability and scale shape: the snapshot list and manifest
+    LISTS are control plane (tiny, resolved on the driver, exactly
+    like `snapshot_partition_summary`); manifests referenced only by
+    expired snapshots are deletable by plain set difference. DATA
+    files need the distributed pass: entries of expired-only
+    manifests are candidates, entries listed LIVE (status != 2) by
+    any retained manifest are kept — one anti-join of two
+    `read_manifest_entries` decodes, never a full-table read.
+
+    Returns (kind, path): kind in 'manifest-list' / 'manifest' /
+    'data-file'. Empty when nothing expires."""
+    from trollflow2_spark.sources.avro import read_container
+
+    md = parse_table_metadata(metadata_json)
+    by_ts = sorted(
+        md["snapshots"].items(), key=lambda kv: -kv[1]["timestamp_ms"]
+    )
+    retained = {sid for sid, _s in by_ts[: max(int(keep_last), 0)]}
+    retained.add(md["current"])
+    for sid, s in md["snapshots"].items():
+        if s["timestamp_ms"] >= int(expire_before_ms):
+            retained.add(sid)
+    expired = set(md["snapshots"]) - retained
+    if not expired:
+        return spark.createDataFrame([], EXPIRE_PLAN_SCHEMA)
+
+    list_paths = {
+        sid: s["manifest_list"] for sid, s in md["snapshots"].items()
+    }
+    list_blobs = {
+        r["path"]: bytes(r["blob"])
+        for r in blob_df.where(
+            F.col("path").isin(list(set(list_paths.values())))
+        ).collect()
+    }
+    manifests: dict[int, set[str]] = {}
+    for sid, lp in list_paths.items():
+        if lp not in list_blobs:
+            raise ValueError(f"manifest list {lp!r} missing")
+        _m, records = read_container(list_blobs[lp])
+        manifests[sid] = {r["manifest_path"] for r in records}
+    retained_manifests = set().union(
+        *(manifests[s] for s in retained)
+    )
+    expired_manifests = set().union(
+        *(manifests[s] for s in expired)
+    ) - retained_manifests
+    dead_lists = {
+        list_paths[s] for s in expired
+    } - {list_paths[s] for s in retained}
+
+    plan_rows = [("manifest-list", p) for p in sorted(dead_lists)] + [
+        ("manifest", p) for p in sorted(expired_manifests)
+    ]
+    head = spark.createDataFrame(plan_rows, EXPIRE_PLAN_SCHEMA)
+    if not expired_manifests:
+        return head
+    cand = read_manifest_entries(
+        blob_df.join(
+            spark.createDataFrame(
+                [(p,) for p in sorted(expired_manifests)],
+                "manifest_path string",
+            ),
+            blob_df["path"] == F.col("manifest_path"),
+            "left_semi",
+        )
+    ).select("file_path").distinct()
+    if retained_manifests:
+        kept = read_manifest_entries(
+            blob_df.join(
+                spark.createDataFrame(
+                    [(p,) for p in sorted(retained_manifests)],
+                    "manifest_path string",
+                ),
+                blob_df["path"] == F.col("manifest_path"),
+                "left_semi",
+            )
+        ).where(F.col("status") != 2).select("file_path").distinct()
+        cand = cand.join(kept, "file_path", "left_anti")
+    return head.unionByName(
+        cand.select(
+            F.lit("data-file").alias("kind"),
+            F.col("file_path").alias("path"),
+        )
+    )
 
 
 def snapshot_partition_summary(
