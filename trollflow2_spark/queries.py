@@ -5396,7 +5396,7 @@ def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     # medians see only non-null values (percentile semantics);
     # n_total downstream still counts every row
-    nn = ev.where(F.col("value").isNotNull()).localCheckpoint()
+    nn = ev.where(F.col("value").isNotNull())
     med = _bracket_median(
         nn, ["event_type"], val_col="value", median_col="med",
         round_dp=None,
@@ -5405,7 +5405,7 @@ def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(med), F.col("event_type") == F.col("mt")
     ).select("event_type", "value", "med",
              F.abs(F.col("value") - F.col("med")).alias("adev"))
-    dev_nn = dev.where(F.col("adev").isNotNull()).localCheckpoint()
+    dev_nn = dev.where(F.col("adev").isNotNull())
     mad = _bracket_median(
         dev_nn, ["event_type"], val_col="adev", median_col="mad",
         round_dp=None,
