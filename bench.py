@@ -408,6 +408,13 @@ OPERATORS = [
     "dbscan_blobs",  # grid-bucketed density clustering, CC on cores
     "multimodal_decode_qoi",  # from-scratch QOI, all six op families
     "logrank_ab",  # censoring-aware A/B test on the KM risk sets
+    # round 14 additions
+    "delta_snapshot_dv",  # deletion vectors: Z85 + roaring decode
+    "delta_partition_prune",  # partitionValues predicate pruning
+    "delta_dv_compaction",  # DV dead-fraction rewrite planner
+    "iceberg_eq_deletes",  # equality deletes, seq-number scoping
+    "iceberg_expire_plan",  # snapshot expiry / orphan-file planner
+    "dbscan_blobs_3d",  # k-D grid DBSCAN, 27-cell neighborhood
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.
