@@ -355,3 +355,69 @@ class TestDeltaProtocolGate:
 
         with pytest.raises(ValueError, match="no protocol"):
             delta_table_info(['{"add": {"path": "x"}}'])
+
+
+class TestRoaringProperty:
+    def test_property_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from trollflow2_spark.sources.roaring import (
+            decode_rbm_array,
+            encode_rbm_array,
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=0, max_value=1 << 20),
+                    st.integers(min_value=0, max_value=(1 << 40)),
+                ),
+                max_size=3000,
+            )
+        )
+        def check(xs):
+            assert decode_rbm_array(encode_rbm_array(xs)) == sorted(
+                set(xs)
+            )
+
+        check()
+
+    def test_property_dv_inline_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from trollflow2_spark.sources.roaring import (
+            decode_dv_inline,
+            encode_dv_data,
+            z85_encode,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.sets(st.integers(min_value=0, max_value=1 << 33),
+                       max_size=500))
+        def check(xs):
+            data = encode_dv_data(xs)
+            z = z85_encode(data + b"\x00" * ((-len(data)) % 4))
+            assert decode_dv_inline(z, len(data)) == sorted(xs)
+
+        check()
+
+    def test_truncation_never_crashes(self):
+        """Every prefix of a valid encoding must raise RoaringError,
+        never IndexError/struct.error — the quarantine contract."""
+        import pytest as _pytest
+
+        from trollflow2_spark.sources.roaring import (
+            RoaringError,
+            decode_rbm_array,
+            encode_rbm_array,
+        )
+
+        full = encode_rbm_array(list(range(0, 9000, 2)) + [2**35])
+        for cut in range(0, len(full), 257):
+            if cut == len(full):
+                continue
+            with _pytest.raises(RoaringError):
+                decode_rbm_array(full[:cut])

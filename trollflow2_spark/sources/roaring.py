@@ -140,11 +140,15 @@ def _decode_roaring32(buf: bytes, base: int) -> tuple[list[int], int]:
                 raise RoaringError("run container truncated")
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
+            if len(buf) - pos < 4 * n_runs:
+                raise RoaringError("run container body truncated")
             for _ in range(n_runs):
                 start, length = struct.unpack_from("<HH", buf, pos)
                 pos += 4
                 values.extend(hi | v for v in range(start, start + length + 1))
         elif card > _ARRAY_MAX:
+            if len(buf) - pos < 8192:
+                raise RoaringError("bitmap container truncated")
             words = struct.unpack_from("<1024Q", buf, pos)
             pos += 8192
             for wi, w in enumerate(words):
@@ -153,6 +157,8 @@ def _decode_roaring32(buf: bytes, base: int) -> tuple[list[int], int]:
                     values.append(hi | (wi << 6) | b.bit_length() - 1)
                     w ^= b
         else:
+            if len(buf) - pos < 2 * card:
+                raise RoaringError("array container truncated")
             vals = struct.unpack_from(f"<{card}H", buf, pos)
             pos += 2 * card
             values.extend(hi | v for v in vals)
