@@ -118,12 +118,34 @@ MATCH_SCHEMA = T.StructType(
 )
 
 
-# above this phrase count the automaton ships via an explicit
-# SparkContext broadcast: ONE serialization per executor instead of
-# a re-pickled task closure per task — the difference between a
-# 10^6-phrase gazetteer costing one ~100 MB transfer per executor
-# and costing it per TASK
+# above this phrase count the PHRASES (not the automaton) ship via
+# an explicit SparkContext broadcast and each worker process builds
+# the automaton ONCE, caching it across tasks: the phrase list is
+# ~30x smaller than the pickled trie (10^6-node tries pickle to
+# hundreds of MB), and a per-worker linear-time build beats both a
+# per-task closure unpickle and a giant broadcast payload. The cache
+# holds one automaton (keyed by a CRC of the dictionary) — workers
+# are reused across tasks, so the build amortizes to once per
+# executor core.
 _BROADCAST_PHRASES = 10_000
+
+_WORKER_AUTOMATA: dict = {}
+
+
+def _automaton_for(phrases, fold_case: bool):
+    import zlib
+
+    key = (
+        bool(fold_case),
+        len(phrases),
+        zlib.crc32("\x00".join(phrases).encode("utf-8")),
+    )
+    aut = _WORKER_AUTOMATA.get(key)
+    if aut is None:
+        aut = build_automaton(list(phrases), fold_case=fold_case)
+        _WORKER_AUTOMATA.clear()  # at most one big automaton resident
+        _WORKER_AUTOMATA[key] = aut
+    return aut
 
 
 def dictionary_match(
@@ -138,17 +160,25 @@ def dictionary_match(
     phrases hit, and the dominant phrase (ties to the
     lexicographically smallest — deterministic on any engine). One
     row per document, zero shuffle; dictionaries beyond
-    ``_BROADCAST_PHRASES`` ship per-executor via broadcast."""
-    automaton = build_automaton(phrases, fold_case=fold_case)
+    ``_BROADCAST_PHRASES`` ship as a phrase broadcast with a
+    once-per-worker automaton build (see `_automaton_for`)."""
     bc = None
+    automaton = None
     if len(phrases) > _BROADCAST_PHRASES:
-        bc = df.sparkSession.sparkContext.broadcast(automaton)
-        automaton = None  # keep the big tuple OUT of the closure
+        bc = df.sparkSession.sparkContext.broadcast(
+            (list(phrases), bool(fold_case))
+        )
+    else:
+        automaton = build_automaton(phrases, fold_case=fold_case)
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        aut = bc.value if bc is not None else automaton
+        if bc is not None:
+            ph, fc = bc.value
+            aut = _automaton_for(ph, fc)
+        else:
+            aut = automaton
         norm = aut[3]
         for pdf in batches:
             rows = []
