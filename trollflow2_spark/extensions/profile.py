@@ -3082,7 +3082,9 @@ def exact_quantiles(
             (rp - F.floor(rp)).alias("__g"),
         )
         per_p = row if per_p is None else per_p.unionByName(row)
-    per_p = per_p.localCheckpoint()
+    # per_p derives only from the CHECKPOINTED stats (k rows) — its
+    # recompute is trivial, and skipping a second eager checkpoint
+    # saves one whole job per call
     # tie pileup / degenerate bracket: the quantile is that value
     deg = per_p.where(
         F.col("__blo").isNotNull()

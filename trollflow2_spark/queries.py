@@ -14016,7 +14016,9 @@ def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(out, columns=["path", "blob"])
 
-    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
+    blobs = docs.groupBy("bucket").applyInPandas(
+        make_blobs, blob_schema
+    ).localCheckpoint()
 
     def mlist(entries):
         return write_container(
@@ -14182,7 +14184,11 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.DataFrame(out, columns=["path", "blob"])
 
-    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
+    # the avro-authoring fixture builder is the expensive part and
+    # every decode pass re-reads blobs — materialize it once
+    blobs = docs.groupBy("bucket").applyInPandas(
+        make_blobs, blob_schema
+    ).localCheckpoint()
 
     eq_file = write_container(
         [{"id": k} for k in range(0, 1000, 7)], _IDROW
@@ -14314,7 +14320,9 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["path", "blob"],
         )
 
-    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
+    blobs = docs.groupBy("bucket").applyInPandas(
+        make_blobs, blob_schema
+    ).localCheckpoint()
 
     def mlist(paths):
         return write_container(
