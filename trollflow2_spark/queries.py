@@ -14016,9 +14016,7 @@ def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(out, columns=["path", "blob"])
 
-    blobs = docs.groupBy("bucket").applyInPandas(
-        make_blobs, blob_schema
-    ).localCheckpoint()
+    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
 
     def mlist(entries):
         return write_container(
@@ -14184,11 +14182,7 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.DataFrame(out, columns=["path", "blob"])
 
-    # the avro-authoring fixture builder is the expensive part and
-    # every decode pass re-reads blobs — materialize it once
-    blobs = docs.groupBy("bucket").applyInPandas(
-        make_blobs, blob_schema
-    ).localCheckpoint()
+    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
 
     eq_file = write_container(
         [{"id": k} for k in range(0, 1000, 7)], _IDROW
@@ -14320,9 +14314,7 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["path", "blob"],
         )
 
-    blobs = docs.groupBy("bucket").applyInPandas(
-        make_blobs, blob_schema
-    ).localCheckpoint()
+    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
 
     def mlist(paths):
         return write_container(
