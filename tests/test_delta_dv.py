@@ -421,3 +421,45 @@ class TestRoaringProperty:
                 continue
             with _pytest.raises(RoaringError):
                 decode_rbm_array(full[:cut])
+
+
+class TestDeltaCdfAndTsTravel:
+    def test_version_as_of(self, spark):
+        from trollflow2_spark.extensions.profile import delta_version_as_of
+
+        log = spark.createDataFrame(
+            [
+                (0, '{"commitInfo":{"timestamp":1000}}'),
+                (1, '{"commitInfo":{"timestamp":2000}}'),
+                (1, '{"add":{"path":"a","size":1}}'),
+                (2, '{"commitInfo":{"timestamp":3000}}'),
+            ],
+            "version int, line string",
+        )
+        assert delta_version_as_of(log, 2500) == 1
+        assert delta_version_as_of(log, 3000) == 2
+        with pytest.raises(ValueError, match="history starts later"):
+            delta_version_as_of(log, 500)
+
+    def test_cdf_routing_excludes_shadow_adds(self, spark):
+        from trollflow2_spark.extensions.profile import delta_cdf_files
+
+        log = spark.createDataFrame(
+            [
+                (1, '{"cdc":{"path":"c1","size":5}}'),
+                (1, '{"add":{"path":"shadow","size":9}}'),  # must drop
+                (2, '{"add":{"path":"a2","size":7}}'),
+                (2, '{"remove":{"path":"r2"}}'),
+                (3, '{"add":{"path":"out-of-window","size":1}}'),
+            ],
+            "version int, line string",
+        )
+        rows = sorted(
+            (r["version"], r["path"], r["source"])
+            for r in delta_cdf_files(log, 1, 2).collect()
+        )
+        assert rows == [
+            (1, "c1", "cdc"),
+            (2, "a2", "add"),
+            (2, "r2", "remove"),
+        ]

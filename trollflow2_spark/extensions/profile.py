@@ -981,6 +981,101 @@ def parse_last_checkpoint(text: str) -> dict:
     }
 
 
+def delta_version_as_of(
+    log: DataFrame,
+    ts_ms: int,
+    line_col: str = "line",
+    version_col: str = "version",
+) -> int:
+    """Timestamp time travel for Delta (parity with the Iceberg
+    `snapshot_as_of`): the LATEST version whose ``commitInfo``
+    timestamp is <= ``ts_ms`` — what ``TIMESTAMP AS OF`` resolves
+    to. One distributed agg over the commitInfo lines collapses to a
+    single driver value (control plane); a timestamp before the
+    first commit raises rather than fabricating history."""
+    ci = F.from_json(
+        F.col(line_col), "commitInfo struct<timestamp: bigint>"
+    )
+    row = (
+        log.select(
+            F.col(version_col).alias("__v"),
+            ci["commitInfo"]["timestamp"].alias("__ts"),
+        )
+        .where(F.col("__ts").isNotNull() & (F.col("__ts") <= int(ts_ms)))
+        .agg(F.max("__v").alias("v"))
+        .collect()[0]
+    )
+    if row["v"] is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_ms} "
+            "(table history starts later)"
+        )
+    return int(row["v"])
+
+
+def delta_cdf_files(
+    log: DataFrame,
+    from_version: int,
+    to_version: int,
+    line_col: str = "line",
+    version_col: str = "version",
+) -> DataFrame:
+    """Change-data-feed FILE resolution for a version window — the
+    read path of Delta's CDF: commits that wrote ``cdc`` actions
+    (``_change_data`` files, present when the writer materialized
+    row-level changes for UPDATE/MERGE/DELETE) are read from those
+    files ONLY; commits without cdc actions synthesize the feed from
+    their ``add``/``remove`` actions (pure inserts/deletes don't pay
+    the change-file write). Emitting BOTH for one commit would
+    double-count every changed row — the per-version routing is the
+    correctness core, and it's a pure Column decision off one parsed
+    scan (a max-over-window flag per version), no driver loop."""
+    if int(to_version) < int(from_version):
+        raise ValueError(
+            f"to_version {to_version} < from_version {from_version}"
+        )
+    j = F.from_json(
+        F.col(line_col),
+        "add struct<path: string, size: bigint>,"
+        " remove struct<path: string>,"
+        " cdc struct<path: string, size: bigint>",
+    )
+    acts = log.select(
+        F.col(version_col).alias("version"),
+        j["cdc"]["path"].alias("__cdc_path"),
+        j["cdc"]["size"].alias("__cdc_size"),
+        j["add"]["path"].alias("__add_path"),
+        j["add"]["size"].alias("__add_size"),
+        j["remove"]["path"].alias("__rm_path"),
+    ).where(
+        F.col("version").between(int(from_version), int(to_version))
+    )
+    has_cdc = acts.where(F.col("__cdc_path").isNotNull()).select(
+        "version"
+    ).distinct()
+    cdc_rows = acts.where(F.col("__cdc_path").isNotNull()).select(
+        "version",
+        F.col("__cdc_path").alias("path"),
+        F.col("__cdc_size").alias("size"),
+        F.lit("cdc").alias("source"),
+    )
+    plain = acts.join(has_cdc, "version", "left_anti")
+    synth = plain.where(F.col("__add_path").isNotNull()).select(
+        "version",
+        F.col("__add_path").alias("path"),
+        F.col("__add_size").alias("size"),
+        F.lit("add").alias("source"),
+    ).unionByName(
+        plain.where(F.col("__rm_path").isNotNull()).select(
+            "version",
+            F.col("__rm_path").alias("path"),
+            F.lit(None).cast("bigint").alias("size"),
+            F.lit("remove").alias("source"),
+        )
+    )
+    return cdc_rows.unionByName(synth)
+
+
 # reader features this engine's metadata-core Delta path actually
 # implements — the gate must stay honest as features land
 _DELTA_READER_FEATURES = frozenset({"deletionVectors"})

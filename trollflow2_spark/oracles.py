@@ -3554,6 +3554,29 @@ WHERE o.path IS NULL OR n.path IS NULL
    OR o.size_old <> n.size_new OR o.version_old <> n.version_new
 """
 
+# timestamp time travel: commitInfo resolves 21000 -> version 20,
+# then the delta_snapshot oracle replays verbatim
+ORACLES["delta_time_travel_ts"] = ORACLES["delta_snapshot"]
+
+# CDF routing: cdc versions read ONLY change files (their shadow
+# adds drop); plain versions synthesize from add/remove
+ORACLES["delta_cdf_window"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 25 AS v FROM documents
+  WHERE doc_id % 25 BETWEEN 5 AND 20
+)
+SELECT v AS version, 'cdf-' || CAST(doc_id AS VARCHAR) AS path,
+  CAST(doc_id AS BIGINT) AS size, 'cdc' AS source
+FROM d WHERE v % 3 = 0 AND doc_id % 2 = 0
+UNION ALL
+SELECT v, 'part-' || CAST(doc_id AS VARCHAR),
+  CAST(doc_id * 10 AS BIGINT), 'add'
+FROM d WHERE v % 3 <> 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT v, 'rm-' || CAST(doc_id AS VARCHAR), NULL, 'remove'
+FROM d WHERE v % 3 <> 0 AND doc_id % 5 = 0
+"""
+
 # partition pruning: same precedence replay as delta_snapshot, the
 # winner's numRecords summed per in-predicate region
 ORACLES["delta_partition_prune"] = """

@@ -5745,6 +5745,105 @@ def q_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_log_changes(log, from_version=10, to_version=20)
 
 
+def q_delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TIMESTAMP AS OF (`extensions/profile.py::
+    delta_version_as_of`): commitInfo timestamps resolve the cutoff
+    to the latest covered version (a control-plane agg), then the
+    same total-precedence snapshot replays AS OF it. Fixture: the
+    25-commit `delta_snapshot` log plus one commitInfo line per
+    version at ts=(v+1)*1000; the 21000 cutoff lands exactly on
+    version 20, so the oracle is the version-20 snapshot."""
+    from trollflow2_spark.extensions.profile import (
+        delta_log_snapshot,
+        delta_version_as_of,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    line = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit('{"remove":{"path":"part-'),
+            ((d + 40) % 80).cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"add":{"path":"part-'),
+            (d % 80).cast("string"),
+            F.lit('","size":'),
+            (d * 100).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    log = docs.select((d % 25).alias("version"), line.alias("line"))
+    commits = (
+        docs.select((d % 25).alias("version"))
+        .distinct()
+        .select(
+            "version",
+            F.concat(
+                F.lit('{"commitInfo":{"timestamp":'),
+                ((F.col("version") + 1) * 1000).cast("string"),
+                F.lit("}}"),
+            ).alias("line"),
+        )
+    )
+    full = log.unionByName(commits)
+    v = delta_version_as_of(full, ts_ms=21000)
+    return delta_log_snapshot(full, as_of_version=v)
+
+
+def q_delta_cdf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed file resolution (`extensions/profile.py::
+    delta_cdf_files`): versions that wrote cdc actions route to
+    their _change_data files ONLY (the coexisting add actions of
+    those commits must be excluded — double-reading a changed row is
+    the classic CDF bug); versions without cdc synthesize from
+    add/remove. Fixture: v=d%25, window 5..20; v%3==0 commits carry
+    cdc lines (even d) alongside add lines (odd d, must drop);
+    others carry adds (d%5!=0) and removes (d%5==0)."""
+    from trollflow2_spark.extensions.profile import delta_cdf_files
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    v = d % 25
+    line = F.when(
+        (v % 3 == 0) & (d % 2 == 0),
+        F.concat(
+            F.lit('{"cdc":{"path":"cdf-'),
+            d.cast("string"),
+            F.lit('","size":'),
+            d.cast("string"),
+            F.lit("}}"),
+        ),
+    ).when(
+        v % 3 == 0,
+        F.concat(
+            F.lit('{"add":{"path":"shadow-'),
+            d.cast("string"),
+            F.lit('","size":1}}'),
+        ),
+    ).when(
+        d % 5 == 0,
+        F.concat(
+            F.lit('{"remove":{"path":"rm-'),
+            d.cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"add":{"path":"part-'),
+            d.cast("string"),
+            F.lit('","size":'),
+            (d * 10).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    log = docs.select(v.alias("version"), line.alias("line"))
+    return delta_cdf_files(log, from_version=5, to_version=20)
+
+
 def q_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta partition pruning (`extensions/profile.py::
     delta_log_snapshot(stats=True)` + `partitionValues`): the scan
@@ -14950,6 +15049,8 @@ QUERIES = {
     "delta_snapshot_dv": q_delta_snapshot_dv,
     "delta_partition_prune": q_delta_partition_prune,
     "delta_dv_compaction": q_delta_dv_compaction,
+    "delta_time_travel_ts": q_delta_time_travel_ts,
+    "delta_cdf_window": q_delta_cdf_window,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
