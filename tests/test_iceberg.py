@@ -443,3 +443,54 @@ def test_expire_snapshots_plan_reachability(spark):
         ).count()
         == 0
     )
+
+
+def test_murmur3_spec_vectors():
+    """The Iceberg spec's published bucket-hash examples."""
+    from trollflow2_spark.functions.murmur3 import (
+        iceberg_hash_long,
+        iceberg_hash_string,
+    )
+
+    assert iceberg_hash_long(34) == 2017239379  # int AND long 34
+    assert iceberg_hash_string("iceberg") == 1210000089
+    assert iceberg_hash_long(17486) == -653330422  # date 2017-11-16
+    assert iceberg_hash_long(1510871468000000) == -2047944441  # ts us
+
+
+def test_partition_projection_semantics(spark):
+    import datetime
+
+    from trollflow2_spark.functions.murmur3 import iceberg_bucket_long
+    from trollflow2_spark.sources.iceberg import partition_projection
+
+    df = spark.createDataFrame(
+        [
+            (34, -7, "hello", datetime.datetime(2017, 11, 16, 22, 31)),
+            (0, 199, "hi", datetime.datetime(1969, 12, 31, 23, 0)),
+        ],
+        "k long, t long, s string, ts timestamp",
+    )
+    out = partition_projection(
+        df,
+        [
+            ("b", "k", "bucket", 16),
+            ("tr", "t", "truncate", 100),
+            ("sr", "s", "truncate", 2),
+            ("y", "ts", "year", None),
+            ("m", "ts", "month", None),
+            ("d", "ts", "day", None),
+        ],
+    ).collect()
+    r = {row["k"]: row for row in out}
+    assert r[34]["b"] == iceberg_bucket_long(34, 16)
+    # truncate floors toward -inf: -7 -> -100, 199 -> 100
+    assert r[34]["tr"] == -100 and r[0]["tr"] == 100
+    assert r[34]["sr"] == "he" and r[0]["sr"] == "hi"
+    assert r[34]["y"] == 47 and r[34]["m"] == 47 * 12 + 10
+    # pre-epoch ordinals go negative
+    assert r[0]["y"] == -1 and r[0]["m"] == -1
+    with pytest.raises(ValueError, match="unknown transform"):
+        partition_projection(df, [("x", "k", "nope", None)]).collect()
+    with pytest.raises(ValueError, match="unsupported"):
+        partition_projection(df, [("x", "s", "year", None)])

@@ -10856,6 +10856,54 @@ FROM live GROUP BY 1, 2
 """
 
 
+# hidden-partitioning transforms: the bucket lookup VALUES tables are
+# generated from functions/murmur3.py, itself conformance-pinned in
+# pytest against the Iceberg spec's published hash vectors (34 ->
+# 2017239379, "iceberg" -> 1210000089, …) — the oracle verifies the
+# Spark-side plumbing; the hash is verified against the spec
+def _bucket_values_sql() -> str:
+    from trollflow2_spark.functions.murmur3 import (
+        iceberg_bucket_long,
+        iceberg_bucket_string,
+    )
+
+    longs = ",".join(
+        f"({v},{iceberg_bucket_long(v, 16)})" for v in range(997)
+    )
+    pris = ",".join(
+        f"('{p}',{iceberg_bucket_string(p, 8)})"
+        for p in (
+            "1-URGENT",
+            "2-HIGH",
+            "3-MEDIUM",
+            "4-NOT SPECIFIED",
+            "5-LOW",
+        )
+    )
+    return f"""
+WITH bl(v, b) AS (VALUES {longs}),
+ bp(p, pb) AS (VALUES {pris}),
+ rows AS (
+  SELECT bl.b AS b,
+    CAST(year(o.o_orderdate) - 1970 AS INT) AS y,
+    CAST((year(o.o_orderdate) - 1970) * 12
+         + month(o.o_orderdate) - 1 AS INT) AS m,
+    o.o_custkey - (o.o_custkey % 100) AS t,
+    bp.pb AS pb
+  FROM orders o
+  JOIN bl ON o.o_orderkey % 997 = bl.v
+  JOIN bp ON o.o_orderpriority = bp.p
+)
+SELECT b, y, COUNT(*) AS n_orders,
+  CAST(SUM(t) AS BIGINT) AS sum_trunc,
+  CAST(SUM(pb) AS BIGINT) AS sum_pri_bucket,
+  MIN(m) AS min_month, MAX(m) AS max_month
+FROM rows GROUP BY b, y
+"""
+
+
+ORACLES["iceberg_partition_transforms"] = _bucket_values_sql()
+
 # expiry planner: snapshot 1's list + manifests die; of its data
 # files only the ones NOT shared live with snapshot 2 (d%3<>0)
 ORACLES["iceberg_expire_plan"] = """

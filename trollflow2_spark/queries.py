@@ -14355,6 +14355,46 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_partition_transforms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg hidden-partitioning transforms (`sources/iceberg.py::
+    partition_projection` + `functions/murmur3.py`): bucket[16] over
+    a 997-value long domain and bucket[8] over the 5 priority
+    strings (murmur3_x86_32 with the spec's byte layouts —
+    conformance-pinned against the spec's published hashes),
+    truncate[100] on custkey, year/month epoch ordinals on the order
+    timestamp — rolled up per (long-bucket, year). The oracle joins
+    a VALUES table generated from the SAME spec-pinned murmur3 (the
+    hash itself is verified against the spec's vectors in pytest;
+    the oracle verifies the Spark-side plumbing end to end)."""
+    from trollflow2_spark.sources.iceberg import partition_projection
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 997).alias("k"),
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    proj = partition_projection(
+        orders,
+        [
+            ("b", "k", "bucket", 16),
+            ("pb", "o_orderpriority", "bucket", 8),
+            ("t", "o_custkey", "truncate", 100),
+            ("y", "o_orderdate", "year", None),
+            ("m", "o_orderdate", "month", None),
+        ],
+    )
+    return proj.groupBy("b", "y").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("t").alias("sum_trunc"),
+        F.sum("pb").alias("sum_pri_bucket"),
+        F.min("m").alias("min_month"),
+        F.max("m").alias("max_month"),
+    )
+
+
 def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-expiry / orphan-file planner (`sources/iceberg.py::
     expire_snapshots_plan`): snapshot 1 (ts 1000) falls out of the
@@ -15375,6 +15415,7 @@ QUERIES = {
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
     "iceberg_eq_deletes": q_iceberg_eq_deletes,
     "iceberg_expire_plan": q_iceberg_expire_plan,
+    "iceberg_partition_transforms": q_iceberg_partition_transforms,
     "cbor_ingest": q_cbor_ingest,
     "dictionary_match": q_dictionary_match,
     "dictmatch_bigdict": q_dictmatch_bigdict,

@@ -346,6 +346,126 @@ def read_keyed_rows(blob_df: DataFrame, id_fields: list[str]) -> DataFrame:
     return blob_df.mapInPandas(kernel, KEYED_ROWS_SCHEMA)
 
 
+def partition_projection(
+    df: DataFrame, spec: list[tuple[str, str, str, int | None]]
+) -> DataFrame:
+    """Iceberg HIDDEN-partitioning transforms as derived columns —
+    what a writer computes to route rows and a scan planner inverts
+    to prune files. ``spec`` entries are (output name, source
+    column, transform, param):
+
+    - ``identity``;
+    - ``truncate[W]``: ints floor toward -inf (``v - ((v%W+W)%W)``),
+      strings keep their first W chars — both per the spec;
+    - ``bucket[N]``: ``(murmur3_x86_32(bytes) & Int.MAX) % N`` with
+      the spec's byte layouts (int/long/date/timestamp as 8-byte LE
+      long — int 34 and long 34 MUST bucket identically — strings as
+      UTF-8), via the conformance-pinned `functions/murmur3.py` in a
+      vectorized pandas_udf (the one transform Column algebra can't
+      express);
+    - ``year``/``month``/``day``/``hour``: ordinals from the 1970
+      epoch, pure Column arithmetic.
+
+    Everything except bucket stays in whole-stage codegen; bucket is
+    one Arrow batch hop. Unknown transforms and unsupported source
+    types raise loudly."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for name, col, transform, param in spec:
+        dt = out.schema[col].dataType
+        c = F.col(col)
+        if transform == "identity":
+            e = c
+        elif transform == "truncate":
+            w = int(param)
+            if w <= 0:
+                raise ValueError(f"truncate width {w} must be > 0")
+            if isinstance(dt, T.StringType):
+                e = F.substring(c, 1, w)
+            elif isinstance(dt, (T.IntegerType, T.LongType)):
+                e = c - ((c % w + w) % w)
+            else:
+                raise ValueError(
+                    f"truncate unsupported for {dt.simpleString()}"
+                )
+        elif transform == "bucket":
+            n = int(param)
+            if n <= 0:
+                raise ValueError(f"bucket count {n} must be > 0")
+            if isinstance(dt, (T.IntegerType, T.LongType)):
+                kind = "long"
+            elif isinstance(dt, T.StringType):
+                kind = "string"
+            elif isinstance(dt, T.DateType):
+                kind = "date"
+            elif isinstance(
+                dt, (T.TimestampType, T.TimestampNTZType)
+            ):
+                kind = "timestamp"
+            else:
+                raise ValueError(
+                    f"bucket unsupported for {dt.simpleString()}"
+                )
+
+            @F.pandas_udf(T.IntegerType())
+            def _bucket(vals, _kind=kind, _n=n):
+                import datetime as _dt
+
+                import pandas as pd
+
+                from trollflow2_spark.functions.murmur3 import (
+                    iceberg_bucket_long,
+                    iceberg_bucket_string,
+                )
+
+                epoch = _dt.date(1970, 1, 1)
+                out_vals = []
+                for v in vals:
+                    if v is None or (
+                        isinstance(v, float) and pd.isna(v)
+                    ):
+                        out_vals.append(None)
+                    elif _kind == "string":
+                        out_vals.append(iceberg_bucket_string(v, _n))
+                    elif _kind == "date":
+                        d = v.date() if hasattr(v, "date") and not isinstance(v, _dt.date) else v
+                        out_vals.append(
+                            iceberg_bucket_long((d - epoch).days, _n)
+                        )
+                    elif _kind == "timestamp":
+                        ts = pd.Timestamp(v)
+                        micros = ts.value // 1000
+                        out_vals.append(iceberg_bucket_long(micros, _n))
+                    else:
+                        out_vals.append(iceberg_bucket_long(int(v), _n))
+                return pd.Series(out_vals, dtype="object")
+
+            e = _bucket(c)
+        elif transform in ("year", "month", "day", "hour"):
+            if not isinstance(
+                dt,
+                (T.DateType, T.TimestampType, T.TimestampNTZType),
+            ):
+                raise ValueError(
+                    f"{transform} unsupported for {dt.simpleString()}"
+                )
+            if transform == "year":
+                e = F.year(c) - 1970
+            elif transform == "month":
+                e = (F.year(c) - 1970) * 12 + F.month(c) - 1
+            elif transform == "day":
+                e = F.datediff(c.cast("date"), F.lit("1970-01-01"))
+            else:
+                e = F.floor(
+                    F.unix_timestamp(c.cast("timestamp")) / 3600
+                ).cast("int")
+        else:
+            raise ValueError(f"unknown transform {transform!r}")
+        out = out.withColumn(name, e)
+    return out
+
+
 EXPIRE_PLAN_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.StringType()),
