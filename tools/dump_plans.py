@@ -298,6 +298,27 @@ FLAGSHIP = [
     ("wilcoxon_shift",
      "Signed-rank: distinct-|d| reduction before the only window; "
      "row-level data never enters a rank window."),
+    ("delta_snapshot_dv",
+     "Deletion vectors (r14): the DV descriptor rides the max_by "
+     "payload (still ONE path-keyed hash agg over the log); decode "
+     "is one Arrow MapInPandas pass, inline Z85 join-free."),
+    ("iceberg_eq_deletes",
+     "Equality deletes (r14): the delete-file dimension broadcasts "
+     "into the seq-number scoping join BEFORE any row decode; only "
+     "affected data files read rows; gone rows union-dedup."),
+    ("dbscan_blobs_3d",
+     "k-D DBSCAN (r14): equi join on THREE cell-key columns, 27 "
+     "plan-literal neighbor offsets, no cartesian/BNLJ."),
+    ("outlier_mad_filter",
+     "Percentile retirement (r14): both medians via GK-bracket "
+     "selection — no percentile ObjectHashAggregate anywhere in "
+     "the plan; medians broadcast back."),
+    ("iceberg_partition_transforms",
+     "Hidden partitioning (r14): bucket is the only Arrow hop; "
+     "truncate/year/month stay in whole-stage codegen."),
+    ("delta_cdf_window",
+     "CDF routing (r14): per-version cdc/synthesize decision is a "
+     "left-anti join off ONE parsed scan — no driver loop."),
 ]
 
 
