@@ -3626,6 +3626,22 @@ SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
 FROM d
 """
 
+# row-aware change feed: only the DV-replaced files (d%6==0) emit,
+# as 'updated' with live rows before/after the replacement
+ORACLES["delta_changes_live"] = """
+SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
+  'updated' AS change,
+  CAST(100 + doc_id % 77 AS BIGINT) AS size_old,
+  CAST(100 + doc_id % 77 AS BIGINT) AS size_new,
+  CAST(0 AS INT) AS version_old,
+  CAST(1 AS INT) AS version_new,
+  CAST(100 + doc_id % 50 - (doc_id % 4 + 1) AS BIGINT)
+    AS live_records_old,
+  CAST(100 + doc_id % 50 - (doc_id % 4 + 2) AS BIGINT)
+    AS live_records_new
+FROM documents WHERE doc_id % 6 = 0
+"""
+
 # DV compaction planner: files over the dead-fraction threshold
 # restated closed-form from the planted scheme (winner DV per path)
 ORACLES["delta_dv_compaction"] = """

@@ -6013,6 +6013,21 @@ def _delta_dv_fixture(spark: SparkSession, sf_dir: str):
     return log, dv_files
 
 
+def q_delta_changes_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-aware change feed (`extensions/profile.py::
+    delta_log_changes(stats=True)`): between versions 0 and 1 of the
+    DV fixture, exactly the d%6==0 files changed — their deletion
+    vector was REPLACED (one more masked row) — and the feed must
+    carry live_records before/after while every untouched file stays
+    silent."""
+    from trollflow2_spark.extensions.profile import delta_log_changes
+
+    log, _dv = _delta_dv_fixture(spark, sf_dir)
+    return delta_log_changes(
+        log, from_version=0, to_version=1, stats=True
+    )
+
+
 def q_delta_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DV compaction planner (`extensions/profile.py::
     delta_dv_compaction_plan`): deletion vectors trade write
@@ -15091,6 +15106,7 @@ QUERIES = {
     "delta_dv_compaction": q_delta_dv_compaction,
     "delta_time_travel_ts": q_delta_time_travel_ts,
     "delta_cdf_window": q_delta_cdf_window,
+    "delta_changes_live": q_delta_changes_live,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
