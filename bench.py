@@ -415,6 +415,10 @@ OPERATORS = [
     "iceberg_eq_deletes",  # equality deletes, seq-number scoping
     "iceberg_expire_plan",  # snapshot expiry / orphan-file planner
     "dbscan_blobs_3d",  # k-D grid DBSCAN, 27-cell neighborhood
+    "delta_time_travel_ts",  # commitInfo TIMESTAMP AS OF resolution
+    "delta_cdf_window",  # change-data-feed file routing per version
+    "delta_changes_live",  # row-aware change feed (live before/after)
+    "iceberg_partition_transforms",  # murmur3 bucket + truncate + ordinals
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.
