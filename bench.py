@@ -419,6 +419,7 @@ OPERATORS = [
     "delta_cdf_window",  # change-data-feed file routing per version
     "delta_changes_live",  # row-aware change feed (live before/after)
     "iceberg_partition_transforms",  # murmur3 bucket + truncate + ordinals
+    "delta_file_skip",  # min/max stats data skipping, conservative on absent
 ]
 
 # Stress set: hot-key fixtures. Reported separately — see module docstring.

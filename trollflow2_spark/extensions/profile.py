@@ -743,6 +743,7 @@ def _delta_json_actions(
             F.get_json_object(j["add"]["stats"], "$.numRecords")
             .cast("bigint")
             .alias("__nrec"),
+            j["add"]["stats"].alias("__stats"),
             j["add"]["partitionValues"].alias("__pv"),
             j["add"]["deletionVector"].alias("__dv"),
         ]
@@ -764,6 +765,7 @@ def _delta_resolve(acts: DataFrame, stats: bool = False) -> DataFrame:
     if stats:
         payload += [
             F.col("__nrec").alias("num_records"),
+            F.col("__stats").alias("stats_json"),
             F.col("__pv").alias("pv"),
             F.col("__dv").alias("dv"),
         ]
@@ -789,6 +791,7 @@ def _delta_resolve(acts: DataFrame, stats: bool = False) -> DataFrame:
     return out.select(
         *base,
         F.col("__last.num_records").alias("num_records"),
+        F.col("__last.stats_json").alias("stats_json"),
         F.col("__last.pv").alias("partition_values"),
         card.alias("dv_cardinality"),
         F.greatest(
@@ -940,6 +943,13 @@ def delta_snapshot_from_checkpoint(
                 if "stats" in add_fields
                 else F.lit(None).cast("bigint")
             ).alias("__nrec")
+        )
+        base_cols.append(
+            (
+                F.col("add")["stats"]
+                if "stats" in add_fields
+                else F.lit(None).cast("string")
+            ).alias("__stats")
         )
         base_cols.append(
             (
@@ -1159,6 +1169,40 @@ def delta_table_info(lines: list[str]) -> dict:
         ),
         "configuration": config,
     }
+
+
+def delta_file_skip_plan(
+    snapshot: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Data-skipping plan from Delta's per-column file statistics —
+    the other half of scan planning next to partition pruning: each
+    add action's ``stats`` carries minValues/maxValues per column,
+    and a range predicate reads only files whose [min, max] overlaps
+    it. Files WITHOUT stats for the column are read conservatively
+    (skipping on absent evidence returns wrong answers — the
+    asymmetry that makes skipping safe). Input is a ``stats=True``
+    snapshot; output one row per file with its bounds and the
+    read/skip decision — pure Column algebra over the
+    file-cardinality snapshot, nothing scans data."""
+    mn = F.get_json_object(
+        F.col("stats_json"), f"$.minValues.{column}"
+    ).cast("double")
+    mx = F.get_json_object(
+        F.col("stats_json"), f"$.maxValues.{column}"
+    ).cast("double")
+    overlap = ~((mx < float(lo)) | (mn > float(hi)))
+    return snapshot.select(
+        "path",
+        "num_records",
+        mn.alias("min_v"),
+        mx.alias("max_v"),
+        F.when(mn.isNull() | mx.isNull(), F.lit(1))
+        .otherwise(overlap.cast("int"))
+        .alias("must_read"),
+    )
 
 
 def delta_dv_compaction_plan(

@@ -3626,6 +3626,21 @@ SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
 FROM d
 """
 
+# data skipping: [lo, lo+50] overlaps [200, 300] iff lo in
+# [150, 300]; statless files (d%9==0) read conservatively
+ORACLES["delta_file_skip"] = """
+SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
+  CAST(10 + doc_id % 5 AS BIGINT) AS num_records,
+  CASE WHEN doc_id % 9 = 0 THEN NULL
+       ELSE CAST(doc_id * 10 % 1000 AS DOUBLE) END AS min_v,
+  CASE WHEN doc_id % 9 = 0 THEN NULL
+       ELSE CAST(doc_id * 10 % 1000 + 50 AS DOUBLE) END AS max_v,
+  CASE WHEN doc_id % 9 = 0 THEN 1
+       WHEN doc_id * 10 % 1000 BETWEEN 150 AND 300 THEN 1
+       ELSE 0 END AS must_read
+FROM documents
+"""
+
 # row-aware change feed: only the DV-replaced files (d%6==0) emit,
 # as 'updated' with live rows before/after the replacement
 ORACLES["delta_changes_live"] = """

@@ -6028,6 +6028,47 @@ def q_delta_changes_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta data skipping (`extensions/profile.py::
+    delta_file_skip_plan`): per-column minValues/maxValues from each
+    add action's stats decide which files a [200, 300] range
+    predicate must read; every 9th file has NO column stats and must
+    be read conservatively (skipping on absent evidence is the bug).
+    Pure Column algebra over the file-cardinality snapshot."""
+    from trollflow2_spark.extensions.profile import (
+        delta_file_skip_plan,
+        delta_log_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    lo = (d * 10) % 1000
+    stats_full = F.concat(
+        F.lit('{\\"numRecords\\":'),
+        (10 + d % 5).cast("string"),
+        F.lit(',\\"minValues\\":{\\"v\\":'),
+        lo.cast("string"),
+        F.lit('},\\"maxValues\\":{\\"v\\":'),
+        (lo + 50).cast("string"),
+        F.lit("}}"),
+    )
+    stats_bare = F.concat(
+        F.lit('{\\"numRecords\\":'),
+        (10 + d % 5).cast("string"),
+        F.lit("}"),
+    )
+    line = F.concat(
+        F.lit('{"add":{"path":"part-'),
+        d.cast("string"),
+        F.lit('","size":1,"stats":"'),
+        F.when(d % 9 == 0, stats_bare).otherwise(stats_full),
+        F.lit('"}}'),
+    )
+    log = docs.select(F.lit(0).alias("version"), line.alias("line"))
+    snap = delta_log_snapshot(log, stats=True)
+    return delta_file_skip_plan(snap, "v", 200.0, 300.0)
+
+
 def q_delta_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DV compaction planner (`extensions/profile.py::
     delta_dv_compaction_plan`): deletion vectors trade write
@@ -15107,6 +15148,7 @@ QUERIES = {
     "delta_time_travel_ts": q_delta_time_travel_ts,
     "delta_cdf_window": q_delta_cdf_window,
     "delta_changes_live": q_delta_changes_live,
+    "delta_file_skip": q_delta_file_skip,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
