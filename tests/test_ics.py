@@ -260,3 +260,114 @@ def test_unsupported_freq_still_raises():
             datetime.datetime(2024, 1, 1),
             {"FREQ": "HOURLY", "COUNT": "2"},
         )
+
+
+def test_yearly_byday_without_bymonth_is_year_scoped():
+    # bare BYDAY: every Friday OF THE YEAR, not just DTSTART's month
+    occs, capped = expand_rrule(
+        datetime.datetime(2024, 1, 5, 9),
+        {"FREQ": "YEARLY", "BYDAY": "FR", "COUNT": "60"},
+    )
+    assert not capped and len(occs) == 60
+    # 2024 has 52 Fridays from Jan 5; the 53rd lands in 2025
+    assert occs[51] == datetime.datetime(2024, 12, 27, 9)
+    assert occs[52] == datetime.datetime(2025, 1, 3, 9)
+
+
+def test_yearly_byday_ordinal_is_nth_of_year():
+    # 20MO = the 20th Monday of the year (RFC 5545 §3.3.10 example)
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1, 9),
+        {"FREQ": "YEARLY", "BYDAY": "20MO", "COUNT": "3"},
+    )
+    assert [o.date() for o in occs] == [
+        datetime.date(2024, 5, 13),
+        datetime.date(2025, 5, 19),
+        datetime.date(2026, 5, 18),
+    ]
+
+
+def test_bysetpos_last_weekday_of_month():
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1, 9),
+        {
+            "FREQ": "MONTHLY",
+            "BYDAY": "MO,TU,WE,TH,FR",
+            "BYSETPOS": "-1",
+            "COUNT": "4",
+        },
+    )
+    assert [o.date() for o in occs] == [
+        datetime.date(2024, 1, 31),
+        datetime.date(2024, 2, 29),
+        datetime.date(2024, 3, 29),
+        datetime.date(2024, 4, 30),
+    ]
+
+
+def test_bysetpos_positive_and_multi():
+    # 2nd and last Friday of each month
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1, 9),
+        {
+            "FREQ": "MONTHLY",
+            "BYDAY": "FR",
+            "BYSETPOS": "2,-1",
+            "COUNT": "4",
+        },
+    )
+    assert [o.date() for o in occs] == [
+        datetime.date(2024, 1, 12),
+        datetime.date(2024, 1, 26),
+        datetime.date(2024, 2, 9),
+        datetime.date(2024, 2, 23),
+    ]
+
+
+def test_wkst_changes_biweekly_grouping():
+    # RFC 5545 §3.8.5.3's canonical WKST pair
+    base = {
+        "FREQ": "WEEKLY",
+        "INTERVAL": "2",
+        "COUNT": "4",
+        "BYDAY": "TU,SU",
+    }
+    mo, _ = expand_rrule(
+        datetime.datetime(1997, 8, 5, 9), {**base, "WKST": "MO"}
+    )
+    su, _ = expand_rrule(
+        datetime.datetime(1997, 8, 5, 9), {**base, "WKST": "SU"}
+    )
+    assert [o.day for o in mo] == [5, 10, 19, 24]
+    assert [o.day for o in su] == [5, 17, 19, 31]
+
+
+def test_bysetpos_requires_byxxx_and_daily_rejected():
+    with pytest.raises(ValueError, match="BYSETPOS"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {"FREQ": "MONTHLY", "BYSETPOS": "1", "COUNT": "2"},
+        )
+    with pytest.raises(ValueError, match="DAILY"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {
+                "FREQ": "DAILY",
+                "BYMONTH": "1",
+                "BYSETPOS": "1",
+                "COUNT": "2",
+            },
+        )
+    with pytest.raises(ValueError, match="BYSETPOS"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {"FREQ": "MONTHLY", "BYDAY": "FR", "BYSETPOS": "0"},
+        )
+
+
+def test_bad_wkst_raises():
+    with pytest.raises(ValueError, match="WKST"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {"FREQ": "WEEKLY", "WKST": "XX", "COUNT": "2"},
+        )

@@ -1440,6 +1440,7 @@ def lsh_recall_audit(
     minhash_shingle_words: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    max_sample_rows: int = 20_000,
 ) -> DataFrame:
     """Measured recall/precision of the banded-LSH candidate generator
     against EXACT Jaccard ground truth on a bounded sample — the
@@ -1452,8 +1453,23 @@ def lsh_recall_audit(
 
     Output (one row): n_true (exact pairs >= threshold), n_candidates
     (LSH pairs within the sample), n_hit (true pairs surfaced),
-    recall, precision."""
+    recall, precision.
+
+    The sample-budget contract is ENFORCED, not a fixture
+    convention: an input above ``max_sample_rows`` raises before the
+    quadratic join materializes — an unwitting caller passing a full
+    corpus must get this error, never corpus². Audit a larger budget
+    deliberately by raising the cap (cost grows with rows²)."""
     base = df.select(F.col(id_col), F.col(text_col))
+    n_rows = base.limit(int(max_sample_rows) + 1).count()
+    if n_rows > int(max_sample_rows):
+        raise ValueError(
+            f"lsh_recall_audit input exceeds max_sample_rows="
+            f"{max_sample_rows}: the exact-Jaccard reference join is "
+            "quadratic BY DESIGN and must run on a bounded sample — "
+            "pass df.limit(...) / .sample(...) (or raise "
+            "max_sample_rows deliberately, cost grows with rows**2)"
+        )
     sh = base.select(
         F.col(id_col),
         F.array_distinct(

@@ -794,8 +794,15 @@ def _delta_resolve(acts: DataFrame, stats: bool = False) -> DataFrame:
         F.col("__last.stats_json").alias("stats_json"),
         F.col("__last.pv").alias("partition_values"),
         card.alias("dv_cardinality"),
-        F.greatest(
-            F.col("__last.num_records") - card, F.lit(0)
+        # greatest() SKIPS nulls, so a statless add (num_records
+        # null) must not collapse to live_records = 0 — absent
+        # evidence propagates as null so SUM-style rollups stay
+        # conservative instead of silently undercounting
+        F.when(
+            F.col("__last.num_records").isNotNull(),
+            F.greatest(
+                F.col("__last.num_records") - card, F.lit(0)
+            ),
         ).alias("live_records"),
         F.col("__last.dv.storageType").alias("dv_storage"),
         F.col("__last.dv.pathOrInlineDv").alias("dv_payload"),
@@ -1330,9 +1337,15 @@ def delta_dv_positions(
         ondisk = ondisk.withColumn("__dvf", resolved_name).join(
             files, "__dvf", "left"
         ).drop("__dvf")
-        both = inline.unionByName(ondisk)
     else:
-        both = inline
+        # no dv_files supplied: on-disk ('u'/'p') descriptors still
+        # flow to the kernel with blob=null so it raises the same
+        # "not found in dv_files" error — silently decoding only the
+        # inline DVs would return an incomplete deleted-row mask
+        ondisk = ondisk.withColumn(
+            "blob", F.lit(None).cast("binary")
+        )
+    both = inline.unionByName(ondisk)
     return both.mapInPandas(kernel, DV_POSITIONS_SCHEMA)
 
 

@@ -399,9 +399,16 @@ def partition_projection(
                 kind = "string"
             elif isinstance(dt, T.DateType):
                 kind = "date"
-            elif isinstance(
-                dt, (T.TimestampType, T.TimestampNTZType)
-            ):
+            elif isinstance(dt, T.TimestampType):
+                # Iceberg buckets timestamptz over its UTC micros;
+                # Arrow hands pandas UDFs SESSION-LOCAL naive
+                # datetimes, so convert to epoch micros JVM-side
+                # (unix_micros is tz-exact) and bucket as a long
+                kind = "long"
+                c = F.unix_micros(c)
+            elif isinstance(dt, T.TimestampNTZType):
+                # NTZ is wall-clock: Arrow ships it unconverted, so
+                # the pandas micros path is already tz-free
                 kind = "timestamp"
             else:
                 raise ValueError(
@@ -450,15 +457,55 @@ def partition_projection(
                 raise ValueError(
                     f"{transform} unsupported for {dt.simpleString()}"
                 )
-            if transform == "year":
+            if isinstance(dt, T.TimestampType):
+                # timestamptz ordinals are defined over UTC micros;
+                # year()/month()/cast('date')/unix_timestamp all
+                # apply spark.sql.session.timeZone, so derive the
+                # UTC calendar date from epoch micros instead
+                # (floor-div toward -inf in exact long arithmetic —
+                # pre-1970 instants must round down, not toward 0)
+                us = F.unix_micros(c)
+                day_us = F.lit(86_400_000_000)
+                day_ord = (
+                    (us - ((us % day_us + day_us) % day_us)) / day_us
+                ).cast("int")
+                utc_date = F.date_add(
+                    F.to_date(F.lit("1970-01-01")), day_ord
+                )
+                if transform == "year":
+                    e = F.year(utc_date) - 1970
+                elif transform == "month":
+                    e = (
+                        (F.year(utc_date) - 1970) * 12
+                        + F.month(utc_date)
+                        - 1
+                    )
+                elif transform == "day":
+                    e = day_ord
+                else:
+                    hr_us = F.lit(3_600_000_000)
+                    e = (
+                        (us - ((us % hr_us + hr_us) % hr_us)) / hr_us
+                    ).cast("int")
+            elif transform == "year":
                 e = F.year(c) - 1970
             elif transform == "month":
                 e = (F.year(c) - 1970) * 12 + F.month(c) - 1
             elif transform == "day":
                 e = F.datediff(c.cast("date"), F.lit("1970-01-01"))
             else:
-                e = F.floor(
-                    F.unix_timestamp(c.cast("timestamp")) / 3600
+                # DateType / NTZ are wall-clock (tz-free): hour is
+                # day-ordinal * 24 + wall hour — no cast through
+                # TimestampType, which would re-apply the session tz
+                wall_hour = (
+                    F.lit(0)
+                    if isinstance(dt, T.DateType)
+                    else F.hour(c)
+                )
+                e = (
+                    F.datediff(c.cast("date"), F.lit("1970-01-01"))
+                    * 24
+                    + wall_hour
                 ).cast("int")
         else:
             raise ValueError(f"unknown transform {transform!r}")

@@ -159,6 +159,14 @@ def expand_rrule(
         until, _, _ = _parse_dt(rule["UNTIL"], {})
     if count is None and until is None:
         count = max_occurrences + 1  # unbounded rule -> cap trips
+    setpos = _parse_bysetpos(rule.get("BYSETPOS", ""))
+    if setpos and not any(
+        k in rule for k in ("BYDAY", "BYMONTHDAY", "BYMONTH")
+    ):
+        raise ValueError(
+            "BYSETPOS requires another BYxxx expansion rule "
+            "(RFC 5545 §3.3.10)"
+        )
     out: list[datetime.datetime] = []
     capped = False
 
@@ -172,32 +180,51 @@ def expand_rrule(
         out.append(dt)
         return count is None or len(out) < count
 
+    def emit_period(cands: list[datetime.datetime]) -> bool:
+        """One interval period's candidates: BYSETPOS selects from
+        the full period set FIRST, then pre-DTSTART instances drop
+        without consuming COUNT (dateutil's convention)."""
+        for dt in _apply_setpos(cands, setpos):
+            if dt < dtstart:
+                continue
+            if not emit(dt):
+                return False
+        return True
+
     if freq == "DAILY":
+        if setpos:
+            raise ValueError("BYSETPOS with FREQ=DAILY is unsupported")
         step = datetime.timedelta(days=interval)
         cur = dtstart
         while emit(cur):
             cur = cur + step
     elif freq == "WEEKLY":
-        bydays = sorted(
+        # WKST decides which week a BYDAY instance belongs to when
+        # INTERVAL > 1 spans the week boundary (RFC 5545: default MO)
+        wk_raw = rule.get("WKST", "MO").upper()
+        if wk_raw not in _WEEKDAYS:
+            raise ValueError(f"bad WKST {rule.get('WKST')!r}")
+        wkst = _WEEKDAYS[wk_raw]
+        bydays = [
             _WEEKDAYS[d] for d in rule.get("BYDAY", "").split(",") if d
-        ) or [dtstart.weekday()]
-        week0 = dtstart - datetime.timedelta(days=dtstart.weekday())
+        ] or [dtstart.weekday()]
+        offsets = sorted({(wd - wkst) % 7 for wd in bydays})
+        week0 = dtstart - datetime.timedelta(
+            days=(dtstart.weekday() - wkst) % 7
+        )
         week = 0
         going = True
         while going:
             base = week0 + datetime.timedelta(weeks=week)
-            for wd in bydays:
-                dt = base + datetime.timedelta(days=wd)
-                dt = dt.replace(
+            cands = [
+                (base + datetime.timedelta(days=o)).replace(
                     hour=dtstart.hour,
                     minute=dtstart.minute,
                     second=dtstart.second,
                 )
-                if dt < dtstart:
-                    continue
-                if not emit(dt):
-                    going = False
-                    break
+                for o in offsets
+            ]
+            going = emit_period(cands)
             week += interval
             if week > 53 * (max_occurrences + 1):
                 capped = True
@@ -212,13 +239,11 @@ def expand_rrule(
             yy = y + (mth - 1 + k * interval) // 12
             mm = (mth - 1 + k * interval) % 12 + 1
             k += 1
-            for dd in _month_days(yy, mm, byday, bymd, dtstart.day):
-                dt = dtstart.replace(year=yy, month=mm, day=dd)
-                if dt < dtstart:
-                    continue
-                if not emit(dt):
-                    going = False
-                    break
+            cands = [
+                dtstart.replace(year=yy, month=mm, day=dd)
+                for dd in _month_days(yy, mm, byday, bymd, dtstart.day)
+            ]
+            going = emit_period(cands)
             # a rule that can never produce a date (BYMONTHDAY=31
             # every 30-day month, Feb-30, 5th Friday rules in short
             # months) must trip the cap loudly, not loop
@@ -228,26 +253,34 @@ def expand_rrule(
     elif freq == "YEARLY":
         months = sorted(
             int(m) for m in rule.get("BYMONTH", "").split(",") if m
-        ) or [dtstart.month]
+        )
         if any(m < 1 or m > 12 for m in months):
             raise ValueError(f"bad BYMONTH {rule.get('BYMONTH')!r}")
-        byday = _parse_byday(rule.get("BYDAY", ""))
+        byday = _parse_byday(rule.get("BYDAY", ""), max_ordinal=53)
         bymd = _parse_bymonthday(rule.get("BYMONTHDAY", ""))
         k = 0
         going = True
         while going:
             yy = dtstart.year + k * interval
             k += 1
-            for mm in months:
-                for dd in _month_days(yy, mm, byday, bymd, dtstart.day):
-                    dt = dtstart.replace(year=yy, month=mm, day=dd)
-                    if dt < dtstart:
-                        continue
-                    if not emit(dt):
-                        going = False
-                        break
-                if not going:
-                    break
+            if byday and not months:
+                # RFC 5545: without BYMONTH, YEARLY BYDAY is
+                # YEAR-scoped — bare MO = every Monday of the year,
+                # 20MO = the 20th Monday OF THE YEAR
+                dates = _year_days(yy, byday, bymd)
+            else:
+                dates = [
+                    datetime.date(yy, mm, dd)
+                    for mm in (months or [dtstart.month])
+                    for dd in _month_days(
+                        yy, mm, byday, bymd, dtstart.day
+                    )
+                ]
+            cands = [
+                dtstart.replace(year=d.year, month=d.month, day=d.day)
+                for d in dates
+            ]
+            going = emit_period(cands)
             # progress guard: the longest real gap between valid
             # Feb-29s is 8 years (1896 -> 1904); an always-invalid
             # rule (BYMONTH=2;BYMONTHDAY=30) trips the cap loudly
@@ -262,20 +295,80 @@ def expand_rrule(
 _BYDAY_RE = re.compile(r"([+-]?\d+)?(MO|TU|WE|TH|FR|SA|SU)")
 
 
-def _parse_byday(value: str) -> list[tuple[int | None, int]]:
+def _parse_byday(
+    value: str, max_ordinal: int = 5
+) -> list[tuple[int | None, int]]:
     """BYDAY tokens with optional ordinal prefix (RFC 5545 §3.3.10):
     ``3TH`` = third Thursday, ``-1FR`` = last Friday, bare ``MO`` =
-    every Monday of the period. Returns (ordinal-or-None, weekday)."""
+    every Monday of the period. Returns (ordinal-or-None, weekday).
+    ``max_ordinal`` is 5 for month-scoped rules, 53 for year-scoped
+    (``20MO`` = 20th Monday of the year)."""
     out = []
     for tok in (t for t in value.split(",") if t):
         m = _BYDAY_RE.fullmatch(tok.strip().upper())
         if not m:
             raise ValueError(f"bad BYDAY token {tok!r}")
         ordinal = int(m.group(1)) if m.group(1) else None
-        if ordinal is not None and (ordinal == 0 or abs(ordinal) > 5):
+        if ordinal is not None and (
+            ordinal == 0 or abs(ordinal) > max_ordinal
+        ):
             raise ValueError(f"bad BYDAY ordinal in {tok!r}")
         out.append((ordinal, _WEEKDAYS[m.group(2)]))
     return out
+
+
+def _parse_bysetpos(value: str) -> list[int]:
+    """BYSETPOS values: nonzero, |n| <= 366; selects the nth
+    (negatives from the end) instances from one period's expanded
+    occurrence set."""
+    pos = [int(p) for p in value.split(",") if p]
+    if any(p == 0 or abs(p) > 366 for p in pos):
+        raise ValueError(f"bad BYSETPOS {value!r}")
+    return pos
+
+
+def _apply_setpos(
+    cands: list[datetime.datetime], setpos: list[int]
+) -> list[datetime.datetime]:
+    if not setpos:
+        return cands
+    picked = {
+        cands[p - 1 if p > 0 else p]
+        for p in setpos
+        if abs(p) <= len(cands)
+    }
+    return sorted(picked)
+
+
+def _year_days(
+    yy: int,
+    byday: list[tuple[int | None, int]],
+    bymd: list[int],
+) -> list[datetime.date]:
+    """YEARLY + BYDAY without BYMONTH (RFC 5545): bare BYDAY expands
+    over every matching weekday of the YEAR; ordinals mean
+    nth-weekday-of-year (``-1FR`` = the year's last Friday).
+    BYMONTHDAY, when also present, LIMITS the expansion."""
+    jan1 = datetime.date(yy, 1, 1)
+    n = (datetime.date(yy + 1, 1, 1) - jan1).days
+    all_days = [jan1 + datetime.timedelta(days=i) for i in range(n)]
+    sel: set[datetime.date] = set()
+    for ordinal, wd in byday:
+        matching = [d for d in all_days if d.weekday() == wd]
+        if ordinal is None:
+            sel.update(matching)
+        elif abs(ordinal) <= len(matching):
+            sel.add(matching[ordinal - 1 if ordinal > 0 else ordinal])
+    if bymd:
+        keep: set[datetime.date] = set()
+        for d in sel:
+            nm = _days_in_month(d.year, d.month)
+            if any(
+                d.day == (md if md > 0 else nm + 1 + md) for md in bymd
+            ):
+                keep.add(d)
+        sel = keep
+    return sorted(sel)
 
 
 def _parse_bymonthday(value: str) -> list[int]:

@@ -145,6 +145,14 @@ def _decode_roaring32(buf: bytes, base: int) -> tuple[list[int], int]:
             for _ in range(n_runs):
                 start, length = struct.unpack_from("<HH", buf, pos)
                 pos += 4
+                if start + length > 0xFFFF:
+                    # a run must stay inside its 16-bit container;
+                    # letting it overflow would bleed values into the
+                    # wrong high-container via hi | v
+                    raise RoaringError(
+                        f"run [{start}, {start}+{length}] exceeds "
+                        "16-bit container range"
+                    )
                 values.extend(hi | v for v in range(start, start + length + 1))
         elif card > _ARRAY_MAX:
             if len(buf) - pos < 8192:
