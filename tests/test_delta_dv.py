@@ -330,16 +330,49 @@ class TestDeltaProtocolGate:
         assert info["schema_fields"] == [("id", "long")]
         assert info["partition_columns"] == ["region"]
 
-    def test_column_mapping_refuses(self):
-        with pytest.raises(ValueError, match="columnMapping"):
+    def test_column_mapping_modes(self):
+        # 'id' mode needs parquet field-ID resolution -> refuses
+        with pytest.raises(ValueError, match="'id'"):
+            self._info(
+                {"minReaderVersion": 2},
+                {"configuration":
+                    {"delta.columnMapping.mode": "id"}},
+            )
+        # 'name' mode without a schemaString cannot resolve -> loud
+        with pytest.raises(ValueError, match="schemaString"):
             self._info(
                 {"minReaderVersion": 2},
                 {"configuration":
                     {"delta.columnMapping.mode": "name"}},
             )
-        # mode absent -> readable
+        # 'name' with annotations resolves physical -> logical
+        sch = {"type": "struct", "fields": [
+            {"name": "amount", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName":
+                              "col-ab12"}},
+        ]}
+        info = self._info(
+            {"minReaderVersion": 2},
+            {"configuration": {"delta.columnMapping.mode": "name"},
+             "schemaString": json.dumps(sch)},
+        )
+        assert info["column_mapping"] == {"col-ab12": "amount"}
+        # half-annotated mapped schema is corrupt -> loud
+        sch["fields"].append(
+            {"name": "bare", "type": "long", "metadata": {}}
+        )
+        with pytest.raises(ValueError, match="physicalName"):
+            self._info(
+                {"minReaderVersion": 2},
+                {"configuration":
+                    {"delta.columnMapping.mode": "name"},
+                 "schemaString": json.dumps(sch)},
+            )
+        # mode absent -> readable, empty mapping
         info = self._info({"minReaderVersion": 2}, {"configuration": {}})
         assert info["protocol"]["min_reader"] == 2
+        assert info["column_mapping"] == {}
 
     def test_unknown_reader_feature_refuses(self):
         with pytest.raises(ValueError, match="v2Checkpoint"):

@@ -1095,7 +1095,32 @@ def delta_cdf_files(
 
 # reader features this engine's metadata-core Delta path actually
 # implements — the gate must stay honest as features land
-_DELTA_READER_FEATURES = frozenset({"deletionVectors"})
+_DELTA_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+
+
+def _delta_column_mapping(sch: dict, mode: str) -> dict[str, str]:
+    """physical -> logical name map from a Delta schemaString parsed
+    dict (``name`` mode: every field carries
+    ``delta.columnMapping.physicalName`` metadata). Raises on a
+    mapped table whose fields are missing annotations — a half-mapped
+    schema means the log is corrupt, and guessing names returns wrong
+    columns."""
+    mapping: dict[str, str] = {}
+    for f in sch.get("fields", []):
+        md = f.get("metadata", {}) or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if phys is None:
+            raise ValueError(
+                f"columnMapping mode {mode!r} but field "
+                f"{f.get('name')!r} has no "
+                "delta.columnMapping.physicalName annotation"
+            )
+        if phys in mapping:
+            raise ValueError(
+                f"duplicate physical name {phys!r} in schema"
+            )
+        mapping[phys] = f["name"]
+    return mapping
 
 
 def delta_table_info(lines: list[str]) -> dict:
@@ -1105,17 +1130,24 @@ def delta_table_info(lines: list[str]) -> dict:
     real engine applies before touching data:
 
     - minReaderVersion 1 is always readable;
-    - 2 (column mapping capable) is readable only while
-      ``delta.columnMapping.mode`` is absent/none — a mapped table's
-      parquet column names no longer match the schema and silently
-      reading them would return wrong columns;
+    - 2 with ``delta.columnMapping.mode`` = ``name`` resolves
+      physical -> logical names from the schema's
+      ``delta.columnMapping.physicalName`` annotations (any column
+      rename/drop on a modern writer flips a table to this mode —
+      refusing it wholesale locks out real tables); ``id`` mode still
+      refuses loudly: resolving by parquet field IDs needs footer
+      reads the metadata-core path does not do;
     - 3 requires every listed ``readerFeatures`` entry to be in the
-      implemented set (deletionVectors today); anything else refuses
-      with the feature named.
+      implemented set (deletionVectors, columnMapping today);
+      anything else refuses with the feature named.
 
     Returns {protocol, schema_fields, partition_columns,
-    configuration}. Raises ValueError on unreadable tables and
-    malformed schemaString — loud, never silent."""
+    configuration, column_mapping} where ``column_mapping`` is the
+    physical -> logical dict ({} when unmapped) — feed it to
+    :func:`delta_apply_column_mapping` to translate a snapshot's
+    stats / partitionValues into logical namespace. Raises
+    ValueError on unreadable tables and malformed schemaString —
+    loud, never silent."""
     import json as _json
 
     protocol = None
@@ -1133,15 +1165,15 @@ def delta_table_info(lines: list[str]) -> dict:
         raise ValueError("no protocol action in log")
     mrv = int(protocol.get("minReaderVersion", 1))
     config = (meta or {}).get("configuration", {}) or {}
-    if mrv == 2:
-        mode = config.get("delta.columnMapping.mode", "none")
-        if mode != "none":
-            raise ValueError(
-                f"columnMapping mode {mode!r} is not supported by "
-                "the metadata-core reader (parquet column names are "
-                "remapped); disable mapping or use a full reader"
-            )
-    elif mrv == 3:
+    mode = config.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "name"):
+        raise ValueError(
+            f"columnMapping mode {mode!r} is not supported by the "
+            "metadata-core reader ('id' mode resolves by parquet "
+            "field IDs, which needs footer reads); use 'name' mode "
+            "or a full reader"
+        )
+    if mrv == 3:
         feats = set(protocol.get("readerFeatures", ()))
         unsupported = feats - _DELTA_READER_FEATURES
         if unsupported:
@@ -1153,6 +1185,7 @@ def delta_table_info(lines: list[str]) -> dict:
     elif mrv > 3:
         raise ValueError(f"minReaderVersion {mrv} beyond protocol 3")
     fields = []
+    mapping: dict[str, str] = {}
     if meta is not None and "schemaString" in meta:
         try:
             sch = _json.loads(meta["schemaString"])
@@ -1162,6 +1195,13 @@ def delta_table_info(lines: list[str]) -> dict:
             ]
         except (ValueError, TypeError, KeyError) as e:
             raise ValueError(f"malformed schemaString: {e}") from e
+        if mode == "name":
+            mapping = _delta_column_mapping(sch, mode)
+    elif mode == "name":
+        raise ValueError(
+            "columnMapping mode 'name' but no metaData schemaString "
+            "to resolve physical names from"
+        )
     return {
         "protocol": {
             "min_reader": mrv,
@@ -1175,7 +1215,80 @@ def delta_table_info(lines: list[str]) -> dict:
             (meta or {}).get("partitionColumns", ())
         ),
         "configuration": config,
+        "column_mapping": mapping,
     }
+
+
+def delta_apply_column_mapping(
+    snapshot: DataFrame, mapping: dict[str, str]
+) -> DataFrame:
+    """Translate a ``stats=True`` snapshot from PHYSICAL to LOGICAL
+    column namespace using `delta_table_info`'s ``column_mapping``:
+    under ``delta.columnMapping.mode = name`` the add actions key
+    their per-column stats (minValues/maxValues/nullCount) and
+    partitionValues by the parquet physical names, so every
+    downstream consumer — `delta_file_skip_plan`, partition pruning,
+    the change feed — would otherwise look up logical names and
+    silently find nothing (= read every file conservatively, or
+    prune nothing).
+
+    One remap here keeps all consumers mapping-unaware: stats_json
+    keys rewrite in a vectorized Arrow batch pass (top-level keys —
+    the same depth `delta_table_info` parses), partition_values map
+    keys rewrite in pure Column algebra. Physical names without a
+    mapping entry pass through unchanged (dropped columns keep
+    stats for their tombstone period). No shuffle: both rewrites are
+    scan-stage projections over the file-cardinality snapshot."""
+    if not mapping:
+        return snapshot
+    out = snapshot
+    if "stats_json" in snapshot.columns:
+
+        @F.pandas_udf(T.StringType())
+        def _remap_stats(stats, _m=dict(mapping)):
+            import json as _json
+
+            import pandas as pd
+
+            def one(s):
+                if s is None:
+                    return None
+                try:
+                    d = _json.loads(s)
+                except ValueError:
+                    return s
+                for sect in ("minValues", "maxValues", "nullCount"):
+                    v = d.get(sect)
+                    if isinstance(v, dict):
+                        d[sect] = {
+                            _m.get(k, k): vv for k, vv in v.items()
+                        }
+                return _json.dumps(d)
+
+            return pd.Series([one(s) for s in stats])
+
+        out = out.withColumn(
+            "stats_json", _remap_stats(F.col("stats_json"))
+        )
+    if "partition_values" in snapshot.columns:
+        pairs: list = []
+        for phys, logical in mapping.items():
+            pairs += [F.lit(phys), F.lit(logical)]
+        lut = F.create_map(*pairs)
+        out = out.withColumn(
+            "partition_values",
+            F.when(
+                F.col("partition_values").isNotNull(),
+                F.map_from_arrays(
+                    F.transform(
+                        F.map_keys("partition_values"),
+                        lambda k: F.coalesce(lut[k], k),
+                    ),
+                    F.map_values("partition_values"),
+                ),
+            ),
+        )
+    return out
 
 
 def delta_file_skip_plan(

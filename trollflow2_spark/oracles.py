@@ -3626,6 +3626,19 @@ SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
 FROM d
 """
 
+# column mapping: stats/partitionValues are keyed by PHYSICAL names
+# in the fixture; the closed form below is the LOGICAL-namespace
+# answer, so it only matches if the engine's physical->logical remap
+# actually ran (unmapped: region filter empties, must_read all 1)
+ORACLES["delta_column_mapping"] = """
+SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
+  CAST(doc_id % 4 AS VARCHAR) AS region,
+  CAST(10 + doc_id % 5 AS BIGINT) AS num_records,
+  CASE WHEN doc_id * 10 % 1000 BETWEEN 150 AND 300 THEN 1
+       ELSE 0 END AS must_read
+FROM documents WHERE doc_id % 4 IN (0, 1)
+"""
+
 # data skipping: [lo, lo+50] overlaps [200, 300] iff lo in
 # [150, 300]; statless files (d%9==0) read conservatively
 ORACLES["delta_file_skip"] = """

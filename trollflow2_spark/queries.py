@@ -6069,6 +6069,77 @@ def q_delta_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_file_skip_plan(snap, "v", 200.0, 300.0)
 
 
+def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column mapping, read path (`extensions/profile.py::
+    delta_table_info` + `delta_apply_column_mapping`): under
+    ``delta.columnMapping.mode = name`` (flipped on by ANY column
+    rename on a modern writer) the add actions key stats and
+    partitionValues by parquet PHYSICAL names — logical-name lookups
+    silently find nothing without the remap. Fixture: a renamed
+    column (logical ``amount``, physical ``col-ab12``) and a
+    physical partition key (``col-r7`` -> ``region``); the gate
+    resolves the mapping from the schemaString's physicalName
+    annotations (driver-side control plane), ONE remap projection
+    translates the snapshot, and the untouched `delta_file_skip_plan`
+    + partition pruning then run in logical namespace. Values only
+    match if the remap really happened: unmapped, the region filter
+    returns zero rows and every file degrades to must_read=1."""
+    import json as _json
+
+    from trollflow2_spark.extensions.profile import (
+        delta_apply_column_mapping,
+        delta_file_skip_plan,
+        delta_log_snapshot,
+        delta_table_info,
+    )
+
+    sch = {"type": "struct", "fields": [
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-ab12"}},
+        {"name": "region", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-r7"}},
+    ]}
+    proto = _json.dumps({"protocol": {
+        "minReaderVersion": 2, "minWriterVersion": 5}})
+    meta = _json.dumps({"metaData": {
+        "schemaString": _json.dumps(sch),
+        "partitionColumns": ["region"],
+        "configuration": {"delta.columnMapping.mode": "name"}}})
+    info = delta_table_info([proto, meta])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    lo = (d * 10) % 1000
+    line = F.concat(
+        F.lit('{"add":{"path":"part-'),
+        d.cast("string"),
+        F.lit('","size":1,"stats":"{\\"numRecords\\":'),
+        (10 + d % 5).cast("string"),
+        F.lit(',\\"minValues\\":{\\"col-ab12\\":'),
+        lo.cast("string"),
+        F.lit('},\\"maxValues\\":{\\"col-ab12\\":'),
+        (lo + 50).cast("string"),
+        F.lit('}}","partitionValues":{"col-r7":"'),
+        (d % 4).cast("string"),
+        F.lit('"}}}'),
+    )
+    log = docs.select(F.lit(0).alias("version"), line.alias("line"))
+    snap = delta_log_snapshot(log, stats=True)
+    mapped = delta_apply_column_mapping(snap, info["column_mapping"])
+    region = F.col("partition_values")["region"]
+    return (
+        delta_file_skip_plan(
+            mapped.where(region.isin("0", "1")), "amount", 200.0, 300.0
+        )
+        .join(
+            mapped.select("path", region.alias("region")), "path"
+        )
+        .select("path", "region", "num_records", "must_read")
+    )
+
+
 def q_delta_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DV compaction planner (`extensions/profile.py::
     delta_dv_compaction_plan`): deletion vectors trade write
@@ -15149,6 +15220,7 @@ QUERIES = {
     "delta_cdf_window": q_delta_cdf_window,
     "delta_changes_live": q_delta_changes_live,
     "delta_file_skip": q_delta_file_skip,
+    "delta_column_mapping": q_delta_column_mapping,
     "file_skip_plan": q_file_skip_plan,
     "binary_metrics": q_binary_metrics,
     "calibration_bins": q_calibration_bins,
