@@ -10992,6 +10992,35 @@ SELECT CAST(2 AS BIGINT), 'p' || CAST(pm AS VARCHAR),
 FROM per_file GROUP BY 1, 2
 """
 
+# Iceberg v3 deletion vectors: closed-form restatement of the
+# planted DVs — d%7==0 data files sit at seq 3 (deletes at seq 2
+# never apply), d%3==0 carry a DV of min(d%4+1, n) positions that
+# SUPERSEDES the leftover pos-delete pair on d%6==0 files, d%2==0
+# without a DV lose exactly the 2 pos-deleted rows; snapshot 1 is
+# untouched. Matching requires the real Puffin + DV-blob decode.
+ORACLES["iceberg_dv_v3"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS pm,
+    CAST(doc_id % 5 + 3 AS BIGINT) AS n,
+    CAST(1000 + doc_id % 77 AS BIGINT) AS fs,
+    CASE WHEN doc_id % 7 = 0 THEN 0
+         WHEN doc_id % 3 = 0
+           THEN LEAST(doc_id % 4 + 1, doc_id % 5 + 3)
+         WHEN doc_id % 2 = 0 THEN 2
+         ELSE 0 END AS gone
+  FROM documents
+)
+SELECT CAST(1 AS BIGINT) AS snapshot_id,
+  'p' || CAST(pm AS VARCHAR) AS partition,
+  COUNT(*) AS n_files, CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(SUM(fs) AS BIGINT) AS total_bytes
+FROM d GROUP BY 1, 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'p' || CAST(pm AS VARCHAR),
+  COUNT(*), CAST(SUM(n - gone) AS BIGINT), CAST(SUM(fs) AS BIGINT)
+FROM d GROUP BY 1, 2
+"""
+
 # Spatial join: the oracle is the closed-form L1 diamond test over a
 # plain cross join — a different algorithm than the engine's
 # grid-bucketed ray cast, agreeing exactly on non-boundary points

@@ -14482,6 +14482,223 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_dv_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 deletion vectors (`sources/puffin.py` +
+    `sources/iceberg.py::read_dv_positions`): v3 replaces
+    position-delete Avro files with roaring deletion vectors stored
+    as ``deletion-vector-v1`` blobs in PUFFIN files, referenced from
+    delete manifests by (puffin path, content_offset,
+    content_size_in_bytes, referenced_data_file). Fixture: every doc
+    is a data file of d%5+3 rows at seq 1 (seq 3 for d%7==0 — added
+    after the deletes, must stay untouched); d%3==0 files get a DV
+    at seq 2 deleting positions 0..min(d%4, n-1), packed per-bucket
+    into REAL Puffin files (magic sandwich + JSON footer + CRC'd
+    blobs, offsets taken from the footer round-trip); d%2==0 files
+    ALSO carry a leftover v2 position-delete file (pos 0,1) at seq 2
+    — where a DV covers the same file the position deletes must be
+    SUPERSEDED (DV is the complete mask), elsewhere they apply.
+    Snapshot 1 is data-only and must be untouched. The rollup only
+    matches the closed-form oracle if the Puffin framing, the DV
+    blob CRC/magic/length validation, the roaring decode, the seq
+    scoping AND the supersede rule are all right."""
+    from trollflow2_spark.sources.iceberg import (
+        DELETE_MANIFEST_V3_SCHEMA,
+        MANIFEST_LIST_V2_SCHEMA,
+        snapshot_partition_summary,
+    )
+    from trollflow2_spark.sources.avro import write_container
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 20).alias("bucket")
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    _MSEQ = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "partition", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size", "type": "long"},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+    _DSEQ = {
+        "type": "record",
+        "name": "delete_manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "int"},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size", "type": "long"},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+
+    def make_blobs(key, pdf):
+        import pandas as pd
+
+        from trollflow2_spark.sources.avro import write_container as wc
+        from trollflow2_spark.sources.iceberg import (
+            POSITION_DELETE_SCHEMA,
+        )
+        from trollflow2_spark.sources.puffin import (
+            encode_dv_v3,
+            read_puffin_footer,
+            write_puffin,
+        )
+
+        b = int(key[0])
+        ids = sorted(int(d) for d in pdf["doc_id"])
+        out = []
+        entries = [
+            {
+                "status": 1,
+                "file_path": f"f3-{d}",
+                "partition": f"p{d % 5}",
+                "record_count": d % 5 + 3,
+                "file_size": 1000 + d % 77,
+                "sequence_number": 3 if d % 7 == 0 else 1,
+            }
+            for d in ids
+        ]
+        out.append((f"m3-{b}", wc(entries, _MSEQ)))
+
+        dv_ids = [d for d in ids if d % 3 == 0]
+        dv_entries = []
+        if dv_ids:
+            puffin_blobs = []
+            for d in dv_ids:
+                n = d % 5 + 3
+                pos = list(range(min(d % 4 + 1, n)))
+                puffin_blobs.append(
+                    (
+                        encode_dv_v3(pos),
+                        {
+                            "type": "deletion-vector-v1",
+                            "fields": [2147483546],
+                            "snapshot-id": 2,
+                            "sequence-number": 2,
+                            "properties": {
+                                "referenced-data-file": f"f3-{d}",
+                                "cardinality": len(pos),
+                            },
+                        },
+                    )
+                )
+            puffin = write_puffin(puffin_blobs)
+            # offsets from the footer round-trip: the fixture goes
+            # through the real framing both ways
+            footer = read_puffin_footer(puffin)
+            out.append((f"dv3-{b}.puffin", puffin))
+            dv_entries = [
+                {
+                    "status": 1,
+                    "file_path": f"dv3-{b}.puffin",
+                    "content": 1,
+                    "record_count": fb["properties"]["cardinality"],
+                    "file_size": len(puffin),
+                    "sequence_number": 2,
+                    "referenced_data_file": fb["properties"][
+                        "referenced-data-file"
+                    ],
+                    "content_offset": fb["offset"],
+                    "content_size_in_bytes": fb["length"],
+                }
+                for fb in footer["blobs"]
+            ]
+        # manifests emit even when empty: every bucket's v3m-/pdm3-
+        # path appears in the snapshot-2 manifest list, and a listed
+        # manifest with no blob would silently drop
+        out.append(
+            (f"v3m-{b}", wc(dv_entries, DELETE_MANIFEST_V3_SCHEMA))
+        )
+        pos_rows = [
+            {"file_path": f"f3-{d}", "pos": p}
+            for d in ids
+            if d % 2 == 0
+            for p in (0, 1)
+        ]
+        out.append((f"pd3-{b}", wc(pos_rows, POSITION_DELETE_SCHEMA)))
+        out.append(
+            (
+                f"pdm3-{b}",
+                wc(
+                    [
+                        {
+                            "status": 1,
+                            "file_path": f"pd3-{b}",
+                            "content": 1,
+                            "record_count": len(pos_rows),
+                            "file_size": 64,
+                            "sequence_number": 2,
+                        }
+                    ],
+                    _DSEQ,
+                ),
+            )
+        )
+        return pd.DataFrame(out, columns=["path", "blob"])
+
+    blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
+
+    def mlist(entries):
+        return write_container(
+            [
+                {
+                    "manifest_path": p,
+                    "added_files_count": 0,
+                    "deleted_files_count": 0,
+                    "content": c,
+                }
+                for p, c in entries
+            ],
+            MANIFEST_LIST_V2_SCHEMA,
+        )
+
+    snap1 = [(f"m3-{b}", 0) for b in range(20)]
+    snap2 = (
+        snap1
+        + [(f"v3m-{b}", 1) for b in range(20)]
+        + [(f"pdm3-{b}", 1) for b in range(20)]
+    )
+    import json as _json
+
+    driver_blobs = spark.createDataFrame(
+        [
+            ("dvsnap-1.avro", mlist(snap1)),
+            ("dvsnap-2.avro", mlist(snap2)),
+        ],
+        blob_schema,
+    )
+    metadata = {
+        "format-version": 3,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1000,
+                "manifest-list": "dvsnap-1.avro",
+            },
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2000,
+                "manifest-list": "dvsnap-2.avro",
+            },
+        ],
+    }
+    return snapshot_partition_summary(
+        spark, _json.dumps(metadata), blobs.unionByName(driver_blobs)
+    )
+
+
 def q_iceberg_partition_transforms(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -15544,6 +15761,7 @@ QUERIES = {
     "iceberg_snapshot": q_iceberg_snapshot,
     "iceberg_snapshot_v2": q_iceberg_snapshot_v2,
     "iceberg_eq_deletes": q_iceberg_eq_deletes,
+    "iceberg_dv_v3": q_iceberg_dv_v3,
     "iceberg_expire_plan": q_iceberg_expire_plan,
     "iceberg_partition_transforms": q_iceberg_partition_transforms,
     "cbor_ingest": q_cbor_ingest,
