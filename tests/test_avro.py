@@ -413,3 +413,45 @@ def test_reader_schema_aliases_and_recursive_evolution():
     blob = write_container(recs, ll)
     _, got = read_container_resolved(blob, r2)
     assert got[0]["tag"] == "t" and got[0]["next"]["tag"] == "t"
+
+
+def test_wire_format_round_trip_and_errors():
+    from trollflow2_spark.sources.avro import (
+        AvroError,
+        decode_wire_message,
+        encode_wire_message,
+    )
+
+    user = {"type": "record", "name": "U", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"}]}
+    msg = encode_wire_message({"id": 42, "name": "x"}, 7, user)
+    assert msg[0] == 0 and msg[1:5] == b"\x00\x00\x00\x07"
+    sid, v = decode_wire_message(msg, {7: user})
+    assert sid == 7 and v == {"id": 42, "name": "x"}
+    with pytest.raises(AvroError, match="unknown schema id 7"):
+        decode_wire_message(msg, {8: user})
+    with pytest.raises(AvroError, match="magic byte"):
+        decode_wire_message(b"\x01" + msg[1:], {7: user})
+    with pytest.raises(AvroError, match="too short"):
+        decode_wire_message(b"\x00\x00", {7: user})
+    with pytest.raises(AvroError, match="trailing"):
+        decode_wire_message(msg + b"\x00", {7: user})
+
+
+def test_wire_format_reader_resolution():
+    """Evolution on the wire path: a v2 consumer (added defaulted
+    field, promoted type) reads v1-framed messages."""
+    from trollflow2_spark.sources.avro import (
+        decode_wire_message,
+        encode_wire_message,
+    )
+
+    v1 = {"type": "record", "name": "U", "fields": [
+        {"name": "id", "type": "int"}]}
+    v2 = {"type": "record", "name": "U", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tier", "type": "string", "default": "free"}]}
+    msg = encode_wire_message({"id": 3}, 1, v1)
+    sid, v = decode_wire_message(msg, {1: v1}, reader_schema=v2)
+    assert sid == 1 and v == {"id": 3, "tier": "free"}

@@ -1197,6 +1197,35 @@ UNION ALL SELECT * FROM err_rows
 
 # avro intake: 1 + d%3 records per container, every 17th truncated
 # -> one err row (rec_idx -1, NULLs); fields restated closed-form
+# Confluent wire framing: canonical JSON restated closed-form; the
+# two quarantine classes (non-zero magic, unknown registry id) must
+# surface their exact loud messages, schema_id preserved when the
+# framing was readable
+ORACLES["avro_wire_ingest"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 17 = 0 THEN NULL
+       WHEN doc_id % 13 = 5 THEN 99
+       WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS schema_id,
+  CASE
+    WHEN doc_id % 17 = 0 OR doc_id % 13 = 5 THEN NULL
+    WHEN doc_id % 3 = 0 THEN
+      '{"id":' || CAST(doc_id AS VARCHAR) || ',"name":"n'
+        || CAST(doc_id % 6 AS VARCHAR) || '"}'
+    ELSE
+      '{"id":' || CAST(doc_id AS VARCHAR) || ',"kind":"'
+        || CASE WHEN doc_id % 3 = 1 THEN 'B' ELSE 'C' END
+        || '","val":' || CAST(doc_id AS VARCHAR) || '.5}'
+  END AS json,
+  CASE
+    WHEN doc_id % 17 = 0 THEN
+      'bad wire magic byte 0x01 (Confluent framing starts with 0x00)'
+    WHEN doc_id % 13 = 5 THEN
+      'unknown schema id 99 (known ids: [1, 2])'
+    ELSE NULL
+  END AS error
+FROM documents
+"""
+
 ORACLES["avro_ingest"] = """
 WITH ok AS (
   SELECT doc_id, CAST(j AS INTEGER) AS rec_idx

@@ -1922,6 +1922,83 @@ def q_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_wire_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire-format Avro intake (`sources/avro.py::
+    read_avro_wire`): Kafka-exported Avro is registry-framed — magic
+    ``0x00`` + 4-byte BE schema id + one raw datum, NO container —
+    far more often than it is container files; pointing the
+    container reader at such blobs yields only a magic-bytes
+    quarantine. Fixture: each doc is one wire message under a
+    2-schema id map (d%3==0 -> schema 1 user records, else schema 2
+    event records with enum + dyadic double); every 13th%5 message
+    references UNKNOWN id 99 and must quarantine loudly with the
+    known ids named (schema_id preserved), every 17th has a non-zero
+    magic byte and quarantines with schema_id null. One Arrow pass,
+    one message per row."""
+    from trollflow2_spark.sources.avro import (
+        encode_wire_message,
+        read_avro_wire,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    user_v1 = {
+        "type": "record",
+        "name": "User",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+        ],
+    }
+    event_v1 = {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "kind", "type": {
+                "type": "enum", "name": "EK",
+                "symbols": ["A", "B", "C"]}},
+            {"name": "val", "type": "double"},
+        ],
+    }
+    registry = {1: user_v1, 2: event_v1}
+
+    def make_wire(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    msg = encode_wire_message(
+                        {"id": d, "name": f"n{d % 6}"}, 1, user_v1
+                    )
+                else:
+                    msg = encode_wire_message(
+                        {"id": d, "kind": "ABC"[d % 3], "val": d + 0.5},
+                        2,
+                        event_v1,
+                    )
+                if d % 17 == 0:
+                    msg = b"\x01" + msg[1:]  # non-Confluent magic
+                elif d % 13 == 5:
+                    # registry id the consumer does not know
+                    msg = b"\x00\x00\x00\x00\x63" + msg[5:]
+                blobs.append(msg)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_wire, blob_schema)
+    return read_avro_wire(blobs, registry)
+
+
 def q_eml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/MIME intake (`sources/eml.py:read_eml`): mailing-list
     corpora as RFC 5322 bytes — multipart/mixed with a
@@ -15635,6 +15712,7 @@ QUERIES = {
     "protobuf_ingest": q_protobuf_ingest,
     "eml_ingest": q_eml_ingest,
     "avro_ingest": q_avro_ingest,
+    "avro_wire_ingest": q_avro_wire_ingest,
     "webdataset_ingest": q_webdataset_ingest,
     "html_tables": q_html_tables,
     "wat_frontier": q_wat_frontier,

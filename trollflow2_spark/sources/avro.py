@@ -54,7 +54,9 @@ from typing import Iterator
 from pyspark.sql import DataFrame, types as T
 
 __all__ = ["AvroError", "read_container", "write_container",
-           "read_avro", "read_container_resolved", "resolve_value"]
+           "read_avro", "read_container_resolved", "resolve_value",
+           "decode_wire_message", "encode_wire_message",
+           "read_avro_wire"]
 
 _MAGIC = b"Obj\x01"
 
@@ -687,3 +689,136 @@ def read_container_resolved(blob: bytes, reader_schema: dict):
         ]
     except RecursionError as e:
         raise AvroError("recursion limit in resolution") from e
+
+
+# --- Confluent wire format (registry framing) -----------------------------
+
+def decode_wire_message(
+    data: bytes, schemas_by_id: dict, reader_schema: dict | None = None
+):
+    """One Kafka-registry-framed Avro message: magic byte ``0x00``,
+    4-byte BIG-ENDIAN schema id, then a single raw Avro datum (no
+    container, no sync markers) — the framing Confluent Schema
+    Registry producers ship, and what a Kafka topic dump actually
+    contains (container files are the archive form). The caller
+    supplies the id -> writer-schema map (in production that is the
+    registry's subject-version table); an unknown id raises with the
+    known ids named — guessing a schema decodes garbage silently.
+    With ``reader_schema``, writer -> reader resolution applies per
+    the spec (promotions, defaults, aliases) exactly as on the
+    container path. Returns (schema_id, value)."""
+    if len(data) < 5:
+        raise AvroError(
+            f"wire message too short ({len(data)} B; framing is "
+            "magic + 4-byte schema id + body)"
+        )
+    if data[0] != 0:
+        raise AvroError(
+            f"bad wire magic byte 0x{data[0]:02x} "
+            "(Confluent framing starts with 0x00)"
+        )
+    (sid,) = struct.unpack(">I", data[1:5])
+    sch = schemas_by_id.get(sid)
+    if sch is None:
+        raise AvroError(
+            f"unknown schema id {sid} "
+            f"(known ids: {sorted(schemas_by_id)})"
+        )
+    buf = io.BytesIO(data[5:])
+    names = collect_names(sch)
+    v = _decode(sch, buf, names)
+    if buf.read(1):
+        raise AvroError("trailing bytes after wire datum")
+    if reader_schema is not None:
+        v = resolve_value(
+            sch, reader_schema, v, names, collect_names(reader_schema)
+        )
+    return sid, v
+
+
+AVRO_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("schema_id", T.IntegerType()),
+        T.StructField("json", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def read_avro_wire(
+    df: DataFrame,
+    schemas_by_id: dict,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    reader_schema: dict | None = None,
+) -> DataFrame:
+    """Registry-framed blobs -> one canonical-JSON row per message
+    (+ one quarantine row per undecodable blob, its schema_id
+    preserved when the framing was at least readable). Same
+    canonical-JSON downstream contract as `read_avro`; the id ->
+    schema map broadcasts inside the task closure (a registry dump
+    is control-plane-sized). One Arrow ``mapInPandas`` pass, one
+    message per row — decode distributes with the messages."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def canon(v):
+            import datetime as _dt
+            import decimal as _decimal
+
+            if isinstance(v, bytes):
+                return v.hex()
+            if isinstance(v, dict):
+                return {k: canon(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [canon(x) for x in v]
+            if isinstance(v, _decimal.Decimal):
+                return str(v)
+            if isinstance(v, _dt.datetime):
+                return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            if isinstance(v, _dt.date):
+                return v.isoformat()
+            if isinstance(v, _dt.time):
+                return v.strftime("%H:%M:%S.%f")
+            return v
+
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf[id_col], pdf[blob_col]):
+                d = int(d)
+                raw = bytes(blob)
+                sid = None
+                if len(raw) >= 5 and raw[0] == 0:
+                    (sid,) = struct.unpack(">I", raw[1:5])
+                try:
+                    sid_ok, v = decode_wire_message(
+                        raw, schemas_by_id, reader_schema
+                    )
+                    rows.append(
+                        (d, sid_ok,
+                         json.dumps(canon(v), sort_keys=True,
+                                    separators=(",", ":")),
+                         None)
+                    )
+                except AvroError as e:
+                    rows.append((d, sid, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVRO_WIRE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        kernel, AVRO_WIRE_SCHEMA
+    )
+
+
+def encode_wire_message(value, schema_id: int, schema: dict) -> bytes:
+    """Fixture/round-trip side of the wire framing."""
+    if not 0 <= int(schema_id) <= 0xFFFFFFFF:
+        raise AvroError(f"schema id {schema_id} outside uint32")
+    return (
+        b"\x00"
+        + struct.pack(">I", int(schema_id))
+        + _encode(schema, value, collect_names(schema))
+    )
