@@ -2679,7 +2679,10 @@ def seasonal_anomalies(
         round_dp=None,
     ).select(
         *[F.col(c).alias(f"__m_{c}") for c in key_cols], "__med"
-    )
+        # broadcast-sized by this operator's contract (F.broadcast
+        # below); materializing stops the median DAG re-running in
+        # every consumer that rebuilds the broadcast
+    ).localCheckpoint()
     mcond = [F.col(c) == F.col(f"__m_{c}") for c in key_cols]
     dev = joined.join(F.broadcast(med), mcond).select(
         *key_cols,
@@ -2694,7 +2697,7 @@ def seasonal_anomalies(
         round_dp=None,
     ).select(
         *[F.col(c).alias(f"__a_{c}") for c in key_cols], "__mad"
-    )
+    ).localCheckpoint()
     acond = [F.col(c) == F.col(f"__a_{c}") for c in key_cols]
     return (
         dev.join(F.broadcast(mad), acond)
@@ -2904,10 +2907,29 @@ def _bracket_median(
     Median semantics match ``percentile(v, 0.5)`` exactly: the mean
     of the ⌊(m+1)/2⌋-th and ⌊(m+2)/2⌋-th smallest values, rounded
     to 6 dp. Returns group_cols + n_vals + extra agg columns +
-    ``median_col``."""
+    ``median_col``.
+
+    r15 constant-factor shave (r14 verdict "What's wrong #1", values
+    bit-identical): ONE broadcast control table (bounds + middle
+    ranks + carried aggs) replaces the three per-call broadcasts;
+    the strictly-below count FOLDS INTO the bracket-slice pass as a
+    NULL-keyed histogram row (one map-side-combinable hash agg), so
+    the separate below-count job disappears; global ranks come from
+    a running-count window over the per-group DISTINCT bracket
+    values (strictly smaller input than the old per-row window —
+    the same distinct-value discipline as `logrank_test`). 11 Spark
+    jobs/call -> ~6. (A lazy stats checkpoint was tried and
+    reverted: concurrent broadcast-build threads race to
+    materialize it, duplicating the sketch pass.)"""
     extra_aggs = extra_aggs or {}
+    extras = list(extra_aggs.keys())
+    v = F.col(val_col)
+    n = F.col("n_vals")
+    # n_vals counts NON-NULL values (percentile semantics), so
+    # callers may pass unfiltered tables; groups with zero non-null
+    # values still emit (null median) for fused extra_aggs callers
     stats = vals.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_vals"),
+        F.count(v).alias("n_vals"),
         *[c.alias(name) for name, c in extra_aggs.items()],
         F.percentile_approx(
             val_col,
@@ -2915,67 +2937,86 @@ def _bracket_median(
             F.lit(1000),
         ).alias("__qb"),
     ).localCheckpoint()
-    keep = stats.select(*group_cols, "n_vals", *extra_aggs.keys())
-    bounds = stats.select(
+    # middle ranks (1-indexed): odd m → klo == khi, even m → two
+    ctrl = stats.select(
         *group_cols,
+        "n_vals",
+        *extras,
         F.col("__qb")[0].alias("__blo"),
         F.col("__qb")[1].alias("__bhi"),
+        F.floor((n + 1) / 2).alias("__klo"),
+        F.floor((n + 2) / 2).alias("__khi"),
     )
-    # middle ranks (1-indexed): odd m → one rank, even m → two.
-    # the internal rank alias must not collide with a caller's
-    # val_col (callers pass residual columns like "__r")
-    ranks = stats.select(
+    deg = ctrl.where(F.col("__blo") == F.col("__bhi")).select(
+        *group_cols, "n_vals", *extras, F.col("__blo").alias("__med")
+    )
+    nullg = ctrl.where(F.col("n_vals") == 0).select(
+        *group_cols, "n_vals", *extras,
+        F.lit(None).cast("double").alias("__med")
+    )
+    live = F.broadcast(ctrl.where(F.col("__blo") < F.col("__bhi")))
+    j = vals.join(live, group_cols).where(
+        v.isNotNull() & (v <= F.col("__bhi"))
+    )
+    # histogram of the bracket slice; every strictly-below row
+    # collapses into ONE null-keyed bucket per group, so the exact
+    # below count ships as a single row of the same agg
+    hist = j.groupBy(
         *group_cols,
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor((F.col("n_vals") + 1) / 2),
-                    F.floor((F.col("n_vals") + 2) / 2),
-                )
-            )
-        ).alias("__bm_rank"),
+        F.when(v < F.col("__blo"), F.lit(None)).otherwise(v).alias("__v"),
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.first("n_vals").alias("n_vals"),
+        *[F.first(e).alias(e) for e in extras],
+        F.first("__klo").alias("__klo"),
+        F.first("__khi").alias("__khi"),
     )
-    deg = (
-        bounds.where(F.col("__blo") == F.col("__bhi"))
-        .join(ranks, group_cols)
-        .select(
-            *group_cols, "__bm_rank", F.col("__blo").alias("__rv")
-        )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__v").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    live = bounds.where(F.col("__blo") < F.col("__bhi"))
-    v = F.col(val_col)
-    below = (
-        vals.join(F.broadcast(live), group_cols)
-        .where(v < F.col("__blo"))
-        .groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("__nb"))
-    )
-    cand = vals.join(F.broadcast(live), group_cols).where(
-        v.between(F.col("__blo"), F.col("__bhi"))
-    )
-    wrank = Window.partitionBy(*group_cols).orderBy(val_col)
+    cum = hist.withColumn("__c", F.sum("__cnt").over(w))
+    c, cnt = F.col("__c"), F.col("__cnt")
+    klo, khi = F.col("__klo"), F.col("__khi")
+    # a histogram row covers rank k iff c - cnt < k <= c; the two
+    # middle ranks always land in-bracket (deterministic sketch
+    # error bound), so both max-when picks are non-null
     picked = (
-        cand.withColumn("__rn", F.row_number().over(wrank))
-        .join(F.broadcast(below), group_cols, "left")
-        .join(F.broadcast(ranks), group_cols)
-        .where(
-            F.col("__rn")
-            == F.col("__bm_rank") - F.coalesce(F.col("__nb"), F.lit(0))
-        )
-        .select(*group_cols, "__bm_rank", v.alias("__rv"))
-    )
-    med = (
-        picked.unionByName(deg)
+        cum.where(F.col("__v").isNotNull())
+        .where((c >= klo) & (c - cnt < khi))
         .groupBy(*group_cols)
         .agg(
+            F.first("n_vals").alias("n_vals"),
+            *[F.first(e).alias(e) for e in extras],
             (
-                F.round(F.avg("__rv"), round_dp)
-                if round_dp is not None
-                else F.avg("__rv")
-            ).alias(median_col)
+                (
+                    F.max(
+                        F.when(
+                            (c - cnt < klo) & (klo <= c), F.col("__v")
+                        )
+                    )
+                    + F.max(
+                        F.when(
+                            (c - cnt < khi) & (khi <= c), F.col("__v")
+                        )
+                    )
+                )
+                / 2
+            ).alias("__med"),
         )
     )
-    return keep.join(med, group_cols)
+    med = picked.unionByName(deg.select(*picked.columns)).unionByName(
+        nullg.select(*picked.columns)
+    )
+    out_med = (
+        F.round(F.col("__med"), round_dp)
+        if round_dp is not None
+        else F.col("__med")
+    )
+    return med.select(
+        *group_cols, "n_vals", *extras, out_med.alias(median_col)
+    )
 
 
 def theil_sen_trend(
@@ -3291,6 +3332,7 @@ def exact_quantiles(
     accuracy: int = 1000,
     small_n: int = 200,
     round_dp: int | None = 6,
+    extra_aggs: dict | None = None,
 ) -> DataFrame:
     """EXACT per-group quantiles (``percentile``-interpolation
     semantics: rank 1 + p·(n−1), linear between the two bracketing
@@ -3310,10 +3352,18 @@ def exact_quantiles(
     bracket bound is meaningless at tiny n, and sorting 200 rows is
     free); equal bracket ends short-circuit as tie pileups.
 
-    Returns one row per (group, p): ``p``, ``n``, ``q``(rounded 6dp).
+    Returns one row per (group, p): ``p``, ``n``, ``q``(rounded 6dp),
+    plus any ``extra_aggs`` columns. ``extra_aggs`` (r15) rides the
+    SAME group-cardinality stats pass — the rollup aggregates every
+    caller was computing in a separate scan-and-join (counts, sums,
+    means over the same grouping) fuse into this one agg, repeated
+    per p row. Groups with zero non-null values still emit (null
+    ``q``) so a fused caller loses no groups vs its old left join.
     """
     if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
         raise ValueError(f"ps must be within [0, 1]: {ps!r}")
+    extra_aggs = extra_aggs or {}
+    extras = list(extra_aggs.keys())
     brackets = []
     for p in ps:
         brackets.append(max(0.0, p - margin))
@@ -3321,6 +3371,7 @@ def exact_quantiles(
     v = F.col(value_col)
     stats = df.groupBy(*group_cols).agg(
         F.count(v).alias("__n"),
+        *[c.alias(name) for name, c in extra_aggs.items()],
         F.percentile_approx(
             value_col,
             F.array(*[F.lit(b) for b in brackets]),
@@ -3335,6 +3386,7 @@ def exact_quantiles(
         row = stats.select(
             *group_cols,
             "__n",
+            *extras,
             F.lit(float(p)).alias("p"),
             F.when(n < small_n, F.lit(None))
             .otherwise(F.col("__qb")[2 * i])
@@ -3355,7 +3407,14 @@ def exact_quantiles(
         F.col("__blo").isNotNull()
         & (F.col("__blo") == F.col("__bhi"))
     ).select(
-        *group_cols, "p", "__n", F.col("__blo").alias("q_raw")
+        *group_cols, "p", "__n", *extras,
+        F.col("__blo").alias("q_raw")
+    )
+    # zero-non-null-value groups still emit (null q): a fused caller
+    # keeps every group its old separate-agg left join would have
+    nullg = per_p.where(F.col("__n") == 0).select(
+        *group_cols, "p", "__n", *extras,
+        F.lit(None).cast("double").alias("q_raw")
     )
     live = per_p.where(
         F.col("__blo").isNull() | (F.col("__blo") < F.col("__bhi"))
@@ -3385,6 +3444,7 @@ def exact_quantiles(
         .groupBy(*group_cols, "p")
         .agg(
             F.max("__n").alias("__n"),
+            *[F.first(e).alias(e) for e in extras],
             F.max("__g").alias("__gf"),
             F.min_by(v, F.col("__k")).alias("__vlo"),
             F.max_by(v, F.col("__k")).alias("__vhi"),
@@ -3393,14 +3453,18 @@ def exact_quantiles(
             *group_cols,
             "p",
             "__n",
+            *extras,
             (
                 F.col("__vlo")
                 + F.col("__gf") * (F.col("__vhi") - F.col("__vlo"))
             ).alias("q_raw"),
         )
     )
+    sel_cols = [*group_cols, "p", "__n", *extras, "q_raw"]
     return (
-        picked.unionByName(deg.select(*group_cols, "p", F.col("__n"), "q_raw"))
+        picked.select(*sel_cols)
+        .unionByName(deg.select(*sel_cols))
+        .unionByName(nullg.select(*sel_cols))
         .select(
             *group_cols,
             "p",
@@ -3410,6 +3474,7 @@ def exact_quantiles(
                 if round_dp is not None
                 else F.col("q_raw")
             ).alias("q"),
+            *extras,
         )
     )
 

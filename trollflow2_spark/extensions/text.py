@@ -909,13 +909,19 @@ def corpus_stats(
         )
     from trollflow2_spark.extensions.profile import exact_quantiles
 
-    base = df.groupBy(strata_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(size_col).alias("total_size"),
-        F.round(F.avg(size_col), round_digits).alias("mean_size"),
-    )
+    # the rollup aggs ride exact_quantiles' group-cardinality stats
+    # pass (r15): one fused scan instead of a second agg + join
     eq = exact_quantiles(
-        df, [strata_col], size_col, [0.5, 0.9, 0.99], round_dp=None
+        df,
+        [strata_col],
+        size_col,
+        [0.5, 0.9, 0.99],
+        round_dp=None,
+        extra_aggs={
+            "n_docs": F.count(F.lit(1)),
+            "total_size": F.sum(size_col),
+            "mean_size": F.round(F.avg(size_col), round_digits),
+        },
     )
 
     def pick(p: float, name: str):
@@ -923,12 +929,14 @@ def corpus_stats(
             F.max(F.when(F.col("p") == p, F.col("q"))), round_digits
         ).alias(name)
 
-    wide = eq.groupBy(strata_col).agg(
+    return eq.groupBy(strata_col).agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("total_size").alias("total_size"),
+        F.first("mean_size").alias("mean_size"),
         pick(0.5, "p50_size"),
         pick(0.9, "p90_size"),
         pick(0.99, "p99_size"),
-    )
-    return base.join(wide, strata_col, "left").select(
+    ).select(
         strata_col,
         "n_docs",
         "total_size",

@@ -434,31 +434,36 @@ def conversion_time_stats(
     from trollflow2_spark.extensions.profile import exact_quantiles
 
     base = started.select(grp, dur.alias("__d")).localCheckpoint()
-    agg = base.groupBy(group_name).agg(
-        F.count(F.lit(1)).alias("n_started"),
-        F.count("__d").alias("n_converted"),
-        F.round(
-            F.count("__d").cast("double") / F.count(F.lit(1)), 6
-        ).alias("conversion_rate"),
-    )
     # conversion-time p50/p90 via GK-bracket exact selection — same
     # interpolation (and 6dp rounding) as percentile, without one
-    # buffer per group
+    # buffer per group; the funnel counters ride the same
+    # group-cardinality stats pass (r15: no second agg + join, and
+    # exact_quantiles skips nulls itself, so unconverted rows stay
+    # in the scan for n_started)
     eq = exact_quantiles(
-        base.where(F.col("__d").isNotNull()),
+        base,
         [group_name],
         "__d",
         [0.5, 0.9],
+        extra_aggs={
+            "n_started": F.count(F.lit(1)),
+            "n_converted": F.count("__d"),
+            "conversion_rate": F.round(
+                F.count("__d").cast("double") / F.count(F.lit(1)), 6
+            ),
+        },
     )
-    wide = eq.groupBy(group_name).agg(
+    return eq.groupBy(group_name).agg(
+        F.first("n_started").alias("n_started"),
+        F.first("n_converted").alias("n_converted"),
+        F.first("conversion_rate").alias("conversion_rate"),
         F.max(F.when(F.col("p") == 0.5, F.col("q"))).alias(
             "p50_seconds"
         ),
         F.max(F.when(F.col("p") == 0.9, F.col("q"))).alias(
             "p90_seconds"
         ),
-    )
-    return agg.join(wide, group_name, "left").select(
+    ).select(
         group_name,
         "n_started",
         "n_converted",

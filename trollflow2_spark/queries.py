@@ -5474,10 +5474,14 @@ def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # medians see only non-null values (percentile semantics);
     # n_total downstream still counts every row
     nn = ev.where(F.col("value").isNotNull())
+    # the median table is broadcast-sized BY this query's contract
+    # (it is F.broadcast below); materializing it stops the whole
+    # median DAG from re-running inside every downstream job that
+    # rebuilds the broadcast (r15 constant-factor shave)
     med = _bracket_median(
         nn, ["event_type"], val_col="value", median_col="med",
         round_dp=None,
-    ).select(F.col("event_type").alias("mt"), "med")
+    ).select(F.col("event_type").alias("mt"), "med").localCheckpoint()
     dev = ev.join(
         F.broadcast(med), F.col("event_type") == F.col("mt")
     ).select("event_type", "value", "med",
@@ -5486,7 +5490,7 @@ def q_outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = _bracket_median(
         dev_nn, ["event_type"], val_col="adev", median_col="mad",
         round_dp=None,
-    ).select(F.col("event_type").alias("at"), "mad")
+    ).select(F.col("event_type").alias("at"), "mad").localCheckpoint()
     flagged = dev.join(
         F.broadcast(mad), F.col("event_type") == F.col("at")
     ).select(
@@ -15374,16 +15378,21 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sec.alias("__s"),
         (sec - F.lag(sec).over(w)).alias("__gap"),
     ).localCheckpoint()
-    medg = _bracket_median(
-        gaps.where(F.col("__gap").isNotNull()),
+    # last-arrival / count ride _bracket_median's group-stats pass
+    # (r15 fusion): the median machinery is null-safe, so the
+    # unfiltered gaps table goes straight in — each group's first
+    # event (null gap) feeds the extras but not the median, and a
+    # single-event group still emits with a null median
+    per = _bracket_median(
+        gaps,
         ["event_type"],
         val_col="__gap",
         median_col="median_gap_s",
-    ).select("event_type", "median_gap_s")
-    per = gaps.groupBy("event_type").agg(
-        F.max("__s").alias("last_s"),
-        F.count(F.lit(1)).alias("n_events"),
-    ).join(F.broadcast(medg), "event_type", "left")
+        extra_aggs={
+            "last_s": F.max("__s"),
+            "n_events": F.count(F.lit(1)),
+        },
+    ).select("event_type", "last_s", "n_events", "median_gap_s")
     hwm = ev.agg(F.max(sec).alias("__hwm"))
     cur_gap = (F.col("__hwm") - F.col("last_s")).cast("double")
     return per.crossJoin(F.broadcast(hwm)).select(
