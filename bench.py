@@ -519,6 +519,36 @@ def _fresh_session(sf_dir: str):
     return spark
 
 
+def _calibration_probe(spark) -> tuple[float, list]:
+    """Pinned host-speed probe (r14 verdict "What's wrong #2"): a
+    fixed shuffle+agg over a GENERATED table — no parquet, no
+    fixture, no engine code — run min-of-3 at suite start and end.
+    Three same-HEAD r14 runs spanned 446-541 s from pure host drift;
+    this number lets the regression list separate "host is 20 %
+    slower today" from a real plan-class mover without judge
+    archaeology: the probe moves with the host, a genuine regression
+    moves against it."""
+    from pyspark.sql import functions as F
+
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 16_000_000, 1, 32)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                (F.col("id") % 97).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        samples.append(time.time() - t0)
+    return round(min(samples), 3), [round(s, 3) for s in samples]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -526,6 +556,11 @@ def main() -> int:
     from trollflow2_spark.queries import QUERIES
 
     spark = _fresh_session(sf_dir)
+    cal_start, cal_start_runs = _calibration_probe(spark)
+    print(
+        f"# calibration (start): {cal_start:.3f}s (runs {cal_start_runs})",
+        file=sys.stderr,
+    )
 
     # newest detail on disk (the current round's file still holds the
     # previous run's numbers at this point) — the retry-guard baseline
@@ -663,6 +698,17 @@ def main() -> int:
             else:
                 spark.conf.set(k, v)
 
+    cal_end, cal_end_runs = _calibration_probe(spark)
+    print(
+        f"# calibration (end): {cal_end:.3f}s (runs {cal_end_runs})",
+        file=sys.stderr,
+    )
+    calibration = {
+        "start": {"min": cal_start, "runs": cal_start_runs},
+        "end": {"min": cal_end, "runs": cal_end_runs},
+        "min": min(cal_start, cal_end),
+    }
+
     total = round(sum(times.values()), 2)
 
     # The driver captures only the last ~2000 chars of stdout; a full
@@ -686,6 +732,7 @@ def main() -> int:
         "recycles": recycles,
         "recycle_every": _RECYCLE_EVERY,
         "adjudication": adjudication,
+        "calibration": calibration,
         "stress": stress_detail,
         "stress_total": round(sum(stress.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -711,33 +758,55 @@ def main() -> int:
 
         prev_q = {**prev.get("queries", {}), **_mins(prev.get("stress", {}))}
         now_q = {**detail["queries"], **_mins(detail["stress"])}
-        regressions = sorted(
-            (
-                (k, prev_q[k], v)
-                for k, v in now_q.items()
-                if k in prev_q
-                and prev_q[k] > 0
-                and v > 1.5 * prev_q[k]
-                and v - prev_q[k] > 0.3
-            ),
-            key=lambda t: -(t[2] / t[1]),
+        # calibration-normalized view: divide current times by the
+        # host factor (this run's probe / previous run's probe) so a
+        # uniformly slower host does not flood the mover list; when
+        # the previous artifact has no probe the factor is 1 (raw)
+        prev_cal = (prev.get("calibration") or {}).get("min")
+        host_factor = (
+            round(calibration["min"] / prev_cal, 3)
+            if prev_cal
+            else 1.0
         )
-        if regressions:
-            print(
-                "# REGRESSIONS vs "
-                + prev["__file__"]
-                + ": "
-                + ", ".join(
-                    f"{k} {a:.2f}s->{b:.2f}s ({b / a:.1f}x)"
-                    for k, a, b in regressions
+        detail["host_factor_vs_prev"] = host_factor
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+
+        def _movers(norm: float):
+            return sorted(
+                (
+                    (k, prev_q[k], v)
+                    for k, v in now_q.items()
+                    if k in prev_q
+                    and prev_q[k] > 0
+                    and v / norm > 1.5 * prev_q[k]
+                    and v / norm - prev_q[k] > 0.3
                 ),
-                file=sys.stderr,
+                key=lambda t: -(t[2] / t[1]),
             )
-        else:
-            print(
-                f"# no >1.5x regressions vs {prev['__file__']}",
-                file=sys.stderr,
-            )
+
+        for label, norm in (
+            ("RAW", 1.0),
+            (f"NORMALIZED x{host_factor}", max(host_factor, 1e-6)),
+        ):
+            regressions = _movers(norm)
+            if regressions:
+                print(
+                    f"# REGRESSIONS ({label}) vs "
+                    + prev["__file__"]
+                    + ": "
+                    + ", ".join(
+                        f"{k} {a:.2f}s->{b:.2f}s ({b / a:.1f}x)"
+                        for k, a, b in regressions
+                    ),
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"# no >1.5x regressions ({label}) vs "
+                    f"{prev['__file__']}",
+                    file=sys.stderr,
+                )
 
     top10 = dict(
         sorted(((k, round(v, 2)) for k, v in times.items()),
@@ -752,6 +821,7 @@ def main() -> int:
                 "n_queries": len(times),
                 "stress_total": round(sum(stress.values()), 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration": calibration["min"],
                 "top10": top10,
                 "detail": os.path.basename(detail_path),
             }
