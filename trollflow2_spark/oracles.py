@@ -10331,6 +10331,28 @@ WITH base AS (
     END AS occ_end
   FROM base b JOIN (SELECT unnest(range(3)) AS j) t ON TRUE
   WHERE NOT b.trunc
+), e5 AS (
+  SELECT b.doc_id, 'e5-' || CAST(b.doc_id AS VARCHAR) || '@x' AS uid,
+    'Biz2' AS summary, CAST(j AS INT) AS occ_idx,
+    CASE b.doc_id % 3
+      WHEN 0 THEN (['2026-01-30T09:00:00', '2026-02-27T09:00:00',
+                    '2026-03-31T09:00:00'])[j + 1]
+      WHEN 1 THEN (['1997-08-05T09:00:00', '1997-08-17T09:00:00',
+                    '1997-08-19T09:00:00',
+                    '1997-08-31T09:00:00'])[j + 1]
+      ELSE (['2024-05-13T09:00:00', '2025-05-19T09:00:00'])[j + 1]
+    END AS occ_start,
+    CASE b.doc_id % 3
+      WHEN 0 THEN (['2026-01-30T09:30:00', '2026-02-27T09:30:00',
+                    '2026-03-31T09:30:00'])[j + 1]
+      WHEN 1 THEN (['1997-08-05T09:30:00', '1997-08-17T09:30:00',
+                    '1997-08-19T09:30:00',
+                    '1997-08-31T09:30:00'])[j + 1]
+      ELSE (['2024-05-13T09:30:00', '2025-05-19T09:30:00'])[j + 1]
+    END AS occ_end
+  FROM base b JOIN (SELECT unnest(range(4)) AS j) t
+    ON t.j < CASE b.doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 2 END
+  WHERE NOT b.trunc
 )
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT) AS all_day, CAST(0 AS INT) AS capped,
@@ -10345,6 +10367,9 @@ SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
 UNION ALL
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e4
+UNION ALL
+SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
+  CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e5
 UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   CAST(1 AS INT)

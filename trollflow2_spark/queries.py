@@ -13596,6 +13596,35 @@ def q_ics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "DURATION:PT30M",
                     rr4,
                     "END:VEVENT",
+                ]
+                # r15: BYSETPOS / WKST / year-scoped BYDAY — the
+                # last recurrence residue after r14 (the
+                # "last weekday of month" idiom, the RFC 5545
+                # §3.8.5.3 WKST pair, nth-weekday-of-year)
+                s5, rr5 = [
+                    (
+                        "20260101T090000Z",
+                        "RRULE:FREQ=MONTHLY;BYDAY=MO,TU,WE,TH,FR;"
+                        "BYSETPOS=-1;COUNT=3",
+                    ),
+                    (
+                        "19970805T090000Z",
+                        "RRULE:FREQ=WEEKLY;INTERVAL=2;BYDAY=TU,SU;"
+                        "WKST=SU;COUNT=4",
+                    ),
+                    (
+                        "20240101T090000Z",
+                        "RRULE:FREQ=YEARLY;BYDAY=20MO;COUNT=2",
+                    ),
+                ][d % 3]
+                lines += [
+                    "BEGIN:VEVENT",
+                    f"UID:e5-{d}@x",
+                    "SUMMARY:Biz2",
+                    f"DTSTART:{s5}",
+                    "DURATION:PT30M",
+                    rr5,
+                    "END:VEVENT",
                     "END:VCALENDAR",
                 ]
                 text = "\r\n".join(lines)
