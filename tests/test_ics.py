@@ -371,3 +371,48 @@ def test_bad_wkst_raises():
             datetime.datetime(2024, 1, 1),
             {"FREQ": "WEEKLY", "WKST": "XX", "COUNT": "2"},
         )
+
+
+def test_exdate_rdate_apply_after_expansion():
+    cal = _cal(
+        "BEGIN:VEVENT",
+        "UID:ex@x",
+        "SUMMARY:Standup",
+        "DTSTART:20240101T090000Z",
+        "DURATION:PT15M",
+        "RRULE:FREQ=DAILY;COUNT=5",
+        "EXDATE:20240102T090000Z,20240104T090000Z",
+        "EXDATE:20240105T090000Z",
+        "RDATE:20240110T090000Z",
+        "END:VEVENT",
+    )
+    occs = parse_ics(cal)
+    assert [o["occ_start"] for o in occs] == [
+        "2024-01-01T09:00:00",
+        "2024-01-03T09:00:00",
+        "2024-01-10T09:00:00",
+    ]
+    assert [o["occ_idx"] for o in occs] == [0, 1, 2]
+
+
+def test_rdate_period_rejected():
+    cal = _cal(
+        "BEGIN:VEVENT",
+        "UID:p@x",
+        "DTSTART:20240101T090000Z",
+        "RDATE;VALUE=PERIOD:20240102T090000Z/PT1H",
+        "END:VEVENT",
+    )
+    with pytest.raises(ValueError, match="PERIOD"):
+        parse_ics(cal)
+
+
+def test_exdate_on_non_recurring_event():
+    cal = _cal(
+        "BEGIN:VEVENT",
+        "UID:x@x",
+        "DTSTART:20240101T090000Z",
+        "EXDATE:20240101T090000Z",
+        "END:VEVENT",
+    )
+    assert parse_ics(cal) == []

@@ -10353,6 +10353,18 @@ WITH base AS (
   FROM base b JOIN (SELECT unnest(range(4)) AS j) t
     ON t.j < CASE b.doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 2 END
   WHERE NOT b.trunc
+), e6 AS (
+  SELECT b.doc_id, 'e6-' || CAST(b.doc_id AS VARCHAR) || '@x' AS uid,
+    'Ops' AS summary, CAST(j AS INT) AS occ_idx,
+    (['2024-01-01T09:00:00', '2024-01-03T09:00:00',
+      '2024-01-04T09:00:00', '2024-01-10T09:00:00'])[j + 1]
+      AS occ_start,
+    (['2024-01-01T09:20:00', '2024-01-03T09:20:00',
+      '2024-01-04T09:20:00', '2024-01-10T09:20:00'])[j + 1]
+      AS occ_end
+  FROM base b JOIN (SELECT unnest(range(4)) AS j) t
+    ON t.j < CASE WHEN b.doc_id % 2 = 0 THEN 4 ELSE 3 END
+  WHERE NOT b.trunc
 )
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT) AS all_day, CAST(0 AS INT) AS capped,
@@ -10370,6 +10382,9 @@ SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
 UNION ALL
 SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e5
+UNION ALL
+SELECT doc_id, uid, summary, occ_idx, occ_start, occ_end,
+  CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT) FROM e6
 UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
   CAST(1 AS INT)
@@ -11009,7 +11024,13 @@ SELECT 'data-file' AS kind,
   'fa-' || CAST(doc_id AS VARCHAR) AS path
 FROM documents WHERE doc_id % 3 <> 0
 UNION ALL
+SELECT 'delete-file', 'pda-' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 4 = 0 AND doc_id % 12 <> 0
+UNION ALL
 SELECT 'manifest', 'em1-' || CAST(b AS VARCHAR)
+FROM (SELECT DISTINCT doc_id % 20 AS b FROM documents)
+UNION ALL
+SELECT 'manifest', 'edm1-' || CAST(b AS VARCHAR)
 FROM (SELECT DISTINCT doc_id % 20 AS b FROM documents)
 UNION ALL
 SELECT 'manifest-list', 'exsnap-1.avro'

@@ -13625,6 +13625,23 @@ def q_ics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "DURATION:PT30M",
                     rr5,
                     "END:VEVENT",
+                ]
+                # r15: EXDATE cancellation + RDATE extra session —
+                # previously these properties were silently ignored
+                # and cancelled meetings still emitted
+                lines += [
+                    "BEGIN:VEVENT",
+                    f"UID:e6-{d}@x",
+                    "SUMMARY:Ops",
+                    "DTSTART:20240101T090000Z",
+                    "DURATION:PT20M",
+                    "RRULE:FREQ=DAILY;COUNT=4",
+                    "EXDATE:20240102T090000Z",
+                ]
+                if d % 2 == 0:
+                    lines.append("RDATE:20240110T090000Z")
+                lines += [
+                    "END:VEVENT",
                     "END:VCALENDAR",
                 ]
                 text = "\r\n".join(lines)
@@ -14863,7 +14880,7 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from trollflow2_spark.sources.avro import write_container
     from trollflow2_spark.sources.iceberg import (
-        MANIFEST_LIST_SCHEMA,
+        MANIFEST_LIST_V2_SCHEMA,
         expire_snapshots_plan,
     )
 
@@ -14881,7 +14898,10 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from trollflow2_spark.sources.avro import write_container as wc
-        from trollflow2_spark.sources.iceberg import MANIFEST_SCHEMA
+        from trollflow2_spark.sources.iceberg import (
+            DELETE_MANIFEST_SCHEMA,
+            MANIFEST_SCHEMA,
+        )
 
         b = int(key[0])
         ids = sorted(int(d) for d in pdf["doc_id"])
@@ -14899,33 +14919,67 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2 = [entry(f"fb-{d}", d) for d in ids] + [
             entry(f"fa-{d}", d) for d in ids if d % 3 == 0
         ]
+
+        # r15: DELETE manifests per snapshot — expired-only delete
+        # FILES (pos-delete Avro / eq Avro / DV Puffin all look the
+        # same to expiry: paths) must emit as 'delete-file' via the
+        # same anti-join; pda- files shared with snapshot 2
+        # (d % 12 == 0) survive reachability
+        def dentry(path):
+            return {
+                "status": 1,
+                "file_path": path,
+                "content": 1,
+                "record_count": 1,
+                "file_size": 8,
+            }
+
+        dm1 = [dentry(f"pda-{d}") for d in ids if d % 4 == 0]
+        dm2 = [dentry(f"pdb-{d}") for d in ids if d % 4 == 0] + [
+            dentry(f"pda-{d}") for d in ids if d % 12 == 0
+        ]
         return pd.DataFrame(
             [
                 (f"em1-{b}", wc(m1, MANIFEST_SCHEMA)),
                 (f"em2-{b}", wc(m2, MANIFEST_SCHEMA)),
+                (f"edm1-{b}", wc(dm1, DELETE_MANIFEST_SCHEMA)),
+                (f"edm2-{b}", wc(dm2, DELETE_MANIFEST_SCHEMA)),
             ],
             columns=["path", "blob"],
         )
 
     blobs = docs.groupBy("bucket").applyInPandas(make_blobs, blob_schema)
 
-    def mlist(paths):
+    def mlist(entries):
         return write_container(
             [
                 {
                     "manifest_path": p,
                     "added_files_count": 0,
                     "deleted_files_count": 0,
+                    "content": c,
                 }
-                for p in paths
+                for p, c in entries
             ],
-            MANIFEST_LIST_SCHEMA,
+            MANIFEST_LIST_V2_SCHEMA,
         )
 
     lists = spark.createDataFrame(
         [
-            ("exsnap-1.avro", mlist([f"em1-{b}" for b in range(20)])),
-            ("exsnap-2.avro", mlist([f"em2-{b}" for b in range(20)])),
+            (
+                "exsnap-1.avro",
+                mlist(
+                    [(f"em1-{b}", 0) for b in range(20)]
+                    + [(f"edm1-{b}", 1) for b in range(20)]
+                ),
+            ),
+            (
+                "exsnap-2.avro",
+                mlist(
+                    [(f"em2-{b}", 0) for b in range(20)]
+                    + [(f"edm2-{b}", 1) for b in range(20)]
+                ),
+            ),
         ],
         blob_schema,
     )

@@ -662,8 +662,17 @@ def expire_snapshots_plan(
     any retained manifest are kept — one anti-join of two
     `read_manifest_entries` decodes, never a full-table read.
 
+    v2/v3 tables (r15): manifest-list ``content`` routes each
+    manifest to its plane — DELETE manifests decode through
+    `read_delete_manifest_entries` (the data-plane decoder would
+    fail on their schema), and unreachable delete FILES
+    (position-delete Avro, equality-delete Avro, v3 DV Puffin files)
+    emit as their own kind via the same anti-join discipline.
+    Equality-delete entries are allowed here: expiry touches only
+    file PATHS, never rows.
+
     Returns (kind, path): kind in 'manifest-list' / 'manifest' /
-    'data-file'. Empty when nothing expires."""
+    'data-file' / 'delete-file'. Empty when nothing expires."""
     from trollflow2_spark.sources.avro import read_container
 
     md = parse_table_metadata(metadata_json)
@@ -688,12 +697,15 @@ def expire_snapshots_plan(
             F.col("path").isin(list(set(list_paths.values())))
         ).collect()
     }
-    manifests: dict[int, set[str]] = {}
+    manifests: dict[int, set] = {}
     for sid, lp in list_paths.items():
         if lp not in list_blobs:
             raise ValueError(f"manifest list {lp!r} missing")
         _m, records = read_container(list_blobs[lp])
-        manifests[sid] = {r["manifest_path"] for r in records}
+        manifests[sid] = {
+            (r["manifest_path"], int(r.get("content", 0)))
+            for r in records
+        }
     retained_manifests = set().union(
         *(manifests[s] for s in retained)
     )
@@ -705,39 +717,57 @@ def expire_snapshots_plan(
     } - {list_paths[s] for s in retained}
 
     plan_rows = [("manifest-list", p) for p in sorted(dead_lists)] + [
-        ("manifest", p) for p in sorted(expired_manifests)
+        ("manifest", p) for p, _c in sorted(expired_manifests)
     ]
     head = spark.createDataFrame(plan_rows, EXPIRE_PLAN_SCHEMA)
     if not expired_manifests:
         return head
-    cand = read_manifest_entries(
-        blob_df.join(
+
+    def _paths(mset, content):
+        return sorted(p for p, c in mset if c == content)
+
+    def _blobs_for(paths):
+        return blob_df.join(
             spark.createDataFrame(
-                [(p,) for p in sorted(expired_manifests)],
-                "manifest_path string",
+                [(p,) for p in paths], "manifest_path string"
             ),
             blob_df["path"] == F.col("manifest_path"),
             "left_semi",
         )
-    ).select("file_path").distinct()
-    if retained_manifests:
-        kept = read_manifest_entries(
-            blob_df.join(
-                spark.createDataFrame(
-                    [(p,) for p in sorted(retained_manifests)],
-                    "manifest_path string",
-                ),
-                blob_df["path"] == F.col("manifest_path"),
-                "left_semi",
+
+    out = head
+    for content, reader, kind in (
+        (0, read_manifest_entries, "data-file"),
+        (
+            1,
+            lambda b: read_delete_manifest_entries(
+                b, allow_equality=True
+            ),
+            "delete-file",
+        ),
+    ):
+        exp_p = _paths(expired_manifests, content)
+        if not exp_p:
+            continue
+        cand = reader(_blobs_for(exp_p)).select(
+            "file_path"
+        ).distinct()
+        ret_p = _paths(retained_manifests, content)
+        if ret_p:
+            kept = (
+                reader(_blobs_for(ret_p))
+                .where(F.col("status") != 2)
+                .select("file_path")
+                .distinct()
             )
-        ).where(F.col("status") != 2).select("file_path").distinct()
-        cand = cand.join(kept, "file_path", "left_anti")
-    return head.unionByName(
-        cand.select(
-            F.lit("data-file").alias("kind"),
-            F.col("file_path").alias("path"),
+            cand = cand.join(kept, "file_path", "left_anti")
+        out = out.unionByName(
+            cand.select(
+                F.lit(kind).alias("kind"),
+                F.col("file_path").alias("path"),
+            )
         )
-    )
+    return out
 
 
 def snapshot_partition_summary(

@@ -446,7 +446,12 @@ def parse_ics(text: str, max_occurrences: int = 1000) -> list[dict]:
             events.append(cur)
             cur = None
         elif cur is not None:
-            cur[name] = (params, value)
+            if name in ("EXDATE", "RDATE"):
+                # may repeat per RFC 5545; each carries a
+                # comma-separated value list
+                cur.setdefault(name, []).append((params, value))
+            else:
+                cur[name] = (params, value)
     out = []
     for ev in events:
         if "DTSTART" not in ev:
@@ -471,6 +476,29 @@ def parse_ics(text: str, max_occurrences: int = 1000) -> list[dict]:
             capped = int(was_capped)
         else:
             occs = [start]
+        # EXDATE / RDATE apply AFTER expansion (RFC 5545 §3.8.5.1-2,
+        # the meeting-cancelled / extra-session idiom): RDATE adds
+        # occurrence starts, EXDATE removes matching starts; the set
+        # dedups and re-sorts, occ_idx reindexes. Silently ignoring
+        # these (the previous behavior) emitted cancelled meetings.
+        if "EXDATE" in ev or "RDATE" in ev:
+            rdates = set()
+            for rparams, rvalue in ev.get("RDATE", ()):
+                if rparams.get("VALUE") == "PERIOD":
+                    raise ValueError(
+                        "RDATE;VALUE=PERIOD is unsupported "
+                        "(start-duration periods need per-instance "
+                        "DTEND plumbing)"
+                    )
+                for tok in rvalue.split(","):
+                    dtr, _, _ = _parse_dt(tok.strip(), rparams)
+                    rdates.add(dtr)
+            exdates = set()
+            for xparams, xvalue in ev.get("EXDATE", ()):
+                for tok in xvalue.split(","):
+                    dtx, _, _ = _parse_dt(tok.strip(), xparams)
+                    exdates.add(dtx)
+            occs = sorted((set(occs) | rdates) - exdates)
         for i, occ in enumerate(occs):
             out.append(
                 {
