@@ -255,10 +255,11 @@ def test_bad_byday_tokens_raise():
 
 
 def test_unsupported_freq_still_raises():
+    # every RFC 5545 FREQ now expands; anything else stays loud
     with pytest.raises(ValueError, match="unsupported FREQ"):
         expand_rrule(
             datetime.datetime(2024, 1, 1),
-            {"FREQ": "HOURLY", "COUNT": "2"},
+            {"FREQ": "FORTNIGHTLY", "COUNT": "2"},
         )
 
 
@@ -416,3 +417,65 @@ def test_exdate_on_non_recurring_event():
         "END:VEVENT",
     )
     assert parse_ics(cal) == []
+
+
+def test_subdaily_freq_expansion():
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1, 9),
+        {"FREQ": "HOURLY", "INTERVAL": "6", "COUNT": "4"},
+    )
+    assert [o.hour for o in occs] == [9, 15, 21, 3]
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1, 9),
+        {"FREQ": "MINUTELY", "INTERVAL": "90", "COUNT": "3"},
+    )
+    assert [(o.hour, o.minute) for o in occs] == [
+        (9, 0), (10, 30), (12, 0)]
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 1, 9),
+        {"FREQ": "SECONDLY", "INTERVAL": "30",
+         "UNTIL": "20240101T090100Z"},
+    )
+    assert len(occs) == 3
+    with pytest.raises(ValueError, match="BYHOUR"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {"FREQ": "HOURLY", "BYHOUR": "9", "COUNT": "2"},
+        )
+
+
+def test_daily_byday_limits():
+    # weekdays-only standup: MO-FR limit, COUNT counts kept days
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 5, 9),  # a Friday
+        {"FREQ": "DAILY", "BYDAY": "MO,TU,WE,TH,FR", "COUNT": "3"},
+    )
+    assert [o.date() for o in occs] == [
+        datetime.date(2024, 1, 5),
+        datetime.date(2024, 1, 8),
+        datetime.date(2024, 1, 9),
+    ]
+    # BYMONTH limit skips non-matching months without consuming COUNT
+    occs, _ = expand_rrule(
+        datetime.datetime(2024, 1, 30, 9),
+        {"FREQ": "DAILY", "INTERVAL": "10", "BYMONTH": "2",
+         "COUNT": "3"},
+    )
+    assert [o.date() for o in occs] == [
+        datetime.date(2024, 2, 9),
+        datetime.date(2024, 2, 19),
+        datetime.date(2024, 2, 29),
+    ]
+    with pytest.raises(ValueError, match="ordinal"):
+        expand_rrule(
+            datetime.datetime(2024, 1, 1),
+            {"FREQ": "DAILY", "BYDAY": "2MO", "COUNT": "2"},
+        )
+    # an always-false limit trips the cap loudly
+    occs, capped = expand_rrule(
+        datetime.datetime(2024, 1, 1),
+        {"FREQ": "DAILY", "BYMONTH": "2", "BYMONTHDAY": "30",
+         "COUNT": "2"},
+        max_occurrences=5,
+    )
+    assert capped and occs == []

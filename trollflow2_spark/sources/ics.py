@@ -11,12 +11,15 @@ spec:
 - VEVENT extraction from VCALENDAR with DTSTART (UTC ``Z`` form,
   floating local, and all-day ``VALUE=DATE``), DTEND or DURATION
   (ISO-8601 subset ``PnW`` / ``PnDTnHnMnS``);
-- RRULE expansion for FREQ=DAILY / WEEKLY / MONTHLY with INTERVAL,
-  COUNT, UNTIL and (for WEEKLY) BYDAY. Instances that would land on
-  an invalid date (e.g. the 31st of a short month) are SKIPPED and do
-  not consume COUNT — the documented convention, pinned by tests.
-  Expansion is hard-capped (``max_occurrences``) with a loud flag —
-  an unbounded RRULE must not hang an executor.
+- RRULE expansion for every RFC 5545 FREQ (SECONDLY through YEARLY)
+  with INTERVAL, COUNT, UNTIL; BYDAY (incl. ordinals, year-scoped for
+  YEARLY without BYMONTH), BYMONTH, BYMONTHDAY (negatives), BYSETPOS,
+  WKST; EXDATE/RDATE applied after expansion. DAILY BYxxx act as
+  LIMITS; sub-daily BYxxx and RDATE periods raise loudly. Instances
+  that would land on an invalid date (e.g. the 31st of a short month)
+  are SKIPPED and do not consume COUNT — the documented convention,
+  pinned by tests. Expansion is hard-capped (``max_occurrences``)
+  with a loud flag — an unbounded RRULE must not hang an executor.
 
 Timestamps surface as ISO-8601 strings (timezone handling beyond the
 UTC/floating split is out of scope and flagged via the ``tzid``
@@ -194,7 +197,71 @@ def expand_rrule(
     if freq == "DAILY":
         if setpos:
             raise ValueError("BYSETPOS with FREQ=DAILY is unsupported")
+        # RFC 5545: BYDAY/BYMONTH/BYMONTHDAY LIMIT a DAILY rule
+        # (kept days only; COUNT counts kept occurrences). These
+        # were previously ignored silently — over-generating every
+        # weekday for a MO-FR rule.
+        byday = _parse_byday(rule.get("BYDAY", ""))
+        if any(o is not None for o, _ in byday):
+            raise ValueError("ordinal BYDAY with FREQ=DAILY is invalid")
+        bywd = {wd for _o, wd in byday}
+        months = sorted(
+            int(m) for m in rule.get("BYMONTH", "").split(",") if m
+        )
+        if any(m < 1 or m > 12 for m in months):
+            raise ValueError(f"bad BYMONTH {rule.get('BYMONTH')!r}")
+        bymd = _parse_bymonthday(rule.get("BYMONTHDAY", ""))
+        unsupported = {
+            k for k in rule if k.startswith("BY")
+        } - {"BYDAY", "BYMONTH", "BYMONTHDAY"}
+        if unsupported:
+            raise ValueError(
+                f"{'/'.join(sorted(unsupported))} with FREQ=DAILY "
+                "is unsupported"
+            )
         step = datetime.timedelta(days=interval)
+        cur = dtstart
+        it = 0
+        while True:
+            if until is not None and cur > until:
+                break
+            ok = (not bywd or cur.weekday() in bywd) and (
+                not months or cur.month in months
+            )
+            if ok and bymd:
+                n_m = _days_in_month(cur.year, cur.month)
+                ok = any(
+                    cur.day == (md if md > 0 else n_m + 1 + md)
+                    for md in bymd
+                )
+            if ok and not emit(cur):
+                break
+            cur = cur + step
+            it += 1
+            # an always-filtered rule (BYMONTH=2;BYMONTHDAY=30)
+            # must trip the cap loudly, not loop
+            if it > 366 * (max_occurrences + 2):
+                capped = True
+                break
+    elif freq in ("HOURLY", "MINUTELY", "SECONDLY"):
+        # sub-daily stepping with INTERVAL/COUNT/UNTIL; BYxxx limits
+        # stay a loud boundary — a silently-unapplied limit would
+        # over-generate occurrences
+        if setpos or any(k.startswith("BY") for k in rule):
+            bad = sorted(
+                k
+                for k in rule
+                if k.startswith("BY") or k == "BYSETPOS"
+            ) or ["BYSETPOS"]
+            raise ValueError(
+                f"{'/'.join(bad)} with FREQ={freq} is unsupported"
+            )
+        unit = {
+            "HOURLY": "hours",
+            "MINUTELY": "minutes",
+            "SECONDLY": "seconds",
+        }[freq]
+        step = datetime.timedelta(**{unit: interval})
         cur = dtstart
         while emit(cur):
             cur = cur + step
