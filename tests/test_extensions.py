@@ -936,6 +936,10 @@ def test_lsh_salted_recovery_rounds(spark):
     )
     base_pairs = {(r["id_a"], r["id_b"]) for r in base.collect()}
     rec_pairs = {(r["id_a"], r["id_b"]) for r in rec.collect()}
+    # every pair canonical (id_a < id_b): the rotated chunks are ordered
+    # by rotated hash, and an unsorted chunk used to leak reversed
+    # duplicates like (360, 120) past the distinct()
+    assert all(a < b for a, b in rec_pairs)
     assert base_pairs < rec_pairs  # strictly more recall, nothing lost
     assert len(rec_pairs) <= n * (n - 1) // 2
     stats = lsh_bucket_stats(

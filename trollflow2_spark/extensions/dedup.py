@@ -300,7 +300,14 @@ def _bucketed_pairs(
             )
             .select(F.transform("s", lambda x: x["i"]).alias("ids"))
         )
-        chunk_sets.append(_chunk_arrays(rotated, t).repartition(shuffle_parts))
+        # rotated chunks are ordered by the rotated hash, not by id —
+        # re-sort each chunk so _pair_explode's (id_a < id_b) canonical
+        # form holds and the union's distinct() actually dedups against
+        # the id-order pairs
+        rot_chunks = _chunk_arrays(rotated, t).select(
+            F.array_sort("ids").alias("ids")
+        )
+        chunk_sets.append(rot_chunks.repartition(shuffle_parts))
     pairs = _pair_explode(small)
     for chunks in chunk_sets:
         pairs = pairs.unionByName(_pair_explode(chunks))
@@ -356,9 +363,12 @@ def lsh_bucket_stats(
         _chunk_arrays(g.select(F.col("ids_id").alias("ids")), t)
     ).distinct()
     pairs_rot = _pair_explode(
+        # chunk in rotated-hash order, then sort each chunk so pairs
+        # come out canonical (id_a < id_b) — otherwise the anti-join
+        # against the id-order pairs misses reversed duplicates
         _chunk_arrays(
             g.select(F.transform("s_rot", lambda x: x["i"]).alias("ids")), t
-        )
+        ).select(F.array_sort("ids").alias("ids"))
     ).distinct()
     n_rec = (
         pairs_rot.join(pairs_id, ["id_a", "id_b"], "left_anti")
