@@ -29,6 +29,13 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", default=None, help="dump explain() here")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument(
+        "--shared-session",
+        action="store_true",
+        help="one session for all queries (default: fresh per query, "
+        "the adjudication protocol — session wear from heavy "
+        "localCheckpoint queries otherwise inflates later entries)",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -38,7 +45,10 @@ def main() -> int:
     from trollflow2_spark.queries import QUERIES
 
     spark = _fresh_session(args.sf)
-    for name in args.queries:
+    for qi, name in enumerate(args.queries):
+        if qi and not args.shared_session:
+            spark.stop()
+            spark = _fresh_session(args.sf)
         fn = QUERIES[name]
         if args.plans:
             os.makedirs(args.plans, exist_ok=True)

@@ -273,10 +273,17 @@ def _bucketed_pairs(
     passes, partial recovery of cross-sub-bucket pairs).
     """
     t = int(salt_threshold)
+    # materialize the bucket arrays ONCE: small and big both read
+    # grouped, and without the checkpoint each branch re-evaluates the
+    # whole upstream signature pipeline (minhash/simhash/phash decode
+    # + hash + the bucket shuffle) from the source scan — the r15
+    # plan audit showed every _bucketed_pairs caller paying that
+    # pipeline twice (guide §2.4: share one exchange, don't repeat it)
     grouped = (
         members.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .localCheckpoint(eager=True)
     )
     small = grouped.filter(F.size("ids") <= t)
     big = grouped.filter(F.size("ids") > t)
@@ -332,7 +339,11 @@ def lsh_bucket_stats(
 
     The recovery audit runs only over salted buckets' members (bounded:
     the same rows a recovery round itself would touch)."""
-    bk = _band_buckets(signatures, id_col, num_hashes, bands, hash_fn=hash_fn)
+    # bk feeds both the size audit and the salted-membership join;
+    # materialize so the signature pipeline runs once (guide §2.4)
+    bk = _band_buckets(
+        signatures, id_col, num_hashes, bands, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
     sizes = (
         bk.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -353,12 +364,13 @@ def lsh_bucket_stats(
     mem = bk.join(salted, ["band", "bh"]).withColumn(
         "_rh", hash64(F.col(id_col).cast("string"), seed=rot_seed)
     )
+    # salted-bucket arrays feed both chunk orders — materialize once
     g = mem.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids_id"),
         F.array_sort(
             F.collect_list(F.struct(F.col("_rh").alias("h"), F.col(id_col).alias("i")))
         ).alias("s_rot"),
-    )
+    ).localCheckpoint(eager=True)
     pairs_id = _pair_explode(
         _chunk_arrays(g.select(F.col("ids_id").alias("ids")), t)
     ).distinct()
@@ -572,6 +584,13 @@ def simhash_pairs(
     """
     seg_bits = bits // bands
     mask = (1 << seg_bits) - 1
+    # the fingerprint table feeds banding + BOTH verify sides (3
+    # consumers): materialize the narrow (id, simhash) table once so
+    # an expensive fingerprint pipeline (32 bit-votes per doc — or a
+    # full image decode for phash/audio callers) never re-runs
+    # (guide §2.4; r15 plan audit: phash_dedup_clusters decoded its
+    # PNG fixture three times without this)
+    fingerprints = fingerprints.localCheckpoint(eager=True)
     membership = fingerprints.select(
         F.col(id_col),
         F.explode(
@@ -1274,15 +1293,26 @@ def _chunked_classes(
     base = df.select(
         F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
     ).where(F.length("__fs").between(min_len, max_len))
-    counts = base.groupBy("__fs").agg(F.count("*").alias("__n"))
+    # lazy checkpoint: the max_class action below materializes it, and
+    # the chunked path's join + dstr then read the materialized table
+    # instead of re-running the count agg (safe here — the .first()
+    # runs on this driver thread before any concurrent consumer)
+    counts = base.groupBy("__fs").agg(
+        F.count("*").alias("__n")
+    ).localCheckpoint(eager=False)
     max_class = counts.agg(F.max("__n")).first()[0] or 0
     if max_class <= int(id_chunk):
         # ONE aggregation feeds variants AND id re-attachment — the
         # count scan above is array-free and map-side-combinable, so
-        # the guard never materializes what it is guarding against
+        # the guard never materializes what it is guarding against.
+        # Materialized eagerly: the class table fans out to 4-7
+        # consumers downstream (variant a/b sides, deletion sets,
+        # id re-attachment, within-class closure), each of which
+        # would otherwise re-run this agg from the source scan
+        # (r15 plan audit: fuzzy_lev_pairs paid 14 scans; guide §2.4)
         full = base.groupBy("__fs").agg(
             F.collect_list("__fid").alias("__ids")
-        )
+        ).localCheckpoint(eager=True)
         chunked = full.select("__fs", F.lit(0).alias("__chunk"), "__ids")
         dstr = full.select("__fs", F.length("__fs").alias("__flen"))
     else:
@@ -1292,7 +1322,10 @@ def _chunked_classes(
             .withColumn("__chunk", F.pmod(F.xxhash64("__fid"), n_chunks))
             .groupBy("__fs", "__chunk")
             .agg(F.collect_list("__fid").alias("__ids"))
+            .localCheckpoint(eager=True)
         )
+        # counts is checkpointed above, so this projection is free to
+        # recompute per consumer
         dstr = counts.select("__fs", F.length("__fs").alias("__flen"))
     return chunked, dstr, max_class
 

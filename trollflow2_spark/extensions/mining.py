@@ -435,11 +435,19 @@ def link_prediction_scores(
     hint — degree tables are node-cardinality, so the join strategy is
     left to AQE, which broadcasts when the table fits and falls back
     to a shuffle join when it does not)."""
+    # distinct edges materialize ONCE: rdeg, kept and ldeg all read e,
+    # and without the barrier each consumer re-runs the full edge scan
+    # + distinct shuffle (the r15 plan audit counted 4 source scans in
+    # this query — guide §2.4). kept materializes too: both sides of
+    # the pair self-join read it, which otherwise doubles the
+    # rdeg-filter join.
     e = edges.select(
         F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     rdeg = e.groupBy("__r").agg(F.count(F.lit(1)).alias("__rd"))
-    kept = e.join(rdeg.where(F.col("__rd") <= max_degree), "__r")
+    kept = e.join(
+        rdeg.where(F.col("__rd") <= max_degree), "__r"
+    ).localCheckpoint(eager=True)
     ldeg = e.groupBy("__l").agg(F.count(F.lit(1)).alias("__ld"))
     a = kept.select("__r", F.col("__l").alias("node_a"), "__rd")
     b = kept.select("__r", F.col("__l").alias("node_b"))

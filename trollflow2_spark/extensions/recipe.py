@@ -636,7 +636,7 @@ def replay_recipe_batches(
     batches: list[list[dict]],
     schema: str,
     recipe: list[dict[str, Any]],
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 2,
     timeout_s: int = 120,
     work_dir: str | None = None,
     compact_every: int | None = None,
@@ -654,6 +654,9 @@ def replay_recipe_batches(
     import tempfile
     import uuid
 
+    # shuffle_partitions default mirrors replay_batches: state-store
+    # and shuffle task count per micro-batch is fixture-scale here
+    # (config-bounded batches); production sizes it via the parameter
     d = work_dir or tempfile.mkdtemp(prefix="tf2recipe_")
     src = os.path.join(d, "src")
     os.makedirs(src, exist_ok=True)

@@ -252,7 +252,7 @@ def replay_batches(
     op,
     timeout_s: int = 180,
     output_mode: str = "update",
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 2,
 ):
     """Drive a stateful operator through a REAL micro-batched stream
     deterministically, batch-by-batch, and return the memory-sink rows
@@ -287,7 +287,14 @@ def replay_batches(
     # a stateful query's state-store count is pinned to
     # spark.sql.shuffle.partitions at FIRST start; replay fixtures are
     # config-bounded, so a small fixed count avoids paying hundreds of
-    # near-empty state tasks per micro-batch (restored after the run)
+    # near-empty state tasks per micro-batch (restored after the run).
+    # r15: 8 -> 2 measured ~2.5x off the whole replay (each partition
+    # opens+commits its state stores EVERY micro-batch — a stream-
+    # stream join carries 4 stores/side/partition, so the per-batch
+    # floor is store-count-bound, not data-bound; 2 keeps partitioned
+    # state semantics on a tens-of-rows fixture). Production streams
+    # size this to state volume via the parameter — the count scales
+    # with the stream, not with this default.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     name = "tf2_replay_" + uuid.uuid4().hex[:12]
     try:
