@@ -3346,8 +3346,11 @@ def exact_quantiles(
     1. one fused agg: exact n + the GK sketch at [p−margin, p+margin]
        per requested p (rank error ≤ n/accuracy — 50× inside the
        default margin, so the true ranks provably land in-bracket);
-    2. exact strictly-below counts anchor global ranks per (group, p);
-    3. only the bracket slices rank (≈ 2·margin of each group per p).
+    2. ONE histogram pass (r15): strictly-below rows collapse into a
+       NULL-keyed bucket per (group, p) of the same map-side-
+       combinable agg — the exact below count anchors global ranks
+       without a second scan — and the rank window runs over the
+       DISTINCT bracket values, not rows.
     Groups smaller than ``small_n`` widen to the full range (the
     bracket bound is meaningless at tiny n, and sorting 200 rows is
     free); equal bracket ends short-circuit as tie pileups.
@@ -3420,34 +3423,62 @@ def exact_quantiles(
         F.col("__blo").isNull() | (F.col("__blo") < F.col("__bhi"))
     )
     j = df.join(F.broadcast(live), group_cols)
-    inb = v.isNotNull() & (
-        F.col("__blo").isNull()
-        | v.between(F.col("__blo"), F.col("__bhi"))
+    # ONE pass over the value rows (r15, the _bracket_median histogram
+    # fold generalized to arbitrary p): rows strictly below the
+    # bracket collapse into a NULL-keyed histogram bucket per
+    # (group, p), in-bracket rows into one bucket per distinct value —
+    # the exact below count ships as a row of the same map-side-
+    # combinable agg instead of a second full scan + broadcast join,
+    # and the rank window runs over DISTINCT bracket values, not rows.
+    hist = (
+        j.where(
+            v.isNotNull()
+            & (F.col("__blo").isNull() | (v <= F.col("__bhi")))
+        )
+        .groupBy(
+            *group_cols,
+            "p",
+            F.when(
+                F.col("__blo").isNotNull() & (v < F.col("__blo")),
+                F.lit(None),
+            )
+            .otherwise(v)
+            .alias("__v"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.first("__n").alias("__n"),
+            *[F.first(e).alias(e) for e in extras],
+            F.first("__klo").alias("__klo"),
+            F.first("__khi").alias("__khi"),
+            F.first("__g").alias("__g"),
+        )
     )
-    below = (
-        j.where(F.col("__blo").isNotNull() & (v < F.col("__blo")))
-        .groupBy(*group_cols, "p")
-        .agg(F.count(F.lit(1)).alias("__nb"))
+    wcum = (
+        Window.partitionBy(*group_cols, "p")
+        .orderBy(F.col("__v").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wrank = Window.partitionBy(*group_cols, "p").orderBy(value_col)
+    cum = hist.withColumn("__c", F.sum("__cnt").over(wcum))
+    c, cnt = F.col("__c"), F.col("__cnt")
+    klo, khi = F.col("__klo"), F.col("__khi")
+    # a histogram row covers rank k iff c - cnt < k <= c; both target
+    # ranks land in-bracket (deterministic sketch error bound), so the
+    # two max-when picks are non-null
     picked = (
-        j.where(inb)
-        .withColumn("__rn", F.row_number().over(wrank))
-        .join(F.broadcast(below), [*group_cols, "p"], "left")
-        .withColumn(
-            "__k", F.col("__rn") + F.coalesce(F.col("__nb"), F.lit(0))
-        )
-        .where(
-            (F.col("__k") == F.col("__klo"))
-            | (F.col("__k") == F.col("__khi"))
-        )
+        cum.where(F.col("__v").isNotNull())
+        .where((c >= klo) & (c - cnt < khi))
         .groupBy(*group_cols, "p")
         .agg(
-            F.max("__n").alias("__n"),
+            F.first("__n").alias("__n"),
             *[F.first(e).alias(e) for e in extras],
-            F.max("__g").alias("__gf"),
-            F.min_by(v, F.col("__k")).alias("__vlo"),
-            F.max_by(v, F.col("__k")).alias("__vhi"),
+            F.first("__g").alias("__gf"),
+            F.max(
+                F.when((c - cnt < klo) & (klo <= c), F.col("__v"))
+            ).alias("__vlo"),
+            F.max(
+                F.when((c - cnt < khi) & (khi <= c), F.col("__v"))
+            ).alias("__vhi"),
         )
         .select(
             *group_cols,

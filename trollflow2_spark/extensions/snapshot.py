@@ -296,7 +296,9 @@ def cms_replay_state(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", "2"
+        )  # fixture-scale replay: see streaming.stateful.replay_batches
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -391,7 +393,9 @@ def drift_replay_state(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", "2"
+        )  # fixture-scale replay: see streaming.stateful.replay_batches
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -639,7 +643,9 @@ def kmv_replay_state(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", "2"
+        )  # fixture-scale replay: see streaming.stateful.replay_batches
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -741,7 +747,9 @@ def balance_replay_state(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", "2"
+        )  # fixture-scale replay: see streaming.stateful.replay_batches
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
