@@ -466,24 +466,34 @@ def _bench_one(
     detail is available and the min still exceeds 1.4x that value, one
     extra sample self-adjudicates before the artifact records a
     phantom regression.
+
+    r15 measurement fix (guide §1, documented in OPTIMIZATION_r15.md):
+    ``clearCache()`` runs BEFORE every sample. Operators that persist a
+    shared intermediate (corpus_recipe since r12; the r15 fan-out
+    materializations) would otherwise have run 2+ served from run 1's
+    InMemoryRelation — Spark's CacheManager rewrites any plan that
+    matches a cached one — so the recorded min measured a warm cache,
+    not the computation. Every sample now computes from the parquet
+    inputs; caches created inside a run still count toward that run.
     """
+
+    def _timed() -> float:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     samples = []
     for _ in range(runs):
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples.append(time.time() - t0)
+        samples.append(_timed())
     if min(samples) > 2.0 and max(samples) / min(samples) > 2.5:
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples.append(time.time() - t0)
+        samples.append(_timed())
     if (
         prev is not None
         and min(samples) > 1.4 * prev
         and min(samples) - prev > 0.3
     ):
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples.append(time.time() - t0)
+        samples.append(_timed())
     return round(min(samples), 3), [round(r, 3) for r in samples]
 
 
@@ -623,6 +633,7 @@ def main() -> int:
         iso_samples = []
         n_iso = 2 if times[name] > 2.0 * prev_t else 1
         for _ in range(n_iso):
+            spark.catalog.clearCache()  # same cold-run protocol
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -605,7 +605,18 @@ def test_fast_hash_mode_same_dups_no_md5(docs):
     pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4, hash_fn=fast_hash64)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got  # identical docs collide under any hash family
-    plan = pairs._jdf.queryExecution().analyzed().toString()
+    # _bucketed_pairs checkpoints the bucket arrays (r15), truncating
+    # pairs' lineage to a LogicalRDD — inspect the hash family on the
+    # banding stage that actually computes it (everything upstream of
+    # the checkpoint), which is where an md5 would have to live
+    from trollflow2_spark.extensions.dedup import _band_buckets
+
+    plan = (
+        _band_buckets(sigs, "doc_id", 8, 4, hash_fn=fast_hash64)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
     assert "md5" not in plan and "xxhash64" in plan
 
     sim = simhash(docs, hash_fn=fast_hash64)

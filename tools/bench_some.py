@@ -63,6 +63,7 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"bench_some:{name}")
         samples = []
         for _ in range(args.runs):
+            spark.catalog.clearCache()  # bench.py's cold-run protocol
             t0 = time.time()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))

@@ -274,7 +274,7 @@ def _bucketed_pairs(
     """
     t = int(salt_threshold)
     # materialize the bucket arrays ONCE: small and big both read
-    # grouped, and without the checkpoint each branch re-evaluates the
+    # grouped, and without the cache each branch re-evaluates the
     # whole upstream signature pipeline (minhash/simhash/phash decode
     # + hash + the bucket shuffle) from the source scan — the r15
     # plan audit showed every _bucketed_pairs caller paying that
@@ -283,7 +283,7 @@ def _bucketed_pairs(
         members.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     small = grouped.filter(F.size("ids") <= t)
     big = grouped.filter(F.size("ids") > t)
@@ -343,7 +343,7 @@ def lsh_bucket_stats(
     # materialize so the signature pipeline runs once (guide §2.4)
     bk = _band_buckets(
         signatures, id_col, num_hashes, bands, hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
+    ).persist()
     sizes = (
         bk.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -370,7 +370,7 @@ def lsh_bucket_stats(
         F.array_sort(
             F.collect_list(F.struct(F.col("_rh").alias("h"), F.col(id_col).alias("i")))
         ).alias("s_rot"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     pairs_id = _pair_explode(
         _chunk_arrays(g.select(F.col("ids_id").alias("ids")), t)
     ).distinct()
@@ -405,14 +405,16 @@ def ngram_jaccard_pairs(
     small corpora / tests). Jaccard is computed on distinct word
     n-gram sets via array_intersect/array_union sizes.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
-        *[F.col(c) for c in (block_cols or [])],
-    )
     if candidates is None:
         if not block_cols:
             raise ValueError("need candidates or block_cols")
+        shingled = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_words)
+            ).alias("sh"),
+            *[F.col(c) for c in block_cols],
+        )
         a = shingled.select(
             *block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
         )
@@ -421,6 +423,35 @@ def ngram_jaccard_pairs(
         )
         pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
     else:
+        # r15: shingle ONLY the candidate ids — the verify stage used
+        # to re-tokenize the whole corpus for each join side; candidate
+        # volume is LSH-bounded, a tiny fraction of the corpus, so the
+        # two shingle passes shrink from corpus-sized to output-sized.
+        # persist (NOT localCheckpoint): the shared subtrees must
+        # materialize once — candidates feeds the id restriction AND
+        # the pair join, shingled feeds both join sides — but a
+        # checkpoint's LogicalRDD loses Catalyst's size estimate
+        # (sizeInBytes=MAX), which flips every downstream join to an
+        # initial-plan SortMergeJoin; persist keeps the lineage. The
+        # count() materializes the cache up front (guide §7.4:
+        # compute/cache the small side first), so every downstream
+        # join — the id-restriction semi-join included — plans
+        # against the candidates' ACTUAL size, broadcasting when the
+        # LSH guards kept them bounded and sort-merging only when
+        # they really are corpus-scale
+        candidates = candidates.persist()
+        candidates.count()
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingled = df.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_words)
+            ).alias("sh"),
+        ).persist()
         sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         pairs = candidates.join(sa, "id_a").join(sb, "id_b")
@@ -589,8 +620,9 @@ def simhash_pairs(
     # an expensive fingerprint pipeline (32 bit-votes per doc — or a
     # full image decode for phash/audio callers) never re-runs
     # (guide §2.4; r15 plan audit: phash_dedup_clusters decoded its
-    # PNG fixture three times without this)
-    fingerprints = fingerprints.localCheckpoint(eager=True)
+    # PNG fixture three times without this); persist keeps lineage
+    # stats/partitioning so downstream join planning is unchanged
+    fingerprints = fingerprints.persist()
     membership = fingerprints.select(
         F.col(id_col),
         F.explode(
@@ -879,11 +911,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # lazy checkpoint + fused convergence agg (r15): the sum action
+    # below materializes the checkpoint in the SAME job it reads it,
+    # so each round costs ONE Spark job instead of two (eager
+    # materialization + separate sum). Single-threaded loop — no
+    # concurrent-materialization race.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -894,7 +931,7 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
@@ -1293,26 +1330,26 @@ def _chunked_classes(
     base = df.select(
         F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs")
     ).where(F.length("__fs").between(min_len, max_len))
-    # lazy checkpoint: the max_class action below materializes it, and
-    # the chunked path's join + dstr then read the materialized table
-    # instead of re-running the count agg (safe here — the .first()
-    # runs on this driver thread before any concurrent consumer)
+    # persist: the max_class action below materializes it, and the
+    # chunked path's join + dstr then read the cached table instead of
+    # re-running the count agg; persist (not localCheckpoint) keeps
+    # the lineage so plan pins and join-size estimates survive
     counts = base.groupBy("__fs").agg(
         F.count("*").alias("__n")
-    ).localCheckpoint(eager=False)
+    ).persist()
     max_class = counts.agg(F.max("__n")).first()[0] or 0
     if max_class <= int(id_chunk):
         # ONE aggregation feeds variants AND id re-attachment — the
         # count scan above is array-free and map-side-combinable, so
         # the guard never materializes what it is guarding against.
-        # Materialized eagerly: the class table fans out to 4-7
-        # consumers downstream (variant a/b sides, deletion sets,
+        # Materialized once via persist: the class table fans out to
+        # 4-7 consumers downstream (variant a/b sides, deletion sets,
         # id re-attachment, within-class closure), each of which
         # would otherwise re-run this agg from the source scan
         # (r15 plan audit: fuzzy_lev_pairs paid 14 scans; guide §2.4)
         full = base.groupBy("__fs").agg(
             F.collect_list("__fid").alias("__ids")
-        ).localCheckpoint(eager=True)
+        ).persist()
         chunked = full.select("__fs", F.lit(0).alias("__chunk"), "__ids")
         dstr = full.select("__fs", F.length("__fs").alias("__flen"))
     else:
@@ -1322,7 +1359,7 @@ def _chunked_classes(
             .withColumn("__chunk", F.pmod(F.xxhash64("__fid"), n_chunks))
             .groupBy("__fs", "__chunk")
             .agg(F.collect_list("__fid").alias("__ids"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
         # counts is checkpointed above, so this projection is free to
         # recompute per consumer
@@ -1825,7 +1862,16 @@ def winnow_pairs(
     (license headers, templates) and are dropped BEFORE the pair
     self-join — the same hot-bucket guard as the LSH tier, which is
     what keeps the join quadratic only in true duplicate groups."""
-    dp = prints.select(F.col(id_col).alias("__id"), "print").distinct()
+    # the fingerprint pipeline (shingle hash + window-min selection)
+    # feeds 4 consumers (doc sizes, bucket counts, both join sides):
+    # materialize the distinct print table once (guide §2.4); persist
+    # keeps lineage size estimates so the pair join still plans its
+    # broadcast side (a checkpoint's LogicalRDD would force SMJ)
+    dp = (
+        prints.select(F.col(id_col).alias("__id"), "print")
+        .distinct()
+        .persist()
+    )
     sizes = dp.groupBy("__id").agg(F.count(F.lit(1)).alias("__np"))
     bucket = dp.groupBy("print").agg(F.count(F.lit(1)).alias("__bc"))
     kept = dp.join(

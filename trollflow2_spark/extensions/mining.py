@@ -440,14 +440,20 @@ def link_prediction_scores(
     # + distinct shuffle (the r15 plan audit counted 4 source scans in
     # this query — guide §2.4). kept materializes too: both sides of
     # the pair self-join read it, which otherwise doubles the
-    # rdeg-filter join.
+    # rdeg-filter join. persist, NOT localCheckpoint: a checkpoint's
+    # LogicalRDD loses both Catalyst's size estimate (forcing the
+    # self-join to an initial-plan sort-merge) and the __r hash
+    # partitioning kept inherited from its own join — the self-join
+    # then re-shuffles AND re-sorts both sides (measured 7s -> 29s
+    # isolated); the cache keeps lineage, stats and partitioning, so
+    # the self-join reuses kept's exchange exactly as before
     e = edges.select(
         F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().persist()
     rdeg = e.groupBy("__r").agg(F.count(F.lit(1)).alias("__rd"))
     kept = e.join(
         rdeg.where(F.col("__rd") <= max_degree), "__r"
-    ).localCheckpoint(eager=True)
+    ).persist()
     ldeg = e.groupBy("__l").agg(F.count(F.lit(1)).alias("__ld"))
     a = kept.select("__r", F.col("__l").alias("node_a"), "__rd")
     b = kept.select("__r", F.col("__l").alias("node_b"))
