@@ -187,6 +187,16 @@ def logreg_train_score(
     # either collapse the projection back into the md5 chain or cost a
     # second eager job
     def featurize(frame: DataFrame) -> DataFrame:
+        # scale-adaptive parallelism floor (guide §2.5 input skew):
+        # the corpus fixtures are single-row-group parquet, so the
+        # scan is ONE task and the whole tokenize+hash pass runs
+        # serially on one core; spread it when (and only when) the
+        # scan has fewer partitions than the session's parallelism —
+        # at cluster scale inputs carry plenty of partitions and this
+        # is a no-op, so no shuffle is added where it would hurt
+        target = frame.sparkSession.sparkContext.defaultParallelism
+        if frame.rdd.getNumPartitions() < target:
+            frame = frame.repartition(target)
         base = frame.select(
             F.col(id_col),
             F.col(label_col).cast("int").alias("y"),
@@ -238,7 +248,12 @@ def logreg_train_score(
     # control-plane jobs; values are identical either way
     spark = feats.sparkSession
     prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    # AQE re-plans every iteration's one-exchange agg as two jobs and
+    # buys nothing on a dim+1-double result: off for the control-plane
+    # loop (restored below), halving the per-iteration job count
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for _ in range(iters):
             # sigmoid projected ONCE per row (like the oracle's inner
@@ -268,6 +283,7 @@ def logreg_train_score(
             w = [float(row[f"w{k}"]) for k in range(dim + 1)]
     finally:
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     # score the held-out frame when given (the production train/serve
     # split), else the training corpus (the fit-diagnostics form)

@@ -451,7 +451,11 @@ def ngram_jaccard_pairs(
             F.array_distinct(
                 word_shingles(F.col(text_col), shingle_words)
             ).alias("sh"),
-        ).persist()
+        )
+        # shingled is NOT persisted: each verify side re-runs the
+        # broadcast semi-join + shingle over candidate ids only
+        # (bounded), and measurement showed caching the shingle
+        # arrays costs more than recomputing them (A/B'd r15)
         sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         pairs = candidates.join(sa, "id_a").join(sb, "id_b")
@@ -485,14 +489,16 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` (candidates from LSH at scale; shingle
     arrays ride the candidate join, all set math JVM-side).
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias("sh"),
-        *[F.col(c) for c in (block_cols or [])],
-    )
     if candidates is None:
         if not block_cols:
             raise ValueError("need candidates or block_cols")
+        shingled = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_words)
+            ).alias("sh"),
+            *[F.col(c) for c in block_cols],
+        )
         a = shingled.select(
             *block_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
         )
@@ -501,6 +507,24 @@ def ngram_containment_pairs(
         )
         pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
     else:
+        # r15: same candidate-restricted verify as ngram_jaccard_pairs
+        # — shingle ONLY candidate ids (semi-join prunes the corpus
+        # before the expensive tokenize), candidates cached and
+        # materialized up front so every downstream join plans against
+        # actual size; shingled deliberately not cached (A/B'd)
+        candidates = candidates.persist()
+        candidates.count()
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingled = df.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_words)
+            ).alias("sh"),
+        )
         sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         pairs = candidates.join(sa, "id_a").join(sb, "id_b")
@@ -621,7 +645,10 @@ def simhash_pairs(
     # full image decode for phash/audio callers) never re-runs
     # (guide §2.4; r15 plan audit: phash_dedup_clusters decoded its
     # PNG fixture three times without this); persist keeps lineage
-    # stats/partitioning so downstream join planning is unchanged
+    # stats/partitioning so downstream join planning is unchanged (an
+    # up-front count() materialization was tried and measured ~2x
+    # SLOWER for the phash/audio callers — the serial barrier beats
+    # any static-broadcast gain AQE was already providing at runtime)
     fingerprints = fingerprints.persist()
     membership = fingerprints.select(
         F.col(id_col),

@@ -2891,8 +2891,10 @@ def _bracket_median(
     """Distributed EXACT per-group median by GK-bracket selection —
     the machinery behind `theil_sen_trend` and `hodges_lehmann`.
 
-    ``vals`` should be localCheckpointed by the caller (three passes
-    run over it). One fused map-side agg per group computes the exact
+    ``vals`` is read twice (stats sketch, bracket histogram): cheap
+    regenerable inputs (broadcast-join pair expansions) can come in
+    un-materialized; anything expensive should be cached/persisted by
+    the caller. One fused map-side agg per group computes the exact
     count (plus any ``extra_aggs``) and the percentile_approx
     [45 %, 55 %] bracket; the sketch's rank-error bound is
     DETERMINISTIC (≤ n/accuracy = 0.1 % of n at accuracy 1000, 50×
@@ -3064,10 +3066,14 @@ def theil_sen_trend(
     """
     spark = df.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # one materialization of the pair table feeds every later pass
-    slopes = _theil_sen_pairs(
-        df, group_cols, x_col, y_col, npart
-    ).localCheckpoint()
+    # r15: the pair table is NOT materialized — _bracket_median reads
+    # it twice (stats sketch, bracket histogram), and regenerating the
+    # broadcast-join pair expansion per pass costs one extra bounded
+    # map pass while dropping the O(n²)-row checkpoint job AND the
+    # O(n²) executor-memory residency the checkpoint imposed (the
+    # bounded-series contract caps the pair count, but a cheap
+    # recompute beats storing millions of rows either way)
+    slopes = _theil_sen_pairs(df, group_cols, x_col, y_col, npart)
 
     # _bracket_median does the distributed exact selection; the
     # Mann-Kendall S rides along in the same fused map-side agg
@@ -3079,16 +3085,18 @@ def theil_sen_trend(
         extra_aggs={"mk_s": F.sum("__sgn")},
     ).withColumnRenamed("n_vals", "n_pairs")
 
-    # tie-corrected variance needs per-group n and per-value tie sizes
-    nrows = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # tie-corrected variance needs per-group n and per-value tie
+    # sizes — n is just Σt over the tie table, so ONE two-level agg
+    # yields both (r15: was two separate scans + two joins)
     ties = (
         df.groupBy(*group_cols, F.col(y_col).alias("__y"))
         .agg(F.count(F.lit(1)).alias("__t"))
         .groupBy(*group_cols)
         .agg(
+            F.sum("__t").alias("__n"),
             F.sum(
                 F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
-            ).alias("__tt")
+            ).alias("__tt"),
         )
     )
     n = F.col("__n").cast("double")
@@ -3102,8 +3110,7 @@ def theil_sen_trend(
         .otherwise(F.lit(0.0))
     )
     return (
-        pair_agg.join(nrows, group_cols)
-        .join(ties, group_cols)
+        pair_agg.join(ties, group_cols)
         .select(
             *group_cols,
             F.col("__n").alias("n"),
@@ -3161,8 +3168,10 @@ def hodges_lehmann(
             *[F.col(f"__g_{c}").alias(c) for c in group_cols],
             ((F.col("__va") + F.col("__vb")) / 2.0).alias("__s"),
         )
-        .localCheckpoint()
     )
+    # no checkpoint (r15): regenerating the broadcast-join Walsh
+    # expansion for each of _bracket_median's two passes is cheaper
+    # than materializing the O(n²) pair table (see theil_sen_trend)
     out = _bracket_median(
         walsh, group_cols, val_col="__s", median_col="hl_estimate"
     )
