@@ -139,7 +139,17 @@ def minhash_signatures(
             )
 
     packed = F.get(F.transform(F.array(shingles), signature), 0)
-    return df.select(F.col(id_col), packed.alias("_sig")).select(id_col, "_sig.*")
+    # scale-adaptive parallelism floor (r15): the md5-per-shingle
+    # signature work runs inside the scan stage, and single-row-group
+    # fixtures scan as ONE task — spread (id, text) rows first when
+    # (and only when) the scan under-parallelizes (no-op at cluster
+    # scale); measured 3x on every minhash consumer
+    from trollflow2_spark.tables import parallelism_floor
+
+    narrow = parallelism_floor(df, id_col, text_col)
+    return narrow.select(F.col(id_col), packed.alias("_sig")).select(
+        id_col, "_sig.*"
+    )
 
 
 def _band_buckets(
@@ -601,7 +611,11 @@ def simhash(
     simhash bands (:func:`simhash_pairs`); grouping on the full
     fingerprint finds exact template-level dups.
     """
-    out = df.select(
+    # parallelism floor before the per-token bit-vote kernel (r15) —
+    # see minhash_signatures; no-op when the scan is already spread
+    from trollflow2_spark.tables import parallelism_floor
+
+    out = parallelism_floor(df, id_col, text_col).select(
         F.col(id_col),
         simhash_column(F.col(text_col), bits=bits, hash_fn=hash_fn).alias("simhash"),
     )

@@ -52,3 +52,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def parallelism_floor(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-heavy map kernels
+    (guide §2.5 input skew): single-row-group fixture files scan as
+    ONE task, serializing per-row work (tokenize/hash/decode) on one
+    core. Projects to ``cols`` (shuffle only what the kernel needs,
+    guide §2.3) and round-robin repartitions to the session's default
+    parallelism — but ONLY when the scan has fewer partitions, so at
+    cluster scale (inputs already many-partitioned) no shuffle is
+    added. Row order is not preserved; callers must be order-free
+    (per-row maps, order-free aggregations)."""
+    if cols:
+        df = df.select(*[F.col(c) for c in cols])
+    # target = the session's shuffle-partition setting, NOT raw core
+    # count: harnesses that right-size themselves (the streaming
+    # replay sinks run micro-batches at 2 partitions) keep their
+    # sizing, and production sessions size this to the cluster
+    target = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
