@@ -482,6 +482,25 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _merge_loop_aqe_off(spark):
+    """Disable AQE for the trainers' control-plane merge loops,
+    restored on exit (same discipline as logistic_regression_train):
+    each iteration aggregates the Heaps-bounded word table down to a
+    1-row argmax, and AQE's per-exchange re-planning adds a query
+    stage + job per agg without finding anything to adapt at that
+    size. Join/scan planning elsewhere is unaffected."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 WORDPIECE_SCORE_SCALE = 10**9
 """Fixed-point scale for the WordPiece merge objective. The score
 ``cnt(ab) / (cnt(a) * cnt(b))`` is compared ACROSS pairs, so it must
@@ -547,64 +566,65 @@ def train_wordpiece_distributed(
         ),
     ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
     merges: list[tuple[str, str, int, int]] = []
-    for it in range(int(n_merges)):
-        sym_cnt = (
-            wf.select(F.col("freq"), F.explode("syms").alias("s"))
-            .groupBy("s")
-            .agg(F.sum("freq").alias("c"))
-        )
-        pairs = (
-            wf.select(F.col("freq"), F.explode(pair_col).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = (
-            pairs.join(
-                sym_cnt.select(
-                    F.col("s").alias("a"), F.col("c").alias("__ca")
-                ),
-                "a",
+    with _merge_loop_aqe_off(spark):
+        for it in range(int(n_merges)):
+            sym_cnt = (
+                wf.select(F.col("freq"), F.explode("syms").alias("s"))
+                .groupBy("s")
+                .agg(F.sum("freq").alias("c"))
             )
-            .join(
-                sym_cnt.select(
-                    F.col("s").alias("b"), F.col("c").alias("__cb")
-                ),
-                "b",
+            pairs = (
+                wf.select(F.col("freq"), F.explode(pair_col).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
             )
-            .select(
-                "a",
-                "b",
-                "cnt",
+            best = (
+                pairs.join(
+                    sym_cnt.select(
+                        F.col("s").alias("a"), F.col("c").alias("__ca")
+                    ),
+                    "a",
+                )
+                .join(
+                    sym_cnt.select(
+                        F.col("s").alias("b"), F.col("c").alias("__cb")
+                    ),
+                    "b",
+                )
+                .select(
+                    "a",
+                    "b",
+                    "cnt",
+                    F.expr(
+                        "(cnt * CAST("
+                        + str(WORDPIECE_SCORE_SCALE)
+                        + " AS BIGINT)) DIV (__ca * __cb)"
+                    ).alias("score"),
+                )
+                .orderBy(F.desc("score"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            cnt, score = int(best[0]["cnt"]), int(best[0]["score"])
+            merges.append((a, b, cnt, score))
+            ab = a + b
+            wf = wf.withColumn(
+                "syms",
                 F.expr(
-                    "(cnt * CAST("
-                    + str(WORDPIECE_SCORE_SCALE)
-                    + " AS BIGINT)) DIV (__ca * __cb)"
-                ).alias("score"),
+                    "aggregate(syms, cast(array() as array<string>),"
+                    " (acc, s) -> CASE WHEN size(acc) > 0"
+                    " AND element_at(acc, -1) = " + _sql_str(a)
+                    + " AND s = " + _sql_str(b)
+                    + " THEN concat(slice(acc, 1, size(acc) - 1),"
+                    " array(" + _sql_str(ab) + "))"
+                    " ELSE concat(acc, array(s)) END)"
+                ),
             )
-            .orderBy(F.desc("score"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        cnt, score = int(best[0]["cnt"]), int(best[0]["score"])
-        merges.append((a, b, cnt, score))
-        ab = a + b
-        wf = wf.withColumn(
-            "syms",
-            F.expr(
-                "aggregate(syms, cast(array() as array<string>),"
-                " (acc, s) -> CASE WHEN size(acc) > 0"
-                " AND element_at(acc, -1) = " + _sql_str(a)
-                + " AND s = " + _sql_str(b)
-                + " THEN concat(slice(acc, 1, size(acc) - 1),"
-                " array(" + _sql_str(ab) + "))"
-                " ELSE concat(acc, array(s)) END)"
-            ),
-        )
-        if (it + 1) % int(checkpoint_every) == 0:
-            wf = wf.localCheckpoint()
+            if (it + 1) % int(checkpoint_every) == 0:
+                wf = wf.localCheckpoint()
     rows = [(t, "char", 0, "", "", 0, 0) for t in chars] + [
         (a + b, "merge", i + 1, a, b, cnt, score)
         for i, (a, b, cnt, score) in enumerate(merges)
@@ -688,35 +708,36 @@ def train_bpe_distributed(
         ),
     ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
     merges: list[tuple[str, str, int]] = []
-    for it in range(int(n_merges)):
-        best = (
-            wf.select(F.col("freq"), F.explode(pair_col).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        merges.append((a, b, cnt))
-        ab = a + b
-        # literals built by escaping + concatenation — see _sql_str
-        wf = wf.withColumn(
-            "syms",
-            F.expr(
-                "aggregate(syms, cast(array() as array<string>),"
-                " (acc, s) -> CASE WHEN size(acc) > 0"
-                " AND element_at(acc, -1) = " + _sql_str(a)
-                + " AND s = " + _sql_str(b)
-                + " THEN concat(slice(acc, 1, size(acc) - 1),"
-                " array(" + _sql_str(ab) + "))"
-                " ELSE concat(acc, array(s)) END)"
-            ),
-        )
-        if (it + 1) % int(checkpoint_every) == 0:
-            wf = wf.localCheckpoint()
+    with _merge_loop_aqe_off(spark):
+        for it in range(int(n_merges)):
+            best = (
+                wf.select(F.col("freq"), F.explode(pair_col).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((a, b, cnt))
+            ab = a + b
+            # literals built by escaping + concatenation — see _sql_str
+            wf = wf.withColumn(
+                "syms",
+                F.expr(
+                    "aggregate(syms, cast(array() as array<string>),"
+                    " (acc, s) -> CASE WHEN size(acc) > 0"
+                    " AND element_at(acc, -1) = " + _sql_str(a)
+                    + " AND s = " + _sql_str(b)
+                    + " THEN concat(slice(acc, 1, size(acc) - 1),"
+                    " array(" + _sql_str(ab) + "))"
+                    " ELSE concat(acc, array(s)) END)"
+                ),
+            )
+            if (it + 1) % int(checkpoint_every) == 0:
+                wf = wf.localCheckpoint()
     rows = [(t, "char", 0, "", "", 0) for t in chars] + [
         (a + b, "merge", i + 1, a, b, cnt)
         for i, (a, b, cnt) in enumerate(merges)
