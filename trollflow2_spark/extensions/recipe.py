@@ -531,7 +531,15 @@ def streaming_recipe_sink(
                 # stage and the carried cross-batch band state
                 num_hashes = item.get("num_hashes", 8)
                 bands = item.get("bands", 4)
-                out = CORPUS_STAGES[name](out, **item)
+                # materialize the within-batch dedup ONCE: its output
+                # fans out to the batch re-minhash (band state), the
+                # increment's union AND the post-gate checkpoint —
+                # unmaterialized, each consumer re-ran the whole
+                # LSH->verify->CC machine (guide §5; same fix as the
+                # batch operators' fan-out subtrees). Increment-sized.
+                out = CORPUS_STAGES[name](out, **item).localCheckpoint(
+                    eager=True
+                )
                 nd_dir = state_dir + "_nd"
                 ndb_dir = state_dir + "_ndb"
                 jvm = spark._jvm
@@ -539,12 +547,15 @@ def streaming_recipe_sink(
                 fs = jpath.getFileSystem(
                     spark._jsc.hadoopConfiguration()
                 )
+                # consumed twice (increment candidates + band-state
+                # append): cache the batch-sized band rows instead of
+                # re-minhashing the survivors per consumer
                 batch_bands = _band_buckets(
                     minhash_signatures(out, num_hashes=num_hashes),
                     "doc_id",
                     num_hashes,
                     bands,
-                )
+                ).persist()
                 if fs.exists(jpath):
                     state_bands = (
                         spark.read.parquet(ndb_dir)
@@ -559,7 +570,13 @@ def streaming_recipe_sink(
                     out = neardup_increment(
                         out, batch_bands, state_bands, seen, threshold
                     )
-                out = out.localCheckpoint(eager=True)
+                    # barrier BEFORE the state append: the writes below
+                    # re-evaluate the batch plan, and an un-frozen
+                    # anti-join would then see a state that already
+                    # contains this batch's own rows (self-
+                    # invalidation). Batch 0's plan is already frozen
+                    # by the stage checkpoint above.
+                    out = out.localCheckpoint(eager=True)
                 out.select(
                     "doc_id",
                     "text",
@@ -572,6 +589,9 @@ def streaming_recipe_sink(
                 ).withColumn(
                     "__bid", F.lit(batch_id).cast("long")
                 ).write.mode("append").parquet(ndb_dir)
+                # a long-running stream would otherwise accumulate one
+                # cached RDD per micro-batch
+                batch_bands.unpersist()
             elif name == "exact_dedup":
                 text_col = item.get("text_col", "text")
                 dig = F.md5(F.col(text_col))
@@ -642,6 +662,7 @@ def replay_recipe_batches(
     compact_every: int | None = None,
     state_ttl_batches: int | None = None,
     state_target_bytes: int = 32 << 20,
+    adaptive: bool | None = False,
 ) -> DataFrame:
     """Drive a corpus recipe through a REAL micro-batched stream: one
     JSON file per batch (mtime-pinned order, ``maxFilesPerTrigger=1``,
@@ -656,7 +677,13 @@ def replay_recipe_batches(
 
     # shuffle_partitions default mirrors replay_batches: state-store
     # and shuffle task count per micro-batch is fixture-scale here
-    # (config-bounded batches); production sizes it via the parameter
+    # (config-bounded batches); production sizes it via the parameter.
+    # adaptive=False likewise: foreachBatch bodies run as BATCH
+    # queries, and on config-bounded replay batches AQE's per-exchange
+    # re-planning only multiplies tiny driver-bound jobs (the replay
+    # profile showed ~half the wall clock in inter-job gaps across
+    # 25-66 jobs/batch) — a production stream with real micro-batch
+    # volumes passes adaptive=None/True to keep its session setting
     d = work_dir or tempfile.mkdtemp(prefix="tf2recipe_")
     src = os.path.join(d, "src")
     os.makedirs(src, exist_ok=True)
@@ -670,10 +697,15 @@ def replay_recipe_batches(
                 fh.write(json.dumps(r) + "\n")
         os.utime(path, (t0 + i * 10, t0 + i * 10))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
         if shuffle_partitions is not None:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        if adaptive is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.enabled", str(bool(adaptive)).lower()
             )
         stream = (
             spark.readStream.schema(schema)
@@ -707,6 +739,8 @@ def replay_recipe_batches(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if adaptive is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return spark.read.parquet(out_dir)
 
 
