@@ -206,11 +206,12 @@ def test_v2_equality_deletes_raise_with_guidance(spark):
             Row(path="l1", blob=_mlist_v2([("m1", 0), ("dm1", 1)])),
         ]
     )
-    out = snapshot_partition_summary(
-        spark, _metadata([(1, "l1")], 1), blobs
-    )
+    # the loud refusal may surface at construction (the summary
+    # eagerly materializes its delete-file dimension) or at collect
     with pytest.raises(Exception, match="equality deletes"):
-        out.collect()
+        snapshot_partition_summary(
+            spark, _metadata([(1, "l1")], 1), blobs
+        ).collect()
 
 
 def test_v1_lists_still_decode_as_data_manifests(spark):
@@ -359,11 +360,12 @@ def test_v2_equality_deletes_without_fields_still_raise(spark):
             Row(path="l1", blob=_mlist_v2([("m1", 0), ("dm1", 1)])),
         ]
     )
-    out = snapshot_partition_summary(
-        spark, _metadata([(1, "l1")], 1), blobs
-    )
+    # raise may surface at construction or collect (see
+    # test_v2_equality_deletes_raise_with_guidance)
     with pytest.raises(Exception, match="equality deletes"):
-        out.collect()
+        snapshot_partition_summary(
+            spark, _metadata([(1, "l1")], 1), blobs
+        ).collect()
 
 
 def test_v2_over_applied_position_deletes_clamp_at_zero(spark):

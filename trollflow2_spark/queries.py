@@ -14254,8 +14254,14 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     import json as _json
 
+    # the blob store is read by several decode passes (manifest
+    # lists, data manifests, delete planes) — cache the Python-encoded
+    # fixture ONCE per run instead of re-running the applyInPandas
+    # encode per consumer (guide §5; fixture-sized, computed in-run)
     return snapshot_partition_summary(
-        spark, _json.dumps(metadata), manifests.unionByName(lists)
+        spark,
+        _json.dumps(metadata),
+        manifests.unionByName(lists).persist(),
     )
 
 
@@ -14413,8 +14419,11 @@ def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     import json as _json
 
+    # cache the encoded fixture store once per run (see
+    # q_iceberg_snapshot) — the v2 read path decodes data manifests,
+    # delete manifests AND position-delete blobs from it
     return snapshot_partition_summary(
-        spark, _json.dumps(metadata), blobs.unionByName(lists)
+        spark, _json.dumps(metadata), blobs.unionByName(lists).persist()
     )
 
 
@@ -14601,10 +14610,13 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     }
+    # cache the encoded fixture store once per run (see
+    # q_iceberg_snapshot) — the equality path reads it for manifest
+    # lists, both manifest planes, delete rows and affected data files
     return snapshot_partition_summary(
         spark,
         _json.dumps(metadata),
-        blobs.unionByName(driver_blobs),
+        blobs.unionByName(driver_blobs).persist(),
         equality_id_fields=["id"],
     )
 
@@ -14821,8 +14833,12 @@ def q_iceberg_dv_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     }
+    # cache the encoded fixture store once per run (see
+    # q_iceberg_snapshot)
     return snapshot_partition_summary(
-        spark, _json.dumps(metadata), blobs.unionByName(driver_blobs)
+        spark,
+        _json.dumps(metadata),
+        blobs.unionByName(driver_blobs).persist(),
     )
 
 
@@ -15001,10 +15017,13 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
+    # cache the encoded fixture store once per run (see
+    # q_iceberg_snapshot) — expiry decodes expired AND retained
+    # manifest sets for two content planes from it
     return expire_snapshots_plan(
         spark,
         metadata,
-        blobs.unionByName(lists),
+        blobs.unionByName(lists).persist(),
         expire_before_ms=1500,
         keep_last=1,
     )

@@ -829,6 +829,17 @@ def snapshot_partition_summary(
 
     del_member = member_df.where(F.col("content") == 1).drop("content")
     if any(c == 1 for _sid, _mp, c in membership):
+        # merge-on-read only: the (snapshot, data file) table below
+        # fans out to every delete-scoping consumer (position, DV and
+        # equality branches each broadcast a slice of it), and those
+        # broadcasts build CONCURRENTLY — un-cached, each build
+        # re-runs the distributed manifest decode, and a lazy persist
+        # would let the racing builds duplicate it anyway. Eagerly
+        # materialize once: the cache holds per-file METADATA rows
+        # (O(files x snapshots), spillable), never data rows. The
+        # data-only path keeps its single-consumer streaming plan.
+        live = live.persist()
+        live.count()
         # delete manifests -> live delete FILES per snapshot, each
         # carrying its data sequence number for scoping
         dm_entries = read_delete_manifest_entries(
@@ -851,7 +862,14 @@ def snapshot_partition_summary(
                 "content_offset",
                 "content_size",
             )
+            .persist()
         )
+        # same eager-once discipline as `live`: the delete-file
+        # dimension feeds the position/DV/equality splits and several
+        # broadcasts — left lazy, the concurrent builds race to
+        # materialize it and each re-runs the delete-manifest decode
+        # (measured 2x the whole query)
+        del_files.count()
         # (snapshot, data file, data seq): the scoping side — the
         # spec applies position deletes to data files with seq <=
         # the delete's, equality deletes STRICTLY below (a writer's
