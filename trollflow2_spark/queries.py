@@ -14261,7 +14261,7 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_partition_summary(
         spark,
         _json.dumps(metadata),
-        manifests.unionByName(lists).persist(),
+        manifests.unionByName(lists).repartition(4).persist(),
     )
 
 
@@ -14423,7 +14423,7 @@ def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_iceberg_snapshot) — the v2 read path decodes data manifests,
     # delete manifests AND position-delete blobs from it
     return snapshot_partition_summary(
-        spark, _json.dumps(metadata), blobs.unionByName(lists).persist()
+        spark, _json.dumps(metadata), blobs.unionByName(lists).repartition(4).persist()
     )
 
 
@@ -14616,7 +14616,7 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_partition_summary(
         spark,
         _json.dumps(metadata),
-        blobs.unionByName(driver_blobs).persist(),
+        blobs.unionByName(driver_blobs).repartition(4).persist(),
         equality_id_fields=["id"],
     )
 
@@ -14838,7 +14838,7 @@ def q_iceberg_dv_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_partition_summary(
         spark,
         _json.dumps(metadata),
-        blobs.unionByName(driver_blobs).persist(),
+        blobs.unionByName(driver_blobs).repartition(4).persist(),
     )
 
 
@@ -15023,7 +15023,7 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expire_snapshots_plan(
         spark,
         metadata,
-        blobs.unionByName(lists).persist(),
+        blobs.unionByName(lists).repartition(4).persist(),
         expire_before_ms=1500,
         keep_last=1,
     )
