@@ -420,25 +420,29 @@ def kmeans_train_distributed(
     k = len(cents)
     dim = len(cents[0])
 
-    def dist_sql(c: list[int]) -> str:
-        return " + ".join(
-            f"(xq[{j}] - {int(c[j])}L) * (xq[{j}] - {int(c[j])}L)"
-            for j in range(dim)
+    # r15 planning-cost shave: the old form projected k flat distance
+    # columns (dim quadratic terms each) and argmin'd them with a
+    # CASE whose conditions referenced every column up to k-1 times —
+    # CollapseProject inlined the distances into the CASE, so every
+    # iteration's optimizer pass walked a ~k²·dim-node tree (~0.9 s of
+    # DRIVER time per iteration at k=4, dim=64; the tasks took 0.1 s).
+    # One transform over a k×dim array literal computes the same exact
+    # bigint distances in a ~k·dim-node tree; array_position of the
+    # array_min picks the SAME argmin (first match = lowest-index
+    # tie-break, least() = array_min). Arithmetic is identical bigint
+    # ops, so values are unchanged (oracle-verified).
+    def dists_sql(cs: list[list[int]]) -> str:
+        lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"{int(x)}L" for x in c) + ")"
+            for c in cs
+        ) + ")"
+        return (
+            f"transform({lit}, c -> aggregate("
+            "zip_with(xq, c, (x, cc) -> (x - cc) * (x - cc)), "
+            "0L, (a, b) -> a + b))"
         )
 
-    def cell_sql(n: int) -> str:
-        # argmin with lowest-index tie-break (<= against later cells)
-        if n == 1:
-            # a WHEN-less CASE is a parse error; k==1 (or a 1-vector
-            # corpus degrading to k=n=1) assigns everything to cell 0
-            return "0"
-        parts = []
-        for m in range(n - 1):
-            cond = " AND ".join(
-                f"d{m} <= d{o}" for o in range(m + 1, n)
-            )
-            parts.append(f"WHEN {cond} THEN {m}")
-        return "CASE " + " ".join(parts) + f" ELSE {n - 1} END"
+    CELL_SQL = "CAST(array_position(__d, array_min(__d)) - 1 AS INT)"
 
     spark = q.sparkSession
     # fresh literal-bearing plan per iteration: interpreted mode skips
@@ -451,18 +455,25 @@ def kmeans_train_distributed(
     # tests/test_kmeans_train.py).
     train = spark.newSession()
     train.conf.set("spark.sql.codegen.wholeStage", "false")
+    # AQE off for the merge loop (same discipline as logreg_train /
+    # the tokenizer trainers, r15): each iteration is one map-side-
+    # combinable agg whose result is k rows — AQE's per-exchange
+    # re-planning adds a query stage + job per iteration with nothing
+    # to adapt. Scoped to the child session; the caller's session (and
+    # the checkpointed scan + final scoring plan) keep AQE.
+    train.conf.set("spark.sql.adaptive.enabled", "false")
+    # the iteration agg's reduce side holds ≤ k rows (map-side combine
+    # collapses each partition to ≤ k first) — one reduce partition is
+    # right at ANY corpus scale; sized to k, not to the local host
+    train.conf.set("spark.sql.shuffle.partitions", "1")
     view = f"kmeans_train_{id(q)}"
     q.createOrReplaceGlobalTempView(view)
     qt = train.table(f"global_temp.{view}")
     try:
         for _ in range(iters):
             scored = qt.selectExpr(
-                "xq",
-                *[
-                    f"({dist_sql(c)}) AS d{m}"
-                    for m, c in enumerate(cents)
-                ],
-            ).selectExpr("xq", f"{cell_sql(k)} AS cell")
+                "xq", f"{dists_sql(cents)} AS __d"
+            ).selectExpr("xq", f"{CELL_SQL} AS cell")
             rows = (
                 scored.groupBy("cell")
                 .agg(
@@ -482,20 +493,11 @@ def kmeans_train_distributed(
     finally:
         spark.catalog.dropGlobalTempView(view)
 
-    out = q.selectExpr(
-        id_col,
-        *[f"({dist_sql(c)}) AS d{m}" for m, c in enumerate(cents)],
-    )
-    # least() needs >1 args — k == 1 is just d0
-    least = (
-        "d0"
-        if k == 1
-        else "least(" + ", ".join(f"d{m}" for m in range(k)) + ")"
-    )
+    out = q.selectExpr(id_col, f"{dists_sql(cents)} AS __d")
     return out.selectExpr(
         id_col,
-        f"CAST({cell_sql(k)} AS INT) AS cell",
-        f"CAST({least} AS BIGINT) AS dist_q",
+        f"{CELL_SQL} AS cell",
+        "CAST(array_min(__d) AS BIGINT) AS dist_q",
     )
 
 
