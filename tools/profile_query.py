@@ -140,6 +140,7 @@ def main() -> int:
             stg = [
                 f"{stages.get(s, {}).get('tasks', '?')}t/"
                 f"{stages.get(s, {}).get('ms', 0)/1000:.1f}s"
+                f"({stages.get(s, {}).get('name', '')[:28]})"
                 for s in j["stages"]
                 if s in stages
             ]

@@ -1863,8 +1863,16 @@ def winnow_fingerprints(
     re-split trap); selection is pure array algebra in the scan stage
     — zero shuffle until the selected (doc, pos, print) rows explode,
     and those are ~2/(w+1) of the token count."""
+    from trollflow2_spark.tables import parallelism_floor
+
     sh = word_shingles(F.col(text_col), k)
-    with_h = df.select(
+    # scale-adaptive floor (guide §2.5, same as minhash/simhash): the
+    # md5 shingle hashing + per-window slice/min selection is the
+    # compute-heavy kernel, and single-row-group fixtures scan as ONE
+    # task — the r15 profile showed winnow_dedup_pairs paying a 1.8-
+    # 2.5 s SERIAL job for it; a no-op on many-partition cluster scans
+    narrow = parallelism_floor(df, id_col, text_col)
+    with_h = narrow.select(
         F.col(id_col),
         F.transform(sh, lambda s: hash64(s, seed=seed)).alias("__hs"),
     )

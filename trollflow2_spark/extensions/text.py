@@ -1361,6 +1361,8 @@ def bigram_logprob(
     ``(id, n_transitions, mean_bigram_logprob)``; docs with fewer than
     two tokens emit no row.
     """
+    from trollflow2_spark.tables import parallelism_floor
+
     a = float(alpha)
     lo = F.transform(tokens(F.col(text_col)), F.lower)
     n = F.size(lo)
@@ -1372,6 +1374,11 @@ def bigram_logprob(
             lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # scale-adaptive floor (guide §2.5): BOTH corpus passes (the
+    # events agg and the scoring explode) tokenize every document —
+    # on single-row-group fixtures that ran as two SERIAL 1-task jobs
+    # (~1.3 s of the query's 1.9 s job-time); no-op on real scans
+    df = parallelism_floor(df, id_col, text_col)
     pairs = df.select(
         F.col(id_col), F.explode(transitions).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

@@ -454,6 +454,8 @@ def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows out). Type inference is over the extracted JSON text — the
     documented level for schemaless profiling (a quoted "123" is
     indistinguishable from 123 at this level)."""
+    from trollflow2_spark.tables import parallelism_floor
+
     ev = load_table(spark, sf_dir, "events")
     js = F.to_json(
         F.struct(
@@ -466,9 +468,13 @@ def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_rows = ev.count()  # control plane: one scalar for the share
-    keyed = ev.select(js.alias("js")).select(
-        "js", F.explode(F.json_object_keys("js")).alias("k")
-    )
+    # scale-adaptive floor (guide §2.5): the to_json + key-explode +
+    # get_json_object + regex kernel ran as ONE serial task on the
+    # single-row-group fixture scan (2.7 s of this query's 2.9 s
+    # job-time); no-op on real many-partition scans
+    keyed = parallelism_floor(ev, "value", "event_type", "event_id").select(
+        js.alias("js")
+    ).select("js", F.explode(F.json_object_keys("js")).alias("k"))
     val = F.expr("get_json_object(js, concat('$.', k))")
     is_int = val.rlike("^-?[0-9]+$")
     is_float = val.rlike(r"^-?[0-9]+\.[0-9]+([eE][+-]?[0-9]+)?$")
@@ -521,6 +527,10 @@ def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("v2"),
             )
         )
+        # NO parallelism floor here (measured, r15): unlike
+        # q_json_key_profile this kernel is just to_json + key explode
+        # (no per-key get_json_object / regex pass), and the floor's
+        # shuffle cost more than the parallel gain (1.03 -> 1.31 s)
         return (
             df.select(F.explode(F.json_object_keys(js)).alias("k"))
             .groupBy("k")
