@@ -11276,14 +11276,8 @@ def q_hybrid_multi_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # norms hoisted above the join (bit-identical to cosine())
-    # scale-adaptive floor (guide §2.5): the dot/norm HOF kernel is
-    # pure JVM expression work (not the numpy-batched class §4
-    # excluded) and ran serially on the 1-partition embeddings scan
-    from trollflow2_spark.tables import parallelism_floor
-
     scored = (
-        parallelism_floor(emb, "vec_id", "embedding")
-        .withColumn("__vn", _norm(F.col("embedding")))
+        emb.withColumn("__vn", _norm(F.col("embedding")))
         .crossJoin(qv)
         .filter(F.col("vec_id") != F.col("__qvid"))
         .select(
