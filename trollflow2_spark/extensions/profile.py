@@ -2936,7 +2936,15 @@ def _bracket_median(
         F.percentile_approx(
             val_col,
             F.array(F.lit(0.45), F.lit(0.55)),
-            F.lit(1000),
+            # accuracy 100: rank error ≤ n/100 = 1 % of n — still 5×
+            # inside the 5 % bracket margin, so the true middle ranks
+            # provably stay in-bracket (and the blo==bhi tie shortcut
+            # stays exact: a value spanning both sketch estimates
+            # covers ranks 44-56 %). r15: accuracy 1000 paid a
+            # measurably heavier sketch buffer per row on the O(n²)
+            # pair expansions (theil_sen stats pass 1.34 -> 1.11 s
+            # same-window) for 50× more precision than the bound uses.
+            F.lit(100),
         ).alias("__qb"),
     ).localCheckpoint()
     # middle ranks (1-indexed): odd m → klo == khi, even m → two
@@ -3338,7 +3346,7 @@ def exact_quantiles(
     value_col: str,
     ps: list[float],
     margin: float = 0.05,
-    accuracy: int = 1000,
+    accuracy: int | None = None,
     small_n: int = 200,
     round_dp: int | None = 6,
     extra_aggs: dict | None = None,
@@ -3374,6 +3382,13 @@ def exact_quantiles(
     """
     if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
         raise ValueError(f"ps must be within [0, 1]: {ps!r}")
+    # default accuracy scales with the margin: rank error ≤ n/accuracy
+    # must stay a safe factor inside margin·n. 5/margin keeps 5× slack
+    # (100 at the default 5 % margin — r15: the old fixed 1000 paid a
+    # measurably heavier sketch buffer per row for 50× more precision
+    # than the bracket bound uses); an explicit accuracy still wins.
+    if accuracy is None:
+        accuracy = max(100, int(5.0 / float(margin)) if margin > 0 else 1000)
     extra_aggs = extra_aggs or {}
     extras = list(extra_aggs.keys())
     brackets = []
