@@ -833,6 +833,10 @@ def main() -> int:
                 "stress_total": round(sum(stress.values()), 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration": calibration["min"],
+                # full per-query seconds in the printed line (the
+                # driver-contract shape; r15 — additive, top10/detail
+                # keep their consumers)
+                "queries": {k: round(v, 3) for k, v in times.items()},
                 "top10": top10,
                 "detail": os.path.basename(detail_path),
             }
