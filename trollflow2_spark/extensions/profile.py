@@ -2684,6 +2684,11 @@ def seasonal_anomalies(
         # every consumer that rebuilds the broadcast
     ).localCheckpoint()
     mcond = [F.col(c) == F.col(f"__m_{c}") for c in key_cols]
+    # NOT checkpointed (r15, the §5 robust-stats argument and the
+    # outlier_mad_filter shape): dev is O(n) rows whose recompute is
+    # one scan of the joined checkpoint + a broadcast join against
+    # the materialized k-row median table — cheaper per pass than
+    # writing and holding a second corpus-sized checkpoint
     dev = joined.join(F.broadcast(med), mcond).select(
         *key_cols,
         "bucket",
@@ -2691,7 +2696,7 @@ def seasonal_anomalies(
         "y",
         "__r",
         F.abs(F.col("__r") - F.col("__med")).alias("__adev"),
-    ).localCheckpoint()
+    )
     mad = _bracket_median(
         dev, key_cols, val_col="__adev", median_col="__mad",
         round_dp=None,
