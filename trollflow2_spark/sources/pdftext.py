@@ -41,6 +41,48 @@ from __future__ import annotations
 import re
 import zlib
 
+# Optional native cipher backend (guide §4.2: hand bulk crypto to
+# native code). The pure-Python implementations below remain the
+# reference — tests pin them against FIPS-197 / SP800-38A / RC4
+# vectors and both paths produce identical bytes — but when the
+# public `cryptography` package is importable, the CBC/RC4 entry
+# points route through its C primitives: the /R 6 hardened KDF alone
+# encrypts ~8k AES blocks per evaluation by spec, which is seconds of
+# pure Python per worker and microseconds in native code.
+try:  # pragma: no cover - exercised indirectly by the cipher tests
+    from cryptography.hazmat.primitives.ciphers import Cipher as _NCipher
+    from cryptography.hazmat.primitives.ciphers.algorithms import (
+        AES as _NAES,
+    )
+    from cryptography.hazmat.primitives.ciphers.modes import CBC as _NCBC
+
+    try:
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _NARC4,
+        )
+    except ImportError:  # older package layout
+        from cryptography.hazmat.primitives.ciphers.algorithms import (
+            ARC4 as _NARC4,
+        )
+except ImportError:  # stdlib-only environment: pure-Python paths
+    _NCipher = None
+
+# RC4 key sizes the native backend accepts (bits); PDF object keys can
+# be 40..128 bits in 8-bit steps, but published test vectors use 24/32-
+# bit toy keys - those fall back to the pure-Python path.
+_NARC4_BITS = frozenset((40, 56, 64, 80, 128, 160, 192, 256))
+
+
+def _ncbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    enc = _NCipher(_NAES(key), _NCBC(iv)).encryptor()
+    return enc.update(data) + enc.finalize()
+
+
+def _ncbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    dec = _NCipher(_NAES(key), _NCBC(iv)).decryptor()
+    return dec.update(data) + dec.finalize()
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _ESCAPES = {
@@ -295,6 +337,9 @@ _PDF_PAD = bytes(
 
 def _rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric: encrypts and decrypts)."""
+    if _NCipher is not None and len(key) * 8 in _NARC4_BITS:
+        enc = _NCipher(_NARC4(key), None).encryptor()
+        return enc.update(data) + enc.finalize()
     s = list(range(256))
     j = 0
     for i in range(256):
@@ -427,6 +472,8 @@ def _aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """PDF AESV2 authoring: PKCS#5-pad, CBC-chain, prepend the IV."""
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
+    if _NCipher is not None:
+        return iv + _ncbc_encrypt(key, iv, data)
     rks = _aes_expand_key(key)
     out = bytearray(iv)
     prev = iv
@@ -520,6 +567,8 @@ def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     evaluation hot loop."""
     if len(data) % 16:
         raise ValueError("CBC-nopad needs a 16-byte multiple")
+    if _NCipher is not None:
+        return _ncbc_encrypt(key, iv, data)
     rkw = _rk_words(key)
     out = bytearray()
     prev = iv
@@ -534,6 +583,8 @@ def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Raw CBC decrypt, no padding, no IV prefix."""
     if len(data) % 16:
         raise ValueError("CBC-nopad needs a 16-byte multiple")
+    if _NCipher is not None:
+        return _ncbc_decrypt(key, iv, data)
     rks = _aes_expand_key(key)
     out = bytearray()
     prev = iv
@@ -586,6 +637,12 @@ def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
     padding. Returns None on malformed framing."""
     if len(data) < 32 or len(data) % 16:
         return None
+    if _NCipher is not None:
+        out = bytearray(_ncbc_decrypt(key, data[:16], data[16:]))
+        pad = out[-1]
+        if not 1 <= pad <= 16:
+            return None
+        return bytes(out[:-pad])
     rks = _aes_expand_key(key)
     prev = data[:16]
     out = bytearray()
