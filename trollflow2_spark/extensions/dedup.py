@@ -947,16 +947,17 @@ def connected_components(
     so the check is a one-row aggregate instead of a self-join diff.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # lazy checkpoints + fused convergence agg (r15/r16): the sum
+    # action below materializes the EDGES checkpoint and the labels
+    # checkpoint in the SAME job it reads them, so setup costs ONE
+    # Spark job instead of two and each round costs ONE job instead
+    # of two (eager materialization + separate sum). Single-threaded
+    # loop — no concurrent-materialization race.
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # lazy checkpoint + fused convergence agg (r15): the sum action
-    # below materializes the checkpoint in the SAME job it reads it,
-    # so each round costs ONE Spark job instead of two (eager
-    # materialization + separate sum). Single-threaded loop — no
-    # concurrent-materialization race.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -964,6 +965,12 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # sum(label) over zero rows is NULL: no edges means no labels and
+    # the propagation loop cannot change anything — skip its round
+    # (per-batch streaming dedup increments routinely carry an empty
+    # verified-pair set, so this saves a whole job per such batch)
+    if prev_sum is None:
+        return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"

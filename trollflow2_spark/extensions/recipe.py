@@ -557,13 +557,39 @@ def streaming_recipe_sink(
                     bands,
                 ).persist()
                 if fs.exists(jpath):
+                    # explicit schemas (derived from the very frames
+                    # the appends below write): a bare read.parquet
+                    # pays a schema-inference job per state dir per
+                    # micro-batch — pure control plane
+                    from pyspark.sql.types import (
+                        LongType,
+                        StructField,
+                        StructType,
+                    )
+
+                    bid_f = StructField("__bid", LongType())
                     state_bands = (
-                        spark.read.parquet(ndb_dir)
+                        spark.read.schema(
+                            StructType(
+                                list(batch_bands.schema.fields)
+                                + [bid_f]
+                            )
+                        )
+                        .parquet(ndb_dir)
                         .where(F.col("__bid") < F.lit(batch_id))
                         .select("doc_id", "band", "bh")
                     )
                     seen = (
-                        spark.read.parquet(nd_dir)
+                        spark.read.schema(
+                            StructType(
+                                [
+                                    out.schema["doc_id"],
+                                    out.schema["text"],
+                                    bid_f,
+                                ]
+                            )
+                        )
+                        .parquet(nd_dir)
                         .where(F.col("__bid") < F.lit(batch_id))
                         .select("doc_id", "text")
                     )
@@ -612,8 +638,11 @@ def streaming_recipe_sink(
                     spark._jsc.hadoopConfiguration()
                 )
                 if fs.exists(jpath):
+                    # digest is always md5 hex (string); explicit
+                    # schema skips the per-batch schema-inference job
                     seen = (
-                        spark.read.parquet(state_dir)
+                        spark.read.schema("digest string, __bid long")
+                        .parquet(state_dir)
                         .where(F.col("__bid") < F.lit(batch_id))
                         .select("digest")
                     )
