@@ -2952,13 +2952,26 @@ def _bracket_median(
             F.lit(100),
         ).alias("__qb"),
     ).localCheckpoint()
-    # middle ranks (1-indexed): odd m → klo == khi, even m → two
+    # middle ranks (1-indexed): odd m → klo == khi, even m → two.
+    # Groups under small_n widen to the full range (NULL bounds), the
+    # same guard exact_quantiles carries: at accuracy 100 the formal
+    # rank-error bound (1 % of n) only provably pins the middle ranks
+    # inside the 45-55 % bracket for n ≳ 50, and sorting a <200-value
+    # group whole is trivial anyway — the selection below treats NULL
+    # bounds as "no bracket", so the value is exact either way rather
+    # than resting on GK being exact below its compress threshold.
+    small_n = 200
+    small = F.col("n_vals") < F.lit(int(small_n))
     ctrl = stats.select(
         *group_cols,
         "n_vals",
         *extras,
-        F.col("__qb")[0].alias("__blo"),
-        F.col("__qb")[1].alias("__bhi"),
+        F.when(small, F.lit(None))
+        .otherwise(F.col("__qb")[0])
+        .alias("__blo"),
+        F.when(small, F.lit(None))
+        .otherwise(F.col("__qb")[1])
+        .alias("__bhi"),
         F.floor((n + 1) / 2).alias("__klo"),
         F.floor((n + 2) / 2).alias("__khi"),
     )
@@ -2969,16 +2982,30 @@ def _bracket_median(
         *group_cols, "n_vals", *extras,
         F.lit(None).cast("double").alias("__med")
     )
-    live = F.broadcast(ctrl.where(F.col("__blo") < F.col("__bhi")))
+    live = F.broadcast(
+        ctrl.where(
+            (F.col("n_vals") > 0)
+            & (
+                F.col("__blo").isNull()
+                | (F.col("__blo") < F.col("__bhi"))
+            )
+        )
+    )
     j = vals.join(live, group_cols).where(
-        v.isNotNull() & (v <= F.col("__bhi"))
+        v.isNotNull()
+        & (F.col("__bhi").isNull() | (v <= F.col("__bhi")))
     )
     # histogram of the bracket slice; every strictly-below row
     # collapses into ONE null-keyed bucket per group, so the exact
     # below count ships as a single row of the same agg
     hist = j.groupBy(
         *group_cols,
-        F.when(v < F.col("__blo"), F.lit(None)).otherwise(v).alias("__v"),
+        F.when(
+            F.col("__blo").isNotNull() & (v < F.col("__blo")),
+            F.lit(None),
+        )
+        .otherwise(v)
+        .alias("__v"),
     ).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.first("n_vals").alias("n_vals"),

@@ -442,7 +442,17 @@ def kmeans_train_distributed(
             "0L, (a, b) -> a + b))"
         )
 
-    CELL_SQL = "CAST(array_position(__d, array_min(__d)) - 1 AS INT)"
+    # coalesce restores the old CASE's ELSE branch for the NULL edge:
+    # a NULL vector component (or a short vector NULL-padded by
+    # zip_with) turns that row's k distances NULL, array_min/
+    # array_position then yield NULL, and the cell must fall back to
+    # k-1 exactly as the flat CASE did — not crash the training loop
+    # on cents[int(None)]. Non-null rows are untouched (coalesce is a
+    # no-op on a found position).
+    CELL_SQL = (
+        f"CAST(coalesce(array_position(__d, array_min(__d)), {k}L) - 1 "
+        "AS INT)"
+    )
 
     spark = q.sparkSession
     # fresh literal-bearing plan per iteration: interpreted mode skips

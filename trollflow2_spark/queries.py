@@ -1285,6 +1285,29 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _blob_spread(df: DataFrame) -> DataFrame:
+    """Decode parallelism for the persisted iceberg/delta blob stores:
+    repartition to an eighth of the session's shuffle-partition
+    setting (floor 4) before the persist. Scale-adaptive, not the
+    former literal 4 — a production session sizes shuffle partitions
+    to the cluster, and the literal capped every decode pass at 4
+    tasks on a larger store (r15 ADVICE) — but deliberately BELOW the
+    full shuffle setting: several passes re-read this small cached
+    table per query, and each pays per-task scheduling on every
+    cached partition (full-width 32 measured +53 % on
+    iceberg_eq_deletes vs 4-way locally)."""
+    parts = max(
+        4,
+        int(
+            df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "32"
+            )
+        )
+        // 8,
+    )
+    return df.repartition(parts)
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (Common Crawl shape) ingestion + HTML->text: deterministic
     per-doc WARC files — gzip members, request+response records, HTTP
@@ -14271,7 +14294,7 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_partition_summary(
         spark,
         _json.dumps(metadata),
-        manifests.unionByName(lists).repartition(4).persist(),
+        _blob_spread(manifests.unionByName(lists)).persist(),
     )
 
 
@@ -14433,7 +14456,7 @@ def q_iceberg_snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_iceberg_snapshot) — the v2 read path decodes data manifests,
     # delete manifests AND position-delete blobs from it
     return snapshot_partition_summary(
-        spark, _json.dumps(metadata), blobs.unionByName(lists).repartition(4).persist()
+        spark, _json.dumps(metadata), _blob_spread(blobs.unionByName(lists)).persist()
     )
 
 
@@ -14626,7 +14649,7 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_partition_summary(
         spark,
         _json.dumps(metadata),
-        blobs.unionByName(driver_blobs).repartition(4).persist(),
+        _blob_spread(blobs.unionByName(driver_blobs)).persist(),
         equality_id_fields=["id"],
     )
 
@@ -14848,7 +14871,7 @@ def q_iceberg_dv_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_partition_summary(
         spark,
         _json.dumps(metadata),
-        blobs.unionByName(driver_blobs).repartition(4).persist(),
+        _blob_spread(blobs.unionByName(driver_blobs)).persist(),
     )
 
 
@@ -15033,7 +15056,7 @@ def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expire_snapshots_plan(
         spark,
         metadata,
-        blobs.unionByName(lists).repartition(4).persist(),
+        _blob_spread(blobs.unionByName(lists)).persist(),
         expire_before_ms=1500,
         keep_last=1,
     )
