@@ -1617,12 +1617,22 @@ def lsh_recall_audit(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # both fan out to two consumers (their own count + the hit
+    # semi-join), and without materialization each consumer re-runs
+    # the full upstream — the quadratic reference join TWICE and the
+    # minhash->banding->pair machine twice (guide §2.4/§5, the same
+    # fan-out discipline as the r15 persists). Outputs are bounded:
+    # true pairs above threshold and guard-capped LSH candidates on a
+    # budget-bounded sample. The counts materialize each cache up
+    # front so the single final action's concurrent subtree builds
+    # cannot race to compute them twice.
     true_pairs = (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.round(jac, 6) >= F.lit(float(threshold)))
         .select("id_a", "id_b")
-    )
+    ).persist()
+    true_pairs.count()
     cand = lsh_candidate_pairs(
         minhash_signatures(
             base,
@@ -1634,7 +1644,8 @@ def lsh_recall_audit(
         id_col=id_col,
         num_hashes=num_hashes,
         bands=bands,
-    )
+    ).persist()
+    cand.count()
     hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
     t = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
     c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
