@@ -946,15 +946,34 @@ def connected_components(
     which strictly decreases until fixpoint (labels only ever shrink),
     so the check is a one-row aggregate instead of a self-join diff.
     """
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    # lazy checkpoints + fused convergence agg (r15/r16): the sum
+    # symmetrize by EXPLODING each pair into both directions instead
+    # of unioning the pair table with its own reversal: the union
+    # shape evaluated the caller's pairs subtree TWICE (once per
+    # branch — the phash profile showed two 64-task jobs re-running
+    # the banding+pair machine), the explode evaluates it once for
+    # the identical directed-edge set (guide §2.4).
+    # Lazy checkpoints + fused convergence agg (r15/r16): the sum
     # action below materializes the EDGES checkpoint and the labels
     # checkpoint in the SAME job it reads them, so setup costs ONE
     # Spark job instead of two and each round costs ONE job instead
     # of two (eager materialization + separate sum). Single-threaded
     # loop — no concurrent-materialization race.
     edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"),
+                        F.col("id_a").alias("dst"),
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -1013,11 +1032,24 @@ def label_propagation(
     production norm). Isolated nodes keep their own label. Output:
     (id, community).
     """
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # same explode-symmetrization as connected_components: one
+    # evaluation of the caller's pairs subtree, identical edge set
     edges = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"),
+                        F.col("id_a").alias("dst"),
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.src", "__e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
